@@ -1,13 +1,674 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{ScalarOps, TextOps, VectorOps}
+import graft.operators.{Composite, Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` for the t2
+  * correctness gate.
+  *
+  * Oracle-parity rules used throughout (SURVEY.md §5.2, FIXTURES.md):
+  *   - every result ends with a total ORDER BY on non-null key columns
+  *     (Spark sorts NULLS FIRST, DuckDB NULLS LAST — so sort keys are
+  *     always non-null);
+  *   - money/quantity sums go through DECIMAL(18,2|4) (the testdata is
+  *     2-decimal exact) then cast to DOUBLE → order-independent,
+  *     bit-identical across engines;
+  *   - interpolated percentiles/window averages are rounded to 6 dp;
+  *   - all content hashing is md5-derived so DuckDB computes identical
+  *     signatures (MinHash/SimHash included);
+  *   - dot products are strict in-order left folds in both engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val D2 = DecimalType(18, 2)
+
+  /** SUM(x) through exact decimal, emitted as double. */
+  private def dsum(c: Column): Column = sum(c.cast(D2)).cast("double")
+
+  // ---------- flagship ----------
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H-Q5-ish
+    * revenue rollup across 6 tables — exercises scan, broadcast joins,
+    * decimal agg, sort in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, d)
+    val o = Tables.orders(spark, d)
+    val c = Tables.customer(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+  }
+
+  // ---------- §2.1 scans / sources / sinks ----------
+
+  private def s1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("cnt"))
+
+  private def s2(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey").between(1, 100))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+
+  private def s3(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+      .select("l_orderkey", "l_linenumber", "p_name")
+      .orderBy("l_orderkey", "l_linenumber", "p_name")
+
+  private def s4(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .groupBy(regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prio")
+
+  /** S5 — tiled/partitioned sink: write partitioned parquet, read it back,
+    * aggregate the round-trip (oracle checks the aggregate over the source).
+    */
+  private def s5(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private def s6(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        octet_length(col("text")).cast("long").as("text_bytes"))
+      .orderBy("doc_id")
+
+  // ---------- §2.2 projections / filters / scalar maps ----------
+
+  private def p1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  private def p2(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("float").as("qty_f"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_f")
+
+  private def p3(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")).as("disc_n"))
+      .orderBy("l_orderkey", "l_linenumber", "disc_n")
+
+  private def p4(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ScalarOps.fillNoData(
+          when(col("l_tax") === 0.0, lit(null)).otherwise(col("l_tax")), 0.0).as("tax_f"))
+      .orderBy("l_orderkey", "l_linenumber", "tax_f")
+
+  private def p5(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(ScalarOps.normalizedDiff(col("l_extendedprice"), col("l_discount")), 6).as("nd"),
+        round(ScalarOps.normalizedDiffNull(col("l_extendedprice"), col("l_discount")), 6).as("nd_null"))
+      .orderBy("l_orderkey", "l_linenumber", "nd", "nd_null")
+
+  private def p6(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(ScalarOps.allValid(Seq(col("l_quantity"))) && col("l_discount") > 0.02)
+      .agg(count(lit(1)).as("cnt"))
+
+  private def p7(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ScalarOps.clamp(col("l_discount"), lit(0.01), lit(0.05)).as("disc_c"))
+      .orderBy("l_orderkey", "l_linenumber", "disc_c")
+
+  private def p8(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R" && col("l_discount") < 0.06, lit("N"))
+          .when(col("l_returnflag") === "A", lit("N"))
+          .otherwise(col("l_returnflag")).as("flag_rw"))
+      .orderBy("l_orderkey", "l_linenumber", "flag_rw")
+
+  private def p9(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(concat_ws("_",
+        when(col("l_quantity") > 25, lit("Q")),
+        when(col("l_discount") > 0.03, lit("D"))).as("combo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("combo")
+
+  private def p10(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        md5(concat(col("l_returnflag"), col("l_linestatus"))).as("key_md5"))
+      .orderBy("l_orderkey", "l_linenumber", "key_md5")
+
+  private def p11(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .withColumn("n", explode(sequence(lit(1), lit(3))))
+      .orderBy("l_orderkey", "l_linenumber", "n")
+
+  private def p12(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+      .orderBy("event_id")
+
+  // ---------- §2.3 aggregations ----------
+
+  private def a1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  private def a2(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(max(struct(col("l_extendedprice").as("e"), col("l_partkey").as("p"))).as("b"))
+      .select(col("l_orderkey"), col("b.p").as("best_pk"))
+      .orderBy("l_orderkey")
+
+  private def a3(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .agg(max(col("l_extendedprice")).as("max_ep"),
+        min(col("l_shipdate")).as("min_sd"),
+        max(col("l_shipdate")).as("max_sd"))
+
+  private def a4(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.02)), 6).as("cut_lo"),
+        round(percentile(col("l_extendedprice"), lit(0.98)), 6).as("cut_hi"))
+
+  private def a5(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+          .cast("double").as("revenue"))
+
+  private def a6(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("l_linenumber"))).cast("array<string>")).as("lns"))
+      .orderBy("l_orderkey")
+
+  private def a7(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .agg(
+        countDistinct(concat(col("l_returnflag"), col("l_linestatus"))).as("n_combo"),
+        countDistinct(col("l_partkey")).as("n_part"))
+
+  private def a9(s: SparkSession, d: String) =
+    Tables.lineitem(s, d).agg((max(col("l_orderkey")) + 1).as("next_id"))
+
+  // ---------- §2.4 joins ----------
+
+  private def j1(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"), "left")
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  private def j2(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey") && col("c_acctbal") > 0, "left")
+      .select(col("o_orderkey"), coalesce(col("c_name"), lit("UNKNOWN")).as("cust"))
+      .orderBy("o_orderkey")
+
+  private def j3(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select("l_orderkey", "l_linenumber", "p_retailprice", "s_acctbal", "n_name")
+      .orderBy("l_orderkey", "l_linenumber", "p_retailprice", "s_acctbal", "n_name")
+
+  private def j4(s: SparkSession, d: String) = {
+    import s.implicits._
+    val models = Seq("RF", "NO").toDF("combo")
+    Tables.lineitem(s, d)
+      .select(concat(col("l_returnflag"), col("l_linestatus")).as("combo"))
+      .join(broadcast(models), Seq("combo"))
+      .groupBy("combo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("combo")
+  }
+
+  private def j6(s: SparkSession, d: String) = {
+    val a = Tables.events(s, d).select(col("user_id"), col("ts").as("a_ts"))
+    val b = Tables.events(s, d).select(col("user_id"), col("ts").as("b_ts"))
+    a.join(b, Seq("user_id"))
+      .filter(col("b_ts").between(col("a_ts"), col("a_ts") + expr("INTERVAL 1 MINUTE")))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def j7(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.value").as("last_val"))
+      .orderBy("user_id")
+
+  private def j8(s: SparkSession, d: String) =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  private def j9(s: SparkSession, d: String) =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  private def set1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d).select("l_orderkey")
+      .intersect(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey")))
+      .orderBy("l_orderkey")
+
+  private def set2(s: SparkSession, d: String) =
+    Tables.orders(s, d).select("o_orderkey")
+      .except(Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey")))
+      .orderBy("o_orderkey")
+
+  private def u1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey").as("okey"), lit("l").as("src"))
+      .union(Tables.orders(s, d).select(col("o_orderkey").as("okey"), lit("o").as("src")))
+      .orderBy("okey", "src")
+
+  // ---------- §2.5 windows / sorts / limits ----------
+
+  private def w1(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")).rowsBetween(-2, 2)
+    Tables.events(s, d)
+      .select(col("event_id"), round(avg(col("value")).over(w), 6).as("avg5"))
+      .orderBy("event_id")
+  }
+
+  /** W2 — running offset. Single global ordered window: this is the W2
+    * semantics (sequential id offsets, image_segmentation.py:150); at scale
+    * it runs per-tile-batch, never over the full fact table.
+    */
+  private def w2(s: SparkSession, d: String) = {
+    val w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(D2)).over(w).cast("double").as("run_total"))
+      .orderBy("o_orderkey")
+  }
+
+  private def w3(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  private def o1(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(20)
+
+  private def o2(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+
+  // ---------- extension surface E1-E4 ----------
+
+  private def e1(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("text_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  private def e1b(s: SparkSession, d: String) =
+    Dedup.fingerprintGroups(Tables.documents(s, d)).orderBy("keep_id")
+
+  private def e2(s: SparkSession, d: String) =
+    Dedup.minhashSignatures(Tables.documents(s, d), numHashes = 8).orderBy("doc_id")
+
+  private def e2b(s: SparkSession, d: String) =
+    Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+      .orderBy("a", "b")
+
+  private def e3(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  private def e4(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  private def e5(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.langGuess(col("text")).as("lang_guess"),
+        col("lang").as("lang_true"),
+        (TextOps.langGuess(col("text")) === col("lang")).as("hit"))
+      .orderBy("doc_id")
+
+  private def e6(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  private def st1(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      .orderBy("hour_start", "event_type")
+
+  private def mm1(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  // ---------- registry ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_scan_count" -> (s1 _),
+    "s2_pruned_scan" -> (s2 _),
+    "s3_sidecar_join" -> (s3 _),
+    "s4_filename_meta" -> (s4 _),
+    "s5_partitioned_sink" -> (s5 _),
+    "s6_vector_source" -> (s6 _),
+    "p1_projection" -> (p1 _),
+    "p2_cast" -> (p2 _),
+    "p3_nullif" -> (p3 _),
+    "p4_coalesce" -> (p4 _),
+    "p5_norm_diff" -> (p5 _),
+    "p6_valid_filter" -> (p6 _),
+    "p7_clamp" -> (p7 _),
+    "p8_rules" -> (p8 _),
+    "p9_null_pattern" -> (p9 _),
+    "p10_md5" -> (p10 _),
+    "p11_explode" -> (p11 _),
+    "p12_json" -> (p12 _),
+    "a1_median_groups" -> (a1 _),
+    "a2_argmax" -> (a2 _),
+    "a3_global_max" -> (a3 _),
+    "a4_percentile_cuts" -> (a4 _),
+    "a5_count_sum" -> (a5 _),
+    "a6_collect_sorted" -> (a6 _),
+    "a7_distinct_count" -> (a7 _),
+    "a9_max_plus_one" -> (a9 _),
+    "j1_broadcast_lookup" -> (j1 _),
+    "j2_fallback_coalesce" -> (j2 _),
+    "j3_multiway" -> (j3 _),
+    "j4_dispatch" -> (j4 _),
+    "j6_range_join" -> (j6 _),
+    "j7_merge_maxby" -> (j7 _),
+    "j8_semi" -> (j8 _),
+    "j9_anti" -> (j9 _),
+    "set1_intersect" -> (set1 _),
+    "set2_except" -> (set2 _),
+    "u1_union" -> (u1 _),
+    "w1_frame_avg" -> (w1 _),
+    "w2_running_sum" -> (w2 _),
+    "w3_rank_top1" -> (w3 _),
+    "o1_ordered_limit" -> (o1 _),
+    "o2_limit" -> (o2 _),
+    "e1_exact_dedup" -> (e1 _),
+    "e1b_fingerprint_dedup" -> (e1b _),
+    "e2_minhash_sig" -> (e2 _),
+    "e2b_lsh_pairs" -> (e2b _),
+    "e3_cosine_topk" -> (e3 _),
+    "e4_text_stats" -> (e4 _),
+    "e5_langid" -> (e5 _),
+    "e6_simhash" -> (e6 _),
+    "st1_tumbling" -> (st1 _),
+    "mm1_binary_meta" -> (mm1 _)
+  )
+
+  // ---------- oracle SQL (DuckDB dialect) ----------
+
+  /** SQL for the integer value of hex digit i (1-based) of expression h. */
+  private def sqlHexDigit(h: String, i: Int): String =
+    s"(ascii(substr($h,$i,1)) - 48 - CASE WHEN ascii(substr($h,$i,1)) >= 97 THEN 39 ELSE 0 END)"
+
+  /** SQL for the integer value of the first k hex chars of expression h. */
+  private def sqlHexVal(h: String, k: Int): String =
+    (1 to k).map(i => s"${sqlHexDigit(h, i)} * ${math.pow(16, (k - i).toDouble).toLong}")
+      .mkString("(", " + ", ")")
+
+  private def sqlMinhash(j: Int): String =
+    s"CAST(list_min(list_transform(shingles, sh -> ${sqlHexVal(s"md5(concat('$j|', sh))", 6)})) AS BIGINT)"
+
+  private val sqlShingleCte =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+      |  ELSE list_transform(generate_series(1, len(toks) - 2),
+      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS shingles FROM t)""".stripMargin
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def sqlLangHits(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "s2_pruned_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_orderkey BETWEEN 1 AND 100
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate""".stripMargin,
+    "s3_sidecar_join" ->
+      """SELECT l_orderkey, l_linenumber, p_name FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_name NULLS FIRST""".stripMargin,
+    "s4_filename_meta" ->
+      "SELECT regexp_extract(o_orderpriority, '(\\d+)', 1) AS prio, count(*) AS n FROM orders GROUP BY prio ORDER BY prio",
+    "s5_partitioned_sink" ->
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "s6_vector_source" ->
+      "SELECT doc_id, n_chars, CAST(strlen(text) AS BIGINT) AS text_bytes FROM documents ORDER BY doc_id",
+    "p1_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "p2_cast" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS REAL) AS qty_f FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_f",
+    "p3_nullif" ->
+      "SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS disc_n FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_n NULLS FIRST",
+    "p4_coalesce" ->
+      "SELECT l_orderkey, l_linenumber, coalesce(nullif(l_tax, 0.0), 0.0) AS tax_f FROM lineitem ORDER BY l_orderkey, l_linenumber, tax_f",
+    "p5_norm_diff" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round((l_extendedprice - l_discount) / (l_extendedprice + l_discount + 1e-9), 6) AS nd,
+        |round(CASE WHEN l_extendedprice + l_discount = 0.0 THEN NULL
+        |  ELSE (l_extendedprice - l_discount) / (l_extendedprice + l_discount) END, 6) AS nd_null
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, nd, nd_null NULLS FIRST""".stripMargin,
+    "p6_valid_filter" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount > 0.02",
+    "p7_clamp" ->
+      "SELECT l_orderkey, l_linenumber, least(greatest(l_discount, 0.01), 0.05) AS disc_c FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_c",
+    "p8_rules" ->
+      """SELECT l_orderkey, l_linenumber,
+        |CASE WHEN l_returnflag = 'R' AND l_discount < 0.06 THEN 'N'
+        |     WHEN l_returnflag = 'A' THEN 'N' ELSE l_returnflag END AS flag_rw
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, flag_rw""".stripMargin,
+    "p9_null_pattern" ->
+      """SELECT concat_ws('_', CASE WHEN l_quantity > 25 THEN 'Q' END,
+        |  CASE WHEN l_discount > 0.03 THEN 'D' END) AS combo, count(*) AS n
+        |FROM lineitem GROUP BY combo ORDER BY combo""".stripMargin,
+    "p10_md5" ->
+      "SELECT l_orderkey, l_linenumber, md5(concat(l_returnflag, l_linestatus)) AS key_md5 FROM lineitem ORDER BY l_orderkey, l_linenumber, key_md5",
+    "p11_explode" ->
+      """SELECT l_orderkey, l_linenumber, n FROM lineitem
+        |CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) t ORDER BY l_orderkey, l_linenumber, n""".stripMargin,
+    "p12_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int FROM events ORDER BY event_id""".stripMargin,
+    "a1_median_groups" ->
+      """SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a2_argmax" ->
+      """SELECT l_orderkey, l_partkey AS best_pk FROM (
+        |  SELECT l_orderkey, l_partkey,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_partkey DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "a3_global_max" ->
+      "SELECT max(l_extendedprice) AS max_ep, min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd FROM lineitem",
+    "a4_percentile_cuts" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.02), 6) AS cut_lo,
+        |round(quantile_cont(l_extendedprice, 0.98), 6) AS cut_hi FROM lineitem""".stripMargin,
+    "a5_count_sum" ->
+      """SELECT count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem""".stripMargin,
+    "a6_collect_sorted" ->
+      "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lns FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "a7_distinct_count" ->
+      "SELECT count(DISTINCT l_returnflag || l_linestatus) AS n_combo, count(DISTINCT l_partkey) AS n_part FROM lineitem",
+    "a9_max_plus_one" -> "SELECT max(l_orderkey) + 1 AS next_id FROM lineitem",
+    "j1_broadcast_lookup" ->
+      "SELECT o_orderkey, c_name, c_mktsegment FROM orders LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "j2_fallback_coalesce" ->
+      """SELECT o_orderkey, coalesce(c_name, 'UNKNOWN') AS cust FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 0 ORDER BY o_orderkey""".stripMargin,
+    "j3_multiway" ->
+      """SELECT l_orderkey, l_linenumber, p_retailprice, s_acctbal, n_name FROM lineitem
+        |JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY l_orderkey, l_linenumber, p_retailprice, s_acctbal, n_name""".stripMargin,
+    "j4_dispatch" ->
+      """SELECT k.combo, count(*) AS n FROM (SELECT l_returnflag || l_linestatus AS combo FROM lineitem) k
+        |JOIN (VALUES ('RF'), ('NO')) m(combo) ON k.combo = m.combo GROUP BY k.combo ORDER BY k.combo""".stripMargin,
+    "j6_range_join" ->
+      """SELECT count(*) AS n_pairs FROM events a JOIN events b
+        |ON a.user_id = b.user_id AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 MINUTE""".stripMargin,
+    "j7_merge_maxby" ->
+      """SELECT user_id, value AS last_val FROM (
+        |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "j8_semi" ->
+      "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "j9_anti" ->
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    "set1_intersect" ->
+      "SELECT l_orderkey FROM lineitem INTERSECT SELECT o_orderkey FROM orders ORDER BY l_orderkey",
+    "set2_except" ->
+      "SELECT o_orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem ORDER BY o_orderkey",
+    "u1_union" ->
+      """SELECT l_orderkey AS okey, 'l' AS src FROM lineitem WHERE l_linenumber = 1
+        |UNION ALL SELECT o_orderkey, 'o' FROM orders ORDER BY okey, src""".stripMargin,
+    "w1_frame_avg" ->
+      """SELECT event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS avg5 FROM events ORDER BY event_id""".stripMargin,
+    "w2_running_sum" ->
+      """SELECT o_orderkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w3_rank_top1" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "o1_ordered_limit" ->
+      "SELECT o_orderkey, o_orderdate, o_totalprice FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20",
+    "o2_limit" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "e1_exact_dedup" ->
+      "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text) ORDER BY keep_id",
+    "e1b_fingerprint_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin,
+    "e2_minhash_sig" ->
+      s"""$sqlShingleCte
+         |SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")}
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "e2b_lsh_pairs" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM s),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")})
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "e3_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS raw
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e4_text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, tk -> tk IN ('der','die','und','das','nicht','ist','ein','the','and','of','to','in','is','that','el','la','de','que','y','los','en','le','et','les','des','un','的','是','了','在','和','有','我'))) AS DOUBLE) / len(toks) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpeish,
+        |  round(CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.5 + least(stop_ratio * 4.0, 1.0) * 0.5, 6) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "e5_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, lang, (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess FROM t)
+         |SELECT doc_id, lang_guess, lang AS lang_true, (lang_guess = lang) AS hit FROM g ORDER BY doc_id""".stripMargin,
+    "e6_simhash" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks, tk -> ${sqlHexVal("md5(tk)", 4)}) AS hs FROM t)
+         |SELECT doc_id, CAST(${(0 until 16).map(j =>
+              s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
+              .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "st1_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS n,
+        |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+    "mm1_binary_meta" ->
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id"
+  )
 }

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / dedup expression catalog (extension surface E1/E4 of
+  * SURVEY.md §2.6 — the LLM-training-data operators BASELINE.json mandates
+  * beyond the reference's raster surface).
+  *
+  * Everything here is pure `Column` algebra (codegen'd, no UDFs), and every
+  * hash is derived from `md5` so the identical value is computable in any
+  * ANSI-ish SQL engine — that is what makes MinHash/SimHash signatures
+  * oracle-checkable instead of opaque.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (documents.text is space-separated tokens, FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: alpha runs, digit runs, or single non-space
+    * symbols. The pattern is RE2/Java-regex compatible for oracle parity.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** E1 — content fingerprint: md5 of the sorted distinct token set.
+    * Near-dup docs that only permute/repeat tokens collapse to one key;
+    * grouping on it is the scalable exact-ish dedup (one shuffle on a
+    * 32-char key regardless of document size).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
+  // ---- md5-derived integer hashing (oracle-portable) ----
+
+  /** Value of one lowercase-hex digit via its codepoint: '0'-'9' → 0-9,
+    * 'a'-'f' → 10-15. `ascii` exists identically in Spark and DuckDB.
+    */
+  private def hexDigit(c: Column): Column =
+    ascii(c) - lit(48) - when(ascii(c) >= lit(97), lit(39)).otherwise(lit(0))
+
+  /** Integer value of the first `k` hex chars of `h` (k ≤ 15 for Long). */
+  def hexVal(h: Column, k: Int): Column =
+    (1 to k)
+      .map(i => hexDigit(substring(h, i, 1)).cast("long") * lit(math.pow(16, (k - i).toDouble).toLong))
+      .reduce(_ + _)
+
+  /** Seeded 24-bit hash H_seed(s) = int(md5(seed || '|' || s)[0:6], 16).
+    * The seed family gives the independent hash functions MinHash needs
+    * (cf. pixel_classifier_stream.py:49-55's md5 key hashing for parity
+    * of spirit: stable, content-derived keys).
+    */
+  def seededHash(s: Column, seed: Int): Column =
+    hexVal(md5(concat(lit(seed.toString), lit("|"), s)), 6)
+
+  /** k-shingles (k consecutive tokens joined by space); documents shorter
+    * than k tokens yield their whole text as the single shingle.
+    */
+  def shingles(toks: Column, k: Int = 3): Column =
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** One MinHash signature component: min over shingles of H_seed. */
+  def minhashComponent(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, sh => seededHash(sh, seed)))
+
+  /** Full MinHash signature as named columns m0..m{n-1}. */
+  def minhashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Seq[Column] = {
+    val sh = shingles(tokens(text), shingleK)
+    (0 until numHashes).map(j => minhashComponent(sh, j).as(s"m$j"))
+  }
+
+  /** 16-bit SimHash over the distinct token set. Bit j of each token's 16-bit
+    * md5-derived hash votes +1/−1; signature bit j is 1 iff the vote sum is
+    * positive. Integer sums only → order-independent → oracle-exact.
+    */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val hashes = transform(toks, t => hexVal(md5(t), 4))
+    (0 until 16)
+      .map { j =>
+        val votes = aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => acc + (shiftright(h, j) % 2) * lit(2L) - lit(1L))
+        when(votes > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  // ---- language-ID heuristic + quality scoring ----
+
+  /** Tiny per-language stopword lists for the n-gram/stopword lang-ID
+    * heuristic. Deliberately small so the oracle SQL mirrors it 1:1.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
+
+  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Language guess: arg-max stopword hit count, ties broken by language
+    * code ascending (deterministic — SURVEY.md §7 hard part c discipline).
+    * Implemented as a sort over (−score, lang) structs so both Spark and
+    * DuckDB order identically.
+    */
+  def langGuess(text: Column): Column = {
+    val toks = tokens(text)
+    val entries = LangStopwords.map { case (lang, words) =>
+      struct((lit(0L) - stopwordHits(toks, words).cast("long")).as("n"), lit(lang).as("l"))
+    }
+    element_at(array_sort(array(entries: _*)), 1).getField("l")
+  }
+
+  /** Stopword ratio (any language's stopwords) — a quality-score component. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val all = LangStopwords.flatMap(_._2).distinct
+    stopwordHits(toks, all).cast("double") / size(toks).cast("double")
+  }
+
+  /** Mean token length in characters, derived exactly from integer counts. */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation + stopword signal.
+    * Deterministic double arithmetic (two mults, one add) — oracle-safe.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+      least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.5)
+}

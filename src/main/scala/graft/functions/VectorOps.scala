@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector expression catalog (extension surface E2 of SURVEY.md
+  * §2.6 — similarity search over `embeddings.embedding: array<float>`).
+  *
+  * Dot products are strict left folds in index order with a 0.0 initial
+  * accumulator, so the identical bit pattern is reproducible by any engine
+  * that folds left (DuckDB `list_reduce`) — which keeps cosine scores
+  * oracle-hashable without tolerance hacks.
+  */
+object VectorOps {
+
+  /** Ordered-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL when either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === lit(0.0), lit(null)).otherwise(dot(a, b) / denom)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(a, b, (x, y) => {
+          val d = x.cast("double") - y.cast("double")
+          d * d
+        }),
+        lit(0.0),
+        (acc, v) => acc + v))
+
+  /** Random-hyperplane LSH bucket id with `bits` planes. Plane j's normal is
+    * a deterministic md5-derived ±1 vector (seeded by (plane, dim index)), so
+    * the same bucket ids are computable in the oracle — and, at scale, the
+    * bucketing turns an O(N²) ANN search into a per-bucket local search.
+    */
+  def rhpBucket(v: Column, bits: Int, dim: Int): Column =
+    (0 until bits)
+      .map { j =>
+        val proj = (0 until dim)
+          .map { i =>
+            val sign =
+              when(TextOps.hexVal(md5(lit(s"$j|$i")), 1) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+            element_at(v, i + 1).cast("double") * sign
+          }
+          .reduce(_ + _)
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+}

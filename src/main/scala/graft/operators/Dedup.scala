@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E1 — deduplication operators for the training-data pipeline surface
+  * (SURVEY.md §2.6 E1-E4; BASELINE.json north_star).
+  *
+  * All hashing is md5-derived (TextOps) so signatures are engine-portable
+  * and oracle-checkable. Every operator is a constant number of shuffles
+  * independent of corpus size:
+  *   - exact/fingerprint: 1 shuffle on a 32-char key
+  *   - MinHash-LSH: signature map (no shuffle) → explode bands (×B rows)
+  *     → 1 shuffle on (band, bucket) → per-bucket pair generation.
+  * Candidate-pair blowup is bounded per bucket; at 100 TB you cap bucket
+  * width (`maxBucket`) to shed degenerate buckets (boilerplate docs) the
+  * same way production LSH dedup does.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on raw text: keeper = min(id) per text. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the minimal id per identical text. */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol),
+      "left_semi")
+
+  /** Token-set fingerprint groups (order/multiplicity-insensitive near-exact dedup). */
+  def fingerprintGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature table: idCol, m0..m{numHashes-1}. */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol) +: TextOps.minhashSignature(col(textCol), numHashes, shingleK): _*)
+
+  /** LSH candidate pairs: docs sharing at least one band bucket.
+    * Bands of `rowsPerBand` signature components are hashed to a bucket key;
+    * a self-join within (band, bucket) yields candidates (a < b, distinct).
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(docs, numHashes, shingleK, idCol, textCol)
+    val bands = (0 until numBands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Shed degenerate buckets before the quadratic pair step (skew guard).
+    val sized = exploded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    sized
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard over shingle sets, for verifying LSH candidates.
+    * Join-only formulation (shingle inverted index → pair counts → sizes),
+    * so it scales as the candidate count, not |corpus|².
+    */
+  def jaccardVerify(
+      docs: DataFrame,
+      pairs: DataFrame,
+      threshold: Double,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh
+      .as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("a", "b"))
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), Seq("a"))
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), Seq("b"))
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** SimHash near-dup groups: docs with identical 16-bit simhash. */
+  def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextOps.simhash16(col(textCol)).as("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+}

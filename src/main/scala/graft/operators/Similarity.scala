@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E2 — similarity search over embedding columns (SURVEY.md §2.6 E2).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k. The query side is broadcast
+  *     (queries ≪ corpus), so the corpus is scanned exactly once with no
+  *     shuffle of the big side; top-k is a per-query window over the
+  *     (|Q|·k)-sized candidate set. Right shape for "few queries, huge
+  *     corpus" — the common retrieval-eval pattern.
+  *   - `lshTopK`: random-hyperplane LSH bucketing; only same-bucket pairs
+  *     are scored. Turns O(|Q|·|C|) into O(Σ per-bucket products) — the
+  *     100 TB scale path, trading recall for a bounded candidate set.
+  *
+  * Determinism: ranking orders by (score DESC, corpus id ASC) so ties are
+  * stable (SURVEY.md §7 hard part c).
+  */
+object Similarity {
+
+  def withCosine(
+      pairs: DataFrame,
+      qVec: String = "q_emb",
+      cVec: String = "c_emb"): DataFrame =
+    pairs.withColumn("score", VectorOps.cosine(col(qVec), col(cVec)))
+
+  /** Exact top-k neighbors for each query vector. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorOps.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Approximate top-k via random-hyperplane LSH: candidates share a bucket. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bits: Int,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucket = (v: org.apache.spark.sql.Column) => VectorOps.rhpBucket(v, bits, dim)
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_emb"), bucket(col(vecCol)).as("bucket"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"), bucket(col(vecCol)).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", VectorOps.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+}
