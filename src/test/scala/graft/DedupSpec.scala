@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"),   // permutation of 1
+    (4L, "the quick brown fox jumps over the lazy cat"),   // near-dup (1 token)
+    (5L, "completely different content about spark engines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per identical text (E1)") {
+    val kept = Dedup.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactGroups(docs).filter(col("n_dups") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("fingerprint groups collapse token permutations (E1b)") {
+    val g = Dedup.fingerprintGroups(docs).filter(col("n_dups") >= 3).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1L) // docs 1,2,3 share the token set
+  }
+
+  test("identical docs get identical minhash signatures; near-dups share bands (E2)") {
+    val sig = Dedup.minhashSignatures(docs, numHashes = 8).orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail == sig(1).toSeq.tail) // docs 1,2 identical
+    val pairs = Dedup.minhashCandidatePairs(docs, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => b == 5L || a == 5L }) // unrelated doc never paired
+  }
+
+  test("jaccardVerify computes exact shingle jaccard on candidates (E2)") {
+    val pairs = Seq((1L, 2L), (1L, 5L)).toDF("a", "b")
+    val v = Dedup.jaccardVerify(docs, pairs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(v((1L, 2L)) == 1.0)     // identical docs
+    assert(!v.contains((1L, 5L)))  // below threshold (filtered)
+  }
+
+  test("simhash groups identical docs together (E6)") {
+    val g = Dedup.simhashGroups(docs)
+    val dupGroup = g.filter(col("n_dups") >= 2).collect()
+    assert(dupGroup.nonEmpty)
+    // simhash of near-identical docs 1 & 4 differ by few bits
+    val byDoc = docs.select(col("doc_id"), graft.functions.TextOps.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hamming = java.lang.Long.bitCount(byDoc(1L) ^ byDoc(4L))
+    assert(hamming <= 8, s"near-dups should be close in simhash space, got $hamming")
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine matches hand-computed values (E2 kernel)") {
+    val out = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(out((0L, 2L))) < 1e-12)
+    assert(math.abs(out((0L, 3L)) + 1.0) < 1e-12)
+    assert(out((0L, 1L)) > 0.99)
+  }
+
+  test("bruteForceTopK ranks by score desc with id tiebreak, excludes self (E2)") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L, 2L))
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
+  }
+
+  test("lshTopK returns same scores as brute force for candidates it keeps (E2 scale path)") {
+    val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
+      .select("neighbor_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(vecs.filter(col("vec_id") === 0), vecs, k = 4, bits = 2, dim = 3)
+      .select("neighbor_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, s) => assert(s == brute(id)) }
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token/bpeish counts and mean length (E4)") {
+    val df = Seq("hello world abc", "x").toDF("t")
+    val out = df.select(
+      TextOps.tokenCount($"t").as("n"),
+      TextOps.bpeishCount($"t").as("b"),
+      TextOps.meanTokenLen($"t").as("m")).collect()
+    assert(out(0).getInt(0) == 3)
+    assert(out(0).getInt(1) == 3)
+    assert(out(0).getDouble(2) == (15.0 - 2) / 3)
+    assert(out(1).getInt(0) == 1 && out(1).getDouble(2) == 1.0)
+  }
+
+  test("bpeish splits mixed alnum/symbol runs") {
+    val df = Seq("abc123 x-y!").toDF("t")
+    // abc, 123, x, -, y, !
+    assert(df.select(TextOps.bpeishCount($"t")).as[Int].head() == 6)
+  }
+
+  test("fingerprint is permutation- and multiplicity-invariant (E1b)") {
+    val df = Seq("a b c", "c b a a", "a b d").toDF("t")
+    val fps = df.select(TextOps.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("simhash16 stays in 16-bit range and is deterministic (E6)") {
+    val df = Seq("spark scala engine", "spark scala engine", "other words here").toDF("t")
+    val hs = df.select(TextOps.simhash16($"t")).as[Long].collect()
+    assert(hs.forall(h => h >= 0 && h < 65536))
+    assert(hs(0) == hs(1))
+  }
+
+  test("langGuess picks max stopword hits, tie → lexicographically first lang (E5)") {
+    val en = Seq("the cat and the dog is here").toDF("t")
+    assert(en.select(TextOps.langGuess($"t")).as[String].head() == "en")
+    val de = Seq("der hund und die katze ist hier").toDF("t")
+    assert(de.select(TextOps.langGuess($"t")).as[String].head() == "de")
+    // no stopwords at all → all scores 0 → 'de' (first lang code)
+    val none = Seq("xyzzy plugh").toDF("t")
+    assert(none.select(TextOps.langGuess($"t")).as[String].head() == "de")
+  }
+
+  test("shingles: k-grams in order; short docs collapse to whole text (E2)") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val out = df.select(TextOps.shingles(TextOps.tokens($"t")).as("s")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b"))
+  }
+
+  test("hexVal parses hex prefixes like the oracle formula") {
+    val df = Seq("ff00", "0a1b").toDF("h")
+    val out = df.select(TextOps.hexVal($"h", 4).as("v")).as[Long].collect()
+    assert(out(0) == 0xff00L)
+    assert(out(1) == 0x0a1bL)
+  }
+
+  test("qualityScore in [0,1] and monotone in stopword signal (E4)") {
+    val df = Seq("the of and in to is that", "zz yy xx ww vv uu tt").toDF("t")
+    val q = df.select(TextOps.qualityScore($"t")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+}
