@@ -398,6 +398,26 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** M5-M7 — segmentation + polygonize demo over a deterministic synthetic
+    * checkerboard (no SQL analog → rows-only driver check; kernel
+    * correctness is covered by SegmentationSpec). 64×64 px, 4 tiles with
+    * halo, 16 blocks → 16 segments of 256 cells each.
+    */
+  private def m5(s: SparkSession, d: String) = {
+    val grid = s.range(0, 64L * 64)
+      .select((col("id") / 64).cast("int").as("px_row"), (col("id") % 64).cast("int").as("px_col"))
+      .withColumn("B1",
+        when((floor(col("px_row") / 16) + floor(col("px_col") / 16)) % 2 === 0, lit(0.0f))
+          .otherwise(lit(100.0f)))
+    val segs = operators.Segmentation.segmentTiles(
+      grid, Seq("B1"), tileH = 32, tileW = 32, pad = 4,
+      scale = 10.0, minSize = 2, sigma = 0.0)
+    operators.Segmentation.polygonize(segs.select("px_row", "px_col", "seg_id"))
+      .groupBy("seg_id")
+      .agg(sum("n_cells").as("n_cells"), count(lit(1)).as("n_parts"))
+      .orderBy("seg_id")
+  }
+
   private def st1(s: SparkSession, d: String) =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -464,6 +484,7 @@ object SparkEntry {
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
+    "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
     "mm1_binary_meta" -> (mm1 _)
   )

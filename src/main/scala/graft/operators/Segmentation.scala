@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Stage-2 segmentation operators (SURVEY.md §2.6 M5-M7, §4 custom items 1-2).
+  *
+  * The reference runs felzenszwalb graph segmentation per 4096×4096 tile with
+  * a 256 px halo, gaussian-smooths the feature stack first (σ=0.5), crops the
+  * halo, then polygonizes the label raster (image_segmentation.py:28-34,
+  * 92-96, 142-162). Spark-first shape:
+  *
+  *   pixel table ──Halo.withHalo──► (halo_tile) groups ──flatMapGroups──►
+  *   per-tile gaussian + felzenszwalb ──keep core──► labels ──window offset──►
+  *   globally-unique seg ids ──flatMapGroups──► boundary-traced WKT polygons
+  *
+  * Each tile kernel is pure local array math inside one task (the reference's
+  * per-tile loop, parallelized free by Spark's task-per-partition); the only
+  * shuffles are the halo exchange (~13% inflation) and the tiny per-tile
+  * count table for W2 id offsets. Cross-tile seam semantics match the
+  * reference exactly: tiles see `pad` pixels of context and crop it — NOT a
+  * global merge (image_segmentation.py:149's crop invariant).
+  *
+  * Determinism (SURVEY.md §7 hard part a): ids are assigned per tile in
+  * row-major pixel order, offset by a running sum over (tile_y, tile_x)
+  * ordering — stable across retries, never monotonically_increasing_id.
+  */
+object Segmentation {
+
+  // ---------- local kernels (pure, per-tile) ----------
+
+  /** Separable gaussian blur, reflect-edge, truncated at 3σ (M6 analog of
+    * skimage.filters.gaussian σ=0.5, image_segmentation.py:92-96).
+    */
+  def gaussianSmooth(
+      grid: Array[Array[Float]], h: Int, w: Int, channels: Int,
+      sigma: Double = 0.5): Array[Array[Float]] = {
+    if (sigma <= 0) return grid
+    val radius = math.max(1, math.ceil(3 * sigma).toInt)
+    val kernel = (-radius to radius).map(i => math.exp(-(i * i) / (2 * sigma * sigma))).toArray
+    val ksum = kernel.sum
+    val norm = kernel.map(_ / ksum)
+    def reflect(i: Int, n: Int): Int =
+      if (i < 0) -i - 1 else if (i >= n) 2 * n - i - 1 else i
+    val tmp = Array.ofDim[Float](channels, h * w)
+    val out = Array.ofDim[Float](channels, h * w)
+    var ch = 0
+    while (ch < channels) {
+      // horizontal pass
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          var acc = 0.0; var k = -radius
+          while (k <= radius) {
+            acc += norm(k + radius) * grid(ch)(r * w + reflect(c + k, w)); k += 1
+          }
+          tmp(ch)(r * w + c) = acc.toFloat; c += 1
+        }
+        r += 1
+      }
+      // vertical pass
+      r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          var acc = 0.0; var k = -radius
+          while (k <= radius) {
+            acc += norm(k + radius) * tmp(ch)(reflect(r + k, h) * w + c); k += 1
+          }
+          out(ch)(r * w + c) = acc.toFloat; c += 1
+        }
+        r += 1
+      }
+      ch += 1
+    }
+    out
+  }
+
+  private final class UnionFind(n: Int) {
+    private val parent = Array.tabulate(n)(identity)
+    private val rank = new Array[Int](n)
+    val size: Array[Int] = Array.fill(n)(1)
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    def union(a: Int, b: Int): Int = {
+      val ra = find(a); val rb = find(b)
+      if (ra == rb) ra
+      else {
+        val (hi, lo) = if (rank(ra) >= rank(rb)) (ra, rb) else (rb, ra)
+        parent(lo) = hi
+        if (rank(ra) == rank(rb)) rank(hi) += 1
+        size(hi) += size(lo)
+        hi
+      }
+    }
+  }
+
+  /** Felzenszwalb-Huttenlocher graph segmentation (M5,
+    * image_segmentation.py:28-30,142-146: scale=35, min_size=15).
+    * 8-connected pixel graph, edge weight = Euclidean feature distance,
+    * classic merge criterion w ≤ min(int(Ci)+scale/|Ci|), then a small-
+    * component absorption pass. Deterministic: edges sorted by (weight,
+    * source, target).
+    *
+    * Returns per-pixel component labels densely renumbered in row-major
+    * first-appearance order (stable across runs).
+    */
+  def felzenszwalb(
+      grid: Array[Array[Float]], h: Int, w: Int, channels: Int,
+      scale: Double = 35.0, minSize: Int = 15): Array[Int] = {
+    val n = h * w
+    def dist(a: Int, b: Int): Double = {
+      var s = 0.0; var ch = 0
+      while (ch < channels) { val d = grid(ch)(a) - grid(ch)(b); s += d * d; ch += 1 }
+      math.sqrt(s)
+    }
+    // 8-connectivity edges (right, down, down-right, down-left)
+    val edges = mutable.ArrayBuffer.empty[(Double, Int, Int)]
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val i = r * w + c
+        if (c + 1 < w) edges += ((dist(i, i + 1), i, i + 1))
+        if (r + 1 < h) {
+          edges += ((dist(i, i + w), i, i + w))
+          if (c + 1 < w) edges += ((dist(i, i + w + 1), i, i + w + 1))
+          if (c > 0) edges += ((dist(i, i + w - 1), i, i + w - 1))
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val sorted = edges.sortBy(e => (e._1, e._2, e._3))
+    val uf = new UnionFind(n)
+    val intDiff = new Array[Double](n) // internal difference per component root
+    for ((wgt, a, b) <- sorted) {
+      val ra = uf.find(a); val rb = uf.find(b)
+      if (ra != rb &&
+          wgt <= math.min(intDiff(ra) + scale / uf.size(ra), intDiff(rb) + scale / uf.size(rb))) {
+        val root = uf.union(ra, rb)
+        intDiff(root) = wgt
+      }
+    }
+    // absorb small components
+    for ((_, a, b) <- sorted) {
+      val ra = uf.find(a); val rb = uf.find(b)
+      if (ra != rb && (uf.size(ra) < minSize || uf.size(rb) < minSize)) uf.union(ra, rb)
+    }
+    // dense row-major renumber
+    val labelOf = mutable.HashMap.empty[Int, Int]
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = labelOf.getOrElseUpdate(uf.find(i), labelOf.size)
+      i += 1
+    }
+    out
+  }
+
+  // ---------- distributed operators ----------
+
+  /** Segment a pixel table. Input columns: global `rowCol`/`colCol` ints +
+    * `featureCols` floats. Output: (px_row, px_col, tile_x, tile_y, seg_id)
+    * with globally-unique, deterministic seg ids.
+    */
+  def segmentTiles(
+      df: DataFrame,
+      featureCols: Seq[String],
+      rowCol: String = "px_row",
+      colCol: String = "px_col",
+      tileH: Int = 4096,
+      tileW: Int = 4096,
+      pad: Int = 256,
+      scale: Double = 35.0,
+      minSize: Int = 15,
+      sigma: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nCh = featureCols.length
+
+    val haloed = Halo.withHalo(df, rowCol, colCol, tileH, tileW, pad)
+      .select(col("halo_tile_x"), col("halo_tile_y"), col("is_core"),
+        col(rowCol).as("r"), col(colCol).as("c"),
+        array(featureCols.map(col(_).cast("float")): _*).as("f"))
+      .as[(Int, Int, Boolean, Int, Int, Seq[Float])]
+
+    val local: Dataset[(Int, Int, Int, Int, Int)] = haloed
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, Int, Int, Seq[Float])]) =>
+        val (tx, ty) = key
+        val pix = rows.toArray
+        if (pix.isEmpty) Iterator.empty
+        else {
+          // local bounding box of the halo'd tile
+          val rMin = pix.iterator.map(_._4).min
+          val cMin = pix.iterator.map(_._5).min
+          val rMax = pix.iterator.map(_._4).max
+          val cMax = pix.iterator.map(_._5).max
+          val h = rMax - rMin + 1; val w = cMax - cMin + 1
+          val grid = Array.ofDim[Float](nCh, h * w)
+          val present = new Array[Boolean](h * w)
+          val core = new Array[Boolean](h * w)
+          pix.foreach { case (_, _, isCore, r, c, f) =>
+            val i = (r - rMin) * w + (c - cMin)
+            present(i) = true; core(i) = isCore
+            var ch = 0
+            while (ch < nCh) { grid(ch)(i) = f(ch); ch += 1 }
+          }
+          val smoothed = gaussianSmooth(grid, h, w, nCh, sigma)
+          val labels = felzenszwalb(smoothed, h, w, nCh, scale, minSize)
+          // keep core pixels, renumber labels in row-major core order
+          val remap = mutable.HashMap.empty[Int, Int]
+          val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int)]
+          var i = 0
+          while (i < h * w) {
+            if (present(i) && core(i)) {
+              val lbl = remap.getOrElseUpdate(labels(i), remap.size)
+              out += ((tx, ty, rMin + i / w, cMin + i % w, lbl))
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+
+    val labeled = local.toDF("tile_x", "tile_y", "px_row", "px_col", "local_id")
+
+    // W2 — running id offset over deterministic tile order. The per-tile
+    // count table is tiny (one row per tile): a single-partition window over
+    // it is safe at any scale, and the join back broadcasts.
+    val counts = labeled.groupBy("tile_x", "tile_y")
+      .agg((max("local_id") + 1).as("n_segs"))
+    val offsetWin = Window.orderBy("tile_y", "tile_x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("offset", sum("n_segs").over(offsetWin) - col("n_segs"))
+      .select("tile_x", "tile_y", "offset")
+
+    labeled
+      .join(broadcast(offsets), Seq("tile_x", "tile_y"))
+      .withColumn("seg_id", (col("local_id") + col("offset")).cast("long"))
+      .select("px_row", "px_col", "tile_x", "tile_y", "seg_id")
+  }
+
+  // ---------- polygonize (M7) ----------
+
+  /** Trace one 4-connected component's boundary into WKT rings.
+    * Cells are unit squares: cell (r,c) spans corners (c,r)-(c+1,r+1)
+    * (x=col, y=row). Directed edges keep the region on the left, so outer
+    * rings and holes get opposite orientations (rasterio.features.shapes
+    * semantics, image_segmentation.py:160-162).
+    */
+  private def traceRings(cells: Set[(Int, Int)]): Seq[Seq[(Int, Int)]] = {
+    // directed boundary edges start -> end
+    val edgesFrom = mutable.HashMap.empty[(Int, Int), mutable.ArrayBuffer[(Int, Int)]]
+    def addEdge(a: (Int, Int), b: (Int, Int)): Unit =
+      edgesFrom.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+    for ((r, c) <- cells) {
+      if (!cells((r - 1, c))) addEdge((c, r), (c + 1, r))         // top, →
+      if (!cells((r, c + 1))) addEdge((c + 1, r), (c + 1, r + 1)) // right, ↓
+      if (!cells((r + 1, c))) addEdge((c + 1, r + 1), (c, r + 1)) // bottom, ←
+      if (!cells((r, c - 1))) addEdge((c, r + 1), (c, r))         // left, ↑
+    }
+    val rings = mutable.ArrayBuffer.empty[Seq[(Int, Int)]]
+    // deterministic start: smallest corner first
+    while (edgesFrom.nonEmpty) {
+      val start = edgesFrom.keys.minBy(identity)
+      val ring = mutable.ArrayBuffer[(Int, Int)](start)
+      var prev = start
+      var cur = edgesFrom(start).remove(0)
+      if (edgesFrom(start).isEmpty) edgesFrom.remove(start)
+      while (cur != start) {
+        ring += cur
+        val outs = edgesFrom(cur)
+        // rightmost-turn rule for corners where two boundary strands touch:
+        // continue with the edge turning most clockwise from the incoming
+        // direction, which keeps rings simple and deterministic.
+        val dirIn = (cur._1 - prev._1, cur._2 - prev._2)
+        val next =
+          if (outs.length == 1) outs.remove(0)
+          else {
+            val pick = outs.minBy { nxt =>
+              val dirOut = (nxt._1 - cur._1, nxt._2 - cur._2)
+              // cross<0 = right turn (y down): prefer right turns
+              val cross = dirIn._1 * dirOut._2 - dirIn._2 * dirOut._1
+              -cross
+            }
+            outs -= pick
+            pick
+          }
+        if (outs.isEmpty) edgesFrom.remove(cur)
+        prev = cur
+        cur = next
+      }
+      ring += start
+      rings += ring.toSeq
+    }
+    rings.toSeq
+  }
+
+  private def shoelace(ring: Seq[(Int, Int)]): Long =
+    ring.sliding(2).map { case Seq(a, b) => a._1.toLong * b._2 - b._1.toLong * a._2 }.sum
+
+  private def ringWkt(ring: Seq[(Int, Int)]): String =
+    ring.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
+
+  /** M7 — polygonize a label table (px_row, px_col, seg_id) into one WKT
+    * polygon row per 4-connected region: (seg_id, part, wkt, n_cells).
+    * Generator-shaped: one tile of labels in, many polygon rows out.
+    */
+  def polygonize(labels: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    labels.select(col("seg_id").cast("long"), col("px_row").cast("int"), col("px_col").cast("int"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (segId, rows) =>
+        val cells = rows.map(t => (t._2, t._3)).toSet
+        // split into 4-connected parts (felz 8-connectivity can leave
+        // diagonal-only links; rasterio polygonizes 4-connected regions)
+        val seen = mutable.HashSet.empty[(Int, Int)]
+        val parts = mutable.ArrayBuffer.empty[Set[(Int, Int)]]
+        for (cell <- cells.toSeq.sorted if !seen(cell)) {
+          val comp = mutable.HashSet.empty[(Int, Int)]
+          val stack = mutable.ArrayDeque(cell)
+          while (stack.nonEmpty) {
+            val (r, c) = stack.removeLast()
+            if (!comp((r, c)) && cells((r, c))) {
+              comp += ((r, c))
+              stack += ((r + 1, c)) += ((r - 1, c)) += ((r, c + 1)) += ((r, c - 1))
+            }
+          }
+          seen ++= comp
+          parts += comp.toSet
+        }
+        parts.iterator.zipWithIndex.map { case (comp, idx) =>
+          val rings = traceRings(comp)
+          // outer ring = positive shoelace in y-down orientation; holes negative
+          val (outers, holes) = rings.partition(shoelace(_) > 0)
+          val outer = outers.head
+          val wkt = "POLYGON " +
+            (outer +: holes).map(ringWkt).mkString("(", ", ", ")")
+          (segId, idx, wkt, comp.size.toLong)
+        }
+      }
+      .toDF("seg_id", "part", "wkt", "n_cells")
+  }
+}

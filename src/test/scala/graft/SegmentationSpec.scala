@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.Segmentation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** M5-M7 invariants (SURVEY.md §5.3): felzenszwalb separates contrasting
+  * regions and respects min_size; halo'd tiling reproduces single-tile
+  * labels on tile interiors; polygonize emits closed rings covering the
+  * region (the rasterio.features.shapes analog).
+  */
+class SegmentationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 16×16 grid, left half value 0, right half value 100 → two segments. */
+  private def twoRegionGrid = (for { r <- 0 until 16; c <- 0 until 16 }
+    yield (r, c, if (c < 8) 0.0f else 100.0f)).toDF("px_row", "px_col", "B1")
+
+  test("felzenszwalb kernel separates contrasting halves, merges uniform area (M5)") {
+    val h = 8; val w = 8
+    val grid = Array(Array.tabulate(h * w)(i => if (i % w < 4) 0.0f else 50.0f))
+    val labels = Segmentation.felzenszwalb(grid, h, w, 1, scale = 10.0, minSize = 2)
+    val left = (0 until h).flatMap(r => (0 until 4).map(c => labels(r * w + c))).toSet
+    val right = (0 until h).flatMap(r => (4 until 8).map(c => labels(r * w + c))).toSet
+    assert(left.size == 1 && right.size == 1 && left != right)
+  }
+
+  test("felzenszwalb absorbs components below min_size (M5)") {
+    val h = 8; val w = 8
+    // single bright pixel in a flat field; min_size forces absorption
+    val grid = Array(Array.tabulate(h * w)(i => if (i == 27) 1000.0f else 0.0f))
+    val labels = Segmentation.felzenszwalb(grid, h, w, 1, scale = 1.0, minSize = 4)
+    assert(labels.toSet.size == 1)
+  }
+
+  test("gaussian smoothing preserves constant fields and reduces contrast (M6)") {
+    val h = 8; val w = 8
+    val flat = Array(Array.fill(h * w)(7.0f))
+    val sm = Segmentation.gaussianSmooth(flat, h, w, 1)
+    assert(sm(0).forall(v => math.abs(v - 7.0f) < 1e-4))
+    val step = Array(Array.tabulate(h * w)(i => if (i % w < 4) 0.0f else 100.0f))
+    val sms = Segmentation.gaussianSmooth(step, h, w, 1)
+    val boundary = sms(0)(3) // near the step
+    assert(boundary > 0.0f && boundary < 100.0f)
+  }
+
+  test("segmentTiles: tiled+halo labels partition pixels identically to one tile (W1+M5)") {
+    val df = twoRegionGrid
+    def partitionOf(tileSize: Int): Map[Set[(Int, Int)], Int] = {
+      val out = Segmentation
+        .segmentTiles(df, Seq("B1"), tileH = tileSize, tileW = tileSize,
+          pad = math.min(4, tileSize - 1), scale = 10.0, minSize = 2, sigma = 0.0)
+        .select("px_row", "px_col", "seg_id")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      out.groupBy(_._2).map { case (_, xs) => xs.map(_._1).toSet -> xs.length }
+    }
+    val single = partitionOf(16) // one tile covers everything
+    // the two contrast regions are cleanly separated in the single-tile case
+    assert(single.size == 2)
+    val tiled = partitionOf(8) // 2×2 tiles with 4px halo
+    // every pixel labeled exactly once
+    assert(tiled.values.sum == 256 && single.values.sum == 256)
+    // with a contrast boundary aligned to the region edge, tiles agree on it:
+    // each tiled segment must be wholly inside one single-tile segment
+    val singleSets = single.keys.toSeq
+    tiled.keys.foreach { ts =>
+      assert(singleSets.exists(ss => ts.subsetOf(ss)),
+        s"tiled segment crosses a single-tile boundary: $ts")
+    }
+  }
+
+  test("segmentTiles ids are globally unique and deterministic (W2)") {
+    val df = twoRegionGrid
+    def run() = Segmentation
+      .segmentTiles(df, Seq("B1"), tileH = 8, tileW = 8, pad = 2, scale = 10.0, minSize = 2)
+      .select("px_row", "px_col", "seg_id")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).sortBy(_._1).toSeq
+    val a = run(); val b = run()
+    assert(a == b) // deterministic across runs
+    val perTile = Segmentation
+      .segmentTiles(df, Seq("B1"), tileH = 8, tileW = 8, pad = 2, scale = 10.0, minSize = 2)
+      .groupBy("tile_x", "tile_y").agg(collect_set("seg_id").as("ids"))
+      .collect().map(_.getAs[Seq[Long]]("ids").toSet)
+    // no id is shared between different tiles
+    perTile.toSeq.combinations(2).foreach { pair =>
+      assert(pair(0).intersect(pair(1)).isEmpty)
+    }
+  }
+
+  test("polygonize emits closed WKT rings with correct cell counts (M7)") {
+    // 3×3 square with center hole, plus a separate 1×2 bar
+    val cells = Seq(
+      (0, 0), (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1), (2, 2), // ring, label 7
+      (5, 5), (5, 6)                                                   // bar, label 9
+    )
+    val df = cells.map { case (r, c) => (r, c, if (r < 4) 7L else 9L) }
+      .toDF("px_row", "px_col", "seg_id")
+    val out = Segmentation.polygonize(df).orderBy("seg_id", "part").collect()
+    assert(out.length == 2)
+    val ringPoly = out(0)
+    assert(ringPoly.getAs[Long]("seg_id") == 7L)
+    assert(ringPoly.getAs[Long]("n_cells") == 8L)
+    val wkt = ringPoly.getAs[String]("wkt")
+    assert(wkt.startsWith("POLYGON ((0 0, ") || wkt.startsWith("POLYGON ("))
+    // ring region has exactly one hole → two rings in the WKT
+    assert(wkt.count(_ == '(') == 3) // POLYGON ( outer ( , hole ( )
+    val bar = out(1)
+    assert(bar.getAs[Long]("seg_id") == 9L && bar.getAs[Long]("n_cells") == 2L)
+    assert(bar.getAs[String]("wkt").count(_ == '(') == 2) // no holes
+  }
+
+  test("polygonize splits diagonal-only regions into parts (M7 4-connectivity)") {
+    val df = Seq((0, 0, 1L), (1, 1, 1L)).toDF("px_row", "px_col", "seg_id")
+    val out = Segmentation.polygonize(df).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Int]("part")).toSet == Set(0, 1))
+  }
+}
