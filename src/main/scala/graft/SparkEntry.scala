@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ScalarOps, TextOps, VectorOps}
-import graft.operators.{Composite, Dedup, Similarity}
+import graft.operators.{Composite, Dedup, MlOps, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -418,6 +418,22 @@ object SparkEntry {
       .orderBy("seg_id")
   }
 
+  /** M1/M2 — RF train + batch inference over lineitem-derived labels
+    * (no SQL analog → rows-only driver check; MlOpsSpec covers semantics).
+    * Deterministic: seeded RF, arithmetic train/apply split.
+    */
+  private def m1(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val train = li.filter(col("l_orderkey") % 20 === 0)
+      .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+    val model = MlOps.trainRf(train, feats, "label", numTrees = 20, maxDepth = 8)
+    MlOps.classify(model, li)
+      .groupBy("pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred_label")
+  }
+
   private def st1(s: SparkSession, d: String) =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -484,6 +500,7 @@ object SparkEntry {
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
+    "m1_rf_classify" -> (m1 _),
     "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
     "mm1_binary_meta" -> (mm1 _)

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.ScalarOps
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML-shaped operators (SURVEY.md §2.6 M1-M4, J2, J4).
+  *
+  * The reference trains/loads sklearn RandomForests (100 trees, depth 20,
+  * seed 42 — object_classifier.py:121-124) and runs them three ways:
+  *   - batch inference with probability → argmax label + confidence
+  *     (pixel_classifier_stream.py:144-151) → M1
+  *   - one model per null-pattern combo, rows routed to their combo's model
+  *     (pixel_classifier_stream.py:96-136) → J4 dispatch
+  *   - dual main/backup model with lookup-first fallback
+  *     (object_classifier.py:133-177) → J2
+  *
+  * Spark-first: Spark ML Pipelines (VectorAssembler + RandomForestClassifier).
+  * Inference is a model transform — executors apply the broadcast model
+  * per partition; no driver loops, no collect. Per-combo dispatch filters
+  * the frame per combo (a handful of passes over a cached projection, the
+  * Spark analog of the reference's 15-model batches) and unions results —
+  * each pass is a pure map, so AQE fuses scans and nothing shuffles.
+  */
+object MlOps {
+
+  val DefaultTrees = 100
+  val DefaultDepth = 20
+  val DefaultSeed = 42L
+
+  /** M2/M4 — assemble features and train an RF (reference hyperparams). */
+  def trainRf(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      numTrees: Int = DefaultTrees,
+      maxDepth: Int = DefaultDepth,
+      seed: Long = DefaultSeed): PipelineModel = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .setHandleInvalid("keep")
+    val rf = new RandomForestClassifier()
+      .setFeaturesCol("features").setLabelCol(labelCol)
+      .setNumTrees(numTrees).setMaxDepth(math.min(maxDepth, 30)).setSeed(seed)
+      .setProbabilityCol("probability")
+    new Pipeline().setStages(Array(assembler, rf)).fit(df)
+  }
+
+  /** M3 — the reference's training-set filter: labels in (0, maxLabel],
+    * NULL features imputed to 0 (object_classifier.py:109-111).
+    */
+  def trainingFilter(df: DataFrame, labelCol: String, featureCols: Seq[String],
+      maxLabel: Int = 255): DataFrame =
+    df.filter(col(labelCol) > 0 && col(labelCol) <= maxLabel)
+      .na.fill(0.0, featureCols)
+
+  /** M1 — batch inference: adds pred_label (int) and confidence (max class
+    * probability), the argmax+conf pair of pixel_classifier_stream.py:144-151.
+    */
+  def classify(model: PipelineModel, df: DataFrame,
+      predCol: String = "pred_label", confCol: String = "confidence"): DataFrame =
+    model.transform(df)
+      .withColumn(predCol, col("prediction").cast("int"))
+      .withColumn(confCol, array_max(vector_to_array(col("probability"))))
+      .drop("features", "rawPrediction", "probability", "prediction")
+
+  /** M1+P8 — inference followed by the reference's rule rewrites
+    * (solar-confidence and shadow reclassification).
+    */
+  def classifyWithRules(model: PipelineModel, df: DataFrame): DataFrame = {
+    val out = classify(model, df)
+    out.withColumn("pred_label",
+      ScalarOps.ruleRewrite(col("pred_label"), col("confidence")))
+  }
+
+  /** J4 — per-combo model dispatch. Trains one model per distinct non-null
+    * pattern over `bandCols` and routes each row to its combo's model
+    * (imputing only the combo's present bands). Returns the union of
+    * per-combo classified frames.
+    *
+    * Scale shape: K (small) filtered passes over a cached projection; each
+    * pass is map-only. Mirrors pixel_classifier_stream.py:96-136 without the
+    * in-place output merge — batches partition the combo key space so each
+    * row is labeled exactly once (SURVEY.md §7 hard part e).
+    */
+  def dispatchByCombo(
+      train: DataFrame,
+      apply: DataFrame,
+      bandCols: Seq[String],
+      labelCol: String,
+      seed: Long = DefaultSeed): DataFrame = {
+    val comboOf = ScalarOps.comboKey(bandCols.map(b => b -> col(b)))
+    val trainK = train.withColumn("combo", comboOf)
+    val applyK = apply.withColumn("combo", comboOf).cache()
+    try {
+      val combos = applyK.select("combo").distinct().collect().map(_.getString(0))
+        .filter(_.nonEmpty).sorted
+      val parts = combos.flatMap { combo =>
+        val bands = combo.split("_").toSeq
+        val trainPart = trainK.filter(col("combo") === combo)
+        if (trainPart.isEmpty) None
+        else {
+          val model = trainRf(trainPart.na.fill(0.0, bands), bands, labelCol, seed = seed)
+          Some(classify(model, applyK.filter(col("combo") === combo).na.fill(0.0, bands)))
+        }
+      }
+      parts.reduceOption(_ unionByName _)
+        .getOrElse(classify(trainRf(trainK.na.fill(0.0, bandCols), bandCols, labelCol), applyK.limit(0)))
+    } finally applyK.unpersist()
+  }
+
+  /** J2 — dual-model fallback: prefer the precomputed lookup prediction
+    * (broadcast join on `keyCol`), fall back to the backup model's inference
+    * for misses, then 0 (object_classifier.py:167-177 + README.md:17).
+    */
+  def withFallback(
+      df: DataFrame,
+      lookup: DataFrame, // (keyCol, main_pred)
+      backup: PipelineModel,
+      keyCol: String): DataFrame = {
+    val scored = classify(backup, df, predCol = "backup_pred", confCol = "backup_conf")
+    scored
+      .join(broadcast(lookup), Seq(keyCol), "left")
+      .withColumn("final_pred",
+        coalesce(col("main_pred"), col("backup_pred"), lit(0)).cast("int"))
+      .drop("backup_conf")
+  }
+}

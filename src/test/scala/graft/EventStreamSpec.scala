@@ -1,0 +1,83 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming results must converge to the batch answers (the J7 invariant:
+  * per-batch merge ≡ one-shot aggregate — SURVEY.md §7 hard part e).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Stage the events table as a multi-file stream source (3 parquet files
+    * → 3 micro-batches with maxFilesPerTrigger=1).
+    */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf)
+      .repartition(3, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling agg converges to the batch st1 answer") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    // unordered micro-batches: widen the watermark past the data span so
+    // the convergence check sees every row (lateness-drop is separate)
+    val got = EventStream.runToCompletion(
+      EventStream.tumblingAgg(stream, watermark = "400 days"), "t_tumbling")
+      // Update mode emits refinements; keep the last emit per key
+      .groupBy("window_start", "event_type")
+      .agg(max(struct(col("n"), col("sum_val"))).as("m"))
+      .select(col("window_start"), col("event_type"), col("m.n").as("n"), col("m.sum_val").as("sum_val"))
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+    assert(got.count() == batch.count())
+    val joined = got.join(batch, Seq("window_start", "event_type"))
+    assert(joined.count() == batch.count())
+    // counts all agree (sum compare needs tolerance; count is exact)
+    val gotN = got.orderBy("window_start", "event_type").select("n").as[Long].collect().toSeq
+    val batchN = batch.orderBy("window_start", "event_type").select("n").as[Long].collect().toSeq
+    assert(gotN == batchN)
+  }
+
+  test("stateful latestPerUser matches the batch max_by merge (J7)") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToCompletion(
+      EventStream.latestPerUser(stream).toDF("user_id", "ts", "value"), "t_latest")
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.value").as("last_val"))
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.value").as("last_val"))
+    val g = got.orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = batch.orderBy("user_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // ts ties can resolve differently (no event_id in the stream state) —
+    // compare user sets exactly and values on tie-free users
+    assert(g.map(_._1) == b.map(_._1))
+    val tied = Tables.events(spark, sf).groupBy("user_id", "ts").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("user_id").distinct().as[Long].collect().toSet
+    g.zip(b).foreach { case ((u, gv), (_, bv)) =>
+      if (!tied(u)) assert(gv == bv, s"user $u: stream=$gv batch=$bv")
+    }
+  }
+
+  test("sliding windows emit one row per covering window") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    val got = EventStream.runToCompletion(
+      EventStream.slidingAgg(stream, watermark = "400 days"), "t_sliding")
+    // every event lies in 12 sliding windows (1h window, 5min slide)
+    assert(got.count() > 0)
+    val n = got.groupBy("window_start", "event_type")
+      .agg(max("n").as("n")).agg(sum("n")).as[Long].head()
+    val events = Tables.events(spark, sf).count()
+    assert(n == events * 12)
+  }
+}
