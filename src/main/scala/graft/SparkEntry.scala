@@ -518,7 +518,7 @@ object SparkEntry {
       .mkString("(", " + ", ")")
 
   private def sqlMinhash(j: Int): String =
-    s"CAST(list_min(list_transform(shingles, sh -> ${sqlHexVal(s"md5(concat('$j|', sh))", 6)})) AS BIGINT)"
+    s"CAST(list_min(list_transform(list_transform(shingles, sh -> md5(concat('$j|', sh))), h -> ${sqlHexVal("h", 6)})) AS BIGINT)"
 
   private val sqlShingleCte =
     """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
@@ -697,7 +697,7 @@ object SparkEntry {
          |SELECT doc_id, lang_guess, lang AS lang_true, (lang_guess = lang) AS hit FROM g ORDER BY doc_id""".stripMargin,
     "e6_simhash" ->
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(toks, tk -> ${sqlHexVal("md5(tk)", 4)}) AS hs FROM t)
+         |h AS (SELECT doc_id, list_transform(list_transform(toks, tk -> md5(tk)), m -> ${sqlHexVal("m", 4)}) AS hs FROM t)
          |SELECT doc_id, CAST(${(0 until 16).map(j =>
               s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
               .mkString(" + ")} AS BIGINT) AS simhash

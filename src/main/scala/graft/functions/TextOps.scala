@@ -36,17 +36,14 @@ object TextOps {
 
   // ---- md5-derived integer hashing (oracle-portable) ----
 
-  /** Value of one lowercase-hex digit via its codepoint: '0'-'9' → 0-9,
-    * 'a'-'f' → 10-15. `ascii` exists identically in Spark and DuckDB.
+  /** Integer value of the first `k` hex chars of `h` (k ≤ 15 for Long).
+    * Single `conv` node — the equivalent per-digit ascii arithmetic (which
+    * the DuckDB oracle uses, lacking conv) expands to ~4k codegen nodes per
+    * digit and bloated generated classes enough to thrash the codegen cache
+    * in multi-query sessions.
     */
-  private def hexDigit(c: Column): Column =
-    ascii(c) - lit(48) - when(ascii(c) >= lit(97), lit(39)).otherwise(lit(0))
-
-  /** Integer value of the first `k` hex chars of `h` (k ≤ 15 for Long). */
   def hexVal(h: Column, k: Int): Column =
-    (1 to k)
-      .map(i => hexDigit(substring(h, i, 1)).cast("long") * lit(math.pow(16, (k - i).toDouble).toLong))
-      .reduce(_ + _)
+    conv(substring(h, 1, k), 16, 10).cast("long")
 
   /** Seeded 24-bit hash H_seed(s) = int(md5(seed || '|' || s)[0:6], 16).
     * The seed family gives the independent hash functions MinHash needs
@@ -66,9 +63,18 @@ object TextOps {
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** One MinHash signature component: min over shingles of H_seed. */
+  /** One MinHash signature component: min over shingles of H_seed.
+    * The inner transform materializes each md5 ONCE as a lambda-bound
+    * string before digit extraction — hexVal references its argument 6
+    * times, and HOF lambdas get no common-subexpression elimination, so
+    * inlining md5 there would recompute it per digit (6× the cost; this
+    * dominated the first bench run).
+    */
   def minhashComponent(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, sh => seededHash(sh, seed)))
+    array_min(
+      transform(
+        transform(shingleArr, sh => md5(concat(lit(seed.toString), lit("|"), sh))),
+        h => hexVal(h, 6)))
 
   /** Full MinHash signature as named columns m0..m{n-1}. */
   def minhashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Seq[Column] = {
@@ -82,7 +88,8 @@ object TextOps {
     */
   def simhash16(text: Column): Column = {
     val toks = array_distinct(tokens(text))
-    val hashes = transform(toks, t => hexVal(md5(t), 4))
+    // bind md5 once per token (see minhashComponent note)
+    val hashes = transform(transform(toks, t => md5(t)), h => hexVal(h, 4))
     (0 until 16)
       .map { j =>
         val votes = aggregate(

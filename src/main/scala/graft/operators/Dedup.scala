@@ -38,6 +38,16 @@ object Dedup {
       .groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Spread a small-partition-count input across the cluster before a
+    * CPU-heavy per-row map. A single parquet file scans as one partition,
+    * which would serialize the signature hashing onto one core; inputs that
+    * are already well-partitioned (the 100 TB case) pass through untouched.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** MinHash signature table: idCol, m0..m{numHashes-1}. */
   def minhashSignatures(
       docs: DataFrame,
@@ -45,7 +55,7 @@ object Dedup {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol) +: TextOps.minhashSignature(col(textCol), numHashes, shingleK): _*)
+    spread(docs).select(col(idCol) +: TextOps.minhashSignature(col(textCol), numHashes, shingleK): _*)
 
   /** LSH candidate pairs: docs sharing at least one band bucket.
     * Bands of `rowsPerBand` signature components are hashed to a bucket key;
