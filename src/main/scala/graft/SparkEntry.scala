@@ -418,6 +418,30 @@ object SparkEntry {
       .orderBy("seg_id")
   }
 
+  /** Stage-0 pipeline — feature stack over a deterministic synthetic scene
+    * table (3 scenes × 32×32 px): normalize → indices → monthly median +
+    * winter argmax composites → band-concat (rows-only driver check;
+    * StagesSpec holds the golden e2e).
+    */
+  private def pipe0(s: SparkSession, d: String) = {
+    val scenes = s.range(0, 3L * 32 * 32).select(
+      (col("id") / (32 * 32) + 1).cast("long").as("scene_id"),
+      when(col("id") / (32 * 32) < 2, lit(6)).otherwise(lit(12)).as("month"),
+      ((col("id") % (32 * 32)) / 32).cast("int").as("px_row"),
+      (col("id") % 32).cast("int").as("px_col"))
+      .withColumn("B4", lit(30.0f))
+      .withColumn("B6", when(col("px_col") < 16, lit(10.0f)).otherwise(lit(50.0f)))
+      .withColumn("B8",
+        when(col("px_row") === 0 && col("px_col") === 0 && col("scene_id") === 2, lit(-9999.0f))
+          .otherwise(when(col("px_col") < 16, lit(100.0f) + col("scene_id")).otherwise(lit(10.0f) + col("scene_id"))))
+      .withColumn("udm2_clear", !(col("px_row") === 31 && col("px_col") === 31 && col("scene_id") === 1))
+    pipeline.Stages
+      .featureStack(scenes, Seq("B4", "B6", "B8"), monthlyMonths = Seq(6), winterMonths = Seq(12))
+      .select(col("px_row"), col("px_col"),
+        round(col("ndvi_m6"), 6).as("ndvi_m6"), col("win_B8"))
+      .orderBy("px_row", "px_col")
+  }
+
   /** M1/M2 — RF train + batch inference over lineitem-derived labels
     * (no SQL analog → rows-only driver check; MlOpsSpec covers semantics).
     * Deterministic: seeded RF, arithmetic train/apply split.
@@ -500,6 +524,7 @@ object SparkEntry {
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
+    "pipe0_feature_stack" -> (pipe0 _),
     "m1_rf_classify" -> (m1 _),
     "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
