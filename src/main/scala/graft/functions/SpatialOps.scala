@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spatial expression catalog (SURVEY.md §2.4 J6, §4 custom item 3).
+  *
+  * The reference's spatial machinery is the affine grid transform carried by
+  * every raster (feature_stacking.py:79-84,308-311) plus implied
+  * point-in-pixel joins for training samples (pixel_classifier_stream.py:26)
+  * and the bbox reasoning of tiled reads. Re-expressed relationally:
+  *   - world↔pixel affine mapping as Column arithmetic (north-up grids:
+  *     x = originX + col·pxW, y = originY − row·pxH)
+  *   - bbox envelopes as (xmin,ymin,xmax,ymax) structs with
+  *     intersects/contains predicates — the GeoParquet-style pruning column
+  *   - point-in-cell spatial join = derive (row,col) keys then EQUI-join:
+  *     a shuffle join on integers, never a cross-join — the scale-correct
+  *     shape for "N billion points into a grid".
+  */
+object SpatialOps {
+
+  /** World x → pixel column under a north-up affine grid. */
+  def pixelColOf(x: Column, originX: Column, pxW: Column): Column =
+    floor((x - originX) / pxW).cast("int")
+
+  /** World y → pixel row (y decreases downward from origin). */
+  def pixelRowOf(y: Column, originY: Column, pxH: Column): Column =
+    floor((originY - y) / pxH).cast("int")
+
+  /** Pixel center in world coordinates. */
+  def cellCenterX(c: Column, originX: Column, pxW: Column): Column =
+    originX + (c.cast("double") + 0.5) * pxW
+  def cellCenterY(r: Column, originY: Column, pxH: Column): Column =
+    originY - (r.cast("double") + 0.5) * pxH
+
+  /** Envelope struct (xmin, ymin, xmax, ymax). */
+  def bbox(xmin: Column, ymin: Column, xmax: Column, ymax: Column): Column =
+    struct(xmin.cast("double").as("xmin"), ymin.cast("double").as("ymin"),
+      xmax.cast("double").as("xmax"), ymax.cast("double").as("ymax"))
+
+  def bboxIntersects(a: Column, b: Column): Column =
+    a.getField("xmin") <= b.getField("xmax") && b.getField("xmin") <= a.getField("xmax") &&
+      a.getField("ymin") <= b.getField("ymax") && b.getField("ymin") <= a.getField("ymax")
+
+  def bboxContainsPoint(b: Column, x: Column, y: Column): Column =
+    x >= b.getField("xmin") && x <= b.getField("xmax") &&
+      y >= b.getField("ymin") && y <= b.getField("ymax")
+
+  /** Envelope of a WKT polygon (as produced by Segmentation.polygonize):
+    * min/max over the coordinate stream — gives polygon tables a pruning
+    * column without a geometry library.
+    */
+  def wktEnvelope(wkt: Column): Column = {
+    val nums = transform(
+      filter(split(regexp_replace(wkt, "[A-Z()]+", ""), "\\s*,\\s*"), s => s =!= ""),
+      p => struct(
+        split(trim(p), " ").getItem(0).cast("double").as("x"),
+        split(trim(p), " ").getItem(1).cast("double").as("y")))
+    bbox(
+      array_min(transform(nums, _.getField("x"))),
+      array_min(transform(nums, _.getField("y"))),
+      array_max(transform(nums, _.getField("x"))),
+      array_max(transform(nums, _.getField("y"))))
+  }
+
+  /** J6 — point-in-pixel spatial join: derive integer cell keys on the
+    * point side, then equi-join against the pixel table. Broadcast-free,
+    * shuffle-on-ints; Catalyst can still broadcast the small side.
+    */
+  def joinPointsToGrid(
+      points: org.apache.spark.sql.DataFrame,
+      grid: org.apache.spark.sql.DataFrame,
+      xCol: String, yCol: String,
+      originX: Double, originY: Double, pxW: Double, pxH: Double,
+      rowCol: String = "px_row", colCol: String = "px_col"): org.apache.spark.sql.DataFrame = {
+    val keyed = points
+      .withColumn(rowCol, pixelRowOf(col(yCol), lit(originY), lit(pxH)))
+      .withColumn(colCol, pixelColOf(col(xCol), lit(originX), lit(pxW)))
+    keyed.join(grid, Seq(rowCol, colCol))
+  }
+}

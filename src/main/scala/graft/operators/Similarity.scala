@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorOps
+import graft.functions.{CosineSimExpr, VectorOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,7 +26,7 @@ object Similarity {
       pairs: DataFrame,
       qVec: String = "q_emb",
       cVec: String = "c_emb"): DataFrame =
-    pairs.withColumn("score", VectorOps.cosine(col(qVec), col(cVec)))
+    pairs.withColumn("score", CosineSimExpr.cosineSim(col(qVec), col(cVec)))
 
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(
@@ -39,7 +39,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", VectorOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -64,7 +64,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", VectorOps.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{CosineSimExpr, SpatialOps, VectorOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("affine world<->pixel mapping round-trips cell centers (J6)") {
+    // origin (1000, 2000), 10m pixels
+    val df = Seq((0, 0), (3, 7), (99, 42)).toDF("r", "c")
+    val out = df.select(
+      SpatialOps.cellCenterX($"c", lit(1000.0), lit(10.0)).as("x"),
+      SpatialOps.cellCenterY($"r", lit(2000.0), lit(10.0)).as("y"),
+      $"r", $"c")
+      .withColumn("r2", SpatialOps.pixelRowOf($"y", lit(2000.0), lit(10.0)))
+      .withColumn("c2", SpatialOps.pixelColOf($"x", lit(1000.0), lit(10.0)))
+    assert(out.filter($"r" =!= $"r2" || $"c" =!= $"c2").count() == 0)
+  }
+
+  test("bbox intersects/contains predicates (J6)") {
+    val a = SpatialOps.bbox(lit(0), lit(0), lit(10), lit(10))
+    val cases = Seq(
+      (5.0, 5.0, 15.0, 15.0, true),   // overlap
+      (10.0, 10.0, 20.0, 20.0, true), // touch at corner
+      (11.0, 0.0, 20.0, 10.0, false)  // disjoint in x
+    ).toDF("xmin", "ymin", "xmax", "ymax", "expect")
+    val got = cases.withColumn("got",
+      SpatialOps.bboxIntersects(a, SpatialOps.bbox($"xmin", $"ymin", $"xmax", $"ymax")))
+    assert(got.filter($"got" =!= $"expect").count() == 0)
+    val pts = Seq((5.0, 5.0, true), (10.0, 10.0, true), (10.1, 5.0, false)).toDF("x", "y", "e")
+    assert(pts.withColumn("g", SpatialOps.bboxContainsPoint(a, $"x", $"y"))
+      .filter($"g" =!= $"e").count() == 0)
+  }
+
+  test("wktEnvelope extracts the coordinate envelope from polygonize WKT") {
+    val df = Seq("POLYGON ((0 0, 3 0, 3 2, 0 2, 0 0))").toDF("wkt")
+    val env = df.select(SpatialOps.wktEnvelope($"wkt").as("e")).select("e.*").collect()(0)
+    assert(env.getDouble(0) == 0.0 && env.getDouble(1) == 0.0)
+    assert(env.getDouble(2) == 3.0 && env.getDouble(3) == 2.0)
+  }
+
+  test("joinPointsToGrid lands points in their cells via equi-join (J6)") {
+    val grid = (for { r <- 0 until 4; c <- 0 until 4 } yield (r, c, r * 4 + c))
+      .toDF("px_row", "px_col", "cell_val")
+    // 10m cells, origin (0, 40): point (15, 35) → col 1, row 0
+    val pts = Seq((15.0, 35.0, "a"), (39.9, 0.1, "b")).toDF("x", "y", "name")
+    val out = SpatialOps.joinPointsToGrid(pts, grid, "x", "y", 0.0, 40.0, 10.0, 10.0)
+      .select("name", "px_row", "px_col").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out("a") == (0, 1))
+    assert(out("b") == (3, 3))
+  }
+
+  test("CosineSimExpr matches the HOF cosine bit-for-bit and handles zero norms") {
+    val vecs = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (Array(1.5f, -2.5f, 0.5f), Array(-1.0f, 0.25f, 8.0f))
+    ).toDF("a", "b")
+    val out = vecs.select(
+      CosineSimExpr.cosineSim($"a", $"b").as("fused"),
+      VectorOps.cosine($"a", $"b").as("hof")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getDouble(0) == r.getDouble(1)) // exact: same fold order
+    }
+    assert(out(1).isNullAt(0)) // zero norm → NULL
+  }
+}
