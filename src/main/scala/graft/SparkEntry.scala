@@ -471,6 +471,26 @@ object SparkEntry {
         md5(col("text")).as("content_md5"))
       .orderBy("doc_id")
 
+  /** MM2 — multimodal decode plumbing over binary payloads: documents.text
+    * as bytes → partition-mapped stub decode → typed metadata + frame
+    * sampling. The stub's md5 derivation is SQL-expressible, so the oracle
+    * verifies the whole distributed path, not just row counts.
+    */
+  private def mm2(s: SparkSession, d: String) = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes"),
+        lit("img").as("format"))
+    val decoded = operators.MultimodalOps.withDecodedMeta(media)
+    val frames = operators.MultimodalOps.sampleFrames(decoded, stride = 4)
+      .groupBy("media_id").agg(count(lit(1)).as("n_sampled"))
+    decoded
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.channels").as("channels"),
+        col("meta.n_frames").as("n_frames"))
+      .join(frames, Seq("media_id"))
+      .orderBy("media_id")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -528,7 +548,8 @@ object SparkEntry {
     "m1_rf_classify" -> (m1 _),
     "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
-    "mm1_binary_meta" -> (mm1 _)
+    "mm1_binary_meta" -> (mm1 _),
+    "mm2_decode_meta" -> (mm2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -732,6 +753,15 @@ object SparkEntry {
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
     "mm1_binary_meta" ->
-      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+    "mm2_decode_meta" ->
+      s"""WITH t AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+         |SELECT media_id,
+         |  CAST(16 + ${sqlHexVal("substr(h,1,4)", 4)} % 2048 AS INTEGER) AS width,
+         |  CAST(16 + ${sqlHexVal("substr(h,5,4)", 4)} % 2048 AS INTEGER) AS height,
+         |  CAST(1 + ${sqlHexVal("substr(h,9,1)", 1)} % 4 AS INTEGER) AS channels,
+         |  CAST(1 + ${sqlHexVal("substr(h,10,3)", 3)} % 240 AS INTEGER) AS n_frames,
+         |  CAST((${sqlHexVal("substr(h,10,3)", 3)} % 240) // 4 + 1 AS BIGINT) AS n_sampled
+         |FROM t ORDER BY media_id""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{MultimodalOps, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Seq(
+    (1L, "payload-one", "img"),
+    (2L, "payload-two", "img"),
+    (3L, "payload-one", "img") // identical bytes to 1
+  ).toDF("media_id", "payload", "format")
+    .withColumn("bytes", col("payload").cast("binary"))
+    .drop("payload")
+
+  test("withDecodedMeta attaches deterministic typed metadata (decode plumbing)") {
+    val out = MultimodalOps.withDecodedMeta(media).select("media_id", "meta.*")
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    // identical bytes → identical meta; different bytes → (a.s.) different
+    assert(rows(0).toSeq.tail == rows(2).toSeq.tail)
+    assert(rows(0).getInt(1) != rows(1).getInt(1) || rows(0).getInt(2) != rows(1).getInt(2))
+    // schema contract
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 16 && r.getInt(1) < 16 + 2048) // width
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4)         // channels
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 240)       // n_frames
+      assert(r.getString(5) == "img")
+    }
+  }
+
+  test("withResizedMeta preserves aspect ratio and caps the long side") {
+    val out = MultimodalOps.withResizedMeta(MultimodalOps.withDecodedMeta(media), maxSide = 64)
+      .select("meta.width", "meta.height", "resized_meta.width", "resized_meta.height")
+    out.collect().foreach { r =>
+      val (w, h, rw, rh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(rw, rh) <= 64)
+      // aspect preserved within integer truncation
+      if (w >= h) assert(math.abs(rh.toDouble / rw - h.toDouble / w) < 0.1)
+    }
+  }
+
+  test("sampleFrames explodes every stride-th frame (generator shape)") {
+    val decoded = MultimodalOps.withDecodedMeta(media)
+    val frames = MultimodalOps.sampleFrames(decoded, stride = 4)
+    val counts = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nFrames = decoded.select("media_id", "meta.n_frames")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    nFrames.foreach { case (id, n) =>
+      assert(counts(id) == (n - 1) / 4 + 1, s"media $id: $n frames")
+    }
+    // frame indices are the arithmetic sequence
+    val idx1 = frames.filter(col("media_id") === 1).select("frame_idx")
+      .as[Int].collect().sorted
+    assert(idx1.toSeq == (0 until nFrames(1L) by 4).toSeq)
+  }
+
+  test("withEmbedding feeds Similarity: identical payloads are nearest neighbors") {
+    val emb = MultimodalOps.withEmbedding(media, dim = 8)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 1), emb, k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 3L) // identical bytes → cosine 1
+    assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+}
