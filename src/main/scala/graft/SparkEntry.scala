@@ -375,6 +375,11 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def e8(s: SparkSession, d: String) =
+    Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("a", "b")
+
   private def e4(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -541,6 +546,7 @@ object SparkEntry {
     "e2_minhash_sig" -> (e2 _),
     "e2b_lsh_pairs" -> (e2b _),
     "e3_cosine_topk" -> (e3 _),
+    "e8_embedding_neardup" -> (e8 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
@@ -725,6 +731,12 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e8_embedding_neardup" ->
+      s"""WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ${sqlDot("a.embedding", "b.embedding")} /
+         |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT a, b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY a, b""".stripMargin,
     "e4_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -120,6 +120,36 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Embedding-cosine near-dup pairs: vectors whose cosine similarity
+    * meets `threshold`. Candidates come from the random-hyperplane LSH
+    * buckets (same-bucket pairs only), scored with the fused cosine
+    * expression — the O(N²)-free scale path; pass `bits = 0` to force the
+    * exact all-pairs variant on small inputs.
+    */
+  def embeddingNearDupPairs(
+      vecs: DataFrame,
+      threshold: Double,
+      bits: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val joined =
+      if (bits <= 0) a.join(b, col("a") < col("b"))
+      else {
+        val bucket = (v: org.apache.spark.sql.Column) =>
+          graft.functions.VectorOps.rhpBucket(v, bits, dim)
+        a.withColumn("bucket", bucket(col("va")))
+          .join(b.withColumn("bucket", bucket(col("vb"))), Seq("bucket"))
+          .filter(col("a") < col("b"))
+      }
+    joined
+      .withColumn("cos", graft.functions.CosineSimExpr.cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+
   /** SimHash near-dup groups: docs with identical 16-bit simhash. */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs

@@ -45,6 +45,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!v.contains((1L, 5L)))  // below threshold (filtered)
   }
 
+  test("embeddingNearDupPairs: exact pairs above threshold; LSH returns a subset (E2/E8)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.05f, 0.0f)), // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9, bits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = Dedup.embeddingNearDupPairs(vecs, threshold = 0.9, bits = 2, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
   test("simhash groups identical docs together (E6)") {
     val g = Dedup.simhashGroups(docs)
     val dupGroup = g.filter(col("n_dups") >= 2).collect()
