@@ -1,0 +1,23 @@
+package graft
+
+/** Plan auditor: prints formatted physical plans for key queries so
+  * pushdown/broadcast/codegen properties can be checked per round
+  * (run: sbt "runMain graft.Explain [sfDir]").
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.getOrCreate()
+    val targets = Seq("s2_pruned_scan", "j3_multiway", "a1_median_groups",
+      "a5_count_sum", "e3_cosine_topk", "j6_range_join", "w3_rank_top1")
+    targets.foreach { name =>
+      println(s"\n========== $name ==========")
+      println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    println("\n========== entry ==========")
+    println(SparkEntry.entry(spark).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode))
+    spark.stop()
+  }
+}
