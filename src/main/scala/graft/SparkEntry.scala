@@ -375,6 +375,11 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def e9(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
+      .orderBy("doc_id")
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -547,6 +552,7 @@ object SparkEntry {
     "e2b_lsh_pairs" -> (e2b _),
     "e3_cosine_topk" -> (e3 _),
     "e8_embedding_neardup" -> (e8 _),
+    "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
@@ -737,6 +743,12 @@ object SparkEntry {
          |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT a, b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY a, b""".stripMargin,
+    "e9_rolling_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_transform(string_split(text, ' '), tk -> md5(tk)), h -> ${sqlHexVal("h", 6)}) AS hs
+         |  FROM documents)
+         |SELECT doc_id, CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), hs), (acc, x) -> (acc * CAST(131 AS BIGINT) + x) % 1000000007) AS BIGINT) AS roll_fp
+         |FROM t ORDER BY doc_id""".stripMargin,
     "e4_text_stats" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -101,6 +101,20 @@ object TextOps {
       .reduce(_ + _)
   }
 
+  /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
+    * `fingerprint`): h = fold(0, (acc, t) → (acc·B + H(t)) mod M) over the
+    * token stream, H = 24-bit md5 hash. B=131, M=1e9+7 keeps every
+    * intermediate < 2^63 so the value is exact in any int64 engine —
+    * oracle-portable without overflow-semantics hazards.
+    */
+  val RollBase = 131L
+  val RollMod = 1000000007L
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(transform(tokens(text), t => md5(t)), h => hexVal(h, 6)),
+      lit(0L),
+      (acc, t) => (acc * lit(RollBase) + t) % lit(RollMod))
+
   // ---- language-ID heuristic + quality scoring ----
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID

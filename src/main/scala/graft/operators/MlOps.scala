@@ -50,6 +50,31 @@ object MlOps {
     new Pipeline().setStages(Array(assembler, rf)).fit(df)
   }
 
+  /** S7 — model artifact store: persist/load pipelines keyed by a stable
+    * content key (the reference pickles RFs under md5'd combo keys,
+    * pixel_classifier_stream.py:45-55; joblib main/backup pairs,
+    * object_classifier.py:39-40). Spark ML's save/load is the native
+    * registry: one directory per key, overwrite-idempotent.
+    */
+  def saveModel(model: PipelineModel, registryDir: String, key: String): String = {
+    val path = s"$registryDir/${stableFileKey(key)}"
+    model.write.overwrite().save(path)
+    path
+  }
+
+  def loadModel(registryDir: String, key: String): PipelineModel =
+    PipelineModel.load(s"$registryDir/${stableFileKey(key)}")
+
+  def modelExists(spark: org.apache.spark.sql.SparkSession, registryDir: String, key: String): Boolean =
+    new java.io.File(s"$registryDir/${stableFileKey(key)}").exists()
+
+  /** Long keys collapse to md5 exactly like the reference's cache keys. */
+  private def stableFileKey(key: String): String =
+    if (key.length > 100)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    else key.replaceAll("[^A-Za-z0-9_.-]", "_")
+
   /** M3 — the reference's training-set filter: labels in (0, maxLabel],
     * NULL features imputed to 0 (object_classifier.py:109-111).
     */
