@@ -69,6 +69,31 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark drops events later than the threshold across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val agg = EventStream.tumblingAgg(
+      source.toDF().toDF("ts", "event_type", "value"), watermark = "1 minute")
+    val q = agg.writeStream.outputMode("update").format("memory").queryName("t_late").start()
+    // batch 1: recent event advances the watermark to 11:59
+    source.addData((ts("2024-06-01 12:00:00"), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event 3 hours late (window end 10:00 < watermark) + one in-window
+    source.addData(
+      (ts("2024-06-01 09:30:00"), "click", 1.0),
+      (ts("2024-06-01 12:05:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table("t_late")
+      .select(col("window_start").cast("string"), col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(windows.contains(("2024-06-01 12:00:00", "click")))
+    assert(windows.contains(("2024-06-01 12:00:00", "view")))   // in-window late row kept
+    assert(!windows.exists(_._1 == "2024-06-01 09:00:00"))      // beyond-watermark row dropped
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(
