@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table utilities (SURVEY.md §1.3/§4: the Spark mapping of the
+  * reference's tiled, block-aligned storage — feature_stacking.py:227-229 —
+  * when the goal is JOIN co-location rather than halo stencils).
+  *
+  * Writing both sides of a recurring equi-join bucketed (and sorted) by the
+  * join key with the same bucket count lets Catalyst plan a sort-merge join
+  * with NO shuffle exchange on either side — at 100 TB that's the
+  * difference between re-shuffling the fact table every run and reading it
+  * join-ready. The stacked-band join (J3) keyed by pixel/tile and the
+  * segment-feature join (Stage 3) are the natural users.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table (overwrites). */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two co-bucketed tables on their bucket keys. With matching
+    * bucket specs this plans shuffle-free (verified by BucketingSpec
+    * against the executed plan).
+    */
+  def colocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keys: Seq[String],
+      joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+}

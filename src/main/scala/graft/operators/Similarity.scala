@@ -47,6 +47,61 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF (inverted-file) ANN: KMeans-partition the corpus into `nLists`
+    * cells (seeded, deterministic), then search only each query's `nProbe`
+    * nearest cells. The 100 TB shape: the corpus is scanned once to build
+    * the index, probes touch nProbe/nLists of the data, centroids are a
+    * tiny broadcast table. Complements `lshTopK` (hash-based) with the
+    * geometry-aware variant.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(corpusVec)
+    val indexed = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
+
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroidDf = centroids.toSeq.toDF("cell", "centroid")
+
+    // route each query to its nProbe nearest cells (centroid table broadcast)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell").asc)
+    val probes = q.join(broadcast(centroidDf))
+      .withColumn("cdist", VectorOps.l2Distance(col("q_emb"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Approximate top-k via random-hyperplane LSH: candidates share a bucket. */
   def lshTopK(
       queries: DataFrame,

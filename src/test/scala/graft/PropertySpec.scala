@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions.{ScalarOps, TextOps}
+import graft.operators.{Composite, Halo}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5.4) driven by seeded ScalaCheck
+  * generators (scalatestplus glue isn't available offline, so sampling is
+  * explicit: N deterministic draws per property). Row counts stay small —
+  * each property round-trips through Spark jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** N deterministic samples from a generator. */
+  private def samples[T](g: Gen[T], n: Int = 5): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(42L + i)))
+
+  private def forAll[T](g: Gen[T])(body: T => Unit): Unit =
+    samples(g).foreach(body)
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    samples(g1).zip(samples(g2)).foreach { case (a, b) => body(a, b) }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val sceneGen: Gen[List[(Long, Int, Option[Double], Double)]] =
+    Gen.listOf(for {
+      scene <- Gen.choose(1L, 4L)
+      px <- Gen.choose(0, 3)
+      b <- Gen.option(Gen.choose(-100.0, 100.0))
+      score <- Gen.choose(-1.0, 1.0)
+    } yield (scene, px, b, score))
+
+  test("property: argmax composite == window-rank-1 under explicit tiebreak (A2/W3)") {
+    forAll(sceneGen) { rows =>
+      whenever(rows.nonEmpty) {
+        // dedupe (scene, px) so both formulations see identical candidates
+        val df = rows.distinctBy(r => (r._1, r._2))
+          .toDF("scene_id", "px", "B1", "ndvi")
+        val viaAgg = Composite.argmaxComposite(df, Seq("px"), "scene_id", "ndvi", Seq("B1"))
+          .select("px", "scene_id").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("px").orderBy(col("ndvi").desc, col("scene_id").asc)
+        val viaWin = df.filter(col("ndvi").isNotNull)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("px", "scene_id").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        assert(viaAgg == viaWin)
+      }
+    }
+  }
+
+  test("property: NULL-skipping median == median of the non-null subset (A1)") {
+    forAll(sceneGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("scene_id", "px", "B1", "ndvi")
+        val got = Composite.medianComposite(df, Seq("px"), Seq("B1"))
+          .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        rows.groupBy(_._2).foreach { case (px, grp) =>
+          val vals = grp.flatMap(_._3).sorted
+          val expect =
+            if (vals.isEmpty) None
+            else if (vals.size % 2 == 1) Some(vals(vals.size / 2))
+            else Some((vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2.0)
+          (got(px), expect) match {
+            case (None, None) => ()
+            case (Some(g), Some(e)) => assert(math.abs(g - e) < 1e-9, s"px $px")
+            case other => fail(s"px $px: $other")
+          }
+        }
+      }
+    }
+  }
+
+  test("property: halo(pad=0) is the identity partition (W1)") {
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0, 15), Gen.choose(0, 15)))) { pts =>
+      whenever(pts.nonEmpty) {
+        val df = pts.distinct.toDF("px_row", "px_col")
+        val out = Halo.withHalo(df, "px_row", "px_col", 4, 4, 0)
+        assert(out.count() == pts.distinct.size)
+        assert(out.filter(!col("is_core")).count() == 0)
+      }
+    }
+  }
+
+  test("property: composites are permutation-invariant in input order (A1/A2)") {
+    forAll(sceneGen, Gen.choose(1L, Long.MaxValue)) { (rows, seed) =>
+      whenever(rows.nonEmpty) {
+        val df = rows.distinctBy(r => (r._1, r._2)).toDF("scene_id", "px", "B1", "ndvi")
+        val shuffled = df.orderBy(rand(seed))
+        def snap(d: org.apache.spark.sql.DataFrame) =
+          Composite.argmaxComposite(d, Seq("px"), "scene_id", "ndvi", Seq("B1"))
+            .orderBy("px").collect().map(_.toSeq).toSeq
+        assert(snap(df) == snap(shuffled))
+      }
+    }
+  }
+
+  test("property: clamp output is always within [lo, hi] and idempotent (P7)") {
+    forAll(Gen.listOf(Gen.choose(-1e6, 1e6))) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.toDF("v")
+        val once = df.select(ScalarOps.clamp(col("v"), lit(-5.0), lit(5.0)).as("c"))
+        val vals = once.as[Double].collect()
+        assert(vals.forall(v => v >= -5.0 && v <= 5.0))
+        val twice = once.select(ScalarOps.clamp(col("c"), lit(-5.0), lit(5.0)).as("c"))
+        assert(twice.as[Double].collect().toSeq == vals.toSeq)
+      }
+    }
+  }
+
+  test("property: rolling fingerprint is deterministic, order-sensitive, in [0, M) (E9)") {
+    val tokenGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "cat", "dog", "x1"))
+    forAll(tokenGen) { toks =>
+      val text = toks.mkString(" ")
+      val df = Seq(text, text, toks.reverse.mkString(" ")).toDF("t")
+      val fps = df.select(TextOps.rollingFingerprint(col("t"))).as[Long].collect()
+      assert(fps(0) == fps(1))
+      assert(fps.forall(f => f >= 0 && f < TextOps.RollMod))
+      if (toks != toks.reverse) assert(fps(0) != fps(2) || toks.distinct.size == 1)
+    }
+  }
+}

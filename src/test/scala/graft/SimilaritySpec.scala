@@ -35,6 +35,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("ivfTopK recalls the true neighbors on clustered data (E2 scale path)") {
+    // two tight clusters far apart: IVF with nProbe=1 must stay in-cluster
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 40).map { i =>
+      val center = if (i < 20) Array(10.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f)
+      (i.toLong, center.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter(col("vec_id").isin(0L, 25L))
+    val brute = Similarity.bruteForceTopK(queries, data, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, data, k = 3, nLists = 2, nProbe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute) // perfect recall when clusters are well-separated
+    // determinism across runs (seeded kmeans)
+    val again = Similarity.ivfTopK(queries, data, k = 3, nLists = 2, nProbe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivf)
+  }
+
   test("lshTopK returns same scores as brute force for candidates it keeps (E2 scale path)") {
     val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
       .select("neighbor_id", "score")
