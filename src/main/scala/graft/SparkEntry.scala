@@ -501,6 +501,56 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
+
+  /** Q1-shaped pricing summary: the classic scan-heavy aggregate. */
+  private def q1(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q3-shaped shipping priority: join + agg + top-N. */
+  private def q3(s: SparkSession, d: String) =
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q5-shaped regional revenue rollup (the flagship, parameterized by dir). */
+  private def q5(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+        .cast("double").as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** ST2 — sliding windows (1 h window, 15 min slide) as a batch query:
+    * each event lands in 4 windows; oracled via epoch arithmetic.
+    */
+  private def st2(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -561,7 +611,11 @@ object SparkEntry {
     "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
     "mm1_binary_meta" -> (mm1 _),
-    "mm2_decode_meta" -> (mm2 _)
+    "mm2_decode_meta" -> (mm2 _),
+    "q1_pricing_summary" -> (q1 _),
+    "q3_shipping_priority" -> (q3 _),
+    "q5_regional_revenue" -> (q5 _),
+    "st2_sliding" -> (st2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -778,6 +832,32 @@ object SparkEntry {
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
     "mm1_binary_meta" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_regional_revenue" ->
+      """SELECT r_name, n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "st2_sliding" ->
+      """SELECT make_timestamp(CAST((CAST(floor(epoch(ts)/900) AS BIGINT) - i) * 900 * 1000000 AS BIGINT)) AS window_start,
+        |event_type, count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s
+        |GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
     "mm2_decode_meta" ->
       s"""WITH t AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
          |SELECT media_id,
