@@ -364,9 +364,14 @@ object SparkEntry {
   private def e2(s: SparkSession, d: String) =
     Dedup.minhashSignatures(Tables.documents(s, d), numHashes = 8).orderBy("doc_id")
 
+  /** Global orderBy would range-sample and re-execute the whole LSH
+    * pipeline; the pair set is tiny, so sort it in one partition instead
+    * (same total order, single upstream execution).
+    */
   private def e2b(s: SparkSession, d: String) =
     Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
-      .orderBy("a", "b")
+      .coalesce(1)
+      .sortWithinPartitions("a", "b")
 
   private def e3(s: SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)

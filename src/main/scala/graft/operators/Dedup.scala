@@ -48,14 +48,23 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** MinHash signature table: idCol, m0..m{numHashes-1}. */
+  /** MinHash signature table: idCol, m0..m{numHashes-1}.
+    * The shingle array is materialized as its own projection so the 8
+    * signature components share ONE shingle construction per row —
+    * inlining it would evaluate tokenize+shingle 8× (and blow up the
+    * codegen tree); CollapseProject keeps the split because the alias is
+    * non-cheap and multiply-referenced.
+    */
   def minhashSignatures(
       docs: DataFrame,
       numHashes: Int = 8,
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    spread(docs).select(col(idCol) +: TextOps.minhashSignature(col(textCol), numHashes, shingleK): _*)
+    spread(docs)
+      .select(col(idCol), TextOps.shingles(TextOps.tokens(col(textCol)), shingleK).as("_sh"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(j => TextOps.minhashComponent(col("_sh"), j).as(s"m$j")): _*)
 
   /** LSH candidate pairs: docs sharing at least one band bucket.
     * Bands of `rowsPerBand` signature components are hashed to a bucket key;
