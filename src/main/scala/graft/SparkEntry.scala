@@ -390,27 +390,38 @@ object SparkEntry {
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("a", "b")
 
+  /** Staged projections: token array bound once, then counts, then the
+    * derived ratios — inlined forms would re-tokenize per output column.
+    */
   private def e4(s: SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        TextOps.stopwordHits(col("_toks"), TextOps.AllStopwords).cast("double").as("_hits"))
+      .select(col("doc_id"), col("n_tokens"),
         TextOps.bpeishCount(col("text")).cast("long").as("n_bpeish"),
-        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len"),
-        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(TextOps.qualityScore(col("text")), 6).as("quality"))
+        round((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6)
+          .as("mean_tok_len"),
+        (col("_hits") / col("n_tokens")).as("_ratio"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpeish"), col("mean_tok_len"),
+        round(col("_ratio"), 6).as("stop_ratio"),
+        round(least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5) +
+          least(col("_ratio") * lit(4.0), lit(1.0)) * lit(0.5), 6).as("quality"))
       .orderBy("doc_id")
 
   private def e5(s: SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        TextOps.langGuess(col("text")).as("lang_guess"),
-        col("lang").as("lang_true"),
-        (TextOps.langGuess(col("text")) === col("lang")).as("hit"))
+      .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), TextOps.langGuessFromTokens(col("_toks")).as("lang_guess"),
+        col("lang").as("lang_true"))
+      .withColumn("hit", col("lang_guess") === col("lang_true"))
       .orderBy("doc_id")
 
   private def e6(s: SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash"))
+      .select(col("doc_id"), TextOps.tokenHashes16(col("text")).as("_hs"))
+      .select(col("doc_id"), TextOps.simhash16FromHashes(col("_hs")).as("simhash"))
       .orderBy("doc_id")
 
   /** M5-M7 — segmentation + polygonize demo over a deterministic synthetic

@@ -82,14 +82,19 @@ object TextOps {
     (0 until numHashes).map(j => minhashComponent(sh, j).as(s"m$j"))
   }
 
-  /** 16-bit SimHash over the distinct token set. Bit j of each token's 16-bit
-    * md5-derived hash votes +1/−1; signature bit j is 1 iff the vote sum is
-    * positive. Integer sums only → order-independent → oracle-exact.
+  /** 16-bit token-hash array for SimHash: md5-derived, distinct tokens.
+    * Materialize this as its OWN projection before `simhash16FromHashes` —
+    * the 16 bit-vote aggregates each reference the array, and inlining it
+    * would rebuild the md5 array 16× per row.
     */
-  def simhash16(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    // bind md5 once per token (see minhashComponent note)
-    val hashes = transform(transform(toks, t => md5(t)), h => hexVal(h, 4))
+  def tokenHashes16(text: Column): Column =
+    transform(transform(array_distinct(tokens(text)), t => md5(t)), h => hexVal(h, 4))
+
+  /** 16-bit SimHash from a bound hash-array column. Bit j of each token
+    * hash votes +1/−1; signature bit j is 1 iff the vote sum is positive.
+    * Integer sums only → order-independent → oracle-exact.
+    */
+  def simhash16FromHashes(hashes: Column): Column =
     (0 until 16)
       .map { j =>
         val votes = aggregate(
@@ -99,7 +104,11 @@ object TextOps {
         when(votes > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
       }
       .reduce(_ + _)
-  }
+
+  /** Convenience single-expression form (tests / one-off use; for bulk
+    * scans stage `tokenHashes16` first).
+    */
+  def simhash16(text: Column): Column = simhash16FromHashes(tokenHashes16(text))
 
   /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
     * `fingerprint`): h = fold(0, (acc, t) → (acc·B + H(t)) mod M) over the
@@ -127,28 +136,31 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我"))
 
-  private def stopwordHits(toks: Column, words: Seq[String]): Column =
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
 
-  /** Language guess: arg-max stopword hit count, ties broken by language
-    * code ascending (deterministic — SURVEY.md §7 hard part c discipline).
-    * Implemented as a sort over (−score, lang) structs so both Spark and
-    * DuckDB order identically.
+  /** Language guess from a bound token-array column: arg-max stopword hit
+    * count, ties broken by language code ascending (deterministic —
+    * SURVEY.md §7 hard part c discipline). Implemented as a sort over
+    * (−score, lang) structs so both Spark and DuckDB order identically.
+    * Stage the token array as its own projection for bulk scans.
     */
-  def langGuess(text: Column): Column = {
-    val toks = tokens(text)
+  def langGuessFromTokens(toks: Column): Column = {
     val entries = LangStopwords.map { case (lang, words) =>
       struct((lit(0L) - stopwordHits(toks, words).cast("long")).as("n"), lit(lang).as("l"))
     }
     element_at(array_sort(array(entries: _*)), 1).getField("l")
   }
 
+  def langGuess(text: Column): Column = langGuessFromTokens(tokens(text))
+
+  val AllStopwords: Seq[String] = LangStopwords.flatMap(_._2).distinct
+
   /** Stopword ratio (any language's stopwords) — a quality-score component. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val all = LangStopwords.flatMap(_._2).distinct
-    stopwordHits(toks, all).cast("double") / size(toks).cast("double")
-  }
+  def stopwordRatioFromTokens(toks: Column): Column =
+    stopwordHits(toks, AllStopwords).cast("double") / size(toks).cast("double")
+
+  def stopwordRatio(text: Column): Column = stopwordRatioFromTokens(tokens(text))
 
   /** Mean token length in characters, derived exactly from integer counts. */
   def meanTokenLen(text: Column): Column =
