@@ -54,6 +54,13 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(out("b") == (3, 3))
   }
 
+  test("cosine_sim is callable from SQL via GraftExtensions") {
+    val vecs = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+    vecs.createOrReplaceTempView("v_ext")
+    val r = spark.sql("SELECT cosine_sim(a, b) AS c FROM v_ext").as[Double].head()
+    assert(math.abs(r - 0.6) < 1e-6)
+  }
+
   test("CosineSimExpr matches the HOF cosine bit-for-bit and handles zero norms") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
