@@ -364,6 +364,19 @@ object SparkEntry {
   private def e2(s: SparkSession, d: String) =
     Dedup.minhashSignatures(Tables.documents(s, d), numHashes = 8).orderBy("doc_id")
 
+  /** E7 — exact shingle-Jaccard over the LSH candidate pairs (the verify
+    * half of fuzzy dedup): inverted-index join formulation, so cost scales
+    * with candidates, not |corpus|².
+    */
+  private def e7(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashCandidatePairs(docs, numHashes = 8, rowsPerBand = 2)
+    Dedup.jaccardVerify(docs, pairs, threshold = 0.0)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .coalesce(1)
+      .sortWithinPartitions("a", "b")
+  }
+
   /** Global orderBy would range-sample and re-execute the whole LSH
     * pipeline; the pair set is tiny, so sort it in one partition instead
     * (same total order, single upstream execution).
@@ -616,6 +629,7 @@ object SparkEntry {
     "e1b_fingerprint_dedup" -> (e1b _),
     "e2_minhash_sig" -> (e2 _),
     "e2b_lsh_pairs" -> (e2b _),
+    "e7_jaccard_verify" -> (e7 _),
     "e3_cosine_topk" -> (e3 _),
     "e8_embedding_neardup" -> (e8 _),
     "e9_rolling_fingerprint" -> (e9 _),
@@ -798,6 +812,20 @@ object SparkEntry {
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
          |JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
+    "e7_jaccard_verify" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM s),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard FROM (
+         |  SELECT a, b, len(list_filter(xa.sh, t -> list_contains(xb.sh, t))) AS inter,
+         |    len(xa.sh) AS la, len(xb.sh) AS lb
+         |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t
+         |WHERE inter > 0 ORDER BY a, b""".stripMargin,
     "e3_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
