@@ -124,15 +124,30 @@ object MlOps {
     try {
       val combos = applyK.select("combo").distinct().collect().map(_.getString(0))
         .filter(_.nonEmpty).sorted
-      val parts = combos.flatMap { combo =>
-        val bands = combo.split("_").toSeq
-        val trainPart = trainK.filter(col("combo") === combo)
-        if (trainPart.isEmpty) None
-        else {
-          val model = trainRf(trainPart.na.fill(0.0, bands), bands, labelCol, seed = seed)
-          Some(classify(model, applyK.filter(col("combo") === combo).na.fill(0.0, bands)))
-        }
-      }
+      // Train per-combo models concurrently (driver threads submitting
+      // independent Spark jobs — the scheduler interleaves their stages);
+      // results are re-sorted by combo so the union stays deterministic.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(combos.length, 4)))
+      val parts =
+        try {
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          val futures = combos.toSeq.map { combo =>
+            Future {
+              val bands = combo.split("_").toSeq
+              val trainPart = trainK.filter(col("combo") === combo)
+              if (trainPart.isEmpty) None
+              else {
+                val model = trainRf(trainPart.na.fill(0.0, bands), bands, labelCol, seed = seed)
+                Some(combo -> classify(model, applyK.filter(col("combo") === combo).na.fill(0.0, bands)))
+              }
+            }
+          }
+          Await.result(Future.sequence(futures), Duration.Inf)
+            .flatten.sortBy(_._1).map(_._2)
+        } finally pool.shutdown()
       parts.reduceOption(_ unionByName _)
         .getOrElse(classify(trainRf(trainK.na.fill(0.0, bandCols), bandCols, labelCol), applyK.limit(0)))
     } finally applyK.unpersist()

@@ -212,15 +212,17 @@ object Segmentation {
     import spark.implicits._
     val nCh = featureCols.length
 
+    // Array[Float] (not Seq) in the row encoding: the deserializer hands
+    // the kernel a primitive float array per row instead of a boxed wrapper
     val haloed = Halo.withHalo(df, rowCol, colCol, tileH, tileW, pad)
       .select(col("halo_tile_x"), col("halo_tile_y"), col("is_core"),
         col(rowCol).as("r"), col(colCol).as("c"),
         array(featureCols.map(col(_).cast("float")): _*).as("f"))
-      .as[(Int, Int, Boolean, Int, Int, Seq[Float])]
+      .as[(Int, Int, Boolean, Int, Int, Array[Float])]
 
     val local: Dataset[(Int, Int, Int, Int, Int)] = haloed
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, Int, Int, Seq[Float])]) =>
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, Int, Int, Array[Float])]) =>
         val (tx, ty) = key
         val pix = rows.toArray
         if (pix.isEmpty) Iterator.empty
