@@ -101,6 +101,33 @@ object Stages {
 
   // ---------- Stage 2 — segmentation (image_segmentation.py) ----------
 
+  /** The reference's segmentation feature stack (image_segmentation.py:
+    * 55-96): NDVI-style indices + per-tile PCA first component + 8-bit
+    * percentile stretch of every channel, all before the gaussian+felz
+    * kernel. Tiles here are derived from pixel coords (`tileSize`); the
+    * PCA is the moments+power-iteration operator (A8), the stretch the
+    * two-pass percentile cuts (A4/M8) — one aggregation each, broadcast
+    * joins back.
+    *
+    * Returns the frame with `featOut` columns (stretched originals +
+    * stretched pca1) ready for `segment`.
+    */
+  def prepareSegmentationFeatures(
+      pixels: DataFrame,
+      bands: Seq[String],
+      tileSize: Int = 4096): DataFrame = {
+    val withTile = pixels
+      .withColumn("seg_tile_x", floor(col("px_col") / tileSize).cast("int"))
+      .withColumn("seg_tile_y", floor(col("px_row") / tileSize).cast("int"))
+    val tileKey = Seq("seg_tile_x", "seg_tile_y")
+    val withPca = graft.operators.TilePca.withPca1(withTile, tileKey, bands)
+    val stretched = (bands :+ "pca1").foldLeft(withPca) { (df, b) =>
+      graft.operators.Composite.withStretch(df, tileKey, b)
+        .drop("cut_lo", "cut_hi")
+    }
+    stretched.drop("seg_tile_x", "seg_tile_y")
+  }
+
   /** Halo'd felzenszwalb over tiles + polygonize; see Segmentation. */
   def segment(
       stack: DataFrame,

@@ -87,6 +87,25 @@ class StagesSpec extends AnyFunSuite {
     assert(out.values.toSet == Set(7, 2))      // other segment via backup model
   }
 
+  test("prepareSegmentationFeatures: indices + per-tile PCA + 8-bit stretch (Stage-2 prep)") {
+    val px = (for { r <- 0 until 16; c <- 0 until 16 } yield
+      (r, c, (c * 10).toFloat, (160 - c * 10).toFloat)).toDF("px_row", "px_col", "F1", "F2")
+    val out = Stages.prepareSegmentationFeatures(px, Seq("F1", "F2"), tileSize = 16)
+    assert(out.count() == 256)
+    val cols = out.columns.toSet
+    assert(cols.contains("pca1") && cols.contains("F1_8bit") && cols.contains("pca1_8bit"))
+    // stretched channels live in [0, 255]
+    Seq("F1_8bit", "F2_8bit", "pca1_8bit").foreach { c =>
+      val mm = out.agg(min(col(c)), max(col(c))).collect()(0)
+      assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 255.0)
+    }
+    // F1/F2 are perfectly anti-correlated → pca1 captures all variance
+    val ratio = out.agg(
+      (variance(col("pca1")) / (variance(col("F1")) + variance(col("F2")))).as("r"))
+      .collect()(0).getDouble(0)
+    assert(ratio > 0.99)
+  }
+
   test("runIfMissing executes once and then reads the checkpoint (S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_s8").toString + "/out"
     var runs = 0
