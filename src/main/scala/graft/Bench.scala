@@ -18,7 +18,14 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged for
     // session initialization
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSet)
+    val selected = filter match {
+      case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

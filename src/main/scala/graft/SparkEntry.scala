@@ -659,14 +659,18 @@ object SparkEntry {
     (1 to k).map(i => s"${sqlHexDigit(h, i)} * ${math.pow(16, (k - i).toDouble).toLong}")
       .mkString("(", " + ", ")")
 
-  private def sqlMinhash(j: Int): String =
-    s"CAST(list_min(list_transform(list_transform(shingles, sh -> md5(concat('$j|', sh))), h -> ${sqlHexVal("h", 6)})) AS BIGINT)"
+  private def sqlMinhash(j: Int): String = {
+    val (a, b) = TextOps.minhashParams(j)
+    s"CAST(list_min(list_transform(hs, h -> (CAST($a AS BIGINT) * h + $b) % ${TextOps.MinhashP})) AS BIGINT)"
+  }
 
   private val sqlShingleCte =
-    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-      |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
-      |  ELSE list_transform(generate_series(1, len(toks) - 2),
-      |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS shingles FROM t)""".stripMargin
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+       |  ELSE list_transform(generate_series(1, len(toks) - 2),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS shingles FROM t),
+       |sh AS (SELECT doc_id, shingles,
+       |  list_transform(list_transform(shingles, g -> md5(g)), h -> ${sqlHexVal("h", 6)}) AS hs FROM s)""".stripMargin
 
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -802,10 +806,10 @@ object SparkEntry {
     "e2_minhash_sig" ->
       s"""$sqlShingleCte
          |SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")}
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |FROM sh ORDER BY doc_id""".stripMargin,
     "e2b_lsh_pairs" ->
       s"""$sqlShingleCte,
-         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM s),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
          |bands AS (${(0 until 4).map(b =>
               s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
               .mkString(" UNION ALL ")})
@@ -814,7 +818,7 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
     "e7_jaccard_verify" ->
       s"""$sqlShingleCte,
-         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM s),
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
          |bands AS (${(0 until 4).map(b =>
               s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
               .mkString(" UNION ALL ")}),

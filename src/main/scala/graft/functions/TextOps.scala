@@ -63,23 +63,35 @@ object TextOps {
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
 
-  /** One MinHash signature component: min over shingles of H_seed.
-    * The inner transform materializes each md5 ONCE as a lambda-bound
-    * string before digit extraction — hexVal references its argument 6
-    * times, and HOF lambdas get no common-subexpression elimination, so
-    * inlining md5 there would recompute it per digit (6× the cost; this
-    * dominated the first bench run).
+  /** MinHash via the classic linear-permutation family: one md5-derived
+    * 24-bit base hash per shingle, then component j takes the min of
+    * (a_j·h + b_j) mod P over the shingle set. One md5 per shingle total
+    * (a per-seed md5 family costs 8× the hashing AND generates classes
+    * big enough that janino compilation dominated whole benchmark runs);
+    * the linear mixing is 24-bit × 24-bit so every intermediate fits
+    * int64 exactly in any engine — oracle-portable.
     */
-  def minhashComponent(shingleArr: Column, seed: Int): Column =
-    array_min(
-      transform(
-        transform(shingleArr, sh => md5(concat(lit(seed.toString), lit("|"), sh))),
-        h => hexVal(h, 6)))
+  val MinhashP = 16777213L // largest prime < 2^24
+  def minhashParams(j: Int): (Long, Long) =
+    (((2654435761L * (j + 1)) % MinhashP) | 1L, (40503L * (j + 7)) % MinhashP)
 
-  /** Full MinHash signature as named columns m0..m{n-1}. */
+  /** 24-bit base hashes of a shingle array (stage as its own projection). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(transform(shingleArr, sh => md5(sh)), h => hexVal(h, 6))
+
+  /** Component j from a bound base-hash array column. */
+  def minhashComponent(hashArr: Column, j: Int): Column = {
+    val (a, b) = minhashParams(j)
+    array_min(transform(hashArr, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+  }
+
+  /** Full MinHash signature as named columns m0..m{n-1} (single-expression
+    * convenience; for bulk scans stage `shingleHashes` first as
+    * Dedup.minhashSignatures does).
+    */
   def minhashSignature(text: Column, numHashes: Int, shingleK: Int = 3): Seq[Column] = {
-    val sh = shingles(tokens(text), shingleK)
-    (0 until numHashes).map(j => minhashComponent(sh, j).as(s"m$j"))
+    val hs = shingleHashes(shingles(tokens(text), shingleK))
+    (0 until numHashes).map(j => minhashComponent(hs, j).as(s"m$j"))
   }
 
   /** 16-bit token-hash array for SimHash: md5-derived, distinct tokens.

@@ -63,8 +63,9 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     spread(docs)
       .select(col(idCol), TextOps.shingles(TextOps.tokens(col(textCol)), shingleK).as("_sh"))
+      .select(col(idCol), TextOps.shingleHashes(col("_sh")).as("_hs"))
       .select(col(idCol) +:
-        (0 until numHashes).map(j => TextOps.minhashComponent(col("_sh"), j).as(s"m$j")): _*)
+        (0 until numHashes).map(j => TextOps.minhashComponent(col("_hs"), j).as(s"m$j")): _*)
 
   /** LSH candidate pairs: docs sharing at least one band bucket.
     * Bands of `rowsPerBand` signature components are hashed to a bucket key;
@@ -101,8 +102,12 @@ object Dedup {
   }
 
   /** Exact pairwise Jaccard over shingle sets, for verifying LSH candidates.
-    * Join-only formulation (shingle inverted index → pair counts → sizes),
-    * so it scales as the candidate count, not |corpus|².
+    * Candidate-first, explode-free: the distinct shingle ARRAY rides along
+    * two joins keyed by the pair ids and the intersection is a per-row
+    * `array_intersect` — cost is |candidates|·|doc length|, no inverted
+    * index, no shuffle of shingle rows. (A shingle-keyed self-join would
+    * blow up on common shingles: every co-occurring doc pair, not just
+    * candidates.) Pairs with an empty intersection are dropped.
     */
   def jaccardVerify(
       docs: DataFrame,
@@ -111,20 +116,16 @@ object Dedup {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(
+    val shSets = spread(docs).select(
       col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh
-      .as("x")
-      .join(sh.as("y"), col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
     pairs
-      .join(inter, Seq("a", "b"))
-      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sz_a"), Seq("a"))
-      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "sz_b"), Seq("b"))
-      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .join(shSets.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
+      .join(shSets.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter") > 0)
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
