@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{SpatialOps, VectorOps}
+import graft.operators.{Halo, MlOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case behavior pinned explicitly. */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("withHalo rejects pads that don't fit the tile") {
+    val df = Seq((0, 0)).toDF("px_row", "px_col")
+    intercept[IllegalArgumentException] {
+      Halo.withHalo(df, "px_row", "px_col", 4, 4, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Halo.withHalo(df, "px_row", "px_col", 4, 4, -1)
+    }
+  }
+
+  test("rhpBucket is deterministic and bounded by 2^bits") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.2f, 0.9f)),
+      (2L, Array(0.5f, -0.2f, 0.9f)),
+      (3L, Array(-0.5f, 0.2f, -0.9f))).toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"), VectorOps.rhpBucket(col("embedding"), 4, 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))                       // same vector → same bucket
+    assert(out.values.forall(b => b >= 0 && b < 16)) // 4 bits
+  }
+
+  test("dispatchByCombo drops apply-combos with no training data") {
+    val train = Seq((Some(1.0), Some(2.0), 1)).toDF("B1", "B2", "label")
+    val apply = Seq(
+      (Some(1.0), Some(2.0), 0),                  // combo B1_B2: trainable
+      (Some(1.0), None: Option[Double], 0)        // combo B1: no training rows
+    ).toDF("B1", "B2", "label")
+    val out = MlOps.dispatchByCombo(train, apply, Seq("B1", "B2"), "label")
+    assert(out.count() == 1)
+    assert(out.select("combo").head().getString(0) == "B1_B2")
+  }
+
+  test("wktEnvelope handles polygons with holes") {
+    val wkt = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    val env = Seq(wkt).toDF("wkt")
+      .select(SpatialOps.wktEnvelope(col("wkt")).as("e")).select("e.*").collect()(0)
+    assert(env.getDouble(0) == 0.0 && env.getDouble(2) == 3.0)
+  }
+
+  test("empty-text documents survive the text pipeline") {
+    val df = Seq((1L, ""), (2L, "one")).toDF("doc_id", "text")
+    val stats = df.select(col("doc_id"),
+      graft.functions.TextOps.tokenCount(col("text")).as("n"),
+      graft.functions.TextOps.rollingFingerprint(col("text")).as("fp"),
+      graft.functions.TextOps.simhash16(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    // split("") yields [""]: one empty token — counted, hashed, no crash
+    assert(stats(0).getInt(1) == 1)
+    assert(!stats(0).isNullAt(2) && !stats(0).isNullAt(3))
+  }
+
+  test("cosine of mismatched-length arrays compares the common prefix (fused expr)") {
+    val df = Seq((Array(1.0f, 0.0f, 5.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val v = df.select(graft.functions.CosineSimExpr.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    // dot AND both norms run over min(len) — identical prefixes → exactly 1
+    assert(v == 1.0)
+  }
+}
