@@ -278,6 +278,81 @@ object Segmentation {
       .select("px_row", "px_col", "tile_x", "tile_y", "seg_id")
   }
 
+  /** Optional cross-tile global merge (beyond the reference, which accepts
+    * halo-cropped seams — image_segmentation.py:149). Segments from
+    * different tiles merge when they touch across a tile boundary AND
+    * their mean feature vectors are within `featureTol` (Euclidean).
+    *
+    * Scale shape: the pixel-level work is two shift-joins to find
+    * boundary-adjacent pixel pairs; everything after operates on
+    * SEGMENT-level edges (thousands, not billions), so the union-find runs
+    * on the driver over a tiny collected edge list and the relabel map
+    * broadcasts back. Deterministic: global id = min seg_id per component.
+    *
+    * Input: `segments` from segmentTiles joined back to the feature pixels
+    * (must contain px_row, px_col, seg_id, tile_x, tile_y + featureCols).
+    */
+  def mergeGlobal(
+      labeled: DataFrame,
+      featureCols: Seq[String],
+      featureTol: Double): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+
+    val px = labeled.select(
+      col("px_row"), col("px_col"), col("seg_id"), col("tile_x"), col("tile_y"))
+
+    // boundary-adjacent pixel pairs in different tiles (right + down shifts)
+    def shifted(dr: Int, dc: Int) = px.select(
+      (col("px_row") - dr).as("px_row"), (col("px_col") - dc).as("px_col"),
+      col("seg_id").as("seg_b"), col("tile_x").as("tx_b"), col("tile_y").as("ty_b"))
+    val adj = Seq(shifted(0, 1), shifted(1, 0))
+      .map(s =>
+        px.join(s, Seq("px_row", "px_col"))
+          .filter(col("tile_x") =!= col("tx_b") || col("tile_y") =!= col("ty_b"))
+          .select(col("seg_id").as("seg_a"), col("seg_b")))
+      .reduce(_ union _)
+      .distinct()
+
+    // segment mean features (tiny table: one row per segment)
+    val means = labeled.groupBy("seg_id")
+      .agg(featureCols.map(c => avg(col(c)).as(s"m_$c")).head,
+        featureCols.map(c => avg(col(c)).as(s"m_$c")).tail: _*)
+
+    val withDist = adj
+      .join(means.select(col("seg_id").as("seg_a"),
+        struct(featureCols.map(c => col(s"m_$c")): _*).as("fa")), Seq("seg_a"))
+      .join(means.select(col("seg_id").as("seg_b"),
+        struct(featureCols.map(c => col(s"m_$c")): _*).as("fb")), Seq("seg_b"))
+      .withColumn("dist",
+        sqrt(featureCols.map(c =>
+          pow(col("fa").getField(s"m_$c") - col("fb").getField(s"m_$c"), 2.0))
+          .reduce(_ + _)))
+      .filter(col("dist") <= featureTol)
+      .select("seg_a", "seg_b")
+
+    // driver-side union-find over segment-level edges
+    val edges = withDist.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val remap = parent.keys.map(k => k -> find(k)).toSeq
+    if (remap.isEmpty) labeled.withColumn("global_seg_id", col("seg_id"))
+    else {
+      val remapDf = remap.toDF("seg_id", "global_root")
+      labeled
+        .join(broadcast(remapDf), Seq("seg_id"), "left")
+        .withColumn("global_seg_id", coalesce(col("global_root"), col("seg_id")))
+        .drop("global_root")
+    }
+  }
+
   // ---------- polygonize (M7) ----------
 
   /** Trace one 4-connected component's boundary into WKT rings.

@@ -88,6 +88,26 @@ class SegmentationSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeGlobal unifies same-region segments across tile seams") {
+    val df = twoRegionGrid // 16×16, contrast step at col 8
+    val segs = Segmentation.segmentTiles(df, Seq("B1"),
+      tileH = 8, tileW = 8, pad = 2, scale = 10.0, minSize = 2, sigma = 0.0)
+    val labeled = segs.join(df, Seq("px_row", "px_col"))
+    // tiled run: each tile labels its core separately → >2 raw segments
+    assert(segs.select("seg_id").distinct().count() > 2)
+    val merged = Segmentation.mergeGlobal(labeled, Seq("B1"), featureTol = 1.0)
+    val globals = merged.select("global_seg_id").distinct().count()
+    assert(globals == 2) // left region + right region, globally unified
+    // merged partition equals the single-tile global result
+    val single = Segmentation.segmentTiles(df, Seq("B1"),
+      tileH = 16, tileW = 16, pad = 4, scale = 10.0, minSize = 2, sigma = 0.0)
+      .select("px_row", "px_col", "seg_id").collect()
+      .groupBy(_.getLong(2)).values.map(_.map(r => (r.getInt(0), r.getInt(1))).toSet).toSet
+    val tiledSets = merged.select("px_row", "px_col", "global_seg_id").collect()
+      .groupBy(_.getLong(2)).values.map(_.map(r => (r.getInt(0), r.getInt(1))).toSet).toSet
+    assert(tiledSets == single)
+  }
+
   test("polygonize emits closed WKT rings with correct cell counts (M7)") {
     // 3×3 square with center hole, plus a separate 1×2 bar
     val cells = Seq(
