@@ -280,6 +280,33 @@ object SparkEntry {
       .select(col("user_id"), col("m.value").as("last_val"))
       .orderBy("user_id")
 
+  /** J10 — as-of join: for each error event, the user's most recent prior
+    * (or simultaneous) click. One window pass (carry-forward last match via
+    * IGNORE NULLS) — no range join, no per-key loop; the scalable as-of
+    * formulation.
+    */
+  private def j10(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("click_id"))
+      .orderBy("event_id")
+  }
+
+  /** Q6 — pivot: per-returnflag quantity sums spread across linestatus
+    * columns (`RelationalGroupedDataset.pivot`; oracle via CASE aggregation).
+    */
+  private def q6(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(D2)).cast("double"))
+      .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   private def j8(s: SparkSession, d: String) =
     Tables.customer(s, d)
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
@@ -615,6 +642,8 @@ object SparkEntry {
     "j4_dispatch" -> (j4 _),
     "j6_range_join" -> (j6 _),
     "j7_merge_maxby" -> (j7 _),
+    "j10_asof" -> (j10 _),
+    "q6_pivot" -> (q6 _),
     "j8_semi" -> (j8 _),
     "j9_anti" -> (j9 _),
     "set1_intersect" -> (set1 _),
@@ -771,6 +800,18 @@ object SparkEntry {
       """SELECT user_id, value AS last_val FROM (
         |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "j10_asof" ->
+      """SELECT event_id, user_id, click_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM events) t WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q6_pivot" ->
+      """SELECT l_returnflag,
+        |CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j8_semi" ->
       "SELECT c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "j9_anti" ->
