@@ -597,6 +597,19 @@ object SparkEntry {
         .cast("double").as("revenue"))
       .orderBy("r_name", "n_name")
 
+  /** Q7 — ROLLUP grouping sets over the regional revenue cube (subtotal +
+    * grand-total rows; NULLS FIRST alignment with the oracle).
+    */
+  private def q7(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rn"), col("n_name").as("nn"), col("o_totalprice"))
+      .rollup(col("rn").as("r_name"), col("nn").as("n_name"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
   /** ST2 — sliding windows (1 h window, 15 min slide) as a batch query:
     * each event lands in 4 windows; oracled via epoch arithmetic.
     */
@@ -674,6 +687,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1 _),
     "q3_shipping_priority" -> (q3 _),
     "q5_regional_revenue" -> (q5 _),
+    "q7_rollup" -> (q7 _),
     "st2_sliding" -> (st2 _)
   )
 
@@ -942,6 +956,12 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q7_rollup" ->
+      """SELECT r_name, n_name, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "st2_sliding" ->
       """SELECT make_timestamp(CAST((CAST(floor(epoch(ts)/900) AS BIGINT) - i) * 900 * 1000000 AS BIGINT)) AS window_start,
         |event_type, count(*) AS n
