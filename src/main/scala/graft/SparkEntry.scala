@@ -425,6 +425,16 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
       .orderBy("doc_id")
 
+  /** E3b — IVF ANN top-k (seeded KMeans cells, no SQL analog → rows-only
+    * driver check; SimilaritySpec proves recall on separated clusters).
+    */
+  private def e3b(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nLists = 8, nProbe = 2)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -673,6 +683,7 @@ object SparkEntry {
     "e2b_lsh_pairs" -> (e2b _),
     "e7_jaccard_verify" -> (e7 _),
     "e3_cosine_topk" -> (e3 _),
+    "e3b_ivf_topk" -> (e3b _),
     "e8_embedding_neardup" -> (e8 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
