@@ -30,10 +30,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line SHORT (3-decimal secs): the driver captures a bounded
+    // tail of stdout, and round 1's full-precision line overflowed it
+    // (BENCH_r01.json parsed:null).
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // fallback copy on disk in case stdout is truncated anyway
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

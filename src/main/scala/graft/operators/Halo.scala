@@ -24,6 +24,12 @@ object Halo {
   /** Add halo copies. Input must carry global integer pixel coordinates
     * (`rowCol`, `colCol`); tile ids are derived as floorDiv(coord, tile).
     * Output adds: halo_tile_x, halo_tile_y, is_core.
+    *
+    * `numRows`/`numCols` (global grid extent, exclusive) bound the +1
+    * directions so right/bottom edge pixels don't emit copies into tiles
+    * past the grid (halo-only groups waste a full kernel run downstream).
+    * Pass -1 when the extent is unknown — kernels must then tolerate (or
+    * pre-filter) groups with no core rows.
     */
   def withHalo(
       df: DataFrame,
@@ -31,7 +37,9 @@ object Halo {
       colCol: String,
       tileH: Int,
       tileW: Int,
-      pad: Int): DataFrame = {
+      pad: Int,
+      numRows: Int = -1,
+      numCols: Int = -1): DataFrame = {
     require(pad >= 0 && pad < tileH && pad < tileW, s"pad $pad must be in [0, tile)")
     val r = col(rowCol)
     val c = col(colCol)
@@ -40,16 +48,21 @@ object Halo {
     // offset of the pixel inside its own tile
     val offR = r - ty * tileH
     val offC = c - tx * tileW
+    // last tile index in each direction, if the extent is known
+    val maxTx = if (numCols > 0) (numCols - 1) / tileW else -1
+    val maxTy = if (numRows > 0) (numRows - 1) / tileH else -1
 
     def fitsX(dx: Int): Column = dx match {
       case 0  => lit(true)
       case -1 => offC < lit(pad) && tx > 0
-      case 1  => offC >= lit(tileW - pad)
+      case 1  => offC >= lit(tileW - pad) &&
+        (if (maxTx >= 0) tx < lit(maxTx) else lit(true))
     }
     def fitsY(dy: Int): Column = dy match {
       case 0  => lit(true)
       case -1 => offR < lit(pad) && ty > 0
-      case 1  => offR >= lit(tileH - pad)
+      case 1  => offR >= lit(tileH - pad) &&
+        (if (maxTy >= 0) ty < lit(maxTy) else lit(true))
     }
 
     val copies = for { dy <- -1 to 1; dx <- -1 to 1 } yield

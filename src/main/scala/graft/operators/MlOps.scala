@@ -119,10 +119,16 @@ object MlOps {
       labelCol: String,
       seed: Long = DefaultSeed): DataFrame = {
     val comboOf = ScalarOps.comboKey(bandCols.map(b => b -> col(b)))
-    val trainK = train.withColumn("combo", comboOf)
-    val applyK = apply.withColumn("combo", comboOf).cache()
+    // Routing key uses an unambiguous separator: band NAMES may themselves
+    // contain '_' (Stage-0 emits ndvi_m6, win_B4, ...), so the display combo
+    // "a_b_c" cannot be split back into names. '' never appears in a
+    // column name, so this key round-trips exactly.
+    val routeOf = concat_ws("",
+      bandCols.map(b => when(col(b).isNotNull, lit(b))): _*)
+    val trainK = train.withColumn("combo", comboOf).withColumn("__route", routeOf)
+    val applyK = apply.withColumn("combo", comboOf).withColumn("__route", routeOf).cache()
     try {
-      val combos = applyK.select("combo").distinct().collect().map(_.getString(0))
+      val combos = applyK.select("__route").distinct().collect().map(_.getString(0))
         .filter(_.nonEmpty).sorted
       // Train per-combo models concurrently (driver threads submitting
       // independent Spark jobs — the scheduler interleaves their stages);
@@ -134,14 +140,14 @@ object MlOps {
       val parts =
         try {
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
-          val futures = combos.toSeq.map { combo =>
+          val futures = combos.toSeq.map { route =>
             Future {
-              val bands = combo.split("_").toSeq
-              val trainPart = trainK.filter(col("combo") === combo)
+              val bands = route.split('').toSeq
+              val trainPart = trainK.filter(col("__route") === route)
               if (trainPart.isEmpty) None
               else {
                 val model = trainRf(trainPart.na.fill(0.0, bands), bands, labelCol, seed = seed)
-                Some(combo -> classify(model, applyK.filter(col("combo") === combo).na.fill(0.0, bands)))
+                Some(route -> classify(model, applyK.filter(col("__route") === route).na.fill(0.0, bands)))
               }
             }
           }
@@ -150,6 +156,7 @@ object MlOps {
         } finally pool.shutdown()
       parts.reduceOption(_ unionByName _)
         .getOrElse(classify(trainRf(trainK.na.fill(0.0, bandCols), bandCols, labelCol), applyK.limit(0)))
+        .drop("__route")
     } finally applyK.unpersist()
   }
 

@@ -236,26 +236,33 @@ object Segmentation {
           val grid = Array.ofDim[Float](nCh, h * w)
           val present = new Array[Boolean](h * w)
           val core = new Array[Boolean](h * w)
+          var anyCore = false
           pix.foreach { case (_, _, isCore, r, c, f) =>
             val i = (r - rMin) * w + (c - cMin)
             present(i) = true; core(i) = isCore
+            anyCore ||= isCore
             var ch = 0
             while (ch < nCh) { grid(ch)(i) = f(ch); ch += 1 }
           }
-          val smoothed = gaussianSmooth(grid, h, w, nCh, sigma)
-          val labels = felzenszwalb(smoothed, h, w, nCh, scale, minSize)
-          // keep core pixels, renumber labels in row-major core order
-          val remap = mutable.HashMap.empty[Int, Int]
-          val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int)]
-          var i = 0
-          while (i < h * w) {
-            if (present(i) && core(i)) {
-              val lbl = remap.getOrElseUpdate(labels(i), remap.size)
-              out += ((tx, ty, rMin + i / w, cMin + i % w, lbl))
+          // halo-only group (grid edge without bounds info): nothing to emit,
+          // skip the kernel entirely
+          if (!anyCore) Iterator.empty
+          else {
+            val smoothed = gaussianSmooth(grid, h, w, nCh, sigma)
+            val labels = felzenszwalb(smoothed, h, w, nCh, scale, minSize)
+            // keep core pixels, renumber labels in row-major core order
+            val remap = mutable.HashMap.empty[Int, Int]
+            val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int)]
+            var i = 0
+            while (i < h * w) {
+              if (present(i) && core(i)) {
+                val lbl = remap.getOrElseUpdate(labels(i), remap.size)
+                out += ((tx, ty, rMin + i / w, cMin + i % w, lbl))
+              }
+              i += 1
             }
-            i += 1
+            out.iterator
           }
-          out.iterator
         }
       }
 
@@ -392,9 +399,14 @@ object Segmentation {
           else {
             val pick = outs.minBy { nxt =>
               val dirOut = (nxt._1 - cur._1, nxt._2 - cur._2)
-              // cross<0 = right turn (y down): prefer right turns
-              val cross = dirIn._1 * dirOut._2 - dirIn._2 * dirOut._1
-              -cross
+              // Two boundary strands touch at this corner (e.g. holes
+              // meeting diagonally). With region-on-left edges, the
+              // continuation belonging to the SAME strand is the most
+              // clockwise turn in standard axes = minimal cross product
+              // (e.g. in (1,0)->(0,-1) has cross -1, the correct hole-ring
+              // continuation; picking max cross would stitch both holes
+              // into one self-touching ring).
+              dirIn._1 * dirOut._2 - dirIn._2 * dirOut._1
             }
             outs -= pick
             pick

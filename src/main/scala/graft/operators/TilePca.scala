@@ -44,29 +44,46 @@ object TilePca {
   /** Add `pca1`: the centered projection of `featureCols` onto the tile's
     * principal component. Exactly two jobs: the moment aggregation (tiny
     * result: one row per tile) and the projected scan.
+    *
+    * NULL semantics: moments are NULL-aware (per-feature and per-pair
+    * counts, so partially-null tiles get unbiased means/covariance); an
+    * entirely-NULL feature contributes mean 0 / covariance 0 and simply
+    * drops out of the axis. Rows whose own features contain NULLs project
+    * to a NULL `pca1` — impute first (e.g. `ScalarOps.fillNoData`) if that
+    * is not wanted, as `Stages.prepareSegmentationFeatures` does.
     */
   def withPca1(df: DataFrame, tileCols: Seq[String], featureCols: Seq[String]): DataFrame = {
     val d = featureCols.length
     val spark = df.sparkSession
 
-    // per-tile first and second moments (map-side combined)
+    // per-tile first and second moments (map-side combined); sums coalesced
+    // to 0 and counts tracked per feature / per pair so NULLs don't bias
     val moments = df.groupBy(tileCols.map(col): _*).agg(
       count(lit(1)).as("n"),
-      Seq.tabulate(d)(i => sum(col(featureCols(i)).cast("double")).as(s"s$i")) ++
+      Seq.tabulate(d)(i => coalesce(sum(col(featureCols(i)).cast("double")), lit(0.0)).as(s"s$i")) ++
+        Seq.tabulate(d)(i => count(col(featureCols(i))).as(s"n$i")) ++
         (for { i <- 0 until d; j <- i until d } yield
-          sum((col(featureCols(i)) * col(featureCols(j))).cast("double")).as(s"p${i}_$j")): _*)
+          coalesce(sum((col(featureCols(i)) * col(featureCols(j))).cast("double")), lit(0.0)).as(s"p${i}_$j")) ++
+        (for { i <- 0 until d; j <- i until d } yield
+          count(col(featureCols(i)) * col(featureCols(j))).as(s"c${i}_$j")): _*)
 
     // eigen-solve per tile row (rows = #tiles, trivially small)
     import spark.implicits._
     val keyIdx = tileCols.indices
+    val nPairs = d * (d + 1) / 2
     val withVec = moments.map { row =>
-      val n = row.getAs[Long](tileCols.length).toDouble
       val base = tileCols.length + 1
-      val mean = Array.tabulate(d)(i => row.getDouble(base + i) / n)
+      val mean = Array.tabulate(d) { i =>
+        val ni = row.getAs[Long](base + d + i)
+        if (ni == 0L) 0.0 else row.getDouble(base + i) / ni
+      }
       val cov = Array.ofDim[Double](d, d)
-      var k = base + d
+      var k = 0
       for { i <- 0 until d; j <- i until d } {
-        val c = row.getDouble(k) / n - mean(i) * mean(j)
+        val nij = row.getAs[Long](base + 2 * d + nPairs + k)
+        val c =
+          if (nij == 0L) 0.0
+          else row.getDouble(base + 2 * d + k) / nij - mean(i) * mean(j)
         cov(i)(j) = c; cov(j)(i) = c
         k += 1
       }

@@ -80,11 +80,18 @@ object EventStream {
   }
 
   /** Run any of the above to completion against a bounded file source and
-    * return the final result (memory sink). `Update` mode emits per-batch
-    * refinements; the caller sees the final table.
+    * return the memory-sink table.
+    *
+    * NOTE on `Update` mode: the memory sink APPENDS each micro-batch's
+    * refinements, so the raw table holds stale rows per key alongside the
+    * latest. Pass `finalKeys` to collapse to the final refinement per key
+    * (valid for monotone aggregates — counts/sums only grow, so max-struct
+    * of the value columns IS the last emit), or re-aggregate yourself.
+    * `Complete`/`Append` modes need no collapse.
     */
   def runToCompletion(agg: DataFrame, queryName: String,
-      mode: OutputMode = OutputMode.Update()): DataFrame = {
+      mode: OutputMode = OutputMode.Update(),
+      finalKeys: Seq[String] = Nil): DataFrame = {
     val spark = agg.sparkSession
     val q = agg.writeStream
       .outputMode(mode)
@@ -93,6 +100,13 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    val raw = spark.table(queryName)
+    if (finalKeys.isEmpty) raw
+    else {
+      val valueCols = raw.columns.filterNot(finalKeys.contains)
+      raw.groupBy(finalKeys.map(col): _*)
+        .agg(max(struct(valueCols.map(col): _*)).as("_m"))
+        .select(finalKeys.map(col) ++ valueCols.map(c => col(s"_m.$c").as(c)): _*)
+    }
   }
 }

@@ -130,6 +130,25 @@ class SegmentationSpec extends AnyFunSuite {
     assert(bar.getAs[String]("wkt").count(_ == '(') == 2) // no holes
   }
 
+  test("polygonize keeps corner-touching holes as separate simple rings (M7)") {
+    // 4×4 block minus (1,1) and (2,2): two single-cell holes meeting
+    // diagonally at corner (2,2). The ring tracer must NOT stitch them into
+    // one self-touching 8-edge ring.
+    val cells = for { r <- 0 until 4; c <- 0 until 4 if !((r, c) == ((1, 1)) || (r, c) == ((2, 2))) }
+      yield (r, c, 3L)
+    val df = cells.toDF("px_row", "px_col", "seg_id")
+    val out = Segmentation.polygonize(df).collect()
+    assert(out.length == 1)
+    val wkt = out(0).getAs[String]("wkt")
+    // POLYGON ( + outer ( + two hole ( → 4 opening parens
+    assert(wkt.count(_ == '(') == 4, s"expected outer + 2 hole rings in $wkt")
+    // each hole is a unit square: 4 corners + closing point = 5 pairs
+    val rings = wkt.stripPrefix("POLYGON (").stripSuffix(")")
+      .split("\\), \\(").map(_.replaceAll("[()]", ""))
+    val holeSizes = rings.drop(1).map(_.split(", ").length).toSeq
+    assert(holeSizes == Seq(5, 5), s"holes not simple: $holeSizes in $wkt")
+  }
+
   test("polygonize splits diagonal-only regions into parts (M7 4-connectivity)") {
     val df = Seq((0, 0, 1L), (1, 1, 1L)).toDF("px_row", "px_col", "seg_id")
     val out = Segmentation.polygonize(df).collect()
