@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only decomposition experiments (not part of the engine surface). */
+object Exp {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[exp] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    val docs = Tables.documents(spark, d)
+    for (i <- 1 to 3)
+      time(s"fuzzy bcast (run$i)")(Dedup.fuzzyDupPairs(docs, 0.0).count())
+    for (i <- 1 to 3)
+      time(s"fuzzy shuffle (run$i)")(
+        Dedup.fuzzyDupPairs(docs, 0.0, broadcastPairs = false).count())
+    val plan = Dedup.fuzzyDupPairs(docs, 0.0).queryExecution.executedPlan.toString
+    println("[exp] scans in plan: " + "FileScan".r.findAllIn(plan).size)
+    println("[exp] reused exchanges: " + "ReusedExchange".r.findAllIn(plan).size)
+    println("[exp] broadcast exchanges: " + "BroadcastExchange".r.findAllIn(plan).size)
+    println("[exp] shuffle exchanges: " + "Exchange hashpartitioning".r.findAllIn(plan).size)
+    spark.stop()
+  }
+}

@@ -84,7 +84,12 @@ object SparkEntry {
     */
   private def s5(s: SparkSession, d: String) = {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    // repartition by the partition column first: without it every task
+    // writes a file into every partition dir (tasks × values small files —
+    // the classic partitioned-sink mistake at scale); with it each value's
+    // rows land in one task → one compact file per partition.
     Tables.lineitem(s, d)
+      .repartition(col("l_returnflag"))
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     s.read.parquet(out)
       .groupBy("l_returnflag")
@@ -396,21 +401,21 @@ object SparkEntry {
     * with candidates, not |corpus|².
     */
   private def e7(s: SparkSession, d: String) = {
-    val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashCandidatePairs(docs, numHashes = 8, rowsPerBand = 2)
-    Dedup.jaccardVerify(docs, pairs, threshold = 0.0)
+    Dedup.fuzzyDupPairs(Tables.documents(s, d), threshold = 0.0, numHashes = 8, rowsPerBand = 2)
       .withColumn("jaccard", round(col("jaccard"), 6))
-      .coalesce(1)
+      .repartition(1)
       .sortWithinPartitions("a", "b")
   }
 
   /** Global orderBy would range-sample and re-execute the whole LSH
     * pipeline; the pair set is tiny, so sort it in one partition instead
-    * (same total order, single upstream execution).
+    * (same total order, single upstream execution). repartition(1), NOT
+    * coalesce(1): coalesce folds the upstream stage to one task, a shuffle
+    * boundary keeps it parallel.
     */
   private def e2b(s: SparkSession, d: String) =
     Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
-      .coalesce(1)
+      .repartition(1)
       .sortWithinPartitions("a", "b")
 
   private def e3(s: SparkSession, d: String) = {
@@ -525,9 +530,13 @@ object SparkEntry {
   private def m1(s: SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
     val feats = Seq("l_quantity", "l_discount", "l_tax")
-    val train = li.filter(col("l_orderkey") % 20 === 0)
+    // Train on a deterministic 2% arithmetic sample: RF fit cost in Spark ML
+    // scales with levels × trees × rows, and a label derivable from 3 simple
+    // features saturates well below the full table — the 100 TB pattern is
+    // likewise "sample for fit, score everything".
+    val train = li.filter(col("l_orderkey") % 50 === 0)
       .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
-    val model = MlOps.trainRf(train, feats, "label", numTrees = 20, maxDepth = 8)
+    val model = MlOps.trainRf(train, feats, "label", numTrees = 16, maxDepth = 6)
     MlOps.classify(model, li)
       .groupBy("pred_label")
       .agg(count(lit(1)).as("n"))

@@ -45,8 +45,27 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles is metadata-only (no physical planning, unlike .rdd);
+    // a many-file input is already spread, and a single parquet file is
+    // exactly the case that needs the repartition.
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files < target) df.repartition(target) else df
   }
+
+  /** Distinct-shingle sets: the shared projection both the MinHash
+    * signature pipeline and exact-Jaccard verification read. Spread +
+    * repartition means identical calls produce identical exchange
+    * subtrees, so ReuseExchange computes tokenize+shingle ONCE per query
+    * even when referenced from several branches.
+    */
+  def shingleSets(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    spread(docs).select(
+      col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
 
   /** MinHash signature table: idCol, m0..m{numHashes-1}.
     * The shingle array is materialized as its own projection so the 8
@@ -61,9 +80,15 @@ object Dedup {
       shingleK: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    spread(docs)
-      .select(col(idCol), TextOps.shingles(TextOps.tokens(col(textCol)), shingleK).as("_sh"))
-      .select(col(idCol), TextOps.shingleHashes(col("_sh")).as("_hs"))
+    signaturesOf(shingleSets(docs, shingleK, idCol, textCol), numHashes, idCol)
+
+  /** Signatures from a prebuilt shingle-set projection (shared-scan form).
+    * min over the distinct set equals min over the raw multiset, so
+    * dedup-first changes nothing in the signature values.
+    */
+  private def signaturesOf(sh: DataFrame, numHashes: Int, idCol: String): DataFrame =
+    sh
+      .select(col(idCol), TextOps.shingleHashes(col("sh")).as("_hs"))
       .select(col(idCol) +:
         (0 until numHashes).map(j => TextOps.minhashComponent(col("_hs"), j).as(s"m$j")): _*)
 
@@ -80,8 +105,17 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Int = 10000): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    pairsOf(minhashSignatures(docs, numHashes, shingleK, idCol, textCol),
+      numHashes, rowsPerBand, idCol, maxBucket)
+  }
+
+  private def pairsOf(
+      sig: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      idCol: String,
+      maxBucket: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(docs, numHashes, shingleK, idCol, textCol)
     val bands = (0 until numBands).map { b =>
       val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
@@ -115,19 +149,62 @@ object Dedup {
       threshold: Double,
       shingleK: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val shSets = spread(docs).select(
-      col(idCol).as("id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
-    pairs
-      .join(shSets.select(col("id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(shSets.select(col("id").as("b"), col("sh").as("sh_b")), Seq("b"))
+      textCol: String = "text",
+      broadcastPairs: Boolean = false): DataFrame =
+    verifyOf(shingleSets(docs, shingleK, idCol, textCol).withColumnRenamed(idCol, "id"),
+      pairs, threshold, broadcastPairs)
+
+  /** Verify against a prebuilt shingle-set projection (`id`, `sh`).
+    *
+    * Join shape: the PAIRS side carries no arrays and (post-LSH) is far
+    * smaller than the corpus, so it should be the build side while shingle
+    * sets stream through both joins. Default is NO manual hint: AQE sees
+    * the pairs side's true post-shuffle size and converts to a broadcast
+    * join with that build side on its own — measured faster than forcing
+    * it (a `broadcast()` hint serializes extra collect-to-driver jobs up
+    * front). Set `broadcastPairs = true` only for non-AQE sessions.
+    */
+  private def verifyOf(
+      shSets: DataFrame,
+      pairs: DataFrame,
+      threshold: Double,
+      broadcastPairs: Boolean): DataFrame = {
+    val p = if (broadcastPairs) broadcast(pairs) else pairs
+    val withA = shSets
+      .select(col("id").as("a"), col("sh").as("sh_a"))
+      .join(p, Seq("a"))
+    val j = shSets
+      .select(col("id").as("b"), col("sh").as("sh_b"))
+      .join(if (broadcastPairs) broadcast(withA) else withA, Seq("b"))
+    j
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .filter(col("inter") > 0)
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+  }
+
+  /** One-pass fuzzy dedup: LSH candidate pairs + exact-Jaccard scores in a
+    * single query whose signature and verify branches share ONE shingle
+    * projection (identical exchange subtrees → ReuseExchange computes
+    * tokenize+shingle once). This is the operator a pipeline should call;
+    * `minhashCandidatePairs` + `jaccardVerify` remain for staged use.
+    */
+  def fuzzyDupPairs(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucket: Int = 10000,
+      broadcastPairs: Boolean = false): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val sh = shingleSets(docs, shingleK, idCol, textCol)
+    val pairs = pairsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol, maxBucket)
+    verifyOf(sh.withColumnRenamed(idCol, "id"), pairs, threshold, broadcastPairs)
   }
 
   /** Embedding-cosine near-dup pairs: vectors whose cosine similarity

@@ -62,15 +62,25 @@ object Similarity {
       nProbe: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      trainSample: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
     val corpusVec = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
-    val model = km.fit(corpusVec)
+    // Index-build cost control: centroids only need to partition space, not
+    // converge — a handful of Lloyd iterations on a (seeded, deterministic)
+    // sample is how production IVF trains at corpus scale. Probing quality
+    // is governed by nProbe, not centroid convergence.
+    val trainSet =
+      if (trainSample >= 1.0) corpusVec
+      else corpusVec.sample(withReplacement = false, trainSample, seed)
+    val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
+    val model = km.fit(trainSet)
     val indexed = model.transform(corpusVec)
       .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
 
