@@ -639,6 +639,99 @@ object SparkEntry {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
 
+  // ---------- round-2 additions: curation / graph / session surface ----------
+
+  /** W4 — event-time RANGE frame (trailing 5 minutes per user): the frame
+    * extent is data-driven (µs range), not a row count — the other half of
+    * the window surface next to w1's ROWS frame.
+    */
+  private def w4(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-300000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("w_avg", round(avg(col("value")).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("w_avg"))
+      .orderBy("user_id", "event_id", "w_avg")
+  }
+
+  /** Q8 — CUBE over (returnflag, linestatus): all four grouping-set
+    * combinations in one pass (partial-agg friendly; Catalyst expands to a
+    * single Expand + one shuffle).
+    */
+  private def q8(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"), col("l_quantity"))
+      .cube(col("rf").as("l_returnflag"), col("ls").as("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** SAMP1 — deterministic md5 train/val/test split (stable under reruns
+    * and appends, unlike RNG sampling); output is the split census.
+    */
+  private def samp1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    docs
+      .withColumn("split", operators.Curation.hashSplit(docs, "doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")
+  }
+
+  /** PACK1 — token-budget sequence packing (concat-and-split at 2048
+    * tokens in doc_id order), reported per bin.
+    */
+  private def pack1(s: SparkSession, d: String) =
+    operators.Curation.packByTokenBudget(
+      Tables.documents(s, d), TextOps.tokenCount(col("text")), "doc_id", budget = 2048)
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
+      .orderBy("bin_id")
+
+  /** TFIDF1 — top-3 salient terms per document (tf·ln(N/df), rank ties on
+    * term asc; scores rounded before ranking for cross-engine stability).
+    */
+  private def tfidf1(s: SparkSession, d: String) =
+    operators.Curation.topTfidfTerms(Tables.documents(s, d), k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** CC1 — duplicate-cluster canonicalization: connected components over
+    * the LSH candidate pairs (e2b's edge set), keeper = min doc id per
+    * component. The step that turns pairwise near-dup evidence into a
+    * keep/drop decision.
+    */
+  private def cc1(s: SparkSession, d: String) = {
+    val edges = Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+    operators.Graph.componentSummary(operators.Graph.connectedComponents(edges))
+      .orderBy("keep_id")
+  }
+
+  /** ST3 — sessionization (30 min inactivity gap). Batch gaps-and-islands
+    * form here (oracled); EventStreamSpec proves the streaming
+    * flatMapGroupsWithState twin emits the same closed sessions.
+    */
+  private def st3(s: SparkSession, d: String) =
+    streaming.EventStream.sessionizeBatch(Tables.events(s, d), gapSec = 1800)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start", "session_end", "n_events")
+
+  /** M7b — polygonize on an oracle-constructible grid: every distinct
+    * (orderkey%16, partkey%16) cell is its own segment, so each WKT is a
+    * known unit square — hash-checks the ring orientation, start-vertex,
+    * and formatting conventions of the raster→vector path (the dense
+    * multi-cell cases are covered by SegmentationSpec).
+    */
+  private def m7b(s: SparkSession, d: String) = {
+    val px = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+      .withColumn("seg_id", (col("px_row") * 16 + col("px_col")).cast("long"))
+    operators.Segmentation.polygonize(px)
+      .select(col("seg_id"), col("part"), col("wkt"), col("n_cells"))
+      .orderBy("seg_id", "part")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,7 +801,15 @@ object SparkEntry {
     "q3_shipping_priority" -> (q3 _),
     "q5_regional_revenue" -> (q5 _),
     "q7_rollup" -> (q7 _),
-    "st2_sliding" -> (st2 _)
+    "st2_sliding" -> (st2 _),
+    "w4_range_frame" -> (w4 _),
+    "q8_cube" -> (q8 _),
+    "samp1_hash_split" -> (samp1 _),
+    "pack1_token_budget" -> (pack1 _),
+    "tfidf1_top_terms" -> (tfidf1 _),
+    "cc1_dup_components" -> (cc1 _),
+    "st3_sessionize" -> (st3 _),
+    "m7b_polygonize_cells" -> (m7b _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -995,6 +1096,73 @@ object SparkEntry {
          |  CAST(1 + ${sqlHexVal("substr(h,9,1)", 1)} % 4 AS INTEGER) AS channels,
          |  CAST(1 + ${sqlHexVal("substr(h,10,3)", 3)} % 240 AS INTEGER) AS n_frames,
          |  CAST((${sqlHexVal("substr(h,10,3)", 3)} % 240) // 4 + 1 AS BIGINT) AS n_sampled
-         |FROM t ORDER BY media_id""".stripMargin
+         |FROM t ORDER BY media_id""".stripMargin,
+    "w4_range_frame" ->
+      """SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6) AS w_avg
+        |FROM events ORDER BY user_id, event_id, w_avg""".stripMargin,
+    "q8_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "samp1_hash_split" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  ${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 4)} % 100 AS bucket FROM documents)
+         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM t GROUP BY split ORDER BY split""".stripMargin,
+    "pack1_token_budget" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY bin_id ORDER BY bin_id""".stripMargin,
+    "tfidf1_top_terms" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln(nd.n_docs / dfq.df), 6) AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN nd)
+        |SELECT doc_id, rank, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "cc1_dup_components" ->
+      s"""${sqlShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+         |reach(x, y) AS (SELECT x, y FROM und
+         |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         |comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x)
+         |SELECT component AS keep_id, count(*) AS n_members
+         |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
+    "st3_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |  THEN 1 ELSE 0 END AS new_s FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM l)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start, session_end, n_events""".stripMargin,
+    "m7b_polygonize_cells" ->
+      """WITH px AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INTEGER) AS r, CAST(l_partkey % 16 AS INTEGER) AS c FROM lineitem)
+        |SELECT CAST(r * 16 + c AS BIGINT) AS seg_id, CAST(0 AS INTEGER) AS part,
+        |  'POLYGON ((' || CAST(c AS VARCHAR) || ' ' || CAST(r AS VARCHAR) || ', ' ||
+        |    CAST(c + 1 AS VARCHAR) || ' ' || CAST(r AS VARCHAR) || ', ' ||
+        |    CAST(c + 1 AS VARCHAR) || ' ' || CAST(r + 1 AS VARCHAR) || ', ' ||
+        |    CAST(c AS VARCHAR) || ' ' || CAST(r + 1 AS VARCHAR) || ', ' ||
+        |    CAST(c AS VARCHAR) || ' ' || CAST(r AS VARCHAR) || '))' AS wkt,
+        |  CAST(1 AS BIGINT) AS n_cells
+        |FROM px ORDER BY seg_id, part""".stripMargin
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators (BASELINE.json north_star): the steps
+  * between "deduplicated corpus" and "training shards" — deterministic
+  * splits, token-budget packing, salient-term extraction.
+  *
+  * Everything here is hash- or window-based and oracle-checkable; no RNG,
+  * no driver-side state.
+  */
+object Curation {
+
+  /** Deterministic hash split: md5 of the id → bucket 0..99 → named split.
+    * The split is a pure function of the id (stable under reruns, appends,
+    * and re-partitioning — the property `sample()`/`randomSplit()` lack),
+    * which is what training pipelines need so a document never migrates
+    * between train and eval. Fractions are cumulative percentages.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): Column = {
+    val bucket = TextOps.hexVal(md5(col(idCol).cast("string")), 4) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Token-budget sequence packing, concat-and-split style: documents are
+    * laid out in `orderCol` order as one virtual token stream and cut into
+    * bins of `budget` tokens; a document's bin is where its FIRST token
+    * falls. One window pass (running sum), no driver loop.
+    *
+    * Scale note: a single unpartitioned ORDER BY window serializes onto
+    * one reducer. Pass `shardCol` to pack independently within shards
+    * (file / date / bucket) — the production layout, since cross-shard
+    * packing order is arbitrary anyway.
+    */
+  def packByTokenBudget(
+      df: DataFrame,
+      tokenCountCol: Column,
+      orderCol: String,
+      budget: Int,
+      shardCol: Option[String] = None): DataFrame = {
+    val w0 = shardCol match {
+      case Some(s) => Window.partitionBy(s)
+      case None => Window.partitionBy()
+    }
+    val w = w0.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_n_tok", tokenCountCol.cast("long"))
+      .withColumn("_cum", sum(col("_n_tok")).over(w))
+      .withColumn("bin_id", floor((col("_cum") - col("_n_tok")) / budget).cast("long"))
+      .drop("_cum")
+      .withColumnRenamed("_n_tok", "n_tok")
+  }
+
+  /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,
+    * idf = ln(N / df); ties break on term ascending. Two shuffles
+    * (doc-term agg, term df agg) + a broadcast of the per-term df table —
+    * df has one row per distinct term, small relative to the corpus.
+    */
+  def topTfidfTerms(
+      docs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val docTerm = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val termDf = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    docTerm
+      .join(broadcast(termDf), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+}

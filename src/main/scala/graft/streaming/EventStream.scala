@@ -5,6 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** Open-session state for `EventStream.sessionize` (top level: the state
+  * encoder's generated code can't instantiate object-nested private case
+  * classes).
+  */
+private[streaming] case class OpenSession(startUs: Long, endUs: Long, n: Long)
+
 /** Structured Streaming surface (SURVEY.md §1.3, §7 step 9).
   *
   * The reference's streaming character is its bounded-buffer incremental
@@ -77,6 +83,101 @@ object EventStream {
           state.update(latest)
           (userId, latest._1, latest._2)
       }
+  }
+
+  /** One closed user session: maximal run of events with no gap > gapSec. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** java.sql.Timestamp from epoch microseconds (µs-exact — the state
+    * tracks µs longs because Timestamp.getTime would truncate to ms and
+    * diverge from the batch twin on µs-resolution event times).
+    */
+  private def tsFromMicros(us: Long): java.sql.Timestamp = {
+    val sec = java.lang.Math.floorDiv(us, 1000000L)
+    val micro = java.lang.Math.floorMod(us, 1000000L)
+    val t = new java.sql.Timestamp(sec * 1000L)
+    t.setNanos((micro * 1000L).toInt)
+    t
+  }
+
+  /** Sessionization with custom state (flatMapGroupsWithState +
+    * event-time timeout): events for a user belong to one session while
+    * consecutive gaps stay ≤ `gapSec`; a longer gap (or state timeout once
+    * the watermark passes end + gap) closes the session and emits it.
+    * This is THE case the built-in windowed aggs can't express — session
+    * extent depends on the data, not a fixed grid — hence the typed state
+    * API (SURVEY.md §7 step 9).
+    *
+    * State per user is O(1) (open session bounds + count); batches sort
+    * their own rows per user before merging, so intra-batch disorder is
+    * tolerated and only watermark-late rows are lost (they would be
+    * dropped by the state layer anyway).
+    */
+  def sessionize(events: DataFrame, gapSec: Long,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked `ts` attribute must survive into the stateful op
+      // (event-time timeout needs it); `us` carries the µs-exact value
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[OpenSession]) =>
+          val gapUs = gapSec * 1000000L
+          if (!rows.hasNext && state.hasTimedOut) {
+            // watermark passed end + gap: the open session can never extend
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, tsFromMicros(s.startUs), tsFromMicros(s.endUs), s.n))
+          } else {
+            val sorted = rows.map(_._3).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (t <- sorted) open match {
+              case Some(s) if t - s.endUs <= gapUs =>
+                open = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, tsFromMicros(s.startUs), tsFromMicros(s.endUs), s.n)
+                open = Some(OpenSession(t, t, 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+            open.foreach { s =>
+              state.update(s)
+              // the engine rejects timeouts at/behind the current watermark;
+              // clamping forward closes an already-expired session on the
+              // next micro-batch instead of crashing the query
+              state.setTimeoutTimestamp(
+                math.max((s.endUs + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with identical semantics (gaps-and-islands:
+    * lag → gap flag → running session index → group). The oracle-checkable
+    * twin of `sessionize`; EventStreamSpec proves closed-session
+    * equivalence between the two.
+    */
+  def sessionizeBatch(events: DataFrame, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("ts").cast("double") - col("_prev").cast("double") > gapSec, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Run any of the above to completion against a bounded file source and

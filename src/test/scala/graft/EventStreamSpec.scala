@@ -94,6 +94,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(!windows.exists(_._1 == "2024-06-01 09:00:00"))      // beyond-watermark row dropped
   }
 
+  test("streaming sessionize emits exactly the batch data-closed sessions") {
+    val gap = 1800L
+    val stream = EventStream.readEvents(spark, streamDir)
+    // wide watermark: nothing is late-dropped (batch files are not globally
+    // time-ordered), so no event-time timeouts fire either — the emitted
+    // set must be exactly the DATA-closed sessions: every batch session
+    // except each user's last (which stays open forever without a
+    // successor event).
+    val got = EventStream.runToCompletion(
+      EventStream.sessionize(stream, gapSec = gap, watermark = "400 days").toDF(),
+      "t_sessions", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+    val batchAll = EventStream.sessionizeBatch(Tables.events(spark, sf), gap)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val lastPerUser = batchAll.groupBy(_._1).view.mapValues(_.maxBy(_._2.getTime)).values.toSet
+    val expected = batchAll -- lastPerUser
+
+    assert(got == expected,
+      s"streamed ${got.size} vs expected ${expected.size}; " +
+        s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(

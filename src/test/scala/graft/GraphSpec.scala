@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two components resolve to their min ids") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("a long chain needs >1 round and still converges") {
+    // path 1-2-3-...-9: min label must walk the whole diameter
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.size == 9)
+  }
+
+  test("direction and duplicates don't matter") {
+    val got = components(Seq((5L, 2L), (2L, 5L), (5L, 2L), (7L, 5L)))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L))
+  }
+
+  test("componentSummary counts members per keeper") {
+    val comp = Graph.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b"))
+    val got = Graph.componentSummary(comp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 10L -> 2L))
+  }
+
+  test("cycle terminates (converges despite the loop)") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    assert(got.values.toSet == Set(1L))
+  }
+}
