@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Graph}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -27,16 +27,10 @@ object Exp {
     }
 
     val docs = Tables.documents(spark, d)
-    for (i <- 1 to 3)
-      time(s"fuzzy bcast (run$i)")(Dedup.fuzzyDupPairs(docs, 0.0).count())
-    for (i <- 1 to 3)
-      time(s"fuzzy shuffle (run$i)")(
-        Dedup.fuzzyDupPairs(docs, 0.0, broadcastPairs = false).count())
-    val plan = Dedup.fuzzyDupPairs(docs, 0.0).queryExecution.executedPlan.toString
-    println("[exp] scans in plan: " + "FileScan".r.findAllIn(plan).size)
-    println("[exp] reused exchanges: " + "ReusedExchange".r.findAllIn(plan).size)
-    println("[exp] broadcast exchanges: " + "BroadcastExchange".r.findAllIn(plan).size)
-    println("[exp] shuffle exchanges: " + "Exchange hashpartitioning".r.findAllIn(plan).size)
+    val edges = Dedup.minhashCandidatePairs(docs, 8, 2).cache()
+    time("edges materialize")(edges.count())
+    time("cc on cached edges")(Graph.connectedComponents(edges).count())
+    time("cc again")(Graph.connectedComponents(edges).count())
     spark.stop()
   }
 }

@@ -38,30 +38,48 @@ object Graph {
       srcCol: String = "a",
       dstCol: String = "b",
       maxIter: Int = 20): DataFrame = {
-    // undirected: both directions, plus self-loops so min-agg sees own label
+    // undirected edges in both directions PLUS a self-loop per node: the
+    // min over a node's in-neighbors' labels then includes its own label,
+    // so each round is ONE join + ONE aggregation (no second join to merge
+    // the old label back in)
     val fwd = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
-    val und = fwd.union(fwd.select(col("y").as("x"), col("x").as("y"))).distinct()
+    val nodes = fwd.select(col("x")).union(fwd.select(col("y"))).distinct()
+    // pre-partition by x: the per-round groupBy(x) then reuses this
+    // partitioning (when AQE broadcasts the small labels side, the join
+    // preserves the streamed side's distribution → zero shuffles per round;
+    // with a huge label table it degrades to a plain shuffled join)
+    val und = fwd
+      .union(fwd.select(col("y").as("x"), col("x").as("y")))
+      .union(nodes.select(col("x"), col("x").as("y")))
+      .distinct()
+      .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
     try {
       var labels = und.select(col("x").as("node")).distinct()
         .withColumn("label", col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only ever decrease (min-propagation is monotone), so an
+      // unchanged checksum ⟺ a fixpoint; computing it over the fresh cache
+      // also materializes ALL partitions before the old cache is dropped
+      // (a limit()-style early-out would leave the cache partial and force
+      // full lineage recomputation every round — quadratic blowup).
+      def checksum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      var prev = checksum(labels)
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
-        // neighbor labels: edge (x,y) contributes label(y) to node x
         val next = und
-          .join(labels.withColumnRenamed("node", "y").withColumnRenamed("label", "nl"), Seq("y"))
+          .join(labels.select(col("node").as("y"), col("label").as("nl")), Seq("y"))
           .groupBy(col("x").as("node"))
-          .agg(min(col("nl")).as("neighbor_min"))
-          .join(labels, Seq("node"))
-          .select(col("node"), least(col("label"), col("neighbor_min")).as("label"))
+          .agg(min(col("nl")).as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-          .filter(col("label") < col("old")).limit(1).count()
+        val s = checksum(next)
         labels.unpersist()
         labels = next
-        converged = changed == 0
+        converged = s.compareTo(prev) == 0
+        prev = s
         it += 1
       }
       labels.select(col("node"), col("label").as("component"))
