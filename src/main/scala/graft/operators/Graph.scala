@@ -37,7 +37,8 @@ object Graph {
       edges: DataFrame,
       srcCol: String = "a",
       dstCol: String = "b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      localThreshold: Long = 1L << 22): DataFrame = {
     // undirected edges in both directions PLUS a self-loop per node: the
     // min over a node's in-neighbors' labels then includes its own label,
     // so each round is ONE join + ONE aggregation (no second join to merge
@@ -54,7 +55,16 @@ object Graph {
       .distinct()
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+    val edgeCount = und.count()
+    // Broadcast-threshold-style hybrid: a graph whose edge list fits on
+    // the driver resolves in one union-find pass (each distributed round
+    // costs whole shuffle jobs — pure overhead at this size). Dedup-pair
+    // graphs are ≪ corpus size, so this is the common case even at 100 TB;
+    // the iterative path below is the unbounded-scale fallback.
+    if (edgeCount <= localThreshold) {
+      try return localComponents(und, edges.sparkSession)
+      finally und.unpersist()
+    }
     try {
       var labels = und.select(col("x").as("node")).distinct()
         .withColumn("label", col("node"))
@@ -84,6 +94,40 @@ object Graph {
       }
       labels.select(col("node"), col("label").as("component"))
     } finally und.unpersist()
+  }
+
+  /** Driver-side union-find over a collected edge list (small-graph path).
+    * Path-halving + union-by-min keeps it near-linear; labels are
+    * canonicalized to the component's min id to match the distributed
+    * path exactly.
+    */
+  private def localComponents(
+      und: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val es = und.select(col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    for ((x, y) <- es) {
+      parent.getOrElseUpdate(x, x)
+      parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) { // union by min: root stays the smaller id
+        if (rx < ry) parent(ry) = rx else parent(rx) = ry
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("node", "component")
   }
 
   /** Component summary: keeper (= component id = min member) and size. */

@@ -41,4 +41,15 @@ class GraphSpec extends AnyFunSuite {
     val got = components(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
     assert(got.values.toSet == Set(1L))
   }
+
+  test("distributed path (localThreshold=0) matches the local path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (8L, 9L)).toDF("a", "b")
+    val local = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.connectedComponents(edges, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local)
+    assert(dist(9L) == 4L) // the 6-hop chain fully resolved
+  }
 }
