@@ -78,7 +78,7 @@ object Curation {
     val termDf = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
     docTerm
-      .join(broadcast(termDf), Seq("term"))
+      .join(termDf, Seq("term")) // AQE broadcasts from the agg's true size
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rank", row_number().over(w).cast("int"))
