@@ -679,14 +679,17 @@ object SparkEntry {
   }
 
   /** PACK1 — token-budget sequence packing (concat-and-split at 2048
-    * tokens in doc_id order), reported per bin.
+    * tokens in doc_id order), packed independently per shard — the scale
+    * shape: shards pack in parallel (a global pack would serialize one
+    * reducer); cross-shard order is arbitrary in a training shuffle anyway.
     */
   private def pack1(s: SparkSession, d: String) =
     operators.Curation.packByTokenBudget(
-      Tables.documents(s, d), TextOps.tokenCount(col("text")), "doc_id", budget = 2048)
-      .groupBy("bin_id")
+      Tables.documents(s, d).withColumn("shard", (col("doc_id") % 8).cast("long")),
+      TextOps.tokenCount(col("text")), "doc_id", budget = 2048, shardCol = Some("shard"))
+      .groupBy("shard", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"))
-      .orderBy("bin_id")
+      .orderBy("shard", "bin_id")
 
   /** TFIDF1 — top-3 salient terms per document (tf·ln(N/df), rank ties on
     * term asc; scores rounded before ranking for cross-engine stability).
@@ -730,6 +733,22 @@ object SparkEntry {
     operators.Segmentation.polygonize(px)
       .select(col("seg_id"), col("part"), col("wkt"), col("n_cells"))
       .orderBy("seg_id", "part")
+  }
+
+  /** E10 — fuzzy dedup end-to-end: LSH candidates → exact-Jaccard verify
+    * (≥ 0.5) → connected components → keep the min doc per cluster. The
+    * full "near-duplicate removal" pipeline a training corpus runs, as one
+    * query.
+    */
+  private def e10(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2)
+    val drops = operators.Graph.connectedComponents(edges)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
   }
 
   // ---------- registry ----------
@@ -809,7 +828,8 @@ object SparkEntry {
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
     "st3_sessionize" -> (st3 _),
-    "m7b_polygonize_cells" -> (m7b _)
+    "m7b_polygonize_cells" -> (m7b _),
+    "e10_fuzzy_dedup_keep" -> (e10 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1112,12 +1132,13 @@ object SparkEntry {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM t GROUP BY split ORDER BY split""".stripMargin,
     "pack1_token_budget" ->
-      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
-        |c AS (SELECT doc_id, n_tok,
-        |  sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-        |SELECT CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin_id,
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT shard, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
-        |FROM c GROUP BY bin_id ORDER BY bin_id""".stripMargin,
+        |FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin,
     "tfidf1_top_terms" ->
       """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
@@ -1163,6 +1184,27 @@ object SparkEntry {
         |    CAST(c AS VARCHAR) || ' ' || CAST(r + 1 AS VARCHAR) || ', ' ||
         |    CAST(c AS VARCHAR) || ' ' || CAST(r AS VARCHAR) || '))' AS wkt,
         |  CAST(1 AS BIGINT) AS n_cells
-        |FROM px ORDER BY seg_id, part""".stripMargin
+        |FROM px ORDER BY seg_id, part""".stripMargin,
+    "e10_fuzzy_dedup_keep" ->
+      s"""${sqlShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s),
+         |pairs AS (SELECT a, b FROM (
+         |  SELECT a, b, len(list_filter(xa.sh, t -> list_contains(xb.sh, t))) AS inter,
+         |    len(xa.sh) AS la, len(xb.sh) AS lb
+         |  FROM cand JOIN ss xa ON cand.a = xa.doc_id JOIN ss xb ON cand.b = xb.doc_id) t
+         |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+         |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+         |reach(x, y) AS (SELECT x, y FROM und
+         |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         |comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
+         |ORDER BY doc_id""".stripMargin
   )
 }

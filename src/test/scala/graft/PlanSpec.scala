@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the round-2 operators: the plan shape IS
+  * the scale contract (one shuffle where one is expected, sharded windows
+  * instead of single-reducer sorts, AQE broadcasting the small side).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).size
+
+  test("cube aggregates in one Expand + one shuffle") {
+    val plan = Tables.lineitem(spark, sf)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1, s"expected 1 Expand in:\n$plan")
+    assert(shuffles(plan) == 1, s"expected 1 shuffle in:\n$plan")
+  }
+
+  test("sharded packByTokenBudget partitions by shard, no single-reducer sort") {
+    val docs = (1L to 100L).map(i => (i, i % 4, "a b c")).toDF("doc_id", "shard", "text")
+    val plan = Curation.packByTokenBudget(docs,
+        graft.functions.TextOps.tokenCount(col("text")), "doc_id", budget = 10,
+        shardCol = Some("shard"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), s"window not shard-partitioned:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), s"single-reducer window:\n$plan")
+  }
+
+  test("event-time RANGE frame window costs exactly one shuffle") {
+    val plan = SparkEntry.queries("w4_range_frame")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hash exchange for the per-user window; the final orderBy adds a
+    // range exchange, which is output formatting, not compute
+    assert(shuffles(plan) == 1, s"expected 1 hash shuffle in:\n$plan")
+  }
+
+  test("tfidf document-frequency side ends up broadcast under AQE") {
+    val q = Curation.topTfidfTerms(Tables.documents(spark, sf), k = 3)
+    q.collect() // finalize adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in final plan:\n$plan")
+  }
+
+  test("hashSplit adds no shuffle (pure per-row projection)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = docs.withColumn("split", Curation.hashSplit(docs, "doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0 && !plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+  }
+}
