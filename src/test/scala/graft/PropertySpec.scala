@@ -127,4 +127,70 @@ class PropertySpec extends AnyFunSuite {
       if (toks != toks.reverse) assert(fps(0) != fps(2) || toks.distinct.size == 1)
     }
   }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 15L)
+      b <- Gen.choose(0L, 15L)
+      if a != b
+    } yield (a, b))
+
+  test("property: connectedComponents == brute-force closure (CC)") {
+    forAll(edgeGen) { edges =>
+      whenever(edges.nonEmpty) {
+        val got = graft.operators.Graph.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute force: repeatedly min-merge until stable
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        var lbl = nodes.map(n => n -> n).toMap
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((a, b) <- edges) {
+            val m = math.min(lbl(a), lbl(b))
+            if (lbl(a) != m || lbl(b) != m) { lbl += (a -> m, b -> m); changed = true }
+          }
+        }
+        assert(got == lbl)
+      }
+    }
+  }
+
+  test("property: packByTokenBudget bins are contiguous and within budget (PACK1)") {
+    val lenGen = Gen.nonEmptyListOf(Gen.choose(1, 40))
+    forAll(lenGen) { lens =>
+      val budget = 64
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val rows = graft.operators.Curation.packByTokenBudget(docs,
+          TextOps.tokenCount(col("text")), "doc_id", budget)
+        .select("doc_id", "n_tok", "bin_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // bin ids are non-decreasing in doc order, start at 0, and each doc's
+      // bin equals its first-token offset / budget
+      var off = 0L
+      for ((_, n, bin) <- rows) {
+        assert(bin == off / budget)
+        off += n
+      }
+      assert(rows.head._3 == 0L)
+    }
+  }
+
+  test("property: hashSplit census is permutation-invariant and covers all rows (SAMP1)") {
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(1L, 10000L)).map(_.distinct)
+    forAll(idsGen) { ids =>
+      def census(xs: Seq[Long]): Map[String, Long] = {
+        val df = xs.map(i => (i, "t")).toDF("doc_id", "text")
+        df.withColumn("split", graft.operators.Curation.hashSplit(df, "doc_id"))
+          .groupBy("split").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val a = census(ids)
+      val b = census(scala.util.Random.shuffle(ids))
+      assert(a == b)
+      assert(a.values.sum == ids.size)
+    }
+  }
 }
