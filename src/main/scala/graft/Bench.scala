@@ -25,7 +25,10 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // fixed name order: Map iteration order varies with build, which made
+    // round-over-round per-query deltas partly an artifact of which query
+    // paid session-warmup costs
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -36,7 +39,7 @@ object Bench {
     def s3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // fallback copy on disk in case stdout is truncated anyway

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Graph}
+import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -17,20 +17,16 @@ object Exp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1000).selectExpr("sum(id)").collect()
-
-    def time[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[exp] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      r
-    }
-
     val docs = Tables.documents(spark, d)
-    val edges = Dedup.minhashCandidatePairs(docs, 8, 2).cache()
-    time("edges materialize")(edges.count())
-    time("cc on cached edges")(Graph.connectedComponents(edges).count())
-    time("cc again")(Graph.connectedComponents(edges).count())
+    val q = Dedup.fuzzyDupPairs(docs, 0.0)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    println("[exp] scans: " + "FileScan|Scan parquet".r.findAllIn(plan).size)
+    println("[exp] reused: " + "ReusedExchange".r.findAllIn(plan).size)
+    println("[exp] bcast-exch: " + "BroadcastExchange".r.findAllIn(plan).size)
+    println("[exp] shuffle-exch: " + "Exchange (hashpartitioning|RoundRobin)".r.findAllIn(plan).size)
+    println("[exp] bhj: " + "BroadcastHashJoin".r.findAllIn(plan).size)
+    println("[exp] smj: " + "SortMergeJoin".r.findAllIn(plan).size)
     spark.stop()
   }
 }

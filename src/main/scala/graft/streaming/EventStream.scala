@@ -161,6 +161,21 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop repeat `keyCols` arrivals whose event
+    * times fall within the watermark horizon of the first occurrence — the
+    * incremental twin of `Dedup.dedupExact` for at-least-once sources
+    * (retried file batches, replayed logs). State is one row per key and,
+    * unlike a plain `dropDuplicates` on a stream, is EVICTED once the
+    * watermark passes (bounded memory at 100 TB/day ingest; a duplicate
+    * arriving later than the horizon is by definition watermark-late and
+    * already outside the correctness contract).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch-mode sessionization with identical semantics (gaps-and-islands:
     * lag → gap flag → running session index → group). The oracle-checkable
     * twin of `sessionize`; EventStreamSpec proves closed-session

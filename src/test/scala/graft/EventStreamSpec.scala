@@ -122,6 +122,22 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming dedup drops within-watermark duplicates, keeps one per key") {
+    // duplicate every event across two files: the second arrival of each
+    // event_id must be dropped even when it lands in a later micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_dups").toString
+    val ev = Tables.events(spark, sf).limit(500).cache()
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir) // same rows again
+    val got = EventStream.runToCompletion(
+      EventStream.dedupStream(EventStream.readEvents(spark, dir),
+        keyCols = Seq("event_id"), watermark = "400 days"),
+      "t_dedup", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == ev.count())
+    ev.unpersist()
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(
