@@ -751,6 +751,19 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** O3 — top-3 orders by value per customer through the custom
+    * TopKPerKey physical operator (graft.plans): bounded heaps map-side,
+    * at most k rows per key per partition cross the exchange, no window
+    * sort of the full table. Hash-checked against DuckDB row_number —
+    * the oracle validates the custom SparkPlan end-to-end.
+    */
+  private def o3(s: SparkSession, d: String) =
+    plans.TopK.perKey(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .orderBy("o_custkey", "o_orderkey")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -829,7 +842,8 @@ object SparkEntry {
     "cc1_dup_components" -> (cc1 _),
     "st3_sessionize" -> (st3 _),
     "m7b_polygonize_cells" -> (m7b _),
-    "e10_fuzzy_dedup_keep" -> (e10 _)
+    "e10_fuzzy_dedup_keep" -> (e10 _),
+    "o3_topk_per_key" -> (o3 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1205,6 +1219,11 @@ object SparkEntry {
          |comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x)
          |SELECT doc_id, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE component <> node)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "o3_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -28,6 +28,21 @@ object Similarity {
       cVec: String = "c_emb"): DataFrame =
     pairs.withColumn("score", CosineSimExpr.cosineSim(col(qVec), col(cVec)))
 
+  /** Rank the per-query top-k: first prune to k rows per query with the
+    * custom TopKPerKey operator (bounded heaps, O(n log k), shuffles at
+    * most k rows per query per partition — never the full scored set),
+    * then number the ≤ k·|Q| survivors with an ordinary window (trivially
+    * cheap at that size).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    pruned
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Exact top-k neighbors for each query vector. */
   def bruteForceTopK(
       queries: DataFrame,
@@ -40,11 +55,7 @@ object Similarity {
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN: KMeans-partition the corpus into `nLists`
@@ -105,11 +116,7 @@ object Similarity {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: candidates share a bucket. */
@@ -130,10 +137,6 @@ object Similarity {
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "score", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -11,4 +11,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built LogicalPlan (Dataset.ofRows is
+    * private[sql]) — needed to insert custom logical nodes like
+    * graft.plans.TopKPerKey.
+    */
+  def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Decompose a possibly-sort-order Column (`col("x").desc`) into
+    * (value column, ascending?, nullsFirst?). Spark 4 columns are lazy
+    * ColumnNode trees; the sort direction lives on the internal node, not
+    * on a catalyst SortOrder.
+    */
+  def sortInfo(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case s: internal.SortOrder =>
+      (Column(s.child),
+        s.sortDirection.isInstanceOf[internal.SortOrder.Ascending.type],
+        s.nullOrdering.isInstanceOf[internal.SortOrder.NullsFirst.type])
+    case _ => (c, true, true)
+  }
 }
