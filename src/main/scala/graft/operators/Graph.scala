@@ -42,8 +42,14 @@ object Graph {
     // undirected edges in both directions PLUS a self-loop per node: the
     // min over a node's in-neighbors' labels then includes its own label,
     // so each round is ONE join + ONE aggregation (no second join to merge
-    // the old label back in)
+    // the old label back in).
+    // The edge input is materialized FIRST: `und` references it three
+    // times (forward, reversed, self-loops) and without a cache the whole
+    // upstream pipeline — e.g. LSH + Jaccard verify — executes three times
+    // in the union (no plan-level subtree reuse across union branches).
     val fwd = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    fwd.count()
     val nodes = fwd.select(col("x")).union(fwd.select(col("y"))).distinct()
     // pre-partition by x: the per-round groupBy(x) then reuses this
     // partitioning (when AQE broadcasts the small labels side, the join
@@ -55,7 +61,7 @@ object Graph {
       .distinct()
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = und.count()
+    val edgeCount = try und.count() finally fwd.unpersist()
     // Broadcast-threshold-style hybrid: a graph whose edge list fits on
     // the driver resolves in one union-find pass (each distributed round
     // costs whole shuffle jobs — pure overhead at this size). Dedup-pair
