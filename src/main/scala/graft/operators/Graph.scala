@@ -81,7 +81,8 @@ object Graph {
       // (a limit()-style early-out would leave the cache partial and force
       // full lineage recomputation every round — quadratic blowup).
       def checksum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO) // sum over zero rows is NULL
       var prev = checksum(labels)
       var converged = false
       var it = 0

@@ -27,6 +27,11 @@ import scala.collection.mutable
   * operator a TOTAL order (e.g. score DESC, id ASC) for deterministic
   * output — the same contract window ranking has.
   *
+  * Memory: the map-side pass holds k rows per DISTINCT KEY seen in the
+  * partition. That is the right trade for top-k workloads (keys ≪ rows —
+  * queries, users, tiles); for pathological key cardinality where k·keys
+  * approaches partition size, a window sort is the safer plan.
+  *
   * This is the SURVEY.md §2 "custom operators" tier (c): LogicalPlan +
   * SparkStrategy + SparkPlan, installed by GraftExtensions'
   * injectPlannerStrategy.
@@ -79,15 +84,20 @@ case class TopKPerKeyExec(
     val kk = k
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection normalizes any InternalRow implementation the
+      // child emits (LocalTableScan rows, generators, ...) to UnsafeRow;
+      // applied only to the ≤ k rows per key that are actually kept
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val ord = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap on the sort order: root = current worst of the best k
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
-        val heap = heaps.getOrElseUpdate(keyProj.apply(u).copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](ord.asInstanceOf[Ordering[UnsafeRow]]))
-        if (heap.size < kk) heap.enqueue(u.copy())
-        else if (ord.compare(u, heap.head) < 0) { heap.dequeue(); heap.enqueue(u.copy()) }
+        val heap = heaps.getOrElseUpdate(keyProj.apply(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < kk) heap.enqueue(toUnsafe.apply(row).copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(toUnsafe.apply(row).copy())
+        }
       }
       // emit each key's survivors in ascending sort order (deterministic)
       heaps.valuesIterator.flatMap(h => h.dequeueAll.reverseIterator)

@@ -67,4 +67,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     // dot AND both norms run over min(len) — identical prefixes → exactly 1
     assert(v == 1.0)
   }
+
+  test("round-2 operators survive empty inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graph.connectedComponents(noEdges).count() == 0)
+    assert(graft.operators.Graph.connectedComponents(noEdges, localThreshold = -1L).count() == 0)
+
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.plans.TopK.perKey(noDocs, Seq(col("doc_id")),
+      Seq(col("text").desc), 3).count() == 0)
+    assert(graft.operators.Curation.topTfidfTerms(noDocs, 3).count() == 0)
+    assert(graft.operators.Curation.packByTokenBudget(noDocs,
+      graft.functions.TextOps.tokenCount(col("text")), "doc_id", 100).count() == 0)
+    assert(graft.operators.Dedup.fuzzyDupPairs(noDocs, 0.5).count() == 0)
+
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long)].toDF("event_id", "ts", "user_id")
+    assert(graft.streaming.EventStream.sessionizeBatch(noEvents, 1800).count() == 0)
+  }
+
+  test("TopK with k larger than any group returns every row") {
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("key", "v")
+    val got = graft.plans.TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), 10)
+    assert(got.count() == 3)
+  }
 }
