@@ -89,7 +89,11 @@ object Similarity {
     val trainSet =
       if (trainSample >= 1.0) corpusVec
       else corpusVec.sample(withReplacement = false, trainSample, seed)
+    // random init (1 pass) over k-means|| (~5 passes): with a few Lloyd
+    // rounds on top, cell quality is equivalent for IVF routing purposes
+    // and the index build drops several full-corpus passes
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("features")
     val model = km.fit(trainSet)
     val indexed = model.transform(corpusVec)
