@@ -65,33 +65,29 @@ object Similarity {
     * tiny broadcast table. Complements `lshTopK` (hash-based) with the
     * geometry-aware variant.
     */
-  def ivfTopK(
-      queries: DataFrame,
+  /** KMeans cell assignment + centroid table for IVF. Index-build cost
+    * control: centroids only need to partition space, not converge — a
+    * handful of Lloyd iterations (random init: 1 pass, vs ~5 for
+    * k-means||) on a seeded, deterministic sample is how production IVF
+    * trains at corpus scale. Probing quality is governed by nProbe.
+    */
+  private def fitIndex(
       corpus: DataFrame,
-      k: Int,
       nLists: Int,
-      nProbe: Int,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      seed: Long = 42L,
-      maxIter: Int = 5,
-      trainSample: Double = 1.0): DataFrame = {
+      idCol: String,
+      vecCol: String,
+      seed: Long,
+      maxIter: Int,
+      trainSample: Double): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
 
     val corpusVec = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    // Index-build cost control: centroids only need to partition space, not
-    // converge — a handful of Lloyd iterations on a (seeded, deterministic)
-    // sample is how production IVF trains at corpus scale. Probing quality
-    // is governed by nProbe, not centroid convergence.
     val trainSet =
       if (trainSample >= 1.0) corpusVec
       else corpusVec.sample(withReplacement = false, trainSample, seed)
-    // random init (1 pass) over k-means|| (~5 passes): with a few Lloyd
-    // rounds on top, cell quality is equivalent for IVF routing purposes
-    // and the index build drops several full-corpus passes
     val km = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setInitMode("random")
       .setFeaturesCol("features")
@@ -104,23 +100,90 @@ object Similarity {
     }
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroidDf = centroids.toSeq.toDF("cell", "centroid")
+    (indexed, centroids.toSeq.toDF("cell", "centroid"))
+  }
 
-    // route each query to its nProbe nearest cells (centroid table broadcast)
+  /** Route each query to its nProbe nearest cells (centroids broadcast). */
+  private def probesOf(
+      queries: DataFrame,
+      centroidDf: DataFrame,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_emb"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("cdist").asc, col("cell").asc)
-    val probes = q.join(broadcast(centroidDf))
+    q.join(broadcast(centroidDf))
       .withColumn("cdist", VectorOps.l2Distance(col("q_emb"), col("centroid")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nProbe)
       .select("query_id", "q_emb", "cell")
+  }
 
+  private def scoreAndRank(indexed: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = indexed
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
     rankTopK(scored, k)
+  }
+
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nLists: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      trainSample: Double = 1.0): DataFrame = {
+    val (indexed, centroidDf) = fitIndex(corpus, nLists, idCol, vecCol, seed, maxIter, trainSample)
+    scoreAndRank(indexed, probesOf(queries, centroidDf, nProbe, idCol, vecCol), k)
+  }
+
+  /** Persist an IVF index: the cell-assigned corpus as parquet
+    * PARTITIONED BY cell plus a centroid sidecar. Build once, query many
+    * times — the write repartitions by cell so each cell is one compact
+    * file set.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      nLists: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      trainSample: Double = 1.0): Unit = {
+    val (indexed, centroidDf) = fitIndex(corpus, nLists, idCol, vecCol, seed, maxIter, trainSample)
+    indexed
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    centroidDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN against a persisted index with SOURCE-LEVEL pruning: the probed
+    * cell set (≤ nLists values — index metadata, driver-safe) becomes a
+    * partition filter, so only the probed cells' FILES are read. At 100 TB
+    * this is the difference between scanning the corpus per query batch
+    * and reading ~nProbe/nLists of it from disk.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroidDf = spark.read.parquet(s"$indexPath/centroids")
+    val probes = probesOf(queries, centroidDf, nProbe, idCol, vecCol)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val indexed = spark.read.parquet(s"$indexPath/cells")
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+    scoreAndRank(indexed, probes, k)
   }
 
   /** Approximate top-k via random-hyperplane LSH: candidates share a bucket. */

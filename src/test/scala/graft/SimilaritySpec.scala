@@ -57,6 +57,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("persisted IVF index matches the in-memory path and prunes at the source") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.buildIvfIndex(emb, path, nLists = 8)
+
+    val indexed = Similarity.ivfTopKIndexed(queries, path, k = 5, nProbe = 2)
+    val inMem = Similarity.ivfTopK(queries, emb, k = 5, nLists = 8, nProbe = 2)
+    val a = indexed.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = inMem.select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(a == b)
+
+    // the probed cell set must reach the scan as a PARTITION filter —
+    // only those cells' files are read
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && "cell#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in:\n$plan")
+  }
+
   test("lshTopK returns same scores as brute force for candidates it keeps (E2 scale path)") {
     val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
       .select("neighbor_id", "score")
