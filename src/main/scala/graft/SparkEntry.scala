@@ -1224,6 +1224,44 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // pipe0 replicates Stage-0 semantics over the same synthetic scene
+    // grid the Spark side builds from range(): nodata/udm2 normalization,
+    // float-exact band values, NDVI eps-divide, month-6 interpolated
+    // median, winter argmax (single winter scene). All band arithmetic is
+    // over small integers — exact in float32 — so the two engines agree
+    // bit-for-bit before the round(6).
+    "pipe0_feature_stack" ->
+      """WITH sc AS (
+        |  SELECT id // 1024 + 1 AS s,
+        |    CASE WHEN id // 1024 < 2 THEN 6 ELSE 12 END AS month,
+        |    CAST((id % 1024) // 32 AS INTEGER) AS px_row,
+        |    CAST(id % 32 AS INTEGER) AS px_col
+        |  FROM range(3072) t(id)),
+        |raw AS (
+        |  SELECT s, month, px_row, px_col,
+        |    CAST(CASE WHEN px_col < 16 THEN 10.0 ELSE 50.0 END AS FLOAT) AS b6,
+        |    CAST(CASE WHEN px_row = 0 AND px_col = 0 AND s = 2 THEN -9999.0
+        |         WHEN px_col < 16 THEN 100.0 + s ELSE 10.0 + s END AS FLOAT) AS b8,
+        |    NOT (px_row = 31 AND px_col = 31 AND s = 1) AS clear
+        |  FROM sc),
+        |norm AS (
+        |  SELECT s, month, px_row, px_col,
+        |    CASE WHEN clear AND NOT (isnan(b6) OR abs(CAST(b6 AS DOUBLE) + 9999.0) <= 0.01) THEN b6 END AS b6,
+        |    CASE WHEN clear AND NOT (isnan(b8) OR abs(CAST(b8 AS DOUBLE) + 9999.0) <= 0.01) THEN b8 END AS b8
+        |  FROM raw),
+        |idx AS (
+        |  SELECT s, month, px_row, px_col, b8,
+        |    (b8 - b6) / ((b8 + b6) + 1e-9) AS ndvi
+        |  FROM norm),
+        |monthly AS (
+        |  SELECT px_row, px_col, median(ndvi) AS ndvi_m6
+        |  FROM idx WHERE month = 6 GROUP BY px_row, px_col),
+        |winter AS (
+        |  SELECT px_row, px_col, b8 AS win_B8
+        |  FROM idx WHERE month = 12 AND ndvi IS NOT NULL)
+        |SELECT m.px_row, m.px_col, round(ndvi_m6, 6) AS ndvi_m6, win_B8
+        |FROM monthly m JOIN winter w ON m.px_row = w.px_row AND m.px_col = w.px_col
+        |ORDER BY m.px_row, m.px_col""".stripMargin
   )
 }
