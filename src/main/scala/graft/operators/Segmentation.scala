@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,6 +195,59 @@ object Segmentation {
 
   // ---------- distributed operators ----------
 
+  /** One buffered tile through the local kernel chain (bbox → gaussian →
+    * felzenszwalb → core crop, labels renumbered in row-major core order).
+    * All inputs are primitive arrays; output InternalRows exist only for
+    * the surviving core pixels.
+    */
+  private def runTileKernel(
+      tx: Int, ty: Int,
+      rs: Array[Int], cs: Array[Int], cores: Array[Boolean],
+      feats: Array[Array[Float]],
+      nCh: Int, scale: Double, minSize: Int, sigma: Double): Iterator[InternalRow] = {
+    val n = rs.length
+    if (n == 0) return Iterator.empty
+    var rMin = Int.MaxValue; var rMax = Int.MinValue
+    var cMin = Int.MaxValue; var cMax = Int.MinValue
+    var anyCore = false
+    var p = 0
+    while (p < n) {
+      if (rs(p) < rMin) rMin = rs(p); if (rs(p) > rMax) rMax = rs(p)
+      if (cs(p) < cMin) cMin = cs(p); if (cs(p) > cMax) cMax = cs(p)
+      anyCore ||= cores(p)
+      p += 1
+    }
+    // halo-only group (grid edge without bounds info): nothing to emit,
+    // skip the kernel entirely
+    if (!anyCore) return Iterator.empty
+    val h = rMax - rMin + 1; val w = cMax - cMin + 1
+    val grid = Array.ofDim[Float](nCh, h * w)
+    val present = new Array[Boolean](h * w)
+    val core = new Array[Boolean](h * w)
+    p = 0
+    while (p < n) {
+      val i = (rs(p) - rMin) * w + (cs(p) - cMin)
+      present(i) = true; core(i) = cores(p)
+      var ch = 0
+      while (ch < nCh) { grid(ch)(i) = feats(ch)(p); ch += 1 }
+      p += 1
+    }
+    val smoothed = gaussianSmooth(grid, h, w, nCh, sigma)
+    val labels = felzenszwalb(smoothed, h, w, nCh, scale, minSize)
+    val remap = mutable.HashMap.empty[Int, Int]
+    val out = mutable.ArrayBuffer.empty[InternalRow]
+    var i = 0
+    while (i < h * w) {
+      if (present(i) && core(i)) {
+        val lbl = remap.getOrElseUpdate(labels(i), remap.size)
+        out += new GenericInternalRow(
+          Array[Any](tx, ty, rMin + i / w, cMin + i % w, lbl))
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   /** Segment a pixel table. Input columns: global `rowCol`/`colCol` ints +
     * `featureCols` floats. Output: (px_row, px_col, tile_x, tile_y, seg_id)
     * with globally-unique, deterministic seg ids.
@@ -209,64 +264,68 @@ object Segmentation {
       minSize: Int = 15,
       sigma: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val nCh = featureCols.length
 
-    // Array[Float] (not Seq) in the row encoding: the deserializer hands
-    // the kernel a primitive float array per row instead of a boxed wrapper
-    val haloed = Halo.withHalo(df, rowCol, colCol, tileH, tileW, pad)
-      .select(col("halo_tile_x"), col("halo_tile_y"), col("is_core"),
-        col(rowCol).as("r"), col(colCol).as("c"),
-        array(featureCols.map(col(_).cast("float")): _*).as("f"))
-      .as[(Int, Int, Boolean, Int, Int, Array[Float])]
+    // Columnar hand-off: the kernel consumes InternalRows straight from
+    // the shuffled scan (queryExecution.toRdd) — per-channel float columns
+    // read with getFloat into primitive builders, so a 16M-pixel tile
+    // costs zero per-pixel object allocation (the former
+    // Dataset[(Int,...,Array[Float])] encoder built a Tuple6 + a boxed
+    // array per pixel). Rows of one tile arrive consecutively thanks to
+    // repartition(tile) + sortWithinPartitions(tile).
+    val prepared = Halo.withHalo(df, rowCol, colCol, tileH, tileW, pad)
+      .select(Seq(
+        col("halo_tile_x").cast("int").as("tx"),
+        col("halo_tile_y").cast("int").as("ty"),
+        col("is_core"),
+        col(rowCol).cast("int").as("r"),
+        col(colCol).cast("int").as("c")) ++
+        featureCols.zipWithIndex.map { case (f, i) => col(f).cast("float").as(s"_f$i") }: _*)
+      .repartition(col("tx"), col("ty"))
+      .sortWithinPartitions("tx", "ty")
 
-    val local: Dataset[(Int, Int, Int, Int, Int)] = haloed
-      .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, Boolean, Int, Int, Array[Float])]) =>
-        val (tx, ty) = key
-        val pix = rows.toArray
-        if (pix.isEmpty) Iterator.empty
-        else {
-          // local bounding box of the halo'd tile
-          val rMin = pix.iterator.map(_._4).min
-          val cMin = pix.iterator.map(_._5).min
-          val rMax = pix.iterator.map(_._4).max
-          val cMax = pix.iterator.map(_._5).max
-          val h = rMax - rMin + 1; val w = cMax - cMin + 1
-          val grid = Array.ofDim[Float](nCh, h * w)
-          val present = new Array[Boolean](h * w)
-          val core = new Array[Boolean](h * w)
-          var anyCore = false
-          pix.foreach { case (_, _, isCore, r, c, f) =>
-            val i = (r - rMin) * w + (c - cMin)
-            present(i) = true; core(i) = isCore
-            anyCore ||= isCore
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tile_x", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("tile_y", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("px_row", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("px_col", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("local_id", org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+    val (nChL, scaleL, minSizeL, sigmaL) = (nCh, scale, minSize, sigma)
+    val outRdd = prepared.queryExecution.toRdd.mapPartitions { iter =>
+      val rows = iter.buffered // NB: `buffered` unqualified would resolve to Iterator's own method inside the subclass below
+      // one buffered tile: primitive builders filled field-by-field from
+      // the (reused) InternalRow before advancing
+      new Iterator[(Int, Int, Array[Int], Array[Int], Array[Boolean], Array[Array[Float]])] {
+        override def hasNext: Boolean = rows.hasNext
+        override def next() = {
+          val tx = rows.head.getInt(0)
+          val ty = rows.head.getInt(1)
+          val rs = new mutable.ArrayBuilder.ofInt
+          val cs = new mutable.ArrayBuilder.ofInt
+          val cores = new mutable.ArrayBuilder.ofBoolean
+          val feats = Array.fill(nChL)(new mutable.ArrayBuilder.ofFloat)
+          while (rows.hasNext &&
+              rows.head.getInt(0) == tx && rows.head.getInt(1) == ty) {
+            val row = rows.next()
+            cores += row.getBoolean(2)
+            rs += row.getInt(3)
+            cs += row.getInt(4)
             var ch = 0
-            while (ch < nCh) { grid(ch)(i) = f(ch); ch += 1 }
-          }
-          // halo-only group (grid edge without bounds info): nothing to emit,
-          // skip the kernel entirely
-          if (!anyCore) Iterator.empty
-          else {
-            val smoothed = gaussianSmooth(grid, h, w, nCh, sigma)
-            val labels = felzenszwalb(smoothed, h, w, nCh, scale, minSize)
-            // keep core pixels, renumber labels in row-major core order
-            val remap = mutable.HashMap.empty[Int, Int]
-            val out = mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Int)]
-            var i = 0
-            while (i < h * w) {
-              if (present(i) && core(i)) {
-                val lbl = remap.getOrElseUpdate(labels(i), remap.size)
-                out += ((tx, ty, rMin + i / w, cMin + i % w, lbl))
-              }
-              i += 1
+            while (ch < nChL) {
+              feats(ch) += (if (row.isNullAt(5 + ch)) 0.0f else row.getFloat(5 + ch))
+              ch += 1
             }
-            out.iterator
           }
+          (tx, ty, rs.result(), cs.result(), cores.result(), feats.map(_.result()))
         }
+      }.flatMap { case (tx, ty, rs, cs, cores, feats) =>
+        runTileKernel(tx, ty, rs, cs, cores, feats, nChL, scaleL, minSizeL, sigmaL)
       }
+    }
 
-    val labeled = local.toDF("tile_x", "tile_y", "px_row", "px_col", "local_id")
+    val labeled = org.apache.spark.sql.GraftBridge
+      .internalCreateDataFrame(spark, outRdd, outSchema)
 
     // W2 — running id offset over deterministic tile order. The per-tile
     // count table is tiny (one row per tile): a single-partition window over

@@ -19,6 +19,16 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame straight from an InternalRow RDD (private[sql] in classic):
+    * the zero-copy return path for kernels that consume
+    * `queryExecution.toRdd` — no Row boxing on either side.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Decompose a possibly-sort-order Column (`col("x").desc`) into
     * (value column, ascending?, nullsFirst?). Spark 4 columns are lazy
     * ColumnNode trees; the sort direction lives on the internal node, not
