@@ -301,6 +301,43 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** J11 — binned bbox spatial join (PBSM): suppliers and customers get
+    * synthetic integer-derived envelopes; SpatialJoin.bboxJoin bins them
+    * onto a grid and equi-joins on cell keys with reference-point dedup —
+    * no cartesian product. Oracle is the equivalent theta join in DuckDB.
+    */
+  private def j11(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    def box(key: Column): Seq[Column] = Seq(
+      key % 97, key % 89, key % 97 + lit(1) + key % 5, key % 89 + lit(1) + key % 7)
+    val sb = Tables.supplier(s, d).select(col("s_suppkey"),
+      SpatialOps.bbox(box(col("s_suppkey"))(0), box(col("s_suppkey"))(1),
+        box(col("s_suppkey"))(2), box(col("s_suppkey"))(3)).as("env"))
+    val cb = Tables.customer(s, d).select(col("c_custkey"),
+      SpatialOps.bbox(box(col("c_custkey"))(0), box(col("c_custkey"))(1),
+        box(col("c_custkey"))(2), box(col("c_custkey"))(3)).as("env_r"))
+    operators.SpatialJoin.bboxJoin(sb, cb, "env", "env_r", cellSize = 8.0)
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** Z1 — z-order (Morton) layout key: the write-side spatial-clustering
+    * primitive (SpatialOps.zorderKey / clusterByZOrder). Hash-checks the
+    * bit-interleave against an explicit bit-arithmetic DuckDB oracle.
+    */
+  private def z1(s: SparkSession, d: String) =
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"),
+        graft.functions.SpatialOps.zorderKey(
+          col("s_suppkey") % 97, col("s_suppkey") % 89, bits = 7).as("zkey"))
+      .orderBy("zkey", "s_suppkey")
+
+  /** DuckDB bit-sum replica of zorderKey for the z1 oracle. */
+  private def zorderSqlExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"(((($x) >> $i) & 1) << ${2 * i})",
+      s"(((($y) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   /** Q6 — pivot: per-returnflag quantity sums spread across linestatus
     * columns (`RelationalGroupedDataset.pivot`; oracle via CASE aggregation).
     */
@@ -800,6 +837,8 @@ object SparkEntry {
     "j6_range_join" -> (j6 _),
     "j7_merge_maxby" -> (j7 _),
     "j10_asof" -> (j10 _),
+    "j11_bbox_join" -> (j11 _),
+    "z1_zorder" -> (z1 _),
     "q6_pivot" -> (q6 _),
     "j8_semi" -> (j8 _),
     "j9_anti" -> (j9 _),
@@ -976,6 +1015,26 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
         |  FROM events) t WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "j11_bbox_join" ->
+      """WITH sb AS (
+        |  SELECT s_suppkey,
+        |         s_suppkey % 97 AS xmin, s_suppkey % 89 AS ymin,
+        |         s_suppkey % 97 + 1 + s_suppkey % 5 AS xmax,
+        |         s_suppkey % 89 + 1 + s_suppkey % 7 AS ymax
+        |  FROM supplier),
+        |cb AS (
+        |  SELECT c_custkey,
+        |         c_custkey % 97 AS xmin, c_custkey % 89 AS ymin,
+        |         c_custkey % 97 + 1 + c_custkey % 5 AS xmax,
+        |         c_custkey % 89 + 1 + c_custkey % 7 AS ymax
+        |  FROM customer)
+        |SELECT s_suppkey, c_custkey FROM sb JOIN cb
+        |  ON sb.xmin <= cb.xmax AND cb.xmin <= sb.xmax
+        | AND sb.ymin <= cb.ymax AND cb.ymin <= sb.ymax
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "z1_zorder" ->
+      s"""SELECT s_suppkey, CAST(${zorderSqlExpr("s_suppkey % 97", "s_suppkey % 89", 7)} AS BIGINT) AS zkey
+         |FROM supplier ORDER BY zkey, s_suppkey""".stripMargin,
     "q6_pivot" ->
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

@@ -63,6 +63,42 @@ object SpatialOps {
       array_max(transform(nums, _.getField("y"))))
   }
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer cell coordinates — bit i of x lands at 2i, bit i
+    * of y at 2i+1. Sorting by this key gives recursive-quadrant locality,
+    * which is the 100 TB layout lever: a parquet store range-partitioned on
+    * the z-key keeps spatially-near tiles in the same files, so bbox
+    * queries touch O(region) row groups instead of O(dataset) (the same
+    * trick Delta/Iceberg `ZORDER BY` applies; here it is a plain column).
+    *
+    * 31 bits per axis max (key fits a signed long at bits ≤ 31).
+    */
+  def zorderKey(cx: Column, cy: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val x = cx.cast("long")
+    val y = cy.cast("long")
+    (0 until bits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Range-partition + sort a table by the z-order key of its cell
+    * coordinates: the write-side layout step for spatially-local parquet.
+    * Range partitioning keeps global key order across files (unlike hash),
+    * so directory/file-level min-max stats prune by spatial region.
+    */
+  def clusterByZOrder(
+      df: org.apache.spark.sql.DataFrame,
+      cxCol: String, cyCol: String,
+      numPartitions: Int,
+      bits: Int = 16): org.apache.spark.sql.DataFrame = {
+    val keyed = df.withColumn("__zkey", zorderKey(col(cxCol), col(cyCol), bits))
+    keyed.repartitionByRange(numPartitions, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+
   /** J6 — point-in-pixel spatial join: derive integer cell keys on the
     * point side, then equi-join against the pixel table. Broadcast-free,
     * shuffle-on-ints; Catalyst can still broadcast the small side.

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.SpatialOps
+import graft.operators.SpatialJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic box set: integer-derived envelopes, including negatives
+    * and boxes spanning many grid cells.
+    */
+  private def boxes(n: Int, idCol: String, envCol: String, seed: Int): DataFrame = {
+    val rows = (1 to n).map { i =>
+      val h = (i * 2654435761L + seed) & 0x7fffffffL
+      val xmin = (h % 197).toDouble - 80      // negatives included
+      val ymin = ((h / 197) % 181).toDouble - 60
+      val w = 1.0 + (h % 23)                  // up to 24 wide: spans cells
+      val ht = 1.0 + (h % 19)
+      (i.toLong, xmin, ymin, xmin + w, ymin + ht)
+    }
+    rows.toDF(idCol, "xmin", "ymin", "xmax", "ymax")
+      .select(col(idCol),
+        SpatialOps.bbox($"xmin", $"ymin", $"xmax", $"ymax").as(envCol))
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("lid", "rid").as[(Long, Long)].collect().toSet
+
+  test("bboxJoin == naive theta join, each pair exactly once") {
+    val l = boxes(300, "lid", "env", seed = 7)
+    val r = boxes(250, "rid", "env_r", seed = 1013)
+    for (cell <- Seq(4.0, 8.0, 64.0)) {
+      val binnedDf = SpatialJoin.bboxJoin(l, r, "env", "env_r", cell)
+        .select("lid", "rid")
+      val naive = l.crossJoin(r)
+        .filter(SpatialOps.bboxIntersects($"env", $"env_r"))
+        .select("lid", "rid")
+      // exactly-once: row count equals distinct pair count
+      assert(binnedDf.count() == pairs(binnedDf).size, s"dup pairs at cell=$cell")
+      assert(pairs(binnedDf) == pairs(naive), s"pair set mismatch at cell=$cell")
+      assert(pairs(binnedDf).nonEmpty)
+    }
+  }
+
+  test("touching edges count as intersecting (closed intervals)") {
+    val l = Seq((1L, 0.0, 0.0, 10.0, 10.0)).toDF("lid", "a", "b", "c", "d")
+      .select($"lid", SpatialOps.bbox($"a", $"b", $"c", $"d").as("env"))
+    val r = Seq(
+      (1L, 10.0, 10.0, 20.0, 20.0), // corner touch
+      (2L, -5.0, 10.0, 0.0, 20.0),  // edge touch at x=0/y=10 corner region
+      (3L, 10.5, 0.0, 20.0, 10.0)   // disjoint
+    ).toDF("rid", "a", "b", "c", "d")
+      .select($"rid", SpatialOps.bbox($"a", $"b", $"c", $"d").as("env_r"))
+    val got = pairs(SpatialJoin.bboxJoin(l, r, "env", "env_r", 8.0)
+      .select($"lid", $"rid"))
+    assert(got == Set((1L, 1L), (1L, 2L)))
+  }
+
+  test("zorderKey interleaves bits (Morton order on a 4x4 grid)") {
+    val cells = for (y <- 0 until 4; x <- 0 until 4) yield (x, y)
+    val got = cells.toDF("x", "y")
+      .select($"x", $"y", SpatialOps.zorderKey($"x", $"y", bits = 2).as("z"))
+      .orderBy("z")
+      .as[(Int, Int, Long)].collect()
+    val expected = Seq( // recursive quadrant order
+      (0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 0), (2, 1), (3, 1),
+      (0, 2), (1, 2), (0, 3), (1, 3), (2, 2), (3, 2), (2, 3), (3, 3))
+    assert(got.map(t => (t._1, t._2)).toSeq == expected)
+    assert(got.map(_._3).toSeq == (0L until 16L))
+  }
+
+  test("clusterByZOrder yields globally z-sorted partition order") {
+    val h = 2654435761L
+    val df = (1 to 500).map(i => (i.toLong, (i * h) % 512, (i * h / 512) % 512))
+      .toDF("id", "cx", "cy")
+    val clustered = SpatialOps.clusterByZOrder(df, "cx", "cy", numPartitions = 4, bits = 9)
+    val keys = clustered
+      .select(SpatialOps.zorderKey($"cx", $"cy", 9).as("z"))
+      .as[Long].collect() // collect preserves partition order
+    assert(keys.toSeq == keys.sorted.toSeq)
+    assert(clustered.rdd.getNumPartitions == 4)
+  }
+
+  test("plans as an equi-join on cell keys, not a cartesian product") {
+    val l = boxes(200, "lid", "env", seed = 3)
+    val r = boxes(200, "rid", "env_r", seed = 17)
+    val plan = SpatialJoin.bboxJoin(l, r, "env", "env_r", 8.0)
+      .queryExecution.executedPlan
+    val cartesian = plan.collect { case c: CartesianProductExec => c }
+    assert(cartesian.isEmpty, "binned bbox join must not plan a cartesian product")
+  }
+}
