@@ -25,8 +25,22 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     locally {
       import spark.implicits._
+      import org.apache.spark.sql.functions._
       val tiny = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
       operators.Dedup.fuzzyDupPairs(tiny, threshold = 0.0).count()
+      // candidate-pair + connected-components compiled stages (cc1/e10)
+      val edges = operators.Dedup.minhashCandidatePairs(tiny, numHashes = 8, rowsPerBand = 2)
+      operators.Graph.componentSummary(operators.Graph.connectedComponents(edges)).count()
+      // Spark ML tree/forest classes + fit-job machinery (m1)
+      val mlTiny = Seq((0.0, 1.0, 0.0, 0), (1.0, 0.0, 1.0, 1), (0.5, 0.5, 0.5, 0), (0.2, 0.8, 0.1, 1))
+        .toDF("f1", "f2", "f3", "label")
+      val m = operators.MlOps.trainRf(mlTiny, Seq("f1", "f2", "f3"), "label", numTrees = 2, maxDepth = 2)
+      operators.MlOps.classify(m, mlTiny).count()
+      // parquet write committer path (s5 and the index sinks)
+      val wdir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      spark.range(8).withColumn("p", col("id") % 2)
+        .write.mode("overwrite").partitionBy("p").parquet(wdir)
+      spark.read.parquet(wdir).count()
     }
     // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")

@@ -10,16 +10,15 @@ import org.apache.spark.storage.StorageLevel
   * pixel_classifier_stream.py:166-175 unions overlapping label regions;
   * here the general graph form).
   *
-  * Algorithm: min-label propagation to fixpoint. Each node starts with
-  * label = its own id; every round each node takes the min label over
-  * itself and its neighbors (one shuffle for the edge join, one for the
-  * min-agg). Rounds needed = graph diameter, which for dedup clusters is
-  * tiny (near-dup groups are dense quasi-cliques, diameter ≲ 3); the
-  * driver-side loop checks convergence with a cheap count and is bounded
-  * by `maxIter`. For adversarial high-diameter graphs (long chains) swap
-  * in the large-star/small-star alternation — same join/agg shuffle
-  * pattern per round, O(log n) rounds — which this implementation's
-  * structure accommodates without changing callers.
+  * Algorithm: min-label propagation with pointer jumping, to fixpoint.
+  * Each node starts with label = its own id; every round each node takes
+  * the min label over itself and its neighbors (one shuffle for the edge
+  * join, one for the min-agg), then jumps: label ← label's label (one more
+  * equi-join). Propagation alone needs diameter rounds; the interleaved
+  * jump compresses label chains geometrically, so convergence is
+  * O(log diameter) — dense dedup quasi-cliques finish in 2-3 rounds and
+  * adversarial long chains in tens, not millions. The driver-side loop
+  * detects the fixpoint via a label checksum and is bounded by `maxIter`.
   *
   * Scale notes: state is one (node, label) row per node — shuffles key on
   * node id and AQE handles skew (a viral near-dup cluster salts through
@@ -87,10 +86,21 @@ object Graph {
       var converged = false
       var it = 0
       while (!converged && it < maxIter) {
-        val next = und
+        // neighbor-min propagation: one join + one agg
+        val prop = und
           .join(labels.select(col("node").as("y"), col("label").as("nl")), Seq("y"))
           .groupBy(col("x").as("node"))
           .agg(min(col("nl")).as("label"))
+        // pointer jump: label ← label's label. Every label value is itself
+        // a node (self-loops put all nodes in `prop`), and labels only
+        // decrease, so the jump is always valid and monotone. Propagation
+        // alone needs diameter rounds (a 1M-node chain = 1M shuffles);
+        // interleaving one jump per round compresses label chains
+        // geometrically → O(log diameter) rounds, one extra equi-join each.
+        val next = prop
+          .join(prop.select(col("node").as("label"), col("label").as("ll")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val s = checksum(next)
         labels.unpersist()

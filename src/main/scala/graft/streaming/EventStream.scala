@@ -176,6 +176,28 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join (event-time bounded): every left event
+    * pairs with right events of the same user whose time falls in
+    * [l_ts, l_ts + horizonSec]. Both inputs carry watermarks and the join
+    * condition bounds each side's event time relative to the other — the
+    * two facts the engine needs to evict buffered join state as watermarks
+    * advance. Without the time bound a stream-stream join buffers its
+    * entire history; with it, state is O(watermark × rate) regardless of
+    * stream length — the only join shape that survives unbounded inputs.
+    * Append-mode output; batch twin = the j6 range join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizonSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_id")).withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id")).withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+  }
+
   /** Batch-mode sessionization with identical semantics (gaps-and-islands:
     * lag → gap flag → running session index → group). The oracle-checkable
     * twin of `sessionize`; EventStreamSpec proves closed-session

@@ -138,6 +138,28 @@ class EventStreamSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    val clicks = EventStream.readEvents(spark, streamDir)
+      .filter(col("event_type") === "click")
+    val errors = EventStream.readEvents(spark, streamDir)
+      .filter(col("event_type") === "error")
+    val got = EventStream.runToCompletion(
+      EventStream.intervalJoin(clicks, errors, horizonSec = 300, watermark = "400 days"),
+      "t_ivjoin", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .join(ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("r_ts"), col("event_id").as("r_id")),
+        Seq("user_id"))
+      .filter(col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("INTERVAL 300 SECONDS"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(got == batch)
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(

@@ -52,4 +52,15 @@ class GraphSpec extends AnyFunSuite {
     assert(dist == local)
     assert(dist(9L) == 4L) // the 6-hop chain fully resolved
   }
+
+  test("pointer jumping resolves a 64-node chain well under diameter rounds") {
+    // plain min-propagation needs 63 rounds; with the interleaved
+    // label←label's-label jump, convergence is O(log diameter) — maxIter=12
+    // fails without jumping and passes with it
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(chain, localThreshold = 0L, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64)
+    assert(got.values.toSet == Set(1L))
+  }
 }
