@@ -715,6 +715,33 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** SAMP2 — deterministic stratified sampling: per-returnflag keep rates
+    * decided by an md5 bucket of the line key (pure projection+filter, no
+    * RNG, stable under reruns/appends — the sampleBy() property gap).
+    */
+  private def samp2(s: SparkSession, d: String) =
+    operators.Curation.stratifiedSample(
+        Tables.lineitem(s, d),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        col("l_returnflag"),
+        ratePct = Map("A" -> 10, "N" -> 50), defaultPct = 100)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** E11 — eval-set decontamination: docs sharing any 3-token n-gram with
+    * the synthetic eval slice (doc_id % 97 = 0) are dropped — the
+    * benchmark-leakage guard of a training-data pipeline. Exact gram
+    * match; eval side broadcasts after its distinct-gram agg.
+    */
+  private def e11(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    operators.Curation.decontaminate(
+        docs, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id", "n_chars")
+  }
+
   /** PACK1 — token-budget sequence packing (concat-and-split at 2048
     * tokens in doc_id order), packed independently per shard — the scale
     * shape: shards pack in parallel (a global pack would serialize one
@@ -876,6 +903,8 @@ object SparkEntry {
     "w4_range_frame" -> (w4 _),
     "q8_cube" -> (q8 _),
     "samp1_hash_split" -> (samp1 _),
+    "samp2_stratified" -> (samp2 _),
+    "e11_decontaminate" -> (e11 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
@@ -1204,6 +1233,25 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM t GROUP BY split ORDER BY split""".stripMargin,
+    "samp2_stratified" ->
+      s"""WITH t AS (SELECT l_returnflag, l_quantity,
+         |  ${sqlHexVal("md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR))", 4)} % 100 AS bucket,
+         |  CASE WHEN l_returnflag = 'A' THEN 10 WHEN l_returnflag = 'N' THEN 50 ELSE 100 END AS rate
+         |  FROM lineitem)
+         |SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM t WHERE bucket < rate GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "e11_decontaminate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS grams FROM t),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM s),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id, d.n_chars""".stripMargin,
     "pack1_token_budget" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

@@ -60,6 +60,51 @@ object Curation {
       .withColumnRenamed("_n_tok", "n_tok")
   }
 
+  /** Eval-set decontamination: drop every document sharing at least one
+    * `ngramK`-token n-gram with the `evalSet` — the standard guard against
+    * benchmark leakage into training corpora. Exact-match on the gram
+    * string (no hashing → no false drops); the eval side is tiny relative
+    * to the corpus, so after its distinct-gram aggregation AQE broadcasts
+    * it and the semi join never shuffles the corpus grams. Per-doc
+    * `array_distinct` bounds the explode at one row per distinct gram.
+    *
+    * A document that IS in the eval set shares its own grams and is
+    * dropped too — the conservative contract.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      ngramK: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = df.select(
+      cols :+ explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngramK))).as("__gram"): _*)
+    val evalGrams = grams(evalSet).distinct()
+    val contaminated = grams(docs, col(idCol))
+      .join(evalGrams, Seq("__gram"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum percentage,
+    * decided by an md5 bucket of the row id — stable under reruns,
+    * appends, and repartitioning (the property `sampleBy` lacks), and
+    * pure projection+filter (no shuffle, no RNG state).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: Column,
+      stratumCol: Column,
+      ratePct: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val bucket = TextOps.hexVal(md5(idCol.cast("string")), 4) % 100
+    val rate = ratePct.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(stratumCol === k, pct).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,
     * idf = ln(N / df); ties break on term ascending. Two shuffles
     * (doc-term agg, term df agg) + a broadcast of the per-term df table —

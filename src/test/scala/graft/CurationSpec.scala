@@ -59,4 +59,47 @@ class CurationSpec extends AnyFunSuite {
       Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
     assert(!got.exists { case (_, r, term) => r == 1 && term == "common" })
   }
+
+  test("decontaminate drops exactly the docs sharing an n-gram with the eval set") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),     // shares "quick brown fox" with eval
+      (2L, "a slow brown fox sits"),          // no shared 3-gram
+      (3L, "the quick brown cat sleeps"),     // "the quick brown" shared
+      (4L, "completely unrelated words here") // clean
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "quick brown fox and the quick brown dog"))
+      .toDF("doc_id", "text")
+    val kept = Curation.decontaminate(docs, evalSet, ngramK = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("decontaminate with the eval set drawn from docs drops the eval members") {
+    val docs = (1L to 20L).map(i => (i, s"unique text body number $i")).toDF("doc_id", "text")
+    val kept = Curation.decontaminate(docs, docs.filter($"doc_id" % 5 === 0), ngramK = 3)
+      .select("doc_id").as[Long].collect().toSet
+    // docs share the "unique text body" gram with eval members → all dropped
+    assert(kept.isEmpty)
+    // fully distinct texts: only the eval members themselves drop
+    val docs2 = (1L to 20L).map(i => (i, s"a$i b$i c$i d$i")).toDF("doc_id", "text")
+    val kept2 = Curation.decontaminate(docs2, docs2.filter($"doc_id" % 5 === 0), ngramK = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+  }
+
+  test("stratifiedSample is deterministic and respects 0/100 rates") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "A" else "B")).toDF("id", "s")
+    val a = Curation.stratifiedSample(df, $"id", $"s", Map("A" -> 0), defaultPct = 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == (1L to 400L).filter(_ % 2 == 1).toSet) // A all dropped, B all kept
+    val b1 = Curation.stratifiedSample(df, $"id", $"s", Map("A" -> 30), defaultPct = 70)
+      .select("id").as[Long].collect().toSet
+    val b2 = Curation.stratifiedSample(df.orderBy($"id".desc), $"id", $"s", Map("A" -> 30), defaultPct = 70)
+      .select("id").as[Long].collect().toSet
+    assert(b1 == b2) // row order / partitioning can't move the sample
+    val aRate = b1.count(_ % 2 == 0) / 200.0
+    val bRate = b1.count(_ % 2 == 1) / 200.0
+    assert(aRate > 0.15 && aRate < 0.45, s"A rate $aRate far from 30%")
+    assert(bRate > 0.55 && bRate < 0.85, s"B rate $bRate far from 70%")
+  }
 }
