@@ -34,6 +34,50 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlArgmax == dfArgmax)
   }
 
+  test("st_bbox_intersects join is rewritten to a binned equi-join (no cartesian)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Tables.registerAll(spark, sf)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW sb AS
+        |SELECT s_suppkey, named_struct(
+        |  'xmin', CAST(s_suppkey % 97 AS DOUBLE), 'ymin', CAST(s_suppkey % 89 AS DOUBLE),
+        |  'xmax', CAST(s_suppkey % 97 + 1 + s_suppkey % 5 AS DOUBLE),
+        |  'ymax', CAST(s_suppkey % 89 + 1 + s_suppkey % 7 AS DOUBLE)) AS env
+        |FROM supplier""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW cb AS
+        |SELECT c_custkey, named_struct(
+        |  'xmin', CAST(c_custkey % 97 AS DOUBLE), 'ymin', CAST(c_custkey % 89 AS DOUBLE),
+        |  'xmax', CAST(c_custkey % 97 + 1 + c_custkey % 5 AS DOUBLE),
+        |  'ymax', CAST(c_custkey % 89 + 1 + c_custkey % 7 AS DOUBLE)) AS env
+        |FROM customer""".stripMargin)
+    val q = spark.sql(
+      """SELECT s_suppkey, c_custkey FROM sb JOIN cb ON st_bbox_intersects(sb.env, cb.env)
+        |ORDER BY s_suppkey, c_custkey""".stripMargin)
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "spatial join must plan as the binned equi-join")
+    // same pairs as the DataFrame operator (j11 formulation)
+    val viaSql = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDf = SparkEntry.queries("j11_bbox_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("st_bbox_intersects still evaluates as a plain predicate (non-join use)") {
+    val got = spark.sql(
+      """SELECT st_bbox_intersects(
+        |  named_struct('xmin', 0.0D, 'ymin', 0.0D, 'xmax', 2.0D, 'ymax', 2.0D),
+        |  named_struct('xmin', 2.0D, 'ymin', 2.0D, 'xmax', 4.0D, 'ymax', 4.0D)) AS touch,
+        |  st_bbox_intersects(
+        |  named_struct('xmin', 0.0D, 'ymin', 0.0D, 'xmax', 2.0D, 'ymax', 2.0D),
+        |  named_struct('xmin', 2.5D, 'ymin', 0.0D, 'xmax', 4.0D, 'ymax', 2.0D)) AS apart""".stripMargin)
+      .collect()(0)
+    assert(got.getBoolean(0) && !got.getBoolean(1))
+  }
+
   test("custom cosine_sim composes with built-ins in SQL") {
     Tables.registerAll(spark, sf)
     val rows = spark.sql(
