@@ -828,6 +828,99 @@ object SparkEntry {
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
       .orderBy("o_custkey", "o_orderkey")
 
+  /** PIPE1 — end-to-end curation pipeline (the LLM-data half of the
+    * north_star, composed the way pipe0 composes the spatial stack):
+    * quality score + language ID → quality filter → exact dedup (keep
+    * min doc per md5(text)) → eval-set decontamination → deterministic
+    * hash split → census per (split, language). Every stage is the
+    * already-oracled operator (E4/E5/E1/E11/SAMP1 semantics); the value
+    * here is proving they compose in ONE plan: the tokenization is done
+    * once and feeds score+langid together, and every filter is a pure
+    * projection/semi-join — no RNG, no driver state, shuffle only at the
+    * dedup window, the decontamination gram join, and the final census.
+    */
+  private def pipe1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        TextOps.stopwordHits(col("_toks"), TextOps.AllStopwords).cast("double").as("_hits"),
+        TextOps.langGuessFromTokens(col("_toks")).as("lang_guess"))
+      .withColumn("quality",
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5) +
+          least(col("_hits") / col("n_tokens") * lit(4.0), lit(1.0)) * lit(0.5))
+      .filter(col("quality") >= lit(0.3))
+    val dedupW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = scored
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .select("doc_id", "text", "n_tokens", "lang_guess")
+    val clean = operators.Curation.decontaminate(
+      deduped, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+    clean
+      .withColumn("split", operators.Curation.hashSplit(clean, "doc_id"))
+      .groupBy("split", "lang_guess")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("split", "lang_guess")
+  }
+
+  /** W5 — lag/lead frame: per-user event-to-event value delta and the next
+    * event type (change-point shape). The window partitions by user, so at
+    * scale each user sorts independently — no global sort.
+    */
+  private def w5(s: SparkSession, d: String) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 6).as("delta"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W6 — ntile quartiles of order value within each priority class. */
+  private def w6(s: SparkSession, d: String) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  /** G1 — WKT geometry measures end-to-end: build a rectangle polygon per
+    * order from integer-derived coords, then recover area / perimeter /
+    * centroid / point count by PARSING the WKT back (SpatialOps shoelace
+    * HOFs). The oracle computes the closed forms directly from the same
+    * integers, so any parse or shoelace defect breaks the hash. All inputs
+    * are small ints → every double op is exact.
+    */
+  private def g1(s: SparkSession, d: String) = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_orderkey") % 100).cast("double").as("x0"),
+      (col("o_custkey") % 100).cast("double").as("y0"),
+      (col("o_orderkey") % 7 + 1).cast("double").as("w"),
+      (col("o_custkey") % 5 + 1).cast("double").as("h"))
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val wkt = concat(lit("POLYGON (("),
+      concat_ws(", ",
+        pt(col("x0"), col("y0")),
+        pt(col("x0") + col("w"), col("y0")),
+        pt(col("x0") + col("w"), col("y0") + col("h")),
+        pt(col("x0"), col("y0") + col("h")),
+        pt(col("x0"), col("y0"))),
+      lit("))"))
+    val g = graft.functions.SpatialOps
+    base.select(col("o_orderkey"), wkt.as("geom_wkt"))
+      .select(col("o_orderkey"),
+        round(g.wktArea(col("geom_wkt")), 6).as("area"),
+        round(g.wktPerimeter(col("geom_wkt")), 6).as("perimeter"),
+        round(g.wktCentroid(col("geom_wkt")).getField("x"), 6).as("cx"),
+        round(g.wktCentroid(col("geom_wkt")).getField("y"), 6).as("cy"),
+        g.wktNumPoints(col("geom_wkt")).cast("int").as("n_points"))
+      .orderBy("o_orderkey")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -911,7 +1004,11 @@ object SparkEntry {
     "st3_sessionize" -> (st3 _),
     "m7b_polygonize_cells" -> (m7b _),
     "e10_fuzzy_dedup_keep" -> (e10 _),
-    "o3_topk_per_key" -> (o3 _)
+    "o3_topk_per_key" -> (o3 _),
+    "pipe1_curation" -> (pipe1 _),
+    "w5_lag_delta" -> (w5 _),
+    "w6_ntile" -> (w6 _),
+    "g1_wkt_measures" -> (g1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1332,6 +1429,55 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // pipe1 replays the composed curation pipeline stage by stage as CTEs;
+    // every arithmetic step (stop ratio, quality, bucket) is the identical
+    // IEEE double expression in the same order, so the quality filter
+    // and the bucket cuts agree bit-for-bit with the Spark plan.
+    "pipe1_curation" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) AS hits,
+         |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess
+         |  FROM t),
+         |q AS (SELECT *, least(n_tokens / 100.0, 1.0) * 0.5 + least(hits / n_tokens * 4.0, 1.0) * 0.5 AS quality FROM u),
+         |kept AS (SELECT * FROM q WHERE quality >= 0.3),
+         |ded AS (SELECT doc_id, text, toks, n_tokens, lang_guess FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+         |dgrams AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+         |  ELSE list_transform(generate_series(1, len(toks) - 2),
+         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END)) AS gram FROM ded),
+         |egrams AS (SELECT DISTINCT unnest(CASE WHEN len(toks) < 3 THEN [text]
+         |  ELSE list_transform(generate_series(1, len(toks) - 2),
+         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS gram
+         |  FROM t WHERE doc_id % 97 = 0),
+         |bad AS (SELECT DISTINCT doc_id FROM dgrams JOIN egrams USING (gram)),
+         |clean AS (SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+         |sp AS (SELECT lang_guess, n_tokens,
+         |  ${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 4)} % 100 AS bucket FROM clean)
+         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  lang_guess, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY split, lang_guess ORDER BY split, lang_guess""".stripMargin,
+    "w5_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  round(value - lag(value, 1) OVER w, 6) AS delta,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // closed forms of the rectangle the Spark side round-trips through WKT
+    "g1_wkt_measures" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderkey % 100 AS DOUBLE) AS x0,
+        |  CAST(o_custkey % 100 AS DOUBLE) AS y0,
+        |  CAST(o_orderkey % 7 + 1 AS DOUBLE) AS w, CAST(o_custkey % 5 + 1 AS DOUBLE) AS h
+        |  FROM orders)
+        |SELECT o_orderkey, round(w * h, 6) AS area, round(2 * (w + h), 6) AS perimeter,
+        |  round(x0 + w / 2, 6) AS cx, round(y0 + h / 2, 6) AS cy,
+        |  CAST(5 AS INTEGER) AS n_points
+        |FROM b ORDER BY o_orderkey""".stripMargin,
+    "w6_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // pipe0 replicates Stage-0 semantics over the same synthetic scene
     // grid the Spark side builds from range(): nodata/udm2 normalization,
     // float-exact band values, NDVI eps-divide, month-6 interpolated

@@ -63,6 +63,70 @@ object SpatialOps {
       array_max(transform(nums, _.getField("y"))))
   }
 
+  // ---- WKT polygon measures (GeoParquet-style geometry column surface) ----
+  //
+  // Rings follow the WKT convention (exterior CCW, holes CW), so the plain
+  // signed-shoelace sum over all rings yields net area and the matching
+  // centroid; perimeter and point count are orientation-independent. All
+  // math is Column HOFs over the parsed coordinate arrays — no geometry
+  // library, distributes like any projection.
+
+  private def ringPts(r: Column): Column =
+    transform(filter(split(r, ","), s => trim(s) =!= ""), p => struct(
+      element_at(split(trim(p), " +"), 1).cast("double").as("x"),
+      element_at(split(trim(p), " +"), 2).cast("double").as("y")))
+
+  /** WKT POLYGON → array of rings, each an array of (x,y) structs (closed:
+    * first point repeats last, as WKT requires).
+    */
+  def wktRings(wkt: Column): Column =
+    transform(
+      split(
+        regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(\\s*\\(", ""), "\\)\\s*\\)\\s*$", ""),
+        "\\)\\s*,\\s*\\("),
+      r => ringPts(r))
+
+  /** Σ (x_i·y_{i+1} − x_{i+1}·y_i) over a closed ring = 2·signed area. */
+  private def ringCross(pts: Column): Column =
+    when(size(pts) < 2, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (acc, i) =>
+        acc + element_at(pts, i).getField("x") * element_at(pts, i + 1).getField("y")
+          - element_at(pts, i + 1).getField("x") * element_at(pts, i).getField("y")))
+
+  private def ringsCross(wkt: Column): Column =
+    aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + ringCross(r))
+
+  /** Polygon area (holes subtract under the orientation convention). */
+  def wktArea(wkt: Column): Column = abs(ringsCross(wkt)) / 2
+
+  /** Total boundary length (exterior + holes). */
+  def wktPerimeter(wkt: Column): Column =
+    aggregate(wktRings(wkt), lit(0.0), (acc, pts) =>
+      acc + when(size(pts) < 2, lit(0.0)).otherwise(
+        aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) =>
+          a + sqrt(
+            pow(element_at(pts, i + 1).getField("x") - element_at(pts, i).getField("x"), 2) +
+              pow(element_at(pts, i + 1).getField("y") - element_at(pts, i).getField("y"), 2)))))
+
+  /** Area-weighted centroid as struct(x, y) (shoelace first moment). */
+  def wktCentroid(wkt: Column): Column = {
+    def momentOf(axis: String): Column =
+      aggregate(wktRings(wkt), lit(0.0), (acc, pts) =>
+        acc + when(size(pts) < 2, lit(0.0)).otherwise(
+          aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) => {
+            val cross =
+              element_at(pts, i).getField("x") * element_at(pts, i + 1).getField("y") -
+                element_at(pts, i + 1).getField("x") * element_at(pts, i).getField("y")
+            a + (element_at(pts, i).getField(axis) + element_at(pts, i + 1).getField(axis)) * cross
+          })))
+    val c = ringsCross(wkt)
+    struct((momentOf("x") / (lit(3.0) * c)).as("x"), (momentOf("y") / (lit(3.0) * c)).as("y"))
+  }
+
+  /** Total coordinate count as written (closing points included). */
+  def wktNumPoints(wkt: Column): Column =
+    aggregate(wktRings(wkt), lit(0), (acc, r) => acc + size(r))
+
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative integer cell coordinates — bit i of x lands at 2i, bit i
     * of y at 2i+1. Sorting by this key gives recursive-quadrant locality,

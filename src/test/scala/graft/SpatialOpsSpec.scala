@@ -54,6 +54,48 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(out("b") == (3, 3))
   }
 
+  test("wkt measures: rectangle area/perimeter/centroid/npoints") {
+    val df = Seq(
+      "POLYGON ((2 3, 6 3, 6 8, 2 8, 2 3))",          // 4x5 rect at (2,3)
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"       // 10x10 at origin
+    ).toDF("wkt")
+    val got = df.select(
+      SpatialOps.wktArea($"wkt").as("a"),
+      SpatialOps.wktPerimeter($"wkt").as("p"),
+      SpatialOps.wktCentroid($"wkt").getField("x").as("cx"),
+      SpatialOps.wktCentroid($"wkt").getField("y").as("cy"),
+      SpatialOps.wktNumPoints($"wkt").as("n")).collect()
+    assert(got(0).getDouble(0) == 20.0 && got(0).getDouble(1) == 18.0)
+    assert(got(0).getDouble(2) == 4.0 && got(0).getDouble(3) == 5.5 && got(0).getInt(4) == 5)
+    assert(got(1).getDouble(0) == 100.0 && got(1).getDouble(1) == 40.0)
+    assert(got(1).getDouble(2) == 5.0 && got(1).getDouble(3) == 5.0)
+  }
+
+  test("wkt measures: polygon with hole (convention-oriented rings)") {
+    // 10x10 CCW exterior, 2x2 CW hole at (4,4): area 100-4, perimeter 40+8
+    val wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4))"
+    val got = spark.range(1).select(
+      SpatialOps.wktArea(lit(wkt)).as("a"),
+      SpatialOps.wktPerimeter(lit(wkt)).as("p"),
+      SpatialOps.wktCentroid(lit(wkt)).getField("x").as("cx"),
+      SpatialOps.wktCentroid(lit(wkt)).getField("y").as("cy"),
+      SpatialOps.wktNumPoints(lit(wkt)).as("n")).collect()(0)
+    assert(got.getDouble(0) == 96.0)
+    assert(got.getDouble(1) == 48.0)
+    assert(got.getDouble(2) == 5.0 && got.getDouble(3) == 5.0) // symmetric hole
+    assert(got.getInt(4) == 10)
+  }
+
+  test("wkt measures: triangle (non-axis-aligned edge, CW orientation)") {
+    // CW triangle: signed area negative, abs() recovers 6; hypotenuse 5
+    val wkt = "POLYGON ((0 0, 0 3, 4 0, 0 0))"
+    val got = spark.range(1).select(
+      SpatialOps.wktArea(lit(wkt)).as("a"),
+      SpatialOps.wktPerimeter(lit(wkt)).as("p")).collect()(0)
+    assert(got.getDouble(0) == 6.0)
+    assert(got.getDouble(1) == 12.0)
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val vecs = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
     vecs.createOrReplaceTempView("v_ext")
