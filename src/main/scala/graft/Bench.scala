@@ -49,13 +49,20 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries
     }
+    // local bisection: SPARK_GRAFT_BENCH_REPEAT=N times each query N times
+    // and keeps the LAST timing (separates steady-state cost from one-time
+    // codegen/broadcast compile). The driver never sets it (default 1).
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
     // fixed name order: Map iteration order varies with build, which made
     // round-over-round per-query deltas partly an artifact of which query
     // paid session-warmup costs
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.last
+      name -> t
     }
     // Keep the line SHORT (3-decimal secs): the driver captures a bounded
     // tail of stdout, and round 1's full-precision line overflowed it

@@ -841,7 +841,7 @@ object SparkEntry {
     */
   private def pipe1(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
-    val scored = docs
+    val scored = operators.Partitioning.spread(docs)
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("text"),
         size(col("_toks")).cast("long").as("n_tokens"),

@@ -81,7 +81,10 @@ object Curation {
       cols :+ explode(array_distinct(
         TextOps.shingles(TextOps.tokens(col(textCol)), ngramK))).as("__gram"): _*)
     val evalGrams = grams(evalSet).distinct()
-    val contaminated = grams(docs, col(idCol))
+    // spread BEFORE the shingle build: a single-file corpus scan would
+    // otherwise run the whole tokenize+shingle on one core (measured 5x
+    // on the sf0.1 bench)
+    val contaminated = grams(Partitioning.spread(docs), col(idCol))
       .join(evalGrams, Seq("__gram"), "left_semi")
       .select(col(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
@@ -116,7 +119,7 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    val docTerm = docs
+    val docTerm = Partitioning.spread(docs)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .groupBy(idCol, "term")
       .agg(count(lit(1)).as("tf"))

@@ -43,14 +43,7 @@ object Dedup {
     * which would serialize the signature hashing onto one core; inputs that
     * are already well-partitioned (the 100 TB case) pass through untouched.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // inputFiles is metadata-only (no physical planning, unlike .rdd);
-    // a many-file input is already spread, and a single parquet file is
-    // exactly the case that needs the repartition.
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (files < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame = Partitioning.spread(df)
 
   /** Distinct-shingle sets: the shared projection both the MinHash
     * signature pipeline and exact-Jaccard verification read. Spread +
