@@ -10,7 +10,8 @@ object Explain {
     val spark = GraftSession.getOrCreate()
     val targets = Seq("s2_pruned_scan", "j3_multiway", "a1_median_groups",
       "a5_count_sum", "e3_cosine_topk", "j6_range_join", "w3_rank_top1",
-      "o3_topk_per_key", "w4_range_frame", "q8_cube", "pack1_token_budget")
+      "o3_topk_per_key", "w4_range_frame", "q8_cube", "pack1_token_budget",
+      "j11_bbox_join", "g1_wkt_measures", "pipe1_curation", "e11_decontaminate")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

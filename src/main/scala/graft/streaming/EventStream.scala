@@ -198,6 +198,51 @@ object EventStream {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
   }
 
+  /** J7's in-place read-modify-write as a streaming sink
+    * (pixel_classifier_stream.py:166-175's cross-batch merge): each
+    * micro-batch upserts its per-key latest (ts, value) into a keyed
+    * parquet directory — read current table, unionByName the batch,
+    * re-reduce with max_by(ts), swap directories. The merge is
+    * idempotent (max_by over a replayed batch reproduces the same
+    * state), so a restart that re-delivers a micro-batch converges to
+    * the same table — the exactly-once story file sinks can't give for
+    * UPDATE-shaped output. The swap is write-to-`.next` + rename, so
+    * readers never observe a half-written table. At real scale the same
+    * foreachBatch body targets a table format's MERGE INTO; the
+    * directory swap is the dependency-free local stand-in.
+    */
+  def upsertLatestToDir(events: DataFrame, dir: String): Unit = {
+    val q = events
+      .select(col("user_id"), col("ts"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val latest = batch
+          .groupBy("user_id")
+          .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("_s"))
+          .select(col("user_id"), col("_s.ts").as("ts"), col("_s.value").as("value"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(dir)
+        val next = new org.apache.hadoop.fs.Path(dir + ".next")
+        val merged =
+          if (fs.exists(cur))
+            spark.read.parquet(dir).unionByName(latest)
+              .groupBy("user_id")
+              .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("_s"))
+              .select(col("user_id"), col("_s.ts").as("ts"), col("_s.value").as("value"))
+          else latest
+        merged.write.mode("overwrite").parquet(next.toString)
+        fs.delete(cur, true)
+        fs.rename(next, cur)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Batch-mode sessionization with identical semantics (gaps-and-islands:
     * lag → gap flag → running session index → group). The oracle-checkable
     * twin of `sessionize`; EventStreamSpec proves closed-session

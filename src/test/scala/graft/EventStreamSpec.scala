@@ -69,6 +69,27 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch upsert sink converges to the batch max_by table (J7 sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
+    val stream = EventStream.readEvents(spark, streamDir) // 3 micro-batches
+    EventStream.upsertLatestToDir(stream, dir)
+    val got = spark.read.parquet(dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    val want = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"), col("s.value").as("value"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // idempotence: replaying the whole stream over the existing state dir
+    // converges to the same table (restart-after-uncommitted-batch story)
+    EventStream.upsertLatestToDir(EventStream.readEvents(spark, streamDir), dir)
+    val again = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(again == want)
+  }
+
   test("watermark drops events later than the threshold across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -57,4 +57,33 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(shuffles(plan) == 0 && !plan.contains("Exchange"), s"unexpected exchange:\n$plan")
   }
+
+  test("g1 geometry scan reads only the two key columns") {
+    val plan = SparkEntry.queries("g1_wkt_measures")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"geometry query must prune to the two source columns:\n$plan")
+  }
+
+  test("decontaminate eval-gram side broadcasts under AQE (corpus never re-shuffled by gram)") {
+    val docs = Tables.documents(spark, sf)
+    val q = Curation.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+    q.collect() // finalize adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"eval grams should broadcast into a semi join:\n$plan")
+  }
+
+  test("spread repartitions a single-file scan and passes through a many-partition frame") {
+    val docs = Tables.documents(spark, sf)
+    val spreadPlan = graft.operators.Partitioning.spread(docs)
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("Exchange RoundRobinPartitioning") ||
+      spreadPlan.contains("roundrobin"), s"single-file scan must spread:\n$spreadPlan")
+    val shuffled = docs.repartition(64, col("doc_id"))
+    val passPlan = graft.operators.Partitioning.spread(shuffled)
+      .queryExecution.executedPlan.toString
+    assert(!passPlan.toLowerCase.contains("roundrobin"),
+      s"already-shuffled frame must pass through untouched:\n$passPlan")
+  }
 }
