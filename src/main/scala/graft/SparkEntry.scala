@@ -841,7 +841,19 @@ object SparkEntry {
     */
   private def pipe1(s: SparkSession, d: String) = {
     val docs = Tables.documents(s, d)
-    val scored = operators.Partitioning.spread(docs)
+    // Decontaminate FIRST: it commutes with every later stage (scoring and
+    // langid are per-row; identical texts have identical grams, so the
+    // kept-min-doc of an exact-dup group is contaminated iff every copy
+    // is), and front-loading it means the expensive score+window subtree
+    // is built ONCE — an anti-join plan references its base twice, and
+    // union/join branches get no subtree reuse, so whatever sits below the
+    // anti join executes twice. Spread before, so the CPU-heavy scoring
+    // that follows the (partitioning-preserving) broadcast anti join runs
+    // on all cores, not the scan's single file partition.
+    val spreadDocs = operators.Partitioning.spread(docs)
+    val clean = operators.Curation.decontaminate(
+      spreadDocs, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+    val scored = clean
       .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("text"),
         size(col("_toks")).cast("long").as("n_tokens"),
@@ -855,11 +867,8 @@ object SparkEntry {
     val deduped = scored
       .withColumn("_rn", row_number().over(dedupW))
       .filter(col("_rn") === 1)
-      .select("doc_id", "text", "n_tokens", "lang_guess")
-    val clean = operators.Curation.decontaminate(
-      deduped, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
-    clean
-      .withColumn("split", operators.Curation.hashSplit(clean, "doc_id"))
+    deduped
+      .withColumn("split", operators.Curation.hashSplit(deduped, "doc_id"))
       .groupBy("split", "lang_guess")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy("split", "lang_guess")
