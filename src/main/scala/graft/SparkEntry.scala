@@ -920,13 +920,18 @@ object SparkEntry {
         pt(col("x0"), col("y0"))),
       lit("))"))
     val g = graft.functions.SpatialOps
+    // staged: parse rings ONCE, share one cross column between both
+    // centroid coordinates (HOFs get no CSE — unstaged this plan parses
+    // the WKT seven times per row)
     base.select(col("o_orderkey"), wkt.as("geom_wkt"))
+      .select(col("o_orderkey"), g.wktRings(col("geom_wkt")).as("_rings"))
+      .select(col("o_orderkey"), col("_rings"), g.ringsCross(col("_rings")).as("_cross"))
       .select(col("o_orderkey"),
-        round(g.wktArea(col("geom_wkt")), 6).as("area"),
-        round(g.wktPerimeter(col("geom_wkt")), 6).as("perimeter"),
-        round(g.wktCentroid(col("geom_wkt")).getField("x"), 6).as("cx"),
-        round(g.wktCentroid(col("geom_wkt")).getField("y"), 6).as("cy"),
-        g.wktNumPoints(col("geom_wkt")).cast("int").as("n_points"))
+        round(abs(col("_cross")) / 2, 6).as("area"),
+        round(g.ringsPerimeter(col("_rings")), 6).as("perimeter"),
+        round(g.ringsMoment(col("_rings"), "x") / (lit(3.0) * col("_cross")), 6).as("cx"),
+        round(g.ringsMoment(col("_rings"), "y") / (lit(3.0) * col("_cross")), 6).as("cy"),
+        g.ringsNumPoints(col("_rings")).cast("int").as("n_points"))
       .orderBy("o_orderkey")
   }
 

@@ -93,39 +93,63 @@ object SpatialOps {
         acc + element_at(pts, i).getField("x") * element_at(pts, i + 1).getField("y")
           - element_at(pts, i + 1).getField("x") * element_at(pts, i).getField("y")))
 
-  private def ringsCross(wkt: Column): Column =
-    aggregate(wktRings(wkt), lit(0.0), (acc, r) => acc + ringCross(r))
+  // The rings-typed entry points exist so multi-measure projections can
+  // STAGE the parse: HOF expressions get no common-subexpression reuse, so
+  // `wktArea(w), wktPerimeter(w), …` re-parses the WKT once per measure;
+  // `withColumn("_rings", wktRings(w))` then the rings* forms parses once.
 
-  /** Polygon area (holes subtract under the orientation convention). */
-  def wktArea(wkt: Column): Column = abs(ringsCross(wkt)) / 2
+  /** 2·signed net area of parsed rings (holes negative under convention). */
+  def ringsCross(rings: Column): Column =
+    aggregate(rings, lit(0.0), (acc, r) => acc + ringCross(r))
 
-  /** Total boundary length (exterior + holes). */
-  def wktPerimeter(wkt: Column): Column =
-    aggregate(wktRings(wkt), lit(0.0), (acc, pts) =>
+  /** Polygon area from parsed rings (holes subtract). */
+  def ringsArea(rings: Column): Column = abs(ringsCross(rings)) / 2
+
+  /** Total boundary length (exterior + holes) from parsed rings. */
+  def ringsPerimeter(rings: Column): Column =
+    aggregate(rings, lit(0.0), (acc, pts) =>
       acc + when(size(pts) < 2, lit(0.0)).otherwise(
         aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) =>
           a + sqrt(
             pow(element_at(pts, i + 1).getField("x") - element_at(pts, i).getField("x"), 2) +
               pow(element_at(pts, i + 1).getField("y") - element_at(pts, i).getField("y"), 2)))))
 
-  /** Area-weighted centroid as struct(x, y) (shoelace first moment). */
-  def wktCentroid(wkt: Column): Column = {
-    def momentOf(axis: String): Column =
-      aggregate(wktRings(wkt), lit(0.0), (acc, pts) =>
-        acc + when(size(pts) < 2, lit(0.0)).otherwise(
-          aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) => {
-            val cross =
-              element_at(pts, i).getField("x") * element_at(pts, i + 1).getField("y") -
-                element_at(pts, i + 1).getField("x") * element_at(pts, i).getField("y")
-            a + (element_at(pts, i).getField(axis) + element_at(pts, i + 1).getField(axis)) * cross
-          })))
-    val c = ringsCross(wkt)
-    struct((momentOf("x") / (lit(3.0) * c)).as("x"), (momentOf("y") / (lit(3.0) * c)).as("y"))
+  /** Shoelace first moment along `axis` ("x"|"y"); centroid coordinate =
+    * moment / (3 · ringsCross). Exposed so a staged projection can share
+    * one ringsCross column between both centroid coordinates.
+    */
+  def ringsMoment(rings: Column, axis: String): Column =
+    aggregate(rings, lit(0.0), (acc, pts) =>
+      acc + when(size(pts) < 2, lit(0.0)).otherwise(
+        aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) => {
+          val cross =
+            element_at(pts, i).getField("x") * element_at(pts, i + 1).getField("y") -
+              element_at(pts, i + 1).getField("x") * element_at(pts, i).getField("y")
+          a + (element_at(pts, i).getField(axis) + element_at(pts, i + 1).getField(axis)) * cross
+        })))
+
+  /** Area-weighted centroid as struct(x, y) from parsed rings. */
+  def ringsCentroid(rings: Column): Column = {
+    val c = ringsCross(rings)
+    struct((ringsMoment(rings, "x") / (lit(3.0) * c)).as("x"),
+      (ringsMoment(rings, "y") / (lit(3.0) * c)).as("y"))
   }
 
   /** Total coordinate count as written (closing points included). */
-  def wktNumPoints(wkt: Column): Column =
-    aggregate(wktRings(wkt), lit(0), (acc, r) => acc + size(r))
+  def ringsNumPoints(rings: Column): Column =
+    aggregate(rings, lit(0), (acc, r) => acc + size(r))
+
+  /** Polygon area (holes subtract under the orientation convention). */
+  def wktArea(wkt: Column): Column = ringsArea(wktRings(wkt))
+
+  /** Total boundary length (exterior + holes). */
+  def wktPerimeter(wkt: Column): Column = ringsPerimeter(wktRings(wkt))
+
+  /** Area-weighted centroid as struct(x, y) (shoelace first moment). */
+  def wktCentroid(wkt: Column): Column = ringsCentroid(wktRings(wkt))
+
+  /** Total coordinate count as written (closing points included). */
+  def wktNumPoints(wkt: Column): Column = ringsNumPoints(wktRings(wkt))
 
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative integer cell coordinates — bit i of x lands at 2i, bit i
