@@ -38,38 +38,44 @@ object Graph {
       dstCol: String = "b",
       maxIter: Int = 20,
       localThreshold: Long = 1L << 22): DataFrame = {
-    // undirected edges in both directions PLUS a self-loop per node: the
-    // min over a node's in-neighbors' labels then includes its own label,
-    // so each round is ONE join + ONE aggregation (no second join to merge
-    // the old label back in).
-    // The edge input is materialized FIRST: `und` references it three
-    // times (forward, reversed, self-loops) and without a cache the whole
-    // upstream pipeline — e.g. LSH + Jaccard verify — executes three times
-    // in the union (no plan-level subtree reuse across union branches).
+    // The edge input is materialized ONCE, up front: everything downstream
+    // (the local collect, or the 3-way union building `und`) re-references
+    // it, and without a cache the whole upstream pipeline — e.g.
+    // LSH + Jaccard verify — would execute once per reference (no
+    // plan-level subtree reuse across union branches). This count is the
+    // only action barrier before the path decision.
     val fwd = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    fwd.count()
+    val edgeCount = fwd.count()
+    // Broadcast-threshold-style hybrid: a graph whose edge list fits on
+    // the driver resolves in one union-find pass (each distributed round
+    // costs whole shuffle jobs — pure overhead at this size). Dedup-pair
+    // graphs are ≪ corpus size, so this is the common case even at 100 TB;
+    // the iterative path below is the unbounded-scale fallback. The local
+    // path collects the directed edges straight from the cache — no
+    // undirected expansion, distinct, or repartition shuffle is needed
+    // (union-find is direction- and duplicate-insensitive).
+    if (edgeCount <= localThreshold) {
+      try return localComponents(fwd, edges.sparkSession)
+      finally fwd.unpersist()
+    }
+    // Distributed path: undirected edges in both directions PLUS a
+    // self-loop per node — the min over a node's in-neighbors' labels then
+    // includes its own label, so each round is ONE join + ONE aggregation
+    // (no second join to merge the old label back in).
     val nodes = fwd.select(col("x")).union(fwd.select(col("y"))).distinct()
     // pre-partition by x: the per-round groupBy(x) then reuses this
     // partitioning (when AQE broadcasts the small labels side, the join
     // preserves the streamed side's distribution → zero shuffles per round;
-    // with a huge label table it degrades to a plain shuffled join)
+    // with a huge label table it degrades to a plain shuffled join).
+    // Persisted lazily — the first round's checksum materializes it off the
+    // fwd cache; no extra count barrier.
     val und = fwd
       .union(fwd.select(col("y").as("x"), col("x").as("y")))
       .union(nodes.select(col("x"), col("x").as("y")))
       .distinct()
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = try und.count() finally fwd.unpersist()
-    // Broadcast-threshold-style hybrid: a graph whose edge list fits on
-    // the driver resolves in one union-find pass (each distributed round
-    // costs whole shuffle jobs — pure overhead at this size). Dedup-pair
-    // graphs are ≪ corpus size, so this is the common case even at 100 TB;
-    // the iterative path below is the unbounded-scale fallback.
-    if (edgeCount <= localThreshold) {
-      try return localComponents(und, edges.sparkSession)
-      finally und.unpersist()
-    }
     try {
       var labels = und.select(col("x").as("node")).distinct()
         .withColumn("label", col("node"))
@@ -110,19 +116,21 @@ object Graph {
         it += 1
       }
       labels.select(col("node"), col("label").as("component"))
-    } finally und.unpersist()
+    } finally { und.unpersist(); fwd.unpersist() }
   }
 
   /** Driver-side union-find over a collected edge list (small-graph path).
     * Path-halving + union-by-min keeps it near-linear; labels are
     * canonicalized to the component's min id to match the distributed
-    * path exactly.
+    * path exactly. Accepts the raw directed edge set — union-find is
+    * direction- and duplicate-insensitive, and both endpoints of every
+    * edge are registered, so no undirected/self-loop expansion is needed.
     */
   private def localComponents(
-      und: DataFrame,
+      edges: DataFrame,
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = und.select(col("x").cast("long"), col("y").cast("long"))
+    val es = edges.select(col("x").cast("long"), col("y").cast("long"))
       .as[(Long, Long)].collect()
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(a: Long): Long = {

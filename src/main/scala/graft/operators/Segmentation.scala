@@ -351,9 +351,11 @@ object Segmentation {
     *
     * Scale shape: the pixel-level work is two shift-joins to find
     * boundary-adjacent pixel pairs; everything after operates on
-    * SEGMENT-level edges (thousands, not billions), so the union-find runs
-    * on the driver over a tiny collected edge list and the relabel map
-    * broadcasts back. Deterministic: global id = min seg_id per component.
+    * SEGMENT-level edges (thousands, not billions), resolved through
+    * [[Graph.connectedComponents]] — driver union-find while the edge list
+    * is provably small, distributed min-label propagation beyond that, so
+    * no unconditional driver collect. Deterministic: global id = min
+    * seg_id per component.
     *
     * Input: `segments` from segmentTiles joined back to the feature pixels
     * (must contain px_row, px_col, seg_id, tile_x, tile_y + featureCols).
@@ -362,9 +364,6 @@ object Segmentation {
       labeled: DataFrame,
       featureCols: Seq[String],
       featureTol: Double): DataFrame = {
-    val spark = labeled.sparkSession
-    import spark.implicits._
-
     val px = labeled.select(
       col("px_row"), col("px_col"), col("seg_id"), col("tile_x"), col("tile_y"))
 
@@ -397,26 +396,21 @@ object Segmentation {
       .filter(col("dist") <= featureTol)
       .select("seg_a", "seg_b")
 
-    // driver-side union-find over segment-level edges
-    val edges = withDist.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    edges.foreach { case (a, b) =>
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val remap = parent.keys.map(k => k -> find(k)).toSeq
-    if (remap.isEmpty) labeled.withColumn("global_seg_id", col("seg_id"))
-    else {
-      val remapDf = remap.toDF("seg_id", "global_root")
-      labeled
-        .join(broadcast(remapDf), Seq("seg_id"), "left")
-        .withColumn("global_seg_id", coalesce(col("global_root"), col("seg_id")))
-        .drop("global_root")
-    }
+    // Segment-level connected components through the size-gated hybrid:
+    // union-find on the driver only while the edge list is provably small
+    // (Graph.localThreshold), distributed min-label + pointer jumping
+    // beyond that — a continental mosaic's adjacency graph never has to
+    // fit in driver memory. Component id = min seg_id, so relabeling is
+    // deterministic. The remap table (one row per MERGED segment) is tiny
+    // relative to the pixel table; AQE broadcasts it when it fits rather
+    // than being forced to.
+    val remapDf = Graph.connectedComponents(withDist, "seg_a", "seg_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("seg_id"), col("component").as("global_root"))
+    labeled
+      .join(remapDf, Seq("seg_id"), "left")
+      .withColumn("global_seg_id", coalesce(col("global_root"), col("seg_id")))
+      .drop("global_root")
   }
 
   // ---------- polygonize (M7) ----------
