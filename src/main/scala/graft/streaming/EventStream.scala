@@ -66,22 +66,44 @@ object EventStream {
   /** J7 as streaming state: latest (ts, value) per user via
     * mapGroupsWithState — each micro-batch merges into per-user state,
     * exactly the cross-batch max_by merge of the in-place writer.
+    *
+    * J7's semantics genuinely want latest-per-key forever, so the default
+    * keeps state unbounded (`stateTtl = None`, NoTimeout). At 100 TB the
+    * distinct-user set itself can outgrow the state store: pass `stateTtl`
+    * (e.g. "30 days") to evict users idle past the watermark — the evicted
+    * user's latest row is re-emitted once on timeout, then a later event
+    * for that user starts fresh (its pre-TTL history is forgotten, which is
+    * exactly the retention contract a TTL states).
     */
-  def latestPerUser(events: DataFrame): Dataset[(Long, java.sql.Timestamp, Double)] = {
+  def latestPerUser(events: DataFrame, stateTtl: Option[String] = None)
+      : Dataset[(Long, java.sql.Timestamp, Double)] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
+    val src = stateTtl.fold(events)(ttl => events.withWatermark("ts", ttl))
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src
       .select(col("user_id"), col("ts"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState(timeoutConf) {
         (userId: Long,
          rows: Iterator[(Long, java.sql.Timestamp, Double)],
          state: GroupState[(java.sql.Timestamp, Double)]) =>
-          val candidates = rows.map(r => (r._2, r._3)) ++ state.getOption.iterator
-          val latest = candidates.maxBy(_._1.getTime)
-          state.update(latest)
-          (userId, latest._1, latest._2)
+          if (!rows.hasNext && state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            (userId, last._1, last._2)
+          } else {
+            val candidates = rows.map(r => (r._2, r._3)) ++ state.getOption.iterator
+            val latest = candidates.maxBy(_._1.getTime)
+            state.update(latest)
+            // TTL clock rides the event-time watermark: idle = no event for
+            // this user within `stateTtl` of the stream's max event time.
+            stateTtl.foreach(ttl => state.setTimeoutTimestamp(latest._1.getTime, ttl))
+            (userId, latest._1, latest._2)
+          }
       }
   }
 

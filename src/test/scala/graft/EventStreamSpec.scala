@@ -69,6 +69,39 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("latestPerUser stateTtl evicts idle users once the watermark passes (J7 TTL)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val src = mem.toDF().toDF("user_id", "ts", "value")
+    val out = EventStream.latestPerUser(src, stateTtl = Some("10 minutes"))
+      .toDF("user_id", "ts", "value")
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("t_ttl").start()
+    // offset from epoch: the initial watermark is 0, and rows at or before
+    // the watermark are dropped before the stateful operator
+    def ts(min: Int) = new java.sql.Timestamp((1440L + min) * 60000L)
+    try {
+      mem.addData((1L, ts(0), 100.0), (2L, ts(0), 5.0))
+      q.processAllAvailable()
+      // user 2 keeps talking; watermark advances to 60-10 = 50 min,
+      // far past user 1's timeout at 0+10
+      mem.addData((2L, ts(60), 6.0))
+      q.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advanced: user 1's
+      // state re-emits its latest row once and is removed
+      mem.addData((2L, ts(61), 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1Emits = spark.table("t_ttl").filter(col("user_id") === 1L).collect()
+    // one emit from the data batch + exactly one from the timeout eviction
+    assert(u1Emits.length == 2, s"expected data emit + timeout emit, got ${u1Emits.toSeq}")
+    assert(u1Emits.forall(r => r.getDouble(2) == 100.0))
+    // the still-active user never timed out: one emit per micro-batch it
+    // appeared in, no extras
+    assert(spark.table("t_ttl").filter(col("user_id") === 2L).count() == 3)
+  }
+
   test("foreachBatch upsert sink converges to the batch max_by table (J7 sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/state"
     val stream = EventStream.readEvents(spark, streamDir) // 3 micro-batches

@@ -58,6 +58,19 @@ class MlOpsSpec extends AnyFunSuite {
       Set("B1_B2", "B1"))
   }
 
+  test("dispatchByCombo round-trips band names containing underscores (J4)") {
+    // Stage-0 emits columns like ndvi_m6 / win_B4: the routing key must not
+    // split on '_' or these combos dissolve into nonexistent column names.
+    val df = Seq(
+      (Some(1.0), Some(1.0), 1), (Some(9.0), Some(9.0), 2),
+      (Some(1.5), None: Option[Double], 1), (Some(8.5), None: Option[Double], 2)
+    ).toDF("ndvi_m6", "win_B4", "label")
+    val out = MlOps.dispatchByCombo(df, df, Seq("ndvi_m6", "win_B4"), "label")
+    assert(out.count() == 4)
+    assert(out.select("combo").distinct().collect().map(_.getString(0)).toSet ==
+      Set("ndvi_m6_win_B4", "ndvi_m6"))
+  }
+
   test("withFallback prefers lookup, then backup model, then 0 (J2)") {
     val feats = Seq((1L, 0.0), (2L, 0.0), (3L, 10.0)).toDF("seg_id", "x")
     // backup model: predicts 1 iff x > 5 (trained on clean data)
