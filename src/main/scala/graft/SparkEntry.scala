@@ -935,6 +935,50 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** G2 — nearest-neighbor grid alignment (feature_stacking.py:72-102, the
+    * Resampling.nearest mask path at :345): a 16×16 master grid reads a
+    * coarser 8×8 aux raster (2×2 cells, same extent) through the full
+    * affine world↔pixel mapping. Integer-friendly geometry keeps every
+    * double op exact; the oracle derives the same containing-cell keys
+    * arithmetically.
+    */
+  private def g2(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 8).cast("int").as("px_row"),
+        (col("p_size") % 8).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.regridNearest(master, aux,
+      operators.Regrid.GridDef(0.0, 16.0, 1.0, 1.0),
+      operators.Regrid.GridDef(0.0, 16.0, 2.0, 2.0), Seq("dem"))
+      .orderBy("px_row", "px_col", "dem")
+  }
+
+  /** G3 — bilinear grid alignment (the Resampling.bilinear DEM path,
+    * feature_stacking.py:319): 4-tap weighted read of the coarse raster
+    * with edge-tap renormalization. Aux values are integer counts and all
+    * weights are exact binary quarters (fx, fy ∈ {0.25, 0.75}), so every
+    * product and sum is exact and the cross-engine hash is bit-stable
+    * without rounding.
+    */
+  private def g3(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 8).cast("int").as("px_row"),
+        (col("p_size") % 8).cast("int").as("px_col"))
+      .agg(count(lit(1)).cast("double").as("nv"))
+    operators.Regrid.regridBilinear(master, aux,
+      operators.Regrid.GridDef(0.0, 16.0, 1.0, 1.0),
+      operators.Regrid.GridDef(0.0, 16.0, 2.0, 2.0), Seq("nv"))
+      .orderBy("px_row", "px_col", "nv")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1022,7 +1066,9 @@ object SparkEntry {
     "pipe1_curation" -> (pipe1 _),
     "w5_lag_delta" -> (w5 _),
     "w6_ntile" -> (w6 _),
-    "g1_wkt_measures" -> (g1 _)
+    "g1_wkt_measures" -> (g1 _),
+    "g2_regrid_nearest" -> (g2 _),
+    "g3_regrid_bilinear" -> (g3 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1488,6 +1534,41 @@ object SparkEntry {
         |  round(x0 + w / 2, 6) AS cx, round(y0 + h / 2, 6) AS cy,
         |  CAST(5 AS INTEGER) AS n_points
         |FROM b ORDER BY o_orderkey""".stripMargin,
+    // g2/g3 replicate the affine key derivation arithmetically: master cell
+    // (r,c) center = (c+0.5, 15.5−r); under the 2×2 aux grid the containing
+    // cell is (floor((r+0.5)/2), floor((c+0.5)/2)) and the bilinear
+    // fractional offsets are exact quarters.
+    "g2_regrid_nearest" ->
+      """WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 8 AS INT) AS ar, CAST(p_size % 8 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac)
+        |SELECT m.px_row, m.px_col, a.dem FROM master m LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((m.px_row + 0.5) / 2) AS INT)
+        | AND a.ac = CAST(floor((m.px_col + 0.5) / 2) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin,
+    "g3_regrid_bilinear" ->
+      """WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 8 AS INT) AS ar, CAST(p_size % 8 AS INT) AS ac,
+        |    CAST(count(*) AS DOUBLE) AS nv FROM part GROUP BY ar, ac),
+        |t AS (SELECT px_row, px_col,
+        |    CAST(floor((px_row + 0.5) / 2 - 0.5) AS INT) AS r0,
+        |    CAST(floor((px_col + 0.5) / 2 - 0.5) AS INT) AS c0,
+        |    ((px_row + 0.5) / 2 - 0.5) - floor((px_row + 0.5) / 2 - 0.5) AS fy,
+        |    ((px_col + 0.5) / 2 - 0.5) - floor((px_col + 0.5) / 2 - 0.5) AS fx
+        |  FROM master),
+        |taps AS (SELECT px_row, px_col, r0 + dr.d AS ar, c0 + dc.d AS ac,
+        |    (CASE WHEN dc.d = 0 THEN 1 - fx ELSE fx END) *
+        |    (CASE WHEN dr.d = 0 THEN 1 - fy ELSE fy END) AS w
+        |  FROM t CROSS JOIN (VALUES (0), (1)) dr(d) CROSS JOIN (VALUES (0), (1)) dc(d))
+        |SELECT px_row, px_col,
+        |  sum(a.nv * w) / CASE WHEN sum(CASE WHEN a.nv IS NOT NULL THEN w END) > 0
+        |    THEN sum(CASE WHEN a.nv IS NOT NULL THEN w END) END AS nv
+        |FROM taps LEFT JOIN aux a ON a.ar = taps.ar AND a.ac = taps.ac
+        |GROUP BY px_row, px_col
+        |ORDER BY px_row, px_col, nv NULLS FIRST""".stripMargin,
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile

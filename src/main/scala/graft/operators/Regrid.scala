@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.functions.SpatialOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid alignment / resampling — the reference's `align_rasterio` step
+  * (feature_stacking.py:72-102, called for every auxiliary raster before
+  * stacking: DEM at :319 bilinear, scenes at :343 cubic, masks at :345
+  * nearest). Every multi-source stack runs this FIRST: auxiliary rasters
+  * live on their own grids and must be resampled onto the master grid
+  * before the band-concat join.
+  *
+  * Relational form: a raster is a tall pixel table under a north-up affine
+  * grid (world x = originX + col·pxW, y = originY − row·pxH — the
+  * SpatialOps mapping). Resampling master ← aux is then a pure key
+  * derivation + equi-join:
+  *
+  *   - nearest: each master cell's center falls in exactly ONE aux cell →
+  *     derive (src_row, src_col) int keys, one equi-join. Uncovered cells
+  *     come back NULL (= `dst_nodata` fill); compose with
+  *     `ScalarOps.fillNoData` to materialize a sentinel.
+  *   - bilinear: each master center reads its 4 surrounding aux pixel
+  *     CENTERS with weights (1−fx)(1−fy) … fx·fy → explode 4 taps, one
+  *     equi-join, re-aggregate by the master key. Taps that fall outside
+  *     the aux raster (or on NULL values) drop out and the remaining
+  *     weights renormalize — rasterio's masked-resampling behavior.
+  *
+  * Scale shape: no raster is ever on the driver. The join keys are ints,
+  * so AQE broadcasts a small aux raster (DEM tiles) and shuffle-joins a
+  * big one; bilinear's only extra cost is the 4× tap inflation between
+  * the projection and the re-aggregation (map-side combinable). Cubic
+  * (4×4 kernel) is the same shape with 16 taps and position-dependent
+  * weights — the two implemented kernels bound the pattern.
+  */
+object Regrid {
+
+  /** North-up affine grid: world x = originX + col·pxW, y = originY − row·pxH
+    * (pixel (0,0)'s top-left corner sits at (originX, originY)).
+    */
+  case class GridDef(originX: Double, originY: Double, pxW: Double, pxH: Double)
+
+  /** Nearest-neighbor resample of `aux` onto the master grid: for every
+    * master pixel row, attach `valueCols` from the aux cell containing the
+    * master cell's center. Left join — cells outside aux coverage get NULL.
+    */
+  def regridNearest(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      valueCols: Seq[String],
+      rowCol: String = "px_row",
+      colCol: String = "px_col"): DataFrame = {
+    val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
+    val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
+    val keyed = master
+      .withColumn("__src_row", SpatialOps.pixelRowOf(cy, lit(auxGrid.originY), lit(auxGrid.pxH)))
+      .withColumn("__src_col", SpatialOps.pixelColOf(cx, lit(auxGrid.originX), lit(auxGrid.pxW)))
+    val src = aux.select(
+      col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +: valueCols.map(col): _*)
+    keyed.join(src, Seq("__src_row", "__src_col"), "left")
+      .drop("__src_row", "__src_col")
+  }
+
+  /** Bilinear resample of `aux` onto the master grid. Each master cell
+    * center interpolates the 4 surrounding aux pixel centers; missing or
+    * NULL taps drop out and the weights renormalize over what remains
+    * (all 4 missing → NULL). Output columns keep the `valueCols` names.
+    *
+    * One explode (4×), one equi-join, one hash re-aggregation keyed by the
+    * master pixel — the map-side partial aggregation collapses the tap
+    * inflation before the shuffle.
+    */
+  def regridBilinear(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      valueCols: Seq[String],
+      rowCol: String = "px_row",
+      colCol: String = "px_col"): DataFrame = {
+    val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
+    val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
+    // fractional aux-pixel-CENTER coordinates of the master center:
+    // u = (x − originX)/pxW − 0.5 so that u = c exactly at aux center c
+    val u = (cx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
+    val v = (lit(auxGrid.originY) - cy) / lit(auxGrid.pxH) - lit(0.5)
+    val c0 = floor(u).cast("int")
+    val r0 = floor(v).cast("int")
+    val fx = u - c0
+    val fy = v - r0
+
+    def tap(dr: Int, dc: Int): Column = {
+      val w = (if (dc == 0) lit(1.0) - fx else fx) * (if (dr == 0) lit(1.0) - fy else fy)
+      struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
+    }
+    val taps = array(tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1))
+
+    val masterCols = master.columns.toSeq
+    val exploded = master
+      .withColumn("__t", explode(taps))
+      .select(masterCols.map(col) :+ col("__t.__src_row") :+ col("__t.__src_col") :+ col("__t.__w"): _*)
+    val src = aux.select(
+      col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +:
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val aggs = valueCols.map { c =>
+      // weight mass only over taps whose value is present → renormalize
+      val wsum = sum(when(col(s"__v_$c").isNotNull, col("__w")))
+      (sum(col(s"__v_$c") * col("__w")) / when(wsum > 0, wsum)).as(c)
+    }
+    exploded.join(src, Seq("__src_row", "__src_col"), "left")
+      .groupBy(masterCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.functions.ScalarOps
-import graft.operators.{Composite, MlOps, Segmentation}
+import graft.operators.{Composite, MlOps, Regrid, Segmentation}
 import org.apache.spark.ml.PipelineModel
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,6 +51,22 @@ object Stages {
       green: String = "B4"): DataFrame =
     df.withColumn("ndvi", ScalarOps.normalizedDiff(col(nir), col(red)))
       .withColumn("ndwi", ScalarOps.normalizedDiff(col(green), col(nir)))
+
+  /** Stage-0 step 2 — align an auxiliary raster (DEM, mask, prior-year
+    * scene) onto the master grid BEFORE stacking (feature_stacking.py:
+    * 316-320 DEM bilinear, :340-345 scenes/masks). The aux raster lives on
+    * its own affine grid; after alignment its `valueCols` ride the master
+    * pixel key and band-concat join like any other band.
+    */
+  def alignAux(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: Regrid.GridDef,
+      auxGrid: Regrid.GridDef,
+      valueCols: Seq[String],
+      bilinear: Boolean = false): DataFrame =
+    if (bilinear) Regrid.regridBilinear(master, aux, masterGrid, auxGrid, valueCols)
+    else Regrid.regridNearest(master, aux, masterGrid, auxGrid, valueCols)
 
   /** Stage-0 composite: per-month median NDVI bands + winter max-NDVI
     * 7-band composite, band-concat joined into one stack per pixel

@@ -49,6 +49,24 @@ class StagesSpec extends AnyFunSuite {
     assert(stack.columns.contains("win_B8"))
   }
 
+  test("stage 0 step 2: aux raster aligns onto the master grid before stacking") {
+    import graft.operators.Regrid.GridDef
+    // master: the 8×8 stack grid, 1×1 cells from world origin (0, 8)
+    val stack = Stages.featureStack(scenes, bands, Seq(6), Seq(12))
+    // aux DEM: 4×4 grid of 2×2 cells over the same extent, elevation 100r+c
+    val dem = (for { r <- 0 until 4; c <- 0 until 4 } yield (r, c, (100 * r + c).toDouble))
+      .toDF("px_row", "px_col", "elev")
+    val aligned = Stages.alignAux(stack.select("px_row", "px_col"), dem,
+      GridDef(0.0, 8.0, 1.0, 1.0), GridDef(0.0, 8.0, 2.0, 2.0), Seq("elev"))
+    val stacked = stack.join(aligned, Seq("px_row", "px_col"))
+    assert(stacked.count() == 64)
+    // every master pixel reads the containing DEM cell: (r,c) → (r/2, c/2)
+    val bad = stacked.filter(
+      col("elev") =!= (floor(col("px_row") / 2) * 100 + floor(col("px_col") / 2))).count()
+    assert(bad == 0)
+    assert(stacked.filter(col("elev").isNull).count() == 0)
+  }
+
   test("stage 1: per-combo dispatch + rules classify the halves correctly") {
     val stack = Stages.featureStack(scenes, bands, Seq(6), Seq(12))
       .select(col("px_row"), col("px_col"),
