@@ -979,6 +979,44 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "nv")
   }
 
+  /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
+    * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
+    * noise). All moments are integer-exact, the eigen-gap is large, so the
+    * power iteration's 64 rounds land ~1e-50 from the true axis and the
+    * DuckDB closed-form 2×2 eigenvector (θ = atan2(2b, a−c)/2) agrees to
+    * well past the round(6). Sign conventions coincide: b > 0 ⇒
+    * θ ∈ (0, π/2) ⇒ cos θ > 0 = "first nonzero component positive".
+    */
+  private def a8(s: SparkSession, d: String) = {
+    val base = s.range(256).select(
+      floor(col("id") / 64).cast("int").as("tile"),
+      col("id").cast("int").as("idx"),
+      (col("id") % 64 % 8).cast("double").as("x"),
+      ((floor(col("id") / 64) + 1) * (col("id") % 64 % 8) +
+        floor(col("id") % 64 / 8)).cast("double").as("y"))
+    operators.TilePca.withPca1(base, Seq("tile"), Seq("x", "y"))
+      .select(col("tile"), col("idx"), round(col("pca1"), 6).as("pca1"))
+      .orderBy("tile", "idx")
+  }
+
+  /** W7 — 2-D stencil through the halo exchange, driver-checked: 3×3
+    * neighborhood mean over a 16×16 cell grid split into four 8×8 tiles,
+    * so every seam case (edge, corner, cross-tile) occurs. The oracle is
+    * the tile-free relational form (self-join on offset ranges) — a hash
+    * match proves halo copies reach exactly the right tiles exactly once.
+    */
+  private def w7(s: SparkSession, d: String) = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .agg(count(lit(1)).as("v"))
+    operators.Halo.tileStencilMean(cells, "px_row", "px_col", "v",
+      tileH = 8, tileW = 8, radius = 1, numRows = 16, numCols = 16)
+      .select(col("px_row"), col("px_col"), col("n_neigh").cast("int").as("n_neigh"),
+        col("nb_mean"))
+      .orderBy("px_row", "px_col")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1068,7 +1106,9 @@ object SparkEntry {
     "w6_ntile" -> (w6 _),
     "g1_wkt_measures" -> (g1 _),
     "g2_regrid_nearest" -> (g2 _),
-    "g3_regrid_bilinear" -> (g3 _)
+    "g3_regrid_bilinear" -> (g3 _),
+    "a8_tile_pca" -> (a8 _),
+    "w7_halo2d" -> (w7 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1569,6 +1609,42 @@ object SparkEntry {
         |FROM taps LEFT JOIN aux a ON a.ar = taps.ar AND a.ac = taps.ac
         |GROUP BY px_row, px_col
         |ORDER BY px_row, px_col, nv NULLS FIRST""".stripMargin,
+    // a8: same synthetic tiles from range(); moments via explicit
+    // sum()/count() (bit-identical to the Spark aggregation), principal
+    // axis of the 2×2 covariance in closed form.
+    "a8_tile_pca" ->
+      """WITH base AS (
+        |  SELECT CAST(id // 64 AS INT) AS tile, CAST(id AS INT) AS idx,
+        |    CAST(id % 64 % 8 AS DOUBLE) AS x,
+        |    CAST((id // 64 + 1) * (id % 64 % 8) + id % 64 // 8 AS DOUBLE) AS y
+        |  FROM range(256) t(id)),
+        |m AS (
+        |  SELECT tile,
+        |    sum(x) / count(*) AS mx, sum(y) / count(*) AS my,
+        |    sum(x*x) / count(*) - (sum(x) / count(*)) * (sum(x) / count(*)) AS a,
+        |    sum(x*y) / count(*) - (sum(x) / count(*)) * (sum(y) / count(*)) AS b,
+        |    sum(y*y) / count(*) - (sum(y) / count(*)) * (sum(y) / count(*)) AS c
+        |  FROM base GROUP BY tile),
+        |v AS (SELECT tile, mx, my,
+        |    cos(atan2(2 * b, a - c) / 2) AS v1, sin(atan2(2 * b, a - c) / 2) AS v2
+        |  FROM m)
+        |SELECT base.tile, idx, round((x - mx) * v1 + (y - my) * v2, 6) AS pca1
+        |FROM base JOIN v ON base.tile = v.tile
+        |ORDER BY base.tile, idx""".stripMargin,
+    // w7: the tile-free relational stencil — neighbor self-join on offset
+    // ranges; mean as exact-int sum / count division.
+    "w7_halo2d" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col, count(*) AS v
+        |  FROM lineitem GROUP BY px_row, px_col)
+        |SELECT a.px_row, a.px_col, CAST(count(b.v) AS INT) AS n_neigh,
+        |  CAST(sum(b.v) AS DOUBLE) / count(b.v) AS nb_mean
+        |FROM cells a JOIN cells b
+        |  ON b.px_row BETWEEN a.px_row - 1 AND a.px_row + 1
+        | AND b.px_col BETWEEN a.px_col - 1 AND a.px_col + 1
+        |GROUP BY a.px_row, a.px_col
+        |ORDER BY a.px_row, a.px_col""".stripMargin,
     "w6_ntile" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile

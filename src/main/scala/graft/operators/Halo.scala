@@ -76,4 +76,57 @@ object Halo {
       .withColumn("is_core", col("_c.dx") === 0 && col("_c.dy") === 0)
       .drop("_copies", "_c")
   }
+
+  /** 2-D neighborhood mean through the halo exchange: each pixel's output
+    * averages the present cells within Chebyshev `radius` — including
+    * neighbors in OTHER tiles, which arrive as halo copies. The canonical
+    * seam-correctness probe for the W1 machinery (a pixel at a tile edge
+    * must see its cross-seam neighbors exactly once).
+    *
+    * Shape: one ~((T+2r)/T)²-inflated shuffle (withHalo) + one per-tile
+    * kernel pass; tiles are independent groups, so the kernel scales with
+    * executor count, and each group holds at most (tileH+2r)(tileW+2r)
+    * cells — bounded memory regardless of grid extent.
+    */
+  def tileStencilMean(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      valueCol: String,
+      tileH: Int,
+      tileW: Int,
+      radius: Int,
+      numRows: Int = -1,
+      numCols: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val haloed = withHalo(
+      df.select(col(rowCol), col(colCol), col(valueCol).cast("long")),
+      rowCol, colCol, tileH, tileW, pad = radius, numRows = numRows, numCols = numCols)
+      .select(col("halo_tile_x"), col("halo_tile_y"),
+        col(rowCol).cast("int"), col(colCol).cast("int"),
+        col(valueCol).cast("long"), col("is_core"))
+      .as[(Int, Int, Int, Int, Long, Boolean)]
+    haloed
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, rows) =>
+        val cells = rows.toArray
+        val byPos = cells.iterator.map(t => (t._3, t._4) -> t._5).toMap
+        cells.iterator.filter(_._6).map { case (_, _, r, c, _, _) =>
+          var sum = 0L
+          var n = 0
+          var dr = -radius
+          while (dr <= radius) {
+            var dc = -radius
+            while (dc <= radius) {
+              byPos.get((r + dr, c + dc)).foreach { v => sum += v; n += 1 }
+              dc += 1
+            }
+            dr += 1
+          }
+          (r, c, n, sum.toDouble / n)
+        }
+      }
+      .toDF(rowCol, colCol, "n_neigh", "nb_mean")
+  }
 }

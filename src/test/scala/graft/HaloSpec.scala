@@ -54,4 +54,22 @@ class HaloSpec extends AnyFunSuite {
     val interior = out.filter(col("px_row") === 5 && col("px_col") === 5).count()
     assert(interior == 1)
   }
+
+  test("tileStencilMean matches the brute-force neighbor join across seams") {
+    // sparse grid (every third cell missing) so present-neighbor counts vary
+    val cells = (for { r <- 0 until 8; c <- 0 until 8 if (r * 8 + c) % 3 != 0 }
+      yield (r, c, (r * 8 + c).toLong)).toDF("px_row", "px_col", "v")
+    val got = Halo.tileStencilMean(cells, "px_row", "px_col", "v",
+      tileH = 4, tileW = 4, radius = 1, numRows = 8, numCols = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    // brute force on the driver
+    val m = (for { r <- 0 until 8; c <- 0 until 8 if (r * 8 + c) % 3 != 0 }
+      yield (r, c) -> (r * 8 + c).toLong).toMap
+    assert(got.size == m.size)
+    for (((r, c), v) <- m) {
+      val neigh = for { dr <- -1 to 1; dc <- -1 to 1; nv <- m.get((r + dr, c + dc)) } yield nv
+      assert(got((r, c))._1 == neigh.size, s"n_neigh at ($r,$c)")
+      assert(math.abs(got((r, c))._2 - neigh.sum.toDouble / neigh.size) < 1e-12, s"mean at ($r,$c)")
+    }
+  }
 }
