@@ -467,12 +467,18 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
       .orderBy("doc_id")
 
-  /** E3b — IVF ANN top-k (seeded KMeans cells, no SQL analog → rows-only
-    * driver check; SimilaritySpec proves recall on separated clusters).
+  /** E3b — IVF ANN top-k, hash-checked via the full-probe equivalence:
+    * with nProbe = nLists every cell is searched, so IVF must return
+    * EXACTLY the brute-force answer (the oracle) — any defect in the
+    * KMeans cell assignment (dropped/duplicated vectors), probe routing,
+    * scoring, or ranking breaks the hash. The pruned nProbe < nLists
+    * behavior (recall on separated clusters, partition-filter pruning in
+    * the persisted index) is SimilaritySpec's job — approximation quality
+    * has no SQL analog, exactness of the machinery does.
     */
   private def e3b(s: SparkSession, d: String) = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nLists = 8, nProbe = 2)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nLists = 8, nProbe = 8)
       .withColumn("score", round(col("score"), 6))
       .orderBy("query_id", "rank")
   }
@@ -1325,6 +1331,16 @@ object SparkEntry {
          |    len(xa.sh) AS la, len(xb.sh) AS lb
          |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t
          |WHERE inter > 0 ORDER BY a, b""".stripMargin,
+    // e3b: full-probe IVF ≡ brute force — same oracle as e3.
+    "e3b_ivf_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |  ${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS raw
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e3_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
