@@ -619,6 +619,29 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** MM3 — REAL format decode: synthesize valid PNG (RGBA) / BMP (24-bit)
+    * header bytes from integer-derived dims, parse them back with the
+    * actual header parsers (big-endian IHDR, little-endian DIB — no stub
+    * on this path), and hash-check the recovered dims/channels/format
+    * against the closed-form oracle.
+    */
+  private def mm3(s: SparkSession, d: String) = {
+    import s.implicits._
+    val media = s.range(500).map { id =>
+      val w = 16 + (id % 100).toInt
+      val h = 16 + (id * 7 % 100).toInt
+      val bytes =
+        if (id % 2 == 0) operators.MultimodalOps.synthPngHeader(w, h, alpha = true)
+        else operators.MultimodalOps.synthBmpHeader(w, h, bpp = 24)
+      (id, "raw", bytes)
+    }.toDF("media_id", "format", "bytes")
+    operators.MultimodalOps.withDecodedMeta(media)
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.channels").as("channels"),
+        col("meta.format").as("detected_format"))
+      .orderBy("media_id")
+  }
+
   // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
 
   /** Q1-shaped pricing summary: the classic scan-heavy aggregate. */
@@ -1114,7 +1137,8 @@ object SparkEntry {
     "g2_regrid_nearest" -> (g2 _),
     "g3_regrid_bilinear" -> (g3 _),
     "a8_tile_pca" -> (a8 _),
-    "w7_halo2d" -> (w7 _)
+    "w7_halo2d" -> (w7 _),
+    "mm3_header_decode" -> (mm3 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1432,6 +1456,14 @@ object SparkEntry {
          |  CAST(1 + ${sqlHexVal("substr(h,10,3)", 3)} % 240 AS INTEGER) AS n_frames,
          |  CAST((${sqlHexVal("substr(h,10,3)", 3)} % 240) // 4 + 1 AS BIGINT) AS n_sampled
          |FROM t ORDER BY media_id""".stripMargin,
+    // mm3: the header round-trip is the identity on the generated dims.
+    "mm3_header_decode" ->
+      """SELECT id AS media_id,
+        |  CAST(16 + id % 100 AS INTEGER) AS width,
+        |  CAST(16 + (id * 7) % 100 AS INTEGER) AS height,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
+        |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS detected_format
+        |FROM range(500) t(id) ORDER BY media_id""".stripMargin,
     "w4_range_frame" ->
       """SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6) AS w_avg

@@ -62,9 +62,78 @@ object MultimodalOps {
     }.toArray
   }
 
+  // ---- real header parsing (PNG IHDR / BMP DIB) ----
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL header decode for PNG (IHDR: width/height big-endian at 16/20,
+    * color type at 25 → channel count) and BMP (BITMAPINFOHEADER: width/
+    * height little-endian at 18/22, bit count at 28). Anything else falls
+    * back to the deterministic md5 stub, so mixed media tables and the
+    * mm1/mm2 plumbing checks keep working unchanged. The BMP sniff demands
+    * a known DIB header size and NUL padding so text that merely starts
+    * with "BM" cannot false-positive.
+    */
+  def decodeHeaderMeta(bytes: Array[Byte], fallbackFormat: String): Row = {
+    if (bytes.length >= 26 && bytes.take(8).sameElements(PngSig) &&
+        new String(bytes.slice(12, 16), "US-ASCII") == "IHDR") {
+      val channels = bytes(25).toInt match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => 0
+      }
+      Row(beInt(bytes, 16), beInt(bytes, 20), channels, 1, "png")
+    } else if (bytes.length >= 30 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte &&
+        Set(40, 108, 124)(leInt(bytes, 14)) && leShort(bytes, 26) == 1 &&
+        Set(1, 4, 8, 16, 24, 32)(leShort(bytes, 28))) {
+      val bpp = leShort(bytes, 28)
+      Row(leInt(bytes, 18), math.abs(leInt(bytes, 22)), math.max(1, bpp / 8), 1, "bmp")
+    } else stubDecodeMeta(bytes, fallbackFormat)
+  }
+
+  /** Minimal valid PNG header bytes (signature + IHDR, zero CRC): the
+    * encode half of the bridge, used to stage synthetic real-format media
+    * in tests and oracles. `alpha` picks color type 6 (RGBA) vs 2 (RGB).
+    */
+  def synthPngHeader(width: Int, height: Int, alpha: Boolean): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4)
+    out.put(PngSig)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put((if (alpha) 6 else 2).toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0) // CRC not validated by the parser
+    out.array()
+  }
+
+  /** Minimal valid BMP header bytes (BITMAPFILEHEADER + BITMAPINFOHEADER). */
+  def synthBmpHeader(width: Int, height: Int, bpp: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(54).putShort(0).putShort(0).putInt(54) // size, reserved, data offset
+    out.putInt(40).putInt(width).putInt(height)
+    out.putShort(1).putShort(bpp.toShort)
+    out.array()
+  }
+
   /** Attach decoded metadata to a media table (idCol, bytesCol binary).
     * Partition-mapped: the decode runs inside one task per partition with
-    * no shuffle; output schema is the typed meta struct.
+    * no shuffle; output schema is the typed meta struct. Real PNG/BMP
+    * headers are parsed; other payloads get the deterministic stub.
     */
   def withDecodedMeta(media: DataFrame, bytesCol: String = "bytes",
       formatCol: String = "format"): DataFrame = {
@@ -74,7 +143,7 @@ object MultimodalOps {
     val fmtIdx = media.schema.fieldIndex(formatCol)
     val rdd = media.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val meta = stubDecodeMeta(r.getAs[Array[Byte]](bytesIdx), r.getString(fmtIdx))
+        val meta = decodeHeaderMeta(r.getAs[Array[Byte]](bytesIdx), r.getString(fmtIdx))
         Row.fromSeq(r.toSeq :+ meta)
       }
     }

@@ -32,6 +32,28 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeHeaderMeta parses real PNG/BMP headers and stubs the rest") {
+    // PNG RGBA 640×480 — big-endian IHDR fields
+    val png = MultimodalOps.decodeHeaderMeta(
+      MultimodalOps.synthPngHeader(640, 480, alpha = true), "x")
+    assert(png.toSeq == Seq(640, 480, 4, 1, "png"))
+    // PNG RGB without alpha
+    assert(MultimodalOps.decodeHeaderMeta(
+      MultimodalOps.synthPngHeader(7, 9, alpha = false), "x").toSeq == Seq(7, 9, 3, 1, "png"))
+    // BMP 24-bit 1920×1080 — little-endian DIB fields
+    val bmp = MultimodalOps.decodeHeaderMeta(
+      MultimodalOps.synthBmpHeader(1920, 1080, bpp = 24), "x")
+    assert(bmp.toSeq == Seq(1920, 1080, 3, 1, "bmp"))
+    // top-down BMP stores negative height; dims come back positive
+    val neg = MultimodalOps.synthBmpHeader(32, -64, bpp = 32)
+    assert(MultimodalOps.decodeHeaderMeta(neg, "x").toSeq == Seq(32, 64, 4, 1, "bmp"))
+    // text that merely starts with "BM" must NOT sniff as BMP
+    val text = "BM is a prefix of this perfectly ordinary sentence padded out".getBytes("UTF-8")
+    assert(MultimodalOps.decodeHeaderMeta(text, "img").getString(4) == "img")
+    // truncated PNG signature falls back too
+    assert(MultimodalOps.decodeHeaderMeta(Array[Byte](0x89.toByte, 'P'), "img").getString(4) == "img")
+  }
+
   test("withResizedMeta preserves aspect ratio and caps the long side") {
     val out = MultimodalOps.withResizedMeta(MultimodalOps.withDecodedMeta(media), maxSide = 64)
       .select("meta.width", "meta.height", "resized_meta.width", "resized_meta.height")
