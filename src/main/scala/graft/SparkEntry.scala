@@ -642,6 +642,29 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** S9 — raster-block ingestion bridge, driver-checked: four synthetic
+    * 16×16 float32 block blobs (GeoTIFF block layout: row-major,
+    * nodata-padded) decode to pixel rows with global coordinates; the
+    * oracle regenerates the same grid arithmetically. Any defect in the
+    * byte layout, tile→global mapping, or nodata drop breaks the hash.
+    */
+  private def s9(s: SparkSession, d: String) = {
+    import s.implicits._
+    val blocks = s.range(4).map { id =>
+      val ty = (id / 2).toInt; val tx = (id % 2).toInt
+      val buf = java.nio.ByteBuffer.allocate(4 * 256)
+      for (lr <- 0 until 16; lc <- 0 until 16) {
+        val r = ty * 16 + lr; val c = tx * 16 + lc
+        val v = if ((r + c) % 7 == 0) -9999.0f else (r * 32 + c).toFloat
+        buf.putFloat(4 * (lr * 16 + lc), v)
+      }
+      (ty, tx, 16, 16, buf.array())
+    }.toDF("tile_y", "tile_x", "block_h", "block_w", "blob")
+    operators.RasterBridge.explodeBlocks(blocks, blockH = 16, blockW = 16, nodata = -9999.0f)
+      .select(col("px_row"), col("px_col"), col("value").cast("int").as("v"))
+      .orderBy("px_row", "px_col")
+  }
+
   // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
 
   /** Q1-shaped pricing summary: the classic scan-heavy aggregate. */
@@ -1138,7 +1161,8 @@ object SparkEntry {
     "g3_regrid_bilinear" -> (g3 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
-    "mm3_header_decode" -> (mm3 _)
+    "mm3_header_decode" -> (mm3 _),
+    "s9_raster_blocks" -> (s9 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1464,6 +1488,14 @@ object SparkEntry {
         |  CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
         |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS detected_format
         |FROM range(500) t(id) ORDER BY media_id""".stripMargin,
+    // s9: v = px_row·32 + px_col = the cell's linear index, nodata where
+    // (row+col) % 7 = 0 — regenerate and filter.
+    "s9_raster_blocks" ->
+      """SELECT CAST(id // 32 AS INT) AS px_row, CAST(id % 32 AS INT) AS px_col,
+        |  CAST(id AS INT) AS v
+        |FROM range(1024) t(id)
+        |WHERE (id // 32 + id % 32) % 7 <> 0
+        |ORDER BY px_row, px_col""".stripMargin,
     "w4_range_frame" ->
       """SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6) AS w_avg
