@@ -74,6 +74,31 @@ class PlanSpec extends AnyFunSuite {
       s"eval grams should broadcast into a semi join:\n$plan")
   }
 
+  test("regridNearest: aux raster broadcasts under AQE, master side never shuffles") {
+    val q = SparkEntry.queries("g2_regrid_nearest")(spark, sf)
+    q.collect() // finalize adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small aux raster should broadcast into the master scan:\n$plan")
+  }
+
+  test("regridBilinear: one re-aggregation shuffle collapses the 4x tap inflation") {
+    val master = (for { r <- 0 until 8; c <- 0 until 8 } yield (r, c))
+      .toDF("px_row", "px_col")
+    val aux = (for { r <- 0 until 4; c <- 0 until 4 } yield (r, c, 1.0))
+      .toDF("px_row", "px_col", "v")
+    import graft.operators.Regrid
+    val q = Regrid.regridBilinear(master, aux,
+      Regrid.GridDef(0, 8, 1, 1), Regrid.GridDef(0, 8, 2, 2), Seq("v"))
+    q.collect()
+    // AQE's toString prints Final AND Initial plans — count the final only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // partial_ then final aggregation: the tap explosion is combined
+    // map-side before the single hash exchange on the master key
+    assert(plan.contains("partial_"), s"expected map-side partial agg:\n$plan")
+    assert(shuffles(plan) <= 1, s"expected at most one hash exchange:\n$plan")
+  }
+
   test("spread repartitions a single-file scan and passes through a many-partition frame") {
     val docs = Tables.documents(spark, sf)
     val spreadPlan = graft.operators.Partitioning.spread(docs)
