@@ -1031,6 +1031,27 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "nv")
   }
 
+  /** G4 — cubic-convolution grid alignment (the Resampling.cubic imagery
+    * path, feature_stacking.py:343): 16 Catmull-Rom taps per master cell.
+    * Same exactness argument as g3 — integer aux values, dyadic fractional
+    * offsets (0.25/0.75) make every kernel weight, product, and sum exact
+    * binary, so the hash is bit-stable without rounding.
+    */
+  private def g4(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 8).cast("int").as("px_row"),
+        (col("p_size") % 8).cast("int").as("px_col"))
+      .agg(count(lit(1)).cast("double").as("nv"))
+    operators.Regrid.regridCubic(master, aux,
+      operators.Regrid.GridDef(0.0, 16.0, 1.0, 1.0),
+      operators.Regrid.GridDef(0.0, 16.0, 2.0, 2.0), Seq("nv"))
+      .orderBy("px_row", "px_col", "nv")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -1159,6 +1180,7 @@ object SparkEntry {
     "g1_wkt_measures" -> (g1 _),
     "g2_regrid_nearest" -> (g2 _),
     "g3_regrid_bilinear" -> (g3 _),
+    "g4_regrid_cubic" -> (g4 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -1194,6 +1216,10 @@ object SparkEntry {
 
   private def sqlLangHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  /** Catmull-Rom (a=−0.5) cubic weight of a non-negative distance expr. */
+  private def sqlCubW(t: String): String =
+    s"(CASE WHEN $t <= 1 THEN (1.5*$t - 2.5)*$t*$t + 1 ELSE ((-0.5*$t + 2.5)*$t - 4)*$t + 2 END)"
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
@@ -1689,6 +1715,28 @@ object SparkEntry {
         |FROM taps LEFT JOIN aux a ON a.ar = taps.ar AND a.ac = taps.ac
         |GROUP BY px_row, px_col
         |ORDER BY px_row, px_col, nv NULLS FIRST""".stripMargin,
+    // g4: same derivation as g3 with the 4×4 Catmull-Rom tap set.
+    "g4_regrid_cubic" ->
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+         |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+         |aux AS (SELECT CAST(p_partkey % 8 AS INT) AS ar, CAST(p_size % 8 AS INT) AS ac,
+         |    CAST(count(*) AS DOUBLE) AS nv FROM part GROUP BY ar, ac),
+         |t AS (SELECT px_row, px_col,
+         |    CAST(floor((px_row + 0.5) / 2 - 0.5) AS INT) AS r0,
+         |    CAST(floor((px_col + 0.5) / 2 - 0.5) AS INT) AS c0,
+         |    ((px_row + 0.5) / 2 - 0.5) - floor((px_row + 0.5) / 2 - 0.5) AS fy,
+         |    ((px_col + 0.5) / 2 - 0.5) - floor((px_col + 0.5) / 2 - 0.5) AS fx
+         |  FROM master),
+         |taps AS (SELECT px_row, px_col, r0 + dr.d AS ar, c0 + dc.d AS ac,
+         |    ${sqlCubW("abs(fy - dr.d)")} * ${sqlCubW("abs(fx - dc.d)")} AS w
+         |  FROM t CROSS JOIN (VALUES (-1), (0), (1), (2)) dr(d)
+         |         CROSS JOIN (VALUES (-1), (0), (1), (2)) dc(d))
+         |SELECT px_row, px_col,
+         |  sum(a.nv * w) / CASE WHEN sum(CASE WHEN a.nv IS NOT NULL THEN w END) > 0
+         |    THEN sum(CASE WHEN a.nv IS NOT NULL THEN w END) END AS nv
+         |FROM taps LEFT JOIN aux a ON a.ar = taps.ar AND a.ac = taps.ac
+         |GROUP BY px_row, px_col
+         |ORDER BY px_row, px_col, nv NULLS FIRST""".stripMargin,
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal
     // axis of the 2×2 covariance in closed form.

@@ -38,27 +38,33 @@ object Graph {
       dstCol: String = "b",
       maxIter: Int = 20,
       localThreshold: Long = 1L << 22): DataFrame = {
-    // The edge input is materialized ONCE, up front: everything downstream
-    // (the local collect, or the 3-way union building `und`) re-references
-    // it, and without a cache the whole upstream pipeline — e.g.
-    // LSH + Jaccard verify — would execute once per reference (no
-    // plan-level subtree reuse across union branches). This count is the
-    // only action barrier before the path decision.
+    // The edge input is cached up front: everything downstream (the local
+    // take, or the 3-way union building `und`) re-references it, and
+    // without a cache the whole upstream pipeline — e.g. LSH + Jaccard
+    // verify — would execute once per reference (no plan-level subtree
+    // reuse across union branches).
     val fwd = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = fwd.count()
     // Broadcast-threshold-style hybrid: a graph whose edge list fits on
     // the driver resolves in one union-find pass (each distributed round
     // costs whole shuffle jobs — pure overhead at this size). Dedup-pair
     // graphs are ≪ corpus size, so this is the common case even at 100 TB;
-    // the iterative path below is the unbounded-scale fallback. The local
-    // path collects the directed edges straight from the cache — no
-    // undirected expansion, distinct, or repartition shuffle is needed
-    // (union-find is direction- and duplicate-insensitive).
-    if (edgeCount <= localThreshold) {
-      try return localComponents(fwd, edges.sparkSession)
+    // the iterative path below is the unbounded-scale fallback.
+    // ONE action decides the path AND, in the common case, already
+    // delivers the payload: take(threshold+1) short-circuits once it has
+    // enough rows, so a small graph pays a single materialization of the
+    // upstream pipeline — no separate count barrier, no undirected
+    // expansion, no distinct/repartition shuffle (union-find is direction-
+    // and duplicate-insensitive).
+    val takeN = (localThreshold.max(0L) + 1L).min(Int.MaxValue.toLong).toInt
+    val head = fwd.take(takeN)
+    if (head.length <= localThreshold) {
+      try return localComponents(head, edges.sparkSession)
       finally fwd.unpersist()
     }
+    // Over threshold: fully materialize the cache before fanning out into
+    // the union (take() may have left partitions uncomputed).
+    fwd.count()
     // Distributed path: undirected edges in both directions PLUS a
     // self-loop per node — the min over a node's in-neighbors' labels then
     // includes its own label, so each round is ONE join + ONE aggregation
@@ -122,16 +128,19 @@ object Graph {
   /** Driver-side union-find over a collected edge list (small-graph path).
     * Path-halving + union-by-min keeps it near-linear; labels are
     * canonicalized to the component's min id to match the distributed
-    * path exactly. Accepts the raw directed edge set — union-find is
+    * path exactly. Accepts the raw directed edge rows — union-find is
     * direction- and duplicate-insensitive, and both endpoints of every
     * edge are registered, so no undirected/self-loop expansion is needed.
     */
   private def localComponents(
-      edges: DataFrame,
+      rows: Array[org.apache.spark.sql.Row],
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    val es = edges.select(col("x").cast("long"), col("y").cast("long"))
-      .as[(Long, Long)].collect()
+    def asLong(v: Any): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(s"non-numeric node id: $other")
+    }
+    val es = rows.map(r => (asLong(r.get(0)), asLong(r.get(1))))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(a: Long): Long = {
       var r = a

@@ -63,43 +63,35 @@ object Regrid {
       .drop("__src_row", "__src_col")
   }
 
-  /** Bilinear resample of `aux` onto the master grid. Each master cell
-    * center interpolates the 4 surrounding aux pixel centers; missing or
-    * NULL taps drop out and the weights renormalize over what remains
-    * (all 4 missing → NULL). Output columns keep the `valueCols` names.
-    *
-    * One explode (4×), one equi-join, one hash re-aggregation keyed by the
-    * master pixel — the map-side partial aggregation collapses the tap
-    * inflation before the shuffle.
+  /** Shared kernel-tap resample: derive fractional aux-pixel-CENTER
+    * coordinates of each master center, explode the kernel's taps (each a
+    * (src_row, src_col, weight) struct), equi-join the aux raster, and
+    * re-aggregate per master pixel with renormalization over the taps
+    * whose value is present (GDAL's masked-resampling behavior; every tap
+    * missing → NULL). One explode, one equi-join (AQE broadcasts a small
+    * aux), one hash re-aggregation — the map-side partial collapses the
+    * tap inflation before the shuffle.
     */
-  def regridBilinear(
+  private def tapRegrid(
       master: DataFrame,
       aux: DataFrame,
       masterGrid: GridDef,
       auxGrid: GridDef,
       valueCols: Seq[String],
-      rowCol: String = "px_row",
-      colCol: String = "px_col"): DataFrame = {
+      rowCol: String,
+      colCol: String)(
+      mkTaps: (Column, Column, Column, Column) => Seq[Column]): DataFrame = {
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
-    // fractional aux-pixel-CENTER coordinates of the master center:
     // u = (x − originX)/pxW − 0.5 so that u = c exactly at aux center c
     val u = (cx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
     val v = (lit(auxGrid.originY) - cy) / lit(auxGrid.pxH) - lit(0.5)
     val c0 = floor(u).cast("int")
     val r0 = floor(v).cast("int")
-    val fx = u - c0
-    val fy = v - r0
-
-    def tap(dr: Int, dc: Int): Column = {
-      val w = (if (dc == 0) lit(1.0) - fx else fx) * (if (dr == 0) lit(1.0) - fy else fy)
-      struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
-    }
-    val taps = array(tap(0, 0), tap(0, 1), tap(1, 0), tap(1, 1))
 
     val masterCols = master.columns.toSeq
     val exploded = master
-      .withColumn("__t", explode(taps))
+      .withColumn("__t", explode(array(mkTaps(r0, c0, u - c0, v - r0): _*)))
       .select(masterCols.map(col) :+ col("__t.__src_row") :+ col("__t.__src_col") :+ col("__t.__w"): _*)
     val src = aux.select(
       col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +:
@@ -113,4 +105,56 @@ object Regrid {
       .groupBy(masterCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Bilinear resample (the Resampling.bilinear DEM path): each master
+    * cell center interpolates the 4 surrounding aux pixel centers.
+    */
+  def regridBilinear(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      valueCols: Seq[String],
+      rowCol: String = "px_row",
+      colCol: String = "px_col"): DataFrame =
+    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol) {
+      (r0, c0, fx, fy) =>
+        for { dr <- 0 to 1; dc <- 0 to 1 } yield {
+          val w = (if (dc == 0) lit(1.0) - fx else fx) *
+            (if (dr == 0) lit(1.0) - fy else fy)
+          struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
+        }
+    }
+
+  /** Catmull-Rom weight (cubic convolution, a = −0.5 — the GDAL/rasterio
+    * `Resampling.cubic` kernel) for a tap at absolute distance `t` < 2.
+    */
+  private def cubicW(t: Column): Column =
+    when(t <= 1.0, (lit(1.5) * t - lit(2.5)) * t * t + lit(1.0))
+      .otherwise(((lit(-0.5) * t + lit(2.5)) * t - lit(4.0)) * t + lit(2.0))
+
+  /** Cubic-convolution resample (the Resampling.cubic imagery path,
+    * feature_stacking.py:343): 16 taps over the 4×4 aux-center
+    * neighborhood, separable Catmull-Rom weights. Same single
+    * explode→join→re-agg shape as bilinear, 4× the tap inflation. Note
+    * cubic weights go negative, so edge renormalization divides by the
+    * (possibly small) present-weight mass — prefer bilinear/nearest near
+    * sparse coverage, exactly as the reference reserves cubic for dense
+    * imagery and nearest for masks.
+    */
+  def regridCubic(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      valueCols: Seq[String],
+      rowCol: String = "px_row",
+      colCol: String = "px_col"): DataFrame =
+    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol) {
+      (r0, c0, fx, fy) =>
+        for { dr <- -1 to 2; dc <- -1 to 2 } yield {
+          val w = cubicW(abs(fx - lit(dc))) * cubicW(abs(fy - lit(dr)))
+          struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
+        }
+    }
 }

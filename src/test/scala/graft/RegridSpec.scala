@@ -67,6 +67,35 @@ class RegridSpec extends AnyFunSuite {
     assert(vals.forall(v => math.abs(v - 7.0) < 1e-12))
   }
 
+  test("cubic on the identity grid reproduces aux values exactly (interior)") {
+    // same grid both sides → fx = fy = 0, and Catmull-Rom is interpolating:
+    // weights collapse to (0, 1, 0, 0)
+    val aux6 = (for { r <- 0 until 6; c <- 0 until 6 } yield (r, c, (10 * r + c).toDouble))
+      .toDF("px_row", "px_col", "f")
+    val grid6 = GridDef(0.0, 6.0, 1.0, 1.0)
+    val out = Regrid.regridCubic(aux6.select("px_row", "px_col"), aux6, grid6, grid6, Seq("f"))
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for { r <- 1 to 3; c <- 1 to 3 } // all 16 taps in coverage
+      assert(math.abs(got((r, c)) - (10 * r + c)) < 1e-12, s"cell ($r,$c)")
+  }
+
+  test("cubic reproduces a linear field at half-cell offsets (linear precision)") {
+    // aux 8×8 of 1×1 cells with f = x + y at centers; master shifted so
+    // every master center sits exactly between aux centers (fx = fy = 0.5)
+    val aux8 = (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val x = 0.0 + (c + 0.5); val y = 8.0 - (r + 0.5)
+      (r, c, x + y)
+    }).toDF("px_row", "px_col", "f")
+    val masterShift = GridDef(0.5, 7.5, 1.0, 1.0)
+    val master8 = (for { r <- 0 until 7; c <- 0 until 7 } yield (r, c)).toDF("px_row", "px_col")
+    val out = Regrid.regridCubic(master8, aux8, masterShift, GridDef(0.0, 8.0, 1.0, 1.0), Seq("f"))
+    val got = out.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for { r <- 1 to 5; c <- 1 to 5 } { // interior: all 16 taps exist
+      val x = 0.5 + (c + 0.5); val y = 7.5 - (r + 0.5)
+      assert(math.abs(got((r, c)) - (x + y)) < 1e-12, s"cell ($r,$c)")
+    }
+  }
+
   test("bilinear with zero coverage yields NULL") {
     val far = GridDef(100.0, 200.0, 2.0, 2.0)
     val out = Regrid.regridBilinear(master, aux, masterGrid, far, Seq("dem"))
