@@ -86,12 +86,22 @@ object Regrid {
     // u = (x − originX)/pxW − 0.5 so that u = c exactly at aux center c
     val u = (cx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
     val v = (lit(auxGrid.originY) - cy) / lit(auxGrid.pxH) - lit(0.5)
-    val c0 = floor(u).cast("int")
-    val r0 = floor(v).cast("int")
 
     val masterCols = master.columns.toSeq
-    val exploded = master
-      .withColumn("__t", explode(array(mkTaps(r0, c0, u - c0, v - r0): _*)))
+    // STAGE the shared affine subexpressions as real columns before the
+    // tap array: expression trees inside explode(array(...)) get no
+    // common-subexpression elimination, so an unstaged 16-tap kernel
+    // inlines the whole world→pixel derivation 32+ times — a Janino
+    // compile tax and per-row recompute (see the g1 staging note).
+    val staged = master
+      .withColumn("__u", u).withColumn("__v", v)
+      .withColumn("__c0", floor(col("__u")).cast("int"))
+      .withColumn("__r0", floor(col("__v")).cast("int"))
+      .withColumn("__fx", col("__u") - col("__c0"))
+      .withColumn("__fy", col("__v") - col("__r0"))
+    val exploded = staged
+      .withColumn("__t", explode(array(
+        mkTaps(col("__r0"), col("__c0"), col("__fx"), col("__fy")): _*)))
       .select(masterCols.map(col) :+ col("__t.__src_row") :+ col("__t.__src_col") :+ col("__t.__w"): _*)
     val src = aux.select(
       col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +:
