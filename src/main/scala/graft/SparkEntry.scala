@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ScalarOps, TextOps, VectorOps}
-import graft.operators.{Composite, Dedup, MlOps, Similarity}
+import graft.operators.{Composite, Curation, Dedup, MlOps, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -467,6 +467,33 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
       .orderBy("doc_id")
 
+  /** rep1 — within-document n-gram repetition metrics (Gopher-style
+    * quality rules): char-weighted duplicate-bigram/-trigram fractions and
+    * top-bigram coverage, via the shuffle-free sorted-run fold
+    * (`TextOps.repetitionCounts`). Every stage is staged as its own
+    * projection (HOF lambdas get no CSE); all counters are integers so the
+    * final divisions are bit-exact vs the relational oracle.
+    */
+  private def rep1(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        sort_array(TextOps.shingles(col("__toks"), 2)).as("__g2"),
+        sort_array(TextOps.shingles(col("__toks"), 3)).as("__g3"))
+      .select(col("doc_id"),
+        TextOps.repetitionCounts(col("__g2")).as("__r2"),
+        TextOps.repetitionCounts(col("__g3")).as("__r3"))
+      .select(col("doc_id"),
+        (col("__r2.dup").cast("double") / col("__r2.tot").cast("double")).as("dup2_frac"),
+        (col("__r2.best").cast("double") / col("__r2.tot").cast("double")).as("top2_frac"),
+        (col("__r3.dup").cast("double") / col("__r3.tot").cast("double")).as("dup3_frac"))
+      .orderBy("doc_id")
+
+  /** par1 — cross-document duplicated-passage profile (C4-style). */
+  private def par1(s: SparkSession, d: String) =
+    Curation.passageDupStats(Tables.documents(s, d), ngramK = 5)
+      .orderBy("doc_id")
+
   /** E3b — IVF ANN top-k, hash-checked via the full-probe equivalence:
     * with nProbe = nLists every cell is searched, so IVF must return
     * EXACTLY the brute-force answer (the oracle) — any defect in the
@@ -691,6 +718,24 @@ object SparkEntry {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
+
+  /** Q4-shaped order-priority check: EXISTS decorrelated to a LEFT SEMI
+    * join with a non-equi residual (a line shipped >60 days after the
+    * order date). The semi join never duplicates orders, so no distinct is
+    * needed — the shape Catalyst plans for correlated EXISTS subqueries.
+    */
+  private def q4(s: SparkSession, d: String) =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .join(
+        Tables.lineitem(s, d),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
 
   /** Q5-shaped regional revenue rollup (the flagship, parameterized by dir). */
   private def q5(s: SparkSession, d: String) =
@@ -1184,7 +1229,10 @@ object SparkEntry {
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
-    "s9_raster_blocks" -> (s9 _)
+    "s9_raster_blocks" -> (s9 _),
+    "rep1_ngram_repetition" -> (rep1 _),
+    "par1_dup_passages" -> (par1 _),
+    "q4_order_priority" -> (q4 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1814,6 +1862,54 @@ object SparkEntry {
         |  FROM idx WHERE month = 12 AND ndvi IS NOT NULL)
         |SELECT m.px_row, m.px_col, round(ndvi_m6, 6) AS ndvi_m6, win_B8
         |FROM monthly m JOIN winter w ON m.px_row = w.px_row AND m.px_col = w.px_col
-        |ORDER BY m.px_row, m.px_col""".stripMargin
+        |ORDER BY m.px_row, m.px_col""".stripMargin,
+    // rep1: relational mirror of the sorted-run fold — unnest + GROUP BY
+    // counts per gram; all counters exact integers, one final division.
+    "rep1_ngram_repetition" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) < 2 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 1),
+        |    i -> concat(toks[i], ' ', toks[i+1])) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS g3
+        |  FROM t),
+        |c2 AS (SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram),
+        |m2 AS (SELECT doc_id,
+        |  sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS dup,
+        |  max(c * strlen(gram)) AS best,
+        |  sum(c * strlen(gram)) AS tot FROM c2 GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id, gram),
+        |m3 AS (SELECT doc_id,
+        |  sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS dup,
+        |  max(c * strlen(gram)) AS best,
+        |  sum(c * strlen(gram)) AS tot FROM c3 GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(m2.dup AS DOUBLE) / CAST(m2.tot AS DOUBLE) AS dup2_frac,
+        |  CAST(m2.best AS DOUBLE) / CAST(m2.tot AS DOUBLE) AS top2_frac,
+        |  CAST(m3.dup AS DOUBLE) / CAST(m3.tot AS DOUBLE) AS dup3_frac
+        |FROM m2 JOIN m3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // par1: corpus-vs-itself passage duplication; integer counters only.
+    "par1_dup_passages" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 4),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) END AS sh
+        |  FROM t),
+        |occ AS (SELECT doc_id, g, count(*) AS occ
+        |  FROM (SELECT doc_id, unnest(sh) AS g FROM s) GROUP BY doc_id, g),
+        |df AS (SELECT g, count(*) AS ndocs FROM occ GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(occ) AS DOUBLE) AS dup_passage_frac,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams
+        |FROM occ JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -136,6 +136,56 @@ object TextOps {
       lit(0L),
       (acc, t) => (acc * lit(RollBase) + t) % lit(RollMod))
 
+  // ---- within-document repetition metrics (Gopher-style quality rules) ----
+
+  /** Run-length fold over a SORTED n-gram array → repetition counters.
+    *
+    * Returns `struct(dup, best, tot)` (all BIGINT, char-weighted):
+    *   - `tot`  = Σ over grams g of count(g)·len(g) — total gram chars,
+    *   - `dup`  = the same sum restricted to grams with count ≥ 2 (chars
+    *     covered by repeated n-grams — the Rae et al. 2021 "Gopher rules"
+    *     duplicate-n-gram fraction numerator, a public quality heuristic),
+    *   - `best` = max over grams of count(g)·len(g) (chars covered by the
+    *     single most-repeated gram — the top-n-gram-coverage numerator).
+    *
+    * Shuffle-free by design: sorting the per-row gram array makes equal
+    * grams adjacent, so one left fold with a (prev, run) state counts every
+    * run — no explode, no groupBy, no exchange. At 100 TB this is the
+    * difference between a free per-row projection and two corpus-wide
+    * shuffles keyed on (doc, gram). All counters are exact integer
+    * arithmetic, so the relational DuckDB oracle (unnest + GROUP BY)
+    * reproduces the derived fractions bit-exactly.
+    *
+    * The input MUST be sorted (`sort_array`); stage it as its own
+    * projection column (HOF lambdas get no CSE).
+    */
+  def repetitionCounts(sortedGrams: Column): Column = {
+    def counters(st: Column): (Column, Column, Column) = {
+      val chars = st.getField("run") * length(st.getField("prev")).cast("long")
+      (st.getField("dup") + when(st.getField("run") >= 2, chars).otherwise(lit(0L)),
+        greatest(st.getField("best"), chars),
+        st.getField("tot") + chars)
+    }
+    aggregate(
+      sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"),
+        lit(0L).as("best"), lit(0L).as("tot")),
+      (st, g) => {
+        val (dup, best, tot) = counters(st)
+        when(st.getField("prev") === g,
+          struct(g.as("prev"), (st.getField("run") + lit(1L)).as("run"),
+            st.getField("dup").as("dup"), st.getField("best").as("best"),
+            st.getField("tot").as("tot")))
+          .otherwise(
+            struct(g.as("prev"), lit(1L).as("run"),
+              dup.as("dup"), best.as("best"), tot.as("tot")))
+      },
+      st => {
+        val (dup, best, tot) = counters(st)
+        struct(dup.as("dup"), best.as("best"), tot.as("tot"))
+      })
+  }
+
   // ---- language-ID heuristic + quality scoring ----
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID

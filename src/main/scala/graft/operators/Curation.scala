@@ -108,6 +108,44 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Cross-document duplicated-passage profile (C4-style passage dedup
+    * signal, Raffel et al. 2020): for each document, the fraction of its
+    * `ngramK`-token passage occurrences whose passage also appears in at
+    * least `minDocs` distinct documents, plus the count of such shared
+    * passages. Boilerplate and template-heavy documents score high and can
+    * be dropped or passage-stripped downstream.
+    *
+    * Distinct from doc-level LSH dedup (whole-document similarity) and
+    * from `decontaminate` (corpus vs a small eval set): this profiles the
+    * corpus against ITSELF at passage granularity.
+    *
+    * Scale shape: explode → groupBy(doc, gram) with map-side combine →
+    * gram doc-frequency agg → join back on gram (sort-merge; both sides
+    * already hash-distributed by gram) → final per-doc agg. All counters
+    * are integers, so the fraction is oracle-exact.
+    */
+  def passageDupStats(
+      docs: DataFrame,
+      ngramK: Int = 5,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = Partitioning.spread(docs)
+      .select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__occ"))
+    val gramDf = occ.groupBy("__gram").agg(count(lit(1)).as("__ndocs"))
+    occ
+      .join(gramDf, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(
+        (sum(when(col("__ndocs") >= minDocs, col("__occ")).otherwise(lit(0L)))
+          .cast("double") / sum(col("__occ")).cast("double")).as("dup_passage_frac"),
+        sum(when(col("__ndocs") >= minDocs, lit(1L)).otherwise(lit(0L)))
+          .as("shared_grams"))
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,
     * idf = ln(N / df); ties break on term ascending. Two shuffles
     * (doc-term agg, term df agg) + a broadcast of the per-term df table —

@@ -102,4 +102,22 @@ class CurationSpec extends AnyFunSuite {
     assert(aRate > 0.15 && aRate < 0.45, s"A rate $aRate far from 30%")
     assert(bRate > 0.55 && bRate < 0.85, s"B rate $bRate far from 70%")
   }
+
+  test("passageDupStats: shared passages counted once, multiplicity in frac") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // grams: [a b c d e], [b c d e f]
+      (2L, "a b c d e x"),             // shares "a b c d e" with 1 and 4
+      (3L, "p q r s t u"),             // fully private
+      (4L, "a b c d e a b c d e")      // "a b c d e" occurs twice (pos 1, 6)
+    ).toDF("doc_id", "text")
+    val out = Curation.passageDupStats(docs, ngramK = 5)
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)].collect()
+    assert(out(0) == ((1L, 0.5, 1L)))       // 1 of 2 occurrences shared
+    assert(out(1) == ((2L, 0.5, 1L)))
+    assert(out(2) == ((3L, 0.0, 0L)))
+    assert(out(3)._1 == 4L)
+    assert(out(3)._2 == 2.0 / 6.0)          // 2 shared occurrences of 6
+    assert(out(3)._3 == 1L)                 // but only one distinct shared gram
+  }
 }

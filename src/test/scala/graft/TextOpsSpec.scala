@@ -70,4 +70,45 @@ class TextOpsSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(0) > q(1))
   }
+
+  test("repetitionCounts: hand-computed runs over sorted bigrams") {
+    // "a b a b a" → bigrams [a b, b a, a b, b a]: both grams repeat (len 3,
+    // count 2 → 6 chars each); tot=12, dup=12, best=6.
+    // "x y z w" → 3 unique bigrams: tot=9, dup=0, best=3.
+    // "q q q q" → "q q"×3: tot=9, dup=9, best=9.
+    // "solo" (shorter than n) → whole text as the single gram: tot=4.
+    val df = Seq("a b a b a", "x y z w", "q q q q", "solo").toDF("t")
+    val out = df
+      .select(sort_array(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+      .select(TextOps.repetitionCounts($"g").as("r"))
+      .select($"r.dup", $"r.best", $"r.tot")
+      .as[(Long, Long, Long)].collect()
+    assert(out(0) == ((12L, 6L, 12L)))
+    assert(out(1) == ((0L, 3L, 9L)))
+    assert(out(2) == ((9L, 9L, 9L)))
+    assert(out(3) == ((0L, 4L, 4L)))
+  }
+
+  test("repetitionCounts matches explode+groupBy on arbitrary docs") {
+    val docs = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a a a b b c d e f a a a",
+      "one two three four five").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val fold = docs
+      .select($"id", sort_array(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+      .select($"id", TextOps.repetitionCounts($"g").as("r"))
+      .select($"id", $"r.dup", $"r.best", $"r.tot")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val relational = docs
+      .select($"id", explode(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+      .groupBy($"id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"id")
+      .agg(
+        sum(when($"c" >= 2, $"c" * length($"g")).otherwise(0L)).as("dup"),
+        max($"c" * length($"g")).as("best"),
+        sum($"c" * length($"g")).as("tot"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(fold.toSeq == relational.toSeq)
+  }
 }
