@@ -8,7 +8,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.getOrCreate()
-    val targets = Seq("s2_pruned_scan", "j3_multiway", "a1_median_groups",
+    // extra args select specific queries (sbt "runMain graft.Explain <sf> q1 e7")
+    val targets = if (args.length > 1) args.drop(1).toSeq
+    else Seq("s2_pruned_scan", "j3_multiway", "a1_median_groups",
       "a5_count_sum", "e3_cosine_topk", "j6_range_join", "w3_rank_top1",
       "o3_topk_per_key", "w4_range_frame", "q8_cube", "pack1_token_budget",
       "j11_bbox_join", "g1_wkt_measures", "pipe1_curation", "e11_decontaminate")

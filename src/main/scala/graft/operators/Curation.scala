@@ -120,8 +120,10 @@ object Curation {
     * corpus against ITSELF at passage granularity.
     *
     * Scale shape: explode → groupBy(doc, gram) with map-side combine →
-    * gram doc-frequency agg → join back on gram (sort-merge; both sides
-    * already hash-distributed by gram) → final per-doc agg. All counters
+    * gram doc-frequency as a COUNT window over the gram partition (one
+    * extra shuffle on gram; no second aggregation subtree, no join — the
+    * agg+join-back formulation builds the explode pipeline twice unless
+    * runtime exchange reuse saves it) → final per-doc agg. All counters
     * are integers, so the fraction is oracle-exact.
     */
   def passageDupStats(
@@ -135,9 +137,8 @@ object Curation {
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as("__gram"))
       .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__occ"))
-    val gramDf = occ.groupBy("__gram").agg(count(lit(1)).as("__ndocs"))
     occ
-      .join(gramDf, Seq("__gram"))
+      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy("__gram")))
       .groupBy(col(idCol))
       .agg(
         (sum(when(col("__ndocs") >= minDocs, col("__occ")).otherwise(lit(0L)))
