@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ScalarOps, TextOps, VectorOps}
-import graft.operators.{Composite, Curation, Dedup, MlOps, Similarity}
+import graft.operators.{Bucketing, Composite, Curation, Dedup, MlOps, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -493,6 +493,49 @@ object SparkEntry {
   private def par1(s: SparkSession, d: String) =
     Curation.passageDupStats(Tables.documents(s, d), ngramK = 5)
       .orderBy("doc_id")
+
+  /** gate1 — composite quality gate with audit-trail reasons: one scan,
+    * zero shuffles; first-failing-rule precedence is the oracle contract.
+    */
+  private def gate1(s: SparkSession, d: String) =
+    Curation.qualityGate(Tables.documents(s, d))
+      .orderBy("doc_id")
+
+  /** skew1 — hot-key GROUP BY through the two-phase salted aggregation;
+    * the oracle is the PLAIN GROUP BY, so the hash match proves salting is
+    * semantically invisible (decimal partials commute exactly). lineitem's
+    * 3-value l_returnflag is the genuine hot-key shape: at 100 TB a direct
+    * groupBy lands ~33 TB on each of three reducers, the salted form
+    * spreads each key over 16.
+    */
+  private def skew1(s: SparkSession, d: String) =
+    Skew.saltedAgg(
+      Tables.lineitem(s, d),
+      keys = Seq("l_returnflag"),
+      saltSource = struct(col("l_orderkey"), col("l_linenumber")),
+      salts = 16,
+      partials = Seq(count(lit(1)).as("__n"), sum(col("l_quantity").cast(D2)).as("__q")),
+      combine = Seq(sum(col("__n")).as("n"),
+        sum(col("__q")).cast("double").as("sum_qty")))
+      .orderBy("l_returnflag")
+
+  /** b1 — co-bucketed join: both sides written bucketed+sorted by the join
+    * key, then joined shuffle-free (BucketingSpec asserts the no-exchange
+    * plan; here the driver hash-checks the RESULT against the plain join —
+    * bucketing must be semantically invisible).
+    */
+  private def b1(s: SparkSession, d: String) = {
+    Bucketing.writeBucketed(
+      Tables.lineitem(s, d).select(col("l_partkey").as("partkey"), col("l_quantity")),
+      "b1_lineitem_bkt", buckets = 8, keys = Seq("partkey"))
+    Bucketing.writeBucketed(
+      Tables.part(s, d).select(col("p_partkey").as("partkey"), col("p_brand")),
+      "b1_part_bkt", buckets = 8, keys = Seq("partkey"))
+    Bucketing.colocatedJoin(s, "b1_lineitem_bkt", "b1_part_bkt", keys = Seq("partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("p_brand")
+  }
 
   /** E3b — IVF ANN top-k, hash-checked via the full-probe equivalence:
     * with nProbe = nLists every cell is searched, so IVF must return
@@ -1232,7 +1275,10 @@ object SparkEntry {
     "s9_raster_blocks" -> (s9 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
-    "q4_order_priority" -> (q4 _)
+    "q4_order_priority" -> (q4 _),
+    "gate1_quality_gate" -> (gate1 _),
+    "skew1_salted_agg" -> (skew1 _),
+    "b1_bucketed_join" -> (b1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1910,6 +1956,42 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |  AND EXISTS (SELECT 1 FROM lineitem
         |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // gate1: every operand explicitly DOUBLE (DuckDB's bare 100.0 is
+    // DECIMAL, and decimal division would diverge from Spark's IEEE
+    // doubles on unrounded threshold comparisons).
+    "gate1_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, lang, text, toks,
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality,
+         |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS guess,
+         |  CASE WHEN len(toks) < 2 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 1),
+         |    i -> concat(toks[i], ' ', toks[i+1])) END AS g2
+         |  FROM t),
+         |c AS (SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(g2) AS gram FROM u) GROUP BY doc_id, gram),
+         |m AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS DOUBLE) /
+         |  CAST(sum(c * strlen(gram)) AS DOUBLE) AS dup2 FROM c GROUP BY doc_id),
+         |r AS (SELECT u.doc_id AS doc_id,
+         |  CASE WHEN quality < CAST(0.3 AS DOUBLE) THEN 'low_quality'
+         |       WHEN guess <> lang THEN 'lang_mismatch'
+         |       WHEN dup2 > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+         |       ELSE 'ok' END AS reason
+         |  FROM u JOIN m ON u.doc_id = m.doc_id)
+         |SELECT doc_id, (reason = 'ok') AS keep, reason FROM r ORDER BY doc_id""".stripMargin,
+    // skew1/b1: the oracle is the PLAIN formulation — salting and
+    // bucketing must be semantically invisible.
+    "skew1_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b1_bucketed_join" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

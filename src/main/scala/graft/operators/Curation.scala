@@ -147,6 +147,47 @@ object Curation {
           .as("shared_grams"))
   }
 
+  /** Composite document quality gate: the standard curation filter stack
+    * (length/stopword quality score, language-ID agreement, within-doc
+    * repetition) folded into one pass with an audit trail — each document
+    * gets `keep` plus the FIRST failing rule as `reason` ("low_quality" →
+    * "lang_mismatch" → "repetitive" → "ok"), so drops are explainable and
+    * per-reason drop rates are one GROUP BY away.
+    *
+    * One scan, zero shuffles: every signal is a per-row projection (the
+    * repetition fold included), staged so the token array and gram array
+    * build once. All comparisons are on oracle-exact arithmetic.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      minQuality: Double = 0.3,
+      maxDupBigramFrac: Double = 0.2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val staged = docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__g2", sort_array(TextOps.shingles(col("__toks"), 2)))
+      .withColumn("__r2", TextOps.repetitionCounts(col("__g2")))
+      .withColumn("__ratio",
+        TextOps.stopwordHits(col("__toks"), TextOps.AllStopwords).cast("double") /
+          size(col("__toks")).cast("double"))
+      .withColumn("__quality",
+        least(size(col("__toks")).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+          least(col("__ratio") * lit(4.0), lit(1.0)) * lit(0.5))
+      .withColumn("__dup2",
+        col("__r2").getField("dup").cast("double") /
+          col("__r2").getField("tot").cast("double"))
+      .withColumn("__guess", TextOps.langGuessFromTokens(col("__toks")))
+    staged
+      .withColumn("reason",
+        when(col("__quality") < minQuality, "low_quality")
+          .when(col("__guess") =!= col(langCol), "lang_mismatch")
+          .when(col("__dup2") > maxDupBigramFrac, "repetitive")
+          .otherwise("ok"))
+      .select(col(idCol), (col("reason") === "ok").as("keep"), col("reason"))
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,
     * idf = ln(N / df); ties break on term ascending. Two shuffles
     * (doc-term agg, term df agg) + a broadcast of the per-term df table —

@@ -103,6 +103,24 @@ class CurationSpec extends AnyFunSuite {
     assert(bRate > 0.55 && bRate < 0.85, s"B rate $bRate far from 70%")
   }
 
+  test("qualityGate: each rule fires, first-failing-rule precedence") {
+    val okText = "the and of to in is that" // ratio 1 → quality 0.535, guess en
+    val docs = Seq(
+      (1L, okText, "en"),                          // passes everything
+      (2L, "zz yy", "en"),                         // quality 0.01 → low_quality
+      (3L, okText, "de"),                          // guess en ≠ de → lang_mismatch
+      (4L, "the and the and the and the and", "en"), // dup2 = 1 → repetitive
+      (5L, "zz yy", "de")                          // fails quality AND lang; quality wins
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.qualityGate(docs).orderBy("doc_id")
+      .as[(Long, Boolean, String)].collect()
+    assert(out(0) == ((1L, true, "ok")))
+    assert(out(1) == ((2L, false, "low_quality")))
+    assert(out(2) == ((3L, false, "lang_mismatch")))
+    assert(out(3) == ((4L, false, "repetitive")))
+    assert(out(4) == ((5L, false, "low_quality")))
+  }
+
   test("passageDupStats: shared passages counted once, multiplicity in frac") {
     val docs = Seq(
       (1L, "a b c d e f"),             // grams: [a b c d e], [b c d e f]
