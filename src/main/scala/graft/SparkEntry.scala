@@ -494,6 +494,16 @@ object SparkEntry {
     Curation.passageDupStats(Tables.documents(s, d), ngramK = 5)
       .orderBy("doc_id")
 
+  /** emb1 — cluster cohesion via fixed-point group centroids: the
+    * distributed mean-vector is computed on 2^20-scaled integer
+    * accumulators (order-independent, bit-reproducible — hash-checkable
+    * where a naive float sum would be partitioning-dependent), then each
+    * vector scores its cosine to its label centroid.
+    */
+  private def emb1(s: SparkSession, d: String) =
+    Similarity.cohesionToCentroid(Tables.embeddings(s, d), "label")
+      .orderBy("vec_id")
+
   /** gate1 — composite quality gate with audit-trail reasons: one scan,
     * zero shuffles; first-failing-rule precedence is the oracle contract.
     */
@@ -1278,7 +1288,8 @@ object SparkEntry {
     "q4_order_priority" -> (q4 _),
     "gate1_quality_gate" -> (gate1 _),
     "skew1_salted_agg" -> (skew1 _),
-    "b1_bucketed_join" -> (b1 _)
+    "b1_bucketed_join" -> (b1 _),
+    "emb1_label_cohesion" -> (emb1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -1992,6 +2003,19 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // emb1: ×2^20 is a power-of-two multiply (exact in IEEE), floor gives
+    // identical BIGINTs, integer sums commute → the centroid is
+    // bit-identical in both engines; the cosine is the in-order fold.
+    "emb1_label_cohesion" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |u AS (SELECT label, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(1048576.0 AS DOUBLE)) AS BIGINT) AS qx
+         |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) t),
+         |g AS (SELECT label, i, sum(qx) AS s, count(*) AS n FROM u GROUP BY label, i),
+         |c AS (SELECT label, list(CAST(s AS DOUBLE) / CAST(1048576.0 AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY i) AS centroid
+         |  FROM g GROUP BY label)
+         |SELECT vec_id, label, round(${sqlDot("embedding", "centroid")} /
+         |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot("centroid", "centroid")})), 6) AS cohesion
+         |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin
   )
 }

@@ -15,18 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, sorted managed table (overwrites). */
+  /** Write `df` as a bucketed, sorted managed table (overwrites).
+    *
+    * Idempotent across sessions: a managed-table LOCATION can survive from
+    * a previous session whose in-memory catalog is gone, and saveAsTable
+    * then refuses the "new" table name (LOCATION_ALREADY_EXISTS) — so drop
+    * the table AND clear any orphaned location first.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       buckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two co-bucketed tables on their bucket keys. With matching
     * bucket specs this plans shuffle-free (verified by BucketingSpec

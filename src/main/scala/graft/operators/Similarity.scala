@@ -186,6 +186,55 @@ object Similarity {
     scoreAndRank(indexed, probes, k)
   }
 
+  /** Per-group embedding centroids with FIXED-POINT accumulators: each
+    * component is scaled by 2^`shift` (a power-of-two multiply — exact in
+    * IEEE arithmetic, never rounds), floored to a BIGINT, and summed as
+    * integers. Integer sums commute, so the distributed centroid is
+    * bit-identical regardless of partitioning, task order, or retries —
+    * the float-sum nondeterminism that makes naive distributed mean-vector
+    * jobs unreproducible (and would break the t2 hash gate) is designed
+    * out. Precision loss is 2^-shift per component, far below float32's
+    * own noise for shift=20.
+    *
+    * Shape: posexplode → groupBy(group, pos) integer agg → collect the
+    * (pos, mean) pairs back into an ordered array. Two shuffles, both on
+    * small keys; the collect_list is bounded by `dim`.
+    */
+  def groupCentroids(
+      emb: DataFrame,
+      groupCol: String,
+      shift: Int = 20,
+      vecCol: String = "embedding"): DataFrame = {
+    val scale = (1L << shift).toDouble
+    emb
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(col(groupCol), col("__pos"),
+        floor(col("__x").cast("double") * lit(scale)).cast("long").as("__qx"))
+      .groupBy(col(groupCol), col("__pos"))
+      .agg(sum("__qx").as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__s"), col("__n")))),
+        e => e.getField("__s").cast("double") / lit(scale) /
+          e.getField("__n").cast("double")).as("centroid"))
+  }
+
+  /** Cluster-cohesion score: each vector's cosine to its group centroid
+    * (in-order fold dot product — oracle-exact given the fixed-point
+    * centroid). The centroid table is tiny (one row per group) → AQE
+    * broadcasts it; the corpus is never shuffled.
+    */
+  def cohesionToCentroid(
+      emb: DataFrame,
+      groupCol: String,
+      shift: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb
+      .join(groupCentroids(emb, groupCol, shift, vecCol), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        round(VectorOps.cosine(col(vecCol), col("centroid")), 6).as("cohesion"))
+
   /** Approximate top-k via random-hyperplane LSH: candidates share a bucket. */
   def lshTopK(
       queries: DataFrame,

@@ -78,6 +78,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"no partition pruning in:\n$plan")
   }
 
+  test("groupCentroids is partitioning-invariant (fixed-point sums commute)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 40L).map { i =>
+      (i, (i % 3).toInt, Array.fill(5)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "label", "embedding")
+    def centroids(d: org.apache.spark.sql.DataFrame) =
+      Similarity.groupCentroids(d, "label", vecCol = "embedding")
+        .orderBy("label").as[(Int, Seq[Double])].collect().toSeq
+    val a = centroids(df)
+    val b = centroids(df.repartition(7))
+    val c = centroids(df.orderBy(org.apache.spark.sql.functions.col("vec_id").desc))
+    assert(a == b && a == c) // bit-exact, not approximately equal
+    // cohesion is a valid cosine
+    val coh = Similarity.cohesionToCentroid(df, "label", vecCol = "embedding")
+      .select("cohesion").as[Double].collect()
+    assert(coh.length == 40 && coh.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
   test("lshTopK returns same scores as brute force for candidates it keeps (E2 scale path)") {
     val brute = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
       .select("neighbor_id", "score")
