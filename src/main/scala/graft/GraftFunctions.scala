@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, TextOps}
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's SQL function catalog — ONE list consumed both by
+  * `GraftExtensions.injectFunction` (builder-time install) and by
+  * `register(spark)` (post-hoc install on plain-builder sessions such as
+  * Verify/Bench). Custom codegen'd expressions and Column-composition
+  * functions share the registry so SQL and DataFrame users get the same
+  * engine with no drift.
+  */
+object GraftFunctions {
+
+  type Entry = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def composed(name: String, usage: String, arity: Int)(
+      build: Seq[Column] => Column): Entry =
+    (FunctionIdentifier(name), info(name, usage, TextOps.getClass),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$name expects $arity argument(s)")
+        GraftBridge.toCatalyst(build(exprs.map(GraftBridge.column)))
+      })
+
+  val all: Seq[Entry] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays (codegen'd fused loop)",
+        classOf[CosineSimExpr]),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_bbox_intersects"),
+      info("st_bbox_intersects",
+        "st_bbox_intersects(a, b) - closed-interval intersection of two (xmin,ymin,xmax,ymax) structs; " +
+          "inner joins on it are rewritten to a binned equi-join (SpatialJoinRewrite)",
+        classOf[BBoxIntersectsExpr]),
+      (exprs: Seq[Expression]) => BBoxIntersectsExpr(exprs(0), exprs(1))),
+    composed("graft_quality",
+      "graft_quality(text) - [0,1] curation quality score (length saturation + stopword signal)", 1)(
+      cs => TextOps.qualityScore(cs(0))),
+    composed("graft_langid",
+      "graft_langid(text) - stopword-vote language guess (de/en/es/fr/zh)", 1)(
+      cs => TextOps.langGuess(cs(0))),
+    composed("graft_token_count",
+      "graft_token_count(text) - whitespace token count", 1)(
+      cs => TextOps.tokenCount(cs(0))),
+    composed("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of the sorted distinct token set (order/multiplicity-invariant)", 1)(
+      cs => TextOps.fingerprint(cs(0))),
+    composed("graft_simhash",
+      "graft_simhash(text) - 16-bit SimHash of the distinct token set", 1)(
+      cs => TextOps.simhash16(cs(0))),
+    composed("graft_rolling_fp",
+      "graft_rolling_fp(text) - order-sensitive polynomial rolling-hash fingerprint", 1)(
+      cs => TextOps.rollingFingerprint(cs(0))))
+
+  /** Idempotent post-hoc registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, i, b) => GraftBridge.registerFunction(spark, id, i, b) }
+}

@@ -494,6 +494,23 @@ object SparkEntry {
     Curation.passageDupStats(Tables.documents(s, d), ngramK = 5)
       .orderBy("doc_id")
 
+  /** sql1 — the pure-SQL user path through the driver gate: the engine's
+    * registered SQL functions (GraftFunctions catalog, installed post-hoc
+    * on this plain-builder session) over a temp view — no DataFrame API in
+    * the query itself. Hash-matching the oracle proves the SQL surface is
+    * the same engine as the Column surface.
+    */
+  private def sql1(s: SparkSession, d: String) = {
+    GraftFunctions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT doc_id, graft_token_count(text) AS n_tokens,
+        |  round(graft_quality(text), 6) AS quality,
+        |  graft_langid(text) AS lang_guess,
+        |  graft_fingerprint(text) AS fp
+        |FROM graft_docs ORDER BY doc_id""".stripMargin)
+  }
+
   /** emb1 — cluster cohesion via fixed-point group centroids: the
     * distributed mean-vector is computed on 2^20-scaled integer
     * accumulators (order-independent, bit-reproducible — hash-checkable
@@ -1289,7 +1306,8 @@ object SparkEntry {
     "gate1_quality_gate" -> (gate1 _),
     "skew1_salted_agg" -> (skew1 _),
     "b1_bucketed_join" -> (b1 _),
-    "emb1_label_cohesion" -> (emb1 _)
+    "emb1_label_cohesion" -> (emb1 _),
+    "sql1_function_surface" -> (sql1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2016,6 +2034,16 @@ object SparkEntry {
          |  FROM g GROUP BY label)
          |SELECT vec_id, label, round(${sqlDot("embedding", "centroid")} /
          |  (sqrt(${sqlDot("embedding", "embedding")}) * sqrt(${sqlDot("centroid", "centroid")})), 6) AS cohesion
-         |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin
+         |FROM e JOIN c USING (label) ORDER BY vec_id""".stripMargin,
+    "sql1_function_surface" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  round(least(len(toks) / 100.0, 1.0) * 0.5 +
+         |    least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |      / len(toks) * 4.0, 1.0) * 0.5, 6) AS quality,
+         |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

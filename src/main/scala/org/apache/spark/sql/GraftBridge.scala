@@ -12,6 +12,27 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGER Column → catalyst conversion: `expression` wraps the lazy
+    * ColumnNode (fine inside Dataset ops, which convert during analysis),
+    * but a FunctionRegistry builder must hand the analyzer a real
+    * expression tree — the lazy wrapper reaches codegen unconverted and
+    * dies with cannotGenerateCodeForExpression.
+    */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Register a SQL function on an ALREADY-BUILT session (sessionState is
+    * private[sql]) — the post-hoc twin of SparkSessionExtensions
+    * .injectFunction for plain-builder sessions (Verify/Bench).
+    */
+  def registerFunction(
+      spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+
   /** DataFrame from a hand-built LogicalPlan (Dataset.ofRows is
     * private[sql]) — needed to insert custom logical nodes like
     * graft.plans.TopKPerKey.

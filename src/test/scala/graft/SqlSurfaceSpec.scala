@@ -78,6 +78,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got.getBoolean(0) && !got.getBoolean(1))
   }
 
+  test("composed TextOps functions are callable from SQL and match the DataFrame surface") {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS n, round(graft_quality(text), 6) AS q,
+        |  graft_langid(text) AS lg, graft_fingerprint(text) AS fp,
+        |  graft_simhash(text) AS sh, graft_rolling_fp(text) AS rf
+        |FROM documents ORDER BY doc_id LIMIT 50""".stripMargin).collect().toSeq
+    val viaDf = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"),
+        round(TextOps.qualityScore(col("text")), 6).as("q"),
+        TextOps.langGuess(col("text")).as("lg"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.simhash16(col("text")).as("sh"),
+        TextOps.rollingFingerprint(col("text")).as("rf"))
+      .orderBy("doc_id").limit(50).collect().toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("custom cosine_sim composes with built-ins in SQL") {
     Tables.registerAll(spark, sf)
     val rows = spark.sql(
