@@ -480,13 +480,21 @@ object SparkEntry {
       .select(col("doc_id"),
         sort_array(TextOps.shingles(col("__toks"), 2)).as("__g2"),
         sort_array(TextOps.shingles(col("__toks"), 3)).as("__g3"))
+      // inline(array(fold)) materializes the counter struct through a
+      // Generate: extracting dup/best/tot from a merely-ALIASED struct
+      // would re-inline the fold once per field (CollapseProject treats
+      // field extraction as collapsible whatever it costs); the Generate
+      // is a projection barrier, so each fold runs once per row
+      .select(col("doc_id"), col("__g3"),
+        inline(array(TextOps.repetitionCounts(col("__g2")))))
+      .select(col("doc_id"), col("__g3"),
+        col("dup").as("__d2"), col("best").as("__b2"), col("tot").as("__t2"))
+      .select(col("doc_id"), col("__d2"), col("__b2"), col("__t2"),
+        inline(array(TextOps.repetitionCounts(col("__g3")))))
       .select(col("doc_id"),
-        TextOps.repetitionCounts(col("__g2")).as("__r2"),
-        TextOps.repetitionCounts(col("__g3")).as("__r3"))
-      .select(col("doc_id"),
-        (col("__r2.dup").cast("double") / col("__r2.tot").cast("double")).as("dup2_frac"),
-        (col("__r2.best").cast("double") / col("__r2.tot").cast("double")).as("top2_frac"),
-        (col("__r3.dup").cast("double") / col("__r3.tot").cast("double")).as("dup3_frac"))
+        (col("__d2").cast("double") / col("__t2").cast("double")).as("dup2_frac"),
+        (col("__b2").cast("double") / col("__t2").cast("double")).as("top2_frac"),
+        (col("dup").cast("double") / col("tot").cast("double")).as("dup3_frac"))
       .orderBy("doc_id")
 
   /** par1 — cross-document duplicated-passage profile (C4-style). */
@@ -526,6 +534,7 @@ object SparkEntry {
     */
   private def gate1(s: SparkSession, d: String) =
     Curation.qualityGate(Tables.documents(s, d))
+      .select("doc_id", "keep", "reason")
       .orderBy("doc_id")
 
   /** skew1 — hot-key GROUP BY through the two-phase salted aggregation;
@@ -1041,6 +1050,35 @@ object SparkEntry {
       .orderBy("split", "lang_guess")
   }
 
+  /** pipe2 — the round-3 curation chain in ONE composed plan: quality gate
+    * (zero-shuffle audit filter) → cross-doc passage-dup filter (the only
+    * corpus-wide exchange, joined back as a semi join) → deterministic
+    * hash split → per-split token-budget packing → shard census. The
+    * 100 TB shape: per-row signals never shuffle, the doc-level verdicts
+    * are tiny semi-join sides, packing windows are per-split.
+    */
+  private def pipe2(s: SparkSession, d: String) = {
+    val docs = operators.Partitioning.spread(Tables.documents(s, d))
+    val passKeep = Curation.passageDupStats(docs, ngramK = 5)
+      .filter(col("dup_passage_frac") <= lit(0.5))
+      .select("doc_id")
+    // gate INLINE (it keeps the caller's columns): the pushed-down filter
+    // evaluates each gate signal once right at the scan — safe because
+    // every signal is a single-reference scalar (see the PlanSpec
+    // "evaluated ONCE" contract); only the corpus-wide passage verdict
+    // needs a semi join
+    val clean = Curation.qualityGate(docs).filter(col("keep"))
+      .join(passKeep, Seq("doc_id"), "left_semi")
+    val withSplit = clean.withColumn("split", Curation.hashSplit(clean, "doc_id"))
+    Curation.packByTokenBudget(withSplit, TextOps.tokenCount(col("text")),
+        "doc_id", budget = 2048, shardCol = Some("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin_id")).as("n_bins"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("split")
+  }
+
   /** W5 — lag/lead frame: per-user event-to-event value delta and the next
     * event type (change-point shape). The window partitions by user, so at
     * scale each user sorts independently — no global sort.
@@ -1307,7 +1345,8 @@ object SparkEntry {
     "skew1_salted_agg" -> (skew1 _),
     "b1_bucketed_join" -> (b1 _),
     "emb1_label_cohesion" -> (emb1 _),
-    "sql1_function_surface" -> (sql1 _)
+    "sql1_function_surface" -> (sql1 _),
+    "pipe2_curation_v2" -> (pipe2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2044,6 +2083,48 @@ object SparkEntry {
          |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
               s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // pipe2: gate (all-DOUBLE thresholds) ∩ passage filter → hash split →
+    // per-split greedy packing → census. Every stage mirrors its
+    // already-oracled standalone query.
+    "pipe2_curation_v2" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, lang, text, toks,
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality,
+         |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS guess,
+         |  CASE WHEN len(toks) < 2 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 1),
+         |    i -> concat(toks[i], ' ', toks[i+1])) END AS g2,
+         |  CASE WHEN len(toks) < 5 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 4),
+         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) END AS g5
+         |  FROM t),
+         |c2 AS (SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(g2) AS gram FROM u) GROUP BY doc_id, gram),
+         |m2 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS DOUBLE) /
+         |  CAST(sum(c * strlen(gram)) AS DOUBLE) AS dup2 FROM c2 GROUP BY doc_id),
+         |gatekeep AS (SELECT u.doc_id FROM u JOIN m2 ON u.doc_id = m2.doc_id
+         |  WHERE NOT (quality < CAST(0.3 AS DOUBLE)) AND guess = lang AND NOT (dup2 > CAST(0.2 AS DOUBLE))),
+         |occ AS (SELECT doc_id, g, count(*) AS occ
+         |  FROM (SELECT doc_id, unnest(g5) AS g FROM u) GROUP BY doc_id, g),
+         |dfq AS (SELECT g, count(*) AS ndocs FROM occ GROUP BY g),
+         |passkeep AS (SELECT doc_id FROM occ JOIN dfq USING (g) GROUP BY doc_id
+         |  HAVING CAST(sum(CASE WHEN ndocs >= 2 THEN occ ELSE 0 END) AS DOUBLE) /
+         |    CAST(sum(occ) AS DOUBLE) <= CAST(0.5 AS DOUBLE)),
+         |kept AS (SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+         |  CASE WHEN ${sqlHexVal("md5(CAST(t.doc_id AS VARCHAR))", 4)} % 100 < 80 THEN 'train'
+         |       WHEN ${sqlHexVal("md5(CAST(t.doc_id AS VARCHAR))", 4)} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM t
+         |  JOIN gatekeep ON t.doc_id = gatekeep.doc_id
+         |  JOIN passkeep ON t.doc_id = passkeep.doc_id),
+         |packed AS (SELECT split, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM kept)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT CAST(floor((cum - n_tok) / 2048) AS BIGINT)) AS BIGINT) AS n_bins,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY split ORDER BY split""".stripMargin
   )
 }

@@ -186,6 +186,37 @@ object TextOps {
       })
   }
 
+  /** Scalar duplicate-char fraction (dup/tot from `repetitionCounts`)
+    * computed INSIDE the fold's finish lambda. Extracting multiple fields
+    * from a staged struct re-inlines the whole fold once per field —
+    * CollapseProject treats struct-field extraction as collapsible
+    * regardless of cost — so consumers that need just this fraction get a
+    * single-fold scalar with no extraction at all.
+    */
+  def dupFraction(sortedGrams: Column): Column =
+    aggregate(
+      sortedGrams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"),
+        lit(0L).as("best"), lit(0L).as("tot")),
+      (st, g) => {
+        val chars = st.getField("run") * length(st.getField("prev")).cast("long")
+        when(st.getField("prev") === g,
+          struct(g.as("prev"), (st.getField("run") + lit(1L)).as("run"),
+            st.getField("dup").as("dup"), st.getField("best").as("best"),
+            st.getField("tot").as("tot")))
+          .otherwise(
+            struct(g.as("prev"), lit(1L).as("run"),
+              (st.getField("dup") + when(st.getField("run") >= 2, chars).otherwise(lit(0L))).as("dup"),
+              greatest(st.getField("best"), chars).as("best"),
+              (st.getField("tot") + chars).as("tot")))
+      },
+      st => {
+        val chars = st.getField("run") * length(st.getField("prev")).cast("long")
+        val dup = st.getField("dup") + when(st.getField("run") >= 2, chars).otherwise(lit(0L))
+        val tot = st.getField("tot") + chars
+        dup.cast("double") / tot.cast("double")
+      })
+
   // ---- language-ID heuristic + quality scoring ----
 
   /** Tiny per-language stopword lists for the n-gram/stopword lang-ID

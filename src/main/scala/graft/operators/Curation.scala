@@ -168,16 +168,15 @@ object Curation {
     val staged = docs
       .withColumn("__toks", TextOps.tokens(col(textCol)))
       .withColumn("__g2", sort_array(TextOps.shingles(col("__toks"), 2)))
-      .withColumn("__r2", TextOps.repetitionCounts(col("__g2")))
+      // dupFraction, not repetitionCounts: two field extractions from the
+      // staged counter struct would re-inline the fold twice
+      .withColumn("__dup2", TextOps.dupFraction(col("__g2")))
       .withColumn("__ratio",
         TextOps.stopwordHits(col("__toks"), TextOps.AllStopwords).cast("double") /
           size(col("__toks")).cast("double"))
       .withColumn("__quality",
         least(size(col("__toks")).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
           least(col("__ratio") * lit(4.0), lit(1.0)) * lit(0.5))
-      .withColumn("__dup2",
-        col("__r2").getField("dup").cast("double") /
-          col("__r2").getField("tot").cast("double"))
       .withColumn("__guess", TextOps.langGuessFromTokens(col("__toks")))
     staged
       .withColumn("reason",
@@ -185,7 +184,11 @@ object Curation {
           .when(col("__guess") =!= col(langCol), "lang_mismatch")
           .when(col("__dup2") > maxDupBigramFrac, "repetitive")
           .otherwise("ok"))
-      .select(col(idCol), (col("reason") === "ok").as("keep"), col("reason"))
+      // keep the caller's columns: the gate is a per-row filter, so
+      // pipelines apply it INLINE (`.filter(col("keep"))`) with no
+      // join-back — a semi join on the verdict would rebuild the whole
+      // text-scoring subtree a second time
+      .select(docs.columns.map(col) :+ (col("reason") === "ok").as("keep") :+ col("reason"): _*)
   }
 
   /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,

@@ -112,8 +112,8 @@ class CurationSpec extends AnyFunSuite {
       (4L, "the and the and the and the and", "en"), // dup2 = 1 → repetitive
       (5L, "zz yy", "de")                          // fails quality AND lang; quality wins
     ).toDF("doc_id", "text", "lang")
-    val out = Curation.qualityGate(docs).orderBy("doc_id")
-      .as[(Long, Boolean, String)].collect()
+    val out = Curation.qualityGate(docs).select("doc_id", "keep", "reason")
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect()
     assert(out(0) == ((1L, true, "ok")))
     assert(out(1) == ((2L, false, "low_quality")))
     assert(out(2) == ((3L, false, "lang_mismatch")))

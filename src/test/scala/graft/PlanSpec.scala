@@ -111,4 +111,49 @@ class PlanSpec extends AnyFunSuite {
     assert(!passPlan.toLowerCase.contains("roundrobin"),
       s"already-shuffled frame must pass through untouched:\n$passPlan")
   }
+
+  test("qualityGate is a zero-shuffle projection (repetition fold included)") {
+    val plan = Curation.qualityGate(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"gate must not shuffle:\n$plan")
+  }
+
+  test("rep1 repetition metrics stay shuffle-free up to the output sort") {
+    val plan = SparkEntry.queries("rep1_ngram_repetition")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0, s"per-row fold must not hash-shuffle:\n$plan")
+  }
+
+  test("skew1 salted agg is two aggregation exchanges, no more") {
+    val plan = SparkEntry.queries("skew1_salted_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // (key,salt) agg + key agg; the orderBy range exchange is output format
+    assert(shuffles(plan) == 2, s"expected exactly 2 hash shuffles in:\n$plan")
+  }
+
+  test("gate filter pushes to the scan with each signal evaluated ONCE") {
+    // Alias substitution during filter pushdown (and CollapseProject's
+    // extract-only struct collapsing) re-inlines a staged expression once
+    // per REFERENCE — the gate is safe only because every signal is a
+    // single-reference scalar (dupFraction computes dup/tot INSIDE the
+    // fold's finish lambda). One fold and one lang-vote array in the
+    // pushed predicate is the contract; two would mean the struct
+    // extraction crept back.
+    // select only doc_id: a pruned consumer (pipe2's shape) must leave
+    // the fold in the pushed filter alone — keeping `reason` in the
+    // output would legitimately evaluate it a second time for display
+    val plan = Curation.qualityGate(Tables.documents(spark, sf))
+      .filter(col("keep")).select("doc_id").queryExecution.executedPlan.toString
+    assert("aggregate\\(".r.findAllIn(plan).size == 1,
+      s"repetition fold must appear exactly once in:\n$plan")
+    assert("array_sort\\(array\\(struct".r.findAllIn(plan).size <= 2,
+      s"lang-vote array duplicated in:\n$plan")
+  }
+
+  test("emb1 centroid table broadcasts; corpus side never re-shuffles") {
+    val q = SparkEntry.queries("emb1_label_cohesion")(spark, sf)
+    q.collect() // finalize adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$plan")
+  }
 }
