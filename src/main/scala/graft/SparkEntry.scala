@@ -816,6 +816,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
 
+  /** Q12-shaped conditional aggregation: one pass over the join computes
+    * both priority classes as filtered sums (no self-join, no pivot) — the
+    * classic "two counts from one scan" OLAP shape.
+    */
+  private def q12(s: SparkSession, d: String) = {
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q5-shaped regional revenue rollup (the flagship, parameterized by dir). */
   private def q5(s: SparkSession, d: String) =
     Tables.lineitem(s, d)
@@ -1346,7 +1363,8 @@ object SparkEntry {
     "b1_bucketed_join" -> (b1 _),
     "emb1_label_cohesion" -> (emb1 _),
     "sql1_function_surface" -> (sql1 _),
-    "pipe2_curation_v2" -> (pipe2 _)
+    "pipe2_curation_v2" -> (pipe2 _),
+    "q12_conditional_agg" -> (q12 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2084,6 +2102,13 @@ object SparkEntry {
               s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "q12_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // pipe2: gate (all-DOUBLE thresholds) ∩ passage filter → hash split →
     // per-split greedy packing → census. Every stage mirrors its
     // already-oracled standalone query.

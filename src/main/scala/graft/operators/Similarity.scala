@@ -164,6 +164,42 @@ object Similarity {
     centroidDf.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT refitting: each
+    * vector is assigned to its nearest EXISTING centroid (broadcast
+    * argmin, deterministic tie-break on cell id) and appended into the
+    * cell partition layout — existing files are never rewritten. This is
+    * the incremental-ingest path at corpus scale: centroids only
+    * partition space, so assignment quality degrades slowly as the
+    * distribution drifts; monitor `ivfCellStats` skew to decide when a
+    * rebuild pays for itself.
+    */
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroidDf = spark.read.parquet(s"$path/centroids")
+    val w = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("cell").asc)
+    newVectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"))
+      .join(broadcast(centroidDf))
+      .withColumn("cdist", VectorOps.l2Distance(col("c_emb"), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("neighbor_id"), col("c_emb"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Per-cell row counts of a persisted index — the skew monitor for the
+    * append path (one aggregation over the cell partition column).
+    */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy("cell")
+
   /** ANN against a persisted index with SOURCE-LEVEL pruning: the probed
     * cell set (≤ nLists values — index metadata, driver-safe) becomes a
     * partition filter, so only the probed cells' FILES are read. At 100 TB

@@ -214,6 +214,34 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("qualityGate applies unchanged to a stream (stateless curation ≡ batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the and of to in is that", "en"),
+      (2L, "zz yy", "en"),
+      (3L, "the and of to in is that", "de"),
+      (4L, "the and the and the and the and", "en"))
+    val mem = MemoryStream[(Long, String, String)]
+    val src = mem.toDF().toDF("doc_id", "text", "lang")
+    val gated = graft.operators.Curation.qualityGate(src)
+      .select("doc_id", "keep", "reason")
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("t_gate").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_gate").orderBy("doc_id")
+      .as[(Long, Boolean, String)].collect().toSeq
+    val batch = graft.operators.Curation.qualityGate(
+        docs.toDF("doc_id", "text", "lang"))
+      .select("doc_id", "keep", "reason").orderBy("doc_id")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(streamed == batch && streamed.length == 4)
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(

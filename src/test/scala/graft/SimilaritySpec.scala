@@ -78,6 +78,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"no partition pruning in:\n$plan")
   }
 
+  test("appendToIvfIndex: appended vectors findable, full probe stays exact, old files untouched") {
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 60L).map { i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val first = all.filter(col("vec_id") < 40)
+    val rest = all.filter(col("vec_id") >= 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    Similarity.buildIvfIndex(first, dir, nLists = 4)
+    val filesBefore = spark.read.parquet(s"$dir/cells").inputFiles.toSet
+    Similarity.appendToIvfIndex(rest, dir)
+    val filesAfter = spark.read.parquet(s"$dir/cells").inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter), "append must not rewrite existing cell files")
+    // full probe over the appended index ≡ brute force over the full corpus
+    val queries = all.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKIndexed(queries, dir, k = 3, nProbe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(queries, all, k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    // appended ids actually live in the index and the stats see every row
+    assert(spark.read.parquet(s"$dir/cells").filter(col("neighbor_id") >= 40).count() == 20)
+    assert(Similarity.ivfCellStats(spark, dir).agg(sum("n")).as[Long].head() == 60)
+  }
+
   test("groupCentroids is partitioning-invariant (fixed-point sums commute)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
