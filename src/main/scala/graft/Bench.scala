@@ -41,6 +41,14 @@ object Bench {
       spark.range(8).withColumn("p", col("id") % 2)
         .write.mode("overwrite").partitionBy("p").parquet(wdir)
       spark.read.parquet(wdir).count()
+      // quality-gate + repetition-fold expression trees (gate1/rep1/pipe2):
+      // the pushed gate predicate and the inline'd counter fold each
+      // compile once per session (~2 s of Janino)
+      val tinyDocs = Seq((1L, "a b a b", "en"), (2L, "c d", "de"))
+        .toDF("doc_id", "text", "lang")
+      operators.Curation.qualityGate(tinyDocs).filter(col("keep")).select("doc_id").count()
+      tinyDocs.select(inline(array(functions.TextOps.repetitionCounts(
+        sort_array(functions.TextOps.shingles(functions.TextOps.tokens(col("text")), 2)))))).count()
     }
     // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
