@@ -179,9 +179,13 @@ object Curation {
           least(col("__ratio") * lit(4.0), lit(1.0)) * lit(0.5))
       .withColumn("__guess", TextOps.langGuessFromTokens(col("__toks")))
     staged
+      // NULL text (or NULL lang) must fail closed: every threshold compare
+      // on NULL is NULL, which `when` skips — without the explicit guard a
+      // null document would fall through to "ok"
       .withColumn("reason",
-        when(col("__quality") < minQuality, "low_quality")
-          .when(col("__guess") =!= col(langCol), "lang_mismatch")
+        when(col(textCol).isNull || col("__quality").isNull, "low_quality")
+          .when(col("__quality") < minQuality, "low_quality")
+          .when(col(langCol).isNull || col("__guess") =!= col(langCol), "lang_mismatch")
           .when(col("__dup2") > maxDupBigramFrac, "repetitive")
           .otherwise("ok"))
       // keep the caller's columns: the gate is a per-row filter, so

@@ -110,7 +110,9 @@ class CurationSpec extends AnyFunSuite {
       (2L, "zz yy", "en"),                         // quality 0.01 → low_quality
       (3L, okText, "de"),                          // guess en ≠ de → lang_mismatch
       (4L, "the and the and the and the and", "en"), // dup2 = 1 → repetitive
-      (5L, "zz yy", "de")                          // fails quality AND lang; quality wins
+      (5L, "zz yy", "de"),                         // fails quality AND lang; quality wins
+      (6L, null, "en"),                            // NULL text fails closed
+      (7L, okText, null)                           // NULL lang cannot match any guess
     ).toDF("doc_id", "text", "lang")
     val out = Curation.qualityGate(docs).select("doc_id", "keep", "reason")
       .orderBy("doc_id").as[(Long, Boolean, String)].collect()
@@ -119,6 +121,8 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) == ((3L, false, "lang_mismatch")))
     assert(out(3) == ((4L, false, "repetitive")))
     assert(out(4) == ((5L, false, "low_quality")))
+    assert(out(5) == ((6L, false, "low_quality")))
+    assert(out(6) == ((7L, false, "lang_mismatch")))
   }
 
   test("passageDupStats: shared passages counted once, multiplicity in frac") {
