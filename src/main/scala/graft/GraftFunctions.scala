@@ -58,7 +58,16 @@ object GraftFunctions {
       "graft_rolling_fp(text) - order-sensitive polynomial rolling-hash fingerprint", 1)(
       cs => TextOps.rollingFingerprint(cs(0))))
 
-  /** Idempotent post-hoc registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent post-hoc registration on a live session: the function
+    * catalog plus the spatial-join rewrite rule (via the public
+    * `experimental.extraOptimizations` hook — plain-builder sessions have
+    * no SparkSessionExtensions), so `st_bbox_intersects` joins re-plan as
+    * the binned equi-join everywhere, not just under GraftSession.
+    */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, i, b) => GraftBridge.registerFunction(spark, id, i, b) }
+    val ex = spark.experimental
+    if (!ex.extraOptimizations.exists(_.isInstanceOf[graft.plans.SpatialJoinRewrite]))
+      ex.extraOptimizations = ex.extraOptimizations :+ graft.plans.SpatialJoinRewrite(spark)
+  }
 }

@@ -975,6 +975,41 @@ object SparkEntry {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
       .orderBy("user_id", "session_start", "session_end", "n_events")
 
+  /** st4 — event-time interval join, batch twin of the watermarked
+    * stream-stream join (EventStreamSpec proves stream ≡ this frame).
+    */
+  private def st4(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    streaming.EventStream.intervalJoinBatch(ev, ev, horizonSec = 300)
+      .select("l_id", "r_id")
+      .orderBy("l_id", "r_id")
+  }
+
+  /** sql2 — the SQL-first SPATIAL path through the driver gate: the
+    * registered `st_bbox_intersects` predicate in a plain SQL inner join,
+    * re-planned by SpatialJoinRewrite (installed post-hoc via
+    * experimental.extraOptimizations on this plain-builder session) into
+    * the binned PBSM equi-join. Same pair set as j11's DataFrame operator.
+    */
+  private def sql2(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    GraftFunctions.register(s)
+    def box(key: Column): Seq[Column] = Seq(
+      key % 97, key % 89, key % 97 + lit(1) + key % 5, key % 89 + lit(1) + key % 7)
+    Tables.supplier(s, d).select(col("s_suppkey"),
+        SpatialOps.bbox(box(col("s_suppkey"))(0), box(col("s_suppkey"))(1),
+          box(col("s_suppkey"))(2), box(col("s_suppkey"))(3)).as("env"))
+      .createOrReplaceTempView("sql2_sb")
+    Tables.customer(s, d).select(col("c_custkey"),
+        SpatialOps.bbox(box(col("c_custkey"))(0), box(col("c_custkey"))(1),
+          box(col("c_custkey"))(2), box(col("c_custkey"))(3)).as("env_r"))
+      .createOrReplaceTempView("sql2_cb")
+    s.sql(
+      """SELECT s_suppkey, c_custkey FROM sql2_sb JOIN sql2_cb
+        |ON st_bbox_intersects(env, env_r)
+        |ORDER BY s_suppkey, c_custkey""".stripMargin)
+  }
+
   /** M7b — polygonize on an oracle-constructible grid: every distinct
     * (orderkey%16, partkey%16) cell is its own segment, so each WKT is a
     * known unit square — hash-checks the ring orientation, start-vertex,
@@ -1364,7 +1399,9 @@ object SparkEntry {
     "emb1_label_cohesion" -> (emb1 _),
     "sql1_function_surface" -> (sql1 _),
     "pipe2_curation_v2" -> (pipe2 _),
-    "q12_conditional_agg" -> (q12 _)
+    "q12_conditional_agg" -> (q12 _),
+    "st4_interval_join" -> (st4 _),
+    "sql2_spatial_sql" -> (sql2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2102,6 +2139,29 @@ object SparkEntry {
               s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "st4_interval_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 300 SECOND
+        |ORDER BY l_id, r_id""".stripMargin,
+    // sql2: same pair set as j11 — the oracle is the plain theta join.
+    "sql2_spatial_sql" ->
+      """WITH sb AS (
+        |  SELECT s_suppkey,
+        |         s_suppkey % 97 AS xmin, s_suppkey % 89 AS ymin,
+        |         s_suppkey % 97 + 1 + s_suppkey % 5 AS xmax,
+        |         s_suppkey % 89 + 1 + s_suppkey % 7 AS ymax
+        |  FROM supplier),
+        |cb AS (
+        |  SELECT c_custkey,
+        |         c_custkey % 97 AS xmin, c_custkey % 89 AS ymin,
+        |         c_custkey % 97 + 1 + c_custkey % 5 AS xmax,
+        |         c_custkey % 89 + 1 + c_custkey % 7 AS ymax
+        |  FROM customer)
+        |SELECT s_suppkey, c_custkey FROM sb JOIN cb
+        |  ON sb.xmin <= cb.xmax AND cb.xmin <= sb.xmax
+        | AND sb.ymin <= cb.ymax AND cb.ymin <= sb.ymax
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
     "q12_conditional_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,

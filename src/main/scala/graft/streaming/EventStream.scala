@@ -220,6 +220,21 @@ object EventStream {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
   }
 
+  /** Batch twin of `intervalJoin` — identical projection and predicate,
+    * no watermarks: the frame the streaming job converges to, and the
+    * oracle surface for the driver gate (st4).
+    */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame, horizonSec: Long): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_id"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
+  }
+
   /** J7's in-place read-modify-write as a streaming sink
     * (pixel_classifier_stream.py:166-175's cross-batch merge): each
     * micro-batch upserts its per-key latest (ts, value) into a keyed
