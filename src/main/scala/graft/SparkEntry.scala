@@ -985,6 +985,16 @@ object SparkEntry {
       .orderBy("l_id", "r_id")
   }
 
+  /** chunk1 — context-window chunking census: 64-token windows, stride 48
+    * (25% overlap). Output is one row per chunk with its exact text, so
+    * the hash check pins slice boundaries, overlap arithmetic, and the
+    * kept partial tail.
+    */
+  private def chunk1(s: SparkSession, d: String) =
+    Curation.chunkByTokens(Tables.documents(s, d), chunkTokens = 64, stride = 48)
+      .withColumn("chunk_md5", md5(col("chunk_text"))).drop("chunk_text")
+      .orderBy("doc_id", "chunk_id")
+
   /** sql2 — the SQL-first SPATIAL path through the driver gate: the
     * registered `st_bbox_intersects` predicate in a plain SQL inner join,
     * re-planned by SpatialJoinRewrite (installed post-hoc via
@@ -1041,6 +1051,31 @@ object SparkEntry {
     docs.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
+  }
+
+  /** e12 — quality-aware dedup: instead of e10's keep-lowest-id, each
+    * fuzzy-duplicate cluster keeps its HIGHEST-QUALITY member (tie →
+    * lowest id) — the curation-grade policy (near-dup clusters often mix
+    * a clean original with truncated/boilerplated copies). Singletons are
+    * their own cluster via the left join + coalesce.
+    */
+  private def e12(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val edges = Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2)
+    val comp = operators.Graph.connectedComponents(edges)
+    val members = docs
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("__q"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"), col("__q"))
+    val byComp = Window.partitionBy("component")
+    members
+      .withColumn("rn", row_number().over(byComp.orderBy(col("__q").desc, col("doc_id").asc)))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .withColumn("best_q", max(col("__q")).over(byComp))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("keep_id"), col("n_members"),
+        round(col("best_q"), 6).as("best_q"))
+      .orderBy("keep_id")
   }
 
   /** O3 — top-3 orders by value per customer through the custom
@@ -1401,7 +1436,9 @@ object SparkEntry {
     "pipe2_curation_v2" -> (pipe2 _),
     "q12_conditional_agg" -> (q12 _),
     "st4_interval_join" -> (st4 _),
-    "sql2_spatial_sql" -> (sql2 _)
+    "sql2_spatial_sql" -> (sql2 _),
+    "e12_keep_best_quality" -> (e12 _),
+    "chunk1_token_windows" -> (chunk1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2139,6 +2176,48 @@ object SparkEntry {
               s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "chunk1_token_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, toks, i - 1 AS chunk_id, (i - 1) * 48 AS start
+        |  FROM t, (SELECT unnest(generate_series(1, 100)) AS i) g
+        |  WHERE (i - 1) * 48 < len(toks))
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // e12: e10's recursive-CTE closure + the gate's all-DOUBLE quality,
+    // keeper = row_number over (quality DESC, doc_id) per component.
+    "e12_keep_best_quality" ->
+      s"""${sqlShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s),
+         |pairs AS (SELECT a, b FROM (
+         |  SELECT a, b, len(list_filter(xa.sh, t -> list_contains(xb.sh, t))) AS inter,
+         |    len(xa.sh) AS la, len(xb.sh) AS lb
+         |  FROM cand JOIN ss xa ON cand.a = xa.doc_id JOIN ss xb ON cand.b = xb.doc_id) t
+         |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+         |und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+         |reach(x, y) AS (SELECT x, y FROM und
+         |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+         |comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x),
+         |qual AS (SELECT doc_id,
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS q
+         |  FROM t),
+         |mem AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.q
+         |  FROM qual d LEFT JOIN comp c ON d.doc_id = c.node),
+         |ranked AS (SELECT component, doc_id, q,
+         |  row_number() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY component) AS n_members,
+         |  max(q) OVER (PARTITION BY component) AS bq FROM mem)
+         |SELECT doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members, round(bq, 6) AS best_q
+         |FROM ranked WHERE rn = 1 ORDER BY keep_id""".stripMargin,
     "st4_interval_join" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id
         |FROM events l JOIN events r ON l.user_id = r.user_id

@@ -108,6 +108,37 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size chunks with overlap (`stride` = tokens between chunk
+    * starts; stride < chunkTokens overlaps, the standard training-prep
+    * shape). Pure per-row explode — no shuffle; chunk_id is the 0-based
+    * window index so (doc, chunk) is a stable key under reruns. The final
+    * partial chunk is kept (training pipelines pad it downstream).
+    */
+  def chunkByTokens(
+      docs: DataFrame,
+      chunkTokens: Int,
+      stride: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(stride > 0 && chunkTokens > 0)
+    val toks = col("__toks")
+    // window starts: 0, stride, 2·stride, … up to the last index that
+    // starts a non-empty chunk
+    val starts = sequence(lit(0), greatest(
+      (size(toks) - 1) - pmod(size(toks) - 1, lit(stride)), lit(0)), lit(stride))
+    docs
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol), col("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .filter(col("__start") < size(col("__toks")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("__toks")) - col("__start"), lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Cross-document duplicated-passage profile (C4-style passage dedup
     * signal, Raffel et al. 2020): for each document, the fraction of its
     * `ngramK`-token passage occurrences whose passage also appears in at

@@ -125,6 +125,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(6) == ((7L, false, "lang_mismatch")))
   }
 
+  test("chunkByTokens: boundaries, overlap, and the kept partial tail") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkByTokens(docs, chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Long)].collect()
+    // doc 1: starts 0,3,6,9 → windows of 4 tokens, last is the 1-token tail
+    assert(out(0) == ((1L, 0, "t1 t2 t3 t4", 4L)))
+    assert(out(1) == ((1L, 1, "t4 t5 t6 t7", 4L)))
+    assert(out(2) == ((1L, 2, "t7 t8 t9 t10", 4L)))
+    assert(out(3) == ((1L, 3, "t10", 1L)))
+    // doc 2 shorter than one chunk: single partial chunk
+    assert(out(4) == ((2L, 0, "a b", 2L)))
+    assert(out.length == 5)
+  }
+
   test("passageDupStats: shared passages counted once, multiplicity in frac") {
     val docs = Seq(
       (1L, "a b c d e f"),             // grams: [a b c d e], [b c d e f]
