@@ -985,6 +985,41 @@ object SparkEntry {
       .orderBy("l_id", "r_id")
   }
 
+  /** zs1 — zonal statistics through `Stages.segmentFeatures` (Stage 3's
+    * per-segment features) on an oracle-constructible grid: zones are the
+    * 4×4 blocks of the m7b-style 16×16 cell grid, so counts, extents,
+    * rectangularity and elongation all have closed relational forms.
+    */
+  private def zs1(s: SparkSession, d: String) = {
+    val cells = Tables.lineitem(s, d)
+      .groupBy((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .agg(count(lit(1)).cast("double").as("v"))
+    val segments = cells.select(col("px_row"), col("px_col"),
+      (floor(col("px_row") / 4).cast("int") * 4 + floor(col("px_col") / 4).cast("int"))
+        .as("seg_id"))
+    pipeline.Stages.segmentFeatures(cells, segments, Seq("v"))
+      .select(col("seg_id"), col("n_px"), col("height"), col("width"),
+        round(col("mean_v"), 6).as("mean_v"),
+        round(col("rectangularity"), 6).as("rect"),
+        round(col("elongation"), 6).as("elong"))
+      .orderBy("seg_id")
+  }
+
+  /** emb2 — int8 embedding quantization codes + scales: floor-based
+    * symmetric quantization is deterministic double arithmetic, so the
+    * code vectors hash-match the relational oracle exactly.
+    */
+  private def emb2(s: SparkSession, d: String) = {
+    import graft.functions.VectorOps
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        md5(concat_ws(",",
+          transform(VectorOps.quantize8(col("embedding")), _.cast("string")))).as("q_md5"),
+        round(VectorOps.quantize8Scale(col("embedding")), 6).as("scale"))
+      .orderBy("vec_id")
+  }
+
   /** chunk1 — context-window chunking census: 64-token windows, stride 48
     * (25% overlap). Output is one row per chunk with its exact text, so
     * the hash check pins slice boundaries, overlap arithmetic, and the
@@ -1438,7 +1473,9 @@ object SparkEntry {
     "st4_interval_join" -> (st4 _),
     "sql2_spatial_sql" -> (sql2 _),
     "e12_keep_best_quality" -> (e12 _),
-    "chunk1_token_windows" -> (chunk1 _)
+    "chunk1_token_windows" -> (chunk1 _),
+    "zs1_zonal_stats" -> (zs1 _),
+    "emb2_quantize8" -> (emb2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2176,6 +2213,35 @@ object SparkEntry {
               s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS lang_guess,
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
          |FROM t ORDER BY doc_id""".stripMargin,
+    "zs1_zonal_stats" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM lineitem GROUP BY px_row, px_col),
+        |seg AS (SELECT px_row, px_col, v,
+        |  CAST(floor(px_row / 4) AS INT) * 4 + CAST(floor(px_col / 4) AS INT) AS seg_id
+        |  FROM cells),
+        |f AS (SELECT seg_id, count(*) AS n_px,
+        |  max(px_row) - min(px_row) + 1 AS height,
+        |  max(px_col) - min(px_col) + 1 AS width,
+        |  avg(v) AS mean_v FROM seg GROUP BY seg_id)
+        |SELECT seg_id, n_px, height, width, round(mean_v, 6) AS mean_v,
+        |  round(CAST(n_px AS DOUBLE) / (height * width), 6) AS rect,
+        |  round(CAST(greatest(height, width) AS DOUBLE) / least(height, width), 6) AS elong
+        |FROM f ORDER BY seg_id""".stripMargin,
+    // emb2: floor-based quantization is deterministic double arithmetic —
+    // identical code vectors in both engines; zero vectors → all zeros.
+    "emb2_quantize8" ->
+      """WITH a AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  md5(array_to_string(CASE WHEN amax = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(greatest(least(
+        |      floor(CAST(x AS DOUBLE) / amax * CAST(127.0 AS DOUBLE)), 127.0), -127.0) AS BIGINT)) END, ',')) AS q_md5,
+        |  round(amax / CAST(127.0 AS DOUBLE), 6) AS scale
+        |FROM a ORDER BY vec_id""".stripMargin,
     "chunk1_token_windows" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,

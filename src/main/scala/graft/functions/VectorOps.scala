@@ -38,6 +38,25 @@ object VectorOps {
         lit(0.0),
         (acc, v) => acc + v))
 
+  /** Symmetric int8 quantization of a float vector: scale = max|x|/127,
+    * q_i = floor(x_i/max|x| · 127) clamped to [-127,127] (floor, not
+    * round — no half-even ambiguity between engines; reconstruction error
+    * ≤ scale). Every step is deterministic IEEE double arithmetic, so the
+    * quantized codes are oracle-exact. Zero vectors quantize to zeros.
+    * 4× storage cut for ANN candidate scoring; rescore survivors fp32.
+    */
+  def quantize8(v: Column): Column = {
+    val amax = array_max(transform(v, x => abs(x.cast("double"))))
+    when(amax === lit(0.0), transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x =>
+        greatest(least(floor(x.cast("double") / amax * lit(127.0)), lit(127.0)), lit(-127.0))
+          .cast("long")))
+  }
+
+  /** The dequantization scale paired with `quantize8`. */
+  def quantize8Scale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double")))) / lit(127.0)
+
   /** Random-hyperplane LSH bucket id with `bits` planes. Plane j's normal is
     * a deterministic md5-derived ±1 vector (seeded by (plane, dim index)), so
     * the same bucket ids are computable in the oracle — and, at scale, the

@@ -78,6 +78,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"no partition pruning in:\n$plan")
   }
 
+  test("quantize8: codes in range, reconstruction error within one scale step") {
+    val rnd = new scala.util.Random(5)
+    val df = ((0L until 20L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f))) :+
+      (99L, Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"), col("embedding"),
+        VectorOps.quantize8(col("embedding")).as("q"),
+        VectorOps.quantize8Scale(col("embedding")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Float](1)
+      val q = r.getSeq[Long](2)
+      val s = r.getDouble(3)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      if (r.getAs[Long]("vec_id") == 99L) {
+        assert(q.forall(_ == 0L) && s == 0.0)
+      } else {
+        // floor quantization: x' = q·s underestimates by < one step
+        x.zip(q).foreach { case (xi, qi) =>
+          assert(math.abs(xi - qi * s) <= s + 1e-12,
+            s"$xi vs ${qi * s} (scale $s)")
+        }
+      }
+    }
+  }
+
   test("appendToIvfIndex: appended vectors findable, full probe stays exact, old files untouched") {
     val rnd = new scala.util.Random(11)
     val all = (0L until 60L).map { i =>
