@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance utilities for the parquet sinks (S5/GeoSink/IVF
+  * cells). Streaming upserts, per-trigger micro-batches, and
+  * over-parallel writes all accrete small files; at 100 TB the file COUNT
+  * (driver listing, task scheduling, open/seek overhead) becomes the
+  * bottleneck long before the bytes do.
+  */
+object Maintenance {
+
+  /** Rewrite a parquet directory into ~`targetFileBytes` files.
+    *
+    * Sizing reads ONLY file metadata (one driver listing); the rewrite is
+    * a single repartition-shuffle sized from real bytes, not a guess. The
+    * swap is write-to-`.next` + rename — readers never observe a
+    * half-compacted table (same discipline as the streaming upsert sink).
+    * For a `partitionBy` layout, compact each partition directory
+    * independently (they are self-contained parquet dirs), keeping the
+    * rewrite incremental and parallelizable across partitions.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    val before = parts.length
+    val totalBytes = parts.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val next = new Path(path + ".next")
+    spark.read.parquet(path).repartition(n)
+      .write.mode("overwrite").parquet(next.toString)
+    fs.delete(p, true)
+    fs.rename(next, p)
+    val after = fs.listStatus(p).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    (before, after)
+  }
+}

@@ -90,4 +90,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     val got = graft.plans.TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), 10)
     assert(got.count() == 3)
   }
+
+  test("round-3 curation operators survive degenerate inputs") {
+    import graft.operators.Curation
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Curation.qualityGate(noDocs).count() == 0)
+    assert(Curation.passageDupStats(noDocs).count() == 0)
+    assert(Curation.chunkByTokens(noDocs, 8, 4).count() == 0)
+
+    // one doc: no cross-doc sharing, one component, chunks cover it
+    val one = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val pd = Curation.passageDupStats(one, ngramK = 2).collect()
+    assert(pd.length == 1 && pd(0).getDouble(1) == 0.0)
+    // stride larger than the doc: a single chunk
+    val ch = Curation.chunkByTokens(one, chunkTokens = 10, stride = 10).collect()
+    assert(ch.length == 1 && ch(0).getString(2) == "a b c")
+
+    // empty text: tokenizes to [""], must not throw anywhere
+    val empty = Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+    assert(Curation.qualityGate(empty).select("keep").count() == 1)
+    assert(Curation.chunkByTokens(empty, 4, 2).count() == 1)
+  }
+
+  test("repetition fold handles single-gram and all-identical docs") {
+    import graft.functions.TextOps
+    val df = Seq("solo", "x x x x x x").toDF("t")
+    val out = df
+      .select(sort_array(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+      .select(TextOps.dupFraction($"g").as("f")).as[Double].collect()
+    assert(out(0) == 0.0)   // one gram, nothing repeats
+    assert(out(1) == 1.0)   // every bigram identical
+  }
 }

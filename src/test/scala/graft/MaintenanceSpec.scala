@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Maintenance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact merges small files without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s")
+    df.repartition(32).write.parquet(dir)
+    val beforeData = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val (before, after) = Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(before == 32 && after == 1, s"$before -> $after")
+    val afterData = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    assert(afterData == beforeData)
+  }
+
+  test("compact sizes the output from real bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
+    (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")
+      .repartition(64).write.parquet(dir)
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = totalBytes / 4
+    val (_, after) = Maintenance.compact(spark, dir, targetFileBytes = target)
+    // ceil(total/target) = 4 or 5 (re-encoded sizes shift slightly)
+    assert(after >= 3 && after <= 6, s"got $after files")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+}
