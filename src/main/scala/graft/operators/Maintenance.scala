@@ -29,7 +29,14 @@ object Maintenance {
       targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(p).filter { st =>
+    val entries = fs.listStatus(p)
+    // a partitioned root (col=val subdirs) must be compacted per
+    // partition directory — rewriting the root would silently flatten
+    // the layout (partition values survive as columns, pruning doesn't)
+    require(!entries.exists(_.isDirectory),
+      s"compact expects a flat parquet directory; $path has subdirectories — " +
+        "compact each partition directory independently")
+    val parts = entries.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
     val before = parts.length

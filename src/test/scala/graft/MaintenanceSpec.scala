@@ -19,6 +19,16 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(afterData == beforeData)
   }
 
+  test("compact refuses a partitioned root (layout would flatten)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString + "/t"
+    (1L to 100L).map(i => (i, i % 2)).toDF("id", "p")
+      .write.partitionBy("p").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("compact sizes the output from real bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")
