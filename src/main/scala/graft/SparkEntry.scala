@@ -2119,15 +2119,15 @@ object SparkEntry {
         |c2 AS (SELECT doc_id, gram, count(*) AS c
         |  FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY doc_id, gram),
         |m2 AS (SELECT doc_id,
-        |  sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS dup,
-        |  max(c * strlen(gram)) AS best,
-        |  sum(c * strlen(gram)) AS tot FROM c2 GROUP BY doc_id),
+        |  sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup,
+        |  max(c * length(gram)) AS best,
+        |  sum(c * length(gram)) AS tot FROM c2 GROUP BY doc_id),
         |c3 AS (SELECT doc_id, gram, count(*) AS c
         |  FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY doc_id, gram),
         |m3 AS (SELECT doc_id,
-        |  sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS dup,
-        |  max(c * strlen(gram)) AS best,
-        |  sum(c * strlen(gram)) AS tot FROM c3 GROUP BY doc_id)
+        |  sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup,
+        |  max(c * length(gram)) AS best,
+        |  sum(c * length(gram)) AS tot FROM c3 GROUP BY doc_id)
         |SELECT doc_id,
         |  CAST(m2.dup AS DOUBLE) / CAST(m2.tot AS DOUBLE) AS dup2_frac,
         |  CAST(m2.best AS DOUBLE) / CAST(m2.tot AS DOUBLE) AS top2_frac,
@@ -2170,14 +2170,15 @@ object SparkEntry {
          |  FROM t),
          |c AS (SELECT doc_id, gram, count(*) AS c
          |  FROM (SELECT doc_id, unnest(g2) AS gram FROM u) GROUP BY doc_id, gram),
-         |m AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS DOUBLE) /
-         |  CAST(sum(c * strlen(gram)) AS DOUBLE) AS dup2 FROM c GROUP BY doc_id),
+         |m AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS DOUBLE) /
+         |  CAST(sum(c * length(gram)) AS DOUBLE) AS dup2 FROM c GROUP BY doc_id),
          |r AS (SELECT u.doc_id AS doc_id,
-         |  CASE WHEN quality < CAST(0.3 AS DOUBLE) THEN 'low_quality'
-         |       WHEN guess <> lang THEN 'lang_mismatch'
+         |  CASE WHEN text IS NULL OR quality IS NULL THEN 'low_quality'
+         |       WHEN quality < CAST(0.3 AS DOUBLE) THEN 'low_quality'
+         |       WHEN lang IS NULL OR guess <> lang THEN 'lang_mismatch'
          |       WHEN dup2 > CAST(0.2 AS DOUBLE) THEN 'repetitive'
          |       ELSE 'ok' END AS reason
-         |  FROM u JOIN m ON u.doc_id = m.doc_id)
+         |  FROM u LEFT JOIN m ON u.doc_id = m.doc_id)
          |SELECT doc_id, (reason = 'ok') AS keep, reason FROM r ORDER BY doc_id""".stripMargin,
     // skew1/b1: the oracle is the PLAIN formulation — salting and
     // bucketing must be semantically invisible.
@@ -2248,7 +2249,7 @@ object SparkEntry {
         |  CAST(least(len(toks) - start, 64) AS BIGINT) AS n_tokens,
         |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
         |FROM (SELECT doc_id, toks, i - 1 AS chunk_id, (i - 1) * 48 AS start
-        |  FROM t, (SELECT unnest(generate_series(1, 100)) AS i) g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, greatest(CAST(len(toks) AS BIGINT), 1))) AS i FROM t)
         |  WHERE (i - 1) * 48 < len(toks))
         |ORDER BY doc_id, chunk_id""".stripMargin,
     // e12: e10's recursive-CTE closure + the gate's all-DOUBLE quality,
@@ -2332,8 +2333,8 @@ object SparkEntry {
          |  FROM t),
          |c2 AS (SELECT doc_id, gram, count(*) AS c
          |  FROM (SELECT doc_id, unnest(g2) AS gram FROM u) GROUP BY doc_id, gram),
-         |m2 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * strlen(gram) ELSE 0 END) AS DOUBLE) /
-         |  CAST(sum(c * strlen(gram)) AS DOUBLE) AS dup2 FROM c2 GROUP BY doc_id),
+         |m2 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS DOUBLE) /
+         |  CAST(sum(c * length(gram)) AS DOUBLE) AS dup2 FROM c2 GROUP BY doc_id),
          |gatekeep AS (SELECT u.doc_id FROM u JOIN m2 ON u.doc_id = m2.doc_id
          |  WHERE NOT (quality < CAST(0.3 AS DOUBLE)) AND guess = lang AND NOT (dup2 > CAST(0.2 AS DOUBLE))),
          |occ AS (SELECT doc_id, g, count(*) AS occ

@@ -29,8 +29,16 @@ object Bucketing {
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Resolve the orphan location the way the catalog would place the
+    // managed table: <warehouse>/<table> in the default database,
+    // <warehouse>/<db>.db/<table> otherwise — a naive <warehouse>/<table>
+    // would miss the real orphan AND could delete an unrelated dataset
+    // that happens to share the name at the warehouse root.
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val db = spark.catalog.currentDatabase
+    val base = if (db == "default") new org.apache.hadoop.fs.Path(wh)
+      else new org.apache.hadoop.fs.Path(wh, s"$db.db")
+    val loc = new org.apache.hadoop.fs.Path(base, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

@@ -58,7 +58,11 @@ object Graph {
     // and duplicate-insensitive).
     val takeN = (localThreshold.max(0L) + 1L).min(Int.MaxValue.toLong).toInt
     val head = fwd.take(takeN)
-    if (head.length <= localThreshold) {
+    // head.length < takeN ⟺ take() exhausted the input, so `head` IS the
+    // complete edge list. (Comparing against localThreshold directly would
+    // silently union-find a TRUNCATED sample when the threshold exceeds
+    // Int.MaxValue and the clamp kicks in.)
+    if (head.length < takeN) {
       try return localComponents(head, edges.sparkSession)
       finally fwd.unpersist()
     }
@@ -82,6 +86,12 @@ object Graph {
       .distinct()
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize und off the fwd cache, then drop fwd: the iterative loop
+    // only reads und, and on the over-threshold path keeping both pinned
+    // ~3x the edge-list footprint exactly where memory pressure is worst
+    // (the count here is one extra job on the rare huge-graph path only)
+    und.count()
+    fwd.unpersist()
     try {
       var labels = und.select(col("x").as("node")).distinct()
         .withColumn("label", col("node"))

@@ -100,20 +100,25 @@ object Halo {
       numCols: Int = -1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // values flow as DOUBLE: a long cast would silently truncate
+    // fractional rasters (NDVI & friends) to integers before averaging.
+    // The kernel's add order is the fixed dr/dc scan, so double sums stay
+    // deterministic; integer-valued inputs (the oracled w7 path) sum
+    // exactly as before.
     val haloed = withHalo(
-      df.select(col(rowCol), col(colCol), col(valueCol).cast("long")),
+      df.select(col(rowCol), col(colCol), col(valueCol).cast("double")),
       rowCol, colCol, tileH, tileW, pad = radius, numRows = numRows, numCols = numCols)
       .select(col("halo_tile_x"), col("halo_tile_y"),
         col(rowCol).cast("int"), col(colCol).cast("int"),
-        col(valueCol).cast("long"), col("is_core"))
-      .as[(Int, Int, Int, Int, Long, Boolean)]
+        col(valueCol).cast("double"), col("is_core"))
+      .as[(Int, Int, Int, Int, Double, Boolean)]
     haloed
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_, rows) =>
         val cells = rows.toArray
         val byPos = cells.iterator.map(t => (t._3, t._4) -> t._5).toMap
         cells.iterator.filter(_._6).map { case (_, _, r, c, _, _) =>
-          var sum = 0L
+          var sum = 0.0
           var n = 0
           var dr = -radius
           while (dr <= radius) {
@@ -124,7 +129,7 @@ object Halo {
             }
             dr += 1
           }
-          (r, c, n, sum.toDouble / n)
+          (r, c, n, sum / n)
         }
       }
       .toDF(rowCol, colCol, "n_neigh", "nb_mean")

@@ -15,11 +15,15 @@ object Maintenance {
     *
     * Sizing reads ONLY file metadata (one driver listing); the rewrite is
     * a single repartition-shuffle sized from real bytes, not a guess. The
-    * swap is write-to-`.next` + rename — readers never observe a
-    * half-compacted table (same discipline as the streaming upsert sink).
-    * For a `partitionBy` layout, compact each partition directory
-    * independently (they are self-contained parquet dirs), keeping the
-    * rewrite incremental and parallelizable across partitions.
+    * swap is write-to-`.next`, rename live → `.old`, rename `.next` →
+    * live, delete `.old` — never a delete-before-replace, so a crash at
+    * any step leaves a complete copy on disk (at `.old` or `.next`) and
+    * both renames are checked. Readers CAN race the two renames and
+    * momentarily miss the path — directory renames are not a transaction;
+    * true isolation needs a table format's metadata swap. For a
+    * `partitionBy` layout, compact each partition directory independently
+    * (they are self-contained parquet dirs), keeping the rewrite
+    * incremental and parallelizable across partitions.
     *
     * Returns (filesBefore, filesAfter).
     */
@@ -43,10 +47,13 @@ object Maintenance {
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val next = new Path(path + ".next")
+    val old = new Path(path + ".old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(next.toString)
-    fs.delete(p, true)
-    fs.rename(next, p)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    require(fs.rename(p, old), s"rename $p -> $old failed")
+    require(fs.rename(next, p), s"rename $next -> $p failed; data is at $old")
+    fs.delete(old, true)
     val after = fs.listStatus(p).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }

@@ -107,14 +107,19 @@ object RasterBridge {
     val rdd = pixels.rdd
       .map { r =>
         val pr = r.getInt(rIdx); val pc = r.getInt(cIdx)
-        val key = (keyIdx.map(r.get).toSeq, pr / blockH, pc / blockW)
+        // floorDiv/floorMod: pixels left/above the origin (negative
+        // coords, producible by the affine mapping) must land in tile -1
+        // with a non-negative local offset — truncating / and % would
+        // compute a negative buffer index and throw
+        val key = (keyIdx.map(r.get).toSeq,
+          Math.floorDiv(pr, blockH), Math.floorDiv(pc, blockW))
         val v = if (r.isNullAt(vIdx)) nodata
           else r.get(vIdx) match {
             case f: java.lang.Float => f.floatValue()
             case d: java.lang.Double => d.floatValue()
             case n: java.lang.Number => n.floatValue()
           }
-        key -> (pr % blockH, pc % blockW, v)
+        key -> (Math.floorMod(pr, blockH), Math.floorMod(pc, blockW), v)
       }
       .groupByKey() // bounded: ≤ blockH·blockW cells per group
       .map { case ((key, ty, tx), cells) =>

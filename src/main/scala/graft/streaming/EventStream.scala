@@ -101,7 +101,16 @@ object EventStream {
             state.update(latest)
             // TTL clock rides the event-time watermark: idle = no event for
             // this user within `stateTtl` of the stream's max event time.
-            stateTtl.foreach(ttl => state.setTimeoutTimestamp(latest._1.getTime, ttl))
+            // The timeout is the latest event's OWN timestamp — the
+            // watermark already lags max event time by exactly `stateTtl`
+            // (withWatermark above), so the timeout fires once
+            // maxEventTime − latest > ttl. Adding the ttl again here would
+            // double-count (evict at ~2×ttl). Clamped above the current
+            // watermark — the engine rejects timeouts at or below it.
+            stateTtl.foreach { _ =>
+              state.setTimeoutTimestamp(
+                math.max(latest._1.getTime, state.getCurrentWatermarkMs + 1))
+            }
             (userId, latest._1, latest._2)
           }
       }

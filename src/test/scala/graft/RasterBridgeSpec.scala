@@ -52,6 +52,21 @@ class RasterBridgeSpec extends AnyFunSuite {
     assert(got((0, 4)) == 0.0f && got((1, 6)) == 5.0f)
   }
 
+  test("pack/explode round-trips negative coordinates (tiles left/above the origin)") {
+    // the affine mapping legitimately produces negative pixel coords for
+    // points left/above the grid origin; floor division must bucket them
+    // into tile -1 with non-negative local offsets
+    val pixels = Seq((-1, -1, 1.0f), (-4, -4, 2.0f), (0, 0, 3.0f), (-1, 2, 4.0f))
+      .toDF("px_row", "px_col", "value")
+    val blocks = RasterBridge.packBlocks(pixels, blockH = 4, blockW = 4, nodata = NoData)
+    val tiles = blocks.select("tile_y", "tile_x")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(tiles == Set((-1, -1), (0, 0), (-1, 0)))
+    val back = RasterBridge.explodeBlocks(blocks, 4, 4, NoData)
+      .select("px_row", "px_col", "value")
+    assert(back.collect().map(_.toSeq).toSet == pixels.collect().map(_.toSeq).toSet)
+  }
+
   test("explode ∘ pack is the identity on nodata-free pixel tables") {
     val pixels = (for { r <- 0 until 8; c <- 0 until 8 if (r * 8 + c) % 5 != 0 }
       yield ("s1", r, c, (r * 100 + c).toFloat)).toDF("scene", "px_row", "px_col", "value")
