@@ -193,4 +193,52 @@ class PropertySpec extends AnyFunSuite {
       assert(a.values.sum == ids.size)
     }
   }
+
+  test("property: repetition fold == relational counts on random token docs (REP1)") {
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "ab", "xyz"))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(6, docGen)) { texts =>
+      whenever(texts.nonEmpty) {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+        val fold = df
+          .select($"id", sort_array(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+          .select($"id", TextOps.dupFraction($"g").as("f"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val rel = df
+          .select($"id", explode(TextOps.shingles(TextOps.tokens($"t"), 2)).as("g"))
+          .groupBy($"id", $"g").agg(count(lit(1)).as("c"))
+          .groupBy($"id")
+          .agg((sum(when($"c" >= 2, $"c" * length($"g")).otherwise(0L)).cast("double") /
+            sum($"c" * length($"g")).cast("double")).as("f"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(fold == rel) // exact equality — both are int ratios
+        assert(fold.values.forall(v => v >= 0.0 && v <= 1.0))
+      }
+    }
+  }
+
+  test("property: quantize8 codes bounded; dequantized dot stays near exact (EMB2)") {
+    import graft.functions.VectorOps
+    val vecGen = Gen.listOfN(6, Gen.choose(-8.0, 8.0).map(_.toFloat))
+    forAll(Gen.listOfN(5, vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val rows = df.select(
+          VectorOps.quantize8($"embedding").as("q"),
+          VectorOps.quantize8Scale($"embedding").as("s"),
+          $"embedding")
+        .collect()
+      rows.foreach { r =>
+        val q = r.getSeq[Long](0); val s = r.getDouble(1); val x = r.getSeq[Float](2)
+        assert(q.forall(c => c >= -127 && c <= 127))
+        // dequantized self-dot within the accumulated floor-error bound:
+        // |x·x − (qs)·(qs)| ≤ Σ |x_i + q_i s| · s  (per-term error ≤ s)
+        val exact = x.map(v => v.toDouble * v).sum
+        val deq = q.map(_ * s)
+        val approx = deq.map(v => v * v).sum
+        val bound = x.zip(deq).map { case (xi, di) => (math.abs(xi) + math.abs(di)) * s }.sum + 1e-9
+        assert(math.abs(exact - approx) <= bound, s"$exact vs $approx (bound $bound)")
+      }
+    }
+  }
 }
