@@ -40,7 +40,24 @@ object Bucketing {
       else new org.apache.hadoop.fs.Path(wh, s"$db.db")
     val loc = new org.apache.hadoop.fs.Path(base, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // Only clear the location if it is verifiably an orphaned
+      // managed-table dir (flat parquet output: part files + commit
+      // markers). An unrelated dataset that happens to live at the
+      // derived path must NOT be silently destroyed.
+      val entries = fs.listStatus(loc)
+      val orphanLike = entries.forall { st =>
+        val n = st.getPath.getName
+        st.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" ||
+          n.startsWith("_committed") || n.startsWith("_started") ||
+          n.startsWith(".") || n.endsWith(".crc"))
+      }
+      require(orphanLike,
+        s"refusing to overwrite $loc: contents do not look like an " +
+          "orphaned managed parquet table (found subdirectories or " +
+          "foreign files) — move or remove it explicitly")
+      fs.delete(loc, true)
+    }
     df.write
       .mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

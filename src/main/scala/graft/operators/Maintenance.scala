@@ -18,7 +18,11 @@ object Maintenance {
     * swap is write-to-`.next`, rename live → `.old`, rename `.next` →
     * live, delete `.old` — never a delete-before-replace, so a crash at
     * any step leaves a complete copy on disk (at `.old` or `.next`) and
-    * both renames are checked. Readers CAN race the two renames and
+    * both renames are checked. A `<path>.compacting` marker (containing
+    * the recovery location) is written before the first rename and
+    * removed after the swap completes, so a crashed run is detectable
+    * and scriptable: if the marker exists, the complete copy is at the
+    * path named inside it. Readers CAN race the two renames and
     * momentarily miss the path — directory renames are not a transaction;
     * true isolation needs a table format's metadata swap. For a
     * `partitionBy` layout, compact each partition directory independently
@@ -51,9 +55,16 @@ object Maintenance {
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(next.toString)
     if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
+    // Recovery marker: names where the complete pre-swap copy lives. A
+    // crash between the two renames leaves the live path missing; the
+    // marker makes recovery scriptable instead of forensic.
+    val marker = new Path(path + ".compacting")
+    val out = fs.create(marker, true)
+    try out.write(old.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(p, old), s"rename $p -> $old failed")
     require(fs.rename(next, p), s"rename $next -> $p failed; data is at $old")
     fs.delete(old, true)
+    fs.delete(marker, false)
     val after = fs.listStatus(p).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }

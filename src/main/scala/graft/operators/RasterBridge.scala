@@ -40,6 +40,15 @@ object RasterBridge {
     * `block_w` bound the local loop). Cells equal to `nodata` are dropped
     * when `dropNodata` (the sparse ingestion default), else emitted NULL.
     */
+  /** Nodata equality must be bitwise-ish, not IEEE `==`: float GeoTIFFs
+    * commonly use NaN as nodata, and `NaN != NaN` would silently keep
+    * every nodata cell. `Float.compare` treats NaN == NaN (and orders
+    * -0.0 < 0.0, which is fine for a sentinel test — a -0.0 nodata
+    * matching only -0.0 is the safer reading).
+    */
+  private def isNodata(v: Float, nodata: Float): Boolean =
+    java.lang.Float.compare(v, nodata) == 0
+
   def explodeBlocks(
       blocks: DataFrame,
       blockH: Int,
@@ -72,10 +81,10 @@ object RasterBridge {
         lr <- 0 until bh
         lc <- 0 until bw
         v = bb.getFloat(4 * (lr * bw + lc))
-        if !dropNodata || v != nodata
+        if !dropNodata || !isNodata(v, nodata)
       } yield Row.fromSeq(pass.toSeq ++ Seq(
         ty * blockH + lr, tx * blockW + lc,
-        if (v == nodata) null else java.lang.Float.valueOf(v)))
+        if (isNodata(v, nodata)) null else java.lang.Float.valueOf(v)))
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -126,7 +135,18 @@ object RasterBridge {
         val buf = java.nio.ByteBuffer.allocate(4 * blockH * blockW)
         var i = 0
         while (i < blockH * blockW) { buf.putFloat(4 * i, nodata); i += 1 }
-        cells.foreach { case (lr, lc, v) => buf.putFloat(4 * (lr * blockW + lc), v) }
+        // Duplicate (px_row, px_col) within a tile would otherwise resolve
+        // by partition iteration order — nondeterministic blobs. Detect and
+        // fail instead; the unique-pixel precondition is the contract.
+        val written = new java.util.BitSet(blockH * blockW)
+        cells.foreach { case (lr, lc, v) =>
+          val off = lr * blockW + lc
+          require(!written.get(off),
+            s"duplicate pixel at tile ($ty,$tx) local ($lr,$lc): " +
+              "packBlocks requires unique (px_row, px_col) per tile+keys")
+          written.set(off)
+          buf.putFloat(4 * off, v)
+        }
         Row.fromSeq(key ++ Seq(ty, tx, blockH, blockW, buf.array()))
       }
     spark.createDataFrame(rdd, outSchema)

@@ -52,6 +52,9 @@ object Regrid {
       valueCols: Seq[String],
       rowCol: String = "px_row",
       colCol: String = "px_col"): DataFrame = {
+    val clash = valueCols.filter(master.columns.contains)
+    require(clash.isEmpty,
+      s"master columns and valueCols must be disjoint; shared: ${clash.mkString(", ")}")
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
     val keyed = master
@@ -71,6 +74,12 @@ object Regrid {
     * missing → NULL). One explode, one equi-join (AQE broadcasts a small
     * aux), one hash re-aggregation — the map-side partial collapses the
     * tap inflation before the shuffle.
+    *
+    * Contract: the re-aggregation groups by ALL master columns, so
+    * (1) master rows must be unique per (rowCol, colCol) — duplicate
+    * master pixel rows would silently collapse to one output row — and
+    * (2) master's columns must be disjoint from `valueCols` (enforced
+    * below; a shared name would yield ambiguous duplicate outputs).
     */
   private def tapRegrid(
       master: DataFrame,
@@ -88,6 +97,9 @@ object Regrid {
     val v = (lit(auxGrid.originY) - cy) / lit(auxGrid.pxH) - lit(0.5)
 
     val masterCols = master.columns.toSeq
+    val clash = valueCols.filter(masterCols.contains)
+    require(clash.isEmpty,
+      s"master columns and valueCols must be disjoint; shared: ${clash.mkString(", ")}")
     // STAGE the shared affine subexpressions as real columns before the
     // tap array: expression trees inside explode(array(...)) get no
     // common-subexpression elimination, so an unstaged 16-tap kernel

@@ -32,6 +32,25 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed refuses to destroy a foreign dataset at the derived location") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val base = new org.apache.hadoop.fs.Path(wh)
+    val loc = new org.apache.hadoop.fs.Path(base, "bkt_foreign")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant something that is clearly NOT an orphaned managed parquet table
+    fs.mkdirs(new org.apache.hadoop.fs.Path(loc, "precious_subdir"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "notes.txt"), true)
+    out.write("do not delete".getBytes("UTF-8")); out.close()
+    try {
+      val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.writeBucketed(df, "bkt_foreign", buckets = 2, keys = Seq("k"))
+      }
+      assert(e.getMessage.contains("refusing to overwrite"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "notes.txt")))
+    } finally fs.delete(loc, true)
+  }
+
   test("bucketed aggregation on the bucket key avoids the exchange too") {
     val a = (1 to 500).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
     Bucketing.writeBucketed(a, "bkt_agg", buckets = 4, keys = Seq("k"))

@@ -17,6 +17,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(before == 32 && after == 1, s"$before -> $after")
     val afterData = spark.read.parquet(dir).orderBy("id").collect().toSeq
     assert(afterData == beforeData)
+    // the recovery marker must not survive a successful swap
+    assert(!new java.io.File(dir + ".compacting").exists())
+    assert(!new java.io.File(dir + ".old").exists())
   }
 
   test("compact refuses a partitioned root (layout would flatten)") {

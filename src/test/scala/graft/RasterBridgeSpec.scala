@@ -67,6 +67,30 @@ class RasterBridgeSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == pixels.collect().map(_.toSeq).toSet)
   }
 
+  test("NaN nodata is honored (NaN != NaN would silently keep every cell)") {
+    val buf = java.nio.ByteBuffer.allocate(4 * 4)
+    buf.putFloat(0, 1.0f); buf.putFloat(4, Float.NaN)
+    buf.putFloat(8, 2.0f); buf.putFloat(12, Float.NaN)
+    val blocks = Seq((0, 0, 2, 2, buf.array()))
+      .toDF("tile_y", "tile_x", "block_h", "block_w", "blob")
+    val dropped = RasterBridge.explodeBlocks(blocks, 2, 2, Float.NaN)
+    assert(dropped.count() == 2)
+    assert(dropped.select("value").collect().map(_.getFloat(0)).toSet == Set(1.0f, 2.0f))
+    val kept = RasterBridge.explodeBlocks(blocks, 2, 2, Float.NaN, dropNodata = false)
+    assert(kept.count() == 4)
+    assert(kept.filter(col("value").isNull).count() == 2)
+  }
+
+  test("packBlocks rejects duplicate pixels instead of order-dependent last-write-wins") {
+    val pixels = Seq((1, 1, 1.0f), (1, 1, 2.0f), (0, 0, 3.0f))
+      .toDF("px_row", "px_col", "value")
+    val e = intercept[org.apache.spark.SparkException] {
+      RasterBridge.packBlocks(pixels, blockH = 4, blockW = 4, nodata = NoData).count()
+    }
+    assert(e.getMessage.contains("duplicate pixel") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate pixel")))
+  }
+
   test("explode ∘ pack is the identity on nodata-free pixel tables") {
     val pixels = (for { r <- 0 until 8; c <- 0 until 8 if (r * 8 + c) % 5 != 0 }
       yield ("s1", r, c, (r * 100 + c).toFloat)).toDF("scene", "px_row", "px_col", "value")

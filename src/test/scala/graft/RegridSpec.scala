@@ -41,6 +41,18 @@ class RegridSpec extends AnyFunSuite {
     assert(out.filter(col("px_row") === 0 && col("dem").isNotNull).count() == 0)
   }
 
+  test("master/valueCols name clash is rejected, not silently duplicated") {
+    val masterWithDem = master.withColumn("dem", lit(0.0))
+    val e1 = intercept[IllegalArgumentException] {
+      Regrid.regridNearest(masterWithDem, aux, masterGrid, auxGrid, Seq("dem"))
+    }
+    assert(e1.getMessage.contains("disjoint"))
+    val e2 = intercept[IllegalArgumentException] {
+      Regrid.regridBilinear(masterWithDem, aux, masterGrid, auxGrid, Seq("dem"))
+    }
+    assert(e2.getMessage.contains("disjoint"))
+  }
+
   test("bilinear reproduces a linear field exactly where all 4 taps exist") {
     // aux value = world x + world y sampled at aux pixel centers
     val linAux = (for { r <- 0 until 2; c <- 0 until 2 } yield {
