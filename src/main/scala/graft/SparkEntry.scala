@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ScalarOps, TextOps, VectorOps}
+import graft.functions.{ScalarOps, TextOps, VectorOps, WebOps}
 import graft.operators.{Bucketing, Composite, Curation, Dedup, MlOps, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -537,6 +537,69 @@ object SparkEntry {
       .select("doc_id", "keep", "reason")
       .orderBy("doc_id")
 
+  /** url1 — C4-style domain blocklist filter: synthetic absolute URLs are
+    * staged from existing columns (the sandbox corpus has none), the
+    * operator derives the registrable domain and anti-joins a broadcast
+    * blocklist on domain EQUALITY — "ads." subdomains collapse onto the
+    * same registrable key, so subdomain evasion is caught without an
+    * endswith scan of the corpus.
+    */
+  private def url1(s: SparkSession, d: String) = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).withColumn("url",
+      concat(lit("https://"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("ads.")).otherwise(lit("www.")),
+        col("source"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".org/p/"), col("doc_id").cast("string")))
+    val blocked = Seq("src30.org", "src31.org", "src32.org", "badsite.example")
+      .toDF("domain")
+    Curation.domainBlocklistFilter(docs, "url", blocked)
+      .withColumn("domain",
+        WebOps.registrableDomain(WebOps.urlHost(col("url"))))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("domain")
+  }
+
+  /** pii1 — PII anonymization: emails/phones/IPs are injected
+    * deterministically (doc_id arithmetic), redacted by the fixed-order
+    * regex pass, and the oracle hash-checks both the per-kind counts and
+    * the md5 of the REDACTED text — so the exact replacement semantics
+    * (order, global replace, boundary behavior) are verified, not just
+    * match counts.
+    */
+  private def pii1(s: SparkSession, d: String) = {
+    val staged = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".com now"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit(" from 10.0.0.42"))
+          .otherwise(lit(""))).as("text"))
+    Curation.redactPii(staged)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        md5(col("text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** lex1 — lexical diversity (type-token ratio): the standard quality
+    * signal for template/boilerplate detection that the length/stopword
+    * score misses. Pure projection.
+    */
+  private def lex1(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct"))
+      .withColumn("ttr",
+        round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("doc_id")
+
   /** skew1 — hot-key GROUP BY through the two-phase salted aggregation;
     * the oracle is the PLAIN GROUP BY, so the hash match proves salting is
     * semantically invisible (decimal partials commute exactly). lineitem's
@@ -683,8 +746,15 @@ object SparkEntry {
     // scales with levels × trees × rows, and a label derivable from 3 simple
     // features saturates well below the full table — the 100 TB pattern is
     // likewise "sample for fit, score everything".
+    // Compact the sample before the iterative fit: RF training runs one
+    // job per tree level, and each job schedules every partition of the
+    // instance RDD — a 2% sample inheriting the full scan's partitioning
+    // pays ~maxDepth × nPartitions empty-task overhead. Four partitions
+    // keep the 12k-row sample parallel enough at this SF; at 100 TB the
+    // same "sample → compact → fit" shape holds with a larger constant.
     val train = li.filter(col("l_orderkey") % 50 === 0)
       .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+      .repartition(4)
     val model = MlOps.trainRf(train, feats, "label", numTrees = 16, maxDepth = 6)
     MlOps.classify(model, li)
       .groupBy("pred_label")
@@ -1475,7 +1545,10 @@ object SparkEntry {
     "e12_keep_best_quality" -> (e12 _),
     "chunk1_token_windows" -> (chunk1 _),
     "zs1_zonal_stats" -> (zs1 _),
-    "emb2_quantize8" -> (emb2 _)
+    "emb2_quantize8" -> (emb2 _),
+    "url1_domain_filter" -> (url1 _),
+    "pii1_redact" -> (pii1 _),
+    "lex1_type_token" -> (lex1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2356,6 +2429,42 @@ object SparkEntry {
          |SELECT split, count(*) AS n_docs,
          |  CAST(count(DISTINCT CAST(floor((cum - n_tok) / 2048) AS BIGINT)) AS BIGINT) AS n_bins,
          |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-         |FROM packed GROUP BY split ORDER BY split""".stripMargin
+         |FROM packed GROUP BY split ORDER BY split""".stripMargin,
+    // url1: host/registrable-domain regexes are shared verbatim with the
+    // Spark side (Java and RE2 agree on them); the blocklist is a NOT IN.
+    "url1_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |  lower(regexp_extract('https://' || CASE WHEN doc_id % 7 = 0 THEN 'ads.' ELSE 'www.' END ||
+        |    source || CAST(doc_id % 3 AS VARCHAR) || '.org/p/' || CAST(doc_id AS VARCHAR),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1)) AS host
+        |  FROM documents),
+        |d AS (SELECT doc_id, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM u)
+        |SELECT domain, count(*) AS n_docs FROM d
+        |WHERE domain NOT IN ('src30.org', 'src31.org', 'src32.org', 'badsite.example')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+    // pii1: counts from the ORIGINAL text, md5 of the redacted text with
+    // the same fixed replace order (email → ip → phone); DuckDB needs the
+    // explicit 'g' flag to match Spark's global regexp_replace.
+    "pii1_redact" ->
+      s"""WITH staged AS (SELECT doc_id,
+         |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 5 AS VARCHAR) || '.com now' ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.0.42' ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${WebOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${WebOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${WebOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${WebOps.EmailRe}', '[EMAIL]', 'g'),
+         |    '${WebOps.Ipv4Re}', '[IP]', 'g'),
+         |    '${WebOps.PhoneRe}', '[PHONE]', 'g')) AS clean_md5
+         |FROM staged ORDER BY doc_id""".stripMargin,
+    "lex1_type_token" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS ttr
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

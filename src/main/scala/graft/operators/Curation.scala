@@ -226,6 +226,45 @@ object Curation {
       .select(docs.columns.map(col) :+ (col("reason") === "ok").as("keep") :+ col("reason"): _*)
   }
 
+  /** Domain blocklist filter (the C4 "bad domains" pass): drop every row
+    * whose url's registrable domain appears in `blocked` (one `domain`
+    * column). Keying on the REGISTRABLE domain makes subdomain evasion
+    * ("ads.evil.com" vs "evil.com") an equi-join equality instead of an
+    * `endswith` scan — the blocklist broadcasts (it's thousands of rows
+    * against a 100 TB corpus) and the corpus never shuffles. Rows whose
+    * url doesn't parse are dropped too (fail closed, like the NULL-text
+    * gate); pass them through upstream if unparseable ≠ bad.
+    */
+  def domainBlocklistFilter(
+      docs: DataFrame,
+      urlCol: String,
+      blocked: DataFrame): DataFrame = {
+    val dom = graft.functions.WebOps.registrableDomain(
+      graft.functions.WebOps.urlHost(col(urlCol)))
+    docs
+      .withColumn("__dom", dom)
+      .filter(col("__dom").isNotNull)
+      .join(broadcast(blocked.select(col("domain").as("__dom")).distinct()),
+        Seq("__dom"), "left_anti")
+      .drop("__dom")
+  }
+
+  /** PII anonymization pass: redact emails/IPv4s/phones in `textCol`
+    * (in that order) and attach per-kind match counts from the ORIGINAL
+    * text, so downstream can both train on clean text and audit/filter
+    * by PII density. Pure projection — no shuffle, no UDF.
+    */
+  def redactPii(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.WebOps
+    docs
+      .withColumn("n_emails", WebOps.matchCount(col(textCol), WebOps.EmailRe))
+      .withColumn("n_phones", WebOps.matchCount(col(textCol), WebOps.PhoneRe))
+      .withColumn("n_ips", WebOps.matchCount(col(textCol), WebOps.Ipv4Re))
+      .withColumn(textCol, WebOps.redactPii(col(textCol)))
+  }
+
   /** Per-document top-`k` TF-IDF terms. tf = in-doc term count,
     * idf = ln(N / df); ties break on term ascending. Two shuffles
     * (doc-term agg, term df agg) + a broadcast of the per-term df table —
