@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{ScalarOps, TextOps, VectorOps, WebOps}
-import graft.operators.{Bucketing, Composite, Curation, Dedup, MlOps, Similarity, Skew}
+import graft.operators.{Bucketing, Composite, Curation, Dedup, Maintenance, MlOps, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -599,6 +599,106 @@ object SparkEntry {
       .withColumn("ttr",
         round(col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
       .orderBy("doc_id")
+
+  /** st5 — at-least-once replay dedup: the batch twin of
+    * `EventStream.dedupStream` (dropDuplicatesWithinWatermark). A 10%
+    * replayed slice simulates redelivered micro-batches; replays are
+    * exact row copies, so the keep-any pick is deterministic and the
+    * per-type census must equal the single-delivery table's exactly.
+    */
+  private def st5(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    ev.unionByName(ev.filter(pmod(col("event_id"), lit(10)) === 0))
+      .dropDuplicates(Seq("event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      .orderBy("event_type")
+  }
+
+  /** d1 — keyed deletion over a stored corpus (right-to-be-forgotten):
+    * stage the documents table as a parquet store, tombstone every 13th
+    * doc through `Maintenance.deleteByKeys` (broadcast anti-join +
+    * marker-protected swap), and census what survives — the oracle is
+    * the logical complement, so the swap machinery must be exactly
+    * row-preserving.
+    */
+  private def d1(s: SparkSession, dd: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_d1").toString + "/docs"
+    Tables.documents(s, dd).write.mode("overwrite").parquet(dir)
+    val tomb = Tables.documents(s, dd)
+      .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
+    Maintenance.deleteByKeys(s, dir, tomb, Seq("doc_id"))
+    s.read.parquet(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
+  /** q13-shaped customer order-count distribution: the left-join-count
+    * histogram (zero-order customers included) — the classic planner
+    * shape for outer-join + double aggregation.
+    */
+  private def q13(s: SparkSession, d: String) =
+    Tables.customer(s, d).join(
+        Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** q16-shaped supplier census: NOT IN anti-join + count distinct per
+    * part attribute group.
+    */
+  private def q16(s: SparkSession, d: String) = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "SMALL")
+    val bad = Tables.supplier(s, d)
+      .filter(pmod(col("s_suppkey"), lit(17)) === 0).select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q19-shaped disjunctive join predicate: OR-of-ANDs across both join
+    * sides — the shape that tests predicate pushdown splitting (the
+    * common `l_partkey = p_partkey` conjunct must still reach the scans
+    * while the disjunction evaluates post-join).
+    */
+  private def q19(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 25) &&
+          col("l_quantity") >= 5 && col("l_quantity") <= 30) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 40))
+      .agg(
+        sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** sql3 — correlated scalar subquery through the SQL front door:
+    * Catalyst must decorrelate the per-part COUNT into an aggregate +
+    * left join (including the COUNT-on-empty-group = 0 rule). The oracle
+    * runs the IDENTICAL text, so the rewrite is verified end-to-end.
+    */
+  private def sql3(s: SparkSession, d: String) = {
+    Tables.lineitem(s, d).createOrReplaceTempView("sql3_lineitem")
+    Tables.part(s, d).createOrReplaceTempView("sql3_part")
+    s.sql(
+      """SELECT p_partkey, p_brand, n_heavy FROM (
+        |  SELECT p_partkey, p_brand,
+        |    (SELECT count(*) FROM sql3_lineitem WHERE l_partkey = p_partkey AND l_quantity > 45) AS n_heavy
+        |  FROM sql3_part) t
+        |WHERE n_heavy > 0 ORDER BY p_partkey""".stripMargin)
+  }
 
   /** skew1 — hot-key GROUP BY through the two-phase salted aggregation;
     * the oracle is the PLAIN GROUP BY, so the hash match proves salting is
@@ -1548,7 +1648,13 @@ object SparkEntry {
     "emb2_quantize8" -> (emb2 _),
     "url1_domain_filter" -> (url1 _),
     "pii1_redact" -> (pii1 _),
-    "lex1_type_token" -> (lex1 _)
+    "lex1_type_token" -> (lex1 _),
+    "st5_replay_dedup" -> (st5 _),
+    "d1_delete_by_keys" -> (d1 _),
+    "q13_cust_dist" -> (q13 _),
+    "q16_supplier_cnt" -> (q16 _),
+    "q19_disjunctive" -> (q19 _),
+    "sql3_correlated" -> (sql3 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2465,6 +2571,49 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) AS ttr
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // st5: replays are exact copies, so min() per key IS the kept row.
+    "st5_replay_dedup" ->
+      """WITH u AS (SELECT event_id, event_type, value FROM events
+        |  UNION ALL SELECT event_id, event_type, value FROM events WHERE event_id % 10 = 0),
+        |d AS (SELECT event_id, min(event_type) AS event_type, min(value) AS value
+        |  FROM u GROUP BY event_id)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // d1: the oracle is the logical complement of the tombstone set.
+    "d1_delete_by_keys" ->
+      """SELECT source, count(*) AS n, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 13 <> 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q13_cust_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 17 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 5 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
+    // sql3: the IDENTICAL correlated text (modulo view names) — both
+    // engines must agree on the decorrelated COUNT semantics.
+    "sql3_correlated" ->
+      """SELECT p_partkey, p_brand, n_heavy FROM (
+        |  SELECT p_partkey, p_brand,
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45) AS n_heavy
+        |  FROM part) t
+        |WHERE n_heavy > 0 ORDER BY p_partkey""".stripMargin
   )
 }

@@ -54,20 +54,74 @@ object Maintenance {
     val old = new Path(path + ".old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(next.toString)
+    checkedSwap(fs, p, next)
+    val after = fs.listStatus(p).count { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }
+    (before, after)
+  }
+
+  /** Swap `next` into `p`'s place: rename live → `.old`, `.next` → live,
+    * delete `.old`. A `.compacting` marker naming the pre-swap copy is
+    * written before the first rename and removed after success, so a
+    * crash between the renames is detectable and recovery scriptable. A
+    * crash at any step leaves a complete copy on disk.
+    */
+  private def checkedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, next: Path): Unit = {
+    val old = new Path(p.toString + ".old")
     if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
-    // Recovery marker: names where the complete pre-swap copy lives. A
-    // crash between the two renames leaves the live path missing; the
-    // marker makes recovery scriptable instead of forensic.
-    val marker = new Path(path + ".compacting")
+    val marker = new Path(p.toString + ".compacting")
     val out = fs.create(marker, true)
     try out.write(old.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(p, old), s"rename $p -> $old failed")
     require(fs.rename(next, p), s"rename $next -> $p failed; data is at $old")
     fs.delete(old, true)
     fs.delete(marker, false)
-    val after = fs.listStatus(p).count { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
+  }
+
+  /** Keyed deletion over a stored parquet directory — the
+    * right-to-be-forgotten / tombstone-propagation pass a training-data
+    * store needs: rewrite `path` WITHOUT the rows whose `keyCols` match a
+    * row of `tombstones`. The tombstone set broadcasts (it is tiny
+    * relative to the store — an anti-join, never a shuffle of the data),
+    * the rewrite preserves the file sizing via `targetFileBytes`, and the
+    * swap is the same marker-protected rename protocol as `compact`.
+    * Same flat-directory contract as `compact`: for a partitioned store,
+    * run per partition directory (and skip directories the partition
+    * pruning proves untouched).
+    *
+    * Returns (rowsBefore, rowsAfter).
+    */
+  def deleteByKeys(
+      spark: SparkSession,
+      path: String,
+      tombstones: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(p).exists(_.isDirectory),
+      s"deleteByKeys expects a flat parquet directory; $path has subdirectories — " +
+        "run per partition directory")
+    val totalBytes = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val cur = spark.read.parquet(path)
+    val before = cur.count()
+    val kept = cur.join(
+      org.apache.spark.sql.functions.broadcast(
+        tombstones.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()),
+      keyCols, "left_anti")
+    // size from the SURVIVING fraction so deletion doesn't shrink files
+    val after = kept.count()
+    val keepBytes = if (before == 0) totalBytes
+      else (totalBytes * (after.toDouble / before)).toLong
+    val n = math.max(1, math.ceil(keepBytes.toDouble / targetFileBytes).toInt)
+    val next = new Path(path + ".next")
+    kept.repartition(n).write.mode("overwrite").parquet(next.toString)
+    checkedSwap(fs, p, next)
     (before, after)
   }
 }

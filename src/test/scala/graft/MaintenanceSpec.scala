@@ -32,6 +32,30 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("deleteByKeys removes exactly the tombstoned rows, swap marker cleaned up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/t"
+    (1L to 1000L).map(i => (i, s"row$i")).toDF("id", "s")
+      .repartition(8).write.parquet(dir)
+    val tomb = (1L to 1000L).filter(_ % 13 == 0).toDF("id")
+    val (before, after) = Maintenance.deleteByKeys(spark, dir, tomb, Seq("id"))
+    assert(before == 1000L && after == 924L, s"$before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 924)
+    assert(back.filter(col("id") % 13 === 0).count() == 0)
+    assert(!new java.io.File(dir + ".compacting").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
+
+  test("deleteByKeys with no matching tombstones is the identity (modulo layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del2").toString + "/t"
+    (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v").write.parquet(dir)
+    val (before, after) = Maintenance.deleteByKeys(
+      spark, dir, Seq(5000L, 6000L).toDF("id"), Seq("id"))
+    assert(before == 100L && after == 100L)
+    assert(spark.read.parquet(dir).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      (1L to 100L))
+  }
+
   test("compact sizes the output from real bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")
