@@ -27,8 +27,23 @@ object Bench {
       import spark.implicits._
       import org.apache.spark.sql.functions._
       val tiny = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
-      operators.Dedup.fuzzyDupPairs(tiny, threshold = 0.0).count()
-      // candidate-pair + connected-components compiled stages (cc1/e10)
+      // Janino caches compiled classes by generated SOURCE, and literals are
+      // inlined into it — fuzzyDupPairs(threshold=0.0) does NOT warm the
+      // threshold=0.5 tree the dedup queries actually run (measured: e10
+      // cold 6.0s vs 1.6s steady from exactly this mismatch). Warm the
+      // EXACT parameterizations e10/e12/cc1 use.
+      val pairsW = operators.Dedup.fuzzyDupPairs(tiny, threshold = 0.5, numHashes = 8, rowsPerBand = 2)
+      val compW = operators.Graph.connectedComponents(pairsW)
+      tiny.join(compW.filter(col("node") =!= col("component")).select(col("node").as("doc_id")),
+        Seq("doc_id"), "left_anti").count()
+      // e12's keep-best window over quality + coalesce-singleton shape
+      val membersW = tiny.select(col("doc_id"), functions.TextOps.qualityScore(col("text")).as("__q"))
+        .join(compW, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"), col("__q"))
+      val byCompW = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      membersW.withColumn("rn", row_number().over(byCompW.orderBy(col("__q").desc, col("doc_id").asc)))
+        .filter(col("rn") === 1).count()
+      // candidate-pair + connected-components compiled stages (cc1)
       val edges = operators.Dedup.minhashCandidatePairs(tiny, numHashes = 8, rowsPerBand = 2)
       operators.Graph.componentSummary(operators.Graph.connectedComponents(edges)).count()
       // Spark ML tree/forest classes + fit-job machinery (m1)
@@ -49,6 +64,32 @@ object Bench {
       operators.Curation.qualityGate(tinyDocs).filter(col("keep")).select("doc_id").count()
       tinyDocs.select(inline(array(functions.TextOps.repetitionCounts(
         sort_array(functions.TextOps.shingles(functions.TextOps.tokens(col("text")), 2)))))).count()
+    }
+    // Generated-code warmup against the REAL sf0.001 tables: codegen'd
+    // classes are keyed on the generated source, which bakes in the input
+    // SCHEMA — the tiny literal frames above share the operators'
+    // parameter literals but not the testdata schemas, so the heavy
+    // queries still paid 3-8 s of first-run Janino work (measured: e10
+    // 6.0 s cold vs 1.6 s steady). Running the known-heavy queries once
+    // at the smallest SF compiles the exact classes the measured run
+    // uses; the measured numbers then report steady-state execution.
+    locally {
+      val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (warmDir.isDirectory) {
+        val heavy = Seq(
+          "e10_fuzzy_dedup_keep", "e12_keep_best_quality", "cc1_dup_components",
+          "e2b_lsh_pairs", "e7_jaccard_verify", "e3b_ivf_topk", "e8_embedding_neardup",
+          "e11_decontaminate", "pipe1_curation", "pipe2_curation_v2",
+          "url1_domain_filter", "tfidf1_top_terms", "rep1_ngram_repetition",
+          "m5_segment_polygonize", "j6_range_join",
+          "q3_shipping_priority", "st4_interval_join", "samp2_stratified")
+        for (n <- heavy; fn <- SparkEntry.queries.get(n))
+          try fn(spark, warmDir.toString).count() catch { case _: Throwable => }
+        // Drop anything the warmup left cached (Spark ML fits persist
+        // training frames internally): measured queries must not compete
+        // with warmup leftovers for storage/execution memory.
+        spark.sqlContext.clearCache()
+      }
     }
     // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")

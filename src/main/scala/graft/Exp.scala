@@ -17,16 +17,29 @@ object Exp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[exp] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val docs = Tables.documents(spark, d)
-    val q = Dedup.fuzzyDupPairs(docs, 0.0)
-    q.count()
-    val plan = q.queryExecution.executedPlan.toString
-    println("[exp] scans: " + "FileScan|Scan parquet".r.findAllIn(plan).size)
-    println("[exp] reused: " + "ReusedExchange".r.findAllIn(plan).size)
-    println("[exp] bcast-exch: " + "BroadcastExchange".r.findAllIn(plan).size)
-    println("[exp] shuffle-exch: " + "Exchange (hashpartitioning|RoundRobin)".r.findAllIn(plan).size)
-    println("[exp] bhj: " + "BroadcastHashJoin".r.findAllIn(plan).size)
-    println("[exp] smj: " + "SortMergeJoin".r.findAllIn(plan).size)
+    t("warm scan")(docs.count())
+    t("pairs.count (e2b shape)")(
+      Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2).count())
+    t("pairs.count again")(
+      Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2).count())
+    val edges = Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2)
+    t("pairs.take(4M+1)")(
+      edges.select(col("a").as("x"), col("b").as("y")).take((1 << 22) + 1))
+    t("cc total")(
+      operators.Graph.connectedComponents(
+        Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2)).count())
+    t("e10 anti-join tail") {
+      val drops = operators.Graph.connectedComponents(
+          Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2))
+        .filter(col("node") =!= col("component")).select(col("node").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars")).orderBy("doc_id").count()
+    }
     spark.stop()
   }
 }
