@@ -699,6 +699,142 @@ object SparkEntry {
           .cast("double").as("revenue"),
         count(lit(1)).as("n"))
 
+  /** q10-shaped returned-item report: 4-way join, revenue agg, top-20.
+    * The returnflag filter lands on the lineitem scan; nation broadcasts.
+    */
+  private def q10(s: SparkSession, d: String) =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** q11-shaped value concentration: grouped value vs a fraction of the
+    * GLOBAL value — the scalar-aggregate-as-threshold shape. The one-row
+    * global total broadcasts into a nested-loop join; both sides stay
+    * decimal-exact until the final double compare.
+    */
+  private def q11(s: SparkSession, d: String) = {
+    val value = sum(col("l_extendedprice").cast(D2) * col("l_quantity").cast(D2))
+    val byPart = Tables.lineitem(s, d).groupBy("l_partkey").agg(value.as("val_d"))
+    val total = Tables.lineitem(s, d).agg(value.as("tot"))
+    byPart.crossJoin(total)
+      .filter(col("val_d").cast("double") > col("tot").cast("double") * 0.001)
+      .select(col("l_partkey"), col("val_d").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** q14-shaped promo share: conditional aggregation as a percentage of
+    * the same aggregate — one pass, two sums (the CASE collapses into the
+    * sum, no second scan). Decimal sums; the division happens once in
+    * double on exact inputs.
+    */
+  private def q14(s: SparkSession, d: String) = {
+    val price = col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-06-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-07-01 00:00:00")))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", price)).cast("double")
+          / sum(price).cast("double"), 6).as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q15-shaped top supplier: revenue per supplier in a quarter, keep the
+    * max — the "view + scalar max equality" shape. Revenue stays DECIMAL
+    * through the max comparison, so ties and the max match are exact.
+    */
+  private def q15(s: SparkSession, d: String) = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("__mr"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(maxRev)
+      .filter(col("total_rev") === col("__mr"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q17-shaped small-quantity revenue: correlated per-part average as a
+    * row filter, decorrelated to an aggregate + equi-join. l_quantity is
+    * integer-valued, so the per-part avg is fold-order-exact in double
+    * and the 0.2·avg compare is deterministic on both engines.
+    */
+  private def q17(s: SparkSession, d: String) = {
+    val avgQ = Tables.lineitem(s, d).groupBy(col("l_partkey").as("__pk"))
+      .agg(avg(col("l_quantity")).as("__avg_q"))
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#2"),
+        col("l_partkey") === col("p_partkey"))
+      .join(avgQ, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("__avg_q"))
+      .agg(
+        round(dsum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q18-shaped large-volume orders: HAVING on a grouped sum, joined back
+    * to the order/customer detail. The big-order id set is tiny after the
+    * HAVING, so it broadcasts into the detail join.
+    */
+  private def q18(s: SparkSession, d: String) = {
+    val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 170)
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q20-shaped qualified suppliers: nested aggregate threshold feeding a
+    * semi join — suppliers who shipped > 100 units of Brand#3 parts.
+    */
+  private def q20(s: SparkSession, d: String) = {
+    val qualified = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_brand") === "Brand#3").select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity")).as("__q"))
+      .filter(col("__q") > 100)
+      .select(col("l_suppkey"))
+    Tables.supplier(s, d)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** q22-shaped idle customers: above-average balance AND no orders —
+    * scalar-aggregate threshold + anti join. The avg compare is done as
+    * `bal·n > total` with both sides DECIMAL, so it is exact on both
+    * engines (decimal avg rounding differs between Spark and DuckDB).
+    */
+  private def q22(s: SparkSession, d: String) = {
+    val agg = Tables.customer(s, d).filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast(D2)).as("__tot"), count(lit(1)).as("__n"))
+    Tables.customer(s, d)
+      .crossJoin(agg)
+      .filter(col("c_acctbal").cast(D2) * col("__n") > col("__tot"))
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(pmod(col("c_custkey"), lit(7)).as("cntry"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("cntry")
+  }
+
   /** sql3 — correlated scalar subquery through the SQL front door:
     * Catalyst must decorrelate the per-part COUNT into an aggregate +
     * left join (including the COUNT-on-empty-group = 0 rule). The oracle
@@ -1298,6 +1434,46 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** e13 — sketch-accelerated decontamination: bloom prefilter on the
+    * corpus grams (scan-side predicate, no false negatives) + exact
+    * verify of the survivors. Same eval slice as e11 and the SAME oracle
+    * complement — the hash match proves the sketch path is semantically
+    * invisible.
+    */
+  private def e13(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    operators.Curation.decontaminateBloom(
+        docs, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id", "n_chars")
+  }
+
+  /** prof1 — one-pass table profile of the documents corpus: row count
+    * plus per-column null/distinct/min/max (the pre-training census).
+    */
+  private def prof1(s: SparkSession, d: String) =
+    operators.Profiling.tableProfile(
+      Tables.documents(s, d), Seq("lang", "source", "n_chars"))
+
+  /** hist1 — equi-width histogram of document lengths (width 50): the
+    * length-distribution profile every curation run starts from.
+    */
+  private def hist1(s: SparkSession, d: String) =
+    operators.Profiling.histogram(Tables.documents(s, d), col("n_chars"), 50)
+
+  /** cap1 — per-source document cap: keep the 5 best-quality docs per
+    * source (ties → lowest id). The anti-concentration step of a web
+    * corpus mix; ranking windows run per source, never globally.
+    */
+  private def cap1(s: SparkSession, d: String) = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.qualityScore(col("text")).as("__q"))
+    operators.Curation.capPerGroup(
+        scored, Seq(col("source")), col("__q"), col("doc_id"), k = 5)
+      .select(col("source"), col("doc_id"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   /** O3 — top-3 orders by value per customer through the custom
     * TopKPerKey physical operator (graft.plans): bounded heaps map-side,
     * at most k rows per key per partition cross the exchange, no window
@@ -1669,7 +1845,19 @@ object SparkEntry {
     "q13_cust_dist" -> (q13 _),
     "q16_supplier_cnt" -> (q16 _),
     "q19_disjunctive" -> (q19 _),
-    "sql3_correlated" -> (sql3 _)
+    "sql3_correlated" -> (sql3 _),
+    "q10_returned_rev" -> (q10 _),
+    "q11_value_parts" -> (q11 _),
+    "q14_promo_share" -> (q14 _),
+    "q15_top_supplier" -> (q15 _),
+    "q17_small_qty" -> (q17 _),
+    "q18_big_orders" -> (q18 _),
+    "q20_qualified_suppliers" -> (q20 _),
+    "q22_idle_customers" -> (q22 _),
+    "e13_bloom_decontaminate" -> (e13 _),
+    "prof1_table_profile" -> (prof1 _),
+    "hist1_char_lengths" -> (hist1 _),
+    "cap1_source_cap" -> (cap1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2629,6 +2817,118 @@ object SparkEntry {
         |  SELECT p_partkey, p_brand,
         |    (SELECT count(*) FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45) AS n_heavy
         |  FROM part) t
-        |WHERE n_heavy > 0 ORDER BY p_partkey""".stripMargin
+        |WHERE n_heavy > 0 ORDER BY p_partkey""".stripMargin,
+    "q10_returned_rev" ->
+      """SELECT c_custkey, c_name, n_name,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_value_parts" ->
+      """WITH bypart AS (
+        |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val_d
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS t
+        |  FROM lineitem)
+        |SELECT l_partkey, CAST(val_d AS DOUBLE) AS part_value
+        |FROM bypart, tot
+        |WHERE CAST(val_d AS DOUBLE) > CAST(t AS DOUBLE) * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(CAST(100.0 AS DOUBLE) *
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS promo_share,
+        |count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-07-01 00:00:00'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_q FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey JOIN a ON l_partkey = pk
+        |WHERE p_brand = 'Brand#2' AND l_quantity < 0.2 * avg_q""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 170)
+        |SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q20_qualified_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'
+        |  GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    // q22: the avg threshold is compared as bal·n > total with BOTH sides
+    // decimal — decimal-avg ROUNDING differs between Spark and DuckDB, the
+    // cross-multiplied form doesn't divide at all.
+    "q22_idle_customers" ->
+      """WITH a AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_custkey % 7 AS cntry, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY cntry ORDER BY cntry""".stripMargin,
+    // e13: the EXACT complement — identical to e11's oracle; the bloom
+    // prefilter must be semantically invisible.
+    "e13_bloom_decontaminate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS grams FROM t),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM s),
+        |eg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    "prof1_table_profile" ->
+      """SELECT count(*) AS n_rows,
+        |CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |count(DISTINCT lang) AS lang_distinct, min(lang) AS lang_min, max(lang) AS lang_max,
+        |CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+        |count(DISTINCT source) AS source_distinct, min(source) AS source_min, max(source) AS source_max,
+        |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |count(DISTINCT n_chars) AS n_chars_distinct, min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
+        |FROM documents""".stripMargin,
+    "hist1_char_lengths" ->
+      """SELECT CAST(n_chars AS BIGINT) - CAST(n_chars AS BIGINT) % 50 AS bucket_lo, count(*) AS n
+        |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
+    // cap1: quality formula mirrors TextOps.qualityScore exactly (the
+    // e12 qual CTE); ranking ties break on doc_id so the window is
+    // deterministic on both engines.
+    "cap1_source_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS q
+         |  FROM t),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM q)
+         |SELECT source, doc_id, rn FROM r WHERE rn <= 5
+         |ORDER BY source, rn""".stripMargin
   )
 }

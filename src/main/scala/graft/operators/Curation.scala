@@ -90,6 +90,56 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Sketch-accelerated decontamination — identical RESULT to
+    * [[decontaminate]] (the oracle hash-checks that), different scale
+    * shape: instead of semi-joining every corpus gram against the eval
+    * grams, a bloom filter built over the eval grams prefilters corpus
+    * grams as a pure scan-side predicate (no shuffle, no false
+    * negatives), and only the survivors — true hits plus ~fpp false
+    * positives — pay the exact semi-join verify. At 100 TB the corpus
+    * gram exchange is the dominant cost of exact decontamination; the
+    * bloom path shrinks it to (contamination rate + fpp) of the corpus.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      evalSet: DataFrame,
+      ngramK: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = df.select(
+      cols :+ explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngramK))).as("__gram"): _*)
+    val evalGrams = grams(evalSet).distinct()
+    // distributed build; one bounded bitmap returns to the driver (an
+    // index-build action, same contract as Similarity's IVF metadata)
+    val nGrams = evalGrams.count().max(1L)
+    val bloom = Sketches.buildBloom(evalGrams, col("__gram"), nGrams, fpp)
+    val contaminated = grams(Partitioning.spread(docs), col(idCol))
+      .filter(Sketches.mightContain(bloom, col("__gram")))
+      .join(evalGrams, Seq("__gram"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Per-group document cap: keep at most `k` rows per group, best
+    * `orderCol` first (ties broken by `tieCol` for determinism) — the
+    * per-domain cap every web corpus applies so no single site dominates
+    * the training mix. One window per group partition — each group ranks
+    * independently, no global sort; the output is bounded at k·groups.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCol: Column,
+      tieCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"capPerGroup k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*).orderBy(orderCol.desc, tieCol.asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum percentage,
     * decided by an md5 bucket of the row id — stable under reruns,
     * appends, and repartitioning (the property `sampleBy` lacks), and

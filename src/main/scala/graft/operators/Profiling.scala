@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operators — the "look at the table before training on
+  * it" surface a corpus store needs (the reference's only profiling is
+  * eyeballing rasterio metadata, feature_stacking.py:79-84; a 100 TB
+  * corpus needs it as a query).
+  *
+  * Scale shapes: `tableProfile` is ONE aggregation pass (count-distinct
+  * expands to one extra shuffle per distinct column in exact mode; the
+  * `exact=false` path swaps in HLL sketches and stays single-pass).
+  * `histogram` is a plain groupBy on a derived integer key — pre-agg
+  * combines per partition, so the exchange carries at most one row per
+  * (partition, bucket).
+  */
+object Profiling {
+
+  /** One-row profile: row count plus per-column null count, distinct
+    * count, min, max. Exact distincts cost a shuffle per column (Spark
+    * plans multi-distinct via Expand); `exact = false` uses
+    * approx_count_distinct (HLL++, single pass) — the 100 TB default.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        (if (exact) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Equi-width histogram of an integral column: bucket lower bound →
+    * count. Buckets are derived keys (integer division), so the groupBy
+    * pre-aggregates map-side; no sort, no window.
+    */
+  def histogram(df: DataFrame, c: Column, width: Long): DataFrame = {
+    require(width > 0, s"histogram width must be positive, got $width")
+    // bucket_lo = x - (x mod width) with floor semantics (pmod), so
+    // negative values land in their floor bucket — matches SQL `//`.
+    df.groupBy((c.cast("long") - pmod(c.cast("long"), lit(width))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket_lo")
+  }
+}
