@@ -517,6 +517,14 @@ object SparkEntry {
     Curation.passageDupStats(Tables.documents(s, d), ngramK = 5)
       .orderBy("doc_id")
 
+  /** span1 — repeated-span census (the span-level dedup signal): per doc,
+    * how many maximal spans are covered by corpus-repeated 5-grams and
+    * how many tokens they span. Window islands, integer-exact.
+    */
+  private def span1(s: SparkSession, d: String) =
+    Curation.repeatedSpanStats(Tables.documents(s, d), ngramK = 5)
+      .orderBy("doc_id")
+
   /** sql1 — the pure-SQL user path through the driver gate: the engine's
     * registered SQL functions (GraftFunctions catalog, installed post-hoc
     * on this plain-builder session) over a temp view — no DataFrame API in
@@ -1448,6 +1456,22 @@ object SparkEntry {
       .orderBy("doc_id", "n_chars")
   }
 
+  /** inc1 — incremental-ingest dedup: stage the even-id half of the
+    * corpus as a persisted dedup index (exact md5s + LSH buckets +
+    * shingle sets), then deduplicate the odd-id half against it as a NEW
+    * batch — the daily-crawl-vs-100 TB-corpus shape, probing the index
+    * without rescanning corpus text. Census of the admitted batch rows;
+    * the oracle recomputes the exact+fuzzy complement from scratch.
+    */
+  private def inc1(s: SparkSession, d: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc1").toString + "/idx"
+    val docs = Tables.documents(s, d)
+    Dedup.writeDedupIndex(docs.filter(col("doc_id") % 2 === 0), dir)
+    Dedup.dedupAgainstIndex(s, docs.filter(col("doc_id") % 2 === 1), dir, threshold = 0.5)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** prof1 — one-pass table profile of the documents corpus: row count
     * plus per-column null/distinct/min/max (the pre-training census).
     */
@@ -1855,6 +1879,8 @@ object SparkEntry {
     "q20_qualified_suppliers" -> (q20 _),
     "q22_idle_customers" -> (q22 _),
     "e13_bloom_decontaminate" -> (e13 _),
+    "span1_repeated_spans" -> (span1 _),
+    "inc1_incremental_dedup" -> (inc1 _),
     "prof1_table_profile" -> (prof1 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
@@ -2904,6 +2930,53 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    // span1: parallel unnest zips grams with their 0-based positions;
+    // the island break (gap > k) and covered-token formula
+    // (max+k-min) are integer-exact in both engines.
+    "span1_repeated_spans" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 5 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 4),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) END AS sh
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(sh) AS gram, unnest(generate_series(0, len(sh) - 1)) AS pos FROM s),
+        |r AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM p) WHERE n_occ >= 2),
+        |f AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5 THEN 0 ELSE 1 END AS new_span
+        |  FROM r),
+        |g2 AS (SELECT doc_id, pos, sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id FROM f),
+        |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // inc1: the from-scratch exact+fuzzy complement — the Spark side
+    // probes a PERSISTED index instead, so the hash match proves the
+    // index round-trip preserves the dedup decision exactly. The fuzzy
+    // set here includes exact-dropped docs too; both are subtracted, so
+    // the union is identical.
+    "inc1_incremental_dedup" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |exact_dropped AS (SELECT DISTINCT n.doc_id FROM documents n
+         |  JOIN documents c ON n.text = c.text AND c.doc_id % 2 = 0
+         |  WHERE n.doc_id % 2 = 1),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh2 FROM s),
+         |fuzzy AS (SELECT DISTINCT a FROM (
+         |  SELECT a, b, len(list_filter(xa.sh2, t -> list_contains(xb.sh2, t))) AS inter,
+         |    len(xa.sh2) AS la, len(xb.sh2) AS lb
+         |  FROM cand JOIN ss xa ON cand.a = xa.doc_id JOIN ss xb ON cand.b = xb.doc_id) z
+         |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id % 2 = 1
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM exact_dropped)
+         |  AND d.doc_id NOT IN (SELECT a FROM fuzzy)
+         |ORDER BY d.doc_id""".stripMargin,
     "prof1_table_profile" ->
       """SELECT count(*) AS n_rows,
         |CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,

@@ -228,6 +228,46 @@ object Curation {
           .as("shared_grams"))
   }
 
+  /** Repeated-span profile — the span-level dedup signal: positions of
+    * k-grams that occur more than once ANYWHERE in the corpus (across or
+    * within documents), merged per document into maximal covered spans
+    * (two repeated grams whose starts differ by ≤ k overlap or touch, so
+    * their union is contiguous). Returns one row per affected document:
+    * the span count and the number of tokens covered by repeated spans —
+    * the "how much of this doc is boilerplate someone else also has"
+    * census that span-level dedup acts on.
+    *
+    * Scale shape: explode → COUNT window over the gram partition (the
+    * par1 shape) → per-doc sort window for the island merge (each doc
+    * ranks independently; repeated positions per doc are bounded by the
+    * token count) → one grouped agg. Integer arithmetic throughout.
+    */
+  def repeatedSpanStats(
+      docs: DataFrame,
+      ngramK: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pos = Partitioning.spread(docs).select(col(idCol),
+      posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as(Seq("__pos", "__gram")))
+    val rep = pos
+      .withColumn("__n_occ", count(lit(1)).over(Window.partitionBy("__gram")))
+      .filter(col("__n_occ") >= 2)
+      .select(col(idCol), col("__pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("__pos")
+    rep
+      // a gap of more than k start positions means the gram intervals
+      // [p, p+k-1] no longer touch — start a new span (NULL lag → 1)
+      .withColumn("__new_span",
+        when(col("__pos") - lag(col("__pos"), 1).over(byDoc) <= ngramK, lit(0L)).otherwise(lit(1L)))
+      .withColumn("__span_id", sum(col("__new_span"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__span_id"))
+      .agg((max(col("__pos")) + ngramK - min(col("__pos"))).as("__span_tokens"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__span_tokens")).as("repeated_tokens"))
+  }
+
   /** Composite document quality gate: the standard curation filter stack
     * (length/stopword quality score, language-ID agreement, within-doc
     * repetition) folded into one pass with an audit trail — each document

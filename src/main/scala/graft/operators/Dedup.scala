@@ -102,20 +102,29 @@ object Dedup {
       numHashes, rowsPerBand, idCol, maxBucket)
   }
 
+  /** Exploded LSH band keys per row: (idCol, band, bucket). */
+  private def bandsOf(
+      sig: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      idCol: String): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
+    }
+    sig
+      .select(col(idCol), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   private def pairsOf(
       sig: DataFrame,
       numHashes: Int,
       rowsPerBand: Int,
       idCol: String,
       maxBucket: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
-      val comps = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("_", comps: _*)).as("bucket"))
-    }
-    val exploded = sig
-      .select(col(idCol), explode(array(bands: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val exploded = bandsOf(sig, numHashes, rowsPerBand, idCol)
     // Shed degenerate buckets before the quadratic pair step (skew guard).
     val sized = exploded
       .groupBy("band", "bucket")
@@ -228,6 +237,76 @@ object Dedup {
       .withColumn("cos", graft.functions.CosineSimExpr.cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select("a", "b", "cos")
+  }
+
+  /** Persist the corpus-side dedup state for INCREMENTAL ingestion: a new
+    * batch (the daily crawl) can then be deduplicated against the whole
+    * existing corpus without rescanning it. Three parquet tables under
+    * `dir`:
+    *   exact/    distinct content md5s (exact-duplicate membership)
+    *   buckets/  (id, band, bucket) LSH keys
+    *   shingles/ (id, sh) distinct shingle sets for exact verify
+    * At 100 TB the index is a corpus-derived artifact maintained next to
+    * the store (append new batches' rows after they are admitted); probes
+    * shuffle on 32-char keys only, never on the corpus text.
+    */
+  def writeDedupIndex(
+      docs: DataFrame,
+      dir: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    spread(docs).select(md5(col(textCol)).as("content_md5")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/exact")
+    val sh = shingleSets(docs, shingleK, idCol, textCol)
+    sh.select(col(idCol).as("id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$dir/shingles")
+    bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
+      .select(col(idCol).as("id"), col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+
+  /** Deduplicate a NEW batch against a [[writeDedupIndex]] store: drops
+    * batch docs that are exact duplicates of corpus content, then fuzzy
+    * duplicates (shared LSH band bucket AND exact Jaccard ≥ `threshold`
+    * against the indexed shingle sets). Returns the surviving batch rows.
+    * Within-batch duplicates are NOT collapsed here — run the batch
+    * through the self-dedup operators first/after; this operator's job is
+    * batch-vs-corpus only.
+    */
+  def dedupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame,
+      dir: String,
+      threshold: Double,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val exact = spark.read.parquet(s"$dir/exact")
+    val idxBuckets = spark.read.parquet(s"$dir/buckets")
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+    val notExact = newDocs.join(
+      exact, md5(col(textCol)) === col("content_md5"), "left_anti")
+    val sh = shingleSets(notExact, shingleK, idCol, textCol)
+    val cand = bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
+      .join(idxBuckets.select(col("id").as("__idx_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col(idCol), col("__idx_id")).distinct()
+    val dropped = cand
+      .join(sh.select(col(idCol), col("sh").as("__sh_new")), Seq(idCol))
+      .join(idxSh.select(col("id").as("__idx_id"), col("sh").as("__sh_idx")), Seq("__idx_id"))
+      .withColumn("__inter", size(array_intersect(col("__sh_new"), col("__sh_idx"))).cast("long"))
+      .filter(col("__inter") > 0)
+      .filter(col("__inter") / (size(col("__sh_new")).cast("long") +
+        size(col("__sh_idx")).cast("long") - col("__inter")) >= threshold)
+      .select(col(idCol)).distinct()
+    notExact.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** SimHash near-dup groups: docs with identical 16-bit simhash. */
