@@ -82,7 +82,9 @@ object Bench {
           "e11_decontaminate", "pipe1_curation", "pipe2_curation_v2",
           "url1_domain_filter", "tfidf1_top_terms", "rep1_ngram_repetition",
           "m5_segment_polygonize", "j6_range_join",
-          "q3_shipping_priority", "st4_interval_join", "samp2_stratified")
+          "q3_shipping_priority", "st4_interval_join", "samp2_stratified",
+          "e13_bloom_decontaminate", "inc1_incremental_dedup",
+          "span1_repeated_spans", "cap1_source_cap")
         for (n <- heavy; fn <- SparkEntry.queries.get(n))
           try fn(spark, warmDir.toString).count() catch { case _: Throwable => }
         // Drop anything the warmup left cached (Spark ML fits persist

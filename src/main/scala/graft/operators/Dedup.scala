@@ -261,12 +261,17 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     spread(docs).select(md5(col(textCol)).as("content_md5")).distinct()
       .write.mode("overwrite").parquet(s"$dir/exact")
+    // two write actions read the shingle projection; persist across them
+    // (separate actions get no exchange reuse), release when both land
     val sh = shingleSets(docs, shingleK, idCol, textCol)
-    sh.select(col(idCol).as("id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$dir/shingles")
-    bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
-      .select(col(idCol).as("id"), col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.select(col(idCol).as("id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+      bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
+        .select(col(idCol).as("id"), col("band"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$dir/buckets")
+    } finally sh.unpersist()
   }
 
   /** Deduplicate a NEW batch against a [[writeDedupIndex]] store: drops
