@@ -1456,6 +1456,51 @@ object SparkEntry {
       .orderBy("doc_id", "n_chars")
   }
 
+  /** ts1 — time-series regularization: per-user hourly resample of event
+    * values (decimal-exact hour sums), densified onto each user's
+    * [first, last] hour grid with forward fill — the dense-grid step any
+    * windowed model needs. Per-key windows only; grid bounded by
+    * span/step per key.
+    */
+  private def ts1(s: SparkSession, d: String) =
+    operators.TimeSeries.resampleCarryForward(
+        Tables.events(s, d).filter(col("user_id") <= 20),
+        "user_id", "ts", "value", unit = "hour")
+      .orderBy("user_id", "bucket")
+
+  /** gs1 — GROUPING SETS with grouping() indicator columns: the explicit
+    * multi-granularity aggregate (finer than rollup/cube q7/q8) through
+    * the SQL front door; both engines run the same text.
+    */
+  private def gs1(s: SparkSession, d: String) = {
+    Tables.lineitem(s, d).createOrReplaceTempView("gs1_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM gs1_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  /** hof1 — the array higher-order-function surface (transform / filter /
+    * aggregate / exists) over tokenized text: per-doc token-length stats
+    * computed entirely inside array lambdas — no explode, no shuffle.
+    */
+  private def hof1(s: SparkSession, d: String) = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(transform(toks, t => length(t)), lit(0L), (acc, x) => acc + x)
+        .as("sum_tok_len"),
+      size(filter(toks, t => length(t) >= 5)).cast("long").as("n_long_toks"),
+      array_max(transform(toks, t => length(t))).as("max_tok_len"),
+      exists(toks, t => t.rlike("[0-9]")).as("has_digit"))
+      .orderBy("doc_id")
+  }
+
   /** inc1 — incremental-ingest dedup: stage the even-id half of the
     * corpus as a persisted dedup index (exact md5s + LSH buckets +
     * shingle sets), then deduplicate the odd-id half against it as a NEW
@@ -1881,6 +1926,9 @@ object SparkEntry {
     "e13_bloom_decontaminate" -> (e13 _),
     "span1_repeated_spans" -> (span1 _),
     "inc1_incremental_dedup" -> (inc1 _),
+    "ts1_gapfill_resample" -> (ts1 _),
+    "gs1_grouping_sets" -> (gs1 _),
+    "hof1_array_funcs" -> (hof1 _),
     "prof1_table_profile" -> (prof1 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
@@ -2949,6 +2997,42 @@ object SparkEntry {
         |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ts1: generate_series densifies each user's hour span; the forward
+    // fill is last_value IGNORE NULLS over the identical frame. Hour sums
+    // are decimal-exact before the double cast, so carried values match
+    // bit-for-bit.
+    "ts1_gapfill_resample" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_sum
+        |  FROM events WHERE user_id <= 20 GROUP BY user_id, bucket),
+        |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM h GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket FROM sp),
+        |j AS (SELECT g.user_id, g.bucket, h.hour_sum
+        |  FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.bucket = h.bucket)
+        |SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+        |  last_value(hour_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_sum,
+        |  hour_sum IS NULL AS is_gap
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+    // gs1: IDENTICAL text in both engines (modulo the view name).
+    "gs1_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // hof1: list lambdas mirror the array HOFs; length() is characters in
+    // both dialects (strlen would be bytes — the e4 lesson).
+    "hof1_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(toks, tk -> length(tk))) AS BIGINT) AS sum_tok_len,
+        |  CAST(len(list_filter(toks, tk -> length(tk) >= 5)) AS BIGINT) AS n_long_toks,
+        |  CAST(list_max(list_transform(toks, tk -> length(tk))) AS INT) AS max_tok_len,
+        |  len(list_filter(toks, tk -> regexp_matches(tk, '[0-9]'))) > 0 AS has_digit
+        |FROM t ORDER BY doc_id""".stripMargin,
     // inc1: the from-scratch exact+fuzzy complement — the Spark side
     // probes a PERSISTED index instead, so the hash match proves the
     // index round-trip preserves the dedup decision exactly. The fuzzy
