@@ -1456,6 +1456,50 @@ object SparkEntry {
       .orderBy("doc_id", "n_chars")
   }
 
+  /** s10 — text-format sink round trip: the per-source census written as
+    * CSV (header, explicit schema on read-back) must survive the
+    * serialize/parse cycle bit-for-bit — the interchange-format story
+    * next to the parquet sinks (s5) and binary bridges (s9).
+    */
+  private def s10(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/census"
+    Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read.option("header", "true")
+      .schema("source STRING, lang STRING, n BIGINT, sum_chars BIGINT")
+      .csv(out)
+      .orderBy("source", "lang")
+  }
+
+  /** sch1 — schema evolution: a store written in two generations (the
+    * second adds a quality column), read back with schema merge — old
+    * rows surface NULL for the new column, the lakehouse append
+    * contract. Census proves no rows were lost or double-typed.
+    */
+  private def sch1(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sch").toString + "/docs"
+    val docs = Tables.documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(out)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_oldgen"),
+        // fixed-point sum (emb1 pattern): ×2^20 is IEEE-exact, floor to
+        // BIGINT, integer sum commutes — partition-order-proof
+        sum(floor(coalesce(col("quality"), lit(0.0)) * lit(1048576L)).cast("long"))
+          .as("sum_q_fp"))
+      .orderBy("source")
+  }
+
   /** ts1 — time-series regularization: per-user hourly resample of event
     * values (decimal-exact hour sums), densified onto each user's
     * [first, last] hour grid with forward fill — the dense-grid step any
@@ -1927,6 +1971,8 @@ object SparkEntry {
     "span1_repeated_spans" -> (span1 _),
     "inc1_incremental_dedup" -> (inc1 _),
     "ts1_gapfill_resample" -> (ts1 _),
+    "s10_csv_roundtrip" -> (s10 _),
+    "sch1_schema_evolution" -> (sch1 _),
     "gs1_grouping_sets" -> (gs1 _),
     "hof1_array_funcs" -> (hof1 _),
     "prof1_table_profile" -> (prof1 _),
@@ -2997,6 +3043,24 @@ object SparkEntry {
         |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // s10: the CSV write/read must be value-transparent, so the oracle is
+    // the census computed straight from the source table.
+    "s10_csv_roundtrip" ->
+      """SELECT source, lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // sch1: generation 2 (odd ids) carries the quality column; the
+    // fixed-point sum makes the float aggregation partition-order-proof.
+    "sch1_schema_evolution" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |q AS (SELECT doc_id, source, CASE WHEN doc_id % 2 = 1 THEN
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+         |  END AS quality FROM t)
+         |SELECT source, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oldgen,
+         |  CAST(sum(CAST(floor(COALESCE(quality, 0) * 1048576) AS BIGINT)) AS BIGINT) AS sum_q_fp
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     // ts1: generate_series densifies each user's hour span; the forward
     // fill is last_value IGNORE NULLS over the identical frame. Hour sums
     // are decimal-exact before the double cast, so carried values match
