@@ -843,6 +843,54 @@ object SparkEntry {
       .orderBy("cntry")
   }
 
+  /** q21-shaped "last shipper in multi-supplier orders": EXISTS + NOT
+    * EXISTS, both correlated on the outer line — the hardest classic
+    * decorrelation shape (two semi/anti joins with non-equi residuals).
+    * Both engines run the IDENTICAL text; count(DISTINCT order) makes
+    * shipdate ties inside one supplier's lines harmless.
+    */
+  private def q21(s: SparkSession, d: String) = {
+    Tables.lineitem(s, d).createOrReplaceTempView("q21_lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("q21_supplier")
+    s.sql(
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM q21_supplier, q21_lineitem l1
+        |WHERE s_suppkey = l1.l_suppkey
+        |AND EXISTS (SELECT 1 FROM q21_lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM q21_lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  /** q2-shaped min-cost selection: rows equal to their group's correlated
+    * scalar minimum — equality on STORED doubles, no arithmetic, so the
+    * decorrelated join is exact.
+    */
+  private def q2(s: SparkSession, d: String) = {
+    Tables.part(s, d).createOrReplaceTempView("q2_part")
+    s.sql(
+      """SELECT p_partkey, p_name, p_type, p_retailprice FROM q2_part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM q2_part p2
+        |  WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** w8 — COUNT(DISTINCT) OVER, which Spark does not support directly,
+    * rewritten as max(dense_rank) over the same partition — the standard
+    * two-window workaround, hash-checked against the grouped distinct.
+    */
+  private def w8(s: SparkSession, d: String) = {
+    val byPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(s, d)
+      .withColumn("__dr", dense_rank().over(byPart.orderBy("l_suppkey")))
+      .withColumn("n_supp", max(col("__dr")).over(byPart))
+      .select(col("l_partkey"), col("n_supp"))
+      .distinct()
+      .orderBy("l_partkey")
+  }
+
   /** sql3 — correlated scalar subquery through the SQL front door:
     * Catalyst must decorrelate the per-part COUNT into an aggregate +
     * left join (including the COUNT-on-empty-group = 0 rule). The oracle
@@ -1967,6 +2015,9 @@ object SparkEntry {
     "q18_big_orders" -> (q18 _),
     "q20_qualified_suppliers" -> (q20 _),
     "q22_idle_customers" -> (q22 _),
+    "q21_last_shipper" -> (q21 _),
+    "q2_min_price_part" -> (q2 _),
+    "w8_window_distinct" -> (w8 _),
     "e13_bloom_decontaminate" -> (e13 _),
     "span1_repeated_spans" -> (span1 _),
     "inc1_incremental_dedup" -> (inc1 _),
@@ -3043,6 +3094,28 @@ object SparkEntry {
         |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q21: IDENTICAL text (modulo view names) — double correlated
+    // EXISTS/NOT EXISTS decorrelation verified end-to-end.
+    "q21_last_shipper" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM supplier, lineitem l1
+        |WHERE s_suppkey = l1.l_suppkey
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+    "q2_min_price_part" ->
+      """SELECT p_partkey, p_name, p_type, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin,
+    // w8: the oracle is the plain grouped distinct — the window rewrite
+    // must be semantically identical to COUNT(DISTINCT) per key.
+    "w8_window_distinct" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     // s10: the CSV write/read must be value-transparent, so the oracle is
     // the census computed straight from the source table.
     "s10_csv_roundtrip" ->
