@@ -58,7 +58,11 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     spread(docs).select(
       col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleK)).as("sh"))
+      // sorted: the verify kernel (SortedIntersectCountExpr) merge-walks
+      // the two arrays; sort_array's UTF8String binary order is the
+      // ordering the kernel compares with
+      sort_array(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), shingleK))).as("sh"))
 
   /** MinHash signature table: idCol, m0..m{numHashes-1}.
     * The shingle array is materialized as its own projection so the 8
@@ -140,7 +144,8 @@ object Dedup {
   /** Exact pairwise Jaccard over shingle sets, for verifying LSH candidates.
     * Candidate-first, explode-free: the distinct shingle ARRAY rides along
     * two joins keyed by the pair ids and the intersection is a per-row
-    * `array_intersect` — cost is |candidates|·|doc length|, no inverted
+    * merge walk (SortedIntersectCountExpr) — cost is |candidates|·|doc
+    * length|, zero allocation, no inverted
     * index, no shuffle of shingle rows. (A shingle-keyed self-join would
     * blow up on common shingles: every co-occurring doc pair, not just
     * candidates.) Pairs with an empty intersection are dropped.
@@ -179,7 +184,8 @@ object Dedup {
       .select(col("id").as("b"), col("sh").as("sh_b"))
       .join(if (broadcastPairs) broadcast(withA) else withA, Seq("b"))
     j
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectExpr.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .filter(col("inter") > 0)
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter")))
@@ -306,7 +312,8 @@ object Dedup {
     val dropped = cand
       .join(sh.select(col(idCol), col("sh").as("__sh_new")), Seq(idCol))
       .join(idxSh.select(col("id").as("__idx_id"), col("sh").as("__sh_idx")), Seq("__idx_id"))
-      .withColumn("__inter", size(array_intersect(col("__sh_new"), col("__sh_idx"))).cast("long"))
+      .withColumn("__inter", graft.functions.SortedIntersectExpr
+        .sortedIntersectCount(col("__sh_new"), col("__sh_idx")))
       .filter(col("__inter") > 0)
       .filter(col("__inter") / (size(col("__sh_new")).cast("long") +
         size(col("__sh_idx")).cast("long") - col("__inter")) >= threshold)
