@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, TextOps}
+import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, SortedIntersectCountExpr, TextOps}
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,12 @@ object GraftFunctions {
           "inner joins on it are rewritten to a binned equi-join (SpatialJoinRewrite)",
         classOf[BBoxIntersectsExpr]),
       (exprs: Seq[Expression]) => BBoxIntersectsExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a ∩ b| of two SORTED string arrays (codegen'd merge walk); " +
+          "sort with sort_array first — unsorted inputs undercount",
+        classOf[SortedIntersectCountExpr]),
+      (exprs: Seq[Expression]) => SortedIntersectCountExpr(exprs(0), exprs(1))),
     composed("graft_quality",
       "graft_quality(text) - [0,1] curation quality score (length saturation + stopword signal)", 1)(
       cs => TextOps.qualityScore(cs(0))),

@@ -207,6 +207,26 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: the event stream joined against a STATIC
+    * dimension (user → nation-style lookup). The static side is planned
+    * as a broadcast build once per micro-batch — the stream is never
+    * shuffled and no join state accumulates (unlike stream-stream joins,
+    * a static side needs no watermark). Left join: events with no
+    * dimension row pass through with NULLs, the enrich-don't-drop
+    * contract. This is the streaming face of J1/J2 (broadcast lookup +
+    * fallback coalesce).
+    */
+  def enrichStream(
+      events: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty): DataFrame = {
+    val joined = events.join(broadcast(dim), keys, "left")
+    defaults.foldLeft(joined) { case (df, (c, d)) =>
+      df.withColumn(c, coalesce(col(c), d))
+    }
+  }
+
   /** Stream-stream interval join (event-time bounded): every left event
     * pairs with right events of the same user whose time falls in
     * [l_ts, l_ts + horizonSec]. Both inputs carry watermarks and the join

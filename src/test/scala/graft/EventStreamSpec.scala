@@ -242,6 +242,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.length == 4)
   }
 
+  test("stream-static enrichment equals the batch broadcast join, with defaults") {
+    val dim = Seq((0L, "segA"), (1L, "segB"))
+      .toDF("seg_key", "segment") // covers user_id % 3 ∈ {0,1}; 2 is missing
+    val stream = EventStream.readEvents(spark, streamDir)
+      .withColumn("seg_key", col("user_id") % 3)
+    val got = EventStream.runToCompletion(
+      EventStream.enrichStream(stream, dim, Seq("seg_key"),
+        defaults = Map("segment" -> lit("unknown"))), "t_enrich")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val want = Tables.events(spark, sf)
+      .withColumn("seg_key", col("user_id") % 3)
+      .join(dim, Seq("seg_key"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got.contains("unknown")) // the fallback path actually fired
+  }
+
   test("sliding windows emit one row per covering window") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(
