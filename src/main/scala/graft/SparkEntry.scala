@@ -657,6 +657,29 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** up1 — keyed upsert (the maintenance CRUD's third leg next to d1
+    * delete and compact): stage the documents table, then upsert a
+    * correction batch — every 17th doc gets its source rewritten to
+    * 'corrected' (replace) plus 5 brand-new ids (append) — and census
+    * the store. The oracle computes the merge from scratch, so the swap
+    * rewrite must replace exactly the keyed rows and append the rest.
+    */
+  private def up1(s: SparkSession, dd: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up1").toString + "/docs"
+    val docs = Tables.documents(s, dd).select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(dir)
+    val corrections = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("source", lit("corrected"))
+    val additions = docs.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        lit("appended").as("source"), col("n_chars"))
+    Maintenance.upsertByKeys(s, dir, corrections.unionByName(additions), Seq("doc_id"))
+    s.read.parquet(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy("source")
+  }
+
   /** q13-shaped customer order-count distribution: the left-join-count
     * histogram (zero-order customers included) — the classic planner
     * shape for outer-join + double aggregation.
@@ -2003,6 +2026,7 @@ object SparkEntry {
     "lex1_type_token" -> (lex1 _),
     "st5_replay_dedup" -> (st5 _),
     "d1_delete_by_keys" -> (d1 _),
+    "up1_upsert_by_keys" -> (up1 _),
     "q13_cust_dist" -> (q13 _),
     "q16_supplier_cnt" -> (q16 _),
     "q19_disjunctive" -> (q19 _),
@@ -3094,6 +3118,19 @@ object SparkEntry {
         |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // up1: the merge computed from scratch — replace keyed rows, append
+    // the novel ones; the store rewrite must match exactly.
+    "up1_upsert_by_keys" ->
+      """WITH store AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'corrected' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'appended' AS source, n_chars FROM (
+        |    SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 5))
+        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM store GROUP BY source ORDER BY source""".stripMargin,
     // q21: IDENTICAL text (modulo view names) — double correlated
     // EXISTS/NOT EXISTS decorrelation verified end-to-end.
     "q21_last_shipper" ->

@@ -124,4 +124,58 @@ object Maintenance {
     checkedSwap(fs, p, next)
     (before, after)
   }
+
+  /** Keyed upsert over a stored parquet directory — the third leg of the
+    * maintenance CRUD (compact = reorganize, deleteByKeys = forget,
+    * upsertByKeys = correct/refresh): rewrite `path` with `updates` rows
+    * REPLACING stored rows that share their `keyCols` and novel keys
+    * appended. The update set broadcasts into an anti-join (the store is
+    * never shuffled, exactly like deleteByKeys); schemas must match by
+    * name. Same flat-directory contract and marker-protected swap.
+    * Duplicate keys WITHIN `updates` are rejected — "latest wins" needs
+    * an ordering column, which a caller should resolve before the store
+    * rewrite, not rely on partition luck.
+    *
+    * Returns (rowsBefore, rowsAfter, rowsReplaced).
+    */
+  def upsertByKeys(
+      spark: SparkSession,
+      path: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    require(keyCols.nonEmpty, "upsertByKeys needs at least one key column")
+    val dupKeys = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"updates contain duplicate keys (e.g. ${dupKeys.headOption.orNull}); " +
+        "resolve latest-wins before the store rewrite")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(p).exists(_.isDirectory),
+      s"upsertByKeys expects a flat parquet directory; $path has subdirectories — " +
+        "run per partition directory")
+    val totalBytes = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val cur = spark.read.parquet(path)
+    require(cur.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: store has ${cur.columns.sorted.mkString(",")}, " +
+        s"updates have ${updates.columns.sorted.mkString(",")}")
+    val before = cur.count()
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    // counts from the cheap semi join (key columns only), so the full
+    // merged frame is evaluated exactly once — by the write
+    val replaced = cur.join(broadcast(keys), keyCols, "left_semi").count()
+    val after = before - replaced + updates.count()
+    val merged = cur.join(broadcast(keys), keyCols, "left_anti").unionByName(updates)
+    val growBytes = if (before == 0) totalBytes.max(1L)
+      else (totalBytes * (after.toDouble / before)).toLong
+    val n = math.max(1, math.ceil(growBytes.toDouble / targetFileBytes).toInt)
+    val next = new Path(path + ".next")
+    merged.repartition(n).write.mode("overwrite").parquet(next.toString)
+    checkedSwap(fs, p, next)
+    (before, after, replaced)
+  }
 }

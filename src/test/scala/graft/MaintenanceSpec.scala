@@ -56,6 +56,34 @@ class MaintenanceSpec extends AnyFunSuite {
       (1L to 100L))
   }
 
+  test("upsertByKeys replaces keyed rows, appends novel ones, cleans markers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up").toString + "/t"
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").write.parquet(dir)
+    val updates = Seq((3L, 30.0), (7L, 70.0), (11L, 110.0)).toDF("id", "v")
+    val (before, after, replaced) = Maintenance.upsertByKeys(spark, dir, updates, Seq("id"))
+    assert((before, after, replaced) === ((10L, 11L, 2L)))
+    val back = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(back === ((1L to 10L).map(i => (i, i * 1.0)).map {
+      case (3L, _) => (3L, 30.0)
+      case (7L, _) => (7L, 70.0)
+      case other => other
+    } :+ (11L, 110.0)))
+    assert(!new java.io.File(dir + ".compacting").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
+
+  test("upsertByKeys rejects duplicate update keys and schema drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_up2").toString + "/t"
+    (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "v").write.parquet(dir)
+    intercept[IllegalArgumentException](Maintenance.upsertByKeys(
+      spark, dir, Seq((1L, 1.0), (1L, 2.0)).toDF("id", "v"), Seq("id")))
+    intercept[IllegalArgumentException](Maintenance.upsertByKeys(
+      spark, dir, Seq((1L, "x")).toDF("id", "other"), Seq("id")))
+    // store untouched by the failed attempts
+    assert(spark.read.parquet(dir).count() === 5L)
+  }
+
   test("compact sizes the output from real bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")
