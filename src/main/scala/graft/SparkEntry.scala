@@ -1746,6 +1746,29 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** pipe3 — mix-construction pipeline over the round-4 surface, ONE
+    * composed plan: quality gate (zero-shuffle audit filter) → per-source
+    * quality cap (anti-concentration, per-group windows) → per-source
+    * token-budget packing → shard census. Complements pipe2 (which
+    * exercises the corpus-wide passage exchange); here every stage after
+    * the gate is per-source, so the only wide exchange is the window
+    * partition on source.
+    */
+  private def pipe3(s: SparkSession, d: String) = {
+    val docs = operators.Partitioning.spread(Tables.documents(s, d))
+    val gated = Curation.qualityGate(docs).filter(col("keep"))
+    val scored = gated.select(col("doc_id"), col("source"), col("text"),
+      TextOps.qualityScore(col("text")).as("__q"))
+    val capped = Curation.capPerGroup(scored, Seq(col("source")), col("__q"), col("doc_id"), k = 10)
+    Curation.packByTokenBudget(capped, TextOps.tokenCount(col("text")), "doc_id",
+        budget = 1024, shardCol = Some("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bin_id")).as("n_bins"),
+        sum(col("n_tok")).as("sum_tokens"))
+      .orderBy("source")
+  }
+
   /** W5 — lag/lead frame: per-user event-to-event value delta and the next
     * event type (change-point shape). The window partitions by user, so at
     * scale each user sorts independently — no global sort.
@@ -2027,6 +2050,7 @@ object SparkEntry {
     "st5_replay_dedup" -> (st5 _),
     "d1_delete_by_keys" -> (d1 _),
     "up1_upsert_by_keys" -> (up1 _),
+    "pipe3_mix_construction" -> (pipe3 _),
     "q13_cust_dist" -> (q13 _),
     "q16_supplier_cnt" -> (q16 _),
     "q19_disjunctive" -> (q19 _),
@@ -3118,6 +3142,38 @@ object SparkEntry {
         |sp AS (SELECT doc_id, span_id, max(pos) + 5 - min(pos) AS span_tokens FROM g2 GROUP BY doc_id, span_id)
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tokens) AS BIGINT) AS repeated_tokens
         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pipe3: gate signals + per-source rank + packing windows — the gate
+    // CTEs mirror pipe2's, the rank mirrors cap1's, the bin arithmetic
+    // mirrors pack1's. Rank ties break on doc_id; all counters integer.
+    "pipe3_mix_construction" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, lang, source, toks,
+         |  least(CAST(len(toks) AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |  least(CAST(len(list_filter(toks, tk -> tk IN (${TextOps.AllStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) AS quality,
+         |  (list_sort([${TextOps.LangStopwords.map { case (lang, words) =>
+              s"{'n': -CAST(${sqlLangHits(words)} AS BIGINT), 'l': '$lang'}" }.mkString(", ")}]))[1].l AS guess,
+         |  CASE WHEN len(toks) < 2 THEN [text] ELSE list_transform(generate_series(1, len(toks) - 1),
+         |    i -> concat(toks[i], ' ', toks[i+1])) END AS g2
+         |  FROM t),
+         |c2 AS (SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(g2) AS gram FROM u) GROUP BY doc_id, gram),
+         |m2 AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS DOUBLE) /
+         |  CAST(sum(c * length(gram)) AS DOUBLE) AS dup2 FROM c2 GROUP BY doc_id),
+         |gatekeep AS (SELECT u.doc_id FROM u JOIN m2 ON u.doc_id = m2.doc_id
+         |  WHERE NOT (quality < CAST(0.3 AS DOUBLE)) AND guess = lang AND NOT (dup2 > CAST(0.2 AS DOUBLE))),
+         |ranked AS (SELECT u.doc_id, u.source,
+         |  row_number() OVER (PARTITION BY u.source ORDER BY u.quality DESC, u.doc_id) AS rn
+         |  FROM u JOIN gatekeep ON u.doc_id = gatekeep.doc_id),
+         |kept AS (SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS n_tok
+         |  FROM t JOIN ranked r ON t.doc_id = r.doc_id WHERE r.rn <= 10),
+         |packed AS (SELECT source, doc_id, n_tok,
+         |  sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM kept)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT CAST(floor((cum - n_tok) / 1024) AS BIGINT)) AS BIGINT) AS n_bins,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         |FROM packed GROUP BY source ORDER BY source""".stripMargin,
     // up1: the merge computed from scratch — replace keyed rows, append
     // the novel ones; the store rewrite must match exactly.
     "up1_upsert_by_keys" ->
