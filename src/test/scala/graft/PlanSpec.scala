@@ -156,4 +156,42 @@ class PlanSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$plan")
   }
+
+  test("j6 banded range join is an equi-join on (user, bucket) — no NLJ") {
+    val plan = SparkEntry.queries("j6_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded join degenerated to all-pairs:\n$plan")
+    assert(plan.contains("bkt"), s"bucket key missing from the join:\n$plan")
+  }
+
+  test("e13 bloom probe is a scan-side predicate (before the verify semi join)") {
+    val docs = Tables.documents(spark, sf)
+    val q = Curation.decontaminateBloom(docs, docs.filter(col("doc_id") % 97 === 0), ngramK = 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the physical plan:\n$plan")
+    // the probe must sit under a Filter feeding the semi join, not after it
+    val filterIdx = plan.indexOf("might_contain")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(filterIdx >= 0 && semiIdx >= 0,
+      s"expected both bloom filter and semi join in:\n$plan")
+  }
+
+  test("w8 windowed distinct: both windows share one exchange on l_partkey") {
+    val plan = SparkEntry.queries("w8_window_distinct")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // dense_rank and max windows share the same partitioning; the
+    // distinct and output sort add their own exchanges, but only ONE
+    // hashpartitioning(l_partkey) pair feeds the two windows
+    assert("Exchange hashpartitioning\\(l_partkey".r.findAllIn(plan).size == 1,
+      s"window partition duplicated in:\n$plan")
+  }
+
+  test("ts1 gap-fill: windows and joins stay keyed per user (no single partition)") {
+    val plan = SparkEntry.queries("ts1_gapfill_resample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition, ENSURE"),
+      s"gap-fill collapsed to a single reducer:\n$plan")
+  }
 }
