@@ -80,6 +80,43 @@ object Maintenance {
     fs.delete(marker, false)
   }
 
+  /** Scripted recovery from a crashed swap (compact / deleteByKeys /
+    * upsertByKeys all share the marker protocol). States:
+    *   - no `.compacting` marker → healthy, nothing to do;
+    *   - marker + live path present → crashed after the second rename:
+    *     finish the cleanup (drop `.old`, `.next`, the marker);
+    *   - marker + live path MISSING → crashed between the renames: the
+    *     complete pre-swap copy named in the marker is restored to the
+    *     live path, the incomplete `.next` is discarded, the operation
+    *     should be re-run.
+    * Returns true when any repair action was taken. Idempotent.
+    */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(path + ".compacting")
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val copyPath = try {
+      val buf = new Array[Byte](4096)
+      val n = in.read(buf)
+      new Path(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+    } finally in.close()
+    val next = new Path(path + ".next")
+    if (fs.exists(p)) {
+      // crashed after the swap completed: just finish cleanup
+      if (fs.exists(copyPath)) fs.delete(copyPath, true)
+      if (fs.exists(next)) fs.delete(next, true)
+    } else {
+      require(fs.exists(copyPath),
+        s"swap crash with no live path and no pre-swap copy at $copyPath — manual recovery needed")
+      require(fs.rename(copyPath, p), s"restore $copyPath -> $p failed")
+      if (fs.exists(next)) fs.delete(next, true)
+    }
+    fs.delete(marker, false)
+    true
+  }
+
   /** Keyed deletion over a stored parquet directory — the
     * right-to-be-forgotten / tombstone-propagation pass a training-data
     * store needs: rewrite `path` WITHOUT the rows whose `keyCols` match a

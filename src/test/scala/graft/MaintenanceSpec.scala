@@ -84,6 +84,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 5L)
   }
 
+  test("recoverSwap restores a crash between the renames, is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    val live = base + "/t"
+    (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "v").write.parquet(live)
+    // simulate: rename live -> .old happened, second rename did not
+    val fsDir = new java.io.File(live)
+    assert(fsDir.renameTo(new java.io.File(live + ".old")))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(live + ".compacting"), live + ".old")
+    assert(Maintenance.recoverSwap(spark, live) === true)
+    assert(spark.read.parquet(live).count() === 50L)
+    assert(!new java.io.File(live + ".compacting").exists())
+    assert(!new java.io.File(live + ".old").exists())
+    assert(Maintenance.recoverSwap(spark, live) === false) // healthy now
+  }
+
+  test("recoverSwap finishes cleanup after a crash past the second rename") {
+    val base = java.nio.file.Files.createTempDirectory("graft_rec2").toString
+    val live = base + "/t"
+    (1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v").write.parquet(live)
+    (1L to 10L).map(i => (i, i * 9.0)).toDF("id", "v").write.parquet(live + ".old")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(live + ".compacting"), live + ".old")
+    assert(Maintenance.recoverSwap(spark, live) === true)
+    assert(spark.read.parquet(live).count() === 10L)
+    assert(!new java.io.File(live + ".old").exists())
+    assert(!new java.io.File(live + ".compacting").exists())
+  }
+
   test("compact sizes the output from real bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")
