@@ -65,6 +65,10 @@ object Bench {
       tinyDocs.select(inline(array(functions.TextOps.repetitionCounts(
         sort_array(functions.TextOps.shingles(functions.TextOps.tokens(col("text")), 2)))))).count()
     }
+    // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
+    // (read BEFORE the warmup so bisection runs only warm what they measure)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSet)
     // Generated-code warmup against the REAL sf0.001 tables: codegen'd
     // classes are keyed on the generated source, which bakes in the input
     // SCHEMA — the tiny literal frames above share the operators'
@@ -85,7 +89,11 @@ object Bench {
           "q3_shipping_priority", "st4_interval_join", "samp2_stratified",
           "e13_bloom_decontaminate", "inc1_incremental_dedup",
           "span1_repeated_spans", "cap1_source_cap")
-        for (n <- heavy; fn <- SparkEntry.queries.get(n))
+        val toWarm = filter match {
+          case Some(f) => heavy.filter(f)
+          case None => heavy
+        }
+        for (n <- toWarm; fn <- SparkEntry.queries.get(n))
           try fn(spark, warmDir.toString).count() catch { case _: Throwable => }
         // Drop anything the warmup left cached (Spark ML fits persist
         // training frames internally): measured queries must not compete
@@ -93,9 +101,6 @@ object Bench {
         spark.sqlContext.clearCache()
       }
     }
-    // optional subset for local bisection: SPARK_GRAFT_BENCH_FILTER=q1,e7
-    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
-      .map(_.split(",").toSet)
     val selected = filter match {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries

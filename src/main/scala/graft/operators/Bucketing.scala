@@ -48,9 +48,13 @@ object Bucketing {
       val entries = fs.listStatus(loc)
       val orphanLike = entries.forall { st =>
         val n = st.getPath.getName
-        st.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" ||
+        // _temporary / .spark-staging subdirectories are this writer's own
+        // crashed-run scratch — refusing on them would make the location
+        // permanently "foreign" after one failed write (no self-heal)
+        (st.isDirectory && (n == "_temporary" || n.startsWith(".spark-staging"))) ||
+        (st.isFile && (n.endsWith(".parquet") || n == "_SUCCESS" ||
           n.startsWith("_committed") || n.startsWith("_started") ||
-          n.startsWith(".") || n.endsWith(".crc"))
+          n.startsWith(".") || n.endsWith(".crc")))
       }
       require(orphanLike,
         s"refusing to overwrite $loc: contents do not look like an " +

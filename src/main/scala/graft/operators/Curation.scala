@@ -112,20 +112,28 @@ object Curation {
         TextOps.shingles(TextOps.tokens(col(textCol)), ngramK))).as("__gram"): _*)
     // The eval-gram projection is referenced three times (count to size
     // the filter, the bloom build, the exact-verify semi join) and
-    // actions get no cross-query subtree reuse — persist it once. It
-    // stays cached for the session (eval sets are small by contract);
-    // without this the tokenize+shingle+distinct subtree ran 3×
+    // actions get no cross-query subtree reuse — persist it for the
+    // build, then release it: the returned plan must not pin a session-
+    // lifetime cache (a per-eval-set leak, and it would compete with
+    // every later query for storage memory). Only the tiny contaminated
+    // id set stays cached, because the lazy result references it.
+    // Without the persist the tokenize+shingle+distinct subtree ran 3×
     // (measured 5.0 s vs the exact path's 1.1 s at sf0.1).
     val evalGrams = grams(evalSet).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // distributed build; one bounded bitmap returns to the driver (an
-    // index-build action, same contract as Similarity's IVF metadata)
-    val nGrams = evalGrams.count().max(1L)
-    val bloom = Sketches.buildBloom(evalGrams, col("__gram"), nGrams, fpp)
-    val contaminated = grams(Partitioning.spread(docs), col(idCol))
-      .filter(Sketches.mightContain(bloom, col("__gram")))
-      .join(evalGrams, Seq("__gram"), "left_semi")
-      .select(col(idCol)).distinct()
+    val contaminated = try {
+      // distributed build; one bounded bitmap returns to the driver (an
+      // index-build action, same contract as Similarity's IVF metadata)
+      val nGrams = evalGrams.count().max(1L)
+      val bloom = Sketches.buildBloom(evalGrams, col("__gram"), nGrams, fpp)
+      val ids = grams(Partitioning.spread(docs), col(idCol))
+        .filter(Sketches.mightContain(bloom, col("__gram")))
+        .join(evalGrams, Seq("__gram"), "left_semi")
+        .select(col(idCol)).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ids.count() // materialize off the eval-gram cache before dropping it
+      ids
+    } finally evalGrams.unpersist()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
@@ -140,11 +148,14 @@ object Curation {
       groupCols: Seq[Column],
       orderCol: Column,
       tieCol: Column,
-      k: Int): DataFrame = {
+      k: Int,
+      rankCol: String = "rn"): DataFrame = {
     require(k > 0, s"capPerGroup k must be positive, got $k")
+    require(!df.columns.contains(rankCol),
+      s"capPerGroup would overwrite existing column '$rankCol' — pass a different rankCol")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols: _*).orderBy(orderCol.desc, tieCol.asc)
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
   /** Deterministic stratified sampling: keep a per-stratum percentage,

@@ -51,7 +51,6 @@ object Maintenance {
     val totalBytes = parts.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val next = new Path(path + ".next")
-    val old = new Path(path + ".old")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(next.toString)
     checkedSwap(fs, p, next)
@@ -96,12 +95,12 @@ object Maintenance {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(path + ".compacting")
     if (!fs.exists(marker)) return false
-    val in = fs.open(marker)
-    val copyPath = try {
-      val buf = new Array[Byte](4096)
-      val n = in.read(buf)
-      new Path(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-    } finally in.close()
+    // The pre-swap copy is ALWAYS at <path>.old (checkedSwap's contract);
+    // the marker content is informational. Deriving the location instead
+    // of parsing it keeps recovery working even when the crash happened
+    // between creating the marker and writing its content (a zero-byte
+    // or short-read marker must not crash the repair tool).
+    val copyPath = new Path(path + ".old")
     val next = new Path(path + ".next")
     if (fs.exists(p)) {
       // crashed after the swap completed: just finish cleanup
@@ -197,9 +196,14 @@ object Maintenance {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val cur = spark.read.parquet(path)
-    require(cur.columns.sorted.sameElements(updates.columns.sorted),
-      s"schema mismatch: store has ${cur.columns.sorted.mkString(",")}, " +
-        s"updates have ${updates.columns.sorted.mkString(",")}")
+    // names AND types: a name-only check would let unionByName silently
+    // widen the store's column types in the rewrite (doc_id LONG +
+    // updates' doc_id STRING → a STRING store after the swap)
+    def shape(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+    require(shape(cur) == shape(updates),
+      s"schema mismatch: store has ${shape(cur).mkString(",")}, " +
+        s"updates have ${shape(updates).mkString(",")}")
     val before = cur.count()
     val keys = updates.select(keyCols.map(col): _*).distinct()
     // counts from the cheap semi join (key columns only), so the full

@@ -29,6 +29,17 @@ object Sketches {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     // optimal bit count for the target false-positive rate
     val numBits = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    // BloomFilterAggregate silently CLAMPS both parameters to the runtime-
+    // filter session confs (defaults: 4M items / 64M bits) — at corpus
+    // scale the filter would saturate and the real fpp silently approach
+    // 1. Raise the caps to what this build actually needs so the fpp
+    // contract holds at the advertised size.
+    val spark = keys.sparkSession
+    def raiseConf(key: String, needed: Long): Unit =
+      if (spark.conf.getOption(key).forall(_.toLong < needed))
+        spark.conf.set(key, needed.toString)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val agg = new BloomFilterAggregate(
       GraftBridge.toCatalyst(xxhash64(keyCol)),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
