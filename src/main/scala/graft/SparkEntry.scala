@@ -1632,6 +1632,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** stat1 — exact-moment correlation/covariance of quantity vs price:
+    * DECIMAL moment sums are commutative and exact, so the closed forms
+    * evaluate on bit-identical inputs in both engines — deterministic
+    * second-order statistics where the built-in co-moment accumulators
+    * are partition-order-dependent.
+    */
+  private def stat1(s: SparkSession, d: String) =
+    operators.Profiling.exactCorr(
+      Tables.lineitem(s, d), col("l_quantity"), col("l_extendedprice"))
+
   /** prof1 — one-pass table profile of the documents corpus: row count
     * plus per-column null/distinct/min/max (the pre-training census).
     */
@@ -2075,6 +2085,7 @@ object SparkEntry {
     "gs1_grouping_sets" -> (gs1 _),
     "hof1_array_funcs" -> (hof1 _),
     "prof1_table_profile" -> (prof1 _),
+    "stat1_exact_corr" -> (stat1 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
   )
@@ -3300,6 +3311,22 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
         |count(DISTINCT n_chars) AS n_chars_distinct, min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
         |FROM documents""".stripMargin,
+    // stat1: decimal moment sums are exact in both engines; casting each
+    // exact decimal to double is IEEE-nearest on the same value, so the
+    // closed forms see bit-identical inputs. Expression structure mirrors
+    // the Spark side exactly.
+    "stat1_exact_corr" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+        |  FROM lineitem)
+        |SELECT n,
+        |  round((n * sxy - sx * sy) / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS corr,
+        |  round((sxy - sx * sy / n) / n, 6) AS covar
+        |FROM m""".stripMargin,
     "hist1_char_lengths" ->
       """SELECT CAST(n_chars AS BIGINT) - CAST(n_chars AS BIGINT) % 50 AS bucket_lo, count(*) AS n
         |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,

@@ -35,6 +35,30 @@ object Profiling {
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Pearson correlation and covariance from EXACT moments: the naive
+    * co-moment accumulation (`corr`/`covar_pop`) is partition-order-
+    * nondeterministic in double; summing each moment as DECIMAL is exact
+    * and commutative, and the closed forms then evaluate once on
+    * bit-identical inputs — the same run-to-run reproducibility trick as
+    * the fixed-point centroids, for second-order statistics. One
+    * aggregation pass, map-side partials.
+    */
+  def exactCorr(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val d2 = "decimal(18,2)"
+    def m(c: Column, name: String) = sum(c).cast("double").as(name)
+    df.agg(
+        count(lit(1)).as("n"),
+        m(xCol.cast(d2), "sx"), m(yCol.cast(d2), "sy"),
+        m(xCol.cast(d2) * yCol.cast(d2), "sxy"),
+        m(xCol.cast(d2) * xCol.cast(d2), "sx2"),
+        m(yCol.cast(d2) * yCol.cast(d2), "sy2"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
+            (col("n") * col("sy2") - col("sy") * col("sy"))), 6).as("corr"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6).as("covar"))
+  }
+
   /** Equi-width histogram of an integral column: bucket lower bound →
     * count. Buckets are derived keys (integer division), so the groupBy
     * pre-aggregates map-side; no sort, no window.
