@@ -1632,6 +1632,26 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** leak1 — train/test split-leakage census: fuzzy-duplicate pairs that
+    * CROSS the deterministic hash-split boundary (a near-dup of a test
+    * doc sitting in train is eval contamination the e11 decontamination
+    * can't see — it checks against an external eval set, not the split
+    * itself). Composes the proven LSH+verify pair generation with the
+    * md5 split; output is the per-(split,split) leak census.
+    */
+  private def leak1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.fuzzyDupPairs(docs, threshold = 0.5, numHashes = 8, rowsPerBand = 2)
+    val splits = docs.select(col("doc_id"), Curation.hashSplit(docs, "doc_id").as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+      .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** stat1 — exact-moment correlation/covariance of quantity vs price:
     * DECIMAL moment sums are commutative and exact, so the closed forms
     * evaluate on bit-identical inputs in both engines — deterministic
@@ -2086,6 +2106,7 @@ object SparkEntry {
     "hof1_array_funcs" -> (hof1 _),
     "prof1_table_profile" -> (prof1 _),
     "stat1_exact_corr" -> (stat1 _),
+    "leak1_split_leakage" -> (leak1 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
   )
@@ -3311,6 +3332,31 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
         |count(DISTINCT n_chars) AS n_chars_distinct, min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
         |FROM documents""".stripMargin,
+    // leak1: the e12 pair machinery (bands → candidates → jaccard ≥ 0.5)
+    // plus the samp1 split assignment; pairs are a<b so each crossing
+    // pair is counted once under its own (split_a, split_b) orientation.
+    "leak1_split_leakage" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh2 FROM s),
+         |pairs AS (SELECT a, b FROM (
+         |  SELECT a, b, len(list_filter(xa.sh2, t -> list_contains(xb.sh2, t))) AS inter,
+         |    len(xa.sh2) AS la, len(xb.sh2) AS lb
+         |  FROM cand JOIN ss xa ON cand.a = xa.doc_id JOIN ss xb ON cand.b = xb.doc_id) z
+         |  WHERE inter > 0 AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 4)} % 100 < 80 THEN 'train'
+         |       WHEN ${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 4)} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split FROM documents)
+         |SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs
+         |FROM pairs JOIN sp sa ON pairs.a = sa.doc_id JOIN sp sb ON pairs.b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
     // stat1: decimal moment sums are exact in both engines; casting each
     // exact decimal to double is IEEE-nearest on the same value, so the
     // closed forms see bit-identical inputs. Expression structure mirrors
