@@ -1632,6 +1632,14 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** lm1 — unigram LM surprise score per doc (the perplexity-filter
+    * analog): corpus unigram logprobs fixed-pointed per token, summed as
+    * integers — deterministic under any partitioning.
+    */
+  private def lm1(s: SparkSession, d: String) =
+    Curation.unigramLogprobScore(Tables.documents(s, d))
+      .orderBy("doc_id")
+
   /** leak1 — train/test split-leakage census: fuzzy-duplicate pairs that
     * CROSS the deterministic hash-split boundary (a near-dup of a test
     * doc sitting in train is eval contamination the e11 decontamination
@@ -2107,6 +2115,7 @@ object SparkEntry {
     "prof1_table_profile" -> (prof1 _),
     "stat1_exact_corr" -> (stat1 _),
     "leak1_split_leakage" -> (leak1 _),
+    "lm1_unigram_logprob" -> (lm1 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
   )
@@ -3332,6 +3341,18 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
         |count(DISTINCT n_chars) AS n_chars_distinct, min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
         |FROM documents""".stripMargin,
+    // lm1: floor(ln p · 2^20) is exact on the same double in both
+    // engines (ln agreement proven in practice by tfidf1's green hash);
+    // the per-doc sum is then integer arithmetic.
+    "lm1_unigram_logprob" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS tf FROM dt GROUP BY term),
+        |tot AS (SELECT count(*) AS n_total FROM dt),
+        |lp AS (SELECT term,
+        |  CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1048576) AS BIGINT) AS lp_fp
+        |  FROM f CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tok, CAST(sum(lp_fp) AS BIGINT) AS sum_lp_fp
+        |FROM dt JOIN lp USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // leak1: the e12 pair machinery (bands → candidates → jaccard ≥ 0.5)
     // plus the samp1 split assignment; pairs are a<b so each crossing
     // pair is counted once under its own (split_a, split_b) orientation.

@@ -246,6 +246,32 @@ object Curation {
           .as("shared_grams"))
   }
 
+  /** Unigram language-model score per document — the in-engine analog of
+    * perplexity-based quality filtering (a real curation stack scores
+    * docs under a reference LM and drops the tails; the unigram model is
+    * the closed-form member of that family, buildable from the corpus in
+    * one aggregation). Two shuffles: term frequencies, then the per-doc
+    * sum. The per-token log-probability is fixed-pointed
+    * (floor(ln p · 2^20) as BIGINT) so the per-doc sum is an integer
+    * aggregation — commutative, partition-order-proof, oracle-exact.
+    * Lower (more negative) scores = rarer tokens ≈ higher surprise.
+    */
+  def unigramLogprobScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = Partitioning.spread(docs)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+    val freq = toks.groupBy("__term").agg(count(lit(1)).as("__tf"))
+    val tot = toks.agg(count(lit(1)).as("__n_total"))
+    val lp = freq.crossJoin(tot).select(col("__term"),
+      floor(log(col("__tf").cast("double") / col("__n_total").cast("double")) * lit(1048576L))
+        .cast("long").as("__lp_fp"))
+    toks.join(lp, Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lp_fp")).as("sum_lp_fp"))
+  }
+
   /** Repeated-span profile — the span-level dedup signal: positions of
     * k-grams that occur more than once ANYWHERE in the corpus (across or
     * within documents), merged per document into maximal covered spans
