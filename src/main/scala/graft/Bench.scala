@@ -88,7 +88,8 @@ object Bench {
           "m5_segment_polygonize", "j6_range_join",
           "q3_shipping_priority", "st4_interval_join", "samp2_stratified",
           "e13_bloom_decontaminate", "inc1_incremental_dedup",
-          "span1_repeated_spans", "cap1_source_cap")
+          "span1_repeated_spans", "cap1_source_cap",
+          "leak1_split_leakage", "pipe3_mix_construction")
         val toWarm = filter match {
           case Some(f) => heavy.filter(f)
           case None => heavy

@@ -321,6 +321,36 @@ object Dedup {
     notExact.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Admit a (probed, surviving) batch INTO a [[writeDedupIndex]] store —
+    * the other half of the incremental loop: probe the batch
+    * ([[dedupAgainstIndex]]), then append the admitted docs' exact
+    * hashes, band buckets, and shingle sets so the NEXT batch dedups
+    * against them too. Three parquet appends, no rewrite of existing
+    * index files; parameters must match the original build (same
+    * hashes/bands/shingles or probes silently miss).
+    */
+  def appendToDedupIndex(
+      docs: DataFrame,
+      dir: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    spread(docs).select(md5(col(textCol)).as("content_md5")).distinct()
+      .write.mode("append").parquet(s"$dir/exact")
+    val sh = shingleSets(docs, shingleK, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.select(col(idCol).as("id"), col("sh"))
+        .write.mode("append").parquet(s"$dir/shingles")
+      bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
+        .select(col(idCol).as("id"), col("band"), col("bucket"))
+        .write.mode("append").parquet(s"$dir/buckets")
+    } finally sh.unpersist()
+  }
+
   /** SimHash near-dup groups: docs with identical 16-bit simhash. */
   def simhashGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs

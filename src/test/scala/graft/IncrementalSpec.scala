@@ -90,6 +90,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(viaIndex === expected)
   }
 
+  test("appendToDedupIndex closes the loop: admitted docs block the next batch") {
+    val corpus = Seq((2L, "original corpus document with plenty of distinct words")).toDF("doc_id", "text")
+    val batch1 = Seq((5L, "a freshly admitted document nothing like the corpus")).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (9L, "a freshly admitted document nothing like the corpus"), // exact dup of admitted 5
+      (11L, "still another novel document unlike anything before")
+    ).toDF("doc_id", "text")
+    val dir = tmpDir()
+    Dedup.writeDedupIndex(corpus, dir)
+    val admitted = Dedup.dedupAgainstIndex(spark, batch1, dir, threshold = 0.5)
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(5L))
+    Dedup.appendToDedupIndex(admitted, dir)
+    val kept2 = Dedup.dedupAgainstIndex(spark, batch2, dir, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 === Seq(11L)) // 9 now blocked by the admitted batch-1 doc
+  }
+
   test("dedupAgainstIndex keeps within-batch duplicates (documented contract)") {
     val corpus = Seq((2L, "indexed corpus content only")).toDF("doc_id", "text")
     val batch = Seq(
