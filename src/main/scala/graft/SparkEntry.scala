@@ -1830,6 +1830,20 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** w9 — relative-rank window family (percent_rank / cume_dist): both
+    * are integer-ratio doubles over a deterministic ordering, so the
+    * values are engine-exact.
+    */
+  private def w9(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
   /** G1 — WKT geometry measures end-to-end: build a rectangle polygon per
     * order from integer-derived coords, then recover area / perimeter /
     * centroid / point count by PARSING the WKT back (SpatialOps shoelace
@@ -2104,6 +2118,7 @@ object SparkEntry {
     "q21_last_shipper" -> (q21 _),
     "q2_min_price_part" -> (q2 _),
     "w8_window_distinct" -> (w8 _),
+    "w9_relative_rank" -> (w9 _),
     "e13_bloom_decontaminate" -> (e13 _),
     "span1_repeated_spans" -> (span1 _),
     "inc1_incremental_dedup" -> (inc1 _),
@@ -3250,6 +3265,11 @@ object SparkEntry {
     "w8_window_distinct" ->
       """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "w9_relative_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // s10: the CSV write/read must be value-transparent, so the oracle is
     // the census computed straight from the source table.
     "s10_csv_roundtrip" ->
