@@ -1632,6 +1632,103 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** e14 — SimHash near-dup pairs within Hamming radius 2: pigeonhole
+    * banding (3 bands of the 16-bit signature) finds every candidate
+    * with no false negatives; bit_count(xor) verifies exactly. The
+    * oracle brute-forces all pairs, so the banding must lose nothing.
+    */
+  private def e14(s: SparkSession, d: String) =
+    Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 2)
+      .orderBy("a", "b")
+
+  /** q6b — TPC-H Q6 shape: single-scan predicate-pushdown revenue forecast.
+    * All three filters reach the parquet scan (PushedFilters); the agg is a
+    * partial-final pair with no shuffle beyond the final single-row merge.
+    */
+  private def q6b(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= lit(0.03) && col("l_discount") <= lit(0.07) &&
+        col("l_quantity") < lit(24.0))
+      .agg(
+        sum(col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** q7b — TPC-H Q7 shape: bidirectional volume shipping between two
+    * nations by ship year. The nation dim joins TWICE (supplier side and
+    * customer side) under different aliases — both broadcast; only the
+    * lineitem⋈orders join shuffles.
+    */
+  private def q7b(s: SparkSession, d: String) = {
+    val sn = Tables.nation(s, d).select(
+      col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d).select(
+      col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q8b — TPC-H Q8 shape: a nation's market share inside one region for
+    * one part type, by order year. The share is a conditional-sum ratio
+    * computed in ONE pass (no self-join); sums stay decimal-exact and only
+    * the final division is double (then round(,6) for oracle parity).
+    */
+  private def q8b(s: SparkSession, d: String) = {
+    val vol = col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, d).select(
+          col("s_suppkey"), col("s_nationkey").as("supp_nkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nkey") === 3, vol).otherwise(lit(0).cast(D2))).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** q9 — TPC-H Q9 shape (product-type profit): profit = revenue minus a
+    * cost proxy (`p_retailprice · l_quantity` — this star schema has no
+    * partsupp table), for parts matching a name pattern, by supplier
+    * nation and order year. Dims broadcast; decimal-exact until the final
+    * double cast.
+    */
+  private def q9(s: SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("%widget%"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        col("l_extendedprice").cast(D2) * (lit(1.0) - col("l_discount")).cast(D2) -
+          col("p_retailprice").cast(D2) * col("l_quantity").cast(D2))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+
   /** lm1 — unigram LM surprise score per doc (the perplexity-filter
     * analog): corpus unigram logprobs fixed-pointed per token, summed as
     * integers — deterministic under any partitioning.
@@ -2131,6 +2228,11 @@ object SparkEntry {
     "stat1_exact_corr" -> (stat1 _),
     "leak1_split_leakage" -> (leak1 _),
     "lm1_unigram_logprob" -> (lm1 _),
+    "e14_simhash_neardup" -> (e14 _),
+    "q6b_forecast_revenue" -> (q6b _),
+    "q7b_volume_shipping" -> (q7b _),
+    "q8b_market_share" -> (q8b _),
+    "q9_product_profit" -> (q9 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
   )
@@ -3361,6 +3463,61 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
         |count(DISTINCT n_chars) AS n_chars_distinct, min(n_chars) AS n_chars_min, max(n_chars) AS n_chars_max
         |FROM documents""".stripMargin,
+    // e14: the oracle brute-forces ALL pairs — the Spark side's
+    // pigeonhole banding must find exactly the same set (no false
+    // negatives by construction, none in practice either).
+    "e14_simhash_neardup" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(list_transform(toks, tk -> md5(tk)), m -> ${sqlHexVal("m", 4)}) AS hs FROM t),
+         |sig AS (SELECT doc_id, CAST(${(0 until 16).map(j =>
+              s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
+              .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM h)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
+    "q6b_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin,
+    "q7b_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |  OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8b_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |round(CAST(sum(CASE WHEN s_nationkey = 3
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))
+        |  - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
     // lm1: floor(ln p · 2^20) is exact on the same double in both
     // engines (ln agreement proven in practice by tfidf1's green hash);
     // the per-doc sum is then integer arithmetic.

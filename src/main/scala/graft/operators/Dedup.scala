@@ -356,4 +356,40 @@ object Dedup {
     docs
       .groupBy(TextOps.simhash16(col(textCol)).as("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** SimHash near-dup PAIRS within a Hamming radius — the real simhash
+    * dedup (identical-hash grouping misses one-bit flips). Candidates by
+    * the pigeonhole principle: split the 16-bit signature into
+    * `maxHamming + 1` bands; any pair within the radius must agree on at
+    * least one whole band, so a (band, bandBits) equi-join finds every
+    * such pair (no false negatives), and `bit_count(xor) <= maxHamming`
+    * verifies exactly. Same constant-shuffle LSH shape as the MinHash
+    * path: band keys shuffle, verify is per-candidate-row arithmetic.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming in [0,16), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 16 / nBands // bands cover width·nBands bits; remainder goes to the last band
+    val sig = spread(docs).select(col(idCol), TextOps.simhash16(col(textCol)).as("__sh"))
+    val bands = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 16 - lo else width
+      struct(lit(b).as("band"),
+        pmod(shiftright(col("__sh"), lo), lit(1L << w)).as("bits"))
+    }
+    val exploded = sig.select(col(idCol), col("__sh"), explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("__sh"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    exploded.select(col(idCol).as("a"), col("__sh").as("sh_a"), col("band"), col("bits"))
+      .join(exploded.select(col(idCol).as("b"), col("__sh").as("sh_b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(expr("sh_a ^ sh_b")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

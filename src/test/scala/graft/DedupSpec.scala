@@ -59,6 +59,26 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("simhashNearDupPairs equals brute-force all-pairs within the radius (E14)") {
+    val byDoc = docs.select(col("doc_id"), graft.functions.TextOps.simhash16(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (radius <- Seq(0, 2, 5)) {
+      val brute = (for {
+        a <- byDoc.keys; b <- byDoc.keys if a < b
+        if java.lang.Long.bitCount(byDoc(a) ^ byDoc(b)) <= radius
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashNearDupPairs(docs, maxHamming = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"radius=$radius")
+      // reported hamming distances are the true distances
+      val dists = Dedup.simhashNearDupPairs(docs, maxHamming = radius)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      dists.foreach { case ((a, b), h) =>
+        assert(h == java.lang.Long.bitCount(byDoc(a) ^ byDoc(b)))
+      }
+    }
+  }
+
   test("simhash groups identical docs together (E6)") {
     val g = Dedup.simhashGroups(docs)
     val dupGroup = g.filter(col("n_dups") >= 2).collect()
