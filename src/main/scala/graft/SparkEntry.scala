@@ -97,6 +97,26 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** zm1 — zone-map data skipping: range-repartition lineitem by ship
+    * date into 8 unpartitioned files, build the per-file min/max index,
+    * then answer a 3-month predicate reading ONLY the files the index
+    * cannot rule out (~2/8; ZoneMapSpec asserts the prune). The oracle is
+    * the plain filter over the source — skipping must be invisible.
+    */
+  private def zm1(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_shipdate"))
+      .write.mode("overwrite").parquet(out)
+    val idx = operators.ZoneMap.build(s, out, Seq("l_shipdate"))
+    operators.ZoneMap.prunedRead(s, out, idx, "l_shipdate",
+        java.sql.Timestamp.valueOf("1996-06-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1996-09-01 00:00:00"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   private def s6(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -1366,6 +1386,19 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** cc2 — the SAME component summary as cc1, but `localThreshold = 0`
+    * forces the distributed min-label + pointer-jumping path — the
+    * unbounded-scale fallback that normally only engages above 4M edges.
+    * Sharing cc1's oracle proves the two paths are result-identical under
+    * the driver's hash gate, not just in GraphSpec.
+    */
+  private def cc2(s: SparkSession, d: String) = {
+    val edges = Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+    operators.Graph.componentSummary(
+        operators.Graph.connectedComponents(edges, localThreshold = 0L))
+      .orderBy("keep_id")
+  }
+
   /** ST3 — sessionization (30 min inactivity gap). Batch gaps-and-islands
     * form here (oracled); EventStreamSpec proves the streaming
     * flatMapGroupsWithState twin emits the same closed sessions.
@@ -2162,6 +2195,8 @@ object SparkEntry {
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
+    "cc2_components_distributed" -> (cc2 _),
+    "zm1_zonemap_skip" -> (zm1 _),
     "st3_sessionize" -> (st3 _),
     "m7b_polygonize_cells" -> (m7b _),
     "e10_fuzzy_dedup_keep" -> (e10 _),
@@ -2271,7 +2306,12 @@ object SparkEntry {
   private def sqlCubW(t: String): String =
     s"(CASE WHEN $t <= 1 THEN (1.5*$t - 2.5)*$t*$t + 1 ELSE ((-0.5*$t + 2.5)*$t - 4)*$t + 2 END)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // cc2 runs the distributed CC path against the SAME oracle as cc1's
+    // driver union-find path — one SQL, two engine paths, both hash-gated.
+    ("cc2_components_distributed" -> oracleSqlBase("cc1_dup_components"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
     "s2_pruned_scan" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_shipdate
@@ -3478,6 +3518,14 @@ object SparkEntry {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
          |ORDER BY a, b""".stripMargin,
+    // zm1: the oracle ignores the zone-map machinery entirely — a pruned
+    // read must equal the plain filtered scan.
+    "zm1_zonemap_skip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-09-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q6b_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |count(*) AS n_lines

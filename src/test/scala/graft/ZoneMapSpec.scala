@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.ZoneMap
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ZoneMapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeRanged(): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("zm_spec").toString
+    val df = (1 to 4000).map(i => (i.toLong, i % 7, s"r$i")).toDF("k", "mod", "tag")
+    df.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(dir)
+    (dir, df)
+  }
+
+  test("index has one row per file and counts/bounds cover the data") {
+    val (dir, _) = writeRanged()
+    val idx = ZoneMap.build(spark, dir, Seq("k")).collect()
+    val nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(idx.length == nFiles && nFiles == 8)
+    assert(idx.map(_.getAs[Long]("n_rows")).sum == 4000L)
+    assert(idx.map(_.getAs[Long]("k_min")).min == 1L)
+    assert(idx.map(_.getAs[Long]("k_max")).max == 4000L)
+  }
+
+  test("a narrow range prunes most files; pruned read equals plain filter") {
+    val (dir, _) = writeRanged()
+    val idx = ZoneMap.build(spark, dir, Seq("k"))
+    val kept = ZoneMap.prune(idx, "k", 1000L, 1500L).count()
+    assert(kept < 8, s"expected pruning, kept all $kept files")
+    val pruned = ZoneMap.prunedRead(spark, dir, idx, "k", 1000L, 1500L)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    val full = spark.read.parquet(dir).filter(col("k") >= 1000L && col("k") < 1500L)
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(pruned == full && full.size == 500)
+  }
+
+  test("range outside all bounds reads zero files but keeps the schema") {
+    val (dir, _) = writeRanged()
+    val idx = ZoneMap.build(spark, dir, Seq("k"))
+    assert(ZoneMap.prune(idx, "k", 10000L, 20000L).count() == 0)
+    val out = ZoneMap.prunedRead(spark, dir, idx, "k", 10000L, 20000L)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("k", "mod", "tag"))
+  }
+
+  test("all-NULL files are skipped for range predicates (NULL never matches)") {
+    val dir = java.nio.file.Files.createTempDirectory("zm_null").toString
+    val some = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(9L)))
+      .toDF("id", "v")
+    val nulls = Seq((3L, null.asInstanceOf[java.lang.Long])).toDF("id", "v")
+    some.coalesce(1).write.parquet(dir + "/a=1")
+    nulls.coalesce(1).write.parquet(dir + "/a=2")
+    val idx = ZoneMap.build(spark, dir, Seq("v"))
+    // the all-NULL file has NULL bounds and must not survive the prune
+    val kept = ZoneMap.prune(idx, "v", 0L, 100L).collect().map(_.getString(0))
+    assert(kept.length >= 1 && kept.forall(!_.contains("a=2")))
+    val res = ZoneMap.prunedRead(spark, dir, idx, "v", 0L, 100L)
+      .select("id").as[Long].collect().sorted
+    assert(res.toSeq == Seq(1L, 2L))
+  }
+}

@@ -61,6 +61,9 @@ def main():
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:  # optional subset: comma-separated names
+        keep = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = 0
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
