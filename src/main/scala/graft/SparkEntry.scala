@@ -1790,6 +1790,31 @@ object SparkEntry {
       .orderBy("split_a", "split_b")
   }
 
+  /** pmi1 — top bigram collocations by fixed-point PMI (phrase mining
+    * over the corpus). Full (pmi, w1, w2) ordering makes the LIMIT
+    * deterministic.
+    */
+  private def pmi1(s: SparkSession, d: String) =
+    Curation.bigramPmi(Tables.documents(s, d), minCount = 5)
+      .orderBy(col("pmi_fp").desc, col("w1"), col("w2"))
+      .limit(40)
+
+  /** w10 — value-window family: first/last/nth over an explicit
+    * UNBOUNDED..UNBOUNDED rows frame (last_value over the default frame
+    * is the classic silent-wrong-answer; the explicit frame is the
+    * correct idiom and what the oracle pins).
+    */
+  private def w10(s: SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** stat1 — exact-moment correlation/covariance of quantity vs price:
     * DECIMAL moment sums are commutative and exact, so the closed forms
     * evaluate on bit-identical inputs in both engines — deterministic
@@ -2268,6 +2293,8 @@ object SparkEntry {
     "q7b_volume_shipping" -> (q7b _),
     "q8b_market_share" -> (q8b _),
     "q9_product_profit" -> (q9 _),
+    "pmi1_collocations" -> (pmi1 _),
+    "w10_value_windows" -> (w10 _),
     "hist1_char_lengths" -> (hist1 _),
     "cap1_source_cap" -> (cap1 _)
   )
@@ -3518,6 +3545,34 @@ object SparkEntry {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
          |ORDER BY a, b""".stripMargin,
+    // pmi1: exact integer counts; the log ratio is ONE left-associative
+    // product chain and one division on doubles — bit-identical in both
+    // engines, then floor(·2^20) is exact (the lm1 pattern).
+    "pmi1_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |nu AS (SELECT count(*) AS nu FROM uni),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT toks, unnest(generate_series(1, greatest(CAST(len(toks) AS BIGINT) - 1, 0))) AS i FROM t)),
+        |nb AS (SELECT count(*) AS nb FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c12,
+        |  CAST(floor(ln((CAST(c12 AS DOUBLE) * CAST(nu AS DOUBLE) * CAST(nu AS DOUBLE))
+        |    / (CAST(nb AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1048576) AS BIGINT) AS pmi_fp
+        |FROM bc JOIN (SELECT w AS w1, c AS c1 FROM uc) u1 USING (w1)
+        |JOIN (SELECT w AS w2, c AS c2 FROM uc) u2 USING (w2)
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi_fp DESC, w1, w2 LIMIT 40""".stripMargin,
+    "w10_value_windows" ->
+      """SELECT user_id, event_id,
+        |first_value(value) OVER w AS first_v,
+        |last_value(value) OVER w AS last_v,
+        |nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin,
     // zm1: the oracle ignores the zone-map machinery entirely — a pruned
     // read must equal the plain filtered scan.
     "zm1_zonemap_skip" ->

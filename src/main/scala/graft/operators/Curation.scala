@@ -272,6 +272,46 @@ object Curation {
       .agg(count(lit(1)).as("n_tok"), sum(col("__lp_fp")).as("sum_lp_fp"))
   }
 
+  /** Bigram PMI collocations — pointwise mutual information
+    * ln(p(w1,w2) / (p(w1)·p(w2))) over adjacent token pairs, the classic
+    * phrase-mining signal. Counts are exact integers; the single
+    * log+fixed-point step (floor(ln·2^20), the lm1 pattern) evaluates on
+    * bit-identical doubles in any engine, so the score is hash-exact.
+    *
+    * Scale shape: two explode+groupBy count passes (unigrams, bigrams) —
+    * the tfidf1 shape; the totals are single-row broadcasts and the
+    * per-side count joins shuffle on the vocabulary, never on the corpus.
+    * Bigrams are built with an indexed `transform` over a slice (NOT
+    * `sequence(0, size-2)` — Spark's sequence DESCENDS when size < 2,
+    * which would fabricate pairs for 1-token docs).
+    */
+  def bigramPmi(
+      docs: DataFrame,
+      minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    val t = Partitioning.spread(docs).select(TextOps.tokens(col(textCol)).as("__t"))
+    val uni = t.select(explode(col("__t")).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(count(lit(1)).as("nu"))
+    val bg = t.select(explode(expr(
+        "transform(slice(__t, 1, greatest(size(__t)-1, 0)), " +
+          "(x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))")).as("b"))
+      .select("b.w1", "b.w2")
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    // one product chain, one division, left-associative — the oracle must
+    // mirror this exact operand order for bit-identical doubles
+    val ratio =
+      (col("c12").cast("double") * col("nu").cast("double") * col("nu").cast("double")) /
+        (col("nb").cast("double") * col("c1").cast("double") * col("c2").cast("double"))
+    bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor(log(ratio) * lit(1048576L)).cast("long").as("pmi_fp"))
+  }
+
   /** Repeated-span profile — the span-level dedup signal: positions of
     * k-grams that occur more than once ANYWHERE in the corpus (across or
     * within documents), merged per document into maximal covered spans

@@ -8,6 +8,19 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bigramPmi: exact fixed-point PMI; 1-token and empty docs add no bigrams") {
+    val docs = Seq("new york is big", "new york wins", "big apple", "solo", "")
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val out = Curation.bigramPmi(docs, minCount = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) == ("new", "york", 2L))
+    // unigrams: 4+3+2+1+1 (split("") is [""]) = 11; bigrams: 3+2+1 = 6
+    val expect = math.floor(
+      math.log((2.0 * 11 * 11) / (6.0 * 2 * 2)) * 1048576).toLong
+    assert(r.getLong(3) == expect)
+  }
+
   test("hashSplit is a stable pure function of the id") {
     val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val a = docs.withColumn("split", Curation.hashSplit(docs, "doc_id"))
