@@ -1418,6 +1418,20 @@ object SparkEntry {
       .orderBy("l_id", "r_id")
   }
 
+  /** st6 — LEFT OUTER interval join, batch twin of the watermarked
+    * stream-stream outer join: purchases paired with same-user clicks in
+    * the following 5 minutes, purchases with none surviving null-padded
+    * (EventStreamSpec proves the streaming twin emits the same frame).
+    */
+  private def st6(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    streaming.EventStream.intervalJoinOuterBatch(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"), horizonSec = 300)
+      .select(col("l_id"), col("r_id"))
+      .orderBy(col("l_id"), col("r_id").asc_nulls_first)
+  }
+
   /** zs1 — zonal statistics through `Stages.segmentFeatures` (Stage 3's
     * per-segment features) on an oracle-constructible grid: zones are the
     * 4×4 blocks of the m7b-style 16×16 cell grid, so counts, extents,
@@ -2248,6 +2262,7 @@ object SparkEntry {
     "pipe2_curation_v2" -> (pipe2 _),
     "q12_conditional_agg" -> (q12 _),
     "st4_interval_join" -> (st4 _),
+    "st6_outer_interval_join" -> (st6 _),
     "sql2_spatial_sql" -> (sql2 _),
     "e12_keep_best_quality" -> (e12 _),
     "chunk1_token_windows" -> (chunk1 _),
@@ -3116,6 +3131,13 @@ object SparkEntry {
         |FROM events l JOIN events r ON l.user_id = r.user_id
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 300 SECOND
         |ORDER BY l_id, r_id""".stripMargin,
+    "st6_outer_interval_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 300 SECOND
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
     // sql2: same pair set as j11 — the oracle is the plain theta join.
     "sql2_spatial_sql" ->
       """WITH sb AS (

@@ -249,6 +249,41 @@ object EventStream {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like `intervalJoin`, but a
+    * left event with no right match within the horizon still emits (null
+    * right side) — the "purchase with no follow-up click" shape. The
+    * null-padded row can only be produced once the right-side watermark
+    * has passed `l_ts + horizonSec` (before that a match could still
+    * arrive), so outer results trail the watermark by design — the
+    * batch twin converges to the same frame once the source drains.
+    */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, horizonSec: Long,
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_id")).withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id")).withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+      "leftOuter")
+  }
+
+  /** Batch twin of `intervalJoinOuter` (the st6 oracle surface). */
+  def intervalJoinOuterBatch(left: DataFrame, right: DataFrame,
+      horizonSec: Long): DataFrame = {
+    val l = left.select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_id"))
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_id"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec SECONDS"),
+      "left")
+  }
+
   /** Batch twin of `intervalJoin` — identical projection and predicate,
     * no watermarks: the frame the streaming job converges to, and the
     * oracle surface for the driver gate (st4).

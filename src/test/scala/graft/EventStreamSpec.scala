@@ -214,6 +214,49 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join converges to the batch twin") {
+    // Outer rows only emit once the watermark passes l_ts + horizon, so
+    // this needs (a) TIME-ORDERED micro-batches — a tight watermark over
+    // the user-bucketed streamDir would drop interleaved arrivals — and
+    // (b) a far-future sentinel pair to flush the tail out of join state.
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ostream").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val bucketed = ev.withColumn("__b", ntile(3).over(w)).persist()
+    val far = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val sentinel = Seq(
+      (-1L, far, -999L, "purchase", 0.0, "{}"),
+      (-2L, far, -999L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    for (i <- 1 to 4) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ob$i").toString
+      val slice = if (i <= 3) bucketed.filter(col("__b") === i).drop("__b") else sentinel
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, f"b$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // mod-time order = processing order for the file source
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    bucketed.unpersist()
+    val src = EventStream.readEvents(spark, dir)
+    val got = EventStream.runToCompletion(
+      EventStream.intervalJoinOuter(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "click"),
+        horizonSec = 300, watermark = "1 second"),
+      "t_ojoin", mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .filter(col("l_user") =!= -999L)
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+    val batch = EventStream.intervalJoinOuterBatch(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"), horizonSec = 300)
+      .select("l_id", "r_id").as[(Long, Option[Long])].collect().toSet
+    assert(batch.exists(_._2.isEmpty), "expected unmatched purchases")
+    assert(got == batch)
+  }
+
   test("qualityGate applies unchanged to a stream (stateless curation ≡ batch)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
