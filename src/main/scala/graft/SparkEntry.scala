@@ -1168,6 +1168,31 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** MM4 — REAL audio header decode: synthesize canonical 44-byte PCM WAV
+    * headers from integer-derived params, parse them back with the actual
+    * RIFF parser (little-endian fmt/data chunks, frame count from declared
+    * data size / block align, integer-µs duration), hash-check the
+    * round-trip.
+    */
+  private def mm4(s: SparkSession, d: String) = {
+    import s.implicits._
+    val media = s.range(500).map { id =>
+      val rate = 8000 * (1 + (id % 5).toInt)
+      val ch = 1 + (id % 2).toInt
+      val bits = 8 * (1 + (id % 3).toInt)
+      val n = 1000L + id % 1000
+      (id, operators.MultimodalOps.synthWavHeader(rate, ch, bits, n))
+    }.toDF("media_id", "bytes")
+    operators.MultimodalOps.withAudioMeta(media)
+      .select(col("media_id"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.bits_per_sample").as("bits_per_sample"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_us").as("duration_us"))
+      .orderBy("media_id")
+  }
+
   /** S9 — raster-block ingestion bridge, driver-checked: four synthetic
     * 16×16 float32 block blobs (GeoTIFF block layout: row-major,
     * nodata-padded) decode to pixel rows with global coordinates; the
@@ -2250,6 +2275,7 @@ object SparkEntry {
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
+    "mm4_wav_header" -> (mm4 _),
     "s9_raster_blocks" -> (s9 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
@@ -2645,6 +2671,16 @@ object SparkEntry {
         |  CAST(16 + (id * 7) % 100 AS INTEGER) AS height,
         |  CAST(CASE WHEN id % 2 = 0 THEN 4 ELSE 3 END AS INTEGER) AS channels,
         |  CASE WHEN id % 2 = 0 THEN 'png' ELSE 'bmp' END AS detected_format
+        |FROM range(500) t(id) ORDER BY media_id""".stripMargin,
+    // mm4: the WAV round-trip is the identity on the generated params;
+    // duration is integer division (both engines floor on positives).
+    "mm4_wav_header" ->
+      """SELECT id AS media_id,
+        |  CAST(8000 * (1 + id % 5) AS INTEGER) AS sample_rate,
+        |  CAST(1 + id % 2 AS INTEGER) AS channels,
+        |  CAST(8 * (1 + id % 3) AS INTEGER) AS bits_per_sample,
+        |  CAST(1000 + id % 1000 AS BIGINT) AS n_frames,
+        |  CAST((1000 + id % 1000) * 1000000 // (8000 * (1 + id % 5)) AS BIGINT) AS duration_us
         |FROM range(500) t(id) ORDER BY media_id""".stripMargin,
     // s9: v = px_row·32 + px_col = the cell's linear index, nodata where
     // (row+col) % 7 = 0 — regenerate and filter.

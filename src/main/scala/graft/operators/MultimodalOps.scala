@@ -150,6 +150,74 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- real audio header parsing (WAV: RIFF / fmt / data) ----
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_us", LongType)))
+
+  private def asciiAt(b: Array[Byte], off: Int, len: Int): String =
+    new String(b.slice(off, off + len), "US-ASCII")
+
+  /** Minimal canonical WAV header (RIFF + 16-byte PCM fmt + data chunk
+    * declaration, 44 bytes, no payload — the parser reads declared sizes).
+    */
+  def synthWavHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Long): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nFrames * blockAlign
+    require(dataSize <= Int.MaxValue, s"data chunk overflows RIFF32: $dataSize")
+    val out = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize.toInt)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+    out.array()
+  }
+
+  /** REAL header decode for canonical PCM WAV (the audio modality's mm3):
+    * sniffs RIFF/WAVE/fmt, demands PCM (format tag 1) and a leading data
+    * chunk, derives frame count from the declared data size and block
+    * align, duration in µs by integer division. Returns null (→ NULL
+    * struct) for anything that doesn't parse — fail-closed, no stub: audio
+    * consumers branch on parse success, they don't get fabricated rates.
+    */
+  def decodeWavMeta(bytes: Array[Byte]): Row = {
+    val ok = bytes != null && bytes.length >= 44 &&
+      asciiAt(bytes, 0, 4) == "RIFF" && asciiAt(bytes, 8, 4) == "WAVE" &&
+      asciiAt(bytes, 12, 4) == "fmt " && leInt(bytes, 16) == 16 &&
+      leShort(bytes, 20) == 1 && asciiAt(bytes, 36, 4) == "data"
+    if (!ok) return null
+    val channels = leShort(bytes, 22)
+    val rate = leInt(bytes, 24)
+    val blockAlign = leShort(bytes, 32)
+    val bits = leShort(bytes, 34)
+    if (rate <= 0 || blockAlign <= 0) return null
+    val nFrames = (leInt(bytes, 40).toLong & 0xffffffffL) / blockAlign
+    Row(rate, channels, bits, nFrames, nFrames * 1000000L / rate)
+  }
+
+  /** Audio twin of `withDecodedMeta`: partition-mapped WAV header decode,
+    * no shuffle, typed `audio_meta` struct (NULL when the payload is not
+    * canonical PCM WAV).
+    */
+  def withAudioMeta(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("audio_meta", audioMetaSchema))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ decodeWavMeta(r.getAs[Array[Byte]](bytesIdx))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** STUB-backed resize: recomputes metadata for a target box preserving
     * aspect ratio (the pixel resample would live in the same map).
     */

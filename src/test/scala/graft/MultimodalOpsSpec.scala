@@ -81,6 +81,26 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(idx1.toSeq == (0 until nFrames(1L) by 4).toSeq)
   }
 
+  test("decodeWavMeta round-trips canonical PCM WAV and fails closed otherwise") {
+    val b = MultimodalOps.synthWavHeader(44100, 2, 16, 44100L)
+    val m = MultimodalOps.decodeWavMeta(b)
+    assert(m.getInt(0) == 44100 && m.getInt(1) == 2 && m.getInt(2) == 16)
+    assert(m.getLong(3) == 44100L && m.getLong(4) == 1000000L)
+    // mono 8-bit, non-integer duration floors
+    val m2 = MultimodalOps.decodeWavMeta(MultimodalOps.synthWavHeader(8000, 1, 8, 12345L))
+    assert(m2.getLong(3) == 12345L && m2.getLong(4) == 12345L * 1000000L / 8000L)
+    // not WAV → null (no stub fabrication on the audio path)
+    assert(MultimodalOps.decodeWavMeta("RIFFxxxxTEXT".getBytes ++ new Array[Byte](40)) == null)
+    assert(MultimodalOps.decodeWavMeta(MultimodalOps.synthPngHeader(4, 4, alpha = true)) == null)
+    // truncated header → null
+    assert(MultimodalOps.decodeWavMeta(b.take(40)) == null)
+    // withAudioMeta: NULL struct for unparseable rows, values for good ones
+    val df = Seq((1L, b), (2L, Array[Byte](1, 2, 3))).toDF("media_id", "bytes")
+    val out = MultimodalOps.withAudioMeta(df).orderBy("media_id").collect()
+    assert(out(0).getAs[org.apache.spark.sql.Row]("audio_meta").getInt(0) == 44100)
+    assert(out(1).isNullAt(out(1).fieldIndex("audio_meta")))
+  }
+
   test("withEmbedding feeds Similarity: identical payloads are nearest neighbors") {
     val emb = MultimodalOps.withEmbedding(media, dim = 8)
       .select(col("media_id").as("vec_id"), col("embedding"))
