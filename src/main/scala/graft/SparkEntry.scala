@@ -497,6 +497,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** knn1 — 5-NN majority-vote label transfer: every 10th vector is the
+    * unlabeled query set, the rest the labeled corpus.
+    */
+  private def knn1(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    operators.Similarity.knnClassify(
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 =!= 0), k = 5)
+      .orderBy("query_id")
+  }
+
   private def e9(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("roll_fp"))
@@ -2235,6 +2246,7 @@ object SparkEntry {
     "e7_jaccard_verify" -> (e7 _),
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
+    "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
@@ -2582,6 +2594,22 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // knn1: ranking on the RAW cosine (the e3-proven tiebreak), then
+    // vote-count majority with (votes DESC, label ASC) determinism.
+    "knn1_label_transfer" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings WHERE vec_id % 10 <> 0),
+         |scored AS (SELECT query_id, neighbor_id, label,
+         |  ${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS raw
+         |  FROM q, c),
+         |topk AS (SELECT query_id, label FROM (
+         |  SELECT query_id, label, row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5),
+         |votes AS (SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+         |SELECT query_id, CAST(pred_label AS INTEGER) AS pred_label, votes FROM (
+         |  SELECT query_id, label AS pred_label, votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn FROM votes)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "e8_embedding_neardup" ->
       s"""WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b,
          |  ${sqlDot("a.embedding", "b.embedding")} /

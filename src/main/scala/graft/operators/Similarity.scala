@@ -58,6 +58,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN majority-vote classification over the embedding space — the
+    * label-propagation consumer of the top-k kernel (weak-label transfer
+    * from a labeled corpus to unlabeled queries in a training-data
+    * pipeline). Majority with deterministic tiebreak (votes DESC, label
+    * ASC); scale shape = bruteForceTopK's (k·queries rows out of the
+    * scoring join) + one vocabulary-sized vote agg.
+    */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("__lbl"))
+    nn.join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__lbl")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "__lbl")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("__lbl").as("pred_label"), col("votes"))
+  }
+
   /** IVF (inverted-file) ANN: KMeans-partition the corpus into `nLists`
     * cells (seeded, deterministic), then search only each query's `nProbe`
     * nearest cells. The 100 TB shape: the corpus is scanned once to build

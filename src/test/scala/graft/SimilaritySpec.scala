@@ -35,6 +35,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("knnClassify takes the neighbor-label majority with a deterministic tie") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1),
+      (11L, Array(0.95f, 0.05f), 1),
+      (12L, Array(0.9f, 0.1f), 2),
+      (13L, Array(0.0f, 1.0f), 3),
+      (14L, Array(0.05f, 0.95f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Array(0.99f, 0.01f)), (1L, Array(0.01f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    // k=3: query 0's neighbors are 10/11/12 → labels 1,1,2 → majority 1;
+    // query 1's are 13/14 + one x-cluster vector → labels 3,3,x → majority 3
+    val out = Similarity.knnClassify(q, corpus, k = 3)
+      .orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((0L, 1, 2L), (1L, 3, 2L)))
+    // k=2 on query 0 → labels {1,1} still unanimous; force a 1-1 tie with
+    // k=2 on a query equidistant-ish: labels 1 and 2 tie → smaller label wins
+    val tie = Similarity.knnClassify(
+        Seq((5L, Array(0.92f, 0.08f))).toDF("vec_id", "embedding"),
+        corpus.filter(col("vec_id").isin(11L, 12L)), k = 2)
+      .collect().head
+    assert(tie.getInt(1) == 1 && tie.getLong(2) == 1L)
+  }
+
   test("ivfTopK recalls the true neighbors on clustered data (E2 scale path)") {
     // two tight clusters far apart: IVF with nProbe=1 must stay in-cluster
     val rnd = new scala.util.Random(7)
