@@ -297,28 +297,53 @@ object Dedup {
       rowsPerBand: Int = 2,
       shingleK: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      localThreshold: Int = 1 << 22): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val exact = spark.read.parquet(s"$dir/exact")
     val idxBuckets = spark.read.parquet(s"$dir/buckets")
     val idxSh = spark.read.parquet(s"$dir/shingles")
     val notExact = newDocs.join(
       exact, md5(col(textCol)) === col("content_md5"), "left_anti")
+    // The shingle projection feeds two DIFFERENTLY-KEYED exchanges (the
+    // band/bucket probe and the by-id verify join), so ReuseExchange can't
+    // help and, unpersisted, AQE races both leaf stages into computing the
+    // tokenize+shingle+minhash pass twice. Eager persist+count = exactly
+    // one pass; released below, before this function returns.
     val sh = shingleSets(notExact, shingleK, idCol, textCol)
-    val cand = bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
-      .join(idxBuckets.select(col("id").as("__idx_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(col(idCol), col("__idx_id")).distinct()
-    val dropped = cand
-      .join(sh.select(col(idCol), col("sh").as("__sh_new")), Seq(idCol))
-      .join(idxSh.select(col("id").as("__idx_id"), col("sh").as("__sh_idx")), Seq("__idx_id"))
-      .withColumn("__inter", graft.functions.SortedIntersectExpr
-        .sortedIntersectCount(col("__sh_new"), col("__sh_idx")))
-      .filter(col("__inter") > 0)
-      .filter(col("__inter") / (size(col("__sh_new")).cast("long") +
-        size(col("__sh_idx")).cast("long") - col("__inter")) >= threshold)
-      .select(col(idCol)).distinct()
-    notExact.join(dropped, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.count()
+      val cand = bandsOf(signaturesOf(sh, numHashes, idCol), numHashes, rowsPerBand, idCol)
+        .join(idxBuckets.select(col("id").as("__idx_id"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select(col(idCol), col("__idx_id")).distinct()
+      val dropped = cand
+        .join(sh.select(col(idCol), col("sh").as("__sh_new")), Seq(idCol))
+        .join(idxSh.select(col("id").as("__idx_id"), col("sh").as("__sh_idx")), Seq("__idx_id"))
+        .withColumn("__inter", graft.functions.SortedIntersectExpr
+          .sortedIntersectCount(col("__sh_new"), col("__sh_idx")))
+        .filter(col("__inter") > 0)
+        .filter(col("__inter") / (size(col("__sh_new")).cast("long") +
+          size(col("__sh_idx")).cast("long") - col("__inter")) >= threshold)
+        .select(col(idCol)).distinct()
+      // Graph.connectedComponents' hybrid, reused: dropped-id sets up to
+      // the threshold become a broadcast local relation — the returned
+      // plan then references NO cached frame (leak-free laziness; only
+      // `notExact` recomputes at action time, one scan). Genuinely huge
+      // drop sets keep the distributed anti-join and retain a small
+      // id-only cache for the caller's action to read.
+      val head = dropped.take(localThreshold.max(0) + 1)
+      if (head.length <= localThreshold) {
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(head.toIndexedSeq, 1), dropped.schema)
+        notExact.join(broadcast(local), Seq(idCol), "left_anti")
+      } else {
+        val dp = dropped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dp.count()
+        notExact.join(dp, Seq(idCol), "left_anti")
+      }
+    } finally sh.unpersist()
   }
 
   /** Admit a (probed, surviving) batch INTO a [[writeDedupIndex]] store —
