@@ -1435,6 +1435,27 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** tri1 — triangle enumeration over the dup-candidate graph: the
+    * cohesion census of near-dup clusters (quasi-cliques triangle
+    * densely; borderline-match chains don't — a structural signal CC's
+    * member counts can't see).
+    */
+  private def tri1(s: SparkSession, d: String) = {
+    val edges = Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+    operators.Graph.triangles(edges).orderBy("a", "b", "c")
+  }
+
+  /** dd1 — degree distribution of the dup-candidate graph (how many docs
+    * have how many near-dup partners — the skew signal that decides
+    * bucket caps).
+    */
+  private def dd1(s: SparkSession, d: String) = {
+    val edges = Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+    operators.Graph.degrees(edges)
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   /** ST3 — sessionization (30 min inactivity gap). Batch gaps-and-islands
     * form here (oracled); EventStreamSpec proves the streaming
     * flatMapGroupsWithState twin emits the same closed sessions.
@@ -2281,6 +2302,8 @@ object SparkEntry {
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
     "cc2_components_distributed" -> (cc2 _),
+    "tri1_dup_triangles" -> (tri1 _),
+    "dd1_degree_distribution" -> (dd1 _),
     "zm1_zonemap_skip" -> (zm1 _),
     "st3_sessionize" -> (st3 _),
     "m7b_polygonize_cells" -> (m7b _),
@@ -2779,6 +2802,31 @@ object SparkEntry {
         |  SELECT doc_id, term, score,
         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // tri1/dd1: same LSH pair CTE as cc1, then the standard upward
+    // two-join triangle enumeration / the undirected degree histogram.
+    "tri1_dup_triangles" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c FROM pairs e1
+         |  JOIN pairs e2 ON e2.a = e1.b
+         |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT a, b, c FROM tri ORDER BY a, b, c""".stripMargin,
+    "dd1_degree_distribution" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |und AS (SELECT a AS node FROM pairs UNION ALL SELECT b AS node FROM pairs),
+         |deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node)
+         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
     "cc1_dup_components" ->
       s"""${sqlShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),

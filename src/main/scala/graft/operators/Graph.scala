@@ -179,4 +179,41 @@ object Graph {
     components
       .groupBy(col("component").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))
+
+  /** Canonical undirected edge list: (a, b) with a < b, self-loops and
+    * duplicates (either orientation) dropped.
+    */
+  def canonicalEdges(edges: DataFrame, srcCol: String = "a",
+      dstCol: String = "b"): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  /** Triangle triples (a < b < c) of the undirected graph — the cohesion
+    * census of dup clusters (LSH candidate graphs are quasi-cliques; a
+    * low triangle count per edge flags chains of borderline matches that
+    * CC would still merge). Standard two-join enumeration over the
+    * canonical a<b list: every triangle is produced exactly once because
+    * each join step only extends upward. Shuffle cost = two equi-joins on
+    * node ids; wedge fan-out is bounded by the max degree, and dedup-pair
+    * graphs keep degrees near cluster size (AQE skew-splits viral nodes).
+    */
+  def triangles(edges: DataFrame, srcCol: String = "a",
+      dstCol: String = "b"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val wedge = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    wedge.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(col("x").as("a"), col("y").as("b"), col("z").as("c"))
+  }
+
+  /** Node degrees of the undirected graph (canonicalized first). */
+  def degrees(edges: DataFrame, srcCol: String = "a",
+      dstCol: String = "b"): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
 }

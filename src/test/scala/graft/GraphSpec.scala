@@ -53,6 +53,22 @@ class GraphSpec extends AnyFunSuite {
     assert(dist(9L) == 4L) // the 6-hop chain fully resolved
   }
 
+  test("triangles enumerates each triangle once; chains have none") {
+    // K4 on {1,2,3,4} (4 triangles) + a chain 5-6-7 (0 triangles) +
+    // messy input: self-loop, duplicate, reversed orientation
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 2L), (2L, 2L), (1L, 2L), // noise: reversed dup, self-loop, dup
+      (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val tri = Graph.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val deg = Graph.degrees(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 2L, 7L -> 1L))
+  }
+
   test("pointer jumping resolves a 64-node chain well under diameter rounds") {
     // plain min-propagation needs 63 rounds; with the interleaved
     // label←label's-label jump, convergence is O(log diameter) — maxIter=12
