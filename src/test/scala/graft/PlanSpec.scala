@@ -194,4 +194,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition, ENSURE"),
       s"gap-fill collapsed to a single reducer:\n$plan")
   }
+
+  test("q6b: all three predicates reach the parquet scan") {
+    val qe = SparkEntry.queries("q6b_forecast_revenue")(spark, sf).queryExecution
+    // the rendered plan truncates PushedFilters at 100 chars — read the
+    // scan node's metadata instead
+    val pushed = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString
+    for (c <- Seq("GreaterThanOrEqual(l_shipdate", "LessThanOrEqual(l_discount", "LessThan(l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed; $pushed")
+    val plan = qe.executedPlan.toString
+    assert(shuffles(plan) == 0, s"single-scan agg should not hash-shuffle:\n$plan")
+  }
+
+  test("q7b: both nation aliases and the dims broadcast; one fact shuffle pair at most") {
+    val plan = SparkEntry.queries("q7b_volume_shipping")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"expected >=4 broadcast joins (supplier, nation x2, customer):\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"more than the lineitem-orders join merged:\n$plan")
+  }
+
+  test("pmi1: totals broadcast as single-row relations, vocabulary joins stay keyed") {
+    val plan = SparkEntry.queries("pmi1_collocations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2,
+      s"expected exactly the two single-row total cross joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
+  }
 }
