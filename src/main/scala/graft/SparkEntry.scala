@@ -1429,7 +1429,12 @@ object SparkEntry {
     * the driver's hash gate, not just in GraphSpec.
     */
   private def cc2(s: SparkSession, d: String) = {
-    val edges = Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2)
+    // quarter-corpus scope: the point is the PATH (min-label rounds +
+    // pointer jumping under the hash gate), and iterative rounds carry a
+    // per-round multi-stage overhead that dwarfs toy-scale data — the
+    // full graph already has its answer oracled via cc1's local path
+    val edges = Dedup.minhashCandidatePairs(
+      Tables.documents(s, d).filter(col("doc_id") % 4 === 0), numHashes = 8, rowsPerBand = 2)
     operators.Graph.componentSummary(
         operators.Graph.connectedComponents(edges, localThreshold = 0L))
       .orderBy("keep_id")
@@ -1918,6 +1923,15 @@ object SparkEntry {
   private def hist1(s: SparkSession, d: String) =
     operators.Profiling.histogram(Tables.documents(s, d), col("n_chars"), 50)
 
+  /** hist2 — equi-depth histogram (10 rank-quantile buckets over price):
+    * the tie-robust complement of hist1's equi-width buckets; ntile over
+    * a TOTAL order so bucket membership is deterministic.
+    */
+  private def hist2(s: SparkSession, d: String) =
+    operators.Profiling.equiDepthHistogram(
+      Tables.lineitem(s, d), col("l_extendedprice"),
+      concat_ws("_", col("l_orderkey"), col("l_linenumber")), buckets = 10)
+
   /** cap1 — per-source document cap: keep the 5 best-quality docs per
     * source (ties → lowest id). The anti-concentration step of a web
     * corpus mix; ranking windows run per source, never globally.
@@ -2381,6 +2395,7 @@ object SparkEntry {
     "pmi1_collocations" -> (pmi1 _),
     "w10_value_windows" -> (w10 _),
     "hist1_char_lengths" -> (hist1 _),
+    "hist2_price_deciles" -> (hist2 _),
     "cap1_source_cap" -> (cap1 _)
   )
 
@@ -2400,13 +2415,16 @@ object SparkEntry {
     s"CAST(list_min(list_transform(hs, h -> (CAST($a AS BIGINT) * h + $b) % ${TextOps.MinhashP})) AS BIGINT)"
   }
 
-  private val sqlShingleCte =
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+  /** Shingle CTE over an arbitrary source relation (cc2 scopes it). */
+  private def sqlShingleCteFrom(src: String): String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $src),
        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
        |  ELSE list_transform(generate_series(1, len(toks) - 2),
        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS shingles FROM t),
        |sh AS (SELECT doc_id, shingles,
        |  list_transform(list_transform(shingles, g -> md5(g)), h -> ${sqlHexVal("h", 6)}) AS hs FROM s)""".stripMargin
+
+  private val sqlShingleCte = sqlShingleCteFrom("documents")
 
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -2419,9 +2437,14 @@ object SparkEntry {
     s"(CASE WHEN $t <= 1 THEN (1.5*$t - 2.5)*$t*$t + 1 ELSE ((-0.5*$t + 2.5)*$t - 4)*$t + 2 END)"
 
   def oracleSql: Map[String, String] = oracleSqlBase +
-    // cc2 runs the distributed CC path against the SAME oracle as cc1's
-    // driver union-find path — one SQL, two engine paths, both hash-gated.
-    ("cc2_components_distributed" -> oracleSqlBase("cc1_dup_components"))
+    // cc2 runs the distributed CC path against the SAME oracle text as
+    // cc1's driver union-find path, scoped to the quarter corpus — one
+    // SQL shape, two engine paths, both hash-gated.
+    ("cc2_components_distributed" -> oracleSqlBase("cc1_dup_components")
+      .replace(
+        sqlShingleCteFrom("documents").replaceFirst("WITH ", "WITH RECURSIVE "),
+        sqlShingleCteFrom("(SELECT * FROM documents WHERE doc_id % 4 = 0)")
+          .replaceFirst("WITH ", "WITH RECURSIVE ")))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
@@ -3820,6 +3843,14 @@ object SparkEntry {
     "hist1_char_lengths" ->
       """SELECT CAST(n_chars AS BIGINT) - CAST(n_chars AS BIGINT) % 50 AS bucket_lo, count(*) AS n
         |FROM documents GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin,
+    // hist2: ntile over the identical total order (value, orderkey_line
+    // tie string) — rank-deterministic in both engines.
+    "hist2_price_deciles" ->
+      """WITH r AS (SELECT l_extendedprice AS v,
+        |  CAST(ntile(10) OVER (ORDER BY l_extendedprice, concat_ws('_', l_orderkey, l_linenumber)) AS INTEGER) AS bucket
+        |FROM lineitem)
+        |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     // cap1: quality formula mirrors TextOps.qualityScore exactly (the
     // e12 qual CTE); ranking ties break on doc_id so the window is
     // deterministic on both engines.

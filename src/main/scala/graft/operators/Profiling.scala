@@ -71,4 +71,23 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket_lo")
   }
+
+  /** Equi-DEPTH histogram: `buckets` rank-quantile buckets via ntile over
+    * a TOTAL order (value, then `tieCol`) — deterministic bucket
+    * membership even on heavily tied data, which is exactly where
+    * equi-depth matters (equi-width piles ties into one bar). One window
+    * sort + one agg; rows carry only (value, tie key), so the global sort
+    * is the documented cost — this is a diagnostic over a column, not a
+    * per-key pipeline stage (use ntile over a partition for those).
+    */
+  def equiDepthHistogram(df: DataFrame, c: Column, tieCol: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    df.select(c.as("__v"), tieCol.as("__t"))
+      .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("__v"), col("__t"))))
+      .groupBy("bucket")
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
 }

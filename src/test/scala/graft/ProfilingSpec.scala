@@ -46,6 +46,26 @@ class ProfilingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Profiling.histogram(df, col("v"), 0))
   }
 
+  test("equiDepthHistogram: balanced buckets, ties split deterministically") {
+    // 100 rows, 60 of them the tied value 5 — equi-width piles them in
+    // one bar; equi-depth must split the tie run across buckets, with
+    // membership fixed by the (value, id) total order
+    val df = ((1 to 40).map(i => (i.toLong, i.toDouble * 10)) ++
+      (41 to 100).map(i => (i.toLong, 5.0))).toDF("id", "v")
+    val h = graft.operators.Profiling
+      .equiDepthHistogram(df, col("v"), col("id"), buckets = 10)
+      .collect()
+    assert(h.length == 10)
+    assert(h.forall(_.getAs[Long]("n") == 10L)) // 100 rows / 10 buckets exactly
+    // the 60 tied rows fill the first 6 buckets: lo = hi = 5.0
+    assert(h.take(6).forall(r => r.getAs[Double]("lo") == 5.0 && r.getAs[Double]("hi") == 5.0))
+    // rerun is bit-identical (deterministic tie order)
+    val h2 = graft.operators.Profiling
+      .equiDepthHistogram(df.repartition(7), col("v"), col("id"), buckets = 10)
+      .collect()
+    assert(h.map(_.toSeq).toSeq == h2.map(_.toSeq).toSeq)
+  }
+
   test("bloom filter has no false negatives over real grams") {
     val docs = Tables.documents(spark, sf).limit(50)
     val grams = docs.select(explode(functions.TextOps.shingles(
