@@ -259,17 +259,42 @@ object Curation {
   def unigramLogprobScore(
       docs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      localVocabThreshold: Int = 1 << 21): DataFrame = {
+    val spark = docs.sparkSession
     val toks = Partitioning.spread(docs)
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
     val freq = toks.groupBy("__term").agg(count(lit(1)).as("__tf"))
-    val tot = toks.agg(count(lit(1)).as("__n_total"))
-    val lp = freq.crossJoin(tot).select(col("__term"),
-      floor(log(col("__tf").cast("double") / col("__n_total").cast("double")) * lit(1048576L))
-        .cast("long").as("__lp_fp"))
-    toks.join(lp, Seq("__term"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tok"), sum(col("__lp_fp")).as("sum_lp_fp"))
+    // Hybrid (the dedupAgainstIndex shape): `toks` feeds three
+    // differently-keyed subtrees, so the lazy plan tokenizes the corpus
+    // 3×. Pin one pass with an eager cache, pull the vocabulary (≤
+    // threshold) to a LOCAL relation, derive the total from it exactly,
+    // and return a plan that references only the local lp table +
+    // ONE corpus scan at action time — no cache survives this call.
+    // The lp arithmetic still runs through the SAME Column expressions
+    // (on the local frame), so fixed-point parity is untouched.
+    val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = freq.take(localVocabThreshold + 1)
+      val lp =
+        if (head.length <= localVocabThreshold) {
+          val total = head.map(_.getLong(1)).sum // exact: sum of tfs IS the token count
+          val local = spark.createDataFrame(
+            spark.sparkContext.parallelize(head.toIndexedSeq, 1), freq.schema)
+          broadcast(local.select(col("__term"),
+            floor(log(col("__tf").cast("double") / lit(total).cast("double")) * lit(1048576L))
+              .cast("long").as("__lp_fp")))
+        } else {
+          // giant-vocabulary fallback: the original lazy 3-pass plan
+          val tot = toks.agg(count(lit(1)).as("__n_total"))
+          freq.crossJoin(tot).select(col("__term"),
+            floor(log(col("__tf").cast("double") / col("__n_total").cast("double")) * lit(1048576L))
+              .cast("long").as("__lp_fp"))
+        }
+      toks.join(lp, Seq("__term"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tok"), sum(col("__lp_fp")).as("sum_lp_fp"))
+    } finally cached.unpersist()
   }
 
   /** Bigram PMI collocations — pointwise mutual information
@@ -288,16 +313,16 @@ object Curation {
   def bigramPmi(
       docs: DataFrame,
       minCount: Long = 5,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      localVocabThreshold: Int = 1 << 21): DataFrame = {
+    val spark = docs.sparkSession
     val t = Partitioning.spread(docs).select(TextOps.tokens(col(textCol)).as("__t"))
     val uni = t.select(explode(col("__t")).as("w"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val nu = uni.agg(count(lit(1)).as("nu"))
     val bg = t.select(explode(expr(
         "transform(slice(__t, 1, greatest(size(__t)-1, 0)), " +
           "(x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))")).as("b"))
       .select("b.w1", "b.w2")
-    val nb = bg.agg(count(lit(1)).as("nb"))
     val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)
     // one product chain, one division, left-associative — the oracle must
@@ -305,11 +330,39 @@ object Curation {
     val ratio =
       (col("c12").cast("double") * col("nu").cast("double") * col("nu").cast("double")) /
         (col("nb").cast("double") * col("c1").cast("double") * col("c2").cast("double"))
-    bc.join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
-      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .select(col("w1"), col("w2"), col("c12"),
-        floor(log(ratio) * lit(1048576L)).cast("long").as("pmi_fp"))
+    def assemble(ucF: DataFrame, bcF: DataFrame, nuF: DataFrame, nbF: DataFrame) =
+      bcF.join(ucF.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(ucF.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nuF)).crossJoin(broadcast(nbF))
+        .select(col("w1"), col("w2"), col("c12"),
+          floor(log(ratio) * lit(1048576L)).cast("long").as("pmi_fp"))
+    // Hybrid (the dedupAgainstIndex shape): the lazy plan tokenizes the
+    // corpus 4× (unigram agg, unigram total, bigram agg, bigram total).
+    // Pin one pass with an eager cache; when the vocabulary fits the
+    // threshold, pull unigram + frequent-bigram counts to LOCAL relations
+    // (totals derive from them exactly — nu = Σ tf; nb needs one extra agg
+    // off the cache since bc is minCount-filtered) and return a plan over
+    // local data only: ONE corpus tokenize total, nothing left cached.
+    // The PMI arithmetic runs through the SAME Column code either way.
+    val cached = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ucHead = uc.take(localVocabThreshold + 1)
+      val bcHead = bc.take(localVocabThreshold + 1)
+      if (ucHead.length <= localVocabThreshold && bcHead.length <= localVocabThreshold) {
+        val nuVal = ucHead.map(_.getLong(1)).sum
+        val nbVal = bg.agg(count(lit(1))).head().getLong(0)
+        val ucL = spark.createDataFrame(
+          spark.sparkContext.parallelize(ucHead.toIndexedSeq, 1), uc.schema)
+        val bcL = spark.createDataFrame(
+          spark.sparkContext.parallelize(bcHead.toIndexedSeq, 1), bc.schema)
+        assemble(ucL, bcL,
+          spark.range(1).select(lit(nuVal).as("nu")),
+          spark.range(1).select(lit(nbVal).as("nb")))
+      } else
+        assemble(uc, bc,
+          uni.agg(count(lit(1)).as("nu")),
+          bg.agg(count(lit(1)).as("nb")))
+    } finally cached.unpersist()
   }
 
   /** Repeated-span profile — the span-level dedup signal: positions of

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextOps
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** E1 — deduplication operators for the training-data pipeline surface
@@ -388,14 +389,23 @@ object Dedup {
     * `maxHamming + 1` bands; any pair within the radius must agree on at
     * least one whole band, so a (band, bandBits) equi-join finds every
     * such pair (no false negatives), and `bit_count(xor) <= maxHamming`
-    * verifies exactly. Same constant-shuffle LSH shape as the MinHash
-    * path: band keys shuffle, verify is per-candidate-row arithmetic.
+    * verifies exactly.
+    *
+    * SCALE CAVEAT: a 16-bit signature gives each band a key space of at
+    * most 2^6..2^8 values, so bucket occupancy grows LINEARLY with corpus
+    * size and the candidate join is quadratic past ~10^5 docs — this
+    * exact form is for corpus slices / per-partition dedup. At corpus
+    * scale set `maxBucket` (> 0) to shed saturated buckets before the
+    * quadratic step, the same guard as the MinHash path — that trades the
+    * no-false-negatives guarantee on shed buckets for bounded work
+    * (e14 runs uncapped because its oracle brute-forces all pairs).
     */
   def simhashNearDupPairs(
       docs: DataFrame,
       maxHamming: Int = 2,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, s"maxHamming in [0,16), got $maxHamming")
     val nBands = maxHamming + 1
     val width = 16 / nBands // bands cover width·nBands bits; remainder goes to the last band
@@ -408,8 +418,15 @@ object Dedup {
     }
     val exploded = sig.select(col(idCol), col("__sh"), explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col("__sh"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    exploded.select(col(idCol).as("a"), col("__sh").as("sh_a"), col("band"), col("bits"))
-      .join(exploded.select(col(idCol).as("b"), col("__sh").as("sh_b"), col("band"), col("bits")),
+    val guarded =
+      if (maxBucket <= 0) exploded
+      else {
+        val w = Window.partitionBy("band", "bits")
+        exploded.withColumn("__n", count(lit(1)).over(w))
+          .filter(col("__n") <= maxBucket).drop("__n")
+      }
+    guarded.select(col(idCol).as("a"), col("__sh").as("sh_a"), col("band"), col("bits"))
+      .join(guarded.select(col(idCol).as("b"), col("__sh").as("sh_b"), col("band"), col("bits")),
         Seq("band", "bits"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),

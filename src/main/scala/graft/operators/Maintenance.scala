@@ -82,12 +82,17 @@ object Maintenance {
   /** Scripted recovery from a crashed swap (compact / deleteByKeys /
     * upsertByKeys all share the marker protocol). States:
     *   - no `.compacting` marker → healthy, nothing to do;
-    *   - marker + live path present → crashed after the second rename:
-    *     finish the cleanup (drop `.old`, `.next`, the marker);
+    *   - marker + live + `.next` present, `.old` absent → crashed BETWEEN
+    *     creating the marker and the first rename: the rewrite at `.next`
+    *     is complete (the marker is only written after the rewrite lands),
+    *     so recovery FINISHES the intended swap — discarding `.next` here
+    *     would silently un-apply a completed deleteByKeys/upsert rewrite
+    *     while reporting the store healthy;
+    *   - marker + live present, `.next` absent → crashed after the second
+    *     rename: finish the cleanup (drop `.old`, the marker);
     *   - marker + live path MISSING → crashed between the renames: the
-    *     complete pre-swap copy named in the marker is restored to the
-    *     live path, the incomplete `.next` is discarded, the operation
-    *     should be re-run.
+    *     complete pre-swap copy is restored to the live path, the `.next`
+    *     rewrite is discarded, the operation should be re-run.
     * Returns true when any repair action was taken. Idempotent.
     */
   def recoverSwap(spark: SparkSession, path: String): Boolean = {
@@ -102,7 +107,13 @@ object Maintenance {
     // or short-read marker must not crash the repair tool).
     val copyPath = new Path(path + ".old")
     val next = new Path(path + ".next")
-    if (fs.exists(p)) {
+    if (fs.exists(p) && fs.exists(next) && !fs.exists(copyPath)) {
+      // crashed before the first rename: .next holds the COMPLETE rewrite
+      // (marker creation postdates it) — finish the swap it announced
+      require(fs.rename(p, copyPath), s"recovery rename $p -> $copyPath failed")
+      require(fs.rename(next, p), s"recovery rename $next -> $p failed; data is at $copyPath")
+      fs.delete(copyPath, true)
+    } else if (fs.exists(p)) {
       // crashed after the swap completed: just finish cleanup
       if (fs.exists(copyPath)) fs.delete(copyPath, true)
       if (fs.exists(next)) fs.delete(next, true)
@@ -146,19 +157,25 @@ object Maintenance {
       .map(_.getLen).sum
     val cur = spark.read.parquet(path)
     val before = cur.count()
-    val kept = cur.join(
-      org.apache.spark.sql.functions.broadcast(
-        tombstones.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct()),
-      keyCols, "left_anti")
-    // size from the SURVIVING fraction so deletion doesn't shrink files
-    val after = kept.count()
-    val keepBytes = if (before == 0) totalBytes
-      else (totalBytes * (after.toDouble / before)).toLong
-    val n = math.max(1, math.ceil(keepBytes.toDouble / targetFileBytes).toInt)
-    val next = new Path(path + ".next")
-    kept.repartition(n).write.mode("overwrite").parquet(next.toString)
-    checkedSwap(fs, p, next)
-    (before, after)
+    // pin ONE evaluation of the tombstone keys: the anti-join runs in two
+    // actions (the sizing count and the write), and a nondeterministic
+    // tombstone frame (a sample, a shuffle-dependent dedup) would
+    // otherwise delete a DIFFERENT row set than the returned counts claim
+    val keys = tombstones.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keys.count()
+    try {
+      val kept = cur.join(org.apache.spark.sql.functions.broadcast(keys), keyCols, "left_anti")
+      // size from the SURVIVING fraction so deletion doesn't shrink files
+      val after = kept.count()
+      val keepBytes = if (before == 0) totalBytes
+        else (totalBytes * (after.toDouble / before)).toLong
+      val n = math.max(1, math.ceil(keepBytes.toDouble / targetFileBytes).toInt)
+      val next = new Path(path + ".next")
+      kept.repartition(n).write.mode("overwrite").parquet(next.toString)
+      checkedSwap(fs, p, next)
+      (before, after)
+    } finally keys.unpersist()
   }
 
   /** Keyed upsert over a stored parquet directory — the third leg of the
@@ -182,6 +199,25 @@ object Maintenance {
       targetFileBytes: Long = 128L << 20): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keyCols.nonEmpty, "upsertByKeys needs at least one key column")
+    // pin ONE evaluation of `updates`: it feeds the dup-key check, the
+    // count arithmetic, and the written union — three separate actions
+    // that a nondeterministic update frame would otherwise answer
+    // differently, leaving the store and the returned counts divergent
+    val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUpdates = up.count()
+    try {
+      upsertPinned(spark, path, up, nUpdates, keyCols, targetFileBytes)
+    } finally up.unpersist()
+  }
+
+  private def upsertPinned(
+      spark: SparkSession,
+      path: String,
+      updates: org.apache.spark.sql.DataFrame,
+      nUpdates: Long,
+      keyCols: Seq[String],
+      targetFileBytes: Long): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val dupKeys = updates.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
     require(dupKeys.isEmpty,
@@ -209,7 +245,7 @@ object Maintenance {
     // counts from the cheap semi join (key columns only), so the full
     // merged frame is evaluated exactly once — by the write
     val replaced = cur.join(broadcast(keys), keyCols, "left_semi").count()
-    val after = before - replaced + updates.count()
+    val after = before - replaced + nUpdates
     val merged = cur.join(broadcast(keys), keyCols, "left_anti").unionByName(updates)
     val growBytes = if (before == 0) totalBytes.max(1L)
       else (totalBytes * (after.toDouble / before)).toLong

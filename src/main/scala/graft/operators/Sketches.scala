@@ -32,18 +32,28 @@ object Sketches {
     // BloomFilterAggregate silently CLAMPS both parameters to the runtime-
     // filter session confs (defaults: 4M items / 64M bits) — at corpus
     // scale the filter would saturate and the real fpp silently approach
-    // 1. Raise the caps to what this build actually needs so the fpp
-    // contract holds at the advertised size.
+    // 1. Raise the caps for the duration of THIS build only and restore
+    // them after: leaving a 10^9-item cap behind would let Catalyst's own
+    // injected runtime join filters build multi-GB driver-side blooms in
+    // unrelated queries for the rest of the session.
     val spark = keys.sparkSession
-    def raiseConf(key: String, needed: Long): Unit =
-      if (spark.conf.getOption(key).forall(_.toLong < needed))
-        spark.conf.set(key, needed.toString)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raiseConf("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    val agg = new BloomFilterAggregate(
-      GraftBridge.toCatalyst(xxhash64(keyCol)),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    keys.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits
+    ).map { case (key, needed) =>
+      val old = spark.conf.getOption(key)
+      if (old.forall(_.toLong < needed)) spark.conf.set(key, needed.toString)
+      key -> old
+    }
+    try {
+      val agg = new BloomFilterAggregate(
+        GraftBridge.toCatalyst(xxhash64(keyCol)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      keys.select(GraftBridge.column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    } finally saved.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
   }
 
   /** Membership probe against a serialized filter from [[buildBloom]].

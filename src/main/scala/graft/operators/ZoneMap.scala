@@ -66,6 +66,11 @@ object ZoneMap {
       // always-false filter over the (footer-only) scan
       spark.read.parquet(dir).filter(lit(false))
     else
-      spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+      // basePath keeps Spark's key=value partition-column inference for
+      // explicit leaf-file reads — without it a partitioned layout would
+      // return a DIFFERENT schema from the empty-files branch (and from
+      // the contract's full read + filter)
+      spark.read.option("basePath", dir)
+        .parquet(files.toIndexedSeq: _*).filter(residual)
   }
 }

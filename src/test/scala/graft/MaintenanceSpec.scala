@@ -111,6 +111,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(live + ".compacting").exists())
   }
 
+  test("recoverSwap finishes the announced swap after a pre-rename crash") {
+    // marker + live + complete .next, no .old = crashed between marker
+    // creation and the first rename; the rewrite must be APPLIED, not
+    // silently discarded as post-swap debris
+    val base = java.nio.file.Files.createTempDirectory("graft_rec3").toString
+    val live = base + "/t"
+    (1L to 10L).map(i => (i, 1.0)).toDF("id", "v").write.parquet(live)
+    (1L to 7L).map(i => (i, 2.0)).toDF("id", "v").write.parquet(live + ".next")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(live + ".compacting"), live + ".old")
+    assert(Maintenance.recoverSwap(spark, live) === true)
+    val rows = spark.read.parquet(live).collect()
+    assert(rows.length == 7 && rows.forall(_.getDouble(1) == 2.0), "rewrite not applied")
+    assert(!new java.io.File(live + ".next").exists())
+    assert(!new java.io.File(live + ".old").exists())
+    assert(!new java.io.File(live + ".compacting").exists())
+    assert(Maintenance.recoverSwap(spark, live) === false)
+  }
+
   test("compact sizes the output from real bytes") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
     (1L to 20000L).map(i => (i, "x" * 100)).toDF("id", "s")

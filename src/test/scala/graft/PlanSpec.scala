@@ -171,11 +171,15 @@ class PlanSpec extends AnyFunSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"bloom predicate missing from the physical plan:\n$plan")
-    // the probe must sit under a Filter feeding the semi join, not after it
+    // the probe must sit under the semi join (tree rendering: children
+    // print BELOW their parent), not applied to the join's output — a
+    // hoisted probe would defeat the scan-side prefilter entirely
     val filterIdx = plan.indexOf("might_contain")
     val semiIdx = plan.indexOf("LeftSemi")
     assert(filterIdx >= 0 && semiIdx >= 0,
       s"expected both bloom filter and semi join in:\n$plan")
+    assert(filterIdx > semiIdx,
+      s"bloom probe rendered above the semi join — no longer scan-side:\n$plan")
   }
 
   test("w8 windowed distinct: both windows share one exchange on l_partkey") {

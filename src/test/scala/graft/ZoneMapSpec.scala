@@ -58,7 +58,10 @@ class ZoneMapSpec extends AnyFunSuite {
     val kept = ZoneMap.prune(idx, "v", 0L, 100L).collect().map(_.getString(0))
     assert(kept.length >= 1 && kept.forall(!_.contains("a=2")))
     val res = ZoneMap.prunedRead(spark, dir, idx, "v", 0L, 100L)
-      .select("id").as[Long].collect().sorted
-    assert(res.toSeq == Seq(1L, 2L))
+    // partitioned (key=value) layout: the inferred partition column must
+    // survive the explicit-file read, matching the full-read schema
+    assert(res.columns.toSeq == spark.read.parquet(dir).columns.toSeq)
+    assert(res.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(res.select("a").distinct().as[Int].collect().toSeq == Seq(1))
   }
 }
