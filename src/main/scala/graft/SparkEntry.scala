@@ -1900,6 +1900,18 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** nov1 — gram novelty vs a reference slice (every 3rd doc): the
+    * novelty-weighted sampling signal; integer-ratio novelty fraction is
+    * engine-exact.
+    */
+  private def nov1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    Curation.gramNovelty(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0), ngramK = 3)
+      .orderBy("doc_id")
+  }
+
   /** stat1 — exact-moment correlation/covariance of quantity vs price:
     * DECIMAL moment sums are commutative and exact, so the closed forms
     * evaluate on bit-identical inputs in both engines — deterministic
@@ -2312,6 +2324,7 @@ object SparkEntry {
     "samp1_hash_split" -> (samp1 _),
     "samp2_stratified" -> (samp2 _),
     "e11_decontaminate" -> (e11 _),
+    "nov1_gram_novelty" -> (nov1 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
@@ -2806,6 +2819,22 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    // nov1: per-doc DISTINCT grams (list_distinct mirrors array_distinct),
+    // left join against the reference slice's distinct grams, integer-
+    // ratio novelty (both engines divide the same exact integers).
+    "nov1_gram_novelty" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS grams FROM t),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM s),
+        |ref AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 3 = 0),
+        |q AS (SELECT doc_id, gram FROM dg WHERE doc_id % 3 <> 0)
+        |SELECT q.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(sum(CASE WHEN ref.gram IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM q LEFT JOIN ref ON q.gram = ref.gram
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
     "pack1_token_budget" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

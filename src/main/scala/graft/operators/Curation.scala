@@ -90,6 +90,36 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Per-document gram NOVELTY against a reference corpus: the fraction
+    * of a doc's distinct `ngramK`-grams NOT present in `reference` — the
+    * novelty-weighted sampling signal (prefer documents that add new
+    * content; near-zero novelty ≈ boilerplate the corpus already has).
+    * Same scale shape as [[decontaminate]]: per-doc distinct grams bound
+    * the explode, the reference's distinct-gram table broadcasts after
+    * its aggregation, and the fraction is integer-ratio arithmetic
+    * (novel/total as DOUBLE — engine-exact). Every doc appears in the
+    * output: shorter-than-k docs shingle to one whole-text gram, so the
+    * explode never drops a row.
+    */
+  def gramNovelty(
+      docs: DataFrame,
+      reference: DataFrame,
+      ngramK: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame = df.select(
+      cols :+ explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col(textCol)), ngramK))).as("__gram"): _*)
+    val refGrams = grams(reference).distinct().withColumn("__hit", lit(1L))
+    grams(Partitioning.spread(docs), col(idCol))
+      .join(refGrams, Seq("__gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Sketch-accelerated decontamination — identical RESULT to
     * [[decontaminate]] (the oracle hash-checks that), different scale
     * shape: instead of semi-joining every corpus gram against the eval

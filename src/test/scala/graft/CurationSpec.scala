@@ -21,6 +21,23 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(3) == expect)
   }
 
+  test("gramNovelty: fraction of distinct grams unseen in the reference") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c x"),   // grams {a b c, b c x} → 1 of 2 novel
+      (2L, "z z z z"),   // distinct grams {z z z} → fully novel
+      (3L, "a b c d"),   // identical to the reference → 0 novel
+      (4L, "hi")         // short doc: one whole-text gram, novel
+    ).toDF("doc_id", "text")
+    val out = Curation.gramNovelty(docs, ref, ngramK = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 1L, 1.0)))
+  }
+
   test("hashSplit is a stable pure function of the id") {
     val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val a = docs.withColumn("split", Curation.hashSplit(docs, "doc_id"))
