@@ -1900,6 +1900,13 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** ent1 — per-doc token entropy (vocabulary flatness), fixed-pointed
+    * per (doc, term) then integer-summed — partition-order-proof.
+    */
+  private def ent1(s: SparkSession, d: String) =
+    Curation.tokenEntropy(Tables.documents(s, d))
+      .orderBy("doc_id")
+
   /** nov1 — gram novelty vs a reference slice (every 3rd doc): the
     * novelty-weighted sampling signal; integer-ratio novelty fraction is
     * engine-exact.
@@ -2325,6 +2332,7 @@ object SparkEntry {
     "samp2_stratified" -> (samp2 _),
     "e11_decontaminate" -> (e11 _),
     "nov1_gram_novelty" -> (nov1 _),
+    "ent1_token_entropy" -> (ent1 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
@@ -2819,6 +2827,18 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    // ent1: ln on identical doubles, floored to fixed point per
+    // (doc, term), then exact integer weighting — the lm1 pattern applied
+    // within documents. DuckDB BIGINT sums widen to HUGEINT → cast back.
+    "ent1_token_entropy" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+        |wl AS (SELECT doc_id, tf, sum(tf) OVER (PARTITION BY doc_id) AS len FROM tf),
+        |fp AS (SELECT doc_id, tf, len,
+        |  CAST(floor(ln(CAST(tf AS DOUBLE) / CAST(len AS DOUBLE)) * 1048576) AS BIGINT) AS lp FROM wl)
+        |SELECT doc_id, CAST(max(len) AS BIGINT) AS n_tok,
+        |  CAST(-sum(tf * lp) AS BIGINT) AS entropy_fp
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // nov1: per-doc DISTINCT grams (list_distinct mirrors array_distinct),
     // left join against the reference slice's distinct grams, integer-
     // ratio novelty (both engines divide the same exact integers).

@@ -327,6 +327,33 @@ object Curation {
     } finally cached.unpersist()
   }
 
+  /** Per-document token-distribution entropy — the vocabulary-flatness
+    * quality signal (near-zero entropy = one token repeated; high
+    * entropy = diverse vocabulary): H(d) = -Σ_t (tf/len)·ln(tf/len).
+    * Determinism: the per-(doc,term) probability is fixed-pointed ONCE
+    * (floor(ln(tf/len)·2^20), the lm1 pattern) and weighted by the exact
+    * integer tf, so the per-doc sum is integer arithmetic — partition-
+    * order-proof. Scale shape: one explode → one (doc,term) agg → one
+    * per-doc agg; everything keys on the doc id, no corpus-wide state.
+    * Returns (id, n_tok, entropy_fp) where entropy_fp = -Σ tf·lp_fp
+    * (divide by 2^20·n_tok for nats).
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Partitioning.spread(docs)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+      .withColumn("__len", sum(col("__tf")).over(Window.partitionBy(idCol)))
+      .select(col(idCol), col("__tf"), col("__len"),
+        floor(log(col("__tf").cast("double") / col("__len").cast("double")) * lit(1048576L))
+          .cast("long").as("__lp_fp"))
+      .groupBy(col(idCol))
+      .agg(max(col("__len")).as("n_tok"),
+        (-sum(col("__tf") * col("__lp_fp"))).as("entropy_fp"))
+
   /** Bigram PMI collocations — pointwise mutual information
     * ln(p(w1,w2) / (p(w1)·p(w2))) over adjacent token pairs, the classic
     * phrase-mining signal. Counts are exact integers; the single

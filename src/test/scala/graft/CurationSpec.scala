@@ -38,6 +38,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 1L, 1.0)))
   }
 
+  test("tokenEntropy: zero for constant docs, max for all-distinct, layout-proof") {
+    val docs = Seq(
+      (1L, "x x x x"),       // one token type → entropy 0
+      (2L, "a b c d"),       // uniform over 4 → entropy = ln 4 (fixed-pointed)
+      (3L, "a a b b")        // uniform over 2 → ln 2
+    ).toDF("doc_id", "text")
+    val out = Curation.tokenEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 0L)))
+    val lp4 = math.floor(math.log(0.25) * 1048576).toLong
+    assert(out(2L) == ((4L, -4L * lp4)))
+    val lp2 = math.floor(math.log(0.5) * 1048576).toLong
+    assert(out(3L) == ((4L, -4L * lp2)))
+    // integer arithmetic ⇒ identical under any partition layout
+    val re = Curation.tokenEntropy(docs.repartition(5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == out)
+  }
+
   test("hashSplit is a stable pure function of the id") {
     val docs = (1L to 500L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val a = docs.withColumn("split", Curation.hashSplit(docs, "doc_id"))
