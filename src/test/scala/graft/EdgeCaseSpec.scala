@@ -85,6 +85,44 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.streaming.EventStream.sessionizeBatch(noEvents, 1800).count() == 0)
   }
 
+  test("round-4 session operators survive empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    // simhash pairs: empty input, and empty with a bucket cap
+    assert(graft.operators.Dedup.simhashNearDupPairs(noDocs).count() == 0)
+    assert(graft.operators.Dedup.simhashNearDupPairs(docs, maxBucket = 1).count() == 0)
+    // novelty: empty reference → everything fully novel
+    val nov = graft.operators.Curation.gramNovelty(docs, noDocs)
+      .collect().map(_.getDouble(3))
+    assert(nov.length == 2 && nov.forall(_ == 1.0))
+    // novelty/entropy/pmi on empty corpora
+    assert(graft.operators.Curation.gramNovelty(noDocs, docs).count() == 0)
+    assert(graft.operators.Curation.tokenEntropy(noDocs).count() == 0)
+    assert(graft.operators.Curation.bigramPmi(noDocs, minCount = 1).count() == 0)
+    // graph analytics on empty edge lists
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Graph.triangles(noEdges).count() == 0)
+    assert(graft.operators.Graph.degrees(noEdges).count() == 0)
+    // knn with an empty corpus: no neighbors, no predictions
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.knnClassify(q, noVecs, k = 3).count() == 0)
+  }
+
+  test("pmi and novelty are invariant under partition layout") {
+    val docs = (1L to 60L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    def pmi(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.bigramPmi(df, minCount = 2)
+        .orderBy("w1", "w2").collect().map(_.toSeq).toSeq
+    assert(pmi(docs) == pmi(docs.repartition(13)))
+    def novel(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.gramNovelty(df.filter(col("doc_id") > 30),
+          df.filter(col("doc_id") <= 30))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(novel(docs) == novel(docs.repartition(13)))
+  }
+
   test("TopK with k larger than any group returns every row") {
     val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)).toDF("key", "v")
     val got = graft.plans.TopK.perKey(df, Seq(col("key")), Seq(col("v").desc), 10)
