@@ -1912,6 +1912,29 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** o4 — keyset (seek-method) pagination: the scalable replacement for
+    * OFFSET (which scans and discards the skip — O(offset) per page).
+    * The composite-key seek is written as `date >= D AND (date > D OR
+    * key > K)` so the prefix conjunct reaches the parquet scan; the
+    * residual disjunction finishes the tuple compare.
+    */
+  private def o4(s: SparkSession, d: String) = {
+    val dk = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= dk &&
+        (col("o_orderdate") > dk || col("o_orderkey") > 5000L))
+      .orderBy("o_orderdate", "o_orderkey")
+      .limit(100)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+  }
+
+  /** emb3 — per-dimension embedding stats (the normalization table):
+    * fixed-point means, exact min/max, one dimension-keyed agg.
+    */
+  private def emb3(s: SparkSession, d: String) =
+    operators.Similarity.dimStats(Tables.embeddings(s, d))
+      .orderBy("dim")
+
   /** ent1 — per-doc token entropy (vocabulary flatness), fixed-pointed
     * per (doc, term) then integer-summed — partition-order-proof.
     */
@@ -2345,6 +2368,8 @@ object SparkEntry {
     "e11_decontaminate" -> (e11 _),
     "nov1_gram_novelty" -> (nov1 _),
     "ent1_token_entropy" -> (ent1 _),
+    "o4_keyset_page" -> (o4 _),
+    "emb3_dim_stats" -> (emb3 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
@@ -2839,6 +2864,20 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    "o4_keyset_page" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |AND (o_orderdate > TIMESTAMP '1997-01-01' OR o_orderkey > 5000)
+        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+    // emb3: float→double cast is exact, ·2^20 is a power-of-two multiply
+    // (exact), floor to BIGINT, integer sums — partition-order-proof.
+    "emb3_dim_stats" ->
+      """WITH d AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) t)
+        |SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+        |  min(v) AS vmin, max(v) AS vmax,
+        |  CAST(sum(CAST(floor(v * 1048576) AS BIGINT)) AS BIGINT) AS sum_fp
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // ent1: ln on identical doubles, floored to fixed point per
     // (doc, term), then exact integer weighting — the lm1 pattern applied
     // within documents. DuckDB BIGINT sums widen to HUGEINT → cast back.

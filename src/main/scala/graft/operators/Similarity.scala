@@ -58,6 +58,24 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-dimension corpus statistics over an embedding column — the
+    * feature-scaling table (min/max for clamps, mean for centering) a
+    * normalization pass needs. Mean via the fixed-point trick
+    * (floor(v·2^20) is exact on IEEE floats, integer sums commute →
+    * bit-identical under any partitioning); one posexplode + one
+    * dimension-keyed aggregation, rows out = dim count.
+    */
+  def dimStats(
+      vecs: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col("dim"), col("__v").cast("double").as("__v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("vmin"),
+        max(col("__v")).as("vmax"),
+        sum(floor(col("__v") * lit(1048576L)).cast("long")).as("sum_fp"))
+
   /** k-NN majority-vote classification over the embedding space — the
     * label-propagation consumer of the top-k kernel (weak-label transfer
     * from a labeled corpus to unlabeled queries in a training-data

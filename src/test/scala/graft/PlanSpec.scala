@@ -222,6 +222,18 @@ class PlanSpec extends AnyFunSuite {
       s"more than the lineitem-orders join merged:\n$plan")
   }
 
+  test("o4 keyset page: the seek prefix conjunct reaches the scan; limited sort") {
+    val qe = SparkEntry.queries("o4_keyset_page")(spark, sf).queryExecution
+    val pushed = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      s"seek prefix not pushed: $pushed")
+    // pagination must plan as TakeOrderedAndProject, not a full global sort
+    assert(qe.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s"expected top-k plan:\n${qe.executedPlan}")
+  }
+
   test("pmi1: totals broadcast as single-row relations, vocabulary joins stay keyed") {
     val plan = SparkEntry.queries("pmi1_collocations")(spark, sf)
       .queryExecution.executedPlan.toString
