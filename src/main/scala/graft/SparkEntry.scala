@@ -1912,6 +1912,21 @@ object SparkEntry {
       .orderBy("user_id", "event_id")
   }
 
+  /** j12 — FULL OUTER join (the last join-type gap): per-nation customer
+    * census vs supplier census, nations missing from either side survive
+    * null-padded. Both sides pre-aggregate to nation cardinality before
+    * the join — the scale idiom: outer-join the AGGREGATES, not the
+    * fact tables.
+    */
+  private def j12(s: SparkSession, d: String) = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .groupBy(col("c_nationkey").as("nation")).agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("nation")).agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nation"), "full_outer")
+      .orderBy("nation")
+  }
+
   /** o4 — keyset (seek-method) pagination: the scalable replacement for
     * OFFSET (which scans and discards the skip — O(offset) per page).
     * The composite-key seek is written as `date >= D AND (date > D OR
@@ -2369,6 +2384,7 @@ object SparkEntry {
     "nov1_gram_novelty" -> (nov1 _),
     "ent1_token_entropy" -> (ent1 _),
     "o4_keyset_page" -> (o4 _),
+    "j12_full_outer" -> (j12 _),
     "emb3_dim_stats" -> (emb3 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
@@ -2864,6 +2880,14 @@ object SparkEntry {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id, d.n_chars""".stripMargin,
+    "j12_full_outer" ->
+      """SELECT COALESCE(c.nation, s.nation) AS nation, c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nation, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > CAST(9000 AS DOUBLE) GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nation, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > CAST(9000 AS DOUBLE) GROUP BY 1) s
+        |ON c.nation = s.nation
+        |ORDER BY nation""".stripMargin,
     "o4_keyset_page" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
