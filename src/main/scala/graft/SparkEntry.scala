@@ -2303,6 +2303,120 @@ object SparkEntry {
       .orderBy("px_row", "px_col")
   }
 
+  /** kmv1 — KMV distinct-count sketch beside the exact count: per return
+    * flag, the k=64 sketch estimate of distinct part keys. Deterministic
+    * (md5-hashed, RNG-free), so the oracle recomputes the SAME estimate —
+    * the sketch math itself is hash-gated, not just "close enough".
+    */
+  private def kmv1(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val sk = operators.Sketches.kmvDistinct(li, col("l_partkey"), Seq("l_returnflag"), k = 64)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    sk.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+  }
+
+  /** cdc1 — snapshot diff: two views of `orders` (one-third disjoint on
+    * each side, every fifth shared key's price bumped) reconciled into
+    * insert/delete/update rows. Null-safe compare; unchanged rows drop.
+    */
+  private def cdc1(s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    val old = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val nw = o.filter(col("o_orderkey") % 3 =!= 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    operators.Maintenance.snapshotDiff(old, nw, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** iv1 — incremental view maintenance: the even-orderkey half's rollup
+    * state is WRITTEN to parquet and read back (yesterday's store), the
+    * odd half is folded in as today's delta, and the merged state must
+    * equal the from-scratch aggregate over everything — proving the state
+    * round-trips and the merge is lossless, without ever rescanning
+    * "history" in the merge.
+    */
+  private def iv1(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val out = java.nio.file.Files.createTempDirectory("graft_iv1").toString
+    operators.Maintenance.rollupState(
+        li.filter(col("l_orderkey") % 2 === 0), keys, "l_quantity")
+      .write.mode("overwrite").parquet(out)
+    val delta = operators.Maintenance.rollupState(
+      li.filter(col("l_orderkey") % 2 =!= 0), keys, "l_quantity")
+    operators.Maintenance.mergeRollupStates(Seq(s.read.parquet(out), delta), keys)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_v").cast("double").as("sum_qty"),
+        col("min_v").as("min_qty"), col("max_v").as("max_qty"),
+        round(col("sum_v").cast("double") / col("n_rows"), 6).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** fz1 — blocked fuzzy match (record linkage): every 50th part name,
+    * perturbed by deleting its 3rd character, is matched back against the
+    * full part table at edit distance <= 2 under (2-char prefix, ±2
+    * length) blocking. The oracle states the same blocking contract
+    * relationally — prefix equality + length filter + levenshtein.
+    */
+  private def fz1(s: SparkSession, d: String) = {
+    val p = Tables.part(s, d)
+    val probes = p.filter(col("p_partkey") % 50 === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1 << 20))
+          .as("probe_name"))
+    operators.FuzzyJoin.blockedLevenshtein(
+        probes, p.select(col("p_partkey"), col("p_name")),
+        "probe_name", "p_name", maxDist = 2, blockPrefix = 2)
+      .select(col("probe_key"), col("probe_name"), col("p_partkey"), col("p_name"),
+        col("edit_dist").cast("int").as("edit_dist"))
+      .orderBy("probe_key", "p_partkey")
+  }
+
+  /** s11 — JSONL round trip (the interchange format every curation
+    * pipeline speaks): documents are written as JSON lines and read back
+    * under an explicit schema; the oracle aggregates the parquet source
+    * directly, so a hash match proves the write→read cycle is lossless
+    * (md5 over the round-tripped text included).
+    */
+  private def s11(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .coalesce(4).write.mode("overwrite").json(out)
+    s.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, text STRING")
+      .json(out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(md5(col("text"))).as("min_text_md5"))
+      .orderBy("lang", "source")
+  }
+
+  /** span2 — span-level dedup transform: strip every token covered by a
+    * corpus-repeated 5-gram (span1's census predicate, now acted on) and
+    * return the reassembled text. The oracle rebuilds each document with
+    * an ordered string_agg over the surviving positions.
+    */
+  private def span2(s: SparkSession, d: String) =
+    Curation.stripRepeatedSpans(Tables.documents(s, d), ngramK = 5)
+      .orderBy("doc_id")
+
+  /** tfidf2 — sparse lexical pair similarity over rare 3-gram TF-IDF
+    * vectors (posting-list enumeration, df capped at 20): the lexical
+    * twin of e3's dense cosine. 2^20 fixed-point weights make every
+    * accumulation integer-exact, so the cosine is hash-stable.
+    */
+  private def tfidf2(s: SparkSession, d: String) =
+    operators.Similarity.sparseTfidfPairs(Tables.documents(s, d),
+        dfCap = 20, minCosine = 0.3, ngramK = 3)
+      .orderBy("a", "b")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2470,7 +2584,14 @@ object SparkEntry {
     "w10_value_windows" -> (w10 _),
     "hist1_char_lengths" -> (hist1 _),
     "hist2_price_deciles" -> (hist2 _),
-    "cap1_source_cap" -> (cap1 _)
+    "cap1_source_cap" -> (cap1 _),
+    "kmv1_distinct_sketch" -> (kmv1 _),
+    "cdc1_snapshot_diff" -> (cdc1 _),
+    "iv1_incremental_rollup" -> (iv1 _),
+    "fz1_fuzzy_match" -> (fz1 _),
+    "s11_jsonl_roundtrip" -> (s11 _),
+    "span2_strip_spans" -> (span2 _),
+    "tfidf2_pair_similarity" -> (tfidf2 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -2481,7 +2602,10 @@ object SparkEntry {
 
   /** SQL for the integer value of the first k hex chars of expression h. */
   private def sqlHexVal(h: String, k: Int): String =
-    (1 to k).map(i => s"${sqlHexDigit(h, i)} * ${math.pow(16, (k - i).toDouble).toLong}")
+    // the multiplier must be BIGINT: DuckDB types bare integer literals
+    // INT32, and digit · 16^7 already overflows 32 bits (k up to 15 here)
+    (1 to k).map(i =>
+        s"${sqlHexDigit(h, i)} * CAST(${math.pow(16, (k - i).toDouble).toLong} AS BIGINT)")
       .mkString("(", " + ", ")")
 
   private def sqlMinhash(j: Int): String = {
@@ -3988,6 +4112,103 @@ object SparkEntry {
          |r AS (SELECT source, doc_id,
          |  row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn FROM q)
          |SELECT source, doc_id, rn FROM r WHERE rn <= 5
-         |ORDER BY source, rn""".stripMargin
+         |ORDER BY source, rn""".stripMargin,
+    // kmv1: the oracle recomputes the sketch itself (distinct 60-bit md5
+    // prefixes, k smallest per group) — deterministic, so the estimate is
+    // hash-gated. 63·2^60 is exactly representable as a double (6-bit
+    // mantissa), so the CASE arithmetic is one correctly-rounded divide.
+    "kmv1_distinct_sketch" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag, ${sqlHexVal("m", 15)} AS h
+         |  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),
+         |r AS (SELECT l_returnflag, h, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+         |s AS (SELECT l_returnflag, count(*) AS n_min, max(h) AS kth_hash FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+         |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct FROM lineitem GROUP BY l_returnflag)
+         |SELECT s.l_returnflag, n_min, kth_hash,
+         |  CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+         |    ELSE round(CAST(63.0 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth_hash AS DOUBLE), 6) END AS est_distinct,
+         |  exact_distinct
+         |FROM s JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    "cdc1_snapshot_diff" ->
+      """WITH o1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
+        |n1 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + CAST(1.0 AS DOUBLE) ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus FROM orders WHERE o_orderkey % 3 <> 1),
+        |j AS (SELECT coalesce(o1.o_orderkey, n1.o_orderkey) AS o_orderkey,
+        |  o1.o_totalprice AS old_o_totalprice, o1.o_orderstatus AS old_o_orderstatus,
+        |  n1.o_totalprice AS new_o_totalprice, n1.o_orderstatus AS new_o_orderstatus,
+        |  (o1.o_orderkey IS NOT NULL) AS in_old, (n1.o_orderkey IS NOT NULL) AS in_new
+        |  FROM o1 FULL OUTER JOIN n1 ON o1.o_orderkey = n1.o_orderkey),
+        |c AS (SELECT o_orderkey, old_o_totalprice, old_o_orderstatus, new_o_totalprice, new_o_orderstatus,
+        |  CASE WHEN NOT in_old THEN 'insert' WHEN NOT in_new THEN 'delete'
+        |    WHEN (old_o_totalprice IS DISTINCT FROM new_o_totalprice)
+        |      OR (old_o_orderstatus IS DISTINCT FROM new_o_orderstatus) THEN 'update' END AS change
+        |  FROM j)
+        |SELECT o_orderkey, change, old_o_totalprice, old_o_orderstatus, new_o_totalprice, new_o_orderstatus
+        |FROM c WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    // iv1: the oracle is the FROM-SCRATCH aggregate — a hash match proves
+    // the persisted state + delta merge loses nothing.
+    "iv1_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "fz1_fuzzy_match" ->
+      """WITH pr AS (SELECT p_partkey AS probe_key,
+        |  concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+        |  FROM part WHERE p_partkey % 50 = 0)
+        |SELECT probe_key, probe_name, p.p_partkey, p.p_name,
+        |  CAST(levenshtein(probe_name, p.p_name) AS INTEGER) AS edit_dist
+        |FROM pr JOIN part p ON substr(probe_name, 1, 2) = substr(p.p_name, 1, 2)
+        |  AND abs(len(probe_name) - len(p.p_name)) <= 2
+        |  AND levenshtein(probe_name, p.p_name) <= 2
+        |ORDER BY probe_key, p.p_partkey""".stripMargin,
+    // s11: the oracle never sees the JSON — it aggregates the parquet
+    // source, so a hash match (md5 of the round-tripped text included)
+    // proves the JSONL write→read cycle lossless.
+    "s11_jsonl_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(md5(text)) AS min_text_md5
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "span2_strip_spans" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, CASE WHEN len(toks) < 5 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 4),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])) END AS sh
+        |  FROM t),
+        |p AS (SELECT doc_id, unnest(sh) AS gram, unnest(generate_series(0, len(sh) - 1)) AS pos FROM s),
+        |r AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM p) WHERE n_occ >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + d AS cpos FROM r, (SELECT unnest(generate_series(0, 4)) AS d) dd),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(generate_series(0, len(toks) - 1)) AS pos FROM t),
+        |j AS (SELECT tok.doc_id, tok.pos, tok.tok, cov.cpos IS NOT NULL AS is_cov
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.cpos)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT is_cov THEN tok END, ' ' ORDER BY pos), '') AS clean_text,
+        |  count(CASE WHEN NOT is_cov THEN 1 END) AS n_kept,
+        |  count(CASE WHEN is_cov THEN 1 END) AS n_removed
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tfidf2: same fixed-point weight (tf · floor(ln(N/df)·2^20)) on both
+    // engines; all sums are exact integers (HUGEINT in DuckDB, DECIMAL(38)
+    // in Spark), so the cosine is one correctly-rounded divide per pair.
+    "tfidf2_pair_similarity" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |  ELSE list_transform(generate_series(1, len(toks) - 2),
+        |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS sh FROM t),
+        |dt AS (SELECT doc_id, gram, count(*) AS tf FROM (SELECT doc_id, unnest(sh) AS gram FROM s) GROUP BY doc_id, gram),
+        |dfc AS (SELECT gram, count(*) AS df FROM dt GROUP BY gram),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (SELECT doc_id, dt.gram,
+        |  tf * CAST(floor(ln(CAST((SELECT n FROM nd) AS DOUBLE) / df) * 1048576) AS BIGINT) AS w
+        |  FROM dt JOIN dfc ON dt.gram = dfc.gram WHERE df BETWEEN 2 AND 20),
+        |nrm AS (SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared, sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        |  FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id),
+        |c AS (SELECT a, b, n_shared,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+        |  FROM p JOIN nrm na ON p.a = na.doc_id JOIN nrm nb ON p.b = nb.doc_id)
+        |SELECT a, b, n_shared, cosine FROM c WHERE cosine >= CAST(0.3 AS DOUBLE) ORDER BY a, b""".stripMargin
   )
 }

@@ -462,6 +462,55 @@ object Curation {
         sum(col("__span_tokens")).as("repeated_tokens"))
   }
 
+  /** Span-level dedup TRANSFORM — the removal half of
+    * [[repeatedSpanStats]] (which only censuses): delete every token
+    * covered by a corpus-repeated `ngramK`-gram (≥2 occurrences anywhere,
+    * across or within documents — same repetition predicate as span1) and
+    * reassemble the surviving tokens in order. Every document comes back,
+    * fully-stripped ones with empty text — the caller decides whether to
+    * drop empties (a filter) or keep them as tombstones.
+    *
+    * Scale shape: gram explode → COUNT window over the gram partition
+    * (one shuffle, the span1/par1 shape) → covered positions via a
+    * bounded k-explode + distinct → one co-partitioned join back to the
+    * exploded tokens on (doc, pos) → per-doc agg whose state is the
+    * kept-token list (bounded by document length, the same bound
+    * chunk/pack carry). No driver state, no self-join of the corpus.
+    */
+  def stripRepeatedSpans(
+      docs: DataFrame,
+      ngramK: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pos = Partitioning.spread(docs).select(col(idCol),
+      posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as(Seq("__pos", "__gram")))
+    val covered = pos
+      .withColumn("__n_occ", count(lit(1)).over(Window.partitionBy("__gram")))
+      .filter(col("__n_occ") >= 2)
+      // a repeated gram starting at p covers tokens p .. p+k-1; overlaps
+      // collapse in the distinct
+      // rename the id out of the shared lineage: both sides descend from
+      // `docs`, and an ambiguous self-reference would resolve to a
+      // trivially-true predicate instead of the intended equi-join
+      .select(col(idCol).as("__cov_id"),
+        explode(sequence(col("__pos"), col("__pos") + ngramK - 1)).as("__cov"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    toks
+      .join(covered, col(idCol) === col("__cov_id") && col("__pos") === col("__cov"), "left")
+      .select(col(idCol), col("__pos"), col("__tok"), col("__cov").isNotNull.as("__is_cov"))
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list drops the NULL-ed covered slots; the sort restores
+        // document order (collect order is partition-dependent)
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__is_cov"), struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok"))).as("clean_text"),
+        sum(when(!col("__is_cov"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__is_cov"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Composite document quality gate: the standard curation filter stack
     * (length/stopword quality score, language-ID agreement, within-doc
     * repetition) folded into one pass with an audit trail — each document

@@ -255,4 +255,88 @@ object Maintenance {
     checkedSwap(fs, p, next)
     (before, after, replaced)
   }
+
+  /** Snapshot diff (CDC derivation): classify `newDf` against `oldDf` by
+    * `keyCols` into insert / delete / update rows; unchanged rows are
+    * dropped. Output: key columns, `change`, and `old_<c>` / `new_<c>`
+    * for every compare column (NULL on the side that lacks the row).
+    *
+    * Contract: `keyCols` must be unique within each side (a duplicated
+    * key multiplies rows through the join, like any relational diff) and
+    * disjoint from `compareCols`. Comparison is null-safe — NULL→value
+    * and value→NULL both count as updates.
+    *
+    * Scale shape: one co-partitioned full-outer shuffle join on the key,
+    * no driver materialization; at 100 TB this is the standard
+    * snapshot-reconciliation shape (both sides sorted-merged on the same
+    * key, AQE free to pick broadcast when one snapshot is small).
+    */
+  def snapshotDiff(
+      oldDf: org.apache.spark.sql.DataFrame,
+      newDf: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val clash = keyCols.intersect(compareCols)
+    require(clash.isEmpty, s"keyCols and compareCols must be disjoint; shared: ${clash.mkString(",")}")
+    val o = oldDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__in_old"): _*)
+    val n = newDf.select(keyCols.map(col) ++
+      compareCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__in_new"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("insert"))
+          .when(col("__in_new").isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
+  /** Mergeable per-key rollup state: count / decimal-exact sum / min /
+    * max of `valueCol` per `keyCols`. The state is a plain DataFrame
+    * (writable to any store) whose columns re-aggregate losslessly —
+    * see [[mergeRollupStates]]. This is the incremental-view-maintenance
+    * primitive: keep yesterday's state, fold in today's delta, never
+    * rescan history. Each state build is one map-side-combined shuffle
+    * over its own slice only.
+    */
+  def rollupState(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    require(keyCols.nonEmpty, "rollupState needs at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+  }
+
+  /** Merge rollup states from [[rollupState]] (any number of slices,
+    * stored or fresh) into the state of the unioned inputs: counts and
+    * decimal sums add, min/max fold — all four are associative and
+    * commutative, so the merge is exact regardless of how the data was
+    * sliced or how partials arrive. One shuffle over state rows (≤
+    * |keys| per slice), never over raw data.
+    */
+  def mergeRollupStates(
+      states: Seq[org.apache.spark.sql.DataFrame],
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min, sum}
+    require(states.nonEmpty, "mergeRollupStates needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
 }

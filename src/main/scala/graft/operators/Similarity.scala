@@ -334,4 +334,78 @@ object Similarity {
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
     rankTopK(scored, k)
   }
+
+  /** Sparse TF-IDF document-pair similarity via posting-list pair
+    * enumeration — the lexical twin of the dense embedding paths: two
+    * documents are similar when they share RARE terms, scored by the
+    * cosine of their tf·idf vectors restricted to rare terms
+    * (2 <= df <= `dfCap`; df=1 terms pair with nothing, frequent terms
+    * are stopword-like noise AND the quadratic blowup, so the cap is
+    * both the semantic and the scale knob — document it as such).
+    *
+    * Scale shape: pairs are enumerated INSIDE per-term posting lists
+    * (groupBy term → sorted (doc,w) list, bounded at `dfCap` entries →
+    * ≤ dfCap² pairs per term), so the corpus is never self-joined and no
+    * subtree is built twice: per-doc norms ride along as a window column
+    * computed before grouping. Weights are 2^20 fixed-point BIGINTs
+    * (tf · floor(ln(N/df)·2^20)) so every sum is exact integer
+    * arithmetic and the final cosine is a single correctly-rounded
+    * divide — bit-identical across engines.
+    *
+    * Output: (a, b, n_shared, cosine) for pairs with rounded cosine >=
+    * `minCosine`, a < b.
+    */
+  def sparseTfidfPairs(
+      docs: DataFrame,
+      dfCap: Int = 50,
+      minCosine: Double = 0.3,
+      ngramK: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextOps
+    import org.apache.spark.sql.types.DecimalType
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val D38 = DecimalType(38, 0)
+    // terms are ngramK-token shingles: word n-grams keep the feature
+    // space sparse when the unigram vocabulary is small, the standard
+    // lexical near-dup feature choice
+    val docTerm = Partitioning.spread(docs)
+      .select(col(idCol),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val termDf = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val weighted = docTerm
+      .join(termDf, Seq("term")) // AQE broadcasts the df table
+      .filter(col("df").between(2, dfCap))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__w", col("tf") *
+        floor(log(col("n_docs").cast("double") / col("df")) * (1L << 20)).cast("long"))
+      // rare-subspace norm² per doc as a window: no second aggregation
+      // subtree, no join — the posting list carries it into each pair
+      .withColumn("__nsq", sum((col("__w") * col("__w")).cast(D38))
+        .over(Window.partitionBy(col(idCol))))
+    val postings = weighted
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col(idCol).as("d"), col("__w").as("w"),
+        col("__nsq").as("nsq")))).as("__lst"))
+    val pairs = postings.select(explode(flatten(
+      transform(col("__lst"), (x, i) => transform(
+        slice(col("__lst"), i + 2, size(col("__lst"))),
+        y => struct(x.getField("d").as("a"), y.getField("d").as("b"),
+          (x.getField("w") * y.getField("w")).as("p"),
+          x.getField("nsq").as("na"), y.getField("nsq").as("nb")))))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.p").as("__p"),
+        col("pr.na").as("__na"), col("pr.nb").as("__nb"))
+    pairs
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("__p").cast(D38)).as("__dot"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .withColumn("cosine", round(col("__dot").cast("double") /
+        (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("a", "b", "n_shared", "cosine")
+  }
 }

@@ -64,4 +64,52 @@ object Sketches {
     GraftBridge.column(BloomFilterMightContain(
       Literal(bloom, BinaryType),
       GraftBridge.toCatalyst(xxhash64(keyCol))))
+
+  /** KMV (k-minimum-values) distinct-count sketch, per group: keep the k
+    * smallest distinct 60-bit md5-derived hashes of `key`; with h(k) the
+    * k-th smallest hash on the 2^60 scale, the estimate is
+    * (k-1) · 2^60 / h(k) (Bar-Yossef et al. 2002). Groups holding fewer
+    * than k distinct keys report the EXACT count (the sketch is lossless
+    * below capacity).
+    *
+    * Unlike HyperLogLog this sketch is RNG-free and fully deterministic
+    * (md5 of the value), so two engines agree bit-for-bit — which is what
+    * makes it oracle-checkable. It is also mergeable: the union of two
+    * sketches' hash sets, re-capped to the k smallest, is exactly the
+    * sketch of the unioned inputs, so partials combine across
+    * partitions, stores, or days like any mergeable agg state.
+    *
+    * Scale shape: one distinct shuffle on (group, hash) with map-side
+    * partial dedup, then the k-cap runs through the bounded-heap
+    * [[graft.plans.TopK]] physical operator — the post-distinct exchange
+    * carries at most k rows per group, so the reduce side is O(k·groups)
+    * regardless of input distinct cardinality.
+    *
+    * Output: group columns + `n_min` (hashes kept, = min(k, distinct)),
+    * `kth_hash` (the sketch bound), `est_distinct`.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      key: Column,
+      groupCols: Seq[String] = Nil,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    // 15 hex chars = 60 bits: exact in a BIGINT in both engines, and
+    // (k-1)·2^60 stays exactly representable as a double for any sane k
+    val h = graft.functions.TextOps.hexVal(md5(key.cast("string")), 15)
+    val gcols = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val base =
+      if (groupCols.isEmpty) df.select(lit(1).as("__g"), h.as("__h"))
+      else df.select(groupCols.map(col) :+ h.as("__h"): _*)
+    val top = graft.plans.TopK.perKey(
+      base.distinct(), gcols.map(col), Seq(col("__h").asc), k)
+    val est = top
+      .groupBy(gcols.map(col): _*)
+      .agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble * math.pow(2.0, 60)) / col("kth_hash").cast("double"), 6)))
+    if (groupCols.isEmpty) est.drop("__g") else est
+  }
 }

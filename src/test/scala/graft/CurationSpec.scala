@@ -207,4 +207,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3)._2 == 2.0 / 6.0)          // 2 shared occurrences of 6
     assert(out(3)._3 == 1L)                 // but only one distinct shared gram
   }
+
+  test("stripRepeatedSpans removes exactly the covered tokens, keeps order") {
+    val docs = Seq(
+      (1L, "a b c d e x y z"),   // shares gram [a b c d e] with doc 2
+      (2L, "p a b c d e q r"),   // same gram at pos 1
+      (3L, "u v w x y z t s")    // private text, untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.stripRepeatedSpans(docs, ngramK = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // doc 1: positions 0-4 covered → "x y z" survives
+    assert(out(0) == ((1L, "x y z", 3L, 5L)))
+    // doc 2: positions 1-5 covered → "p q r" survives
+    assert(out(1) == ((2L, "p q r", 3L, 5L)))
+    assert(out(2) == ((3L, "u v w x y z t s", 8L, 0L)))
+  }
+
+  test("stripRepeatedSpans keeps fully-stripped docs as empty rows") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e")          // exact dup of 1 → both fully covered
+    ).toDF("doc_id", "text")
+    val out = Curation.stripRepeatedSpans(docs, ngramK = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, "", 0L, 5L), (2L, "", 0L, 5L)))
+  }
+
+  test("stripRepeatedSpans merges overlapping repeated grams into one span") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // grams [a..e] (pos0) and [b..f] (pos1) repeated
+      (2L, "a b c d e f z z z z")  // shares both grams
+    ).toDF("doc_id", "text")
+    val out = Curation.stripRepeatedSpans(docs, ngramK = 5)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // doc1: pos 0-5 covered (union of [0,4] and [1,5]) → "g h i j"
+    assert(out(0) == ((1L, "g h i j", 4L, 6L)))
+    assert(out(1)._4 == 6L)
+  }
 }

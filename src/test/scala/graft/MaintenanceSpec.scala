@@ -141,4 +141,55 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after >= 3 && after <= 6, s"got $after files")
     assert(spark.read.parquet(dir).count() == 20000)
   }
+
+  test("snapshotDiff classifies insert/delete/update and drops unchanged") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "s", "v")
+    val nw = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "D", 40.0), (5L, "e", 50.0))
+      .toDF("id", "s", "v")
+    val d = Maintenance.snapshotDiff(old, nw, Seq("id"), Seq("s", "v"))
+      .orderBy("id").collect()
+    assert(d.map(r => (r.getAs[Long]("id"), r.getAs[String]("change"))).toSeq ==
+      Seq((1L, "delete"), (3L, "update"), (4L, "update"), (5L, "insert")))
+    // old/new sides populated correctly on an update
+    val u3 = d.find(_.getAs[Long]("id") == 3L).get
+    assert(u3.getAs[Double]("old_v") == 30.0 && u3.getAs[Double]("new_v") == 31.0)
+  }
+
+  test("snapshotDiff compare is null-safe: NULL→value and value→NULL are updates") {
+    val old = Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("c")))
+      .toDF("id", "s")
+    val nw = Seq((1L, Option.empty[String]), (2L, Option("b")), (3L, Option("c")))
+      .toDF("id", "s")
+    val d = Maintenance.snapshotDiff(old, nw, Seq("id"), Seq("s"))
+      .orderBy("id").collect()
+    assert(d.map(r => (r.getAs[Long]("id"), r.getAs[String]("change"))).toSeq ==
+      Seq((1L, "update"), (2L, "update")))
+  }
+
+  test("snapshotDiff rejects overlapping key/compare columns") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.snapshotDiff(df, df, Seq("id"), Seq("id", "s"))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
+  test("rollup state merge is lossless vs from-scratch, any slicing") {
+    val df = (1L to 1000L).map(i => (i % 3, (i % 7).toDouble)).toDF("g", "v")
+    val full = Maintenance.rollupState(df, Seq("g"), "v")
+    // three arbitrary disjoint slices, one persisted through parquet
+    val s1 = Maintenance.rollupState(df.filter($"g" === 0 || $"v" < 3), Seq("g"), "v")
+    val s2 = Maintenance.rollupState(df.filter($"g" =!= 0 && $"v" >= 3 && $"v" < 5), Seq("g"), "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_iv").toString + "/s3"
+    Maintenance.rollupState(df.filter($"g" =!= 0 && $"v" >= 5), Seq("g"), "v")
+      .write.parquet(dir)
+    val merged = Maintenance.mergeRollupStates(
+      Seq(s1, s2, spark.read.parquet(dir)), Seq("g"))
+    val a = full.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4))).toSeq
+    val b = merged.orderBy("g").collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4))).toSeq
+    assert(a == b, s"full=$a merged=$b")
+  }
 }

@@ -184,4 +184,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
     lsh.foreach { case (id, s) => assert(s == brute(id)) }
   }
+
+  test("sparseTfidfPairs finds doc pairs sharing rare terms, skips df-capped terms") {
+    val docs = Seq(
+      (1L, "zeta kappa common common common"),
+      (2L, "kappa zeta common common common"),  // same rare bag as 1, reordered
+      (3L, "common common common other other"),
+      (4L, "common other common other common")  // same rare bag as 3
+    ).toDF("doc_id", "text")
+    // unigram terms; df(common)=4 > cap → excluded from pairing entirely;
+    // zeta/kappa (df 2) pair 1-2, other (df 2) pairs 3-4 — nothing else
+    val out = Similarity.sparseTfidfPairs(docs, dfCap = 3, minCosine = 0.0, ngramK = 1)
+      .orderBy("a", "b").collect()
+    val pairs = out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSeq
+    assert(pairs == Seq((1L, 2L), (3L, 4L)), s"got $pairs")
+    // identical rare vectors → cosine 1 (exact after round(6))
+    val c12 = out.find(r => r.getAs[Long]("a") == 1L).get
+    assert(c12.getAs[Long]("n_shared") == 2L)
+    assert(c12.getAs[Double]("cosine") == 1.0)
+    assert(out.find(r => r.getAs[Long]("a") == 3L).get.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("sparseTfidfPairs cosine is bounded and pairs are canonical a<b") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Similarity.sparseTfidfPairs(docs, dfCap = 10, minCosine = 0.1, ngramK = 3)
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.1 && c <= 1.000001, s"cosine out of range: $c")
+    }
+  }
 }
