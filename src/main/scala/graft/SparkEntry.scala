@@ -2265,6 +2265,36 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "nv")
   }
 
+  /** G5 — CRS-to-CRS reprojection (feature_stacking.py:85-96: the DEM-in-
+    * EPSG:4326-vs-scenes-in-UTM case): master cell centers map through a
+    * projective (homography) transform into the aux raster's coordinate
+    * plane before the nearest-cell key derivation. Every transform
+    * coefficient is dyadic (exact decimal→double parse in both engines)
+    * and the oracle mirrors the exact IEEE expression structure, so the
+    * quotient, floor, and join keys are bit-identical cross-engine.
+    * Master cells whose image falls outside aux coverage come back NULL —
+    * the reprojection fill, exercised deliberately.
+    */
+  private def g5(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    val xform = operators.Regrid.ProjectiveTransform(
+      1.25, 0.25, 2.0,
+      -0.125, 1.25, 2.0,
+      0.0009765625, -0.00048828125, 1.0)
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(0.0, 16.0, 1.0, 1.0),
+      operators.Regrid.GridDef(0.0, 24.0, 1.0, 1.0),
+      xform, Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -2518,6 +2548,7 @@ object SparkEntry {
     "g2_regrid_nearest" -> (g2 _),
     "g3_regrid_bilinear" -> (g3 _),
     "g4_regrid_cubic" -> (g4 _),
+    "g5_reproject" -> (g5 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -3261,6 +3292,30 @@ object SparkEntry {
          |FROM taps LEFT JOIN aux a ON a.ar = taps.ar AND a.ac = taps.ac
          |GROUP BY px_row, px_col
          |ORDER BY px_row, px_col, nv NULLS FIRST""".stripMargin,
+    // g5: projective reprojection — the oracle mirrors the engine's exact
+    // IEEE expression structure (dyadic coefficients, left-assoc sums,
+    // single quotient) so the derived keys are bit-identical; identity ops
+    // (+0.0, *1.0, /1.0) are elided, which never changes a double.
+    "g5_reproject" ->
+      """WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    CAST(px_col AS DOUBLE) + 0.5 AS cx,
+        |    16.0 - (CAST(px_row AS DOUBLE) + 0.5) AS cy FROM master),
+        |t AS (SELECT px_row, px_col,
+        |    (1.25 * cx + 0.25 * cy + 2.0) /
+        |      (0.0009765625 * cx + -0.00048828125 * cy + 1.0) AS sx,
+        |    (-0.125 * cx + 1.25 * cy + 2.0) /
+        |      (0.0009765625 * cx + -0.00048828125 * cy + 1.0) AS sy
+        |  FROM c)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor(24.0 - sy) AS INT) AND a.ac = CAST(floor(sx) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin,
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal
     // axis of the 2×2 covariance in closed form.

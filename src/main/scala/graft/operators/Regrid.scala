@@ -40,6 +40,76 @@ object Regrid {
     */
   case class GridDef(originX: Double, originY: Double, pxW: Double, pxH: Double)
 
+  /** Pluggable DST-world → SRC-world coordinate mapping — the CRS-to-CRS
+    * hook the reference's `align_rasterio` exercises for every auxiliary
+    * raster (feature_stacking.py:85-96, reproject src_crs → master_crs at
+    * :316-320 and :340-345). The engine stays relational: the transform is
+    * pure closed-form Column algebra applied to each master cell center
+    * BEFORE the shared world→pixel key derivation, so every kernel
+    * (nearest / bilinear / cubic) reprojects for free and the plan shape
+    * (explode → equi-join → re-agg) is unchanged — no raster on the
+    * driver, no new shuffle.
+    *
+    * A true datum shift (e.g. WGS84 → UTM) is a smooth nonlinear map; over
+    * a raster tile it is standard practice to approximate it with a
+    * projective (or affine) fit — GDAL's warper does exactly this
+    * per-block (its `approx_transformer` with error threshold). Affine
+    * covers rotation/shear/scale; projective adds the perspective terms
+    * that make tile-local CRS fits accurate.
+    */
+  sealed trait Transform2D {
+    /** (dstX, dstY) → (srcX, srcY) as Column expressions. */
+    def apply(x: Column, y: Column): (Column, Column)
+    /** Exact closed-form inverse (SRC-world → DST-world). */
+    def inverse: Transform2D
+  }
+
+  /** Identity — same CRS on both sides (the pre-round-5 behavior). */
+  case object IdentityTransform extends Transform2D {
+    def apply(x: Column, y: Column): (Column, Column) = (x, y)
+    def inverse: Transform2D = this
+  }
+
+  /** x' = a·x + b·y + c ; y' = d·x + e·y + f. */
+  final case class AffineTransform(
+      a: Double, b: Double, c: Double,
+      d: Double, e: Double, f: Double) extends Transform2D {
+    def apply(x: Column, y: Column): (Column, Column) =
+      (lit(a) * x + lit(b) * y + lit(c), lit(d) * x + lit(e) * y + lit(f))
+    def inverse: AffineTransform = {
+      val det = a * e - b * d
+      require(det != 0.0, "affine transform is singular")
+      AffineTransform(
+        e / det, -b / det, (b * f - c * e) / det,
+        -d / det, a / det, (c * d - a * f) / det)
+    }
+  }
+
+  /** Projective (homography): x' = (m00·x + m01·y + m02) / w,
+    * y' = (m10·x + m11·y + m12) / w, w = m20·x + m21·y + m22 — the
+    * 8-dof tile-local CRS fit (row-major 3×3 matrix, m22 usually 1).
+    */
+  final case class ProjectiveTransform(
+      m00: Double, m01: Double, m02: Double,
+      m10: Double, m11: Double, m12: Double,
+      m20: Double, m21: Double, m22: Double) extends Transform2D {
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val w = lit(m20) * x + lit(m21) * y + lit(m22)
+      ((lit(m00) * x + lit(m01) * y + lit(m02)) / w,
+        (lit(m10) * x + lit(m11) * y + lit(m12)) / w)
+    }
+    /** Homography inverse = adjugate matrix (scale-free). */
+    def inverse: ProjectiveTransform = {
+      val det = m00 * (m11 * m22 - m12 * m21) -
+        m01 * (m10 * m22 - m12 * m20) + m02 * (m10 * m21 - m11 * m20)
+      require(det != 0.0, "projective transform is singular")
+      ProjectiveTransform(
+        m11 * m22 - m12 * m21, m02 * m21 - m01 * m22, m01 * m12 - m02 * m11,
+        m12 * m20 - m10 * m22, m00 * m22 - m02 * m20, m02 * m10 - m00 * m12,
+        m10 * m21 - m11 * m20, m01 * m20 - m00 * m21, m00 * m11 - m01 * m10)
+    }
+  }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.
@@ -51,15 +121,17 @@ object Regrid {
       auxGrid: GridDef,
       valueCols: Seq[String],
       rowCol: String = "px_row",
-      colCol: String = "px_col"): DataFrame = {
+      colCol: String = "px_col",
+      transform: Transform2D = IdentityTransform): DataFrame = {
     val clash = valueCols.filter(master.columns.contains)
     require(clash.isEmpty,
       s"master columns and valueCols must be disjoint; shared: ${clash.mkString(", ")}")
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
+    val (sx, sy) = transform(cx, cy)
     val keyed = master
-      .withColumn("__src_row", SpatialOps.pixelRowOf(cy, lit(auxGrid.originY), lit(auxGrid.pxH)))
-      .withColumn("__src_col", SpatialOps.pixelColOf(cx, lit(auxGrid.originX), lit(auxGrid.pxW)))
+      .withColumn("__src_row", SpatialOps.pixelRowOf(sy, lit(auxGrid.originY), lit(auxGrid.pxH)))
+      .withColumn("__src_col", SpatialOps.pixelColOf(sx, lit(auxGrid.originX), lit(auxGrid.pxW)))
     val src = aux.select(
       col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +: valueCols.map(col): _*)
     keyed.join(src, Seq("__src_row", "__src_col"), "left")
@@ -88,13 +160,15 @@ object Regrid {
       auxGrid: GridDef,
       valueCols: Seq[String],
       rowCol: String,
-      colCol: String)(
+      colCol: String,
+      transform: Transform2D = IdentityTransform)(
       mkTaps: (Column, Column, Column, Column) => Seq[Column]): DataFrame = {
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
+    val (sx, sy) = transform(cx, cy)
     // u = (x − originX)/pxW − 0.5 so that u = c exactly at aux center c
-    val u = (cx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
-    val v = (lit(auxGrid.originY) - cy) / lit(auxGrid.pxH) - lit(0.5)
+    val u = (sx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
+    val v = (lit(auxGrid.originY) - sy) / lit(auxGrid.pxH) - lit(0.5)
 
     val masterCols = master.columns.toSeq
     val clash = valueCols.filter(masterCols.contains)
@@ -131,6 +205,14 @@ object Regrid {
   /** Bilinear resample (the Resampling.bilinear DEM path): each master
     * cell center interpolates the 4 surrounding aux pixel centers.
     */
+  private val bilinearTaps: (Column, Column, Column, Column) => Seq[Column] =
+    (r0, c0, fx, fy) =>
+      for { dr <- 0 to 1; dc <- 0 to 1 } yield {
+        val w = (if (dc == 0) lit(1.0) - fx else fx) *
+          (if (dr == 0) lit(1.0) - fy else fy)
+        struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
+      }
+
   def regridBilinear(
       master: DataFrame,
       aux: DataFrame,
@@ -139,14 +221,7 @@ object Regrid {
       valueCols: Seq[String],
       rowCol: String = "px_row",
       colCol: String = "px_col"): DataFrame =
-    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol) {
-      (r0, c0, fx, fy) =>
-        for { dr <- 0 to 1; dc <- 0 to 1 } yield {
-          val w = (if (dc == 0) lit(1.0) - fx else fx) *
-            (if (dr == 0) lit(1.0) - fy else fy)
-          struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
-        }
-    }
+    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol)(bilinearTaps)
 
   /** Catmull-Rom weight (cubic convolution, a = −0.5 — the GDAL/rasterio
     * `Resampling.cubic` kernel) for a tap at absolute distance `t` < 2.
@@ -164,6 +239,13 @@ object Regrid {
     * sparse coverage, exactly as the reference reserves cubic for dense
     * imagery and nearest for masks.
     */
+  private val cubicTaps: (Column, Column, Column, Column) => Seq[Column] =
+    (r0, c0, fx, fy) =>
+      for { dr <- -1 to 2; dc <- -1 to 2 } yield {
+        val w = cubicW(abs(fx - lit(dc))) * cubicW(abs(fy - lit(dr)))
+        struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
+      }
+
   def regridCubic(
       master: DataFrame,
       aux: DataFrame,
@@ -172,11 +254,34 @@ object Regrid {
       valueCols: Seq[String],
       rowCol: String = "px_row",
       colCol: String = "px_col"): DataFrame =
-    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol) {
-      (r0, c0, fx, fy) =>
-        for { dr <- -1 to 2; dc <- -1 to 2 } yield {
-          val w = cubicW(abs(fx - lit(dc))) * cubicW(abs(fy - lit(dr)))
-          struct((r0 + dr).as("__src_row"), (c0 + dc).as("__src_col"), w.as("__w"))
-        }
-    }
+    tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol)(cubicTaps)
+
+  /** CRS-to-CRS reprojection — `align_rasterio`'s general case
+    * (feature_stacking.py:85-96: reproject + resample in one pass, DEM in
+    * EPSG:4326 vs scenes in UTM). Each master (dst-CRS) cell center is
+    * mapped through `transform` into the aux raster's src-CRS world plane,
+    * then resampled with the chosen kernel. Same relational shape as the
+    * plain regrids — the transform only rewrites the join-key derivation,
+    * so the plan (and its 100 TB behavior) is identical to g2/g3/g4.
+    */
+  def reproject(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      transform: Transform2D,
+      valueCols: Seq[String],
+      kernel: String = "nearest",
+      rowCol: String = "px_row",
+      colCol: String = "px_col"): DataFrame = kernel match {
+    case "nearest" =>
+      regridNearest(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol, transform)
+    case "bilinear" =>
+      tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol, transform)(bilinearTaps)
+    case "cubic" =>
+      tapRegrid(master, aux, masterGrid, auxGrid, valueCols, rowCol, colCol, transform)(cubicTaps)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown kernel '$other' (expected nearest | bilinear | cubic)")
+  }
 }

@@ -114,4 +114,77 @@ class RegridSpec extends AnyFunSuite {
     assert(out.filter(col("dem").isNotNull).count() == 0)
     assert(out.count() == 16)
   }
+
+  // ---- CRS-to-CRS reprojection (feature_stacking.py:85-96) ----
+
+  test("projective inverse composes to identity on sample points") {
+    val t = Regrid.ProjectiveTransform(
+      1.25, 0.25, 2.0, -0.125, 1.25, 2.0, 0.0009765625, -0.00048828125, 1.0)
+    val inv = t.inverse
+    val pts = (for { x <- 0 to 10; y <- 0 to 10 } yield (x.toDouble, y.toDouble))
+      .toDF("x", "y")
+    val (fx, fy) = t(col("x"), col("y"))
+    val fwd = pts.select(col("x"), col("y"), fx.as("tx"), fy.as("ty"))
+    val (bx, by) = inv(col("tx"), col("ty"))
+    val back = fwd.select(col("x"), col("y"), bx.as("rx"), by.as("ry")).collect()
+    back.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-9, r)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9, r)
+    }
+  }
+
+  test("nearest reproject with an affine shift reads the shifted aux cell") {
+    // translate +2 world units in x: master cell (r, c) lands in aux (r, c+2)
+    val t = Regrid.AffineTransform(1.0, 0.0, 2.0, 0.0, 1.0, 0.0)
+    val aux4 = (for { r <- 0 until 4; c <- 0 until 4 } yield (r, c, (10 * r + c).toDouble))
+      .toDF("px_row", "px_col", "dem")
+    val g4 = GridDef(0.0, 4.0, 1.0, 1.0)
+    val out = Regrid.reproject(master, aux4, g4, g4, t, Seq("dem"), kernel = "nearest")
+    val got = out.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    for { r <- 0 until 4; c <- 0 until 4 } {
+      if (c + 2 < 4) assert(got((r, c)).contains(10.0 * r + c + 2), s"cell ($r,$c)")
+      else assert(got((r, c)).isEmpty, s"cell ($r,$c) should be outside coverage")
+    }
+  }
+
+  test("affine reproject there and back is identity on interior cells") {
+    // linear field sampled on an 8×8 grid; mild shear+shift affine. A
+    // linear field stays linear under an affine map, and bilinear is
+    // exact on linear fields, so the round trip is exact (not just ≈)
+    // wherever all taps exist in both directions.
+    val g8 = GridDef(0.0, 8.0, 1.0, 1.0)
+    val aux8 = (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val x = c + 0.5; val y = 8.0 - (r + 0.5)
+      (r, c, 3.0 * x + 2.0 * y)
+    }).toDF("px_row", "px_col", "f")
+    val grid8 = aux8.select("px_row", "px_col")
+    val t = Regrid.AffineTransform(1.0, 0.125, -0.5, -0.0625, 1.0, 0.75)
+    val there = Regrid.reproject(grid8, aux8, g8, g8, t, Seq("f"), kernel = "bilinear")
+      .withColumnRenamed("f", "g")
+    val back = Regrid.reproject(grid8, there.withColumnRenamed("g", "f"),
+      g8, g8, t.inverse, Seq("f"), kernel = "bilinear")
+    val got = back.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for { r <- 2 to 5; c <- 2 to 5 } {
+      val x = c + 0.5; val y = 8.0 - (r + 0.5)
+      assert(math.abs(got((r, c)) - (3.0 * x + 2.0 * y)) < 1e-9, s"cell ($r,$c)")
+    }
+  }
+
+  test("reproject rejects an unknown kernel") {
+    val e = intercept[IllegalArgumentException] {
+      Regrid.reproject(master, aux, masterGrid, auxGrid,
+        Regrid.IdentityTransform, Seq("dem"), kernel = "lanczos")
+    }
+    assert(e.getMessage.contains("unknown kernel"))
+  }
+
+  test("singular transforms are rejected") {
+    intercept[IllegalArgumentException] {
+      Regrid.AffineTransform(1.0, 2.0, 0.0, 2.0, 4.0, 0.0).inverse
+    }
+    intercept[IllegalArgumentException] {
+      Regrid.ProjectiveTransform(1, 2, 3, 2, 4, 6, 0, 0, 1).inverse
+    }
+  }
 }
