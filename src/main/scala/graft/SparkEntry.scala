@@ -1239,6 +1239,70 @@ object SparkEntry {
       .orderBy("px_row", "px_col")
   }
 
+  /** MM5 — REAL TIFF header decode (the format every reference byte lives
+    * in, feature_stacking.py:75-98): synthesize valid classic TIFFs from
+    * integer-derived geometry — both byte orders, tiled AND stripped
+    * layouts, GeoTIFF scale/tiepoint on every 5th file — parse them back
+    * with the actual IFD walker, and hash-check the recovered metadata
+    * against the closed-form oracle.
+    */
+  private def mm5(s: SparkSession, d: String) = {
+    import s.implicits._
+    val media = s.range(500).map { id =>
+      val w = 16 + (id % 32).toInt
+      val h = 16 + (id * 7 % 32).toInt
+      val tiled = id % 2 == 0
+      val grid =
+        if (id % 5 == 0)
+          Some(operators.Regrid.GridDef((id % 50).toDouble, (id % 40).toDouble + 0.5, 0.25, 0.5))
+        else None
+      val bytes = operators.Tiff.synthTiff(
+        w, h, if (tiled) 16 else w, if (tiled) 16 else 8,
+        littleEndian = id % 3 != 0, tile = tiled, grid = grid)(
+        (r, c) => (r * w + c).toFloat)
+      (id, bytes)
+    }.toDF("media_id", "bytes")
+    operators.Tiff.withTiffMeta(media)
+      .select(col("media_id"),
+        col("tiff_meta.width").as("width"),
+        col("tiff_meta.height").as("height"),
+        col("tiff_meta.bits_per_sample").as("bits_per_sample"),
+        col("tiff_meta.sample_format").as("sample_format"),
+        col("tiff_meta.compression").as("compression"),
+        col("tiff_meta.tiled").as("tiled"),
+        col("tiff_meta.block_w").as("block_w"),
+        col("tiff_meta.block_h").as("block_h"),
+        col("tiff_meta.n_blocks").as("n_blocks"),
+        col("tiff_meta.byte_order").as("byte_order"),
+        col("tiff_meta.px_w").as("px_w"),
+        col("tiff_meta.px_h").as("px_h"),
+        col("tiff_meta.origin_x").as("origin_x"),
+        col("tiff_meta.origin_y").as("origin_y"))
+      .orderBy("media_id")
+  }
+
+  /** S12 — GeoTIFF ingestion end-to-end: a real uncompressed tiled
+    * little-endian float32 GeoTIFF (synthesized by the same writer mm5
+    * proves against the parser) flows through `tiffToBlocks` →
+    * `explodeBlocks` into pixel rows — the reference's windowed
+    * `src.read(window)` loop (feature_stacking.py:226-249) as one plan.
+    * Value pattern and nodata drop mirror s9, so any defect in IFD
+    * walking, tile addressing, byte-swap, or padding breaks the hash.
+    */
+  private def s12(s: SparkSession, d: String) = {
+    import s.implicits._
+    val tiff = operators.Tiff.synthTiff(
+      32, 32, 16, 16, littleEndian = true, tile = true,
+      grid = Some(operators.Regrid.GridDef(0.0, 32.0, 1.0, 1.0)),
+      pad = -9999.0f)(
+      (r, c) => if ((r + c) % 7 == 0) -9999.0f else (r * 32 + c).toFloat)
+    val media = Seq((1L, tiff)).toDF("scene_id", "bytes")
+    val blocks = operators.Tiff.tiffToBlocks(media)
+    operators.RasterBridge.explodeBlocks(blocks, blockH = 16, blockW = 16, nodata = -9999.0f)
+      .select(col("px_row"), col("px_col"), col("value").cast("int").as("v"))
+      .orderBy("px_row", "px_col")
+  }
+
   // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
 
   /** Q1-shaped pricing summary: the classic scan-heavy aggregate. */
@@ -2553,7 +2617,9 @@ object SparkEntry {
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
     "mm4_wav_header" -> (mm4 _),
+    "mm5_tiff_header" -> (mm5 _),
     "s9_raster_blocks" -> (s9 _),
+    "s12_geotiff_ingest" -> (s12 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
     "q4_order_priority" -> (q4 _),
@@ -2997,6 +3063,35 @@ object SparkEntry {
     // s9: v = px_row·32 + px_col = the cell's linear index, nodata where
     // (row+col) % 7 = 0 — regenerate and filter.
     "s9_raster_blocks" ->
+      """SELECT CAST(id // 32 AS INT) AS px_row, CAST(id % 32 AS INT) AS px_col,
+        |  CAST(id AS INT) AS v
+        |FROM range(1024) t(id)
+        |WHERE (id // 32 + id % 32) % 7 <> 0
+        |ORDER BY px_row, px_col""".stripMargin,
+    // mm5: every metadata field is integer-derived from the row id —
+    // regenerate the closed forms.
+    "mm5_tiff_header" ->
+      """SELECT id AS media_id,
+        |  CAST(16 + id % 32 AS INTEGER) AS width,
+        |  CAST(16 + (id * 7) % 32 AS INTEGER) AS height,
+        |  CAST(32 AS INTEGER) AS bits_per_sample,
+        |  CAST(3 AS INTEGER) AS sample_format,
+        |  CAST(1 AS INTEGER) AS compression,
+        |  (id % 2 = 0) AS tiled,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 16 + id % 32 END AS INTEGER) AS block_w,
+        |  CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS block_h,
+        |  CAST(CASE WHEN id % 2 = 0
+        |    THEN ((16 + id % 32 + 15) // 16) * ((16 + (id * 7) % 32 + 15) // 16)
+        |    ELSE (16 + (id * 7) % 32 + 7) // 8 END AS INTEGER) AS n_blocks,
+        |  CASE WHEN id % 3 <> 0 THEN 'LE' ELSE 'BE' END AS byte_order,
+        |  CASE WHEN id % 5 = 0 THEN 0.25 END AS px_w,
+        |  CASE WHEN id % 5 = 0 THEN 0.5 END AS px_h,
+        |  CASE WHEN id % 5 = 0 THEN CAST(id % 50 AS DOUBLE) END AS origin_x,
+        |  CASE WHEN id % 5 = 0 THEN CAST(id % 40 AS DOUBLE) + 0.5 END AS origin_y
+        |FROM range(500) t(id) ORDER BY media_id""".stripMargin,
+    // s12: same grid regeneration as s9 — the TIFF container must be
+    // invisible to the decoded pixel table.
+    "s12_geotiff_ingest" ->
       """SELECT CAST(id // 32 AS INT) AS px_row, CAST(id % 32 AS INT) AS px_col,
         |  CAST(id AS INT) AS v
         |FROM range(1024) t(id)
