@@ -421,17 +421,20 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** W2 — running offset. Single global ordered window: this is the W2
-    * semantics (sequential id offsets, image_segmentation.py:150); at scale
-    * it runs per-tile-batch, never over the full fact table.
+  /** W2 — running offset (sequential id offsets,
+    * image_segmentation.py:150) through the scale-safe two-pass
+    * partition-offset prefix sum (GlobalOrder.prefixSum): range-partition
+    * on the order key, per-partition exact partials → broadcast
+    * cumulative offsets → per-partition running add. No single-task
+    * window anywhere; the oracle's global-window SQL is the semantics,
+    * this plan is how it survives 100×.
     */
-  private def w2(s: SparkSession, d: String) = {
-    val w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.orders(s, d)
-      .select(col("o_orderkey"),
-        sum(col("o_totalprice").cast(D2)).over(w).cast("double").as("run_total"))
+  private def w2(s: SparkSession, d: String) =
+    operators.GlobalOrder.prefixSum(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_orderkey")), col("o_totalprice").cast(D2), "run_total")
+      .select(col("o_orderkey"), col("run_total").cast("double").as("run_total"))
       .orderBy("o_orderkey")
-  }
 
   private def w3(s: SparkSession, d: String) = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))

@@ -72,20 +72,34 @@ object Profiling {
       .orderBy("bucket_lo")
   }
 
-  /** Equi-DEPTH histogram: `buckets` rank-quantile buckets via ntile over
-    * a TOTAL order (value, then `tieCol`) — deterministic bucket
-    * membership even on heavily tied data, which is exactly where
-    * equi-depth matters (equi-width piles ties into one bar). One window
-    * sort + one agg; rows carry only (value, tie key), so the global sort
-    * is the documented cost — this is a diagnostic over a column, not a
-    * per-key pipeline stage (use ntile over a partition for those).
+  /** Equi-DEPTH histogram: `buckets` rank-quantile buckets over a TOTAL
+    * order (value, then `tieCol`) — deterministic bucket membership even
+    * on heavily tied data, which is exactly where equi-depth matters
+    * (equi-width piles ties into one bar). Bucket assignment replicates
+    * SQL ntile EXACTLY (first n mod b buckets get the extra row) but runs
+    * through GlobalOrder.withGlobalRank — the two-pass partition-offset
+    * rank — so no single-task window sort exists anywhere in the plan:
+    * the whole column never funnels through one task, and the plan
+    * survives 100×. (The rank stays < 2^53, so the floor-division below
+    * is exact in double.)
     */
   def equiDepthHistogram(df: DataFrame, c: Column, tieCol: Column,
       buckets: Int): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    import org.apache.spark.sql.expressions.Window
-    df.select(c.as("__v"), tieCol.as("__t"))
-      .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("__v"), col("__t"))))
+    val proj = df.select(c.as("__v"), tieCol.as("__t"))
+    val total = proj.count()
+    val q = total / buckets
+    val r = total % buckets
+    val ranked = GlobalOrder.withGlobalRank(proj, Seq(col("__v"), col("__t")), "__rank")
+    // exact integer floor division: (a - a mod b) / b with a a multiple of b
+    def idiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    val zeroBased = col("__rank") - 1
+    val bucket =
+      if (q == 0) col("__rank") // fewer rows than buckets: bucket = rank
+      else when(col("__rank") <= lit((q + 1) * r), idiv(zeroBased, q + 1) + 1)
+        .otherwise(lit(r) + idiv(zeroBased - lit((q + 1) * r), q) + 1)
+    ranked
+      .withColumn("bucket", bucket.cast("int"))
       .groupBy("bucket")
       .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"), count(lit(1)).as("n"))
       .orderBy("bucket")

@@ -41,6 +41,25 @@ class QueryAuditSpec extends AnyFunSuite {
       s"unexpected cartesian/nested-loop join in: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans a single-partition (global) window") {
+    // Window.orderBy with no partitionBy funnels the whole input through
+    // ONE task — the 100 TB scale-killer GlobalOrder.prefixSum /
+    // withGlobalRank exist to avoid. Catching it at plan level keeps a
+    // future query from reintroducing it by accident. No allowlist: since
+    // round 5 every global-order computation goes through the two-pass
+    // partition-offset operator.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val globalWindows = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition window in: ${offenders.mkString(", ")}")
+  }
+
   test("every query's initial plan stays under the session's partition budget") {
     // A query whose first-stage plan explodes into thousands of tasks at
     // sf0.001 has a partitioning bug (e.g. an accidental per-row
