@@ -1138,6 +1138,36 @@ object SparkEntry {
       .orderBy("pred_label")
   }
 
+  /** M1b — frozen-forest inference, FULLY oracled (upgrades M1's rows-only
+    * check): the seeded RF is frozen to a table of leaf decision rules
+    * (feature boxes + fixed-point class-1 probability, `MlOps.forestRules`)
+    * and written as a parquet artifact; BOTH engines then replay inference
+    * from that frozen table — Spark as a driver-built when-chain projection
+    * (map-only, no shuffle), DuckDB by joining rows to their one matching
+    * leaf per tree — and hash-compare the per-class census. Integer
+    * fixed-point votes make the replay bit-identical. This is the
+    * reference's load-frozen-model-then-classify shape
+    * (pixel_classifier_stream.py:144-151) with the model itself made
+    * engine-neutral. m1 stays the Spark-ML-native path.
+    */
+  private def m1b(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
+    val model = rfModelCache.computeIfAbsent(d, _ => {
+      val train = li.filter(col("l_orderkey") % 50 === 0)
+        .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+        .repartition(4)
+      MlOps.trainRf(train, feats, "label", numTrees = 16, maxDepth = 6)
+    })
+    MlOps.forestRules(model, feats)
+      .write.mode("overwrite").parquet("/tmp/graft_m1b_rules")
+    val rules = s.read.parquet("/tmp/graft_m1b_rules")
+    MlOps.classifyFromRules(rules, li, feats)
+      .groupBy("pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred_label")
+  }
+
   private def st1(s: SparkSession, d: String) =
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -2578,6 +2608,7 @@ object SparkEntry {
     "e6_simhash" -> (e6 _),
     "pipe0_feature_stack" -> (pipe0 _),
     "m1_rf_classify" -> (m1 _),
+    "m1b_frozen_forest" -> (m1b _),
     "m5_segment_polygonize" -> (m5 _),
     "st1_tumbling" -> (st1 _),
     "mm1_binary_meta" -> (mm1 _),
@@ -3071,6 +3102,27 @@ object SparkEntry {
         |FROM range(1024) t(id)
         |WHERE (id // 32 + id % 32) % 7 <> 0
         |ORDER BY px_row, px_col""".stripMargin,
+    // m1b: replay frozen-forest inference from the rules parquet the query
+    // exports. Rows group by their (distinct) feature vector — lineitem has
+    // duplicate (orderkey, linenumber) pairs, but prediction is a pure
+    // function of the features — each vector matches exactly ONE leaf per
+    // tree, fixed-point votes sum exactly, argmax ties break to class 0.
+    // 17592186044416 = 16 trees × 2^40 (MlOps.RuleProbScale).
+    "m1b_frozen_forest" ->
+      """WITH rules AS (SELECT * FROM read_parquet('/tmp/graft_m1b_rules/*.parquet')),
+        |feat AS (SELECT l_quantity AS q, l_discount AS dd, l_tax AS tt, count(*) AS m
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |leafed AS (
+        |  SELECT f.q, f.dd, f.tt, f.m, r.p1_fp
+        |  FROM feat f JOIN rules r
+        |    ON f.q > r.l_quantity_lo AND f.q <= r.l_quantity_hi
+        |   AND f.dd > r.l_discount_lo AND f.dd <= r.l_discount_hi
+        |   AND f.tt > r.l_tax_lo AND f.tt <= r.l_tax_hi),
+        |scored AS (SELECT q, dd, tt, m, sum(p1_fp) AS s1
+        |  FROM leafed GROUP BY q, dd, tt, m)
+        |SELECT CAST(CASE WHEN s1 * 2 > 17592186044416 THEN 1 ELSE 0 END AS INTEGER) AS pred_label,
+        |  CAST(sum(m) AS BIGINT) AS n
+        |FROM scored GROUP BY 1 ORDER BY pred_label""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     "mm5_tiff_header" ->

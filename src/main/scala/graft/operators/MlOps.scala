@@ -102,6 +102,106 @@ object MlOps {
       ScalarOps.ruleRewrite(col("pred_label"), col("confidence")))
   }
 
+  /** Fixed-point scale for frozen leaf probabilities: 2^40 (dyadic, so
+    * `p · 2^40` is an exact IEEE multiply before the rint).
+    */
+  val RuleProbScale: Long = 1L << 40
+
+  /** M1-freeze — export a BINARY RF as a table of leaf decision rules:
+    * one row per (tree, leaf) with the leaf's feature BOX (every root-to-
+    * leaf path over continuous splits intersects to `lo < f ≤ hi` per
+    * feature; ±1e18 sentinels stand for unbounded) and its class-1
+    * probability as a fixed-point integer. This is the reference's
+    * frozen-model shape (pickled RFs loaded for streaming inference,
+    * pixel_classifier_stream.py:45-55, :144-151) made ENGINE-NEUTRAL:
+    * any SQL engine can replay inference from the table — per row, each
+    * tree contributes exactly one leaf's p1, vote = Σ p1 vs Σ p0 — and
+    * integer fixed-point sums commute, so the replay is bit-identical
+    * under any partitioning or engine.
+    *
+    * The leaf probability is recovered from the public (impurity,
+    * prediction) pair — binary gini g = 2·p1·(1−p1) inverts to
+    * p1 = (1 ± √(1−2g))/2, the branch picked by the argmax prediction —
+    * because Spark ML keeps the raw class counts private[ml].
+    */
+  def forestRules(model: PipelineModel, featureCols: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.classification.RandomForestClassificationModel
+    import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+    import org.apache.spark.sql.types._
+    val rf = model.stages.collectFirst { case m: RandomForestClassificationModel => m }
+      .getOrElse(throw new IllegalArgumentException("no RF stage in pipeline"))
+    require(rf.numClasses == 2, s"forestRules freezes binary RFs, got ${rf.numClasses} classes")
+    val nf = featureCols.length
+    val rows = rf.trees.zipWithIndex.flatMap { case (tree, ti) =>
+      var leafId = -1
+      def walk(node: Node, lo: Array[Double], hi: Array[Double]): Seq[org.apache.spark.sql.Row] =
+        node match {
+          case n: InternalNode => n.split match {
+            case s: ContinuousSplit =>
+              val f = s.featureIndex
+              val hiL = hi.clone(); hiL(f) = math.min(hi(f), s.threshold)
+              val loR = lo.clone(); loR(f) = math.max(lo(f), s.threshold)
+              walk(n.leftChild, lo, hiL) ++ walk(n.rightChild, loR, hi)
+            case other => throw new IllegalArgumentException(
+              s"only continuous splits freeze to boxes, got ${other.getClass.getSimpleName}")
+          }
+          case l: LeafNode =>
+            val disc = math.sqrt(math.max(0.0, 1.0 - 2.0 * l.impurity))
+            val p1 = if (l.prediction == 1.0) (1.0 + disc) / 2 else (1.0 - disc) / 2
+            leafId += 1
+            Seq(org.apache.spark.sql.Row.fromSeq(
+              Seq(ti, leafId) ++ (0 until nf).flatMap(i => Seq(lo(i), hi(i))) :+
+                math.rint(p1 * RuleProbScale).toLong))
+        }
+      walk(tree.rootNode, Array.fill(nf)(-1e18), Array.fill(nf)(1e18))
+    }
+    val schema = StructType(
+      Seq(StructField("tree_id", IntegerType, nullable = false),
+        StructField("leaf_id", IntegerType, nullable = false)) ++
+        featureCols.flatMap(c => Seq(
+          StructField(s"${c}_lo", DoubleType, nullable = false),
+          StructField(s"${c}_hi", DoubleType, nullable = false))) :+
+        StructField("p1_fp", LongType, nullable = false))
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
+  /** Replay frozen-forest inference from a rules table (the output of
+    * [[forestRules]], typically re-read from its parquet artifact): builds
+    * one codegen'd when-chain per tree from the DRIVER-COLLECTED rules
+    * (bounded: trees × leaves rows — index metadata, the IVF-probe-cells
+    * pattern) and scores `df` as a pure map-only projection: no join, no
+    * shuffle, nothing but the scan — the right 100 TB inference shape.
+    * Adds `predCol` = argmax of summed fixed-point votes (ties → class 0,
+    * Spark's argmax-first convention).
+    */
+  def classifyFromRules(
+      rules: DataFrame,
+      df: DataFrame,
+      featureCols: Seq[String],
+      predCol: String = "pred_label"): DataFrame = {
+    val collected = rules.collect()
+    require(collected.nonEmpty, "empty rules table")
+    val nTrees = collected.map(_.getInt(0)).distinct.length
+    val loIdx = featureCols.map(c => rules.schema.fieldIndex(s"${c}_lo"))
+    val hiIdx = featureCols.map(c => rules.schema.fieldIndex(s"${c}_hi"))
+    val pIdx = rules.schema.fieldIndex("p1_fp")
+    val treeExprs = collected.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, leaves) =>
+      val cases = leaves.map { r =>
+        val conj = featureCols.zipWithIndex.map { case (c, i) =>
+          col(c) > lit(r.getDouble(loIdx(i))) && col(c) <= lit(r.getDouble(hiIdx(i)))
+        }.reduce(_ && _)
+        (conj, r.getLong(pIdx))
+      }
+      cases.tail.foldLeft(when(cases.head._1, lit(cases.head._2))) {
+        case (acc, (c, p)) => acc.when(c, lit(p))
+      }.otherwise(lit(0L))
+    }
+    val votes1 = treeExprs.reduce(_ + _)
+    df.withColumn(predCol,
+      when(votes1 * 2 > lit(nTrees * RuleProbScale), 1).otherwise(0).cast("int"))
+  }
+
   /** J4 — per-combo model dispatch. Trains one model per distinct non-null
     * pattern over `bandCols` and routes each row to its combo's model
     * (imputing only the combo's present bands). Returns the union of

@@ -24,6 +24,34 @@ class MlOpsSpec extends AnyFunSuite {
     assert(confs.sum / confs.length > 0.9)
   }
 
+  test("forestRules freeze + classifyFromRules replays native inference exactly") {
+    // noisy, non-separable labels so leaves carry mixed class counts (the
+    // gini inversion actually exercises fractional probabilities)
+    val noisy = (1 to 500).map { i =>
+      val x = (i % 13).toDouble; val y = (i % 7).toDouble
+      (x, y, if ((x + y * 2 + i % 3) > 12) 1 else 0)
+    }.toDF("x", "y", "label")
+    val model = MlOps.trainRf(noisy, Seq("x", "y"), "label", numTrees = 8, maxDepth = 4)
+    val rules = MlOps.forestRules(model, Seq("x", "y"))
+    // every tree's leaves partition feature space: each row matches one leaf
+    val nTrees = rules.select("tree_id").distinct().count()
+    assert(nTrees == 8)
+    val native = MlOps.classify(model, noisy).select("x", "y", "label", "pred_label")
+    val frozen = MlOps.classifyFromRules(rules, noisy, Seq("x", "y"))
+      .select("x", "y", "label", "pred_label")
+    assert(frozen.except(native).isEmpty && native.except(frozen).isEmpty)
+  }
+
+  test("forestRules rejects non-binary forests") {
+    val tri = (1 to 90).map(i => ((i % 9).toDouble, (i % 5).toDouble, i % 3))
+      .toDF("x", "y", "label")
+    val model = MlOps.trainRf(tri, Seq("x", "y"), "label", numTrees = 3, maxDepth = 3)
+    val e = intercept[IllegalArgumentException] {
+      MlOps.forestRules(model, Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("binary"))
+  }
+
   test("trainingFilter drops invalid labels and imputes nulls (M3)") {
     val df = Seq(
       (Some(1.0), 5),   // kept
