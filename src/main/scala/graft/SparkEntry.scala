@@ -1075,6 +1075,38 @@ object SparkEntry {
       .orderBy("seg_id")
   }
 
+  /** M5b — felzenszwalb on an ANALYTIC fixture, FULLY oracled (upgrades
+    * M5's rows-only check): on the checkerboard the inter-block contrast
+    * (100) dwarfs the merge threshold (scale 10) while intra-block edges
+    * weigh 0, so the segmentation is EXACTLY the connected components of
+    * equal-value cells — which DuckDB derives independently with a
+    * recursive-CTE flood fill over the 4-adjacency graph. Segment labels
+    * are arbitrary on both sides, so each segment is re-keyed by its
+    * minimum linear cell index and the (comp, n_cells) census is
+    * hash-compared. Any defect in the tile split, halo handling, edge
+    * weights, union-find, or cross-tile merge changes some component's
+    * census and breaks the hash.
+    */
+  private def m5b(s: SparkSession, d: String) = {
+    // every 16×16 block gets a DISTINCT value (block index × 100): under
+    // felzenszwalb's 8-connectivity no equal-value blocks touch, adjacent
+    // blocks contrast by ≥ 100 ≫ scale=10, intra-block edges weigh 0 —
+    // segmentation = equal-value connected components, closed form
+    val grid = s.range(0, 64L * 64)
+      .select((col("id") / 64).cast("int").as("px_row"), (col("id") % 64).cast("int").as("px_col"))
+      .withColumn("B1",
+        ((floor(col("px_row") / 16) * 4 + floor(col("px_col") / 16)) * 100).cast("float"))
+    val segs = operators.Segmentation.segmentTiles(
+      grid, Seq("B1"), tileH = 32, tileW = 32, pad = 4,
+      scale = 10.0, minSize = 2, sigma = 0.0)
+    segs
+      .withColumn("lin", (col("px_row").cast("long") * 64 + col("px_col")))
+      .groupBy("seg_id")
+      .agg(min(col("lin")).as("comp"), count(lit(1)).as("n_cells"))
+      .select("comp", "n_cells")
+      .orderBy("comp")
+  }
+
   /** Stage-0 pipeline — feature stack over a deterministic synthetic scene
     * table (3 scenes × 32×32 px): normalize → indices → monthly median +
     * winter argmax composites → band-concat (rows-only driver check;
@@ -2610,6 +2642,7 @@ object SparkEntry {
     "m1_rf_classify" -> (m1 _),
     "m1b_frozen_forest" -> (m1b _),
     "m5_segment_polygonize" -> (m5 _),
+    "m5b_analytic_seg" -> (m5b _),
     "st1_tumbling" -> (st1 _),
     "mm1_binary_meta" -> (mm1 _),
     "mm2_decode_meta" -> (mm2 _),
@@ -3102,6 +3135,22 @@ object SparkEntry {
         |FROM range(1024) t(id)
         |WHERE (id // 32 + id % 32) % 7 <> 0
         |ORDER BY px_row, px_col""".stripMargin,
+    // m5b: independent flood fill — regenerate the block grid, build the
+    // equal-value 8-adjacency graph (felzenszwalb's connectivity), take
+    // its transitive closure with a recursive CTE, key every component by
+    // its min linear index, census.
+    "m5b_analytic_seg" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT CAST(id AS BIGINT) AS id, id // 64 AS r, id % 64 AS c,
+        |    ((id // 64) // 16 * 4 + (id % 64) // 16) * 100 AS v
+        |  FROM range(4096) t(id)),
+        |und AS (SELECT a.id AS x, b.id AS y FROM cells a JOIN cells b
+        |  ON a.v = b.v AND a.id <> b.id
+        |  AND abs(a.r - b.r) <= 1 AND abs(a.c - b.c) <= 1),
+        |reach(x, y) AS (SELECT id, id FROM cells
+        |  UNION SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+        |comp AS (SELECT x AS id, min(y) AS comp FROM reach GROUP BY x)
+        |SELECT comp, count(*) AS n_cells FROM comp GROUP BY comp ORDER BY comp""".stripMargin,
     // m1b: replay frozen-forest inference from the rules parquet the query
     // exports. Rows group by their (distinct) feature vector — lineitem has
     // duplicate (orderkey, linenumber) pairs, but prediction is a pure
