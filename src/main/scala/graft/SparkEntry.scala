@@ -1016,6 +1016,24 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** E3c — IVF with a genuinely PRUNED probe (nProbe 3 of nLists 8),
+    * oracled: centroids are eight corpus vectors (deterministic seeding —
+    * the bring-your-own-quantizer path), so DuckDB can replay the exact
+    * nearest-centroid assignment, the query-side probe routing, AND the
+    * cell-restricted scoring. e3b proves full-probe ≡ brute force; this
+    * proves the pruning itself — the part of IVF that actually buys the
+    * 100 TB win — produces exactly the deterministic subset it claims.
+    */
+  private def e3c(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    Similarity.ivfTopKWithCentroids(
+        emb.filter(col("vec_id") < 10), emb, centroids, k = 5, nProbe = 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -2632,6 +2650,7 @@ object SparkEntry {
     "e7_jaccard_verify" -> (e7 _),
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
+    "e3c_ivf_pruned" -> (e3c _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e9_rolling_fingerprint" -> (e9 _),
@@ -2790,6 +2809,15 @@ object SparkEntry {
 
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** DuckDB twin of VectorOps.l2Distance: in-order left fold from 0.0 of
+    * squared component deltas (bit-identical to Spark's `aggregate`).
+    */
+  private def sqlL2(a: String, b: String): String =
+    s"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, 64), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(x, y) -> x + y))"
 
   private def sqlLangHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -2999,6 +3027,29 @@ object SparkEntry {
          |scored AS (SELECT query_id, neighbor_id,
          |  ${sqlDot("qv", "cv")} / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")})) AS raw
          |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // e3c: replay the full pruned-IVF pipeline — nearest-centroid corpus
+    // assignment (argmin L2, tie to lower cell), query probe routing
+    // (3 nearest cells), cell-restricted cosine scoring, top-5 rank.
+    "e3c_ivf_pruned" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |casg AS (SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.neighbor_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.neighbor_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN cent k) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, k.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlL2("q.qv", "k.kv")} ASC, k.cell ASC) AS prank
+         |  FROM q CROSS JOIN cent k) WHERE prank <= 3),
+         |scored AS (SELECT p.query_id, c.neighbor_id,
+         |  ${sqlDot("p.qv", "c.cv")} / (sqrt(${sqlDot("p.qv", "p.qv")}) * sqrt(${sqlDot("c.cv", "c.cv")})) AS raw
+         |  FROM probes p JOIN casg c ON p.cell = c.cell AND p.query_id <> c.neighbor_id)
          |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -186,6 +186,47 @@ object Similarity {
     scoreAndRank(indexed, probesOf(queries, centroidDf, nProbe, idCol, vecCol), k)
   }
 
+  /** Assign each vector to its nearest centroid (broadcast argmin,
+    * deterministic tie-break on cell id) — the quantizer step shared by
+    * the custom-centroid query path and incremental index append.
+    */
+  private def assignToCentroids(
+      vectors: DataFrame,
+      centroidDf: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("cell").asc)
+    vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"))
+      .join(broadcast(centroidDf))
+      .withColumn("cdist", VectorOps.l2Distance(col("c_emb"), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("neighbor_id", "c_emb", "cell")
+  }
+
+  /** IVF ANN with CALLER-PROVIDED centroids — the bring-your-own-quantizer
+    * path (pretrained centroids, product-quantizer codebooks, or any
+    * deterministic cell seeding). `centroidDf` must carry (cell INT,
+    * centroid ARRAY<FLOAT>); assignment is nearest-centroid with a
+    * deterministic tie-break, so given fixed centroids the PRUNED result
+    * is fully deterministic — which is what makes nProbe < nLists
+    * oracle-checkable (e3c), not just the full-probe identity (e3b).
+    * Same scale shape as [[ivfTopK]]: centroids broadcast, corpus scanned
+    * once, probes touch ~nProbe/nLists of the data.
+    */
+  def ivfTopKWithCentroids(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val indexed = assignToCentroids(corpus, centroidDf, idCol, vecCol)
+    scoreAndRank(indexed, probesOf(queries, centroidDf, nProbe, idCol, vecCol), k)
+  }
+
   /** Persist an IVF index: the cell-assigned corpus as parquet
     * PARTITIONED BY cell plus a centroid sidecar. Build once, query many
     * times — the write repartitions by cell so each cell is one compact
@@ -223,14 +264,7 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
     val centroidDf = spark.read.parquet(s"$path/centroids")
-    val w = Window.partitionBy("neighbor_id").orderBy(col("cdist").asc, col("cell").asc)
-    newVectors
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_emb"))
-      .join(broadcast(centroidDf))
-      .withColumn("cdist", VectorOps.l2Distance(col("c_emb"), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("neighbor_id"), col("c_emb"), col("cell"))
+    assignToCentroids(newVectors, centroidDf, idCol, vecCol)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }

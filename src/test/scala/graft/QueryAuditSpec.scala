@@ -25,8 +25,13 @@ class QueryAuditSpec extends AnyFunSuite {
     * - tfidf1/pipe1: crossJoin(broadcast(<1-row N table>)) — a scalar
     *   broadcast, not a data×data cross.
     */
+  /** - e3c: corpus × 8-row-centroid broadcast cross is the quantizer
+    *   assignment itself — the small side is index METADATA (≤ nLists
+    *   rows), so the "cross" is a per-row argmin over a constant table,
+    *   not a data×data product.
+    */
   private val allPairsByDesign = Set(
-    "e3_cosine_topk", "e3b_ivf_topk", "e8_embedding_neardup",
+    "e3_cosine_topk", "e3b_ivf_topk", "e3c_ivf_pruned", "e8_embedding_neardup",
     "tfidf1_top_terms", "pipe1_curation")
 
   test("no query plans a cartesian or nested-loop join unless all-pairs by design") {

@@ -82,6 +82,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == ivf)
   }
 
+  test("ivfTopKWithCentroids: full probe == brute force; pruned stays in probed cells") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 60).map { i =>
+      val center = Array.fill(3)(0.0f); center(i % 3) = 10.0f
+      (i.toLong, center.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    // one representative per cluster as centroid (bring-your-own quantizer)
+    val centroids = data.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val queries = data.filter(col("vec_id").isin(5L, 7L))
+    val full = Similarity.ivfTopKWithCentroids(queries, data, centroids, k = 4, nProbe = 3)
+      .select("query_id", "neighbor_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(queries, data, k = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute) // probing every cell is exhaustive
+    // pruned: neighbors must come from the query's own cluster cell
+    val pruned = Similarity.ivfTopKWithCentroids(queries, data, centroids, k = 4, nProbe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (q, n) => assert(q % 3 == n % 3, s"($q,$n) crossed clusters") }
+  }
+
   test("persisted IVF index matches the in-memory path and prunes at the source") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter(col("vec_id") < 5)
