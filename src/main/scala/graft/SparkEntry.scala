@@ -356,6 +356,32 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J13 — bbox join under a DELIBERATELY skewed distribution (the
+    * one-dense-city shape): 80% of each side's boxes crowd into grid cell
+    * (0,0), the rest spread. Runs through the SALTED join path (salts=8):
+    * the hot cell's key fans out over 8 sub-keys, so no task owns the
+    * whole city, while the oracle — a direct all-pairs intersect join —
+    * proves the salting changes nothing about the result.
+    */
+  private def j13(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    def boxes(key: Column): (Column, Column, Column, Column) = {
+      val hot = key % 5 =!= 0
+      val x0 = when(hot, (key % 13) * 0.5).otherwise((key % 97) * 2)
+      val y0 = when(hot, (key % 11) * 0.5).otherwise((key % 89) * 2)
+      (x0, y0, x0 + lit(1) + key % 3, y0 + lit(1) + key % 4)
+    }
+    val (sx0, sy0, sx1, sy1) = boxes(col("s_suppkey"))
+    val sb = Tables.supplier(s, d).select(col("s_suppkey"),
+      SpatialOps.bbox(sx0, sy0, sx1, sy1).as("env"))
+    val (cx0, cy0, cx1, cy1) = boxes(col("c_custkey"))
+    val cb = Tables.customer(s, d).select(col("c_custkey"),
+      SpatialOps.bbox(cx0, cy0, cx1, cy1).as("env_r"))
+    operators.SpatialJoin.bboxJoin(sb, cb, "env", "env_r", cellSize = 8.0, salts = 8)
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** Z1 — z-order (Morton) layout key: the write-side spatial-clustering
     * primitive (SpatialOps.zorderKey / clusterByZOrder). Hash-checks the
     * bit-interleave against an explicit bit-arithmetic DuckDB oracle.
@@ -2651,6 +2677,7 @@ object SparkEntry {
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
     "e3c_ivf_pruned" -> (e3c _),
+    "j13_bbox_skew" -> (j13 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e9_rolling_fingerprint" -> (e9 _),
@@ -2952,6 +2979,27 @@ object SparkEntry {
         |SELECT s_suppkey, c_custkey FROM sb JOIN cb
         |  ON sb.xmin <= cb.xmax AND cb.xmin <= sb.xmax
         | AND sb.ymin <= cb.ymax AND cb.ymin <= sb.ymax
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    // j13: direct all-pairs intersect join over the same skewed boxes —
+    // the salted PBSM path must be result-identical to the naive join.
+    "j13_bbox_skew" ->
+      """WITH sb AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 5 <> 0 THEN (s_suppkey % 13) * 0.5 ELSE (s_suppkey % 97) * 2 END AS xmin,
+        |    CASE WHEN s_suppkey % 5 <> 0 THEN (s_suppkey % 11) * 0.5 ELSE (s_suppkey % 89) * 2 END AS ymin
+        |  FROM supplier),
+        |sb2 AS (SELECT s_suppkey, xmin, ymin,
+        |    xmin + 1 + s_suppkey % 3 AS xmax, ymin + 1 + s_suppkey % 4 AS ymax FROM sb),
+        |cb AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN (c_custkey % 13) * 0.5 ELSE (c_custkey % 97) * 2 END AS xmin,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN (c_custkey % 11) * 0.5 ELSE (c_custkey % 89) * 2 END AS ymin
+        |  FROM customer),
+        |cb2 AS (SELECT c_custkey, xmin, ymin,
+        |    xmin + 1 + c_custkey % 3 AS xmax, ymin + 1 + c_custkey % 4 AS ymax FROM cb)
+        |SELECT s_suppkey, c_custkey FROM sb2 JOIN cb2
+        |  ON sb2.xmin <= cb2.xmax AND cb2.xmin <= sb2.xmax
+        | AND sb2.ymin <= cb2.ymax AND cb2.ymin <= sb2.ymax
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
     "z1_zorder" ->
       s"""SELECT s_suppkey, CAST(${zorderSqlExpr("s_suppkey % 97", "s_suppkey % 89", 7)} AS BIGINT) AS zkey

@@ -59,24 +59,52 @@ object SpatialJoin {
     * `cellSize` is the binning grid pitch — set it near the typical
     * envelope extent: smaller cells = finer candidate pruning but more
     * duplication; larger cells = fewer copies but fatter cells.
+    *
+    * `salts` > 1 hardens the join against HOT CELLS (the one-dense-city
+    * distribution): real spatial data is zipfian — one downtown cell can
+    * hold a large share of both sides, and since all of a key's rows must
+    * co-locate for the equi-join, that one (cx, cy) key becomes a single
+    * giant task no matter how many partitions exist (AQE's skew split
+    * cannot divide one key). The classic fix, applied inside the
+    * operator: the LEFT copy of each cell row gets a deterministic salt
+    * (envelope hash mod `salts`) appended to the join key, the RIGHT copy
+    * is replicated across all `salts` values — every candidate pair still
+    * meets exactly once (left holds one salt, right covers all), so the
+    * result set is IDENTICAL to the unsalted join while the hot cell's
+    * work spreads over `salts` tasks. Cost: right-side cell rows × salts
+    * — size `salts` to the observed hot-cell ratio, keep 1 for uniform
+    * data.
     */
   def bboxJoin(
       left: DataFrame, right: DataFrame,
       leftEnv: String, rightEnv: String,
-      cellSize: Double): DataFrame = {
+      cellSize: Double,
+      salts: Int = 1): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
-    val l = binned(left, leftEnv, "__gj_cx", "__gj_cy", cellSize)
-    val r = binned(right, rightEnv, "__gj_cx_r", "__gj_cy_r", cellSize)
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l0 = binned(left, leftEnv, "__gj_cx", "__gj_cy", cellSize)
+    val r0 = binned(right, rightEnv, "__gj_cx_r", "__gj_cy_r", cellSize)
     val (le, re) = (col(leftEnv), col(rightEnv))
+    val (l, r, saltKeys) =
+      if (salts == 1) (l0, r0, Nil)
+      else (
+        // salt over ALL left columns, not just the envelope: a hot cell
+        // full of duplicate geometries (stacked points are common in real
+        // data) would otherwise collapse onto few salts and stay hot
+        l0.withColumn("__gj_salt",
+          pmod(xxhash64(l0.columns.map(col).toSeq: _*), lit(salts)).cast("int")),
+        r0.withColumn("__gj_salt_r", explode(sequence(lit(0), lit(salts - 1)))),
+        Seq(col("__gj_salt") === col("__gj_salt_r")))
     // min corner of the intersection — the unique reporting cell
     val refX = greatest(le.getField("xmin"), re.getField("xmin"))
     val refY = greatest(le.getField("ymin"), re.getField("ymin"))
-    l.join(r,
-        col("__gj_cx") === col("__gj_cx_r") &&
-        col("__gj_cy") === col("__gj_cy_r") &&
-        SpatialOps.bboxIntersects(le, re) &&
-        cellX(refX, cellSize) === col("__gj_cx") &&
-        cellX(refY, cellSize) === col("__gj_cy"))
-      .drop("__gj_cx", "__gj_cy", "__gj_cx_r", "__gj_cy_r")
+    val cond = (Seq(
+      col("__gj_cx") === col("__gj_cx_r"),
+      col("__gj_cy") === col("__gj_cy_r")) ++ saltKeys ++ Seq(
+      SpatialOps.bboxIntersects(le, re),
+      cellX(refX, cellSize) === col("__gj_cx"),
+      cellX(refY, cellSize) === col("__gj_cy"))).reduce(_ && _)
+    l.join(r, cond)
+      .drop("__gj_cx", "__gj_cy", "__gj_cx_r", "__gj_cy_r", "__gj_salt", "__gj_salt_r")
   }
 }

@@ -47,6 +47,46 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("salted bboxJoin is result-identical to unsalted on skewed data") {
+    // one-dense-city: 80% of boxes crowd into grid cell (0,0)
+    def skewed(n: Int, idCol: String, envCol: String, seed: Int): DataFrame = {
+      val rows = (1 to n).map { i =>
+        val h = (i * 2654435761L + seed) & 0x7fffffffL
+        val (x, y) = if (i % 5 != 0) ((h % 12).toDouble * 0.5, (h % 10).toDouble * 0.5)
+          else ((h % 97).toDouble * 2, (h % 89).toDouble * 2)
+        (i.toLong, x, y, x + 1 + (h % 3), y + 1 + (h % 4))
+      }
+      rows.toDF(idCol, "xmin", "ymin", "xmax", "ymax")
+        .select(col(idCol), SpatialOps.bbox($"xmin", $"ymin", $"xmax", $"ymax").as(envCol))
+    }
+    val l = skewed(400, "lid", "env", seed = 3)
+    val r = skewed(350, "rid", "env_r", seed = 7919)
+    val unsalted = pairs(SpatialJoin.bboxJoin(l, r, "env", "env_r", 8.0))
+    val salted = pairs(SpatialJoin.bboxJoin(l, r, "env", "env_r", 8.0, salts = 8))
+    assert(salted == unsalted && salted.nonEmpty)
+  }
+
+  test("salting spreads the hot cell's join-key load across sub-keys") {
+    // replicate the operator's binning arithmetic: with salts=S no
+    // (cell, salt) key may carry more than ~1/S of the hot cell's rows —
+    // the "no task reads > c x the mean cell load" contract.
+    val salts = 8
+    val n = 4000
+    val hot = (1 to n).map { i =>
+      val h = (i * 2654435761L + 11) & 0x7fffffffL
+      val x = (h % 12).toDouble * 0.5; val y = (h % 10).toDouble * 0.5
+      (i.toLong, x, y, x + 1, y + 1) // every box inside cell (0,0) at cellSize 8
+    }.toDF("lid", "xmin", "ymin", "xmax", "ymax")
+      .select(col("lid"), SpatialOps.bbox($"xmin", $"ymin", $"xmax", $"ymax").as("env"))
+    val keyed = hot.withColumn("salt",
+      pmod(xxhash64(col("lid"), col("env")), lit(salts)).cast("int"))
+    val loads = keyed.groupBy("salt").count().select("count").as[Long].collect()
+    assert(loads.length == salts, s"only ${loads.length} of $salts sub-keys used")
+    val mean = n.toDouble / salts
+    assert(loads.max <= mean * 1.5,
+      s"hot sub-key carries ${loads.max} rows vs mean $mean - salt hash is lumpy")
+  }
+
   test("touching edges count as intersecting (closed intervals)") {
     val l = Seq((1L, 0.0, 0.0, 10.0, 10.0)).toDF("lid", "a", "b", "c", "d")
       .select($"lid", SpatialOps.bbox($"a", $"b", $"c", $"d").as("env"))
