@@ -1348,6 +1348,29 @@ object SparkEntry {
       .orderBy("px_row", "px_col")
   }
 
+  /** S13 — GeoPackage ingestion round trip: a real single-layer GPKG
+    * (SQLite container: page-1 header, sqlite_master, feature b-tree,
+    * gpkg_contents — synthesized by the writer the spec proves against
+    * the parser) is read back through the actual b-tree walker; geometry
+    * blobs (GP header + LE WKB polygons) decode to WKT. The oracle
+    * regenerates fid/WKT/name/value closed-form, so any defect in varint,
+    * serial-type, cell-pointer, rowid-alias, or WKB decoding breaks the
+    * hash. Layer discovery goes through gpkg_contents, not a hardcoded
+    * name.
+    */
+  private def s13(s: SparkSession, d: String) = {
+    val features = (0 until 40).map { i =>
+      val x = (i % 7).toDouble; val y = (i % 5).toDouble
+      val ring = Seq((x, y), (x + 1.5, y), (x + 1.5, y + 2.5), (x, y + 2.5), (x, y))
+      (i.toLong + 1, operators.GeoPackage.gpkgPolygonBlob(ring),
+        s"seg_${i % 3}", i * 0.25)
+    }
+    val gpkg = operators.GeoPackage.synthGpkg("segments", features)
+    val layer = operators.GeoPackage.layersOf(gpkg).head
+    operators.GeoPackage.readLayer(s, gpkg, layer)
+      .orderBy("fid")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid classic TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -2731,6 +2754,7 @@ object SparkEntry {
     "mm3_header_decode" -> (mm3 _),
     "mm4_wav_header" -> (mm4 _),
     "mm5_tiff_header" -> (mm5 _),
+    "s13_gpkg_roundtrip" -> (s13 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "rep1_ngram_repetition" -> (rep1 _),
@@ -3271,6 +3295,21 @@ object SparkEntry {
         |SELECT CAST(CASE WHEN s1 * 2 > 17592186044416 THEN 1 ELSE 0 END AS INTEGER) AS pred_label,
         |  CAST(sum(m) AS BIGINT) AS n
         |FROM scored GROUP BY 1 ORDER BY pred_label""".stripMargin,
+    // s13: regenerate the GPKG features closed-form — fid is the rowid
+    // alias, geometry is the WKT of the synthesized rectangle ring.
+    "s13_gpkg_roundtrip" ->
+      """WITH f AS (SELECT id, CAST(id % 7 AS DOUBLE) AS x, CAST(id % 5 AS DOUBLE) AS y
+        |  FROM range(40) t(id))
+        |SELECT id + 1 AS fid,
+        |  'POLYGON ((' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |    CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |    CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))' AS geom,
+        |  'seg_' || CAST(id % 3 AS VARCHAR) AS name,
+        |  CAST(id * 0.25 AS DOUBLE) AS value
+        |FROM f ORDER BY fid""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     "mm5_tiff_header" ->
