@@ -327,15 +327,16 @@ object Segmentation {
     val labeled = org.apache.spark.sql.GraftBridge
       .internalCreateDataFrame(spark, outRdd, outSchema)
 
-    // W2 — running id offset over deterministic tile order. The per-tile
-    // count table is tiny (one row per tile): a single-partition window over
-    // it is safe at any scale, and the join back broadcasts.
+    // W2 — running id offset over deterministic tile order (one row per
+    // tile). Routed through the two-pass partition-offset prefix sum so no
+    // single-partition window exists anywhere in the surface — at 100 TB a
+    // raster has millions of tiles, and the two-pass plan never funnels
+    // them through one task. The join back broadcasts.
     val counts = labeled.groupBy("tile_x", "tile_y")
-      .agg((max("local_id") + 1).as("n_segs"))
-    val offsetWin = Window.orderBy("tile_y", "tile_x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = counts
-      .withColumn("offset", sum("n_segs").over(offsetWin) - col("n_segs"))
+      .agg((max("local_id") + 1).cast("long").as("n_segs"))
+    val offsets = GlobalOrder
+      .prefixSum(counts, Seq(col("tile_y"), col("tile_x")), col("n_segs"), "__run")
+      .withColumn("offset", col("__run") - col("n_segs"))
       .select("tile_x", "tile_y", "offset")
 
     labeled
