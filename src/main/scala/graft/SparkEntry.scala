@@ -1372,11 +1372,13 @@ object SparkEntry {
   }
 
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
-    * in, feature_stacking.py:75-98): synthesize valid classic TIFFs from
+    * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
-    * layouts, GeoTIFF scale/tiepoint on every 5th file — parse them back
-    * with the actual IFD walker, and hash-check the recovered metadata
-    * against the closed-form oracle.
+    * layouts, GeoTIFF scale/tiepoint on every 5th file, BigTIFF container
+    * on every 7th, LZW on every 11th (the reference's `bigtiff='YES',
+    * compress='lzw'` profile) — parse them back with the actual IFD
+    * walker, and hash-check the recovered metadata against the
+    * closed-form oracle.
     */
   private def mm5(s: SparkSession, d: String) = {
     import s.implicits._
@@ -1390,7 +1392,8 @@ object SparkEntry {
         else None
       val bytes = operators.Tiff.synthTiff(
         w, h, if (tiled) 16 else w, if (tiled) 16 else 8,
-        littleEndian = id % 3 != 0, tile = tiled, grid = grid)(
+        littleEndian = id % 3 != 0, tile = tiled, grid = grid,
+        lzw = id % 11 == 4, bigTiff = id % 7 == 3)(
         (r, c) => (r * w + c).toFloat)
       (id, bytes)
     }.toDF("media_id", "bytes")
@@ -1406,6 +1409,7 @@ object SparkEntry {
         col("tiff_meta.block_h").as("block_h"),
         col("tiff_meta.n_blocks").as("n_blocks"),
         col("tiff_meta.byte_order").as("byte_order"),
+        col("tiff_meta.is_big").as("is_big"),
         col("tiff_meta.px_w").as("px_w"),
         col("tiff_meta.px_h").as("px_h"),
         col("tiff_meta.origin_x").as("origin_x"),
@@ -1433,6 +1437,38 @@ object SparkEntry {
     operators.RasterBridge.explodeBlocks(blocks, blockH = 16, blockW = 16, nodata = -9999.0f)
       .select(col("px_row"), col("px_col"), col("value").cast("int").as("v"))
       .orderBy("px_row", "px_col")
+  }
+
+  /** S14 — the reference's EXACT write profile ingested: `compress='lzw',
+    * bigtiff='YES', tiled=True` (feature_stacking.py:226-233). Scene 1 is
+    * a BigTIFF (magic 43, 8-byte offsets) with little-endian LZW 16×16
+    * tiles; scene 2 a classic big-endian STRIPPED LZW file with a clipped
+    * last strip. Both flow through the same `tiffToBlocks` →
+    * `explodeBlocks` plan as s12, so any defect in BigTIFF IFD walking,
+    * LZW code widths (9→10-bit early change crosses inside every 1 KiB+
+    * block), byte order after decompression, or strip clipping breaks the
+    * pixel hash.
+    */
+  private def s14(s: SparkSession, d: String) = {
+    import s.implicits._
+    val big = operators.Tiff.synthTiff(
+      64, 64, 16, 16, littleEndian = true, tile = true,
+      grid = Some(operators.Regrid.GridDef(0.0, 64.0, 1.0, 1.0)),
+      pad = -9999.0f, lzw = true, bigTiff = true)(
+      (r, c) => if ((r * 3 + c) % 11 == 0) -9999.0f else ((r * 64 + c) * 7 % 1000).toFloat)
+    val classic = operators.Tiff.synthTiff(
+      48, 44, 48, 8, littleEndian = false, tile = false,
+      pad = -9999.0f, lzw = true)(
+      (r, c) => if ((r + 2 * c) % 13 == 0) -9999.0f else ((r * 48 + c) * 13 % 997).toFloat)
+    def pixels(sceneId: Long, bytes: Array[Byte], bh: Int, bw: Int) = {
+      val blocks = operators.Tiff.tiffToBlocks(
+        Seq((sceneId, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw, nodata = -9999.0f)
+        .select(col("scene_id"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, big, 16, 16).unionAll(pixels(2L, classic, 8, 48))
+      .orderBy("scene_id", "px_row", "px_col")
   }
 
   // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
@@ -2757,6 +2793,7 @@ object SparkEntry {
     "s13_gpkg_roundtrip" -> (s13 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
+    "s14_bigtiff_lzw" -> (s14 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
     "q4_order_priority" -> (q4 _),
@@ -3318,7 +3355,7 @@ object SparkEntry {
         |  CAST(16 + (id * 7) % 32 AS INTEGER) AS height,
         |  CAST(32 AS INTEGER) AS bits_per_sample,
         |  CAST(3 AS INTEGER) AS sample_format,
-        |  CAST(1 AS INTEGER) AS compression,
+        |  CAST(CASE WHEN id % 11 = 4 THEN 5 ELSE 1 END AS INTEGER) AS compression,
         |  (id % 2 = 0) AS tiled,
         |  CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 16 + id % 32 END AS INTEGER) AS block_w,
         |  CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 8 END AS INTEGER) AS block_h,
@@ -3326,6 +3363,7 @@ object SparkEntry {
         |    THEN ((16 + id % 32 + 15) // 16) * ((16 + (id * 7) % 32 + 15) // 16)
         |    ELSE (16 + (id * 7) % 32 + 7) // 8 END AS INTEGER) AS n_blocks,
         |  CASE WHEN id % 3 <> 0 THEN 'LE' ELSE 'BE' END AS byte_order,
+        |  (id % 7 = 3) AS is_big,
         |  CASE WHEN id % 5 = 0 THEN 0.25 END AS px_w,
         |  CASE WHEN id % 5 = 0 THEN 0.5 END AS px_h,
         |  CASE WHEN id % 5 = 0 THEN CAST(id % 50 AS DOUBLE) END AS origin_x,
@@ -3339,6 +3377,20 @@ object SparkEntry {
         |FROM range(1024) t(id)
         |WHERE (id // 32 + id % 32) % 7 <> 0
         |ORDER BY px_row, px_col""".stripMargin,
+    // s14: the LZW/BigTIFF containers must be as invisible as s12's raw
+    // one — same closed-form regeneration, two scenes.
+    "s14_bigtiff_lzw" ->
+      """SELECT CAST(1 AS BIGINT) AS scene_id,
+        |  CAST(id // 64 AS INT) AS px_row, CAST(id % 64 AS INT) AS px_col,
+        |  CAST((id * 7) % 1000 AS INT) AS v
+        |FROM range(4096) t(id)
+        |WHERE ((id // 64) * 3 + id % 64) % 11 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 48 AS INT), CAST(id % 48 AS INT),
+        |  CAST((id * 13) % 997 AS INT)
+        |FROM range(2112) t(id)
+        |WHERE (id // 48 + 2 * (id % 48)) % 13 <> 0
+        |ORDER BY scene_id, px_row, px_col""".stripMargin,
     "w4_range_frame" ->
       """SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6) AS w_avg

@@ -4,27 +4,30 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Baseline TIFF / GeoTIFF header + block codec — the one format the
+/** TIFF / GeoTIFF header + block codec — the one format the
   * reference actually reads and writes (feature_stacking.py:75-98 opens
   * every scene/auxiliary raster as a (Big)TIFF; :226-249 writes the
-  * stacked output `tiled=True, blockxsize=1024, blockysize=1024`). The
-  * engine's raster model is the pixel table; this codec closes the gap so
-  * reference-shaped artifacts can be INGESTED: a TIFF binary column →
-  * `tiffToBlocks` → (tile_y, tile_x, blob) block rows →
-  * [[RasterBridge.explodeBlocks]] → pixel rows.
+  * stacked output `tiled=True, blockxsize=1024, blockysize=1024,
+  * compress='lzw', bigtiff='YES'`). The engine's raster model is the
+  * pixel table; this codec closes the gap so reference-shaped artifacts
+  * can be INGESTED: a TIFF binary column → `tiffToBlocks` → (tile_y,
+  * tile_x, blob) block rows → [[RasterBridge.explodeBlocks]] → pixel rows.
   *
-  * Scope: classic TIFF (magic 42), both byte orders, single-image IFD,
-  * uncompressed tiled or stripped layout, any SampleFormat for the header
-  * surface, float32 for block decode (the reference's dtype at
-  * feature_stacking.py:234). Compressed TIFFs parse their HEADER fine
-  * (compression is reported) but block decode fails closed. GeoTIFF
-  * georeferencing is read from ModelPixelScale (33550) + ModelTiepoint
-  * (33922) — exactly the north-up affine the reference's `transform`
-  * carries — and surfaces as a [[Regrid.GridDef]].
+  * Scope: classic TIFF (magic 42) AND BigTIFF (magic 43 — 8-byte offsets,
+  * 20-byte IFD entries), both byte orders, single-image IFD, tiled or
+  * stripped layout, uncompressed or LZW-compressed blocks (MSB-first
+  * early-change TIFF-6 LZW — the reference's exact write profile), any
+  * SampleFormat for the header surface, float32 for block decode (the
+  * reference's dtype at feature_stacking.py:234). Other compressions and
+  * a Predictor other than none parse their HEADER fine but block decode
+  * fails closed. GeoTIFF georeferencing is read from ModelPixelScale
+  * (33550) + ModelTiepoint (33922) — exactly the north-up affine the
+  * reference's `transform` carries — and surfaces as a [[Regrid.GridDef]].
   *
-  * Everything is implemented from the public TIFF 6.0 layout: no codec
-  * libraries, pure byte arithmetic, safe for executor-side `mapPartitions`
-  * (the decode is per-row work; no shuffle, no driver state).
+  * Everything is implemented from the public TIFF 6.0 / BigTIFF layout:
+  * no codec libraries, pure byte arithmetic, safe for executor-side
+  * `mapPartitions` (the decode is per-row work; no shuffle, no driver
+  * state).
   */
 object Tiff {
 
@@ -39,6 +42,7 @@ object Tiff {
     StructField("block_h", IntegerType),
     StructField("n_blocks", IntegerType),
     StructField("byte_order", StringType),
+    StructField("is_big", BooleanType),
     StructField("px_w", DoubleType),
     StructField("px_h", DoubleType),
     StructField("origin_x", DoubleType),
@@ -58,7 +62,7 @@ object Tiff {
           ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
       v
     }
-    def f64(off: Int): Double = {
+    def u64(off: Int): Long = {
       var bits = 0L
       var i = 0
       while (i < 8) {
@@ -66,28 +70,35 @@ object Tiff {
         bits |= byte << (8 * i)
         i += 1
       }
-      java.lang.Double.longBitsToDouble(bits)
+      bits
     }
+    def f64(off: Int): Double = java.lang.Double.longBitsToDouble(u64(off))
   }
 
   /** One parsed IFD entry's scalar or array value (SHORT/LONG/DOUBLE). */
   private final case class Entry(tag: Int, typ: Int, count: Long, valOff: Int)
 
   private final case class Parsed(
-      r: Reader, le: Boolean, entries: Map[Int, Entry], bytes: Array[Byte]) {
+      r: Reader, le: Boolean, big: Boolean, entries: Map[Int, Entry],
+      bytes: Array[Byte]) {
 
     private def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
       case 3 | 8 => 2 // SHORT/SSHORT
       case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
       case 5 | 10 | 12 => 8 // RATIONAL/SRATIONAL/DOUBLE
+      case 16 | 17 | 18 => 8 // LONG8/SLONG8/IFD8 (BigTIFF)
       case _ => 0
     }
 
-    /** Where the entry's payload lives: inline when it fits in 4 bytes. */
+    /** Where the entry's payload lives: inline when it fits in the value
+      * field (4 bytes classic, 8 bytes BigTIFF).
+      */
     private def payloadOff(e: Entry): Int = {
       val sz = typeSize(e.typ) * e.count
-      if (sz <= 4) e.valOff else r.u32(e.valOff).toInt
+      if (sz <= (if (big) 8 else 4)) e.valOff
+      else if (big) r.u64(e.valOff).toInt
+      else r.u32(e.valOff).toInt
     }
 
     def intVal(tag: Int): Option[Long] = entries.get(tag).map { e =>
@@ -95,6 +106,7 @@ object Tiff {
       e.typ match {
         case 3 => r.u16(off).toLong
         case 4 => r.u32(off)
+        case 16 => r.u64(off)
         case t => throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
       }
     }
@@ -106,6 +118,7 @@ object Tiff {
         e.typ match {
           case 3 => r.u16(off + i * step).toLong
           case 4 => r.u32(off + i * step)
+          case 16 => r.u64(off + i * step)
           case t => throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
         }
       }
@@ -117,8 +130,11 @@ object Tiff {
     }
   }
 
-  /** Parse header + first IFD. Returns None when the payload is not a
-    * classic TIFF (fail-closed — consumers branch on parse success).
+  /** Parse header + first IFD — classic TIFF (magic 42) or BigTIFF
+    * (magic 43: u16 offset-size 8, u16 reserved 0, u64 IFD offset; IFD is
+    * u64 entry count + 20-byte entries with u64 counts and 8-byte value
+    * fields). Returns None when the payload is neither (fail-closed —
+    * consumers branch on parse success).
     */
   private def parse(bytes: Array[Byte]): Option[Parsed] = {
     if (bytes == null || bytes.length < 8) return None
@@ -126,17 +142,32 @@ object Tiff {
     val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
     if (!le && !be) return None
     val r = new Reader(bytes, le)
-    if (r.u16(2) != 42) return None
-    val ifdOff = r.u32(4).toInt
-    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return None
-    val n = r.u16(ifdOff)
-    if (ifdOff + 2 + 12 * n > bytes.length) return None
-    val entries = (0 until n).map { i =>
-      val eo = ifdOff + 2 + 12 * i
-      val e = Entry(r.u16(eo), r.u16(eo + 2), r.u32(eo + 4), eo + 8)
-      e.tag -> e
-    }.toMap
-    Some(Parsed(r, le, entries, bytes))
+    r.u16(2) match {
+      case 42 =>
+        val ifdOff = r.u32(4).toInt
+        if (ifdOff < 8 || ifdOff + 2 > bytes.length) return None
+        val n = r.u16(ifdOff)
+        if (ifdOff + 2 + 12 * n > bytes.length) return None
+        val entries = (0 until n).map { i =>
+          val eo = ifdOff + 2 + 12 * i
+          val e = Entry(r.u16(eo), r.u16(eo + 2), r.u32(eo + 4), eo + 8)
+          e.tag -> e
+        }.toMap
+        Some(Parsed(r, le, big = false, entries, bytes))
+      case 43 =>
+        if (bytes.length < 16 || r.u16(4) != 8 || r.u16(6) != 0) return None
+        val ifdOff = r.u64(8).toInt
+        if (ifdOff < 16 || ifdOff + 8 > bytes.length) return None
+        val n = r.u64(ifdOff).toInt
+        if (n < 0 || ifdOff + 8 + 20L * n > bytes.length) return None
+        val entries = (0 until n).map { i =>
+          val eo = ifdOff + 8 + 20 * i
+          val e = Entry(r.u16(eo), r.u16(eo + 2), r.u64(eo + 4), eo + 12)
+          e.tag -> e
+        }.toMap
+        Some(Parsed(r, le, big = true, entries, bytes))
+      case _ => None
+    }
   }
 
   /** REAL TIFF header decode (the raster twin of the PNG/BMP/WAV parsers
@@ -175,7 +206,7 @@ object Tiff {
           case _ => (null, null)
         }
         Row(width, height, bits, sampleFormat, compression, tiled, bw, bh,
-          nBlocks, if (p.le) "LE" else "BE", pxW, pxH, ox, oy)
+          nBlocks, if (p.le) "LE" else "BE", p.big, pxW, pxH, ox, oy)
       } catch { case _: Exception => null }
   }
 
@@ -184,23 +215,157 @@ object Tiff {
     */
   def gridDefOf(bytes: Array[Byte]): Option[Regrid.GridDef] = {
     val m = decodeMeta(bytes)
-    if (m == null || m.isNullAt(10) || m.isNullAt(12)) None
-    else Some(Regrid.GridDef(m.getDouble(12), m.getDouble(13),
-      m.getDouble(10), m.getDouble(11)))
+    if (m == null || m.isNullAt(11) || m.isNullAt(13)) None
+    else Some(Regrid.GridDef(m.getDouble(13), m.getDouble(14),
+      m.getDouble(11), m.getDouble(12)))
   }
 
-  /** Decode an uncompressed float32 tiled/stripped TIFF into block rows
-    * shaped for [[RasterBridge.explodeBlocks]]: (tile_y, tile_x, block_h,
-    * block_w, blob) with the blob byte-swapped to big-endian (the bridge's
-    * buffer order) when the file is little-endian. Tiles are emitted at
-    * FULL tile size (TIFF pads edge tiles; pad cells carry whatever the
-    * writer put there — nodata by convention, which explodeBlocks drops).
-    * Strips are clipped by the spec, so the last strip's block_h shrinks.
+  // ---- TIFF-6 LZW (the reference's write profile: compress='lzw') ----
+  //
+  // MSB-first bit packing, ClearCode 256, EOI 257, first table code 258,
+  // 12-bit max, EARLY CHANGE: both sides derive the code width from the
+  // encoder's next-free-code counter n via w(n) = 9 while n ≤ 510, 10
+  // while n ≤ 1022, 11 while n ≤ 2046, else 12 (the decoder lags one
+  // table add, so it reads at w(nextCode+1)). The encoder emits a clear
+  // when n reaches 4094, so code 4095 is never assigned.
+
+  private def lzwWidth(n: Int): Int =
+    if (n <= 510) 9 else if (n <= 1022) 10 else if (n <= 2046) 11 else 12
+
+  /** Decode one LZW-compressed block. `maxOut` bounds the output (the
+    * caller knows the uncompressed block size); a stream that would
+    * overflow it fails rather than allocating unboundedly.
+    */
+  private[graft] def lzwDecode(in: Array[Byte], maxOut: Int): Array[Byte] = {
+    val out = new Array[Byte](maxOut)
+    var outLen = 0
+    // table: code -> (prefix code, appended byte); codes < 256 literal
+    val prefix = new Array[Int](4096)
+    val append = new Array[Byte](4096)
+    var nextCode = 258
+    var bitPos = 0
+    val nBits = in.length * 8
+
+    def readCode(width: Int): Int = {
+      if (bitPos + width > nBits) return 257 // truncated stream: treat as EOI
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = (in((bitPos + i) >> 3) >> (7 - ((bitPos + i) & 7))) & 1
+        v = (v << 1) | b
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+
+    def emit(code: Int): Int = { // writes string(code), returns its first byte
+      if (code < 256) {
+        require(outLen < maxOut, "LZW output exceeds expected block size")
+        out(outLen) = code.toByte; outLen += 1
+        code
+      } else {
+        val first = emit(prefix(code))
+        require(outLen < maxOut, "LZW output exceeds expected block size")
+        out(outLen) = append(code); outLen += 1
+        first
+      }
+    }
+
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode(if (prev < 0) 9 else lzwWidth(nextCode + 1))
+      if (code == 257) done = true
+      else if (code == 256) { nextCode = 258; prev = -1 }
+      else if (prev < 0) {
+        require(code < 256, s"LZW: first code after clear must be literal, got $code")
+        emit(code); prev = code
+      } else {
+        require(code <= nextCode && nextCode < 4096, s"LZW: code $code out of range")
+        if (code < nextCode) {
+          val first = emit(code)
+          prefix(nextCode) = prev; append(nextCode) = first.toByte; nextCode += 1
+        } else { // KwKwK: string(prev) + first(string(prev))
+          var f = prev
+          while (f >= 256) f = prefix(f)
+          prefix(nextCode) = prev; append(nextCode) = f.toByte; nextCode += 1
+          emit(code)
+        }
+        prev = code
+      }
+    }
+    require(outLen == maxOut,
+      s"LZW block decoded to $outLen bytes, expected $maxOut")
+    out
+  }
+
+  /** Encode one block with TIFF-6 LZW (the synth-writer half — mm3/mm4
+    * pattern: the spec proves decode against this plus a hand-derived
+    * code-stream vector, so encoder and decoder cannot share a mirrored
+    * width bug).
+    */
+  private[graft] def lzwEncode(in: Array[Byte]): Array[Byte] = {
+    val bits = new java.io.ByteArrayOutputStream(in.length)
+    var acc = 0L
+    var accBits = 0
+    def write(code: Int, width: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        bits.write(((acc >> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    // string table: (prefixCode << 8 | byte) -> code
+    var table = new java.util.HashMap[Integer, Integer](8192)
+    var nextCode = 258
+    write(256, 9)
+    var omega = -1
+    var i = 0
+    while (i < in.length) {
+      val c = in(i) & 0xff
+      if (omega < 0) omega = c
+      else {
+        val key = Integer.valueOf((omega << 8) | c)
+        val hit = table.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          write(omega, lzwWidth(nextCode))
+          table.put(key, Integer.valueOf(nextCode)); nextCode += 1
+          omega = c
+          if (nextCode == 4094) {
+            write(256, lzwWidth(nextCode)) // clear before the table fills
+            table = new java.util.HashMap[Integer, Integer](8192)
+            nextCode = 258
+          }
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) write(omega, lzwWidth(nextCode))
+    write(257, lzwWidth(nextCode + 1))
+    if (accBits > 0) bits.write(((acc << (8 - accBits)) & 0xff).toInt)
+    bits.toByteArray
+  }
+
+  /** Decode a float32 tiled/stripped TIFF or BigTIFF — uncompressed or
+    * LZW — into block rows shaped for [[RasterBridge.explodeBlocks]]:
+    * (tile_y, tile_x, block_h, block_w, blob) with the blob byte-swapped
+    * to big-endian (the bridge's buffer order) when the file is
+    * little-endian. Tiles are emitted at FULL tile size (TIFF pads edge
+    * tiles; pad cells carry whatever the writer put there — nodata by
+    * convention, which explodeBlocks drops). Strips are clipped by the
+    * spec, so the last strip's block_h shrinks.
     */
   def blocksOf(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Array[Byte])] = {
     val p = parse(bytes).getOrElse(
-      throw new IllegalArgumentException("not a classic TIFF"))
-    require(p.intVal(259).forall(_ == 1L), "only uncompressed TIFF blocks decode")
+      throw new IllegalArgumentException("not a TIFF/BigTIFF"))
+    val compression = p.intVal(259).getOrElse(1L)
+    require(compression == 1L || compression == 5L,
+      s"only uncompressed (1) or LZW (5) TIFF blocks decode, got $compression")
+    require(p.intVal(317).forall(_ == 1L),
+      "LZW Predictor other than none (1) is not supported")
     require(p.intVal(258).forall(_ == 32L) && p.intVal(339).forall(_ == 3L),
       "block decode expects float32 samples (BitsPerSample=32, SampleFormat=3)")
     val width = p.intVal(256).get.toInt
@@ -210,9 +375,13 @@ object Tiff {
     val counts = p.longArray(if (tiled) 325 else 279).get
     require(offsets.length == counts.length, "offset/count arrays disagree")
 
-    def slice(off: Long, len: Long): Array[Byte] = {
+    def slice(off: Long, len: Long, rawLen: Int): Array[Byte] = {
       require(off + len <= bytes.length, s"block at $off+$len beyond EOF ${bytes.length}")
-      val out = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+      val out =
+        if (compression == 5L) lzwDecode(stored, rawLen)
+        else { require(stored.length == rawLen,
+          s"block byte count ${stored.length} != $rawLen"); stored }
       if (p.le) { // swap each float32 word to the bridge's big-endian order
         var i = 0
         while (i + 3 < out.length) {
@@ -230,16 +399,13 @@ object Tiff {
       val th = p.intVal(323).get.toInt
       val across = (width + tw - 1) / tw
       offsets.indices.map { i =>
-        require(counts(i) == 4L * tw * th, s"tile $i byte count ${counts(i)} != ${4 * tw * th}")
-        (i / across, i % across, th, tw, slice(offsets(i), counts(i)))
+        (i / across, i % across, th, tw, slice(offsets(i), counts(i), 4 * tw * th))
       }
     } else {
       val rps = p.intVal(278).map(_.toInt).getOrElse(height)
       offsets.indices.map { i =>
         val rows = math.min(rps, height - i * rps)
-        require(counts(i) == 4L * width * rows,
-          s"strip $i byte count ${counts(i)} != ${4 * width * rows}")
-        (i, 0, rows, width, slice(offsets(i), counts(i)))
+        (i, 0, rows, width, slice(offsets(i), counts(i), 4 * width * rows))
       }
     }
   }
@@ -285,22 +451,32 @@ object Tiff {
 
   // ---- synth writer (the encode half, for tests/oracles — mm3 pattern) ----
 
-  private final class Writer(size: Int, le: Boolean) {
+  private final class Writer(size: Int, le: Boolean, big: Boolean) {
     val buf: java.nio.ByteBuffer = java.nio.ByteBuffer.allocate(size)
       .order(if (le) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    /** One IFD entry. Value semantics follow the inline rule: the caller
+      * passes either the inline value or the external payload offset —
+      * whichever the type×count size dictates for this container.
+      */
     def entry(tag: Int, typ: Int, count: Int, value: Long): Unit = {
-      buf.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+      buf.putShort(tag.toShort).putShort(typ.toShort)
+      if (big) buf.putLong(count.toLong) else buf.putInt(count)
+      val fieldEnd = buf.position() + (if (big) 8 else 4)
       typ match {
-        case 3 if count == 1 => buf.putShort(value.toShort).putShort(0.toShort)
+        case 3 if count == 1 => buf.putShort(value.toShort)
+        case 16 => buf.putLong(value)
         case _ => buf.putInt(value.toInt)
       }
+      while (buf.position() < fieldEnd) buf.put(0.toByte) // left-justified pad
     }
   }
 
-  /** Minimal valid uncompressed float32 TIFF bytes. `tile` picks tiled
-    * (true) vs stripped (false) layout; `grid` adds the GeoTIFF
-    * ModelPixelScale/ModelTiepoint pair. Edge tiles are padded with
-    * `pad`; edge strips are clipped (spec behavior on both counts).
+  /** Minimal valid float32 TIFF bytes. `tile` picks tiled (true) vs
+    * stripped (false) layout; `grid` adds the GeoTIFF ModelPixelScale/
+    * ModelTiepoint pair; `lzw` compresses each block with TIFF-6 LZW;
+    * `bigTiff` writes the BigTIFF container (magic 43, 8-byte offsets —
+    * the reference's `bigtiff='YES'`). Edge tiles are padded with `pad`;
+    * edge strips are clipped (spec behavior on both counts).
     * `values(row, col)` fills the raster.
     */
   def synthTiff(
@@ -309,73 +485,96 @@ object Tiff {
       littleEndian: Boolean,
       tile: Boolean,
       grid: Option[Regrid.GridDef] = None,
-      pad: Float = Float.NaN)(values: (Int, Int) => Float): Array[Byte] = {
+      pad: Float = Float.NaN,
+      lzw: Boolean = false,
+      bigTiff: Boolean = false)(values: (Int, Int) => Float): Array[Byte] = {
     require(width > 0 && height > 0 && blockW > 0 && blockH > 0, "bad geometry")
     require(tile || blockW == width, "strips span the full width")
     val across = if (tile) (width + blockW - 1) / blockW else 1
     val down = (height + blockH - 1) / blockH
     val n = across * down
-    val blockBytes: Seq[Int] =
-      if (tile) Seq.fill(n)(4 * blockW * blockH)
-      else (0 until n).map(i => 4 * width * math.min(blockH, height - i * blockH))
+    val order =
+      if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN
+
+    // raw (then optionally compressed) bytes per block, in file byte order
+    val blocks: IndexedSeq[Array[Byte]] = (0 until n).map { i =>
+      val (ty, tx) = if (tile) (i / across, i % across) else (i, 0)
+      val rows = if (tile) blockH else math.min(blockH, height - i * blockH)
+      val raw = java.nio.ByteBuffer.allocate(4 * rows * blockW).order(order)
+      for (lr <- 0 until rows; lc <- 0 until blockW) {
+        val gr = ty * blockH + lr; val gc = tx * blockW + lc
+        raw.putFloat(if (gr < height && gc < width) values(gr, gc) else pad)
+      }
+      if (lzw) lzwEncode(raw.array()) else raw.array()
+    }
+    val blockBytes = blocks.map(_.length)
+
+    val headerSize = if (bigTiff) 16 else 8
+    val entrySize = if (bigTiff) 20 else 12
+    val countSize = if (bigTiff) 8 else 2
+    val arrElem = if (bigTiff) 8 else 4 // offset/count arrays: LONG8 vs LONG
+    val arrTyp = if (bigTiff) 16 else 4
+    val inlineCap = if (bigTiff) 8 else 4
+    val arraysInline = arrElem * n <= inlineCap // n == 1: values live in the field
 
     val nEntries = (if (tile) 11 else 10) + (if (grid.isDefined) 2 else 0)
-    val ifdSize = 2 + 12 * nEntries + 4
-    val extOff = 8 + ifdSize
+    val ifdSize = countSize + entrySize * nEntries + (if (bigTiff) 8 else 4)
+    val extOff = headerSize + ifdSize
     val offArrOff = extOff
-    val cntArrOff = offArrOff + 4 * n
-    val scaleOff = cntArrOff + 4 * n
+    val cntArrOff = offArrOff + (if (arraysInline) 0 else arrElem * n)
+    val scaleOff = cntArrOff + (if (arraysInline) 0 else arrElem * n)
     val tieOff = scaleOff + (if (grid.isDefined) 24 else 0)
     val dataOff = tieOff + (if (grid.isDefined) 48 else 0)
     val total = dataOff + blockBytes.sum
+    val offs = blockBytes.scanLeft(dataOff)(_ + _)
 
-    val w = new Writer(total, littleEndian)
+    val w = new Writer(total, littleEndian, bigTiff)
     val b = w.buf
     b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
-    b.putShort(42).putInt(8)
+    if (bigTiff) b.putShort(43).putShort(8).putShort(0).putLong(16L)
+    else b.putShort(42).putInt(8)
     // IFD (tags ascending, as the spec requires)
-    b.putShort(nEntries.toShort)
+    if (bigTiff) b.putLong(nEntries.toLong) else b.putShort(nEntries.toShort)
+    def offsetsEntry(tag: Int): Unit =
+      w.entry(tag, arrTyp, n, if (arraysInline) offs(0).toLong else offArrOff.toLong)
+    def countsEntry(tag: Int): Unit =
+      w.entry(tag, arrTyp, n, if (arraysInline) blockBytes(0).toLong else cntArrOff.toLong)
     w.entry(256, 4, 1, width)
     w.entry(257, 4, 1, height)
     w.entry(258, 3, 1, 32)
-    w.entry(259, 3, 1, 1)
+    w.entry(259, 3, 1, if (lzw) 5 else 1)
     w.entry(262, 3, 1, 1)
-    if (!tile) w.entry(273, 4, n, offArrOff)
+    if (!tile) offsetsEntry(273)
     w.entry(277, 3, 1, 1)
     if (!tile) {
       w.entry(278, 4, 1, blockH)
-      w.entry(279, 4, n, cntArrOff)
+      countsEntry(279)
     }
     if (tile) {
       w.entry(322, 3, 1, blockW)
       w.entry(323, 3, 1, blockH)
-      w.entry(324, 4, n, offArrOff)
-      w.entry(325, 4, n, cntArrOff)
+      offsetsEntry(324)
+      countsEntry(325)
     }
     w.entry(339, 3, 1, 3)
     grid.foreach { _ =>
       w.entry(33550, 12, 3, scaleOff)
       w.entry(33922, 12, 6, tieOff)
     }
-    b.putInt(0) // next-IFD terminator
+    if (bigTiff) b.putLong(0L) else b.putInt(0) // next-IFD terminator
 
-    val offs = blockBytes.scanLeft(dataOff)(_ + _)
-    offs.dropRight(1).foreach(o => b.putInt(o))
-    blockBytes.foreach(c => b.putInt(c))
+    if (!arraysInline) {
+      offs.dropRight(1).foreach(o => if (bigTiff) b.putLong(o.toLong) else b.putInt(o))
+      blockBytes.foreach(c => if (bigTiff) b.putLong(c.toLong) else b.putInt(c))
+    }
     grid.foreach { g =>
       b.putDouble(g.pxW).putDouble(g.pxH).putDouble(0.0)
       // tiepoint: raster (0,0,0) pins world (originX, originY, 0)
       b.putDouble(0.0).putDouble(0.0).putDouble(0.0)
       b.putDouble(g.originX).putDouble(g.originY).putDouble(0.0)
     }
-    for (i <- 0 until n) {
-      val (ty, tx) = if (tile) (i / across, i % across) else (i, 0)
-      val rows = if (tile) blockH else math.min(blockH, height - i * blockH)
-      for (lr <- 0 until rows; lc <- 0 until blockW) {
-        val gr = ty * blockH + lr; val gc = tx * blockW + lc
-        b.putFloat(if (gr < height && gc < width) values(gr, gc) else pad)
-      }
-    }
+    blocks.foreach(b.put)
     b.array()
   }
 }
