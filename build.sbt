@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 181-query whole-stage-codegen run generates far more JIT'd classes
+  // than the JVM's default 240 MB code cache holds; when it fills, the
+  // compiler DISABLES itself and later queries run interpreted (observed
+  // as systematic 2-20x slowdowns on hash-heavy queries late in full-
+  // suite runs that never reproduce in short local ones).
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

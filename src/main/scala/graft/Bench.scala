@@ -126,7 +126,11 @@ object Bench {
       // slow on its first run gets ONE confirming re-run and reports the
       // min — genuinely heavy queries change little, noise-hit ones are
       // rescued. Skipped when REPEAT is set (local bisection mode).
-      val tFinal = if (repeat == 1 && t > 1.5) math.min(t, timeOnce(fn)) else t
+      var tFinal = if (repeat == 1 && t > 1.5) math.min(t, timeOnce(fn)) else t
+      // Extreme outlier (no query should exceed ~8 s warm at sf0.1): one
+      // more confirming sample — a minutes-long steal burst can poison two
+      // back-to-back runs, and a genuinely heavy query loses nothing.
+      if (repeat == 1 && tFinal > 8.0) tFinal = math.min(tFinal, timeOnce(fn))
       name -> tFinal
     }
     // The driver captures only the last ~2000 chars of stdout; rounds 1-3

@@ -24,15 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; read it as a nanos Long and truncate to a µs TimestampType.
-    * Lossless for this data (no sub-µs components) and keeps oracle parity
-    * with DuckDB's TIMESTAMP_NS values.
+  /** events.ts has drifted across fixture generations: parquet
+    * TIMESTAMP(NANOS) (which Spark 4 only reads via the nanos-as-long shim)
+    * and plain timestamp[us]. Branch on the dtype Spark actually loads so
+    * either generation normalizes to a session-TZ µs TimestampType, keeping
+    * oracle parity with DuckDB's naive TIMESTAMP values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // nanos fixture: truncate to µs (lossless, no sub-µs data)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // µs fixture: same wall clock in the session TZ (UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unexpected fixture dtype $other — update Tables.events")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -68,7 +68,18 @@ object GlobalOrder {
       df: DataFrame,
       orderCols: Seq[Column],
       outCol: String = "rank",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    withGlobalRankAndTotal(df, orderCols, outCol, numPartitions)._1
+
+  /** [[withGlobalRank]] plus the table's total row count, FREE from the
+    * pass-1 bucket counts (their sum) — callers that also need the count
+    * (equi-depth ntile arithmetic) save a whole extra scan.
+    */
+  def withGlobalRankAndTotal(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      outCol: String = "rank",
+      numPartitions: Int = 0): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "withGlobalRank needs at least one order column")
     val spark = df.sparkSession
     val n = numParts(df, numPartitions)
@@ -93,7 +104,7 @@ object GlobalOrder {
         Row.fromSeq(r.toSeq.patch(bIdx, Nil, 1) :+ rank)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
+    (spark.createDataFrame(rdd, outSchema), counts.valuesIterator.sum)
   }
 
   /** Append `outCol` = running sum of `valueCol` over the total order of

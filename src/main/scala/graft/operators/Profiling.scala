@@ -87,10 +87,11 @@ object Profiling {
       buckets: Int): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
     val proj = df.select(c.as("__v"), tieCol.as("__t"))
-    val total = proj.count()
+    // total comes free from the rank's pass-1 bucket counts — no extra scan
+    val (ranked, total) =
+      GlobalOrder.withGlobalRankAndTotal(proj, Seq(col("__v"), col("__t")), "__rank")
     val q = total / buckets
     val r = total % buckets
-    val ranked = GlobalOrder.withGlobalRank(proj, Seq(col("__v"), col("__t")), "__rank")
     // exact integer floor division: (a - a mod b) / b with a a multiple of b
     def idiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("long")
     val zeroBased = col("__rank") - 1

@@ -462,7 +462,19 @@ object Tiff {
       buf.putShort(tag.toShort).putShort(typ.toShort)
       if (big) buf.putLong(count.toLong) else buf.putInt(count)
       val fieldEnd = buf.position() + (if (big) 8 else 4)
-      typ match {
+      val typeSize = typ match {
+        case 3 => 2 // SHORT
+        case 4 => 4 // LONG
+        case 12 | 16 => 8 // DOUBLE / LONG8
+        case _ => 4
+      }
+      if (typeSize.toLong * count > (if (big) 8 else 4)) {
+        // external payload: the field holds an offset at the CONTAINER's
+        // offset width (8 bytes in BigTIFF — the decoder reads it as u64,
+        // so a left-justified 4-byte write would decode as offset<<32 on
+        // big-endian files)
+        if (big) buf.putLong(value) else buf.putInt(value.toInt)
+      } else typ match { // inline: natural width, left-justified in the field
         case 3 if count == 1 => buf.putShort(value.toShort)
         case 16 => buf.putLong(value)
         case _ => buf.putInt(value.toInt)

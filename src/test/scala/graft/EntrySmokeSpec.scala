@@ -15,6 +15,19 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events fixture dtype canary: loader normalizes ts to TimestampType") {
+    // The fixture's physical ts type has drifted between rounds (nanos-long
+    // → timestamp[us]). This canary names the drift at test time instead of
+    // letting it surface as dozens of cascading query failures.
+    import org.apache.spark.sql.types.TimestampType
+    val loaded = Tables.events(spark, sf).schema("ts").dataType
+    assert(loaded == TimestampType,
+      s"Tables.events must normalize the fixture's ts to TimestampType; got $loaded — " +
+        "the testdata fixture dtype likely changed; update Tables.events' branch")
+    val raw = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    info(s"raw fixture ts dtype: $raw")
+  }
+
   test("oracleSql keys ⊆ queries keys") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracle entries without queries: $missing")

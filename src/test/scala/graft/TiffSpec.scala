@@ -181,6 +181,20 @@ class TiffSpec extends AnyFunSuite {
     assert(meta(badOffsetSize) == null)
   }
 
+  test("GeoTIFF grid round-trips across the full endianness×container×codec matrix") {
+    // Regression (r5 mm5 hash fail): BE+BigTIFF+grid wrote the DOUBLE
+    // arrays' external offset as a left-justified 4-byte int, which the
+    // u64 decode turned into offset<<32 → garbage ModelPixelScale.
+    val g = Regrid.GridDef(-17.25, 48.5, 0.125, 0.25)
+    for (le <- Seq(true, false); big <- Seq(false, true); lzw <- Seq(false, true)) {
+      val b = Tiff.synthTiff(40, 24, 16, 16, littleEndian = le, tile = true,
+        grid = Some(g), bigTiff = big, lzw = lzw)((r, c) => r + c)
+      assert(Tiff.gridDefOf(b).contains(g), s"le=$le big=$big lzw=$lzw")
+      val m = meta(b)
+      assert(m.getInt(0) == 40 && m.getInt(1) == 24, s"le=$le big=$big lzw=$lzw")
+    }
+  }
+
   test("BigTIFF LZW stripped file decodes identically to its classic raw twin") {
     def fill(r: Int, c: Int): Float = (r * 31 + c * 7 % 13).toFloat
     val variants = Seq(
