@@ -1403,6 +1403,8 @@ object SparkEntry {
         col("tiff_meta.height").as("height"),
         col("tiff_meta.bits_per_sample").as("bits_per_sample"),
         col("tiff_meta.sample_format").as("sample_format"),
+        col("tiff_meta.n_bands").as("n_bands"),
+        col("tiff_meta.planar_config").as("planar_config"),
         col("tiff_meta.compression").as("compression"),
         col("tiff_meta.tiled").as("tiled"),
         col("tiff_meta.block_w").as("block_w"),
@@ -1469,6 +1471,39 @@ object SparkEntry {
     }
     pixels(1L, big, 16, 16).unionAll(pixels(2L, classic, 8, 48))
       .orderBy("scene_id", "px_row", "px_col")
+  }
+
+  /** S15 — multi-band ingest, the reference's CENTRAL artifact shape: the
+    * N-band stacked float32 raster (feature_stacking.py:219-251) read
+    * band-wise (:114-115,150). Scene 1 is a chunky (pixel-interleaved)
+    * classic LE tiled 3-band file; scene 2 a planar (plane-major) BE
+    * BigTIFF LZW stripped 2-band file — both flow through
+    * `tiffToBandBlocks` → `explodeBlocks`, the band column riding the
+    * bridge as an ordinary pass-through. Any defect in SamplesPerPixel/
+    * PlanarConfiguration handling, chunky de-interleave, plane-major
+    * offset grouping, or per-band padding breaks the hash.
+    */
+  private def s15(s: SparkSession, d: String) = {
+    import s.implicits._
+    val chunky = operators.Tiff.synthMultibandTiff(
+      20, 14, 8, 8, littleEndian = true, tile = true,
+      bands = 3, planarConfig = 1, pad = -9999.0f)(
+      (b, r, c) => if ((b + r + c) % 9 == 0) -9999.0f
+        else ((b * 2000 + r * 20 + c) % 1777).toFloat)
+    val planar = operators.Tiff.synthMultibandTiff(
+      24, 10, 24, 4, littleEndian = false, tile = false,
+      bands = 2, planarConfig = 2, pad = -9999.0f, lzw = true, bigTiff = true)(
+      (b, r, c) => if ((b * 3 + r * 2 + c) % 11 == 0) -9999.0f
+        else (((b * 5000 + r * 24 + c) * 7) % 997).toFloat)
+    def pixels(sceneId: Long, bytes: Array[Byte], bh: Int, bw: Int) = {
+      val blocks = operators.Tiff.tiffToBandBlocks(
+        Seq((sceneId, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw, nodata = -9999.0f)
+        .select(col("scene_id"), col("band"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, chunky, 8, 8).unionAll(pixels(2L, planar, 4, 24))
+      .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
   // ---------- full analytic queries (TPC-H-shaped, bench headliners) ----------
@@ -2527,6 +2562,32 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G6 — NAMED-CRS geodetic reprojection: the reference's real
+    * `align_rasterio` case (feature_stacking.py:85-96 — DEM in geographic
+    * EPSG:4326 vs scenes in UTM). The master grid is UTM zone 33N metres
+    * around 48°N; each cell center runs the public Snyder inverse
+    * transverse-Mercator series ([[operators.Regrid.GeographicFromUtm]])
+    * into lon/lat, then nearest-samples a geographic aux raster. The
+    * fixture geometry keeps every mapped center ≥3e-5 cell-fractions from
+    * any aux cell boundary, so the int cell keys are robust to last-ulp
+    * libm differences and the oracle evaluates the identical closed form.
+    */
+  private def g6(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(445000.0, 5320000.0, 100.0, 100.0),
+      operators.Regrid.GridDef(14.26, 48.032, 0.001, 0.0007),
+      operators.Regrid.GeographicFromUtm(33), Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -2785,6 +2846,7 @@ object SparkEntry {
     "g3_regrid_bilinear" -> (g3 _),
     "g4_regrid_cubic" -> (g4 _),
     "g5_reproject" -> (g5 _),
+    "g6_utm_reproject" -> (g6 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -2794,6 +2856,7 @@ object SparkEntry {
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
+    "s15_multiband_tiff" -> (s15 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
     "q4_order_priority" -> (q4 _),
@@ -3355,6 +3418,8 @@ object SparkEntry {
         |  CAST(16 + (id * 7) % 32 AS INTEGER) AS height,
         |  CAST(32 AS INTEGER) AS bits_per_sample,
         |  CAST(3 AS INTEGER) AS sample_format,
+        |  CAST(1 AS INTEGER) AS n_bands,
+        |  CAST(1 AS INTEGER) AS planar_config,
         |  CAST(CASE WHEN id % 11 = 4 THEN 5 ELSE 1 END AS INTEGER) AS compression,
         |  (id % 2 = 0) AS tiled,
         |  CAST(CASE WHEN id % 2 = 0 THEN 16 ELSE 16 + id % 32 END AS INTEGER) AS block_w,
@@ -3391,6 +3456,21 @@ object SparkEntry {
         |FROM range(2112) t(id)
         |WHERE (id // 48 + 2 * (id % 48)) % 13 <> 0
         |ORDER BY scene_id, px_row, px_col""".stripMargin,
+    // s15: both multi-band layouts regenerate from the same closed forms —
+    // the chunky de-interleave and plane-major grouping must be invisible.
+    "s15_multiband_tiff" ->
+      """SELECT CAST(1 AS BIGINT) AS scene_id, CAST(id // 280 AS INT) AS band,
+        |  CAST((id % 280) // 20 AS INT) AS px_row, CAST(id % 20 AS INT) AS px_col,
+        |  CAST((id // 280 * 2000 + ((id % 280) // 20) * 20 + id % 20) % 1777 AS INT) AS v
+        |FROM range(840) t(id)
+        |WHERE (id // 280 + (id % 280) // 20 + id % 20) % 9 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 240 AS INT),
+        |  CAST((id % 240) // 24 AS INT), CAST(id % 24 AS INT),
+        |  CAST(((id // 240 * 5000 + ((id % 240) // 24) * 24 + id % 24) * 7) % 997 AS INT)
+        |FROM range(480) t(id)
+        |WHERE (id // 240 * 3 + ((id % 240) // 24) * 2 + id % 24) % 11 <> 0
+        |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
     "w4_range_frame" ->
       """SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
         |RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6) AS w_avg

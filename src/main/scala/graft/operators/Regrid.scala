@@ -110,6 +110,103 @@ object Regrid {
     }
   }
 
+  /** WGS84 transverse-Mercator constants shared by the UTM transform pair
+    * (public USGS Snyder series, Map Projections — A Working Manual,
+    * eqs. 8-9..8-25; the closed forms rasterio/PROJ evaluate for the
+    * reference's geographic↔UTM case, feature_stacking.py:85-96).
+    */
+  private[graft] object Utm {
+    val A = 6378137.0 // WGS84 semi-major axis
+    val F = 1.0 / 298.257223563
+    val E2: Double = F * (2 - F) // first eccentricity²
+    val Ep2: Double = E2 / (1 - E2) // second eccentricity²
+    val K0 = 0.9996
+    val FalseEasting = 500000.0
+    val FalseNorthing = 10000000.0 // southern hemisphere only
+    def centralMeridianDeg(zone: Int): Double = (zone - 1) * 6 - 180 + 3
+    val Deg2Rad: Double = math.Pi / 180.0
+    // meridian-arc series coefficients (Snyder 3-21)
+    val M0: Double = 1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2 * E2 * E2 / 256
+    val M2: Double = 3 * E2 / 8 + 3 * E2 * E2 / 32 + 45 * E2 * E2 * E2 / 1024
+    val M4: Double = 15 * E2 * E2 / 256 + 45 * E2 * E2 * E2 / 1024
+    val M6: Double = 35 * E2 * E2 * E2 / 3072
+    // footpoint-latitude series coefficients (Snyder 3-26)
+    val E1: Double = (1 - math.sqrt(1 - E2)) / (1 + math.sqrt(1 - E2))
+    val P2: Double = 3 * E1 / 2 - 27 * E1 * E1 * E1 / 32
+    val P4: Double = 21 * E1 * E1 / 16 - 55 * E1 * E1 * E1 * E1 / 32
+    val P6: Double = 151 * E1 * E1 * E1 / 96
+    val P8: Double = 1097 * E1 * E1 * E1 * E1 / 512
+  }
+
+  /** Geographic (lon°, lat°) → UTM (easting, northing) on WGS84 — the
+    * named-CRS geodetic forward the reference's `align_rasterio` needs for
+    * its DEM-vs-scene case. Pure Column algebra (Snyder 8-9..8-14), so
+    * reprojection stays a join-key rewrite: no raster on the driver, no
+    * new shuffle, and the oracle can evaluate the identical closed form.
+    */
+  final case class UtmFromGeographic(zone: Int, southern: Boolean = false) extends Transform2D {
+    import Utm._
+    require(zone >= 1 && zone <= 60, s"UTM zone must be 1..60, got $zone")
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val phi = lat * lit(Deg2Rad)
+      val dlam = (lon - lit(centralMeridianDeg(zone))) * lit(Deg2Rad)
+      val sinPhi = sin(phi); val cosPhi = cos(phi); val tanPhi = tan(phi)
+      val n = lit(A) / sqrt(lit(1.0) - lit(E2) * sinPhi * sinPhi)
+      val t = tanPhi * tanPhi
+      val c = lit(Ep2) * cosPhi * cosPhi
+      val aa = dlam * cosPhi
+      val m = lit(A) * (lit(M0) * phi - lit(M2) * sin(lit(2.0) * phi) +
+        lit(M4) * sin(lit(4.0) * phi) - lit(M6) * sin(lit(6.0) * phi))
+      val easting = lit(FalseEasting) + lit(K0) * n * (aa +
+        (lit(1.0) - t + c) * aa * aa * aa / lit(6.0) +
+        (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c - lit(58.0) * Ep2) *
+          aa * aa * aa * aa * aa / lit(120.0))
+      val northing = lit(if (southern) FalseNorthing else 0.0) + lit(K0) * (m +
+        n * tanPhi * (aa * aa / lit(2.0) +
+          (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) *
+            aa * aa * aa * aa / lit(24.0) +
+          (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0) * Ep2) *
+            aa * aa * aa * aa * aa * aa / lit(720.0)))
+      (easting, northing)
+    }
+    def inverse: Transform2D = GeographicFromUtm(zone, southern)
+  }
+
+  /** UTM (easting, northing) → geographic (lon°, lat°) on WGS84
+    * (Snyder 8-17..8-25 via the footpoint latitude). The direction the
+    * reproject operator uses when the MASTER grid is UTM and the aux
+    * raster (DEM) is geographic — the reference's exact configuration.
+    */
+  final case class GeographicFromUtm(zone: Int, southern: Boolean = false) extends Transform2D {
+    import Utm._
+    require(zone >= 1 && zone <= 60, s"UTM zone must be 1..60, got $zone")
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val m = (y - lit(if (southern) FalseNorthing else 0.0)) / lit(K0)
+      val mu = m / lit(A * M0)
+      val phi1 = mu + lit(P2) * sin(lit(2.0) * mu) + lit(P4) * sin(lit(4.0) * mu) +
+        lit(P6) * sin(lit(6.0) * mu) + lit(P8) * sin(lit(8.0) * mu)
+      val sinP1 = sin(phi1); val cosP1 = cos(phi1); val tanP1 = tan(phi1)
+      val c1 = lit(Ep2) * cosP1 * cosP1
+      val t1 = tanP1 * tanP1
+      val oneMinus = lit(1.0) - lit(E2) * sinP1 * sinP1
+      val n1 = lit(A) / sqrt(oneMinus)
+      val r1 = lit(A * (1 - E2)) / (oneMinus * sqrt(oneMinus))
+      val d = (x - lit(FalseEasting)) / (n1 * lit(K0))
+      val latRad = phi1 - (n1 * tanP1 / r1) * (d * d / lit(2.0) -
+        (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 -
+          lit(9.0) * Ep2) * d * d * d * d / lit(24.0) +
+        (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
+          lit(252.0) * Ep2 - lit(3.0) * c1 * c1) *
+          d * d * d * d * d * d / lit(720.0))
+      val lonRad = (d - (lit(1.0) + lit(2.0) * t1 + c1) * d * d * d / lit(6.0) +
+        (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
+          lit(8.0) * Ep2 + lit(24.0) * t1 * t1) *
+          d * d * d * d * d / lit(120.0)) / cosP1
+      (lit(centralMeridianDeg(zone)) + lonRad / lit(Deg2Rad), latRad / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = UtmFromGeographic(zone, southern)
+  }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.

@@ -36,6 +36,8 @@ object Tiff {
     StructField("height", IntegerType),
     StructField("bits_per_sample", IntegerType),
     StructField("sample_format", IntegerType),
+    StructField("n_bands", IntegerType),
+    StructField("planar_config", IntegerType),
     StructField("compression", IntegerType),
     StructField("tiled", BooleanType),
     StructField("block_w", IntegerType),
@@ -184,6 +186,8 @@ object Tiff {
         val height = p.intVal(257).getOrElse(return null).toInt
         val bits = p.intVal(258).map(_.toInt).getOrElse(1)
         val sampleFormat = p.intVal(339).map(_.toInt).getOrElse(1)
+        val nBands = p.intVal(277).map(_.toInt).getOrElse(1)
+        val planarConfig = p.intVal(284).map(_.toInt).getOrElse(1)
         val compression = p.intVal(259).map(_.toInt).getOrElse(1)
         val tiled = p.entries.contains(322)
         val (bw, bh) =
@@ -205,7 +209,8 @@ object Tiff {
             (t(3) - t(0) * s(0), t(4) + t(1) * s(1))
           case _ => (null, null)
         }
-        Row(width, height, bits, sampleFormat, compression, tiled, bw, bh,
+        Row(width, height, bits, sampleFormat, nBands, planarConfig,
+          compression, tiled, bw, bh,
           nBlocks, if (p.le) "LE" else "BE", p.big, pxW, pxH, ox, oy)
       } catch { case _: Exception => null }
   }
@@ -215,9 +220,11 @@ object Tiff {
     */
   def gridDefOf(bytes: Array[Byte]): Option[Regrid.GridDef] = {
     val m = decodeMeta(bytes)
-    if (m == null || m.isNullAt(11) || m.isNullAt(13)) None
-    else Some(Regrid.GridDef(m.getDouble(13), m.getDouble(14),
-      m.getDouble(11), m.getDouble(12)))
+    val pxW = metaSchema.fieldIndex("px_w")
+    val ox = metaSchema.fieldIndex("origin_x")
+    if (m == null || m.isNullAt(pxW) || m.isNullAt(ox)) None
+    else Some(Regrid.GridDef(m.getDouble(ox), m.getDouble(ox + 1),
+      m.getDouble(pxW), m.getDouble(pxW + 1)))
   }
 
   // ---- TIFF-6 LZW (the reference's write profile: compress='lzw') ----
@@ -359,6 +366,25 @@ object Tiff {
     * spec, so the last strip's block_h shrinks.
     */
   def blocksOf(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Array[Byte])] = {
+    val spp = parse(bytes).flatMap(_.intVal(277)).getOrElse(1L)
+    // fail CLOSED: silently decoding a multi-band file here would
+    // interleave every band's samples into one plane
+    require(spp == 1L,
+      s"blocksOf is single-band; file has SamplesPerPixel=$spp — use bandBlocksOf")
+    bandBlocksOf(bytes).map { case (_, ty, tx, bh, bw, blob) => (ty, tx, bh, bw, blob) }
+  }
+
+  /** Multi-band block decode: (band, tile_y, tile_x, block_h, block_w,
+    * blob) with each blob a SINGLE band's float32 plane in the bridge's
+    * big-endian order. Handles both sample layouts the spec defines —
+    * PlanarConfiguration=1 (chunky: bands interleaved per pixel inside
+    * each block, de-interleaved here) and 2 (planar: the offset/count
+    * arrays carry SamplesPerPixel × blocks-per-plane entries, plane-
+    * major). Anything else fails closed. Reference shape: the 7-band
+    * float32 feature stack (feature_stacking.py:219-251) read band-wise
+    * (:114-115,150; image_segmentation.py:37,137).
+    */
+  def bandBlocksOf(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Int, Array[Byte])] = {
     val p = parse(bytes).getOrElse(
       throw new IllegalArgumentException("not a TIFF/BigTIFF"))
     val compression = p.intVal(259).getOrElse(1L)
@@ -366,8 +392,16 @@ object Tiff {
       s"only uncompressed (1) or LZW (5) TIFF blocks decode, got $compression")
     require(p.intVal(317).forall(_ == 1L),
       "LZW Predictor other than none (1) is not supported")
-    require(p.intVal(258).forall(_ == 32L) && p.intVal(339).forall(_ == 3L),
+    // BitsPerSample/SampleFormat have count=SamplesPerPixel: EVERY element
+    // must be float32 (a mixed-type file would silently misdecode)
+    require(p.longArray(258).forall(_.forall(_ == 32L)) &&
+        p.longArray(339).forall(_.forall(_ == 3L)),
       "block decode expects float32 samples (BitsPerSample=32, SampleFormat=3)")
+    val spp = p.intVal(277).map(_.toInt).getOrElse(1)
+    val planar = p.intVal(284).map(_.toInt).getOrElse(1)
+    require(spp >= 1, s"bad SamplesPerPixel $spp")
+    require(planar == 1 || planar == 2,
+      s"PlanarConfiguration must be chunky (1) or planar (2), got $planar")
     val width = p.intVal(256).get.toInt
     val height = p.intVal(257).get.toInt
     val tiled = p.entries.contains(322)
@@ -394,18 +428,53 @@ object Tiff {
       out
     }
 
-    if (tiled) {
-      val tw = p.intVal(322).get.toInt
-      val th = p.intVal(323).get.toInt
-      val across = (width + tw - 1) / tw
-      offsets.indices.map { i =>
-        (i / across, i % across, th, tw, slice(offsets(i), counts(i), 4 * tw * th))
+    // spatial geometry: (tile_y, tile_x, rows, cols) for plane-block i
+    val (nSpatial, geom): (Int, Int => (Int, Int, Int, Int)) =
+      if (tiled) {
+        val tw = p.intVal(322).get.toInt
+        val th = p.intVal(323).get.toInt
+        val across = (width + tw - 1) / tw
+        val down = (height + th - 1) / th
+        (across * down, i => (i / across, i % across, th, tw))
+      } else {
+        val rps = p.intVal(278).map(_.toInt).getOrElse(height)
+        val n = (height + rps - 1) / rps
+        (n, i => (i, 0, math.min(rps, height - i * rps), width))
+      }
+    val expected = if (planar == 2) spp * nSpatial else nSpatial
+    require(offsets.length == expected,
+      s"offset array has ${offsets.length} entries, layout needs $expected")
+
+    if (planar == 2) {
+      // plane-major: all of band 0's blocks, then band 1's, ...
+      (0 until spp).flatMap { band =>
+        (0 until nSpatial).map { i =>
+          val (ty, tx, bh, bw) = geom(i)
+          val k = band * nSpatial + i
+          (band, ty, tx, bh, bw, slice(offsets(k), counts(k), 4 * bw * bh))
+        }
+      }
+    } else if (spp == 1) {
+      (0 until nSpatial).map { i =>
+        val (ty, tx, bh, bw) = geom(i)
+        (0, ty, tx, bh, bw, slice(offsets(i), counts(i), 4 * bw * bh))
       }
     } else {
-      val rps = p.intVal(278).map(_.toInt).getOrElse(height)
-      offsets.indices.map { i =>
-        val rows = math.min(rps, height - i * rps)
-        (i, 0, rows, width, slice(offsets(i), counts(i), 4 * width * rows))
+      // chunky: each block holds bh*bw pixels × spp interleaved samples;
+      // de-interleave into one contiguous plane per band (each float is
+      // already big-endian after slice, so copy whole 4-byte words)
+      (0 until nSpatial).flatMap { i =>
+        val (ty, tx, bh, bw) = geom(i)
+        val mixed = slice(offsets(i), counts(i), 4 * bw * bh * spp)
+        (0 until spp).map { band =>
+          val plane = new Array[Byte](4 * bw * bh)
+          var px = 0
+          while (px < bw * bh) {
+            System.arraycopy(mixed, 4 * (px * spp + band), plane, 4 * px, 4)
+            px += 1
+          }
+          (band, ty, tx, bh, bw, plane)
+        }
       }
     }
   }
@@ -449,6 +518,33 @@ object Tiff {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Multi-band twin of [[tiffToBlocks]]: adds a `band` column, decodes
+    * both planar configurations via [[bandBlocksOf]]. The band column is
+    * an ordinary pass-through for [[RasterBridge.explodeBlocks]], so
+    * per-band pixel tables come out of the same bridge plan.
+    */
+  def tiffToBandBlocks(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("tile_y", IntegerType, nullable = false),
+      StructField("tile_x", IntegerType, nullable = false),
+      StructField("block_h", IntegerType, nullable = false),
+      StructField("block_w", IntegerType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      bandBlocksOf(r.getAs[Array[Byte]](bytesIdx)).map {
+        case (band, ty, tx, bh, bw, blob) =>
+          Row.fromSeq(pass ++ Seq(band, ty, tx, bh, bw, blob))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- synth writer (the encode half, for tests/oracles — mm3 pattern) ----
 
   private final class Writer(size: Int, le: Boolean, big: Boolean) {
@@ -481,6 +577,21 @@ object Tiff {
       }
       while (buf.position() < fieldEnd) buf.put(0.toByte) // left-justified pad
     }
+    /** SHORT-array entry (BitsPerSample/SampleFormat with count =
+      * SamplesPerPixel): inline when the elements fit the value field
+      * (the spec's inline rule is mandatory), else `extOff` points at the
+      * externally-written array.
+      */
+    def entryShorts(tag: Int, values: Seq[Int], extOff: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(3.toShort)
+      if (big) buf.putLong(values.length.toLong) else buf.putInt(values.length)
+      val fieldEnd = buf.position() + (if (big) 8 else 4)
+      if (2 * values.length <= (if (big) 8 else 4))
+        values.foreach(v => buf.putShort(v.toShort))
+      else if (big) buf.putLong(extOff)
+      else buf.putInt(extOff.toInt)
+      while (buf.position() < fieldEnd) buf.put(0.toByte)
+    }
   }
 
   /** Minimal valid float32 TIFF bytes. `tile` picks tiled (true) vs
@@ -499,24 +610,62 @@ object Tiff {
       grid: Option[Regrid.GridDef] = None,
       pad: Float = Float.NaN,
       lzw: Boolean = false,
-      bigTiff: Boolean = false)(values: (Int, Int) => Float): Array[Byte] = {
+      bigTiff: Boolean = false)(values: (Int, Int) => Float): Array[Byte] =
+    synthMultibandTiff(width, height, blockW, blockH, littleEndian, tile,
+      bands = 1, planarConfig = 1, grid, pad, lzw, bigTiff)(
+      (_, r, c) => values(r, c))
+
+  /** Multi-band float32 TIFF bytes — the reference's central artifact
+    * shape (the 7-band stacked BigTIFF, feature_stacking.py:219-251).
+    * `planarConfig` 1 writes chunky (samples interleaved per pixel),
+    * 2 writes planar (one plane per band, plane-major offset arrays);
+    * `values(band, row, col)` fills the raster. Single-band output is
+    * byte-identical to the classic [[synthTiff]] (no PlanarConfiguration
+    * tag, scalar BitsPerSample/SampleFormat).
+    */
+  def synthMultibandTiff(
+      width: Int, height: Int,
+      blockW: Int, blockH: Int,
+      littleEndian: Boolean,
+      tile: Boolean,
+      bands: Int,
+      planarConfig: Int = 1,
+      grid: Option[Regrid.GridDef] = None,
+      pad: Float = Float.NaN,
+      lzw: Boolean = false,
+      bigTiff: Boolean = false)(values: (Int, Int, Int) => Float): Array[Byte] = {
     require(width > 0 && height > 0 && blockW > 0 && blockH > 0, "bad geometry")
     require(tile || blockW == width, "strips span the full width")
+    require(bands >= 1, s"bad band count $bands")
+    require(planarConfig == 1 || planarConfig == 2, s"bad PlanarConfiguration $planarConfig")
     val across = if (tile) (width + blockW - 1) / blockW else 1
     val down = (height + blockH - 1) / blockH
-    val n = across * down
+    val nSpatial = across * down
+    val planar = planarConfig == 2 && bands > 1
+    val n = if (planar) bands * nSpatial else nSpatial // offset-array entries
     val order =
       if (littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN
 
-    // raw (then optionally compressed) bytes per block, in file byte order
-    val blocks: IndexedSeq[Array[Byte]] = (0 until n).map { i =>
+    def rowsOf(i: Int): Int = {
+      val ty = if (tile) i / across else i
+      if (tile) blockH else math.min(blockH, height - ty * blockH)
+    }
+    // raw (then optionally compressed) bytes per block, in file byte order.
+    // chunky: one block per spatial cell, samples interleaved per pixel;
+    // planar: plane-major — band b's spatial block i sits at b*nSpatial+i.
+    val blocks: IndexedSeq[Array[Byte]] = (0 until n).map { k =>
+      val (band, i) = if (planar) (k / nSpatial, k % nSpatial) else (0, k)
       val (ty, tx) = if (tile) (i / across, i % across) else (i, 0)
-      val rows = if (tile) blockH else math.min(blockH, height - i * blockH)
-      val raw = java.nio.ByteBuffer.allocate(4 * rows * blockW).order(order)
+      val rows = rowsOf(i)
+      val sampPerPx = if (planar) 1 else bands
+      val raw = java.nio.ByteBuffer.allocate(4 * rows * blockW * sampPerPx).order(order)
       for (lr <- 0 until rows; lc <- 0 until blockW) {
         val gr = ty * blockH + lr; val gc = tx * blockW + lc
-        raw.putFloat(if (gr < height && gc < width) values(gr, gc) else pad)
+        val in = gr < height && gc < width
+        if (planar) raw.putFloat(if (in) values(band, gr, gc) else pad)
+        else for (s <- 0 until bands)
+          raw.putFloat(if (in) values(s, gr, gc) else pad)
       }
       if (lzw) lzwEncode(raw.array()) else raw.array()
     }
@@ -529,13 +678,17 @@ object Tiff {
     val arrTyp = if (bigTiff) 16 else 4
     val inlineCap = if (bigTiff) 8 else 4
     val arraysInline = arrElem * n <= inlineCap // n == 1: values live in the field
+    val shortsInline = 2 * bands <= inlineCap // BitsPerSample/SampleFormat arrays
 
-    val nEntries = (if (tile) 11 else 10) + (if (grid.isDefined) 2 else 0)
+    val nEntries = (if (tile) 11 else 10) + (if (grid.isDefined) 2 else 0) +
+      (if (bands > 1) 1 else 0) // 284 written only for multi-band
     val ifdSize = countSize + entrySize * nEntries + (if (bigTiff) 8 else 4)
     val extOff = headerSize + ifdSize
     val offArrOff = extOff
     val cntArrOff = offArrOff + (if (arraysInline) 0 else arrElem * n)
-    val scaleOff = cntArrOff + (if (arraysInline) 0 else arrElem * n)
+    val bitsArrOff = cntArrOff + (if (arraysInline) 0 else arrElem * n)
+    val fmtArrOff = bitsArrOff + (if (shortsInline) 0 else 2 * bands)
+    val scaleOff = fmtArrOff + (if (shortsInline) 0 else 2 * bands)
     val tieOff = scaleOff + (if (grid.isDefined) 24 else 0)
     val dataOff = tieOff + (if (grid.isDefined) 48 else 0)
     val total = dataOff + blockBytes.sum
@@ -554,22 +707,25 @@ object Tiff {
       w.entry(tag, arrTyp, n, if (arraysInline) blockBytes(0).toLong else cntArrOff.toLong)
     w.entry(256, 4, 1, width)
     w.entry(257, 4, 1, height)
-    w.entry(258, 3, 1, 32)
+    if (bands == 1) w.entry(258, 3, 1, 32)
+    else w.entryShorts(258, Seq.fill(bands)(32), bitsArrOff)
     w.entry(259, 3, 1, if (lzw) 5 else 1)
     w.entry(262, 3, 1, 1)
     if (!tile) offsetsEntry(273)
-    w.entry(277, 3, 1, 1)
+    w.entry(277, 3, 1, bands)
     if (!tile) {
       w.entry(278, 4, 1, blockH)
       countsEntry(279)
     }
+    if (bands > 1) w.entry(284, 3, 1, planarConfig)
     if (tile) {
       w.entry(322, 3, 1, blockW)
       w.entry(323, 3, 1, blockH)
       offsetsEntry(324)
       countsEntry(325)
     }
-    w.entry(339, 3, 1, 3)
+    if (bands == 1) w.entry(339, 3, 1, 3)
+    else w.entryShorts(339, Seq.fill(bands)(3), fmtArrOff)
     grid.foreach { _ =>
       w.entry(33550, 12, 3, scaleOff)
       w.entry(33922, 12, 6, tieOff)
@@ -579,6 +735,10 @@ object Tiff {
     if (!arraysInline) {
       offs.dropRight(1).foreach(o => if (bigTiff) b.putLong(o.toLong) else b.putInt(o))
       blockBytes.foreach(c => if (bigTiff) b.putLong(c.toLong) else b.putInt(c))
+    }
+    if (!shortsInline) {
+      for (_ <- 0 until bands) b.putShort(32)
+      for (_ <- 0 until bands) b.putShort(3)
     }
     grid.foreach { g =>
       b.putDouble(g.pxW).putDouble(g.pxH).putDouble(0.0)

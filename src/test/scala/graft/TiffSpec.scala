@@ -14,28 +14,31 @@ class TiffSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def meta(bytes: Array[Byte]) = Tiff.decodeMeta(bytes)
+  private def fi(name: String) = Tiff.metaSchema.fieldIndex(name)
 
   test("tiled LE round trip recovers geometry") {
     val b = Tiff.synthTiff(40, 24, 16, 16, littleEndian = true, tile = true)((r, c) => r + c)
     val m = meta(b)
-    assert(m.getInt(0) == 40 && m.getInt(1) == 24)
-    assert(m.getInt(2) == 32 && m.getInt(3) == 3 && m.getInt(4) == 1)
-    assert(m.getBoolean(5)) // tiled
-    assert(m.getInt(6) == 16 && m.getInt(7) == 16)
-    assert(m.getInt(8) == 3 * 2) // ceil(40/16) * ceil(24/16)
-    assert(m.getString(9) == "LE")
-    assert(!m.getBoolean(10)) // classic, not BigTIFF
-    assert(m.isNullAt(11) && m.isNullAt(13)) // no geo tags
+    assert(m.getInt(fi("width")) == 40 && m.getInt(fi("height")) == 24)
+    assert(m.getInt(fi("bits_per_sample")) == 32 && m.getInt(fi("sample_format")) == 3
+      && m.getInt(fi("compression")) == 1)
+    assert(m.getInt(fi("n_bands")) == 1 && m.getInt(fi("planar_config")) == 1)
+    assert(m.getBoolean(fi("tiled")))
+    assert(m.getInt(fi("block_w")) == 16 && m.getInt(fi("block_h")) == 16)
+    assert(m.getInt(fi("n_blocks")) == 3 * 2) // ceil(40/16) * ceil(24/16)
+    assert(m.getString(fi("byte_order")) == "LE")
+    assert(!m.getBoolean(fi("is_big"))) // classic, not BigTIFF
+    assert(m.isNullAt(fi("px_w")) && m.isNullAt(fi("origin_x"))) // no geo tags
   }
 
   test("stripped BE round trip recovers geometry") {
     val b = Tiff.synthTiff(20, 30, 20, 8, littleEndian = false, tile = false)((r, c) => r - c)
     val m = meta(b)
-    assert(m.getInt(0) == 20 && m.getInt(1) == 30)
-    assert(!m.getBoolean(5))
-    assert(m.getInt(6) == 20 && m.getInt(7) == 8)
-    assert(m.getInt(8) == 4) // ceil(30/8)
-    assert(m.getString(9) == "BE")
+    assert(m.getInt(fi("width")) == 20 && m.getInt(fi("height")) == 30)
+    assert(!m.getBoolean(fi("tiled")))
+    assert(m.getInt(fi("block_w")) == 20 && m.getInt(fi("block_h")) == 8)
+    assert(m.getInt(fi("n_blocks")) == 4) // ceil(30/8)
+    assert(m.getString(fi("byte_order")) == "BE")
   }
 
   test("GeoTIFF scale/tiepoint surface as a GridDef") {
@@ -65,7 +68,7 @@ class TiffSpec extends AnyFunSuite {
     val valOff = 10 + 3 * 12 + 8
     patched(valOff) = 8
     val m = meta(patched)
-    assert(m.getInt(4) == 8) // header still parses, compression reported
+    assert(m.getInt(fi("compression")) == 8) // header still parses, compression reported
     val e = intercept[IllegalArgumentException](Tiff.blocksOf(patched))
     assert(e.getMessage.contains("LZW"))
   }
@@ -155,7 +158,7 @@ class TiffSpec extends AnyFunSuite {
     for (le <- Seq(true, false)) {
       val tiff = Tiff.synthTiff(24, 16, 16, 16, littleEndian = le, tile = true,
         pad = -1f, lzw = true)((r, c) => (r * 24 + c).toFloat)
-      assert(meta(tiff).getInt(4) == 5)
+      assert(meta(tiff).getInt(fi("compression")) == 5)
       val media = Seq((1L, tiff)).toDF("id", "bytes")
       val px = RasterBridge.explodeBlocks(Tiff.tiffToBlocks(media),
           blockH = 16, blockW = 16, nodata = -1f)
@@ -173,8 +176,8 @@ class TiffSpec extends AnyFunSuite {
       grid = Some(g), bigTiff = true)((r, c) => r + c)
     val m = meta(b)
     assert(m.getInt(0) == 40 && m.getInt(1) == 24)
-    assert(m.getBoolean(5) && m.getBoolean(10)) // tiled, BigTIFF
-    assert(m.getInt(8) == 6)
+    assert(m.getBoolean(fi("tiled")) && m.getBoolean(fi("is_big")))
+    assert(m.getInt(fi("n_blocks")) == 6)
     assert(Tiff.gridDefOf(b).contains(g))
     // malformed BigTIFF headers fail closed
     val badOffsetSize = b.clone(); badOffsetSize(4) = 4
@@ -207,6 +210,67 @@ class TiffSpec extends AnyFunSuite {
     variants.dropRight(1).foreach { v =>
       assert(Tiff.blocksOf(v).map(b => (b._1, b._2, b._3, b._4, b._5.toSeq)) == expected)
     }
+  }
+
+  // ---- multi-band (the reference's 7-band stack, feature_stacking.py:219-251) ----
+
+  test("multi-band files round-trip through bandBlocksOf in both planar configs") {
+    def v(b: Int, r: Int, c: Int): Float = (b * 1000 + r * 24 + c).toFloat
+    for (planar <- Seq(1, 2); le <- Seq(true, false); big <- Seq(false, true);
+         lzw <- Seq(false, true)) {
+      val tag = s"planar=$planar le=$le big=$big lzw=$lzw"
+      val tiff = Tiff.synthMultibandTiff(24, 16, 16, 16, littleEndian = le,
+        tile = true, bands = 3, planarConfig = planar, pad = -1f, lzw = lzw,
+        bigTiff = big)(v)
+      val m = meta(tiff)
+      assert(m.getInt(fi("n_bands")) == 3, tag)
+      assert(m.getInt(fi("planar_config")) == planar, tag)
+      val blocks = Tiff.bandBlocksOf(tiff)
+      assert(blocks.length == 3 * 2, tag) // 3 bands x 2 tiles
+      for ((band, ty, tx, bh, bw, blob) <- blocks) {
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        for (lr <- 0 until bh; lc <- 0 until bw) {
+          val gr = ty * 16 + lr; val gc = tx * 16 + lc
+          val expect = if (gr < 16 && gc < 24) v(band, gr, gc) else -1f
+          assert(bb.getFloat(4 * (lr * bw + lc)) == expect, s"$tag band=$band ($gr,$gc)")
+        }
+      }
+    }
+  }
+
+  test("multi-band strips with a clipped last strip decode per band") {
+    def v(b: Int, r: Int, c: Int): Float = (b * 500 + r * 10 + c).toFloat
+    for (planar <- Seq(1, 2)) {
+      val tiff = Tiff.synthMultibandTiff(10, 11, 10, 4, littleEndian = true,
+        tile = false, bands = 2, planarConfig = planar)(v)
+      val blocks = Tiff.bandBlocksOf(tiff)
+      assert(blocks.length == 2 * 3, s"planar=$planar") // 2 bands x ceil(11/4) strips
+      for ((band, sy, _, bh, bw, blob) <- blocks) {
+        assert(bh == (if (sy == 2) 3 else 4), s"planar=$planar strip $sy")
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        for (lr <- 0 until bh; lc <- 0 until bw)
+          assert(bb.getFloat(4 * (lr * bw + lc)) == v(band, sy * 4 + lr, lc),
+            s"planar=$planar band=$band strip=$sy ($lr,$lc)")
+      }
+    }
+  }
+
+  test("single-band blocksOf fails closed on a multi-band file") {
+    val tiff = Tiff.synthMultibandTiff(8, 8, 8, 8, littleEndian = true,
+      tile = true, bands = 2)((b, r, c) => (b + r + c).toFloat)
+    val e = intercept[IllegalArgumentException](Tiff.blocksOf(tiff))
+    assert(e.getMessage.contains("SamplesPerPixel"))
+    // band-aware DataFrame path decodes it fine
+    val media = Seq((1L, tiff)).toDF("id", "bytes")
+    assert(Tiff.tiffToBandBlocks(media).count() == 2)
+  }
+
+  test("single-band synthMultibandTiff output is byte-identical to synthTiff") {
+    val a = Tiff.synthTiff(20, 12, 20, 4, littleEndian = false, tile = false,
+      lzw = true)((r, c) => (r * 20 + c).toFloat)
+    val b = Tiff.synthMultibandTiff(20, 12, 20, 4, littleEndian = false,
+      tile = false, bands = 1, lzw = true)((_, r, c) => (r * 20 + c).toFloat)
+    assert(java.util.Arrays.equals(a, b))
   }
 
   test("single-block files keep offsets/counts inline (both containers)") {
