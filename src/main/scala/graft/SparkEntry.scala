@@ -3785,6 +3785,55 @@ object SparkEntry {
         |FROM t LEFT JOIN aux a
         |  ON a.ar = CAST(floor(24.0 - sy) AS INT) AND a.ac = CAST(floor(sx) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin,
+    // g6: the same Snyder inverse transverse-Mercator series the engine's
+    // GeographicFromUtm Column tree evaluates, with every derived constant
+    // interpolated from the same Scala source (round-trip-exact literals)
+    // and every arithmetic chain written with the same associativity — the
+    // fixture keeps mapped centers >=3e-5 cell-fractions from any aux
+    // boundary, so the int cell keys absorb last-ulp libm differences.
+    "g6_utm_reproject" -> {
+      import operators.Regrid.Utm
+      val am0 = Utm.A * Utm.M0
+      val ae = Utm.A * (1 - Utm.E2)
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    445000.0 + (CAST(px_col AS DOUBLE) + 0.5) * 100.0 AS cx,
+        |    5320000.0 - (CAST(px_row AS DOUBLE) + 0.5) * 100.0 AS cy FROM master),
+        |f1 AS (SELECT px_row, px_col, cx, (cy - 0.0) / ${Utm.K0} / $am0 AS mu FROM c),
+        |f2 AS (SELECT px_row, px_col, cx,
+        |    mu + ${Utm.P2} * sin(2.0 * mu) + ${Utm.P4} * sin(4.0 * mu)
+        |       + ${Utm.P6} * sin(6.0 * mu) + ${Utm.P8} * sin(8.0 * mu) AS phi1 FROM f1),
+        |f3 AS (SELECT px_row, px_col, cx, phi1,
+        |    ${Utm.Ep2} * cos(phi1) * cos(phi1) AS c1,
+        |    tan(phi1) * tan(phi1) AS t1,
+        |    1.0 - ${Utm.E2} * sin(phi1) * sin(phi1) AS om FROM f2),
+        |f4 AS (SELECT px_row, px_col, cx, phi1, c1, t1,
+        |    ${Utm.A} / sqrt(om) AS n1, $ae / (om * sqrt(om)) AS r1 FROM f3),
+        |f5 AS (SELECT px_row, px_col, phi1, c1, t1, n1, r1,
+        |    (cx - ${Utm.FalseEasting}) / (n1 * ${Utm.K0}) AS dd FROM f4),
+        |t AS (SELECT px_row, px_col,
+        |    (phi1 - (n1 * tan(phi1) / r1) * (dd * dd / 2.0
+        |      - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - ${9.0 * Utm.Ep2})
+        |        * dd * dd * dd * dd / 24.0
+        |      + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - ${252.0 * Utm.Ep2}
+        |         - 3.0 * c1 * c1) * dd * dd * dd * dd * dd * dd / 720.0))
+        |      / ${Utm.Deg2Rad} AS lat,
+        |    15.0 + (dd - (1.0 + 2.0 * t1 + c1) * dd * dd * dd / 6.0
+        |      + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + ${8.0 * Utm.Ep2}
+        |         + 24.0 * t1 * t1) * dd * dd * dd * dd * dd / 120.0) / cos(phi1)
+        |      / ${Utm.Deg2Rad} AS lon
+        |  FROM f5)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((48.032 - lat) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon - 14.26) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal
     // axis of the 2×2 covariance in closed form.

@@ -187,4 +187,47 @@ class RegridSpec extends AnyFunSuite {
       Regrid.ProjectiveTransform(1, 2, 3, 2, 4, 6, 0, 0, 1).inverse
     }
   }
+
+  // ---- UTM <-> geographic (Snyder series; feature_stacking.py:85-96) ----
+
+  /** Evaluate a Transform2D on literal points through a real plan. */
+  private def evalXform(t: Regrid.Transform2D, pts: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    import spark.implicits._
+    val df = pts.toDF("x", "y")
+    val (ox, oy) = t(org.apache.spark.sql.functions.col("x"),
+      org.apache.spark.sql.functions.col("y"))
+    df.select(ox.as("ox"), oy.as("oy")).as[(Double, Double)].collect().toSeq
+  }
+
+  test("UTM forward hits published anchor values") {
+    // central meridian of zone 33 is 15E: maps to false easting exactly;
+    // the equator maps to northing 0; 45N on the central meridian is the
+    // scaled WGS84 meridian arc (Snyder table: M(45) = 4984944.38 m).
+    val fwd = Regrid.UtmFromGeographic(33)
+    val out = evalXform(fwd, Seq((15.0, 0.0), (15.0, 45.0)))
+    assert(math.abs(out(0)._1 - 500000.0) < 1e-6 && math.abs(out(0)._2) < 1e-6)
+    assert(math.abs(out(1)._1 - 500000.0) < 1e-6)
+    assert(math.abs(out(1)._2 - 0.9996 * 4984944.38) < 1.0)
+    // southern-hemisphere false northing
+    val south = evalXform(Regrid.UtmFromGeographic(33, southern = true), Seq((15.0, 0.0)))
+    assert(math.abs(south(0)._2 - 10000000.0) < 1e-6)
+  }
+
+  test("UTM forward/inverse round-trip to sub-millimeter inside the zone") {
+    val fwd = Regrid.UtmFromGeographic(33)
+    val pts = for (lon <- Seq(12.5, 15.0, 17.3); lat <- Seq(-60.0, -5.0, 0.1, 48.017, 71.5))
+      yield (lon, lat)
+    val utm = evalXform(fwd, pts)
+    val back = evalXform(fwd.inverse, utm)
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      // 1e-8 degrees is ~1 mm of ground distance
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("UTM zone bounds are validated") {
+    intercept[IllegalArgumentException](Regrid.UtmFromGeographic(0))
+    intercept[IllegalArgumentException](Regrid.GeographicFromUtm(61))
+  }
 }
