@@ -1371,6 +1371,29 @@ object SparkEntry {
       .orderBy("fid")
   }
 
+  /** S13b — the GPKG WRITE path round-tripped both ways: a WKT frame with
+    * mixed geometry types and NULLs flows through `GeoPackage.writeLayer`
+    * (CREATE TABLE synthesis, WKT→WKB→GP blobs, fid-keyed b-tree) and
+    * back through the engine's own reader — the reference's
+    * `object_classifier.py:193-213` layer write made verifiable. The
+    * oracle regenerates the canonical WKT spellings, so any asymmetry
+    * between the WKT encoder and decoder breaks the hash.
+    */
+  private def s13b(s: SparkSession, d: String) = {
+    import s.implicits._
+    val src = (0 until 50).map { i =>
+      val x = (i % 7) * 0.75; val y = (i % 5) * 1.25
+      val geom =
+        if (i % 10 == 0) s"POINT ($x $y)"
+        else s"POLYGON (($x $y, ${x + 1.5} $y, ${x + 1.5} ${y + 2.5}, $x ${y + 2.5}, $x $y))"
+      (i.toLong + 1, geom, if (i % 6 == 0) null else s"c_${i % 4}", i * 0.25)
+    }.toDF("fid", "geom", "name", "value")
+    val gpkg = operators.GeoPackage.writeLayer(src, "classified", srsId = 4326)
+    operators.GeoPackage.readLayer(s, gpkg,
+        operators.GeoPackage.layersOf(gpkg).head)
+      .orderBy("fid")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -2853,6 +2876,7 @@ object SparkEntry {
     "mm4_wav_header" -> (mm4 _),
     "mm5_tiff_header" -> (mm5 _),
     "s13_gpkg_roundtrip" -> (s13 _),
+    "s13b_gpkg_write" -> (s13b _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
@@ -3408,6 +3432,26 @@ object SparkEntry {
         |    CAST(x AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
         |    CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))' AS geom,
         |  'seg_' || CAST(id % 3 AS VARCHAR) AS name,
+        |  CAST(id * 0.25 AS DOUBLE) AS value
+        |FROM f ORDER BY fid""".stripMargin,
+    // s13b: regenerate the canonical WKT the reader emits — write path
+    // (WKT->WKB->GP blob->b-tree) must be invisible end to end.
+    "s13b_gpkg_write" ->
+      """WITH f AS (SELECT id, CAST(id % 7 AS DOUBLE) * 0.75 AS x,
+        |    CAST(id % 5 AS DOUBLE) * 1.25 AS y FROM range(50) t(id))
+        |SELECT id + 1 AS fid,
+        |  CASE WHEN id % 10 = 0 THEN
+        |    'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')'
+        |  ELSE
+        |    'POLYGON ((' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))'
+        |  END AS geom,
+        |  CASE WHEN id % 6 = 0 THEN NULL
+        |       ELSE 'c_' || CAST(id % 4 AS VARCHAR) END AS name,
         |  CAST(id * 0.25 AS DOUBLE) AS value
         |FROM f ORDER BY fid""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —

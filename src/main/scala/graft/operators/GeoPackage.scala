@@ -361,6 +361,15 @@ object GeoPackage {
     out
   }
 
+  /** Wrap raw WKB in a GPKG geometry blob (GP header, v0, LE, no envelope). */
+  private def gpkgBlobOfWkb(wkb: Array[Byte], srsId: Int): Array[Byte] = {
+    val gp = java.nio.ByteBuffer.allocate(8 + wkb.length)
+    gp.put('G'.toByte).put('P'.toByte).put(0.toByte).put(1.toByte) // v0, LE, no env
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(srsId)
+    gp.put(wkb)
+    gp.array()
+  }
+
   /** GPKG geometry blob wrapping a little-endian WKB polygon (one ring). */
   def gpkgPolygonBlob(ringPts: Seq[(Double, Double)], srsId: Int = 0): Array[Byte] = {
     val wkb = java.nio.ByteBuffer
@@ -368,11 +377,60 @@ object GeoPackage {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     wkb.put(1.toByte).putInt(3).putInt(1).putInt(ringPts.length)
     ringPts.foreach { case (x, y) => wkb.putDouble(x).putDouble(y) }
-    val gp = java.nio.ByteBuffer.allocate(8 + wkb.capacity())
-    gp.put('G'.toByte).put('P'.toByte).put(0.toByte).put(1.toByte) // v0, LE, no env
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(srsId)
-    gp.put(wkb.array())
-    gp.array()
+    gpkgBlobOfWkb(wkb.array(), srsId)
+  }
+
+  /** WKT POINT/LINESTRING/POLYGON → little-endian WKB — the encode half of
+    * [[wkbToWkt]] (the write path the reference exercises,
+    * object_classifier.py:193-213). Round-trip contract: wkbToWkt ∘
+    * wktToWkb is the identity on the engine's canonical WKT spelling.
+    */
+  private[graft] def wktToWkb(wkt: String): Array[Byte] = {
+    val s = wkt.trim
+    val open = s.indexOf('(')
+    require(open > 0, s"not WKT: $wkt")
+    val kind = s.substring(0, open).trim.toUpperCase
+    val body = s.substring(open, s.lastIndexOf(')') + 1)
+    def pts(group: String): Seq[(Double, Double)] =
+      group.split(',').toSeq.map { p =>
+        val nums = p.trim.split("\\s+")
+        require(nums.length == 2, s"bad WKT coordinate '$p'")
+        (nums(0).toDouble, nums(1).toDouble)
+      }
+    // split "(...), (...)" at top-level commas between ring groups
+    def rings(b: String): Seq[Seq[(Double, Double)]] = {
+      val inner = b.trim.stripPrefix("(").stripSuffix(")")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var depth = 0; val cur = new StringBuilder
+      inner.foreach {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) { out += cur.toString; cur.clear() }
+        case c if depth > 0 => cur += c
+        case _ => // separators between ring groups
+      }
+      out.toSeq.map(pts)
+    }
+    def buf(cap: Int) = java.nio.ByteBuffer.allocate(cap)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).put(1.toByte)
+    kind match {
+      case "POINT" =>
+        val Seq((x, y)) = pts(body.stripPrefix("(").stripSuffix(")"))
+        buf(1 + 4 + 16).putInt(1).putDouble(x).putDouble(y).array()
+      case "LINESTRING" =>
+        val ps = pts(body.stripPrefix("(").stripSuffix(")"))
+        val b = buf(1 + 4 + 4 + 16 * ps.length).putInt(2).putInt(ps.length)
+        ps.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+        b.array()
+      case "POLYGON" =>
+        val rs = rings(body)
+        val b = buf(1 + 4 + 4 + rs.map(4 + 16 * _.length).sum).putInt(3).putInt(rs.length)
+        rs.foreach { r =>
+          b.putInt(r.length)
+          r.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+        }
+        b.array()
+      case other => throw new IllegalArgumentException(s"WKT type $other unsupported")
+    }
   }
 
   /** One interior table b-tree page: (childPage, maxRowidInChild) cells
@@ -401,16 +459,16 @@ object GeoPackage {
     out
   }
 
-  /** Minimal valid single-layer GPKG bytes: page 1 = sqlite_master (layer
+  /** Assemble a single-layer GPKG file: page 1 = sqlite_master (layer
     * table + gpkg_contents), then the feature b-tree - one leaf when the
     * cells fit, else paginated leaves under an interior root (so big
     * fixtures exercise the reader's interior walk) - then gpkg_contents.
-    * Features: (fid, geomBlob, name, value) - the reference's
-    * classified-polygon shape (object_classifier.py:193-213). Feature
-    * rowids must be ascending (b-tree key order).
+    * `cells` are (rowid, serialized record) in ASCENDING rowid order
+    * (b-tree key order); `layerSql` is the layer's CREATE TABLE statement
+    * (the reader recovers the schema from it).
     */
-  def synthGpkg(layer: String,
-      features: Seq[(Long, Array[Byte], String, Double)]): Array[Byte] = {
+  private def buildGpkgFile(layer: String, layerSql: String, srsId: Int,
+      cells: Seq[(Long, Array[Byte])]): Array[Byte] = {
     val pageSize = 4096
     // pages(i) is file page i+1; slot 0 reserved for page 1 (master)
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]](null)
@@ -442,15 +500,10 @@ object GeoPackage {
       }
     }
 
-    val featRoot = writeTable(features.map { case (fid, geom, name, value) =>
-      // INTEGER PRIMARY KEY alias rule: fid stored as NULL, rowid carries it
-      fid -> record(Seq(null, geom, name, value))
-    })
+    val featRoot = writeTable(cells)
     val contentsRoot = writeTable(Seq(
-      1L -> record(Seq(layer, "features", layer, 0L))))
+      1L -> record(Seq(layer, "features", layer, srsId.toLong))))
 
-    val layerSql = s"CREATE TABLE $layer (fid INTEGER PRIMARY KEY, " +
-      "geom POLYGON, name TEXT, value REAL)"
     val contentsSql = "CREATE TABLE gpkg_contents (table_name TEXT, " +
       "data_type TEXT, identifier TEXT, srs_id INTEGER)"
     pages(0) = leafPage(pageSize, page1 = true, Seq(
@@ -470,5 +523,114 @@ object GeoPackage {
     h.putInt(56, 1) // UTF-8
     h.putInt(68, 0x47504b47) // application_id "GPKG"
     db
+  }
+
+  /** Minimal valid single-layer GPKG bytes with the reference's
+    * classified-polygon shape (fid, geomBlob, name, value)
+    * (object_classifier.py:193-213). Feature rowids must be ascending.
+    */
+  def synthGpkg(layer: String,
+      features: Seq[(Long, Array[Byte], String, Double)]): Array[Byte] =
+    buildGpkgFile(layer,
+      s"CREATE TABLE $layer (fid INTEGER PRIMARY KEY, " +
+        "geom POLYGON, name TEXT, value REAL)",
+      srsId = 0,
+      features.map { case (fid, geom, name, value) =>
+        // INTEGER PRIMARY KEY alias rule: fid stored as NULL, rowid carries it
+        fid -> record(Seq(null, geom, name, value))
+      })
+
+  /** Declared SQLite type for a Spark field (the writer half of
+    * [[sparkTypeOf]] - chosen so read-after-write recovers the same Spark
+    * schema).
+    */
+  private def declTypeOf(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+    case DoubleType | FloatType => "REAL"
+    case StringType => "TEXT"
+    case BinaryType => "BLOB"
+    case other => throw new IllegalArgumentException(
+      s"GPKG writer: unsupported column type $other")
+  }
+
+  /** Serialize a whole DataFrame as one single-layer GPKG file - the
+    * reference's WRITE path (object_classifier.py:193-213 streams
+    * classified features into a GPKG layer). `geomCol` must hold WKT
+    * (POINT/LINESTRING/POLYGON, encoded as GP blobs); `fidCol` must be
+    * integral and unique and becomes the layer's INTEGER PRIMARY KEY
+    * (rows are sorted by it - the b-tree key order). Driver-side by
+    * design: ONE SQLite file is one unsplittable b-tree; the scale path
+    * is [[writeLayerFiles]] (many files, executor-side).
+    */
+  def writeLayer(df: DataFrame, layer: String,
+      geomCol: String = "geom", fidCol: String = "fid",
+      srsId: Int = 0): Array[Byte] =
+    layerBytes(df.schema, df.collect().toIndexedSeq, layer, geomCol, fidCol, srsId)
+
+  /** The executor-safe core of [[writeLayer]] (pure bytes from rows). */
+  private def layerBytes(schema: StructType, rows: Seq[Row], layer: String,
+      geomCol: String, fidCol: String, srsId: Int): Array[Byte] = {
+    val fidIdx = schema.fieldIndex(fidCol)
+    val geomIdx = schema.fieldIndex(geomCol)
+    require(schema(geomIdx).dataType == StringType,
+      s"geometry column '$geomCol' must be WKT strings")
+    // fid leads (INTEGER PRIMARY KEY), remaining columns keep their order
+    val rest = schema.fields.indices.filterNot(_ == fidIdx)
+    val layerSql = s"CREATE TABLE $layer (${schema(fidIdx).name} INTEGER PRIMARY KEY, " +
+      rest.map { i =>
+        val f = schema(i)
+        val decl = if (i == geomIdx) "GEOMETRY" else declTypeOf(f.dataType)
+        s"${f.name} $decl"
+      }.mkString(", ") + ")"
+    def fidOf(r: Row): Long = r.get(fidIdx) match {
+      case v: Long => v
+      case v: Int => v.toLong
+      case v: Short => v.toLong
+      case other => throw new IllegalArgumentException(s"fid must be integral, got $other")
+    }
+    val cells = rows.sortBy(fidOf).map { r =>
+      val vals: Seq[Any] = null +: rest.map { i => // leading null = fid alias rule
+        if (r.isNullAt(i)) null
+        else if (i == geomIdx) gpkgBlobOfWkb(wktToWkb(r.getString(i)), srsId)
+        else r.get(i) match {
+          case v: Long => v
+          case v: Int => v.toLong
+          case v: Short => v.toLong
+          case v: Byte => v.toLong
+          case v: Double => v
+          case v: Float => v.toDouble
+          case v: String => v
+          case v: Array[Byte] => v
+          case other => throw new IllegalArgumentException(s"unsupported value $other")
+        }
+      }
+      fidOf(r) -> record(vals)
+    }
+    buildGpkgFile(layer, layerSql, srsId, cells)
+  }
+
+  /** Distributed GPKG sink: one `.gpkg` file per `keyCol` value under
+    * `dir` - the reference's per-tile vector sharding
+    * (image_segmentation.py:153-162) as a Spark job. A SQLite file is one
+    * b-tree (not splittable), so the 100 TB shape is MANY files: keys are
+    * hash-shuffled across executors, each task serializes its keys' files
+    * locally and in parallel; nothing rides the driver.
+    */
+  def writeLayerFiles(df: DataFrame, dir: String, layer: String,
+      keyCol: String, geomCol: String = "geom", fidCol: String = "fid",
+      srsId: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.repartition(col(keyCol)).foreachPartition { it: Iterator[Row] =>
+      it.toSeq.groupBy(r => String.valueOf(r.get(keyIdx))).foreach {
+        case (key, rows) =>
+          val safe = key.replaceAll("[^A-Za-z0-9_.-]", "_")
+          val bytes = layerBytes(schema, rows, layer, geomCol, fidCol, srsId)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"$safe.gpkg"), bytes)
+      }
+    }
   }
 }

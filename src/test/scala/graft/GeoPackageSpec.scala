@@ -58,6 +58,68 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(firsts.toSet.size == 3)
   }
 
+  // ---- the WRITE path (object_classifier.py:193-213 shape) ----
+
+  test("writeLayer -> readLayer round-trips an arbitrary-schema frame") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("fid", LongType), StructField("geom", StringType),
+      StructField("label", StringType), StructField("score", DoubleType),
+      StructField("aux", LongType)))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(3L, "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 0.0))", "water", 0.25, 7L),
+        org.apache.spark.sql.Row(1L, "POINT (4.5 -1.25)", "tree", 0.5, null),
+        org.apache.spark.sql.Row(2L, "LINESTRING (0.0 0.0, 1.5 2.5, 3.0 0.0)", null, 0.75, 9L)),
+      schema)
+    val bytes = GeoPackage.writeLayer(src, "classified", srsId = 4326)
+    assert(GeoPackage.layersOf(bytes) == Seq("classified"))
+    val back = GeoPackage.readLayer(spark, bytes, "classified")
+    assert(back.schema.fieldNames.toSeq == Seq("fid", "geom", "label", "score", "aux"))
+    val rows = back.orderBy("fid").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // sorted by fid
+    assert(rows(0).getString(1) == "POINT (4.5 -1.25)")
+    assert(rows(1).getString(1) == "LINESTRING (0.0 0.0, 1.5 2.5, 3.0 0.0)")
+    assert(rows(2).getString(1) == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 1.0, 0.0 0.0))")
+    assert(rows(1).isNullAt(2) && rows(0).isNullAt(4))
+    assert(rows(2).getString(2) == "water" && rows(2).getDouble(3) == 0.25)
+  }
+
+  test("writeLayer round-trips a polygon with a hole and a multi-page layer") {
+    import spark.implicits._
+    val hole = "POLYGON ((0.0 0.0, 10.0 0.0, 10.0 10.0, 0.0 10.0, 0.0 0.0), " +
+      "(2.0 2.0, 3.0 2.0, 3.0 3.0, 2.0 2.0))"
+    val big = (1 to 150).map(i => (i.toLong, hole, s"f$i", i * 0.5))
+      .toDF("fid", "geom", "name", "value")
+    val bytes = GeoPackage.writeLayer(big, "seg")
+    val back = GeoPackage.readLayer(spark, bytes, "seg")
+    assert(back.count() == 150)
+    assert(back.filter(col("fid") === 99).head().getString(1) == hole)
+  }
+
+  test("writeLayerFiles shards one file per key and reads back as a union") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_w").toString
+    val src = (1 to 24).map { i =>
+      (i.toLong, s"POINT (${i * 1.0} ${i * 2.0})", s"tile_${i % 3}", i * 0.25)
+    }.toDF("fid", "geom", "tile", "score")
+    GeoPackage.writeLayerFiles(src, dir, "pts", keyCol = "tile")
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("tile_0.gpkg", "tile_1.gpkg", "tile_2.gpkg"))
+    val back = GeoPackage.readLayerFiles(spark, dir)
+    assert(back.count() == 24)
+    assert(back.select(org.apache.spark.sql.functions.sum("score")).head().getDouble(0)
+      == (1 to 24).map(_ * 0.25).sum)
+  }
+
+  test("writer rejects unsupported shapes loudly") {
+    import spark.implicits._
+    val badGeom = Seq((1L, "CIRCLE (0 0, 5)", 1.0)).toDF("fid", "geom", "v")
+    intercept[IllegalArgumentException](GeoPackage.writeLayer(badGeom, "l"))
+    val badFid = Seq(("a", "POINT (0 0)", 1.0)).toDF("fid", "geom", "v")
+    intercept[IllegalArgumentException](GeoPackage.writeLayer(badFid, "l"))
+  }
+
   test("non-SQLite payloads and missing layers fail loudly") {
     intercept[IllegalArgumentException] {
       GeoPackage.readLayer(spark, "not a database".getBytes("UTF-8"), "x")
