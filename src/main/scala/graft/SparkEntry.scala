@@ -1394,6 +1394,27 @@ object SparkEntry {
       .orderBy("fid")
   }
 
+  /** S16 — shapefile ingest: the reference's per-tile segment vectors
+    * (image_segmentation.py:153-162 writes .shp + .dbf with a DN column).
+    * Synth both halves with the codec's own writers, read back through
+    * the actual record walkers (mixed Point/Polygon shapes, typed dBase
+    * attributes), and hash-check against closed-form regeneration — any
+    * defect in record framing, part decoding, or fixed-width attribute
+    * parsing breaks the hash.
+    */
+  private def s16(s: SparkSession, d: String) = {
+    val wkts = (0 until 40).map { i =>
+      val x = (i % 7).toDouble; val y = (i % 5).toDouble
+      if (i % 8 == 0) s"POINT ($x $y)"
+      else s"POLYGON (($x $y, ${x + 1.5} $y, ${x + 1.5} ${y + 2.5}, $x ${y + 2.5}, $x $y))"
+    }
+    val shp = operators.Shapefile.synthShp(wkts)
+    val dbf = operators.Shapefile.synthDbf(
+      Seq(("DN", 'N', 8, 0), ("score", 'N', 10, 3)),
+      (0 until 40).map(i => Seq[Any](i.toLong * 3, i * 0.125)))
+    operators.Shapefile.readFeatures(s, shp, Some(dbf)).orderBy("rec_no")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -2877,6 +2898,7 @@ object SparkEntry {
     "mm5_tiff_header" -> (mm5 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
+    "s16_shapefile" -> (s16 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
@@ -3454,6 +3476,25 @@ object SparkEntry {
         |       ELSE 'c_' || CAST(id % 4 AS VARCHAR) END AS name,
         |  CAST(id * 0.25 AS DOUBLE) AS value
         |FROM f ORDER BY fid""".stripMargin,
+    // s16: regenerate the canonical WKT + typed dBase attributes the
+    // shapefile reader emits.
+    "s16_shapefile" ->
+      """WITH f AS (SELECT id, CAST(id % 7 AS DOUBLE) AS x,
+        |    CAST(id % 5 AS DOUBLE) AS y FROM range(40) t(id))
+        |SELECT CAST(id + 1 AS INT) AS rec_no,
+        |  CASE WHEN id % 8 = 0 THEN
+        |    'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')'
+        |  ELSE
+        |    'POLYGON ((' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.5 AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y + 2.5 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))'
+        |  END AS geom,
+        |  id * 3 AS "DN",
+        |  CAST(id * 0.125 AS DOUBLE) AS score
+        |FROM f ORDER BY rec_no""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     "mm5_tiff_header" ->
