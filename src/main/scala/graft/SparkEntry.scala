@@ -2308,9 +2308,11 @@ object SparkEntry {
     * a TOTAL order so bucket membership is deterministic.
     */
   private def hist2(s: SparkSession, d: String) =
+    // numeric tie-break columns: long compares in the bucket sort instead of
+    // a per-row concat'd string (measurably cheaper at 600k+ rows)
     operators.Profiling.equiDepthHistogram(
       Tables.lineitem(s, d), col("l_extendedprice"),
-      concat_ws("_", col("l_orderkey"), col("l_linenumber")), buckets = 10)
+      Seq(col("l_orderkey"), col("l_linenumber")), buckets = 10)
 
   /** cap1 — per-source document cap: keep the 5 best-quality docs per
     * source (ties → lowest id). The anti-concentration step of a web
@@ -4753,7 +4755,7 @@ object SparkEntry {
     // tie string) — rank-deterministic in both engines.
     "hist2_price_deciles" ->
       """WITH r AS (SELECT l_extendedprice AS v,
-        |  CAST(ntile(10) OVER (ORDER BY l_extendedprice, concat_ws('_', l_orderkey, l_linenumber)) AS INTEGER) AS bucket
+        |  CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS bucket
         |FROM lineitem)
         |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*) AS n
         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,

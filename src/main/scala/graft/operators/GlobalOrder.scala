@@ -81,30 +81,25 @@ object GlobalOrder {
       outCol: String = "rank",
       numPartitions: Int = 0): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "withGlobalRank needs at least one order column")
-    val spark = df.sparkSession
     val n = numParts(df, numPartitions)
     val bucketed = withBucket(df, orderCols.head, n)
     val counts = bucketed.groupBy(col("__gob")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ n rows
     val offsets = (0 until n).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
-    val bc = spark.sparkContext.broadcast(offsets.toArray)
-    val outSchema = StructType(df.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    val bIdx = bucketed.schema.fieldIndex("__gob")
-    val sorted = bucketed
-      .repartition(n, col("__gob"))
-      .sortWithinPartitions(col("__gob") +: orderCols: _*)
-    val rdd = sorted.rdd.mapPartitions { it =>
-      var bucket = -1
-      var rank = 0L
-      it.map { r =>
-        val b = r.getInt(bIdx)
-        if (b != bucket) { bucket = b; rank = bc.value(b) }
-        rank += 1
-        Row.fromSeq(r.toSeq.patch(bIdx, Nil, 1) :+ rank)
-      }
-    }
-    (spark.createDataFrame(rdd, outSchema), counts.valuesIterator.sum)
+    // pass 2: row_number WITHIN each bucket (a PARTITIONED window — each of
+    // the n buckets sorts independently, nothing global) plus the bucket's
+    // broadcast offset, looked up from a literal array. Staying in Catalyst
+    // (no RDD hop) keeps the pipeline codegen'd and skips two
+    // InternalRow<->Row conversions per row.
+    val offArr = array(offsets.take(n).map(lit(_)): _*)
+    val ranked = bucketed
+      .withColumn(outCol,
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__gob")).orderBy(orderCols: _*))
+          .cast(LongType) + element_at(offArr, col("__gob") + 1))
+      .drop("__gob")
+    (ranked, counts.valuesIterator.sum)
   }
 
   /** Append `outCol` = running sum of `valueCol` over the total order of

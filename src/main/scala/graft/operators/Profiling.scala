@@ -83,13 +83,16 @@ object Profiling {
     * survives 100×. (The rank stays < 2^53, so the floor-division below
     * is exact in double.)
     */
-  def equiDepthHistogram(df: DataFrame, c: Column, tieCol: Column,
+  def equiDepthHistogram(df: DataFrame, c: Column, tieCols: Seq[Column],
       buckets: Int): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    val proj = df.select(c.as("__v"), tieCol.as("__t"))
+    require(tieCols.nonEmpty, "equiDepthHistogram needs at least one tie-break column")
+    val ties = tieCols.zipWithIndex.map { case (t, i) => t.as(s"__t$i") }
+    val tieRefs = tieCols.indices.map(i => col(s"__t$i"))
+    val proj = df.select(c.as("__v") +: ties: _*)
     // total comes free from the rank's pass-1 bucket counts — no extra scan
     val (ranked, total) =
-      GlobalOrder.withGlobalRankAndTotal(proj, Seq(col("__v"), col("__t")), "__rank")
+      GlobalOrder.withGlobalRankAndTotal(proj, col("__v") +: tieRefs, "__rank")
     val q = total / buckets
     val r = total % buckets
     // exact integer floor division: (a - a mod b) / b with a a multiple of b

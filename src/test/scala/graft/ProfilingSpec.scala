@@ -53,7 +53,7 @@ class ProfilingSpec extends AnyFunSuite {
     val df = ((1 to 40).map(i => (i.toLong, i.toDouble * 10)) ++
       (41 to 100).map(i => (i.toLong, 5.0))).toDF("id", "v")
     val h = graft.operators.Profiling
-      .equiDepthHistogram(df, col("v"), col("id"), buckets = 10)
+      .equiDepthHistogram(df, col("v"), Seq(col("id")), buckets = 10)
       .collect()
     assert(h.length == 10)
     assert(h.forall(_.getAs[Long]("n") == 10L)) // 100 rows / 10 buckets exactly
@@ -61,7 +61,7 @@ class ProfilingSpec extends AnyFunSuite {
     assert(h.take(6).forall(r => r.getAs[Double]("lo") == 5.0 && r.getAs[Double]("hi") == 5.0))
     // rerun is bit-identical (deterministic tie order)
     val h2 = graft.operators.Profiling
-      .equiDepthHistogram(df.repartition(7), col("v"), col("id"), buckets = 10)
+      .equiDepthHistogram(df.repartition(7), col("v"), Seq(col("id")), buckets = 10)
       .collect()
     assert(h.map(_.toSeq).toSeq == h2.map(_.toSeq).toSeq)
   }
