@@ -1060,6 +1060,26 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** E3d — product-quantization ANN: the corpus compressed to 8 one-byte
+    * codewords per vector (8 subspaces × 8 dims of the 64-dim embedding),
+    * ranked by fixed-point ADC distance sums. Codebook derived from the
+    * first 8 embeddings' slices (the e3c caller-provided-quantizer
+    * pattern), so encode argmin and the compressed ranking are both fully
+    * deterministic and the oracle evaluates the identical closed form.
+    */
+  private def e3d(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("__e"))
+      .select(col("code"), posexplode(
+        transform(sequence(lit(0), lit(7)),
+          mm => slice(col("__e"), mm * 8 + 1, lit(8)))).as(Seq("m", "center")))
+      .select("m", "code", "center")
+    Similarity.pqTopKWithCodebook(
+        emb.filter(col("vec_id") < 10), emb, codebook, k = 5, m = 8, dSub = 8)
+      .orderBy("query_id", "rank")
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -2843,6 +2863,7 @@ object SparkEntry {
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
     "e3c_ivf_pruned" -> (e3c _),
+    "e3d_pq_adc" -> (e3d _),
     "j13_bbox_skew" -> (j13 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -3017,6 +3038,16 @@ object SparkEntry {
       s"list_transform(generate_series(1, 64), i -> " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       s"(x, y) -> x + y))"
+
+  /** DuckDB twin of VectorOps.l2DistanceSq over ONE PQ subspace: the same
+    * in-order fold, over absolute dims m·8+1 .. m·8+8 of the full arrays
+    * (Spark folds the slices — identical values in identical order).
+    */
+  private def sqlSubL2Sq(a: String, b: String, m: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series($m*8+1, $m*8+8), i -> " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      s"(x, y) -> x + y)"
 
   private def sqlLangHits(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
@@ -3273,6 +3304,27 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // e3d: the same PQ encode + fixed-point ADC closed form — integer
+    // distance sums commute, so the compressed ranking is bit-exact.
+    "e3d_pq_adc" ->
+      s"""WITH cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |ms AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+         |corp AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |codes AS (SELECT neighbor_id, m, code FROM (
+         |  SELECT c.neighbor_id, ms.m, w.code,
+         |    row_number() OVER (PARTITION BY c.neighbor_id, ms.m
+         |      ORDER BY ${sqlSubL2Sq("c.cv", "w.ce", "ms.m")} ASC, w.code ASC) AS rk
+         |  FROM corp c CROSS JOIN ms CROSS JOIN cw w) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |qt AS (SELECT q.query_id, ms.m, w.code,
+         |    CAST(floor(${sqlSubL2Sq("q.qv", "w.ce", "ms.m")} * 1048576) AS BIGINT) AS dfp
+         |  FROM q CROSS JOIN ms CROSS JOIN cw w),
+         |sc AS (SELECT t.query_id, c.neighbor_id, CAST(sum(t.dfp) AS BIGINT) AS adist
+         |  FROM codes c JOIN qt t ON t.m = c.m AND t.code = c.code AND t.query_id <> c.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adist, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "e3_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

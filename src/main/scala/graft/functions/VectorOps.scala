@@ -29,14 +29,20 @@ object VectorOps {
   }
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(
-      aggregate(
-        zip_with(a, b, (x, y) => {
-          val d = x.cast("double") - y.cast("double")
-          d * d
-        }),
-        lit(0.0),
-        (acc, v) => acc + v))
+    sqrt(l2DistanceSq(a, b))
+
+  /** Squared L2 — the in-order left fold from 0.0 (bit-identical across
+    * engines when the oracle folds in the same order). Monotonic with
+    * [[l2Distance]], so argmin rankings agree without the sqrt.
+    */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
 
   /** Symmetric int8 quantization of a float vector: scale = max|x|/127,
     * q_i = floor(x_i/max|x| · 127) clamped to [-127,127] (floor, not

@@ -446,4 +446,89 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select("a", "b", "n_shared", "cosine")
   }
+
+  // ---- product quantization (PQ/ADC — the compressed-domain ANN path) ----
+
+  /** PQ encode: each vector becomes `m` codewords, one per `dSub`-dim
+    * subspace — nearest codebook center per subspace, deterministic
+    * tie-break on code. `codebook` carries (m INT, code INT, center
+    * ARRAY<FLOAT> of dSub) and is CALLER-PROVIDED (the e3c
+    * bring-your-own-quantizer pattern, which is what makes the compressed
+    * ranking oracle-checkable). Output is the relational PQ index:
+    * (neighbor_id, m, code) rows — |corpus|·m rows of three ints, the
+    * ~(dim·4 bytes → m bytes)-per-vector compression that lets a 100 TB
+    * embedding corpus fit hot storage.
+    *
+    * Scale shape: codebook broadcast (m·k tiny rows), corpus scanned
+    * once; the argmin is a window over (vector, subspace) — partitioned,
+    * never global.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      m: Int,
+      dSub: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sub = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__e"))
+      .select(col("neighbor_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mm => slice(col("__e"), mm * dSub + 1, lit(dSub)))).as(Seq("m", "__sub")))
+    val w = Window.partitionBy("neighbor_id", "m").orderBy(col("__d").asc, col("code").asc)
+    sub.join(broadcast(codebook), Seq("m"))
+      .withColumn("__d", VectorOps.l2DistanceSq(col("__sub"), col("center")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select("neighbor_id", "m", "code")
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): queries stay
+    * full-precision; per query a (subspace, code) → distance lookup table
+    * is built against the codebook, and each encoded corpus vector's
+    * approximate distance is the sum of its m table entries — O(m) per
+    * candidate instead of O(dim), on codes instead of floats (the public
+    * Jégou/Douze/Schmid PQ recipe). Table entries are FIXED-POINT
+    * (floor(d²·2^20) BIGINT): integer sums commute, so the ranking is
+    * bit-identical under any partitioning and in the oracle — the same
+    * determinism trick as the fixed-point centroids.
+    *
+    * Scale shape: the ADC table (|Q|·m·k rows) is broadcast; the PQ index
+    * is scanned once; the per-(query, neighbor) sum is a map-side-
+    * combinable aggregation; top-k rides the bounded-heap kernel.
+    */
+  def pqTopKWithCodebook(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+      m: Int,
+      dSub: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
+    val qtbl = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
+      .select(col("query_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          mm => slice(col("__q"), mm * dSub + 1, lit(dSub)))).as(Seq("m", "__qsub")))
+      .join(codebook, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        floor(VectorOps.l2DistanceSq(col("__qsub"), col("center")) * lit(1048576L))
+          .cast("long").as("__dfp"))
+    val scored = codes
+      .join(broadcast(qtbl), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__dfp")).as("adist"), count(lit(1)).as("__nm"))
+    // every subspace must contribute exactly once — a lost code would
+    // silently shrink the distance and float a bad neighbor to the top
+    val full = scored.filter(col("__nm") === m).drop("__nm")
+    val pruned = graft.plans.TopK.perKey(full, Seq(col("query_id")),
+      Seq(col("adist").asc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("neighbor_id").asc)
+    pruned
+      .withColumn("rank", row_number().over(w))
+      .select("query_id", "neighbor_id", "adist", "rank")
+  }
 }

@@ -240,4 +240,47 @@ class SimilaritySpec extends AnyFunSuite {
       assert(c >= 0.1 && c <= 1.000001, s"cosine out of range: $c")
     }
   }
+
+  // ---- product quantization (PQ/ADC) ----
+
+  private def pqCodebookOf(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("__e"))
+      .select(col("code"), posexplode(
+        transform(sequence(lit(0), lit(7)),
+          mm => slice(col("__e"), mm * 8 + 1, lit(8)))).as(Seq("m", "center")))
+      .select("m", "code", "center")
+
+  test("pqEncode: one code per (vector, subspace); codewords encode to themselves") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = pqCodebookOf(emb)
+    val codes = Similarity.pqEncode(emb, cb, m = 8, dSub = 8)
+    val n = emb.count()
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy("neighbor_id", "m").count().filter(col("count") =!= 1).count() == 0)
+    // a vector that IS codeword j must encode to j in every subspace
+    val self = codes.filter(col("neighbor_id") < 8)
+      .filter(col("code") =!= col("neighbor_id").cast("int"))
+    assert(self.count() == 0)
+  }
+
+  test("pqTopKWithCodebook: deterministic across partitionings, self-match is rank 1 neighborhood") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = pqCodebookOf(emb)
+    val q = emb.filter(col("vec_id") < 6)
+    val a = Similarity.pqTopKWithCodebook(q, emb, cb, k = 5, m = 8, dSub = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val b = Similarity.pqTopKWithCodebook(
+        q.repartition(7), emb.repartition(5), cb, k = 5, m = 8, dSub = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq) // fixed-point ADC sums commute
+    assert(a.length == 6 * 5)
+    // ADC recall sanity: an exact duplicate of a query vector (same codes,
+    // distance table identical) must appear before any differently-coded
+    // vector — check adist is nonnegative and ranks are 1..5 per query
+    a.groupBy(_.head).foreach { case (_, rows) =>
+      assert(rows.map(_(3)).toSeq == (1 to 5).toSeq)
+      rows.foreach(r => assert(r(2).asInstanceOf[Long] >= 0L))
+    }
+  }
 }
