@@ -276,6 +276,63 @@ object Shapefile {
     }
   }
 
+  /** Distributed shapefile sink: one .shp/.dbf pair per `keyCol` value
+    * under `dir` — the reference's per-tile segment write
+    * (image_segmentation.py:153-162) as a Spark job, mirroring
+    * [[GeoPackage.writeLayerFiles]]: keys hash-shuffle across executors,
+    * each task serializes its keys' pairs locally; nothing rides the
+    * driver. `geomCol` holds WKT; every other column becomes a dBase
+    * field (N/F/C derived from the Spark type, fixed widths).
+    */
+  def writeFeatureFiles(df: DataFrame, dir: String,
+      keyCol: String, geomCol: String = "geom"): Unit = {
+    import org.apache.spark.sql.functions.col
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val geomIdx = schema.fieldIndex(geomCol)
+    require(schema(geomIdx).dataType == StringType,
+      s"geometry column '$geomCol' must be WKT strings")
+    val attrIdx = schema.fields.indices.filterNot(i => i == keyIdx || i == geomIdx)
+    val fields = attrIdx.map { i =>
+      val f = schema(i)
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => (f.name.take(10), 'N', 18, 0)
+        case DoubleType | FloatType => (f.name.take(10), 'N', 18, 6)
+        case BooleanType => (f.name.take(10), 'L', 1, 0)
+        case StringType => (f.name.take(10), 'C', 64, 0)
+        case other => throw new IllegalArgumentException(
+          s"shapefile writer: unsupported column type $other")
+      }
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.repartition(col(keyCol)).foreachPartition { it: Iterator[Row] =>
+      it.toSeq.groupBy(r => String.valueOf(r.get(keyIdx))).foreach {
+        case (key, rows) =>
+          val safe = key.replaceAll("[^A-Za-z0-9_.-]", "_")
+          val shp = synthShp(rows.map(r =>
+            if (r.isNullAt(geomIdx)) null else r.getString(geomIdx)))
+          val dbf = synthDbf(fields, rows.map { r =>
+            attrIdx.map { i =>
+              if (r.isNullAt(i)) null
+              else r.get(i) match {
+                case v: Long => v
+                case v: Int => v.toLong
+                case v: Short => v.toLong
+                case v: Byte => v.toLong
+                case v: Double => v
+                case v: Float => v.toDouble
+                case v: Boolean => v
+                case v: String => v.take(64)
+                case other => throw new IllegalArgumentException(s"dbf value $other")
+              }
+            }
+          })
+          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shp"), shp)
+          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.dbf"), dbf)
+      }
+    }
+  }
+
   /** Serialize a dBase III table: fields as (name, 'C'|'N'|'F'|'L', len,
     * dec); values null, Long, Double, Boolean, String.
     */

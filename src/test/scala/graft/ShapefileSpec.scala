@@ -70,6 +70,26 @@ class ShapefileSpec extends AnyFunSuite {
       (0 until 4).map(i => t * 100L + i)).sum)
   }
 
+  test("writeFeatureFiles shards one pair per key and round-trips through the reader") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_w").toString
+    val src = (1 to 18).map { i =>
+      (s"tile_${i % 3}", s"POINT (${i}.0 ${i * 2}.0)", i.toLong, i * 0.125, s"f$i")
+    }.toDF("tile", "geom", "dn", "score", "name")
+    Shapefile.writeFeatureFiles(src, dir, keyCol = "tile")
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("tile_0.dbf", "tile_0.shp", "tile_1.dbf", "tile_1.shp",
+      "tile_2.dbf", "tile_2.shp"))
+    val back = Shapefile.readFeatureFiles(spark, dir)
+    assert(back.count() == 18)
+    assert(back.columns.toSeq == Seq("rec_no", "geom", "dn", "score", "name"))
+    assert(back.agg(org.apache.spark.sql.functions.sum("dn")).head().getLong(0)
+      == (1 to 18).map(_.toLong).sum)
+    // eighths survive the %.6f fixed-width round trip exactly
+    val s5 = back.filter(org.apache.spark.sql.functions.col("dn") === 5L).head()
+    assert(s5.getString(1) == "POINT (5.0 10.0)" && s5.getDouble(3) == 0.625)
+  }
+
   test("malformed payloads fail closed") {
     intercept[IllegalArgumentException](Shapefile.shpRecords("junk".getBytes))
     // bad file code
