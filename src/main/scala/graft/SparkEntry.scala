@@ -1080,6 +1080,27 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** E3e — IVF+PQ composed: e3c's deterministic coarse quantizer restricts
+    * candidates to each query's 3 probed cells, e3d's fixed-point ADC
+    * ranks the survivors on codes. Both layers individually oracled; this
+    * checks the COMPOSITION (probe restriction must reach the code join).
+    */
+  private def e3e(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val codebook = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("code"), col("embedding").as("__e"))
+      .select(col("code"), posexplode(
+        transform(sequence(lit(0), lit(7)),
+          mm => slice(col("__e"), mm * 8 + 1, lit(8)))).as(Seq("m", "center")))
+      .select("m", "code", "center")
+    Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 10), emb, centroids, codebook,
+        k = 5, nProbe = 3, m = 8, dSub = 8)
+      .orderBy("query_id", "rank")
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -2864,6 +2885,7 @@ object SparkEntry {
     "e3b_ivf_topk" -> (e3b _),
     "e3c_ivf_pruned" -> (e3c _),
     "e3d_pq_adc" -> (e3d _),
+    "e3e_ivfpq" -> (e3e _),
     "j13_bbox_skew" -> (j13 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -3321,6 +3343,42 @@ object SparkEntry {
          |  FROM q CROSS JOIN ms CROSS JOIN cw w),
          |sc AS (SELECT t.query_id, c.neighbor_id, CAST(sum(t.dfp) AS BIGINT) AS adist
          |  FROM codes c JOIN qt t ON t.m = c.m AND t.code = c.code AND t.query_id <> c.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adist, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // e3e: e3c's probe CTEs composed with e3d's code/table CTEs — the ADC
+    // join additionally keyed by the probed cell.
+    "e3e_ivfpq" ->
+      s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 8),
+         |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS ce FROM embeddings WHERE vec_id < 8),
+         |ms AS (SELECT CAST(m AS INT) AS m FROM range(8) t(m)),
+         |corp AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |casg AS (SELECT neighbor_id, cell FROM (
+         |  SELECT c.neighbor_id, k.cell,
+         |    row_number() OVER (PARTITION BY c.neighbor_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN cent k) WHERE rk = 1),
+         |codes AS (SELECT neighbor_id, m, code FROM (
+         |  SELECT c.neighbor_id, ms.m, w.code,
+         |    row_number() OVER (PARTITION BY c.neighbor_id, ms.m
+         |      ORDER BY ${sqlSubL2Sq("c.cv", "w.ce", "ms.m")} ASC, w.code ASC) AS rk
+         |  FROM corp c CROSS JOIN ms CROSS JOIN cw w) WHERE rk = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |probes AS (SELECT query_id, cell FROM (
+         |  SELECT q.query_id, k.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlL2("q.qv", "k.kv")} ASC, k.cell ASC) AS prank
+         |  FROM q CROSS JOIN cent k) WHERE prank <= 3),
+         |qt AS (SELECT q.query_id, ms.m, w.code,
+         |    CAST(floor(${sqlSubL2Sq("q.qv", "w.ce", "ms.m")} * 1048576) AS BIGINT) AS dfp
+         |  FROM q CROSS JOIN ms CROSS JOIN cw w),
+         |sc AS (SELECT t.query_id, c.neighbor_id, CAST(sum(t.dfp) AS BIGINT) AS adist
+         |  FROM codes c
+         |  JOIN casg a ON a.neighbor_id = c.neighbor_id
+         |  JOIN probes p ON p.cell = a.cell
+         |  JOIN qt t ON t.query_id = p.query_id AND t.m = c.m AND t.code = c.code
+         |  WHERE t.query_id <> c.neighbor_id
          |  GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, adist, rank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank

@@ -497,17 +497,15 @@ object Similarity {
     * is scanned once; the per-(query, neighbor) sum is a map-side-
     * combinable aggregation; top-k rides the bounded-heap kernel.
     */
-  def pqTopKWithCodebook(
+  /** Per-query (subspace, code) → fixed-point distance lookup table. */
+  private def adcTable(
       queries: DataFrame,
-      corpus: DataFrame,
       codebook: DataFrame,
-      k: Int,
       m: Int,
       dSub: Int,
-      idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val codes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
-    val qtbl = queries
+      idCol: String,
+      vecCol: String): DataFrame =
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__q"))
       .select(col("query_id"), posexplode(
         transform(sequence(lit(0), lit(m - 1)),
@@ -516,8 +514,13 @@ object Similarity {
       .select(col("query_id"), col("m"), col("code"),
         floor(VectorOps.l2DistanceSq(col("__qsub"), col("center")) * lit(1048576L))
           .cast("long").as("__dfp"))
-    val scored = codes
-      .join(broadcast(qtbl), Seq("m", "code"))
+
+  /** Sum each candidate's m table entries and rank ascending. `scoredIn`
+    * is (.. join of code rows with table rows ..) holding query_id,
+    * neighbor_id, __dfp.
+    */
+  private def rankAdc(scoredIn: DataFrame, m: Int, k: Int): DataFrame = {
+    val scored = scoredIn
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("__dfp")).as("adist"), count(lit(1)).as("__nm"))
@@ -530,5 +533,52 @@ object Similarity {
     pruned
       .withColumn("rank", row_number().over(w))
       .select("query_id", "neighbor_id", "adist", "rank")
+  }
+
+  def pqTopKWithCodebook(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+      m: Int,
+      dSub: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
+    val qtbl = adcTable(queries, codebook, m, dSub, idCol, vecCol)
+    rankAdc(codes.join(broadcast(qtbl), Seq("m", "code")), m, k)
+  }
+
+  /** IVF+PQ: the full FAISS-style recipe — coarse quantizer (IVF cells,
+    * caller-provided centroids as in e3c) restricts the candidate set to
+    * each query's nProbe cells, and the FINE ranking inside those cells
+    * runs on PQ codes via fixed-point ADC. At 100 TB both layers compound:
+    * probes touch ~nProbe/nLists of the corpus, and what IS touched is
+    * scanned as m-byte codes, not dim·4-byte floats. The probed-cell
+    * restriction rides the broadcast ADC table (query table rows expanded
+    * by probed cell → the (cell, m, code) equi-join visits only
+    * probed-cell code rows); everything stays deterministic, so the pruned
+    * compressed ranking is oracle-checkable end to end.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      codebook: DataFrame,
+      k: Int,
+      nProbe: Int,
+      m: Int,
+      dSub: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cells = assignToCentroids(corpus, centroidDf, idCol, vecCol)
+      .select("neighbor_id", "cell")
+    val cellCodes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
+      .join(cells, Seq("neighbor_id"))
+    val probes = probesOf(queries, centroidDf, nProbe, idCol, vecCol)
+      .select("query_id", "cell")
+    val qtbl = adcTable(queries, codebook, m, dSub, idCol, vecCol)
+      .join(probes, Seq("query_id")) // expand by probed cell: |Q|·nProbe·m·k rows
+    rankAdc(cellCodes.join(broadcast(qtbl), Seq("cell", "m", "code")), m, k)
   }
 }

