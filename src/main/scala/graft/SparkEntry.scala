@@ -1216,6 +1216,56 @@ object SparkEntry {
       .orderBy("px_row", "px_col")
   }
 
+  /** PIPE4 — the reference's stage 0 end to end FROM THE REAL CONTAINERS:
+    * three scenes as 3-band LZW BigTIFFs (chunky and planar layouts both
+    * exercised) plus per-scene single-band UDM2 mask TIFFs, ingested via
+    * `tiffToBandBlocks`/`tiffToBlocks` → pixel rows → band pivot → mask
+    * sidecar join → the SAME `Stages.featureStack` as pipe0. The oracle is
+    * pipe0's closed form — the TIFF containers, both planar layouts, LZW,
+    * and the mask join must all be invisible in the output hash.
+    */
+  private def pipe4(s: SparkSession, d: String) = {
+    import s.implicits._
+    def bandVal(scene: Int, b: Int, r: Int, c: Int): Float = b match {
+      case 0 => 30.0f
+      case 1 => if (c < 16) 10.0f else 50.0f
+      case _ =>
+        if (r == 0 && c == 0 && scene == 2) -9999.0f
+        else if (c < 16) 100.0f + scene else 10.0f + scene
+    }
+    val media = (1 to 3).map { scene =>
+      val bands = operators.Tiff.synthMultibandTiff(
+        32, 32, 16, 16, littleEndian = true, tile = true,
+        bands = 3, planarConfig = if (scene % 2 == 1) 1 else 2,
+        lzw = true, bigTiff = true)((b, r, c) => bandVal(scene, b, r, c))
+      val mask = operators.Tiff.synthTiff(
+        32, 32, 16, 16, littleEndian = true, tile = true)(
+        (r, c) => if (r == 31 && c == 31 && scene == 1) 0.0f else 1.0f)
+      (scene.toLong, if (scene <= 2) 6 else 12, bands, mask)
+    }.toDF("scene_id", "month", "band_bytes", "mask_bytes")
+    val px = operators.RasterBridge.explodeBlocks(
+        operators.Tiff.tiffToBandBlocks(
+          media.select($"scene_id", $"month", $"band_bytes".as("bytes"))),
+        blockH = 16, blockW = 16, nodata = -10000.0f, dropNodata = false)
+      .groupBy("scene_id", "month", "px_row", "px_col")
+      .agg(
+        max(when(col("band") === 0, col("value"))).as("B4"),
+        max(when(col("band") === 1, col("value"))).as("B6"),
+        max(when(col("band") === 2, col("value"))).as("B8"))
+    val clear = operators.RasterBridge.explodeBlocks(
+        operators.Tiff.tiffToBlocks(
+          media.select($"scene_id", $"mask_bytes".as("bytes"))),
+        blockH = 16, blockW = 16, nodata = -10000.0f, dropNodata = false)
+      .select(col("scene_id"), col("px_row"), col("px_col"),
+        (col("value") === 1.0f).as("udm2_clear"))
+    val scenes = px.join(clear, Seq("scene_id", "px_row", "px_col"))
+    pipeline.Stages
+      .featureStack(scenes, Seq("B4", "B6", "B8"), monthlyMonths = Seq(6), winterMonths = Seq(12))
+      .select(col("px_row"), col("px_col"),
+        round(col("ndvi_m6"), 6).as("ndvi_m6"), col("win_B8"))
+      .orderBy("px_row", "px_col")
+  }
+
   /** M1/M2 — RF train + batch inference over lineitem-derived labels
     * (no SQL analog → rows-only driver check; MlOpsSpec covers semantics).
     * Deterministic: seeded RF, arithmetic train/apply split.
@@ -2894,6 +2944,7 @@ object SparkEntry {
     "e5_langid" -> (e5 _),
     "e6_simhash" -> (e6 _),
     "pipe0_feature_stack" -> (pipe0 _),
+    "pipe4_tiff_stack" -> (pipe4 _),
     "m1_rf_classify" -> (m1 _),
     "m1b_frozen_forest" -> (m1b _),
     "m5_segment_polygonize" -> (m5 _),
@@ -3086,7 +3137,11 @@ object SparkEntry {
       .replace(
         sqlShingleCteFrom("documents").replaceFirst("WITH ", "WITH RECURSIVE "),
         sqlShingleCteFrom("(SELECT * FROM documents WHERE doc_id % 4 = 0)")
-          .replaceFirst("WITH ", "WITH RECURSIVE ")))
+          .replaceFirst("WITH ", "WITH RECURSIVE "))) +
+    // pipe4 ingests the SAME scene fixture as pipe0 from multi-band LZW
+    // BigTIFF containers (+ mask sidecar TIFFs) — the containers must be
+    // invisible, so the oracle text is pipe0's verbatim.
+    ("pipe4_tiff_stack" -> oracleSqlBase("pipe0_feature_stack"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
