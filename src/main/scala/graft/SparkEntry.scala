@@ -2269,6 +2269,10 @@ object SparkEntry {
     Curation.unigramLogprobScore(Tables.documents(s, d))
       .orderBy("doc_id")
 
+  private def lm2(s: SparkSession, d: String) =
+    Curation.bigramLogprobScore(Tables.documents(s, d))
+      .orderBy("doc_id")
+
   /** leak1 — train/test split-leakage census: fuzzy-duplicate pairs that
     * CROSS the deterministic hash-split boundary (a near-dup of a test
     * doc sitting in train is eval contamination the e11 decontamination
@@ -3051,6 +3055,7 @@ object SparkEntry {
     "stat1_exact_corr" -> (stat1 _),
     "leak1_split_leakage" -> (leak1 _),
     "lm1_unigram_logprob" -> (lm1 _),
+    "lm2_bigram_logprob" -> (lm2 _),
     "e14_simhash_neardup" -> (e14 _),
     "q6b_forecast_revenue" -> (q6b _),
     "q7b_volume_shipping" -> (q7b _),
@@ -4872,6 +4877,25 @@ object SparkEntry {
         |  FROM f CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tok, CAST(sum(lp_fp) AS BIGINT) AS sum_lp_fp
         |FROM dt JOIN lp USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // lm2: the same fixed-point recipe one n-gram up — interpolated
+    // bigram probability with the unigram back-off, λ = 0.5.
+    "lm2_bigram_logprob" ->
+      """WITH dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (SELECT doc_id, unnest(t) AS term FROM dt),
+        |bgl AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> [t[i], t[i + 1]])) AS p FROM dt),
+        |bg AS (SELECT doc_id, p[1] AS c, p[2] AS n FROM bgl),
+        |uni AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+        |tot AS (SELECT count(*) AS nn FROM toks),
+        |cf AS (SELECT c, count(*) AS cfc FROM bg GROUP BY c),
+        |bf AS (SELECT c, n, count(*) AS bfc FROM bg GROUP BY c, n),
+        |lp AS (SELECT bf.c, bf.n,
+        |  CAST(floor(ln(
+        |    0.5 * (CAST(bfc AS DOUBLE) / CAST(cfc AS DOUBLE)) +
+        |    0.5 * (CAST(tf AS DOUBLE) / CAST(nn AS DOUBLE))) * 1048576) AS BIGINT) AS lp_fp
+        |  FROM bf JOIN cf USING (c) JOIN uni ON uni.term = bf.n CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_bigram, CAST(sum(lp_fp) AS BIGINT) AS sum_lp_fp
+        |FROM bg JOIN lp USING (c, n) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // leak1: the e12 pair machinery (bands → candidates → jaccard ≥ 0.5)
     // plus the samp1 split assignment; pairs are a<b so each crossing
     // pair is counted once under its own (split_a, split_b) orientation.

@@ -327,6 +327,66 @@ object Curation {
     } finally cached.unpersist()
   }
 
+  /** Interpolated BIGRAM language-model score per document — one rung up
+    * the n-gram ladder from [[unigramLogprobScore]] toward the
+    * perplexity filters real curation stacks run: per bigram (c, n),
+    * p = λ·bf(c,n)/cf(c) + (1−λ)·tf(n)/N, scored as floor(ln p · 2^20)
+    * BIGINTs so the per-doc sum is an integer aggregation (commutative,
+    * partition-order-proof, oracle-exact). The unigram back-off term
+    * keeps unseen-context probabilities finite without smoothing
+    * hyperparameters. Docs with fewer than 2 tokens have no bigrams and
+    * drop out (both engines agree).
+    *
+    * Same hybrid as lm1: the corpus feeds FIVE differently-keyed
+    * aggregations, so the token arrays are pinned with an eager cache
+    * while the (bigram → logprob) table is materialized; when that table
+    * fits the local threshold it becomes a broadcast local relation and
+    * the returned plan re-scans the corpus ONCE — otherwise the lazy
+    * multi-pass plan stands (the 100 TB fallback).
+    */
+  def bigramLogprobScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      lambda: Double = 0.5,
+      localPairThreshold: Int = 1 << 21): DataFrame = {
+    val spark = docs.sparkSession
+    val base = Partitioning.spread(docs)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
+    val toks = base.select(col(idCol), explode(col("__t")).as("__term"))
+    val nm1 = greatest(size(col("__t")) - 1, lit(0))
+    val bigrams = base
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), nm1), slice(col("__t"), lit(2), nm1),
+        (a, b) => struct(a.as("c"), b.as("n")))).as("__bg"))
+      .select(col(idCol), col("__bg.c").as("__c"), col("__bg.n").as("__n"))
+    val uni = toks.groupBy("__term").agg(count(lit(1)).as("__tf"))
+    val nTotal = toks.agg(count(lit(1)).as("__ntot"))
+    val bf = bigrams.groupBy("__c", "__n").agg(count(lit(1)).as("__bf"))
+    val cf = bigrams.groupBy("__c").agg(count(lit(1)).as("__cf"))
+    val lpPlan = bf.join(cf, Seq("__c"))
+      .join(uni.withColumnRenamed("__term", "__n"), Seq("__n"))
+      .crossJoin(broadcast(nTotal))
+      .select(col("__c"), col("__n"),
+        floor(log(
+          lit(lambda) * (col("__bf").cast("double") / col("__cf").cast("double")) +
+          lit(1.0 - lambda) * (col("__tf").cast("double") / col("__ntot").cast("double")))
+          * lit(1048576L)).cast("long").as("__lp_fp"))
+    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val head = lpPlan.take(localPairThreshold + 1)
+      val lp =
+        if (head.length <= localPairThreshold)
+          broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(head.toIndexedSeq, 1),
+            lpPlan.schema))
+        else lpPlan // giant-pair-table fallback: the lazy multi-pass plan
+      bigrams.join(lp, Seq("__c", "__n"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_bigram"), sum(col("__lp_fp")).as("sum_lp_fp"))
+    } finally cached.unpersist()
+  }
+
   /** Per-document token-distribution entropy — the vocabulary-flatness
     * quality signal (near-zero entropy = one token repeated; high
     * entropy = diverse vocabulary): H(d) = -Σ_t (tf/len)·ln(tf/len).
