@@ -1908,6 +1908,24 @@ object SparkEntry {
       .orderBy(col("l_id"), col("r_id").asc_nulls_first)
   }
 
+  /** ST7 — stream-static enrichment: the broadcast dimension join +
+    * default-fill every streaming pipeline runs before aggregating
+    * (`EventStream.enrichStream` — identical code path batch and
+    * streaming; the dim misses users ≥ 120, exercising the coalesce
+    * default). Segment-level rollup makes the whole enrichment hashable.
+    */
+  private def st7(s: SparkSession, d: String) = {
+    val dim = Tables.customer(s, d)
+      .groupBy((col("c_custkey") % 120).as("user_id"))
+      .agg(min(col("c_mktsegment")).as("segment"))
+    streaming.EventStream.enrichStream(
+        Tables.events(s, d), dim, Seq("user_id"),
+        defaults = Map("segment" -> lit("UNKNOWN")))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      .orderBy("segment", "event_type")
+  }
+
   /** zs1 — zonal statistics through `Stages.segmentFeatures` (Stage 3's
     * per-segment features) on an oracle-constructible grid: zones are the
     * 4×4 blocks of the m7b-style 16×16 cell grid, so counts, extents,
@@ -2979,6 +2997,7 @@ object SparkEntry {
     "dd1_degree_distribution" -> (dd1 _),
     "zm1_zonemap_skip" -> (zm1 _),
     "st3_sessionize" -> (st3 _),
+    "st7_enrich" -> (st7 _),
     "m7b_polygonize_cells" -> (m7b _),
     "e10_fuzzy_dedup_keep" -> (e10 _),
     "o3_topk_per_key" -> (o3 _),
@@ -3507,6 +3526,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+    // st7: broadcast-dim enrichment with the UNKNOWN default, rolled up.
+    "st7_enrich" ->
+      """WITH dim AS (SELECT c_custkey % 120 AS user_id, min(c_mktsegment) AS segment
+        |  FROM customer GROUP BY 1)
+        |SELECT coalesce(segment, 'UNKNOWN') AS segment, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM events e LEFT JOIN dim USING (user_id)
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "mm1_binary_meta" ->
       "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5 FROM documents ORDER BY doc_id",
     "q1_pricing_summary" ->
