@@ -1506,6 +1506,37 @@ object SparkEntry {
     operators.Shapefile.readFeatures(s, shp, Some(dbf)).orderBy("rec_no")
   }
 
+  /** S17 — GDAL's float32 LZW write profile WITH the floating-point
+    * predictor (`PREDICTOR=3`, TIFF TechNote 3): scene 1 a 2-band chunky
+    * LE tiled BigTIFF, scene 2 a classic BE stripped single-band file with
+    * a clipped last strip — byte-plane split + row differencing must be
+    * exactly undone (and the BE-significance plane order means predictor
+    * blocks skip the LE swap) or every pixel value breaks the hash.
+    */
+  private def s17(s: SparkSession, d: String) = {
+    import s.implicits._
+    val chunky = operators.Tiff.synthMultibandTiff(
+      40, 24, 16, 16, littleEndian = true, tile = true,
+      bands = 2, planarConfig = 1, pad = -9999.0f,
+      lzw = true, bigTiff = true, predictor = 3)(
+      (b, r, c) => if ((b + r + c) % 7 == 0) -9999.0f
+        else ((b * 3000 + r * 40 + c) % 1009).toFloat)
+    val classic = operators.Tiff.synthTiff(
+      36, 20, 36, 6, littleEndian = false, tile = false, pad = -9999.0f,
+      lzw = true, predictor = 3)(
+      (r, c) => if ((r * 2 + c) % 9 == 0) -9999.0f
+        else (((r * 36 + c) * 11) % 499).toFloat)
+    def pixels(sceneId: Long, bytes: Array[Byte], bh: Int, bw: Int) = {
+      val blocks = operators.Tiff.tiffToBandBlocks(
+        Seq((sceneId, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw, nodata = -9999.0f)
+        .select(col("scene_id"), col("band"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, chunky, 16, 16).unionAll(pixels(2L, classic, 6, 36))
+      .orderBy("scene_id", "band", "px_row", "px_col")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -3018,6 +3049,7 @@ object SparkEntry {
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s16_shapefile" -> (s16 _),
+    "s17_lzw_fp_predictor" -> (s17 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
@@ -3694,6 +3726,21 @@ object SparkEntry {
         |  id * 3 AS "DN",
         |  CAST(id * 0.125 AS DOUBLE) AS score
         |FROM f ORDER BY rec_no""".stripMargin,
+    // s17: predictor-3 containers regenerate from the same closed forms —
+    // the byte-plane/differencing transform must be invisible.
+    "s17_lzw_fp_predictor" ->
+      """SELECT CAST(1 AS BIGINT) AS scene_id, CAST(id // 960 AS INT) AS band,
+        |  CAST((id % 960) // 40 AS INT) AS px_row, CAST(id % 40 AS INT) AS px_col,
+        |  CAST((id // 960 * 3000 + ((id % 960) // 40) * 40 + id % 40) % 1009 AS INT) AS v
+        |FROM range(1920) t(id)
+        |WHERE (id // 960 + (id % 960) // 40 + id % 40) % 7 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS INT),
+        |  CAST(id // 36 AS INT), CAST(id % 36 AS INT),
+        |  CAST(((id // 36 * 36 + id % 36) * 11) % 499 AS INT)
+        |FROM range(720) t(id)
+        |WHERE ((id // 36) * 2 + id % 36) % 9 <> 0
+        |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     "mm5_tiff_header" ->

@@ -356,6 +356,63 @@ object Tiff {
     bits.toByteArray
   }
 
+  // ---- TIFF TechNote 3 floating-point predictor (317 = 3) ----
+  //
+  // The common write profile for float32 GeoTIFFs (GDAL `PREDICTOR=3`):
+  // per block row, each sample's 4 bytes are split into significance
+  // planes (all MSBs first, ... , all LSBs last — BIG-endian significance
+  // order regardless of the file's byte order), then the whole row is
+  // byte-wise forward-differenced before LZW. Undoing is the reverse:
+  // cumulative byte sums, then plane gather back into per-sample BE
+  // bytes — which is already the bridge's buffer order, so predictor-3
+  // blocks skip the LE swap.
+
+  private def fpPredictorUndo(buf: Array[Byte], samplesPerRow: Int): Unit = {
+    val rowBytes = 4 * samplesPerRow
+    require(buf.length % rowBytes == 0,
+      s"predictor-3 block of ${buf.length} bytes is not whole rows of $rowBytes")
+    var r0 = 0
+    while (r0 < buf.length) {
+      var i = r0 + 1
+      while (i < r0 + rowBytes) { buf(i) = (buf(i) + buf(i - 1)).toByte; i += 1 }
+      val tmp = java.util.Arrays.copyOfRange(buf, r0, r0 + rowBytes)
+      var s = 0
+      while (s < samplesPerRow) {
+        var k = 0
+        while (k < 4) { buf(r0 + 4 * s + k) = tmp(k * samplesPerRow + s); k += 1 }
+        s += 1
+      }
+      r0 += rowBytes
+    }
+  }
+
+  /** The encode half: `raw` holds float32 samples in FILE byte order;
+    * output is plane-split, forward-differenced rows ready for LZW.
+    */
+  private def fpPredictorApply(raw: Array[Byte], samplesPerRow: Int,
+      fileLE: Boolean): Array[Byte] = {
+    val rowBytes = 4 * samplesPerRow
+    val out = new Array[Byte](raw.length)
+    var r0 = 0
+    while (r0 < raw.length) {
+      var s = 0
+      while (s < samplesPerRow) {
+        var k = 0
+        while (k < 4) {
+          // byte k of the BE representation of sample s
+          val src = r0 + 4 * s + (if (fileLE) 3 - k else k)
+          out(r0 + k * samplesPerRow + s) = raw(src)
+          k += 1
+        }
+        s += 1
+      }
+      var i = r0 + rowBytes - 1
+      while (i > r0) { out(i) = (out(i) - out(i - 1)).toByte; i -= 1 }
+      r0 += rowBytes
+    }
+    out
+  }
+
   /** Decode a float32 tiled/stripped TIFF or BigTIFF — uncompressed or
     * LZW — into block rows shaped for [[RasterBridge.explodeBlocks]]:
     * (tile_y, tile_x, block_h, block_w, blob) with the blob byte-swapped
@@ -390,8 +447,9 @@ object Tiff {
     val compression = p.intVal(259).getOrElse(1L)
     require(compression == 1L || compression == 5L,
       s"only uncompressed (1) or LZW (5) TIFF blocks decode, got $compression")
-    require(p.intVal(317).forall(_ == 1L),
-      "LZW Predictor other than none (1) is not supported")
+    val predictor = p.intVal(317).getOrElse(1L).toInt
+    require(predictor == 1 || (predictor == 3 && compression == 5L),
+      s"Predictor $predictor unsupported (none (1), or floating-point (3) with LZW)")
     // BitsPerSample/SampleFormat have count=SamplesPerPixel: EVERY element
     // must be float32 (a mixed-type file would silently misdecode)
     require(p.longArray(258).forall(_.forall(_ == 32L)) &&
@@ -409,14 +467,18 @@ object Tiff {
     val counts = p.longArray(if (tiled) 325 else 279).get
     require(offsets.length == counts.length, "offset/count arrays disagree")
 
-    def slice(off: Long, len: Long, rawLen: Int): Array[Byte] = {
+    def slice(off: Long, len: Long, rawLen: Int, samplesPerRow: Int): Array[Byte] = {
       require(off + len <= bytes.length, s"block at $off+$len beyond EOF ${bytes.length}")
       val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       val out =
         if (compression == 5L) lzwDecode(stored, rawLen)
         else { require(stored.length == rawLen,
           s"block byte count ${stored.length} != $rawLen"); stored }
-      if (p.le) { // swap each float32 word to the bridge's big-endian order
+      if (predictor == 3) {
+        // plane gather yields BIG-endian sample bytes directly (TechNote 3
+        // significance order is endianness-independent) — no swap after
+        fpPredictorUndo(out, samplesPerRow)
+      } else if (p.le) { // swap each float32 word to the bridge's big-endian order
         var i = 0
         while (i + 3 < out.length) {
           val b0 = out(i); val b1 = out(i + 1)
@@ -451,13 +513,13 @@ object Tiff {
         (0 until nSpatial).map { i =>
           val (ty, tx, bh, bw) = geom(i)
           val k = band * nSpatial + i
-          (band, ty, tx, bh, bw, slice(offsets(k), counts(k), 4 * bw * bh))
+          (band, ty, tx, bh, bw, slice(offsets(k), counts(k), 4 * bw * bh, bw))
         }
       }
     } else if (spp == 1) {
       (0 until nSpatial).map { i =>
         val (ty, tx, bh, bw) = geom(i)
-        (0, ty, tx, bh, bw, slice(offsets(i), counts(i), 4 * bw * bh))
+        (0, ty, tx, bh, bw, slice(offsets(i), counts(i), 4 * bw * bh, bw))
       }
     } else {
       // chunky: each block holds bh*bw pixels × spp interleaved samples;
@@ -465,7 +527,7 @@ object Tiff {
       // already big-endian after slice, so copy whole 4-byte words)
       (0 until nSpatial).flatMap { i =>
         val (ty, tx, bh, bw) = geom(i)
-        val mixed = slice(offsets(i), counts(i), 4 * bw * bh * spp)
+        val mixed = slice(offsets(i), counts(i), 4 * bw * bh * spp, bw * spp)
         (0 until spp).map { band =>
           val plane = new Array[Byte](4 * bw * bh)
           var px = 0
@@ -610,9 +672,10 @@ object Tiff {
       grid: Option[Regrid.GridDef] = None,
       pad: Float = Float.NaN,
       lzw: Boolean = false,
-      bigTiff: Boolean = false)(values: (Int, Int) => Float): Array[Byte] =
+      bigTiff: Boolean = false,
+      predictor: Int = 1)(values: (Int, Int) => Float): Array[Byte] =
     synthMultibandTiff(width, height, blockW, blockH, littleEndian, tile,
-      bands = 1, planarConfig = 1, grid, pad, lzw, bigTiff)(
+      bands = 1, planarConfig = 1, grid, pad, lzw, bigTiff, predictor)(
       (_, r, c) => values(r, c))
 
   /** Multi-band float32 TIFF bytes — the reference's central artifact
@@ -633,11 +696,14 @@ object Tiff {
       grid: Option[Regrid.GridDef] = None,
       pad: Float = Float.NaN,
       lzw: Boolean = false,
-      bigTiff: Boolean = false)(values: (Int, Int, Int) => Float): Array[Byte] = {
+      bigTiff: Boolean = false,
+      predictor: Int = 1)(values: (Int, Int, Int) => Float): Array[Byte] = {
     require(width > 0 && height > 0 && blockW > 0 && blockH > 0, "bad geometry")
     require(tile || blockW == width, "strips span the full width")
     require(bands >= 1, s"bad band count $bands")
     require(planarConfig == 1 || planarConfig == 2, s"bad PlanarConfiguration $planarConfig")
+    require(predictor == 1 || (predictor == 3 && lzw),
+      s"predictor $predictor unsupported (none, or floating-point (3) with LZW)")
     val across = if (tile) (width + blockW - 1) / blockW else 1
     val down = (height + blockH - 1) / blockH
     val nSpatial = across * down
@@ -667,7 +733,12 @@ object Tiff {
         else for (s <- 0 until bands)
           raw.putFloat(if (in) values(s, gr, gc) else pad)
       }
-      if (lzw) lzwEncode(raw.array()) else raw.array()
+      val pre =
+        if (predictor == 3)
+          fpPredictorApply(raw.array(),
+            if (planar) blockW else blockW * bands, littleEndian)
+        else raw.array()
+      if (lzw) lzwEncode(pre) else pre
     }
     val blockBytes = blocks.map(_.length)
 
@@ -681,7 +752,8 @@ object Tiff {
     val shortsInline = 2 * bands <= inlineCap // BitsPerSample/SampleFormat arrays
 
     val nEntries = (if (tile) 11 else 10) + (if (grid.isDefined) 2 else 0) +
-      (if (bands > 1) 1 else 0) // 284 written only for multi-band
+      (if (bands > 1) 1 else 0) + // 284 written only for multi-band
+      (if (predictor != 1) 1 else 0) // 317 written only when predicting
     val ifdSize = countSize + entrySize * nEntries + (if (bigTiff) 8 else 4)
     val extOff = headerSize + ifdSize
     val offArrOff = extOff
@@ -718,6 +790,7 @@ object Tiff {
       countsEntry(279)
     }
     if (bands > 1) w.entry(284, 3, 1, planarConfig)
+    if (predictor != 1) w.entry(317, 3, 1, predictor)
     if (tile) {
       w.entry(322, 3, 1, blockW)
       w.entry(323, 3, 1, blockH)

@@ -212,6 +212,52 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("floating-point predictor (317=3) round-trips across layouts and byte orders") {
+    // GDAL's PREDICTOR=3 profile for float32 rasters: byte-plane split +
+    // row differencing before LZW. Values chosen to have distinct bytes in
+    // every significance plane.
+    def fill(r: Int, c: Int): Float = (r * 24 + c).toFloat * 1.25f - 100.5f
+    for (le <- Seq(true, false); tile <- Seq(true, false); big <- Seq(false, true)) {
+      val tag = s"le=$le tile=$tile big=$big"
+      val tiff = Tiff.synthTiff(24, 16, if (tile) 16 else 24, if (tile) 16 else 8,
+        littleEndian = le, tile = tile, lzw = true, bigTiff = big,
+        predictor = 3, pad = -1f)(fill)
+      val media = Seq((1L, tiff)).toDF("id", "bytes")
+      val px = RasterBridge.explodeBlocks(Tiff.tiffToBlocks(media),
+          blockH = if (tile) 16 else 8, blockW = if (tile) 16 else 24, nodata = -1f)
+        .select("px_row", "px_col", "value").as[(Int, Int, Float)].collect()
+      assert(px.length == 24 * 16, tag)
+      px.foreach { case (r, c, v) => assert(v == fill(r, c), s"$tag ($r,$c)=$v") }
+    }
+    // multi-band chunky AND planar under the predictor
+    def mv(b: Int, r: Int, c: Int): Float = (b * 977 + r * 20 + c).toFloat * 0.75f
+    for (planar <- Seq(1, 2)) {
+      val tiff = Tiff.synthMultibandTiff(20, 8, 20, 4, littleEndian = true,
+        tile = false, bands = 2, planarConfig = planar, lzw = true, predictor = 3)(mv)
+      for ((band, sy, _, bh, bw, blob) <- Tiff.bandBlocksOf(tiff)) {
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        for (lr <- 0 until bh; lc <- 0 until bw)
+          assert(bb.getFloat(4 * (lr * bw + lc)) == mv(band, sy * 4 + lr, lc),
+            s"planar=$planar band=$band strip=$sy ($lr,$lc)")
+      }
+    }
+    // predictor without LZW, and predictor 2, fail closed on both halves
+    intercept[IllegalArgumentException] {
+      Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true,
+        predictor = 3)((r, c) => 0f)
+    }
+    val p2 = Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true,
+      lzw = true, predictor = 3)((r, c) => (r + c).toFloat)
+    val patched = p2.clone()
+    // tag 317 value: entries at 10, find the 317 entry and set value to 2
+    val n = (patched(8) & 0xff) | ((patched(9) & 0xff) << 8)
+    val entryOff = (0 until n).map(10 + _ * 12)
+      .find(o => ((patched(o) & 0xff) | ((patched(o + 1) & 0xff) << 8)) == 317).get
+    patched(entryOff + 8) = 2
+    val e = intercept[IllegalArgumentException](Tiff.blocksOf(patched))
+    assert(e.getMessage.contains("Predictor"))
+  }
+
   // ---- multi-band (the reference's 7-band stack, feature_stacking.py:219-251) ----
 
   test("multi-band files round-trip through bandBlocksOf in both planar configs") {
