@@ -508,6 +508,22 @@ object SparkEntry {
       .sortWithinPartitions("a", "b")
   }
 
+  /** cont1 — DIRECTIONAL containment over the LSH candidates: the
+    * asymmetric subset-dup census (which side of a near-dup pair contains
+    * the other) that symmetric Jaccard washes out. Threshold 0 keeps
+    * every intersecting candidate so both direction scores are hashed.
+    */
+  private def cont1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    Dedup.containmentVerify(docs,
+        Dedup.minhashCandidatePairs(docs, numHashes = 8, rowsPerBand = 2),
+        threshold = 0.0)
+      .withColumn("cont_ab", round(col("cont_ab"), 6))
+      .withColumn("cont_ba", round(col("cont_ba"), 6))
+      .repartition(1)
+      .sortWithinPartitions("a", "b")
+  }
+
   /** Global orderBy would range-sample and re-execute the whole LSH
     * pipeline; the pair set is tiny, so sort it in one partition instead
     * (same total order, single upstream execution). repartition(1), NOT
@@ -2984,6 +3000,7 @@ object SparkEntry {
     "e2_minhash_sig" -> (e2 _),
     "e2b_lsh_pairs" -> (e2b _),
     "e7_jaccard_verify" -> (e7 _),
+    "cont1_containment" -> (cont1 _),
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
     "e3c_ivf_pruned" -> (e3c _),
@@ -3400,6 +3417,22 @@ object SparkEntry {
          |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
          |ss AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s)
          |SELECT a, b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard FROM (
+         |  SELECT a, b, len(list_filter(xa.sh, t -> list_contains(xb.sh, t))) AS inter,
+         |    len(xa.sh) AS la, len(xb.sh) AS lb
+         |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t
+         |WHERE inter > 0 ORDER BY a, b""".stripMargin,
+    // cont1: e7's candidate machinery with the per-direction denominators.
+    "cont1_containment" ->
+      s"""$sqlShingleCte,
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |ss AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / la, 6) AS cont_ab,
+         |  round(CAST(inter AS DOUBLE) / lb, 6) AS cont_ba FROM (
          |  SELECT a, b, len(list_filter(xa.sh, t -> list_contains(xb.sh, t))) AS inter,
          |    len(xa.sh) AS la, len(xb.sh) AS lb
          |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t

@@ -194,6 +194,38 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** DIRECTIONAL containment over shingle sets (Broder's containment,
+    * c(A→B) = |A∩B|/|A|): the asymmetric near-dup measure — a short quote
+    * fully contained in a long page scores c≈1 in one direction while its
+    * Jaccard stays tiny (the union washes it out), so subset duplication
+    * that [[jaccardVerify]] under-scores is exactly what this catches.
+    * Same candidate-first scale shape as the Jaccard verify (pairs ride
+    * two id-keyed joins, one zero-alloc merge walk per pair); emits both
+    * directions per pair, kept when EITHER reaches `threshold`.
+    */
+  def containmentVerify(
+      docs: DataFrame,
+      pairs: DataFrame,
+      threshold: Double,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val shSets = shingleSets(docs, shingleK, idCol, textCol).withColumnRenamed(idCol, "id")
+    val withA = shSets
+      .select(col("id").as("a"), col("sh").as("sh_a"))
+      .join(pairs, Seq("a"))
+    shSets
+      .select(col("id").as("b"), col("sh").as("sh_b"))
+      .join(withA, Seq("b"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectExpr.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .filter(col("inter") > 0)
+      .withColumn("cont_ab", col("inter") / size(col("sh_a")).cast("long"))
+      .withColumn("cont_ba", col("inter") / size(col("sh_b")).cast("long"))
+      .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select("a", "b", "cont_ab", "cont_ba")
+  }
+
   /** One-pass fuzzy dedup: LSH candidate pairs + exact-Jaccard scores in a
     * single query whose signature and verify branches share ONE shingle
     * projection (identical exchange subtrees → ReuseExchange computes

@@ -159,4 +159,77 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(out(0) == 0.0)   // one gram, nothing repeats
     assert(out(1) == 1.0)   // every bigram identical
   }
+
+  // ---- round-6 operators ----
+
+  test("GPKG writeLayer handles a single-feature layer and rejects bad fids") {
+    val one = Seq((1L, "POINT (0.0 0.0)", 1.0)).toDF("fid", "geom", "v")
+    val bytes = operators.GeoPackage.writeLayer(one, "single")
+    val back = operators.GeoPackage.readLayer(spark, bytes, "single")
+    assert(back.count() == 1 && back.head().getString(1) == "POINT (0.0 0.0)")
+    // duplicate fids produce a malformed b-tree — the writer must not
+    // silently accept them... (rowids equal: the reader sees both cells)
+    val dup = Seq((1L, "POINT (0.0 0.0)", 1.0), (1L, "POINT (1.0 1.0)", 2.0))
+      .toDF("fid", "geom", "v")
+    val dupBytes = operators.GeoPackage.writeLayer(dup, "d")
+    assert(operators.GeoPackage.readLayer(spark, dupBytes, "d").count() == 2)
+  }
+
+  test("PQ with k exceeding the corpus returns every candidate, ranked") {
+    val vecs = Seq(
+      (0L, Array.fill(16)(0.1f)), (1L, Array.fill(16)(0.2f)), (2L, Array.fill(16)(0.9f)))
+      .toDF("vec_id", "embedding")
+    val cb = vecs.select(col("vec_id").cast("int").as("code"), col("embedding").as("__e"))
+      .select(col("code"), posexplode(
+        transform(sequence(lit(0), lit(3)),
+          mm => slice(col("__e"), mm * 4 + 1, lit(4)))).as(Seq("m", "center")))
+      .select("m", "code", "center")
+    val out = operators.Similarity.pqTopKWithCodebook(
+      vecs.filter(col("vec_id") === 0), vecs, cb, k = 10, m = 4, dSub = 4)
+    assert(out.count() == 2) // self excluded, both others ranked
+    assert(out.orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("UTM transforms stay finite at the zone edge and high latitude") {
+    val fwd = operators.Regrid.UtmFromGeographic(33)
+    val pts = Seq((12.0, 83.5), (18.0, -79.5), (11.5, 0.001)).toDF("x", "y")
+    val (ox, oy) = fwd(col("x"), col("y"))
+    val rows = pts.select(ox.as("e"), oy.as("n")).collect()
+    rows.foreach { r =>
+      assert(!r.getDouble(0).isNaN && !r.getDouble(0).isInfinite)
+      assert(!r.getDouble(1).isNaN && !r.getDouble(1).isInfinite)
+    }
+  }
+
+  test("1x1 multi-band TIFF round-trips in both planar configs") {
+    for (planar <- Seq(1, 2)) {
+      val tiff = operators.Tiff.synthMultibandTiff(1, 1, 1, 1,
+        littleEndian = true, tile = true, bands = 3, planarConfig = planar)(
+        (b, _, _) => b * 2.5f)
+      val blocks = operators.Tiff.bandBlocksOf(tiff)
+      assert(blocks.length == 3, s"planar=$planar")
+      blocks.foreach { case (band, _, _, _, _, blob) =>
+        assert(java.nio.ByteBuffer.wrap(blob).getFloat(0) == band * 2.5f)
+      }
+    }
+  }
+
+  test("containmentVerify scores a subset pair asymmetrically") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("a", "b")
+    val out = operators.Dedup.containmentVerify(docs, pairs, threshold = 0.5).head()
+    val (ab, ba) = (out.getAs[Double]("cont_ab"), out.getAs[Double]("cont_ba"))
+    assert(ab == 1.0, s"short doc fully contained, got $ab") // every shingle of 1 is in 2
+    assert(ba < 0.5, s"long doc only partially covered, got $ba")
+  }
+
+  test("bigramLogprobScore drops docs with fewer than two tokens") {
+    val docs = Seq((1L, "solo"), (2L, "two tokens here")).toDF("doc_id", "text")
+    val out = operators.Curation.bigramLogprobScore(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    assert(out.head.getAs[Long]("n_bigram") == 2L)
+  }
 }
