@@ -336,6 +336,38 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** J14 — FORWARD as-of with tolerance (the pandas merge_asof direction
+    * surface): each purchase attaches the EARLIEST subsequent click value
+    * within 10 minutes. The right side is pre-aggregated per (user, ts)
+    * so the carried value is deterministic under ties.
+    */
+  private def j14(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+    operators.AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"),
+        direction = "forward", toleranceSec = Some(600))
+      .select(col("event_id"), col("user_id"), col("asof_value").as("next_click_val"))
+      .orderBy("event_id")
+  }
+
+  /** J15 — NEAREST as-of (closer of the two directions, ties prefer
+    * backward — pandas semantics) with a 15-minute tolerance.
+    */
+  private def j15(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(min(col("value")).as("value"))
+    operators.AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"),
+        direction = "nearest", toleranceSec = Some(900))
+      .select(col("event_id"), col("user_id"), col("asof_value").as("near_click_val"))
+      .orderBy("event_id")
+  }
+
   /** J11 — binned bbox spatial join (PBSM): suppliers and customers get
     * synthetic integer-derived envelopes; SpatialJoin.bboxJoin bins them
     * onto a grid and equi-joins on cell keys with reference-point dedup —
@@ -3036,6 +3068,8 @@ object SparkEntry {
     "ent1_token_entropy" -> (ent1 _),
     "o4_keyset_page" -> (o4 _),
     "j12_full_outer" -> (j12 _),
+    "j14_asof_forward" -> (j14 _),
+    "j15_asof_nearest" -> (j15 _),
     "emb3_dim_stats" -> (emb3 _),
     "pack1_token_budget" -> (pack1 _),
     "tfidf1_top_terms" -> (tfidf1 _),
@@ -3316,6 +3350,41 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
         |  FROM events) t WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    // j14/j15: the direction surface against a min/max-aggregation mirror —
+    // deduped right side makes the matched value deterministic.
+    "j14_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, min(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (SELECT p.event_id, p.user_id, p.ts, min(c.ts) AS m_ts
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id,
+        |  CASE WHEN m.m_ts IS NOT NULL
+        |        AND epoch_us(m.m_ts) - epoch_us(m.ts) <= 600000000
+        |       THEN c.value END AS next_click_val
+        |FROM m LEFT JOIN c ON c.user_id = m.user_id AND c.ts = m.m_ts
+        |ORDER BY event_id""".stripMargin,
+    "j15_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, min(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |m AS (SELECT p.event_id, p.user_id, p.ts,
+        |    max(CASE WHEN c.ts <= p.ts THEN c.ts END) AS b_ts,
+        |    min(CASE WHEN c.ts >= p.ts THEN c.ts END) AS f_ts
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  GROUP BY 1, 2, 3),
+        |pick AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+        |          OR epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+        |         THEN b_ts ELSE f_ts END AS m_ts
+        |  FROM m)
+        |SELECT pick.event_id, pick.user_id,
+        |  CASE WHEN pick.m_ts IS NOT NULL
+        |        AND abs(epoch_us(pick.m_ts) - epoch_us(pick.ts)) <= 900000000
+        |       THEN c.value END AS near_click_val
+        |FROM pick LEFT JOIN c ON c.user_id = pick.user_id AND c.ts = pick.m_ts
+        |ORDER BY event_id""".stripMargin,
     "j11_bbox_join" ->
       """WITH sb AS (
         |  SELECT s_suppkey,

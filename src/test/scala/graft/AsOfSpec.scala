@@ -24,4 +24,54 @@ class AsOfSpec extends AnyFunSuite {
     assert(out("t2").contains(102.0))    // latest prior
     assert(out("t3").isEmpty)            // right side only in the future
   }
+
+  private def fixture = {
+    val trades = Seq(
+      (1L, 10L, "t1"), (1L, 30L, "t2"), (2L, 50L, "t3")
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 8L, 100.0), (1L, 12L, 101.0), (1L, 29L, 102.0),
+      (2L, 10L, 500.0)
+    ).toDF("k", "ts", "px")
+    (trades, quotes)
+  }
+
+  test("forward direction attaches the earliest subsequent right row") {
+    val (trades, quotes) = fixture
+    val out = AsOf.asofJoin(trades, quotes, "k", "ts", Seq("px"), direction = "forward")
+      .select("trade", "asof_px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("t1").contains(101.0)) // next quote at 12
+    assert(out("t2").isEmpty)         // no quote at/after 30 for k=1
+    assert(out("t3").isEmpty)         // k=2's only quote is in the past
+  }
+
+  test("nearest direction picks the closer side, ties prefer backward") {
+    val (trades, quotes) = fixture
+    val out = AsOf.asofJoin(trades, quotes, "k", "ts", Seq("px"), direction = "nearest")
+      .select("trade", "asof_px").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("t1") == 100.0) // gaps 2 (bwd) vs 2 (fwd) → tie → backward
+    assert(out("t2") == 102.0) // only backward exists
+    assert(out("t3") == 500.0) // nearest has no direction cutoff
+  }
+
+  test("tolerance nulls matches beyond the gap in every direction") {
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val (t0, q0) = fixture
+    val trades = t0.withColumn("ts", timestamp_seconds(col("ts")))
+    val quotes = q0.withColumn("ts", timestamp_seconds(col("ts")))
+    def m(direction: String, tol: Long) =
+      AsOf.asofJoin(trades, quotes, "k", "ts", Seq("px"),
+          direction = direction, toleranceSec = Some(tol))
+        .select("trade", "asof_px").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val bwdTight = m("backward", 1L)
+    assert(bwdTight("t1").isEmpty && bwdTight("t2").contains(102.0)) // gaps 2 vs 1
+    val fwdTight = m("forward", 2L)
+    assert(fwdTight("t1").contains(101.0)) // gap exactly 2 (<=)
+    val nearTight = m("nearest", 1L)
+    assert(nearTight("t1").isEmpty)        // both sides at gap 2 > 1
+    assert(nearTight("t2").contains(102.0))
+  }
 }
