@@ -2197,6 +2197,26 @@ object SparkEntry {
     * windowed model needs. Per-key windows only; grid bounded by
     * span/step per key.
     */
+  /** TS2 — truncated-FIR exponential smoothing per user: the scale-safe
+    * spelling of EWMA (bounded ROWS window instead of the sequential
+    * recursion), tap constants shared bit-exactly with the oracle.
+    */
+  private def ts2(s: SparkSession, d: String) =
+    operators.TimeSeries.ewmaSmooth(
+        Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", alpha = 0.3, taps = 8)
+      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+
+  /** FUNNEL1 — strict-order conversion funnel view → click → purchase per
+    * user: stage times chain keyed aggregations (stage k prunes to keys
+    * that completed k−1), depth = completed stages.
+    */
+  private def funnel1(s: SparkSession, d: String) =
+    operators.Funnel.stageTimes(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
   private def ts1(s: SparkSession, d: String) =
     operators.TimeSeries.resampleCarryForward(
         Tables.events(s, d).filter(col("user_id") <= 20),
@@ -3149,6 +3169,8 @@ object SparkEntry {
     "span1_repeated_spans" -> (span1 _),
     "inc1_incremental_dedup" -> (inc1 _),
     "ts1_gapfill_resample" -> (ts1 _),
+    "ts2_ewma" -> (ts2 _),
+    "funnel1_conversion" -> (funnel1 _),
     "s10_csv_roundtrip" -> (s10 _),
     "sch1_schema_evolution" -> (sch1 _),
     "gs1_grouping_sets" -> (gs1 _),
@@ -4893,6 +4915,32 @@ object SparkEntry {
         |  last_value(hour_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS filled_sum,
         |  hour_sum IS NULL AS is_gap
         |FROM j ORDER BY user_id, bucket""".stripMargin,
+    // ts2: the same tap constants (interpolated from the same Scala
+    // doubles) in the same left-to-right addition chain.
+    "ts2_ewma" -> {
+      val terms = (0 until 8).map { k =>
+        val c = 0.3 * math.pow(0.7, k)
+        val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
+        s"$c * coalesce($x, 0.0)"
+      }.mkString(" + ")
+      s"""SELECT user_id, event_id, round($terms, 6) AS ewma
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY user_id, event_id""".stripMargin
+    },
+    // funnel1: the same chained stage aggregations.
+    "funnel1_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CAST(1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // gs1: IDENTICAL text in both engines (modulo the view name).
     "gs1_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,

@@ -49,4 +49,33 @@ object TimeSeries {
         last(col("__sum"), ignoreNulls = true).over(w).as("filled_sum"),
         col("__sum").isNull.as("is_gap"))
   }
+
+  /** Truncated-FIR exponential smoothing per key: ewma_i = Σ_{k<taps}
+    * α(1−α)^k · x_{i−k} over the (tsCol, tieCol) order, missing lags as 0.
+    * The RECURSIVE form (y_i = αx_i + (1−α)y_{i−1}) is a sequential scan
+    * per key — the truncation turns it into a bounded ROWS window (each
+    * key smooths independently, no order dependence beyond `taps` rows),
+    * the standard trade at corpus scale: with taps = 16 and α ≥ 0.2 the
+    * dropped tail weighs < (1−α)^16 ≈ 3%. Tap coefficients are plan-time
+    * double constants, the sum a fixed left-to-right chain — engine-exact.
+    */
+  def ewmaSmooth(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      taps: Int = 8,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(taps >= 1, s"taps must be >= 1, got $taps")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val terms = (0 until taps).map { k =>
+      val x = if (k == 0) col(valueCol).cast("double")
+        else lag(col(valueCol), k).over(w).cast("double")
+      lit(alpha * math.pow(1 - alpha, k)) * coalesce(x, lit(0.0))
+    }
+    df.withColumn(outCol, terms.reduceLeft(_ + _))
+  }
 }

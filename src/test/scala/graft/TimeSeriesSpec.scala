@@ -39,4 +39,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       TimeSeries.resampleCarryForward(df, "k", "t", "v", "fortnight"))
   }
+
+  test("ewmaSmooth matches the hand-computed truncated filter per key") {
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0),
+      (2L, 1L, 100.0)
+    ).toDF("k", "seq", "v")
+    val out = TimeSeries.ewmaSmooth(df, "k", "seq", "seq", "v",
+        alpha = 0.5, taps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(out((1L, 1L)) - 0.5 * 10.0) < 1e-12)
+    assert(math.abs(out((1L, 2L)) - (0.5 * 20.0 + 0.25 * 10.0)) < 1e-12)
+    assert(math.abs(out((1L, 3L)) - (0.5 * 30.0 + 0.25 * 20.0 + 0.125 * 10.0)) < 1e-12)
+    assert(math.abs(out((2L, 1L)) - 0.5 * 100.0) < 1e-12) // keys independent
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaSmooth(df, "k", "seq", "seq", "v", alpha = 0.0))
+  }
+
+  test("funnel stageTimes enforces strict ordering") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: purchase BEFORE the first view must not count
+      (2L, 5L, "purchase"), (2L, 10L, "view"), (2L, 20L, "click"),
+      // user 3: never viewed → absent entirely
+      (3L, 10L, "click"), (3L, 20L, "purchase"),
+      // user 4: click at the same instant as view counts (>=)
+      (4L, 10L, "view"), (4L, 10L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = operators.Funnel.stageTimes(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("depth"))).toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 4L -> 2))
+  }
 }
