@@ -1871,6 +1871,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** SAMP3 — deterministic WEIGHTED sampling (A-ES), 5 longest-biased
+    * docs per source: weight = n_chars + 1, draw = md5-derived uniform,
+    * rank key fixed-pointed — the mix-construction sampler that upweights
+    * long documents without RNG state.
+    */
+  private def samp3(s: SparkSession, d: String) =
+    operators.Curation.weightedSample(
+        Tables.documents(s, d),
+        col("doc_id"), (col("n_chars") + lit(1)).cast("double"),
+        Seq(col("source")), k = 5)
+      .select("source", "doc_id", "wkey_fp")
+      .orderBy("source", "doc_id")
+
   /** E11 — eval-set decontamination: docs sharing any 3-token n-gram with
     * the synthetic eval slice (doc_id % 97 = 0) are dropped — the
     * benchmark-leakage guard of a training-data pipeline. Exact gram
@@ -3083,6 +3096,7 @@ object SparkEntry {
     "q8_cube" -> (q8 _),
     "samp1_hash_split" -> (samp1 _),
     "samp2_stratified" -> (samp2 _),
+    "samp3_weighted" -> (samp3 _),
     "e11_decontaminate" -> (e11 _),
     "nov1_gram_novelty" -> (nov1 _),
     "ent1_token_entropy" -> (ent1 _),
@@ -3948,6 +3962,17 @@ object SparkEntry {
          |SELECT l_returnflag, count(*) AS n,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |FROM t WHERE bucket < rate GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // samp3: the same md5-uniform + fixed-point ln(u)/w rank key (lm1's
+    // ln-parity pattern); rank desc with doc_id tiebreak.
+    "samp3_weighted" ->
+      s"""WITH w AS (SELECT source, doc_id,
+         |  CAST(floor(ln((${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 8)} + 1) / 4294967296.0)
+         |    / CAST(n_chars + 1 AS DOUBLE) * 1048576) AS BIGINT) AS wkey_fp
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, wkey_fp,
+         |  row_number() OVER (PARTITION BY source ORDER BY wkey_fp DESC, doc_id) AS rn FROM w)
+         |SELECT source, doc_id, wkey_fp FROM r WHERE rn <= 5
+         |ORDER BY source, doc_id""".stripMargin,
     "e11_decontaminate" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]

@@ -167,6 +167,35 @@ object Curation {
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement, k per group
+    * (Efraimidis–Spirakis A-ES): each row draws a pseudo-uniform
+    * u ∈ (0,1] from an md5 of its id and the k rows with the largest
+    * u^(1/w) win — spelled as the equivalent ln(u)/w ordering and
+    * FIXED-POINTED (floor(ln u / w · 2^20) BIGINT) so the rank key is
+    * integer-comparable and engine-exact (the lm1 ln-parity pattern).
+    * The draw is a pure function of the id: stable under reruns,
+    * appends (for surviving rows), and partitioning — the weighted
+    * analog of [[hashSplit]]/[[stratifiedSample]], which can only do
+    * uniform rates. One window per group, no RNG state.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      groupCols: Seq[Column],
+      k: Int,
+      keyCol: String = "wkey_fp"): DataFrame = {
+    require(k > 0, s"weightedSample k must be positive, got $k")
+    val u = (TextOps.hexVal(md5(idCol.cast("string")), 8) + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val key = floor(log(u) / weightCol * lit(1048576L)).cast("long")
+    val w = Window.partitionBy(groupCols: _*).orderBy(col(keyCol).desc, idCol.asc)
+    df.withColumn(keyCol, key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Per-group document cap: keep at most `k` rows per group, best
     * `orderCol` first (ties broken by `tieCol` for determinism) — the
     * per-domain cap every web corpus applies so no single site dominates
