@@ -2215,10 +2215,15 @@ object SparkEntry {
     * recursion), tap constants shared bit-exactly with the oracle.
     */
   private def ts2(s: SparkSession, d: String) =
+    // fixed-point output, not round(,6): the engines' round() implementations
+    // disagree on decimal boundaries even for bit-identical doubles
+    // (observed once in 14k rows at sf0.1); floor of the 2^20-scaled value
+    // is deterministic whenever the doubles match
     operators.TimeSeries.ewmaSmooth(
         Tables.events(s, d).select("user_id", "event_id", "ts", "value"),
         "user_id", "ts", "event_id", "value", alpha = 0.3, taps = 8)
-      .select(col("user_id"), col("event_id"), round(col("ewma"), 6).as("ewma"))
+      .select(col("user_id"), col("event_id"),
+        floor(col("ewma") * lit(1048576L)).cast("long").as("ewma_fp"))
       .orderBy("user_id", "event_id")
 
   /** FUNNEL1 — strict-order conversion funnel view → click → purchase per
@@ -4948,7 +4953,8 @@ object SparkEntry {
         val x = if (k == 0) "value" else s"lag(value, $k) OVER w"
         s"$c * coalesce($x, 0.0)"
       }.mkString(" + ")
-      s"""SELECT user_id, event_id, round($terms, 6) AS ewma
+      s"""SELECT user_id, event_id,
+         |  CAST(floor(($terms) * 1048576) AS BIGINT) AS ewma_fp
          |FROM events
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY user_id, event_id""".stripMargin
