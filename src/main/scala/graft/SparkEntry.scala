@@ -1928,6 +1928,16 @@ object SparkEntry {
       .orderBy("keep_id")
   }
 
+  /** PR1 — fixed-point PageRank over the dup-candidate graph: which
+    * documents anchor a near-dup neighborhood. Ten integer-exact rounds,
+    * bit-identical to the oracle's recursive-CTE twin.
+    */
+  private def pr1(s: SparkSession, d: String) =
+    operators.Graph.pageRankFixed(
+        Dedup.minhashCandidatePairs(Tables.documents(s, d), numHashes = 8, rowsPerBand = 2),
+        iters = 10)
+      .orderBy("node")
+
   /** cc2 — the SAME component summary as cc1, but `localThreshold = 0`
     * forces the distributed min-label + pointer-jumping path — the
     * unbounded-scale fallback that normally only engages above 4M edges.
@@ -3114,6 +3124,7 @@ object SparkEntry {
     "tfidf1_top_terms" -> (tfidf1 _),
     "cc1_dup_components" -> (cc1 _),
     "cc2_components_distributed" -> (cc2 _),
+    "pr1_dup_pagerank" -> (pr1 _),
     "tri1_dup_triangles" -> (tri1 _),
     "dd1_degree_distribution" -> (dd1 _),
     "zm1_zonemap_skip" -> (zm1 _),
@@ -4097,6 +4108,27 @@ object SparkEntry {
          |comp AS (SELECT x AS node, least(x, min(y)) AS component FROM reach GROUP BY x)
          |SELECT component AS keep_id, count(*) AS n_members
          |FROM comp GROUP BY component ORDER BY keep_id""".stripMargin,
+    // pr1: the same candidate edges, then the integer PageRank recurrence
+    // as a recursive CTE — floor-div contributions, integer sums, one
+    // floored damping multiply per step, all bit-exact.
+    "pr1_dup_pagerank" ->
+      s"""${sqlShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, ${(0 until 8).map(j => s"${sqlMinhash(j)} AS m$j").mkString(", ")} FROM sh),
+         |bands AS (${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat_ws('_', m${2 * b}, m${2 * b + 1})) AS bucket FROM sig")
+              .mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |  JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM cand UNION SELECT b AS src, a AS dst FROM cand),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |pr(iter, node, rank_fp) AS (
+         |  SELECT 0, src, CAST(1048576 AS BIGINT) FROM dg
+         |  UNION ALL
+         |  SELECT s.iter + 1, s.node, CAST(157286 + floor(0.85 * s.total) AS BIGINT)
+         |  FROM (SELECT p.iter AS iter, e.dst AS node, sum(p.rank_fp // d.deg) AS total
+         |        FROM pr p JOIN e ON e.src = p.node JOIN dg d ON d.src = p.node
+         |        WHERE p.iter < 10 GROUP BY 1, 2) s)
+         |SELECT node, rank_fp FROM pr WHERE iter = 10 ORDER BY node""".stripMargin,
     "st3_sessionize" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -174,6 +174,83 @@ object Graph {
       .toDF("node", "component")
   }
 
+  /** FIXED-POINT PageRank over the undirected candidate graph — the
+    * centrality signal for dup clusters (which documents anchor a
+    * near-dup neighborhood). Ranks are 2^20-scaled BIGINTs and the
+    * recurrence is pure integer arithmetic per step (integer-div
+    * contributions, integer sums, one floor after the damping multiply),
+    * so the trajectory is bit-identical under any partitioning and in
+    * the oracle's recursive-CTE twin — the same determinism doctrine as
+    * the fixed-point centroids, applied to an iterative algorithm.
+    *
+    * Scale shape: the classic join-agg PageRank round (edges ⋈ ranks →
+    * per-target integer sum), each round persisted and materialized
+    * before the previous cache drops (the connectedComponents pattern —
+    * an unpersisted loop would replay the whole lineage every round).
+    * Undirected symmetric edges mean every node has degree ≥ 1: no
+    * dangling mass.
+    */
+  def pageRankFixed(
+      pairs: DataFrame,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      localThreshold: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val baseFp = math.floor((1 - damping) * 1048576).toLong
+    val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    try {
+      if (nEdges <= localThreshold) {
+        // hybrid small-graph path (the connectedComponents pattern): ten
+        // distributed rounds on a candidate-pair graph are pure scheduler
+        // overhead — run the SAME integer recurrence on the driver
+        // (bounded by the threshold; identical result by construction,
+        // GraphSpec asserts the equivalence)
+        val spark = pairs.sparkSession
+        val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val deg = es.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+        var rank: Map[Long, Long] = deg.map { case (k, _) => k -> 1048576L }.toMap
+        for (_ <- 1 to iters) {
+          val totals = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+          es.foreach { case (src, dst) => totals(dst) += rank(src) / deg(src) }
+          rank = rank.keysIterator
+            .map(n => n -> (baseFp + math.floor(damping * totals(n)).toLong)).toMap
+        }
+        import spark.implicits._
+        rank.toSeq.toDF("node", "rank_fp")
+      } else {
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        deg.count()
+        try {
+          var rank = deg.select(col("src").as("node"), lit(1048576L).as("rank_fp"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          rank.count()
+          for (_ <- 1 to iters) {
+            val next = edges
+              .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+              .join(deg, Seq("src"))
+              .select(col("dst"), expr("rank_fp div deg").as("__contrib"))
+              .groupBy(col("dst"))
+              .agg(sum(col("__contrib")).as("__total"))
+              .select(col("dst").as("node"),
+                (lit(baseFp) + floor(lit(damping) * col("__total")).cast("long")).as("rank_fp"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            next.count()
+            rank.unpersist()
+            rank = next
+          }
+          rank
+        } finally deg.unpersist()
+      }
+    } finally edges.unpersist()
+  }
+
   /** Component summary: keeper (= component id = min member) and size. */
   def componentSummary(components: DataFrame): DataFrame =
     components

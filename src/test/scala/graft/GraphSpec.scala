@@ -79,4 +79,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got.size == 64)
     assert(got.values.toSet == Set(1L))
   }
+
+  test("pageRankFixed: local and distributed paths are bit-identical; hubs rank higher") {
+    // star (1 hub, 4 spokes) plus a detached pair
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (8L, 9L)).toDF("a", "b")
+    val local = Graph.pageRankFixed(pairs, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graph.pageRankFixed(pairs, iters = 6, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist) // same integer recurrence on both paths
+    assert(local(1L) > local(2L)) // the hub dominates its spokes
+    assert(Set(2L, 3L, 4L, 5L).map(local).size == 1) // symmetric spokes tie
+    assert(local(8L) == local(9L))
+  }
 }
