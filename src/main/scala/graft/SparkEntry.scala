@@ -1149,6 +1149,25 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** KM1 — one bit-exact Lloyd's k-means round: assign to 4 seed
+    * centroids, recompute fixed-point means, REASSIGN, and hash the cell
+    * census plus the new centroids' leading-dim fingerprints. Distributed
+    * clustering training whose trajectory the oracle replays exactly.
+    */
+  private def km1(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val init = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val cent1 = Similarity.lloydRound(emb, init)
+    Similarity.assignCells(emb, cent1)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(cent1.select(col("cell"),
+        floor(element_at(col("centroid"), 1) * lit(1048576L)).cast("long").as("c1_fp"),
+        floor(element_at(col("centroid"), 2) * lit(1048576L)).cast("long").as("c2_fp")),
+        Seq("cell"))
+      .orderBy("cell")
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -3086,6 +3105,7 @@ object SparkEntry {
     "e3c_ivf_pruned" -> (e3c _),
     "e3d_pq_adc" -> (e3d _),
     "e3e_ivfpq" -> (e3e _),
+    "km1_lloyd_round" -> (km1 _),
     "j13_bbox_skew" -> (j13 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -3542,6 +3562,34 @@ object SparkEntry {
          |    len(xa.sh) AS la, len(xb.sh) AS lb
          |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t
          |WHERE inter > 0 ORDER BY a, b""".stripMargin,
+    // km1: the exact Lloyd round — argmin assignment, per-dim fixed-point
+    // sums, the same ((s/2^20)/n) mean chain, argmin again.
+    "km1_lloyd_round" ->
+      s"""WITH init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 4),
+         |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |a0 AS (SELECT vec_id, cv, cell FROM (
+         |  SELECT c.vec_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN init k) WHERE rk = 1),
+         |dims AS (SELECT cell, i,
+         |    sum(CAST(floor(CAST(cv[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  GROUP BY cell, i),
+         |cent1 AS (SELECT cell,
+         |    list(CAST(s AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY i) AS kv
+         |  FROM dims GROUP BY cell),
+         |a1 AS (SELECT vec_id, cell FROM (
+         |  SELECT c.vec_id, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN cent1 k) WHERE rk = 1)
+         |SELECT a1.cell, count(*) AS n_members,
+         |  CAST(floor(k.kv[1] * 1048576) AS BIGINT) AS c1_fp,
+         |  CAST(floor(k.kv[2] * 1048576) AS BIGINT) AS c2_fp
+         |FROM a1 JOIN cent1 k ON k.cell = a1.cell
+         |GROUP BY a1.cell, k.kv[1], k.kv[2] ORDER BY a1.cell""".stripMargin,
     // cont1: e7's candidate machinery with the per-direction denominators.
     "cont1_containment" ->
       s"""$sqlShingleCte,

@@ -332,6 +332,38 @@ object Similarity {
           e.getField("__n").cast("double")).as("centroid"))
   }
 
+  /** Public cell assignment against a centroid table (cell INT, centroid
+    * ARRAY) — nearest-centroid argmin with the deterministic tie-break.
+    * Returns (idCol, cell).
+    */
+  def assignCells(
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(corpus, centroidDf, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("cell"))
+
+  /** ONE Lloyd's k-means round as a verifiable relational job: assign
+    * every vector to its nearest centroid (broadcast argmin, deterministic
+    * tie-break), then recompute each cell's centroid with the FIXED-POINT
+    * mean ([[groupCentroids]] — integer sums commute, so the new centroid
+    * table is bit-identical under any partitioning and in the oracle).
+    * Iterating this is distributed k-means training whose whole trajectory
+    * is engine-exact — the deterministic counterpart of the seeded Spark
+    * ML fit that [[fitIndex]] uses where only behavior, not bits, matters.
+    */
+  def lloydRound(
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroidDf, idCol, vecCol)
+    groupCentroids(assigned.select(col("cell"), col("c_emb").as(vecCol)), "cell",
+        vecCol = vecCol)
+      .select(col("cell"), col("centroid"))
+  }
+
   /** Cluster-cohesion score: each vector's cosine to its group centroid
     * (in-order fold dot product — oracle-exact given the fixed-point
     * centroid). The centroid table is tiny (one row per group) → AQE
