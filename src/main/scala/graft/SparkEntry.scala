@@ -2969,6 +2969,26 @@ object SparkEntry {
     * round-trips and the merge is lossless, without ever rescanning
     * "history" in the merge.
     */
+  /** IV2 — incremental JOIN maintenance: the bilinear delta identity
+    * (Δa⋈B ∪ A⋈Δb ∪ Δa⋈Δb) produces exactly the rows a batch of appends
+    * adds to the lineitem⋈orders join, without re-joining the histories.
+    * The oracle recomputes both FULL joins and subtracts their censuses —
+    * any identity error (missed term, double count) breaks the hash.
+    */
+  private def iv2(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    def a(df: DataFrame) = df.select(col("l_orderkey").as("okey"), col("l_quantity"))
+    def b(df: DataFrame) = df.select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    operators.Maintenance.joinDelta(
+        a(li.filter(col("l_orderkey") % 10 =!= 0)), a(li.filter(col("l_orderkey") % 10 === 0)),
+        b(ord.filter(col("o_orderkey") % 7 =!= 0)), b(ord.filter(col("o_orderkey") % 7 === 0)),
+        Seq("okey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_added"), dsum(col("l_quantity")).as("qty_added"))
+      .orderBy("o_orderpriority")
+  }
+
   private def iv1(s: SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
     val keys = Seq("l_returnflag", "l_linestatus")
@@ -3243,6 +3263,7 @@ object SparkEntry {
     "kmv1_distinct_sketch" -> (kmv1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
+    "iv2_join_delta" -> (iv2 _),
     "fz1_fuzzy_match" -> (fz1 _),
     "s11_jsonl_roundtrip" -> (s11 _),
     "span2_strip_spans" -> (span2 _),
@@ -5338,6 +5359,24 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // iv2: recompute both FULL joins and subtract their censuses — the
+    // delta identity must account for every added row exactly once.
+    "iv2_join_delta" ->
+      """WITH fn AS (SELECT o.o_orderpriority, l.l_quantity
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |fo AS (SELECT o.o_orderpriority, l.l_quantity
+        |  FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 <> 0) l
+        |  JOIN (SELECT * FROM orders WHERE o_orderkey % 7 <> 0) o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |cn AS (SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s FROM fn GROUP BY 1),
+        |co AS (SELECT o_orderpriority, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS s FROM fo GROUP BY 1)
+        |SELECT cn.o_orderpriority, cn.n - coalesce(co.n, 0) AS n_added,
+        |  CAST(cn.s - coalesce(co.s, 0) AS DOUBLE) AS qty_added
+        |FROM cn LEFT JOIN co USING (o_orderpriority)
+        |WHERE cn.n - coalesce(co.n, 0) > 0
+        |ORDER BY o_orderpriority""".stripMargin,
     "fz1_fuzzy_match" ->
       """WITH pr AS (SELECT p_partkey AS probe_key,
         |  concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name

@@ -339,4 +339,29 @@ object Maintenance {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
   }
+
+  /** Incremental JOIN maintenance for insert-only deltas: the rows that a
+    * batch of appends ADDS to `aOld ⋈ bOld` are exactly
+    *
+    *   Δa ⋈ bOld  ∪  aOld ⋈ Δb  ∪  Δa ⋈ Δb
+    *
+    * (the bilinear delta identity) — three joins whose LEFT inputs are
+    * delta-sized, instead of re-joining two full tables. At 100 TB this is
+    * the difference between a daily append costing O(|Δ|) and O(|history|):
+    * the old sides stream through broadcast/shuffle joins keyed as usual,
+    * and no history×history join ever re-runs. Exact for inner equi-joins
+    * on any key set (duplicates included — each identity term contributes
+    * its exact multiplicity).
+    */
+  def joinDelta(
+      aOld: org.apache.spark.sql.DataFrame,
+      aDelta: org.apache.spark.sql.DataFrame,
+      bOld: org.apache.spark.sql.DataFrame,
+      bDelta: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one join key")
+    aDelta.join(bOld, keys)
+      .unionByName(aOld.join(bDelta, keys))
+      .unionByName(aDelta.join(bDelta, keys))
+  }
 }
