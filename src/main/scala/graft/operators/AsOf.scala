@@ -24,6 +24,13 @@ object AsOf {
   /** For each row of `left`, attach the matched `right` row's `valueCols`
     * under the chosen direction (same `keyCol`; null when no match in
     * range). Output: left columns + asof_<c> per value column.
+    *
+    * Determinism contract: WHICH right row wins is defined by event time
+    * only, so the right side must be unique per (keyCol, tsCol) — two
+    * right rows sharing a timestamp make the carried value
+    * partition-order-dependent. Pre-aggregate the right side (as the
+    * j14/j15 queries do) when duplicates are possible; the same contract
+    * every sort-merge as-of engine documents.
     */
   def asofJoin(
       left: DataFrame,
