@@ -241,4 +241,88 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- round-6 codec round trips under adversarial coordinates ----
+
+  /** Doubles whose toString spans plain, negative, tiny-exponent, and
+    * huge-magnitude spellings — the WKT formatting paths a writer must
+    * parse back exactly.
+    */
+  private val coordGen: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1000.0, 1000.0),
+    Gen.choose(-1.0e-6, 1.0e-6), // prints in E notation
+    Gen.choose(-1.0e8, 1.0e8),
+    Gen.oneOf(0.0, -0.0, 1.25, -180.0, 90.0))
+
+  private val wktGen: Gen[String] = for {
+    kind <- Gen.oneOf("POINT", "LINESTRING", "POLYGON")
+    n <- Gen.choose(3, 6)
+    xs <- Gen.listOfN(n, coordGen)
+    ys <- Gen.listOfN(n, coordGen)
+  } yield {
+    val pts = xs.zip(ys)
+    kind match {
+      case "POINT" => s"POINT (${pts.head._1} ${pts.head._2})"
+      case "LINESTRING" =>
+        s"LINESTRING ${pts.map(p => s"${p._1} ${p._2}").mkString("(", ", ", ")")}"
+      case _ =>
+        val ring = (pts :+ pts.head).map(p => s"${p._1} ${p._2}").mkString("(", ", ", ")")
+        s"POLYGON ($ring)"
+    }
+  }
+
+  test("property: GPKG writeLayer round-trips arbitrary WKT coordinates exactly") {
+    forAll(Gen.listOfN(6, wktGen)) { wkts =>
+      whenever(wkts.nonEmpty) {
+        val src = wkts.zipWithIndex.map { case (w, i) => (i.toLong + 1, w, i * 0.5) }
+          .toDF("fid", "geom", "v")
+        val bytes = operators.GeoPackage.writeLayer(src, "l")
+        val back = operators.GeoPackage.readLayer(spark, bytes, "l")
+          .orderBy("fid").select("geom").as[String].collect()
+        assert(back.toSeq == wkts, s"GPKG round trip diverged")
+      }
+    }
+  }
+
+  test("property: shapefile codec round-trips arbitrary WKT coordinates exactly") {
+    forAll(Gen.listOfN(6, wktGen)) { wkts =>
+      whenever(wkts.nonEmpty) {
+        val recs = operators.Shapefile.shpRecords(operators.Shapefile.synthShp(wkts))
+        assert(recs.map(_._2) == wkts, s"shapefile round trip diverged")
+      }
+    }
+  }
+
+  test("property: multi-band TIFF round-trips arbitrary float rasters in both layouts") {
+    val rasterGen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 9)
+      bands <- Gen.choose(1, 4)
+      seedV <- Gen.choose(1, 1000)
+    } yield (w, h, bands, seedV)
+    forAll(rasterGen) { case (w, h, bands, seedV) =>
+      def v(b: Int, r: Int, c: Int): Float =
+        java.lang.Float.intBitsToFloat(
+          (seedV * 2654435761L + b * 97 + r * 31 + c).toInt & 0x7f7fffff) match {
+          case f if f.isNaN => 1.5f
+          case f => f
+        }
+      for (planar <- Seq(1, 2); lzw <- Seq(false, true)) {
+        val tiff = operators.Tiff.synthMultibandTiff(w, h, w, math.min(4, h),
+          littleEndian = true, tile = false, bands = bands, planarConfig = planar,
+          lzw = lzw, predictor = if (lzw) 3 else 1)(v)
+        val blocks = operators.Tiff.bandBlocksOf(tiff)
+        for ((band, sy, _, bh, bw, blob) <- blocks) {
+          val bb = java.nio.ByteBuffer.wrap(blob)
+          for (lr <- 0 until bh; lc <- 0 until bw) {
+            val expect = v(band, sy * math.min(4, h) + lr, lc)
+            val got = bb.getFloat(4 * (lr * bw + lc))
+            assert(java.lang.Float.floatToRawIntBits(got) ==
+              java.lang.Float.floatToRawIntBits(expect),
+              s"w=$w h=$h bands=$bands planar=$planar lzw=$lzw band=$band ($lr,$lc)")
+          }
+        }
+      }
+    }
+  }
 }
