@@ -304,6 +304,10 @@ object Shapefile {
           s"shapefile writer: unsupported column type $other")
       }
     }
+    // dBase caps field names at 10 chars: refuse silently-colliding columns
+    val dup = fields.map(_._1).groupBy(identity).collect { case (n, v) if v.size > 1 => n }
+    require(dup.isEmpty,
+      s"column names collide after the dBase 10-char truncation: ${dup.mkString(", ")}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.repartition(col(keyCol)).foreachPartition { it: Iterator[Row] =>
       it.toSeq.groupBy(r => String.valueOf(r.get(keyIdx))).foreach {
