@@ -241,4 +241,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the two single-row total cross joins:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unbroadcast cross join:\n$plan")
   }
+
+  test("e3d/e3e: the ADC table rides a broadcast join, codes are never re-shuffled wide") {
+    for (q <- Seq("e3d_pq_adc", "e3e_ivfpq")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: ADC lookup table must broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: cartesian in plan:\n$plan")
+    }
+  }
+
+  test("pipe4: container ingest feeds one keyed stack — no cartesian, keyed mask join") {
+    val plan = SparkEntry.queries("pipe4_tiff_stack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipe4 must join mask and bands on keys only:\n$plan")
+  }
 }
