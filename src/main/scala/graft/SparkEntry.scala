@@ -1408,6 +1408,20 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
       .orderBy("hour_start", "event_type")
 
+  /** W11 — Spark's NATIVE session_window (batch form): the built-in
+    * gap-merge session operator next to st3's custom flatMapGroupsWithState
+    * sessionizer — one keyed aggregation, sessions = maximal event chains
+    * with < 10-minute gaps. The oracle rebuilds sessions with the
+    * lag-break + running-sum spelling.
+    */
+  private def w11(s: SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("n"), col("sum_val"))
+      .orderBy("user_id", "sess_start")
+
   private def mm1(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -3257,6 +3271,7 @@ object SparkEntry {
     "q9_product_profit" -> (q9 _),
     "pmi1_collocations" -> (pmi1 _),
     "w10_value_windows" -> (w10 _),
+    "w11_session_window" -> (w11 _),
     "hist1_char_lengths" -> (hist1 _),
     "hist2_price_deciles" -> (hist2 _),
     "cap1_source_cap" -> (cap1 _),
@@ -3781,6 +3796,20 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS n,
         |CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin,
+    // w11: sessions as lag-break + running-sum; Spark's session window is
+    // [start, last+gap), so a gap of EXACTLY the threshold breaks (>=).
+    "w11_session_window" ->
+      """WITH e AS (SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 600000000
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id, min(ts) AS sess_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
     // st7: broadcast-dim enrichment with the UNKNOWN default, rolled up.
     "st7_enrich" ->
       """WITH dim AS (SELECT c_custkey % 120 AS user_id, min(c_mktsegment) AS segment
