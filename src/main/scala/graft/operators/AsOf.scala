@@ -64,17 +64,28 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = Window.partitionBy(keyCol).orderBy(col(tsCol), col("_side").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def bwd(c: Column): Column = last(when(col("_side") === 0, c), ignoreNulls = true).over(wBwd)
-    def fwd(c: Column): Column = first(when(col("_side") === 0, c), ignoreNulls = true).over(wFwd)
+    // Carry ONE struct per direction — timestamp and ALL value columns from
+    // the SAME matched right row. Carrying each value column in its own
+    // last/first(ignoreNulls) would skip back past a matched row whose value
+    // is NULL (returning a stale older value, possibly outside tolerance,
+    // and mixing rows across value columns); pandas merge_asof returns the
+    // matched row's NULL. The struct is non-null for every right row, so
+    // ignoreNulls only skips LEFT rows, never a matched right row.
+    val carryStruct = struct((col(tsCol).as("_ts") +:
+      valueCols.map(c => col(s"_r_$c").as(c))): _*)
+    val bwd: Column = last(when(col("_side") === 0, carryStruct), ignoreNulls = true).over(wBwd)
+    val fwd: Column = first(when(col("_side") === 0, carryStruct), ignoreNulls = true).over(wFwd)
 
     var carried = unioned
     if (needBwd) {
-      carried = carried.withColumn("_bwd_ts", bwd(col(tsCol)))
-      valueCols.foreach { c => carried = carried.withColumn(s"_bwd_$c", bwd(col(s"_r_$c"))) }
+      carried = carried.withColumn("_bwd", bwd)
+        .withColumn("_bwd_ts", col("_bwd._ts"))
+      valueCols.foreach { c => carried = carried.withColumn(s"_bwd_$c", col(s"_bwd.$c")) }
     }
     if (needFwd) {
-      carried = carried.withColumn("_fwd_ts", fwd(col(tsCol)))
-      valueCols.foreach { c => carried = carried.withColumn(s"_fwd_$c", fwd(col(s"_r_$c"))) }
+      carried = carried.withColumn("_fwd", fwd)
+        .withColumn("_fwd_ts", col("_fwd._ts"))
+      valueCols.foreach { c => carried = carried.withColumn(s"_fwd_$c", col(s"_fwd.$c")) }
     }
 
     // gap arithmetic works for TIMESTAMP event time (micros; toleranceSec
@@ -109,8 +120,8 @@ object AsOf {
       df.withColumn(s"asof_$c", when(inTol, chosen))
     }
     val tmp = Seq("_side") ++
-      (if (needBwd) Seq("_bwd_ts") ++ valueCols.map(c => s"_bwd_$c") else Nil) ++
-      (if (needFwd) Seq("_fwd_ts") ++ valueCols.map(c => s"_fwd_$c") else Nil) ++
+      (if (needBwd) Seq("_bwd", "_bwd_ts") ++ valueCols.map(c => s"_bwd_$c") else Nil) ++
+      (if (needFwd) Seq("_fwd", "_fwd_ts") ++ valueCols.map(c => s"_fwd_$c") else Nil) ++
       valueCols.map(c => s"_r_$c")
     out.filter(col("_side") === 1).drop(tmp: _*)
   }

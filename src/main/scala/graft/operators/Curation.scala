@@ -188,7 +188,15 @@ object Curation {
     require(k > 0, s"weightedSample k must be positive, got $k")
     val u = (TextOps.hexVal(md5(idCol.cast("string")), 8) + lit(1L))
       .cast("double") / lit(4294967296.0)
-    val key = floor(log(u) / weightCol * lit(1048576L)).cast("long")
+    // A-ES precondition: weights must be strictly positive. w = 0 makes
+    // the key -Inf/NaN (NaN casts to 0 and ranks mid-pack); w < 0 FLIPS
+    // ln(u)/w positive so the lowest-weight rows win — both silent
+    // inversions, so fail loudly instead (raise_error evaluates per row
+    // on the executors; no extra pass over the data).
+    val checkedW = when(weightCol.isNull || weightCol <= 0, raise_error(concat(
+      lit("weightedSample: weight must be > 0, got "), weightCol.cast("string"))))
+      .otherwise(weightCol)
+    val key = floor(log(u) / checkedW * lit(1048576L)).cast("long")
     val w = Window.partitionBy(groupCols: _*).orderBy(col(keyCol).desc, idCol.asc)
     df.withColumn(keyCol, key)
       .withColumn("__rn", row_number().over(w))

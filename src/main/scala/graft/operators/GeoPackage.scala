@@ -619,18 +619,12 @@ object GeoPackage {
   def writeLayerFiles(df: DataFrame, dir: String, layer: String,
       keyCol: String, geomCol: String = "geom", fidCol: String = "fid",
       srsId: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.col
     val schema = df.schema
-    val keyIdx = schema.fieldIndex(keyCol)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    df.repartition(col(keyCol)).foreachPartition { it: Iterator[Row] =>
-      it.toSeq.groupBy(r => String.valueOf(r.get(keyIdx))).foreach {
-        case (key, rows) =>
-          val safe = key.replaceAll("[^A-Za-z0-9_.-]", "_")
-          val bytes = layerBytes(schema, rows, layer, geomCol, fidCol, srsId)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"$safe.gpkg"), bytes)
-      }
+    KeyedFileSink.foreachKeyRun(df, keyCol) { (key, rows) =>
+      val bytes = layerBytes(schema, rows, layer, geomCol, fidCol, srsId)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"${KeyedFileSink.safeName(key)}.gpkg"), bytes)
     }
   }
 }

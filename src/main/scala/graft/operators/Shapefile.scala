@@ -51,6 +51,21 @@ object Shapefile {
     * WKT groups in file order (the spec stores polygon holes as
     * counter-clockwise parts of the same record).
     */
+  /** Twice the signed ring area (shoelace). ESRI convention: outer rings
+    * are CLOCKWISE (negative shoelace in y-up coordinates), holes CCW.
+    */
+  private def ringArea2(pts: IndexedSeq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < pts.length) {
+      val (x1, y1) = pts(i)
+      val (x2, y2) = pts((i + 1) % pts.length)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s
+  }
+
   private def shapeToWkt(b: Array[Byte], off0: Int): String = {
     def pt(off: Int): String = s"${f64le(b, off)} ${f64le(b, off + 8)}"
     i32le(b, off0) match {
@@ -64,14 +79,34 @@ object Shapefile {
         val pointsOff = partsOff + 4 * nParts
         val starts = (0 until nParts).map(i => i32le(b, partsOff + 4 * i))
         val bounds = starts :+ nPoints
-        val groups = (0 until nParts).map { p =>
-          (bounds(p) until bounds(p + 1))
-            .map(i => pt(pointsOff + 16 * i)).mkString("(", ", ", ")")
-        }
-        if (t == 3)
+        val partPts: IndexedSeq[IndexedSeq[(Double, Double)]] =
+          (0 until nParts).map { p =>
+            (bounds(p) until bounds(p + 1))
+              .map(i => (f64le(b, pointsOff + 16 * i), f64le(b, pointsOff + 16 * i + 8)))
+          }
+        val groups = partPts.map(
+          _.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+        if (t == 3) {
           if (nParts == 1) s"LINESTRING ${groups.head}"
           else s"MULTILINESTRING ${groups.mkString("(", ", ", ")")}"
-        else s"POLYGON ${groups.mkString("(", ", ", ")")}"
+        } else {
+          // One record may hold SEVERAL outer (clockwise) rings — a
+          // multipolygon (ESRI spec). Decide by ring orientation; each
+          // outer ring groups with the hole rings that follow it.
+          val isOuter = partPts.map(ringArea2(_) <= 0.0)
+          if (isOuter.count(identity) <= 1)
+            s"POLYGON ${groups.mkString("(", ", ", ")")}"
+          else {
+            require(isOuter.head,
+              "polygon record starts with a counter-clockwise (hole) ring")
+            val polys = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+            groups.indices.foreach { i =>
+              if (isOuter(i)) polys += List(groups(i))
+              else polys(polys.length - 1) = polys.last :+ groups(i)
+            }
+            s"MULTIPOLYGON ${polys.map(_.mkString("(", ", ", ")")).mkString("(", ", ", ")")}"
+          }
+        }
       case other =>
         throw new IllegalArgumentException(s"shape type $other unsupported")
     }
@@ -188,11 +223,27 @@ object Shapefile {
     }
     val schema = readFeatures(spark, first(0).getAs[Array[Byte]]("content"),
       dbfOf(first(0).getString(0))).schema
+    // Fail-closed alignment doctrine, per file: deleted/truncated .dbf rows
+    // or a missing/narrower .dbf on a non-first pair must error loudly, not
+    // silently shift or narrow the attribute association.
+    val attrNames = schema.fields.drop(2).map(_.name).toSeq
     val rdd = files.rdd.flatMap { r =>
+      val path = r.getString(0)
       val shp = r.getAs[Array[Byte]]("content")
       val shapes = shpRecords(shp)
-      val dbf = dbfOf(r.getString(0))
-      val attrs = dbf.map(dbfRows(_)._2).getOrElse(Seq.fill(shapes.length)(Nil))
+      val attrs = dbfOf(path) match {
+        case Some(d) =>
+          val (s, rows) = dbfRows(d)
+          require(rows.length == shapes.length,
+            s"$path: .dbf has ${rows.length} live records, .shp has ${shapes.length}")
+          require(s.fieldNames.toSeq == attrNames,
+            s"$path: .dbf columns ${s.fieldNames.mkString(",")} != first pair's ${attrNames.mkString(",")}")
+          rows
+        case None =>
+          require(attrNames.isEmpty,
+            s"$path: missing .dbf but the directory schema expects attribute columns ${attrNames.mkString(",")}")
+          Seq.fill(shapes.length)(Seq.empty[Any])
+      }
       shapes.zipWithIndex.map { case ((no, wkt), i) =>
         Row.fromSeq(no +: wkt +: attrs(i))
       }
@@ -272,6 +323,20 @@ object Shapefile {
       case "LINESTRING" => multi(3, Seq(pts(body.stripPrefix("(").stripSuffix(")"))))
       case "MULTILINESTRING" => multi(3, groups(body))
       case "POLYGON" => multi(5, groups(body))
+      case "MULTIPOLYGON" =>
+        // one type-5 record, all rings in file order (outer CW rings mark
+        // polygon starts on read — caller supplies spec orientation)
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val polyBodies = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; val cur = new StringBuilder
+        inner.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case ',' if depth == 0 => polyBodies += cur.toString; cur.clear()
+          case c => cur += c
+        }
+        if (cur.nonEmpty) polyBodies += cur.toString
+        multi(5, polyBodies.toSeq.flatMap(p => groups(p.trim)))
       case other => throw new IllegalArgumentException(s"WKT type $other unsupported")
     }
   }
@@ -286,7 +351,6 @@ object Shapefile {
     */
   def writeFeatureFiles(df: DataFrame, dir: String,
       keyCol: String, geomCol: String = "geom"): Unit = {
-    import org.apache.spark.sql.functions.col
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val geomIdx = schema.fieldIndex(geomCol)
@@ -309,31 +373,32 @@ object Shapefile {
     require(dup.isEmpty,
       s"column names collide after the dBase 10-char truncation: ${dup.mkString(", ")}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    df.repartition(col(keyCol)).foreachPartition { it: Iterator[Row] =>
-      it.toSeq.groupBy(r => String.valueOf(r.get(keyIdx))).foreach {
-        case (key, rows) =>
-          val safe = key.replaceAll("[^A-Za-z0-9_.-]", "_")
-          val shp = synthShp(rows.map(r =>
-            if (r.isNullAt(geomIdx)) null else r.getString(geomIdx)))
-          val dbf = synthDbf(fields, rows.map { r =>
-            attrIdx.map { i =>
-              if (r.isNullAt(i)) null
-              else r.get(i) match {
-                case v: Long => v
-                case v: Int => v.toLong
-                case v: Short => v.toLong
-                case v: Byte => v.toLong
-                case v: Double => v
-                case v: Float => v.toDouble
-                case v: Boolean => v
-                case v: String => v.take(64)
-                case other => throw new IllegalArgumentException(s"dbf value $other")
-              }
-            }
-          })
-          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shp"), shp)
-          java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.dbf"), dbf)
-      }
+    KeyedFileSink.foreachKeyRun(df, keyCol) { (key, rows) =>
+      val safe = KeyedFileSink.safeName(key)
+      val shp = synthShp(rows.map(r =>
+        if (r.isNullAt(geomIdx)) null else r.getString(geomIdx)))
+      val dbf = synthDbf(fields, rows.map { r =>
+        attrIdx.map { i =>
+          if (r.isNullAt(i)) null
+          else r.get(i) match {
+            case v: Long => v
+            case v: Int => v.toLong
+            case v: Short => v.toLong
+            case v: Byte => v.toLong
+            case v: Double => v
+            case v: Float => v.toDouble
+            case v: Boolean => v
+            case v: String =>
+              // explicit, not a silent take(64): dBase C fields are 64 wide
+              require(v.length <= 64,
+                s"dbf string value exceeds the 64-char field width (${v.length} chars)")
+              v
+            case other => throw new IllegalArgumentException(s"dbf value $other")
+          }
+        }
+      })
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shp"), shp)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.dbf"), dbf)
     }
   }
 

@@ -74,4 +74,30 @@ class AsOfSpec extends AnyFunSuite {
     assert(nearTight("t1").isEmpty)        // both sides at gap 2 > 1
     assert(nearTight("t2").contains(102.0))
   }
+
+  test("a matched right row's NULL value comes back NULL — never a stale older row") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "t")).toDF("k", "ts", "trade")
+    val right = Seq(
+      (1L, 5L, Some(100.0), "a"),
+      (1L, 15L, None: Option[Double], "b") // the backward match; px is NULL here
+    ).toDF("k", "ts", "px", "src")
+    val r = AsOf.asofJoin(left, right, "k", "ts", Seq("px", "src")).collect()(0)
+    // pandas merge_asof semantics: the matched row (ts=15) supplies ALL
+    // value columns — px NULL, src "b". Per-column ignoreNulls carry would
+    // mix rows (px from ts=5, src from ts=15).
+    assert(r.isNullAt(r.fieldIndex("asof_px")))
+    assert(r.getString(r.fieldIndex("asof_src")) == "b")
+  }
+
+  test("tolerance applies to the matched row's gap even when its value is NULL") {
+    import spark.implicits._
+    val left = Seq((1L, 20L, "t")).toDF("k", "ts", "trade")
+    val right = Seq(
+      (1L, 5L, Some(100.0)), // outside tolerance 6
+      (1L, 15L, None: Option[Double]) // the match, gap 5 — within tolerance
+    ).toDF("k", "ts", "px")
+    val r = AsOf.asofJoin(left, right, "k", "ts", Seq("px"), toleranceSec = Some(6L)).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("asof_px"))) // matched row's NULL, not 100.0 from outside the gap
+  }
 }

@@ -247,4 +247,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0) == ((1L, "g h i j", 4L, 6L)))
     assert(out(1)._4 == 6L)
   }
+
+  test("weightedSample rejects zero/negative/null weights instead of silently inverting") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Seq((1L, 2.0, "s"), (2L, 0.0, "s"), (3L, 5.0, "s"))
+      .toDF("id", "w", "src")
+    def mentions(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("weight must be > 0") || mentions(t.getCause))
+    val e = intercept[Exception] {
+      Curation.weightedSample(docs, col("id"), col("w"), Seq(col("src")), k = 2).collect()
+    }
+    assert(mentions(e))
+    val neg = Seq((1L, 2.0, "s"), (2L, -1.0, "s")).toDF("id", "w", "src")
+    val e2 = intercept[Exception] {
+      Curation.weightedSample(neg, col("id"), col("w"), Seq(col("src")), k = 1).collect()
+    }
+    assert(mentions(e2))
+    // all-positive weights still sample fine
+    val ok = Curation.weightedSample(docs.filter(col("w") > 0), col("id"),
+      col("w"), Seq(col("src")), k = 1).collect()
+    assert(ok.length == 1)
+  }
 }

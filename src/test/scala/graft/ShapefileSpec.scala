@@ -97,4 +97,88 @@ class ShapefileSpec extends AnyFunSuite {
     val bad = shp.clone(); bad(3) = 1 // file code 9994 lives in bytes 0-3 BE
     intercept[IllegalArgumentException](Shapefile.shpRecords(bad))
   }
+
+  test("multi-outer-ring polygon records decode as MULTIPOLYGON and round-trip") {
+    // ESRI orientation: outer rings clockwise, holes counter-clockwise
+    val mp = "MULTIPOLYGON (((0.0 0.0, 0.0 1.0, 1.0 1.0, 1.0 0.0, 0.0 0.0), " +
+      "(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2)), " +
+      "((5.0 5.0, 5.0 6.0, 6.0 6.0, 6.0 5.0, 5.0 5.0)))"
+    val recs = Shapefile.shpRecords(Shapefile.synthShp(Seq(mp)))
+    assert(recs.map(_._2) == Seq(mp))
+    // single-outer records (any hole count) stay plain POLYGON
+    assert(Shapefile.shpRecords(Shapefile.synthShp(Seq(holed))).head._2 == holed)
+  }
+
+  test("readFeatureFiles fails loudly on per-file shp/dbf misalignment") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_bad").toString
+    def pair(name: String, n: Int, nAttrs: Int): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.shp"),
+        Shapefile.synthShp((0 until n).map(i => s"POINT ($i.0 0.0)")))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name.dbf"),
+        Shapefile.synthDbf(Seq(("DN", 'N', 6, 0)), (0 until nAttrs).map(i => Seq[Any](i.toLong))))
+    }
+    pair("a_good", 3, 3)
+    pair("b_short", 3, 2) // .dbf narrower than .shp → must not silently shift
+    val e = intercept[org.apache.spark.SparkException] {
+      Shapefile.readFeatureFiles(spark, dir).count()
+    }
+    assert(e.getMessage.contains("b_short") || Option(e.getCause).exists(_.getMessage.contains("b_short")))
+  }
+
+  test("readFeatureFiles fails loudly when a non-first pair is missing its .dbf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_nodbf").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a_full.shp"),
+      Shapefile.synthShp(Seq("POINT (1.0 1.0)")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a_full.dbf"),
+      Shapefile.synthDbf(Seq(("DN", 'N', 6, 0)), Seq(Seq[Any](1L))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b_bare.shp"),
+      Shapefile.synthShp(Seq("POINT (2.0 2.0)")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Shapefile.readFeatureFiles(spark, dir).count()
+    }
+    assert(e.getMessage.contains("b_bare") || Option(e.getCause).exists(_.getMessage.contains("b_bare")))
+  }
+
+  test("writeFeatureFiles: keys colliding after sanitization get distinct files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_col").toString
+    val src = Seq(
+      ("a b", "POINT (1.0 1.0)", 1L),
+      ("a_b", "POINT (2.0 2.0)", 2L),
+      ("a|b", "POINT (3.0 3.0)", 3L) // sanitizes to a_b too — third distinct file
+    ).toDF("tile", "geom", "dn")
+    Shapefile.writeFeatureFiles(src, dir, keyCol = "tile")
+    val shps = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".shp"))
+    assert(shps.length == 3, s"expected 3 files, got ${shps.mkString(", ")}")
+    assert(shps.contains("a_b.shp")) // the clean key keeps its plain name
+    val back = Shapefile.readFeatureFiles(spark, dir)
+    assert(back.agg(sum("dn")).head().getLong(0) == 6L) // no row lost to overwrites
+  }
+
+  test("per-key sinks stream runs: a task never buffers more than one key's rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_run").toString
+    // 40 keys x 5 rows; 32 shuffle partitions → several keys share a partition
+    val src = (0 until 200).map { i =>
+      (s"k${i % 40}", s"POINT (${i}.0 0.0)", i.toLong)
+    }.toDF("tile", "geom", "dn")
+    graft.operators.KeyedFileSink.resetMaxRunRows()
+    Shapefile.writeFeatureFiles(src, dir, keyCol = "tile")
+    assert(graft.operators.KeyedFileSink.maxRunRows.get() == 5L,
+      s"a run buffered ${graft.operators.KeyedFileSink.maxRunRows.get()} rows; per-key max is 5")
+    val back = Shapefile.readFeatureFiles(spark, dir)
+    assert(back.count() == 200 && back.agg(sum("dn")).head().getLong(0) == (0 until 200).map(_.toLong).sum)
+  }
+
+  test("writeFeatureFiles rejects strings wider than the dBase field instead of truncating") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_wide").toString
+    val src = Seq(("t0", "POINT (1.0 1.0)", "x" * 65)).toDF("tile", "geom", "name")
+    val e = intercept[org.apache.spark.SparkException] {
+      Shapefile.writeFeatureFiles(src, dir, keyCol = "tile")
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (t.getMessage.contains("64-char") || mentions(t.getCause))
+    assert(mentions(e))
+  }
 }
