@@ -1618,6 +1618,39 @@ object SparkEntry {
       .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
+  /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
+    * sample formats: the reference's stage-1 OUTPUT profile (int32 class
+    * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
+    * a 2-band chunky int32 LZW BigTIFF (LE, tiled, signed values incl.
+    * negatives) and a classic uint16 LZW stripped file (BE, wrap-heavy
+    * deltas exercising mod-2^16 differencing). Closed-form pixel oracle —
+    * the differencing transform must be invisible in the hash.
+    */
+  private def s18(s: SparkSession, d: String) = {
+    import s.implicits._
+    val int32 = operators.Tiff.synthMultibandTiff(
+      40, 24, 16, 16, littleEndian = true, tile = true,
+      bands = 2, planarConfig = 1, lzw = true, bigTiff = true, predictor = 2,
+      sampleBits = 32, sampleFormat = 2, intPad = -9999L,
+      intValues = (b, r, c) => if ((b + r + c) % 7 == 0) -9999L
+        else (b * 3000L + r * 40L + c) % 1009L - 500L)((_, _, _) => 0f)
+    val uint16 = operators.Tiff.synthMultibandTiff(
+      36, 20, 36, 6, littleEndian = false, tile = false,
+      bands = 1, lzw = true, predictor = 2,
+      sampleBits = 16, sampleFormat = 1, intPad = 65535L,
+      intValues = (_, r, c) => if ((r * 2 + c) % 9 == 0) 65535L
+        else (r * 36L + c) * 113L % 60001L)((_, _, _) => 0f)
+    def pixels(sceneId: Long, bytes: Array[Byte], bh: Int, bw: Int, nodata: Float) = {
+      val blocks = operators.Tiff.tiffToBandBlocks(
+        Seq((sceneId, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw, nodata = nodata)
+        .select(col("scene_id"), col("band"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, int32, 16, 16, -9999.0f).unionAll(pixels(2L, uint16, 6, 36, 65535.0f))
+      .orderBy("scene_id", "band", "px_row", "px_col")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -3205,6 +3238,7 @@ object SparkEntry {
     "s13b_gpkg_write" -> (s13b _),
     "s16_shapefile" -> (s16 _),
     "s17_lzw_fp_predictor" -> (s17 _),
+    "s18_lzw_int_predictor" -> (s18 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
@@ -3990,6 +4024,21 @@ object SparkEntry {
         |SELECT CAST(2 AS BIGINT), CAST(0 AS INT),
         |  CAST(id // 36 AS INT), CAST(id % 36 AS INT),
         |  CAST(((id // 36 * 36 + id % 36) * 11) % 499 AS INT)
+        |FROM range(720) t(id)
+        |WHERE ((id // 36) * 2 + id % 36) % 9 <> 0
+        |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
+    // s18: integer-predictor containers regenerate from the same closed
+    // forms — mod-2^bits horizontal differencing must be invisible.
+    "s18_lzw_int_predictor" ->
+      """SELECT CAST(1 AS BIGINT) AS scene_id, CAST(id // 960 AS INT) AS band,
+        |  CAST((id % 960) // 40 AS INT) AS px_row, CAST(id % 40 AS INT) AS px_col,
+        |  CAST((id // 960 * 3000 + ((id % 960) // 40) * 40 + id % 40) % 1009 - 500 AS INT) AS v
+        |FROM range(1920) t(id)
+        |WHERE (id // 960 + (id % 960) // 40 + id % 40) % 7 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS INT),
+        |  CAST(id // 36 AS INT), CAST(id % 36 AS INT),
+        |  CAST((id // 36 * 36 + id % 36) * 113 % 60001 AS INT)
         |FROM range(720) t(id)
         |WHERE ((id // 36) * 2 + id % 36) % 9 <> 0
         |ORDER BY scene_id, band, px_row, px_col""".stripMargin,

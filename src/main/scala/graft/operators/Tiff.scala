@@ -17,10 +17,15 @@ import org.apache.spark.sql.types._
   * 20-byte IFD entries), both byte orders, single-image IFD, tiled or
   * stripped layout, uncompressed or LZW-compressed blocks (MSB-first
   * early-change TIFF-6 LZW — the reference's exact write profile), any
-  * SampleFormat for the header surface, float32 for block decode (the
-  * reference's dtype at feature_stacking.py:234). Other compressions and
-  * a Predictor other than none parse their HEADER fine but block decode
-  * fails closed. GeoTIFF georeferencing is read from ModelPixelScale
+  * SampleFormat for the header surface; block decode covers float32 (the
+  * reference's dtype at feature_stacking.py:234) and signed/unsigned
+  * int8/16/32 (the stage-1 OUTPUT profile: int32 labels + LZW,
+  * pixel_classifier_stream.py:77-83), with predictors none (1),
+  * integer horizontal differencing (2, GDAL PREDICTOR=2) and
+  * floating-point (3, TechNote 3). Integer samples surface as float32
+  * pixel values (exact for |v| <= 2^24 — the engine's raster model, the
+  * reference's own INTERNAL_DTYPE move). Other compressions and sample
+  * types parse their HEADER fine but block decode fails closed. GeoTIFF georeferencing is read from ModelPixelScale
   * (33550) + ModelTiepoint (33922) — exactly the north-up affine the
   * reference's `transform` carries — and surfaces as a [[Regrid.GridDef]].
   *
@@ -413,6 +418,107 @@ object Tiff {
     out
   }
 
+  // ---- TIFF 6.0 predictor 2 (integer horizontal differencing) ----
+  //
+  // The common write profile for INTEGER rasters (GDAL `PREDICTOR=2` —
+  // the reference's stage-1 OUTPUT profile: int32 + LZW,
+  // pixel_classifier_stream.py:77-83): per block row, each sample value
+  // is stored as the difference from the sample one PIXEL to the left of
+  // the same channel (stride = SamplesPerPixel for chunky data),
+  // arithmetic mod 2^bits on the native-width sample in the file's byte
+  // order. Undo = cumulative sums left to right.
+
+  private def readIntN(b: Array[Byte], off: Int, bps: Int, le: Boolean): Int = bps match {
+    case 1 => b(off) & 0xff
+    case 2 =>
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+      else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    case _ =>
+      if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      else ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  }
+
+  private def writeIntN(b: Array[Byte], off: Int, bps: Int, le: Boolean, v: Int): Unit = {
+    var k = 0
+    while (k < bps) {
+      val shift = 8 * (if (le) k else bps - 1 - k)
+      b(off + k) = ((v >>> shift) & 0xff).toByte
+      k += 1
+    }
+  }
+
+  /** Undo horizontal differencing in place on native-width integer
+    * samples. `stride` is the channel count for chunky data (each channel
+    * differences independently), 1 for planar/single-band.
+    */
+  private def intPredictorUndo(buf: Array[Byte], bps: Int,
+      samplesPerRow: Int, stride: Int, le: Boolean): Unit = {
+    val rowBytes = bps * samplesPerRow
+    require(buf.length % rowBytes == 0,
+      s"predictor-2 block of ${buf.length} bytes is not whole rows of $rowBytes")
+    var r0 = 0
+    while (r0 < buf.length) {
+      var i = stride
+      while (i < samplesPerRow) {
+        val prev = readIntN(buf, r0 + bps * (i - stride), bps, le)
+        val cur = readIntN(buf, r0 + bps * i, bps, le)
+        writeIntN(buf, r0 + bps * i, bps, le, prev + cur) // wraps mod 2^bits
+        i += 1
+      }
+      r0 += rowBytes
+    }
+  }
+
+  /** The encode half: forward-difference native-width integer samples. */
+  private def intPredictorApply(buf: Array[Byte], bps: Int,
+      samplesPerRow: Int, stride: Int, le: Boolean): Unit = {
+    val rowBytes = bps * samplesPerRow
+    var r0 = 0
+    while (r0 < buf.length) {
+      var i = samplesPerRow - 1
+      while (i >= stride) {
+        val prev = readIntN(buf, r0 + bps * (i - stride), bps, le)
+        val cur = readIntN(buf, r0 + bps * i, bps, le)
+        writeIntN(buf, r0 + bps * i, bps, le, cur - prev)
+        i -= 1
+      }
+      r0 += rowBytes
+    }
+  }
+
+  /** Integer samples → the bridge's big-endian float32 plane. Exact for
+    * |v| <= 2^24 (the reference's int32 class labels are tiny); larger
+    * magnitudes round to the nearest float32 like any float cast.
+    */
+  private def intToFloatBE(buf: Array[Byte], bps: Int, le: Boolean,
+      signed: Boolean): Array[Byte] = {
+    val n = buf.length / bps
+    val out = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) {
+      val raw = readIntN(buf, i * bps, bps, le)
+      val v: Float =
+        if (signed) bps match {
+          case 1 => raw.toByte.toFloat
+          case 2 => raw.toShort.toFloat
+          case _ => raw.toFloat
+        } else bps match {
+          case 1 => raw.toFloat // readIntN already masked to 0..255
+          case 2 => raw.toFloat // 0..65535
+          case _ => (raw.toLong & 0xffffffffL).toFloat
+        }
+      val bits = java.lang.Float.floatToIntBits(v)
+      out(4 * i) = (bits >>> 24).toByte
+      out(4 * i + 1) = (bits >>> 16).toByte
+      out(4 * i + 2) = (bits >>> 8).toByte
+      out(4 * i + 3) = bits.toByte
+      i += 1
+    }
+    out
+  }
+
   /** Decode a float32 tiled/stripped TIFF or BigTIFF — uncompressed or
     * LZW — into block rows shaped for [[RasterBridge.explodeBlocks]]:
     * (tile_y, tile_x, block_h, block_w, blob) with the blob byte-swapped
@@ -448,13 +554,27 @@ object Tiff {
     require(compression == 1L || compression == 5L,
       s"only uncompressed (1) or LZW (5) TIFF blocks decode, got $compression")
     val predictor = p.intVal(317).getOrElse(1L).toInt
-    require(predictor == 1 || (predictor == 3 && compression == 5L),
-      s"Predictor $predictor unsupported (none (1), or floating-point (3) with LZW)")
     // BitsPerSample/SampleFormat have count=SamplesPerPixel: EVERY element
-    // must be float32 (a mixed-type file would silently misdecode)
-    require(p.longArray(258).forall(_.forall(_ == 32L)) &&
-        p.longArray(339).forall(_.forall(_ == 3L)),
-      "block decode expects float32 samples (BitsPerSample=32, SampleFormat=3)")
+    // must agree (a mixed-type file would silently misdecode). Spec
+    // defaults when the tags are absent: bits=1, format=1 (unsigned int).
+    val bitsSeq = p.longArray(258).map(_.toSeq).getOrElse(Seq(1L))
+    val fmtSeq = p.longArray(339).map(_.toSeq).getOrElse(Seq(1L))
+    require(bitsSeq.distinct.size == 1 && fmtSeq.distinct.size == 1,
+      s"mixed per-band sample types unsupported (bits=$bitsSeq, fmt=$fmtSeq)")
+    val bits = bitsSeq.head.toInt
+    val fmt = fmtSeq.head.toInt
+    val isFloat = fmt == 3
+    require(
+      (isFloat && bits == 32) ||
+        ((fmt == 1 || fmt == 2) && (bits == 8 || bits == 16 || bits == 32)),
+      s"unsupported sample type SampleFormat=$fmt/BitsPerSample=$bits " +
+        "(float32, or signed/unsigned int8/16/32)")
+    val bps = bits / 8
+    require(predictor == 1 ||
+        (predictor == 3 && compression == 5L && isFloat) ||
+        (predictor == 2 && compression == 5L && !isFloat),
+      s"Predictor $predictor unsupported (none (1); horizontal-difference (2) " +
+        "with LZW on integer samples; floating-point (3) with LZW on float32)")
     val spp = p.intVal(277).map(_.toInt).getOrElse(1)
     val planar = p.intVal(284).map(_.toInt).getOrElse(1)
     require(spp >= 1, s"bad SamplesPerPixel $spp")
@@ -467,27 +587,35 @@ object Tiff {
     val counts = p.longArray(if (tiled) 325 else 279).get
     require(offsets.length == counts.length, "offset/count arrays disagree")
 
-    def slice(off: Long, len: Long, rawLen: Int, samplesPerRow: Int): Array[Byte] = {
+    def slice(off: Long, len: Long, nSamples: Int, samplesPerRow: Int,
+        stride: Int): Array[Byte] = {
       require(off + len <= bytes.length, s"block at $off+$len beyond EOF ${bytes.length}")
+      val rawLen = bps * nSamples
       val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       val out =
         if (compression == 5L) lzwDecode(stored, rawLen)
         else { require(stored.length == rawLen,
           s"block byte count ${stored.length} != $rawLen"); stored }
-      if (predictor == 3) {
+      if (!isFloat) {
+        if (predictor == 2) intPredictorUndo(out, bps, samplesPerRow, stride, p.le)
+        intToFloatBE(out, bps, p.le, signed = fmt == 2)
+      } else if (predictor == 3) {
         // plane gather yields BIG-endian sample bytes directly (TechNote 3
         // significance order is endianness-independent) — no swap after
         fpPredictorUndo(out, samplesPerRow)
-      } else if (p.le) { // swap each float32 word to the bridge's big-endian order
-        var i = 0
-        while (i + 3 < out.length) {
-          val b0 = out(i); val b1 = out(i + 1)
-          out(i) = out(i + 3); out(i + 1) = out(i + 2)
-          out(i + 2) = b1; out(i + 3) = b0
-          i += 4
+        out
+      } else {
+        if (p.le) { // swap each float32 word to the bridge's big-endian order
+          var i = 0
+          while (i + 3 < out.length) {
+            val b0 = out(i); val b1 = out(i + 1)
+            out(i) = out(i + 3); out(i + 1) = out(i + 2)
+            out(i + 2) = b1; out(i + 3) = b0
+            i += 4
+          }
         }
+        out
       }
-      out
     }
 
     // spatial geometry: (tile_y, tile_x, rows, cols) for plane-block i
@@ -513,13 +641,13 @@ object Tiff {
         (0 until nSpatial).map { i =>
           val (ty, tx, bh, bw) = geom(i)
           val k = band * nSpatial + i
-          (band, ty, tx, bh, bw, slice(offsets(k), counts(k), 4 * bw * bh, bw))
+          (band, ty, tx, bh, bw, slice(offsets(k), counts(k), bw * bh, bw, 1))
         }
       }
     } else if (spp == 1) {
       (0 until nSpatial).map { i =>
         val (ty, tx, bh, bw) = geom(i)
-        (0, ty, tx, bh, bw, slice(offsets(i), counts(i), 4 * bw * bh, bw))
+        (0, ty, tx, bh, bw, slice(offsets(i), counts(i), bw * bh, bw, 1))
       }
     } else {
       // chunky: each block holds bh*bw pixels × spp interleaved samples;
@@ -527,7 +655,7 @@ object Tiff {
       // already big-endian after slice, so copy whole 4-byte words)
       (0 until nSpatial).flatMap { i =>
         val (ty, tx, bh, bw) = geom(i)
-        val mixed = slice(offsets(i), counts(i), 4 * bw * bh * spp, bw * spp)
+        val mixed = slice(offsets(i), counts(i), bw * bh * spp, bw * spp, spp)
         (0 until spp).map { band =>
           val plane = new Array[Byte](4 * bw * bh)
           var px = 0
@@ -697,13 +825,28 @@ object Tiff {
       pad: Float = Float.NaN,
       lzw: Boolean = false,
       bigTiff: Boolean = false,
-      predictor: Int = 1)(values: (Int, Int, Int) => Float): Array[Byte] = {
+      predictor: Int = 1,
+      sampleBits: Int = 32,
+      sampleFormat: Int = 3,
+      intValues: (Int, Int, Int) => Long = null,
+      intPad: Long = 0L)(values: (Int, Int, Int) => Float): Array[Byte] = {
     require(width > 0 && height > 0 && blockW > 0 && blockH > 0, "bad geometry")
     require(tile || blockW == width, "strips span the full width")
     require(bands >= 1, s"bad band count $bands")
     require(planarConfig == 1 || planarConfig == 2, s"bad PlanarConfiguration $planarConfig")
-    require(predictor == 1 || (predictor == 3 && lzw),
-      s"predictor $predictor unsupported (none, or floating-point (3) with LZW)")
+    val isFloat = sampleFormat == 3
+    require(
+      (isFloat && sampleBits == 32) ||
+        ((sampleFormat == 1 || sampleFormat == 2) &&
+          (sampleBits == 8 || sampleBits == 16 || sampleBits == 32)),
+      s"unsupported sample type SampleFormat=$sampleFormat/BitsPerSample=$sampleBits")
+    require(isFloat == (intValues == null),
+      "pass intValues exactly when SampleFormat is integer (1|2)")
+    require(predictor == 1 || (predictor == 3 && lzw && isFloat) ||
+        (predictor == 2 && lzw && !isFloat),
+      s"predictor $predictor unsupported (none; horizontal-difference (2) with " +
+        "LZW on integer samples; floating-point (3) with LZW on float32)")
+    val bps = sampleBits / 8
     val across = if (tile) (width + blockW - 1) / blockW else 1
     val down = (height + blockH - 1) / blockH
     val nSpatial = across * down
@@ -725,19 +868,31 @@ object Tiff {
       val (ty, tx) = if (tile) (i / across, i % across) else (i, 0)
       val rows = rowsOf(i)
       val sampPerPx = if (planar) 1 else bands
-      val raw = java.nio.ByteBuffer.allocate(4 * rows * blockW * sampPerPx).order(order)
+      val raw = java.nio.ByteBuffer.allocate(bps * rows * blockW * sampPerPx).order(order)
+      def putInt(v: Long): Unit = bps match {
+        case 1 => raw.put(v.toByte)
+        case 2 => raw.putShort(v.toShort)
+        case _ => raw.putInt(v.toInt)
+      }
+      def putSample(b: Int, gr: Int, gc: Int, in: Boolean): Unit =
+        if (isFloat) raw.putFloat(if (in) values(b, gr, gc) else pad)
+        else putInt(if (in) intValues(b, gr, gc) else intPad)
       for (lr <- 0 until rows; lc <- 0 until blockW) {
         val gr = ty * blockH + lr; val gc = tx * blockW + lc
         val in = gr < height && gc < width
-        if (planar) raw.putFloat(if (in) values(band, gr, gc) else pad)
-        else for (s <- 0 until bands)
-          raw.putFloat(if (in) values(s, gr, gc) else pad)
+        if (planar) putSample(band, gr, gc, in)
+        else for (s <- 0 until bands) putSample(s, gr, gc, in)
       }
+      val samplesPerRow = if (planar) blockW else blockW * bands
       val pre =
         if (predictor == 3)
-          fpPredictorApply(raw.array(),
-            if (planar) blockW else blockW * bands, littleEndian)
-        else raw.array()
+          fpPredictorApply(raw.array(), samplesPerRow, littleEndian)
+        else {
+          if (predictor == 2)
+            intPredictorApply(raw.array(), bps, samplesPerRow,
+              if (planar) 1 else bands, littleEndian)
+          raw.array()
+        }
       if (lzw) lzwEncode(pre) else pre
     }
     val blockBytes = blocks.map(_.length)
@@ -779,8 +934,8 @@ object Tiff {
       w.entry(tag, arrTyp, n, if (arraysInline) blockBytes(0).toLong else cntArrOff.toLong)
     w.entry(256, 4, 1, width)
     w.entry(257, 4, 1, height)
-    if (bands == 1) w.entry(258, 3, 1, 32)
-    else w.entryShorts(258, Seq.fill(bands)(32), bitsArrOff)
+    if (bands == 1) w.entry(258, 3, 1, sampleBits)
+    else w.entryShorts(258, Seq.fill(bands)(sampleBits), bitsArrOff)
     w.entry(259, 3, 1, if (lzw) 5 else 1)
     w.entry(262, 3, 1, 1)
     if (!tile) offsetsEntry(273)
@@ -797,8 +952,8 @@ object Tiff {
       offsetsEntry(324)
       countsEntry(325)
     }
-    if (bands == 1) w.entry(339, 3, 1, 3)
-    else w.entryShorts(339, Seq.fill(bands)(3), fmtArrOff)
+    if (bands == 1) w.entry(339, 3, 1, sampleFormat)
+    else w.entryShorts(339, Seq.fill(bands)(sampleFormat), fmtArrOff)
     grid.foreach { _ =>
       w.entry(33550, 12, 3, scaleOff)
       w.entry(33922, 12, 6, tieOff)
@@ -810,8 +965,8 @@ object Tiff {
       blockBytes.foreach(c => if (bigTiff) b.putLong(c.toLong) else b.putInt(c))
     }
     if (!shortsInline) {
-      for (_ <- 0 until bands) b.putShort(32)
-      for (_ <- 0 until bands) b.putShort(3)
+      for (_ <- 0 until bands) b.putShort(sampleBits.toShort)
+      for (_ <- 0 until bands) b.putShort(sampleFormat.toShort)
     }
     grid.foreach { g =>
       b.putDouble(g.pxW).putDouble(g.pxH).putDouble(0.0)

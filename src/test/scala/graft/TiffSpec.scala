@@ -319,6 +319,86 @@ class TiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a, b))
   }
 
+  test("integer predictor (317=2) round-trips int8/16/32 across layouts and byte orders") {
+    // GDAL's PREDICTOR=2 profile for integer rasters — the reference's
+    // stage-1 OUTPUT (int32 labels + LZW, pixel_classifier_stream.py:77-83).
+    // Signed int32 with negatives (incl. the -1 nodata convention):
+    def fill(r: Int, c: Int): Long = r * 31L + c * 7L - 200L
+    for (le <- Seq(true, false); big <- Seq(false, true); tile <- Seq(true, false)) {
+      val tag = s"le=$le big=$big tile=$tile"
+      val tiff = Tiff.synthMultibandTiff(24, 10, if (tile) 16 else 24,
+        if (tile) 8 else 4, littleEndian = le, tile = tile, bands = 1,
+        lzw = true, bigTiff = big, predictor = 2,
+        sampleBits = 32, sampleFormat = 2,
+        intValues = (_, r, c) => fill(r, c), intPad = -1L)((_, _, _) => 0f)
+      val px = RasterBridge.explodeBlocks(
+          Tiff.tiffToBlocks(Seq((1L, tiff)).toDF("id", "bytes")),
+          blockH = if (tile) 8 else 4, blockW = if (tile) 16 else 24, nodata = -1f)
+        .select("px_row", "px_col", "value").as[(Int, Int, Float)].collect()
+      assert(px.length == 24 * 10, tag)
+      px.foreach { case (r, c, v) => assert(v == fill(r, c).toFloat, s"$tag ($r,$c)=$v") }
+    }
+    // uint16 with wraparound-heavy deltas (mod-2^16 differencing must hold)
+    val u16vals = Array(0L, 65535L, 1L, 65534L, 32768L, 5L, 65000L, 7L)
+    val u16 = Tiff.synthMultibandTiff(8, 4, 8, 2, littleEndian = true,
+      tile = false, bands = 1, lzw = true, predictor = 2,
+      sampleBits = 16, sampleFormat = 1,
+      intValues = (_, r, c) => u16vals((r * 8 + c) % 8), intPad = 0L)((_, _, _) => 0f)
+    for ((_, sy, _, bh, bw, blob) <- Tiff.bandBlocksOf(u16)) {
+      val bb = java.nio.ByteBuffer.wrap(blob)
+      for (lr <- 0 until bh; lc <- 0 until bw) {
+        val gr = sy * 2 + lr
+        assert(bb.getFloat(4 * (lr * bw + lc)) == u16vals((gr * 8 + lc) % 8).toFloat,
+          s"u16 ($gr,$lc)")
+      }
+    }
+    // int8 signed, multi-band chunky AND planar (per-CHANNEL differencing)
+    def i8(b: Int, r: Int, c: Int): Long = ((b * 53 + r * 11 + c * 3) % 256) - 128
+    for (planar <- Seq(1, 2)) {
+      val tiff = Tiff.synthMultibandTiff(12, 6, 12, 3, littleEndian = false,
+        tile = false, bands = 3, planarConfig = planar, lzw = true,
+        predictor = 2, sampleBits = 8, sampleFormat = 2,
+        intValues = i8, intPad = 0L)((_, _, _) => 0f)
+      for ((band, sy, _, bh, bw, blob) <- Tiff.bandBlocksOf(tiff)) {
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        for (lr <- 0 until bh; lc <- 0 until bw)
+          assert(bb.getFloat(4 * (lr * bw + lc)) == i8(band, sy * 3 + lr, lc).toFloat,
+            s"planar=$planar band=$band ($lr,$lc)")
+      }
+    }
+    // uncompressed integer samples (predictor 1) decode through the same path
+    val raw32 = Tiff.synthMultibandTiff(6, 4, 6, 2, littleEndian = true,
+      tile = false, bands = 1, sampleBits = 32, sampleFormat = 1,
+      intValues = (_, r, c) => r * 6L + c, intPad = 0L)((_, _, _) => 0f)
+    val got = Tiff.blocksOf(raw32).flatMap { case (sy, _, bh, bw, blob) =>
+      val bb = java.nio.ByteBuffer.wrap(blob)
+      for (lr <- 0 until bh; lc <- 0 until bw)
+        yield ((sy * 2 + lr) * 6 + lc, bb.getFloat(4 * (lr * bw + lc)))
+    }
+    got.foreach { case (i, v) => assert(v == i.toFloat, s"raw32 px$i") }
+    // fail closed: predictor 2 needs LZW + integer; predictor 3 rejects ints
+    intercept[IllegalArgumentException] {
+      Tiff.synthMultibandTiff(8, 8, 8, 8, littleEndian = true, tile = true,
+        bands = 1, predictor = 2, sampleBits = 32, sampleFormat = 2,
+        intValues = (_, _, _) => 0L)((_, _, _) => 0f)
+    }
+    intercept[IllegalArgumentException] {
+      Tiff.synthMultibandTiff(8, 8, 8, 8, littleEndian = true, tile = true,
+        bands = 1, lzw = true, predictor = 3, sampleBits = 32,
+        sampleFormat = 2, intValues = (_, _, _) => 0L)((_, _, _) => 0f)
+    }
+    // reader side: an int LZW file patched to claim predictor 3 must refuse
+    val okInt = Tiff.synthMultibandTiff(8, 8, 8, 8, littleEndian = true,
+      tile = true, bands = 1, lzw = true, predictor = 2, sampleBits = 32,
+      sampleFormat = 2, intValues = (_, r, c) => (r + c).toLong)((_, _, _) => 0f)
+    val n = (okInt(8) & 0xff) | ((okInt(9) & 0xff) << 8)
+    val off317 = (0 until n).map(10 + _ * 12)
+      .find(o => ((okInt(o) & 0xff) | ((okInt(o + 1) & 0xff) << 8)) == 317).get
+    val patched = okInt.clone(); patched(off317 + 8) = 3
+    val e = intercept[IllegalArgumentException](Tiff.blocksOf(patched))
+    assert(e.getMessage.contains("Predictor"))
+  }
+
   test("single-block files keep offsets/counts inline (both containers)") {
     // one 8x8 tile: the offset/count arrays fit the value field, so the
     // spec's inline rule applies — a pointer there would misdecode.
