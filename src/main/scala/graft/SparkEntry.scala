@@ -2940,6 +2940,30 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G7 — SECOND named-CRS family through the same Transform2D seam as g6
+    * (proving the UTM pattern generalizes): master grid in spherical
+    * Web-Mercator (EPSG:3857) meters over Tokyo, aux raster geographic;
+    * λ = x/R, φ = 2·atan(exp(y/R)) − π/2 evaluated as the identical
+    * closed form by DuckDB (round-trip-exact interpolated constants, g6's
+    * recipe; fixture centers sit ≥0.028 cell-fractions from boundaries,
+    * and negative derived rows exercise the outside-coverage NULL path).
+    */
+  private def g7(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 40).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 80).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(15550000.0, 4260000.0, 500.0, 500.0),
+      operators.Regrid.GridDef(139.68, 35.67, 0.001, 0.0007),
+      operators.Regrid.GeographicFromWebMercator, Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3229,6 +3253,7 @@ object SparkEntry {
     "g4_regrid_cubic" -> (g4 _),
     "g5_reproject" -> (g5 _),
     "g6_utm_reproject" -> (g6 _),
+    "g7_webmercator_reproject" -> (g7 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -4496,6 +4521,29 @@ object SparkEntry {
         |FROM t LEFT JOIN aux a
         |  ON a.ar = CAST(floor((48.032 - lat) / 0.0007) AS INT)
         | AND a.ac = CAST(floor((lon - 14.26) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
+    // g7: the spherical Web-Mercator inverse evaluated as the identical
+    // closed form (same associativity, interpolated constants).
+    "g7_webmercator_reproject" -> {
+      import operators.Regrid.Utm
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 40 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 80 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    15550000.0 + (CAST(px_col AS DOUBLE) + 0.5) * 500.0 AS cx,
+        |    4260000.0 - (CAST(px_row AS DOUBLE) + 0.5) * 500.0 AS cy FROM master),
+        |t AS (SELECT px_row, px_col,
+        |    cx / ${Utm.A} / ${Utm.Deg2Rad} AS lon,
+        |    (2.0 * atan(exp(cy / ${Utm.A})) - ${math.Pi / 2.0}) / ${Utm.Deg2Rad} AS lat
+        |  FROM c)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((35.67 - lat) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon - 139.68) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit

@@ -207,6 +207,38 @@ object Regrid {
     def inverse: Transform2D = UtmFromGeographic(zone, southern)
   }
 
+  /** Geographic (lon°, lat°) → spherical Web-Mercator (EPSG:3857) meters —
+    * the second named-CRS family through the same [[Transform2D]] seam as
+    * UTM (proving the pattern generalizes): x = R·λ, y = R·ln(tan(π/4 +
+    * φ/2)) on the WGS84 semi-major sphere (Snyder ch. 7 sphere case — the
+    * published EPSG:3857 definition every web-tile corpus uses). Pure
+    * Column algebra; reprojection stays a join-key rewrite.
+    */
+  case object WebMercatorFromGeographic extends Transform2D {
+    import Utm.{A, Deg2Rad}
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val x = lit(A) * lon * lit(Deg2Rad)
+      val y = lit(A) * log(tan(lit(math.Pi / 4.0) + lat * lit(Deg2Rad) / lit(2.0)))
+      (x, y)
+    }
+    def inverse: Transform2D = GeographicFromWebMercator
+  }
+
+  /** Web-Mercator (x, y) meters → geographic (lon°, lat°):
+    * λ = x/R, φ = 2·atan(exp(y/R)) − π/2. The direction the reproject
+    * operator uses when the MASTER grid is Web-Mercator and the aux
+    * raster is geographic.
+    */
+  case object GeographicFromWebMercator extends Transform2D {
+    import Utm.{A, Deg2Rad}
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val lon = x / lit(A) / lit(Deg2Rad)
+      val lat = (lit(2.0) * atan(exp(y / lit(A))) - lit(math.Pi / 2.0)) / lit(Deg2Rad)
+      (lon, lat)
+    }
+    def inverse: Transform2D = WebMercatorFromGeographic
+  }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.

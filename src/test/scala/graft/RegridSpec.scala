@@ -230,4 +230,28 @@ class RegridSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Regrid.UtmFromGeographic(0))
     intercept[IllegalArgumentException](Regrid.GeographicFromUtm(61))
   }
+
+  test("Web-Mercator forward hits published anchor values") {
+    // EPSG:3857 world edge: lon 180 maps to pi*R = 20037508.342789244 m;
+    // the equator maps to y = 0; lon 0 maps to x = 0.
+    val pts = Seq((180.0, 0.0), (0.0, 0.0), (90.0, 0.0))
+    val out = evalXform(Regrid.WebMercatorFromGeographic, pts)
+    assert(math.abs(out(0)._1 - 20037508.342789244) < 1e-6)
+    assert(math.abs(out(0)._2) < 1e-9 && math.abs(out(1)._1) < 1e-9)
+    assert(math.abs(out(2)._1 - 20037508.342789244 / 2) < 1e-6)
+    // the projection truncation latitude: y(85.05112878°) ≈ pi*R (square world)
+    val top = evalXform(Regrid.WebMercatorFromGeographic, Seq((0.0, 85.05112878)))
+    assert(math.abs(top(0)._2 - 20037508.342789244) < 0.5)
+  }
+
+  test("Web-Mercator forward/inverse round-trip to sub-millimeter") {
+    val pts = for (lon <- Seq(-179.0, -12.5, 0.0, 139.7); lat <- Seq(-80.0, -5.0, 0.1, 35.68, 84.0))
+      yield (lon, lat)
+    val merc = evalXform(Regrid.WebMercatorFromGeographic, pts)
+    val back = evalXform(Regrid.WebMercatorFromGeographic.inverse, merc)
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
 }
