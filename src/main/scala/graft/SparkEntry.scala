@@ -1587,6 +1587,28 @@ object SparkEntry {
     operators.Shapefile.readFeatures(s, shp, Some(dbf)).orderBy("rec_no")
   }
 
+  /** S16B — shapefile CRS sidecar round trip: `writeFeatureFiles` shards
+    * per-tile .shp/.dbf/.prj triples (the reference writes a CRS with
+    * every tile, image_segmentation.py:153-162), `readFeatureFiles`
+    * surfaces the WKT CRS as a column and rejects mixed-CRS directories.
+    * Output omits rec_no (per-file record order is not part of the
+    * contract); the (geom, DN) pairing and the carried CRS are.
+    */
+  private def s16b(s: SparkSession, d: String) = {
+    import s.implicits._
+    val crs = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+    val src = (0 until 36).map { i =>
+      (s"tile_${i % 3}", s"POINT (${(i % 6).toDouble} ${(i % 4).toDouble})", i.toLong * 7)
+    }.toDF("tile", "geom", "DN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16b").toString
+    operators.Shapefile.writeFeatureFiles(src, dir, keyCol = "tile", crsWkt = Some(crs))
+    operators.Shapefile.readFeatureFiles(s, dir)
+      .select("geom", "DN", "crs")
+      .orderBy("DN")
+  }
+
   /** S17 — GDAL's float32 LZW write profile WITH the floating-point
     * predictor (`PREDICTOR=3`, TIFF TechNote 3): scene 1 a 2-band chunky
     * LE tiled BigTIFF, scene 2 a classic BE stripped single-band file with
@@ -3262,6 +3284,7 @@ object SparkEntry {
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s16_shapefile" -> (s16 _),
+    "s16b_prj_roundtrip" -> (s16b _),
     "s17_lzw_fp_predictor" -> (s17 _),
     "s18_lzw_int_predictor" -> (s18 _),
     "s9_raster_blocks" -> (s9 _),
@@ -4020,6 +4043,14 @@ object SparkEntry {
         |FROM f ORDER BY fid""".stripMargin,
     // s16: regenerate the canonical WKT + typed dBase attributes the
     // shapefile reader emits.
+    // s16b: the sharded write -> read round trip regenerates from closed
+    // forms; the CRS literal must survive the .prj sidecar byte-exactly.
+    "s16b_prj_roundtrip" ->
+      """SELECT 'POINT (' || CAST(id % 6 AS VARCHAR) || '.0 ' ||
+        |    CAST(id % 4 AS VARCHAR) || '.0)' AS geom,
+        |  CAST(id * 7 AS BIGINT) AS "DN",
+        |  'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]' AS crs
+        |FROM range(36) t(id) ORDER BY "DN"""".stripMargin,
     "s16_shapefile" ->
       """WITH f AS (SELECT id, CAST(id % 7 AS DOUBLE) AS x,
         |    CAST(id % 5 AS DOUBLE) AS y FROM range(40) t(id))

@@ -206,21 +206,30 @@ object Shapefile {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Directory of per-tile .shp/.dbf pairs → one DataFrame, one task per
-    * pair (schema from the first pair — the reference writes homogeneous
-    * tiles).
+  /** Directory of per-tile .shp/.dbf(.prj) pairs → one DataFrame, one task
+    * per pair (schema from the first pair — the reference writes
+    * homogeneous tiles). The `.prj` sidecar (WKT CRS text — the reference
+    * writes one per tile via fiona's crs kwarg,
+    * image_segmentation.py:153-162) surfaces as a constant `crs` column
+    * (NULL when absent); a directory mixing CRSs — or mixing with/without
+    * `.prj` — is rejected per file, exactly where reprojection would
+    * otherwise silently combine incompatible coordinates.
     */
   def readFeatureFiles(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val files = spark.read.format("binaryFile").load(path + "/*.shp")
       .select(col("path"), col("content"))
     val first = files.limit(1).collect()
     require(first.nonEmpty, s"no .shp files under $path")
-    def dbfOf(shpPath: String): Option[Array[Byte]] = {
-      val p = new java.net.URI(shpPath.replaceAll("\\.shp$", ".dbf")).getPath
+    def sidecarOf(shpPath: String, ext: String): Option[Array[Byte]] = {
+      val p = new java.net.URI(shpPath.replaceAll("\\.shp$", ext)).getPath
       val f = new java.io.File(p)
       if (f.isFile) Some(java.nio.file.Files.readAllBytes(f.toPath)) else None
     }
+    def dbfOf(shpPath: String): Option[Array[Byte]] = sidecarOf(shpPath, ".dbf")
+    def prjOf(shpPath: String): Option[String] =
+      sidecarOf(shpPath, ".prj").map(b => new String(b, "US-ASCII").trim)
+    val expectedCrs = prjOf(first(0).getString(0))
     val schema = readFeatures(spark, first(0).getAs[Array[Byte]]("content"),
       dbfOf(first(0).getString(0))).schema
     // Fail-closed alignment doctrine, per file: deleted/truncated .dbf rows
@@ -230,6 +239,10 @@ object Shapefile {
     val rdd = files.rdd.flatMap { r =>
       val path = r.getString(0)
       val shp = r.getAs[Array[Byte]]("content")
+      val crs = prjOf(path)
+      require(crs == expectedCrs,
+        s"$path: CRS sidecar ${crs.getOrElse("<absent>")} != the directory's " +
+          s"${expectedCrs.getOrElse("<absent>")} — mixed-CRS directories are rejected")
       val shapes = shpRecords(shp)
       val attrs = dbfOf(path) match {
         case Some(d) =>
@@ -248,7 +261,10 @@ object Shapefile {
         Row.fromSeq(no +: wkt +: attrs(i))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    val df = spark.createDataFrame(rdd, schema)
+    // surface the CRS only when the directory carries one (keeps the
+    // prj-less schema unchanged; mixed presence is rejected above)
+    expectedCrs.fold(df)(c => df.withColumn("crs", lit(c)))
   }
 
   // ---- synth writers (the encode half, for tests/oracles — mm3 pattern) ----
@@ -350,7 +366,8 @@ object Shapefile {
     * field (N/F/C derived from the Spark type, fixed widths).
     */
   def writeFeatureFiles(df: DataFrame, dir: String,
-      keyCol: String, geomCol: String = "geom"): Unit = {
+      keyCol: String, geomCol: String = "geom",
+      crsWkt: Option[String] = None): Unit = {
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val geomIdx = schema.fieldIndex(geomCol)
@@ -399,6 +416,8 @@ object Shapefile {
       })
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shp"), shp)
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.dbf"), dbf)
+      crsWkt.foreach(c => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$safe.prj"), c.getBytes("US-ASCII")))
     }
   }
 

@@ -170,6 +170,30 @@ class ShapefileSpec extends AnyFunSuite {
     assert(back.count() == 200 && back.agg(sum("dn")).head().getLong(0) == (0 until 200).map(_.toLong).sum)
   }
 
+  test("CRS sidecar: .prj round-trips as a crs column; mixed-CRS directories rejected") {
+    import spark.implicits._
+    val crs = "PROJCS[\"WGS 84 / UTM zone 54N\"]"
+    val dir = java.nio.file.Files.createTempDirectory("graft_prj").toString
+    val src = (0 until 12).map(i => (s"t${i % 2}", s"POINT ($i.0 0.0)", i.toLong))
+      .toDF("tile", "geom", "dn")
+    Shapefile.writeFeatureFiles(src, dir, keyCol = "tile", crsWkt = Some(crs))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".prj")) == 2)
+    val back = Shapefile.readFeatureFiles(spark, dir)
+    assert(back.columns.contains("crs"))
+    assert(back.select("crs").distinct().collect().map(_.getString(0)).toSeq == Seq(crs))
+    // prj-less directories keep the old schema (no crs column)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_noprj").toString
+    Shapefile.writeFeatureFiles(src, dir2, keyCol = "tile")
+    assert(!Shapefile.readFeatureFiles(spark, dir2).columns.contains("crs"))
+    // mixing CRSs (or presence) fails loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "t0.prj"),
+      "PROJCS[\"other\"]".getBytes("US-ASCII"))
+    val e = intercept[Exception](Shapefile.readFeatureFiles(spark, dir).count())
+    def mentions(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("mixed-CRS") || mentions(t.getCause))
+    assert(mentions(e))
+  }
+
   test("writeFeatureFiles rejects strings wider than the dBase field instead of truncating") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_shp_wide").toString
