@@ -605,10 +605,18 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val cells = assignToCentroids(corpus, centroidDf, idCol, vecCol)
       .select("neighbor_id", "cell")
-    val cellCodes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
-      .join(cells, Seq("neighbor_id"))
     val probes = probesOf(queries, centroidDf, nProbe, idCol, vecCol)
       .select("query_id", "cell")
+    // Restrict the code table to PROBED cells before the wide
+    // (cell, m, code) ADC lookup: a broadcast LEFT SEMI on the distinct
+    // probed-cell set (≤ nLists values) drops every unprobed cell's code
+    // rows at the scan side — the visible plan form of "touch only
+    // nProbe/nLists of the corpus" (the e3b partition filter's in-memory
+    // twin; SimilaritySpec asserts this join shape).
+    val probedCells = probes.select("cell").distinct()
+    val cellCodes = pqEncode(corpus, codebook, m, dSub, idCol, vecCol)
+      .join(cells, Seq("neighbor_id"))
+      .join(broadcast(probedCells), Seq("cell"), "left_semi")
     val qtbl = adcTable(queries, codebook, m, dSub, idCol, vecCol)
       .join(probes, Seq("query_id")) // expand by probed cell: |Q|·nProbe·m·k rows
     rankAdc(cellCodes.join(broadcast(qtbl), Seq("cell", "m", "code")), m, k)

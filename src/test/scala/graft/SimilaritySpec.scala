@@ -282,6 +282,14 @@ class SimilaritySpec extends AnyFunSuite {
     val joined = pruned.join(cellOf, Seq("neighbor_id"))
     assert(pruned.count() > 0 && pruned.count() <= 5 * 5)
     assert(joined.count() == pruned.count())
+    // the code join must visit only probed-cell rows: the corpus code
+    // table is restricted by a broadcast LEFT SEMI on cell BEFORE the
+    // (cell, m, code) ADC lookup — e3b's PartitionFilters assertion, in
+    // join form
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[cell#\\d+[^\\]]*\\], \\[cell#\\d+[^\\]]*\\], LeftSemi".r
+      .findFirstIn(plan).isDefined,
+      s"no broadcast semi cell restriction on the code table in:\n$plan")
   }
 
   test("pqTopKWithCodebook: deterministic across partitionings, self-match is rank 1 neighborhood") {
