@@ -1640,6 +1640,23 @@ object SparkEntry {
       .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
+  /** MM6 — FULL PNG pixel decode (inflate + the five row filters): a
+    * grayscale and an RGBA frame, per-row filter types cycling through
+    * None/Sub/Up/Average/Paeth so every filter participates, hash-checked
+    * against closed-form pixel regeneration — the zlib stream and the
+    * filter transforms must be exactly invisible.
+    */
+  private def mm6(s: SparkSession, d: String) = {
+    import s.implicits._
+    val gray = operators.MultimodalOps.synthPng(20, 14, 1, r => r % 5)(
+      (r, c, _) => (r * 31 + c * 7) % 256)
+    val rgba = operators.MultimodalOps.synthPng(16, 10, 4, r => (r + 2) % 5)(
+      (r, c, ch) => (r * 17 + c * 5 + ch * 29) % 256)
+    operators.MultimodalOps.pngToPixels(
+        Seq((1L, gray), (2L, rgba)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3281,6 +3298,7 @@ object SparkEntry {
     "mm3_header_decode" -> (mm3 _),
     "mm4_wav_header" -> (mm4 _),
     "mm5_tiff_header" -> (mm5 _),
+    "mm6_png_pixels" -> (mm6 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s16_shapefile" -> (s16 _),
@@ -4100,6 +4118,19 @@ object SparkEntry {
         |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
+    // mm6: PNG pixels regenerate from the closed forms — the zlib stream
+    // and all five row filters must be invisible.
+    "mm6_png_pixels" ->
+      """SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 20 AS INT) AS px_row,
+        |  CAST(id % 20 AS INT) AS px_col, CAST(0 AS INT) AS channel,
+        |  CAST((id // 20 * 31 + id % 20 * 7) % 256 AS INT) AS value
+        |FROM range(280) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 64 AS INT),
+        |  CAST((id % 64) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST((id // 64 * 17 + ((id % 64) // 4) * 5 + (id % 4) * 29) % 256 AS INT)
+        |FROM range(640) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
     "mm5_tiff_header" ->
       """SELECT id AS media_id,
         |  CAST(16 + id % 32 AS INTEGER) AS width,

@@ -150,6 +150,175 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- PNG IDAT pixel decode (full-frame, 8-bit gray/RGB/±alpha) ----
+
+  /** FULL PNG pixel decode — the image modality's first full-frame codec
+    * next to TIFF (mm3 parses headers only): chunk walk (IHDR/IDAT/IEND,
+    * ancillary chunks skipped), zlib-inflate of the concatenated IDAT
+    * stream (JDK Inflater — zlib is in the PNG spec), then the five
+    * per-row filters (None/Sub/Up/Average/Paeth) undone exactly. Bit
+    * depth 8 only; color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA);
+    * interlaced (Adam7), palette, and 16-bit files FAIL CLOSED.
+    * Returns (width, height, channels, row-major channel-interleaved
+    * pixel bytes).
+    */
+  def decodePngPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig), "not a PNG")
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && off + 8 <= bytes.length) {
+      val len = beInt(bytes, off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12 + len <= bytes.length, s"chunk $typ overruns the file")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
+          val depth = bytes(off + 16).toInt
+          val ct = bytes(off + 17).toInt
+          require(depth == 8, s"bit depth $depth unsupported (8 only)")
+          channels = ct match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case other => throw new IllegalArgumentException(
+              s"color type $other unsupported (0/2/4/6)")
+          }
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+            "nonstandard compression/filter method")
+          require(bytes(off + 20) == 0, "interlaced (Adam7) PNG unsupported")
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunk — skip
+      }
+      off += 12 + len
+    }
+    require(seenIhdr && w > 0 && h > 0, "missing or empty IHDR")
+    require(idat.size > 0, "no IDAT data")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val rowBytes = w * channels
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      if (n == 0 && inflater.needsInput())
+        throw new IllegalArgumentException("truncated IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"IDAT inflates to $got bytes, expected ${raw.length}")
+    val out = new Array[Byte](rowBytes * h)
+    val bpp = channels // bytes per pixel at depth 8
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (rowBytes + 1)) & 0xff
+      val src = r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
+        val b = if (r > 0) out(dst - rowBytes + i) & 0xff else 0 // up
+        val c = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(s"unknown row filter $other")
+        }
+        out(dst + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    (w, h, channels, out)
+  }
+
+  /** The encode half (tests/oracles — the mm3 pattern): a valid
+    * single-IDAT PNG with per-row filter types from `filterOf` (0..4),
+    * zlib-deflated scanlines. CRCs are zero — the decoder validates
+    * structure, not checksums.
+    */
+  def synthPng(width: Int, height: Int, channels: Int,
+      filterOf: Int => Int = _ % 5)(values: (Int, Int, Int) => Int): Array[Byte] = {
+    require(Set(1, 2, 3, 4)(channels), s"bad channel count $channels")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val rowBytes = width * channels
+    val px = new Array[Byte](rowBytes * height)
+    for (r <- 0 until height; c <- 0 until width; ch <- 0 until channels)
+      px(r * rowBytes + c * channels + ch) = (values(r, c, ch) & 0xff).toByte
+    val raw = new Array[Byte]((rowBytes + 1) * height)
+    val bpp = channels
+    for (r <- 0 until height) {
+      val ft = filterOf(r) % 5
+      raw(r * (rowBytes + 1)) = ft.toByte
+      for (i <- 0 until rowBytes) {
+        val x = px(r * rowBytes + i) & 0xff
+        val a = if (i >= bpp) px(r * rowBytes + i - bpp) & 0xff else 0
+        val b = if (r > 0) px((r - 1) * rowBytes + i) & 0xff else 0
+        val c0 = if (r > 0 && i >= bpp) px((r - 1) * rowBytes + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p = a + b - c0
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c0)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c0
+        }
+        raw(r * (rowBytes + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = comp.toByteArray
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+    out.put(PngSig)
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(width).putInt(height)
+    out.put(8.toByte).put(colorType.toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(0)
+    out.putInt(idat.length).put("IDAT".getBytes("US-ASCII")).put(idat).putInt(0)
+    out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    out.array()
+  }
+
+  /** PNG binary column → pixel rows (pass-through columns preserved;
+    * one row per (px_row, px_col, channel) with the 0..255 value).
+    * Generator shape like [[Tiff.tiffToBlocks]]: flatMap, zero shuffle.
+    */
+  def pngToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("px_row", IntegerType, nullable = false),
+      StructField("px_col", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (w, h, ch, px) = decodePngPixels(r.getAs[Array[Byte]](bytesIdx))
+      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
+        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k) & 0xff))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---- real audio header parsing (WAV: RIFF / fmt / data) ----
 
   val audioMetaSchema: StructType = StructType(Seq(

@@ -101,6 +101,53 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("audio_meta")))
   }
 
+  test("PNG pixel decode: every row filter round-trips in every color layout") {
+    def v(r: Int, c: Int, ch: Int): Int = (r * 37 + c * 11 + ch * 71 + 13) % 256
+    for (ch <- Seq(1, 2, 3, 4); ft <- 0 to 4) {
+      val png = MultimodalOps.synthPng(9, 7, ch, _ => ft)(v)
+      val (w, h, nch, px) = MultimodalOps.decodePngPixels(png)
+      assert((w, h, nch) == ((9, 7, ch)), s"ch=$ch ft=$ft")
+      for (r <- 0 until 7; c <- 0 until 9; k <- 0 until ch)
+        assert((px((r * 9 + c) * ch + k) & 0xff) == v(r, c, k), s"ch=$ch ft=$ft ($r,$c,$k)")
+    }
+    // mixed filters per row (the realistic encoder output)
+    val png = MultimodalOps.synthPng(16, 10, 3, r => (r * 3 + 1) % 5)(v)
+    val (_, _, _, px) = MultimodalOps.decodePngPixels(png)
+    for (r <- 0 until 10; c <- 0 until 16; k <- 0 until 3)
+      assert((px((r * 16 + c) * 3 + k) & 0xff) == v(r, c, k), s"mixed ($r,$c,$k)")
+  }
+
+  test("PNG pixel decode fails closed on interlace, palette, 16-bit, truncation") {
+    val good = MultimodalOps.synthPng(6, 4, 3)((r, c, ch) => r + c + ch)
+    // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1)
+    val inter = good.clone(); inter(28) = 1
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(inter)).getMessage.contains("interlaced"))
+    val pal = good.clone(); pal(25) = 3 // color type byte
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(pal)).getMessage.contains("color type"))
+    val deep = good.clone(); deep(24) = 16 // bit depth byte
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(deep)).getMessage.contains("bit depth"))
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(good.take(good.length - 20)))
+    // header-only synth (no IDAT) is rejected, not fabricated
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(MultimodalOps.synthPngHeader(4, 4, alpha = false)))
+  }
+
+  test("pngToPixels emits one row per sample with pass-through columns") {
+    val png = MultimodalOps.synthPng(5, 3, 2)((r, c, ch) => (r * 5 + c) * 2 + ch)
+    val df = Seq((42L, png)).toDF("img_id", "bytes")
+    val out = MultimodalOps.pngToPixels(df)
+    assert(out.columns.toSeq == Seq("img_id", "px_row", "px_col", "channel", "value"))
+    assert(out.count() == 5 * 3 * 2)
+    val bad = out.filter(col("value") =!=
+      (col("px_row") * 5 + col("px_col")) * 2 + col("channel"))
+    assert(bad.count() == 0)
+    assert(out.select("img_id").distinct().head().getLong(0) == 42L)
+  }
+
   test("withEmbedding feeds Similarity: identical payloads are nearest neighbors") {
     val emb = MultimodalOps.withEmbedding(media, dim = 8)
       .select(col("media_id").as("vec_id"), col("embedding"))
