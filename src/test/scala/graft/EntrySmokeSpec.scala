@@ -28,6 +28,48 @@ class EntrySmokeSpec extends AnyFunSuite {
     info(s"raw fixture ts dtype: $raw")
   }
 
+  test("all ten tables' loaded schemas match the data contract (fixture-drift canary)") {
+    // The r5 events drift cost 15 queries before anything named it. This
+    // canary extends the dtype check to every table: the next fixture
+    // refresh that changes a loaded column name or type fails HERE with
+    // the table named, not as dozens of cascading oracle mismatches.
+    import org.apache.spark.sql.DataFrame
+    val expected: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame, Seq[(String, String)])] = Seq(
+      ("region", Tables.region _, Seq("r_regionkey" -> "int", "r_name" -> "string")),
+      ("nation", Tables.nation _, Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int")),
+      ("customer", Tables.customer _, Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string")),
+      ("supplier", Tables.supplier _, Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double")),
+      ("part", Tables.part _, Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double")),
+      ("orders", Tables.orders _, Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp_ntz", "o_orderpriority" -> "string")),
+      ("lineitem", Tables.lineitem _, Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
+        "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string", "l_shipdate" -> "timestamp_ntz")),
+      ("events", Tables.events _, Seq("event_id" -> "bigint", "ts" -> "timestamp",
+        "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+        "props" -> "string")),
+      ("documents", Tables.documents _, Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint")),
+      ("embeddings", Tables.embeddings _, Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int")))
+    val drift = expected.flatMap { case (name, loader, want) =>
+      val got = loader(spark, sf).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.simpleString)
+      if (got == want) Nil
+      else Seq(s"$name: loaded $got != contract $want")
+    }
+    assert(drift.isEmpty,
+      "fixture schema drift — update Tables' loaders (and any affected " +
+        "oracles) deliberately:\n" + drift.mkString("\n"))
+  }
+
   test("oracleSql keys ⊆ queries keys") {
     val missing = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"oracle entries without queries: $missing")

@@ -155,4 +155,28 @@ class SegmentationSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.map(_.getAs[Int]("part")).toSet == Set(0, 1))
   }
+
+  test("felzenszwalb matches the committed independent golden (general case, M5)") {
+    // Golden generated by tools/felz_golden.py — an INDEPENDENT pure-Python
+    // reimplementation of the published 2004 algorithm (not a port of this
+    // kernel), run on a 24x24 2-band fixture with block regions + patterned
+    // texture. Labels compare EXACTLY: both sides renumber dense row-major,
+    // so equal labels == equal partition. Any intended divergence from the
+    // golden must be re-generated and documented, not papered over.
+    val h = 24; val w = 24
+    def g0(r: Int, c: Int): Float = (10.0 * (r / 8 + c / 8) + (r * 7 + c * 13) % 5 * 0.25).toFloat
+    def g1(r: Int, c: Int): Float = (6.0 * ((r / 12) * 2 + (c / 6) % 2) + (r * 3 + c * 5) % 7 * 0.25).toFloat
+    val grid = Array(
+      Array.tabulate(h * w)(i => g0(i / w, i % w)),
+      Array.tabulate(h * w)(i => g1(i / w, i % w)))
+    val labels = Segmentation.felzenszwalb(grid, h, w, 2, scale = 35.0, minSize = 15)
+    val goldenUrl = getClass.getResource("/felz_golden_24x24.csv")
+    assert(goldenUrl != null, "missing golden resource")
+    val golden = scala.io.Source.fromURL(goldenUrl).mkString.trim.split(",").map(_.toInt)
+    assert(golden.length == h * w)
+    assert(labels.toSeq == golden.toSeq,
+      s"segmentation diverged from the independent golden at indices " +
+        labels.zip(golden).zipWithIndex.collect { case ((a, b), i) if a != b => i }
+          .take(10).mkString(", "))
+  }
 }
