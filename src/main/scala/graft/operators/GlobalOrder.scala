@@ -57,8 +57,13 @@ object GlobalOrder {
       if (cutsRow.isNullAt(0)) Nil else cutsRow.getSeq[Any](0).filter(_ != null)
     if (cuts.isEmpty) df.withColumn("__gob", lit(0))
     else df.withColumn("__gob",
+      // count of cuts strictly below the value, as a codegen'd when-sum:
+      // the previous size(filter(array(...), lambda)) spelling is an
+      // array HOF, which whole-stage codegen does NOT compile — an
+      // interpreted 31-comparison lambda per row, paid in BOTH rank
+      // passes (measured ~2x on the hist2 bucket-derivation stages)
       when(first.isNull, lit(0)).otherwise(
-        size(filter(array(cuts.map(lit): _*), b => b < first))))
+        cuts.map(b => when(lit(b) < first, 1).otherwise(0)).reduce(_ + _)))
   }
 
   /** Append `outCol` = 1-based global rank (row_number over the total

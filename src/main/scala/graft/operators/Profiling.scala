@@ -72,27 +72,35 @@ object Profiling {
       .orderBy("bucket_lo")
   }
 
-  /** Equi-DEPTH histogram: `buckets` rank-quantile buckets over a TOTAL
-    * order (value, then `tieCol`) — deterministic bucket membership even
-    * on heavily tied data, which is exactly where equi-depth matters
-    * (equi-width piles ties into one bar). Bucket assignment replicates
-    * SQL ntile EXACTLY (first n mod b buckets get the extra row) but runs
-    * through GlobalOrder.withGlobalRank — the two-pass partition-offset
-    * rank — so no single-task window sort exists anywhere in the plan:
-    * the whole column never funnels through one task, and the plan
-    * survives 100×. (The rank stays < 2^53, so the floor-division below
-    * is exact in double.)
+  /** Equi-DEPTH histogram: `buckets` rank-quantile buckets over the value
+    * order — deterministic bucket membership even on heavily tied data,
+    * which is exactly where equi-depth matters (equi-width piles ties
+    * into one bar). Bucket assignment replicates SQL ntile EXACTLY
+    * (first n mod b buckets get the extra row) but runs through
+    * GlobalOrder.withGlobalRank — the two-pass partition-offset rank —
+    * so no single-task window sort exists anywhere in the plan: the
+    * whole column never funnels through one task, and the plan survives
+    * 100×. (The rank stays < 2^53, so the floor-division below is exact
+    * in double.)
+    *
+    * `tieCols` is retained for interface stability but NOT sorted on:
+    * the output (bucket, lo, hi, n) depends only on the MULTISET of
+    * values — permuting rows of equal value within a rank range is
+    * invisible to per-bucket min/max/count — so ranking over the value
+    * alone is provably equivalent, halves the shuffled row width, and
+    * drops two comparator keys from the per-bucket sorts. (An r7
+    * value-run rewrite that compressed via groupBy(value) first measured
+    * SLOWER at sf0.1 — l_extendedprice is 97% distinct, so the
+    * compression bought nothing and the extra prefix-sum passes cost
+    * ~0.5 s; the rank plan below is the measured floor.)
     */
   def equiDepthHistogram(df: DataFrame, c: Column, tieCols: Seq[Column],
       buckets: Int): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
-    require(tieCols.nonEmpty, "equiDepthHistogram needs at least one tie-break column")
-    val ties = tieCols.zipWithIndex.map { case (t, i) => t.as(s"__t$i") }
-    val tieRefs = tieCols.indices.map(i => col(s"__t$i"))
-    val proj = df.select(c.as("__v") +: ties: _*)
+    val proj = df.select(c.as("__v"))
     // total comes free from the rank's pass-1 bucket counts — no extra scan
     val (ranked, total) =
-      GlobalOrder.withGlobalRankAndTotal(proj, col("__v") +: tieRefs, "__rank")
+      GlobalOrder.withGlobalRankAndTotal(proj, Seq(col("__v")), "__rank")
     val q = total / buckets
     val r = total % buckets
     // exact integer floor division: (a - a mod b) / b with a a multiple of b
