@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.{functions => gf}
 
 // throwaway stage profiler — not part of the library surface
 object Scratch {
@@ -19,45 +20,24 @@ object Scratch {
       val t0 = System.nanoTime(); f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    val li = Tables.lineitem(spark, sfDir)
-    val proj = li.select(col("l_extendedprice").as("__v"),
-      col("l_orderkey").as("__t0"), col("l_linenumber").as("__t1"))
+    val docs = operators.Partitioning.spread(Tables.documents(spark, sfDir))
+    def toks = gf.TextOps.tokens(col("text"))
+    import operators.Curation
     for (round <- 1 to 2) {
       println(s"[scratch] --- round $round ---")
-      time("scan+count")(proj.count())
-      time("pctl_approx 31 cuts acc10000") {
-        proj.agg(percentile_approx(col("__v"),
-          array((1 until 32).map(i => lit(i / 32.0)): _*), lit(10000))).head()
-      }
-      time("pctl_approx 31 cuts acc1000") {
-        proj.agg(percentile_approx(col("__v"),
-          array((1 until 32).map(i => lit(i / 32.0)): _*), lit(1000))).head()
-      }
-      val cuts = proj.agg(percentile_approx(col("__v"),
-        array((1 until 32).map(i => lit(i / 32.0)): _*), lit(10000)).as("cuts"))
-        .head().getSeq[Any](0).filter(_ != null)
-      val bucketed = proj.withColumn("__gob",
-        when(col("__v").isNull, lit(0)).otherwise(
-          size(filter(array(cuts.map(lit): _*), b => b < col("__v")))))
-      time("bucket counts groupBy")(bucketed.groupBy("__gob").count().collect())
-      time("pass2 sort+window+agg") {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__gob")).orderBy(col("__v"), col("__t0"), col("__t1"))
-        bucketed.withColumn("__rank", row_number().over(w))
-          .groupBy("__gob").agg(min("__v"), max("__v"), count(lit(1))).collect()
-      }
-      time("groupBy __v runs count") {
-        proj.groupBy("__v").agg(count(lit(1))).count()
-      }
-      time("old full equiDepth-shaped chain") {
-        val (ranked, _) = operators.GlobalOrder.withGlobalRankAndTotal(
-          proj, Seq(col("__v"), col("__t0"), col("__t1")), "__rank")
-        ranked.groupBy((col("__rank") % 10).as("b"))
-          .agg(min("__v"), max("__v"), count(lit(1))).collect()
-      }
-      time("new equiDepthHistogram") {
-        operators.Profiling.equiDepthHistogram(li, col("l_extendedprice"),
-          Seq(col("l_orderkey")), 10).collect()
+      val passKeep = Curation.passageDupStats(docs, ngramK = 5)
+        .filter(col("dup_passage_frac") <= lit(0.5))
+        .select("doc_id")
+      time("passKeep count")(passKeep.count())
+      val clean = Curation.qualityGate(docs).filter(col("keep"))
+        .join(passKeep, Seq("doc_id"), "left_semi")
+      time("clean count")(clean.count())
+      val withSplit = clean.withColumn("split", Curation.hashSplit(clean, "doc_id"))
+      val packed = Curation.packByTokenBudget(withSplit,
+        gf.TextOps.tokenCount(col("text")), "doc_id", budget = 2048, shardCol = Some("split"))
+      time("packed count")(packed.count())
+      time("pipe2 full") {
+        SparkEntry.queries("pipe2_curation_v2")(spark, sfDir).count()
       }
     }
     spark.stop()

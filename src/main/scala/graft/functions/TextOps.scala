@@ -57,11 +57,11 @@ object TextOps {
     * than k tokens yield their whole text as the single shingle.
     */
   def shingles(toks: Column, k: Int = 3): Column =
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    // custom codegen expression: the HOF spelling (transform(sequence...))
+    // is interpreted AND re-evaluates a non-column `toks` expression per
+    // element (O(tokens²) after CollapseProject re-inlines the alias) —
+    // see ShinglesExpr's doc; semantics bit-identical, oracle-checked
+    ShinglesExpr.shingles(toks, k)
 
   /** MinHash via the classic linear-permutation family: one md5-derived
     * 24-bit base hash per shingle, then component j takes the min of

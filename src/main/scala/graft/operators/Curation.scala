@@ -285,12 +285,18 @@ object Curation {
     * from `decontaminate` (corpus vs a small eval set): this profiles the
     * corpus against ITSELF at passage granularity.
     *
-    * Scale shape: explode → groupBy(doc, gram) with map-side combine →
-    * gram doc-frequency as a COUNT window over the gram partition (one
-    * extra shuffle on gram; no second aggregation subtree, no join — the
-    * agg+join-back formulation builds the explode pipeline twice unless
-    * runtime exchange reuse saves it) → final per-doc agg. All counters
-    * are integers, so the fraction is oracle-exact.
+    * Scale shape: TWO shuffles total. Explode → ONE exchange on gram
+    * (sorted by (gram, doc)); within that sorted run a `lag` marks the
+    * first occurrence row of each (gram, doc) run, and the gram's distinct
+    * doc-frequency is the sum of those markers over the same partition —
+    * the second window shares the first's exchange AND sort (same
+    * partition key, no ordering requirement), so no (doc, gram)
+    * pre-aggregation exchange exists at all → final per-doc agg is the
+    * second shuffle. (The previous three-shuffle spelling pre-agged on
+    * (doc, gram) before the gram window; the pre-agg exchange carried the
+    * same gram strings a second time for near-zero dedup — within one
+    * document most grams are unique.) All counters are integers, so the
+    * fraction is oracle-exact.
     */
   def passageDupStats(
       docs: DataFrame,
@@ -298,18 +304,22 @@ object Curation {
       minDocs: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val occ = Partitioning.spread(docs)
+    val byGram = Window.partitionBy("__gram")
+    val byGramDoc = byGram.orderBy(col(idCol))
+    Partitioning.spread(docs)
       .select(col(idCol),
         explode(TextOps.shingles(TextOps.tokens(col(textCol)), ngramK)).as("__gram"))
-      .groupBy(col(idCol), col("__gram"))
-      .agg(count(lit(1)).as("__occ"))
-    occ
-      .withColumn("__ndocs", count(lit(1)).over(Window.partitionBy("__gram")))
+      // first row of each (gram, doc) run in the gram-sorted partition;
+      // lag is NULL on the partition's first row, NULL === id is NULL,
+      // `when` skips it → otherwise-branch marks that row a first too
+      .withColumn("__first",
+        when(lag(col(idCol), 1).over(byGramDoc) === col(idCol), lit(0L)).otherwise(lit(1L)))
+      .withColumn("__ndocs", sum(col("__first")).over(byGram))
       .groupBy(col(idCol))
       .agg(
-        (sum(when(col("__ndocs") >= minDocs, col("__occ")).otherwise(lit(0L)))
-          .cast("double") / sum(col("__occ")).cast("double")).as("dup_passage_frac"),
-        sum(when(col("__ndocs") >= minDocs, lit(1L)).otherwise(lit(0L)))
+        (sum(when(col("__ndocs") >= minDocs, lit(1L)).otherwise(lit(0L)))
+          .cast("double") / count(lit(1)).cast("double")).as("dup_passage_frac"),
+        sum(when(col("__ndocs") >= minDocs, col("__first")).otherwise(lit(0L)))
           .as("shared_grams"))
   }
 
