@@ -239,6 +239,102 @@ object Regrid {
     def inverse: Transform2D = WebMercatorFromGeographic
   }
 
+  /** Shared constants for one parameterization of the ellipsoidal
+    * two-standard-parallel Lambert conformal conic on WGS84 (Snyder,
+    * Map Projections — A Working Manual, eqs. 14-15, 15-1..15-11, 3-5 —
+    * the `lcc` projection PROJ evaluates when the reference passes an
+    * LCC `master_crs` to `reproject`, feature_stacking.py:85-96). All
+    * derived constants are plain doubles computed once on the driver, so
+    * both the Column algebra and a SQL oracle can interpolate the exact
+    * same values (Java's shortest-round-trip double printing re-parses to
+    * the identical bits in DuckDB — the g6/g7 recipe).
+    */
+  final case class LccParams(
+      phi1Deg: Double, phi2Deg: Double,
+      phi0Deg: Double, lon0Deg: Double,
+      falseEasting: Double = 0.0, falseNorthing: Double = 0.0,
+      a: Double = Utm.A, e2: Double = Utm.E2) {
+    import Utm.Deg2Rad
+    private val A = a
+    private val E2 = e2
+    require(phi1Deg != -phi2Deg,
+      s"LCC standard parallels must not be opposite ($phi1Deg, $phi2Deg)")
+    val e: Double = math.sqrt(E2)
+    private def tOf(phiDeg: Double): Double = {
+      val phi = phiDeg * Deg2Rad
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    }
+    private def mOf(phiDeg: Double): Double = {
+      val phi = phiDeg * Deg2Rad
+      math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
+    }
+    /** a·m(φ)/(n·ρ(φ)) — 1.0 exactly at both standard parallels (the
+      * defining property of the secant cone; exercised by RegridSpec).
+      */
+    def scaleAt(phiDeg: Double): Double =
+      A * mOf(phiDeg) / (n * aF * math.pow(tOf(phiDeg), n))
+    /** cone constant (Snyder 15-8); sign(n) = sign of the parallels' mean */
+    val n: Double =
+      if (phi1Deg == phi2Deg) math.sin(phi1Deg * Deg2Rad)
+      else (math.log(mOf(phi1Deg)) - math.log(mOf(phi2Deg))) /
+        (math.log(tOf(phi1Deg)) - math.log(tOf(phi2Deg)))
+    val aF: Double = A * mOf(phi1Deg) / (n * math.pow(tOf(phi1Deg), n)) // a·F (15-10)
+    val rho0: Double = aF * math.pow(tOf(phi0Deg), n) // (15-7a)
+    // conformal-latitude → geodetic-latitude series coefficients (3-5)
+    val C2: Double = E2 / 2 + 5 * E2 * E2 / 24 + E2 * E2 * E2 / 12 +
+      13 * E2 * E2 * E2 * E2 / 360
+    val C4: Double = 7 * E2 * E2 / 48 + 29 * E2 * E2 * E2 / 240 +
+      811 * E2 * E2 * E2 * E2 / 11520
+    val C6: Double = 7 * E2 * E2 * E2 / 120 + 81 * E2 * E2 * E2 * E2 / 1120
+    val C8: Double = 4279 * E2 * E2 * E2 * E2 / 161280
+  }
+
+  /** Geographic (lon°, lat°) → Lambert conformal conic (x, y) meters
+    * (Snyder 15-1..15-4): t(φ) = tan(π/4−φ/2)/((1−e·sinφ)/(1+e·sinφ))^(e/2),
+    * ρ = aF·t^n, θ = n(λ−λ0); x = ρ·sinθ, y = ρ0 − ρ·cosθ. Third named-CRS
+    * family through the [[Transform2D]] seam — conic, where UTM is
+    * cylindrical-transverse and Web-Mercator cylindrical-normal.
+    */
+  final case class LambertConformalFromGeographic(p: LccParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val phi = lat * lit(Deg2Rad)
+      val esin = lit(p.e) * sin(phi)
+      val t = tan(lit(math.Pi / 4.0) - phi / lit(2.0)) /
+        pow((lit(1.0) - esin) / (lit(1.0) + esin), lit(p.e / 2.0))
+      val rho = lit(p.aF) * pow(t, lit(p.n))
+      val theta = lit(p.n) * (lon - lit(p.lon0Deg)) * lit(Deg2Rad)
+      (lit(p.falseEasting) + rho * sin(theta),
+        lit(p.falseNorthing) + lit(p.rho0) - rho * cos(theta))
+    }
+    def inverse: Transform2D = GeographicFromLambertConformal(p)
+  }
+
+  /** Lambert conformal conic (x, y) meters → geographic (lon°, lat°)
+    * (Snyder 15-9..15-11 + the closed-form conformal-latitude series 3-5,
+    * so no per-row iteration): ρ = sign(n)·√(x′² + (ρ0−y′)²),
+    * t = (ρ/aF)^(1/n), χ = π/2 − 2·atan(t), φ = χ + C2·sin2χ + C4·sin4χ +
+    * C6·sin6χ + C8·sin8χ, λ = θ/n + λ0. The direction `reproject` uses
+    * when the MASTER grid is LCC and the aux raster is geographic.
+    */
+  final case class GeographicFromLambertConformal(p: LccParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val xp = x - lit(p.falseEasting)
+      val yp = lit(p.rho0) - (y - lit(p.falseNorthing))
+      val sgn = if (p.n >= 0) 1.0 else -1.0
+      val rho = lit(sgn) * sqrt(xp * xp + yp * yp)
+      val theta = atan2(lit(sgn) * xp, lit(sgn) * yp)
+      val t = pow(rho / lit(p.aF), lit(1.0 / p.n))
+      val chi = lit(math.Pi / 2.0) - lit(2.0) * atan(t)
+      val phi = chi + lit(p.C2) * sin(lit(2.0) * chi) + lit(p.C4) * sin(lit(4.0) * chi) +
+        lit(p.C6) * sin(lit(6.0) * chi) + lit(p.C8) * sin(lit(8.0) * chi)
+      (lit(p.lon0Deg) + theta / lit(p.n) / lit(Deg2Rad), phi / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = LambertConformalFromGeographic(p)
+  }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.

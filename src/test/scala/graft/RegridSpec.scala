@@ -254,4 +254,73 @@ class RegridSpec extends AnyFunSuite {
         s"($lon,$lat) -> ($lon2,$lat2)")
     }
   }
+
+  // ---- Lambert conformal conic (Snyder 15-1..15-11, 3-5) ----
+
+  test("LCC construction invariants: unit scale on both standard parallels, origin anchor") {
+    val p = Regrid.LccParams(33.0, 45.0, 23.0, -96.0)
+    // the secant cone touches the ellipsoid exactly at the two standard
+    // parallels: k(phi1) = k(phi2) = 1 by construction — a formula error
+    // in t/m/n/F breaks this immediately
+    assert(math.abs(p.scaleAt(33.0) - 1.0) < 1e-12)
+    assert(math.abs(p.scaleAt(45.0) - 1.0) < 1e-12)
+    // scale grows away from the parallels (conic distortion profile)
+    assert(p.scaleAt(23.0) > 1.0 && p.scaleAt(49.0) > 1.0 && p.scaleAt(39.0) < 1.0)
+    // the grid origin (lon0, phi0) maps to exactly (FE, FN)
+    val out = evalXform(Regrid.LambertConformalFromGeographic(p), Seq((-96.0, 23.0)))
+    assert(math.abs(out(0)._1) < 1e-9 && math.abs(out(0)._2) < 1e-9)
+    val fe = Regrid.LccParams(33.0, 45.0, 23.0, -96.0, falseEasting = 2000000.0, falseNorthing = 500000.0)
+    val out2 = evalXform(Regrid.LambertConformalFromGeographic(fe), Seq((-96.0, 23.0)))
+    assert(math.abs(out2(0)._1 - 2000000.0) < 1e-9 && math.abs(out2(0)._2 - 500000.0) < 1e-9)
+  }
+
+  test("LCC ellipsoidal forward agrees with an independent spherical formulation as e -> 0") {
+    // with e2 = 0 the ellipsoidal series degenerates to the textbook
+    // sphere case: n = ln(cos p1 / cos p2) / ln(tan(pi/4+p2/2)/tan(pi/4+p1/2)),
+    // rho = a F / tan(pi/4+phi/2)^n — coded here independently of the
+    // Transform2D implementation
+    val R = 6370997.0
+    val p = Regrid.LccParams(33.0, 45.0, 23.0, -96.0, a = R, e2 = 0.0)
+    val d2r = math.Pi / 180
+    def sphere(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (p1, p2, p0, l0) = (33.0 * d2r, 45.0 * d2r, 23.0 * d2r, -96.0 * d2r)
+      val n = math.log(math.cos(p1) / math.cos(p2)) /
+        math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
+      val f = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+      def rho(phi: Double) = R * f / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+      val theta = n * (lonDeg * d2r - l0)
+      (rho(latDeg * d2r) * math.sin(theta), rho(p0) - rho(latDeg * d2r) * math.cos(theta))
+    }
+    val pts = Seq((-96.0, 39.0), (-75.0, 35.0), (-120.0, 41.5), (-96.0, 23.0))
+    val got = evalXform(Regrid.LambertConformalFromGeographic(p), pts)
+    pts.zip(got).foreach { case ((lon, lat), (x, y)) =>
+      val (ex, ey) = sphere(lon, lat)
+      assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6,
+        s"($lon,$lat): got ($x,$y) expected ($ex,$ey)")
+    }
+  }
+
+  test("LCC forward/inverse round-trip to sub-millimeter across the cone") {
+    val p = Regrid.LccParams(33.0, 45.0, 23.0, -96.0)
+    val fwd = Regrid.LambertConformalFromGeographic(p)
+    val pts = for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(24.0, 33.0, 39.1, 45.0, 52.0))
+      yield (lon, lat)
+    val xy = evalXform(fwd, pts)
+    val back = evalXform(fwd.inverse, xy)
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // southern-hemisphere cone (negative n) round-trips too
+    val ps = Regrid.LccParams(-30.0, -45.0, -20.0, 135.0)
+    val fs = Regrid.LambertConformalFromGeographic(ps)
+    assert(ps.n < 0)
+    val spts = Seq((120.0, -25.0), (135.0, -37.0), (150.0, -44.0))
+    val sxy = evalXform(fs, spts)
+    val sback = evalXform(fs.inverse, sxy)
+    spts.zip(sback).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
 }
