@@ -3003,6 +3003,34 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G8 — THIRD named-CRS family, conic: ellipsoidal two-parallel Lambert
+    * conformal conic (Snyder 15-9..15-11 + series 3-5 — PROJ's `lcc`, the
+    * projection every CONUS-wide US product ships in) through the same
+    * Transform2D seam. Master grid in LCC(33°,45°, origin 23°/−96°) metres
+    * over Kansas; aux raster geographic. The conformal-latitude series
+    * keeps the inverse closed-form (no per-row iteration), so DuckDB
+    * evaluates the identical expression with interpolated round-trip-exact
+    * constants; fixture centers sit ≥1.4e-3 cell-fractions from aux
+    * boundaries (derived margins, /tmp-reproducible via tools notes).
+    */
+  private def g8(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(-17200.0, 1800000.0, 100.0, 100.0),
+      operators.Regrid.GridDef(-96.2, 39.12, 0.001, 0.0007),
+      operators.Regrid.GeographicFromLambertConformal(
+        operators.Regrid.LccParams(33.0, 45.0, 23.0, -96.0)),
+      Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3175,6 +3203,21 @@ object SparkEntry {
         dfCap = 20, minCosine = 0.3, ngramK = 3)
       .orderBy("a", "b")
 
+  /** bm25_1 — BM25 ranked retrieval of the per-query top-10 documents for
+    * a three-query eval set (Lucene idf formulation; k1=1.2, b=0.75). The
+    * corpus's term occurrences are broadcast-restricted to the query
+    * vocabulary BEFORE any exchange, fixed-point contributions make the
+    * per-(query, doc) sum integer-exact, and ranking rides TopKPerKey.
+    */
+  private def bm25q(s: SparkSession, d: String) = {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "spark hash join"), (2L, "fast table scan"), (3L, "stream window agg"))
+      .toDF("query_id", "query_text")
+    operators.Similarity.bm25TopK(Tables.documents(s, d), queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3293,6 +3336,7 @@ object SparkEntry {
     "g5_reproject" -> (g5 _),
     "g6_utm_reproject" -> (g6 _),
     "g7_webmercator_reproject" -> (g7 _),
+    "g8_lambert_reproject" -> (g8 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -3382,7 +3426,8 @@ object SparkEntry {
     "fz1_fuzzy_match" -> (fz1 _),
     "s11_jsonl_roundtrip" -> (s11 _),
     "span2_strip_spans" -> (span2 _),
-    "tfidf2_pair_similarity" -> (tfidf2 _)
+    "tfidf2_pair_similarity" -> (tfidf2 _),
+    "bm25_1_ranked_retrieval" -> (bm25q _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -4608,6 +4653,40 @@ object SparkEntry {
         | AND a.ac = CAST(floor((lon - 139.68) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
     },
+    // g8: the ellipsoidal LCC inverse (Snyder 15-9..15-11 + the 3-5
+    // conformal-latitude series) evaluated as the identical closed form —
+    // every derived constant (n, aF, rho0, series coefficients) computed
+    // once in Scala and interpolated round-trip-exact into both engines.
+    "g8_lambert_reproject" -> {
+      import operators.Regrid.Utm
+      val p = operators.Regrid.LccParams(33.0, 45.0, 23.0, -96.0)
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    -17200.0 + (CAST(px_col AS DOUBLE) + 0.5) * 100.0 AS cx,
+        |    1800000.0 - (CAST(px_row AS DOUBLE) + 0.5) * 100.0 AS cy FROM master),
+        |f1 AS (SELECT px_row, px_col,
+        |    cx - 0.0 AS xp, ${p.rho0} - (cy - 0.0) AS yp FROM c),
+        |f2 AS (SELECT px_row, px_col, xp, yp,
+        |    pow(sqrt(xp * xp + yp * yp) / ${p.aF}, ${1.0 / p.n}) AS t FROM f1),
+        |f3 AS (SELECT px_row, px_col, xp, yp,
+        |    ${math.Pi / 2.0} - 2.0 * atan(t) AS chi FROM f2),
+        |t AS (SELECT px_row, px_col,
+        |    ${p.lon0Deg} + atan2(xp, yp) / ${p.n} / ${Utm.Deg2Rad} AS lon,
+        |    (chi + ${p.C2} * sin(2.0 * chi) + ${p.C4} * sin(4.0 * chi)
+        |         + ${p.C6} * sin(6.0 * chi) + ${p.C8} * sin(8.0 * chi))
+        |      / ${Utm.Deg2Rad} AS lat
+        |  FROM f3)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((39.12 - lat) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon - (-96.2)) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal
     // axis of the 2×2 covariance in closed form.
@@ -5620,6 +5699,42 @@ object SparkEntry {
         |c AS (SELECT a, b, n_shared,
         |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
         |  FROM p JOIN nrm na ON p.a = na.doc_id JOIN nrm nb ON p.b = nb.doc_id)
-        |SELECT a, b, n_shared, cosine FROM c WHERE cosine >= CAST(0.3 AS DOUBLE) ORDER BY a, b""".stripMargin
+        |SELECT a, b, n_shared, cosine FROM c WHERE cosine >= CAST(0.3 AS DOUBLE) ORDER BY a, b""".stripMargin,
+    // bm25_1: identical Lucene-BM25 closed form; every per-term
+    // contribution fixed-pointed (floor(x·2^20) BIGINT) so per-(query,doc)
+    // sums are integer-exact; constants (k1+1, 1-b, ...) interpolated from
+    // the same Scala doubles the Column algebra uses.
+    "bm25_1_ranked_retrieval" -> {
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH q(query_id, query_text) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'spark hash join'),
+        |    (CAST(2 AS BIGINT), 'fast table scan'),
+        |    (CAST(3 AS BIGINT), 'stream window agg')),
+        |stats AS (SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS tot FROM documents),
+        |qt AS (SELECT DISTINCT query_id, unnest(string_split(query_text, ' ')) AS term FROM q),
+        |qv AS (SELECT DISTINCT term FROM qt),
+        |occ AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, dl, o.term, count(*) AS tf
+        |  FROM occ o JOIN qv ON o.term = qv.term GROUP BY doc_id, dl, o.term),
+        |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |con AS (SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(dfc.df AS DOUBLE) + 0.5)
+        |              / (CAST(dfc.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
+        |      / (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(tf.dl AS DOUBLE)
+        |          / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+        |      * 1048576.0) AS BIGINT) AS c
+        |  FROM tf JOIN dfc ON tf.term = dfc.term JOIN qt ON tf.term = qt.term
+        |  CROSS JOIN stats s),
+        |sc AS (SELECT query_id, doc_id AS neighbor_id, CAST(sum(c) AS BIGINT) AS score
+        |  FROM con GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

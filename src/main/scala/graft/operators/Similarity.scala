@@ -401,6 +401,75 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** BM25 ranked retrieval: score every document against a (small) query
+    * set and keep the per-query top-k — the lexical retrieval kernel under
+    * RAG corpus construction and eval-set mining (Robertson/Zaragoza's
+    * Okapi BM25 in the Lucene formulation, idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    * which is nonnegative for every df).
+    *
+    * Scale shape (the "few queries, 100 TB corpus" pattern): the corpus is
+    * tokenized ONCE; raw term occurrences are restricted to the query
+    * vocabulary with a BROADCAST semi join BEFORE any aggregation, so the
+    * only rows that ever shuffle are occurrences of query terms (a
+    * vanishing fraction of the corpus). Document frequencies come from
+    * that restricted posting table (restriction is on TERM, so per-term
+    * doc counts are unchanged). Ranking rides the TopKPerKey kernel —
+    * bounded heaps, at most k rows per query per partition shuffle.
+    *
+    * Determinism: each per-term contribution is fixed-pointed
+    * (floor(x·2^20) as BIGINT, the lm1 pattern) so the per-(query, doc)
+    * sum is an integer aggregation — commutative under any partitioning
+    * and bit-identical in a SQL oracle. Ties rank by doc id ascending.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame, // (query_id, query_text)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    import graft.functions.TextOps
+    val spread = Partitioning.spread(docs)
+    // corpus scalars: doc count and total token count are integer-exact;
+    // avgdl is the single double division both engines replicate
+    val stats = spread.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(size(TextOps.tokens(col(textCol))).cast("long")).as("__tot_tokens"))
+    // query vocabulary, deduped per query (qtf is not BM25-weighted here)
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+      explode(TextOps.tokens(col(queryTextCol))).as("__term")).distinct()
+    val qVocab = qTerms.select("__term").distinct()
+    // occurrences of query terms only — broadcast restriction BEFORE the
+    // tf aggregation, so non-query terms never reach an exchange
+    val occ = spread
+      .select(col(idCol), size(TextOps.tokens(col(textCol))).cast("long").as("__dl"),
+        explode(TextOps.tokens(col(textCol))).as("__term"))
+      .join(broadcast(qVocab), Seq("__term"))
+    val tf = occ.groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(broadcast(df), Seq("__term"))
+      .join(broadcast(qTerms), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) +
+        (col("__n_docs").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5))))
+      .withColumn("__contrib_fp", floor(
+        col("__idf") * (col("__tf").cast("double") * lit(k1 + 1.0)) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            col("__dl").cast("double") /
+            (col("__tot_tokens").cast("double") / col("__n_docs").cast("double"))))
+          * lit(1048576.0)).cast("long"))
+    val scored = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__contrib_fp")).as("score"))
+      .withColumnRenamed(idCol, "neighbor_id")
+    rankTopK(scored, k)
+  }
+
   /** Sparse TF-IDF document-pair similarity via posting-list pair
     * enumeration — the lexical twin of the dense embedding paths: two
     * documents are similar when they share RARE terms, scored by the
