@@ -3031,6 +3031,33 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G9 — DATUM SHIFT through the Transform2D seam: master grid geographic
+    * on WGS84, aux raster indexed in legacy Tokyo-Datum (Bessel 1841)
+    * degrees — the reference's own Tokyo scenes predate JGD2000, so this
+    * is the exact legacy-raster case. WGS84→Tokyo is the negated
+    * published Tokyo→WGS84 geocentric shift (−146.414, 507.337, 680.507)
+    * run through the abridged Molodensky closed form (h = 0); the ~11.6″
+    * offset moves every cell ≈ 360 m, so misapplying the datum would
+    * rekey every single cell. Fixture margins ≥ 0.15 cell-fractions.
+    */
+  private def g9(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(139.68, 35.68, 0.001, 0.0007),
+      operators.Regrid.GridDef(139.683, 35.677, 0.001, 0.0007),
+      operators.Regrid.AbridgedMolodensky(146.414, -507.337, -680.507,
+        operators.Regrid.Ellipsoid.Wgs84, operators.Regrid.Ellipsoid.Bessel1841),
+      Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3218,6 +3245,28 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** cohort1 — retention-cohort matrix over the event log: users keyed by
+    * first-activity day, counted per (cohort, day offset), with exact
+    * integer retention (parts-per-million). The full matrix is hash-exact
+    * — integer keys, integer counts, integer division.
+    */
+  private def cohort1(s: SparkSession, d: String) =
+    operators.TimeSeries.retentionCohorts(Tables.events(s, d))
+      .orderBy("cohort_day", "day_offset")
+
+  /** qc1 — frozen hashed-feature linear classifier inference over the
+    * corpus (the "quality classifier" curation pass): per-token integer
+    * weights from hash space, per-doc margin = zero-shuffle integer fold,
+    * keep = margin >= 0 (sigmoid is monotone). Aggregated census per
+    * (source, predicted_keep) so the output is corpus-shaped, with the
+    * exact integer margin sum as the hash anchor.
+    */
+  private def qc1(s: SparkSession, d: String) =
+    operators.Curation.hashedLinearScore(Tables.documents(s, d))
+      .groupBy("source", "predicted_keep")
+      .agg(count(lit(1)).as("n_docs"), sum(col("margin")).as("sum_margin"))
+      .orderBy("source", "predicted_keep")
+
   // ---------- registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3337,6 +3386,7 @@ object SparkEntry {
     "g6_utm_reproject" -> (g6 _),
     "g7_webmercator_reproject" -> (g7 _),
     "g8_lambert_reproject" -> (g8 _),
+    "g9_datum_shift" -> (g9 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -3427,7 +3477,9 @@ object SparkEntry {
     "s11_jsonl_roundtrip" -> (s11 _),
     "span2_strip_spans" -> (span2 _),
     "tfidf2_pair_similarity" -> (tfidf2 _),
-    "bm25_1_ranked_retrieval" -> (bm25q _)
+    "bm25_1_ranked_retrieval" -> (bm25q _),
+    "cohort1_retention" -> (cohort1 _),
+    "qc1_linear_classifier" -> (qc1 _)
   )
 
   // ---------- oracle SQL (DuckDB dialect) ----------
@@ -4687,6 +4739,41 @@ object SparkEntry {
         | AND a.ac = CAST(floor((lon - (-96.2)) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
     },
+    // g9: the abridged Molodensky datum shift evaluated as the identical
+    // closed form; ellipsoid constants and the combined (a·Δf + f·Δa)
+    // term interpolated from the same Scala doubles.
+    "g9_datum_shift" -> {
+      import operators.Regrid.{Utm, Ellipsoid}
+      val (src, dst) = (Ellipsoid.Wgs84, Ellipsoid.Bessel1841)
+      val shiftC = src.a * (dst.f - src.f) + src.f * (dst.a - src.a)
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    139.68 + (CAST(px_col AS DOUBLE) + 0.5) * 0.001 AS cx,
+        |    35.68 - (CAST(px_row AS DOUBLE) + 0.5) * 0.0007 AS cy FROM master),
+        |f1 AS (SELECT px_row, px_col, cx, cy,
+        |    cy * ${Utm.Deg2Rad} AS phi, cx * ${Utm.Deg2Rad} AS lam FROM c),
+        |f2 AS (SELECT px_row, px_col, cx, cy, phi,
+        |    sin(phi) AS sp, cos(phi) AS cp, sin(lam) AS sl, cos(lam) AS cl,
+        |    1.0 - ${src.e2} * sin(phi) * sin(phi) AS w2 FROM f1),
+        |f3 AS (SELECT px_row, px_col, cx, cy, phi, sp, cp, sl, cl,
+        |    ${src.a * (1 - src.e2)} / (w2 * sqrt(w2)) AS m,
+        |    ${src.a} / sqrt(w2) AS n FROM f2),
+        |t AS (SELECT px_row, px_col,
+        |    cx + (((-146.414) * sl + (-507.337) * cl) / (n * cp)) / ${Utm.Deg2Rad} AS lon,
+        |    cy + (((-146.414) * sp * cl - (-507.337) * sp * sl + (-680.507) * cp
+        |           + $shiftC * sin(2.0 * phi)) / m) / ${Utm.Deg2Rad} AS lat
+        |  FROM f3)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((35.677 - lat) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon - 139.683) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal
     // axis of the 2×2 covariance in closed form.
@@ -5735,6 +5822,32 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
-    }
+    },
+    // cohort1: integer day keys, integer counts, integer division — the
+    // whole retention matrix is hash-exact with no float anywhere.
+    "cohort1_retention" ->
+      """WITH pd AS (SELECT user_id AS u, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY u, day),
+        |f AS (SELECT u, min(day) AS cohort_day FROM pd GROUP BY u),
+        |s AS (SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |    count(*) AS n_active, CAST(sum(n_events) AS BIGINT) AS n_events
+        |  FROM pd JOIN f ON pd.u = f.u GROUP BY cohort_day, day_offset),
+        |w AS (SELECT cohort_day, day_offset, n_active, n_events,
+        |    max(CASE WHEN day_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_day) AS cohort_size FROM s)
+        |SELECT cohort_day, day_offset, n_active, n_events, cohort_size,
+        |  n_active * CAST(1000000 AS BIGINT) // cohort_size AS retention_ppm
+        |FROM w ORDER BY cohort_day, day_offset""".stripMargin,
+    // qc1: the same hash-space weights (md5-derived, mod-centered) summed
+    // per doc — integer margins, so the census is hash-exact.
+    "qc1_linear_classifier" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |w AS (SELECT doc_id, source,
+        |    list_transform(toks, tk -> ${sqlHexVal("md5('7|' || tk)", 6)} % 2001 - 1000) AS ws
+        |  FROM t),
+        |m AS (SELECT doc_id, source, CAST(coalesce(list_sum(ws), 0) AS BIGINT) AS margin FROM w)
+        |SELECT source, margin >= 0 AS predicted_keep, count(*) AS n_docs,
+        |  CAST(sum(margin) AS BIGINT) AS sum_margin
+        |FROM m GROUP BY source, predicted_keep ORDER BY source, predicted_keep""".stripMargin
   )
 }

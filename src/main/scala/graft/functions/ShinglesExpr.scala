@@ -2,10 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,10 +23,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluates its child ONCE and builds the windows in a tight loop,
   * inside codegen.
   *
-  * Semantics are bit-identical to the HOF spelling (oracle-checked by
-  * every shingle-based query): fewer than k tokens → ONE shingle joining
-  * all tokens; a NULL input array → [""] (concat_ws over a null array);
-  * null elements are skipped by the join exactly as concat_ws does.
+  * Semantics are bit-identical to the HOF spelling on every non-null
+  * input (oracle-checked by every shingle-based query, and asserted
+  * edge-by-edge in TextOpsSpec): fewer than k tokens → ONE shingle
+  * joining all tokens; null ELEMENTS are skipped by the join exactly as
+  * concat_ws does. A NULL input array → NULL — a deliberate divergence
+  * from the old HOF spelling, which under the legacy sizeOfNull default
+  * (size(NULL) = −1 with ANSI off) took the short-doc branch and emitted
+  * [""]: every DuckDB oracle splits with string_split, where a NULL text
+  * yields NULL → `unnest` emits nothing — so NULL-propagation is the
+  * behavior the oracle contract actually specifies for NULL documents
+  * (current fixtures have none; this closes the latent divergence).
   */
 case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"shingle size must be >= 1, got $k")
@@ -43,22 +48,13 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false
 
-  override def eval(input: InternalRow): Any =
-    ShinglesExpr.compute(child.eval(input).asInstanceOf[ArrayData], k)
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesExpr.compute(input.asInstanceOf[ArrayData], k)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val childVal = if (child.nullable) s"(${c.isNull} ? null : ${c.value})" else c.value
-    ev.copy(
-      code = code"""
-        |${c.code}
-        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-        |  graft.functions.ShinglesExpr.compute($childVal, $k);
-      """.stripMargin,
-      isNull = FalseLiteral)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesExpr.compute($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -68,11 +64,10 @@ object ShinglesExpr {
   private val Sep = UTF8String.fromString(" ")
 
   /** Shared kernel for interpreted eval and generated code (static
-    * forwarder — callable from Janino output).
+    * forwarder — callable from Janino output). Never sees null (the
+    * expression is null-intolerant via nullSafeEval/nullSafeCodeGen).
     */
   def compute(ad: ArrayData, k: Int): ArrayData = {
-    if (ad == null)
-      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
     val n = ad.numElements()
     if (n < k) {
       val parts = new Array[UTF8String](n)

@@ -666,6 +666,38 @@ object Curation {
       .select(docs.columns.map(col) :+ (col("reason") === "ok").as("keep") :+ col("reason"): _*)
   }
 
+  /** Frozen hashed-feature linear classifier inference — the fasttext/
+    * logistic "quality classifier" shape every production curation stack
+    * runs over the corpus (score each document under fixed weights, keep
+    * above a threshold). Weights live in HASH SPACE (the hashing trick):
+    * w(token) = H_seed(token) mod (2·`scale`+1) − `scale`, an integer in
+    * [−scale, +scale], so "loading the model" is free and inference is a
+    * per-row integer fold — ZERO shuffles, embarrassingly parallel at
+    * 100 TB, and the margin sum is hash-exact in any engine. A real
+    * trained model drops in by replacing the hash with a broadcast
+    * weight-table join; the plan shape (scan-side scoring, no exchange)
+    * is identical. Sigmoid is monotone, so thresholding the margin at 0
+    * IS thresholding the probability at 0.5 — no transcendentals needed.
+    */
+  def hashedLinearScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Int = 7,
+      scale: Int = 1000): DataFrame = {
+    val m = 2L * scale + 1
+    val margin = aggregate(
+      transform(TextOps.tokens(col(textCol)),
+        t => TextOps.seededHash(t, seed) % lit(m) - lit(scale.toLong)),
+      lit(0L), (acc, x) => acc + x)
+    // keep the caller's columns (the qualityGate convention) so pipelines
+    // filter inline; predicted_keep references the margin ALIAS — the
+    // fold is non-cheap and multi-referenced, so CollapseProject keeps
+    // the staging projection (it is evaluated once)
+    docs.withColumn("margin", margin)
+      .withColumn("predicted_keep", col("margin") >= 0L)
+  }
+
   /** Domain blocklist filter (the C4 "bad domains" pass): drop every row
     * whose url's registrable domain appears in `blocked` (one `domain`
     * column). Keying on the REGISTRABLE domain makes subdomain evasion

@@ -239,6 +239,67 @@ object Regrid {
     def inverse: Transform2D = WebMercatorFromGeographic
   }
 
+  /** Reference ellipsoid (semi-major axis + inverse flattening). */
+  final case class Ellipsoid(a: Double, invF: Double) {
+    val f: Double = 1.0 / invF
+    val e2: Double = f * (2 - f)
+  }
+  object Ellipsoid {
+    val Wgs84 = Ellipsoid(6378137.0, 298.257223563)
+    /** Bessel 1841 — the Tokyo Datum's ellipsoid (the reference's Tokyo
+      * scenes predate JGD2000; legacy Japanese rasters arrive on it).
+      */
+    val Bessel1841 = Ellipsoid(6377397.155, 299.1528128)
+    val Clarke1866 = Ellipsoid(6378206.4, 294.9786982)
+  }
+
+  /** Geographic→geographic DATUM SHIFT by the abridged Molodensky
+    * formulas (DMA TR 8350.2, closed form, h = 0) — what PROJ runs when
+    * the reference's `src_crs → master_crs` pair crosses datums
+    * (feature_stacking.py:85-96). (dx, dy, dz) are the published
+    * geocentric translation src→dst in metres; `src`/`dst` the two
+    * ellipsoids. Pure Column algebra:
+    *   Δφ = (−dx·sinφ·cosλ − dy·sinφ·sinλ + dz·cosφ + (a·Δf + f·Δa)·sin2φ) / M
+    *   Δλ = (−dx·sinλ + dy·cosλ) / (N·cosφ)
+    * with M, N the source meridian/prime-vertical radii. The inverse is
+    * the negated shift with the ellipsoids swapped (the standard abridged
+    * reciprocal — sub-centimetre closure, proven in RegridSpec).
+    */
+  final case class AbridgedMolodensky(
+      dx: Double, dy: Double, dz: Double,
+      src: Ellipsoid, dst: Ellipsoid) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val phi = lat * lit(Deg2Rad)
+      val lam = lon * lit(Deg2Rad)
+      val sinP = sin(phi); val cosP = cos(phi)
+      val sinL = sin(lam); val cosL = cos(lam)
+      val w2 = lit(1.0) - lit(src.e2) * sinP * sinP
+      val m = lit(src.a * (1 - src.e2)) / (w2 * sqrt(w2))
+      val n = lit(src.a) / sqrt(w2)
+      val dF = dst.f - src.f
+      val dA = dst.a - src.a
+      val dphi = (lit(-dx) * sinP * cosL - lit(dy) * sinP * sinL +
+        lit(dz) * cosP + lit(src.a * dF + src.f * dA) * sin(lit(2.0) * phi)) / m
+      val dlam = (lit(-dx) * sinL + lit(dy) * cosL) / (n * cosP)
+      (lon + dlam / lit(Deg2Rad), lat + dphi / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = AbridgedMolodensky(-dx, -dy, -dz, dst, src)
+  }
+
+  /** Function composition over the Transform2D seam — the PROJ "pipeline"
+    * shape (e.g. UTM inverse → datum shift → LCC forward chains through
+    * two of these). Applies `first`, then `second`.
+    */
+  final case class ComposedTransform(first: Transform2D, second: Transform2D)
+      extends Transform2D {
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val (mx, my) = first(x, y)
+      second(mx, my)
+    }
+    def inverse: Transform2D = ComposedTransform(second.inverse, first.inverse)
+  }
+
   /** Shared constants for one parameterization of the ellipsoidal
     * two-standard-parallel Lambert conformal conic on WGS84 (Snyder,
     * Map Projections — A Working Manual, eqs. 14-15, 15-1..15-11, 3-5 —
@@ -269,11 +330,12 @@ object Regrid {
       val phi = phiDeg * Deg2Rad
       math.cos(phi) / math.sqrt(1 - E2 * math.sin(phi) * math.sin(phi))
     }
-    /** a·m(φ)/(n·ρ(φ)) — 1.0 exactly at both standard parallels (the
-      * defining property of the secant cone; exercised by RegridSpec).
+    /** Scale factor k(φ) = ρ·n/(a·m) (Snyder 15-4) — 1.0 exactly at both
+      * standard parallels (the defining property of the secant cone,
+      * exercised by RegridSpec), < 1 between them, > 1 outside.
       */
     def scaleAt(phiDeg: Double): Double =
-      A * mOf(phiDeg) / (n * aF * math.pow(tOf(phiDeg), n))
+      n * aF * math.pow(tOf(phiDeg), n) / (A * mOf(phiDeg))
     /** cone constant (Snyder 15-8); sign(n) = sign of the parallels' mean */
     val n: Double =
       if (phi1Deg == phi2Deg) math.sin(phi1Deg * Deg2Rad)

@@ -78,4 +78,46 @@ object TimeSeries {
     }
     df.withColumn(outCol, terms.reduceLeft(_ + _))
   }
+
+  /** Retention-cohort matrix: users grouped by their first-activity day,
+    * counted per (cohort day, day offset) — the standard activation/
+    * retention census every event-product team derives from a raw event
+    * log, and the time-keyed analog of the reference's monthly scene
+    * grouping (feature_stacking.py:283-291: observations bucketed by
+    * period, then aggregated per bucket).
+    *
+    * Every count is over integer day keys, so the whole matrix is
+    * hash-exact. `retention_ppm` = active·10^6 / cohort-size in INTEGER
+    * division (parts-per-million) — exact, no float ratio.
+    *
+    * Scale shape: dedup to (user, day) with map-side partial agg, a
+    * per-user min for the cohort day, one user-keyed join back, then the
+    * final tiny (cohort, offset) aggregation. Because (user, day) rows
+    * are distinct and a user has ONE cohort day, (cohort, offset, user)
+    * is already unique — so the final count is a plain count, no
+    * count-distinct expand. No window, no global sort; every exchange is
+    * on post-dedup data.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val perDay = events
+      .select(col(userCol).as("__user"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__user", "__day").agg(count(lit(1)).as("__n_events"))
+    val first = perDay.groupBy("__user")
+      .agg(min(col("__day")).as("cohort_day"))
+    val sized = perDay.join(first, Seq("__user"))
+      .withColumn("day_offset", datediff(col("__day"), col("cohort_day")))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"), sum(col("__n_events")).as("n_events"))
+    val byCohort = Window.partitionBy("cohort_day")
+    sized
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("n_active"))).over(byCohort))
+      .withColumn("retention_ppm", // integer division: Column./ is double
+        expr("n_active * CAST(1000000 AS BIGINT) div cohort_size"))
+      .select("cohort_day", "day_offset", "n_active", "n_events",
+        "cohort_size", "retention_ppm")
+  }
 }

@@ -268,4 +268,24 @@ class CurationSpec extends AnyFunSuite {
       col("w"), Seq(col("src")), k = 1).collect()
     assert(ok.length == 1)
   }
+
+  test("hashedLinearScore: margin equals the sum of per-token hash weights, keeps caller columns") {
+    import graft.functions.TextOps
+    val docs = Seq((1L, "alpha beta alpha", "s0"), (2L, "gamma", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.hashedLinearScore(docs).orderBy("doc_id").collect()
+    // caller columns survive (the qualityGate convention)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "source", "margin", "predicted_keep"))
+    // replicate the weights independently: w(t) = H_7(t) % 2001 - 1000
+    def w(t: String): Long = {
+      val h = docs.sparkSession.range(1)
+        .select(TextOps.seededHash(lit(t), 7)).head().getLong(0)
+      h % 2001 - 1000
+    }
+    assert(out(0).getAs[Long]("margin") == 2 * w("alpha") + w("beta"))
+    assert(out(1).getAs[Long]("margin") == w("gamma"))
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("predicted_keep") == (r.getAs[Long]("margin") >= 0)))
+  }
 }

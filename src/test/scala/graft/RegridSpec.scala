@@ -323,4 +323,57 @@ class RegridSpec extends AnyFunSuite {
         s"($lon,$lat) -> ($lon2,$lat2)")
     }
   }
+
+  // ---- datum shift (abridged Molodensky) + composition ----
+
+  test("Molodensky WGS84->Tokyo reproduces the published ~11.6 arcsec offset over Tokyo") {
+    // EPSG Tokyo->WGS84 shift is (-146.414, 507.337, 680.507); going the
+    // other way, a point near Tokyo must move ≈ -11.6" in lat, +11.6" in
+    // lon (the classic documented Tokyo-Datum offset, ~360 m ground)
+    val t = Regrid.AbridgedMolodensky(146.414, -507.337, -680.507,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841)
+    val Seq((lon2, lat2)) = evalXform(t, Seq((139.68, 35.68)))
+    val dLatAs = (lat2 - 35.68) * 3600
+    val dLonAs = (lon2 - 139.68) * 3600
+    assert(math.abs(dLatAs - -11.65) < 0.1, s"dLat=$dLatAs arcsec")
+    assert(math.abs(dLonAs - 11.62) < 0.1, s"dLon=$dLonAs arcsec")
+  }
+
+  test("Molodensky inverse closes to sub-centimeter (abridged reciprocal)") {
+    val fwd = Regrid.AbridgedMolodensky(146.414, -507.337, -680.507,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841)
+    val pts = for (lon <- Seq(129.5, 139.68, 145.2); lat <- Seq(26.0, 35.68, 44.9))
+      yield (lon, lat)
+    val shifted = evalXform(fwd, pts)
+    val back = evalXform(fwd.inverse, shifted)
+    // the abridged formulas are reciprocal only to their own truncation
+    // order: ~1e-7 degrees (~1 cm) closure, far below the 360 m signal
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-6 && math.abs(lat - lat2) < 1e-6,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("ComposedTransform chains and inverts in the right order") {
+    // Web-Mercator -> geographic -> datum shift, inverted back
+    val chain = Regrid.ComposedTransform(
+      Regrid.GeographicFromWebMercator,
+      Regrid.AbridgedMolodensky(146.414, -507.337, -680.507,
+        Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841))
+    val pts = Seq((15550000.0, 4260000.0), (15551000.0, 4259000.0))
+    val out = evalXform(chain, pts)
+    val back = evalXform(chain.inverse, out)
+    pts.zip(back).foreach { case ((x, y), (x2, y2)) =>
+      assert(math.abs(x - x2) < 0.2 && math.abs(y - y2) < 0.2,
+        s"($x,$y) -> ($x2,$y2)") // meters; dominated by the ~1e-6 deg
+    } // Molodensky abridged-reciprocal closure (~0.1 m), not composition
+    // composition applies first-then-second: the first leg alone must
+    // reproduce the Web-Mercator inverse
+    val direct = evalXform(Regrid.GeographicFromWebMercator, pts)
+    val shiftedOnly = evalXform(Regrid.AbridgedMolodensky(146.414, -507.337, -680.507,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841), direct)
+    out.zip(shiftedOnly).foreach { case ((a1, b1), (a2, b2)) =>
+      assert(math.abs(a1 - a2) < 1e-12 && math.abs(b1 - b2) < 1e-12)
+    }
+  }
 }

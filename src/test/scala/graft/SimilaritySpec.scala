@@ -311,4 +311,33 @@ class SimilaritySpec extends AnyFunSuite {
       rows.foreach(r => assert(r(2).asInstanceOf[Long] >= 0L))
     }
   }
+
+  test("bm25TopK: hand-checked ranking, fixed-point ties, non-matching docs absent") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "apple apple banana"),       // tf(apple)=2, dl=3
+      (2L, "apple cherry cherry date"), // tf(apple)=1, dl=4
+      (3L, "banana date date date"),    // no 'apple'
+      (4L, "kiwi kiwi kiwi")            // matches nothing
+    ).toDF("doc_id", "text")
+    val qs = Seq((10L, "apple"), (20L, "banana date")).toDF("query_id", "query_text")
+    val out = Similarity.bm25TopK(docs, qs, k = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // query 10: only docs 1,2 contain 'apple'; doc 1 has higher tf AND
+    // shorter dl, so it must rank first; doc 4 must appear nowhere
+    val q10 = out.filter(_._1 == 10L)
+    assert(q10.map(x => (x._2, x._4)).toSeq == Seq((1L, 1), (2L, 2)))
+    // query 20: docs 1 (banana), 3 (banana + 3x date), 2 (date)
+    val q20 = out.filter(_._1 == 20L)
+    assert(q20.head._2 == 3L) // both terms, high tf -> first
+    assert(q20.map(_._2).toSet == Set(1L, 2L, 3L))
+    assert(!out.exists(_._2 == 4L))
+    // replicate doc 1's expected score for query 10 exactly (N=4, df=2)
+    val (k1, b) = (1.2, 0.75)
+    val avgdl = (3.0 + 4.0 + 4.0 + 3.0) / 4.0
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val c = idf * (2.0 * (k1 + 1.0)) / (2.0 + k1 * ((1.0 - b) + b * 3.0 / avgdl))
+    assert(q10.head._3 == math.floor(c * 1048576.0).toLong)
+  }
 }

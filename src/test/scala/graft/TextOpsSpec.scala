@@ -111,4 +111,33 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(fold.toSeq == relational.toSeq)
   }
+
+  test("ShinglesExpr matches the HOF spelling on non-null inputs; NULL array stays NULL") {
+    import org.apache.spark.sql.functions._
+    // the reference spelling ShinglesExpr replaced — the semantic
+    // contract for non-null inputs (short doc -> one joined shingle;
+    // null ELEMENTS skipped by concat_ws). For a NULL ARRAY the old
+    // spelling emitted [''] (legacy size(NULL) = -1 takes the short-doc
+    // branch); the expression deliberately propagates NULL instead,
+    // matching the DuckDB oracles' string_split(NULL) -> no rows.
+    def hofShingles(toks: org.apache.spark.sql.Column, k: Int) =
+      when(size(toks) < k, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    val rows = Seq(
+      "a b c d e", "a", "", "x y", "a b b a",
+      "one two three four five six seven").toDF("t")
+      .select(split($"t", " ").as("toks"))
+      .union(spark.sql("SELECT array('a', CAST(NULL AS STRING), 'c') AS toks"))
+    for (k <- Seq(1, 2, 3, 5, 8)) {
+      val got = rows.select(TextOps.shingles($"toks", k)).collect()
+        .map(_.getSeq[String](0).toList)
+      val want = rows.select(hofShingles($"toks", k)).collect()
+        .map(_.getSeq[String](0).toList)
+      assert(got.toSeq == want.toSeq, s"k=$k")
+      val nullRow = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS toks")
+        .select(TextOps.shingles($"toks", k)).collect()
+      assert(nullRow.head.isNullAt(0), s"k=$k: NULL array must stay NULL")
+    }
+  }
 }

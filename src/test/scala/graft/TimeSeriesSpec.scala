@@ -72,4 +72,27 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("depth"))).toMap
     assert(out == Map(1L -> 3, 2L -> 2, 4L -> 2))
   }
+
+  test("retentionCohorts: hand-built matrix with exact ppm") {
+    // users 1,2 start day 1 (cohort A); user 3 starts day 2 (cohort B).
+    // day 2: user 1 returns (A offset 1); day 3: users 1,3 active.
+    val df = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-01 11:00:00")),
+      (2L, ts("2024-03-01 09:00:00")),
+      (3L, ts("2024-03-02 08:00:00")),
+      (1L, ts("2024-03-02 12:00:00")),
+      (1L, ts("2024-03-03 07:00:00")), (3L, ts("2024-03-03 06:00:00"))
+    ).toDF("user_id", "ts")
+    val r = TimeSeries.retentionCohorts(df)
+      .orderBy("cohort_day", "day_offset")
+      .collect()
+      .map(x => (x.getDate(0).toString, x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    assert(r.toSeq === Seq(
+      ("2024-03-01", 0, 2L, 3L, 2L, 1000000L), // both users, 3 raw events
+      ("2024-03-01", 1, 1L, 1L, 2L, 500000L),
+      ("2024-03-01", 2, 1L, 1L, 2L, 500000L),
+      ("2024-03-02", 0, 1L, 1L, 1L, 1000000L),
+      ("2024-03-02", 1, 1L, 1L, 1L, 1000000L)))
+  }
 }
