@@ -34,4 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // suite runs that never reproduce in short local ones).
   "-XX:ReservedCodeCacheSize=512m",
   "-XX:+UseCodeCacheFlushing",
+  // HotSpot refuses to JIT methods over ~8 KB of bytecode by default;
+  // a single wide codegen'd expression (m1b's 16-tree frozen-forest CASE
+  // sum is one ~2400-node expression that cannot be split per-method)
+  // lands exactly there and runs as interpreted bytecode (~3.5 us/row
+  // measured). Standard Spark-on-wide-codegen tuning.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -22,22 +22,37 @@ object Scratch {
     }
     val docs = operators.Partitioning.spread(Tables.documents(spark, sfDir))
     def toks = gf.TextOps.tokens(col("text"))
-    import operators.Curation
+    import operators.MlOps
+    val li = Tables.lineitem(spark, sfDir)
+    val feats = Seq("l_quantity", "l_discount", "l_tax")
     for (round <- 1 to 2) {
       println(s"[scratch] --- round $round ---")
-      val passKeep = Curation.passageDupStats(docs, ngramK = 5)
-        .filter(col("dup_passage_frac") <= lit(0.5))
-        .select("doc_id")
-      time("passKeep count")(passKeep.count())
-      val clean = Curation.qualityGate(docs).filter(col("keep"))
-        .join(passKeep, Seq("doc_id"), "left_semi")
-      time("clean count")(clean.count())
-      val withSplit = clean.withColumn("split", Curation.hashSplit(clean, "doc_id"))
-      val packed = Curation.packByTokenBudget(withSplit,
-        gf.TextOps.tokenCount(col("text")), "doc_id", budget = 2048, shardCol = Some("split"))
-      time("packed count")(packed.count())
-      time("pipe2 full") {
-        SparkEntry.queries("pipe2_curation_v2")(spark, sfDir).count()
+      var model: org.apache.spark.ml.PipelineModel = null
+      time("rf fit (2% sample)") {
+        val train = li.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("label", when(col("l_returnflag") === "R", 1).otherwise(0))
+          .repartition(4)
+        model = MlOps.trainRf(train, feats, "label", numTrees = 16, maxDepth = 6)
+      }
+      time("forestRules + write") {
+        MlOps.forestRules(model, feats)
+          .write.mode("overwrite").parquet("/tmp/graft_m1b_rules")
+      }
+      val rules = spark.read.parquet("/tmp/graft_m1b_rules")
+      val census = MlOps.classifyFromRules(rules, li, feats)
+        .groupBy("pred_label").agg(count(lit(1)).as("n"))
+      time("census build+first action")(census.count())
+      time("census SAME df again")(census.count())
+      if (round == 1) {
+        val plan = census.queryExecution.executedPlan.toString
+        println("[scratch] plan has codegen stars: " +
+          plan.linesIterator.filter(_.contains("Project")).take(3).mkString(" || "))
+        val cl = MlOps.classifyFromRules(rules, li, feats)
+        println("[scratch] pred expr size: " + cl.queryExecution.analyzed.expressions
+          .map(e => e.collect { case x => x }.size).sum)
+      }
+      time("m1b full") {
+        SparkEntry.queries("m1b_frozen_forest")(spark, sfDir).count()
       }
     }
     spark.stop()

@@ -167,13 +167,24 @@ object MlOps {
   }
 
   /** Replay frozen-forest inference from a rules table (the output of
-    * [[forestRules]], typically re-read from its parquet artifact): builds
-    * one codegen'd when-chain per tree from the DRIVER-COLLECTED rules
-    * (bounded: trees × leaves rows — index metadata, the IVF-probe-cells
-    * pattern) and scores `df` as a pure map-only projection: no join, no
-    * shuffle, nothing but the scan — the right 100 TB inference shape.
-    * Adds `predCol` = argmax of summed fixed-point votes (ties → class 0,
-    * Spark's argmax-first convention).
+    * [[forestRules]], typically re-read from its parquet artifact): the
+    * DRIVER-COLLECTED rules are bounded (trees × leaves rows — index
+    * metadata, the IVF-probe-cells pattern) and scoring is a pure
+    * map-only projection: no join, no shuffle, nothing but the scan — the
+    * right 100 TB inference shape. Adds `predCol` = argmax of summed
+    * fixed-point votes (ties → class 0, Spark's argmax-first convention).
+    *
+    * The leaf boxes of one tree partition feature space by recursive
+    * binary splits, so the DECISION TREE is recoverable from the flat box
+    * table: at each step some (feature, threshold) cleanly separates the
+    * boxes (the original split), and descending it costs depth ≈ log₂
+    * comparisons per tree instead of leaves × features box tests (for a
+    * 64-leaf 3-feature tree: ~6 vs ~384 per row — measured 2× on the m1b
+    * census, and the generated code shrinks the same way). Rows outside
+    * the root box or with a NULL feature score 0 votes for the tree,
+    * exactly like the flat conjunction chain they replace (guarded once
+    * per tree, not per leaf). Box sets that don't reconstruct (foreign
+    * rules tables) fall back to the flat chain per subset.
     */
   def classifyFromRules(
       rules: DataFrame,
@@ -186,7 +197,9 @@ object MlOps {
     val loIdx = featureCols.map(c => rules.schema.fieldIndex(s"${c}_lo"))
     val hiIdx = featureCols.map(c => rules.schema.fieldIndex(s"${c}_hi"))
     val pIdx = rules.schema.fieldIndex("p1_fp")
-    val treeExprs = collected.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, leaves) =>
+    type Leaf = org.apache.spark.sql.Row
+    // exact flat replay of a leaf subset — the base/fallback form
+    def flatChain(leaves: Seq[Leaf]): Column = {
       val cases = leaves.map { r =>
         val conj = featureCols.zipWithIndex.map { case (c, i) =>
           col(c) > lit(r.getDouble(loIdx(i))) && col(c) <= lit(r.getDouble(hiIdx(i)))
@@ -196,6 +209,37 @@ object MlOps {
       cases.tail.foldLeft(when(cases.head._1, lit(cases.head._2))) {
         case (acc, (c, p)) => acc.when(c, lit(p))
       }.otherwise(lit(0L))
+    }
+    // recover a split: a (feature, threshold) with every box fully on one
+    // side and both sides nonempty; descend left when x <= t (the Spark ML
+    // ContinuousSplit convention forestRules flattened)
+    def descend(leaves: Seq[Leaf]): Column =
+      if (leaves.length == 1) lit(leaves.head.getLong(pIdx))
+      else {
+        val split = featureCols.indices.iterator.flatMap { i =>
+          leaves.iterator.map(_.getDouble(hiIdx(i))).filter(_ < 1e18).distinct
+            .map(t => (i, t))
+        }.find { case (i, t) =>
+          val (l, r) = leaves.partition(_.getDouble(hiIdx(i)) <= t)
+          l.nonEmpty && r.nonEmpty && r.forall(_.getDouble(loIdx(i)) >= t)
+        }
+        split match {
+          case Some((i, t)) =>
+            val (l, r) = leaves.partition(_.getDouble(hiIdx(i)) <= t)
+            when(col(featureCols(i)) <= lit(t), descend(l)).otherwise(descend(r))
+          case None => flatChain(leaves) // not a binary-split box set
+        }
+      }
+    val treeExprs = collected.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, leaves) =>
+      // one root-box + non-null guard per tree replaces the per-leaf
+      // conjunctions: NULL or out-of-root-box features → condition is
+      // null/false → 0 votes, identical to the flat chain
+      val rootGuard = featureCols.zipWithIndex.map { case (c, i) =>
+        val lo = leaves.map(_.getDouble(loIdx(i))).min
+        val hi = leaves.map(_.getDouble(hiIdx(i))).max
+        col(c) > lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _)
+      when(rootGuard, descend(leaves.toSeq)).otherwise(lit(0L))
     }
     val votes1 = treeExprs.reduce(_ + _)
     df.withColumn(predCol,
