@@ -1657,6 +1657,36 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM7 — baseline JPEG pixel decode (ITU-T T.81 SOF0): marker walk,
+    * standard Annex-K Huffman entropy decode with byte unstuffing +
+    * restart markers, dequantize, de-zigzag, separable float IDCT, level
+    * shift — the last pixel format after TIFF and PNG. The fixture is
+    * DC-only blocks (every AC term an exact 0.0 in the IDCT sum), so the
+    * oracle evaluates the identical one-product closed form; the entropy
+    * path (Huffman, stuffing, RST) must be invisible in the hash. The
+    * grayscale image uses a restart interval so RST handling is hashed.
+    */
+  private def mm7(s: SparkSession, d: String) = {
+    import s.implicits._
+    val qGray = Array.fill(64)(16)
+    val gray = operators.Jpeg.synthJpeg(20, 12, 1, Seq(qGray), restartInterval = 2) {
+      (_, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = ((by * 3 + bx) * 7) % 40 - 20
+        nat
+    }
+    val qLum = Array.fill(64)(10); val qChr = Array.fill(64)(12)
+    val color = operators.Jpeg.synthJpeg(16, 8, 3, Seq(qLum, qChr)) {
+      (c, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = (c * 11 + by + bx * 5) % 30 - 15
+        nat
+    }
+    operators.Jpeg.jpegToPixels(
+        Seq((1L, gray), (2L, color)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3393,6 +3423,7 @@ object SparkEntry {
     "mm4_wav_header" -> (mm4 _),
     "mm5_tiff_header" -> (mm5 _),
     "mm6_png_pixels" -> (mm6 _),
+    "mm7_jpeg_pixels" -> (mm7 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s16_shapefile" -> (s16 _),
@@ -4228,6 +4259,27 @@ object SparkEntry {
         |  CAST((id // 64 * 17 + ((id % 64) // 4) * 5 + (id % 4) * 29) % 256 AS INT)
         |FROM range(640) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
+    // mm7: DC-only baseline JPEG — the IDCT collapses to ONE product
+    // chain per pixel (C0² · dc·q · 0.25, then round+clamp), evaluated
+    // identically here; the entropy coding is invisible in the hash.
+    "mm7_jpeg_pixels" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      s"""SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 20 AS INT) AS px_row,
+        |  CAST(id % 20 AS INT) AS px_col, CAST(0 AS INT) AS channel,
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST(((((id // 20 // 8) * 3 + (id % 20 // 8)) * 7) % 40 - 20) * 16 AS DOUBLE)
+        |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS value
+        |FROM range(240) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 48 AS INT),
+        |  CAST((id % 48) // 3 AS INT), CAST(id % 3 AS INT),
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST((((id % 3) * 11 + ((id % 48) // 3 // 8) * 5) % 30 - 15)
+        |        * (CASE WHEN id % 3 = 0 THEN 10 ELSE 12 END) AS DOUBLE)
+        |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
+        |FROM range(384) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
     "mm5_tiff_header" ->
       """SELECT id AS media_id,
         |  CAST(16 + id % 32 AS INTEGER) AS width,

@@ -1,0 +1,518 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Baseline JPEG (ITU-T T.81 sequential DCT, SOF0) codec from the public
+  * spec — the last pixel-format gap after TIFF and PNG: marker walk,
+  * canonical Huffman entropy decode with byte unstuffing and restart
+  * markers, dequantize + de-zigzag, separable float IDCT, level shift.
+  *
+  * Scope (everything else FAILS CLOSED, the Tiff/Png doctrine):
+  *   - baseline sequential only (SOF0); progressive (SOF2), extended
+  *     (SOF1), arithmetic coding, and hierarchical modes are rejected
+  *   - 8-bit precision, 8-bit quantization tables (Pq=0)
+  *   - 1 component (grayscale) or 3 components with NO chroma
+  *     subsampling (all sampling factors 1×1 — "4:4:4")
+  *   - output is the RAW component plane values (Y, or Y/Cb/Cr
+  *     channel-interleaved) — color-space conversion is a separate
+  *     concern, exactly as TIFF bands are returned unconverted
+  *
+  * Determinism: the IDCT is the direct separable double-precision sum
+  * with a precomputed cosine table; for DC-only blocks every AC term is
+  * an exact 0.0, so the pixel value is one float product chain both
+  * engines replicate literally (the mm6/g6 oracle recipe). Reference:
+  * the multimodal ingest surface, SURVEY.md §2.6 (stub decode →
+  * real decode), image containers as opaque binary columns.
+  */
+object Jpeg {
+
+  // ---- shared constants ----
+
+  /** zigzag index -> natural (row-major) index */
+  val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** C(0) = 1/sqrt(2) — the DCT normalization for u = 0. */
+  val C0: Double = 1.0 / math.sqrt(2.0)
+
+  private val cosT: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  // Standard Huffman tables from T.81 Annex K.3 (the tables every
+  // baseline encoder ships): (bits[1..16], values)
+  private val StdDcLumBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcLumVals = (0 to 11).toArray
+  private val StdDcChrBits = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val StdDcChrVals = (0 to 11).toArray
+  private val StdAcLumBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcLumVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val StdAcChrBits = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val StdAcChrVals: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // ---- canonical Huffman (T.81 Annex C) ----
+
+  /** Decode-side canonical table: per code length, the first code value
+    * and the index of its first symbol.
+    */
+  private final class HuffDecode(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l)
+        k += bits(l)
+        maxCode(l) = if (bits(l) > 0) code - 1 else -1
+        code <<= 1
+      }
+    }
+    def symbol(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+    def hasLen(len: Int): Boolean = maxCode(len) >= 0
+  }
+
+  /** Encode-side canonical table: symbol -> (code, length). */
+  private final class HuffEncode(bits: Array[Int], vals: Array[Int]) {
+    val codeOf = new java.util.HashMap[Int, (Int, Int)]()
+    locally {
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < bits(l)) {
+          codeOf.put(vals(k), (code, l)); code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+    }
+  }
+
+  // ---- decode ----
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    var restartHit = false
+    def align(): Unit = { bitBuf = 0; bitCnt = 0 }
+    /** next entropy bit; handles 0xFF00 stuffing; stops at markers */
+    def bit(): Int = {
+      if (bitCnt == 0) {
+        require(pos < data.length, "entropy stream ran out")
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "truncated after 0xFF")
+          val m = data(pos) & 0xff
+          if (m == 0x00) { pos += 1 } // stuffed data byte
+          else if (m >= 0xd0 && m <= 0xd7) { // RSTn inside refill
+            pos += 1; restartHit = true
+            require(pos < data.length, "truncated after RST")
+            b = data(pos) & 0xff; pos += 1
+            if (b == 0xff) { require((data(pos) & 0xff) == 0x00, "marker in scan"); pos += 1 }
+          } else throw new IllegalArgumentException(
+            f"unexpected marker 0xFF$m%02X inside entropy data")
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+    def huff(t: HuffDecode): Int = {
+      var code = bit(); var len = 1
+      while (!(t.hasLen(len) && code <= t.maxCode(len))) {
+        require(len < 16, "invalid Huffman code")
+        code = (code << 1) | bit(); len += 1
+      }
+      t.symbol(len, code)
+    }
+    /** consume an expected RSTn between intervals */
+    def restart(): Unit = {
+      align()
+      if (restartHit) { restartHit = false; return } // consumed during refill
+      require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff, "expected RST marker")
+      val m = data(pos + 1) & 0xff
+      require(m >= 0xd0 && m <= 0xd7, f"expected RSTn, got 0xFF$m%02X")
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline JPEG to (width, height, channels, row-major
+    * channel-interleaved raw component bytes) — Y for grayscale, Y/Cb/Cr
+    * (unconverted) for color.
+    */
+  def decodeJpegPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI)")
+    var pos = 2
+    val qt = new Array[Array[Int]](4)
+    val dcTbl = new Array[HuffDecode](4)
+    val acTbl = new Array[HuffDecode](4)
+    var w = 0; var h = 0; var ncomp = 0
+    var compQ: Array[Int] = null
+    var compId: Array[Int] = null
+    var restartInterval = 0
+    var sofSeen = false
+
+    def be16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+
+    var scanStart = -1
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    while (scanStart < 0) {
+      require(pos + 4 <= bytes.length, "truncated before SOS")
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      val len = be16(pos + 2)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        f"segment 0xFF$m%02X overruns the file")
+      val seg = pos + 4
+      m match {
+        case 0xdb => // DQT
+          var o = seg
+          while (o < pos + 2 + len) {
+            val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
+            require(pq == 0, "16-bit quantization tables unsupported")
+            qt(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+            o += 65
+          }
+        case 0xc4 => // DHT
+          var o = seg
+          while (o < pos + 2 + len) {
+            val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
+            val bits = new Array[Int](17)
+            var total = 0
+            for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
+            val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+            val t = new HuffDecode(bits, vals)
+            if (tc == 0) dcTbl(th) = t else acTbl(th) = t
+            o += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          require(!sofSeen, "multiple SOF segments")
+          require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+          h = be16(seg + 1); w = be16(seg + 3)
+          ncomp = bytes(seg + 5) & 0xff
+          require(ncomp == 1 || ncomp == 3, s"$ncomp components unsupported (1 or 3)")
+          compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+          for (i <- 0 until ncomp) {
+            compId(i) = bytes(seg + 6 + 3 * i) & 0xff
+            val hv = bytes(seg + 7 + 3 * i) & 0xff
+            require(hv == 0x11, "chroma subsampling unsupported (4:4:4 only)")
+            compQ(i) = bytes(seg + 8 + 3 * i) & 0xff
+          }
+          sofSeen = true
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException(
+            f"SOF 0xFF$m%02X unsupported (baseline sequential SOF0 only)")
+        case 0xdd => restartInterval = be16(seg)
+        case 0xda => // SOS
+          require(sofSeen, "SOS before SOF0")
+          val ns = bytes(seg) & 0xff
+          require(ns == ncomp, "partial scans unsupported")
+          compDc = new Array[Int](ncomp); compAc = new Array[Int](ncomp)
+          for (i <- 0 until ns) {
+            val cid = bytes(seg + 1 + 2 * i) & 0xff
+            val ti = compId.indexOf(cid)
+            require(ti >= 0, s"SOS references unknown component $cid")
+            compDc(ti) = (bytes(seg + 2 + 2 * i) & 0xff) >> 4
+            compAc(ti) = bytes(seg + 2 + 2 * i) & 0x0f
+          }
+          require((bytes(seg + 1 + 2 * ns) & 0xff) == 0 &&
+            (bytes(seg + 2 + 2 * ns) & 0xff) == 63,
+            "spectral selection must be 0..63 (baseline)")
+          scanStart = pos + 2 + len
+        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
+        case _ => // APPn, COM, others: skip
+      }
+      pos += 2 + len
+    }
+
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val out = new Array[Byte](w * h * ncomp)
+    val rd = new BitReader(bytes, scanStart)
+    val dcPred = new Array[Int](ncomp)
+    val coef = new Array[Int](64)
+    val pix = Array.ofDim[Double](8, 8)
+    var mcu = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          rd.restart()
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ci = 0
+        while (ci < ncomp) {
+          java.util.Arrays.fill(coef, 0)
+          val q = qt(compQ(ci))
+          require(q != null, s"missing quant table ${compQ(ci)}")
+          // DC
+          val s = rd.huff(dcTbl(compDc(ci)))
+          val diff = extend(rd.bits(s), s)
+          dcPred(ci) += diff
+          coef(0) = dcPred(ci) * q(0)
+          // AC
+          var k = 1
+          while (k < 64) {
+            val rs = rd.huff(acTbl(compAc(ci)))
+            val r = rs >> 4; val sz = rs & 0x0f
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += r
+              require(k < 64, "AC run overflows the block")
+              coef(Zigzag(k)) = extend(rd.bits(sz), sz) * q(k)
+              k += 1
+            }
+          }
+          // IDCT (direct separable double sum; DC-only blocks stay exact)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = coef(v * 8 + u)
+                  if (f != 0) {
+                    val cu = if (u == 0) C0 else 1.0
+                    val cv = if (v == 0) C0 else 1.0
+                    sum += cu * cv * f.toDouble * cosT(x)(u) * cosT(y)(v)
+                  }
+                  u += 1
+                }
+                v += 1
+              }
+              pix(y)(x) = sum * 0.25
+              x += 1
+            }
+            y += 1
+          }
+          // place (clip partial edge blocks)
+          var yy = 0
+          while (yy < 8) {
+            val row = by * 8 + yy
+            if (row < h) {
+              var xx = 0
+              while (xx < 8) {
+                val colp = bx * 8 + xx
+                if (colp < w) {
+                  val p = Math.round(pix(yy)(xx) + 128.0).toInt
+                  out((row * w + colp) * ncomp + ci) =
+                    math.max(0, math.min(255, p)).toByte
+                }
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, ncomp, out)
+  }
+
+  // ---- encode (tests/oracles — the synthPng pattern) ----
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((code >> i) & 1); cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0x00) // byte stuffing
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (cnt > 0) { // pad with 1s (spec convention)
+      buf = (buf << (8 - cnt)) | ((1 << (8 - cnt)) - 1)
+      out.write(buf)
+      if (buf == 0xff) out.write(0x00)
+      buf = 0; cnt = 0
+    }
+  }
+
+  private def category(v: Int): Int = {
+    var s = 0; var a = math.abs(v)
+    while (a > 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Build a baseline JPEG from QUANTIZED coefficients (natural order,
+    * 64 per block) via `coefOf(comp, blockRow, blockCol)`. Standard
+    * Annex K Huffman tables; `quant` are the 8-bit quantization tables
+    * in zigzag order (table 0 for component 0, table 1 for 1/2).
+    * `restartInterval` > 0 emits DRI + RSTn markers.
+    */
+  def synthJpeg(
+      width: Int, height: Int, components: Int,
+      quant: Seq[Array[Int]],
+      restartInterval: Int = 0)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    require(components == 1 || components == 3, "1 or 3 components")
+    require(quant.nonEmpty && quant.forall(_.length == 64), "need 64-entry zigzag quant tables")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    // DQT
+    for ((q, ti) <- quant.zipWithIndex) {
+      marker(0xdb); be16(2 + 65)
+      out.write(ti)
+      q.foreach(out.write)
+    }
+    // DHT: 4 standard tables
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | th)
+      for (l <- 1 to 16) out.write(bits(l))
+      vals.foreach(out.write)
+    }
+    dht(0, 0, StdDcLumBits, StdDcLumVals)
+    dht(1, 0, StdAcLumBits, StdAcLumVals)
+    if (components == 3) {
+      dht(0, 1, StdDcChrBits, StdDcChrVals)
+      dht(1, 1, StdAcChrBits, StdAcChrVals)
+    }
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    // SOF0
+    marker(0xc0); be16(8 + 3 * components)
+    out.write(8); be16(height); be16(width); out.write(components)
+    for (c <- 0 until components)
+      { out.write(c + 1); out.write(0x11); out.write(math.min(c, quant.length - 1)) }
+    // SOS
+    marker(0xda); be16(6 + 2 * components)
+    out.write(components)
+    for (c <- 0 until components) {
+      val t = if (c == 0) 0 else 1
+      out.write(c + 1); out.write((t << 4) | t)
+    }
+    out.write(0); out.write(63); out.write(0)
+    // entropy data
+    val dcEnc = Array(new HuffEncode(StdDcLumBits, StdDcLumVals),
+      new HuffEncode(StdDcChrBits, StdDcChrVals))
+    val acEnc = Array(new HuffEncode(StdAcLumBits, StdAcLumVals),
+      new HuffEncode(StdAcChrBits, StdAcChrVals))
+    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    var wtr = new BitWriter(out)
+    val dcPred = new Array[Int](components)
+    var mcu = 0
+    var rstIdx = 0
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        wtr.flush()
+        marker(0xd0 + (rstIdx % 8)); rstIdx += 1
+        wtr = new BitWriter(out)
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      for (c <- 0 until components) {
+        val ti = if (c == 0) 0 else 1
+        val nat = coefOf(c, by, bx)
+        require(nat.length == 64, "coefOf must return 64 naturals")
+        val zz = Array.tabulate(64)(i => nat(Zigzag(i)))
+        // DC
+        val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
+        val s = category(diff)
+        val (dc, dl) = dcEnc(ti).codeOf.get(s)
+        wtr.put(dc, dl)
+        if (s > 0) wtr.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC
+        var k = 1
+        while (k < 64) {
+          var run = 0
+          while (k < 64 && zz(k) == 0) { k += 1; run += 1 }
+          if (k == 64) {
+            val (c0, l0) = acEnc(ti).codeOf.get(0x00) // EOB
+            wtr.put(c0, l0)
+          } else {
+            while (run >= 16) {
+              val (cz, lz) = acEnc(ti).codeOf.get(0xf0) // ZRL
+              wtr.put(cz, lz); run -= 16
+            }
+            val sz = category(zz(k))
+            val (ca, la) = acEnc(ti).codeOf.get((run << 4) | sz)
+            wtr.put(ca, la)
+            wtr.put(if (zz(k) < 0) zz(k) + (1 << sz) - 1 else zz(k), sz)
+            k += 1
+          }
+        }
+      }
+      mcu += 1
+    }
+    wtr.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** JPEG binary column → raw component pixel rows (pass-through columns
+    * preserved; one row per (px_row, px_col, channel)). Generator shape
+    * like pngToPixels/tiffToBlocks: flatMap, zero shuffle.
+    */
+  def jpegToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("px_row", IntegerType, nullable = false),
+      StructField("px_col", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (w, h, ch, px) = decodeJpegPixels(r.getAs[Array[Byte]](bytesIdx))
+      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
+        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k) & 0xff))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

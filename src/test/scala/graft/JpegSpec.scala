@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.Jpeg
+import org.scalatest.funsuite.AnyFunSuite
+
+class JpegSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent IDCT reference — same formula, written as the plain
+    * spec sum so the decoder's skip-zeros/loop-order must agree.
+    */
+  private def refIdct(coefNat: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8) {
+        val cu = if (u == 0) Jpeg.C0 else 1.0
+        val cv = if (v == 0) Jpeg.C0 else 1.0
+        s += cu * cv * coefNat(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      }
+      val p = Math.round(s * 0.25 + 128.0).toInt
+      out(y * 8 + x) = math.max(0, math.min(255, p))
+    }
+    out
+  }
+
+  private def dequant(quantZig: Array[Int], coefNat: Array[Int]): Array[Int] =
+    Array.tabulate(64) { nat =>
+      val zig = Jpeg.Zigzag.indexOf(nat)
+      coefNat(nat) * quantZig(zig)
+    }
+
+  test("full AC round trip: encode quantized coefficients, decode, match the reference IDCT") {
+    val q = Array.tabulate(64)(i => 8 + (i % 5)) // non-uniform zigzag table
+    // a dense block exercising positive/negative ACs across categories,
+    // plus a high-frequency tail that forces ZRL runs
+    val block0 = new Array[Int](64)
+    block0(0) = 37; block0(1) = -21; block0(8) = 13; block0(9) = -5
+    block0(2) = 3; block0(16) = -1; block0(63) = 2 // long zero run then tail
+    val block1 = new Array[Int](64)
+    block1(0) = -44; block1(10) = 7; block1(33) = -9
+    val blocks = Map((0, 0) -> block0, (0, 1) -> block1)
+    val jpg = Jpeg.synthJpeg(16, 8, 1, Seq(q)) { (_, by, bx) => blocks((by, bx)) }
+    val (w, h, ch, px) = Jpeg.decodeJpegPixels(jpg)
+    assert((w, h, ch) == (16, 8, 1))
+    for ((bx, blk) <- Seq(0 -> block0, 1 -> block1)) {
+      val want = refIdct(dequant(q, blk))
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert((px((y * 16 + bx * 8 + x)) & 0xff) == want(y * 8 + x),
+          s"block $bx pixel ($y,$x)")
+    }
+  }
+
+  test("byte stuffing: DC values whose entropy bytes hit 0xFF survive") {
+    // scan many DC values so some produce 0xFF entropy bytes (the
+    // stuffed-byte path must round-trip every one)
+    val q = Array.fill(64)(1)
+    for (dc <- -255 to 255 by 13) {
+      val nat = new Array[Int](64); nat(0) = dc
+      val jpg = Jpeg.synthJpeg(8, 8, 1, Seq(q)) { (_, _, _) => nat }
+      val (_, _, _, px) = Jpeg.decodeJpegPixels(jpg)
+      val want = math.max(0, math.min(255,
+        Math.round((Jpeg.C0 * Jpeg.C0 * dc.toDouble) * 0.25 + 128.0).toInt))
+      assert((px(0) & 0xff) == want, s"dc=$dc")
+    }
+  }
+
+  test("restart markers reset DC predictors at each interval") {
+    val q = Array.fill(64)(4)
+    // 4 blocks wide, interval 2: predictors must reset between MCUs 1|2;
+    // values chosen so a stale predictor would visibly corrupt block 2
+    val dcs = Array(100, -100, 90, -90)
+    val jpg = Jpeg.synthJpeg(32, 8, 1, Seq(q), restartInterval = 2) { (_, _, bx) =>
+      val nat = new Array[Int](64); nat(0) = dcs(bx); nat
+    }
+    val (_, _, _, px) = Jpeg.decodeJpegPixels(jpg)
+    for (bx <- 0 until 4) {
+      val want = math.max(0, math.min(255,
+        Math.round((Jpeg.C0 * Jpeg.C0 * (dcs(bx) * 4).toDouble) * 0.25 + 128.0).toInt))
+      assert((px(bx * 8) & 0xff) == want, s"block $bx")
+    }
+  }
+
+  test("color 4:4:4: three raw component planes decode independently") {
+    val jpg = Jpeg.synthJpeg(8, 8, 3, Seq(Array.fill(64)(2), Array.fill(64)(3))) {
+      (c, _, _) => val nat = new Array[Int](64); nat(0) = 10 * (c + 1); nat
+    }
+    val (w, h, ch, px) = Jpeg.decodeJpegPixels(jpg)
+    assert((w, h, ch) == (8, 8, 3))
+    for (c <- 0 until 3) {
+      val qv = if (c == 0) 2 else 3
+      val want = Math.round((Jpeg.C0 * Jpeg.C0 * (10 * (c + 1) * qv).toDouble) * 0.25 + 128.0).toInt
+      assert((px(c) & 0xff) == want, s"component $c")
+    }
+  }
+
+  test("partial edge blocks clip to the image rectangle") {
+    val q = Array.fill(64)(16)
+    val jpg = Jpeg.synthJpeg(10, 5, 1, Seq(q)) { (_, _, bx) =>
+      val nat = new Array[Int](64); nat(0) = if (bx == 0) 8 else -8; nat
+    }
+    val (w, h, ch, px) = Jpeg.decodeJpegPixels(jpg)
+    assert((w, h, ch) == (10, 5, 1) && px.length == 50)
+    val hi = Math.round((Jpeg.C0 * Jpeg.C0 * 128.0) * 0.25 + 128.0).toInt
+    val lo = Math.round((Jpeg.C0 * Jpeg.C0 * -128.0) * 0.25 + 128.0).toInt
+    assert((px(0) & 0xff) == hi && (px(9) & 0xff) == lo)
+  }
+
+  test("fail closed: progressive, subsampling, 16-bit DQT, truncation") {
+    val q = Array.fill(64)(16)
+    val ok = Jpeg.synthJpeg(8, 8, 1, Seq(q)) { (_, _, _) => new Array[Int](64) }
+    // flip SOF0 -> SOF2 (progressive)
+    val prog = ok.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(prog))
+    // flip the sampling byte to 2x2
+    val sub = ok.clone()
+    sub(sofAt + 11) = 0x22.toByte
+    intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(sub))
+    // 16-bit quant table precision
+    val dqtAt = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xdb).get
+    val wq = ok.clone()
+    wq(dqtAt + 4) = 0x10.toByte
+    intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(wq))
+    // truncated entropy stream
+    intercept[IllegalArgumentException](
+      Jpeg.decodeJpegPixels(ok.take(ok.length - 6)))
+    // not a JPEG at all
+    intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(Array[Byte](1, 2, 3)))
+  }
+
+  test("jpegToPixels: DataFrame surface preserves pass-through columns") {
+    val q = Array.fill(64)(16)
+    val jpg = Jpeg.synthJpeg(8, 8, 1, Seq(q)) { (_, _, _) =>
+      val nat = new Array[Int](64); nat(0) = 4; nat
+    }
+    val out = Jpeg.jpegToPixels(Seq((7L, "a", jpg)).toDF("media_id", "tag", "bytes"))
+      .collect()
+    assert(out.length == 64)
+    assert(out.forall(r => r.getLong(0) == 7L && r.getString(1) == "a"))
+    val want = Math.round((Jpeg.C0 * Jpeg.C0 * 64.0) * 0.25 + 128.0).toInt
+    assert(out.forall(_.getInt(5) == want))
+  }
+}

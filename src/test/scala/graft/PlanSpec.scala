@@ -257,4 +257,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"pipe4 must join mask and bands on keys only:\n$plan")
   }
+
+  test("bm25: corpus occurrences are broadcast-restricted to query terms BEFORE any exchange") {
+    val q = SparkEntry.queries("bm25_1_ranked_retrieval")(spark, sf)
+    q.collect() // finalize adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    // the query-vocabulary restriction and the df/qterm lookups are all
+    // broadcast joins; the only wide exchanges are the post-restriction
+    // aggregations and the k-capped ranking — never the raw corpus
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"vocab/df/qterm joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+    // the documents scan must feed a broadcast join before reaching any
+    // hash exchange: no exchange may carry the full tokenized corpus —
+    // check that no SortMergeJoin appears anywhere (corpus-side merge
+    // join would mean the posting table shuffled pre-restriction)
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side merge join:\n$plan")
+  }
+
+  test("qc1 margin scoring is a zero-shuffle projection up to the census agg") {
+    val docs = Tables.documents(spark, sf)
+    val scored = Curation.hashedLinearScore(docs)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"inference must not shuffle:\n$plan")
+    // margin must be evaluated ONCE: the staging projection survives
+    // CollapseProject (non-cheap fold referenced twice)
+    assert("aggregate\\(".r.findAllIn(plan.toLowerCase).size <= 2,
+      s"margin fold inlined more than once:\n$plan")
+  }
+
+  test("passageDupStats: exactly two hash exchanges (gram window + per-doc agg)") {
+    val plan = Curation.passageDupStats(Tables.documents(spark, sf), ngramK = 5)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 2, s"expected exactly 2 shuffles:\n$plan")
+    // both window functions share the gram exchange AND its sort: at most
+    // one Sort below the windows
+    assert("Sort ".r.findAllIn(plan).size <= 1,
+      s"second window must reuse the (gram, doc) sort:\n$plan")
+  }
+
+  test("retentionCohorts: no countDistinct expand, windows stay cohort-partitioned") {
+    val plan = SparkEntry.queries("cohort1_retention")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"distinct expand crept in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.contains("rangepartitioning"), s"single-reducer window:\n$plan")
+  }
 }
