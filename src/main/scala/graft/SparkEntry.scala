@@ -3088,6 +3088,32 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G10 — FOURTH named-CRS family: ellipsoidal two-parallel Albers
+    * equal-area conic (Snyder 14-8..14-11 + the authalic-latitude series
+    * 3-18 — EPSG:5070's projection, the standard CONUS statistics CRS;
+    * the conic preserving AREA where Lambert preserves shape). Master
+    * grid in AEA(29.5°,45.5°, origin 23°/−96°) metres over Kansas,
+    * geographic aux; closed-form inverse, no per-row iteration; fixture
+    * margins ≥ 1.3e-3 cell-fractions.
+    */
+  private def g10(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(-138500.0, 1703200.0, 100.0, 100.0),
+      operators.Regrid.GridDef(-97.6, 38.35, 0.001, 0.0007),
+      operators.Regrid.GeographicFromAlbers(
+        operators.Regrid.AeaParams(29.5, 45.5, 23.0, -96.0)),
+      Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3417,6 +3443,7 @@ object SparkEntry {
     "g7_webmercator_reproject" -> (g7 _),
     "g8_lambert_reproject" -> (g8 _),
     "g9_datum_shift" -> (g9 _),
+    "g10_albers_reproject" -> (g10 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -4824,6 +4851,38 @@ object SparkEntry {
         |FROM t LEFT JOIN aux a
         |  ON a.ar = CAST(floor((35.677 - lat) / 0.0007) AS INT)
         | AND a.ac = CAST(floor((lon - 139.683) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
+    // g10: the Albers equal-area inverse (Snyder 14-8..14-11 + authalic
+    // series 3-18) as the identical closed form, constants interpolated.
+    "g10_albers_reproject" -> {
+      import operators.Regrid.Utm
+      val p = operators.Regrid.AeaParams(29.5, 45.5, 23.0, -96.0)
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    -138500.0 + (CAST(px_col AS DOUBLE) + 0.5) * 100.0 AS cx,
+        |    1703200.0 - (CAST(px_row AS DOUBLE) + 0.5) * 100.0 AS cy FROM master),
+        |f1 AS (SELECT px_row, px_col,
+        |    cx - 0.0 AS xp, ${p.rho0} - (cy - 0.0) AS yp FROM c),
+        |f2 AS (SELECT px_row, px_col, xp, yp,
+        |    sqrt(xp * xp + yp * yp) AS rho FROM f1),
+        |f3 AS (SELECT px_row, px_col, xp, yp,
+        |    asin(((${p.bigC} - rho * rho * ${p.n} * ${p.n} / ${p.a * p.a}) / ${p.n})
+        |      / ${p.qPole}) AS beta FROM f2),
+        |t AS (SELECT px_row, px_col,
+        |    ${p.lon0Deg} + atan2(xp, yp) / ${p.n} / ${Utm.Deg2Rad} AS lon,
+        |    (beta + ${p.B2} * sin(2.0 * beta) + ${p.B4} * sin(4.0 * beta)
+        |          + ${p.B6} * sin(6.0 * beta)) / ${Utm.Deg2Rad} AS lat
+        |  FROM f3)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((38.35 - lat) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon - (-97.6)) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit

@@ -397,6 +397,89 @@ object Regrid {
     def inverse: Transform2D = LambertConformalFromGeographic(p)
   }
 
+  /** Constants for one parameterization of the ellipsoidal two-parallel
+    * ALBERS EQUAL-AREA conic (Snyder 14-1..14-11 + the authalic-latitude
+    * series 3-18) — the projection every CONUS-wide statistics product
+    * ships in (the conic that preserves AREA where Lambert preserves
+    * shape). Same driver-double-constants discipline as [[LccParams]].
+    */
+  final case class AeaParams(
+      phi1Deg: Double, phi2Deg: Double,
+      phi0Deg: Double, lon0Deg: Double,
+      falseEasting: Double = 0.0, falseNorthing: Double = 0.0,
+      a: Double = Utm.A, e2: Double = Utm.E2) {
+    import Utm.Deg2Rad
+    require(phi1Deg != -phi2Deg,
+      s"Albers standard parallels must not be opposite ($phi1Deg, $phi2Deg)")
+    val e: Double = math.sqrt(e2)
+    /** Snyder 3-12: q(φ), the authalic-latitude kernel. */
+    def qOf(phiDeg: Double): Double = {
+      val s = math.sin(phiDeg * Deg2Rad)
+      (1 - e2) * (s / (1 - e2 * s * s) -
+        (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s)))
+    }
+    private def mOf(phiDeg: Double): Double = {
+      val phi = phiDeg * Deg2Rad
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    }
+    val n: Double =
+      if (phi1Deg == phi2Deg) math.sin(phi1Deg * Deg2Rad)
+      else {
+        val m1 = mOf(phi1Deg); val m2 = mOf(phi2Deg)
+        (m1 * m1 - m2 * m2) / (qOf(phi2Deg) - qOf(phi1Deg))
+      }
+    val bigC: Double = { val m1 = mOf(phi1Deg); m1 * m1 + n * qOf(phi1Deg) }
+    val rho0: Double = a * math.sqrt(bigC - n * qOf(phi0Deg)) / n
+    /** q at the pole (Snyder 3-13 limit) — the asin normalizer. */
+    val qPole: Double = 1 - ((1 - e2) / (2 * e)) * math.log((1 - e) / (1 + e))
+    // authalic → geodetic latitude series coefficients (Snyder 3-18)
+    val B2: Double = e2 / 3 + 31 * e2 * e2 / 180 + 517 * e2 * e2 * e2 / 5040
+    val B4: Double = 23 * e2 * e2 / 360 + 251 * e2 * e2 * e2 / 3780
+    val B6: Double = 761 * e2 * e2 * e2 / 45360
+    /** scale along the parallel, k = ρ·n/(a·m) — 1 exactly at φ1, φ2. */
+    def scaleAt(phiDeg: Double): Double =
+      math.sqrt(bigC - n * qOf(phiDeg)) / mOf(phiDeg)
+  }
+
+  /** Geographic (lon°, lat°) → Albers equal-area (x, y) meters (Snyder
+    * 14-1..14-4): ρ = a√(C−nq)/n, θ = n(λ−λ0). FOURTH named-CRS family
+    * through the Transform2D seam.
+    */
+  final case class AlbersFromGeographic(p: AeaParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val s = sin(lat * lit(Deg2Rad))
+      val q = lit(1 - p.e2) * (s / (lit(1.0) - lit(p.e2) * s * s) -
+        lit(1 / (2 * p.e)) * log((lit(1.0) - lit(p.e) * s) / (lit(1.0) + lit(p.e) * s)))
+      val rho = lit(p.a) * sqrt(lit(p.bigC) - lit(p.n) * q) / lit(p.n)
+      val theta = lit(p.n) * (lon - lit(p.lon0Deg)) * lit(Deg2Rad)
+      (lit(p.falseEasting) + rho * sin(theta),
+        lit(p.falseNorthing) + lit(p.rho0) - rho * cos(theta))
+    }
+    def inverse: Transform2D = GeographicFromAlbers(p)
+  }
+
+  /** Albers (x, y) meters → geographic (Snyder 14-8..14-11 + series
+    * 3-18, closed form — no iteration): q = (C − ρ²n²/a²)/n,
+    * β = asin(q/q_p), φ = β + B2·sin2β + B4·sin4β + B6·sin6β.
+    */
+  final case class GeographicFromAlbers(p: AeaParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val xp = x - lit(p.falseEasting)
+      val yp = lit(p.rho0) - (y - lit(p.falseNorthing))
+      val sgn = if (p.n >= 0) 1.0 else -1.0
+      val rho = lit(sgn) * sqrt(xp * xp + yp * yp)
+      val theta = atan2(lit(sgn) * xp, lit(sgn) * yp)
+      val q = (lit(p.bigC) - rho * rho * lit(p.n) * lit(p.n) / lit(p.a * p.a)) / lit(p.n)
+      val beta = asin(q / lit(p.qPole))
+      val phi = beta + lit(p.B2) * sin(lit(2.0) * beta) +
+        lit(p.B4) * sin(lit(4.0) * beta) + lit(p.B6) * sin(lit(6.0) * beta)
+      (lit(p.lon0Deg) + theta / lit(p.n) / lit(Deg2Rad), phi / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = AlbersFromGeographic(p)
+  }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.

@@ -324,6 +324,63 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  // ---- Albers equal-area conic (Snyder 14-1..14-11, 3-18) ----
+
+  test("Albers invariants: unit scale on both standard parallels, origin anchor") {
+    val p = Regrid.AeaParams(29.5, 45.5, 23.0, -96.0)
+    assert(math.abs(p.scaleAt(29.5) - 1.0) < 1e-12)
+    assert(math.abs(p.scaleAt(45.5) - 1.0) < 1e-12)
+    // between the parallels the PARALLEL scale dips below 1 (meridian
+    // scale is its reciprocal — that's the equal-area property)
+    assert(p.scaleAt(37.5) < 1.0 && p.scaleAt(23.0) > 1.0 && p.scaleAt(49.0) > 1.0)
+    val out = evalXform(Regrid.AlbersFromGeographic(p), Seq((-96.0, 23.0)))
+    assert(math.abs(out(0)._1) < 1e-9 && math.abs(out(0)._2) < 1e-9)
+  }
+
+  test("Albers preserves area: a small quad keeps its ellipsoid area on the plane") {
+    // equal-area acid test: the projected area of a small geographic
+    // quad equals its authalic-sphere area to first order, anywhere in
+    // the cone — compare two quads far apart in latitude
+    val p = Regrid.AeaParams(29.5, 45.5, 23.0, -96.0)
+    val fwd = Regrid.AlbersFromGeographic(p)
+    def quadArea(lon: Double, lat: Double, d: Double): Double = {
+      val pts = evalXform(fwd, Seq((lon, lat), (lon + d, lat), (lon + d, lat + d), (lon, lat + d)))
+      // shoelace
+      math.abs((0 until 4).map { i =>
+        val (x1, y1) = pts(i); val (x2, y2) = pts((i + 1) % 4)
+        x1 * y2 - x2 * y1
+      }.sum / 2)
+    }
+    // ellipsoid patch area: dA = M·N·cosφ dφ dλ (exact to first order)
+    def patchArea(lat: Double, d: Double): Double = {
+      val phi = lat * math.Pi / 180
+      val s = math.sin(phi)
+      val w2 = 1 - Regrid.Utm.E2 * s * s
+      val m = Regrid.Utm.A * (1 - Regrid.Utm.E2) / (w2 * math.sqrt(w2))
+      val n = Regrid.Utm.A / math.sqrt(w2)
+      val dr = d * math.Pi / 180
+      m * n * math.cos(phi + dr / 2) * dr * dr
+    }
+    for (lat <- Seq(25.0, 37.5, 48.0)) {
+      val got = quadArea(-96.0, lat, 0.01)
+      val want = patchArea(lat, 0.01)
+      assert(math.abs(got / want - 1.0) < 1e-5, s"lat=$lat got=$got want=$want")
+    }
+  }
+
+  test("Albers forward/inverse round-trip (series truncation ~1e-8 deg)") {
+    val p = Regrid.AeaParams(29.5, 45.5, 23.0, -96.0)
+    val fwd = Regrid.AlbersFromGeographic(p)
+    val pts = for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(24.0, 29.5, 38.35, 45.5, 52.0))
+      yield (lon, lat)
+    val xy = evalXform(fwd, pts)
+    val back = evalXform(fwd.inverse, xy)
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-7 && math.abs(lat - lat2) < 1e-7,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
   // ---- datum shift (abridged Molodensky) + composition ----
 
   test("Molodensky WGS84->Tokyo reproduces the published ~11.6 arcsec offset over Tokyo") {
