@@ -113,24 +113,37 @@ object Bench {
     // fixed name order: Map iteration order varies with build, which made
     // round-over-round per-query deltas partly an artifact of which query
     // paid session-warmup costs
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Per-query exceptions are NEVER anonymous: every throw is recorded
+    // (query name, class, message, first in-repo trace frame) and dumped
+    // to _bench_errors.json + counted in the metric line — the r7 bench
+    // log ended with an unattributable stack trace because this swallowed
+    // Throwable silently.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          val frame = e.getStackTrace.find(_.getClassName.startsWith("graft"))
+            .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+            .getOrElse("<no graft frame>")
+          errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)} @ $frame"
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t = (1 to repeat).map(_ => timeOnce(fn)).last
+      val t = (1 to repeat).map(_ => timeOnce(name, fn)).last
       // The shared host has multi-second CPU-steal bursts (measured: the
       // same query 0.75 s and 9.4 s minutes apart). A single polluted
       // sample would misreport a query for the whole round, so anything
       // slow on its first run gets ONE confirming re-run and reports the
       // min — genuinely heavy queries change little, noise-hit ones are
       // rescued. Skipped when REPEAT is set (local bisection mode).
-      var tFinal = if (repeat == 1 && t > 1.5) math.min(t, timeOnce(fn)) else t
+      var tFinal = if (repeat == 1 && t > 1.5) math.min(t, timeOnce(name, fn)) else t
       // Extreme outlier (no query should exceed ~8 s warm at sf0.1): one
       // more confirming sample — a minutes-long steal burst can poison two
       // back-to-back runs, and a genuinely heavy query loses nothing.
-      if (repeat == 1 && tFinal > 8.0) tFinal = math.min(tFinal, timeOnce(fn))
+      if (repeat == 1 && tFinal > 8.0) tFinal = math.min(tFinal, timeOnce(name, fn))
       name -> tFinal
     }
     // The driver captures only the last ~2000 chars of stdout; rounds 1-3
@@ -141,17 +154,37 @@ object Bench {
     // ones were dropped (every omitted query is faster than every kept
     // one). The complete map still lands in BENCH_LOCAL.json.
     def s3(v: Double): String = f"$v%.3f"
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // provenance: the driver invokes Bench with no REPEAT (cold, one JVM);
+    // a local warm re-run sets SPARK_GRAFT_BENCH_REPEAT>1 — labeling the
+    // artifact distinguishes the two (the r6/r7 verdicts flagged byte-copy
+    // BENCH_LOCALs as unverifiable).
+    val source = if (repeat > 1) "local-warm" else "driver-cold"
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + s3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"omitted_fastest":$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"omitted_fastest":$omitted,"source":"$source","repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val byTime = results.sortBy(-_._2)
     var kept = byTime
     while (kept.nonEmpty && render(kept, results.size - kept.size).length > budget)
       kept = kept.dropRight(1)
+    // error sidecar BEFORE the metric line, so a crash after this point
+    // still leaves the evidence on disk
+    try {
+      val w = new java.io.PrintWriter("_bench_errors.json")
+      try w.println(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }
+        .mkString("{", ",", "}")) finally w.close()
+    } catch { case _: Throwable => }
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries threw: " +
+        errors.map { case (n, e) => s"$n -> $e" }.mkString("; ").take(1000))
     println(render(kept, results.size - kept.size))
     // complete map on disk (committed to the repo for the judge)
     try {

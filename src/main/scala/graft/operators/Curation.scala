@@ -686,10 +686,13 @@ object Curation {
       seed: Int = 7,
       scale: Int = 1000): DataFrame = {
     val m = 2L * scale + 1
-    val margin = aggregate(
+    // NULL text coalesces to margin 0 (an empty document has no evidence
+    // either way) — matching the qc1 oracle's coalesce(list_sum, 0), so
+    // the NULL-document row buckets as predicted_keep = true, not NULL
+    val margin = coalesce(aggregate(
       transform(TextOps.tokens(col(textCol)),
         t => TextOps.seededHash(t, seed) % lit(m) - lit(scale.toLong)),
-      lit(0L), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc + x), lit(0L))
     // keep the caller's columns (the qualityGate convention) so pipelines
     // filter inline; predicted_keep references the margin ALIAS — the
     // fold is non-cheap and multi-referenced, so CollapseProject keeps

@@ -126,7 +126,6 @@ object Jpeg {
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var bitBuf = 0
     private var bitCnt = 0
-    var restartHit = false
     def align(): Unit = { bitBuf = 0; bitCnt = 0 }
     /** next entropy bit; handles 0xFF00 stuffing; stops at markers */
     def bit(): Int = {
@@ -137,11 +136,14 @@ object Jpeg {
           require(pos < data.length, "truncated after 0xFF")
           val m = data(pos) & 0xff
           if (m == 0x00) { pos += 1 } // stuffed data byte
-          else if (m >= 0xd0 && m <= 0xd7) { // RSTn inside refill
-            pos += 1; restartHit = true
-            require(pos < data.length, "truncated after RST")
-            b = data(pos) & 0xff; pos += 1
-            if (b == 0xff) { require((data(pos) & 0xff) == 0x00, "marker in scan"); pos += 1 }
+          else if (m >= 0xd0 && m <= 0xd7) {
+            // An RST during refill means the current interval's entropy
+            // data over-ran into the marker — only a malformed stream gets
+            // here (well-formed intervals end on pad bits BEFORE the
+            // marker, consumed via restart()). Fail closed rather than
+            // splice the next interval's bytes into this one.
+            throw new IllegalArgumentException(
+              f"RST marker 0xFF$m%02X inside an entropy-coded interval (corrupt stream)")
           } else throw new IllegalArgumentException(
             f"unexpected marker 0xFF$m%02X inside entropy data")
         }
@@ -162,7 +164,6 @@ object Jpeg {
     /** consume an expected RSTn between intervals */
     def restart(): Unit = {
       align()
-      if (restartHit) { restartHit = false; return } // consumed during refill
       require(pos + 1 < data.length && (data(pos) & 0xff) == 0xff, "expected RST marker")
       val m = data(pos + 1) & 0xff
       require(m >= 0xd0 && m <= 0xd7, f"expected RSTn, got 0xFF$m%02X")
@@ -295,7 +296,12 @@ object Jpeg {
             val rs = rd.huff(acTbl(compAc(ci)))
             val r = rs >> 4; val sz = rs & 0x0f
             if (sz == 0) {
-              if (r == 15) k += 16 // ZRL
+              if (r == 15) { // ZRL
+                k += 16
+                // fail closed on corrupt entropy data: a ZRL that advances
+                // past the block end would otherwise truncate silently
+                require(k <= 64, "ZRL run overflows the block")
+              }
               else k = 64 // EOB
             } else {
               k += r

@@ -216,35 +216,53 @@ object Shapefile {
     * otherwise silently combine incompatible coordinates.
     */
   def readFeatureFiles(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    // Sidecars load through the SAME binaryFile source as the .shp files
+    // (Hadoop FileSystem of the path's scheme), paired by path stem — no
+    // executor task ever assumes a driver-local filesystem, so the reader
+    // works unchanged on hdfs:// / s3a:// deployments. The .dbf payloads
+    // ride one small equi-join keyed on the stem (one row per FILE, not
+    // per record — file-count scale, not data scale).
+    def loadSidecars(ext: String): DataFrame =
+      try spark.read.format("binaryFile").load(path + "/*" + ext)
+        .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
+          col("content").as("__side"))
+      catch { // no files matching the glob → empty frame, same shape
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+            StructField("__stem", StringType), StructField("__side", BinaryType))))
+      }
     val files = spark.read.format("binaryFile").load(path + "/*.shp")
-      .select(col("path"), col("content"))
+      .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
+        col("path"), col("content"))
+    // .prj sidecars are tiny (one WKT line per tile): census them on the
+    // driver to pin the directory's expected CRS for the per-file reject
+    val prjByStem: Map[String, String] = loadSidecars(".prj").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "US-ASCII").trim)
+      .toMap
     val first = files.limit(1).collect()
     require(first.nonEmpty, s"no .shp files under $path")
-    def sidecarOf(shpPath: String, ext: String): Option[Array[Byte]] = {
-      val p = new java.net.URI(shpPath.replaceAll("\\.shp$", ext)).getPath
-      val f = new java.io.File(p)
-      if (f.isFile) Some(java.nio.file.Files.readAllBytes(f.toPath)) else None
-    }
-    def dbfOf(shpPath: String): Option[Array[Byte]] = sidecarOf(shpPath, ".dbf")
-    def prjOf(shpPath: String): Option[String] =
-      sidecarOf(shpPath, ".prj").map(b => new String(b, "US-ASCII").trim)
-    val expectedCrs = prjOf(first(0).getString(0))
-    val schema = readFeatures(spark, first(0).getAs[Array[Byte]]("content"),
-      dbfOf(first(0).getString(0))).schema
+    val firstStem = first(0).getString(0)
+    val expectedCrs = prjByStem.get(firstStem)
+    val firstDbf = loadSidecars(".dbf").filter(col("__stem") === firstStem)
+      .collect().headOption.map(_.getAs[Array[Byte]](1))
+    val schema = readFeatures(spark, first(0).getAs[Array[Byte]]("content"), firstDbf).schema
     // Fail-closed alignment doctrine, per file: deleted/truncated .dbf rows
     // or a missing/narrower .dbf on a non-first pair must error loudly, not
     // silently shift or narrow the attribute association.
     val attrNames = schema.fields.drop(2).map(_.name).toSeq
-    val rdd = files.rdd.flatMap { r =>
-      val path = r.getString(0)
-      val shp = r.getAs[Array[Byte]]("content")
-      val crs = prjOf(path)
+    val paired = files.join(loadSidecars(".dbf"), Seq("__stem"), "left")
+    val rdd = paired.rdd.flatMap { r =>
+      val stem = r.getString(0)
+      val path = r.getString(1)
+      val shp = r.getAs[Array[Byte]](2)
+      val dbf = Option(r.getAs[Array[Byte]](3))
+      val crs = prjByStem.get(stem)
       require(crs == expectedCrs,
         s"$path: CRS sidecar ${crs.getOrElse("<absent>")} != the directory's " +
           s"${expectedCrs.getOrElse("<absent>")} — mixed-CRS directories are rejected")
       val shapes = shpRecords(shp)
-      val attrs = dbfOf(path) match {
+      val attrs = dbf match {
         case Some(d) =>
           val (s, rows) = dbfRows(d)
           require(rows.length == shapes.length,

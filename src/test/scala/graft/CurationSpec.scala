@@ -288,4 +288,16 @@ class CurationSpec extends AnyFunSuite {
     out.foreach(r =>
       assert(r.getAs[Boolean]("predicted_keep") == (r.getAs[Long]("margin") >= 0)))
   }
+
+  test("hashedLinearScore: NULL text coalesces to margin 0 / keep=true (the oracle contract)") {
+    // the qc1 oracle coalesces list_sum(NULL) to 0 — a NULL document must
+    // score margin 0 / keep=true, not NULL. ("" is NOT special: both
+    // engines tokenize it to [''] and score that token's hash weight.)
+    val docs = Seq((1L, null: String, "s0"), (2L, "alpha", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.hashedLinearScore(docs).orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(out(0).fieldIndex("margin")))
+    assert(out(0).getAs[Long]("margin") == 0L)
+    assert(out(0).getAs[Boolean]("predicted_keep"))
+  }
 }
