@@ -3114,6 +3114,58 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G11 — the WKT CRS FRONT DOOR end-to-end (the r7 verdict's top
+    * integration gap): the transform is constructed FROM `.prj` SIDECAR
+    * STRINGS, not hand-built constants — the reference's actual API shape
+    * (feature_stacking.py:85-96 drives `reproject` with CRS objects read
+    * from file metadata). Master grid = UTM 54N on WGS84 (GDAL PROJCS
+    * spelling); aux raster = legacy Tokyo-Datum geographic (ESRI `D_Tokyo`
+    * spelling with NO TOWGS84 — exercising the published named-datum
+    * table). Both WKTs are written as real `.prj` sidecars via
+    * `writeFeatureFiles`, read back through `readFeatureFiles`'s crs
+    * column, then `CrsWkt` parses and chains Snyder UTM inverse →
+    * abridged Molodensky — the exact g6+g9 math, now dispatched from
+    * text. Fixture margins ≥ 4.1e-3 cell-fractions (scanned in
+    * tools-notes); aux col −1 exercises the outside-coverage NULL path.
+    */
+  private def g11(s: SparkSession, d: String) = {
+    import s.implicits._
+    val masterWktSrc =
+      "PROJCS[\"WGS 84 / UTM zone 54N\",GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+        "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+        "UNIT[\"degree\",0.0174532925199433]],PROJECTION[\"Transverse_Mercator\"]," +
+        "PARAMETER[\"latitude_of_origin\",0],PARAMETER[\"central_meridian\",141]," +
+        "PARAMETER[\"scale_factor\",0.9996],PARAMETER[\"false_easting\",500000]," +
+        "PARAMETER[\"false_northing\",0],UNIT[\"metre\",1]]"
+    val auxWktSrc =
+      "GEOGCS[\"GCS_Tokyo\",DATUM[\"D_Tokyo\",SPHEROID[\"Bessel_1841\"," +
+        "6377397.155,299.1528128]],PRIMEM[\"Greenwich\",0.0]," +
+        "UNIT[\"Degree\",0.0174532925199433]]"
+    // round-trip each WKT through a REAL .prj sidecar (write → read), so
+    // the dispatch consumes exactly what the vector reader surfaces
+    def viaPrj(wkt: String, tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_g11_$tag").toString
+      val src = Seq(("t0", "POINT (0 0)", 1L), ("t1", "POINT (1 1)", 2L))
+        .toDF("tile", "geom", "DN")
+      operators.Shapefile.writeFeatureFiles(src, dir, keyCol = "tile", crsWkt = Some(wkt))
+      operators.Shapefile.readFeatureFiles(s, dir).select("crs").first().getString(0)
+    }
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(381000.0, 3950000.0, 100.0, 100.0),
+      operators.Regrid.GridDef(139.6895, 35.68493, 0.001, 0.0007),
+      viaPrj(masterWktSrc, "m"), viaPrj(auxWktSrc, "a"),
+      Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3444,6 +3496,7 @@ object SparkEntry {
     "g8_lambert_reproject" -> (g8 _),
     "g9_datum_shift" -> (g9 _),
     "g10_albers_reproject" -> (g10 _),
+    "g11_wkt_reproject" -> (g11 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -4883,6 +4936,68 @@ object SparkEntry {
         |FROM t LEFT JOIN aux a
         |  ON a.ar = CAST(floor((38.35 - lat) / 0.0007) AS INT)
         | AND a.ac = CAST(floor((lon - (-97.6)) / 0.001) AS INT)
+        |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
+    // g11: the WKT-dispatched chain — the SAME Snyder UTM inverse (zone
+    // 54) feeding the SAME abridged Molodensky as g6/g9, constants
+    // interpolated from the same Scala doubles; the .prj round trip and
+    // the CrsWkt parse are invisible in the hash (as they must be).
+    "g11_wkt_reproject" -> {
+      import operators.Regrid.{Utm, Ellipsoid}
+      val am0 = Utm.A * Utm.M0
+      val ae = Utm.A * (1 - Utm.E2)
+      val (src, dst) = (Ellipsoid.Wgs84, Ellipsoid.Bessel1841)
+      val shiftC = src.a * (dst.f - src.f) + src.f * (dst.a - src.a)
+      s"""WITH master AS (SELECT DISTINCT CAST(l_orderkey % 16 AS INT) AS px_row,
+        |    CAST(l_partkey % 16 AS INT) AS px_col FROM lineitem),
+        |aux AS (SELECT CAST(p_partkey % 24 AS INT) AS ar,
+        |    CAST((p_partkey * 7 + p_size) % 26 AS INT) AS ac,
+        |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS dem
+        |  FROM part GROUP BY ar, ac),
+        |c AS (SELECT px_row, px_col,
+        |    381000.0 + (CAST(px_col AS DOUBLE) + 0.5) * 100.0 AS cx,
+        |    3950000.0 - (CAST(px_row AS DOUBLE) + 0.5) * 100.0 AS cy FROM master),
+        |f1 AS (SELECT px_row, px_col, cx, (cy - 0.0) / ${Utm.K0} / $am0 AS mu FROM c),
+        |f2 AS (SELECT px_row, px_col, cx,
+        |    mu + ${Utm.P2} * sin(2.0 * mu) + ${Utm.P4} * sin(4.0 * mu)
+        |       + ${Utm.P6} * sin(6.0 * mu) + ${Utm.P8} * sin(8.0 * mu) AS phi1 FROM f1),
+        |f3 AS (SELECT px_row, px_col, cx, phi1,
+        |    ${Utm.Ep2} * cos(phi1) * cos(phi1) AS c1,
+        |    tan(phi1) * tan(phi1) AS t1,
+        |    1.0 - ${Utm.E2} * sin(phi1) * sin(phi1) AS om FROM f2),
+        |f4 AS (SELECT px_row, px_col, cx, phi1, c1, t1,
+        |    ${Utm.A} / sqrt(om) AS n1, $ae / (om * sqrt(om)) AS r1 FROM f3),
+        |f5 AS (SELECT px_row, px_col, phi1, c1, t1, n1, r1,
+        |    (cx - ${Utm.FalseEasting}) / (n1 * ${Utm.K0}) AS dd FROM f4),
+        |t0 AS (SELECT px_row, px_col,
+        |    (phi1 - (n1 * tan(phi1) / r1) * (dd * dd / 2.0
+        |      - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - ${9.0 * Utm.Ep2})
+        |        * dd * dd * dd * dd / 24.0
+        |      + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - ${252.0 * Utm.Ep2}
+        |         - 3.0 * c1 * c1) * dd * dd * dd * dd * dd * dd / 720.0))
+        |      / ${Utm.Deg2Rad} AS lat,
+        |    141.0 + (dd - (1.0 + 2.0 * t1 + c1) * dd * dd * dd / 6.0
+        |      + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + ${8.0 * Utm.Ep2}
+        |         + 24.0 * t1 * t1) * dd * dd * dd * dd * dd / 120.0) / cos(phi1)
+        |      / ${Utm.Deg2Rad} AS lon
+        |  FROM f5),
+        |m1 AS (SELECT px_row, px_col, lon, lat,
+        |    lat * ${Utm.Deg2Rad} AS phi, lon * ${Utm.Deg2Rad} AS lam FROM t0),
+        |m2 AS (SELECT px_row, px_col, lon, lat, phi,
+        |    sin(phi) AS sp, cos(phi) AS cp, sin(lam) AS sl, cos(lam) AS cl,
+        |    1.0 - ${src.e2} * sin(phi) * sin(phi) AS w2 FROM m1),
+        |m3 AS (SELECT px_row, px_col, lon, lat, phi, sp, cp, sl, cl,
+        |    ${src.a * (1 - src.e2)} / (w2 * sqrt(w2)) AS m,
+        |    ${src.a} / sqrt(w2) AS n FROM m2),
+        |t AS (SELECT px_row, px_col,
+        |    lon + (((-146.414) * sl + (-507.337) * cl) / (n * cp)) / ${Utm.Deg2Rad} AS lon2,
+        |    lat + (((-146.414) * sp * cl - (-507.337) * sp * sl + (-680.507) * cp
+        |           + $shiftC * sin(2.0 * phi)) / m) / ${Utm.Deg2Rad} AS lat2
+        |  FROM m3)
+        |SELECT px_row, px_col, a.dem
+        |FROM t LEFT JOIN aux a
+        |  ON a.ar = CAST(floor((35.68493 - lat2) / 0.0007) AS INT)
+        | AND a.ac = CAST(floor((lon2 - 139.6895) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit

@@ -654,4 +654,24 @@ object Regrid {
       throw new IllegalArgumentException(
         s"unknown kernel '$other' (expected nearest | bilinear | cubic)")
   }
+
+  /** WKT front door for [[reproject]] — the reference's actual API shape
+    * (feature_stacking.py:85-96: CRS objects read from file metadata, not
+    * hand-built constants): `masterWkt`/`auxWkt` are the two grids'
+    * `.prj`-style WKT1 strings (e.g. the `crs` column
+    * [[Shapefile.readFeatureFiles]] surfaces); [[CrsWkt]] parses them and
+    * chains projection inverse → datum shift → projection forward.
+    * Unsupported CRSs reject loudly — see the CrsWkt scope doc.
+    */
+  def reproject(
+      master: DataFrame,
+      aux: DataFrame,
+      masterGrid: GridDef,
+      auxGrid: GridDef,
+      masterWkt: String,
+      auxWkt: String,
+      valueCols: Seq[String],
+      kernel: String): DataFrame =
+    reproject(master, aux, masterGrid, auxGrid,
+      CrsWkt.transformBetween(masterWkt, auxWkt), valueCols, kernel)
 }

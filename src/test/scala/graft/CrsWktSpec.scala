@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.{CrsWkt, Regrid}
+import graft.operators.Regrid._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WKT1 → Transform2D dispatch: the GDAL and ESRI spellings of each
+  * implemented family resolve to the exact transform constants the g6-g10
+  * queries hash against; everything outside the surface rejects loudly.
+  */
+class CrsWktSpec extends AnyFunSuite {
+
+  private val GdalWgs84Geo =
+    "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+  private val EsriWgs84Geo = // ESRI: GCS_/D_ prefixes, underscored spheroid
+    "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\",SPHEROID[\"WGS_1984\",6378137.0,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+
+  private def utmProjcs(zone: Int, geogcs: String = GdalWgs84Geo,
+      fn: Double = 0.0, unit: String = "UNIT[\"metre\",1]"): String = {
+    val cm = Utm.centralMeridianDeg(zone)
+    s"""PROJCS["WGS 84 / UTM zone $zone",$geogcs,PROJECTION["Transverse_Mercator"],""" +
+      s"""PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",$cm],""" +
+      s"""PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],""" +
+      s"""PARAMETER["false_northing",$fn],$unit]"""
+  }
+
+  test("GDAL UTM PROJCS parses to the exact UtmFromGeographic transform") {
+    val crs = CrsWkt.parseCrs(utmProjcs(33))
+    assert(crs == CrsWkt.Projected(
+      CrsWkt.GeogCrs("WGS_1984", Ellipsoid.Wgs84, (0.0, 0.0, 0.0)),
+      UtmFromGeographic(33)))
+    // southern-hemisphere false northing flips the flag
+    val south = CrsWkt.parseCrs(utmProjcs(54, fn = 10000000.0))
+    assert(south.asInstanceOf[CrsWkt.Projected].forward == UtmFromGeographic(54, southern = true))
+  }
+
+  test("ESRI spelling drift (GCS_/D_ prefixes, capitalized parameters) resolves identically") {
+    val esri =
+      s"""PROJCS["WGS_1984_UTM_Zone_33N",$EsriWgs84Geo,PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",15.0],PARAMETER["Scale_Factor",0.9996],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+    assert(CrsWkt.parseCrs(esri).asInstanceOf[CrsWkt.Projected].forward ==
+      UtmFromGeographic(33))
+    // the () bracket variant of WKT1 parses identically
+    val parens = esri.replace("[", "(").replace("]", ")")
+    assert(CrsWkt.parseCrs(parens).asInstanceOf[CrsWkt.Projected].forward ==
+      UtmFromGeographic(33))
+  }
+
+  test("LCC 2SP and Albers dispatch with their parameters (GDAL + ESRI names)") {
+    val lcc =
+      s"""PROJCS["NAD83 / Conus Albers-ish",$GdalWgs84Geo,PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+        """PARAMETER["standard_parallel_1",33],PARAMETER["standard_parallel_2",45],""" +
+        """PARAMETER["latitude_of_origin",23],PARAMETER["central_meridian",-96],""" +
+        """PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    assert(CrsWkt.parseCrs(lcc).asInstanceOf[CrsWkt.Projected].forward ==
+      LambertConformalFromGeographic(LccParams(33.0, 45.0, 23.0, -96.0)))
+    // ESRI drops the _2SP suffix
+    val esriLcc = lcc.replace("Lambert_Conformal_Conic_2SP", "Lambert_Conformal_Conic")
+    assert(CrsWkt.parseCrs(esriLcc).asInstanceOf[CrsWkt.Projected].forward ==
+      LambertConformalFromGeographic(LccParams(33.0, 45.0, 23.0, -96.0)))
+    val aea =
+      s"""PROJCS["Albers",$GdalWgs84Geo,PROJECTION["Albers_Conic_Equal_Area"],""" +
+        """PARAMETER["standard_parallel_1",29.5],PARAMETER["standard_parallel_2",45.5],""" +
+        """PARAMETER["latitude_of_origin",23],PARAMETER["central_meridian",-96],UNIT["metre",1]]"""
+    assert(CrsWkt.parseCrs(aea).asInstanceOf[CrsWkt.Projected].forward ==
+      AlbersFromGeographic(AeaParams(29.5, 45.5, 23.0, -96.0)))
+  }
+
+  test("Web-Mercator spellings resolve; Tokyo GEOGCS carries the published datum") {
+    val merc =
+      s"""PROJCS["WGS 84 / Pseudo-Mercator",$GdalWgs84Geo,PROJECTION["Mercator_1SP"],""" +
+        """PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],""" +
+        """PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    assert(CrsWkt.parseCrs(merc).asInstanceOf[CrsWkt.Projected].forward ==
+      WebMercatorFromGeographic)
+    val tokyo =
+      "GEOGCS[\"Tokyo\",DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+        "TOWGS84[-146.414,507.337,680.507]],PRIMEM[\"Greenwich\",0]," +
+        "UNIT[\"degree\",0.0174532925199433]]"
+    val t = CrsWkt.parseCrs(tokyo)
+    assert(t == CrsWkt.Geographic(CrsWkt.GeogCrs(
+      "TOKYO", Ellipsoid.Bessel1841, (-146.414, 507.337, 680.507))))
+    // the named-datum table covers the same datum with no TOWGS84 node
+    val tokyoNoShift = tokyo.replace(",TOWGS84[-146.414,507.337,680.507]", "")
+    assert(CrsWkt.parseCrs(tokyoNoShift) == t)
+  }
+
+  test("transform chains: projection inverse -> datum shift -> projection forward") {
+    // UTM(WGS84) -> geographic(WGS84): bare inverse, no shift
+    assert(CrsWkt.transformBetween(utmProjcs(33), GdalWgs84Geo) == GeographicFromUtm(33))
+    // geographic(WGS84) -> UTM(WGS84): bare forward
+    assert(CrsWkt.transformBetween(GdalWgs84Geo, utmProjcs(33)) == UtmFromGeographic(33))
+    // same CRS both sides: identity
+    assert(CrsWkt.transformBetween(GdalWgs84Geo, GdalWgs84Geo) == IdentityTransform)
+    assert(CrsWkt.transformBetween(EsriWgs84Geo, GdalWgs84Geo) == IdentityTransform)
+    // UTM(WGS84) -> geographic(Tokyo): inverse THEN the g9 Molodensky
+    val tokyo =
+      "GEOGCS[\"Tokyo\",DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+        "TOWGS84[-146.414,507.337,680.507]],PRIMEM[\"Greenwich\",0]," +
+        "UNIT[\"degree\",0.0174532925199433]]"
+    assert(CrsWkt.transformBetween(utmProjcs(54), tokyo) ==
+      ComposedTransform(GeographicFromUtm(54),
+        AbridgedMolodensky(146.414, -507.337, -680.507,
+          Ellipsoid.Wgs84, Ellipsoid.Bessel1841)))
+    // geographic(Tokyo) -> UTM(WGS84): shift first, then forward
+    assert(CrsWkt.transformBetween(tokyo, utmProjcs(54)) ==
+      ComposedTransform(
+        AbridgedMolodensky(-146.414, 507.337, 680.507,
+          Ellipsoid.Bessel1841, Ellipsoid.Wgs84),
+        UtmFromGeographic(54)))
+  }
+
+  test("everything outside the surface rejects loudly") {
+    def rejects(wkt: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](CrsWkt.parseCrs(wkt))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"message '${e.getMessage}' lacks '$needle'")
+    }
+    // unknown projection method
+    rejects(
+      s"""PROJCS["sinu",$GdalWgs84Geo,PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],UNIT["metre",1]]""",
+      "not implemented")
+    // feet unit
+    rejects(utmProjcs(33, unit = "UNIT[\"US survey foot\",0.304800609601219]"),
+      "not metres")
+    // non-UTM transverse Mercator
+    rejects(utmProjcs(33).replace("0.9996", "1.0000"), "scale_factor")
+    rejects(utmProjcs(33).replace("\"central_meridian\",15", "\"central_meridian\",14"),
+      "zone meridian")
+    // unknown datum with no TOWGS84
+    rejects(GdalWgs84Geo.replace("WGS_1984", "Unknown_Local_1901"), "named datum")
+    // 7-param TOWGS84 with a rotation
+    rejects(
+      "GEOGCS[\"x\",DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+        "TOWGS84[-146.414,507.337,680.507,0,0,1.0,0]],PRIMEM[\"Greenwich\",0]," +
+        "UNIT[\"degree\",0.0174532925199433]]",
+      "rotation")
+    // gradian angular unit
+    rejects(GdalWgs84Geo.replace("\"degree\",0.0174532925199433", "\"grad\",0.01570796326794897"),
+      "not degrees")
+  }
+
+  test("quoted-string escapes and whitespace are tolerated") {
+    val wkt = "GEOGCS [ \"WGS \"\"84\"\"\" ,\n  DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\", 6378137, 298.257223563]],\n" +
+      "PRIMEM[\"Greenwich\",0], UNIT[\"degree\",0.0174532925199433]]"
+    assert(CrsWkt.parseCrs(wkt) == CrsWkt.Geographic(
+      CrsWkt.GeogCrs("WGS_1984", Ellipsoid.Wgs84, (0.0, 0.0, 0.0))))
+  }
+}
