@@ -1566,6 +1566,40 @@ object SparkEntry {
       .orderBy("fid")
   }
 
+  /** S13c — GPKG MULTI-LAYER round trip: two month-keyed layers with
+    * DIFFERENT schemas (July carries an extra score column) in ONE
+    * container — the reference's layer-set shape
+    * (object_classifier.py:193-213 writes one layer per month into the
+    * same GPKG). `writeLayers` assembles one sqlite_master with three
+    * table entries + a two-row gpkg_contents; `layersOf` enumerates;
+    * `readLayer` recovers each layer's own CREATE TABLE schema. The
+    * oracle regenerates both layers closed-form — layer discovery,
+    * per-layer b-tree roots, and the schema split must all be exact.
+    */
+  private def s13c(s: SparkSession, d: String) = {
+    import s.implicits._
+    val jun = (0 until 30).map { i =>
+      val x = (i % 6) * 1.25; val y = (i % 5) * 0.5
+      (i.toLong + 1,
+        s"POLYGON (($x $y, ${x + 2.0} $y, ${x + 2.0} ${y + 1.5}, $x ${y + 1.5}, $x $y))",
+        s"c_${i % 3}", i * 0.5)
+    }.toDF("fid", "geom", "name", "value")
+    val jul = (0 until 25).map { i =>
+      val x = (i % 7) * 0.75; val y = (i % 4) * 1.5
+      val geom =
+        if (i % 5 == 0) s"POINT ($x $y)"
+        else s"POLYGON (($x $y, ${x + 1.0} $y, ${x + 1.0} ${y + 2.0}, $x ${y + 2.0}, $x $y))"
+      (i.toLong + 1, geom, if (i % 7 == 0) null else s"c_${i % 4}", i * 0.25, i * 1.5 + 0.25)
+    }.toDF("fid", "geom", "name", "value", "score")
+    val gpkg = operators.GeoPackage.writeLayers(Seq(
+      "segments_2021_06" -> jun, "segments_2021_07" -> jul))
+    val layers = operators.GeoPackage.layersOf(gpkg)
+    layers.map(l => operators.GeoPackage.readLayer(s, gpkg, l).withColumn("layer", lit(l)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .select("layer", "fid", "geom", "name", "value", "score")
+      .orderBy("layer", "fid")
+  }
+
   /** S16 — shapefile ingest: the reference's per-tile segment vectors
     * (image_segmentation.py:153-162 writes .shp + .dbf with a DN column).
     * Synth both halves with the codec's own writers, read back through
@@ -3506,6 +3540,7 @@ object SparkEntry {
     "mm7_jpeg_pixels" -> (mm7 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
+    "s13c_gpkg_multilayer" -> (s13c _),
     "s16_shapefile" -> (s16 _),
     "s16b_prj_roundtrip" -> (s16b _),
     "s17_lzw_fp_predictor" -> (s17 _),
@@ -4267,6 +4302,43 @@ object SparkEntry {
         |       ELSE 'c_' || CAST(id % 4 AS VARCHAR) END AS name,
         |  CAST(id * 0.25 AS DOUBLE) AS value
         |FROM f ORDER BY fid""".stripMargin,
+    // s13c: both layers regenerate closed-form; the multi-table master
+    // page, the two-row gpkg_contents, and each layer's own schema must
+    // be exactly recovered (June's missing score column reads NULL).
+    "s13c_gpkg_multilayer" ->
+      """WITH jun AS (SELECT id, CAST(id % 6 AS DOUBLE) * 1.25 AS x,
+        |    CAST(id % 5 AS DOUBLE) * 0.5 AS y FROM range(30) t(id)),
+        |jul AS (SELECT id, CAST(id % 7 AS DOUBLE) * 0.75 AS x,
+        |    CAST(id % 4 AS DOUBLE) * 1.5 AS y FROM range(25) t(id))
+        |SELECT * FROM (
+        |SELECT 'segments_2021_06' AS layer, id + 1 AS fid,
+        |  'POLYGON ((' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |    CAST(x + 2.0 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |    CAST(x + 2.0 AS VARCHAR) || ' ' || CAST(y + 1.5 AS VARCHAR) || ', ' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y + 1.5 AS VARCHAR) || ', ' ||
+        |    CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))' AS geom,
+        |  'c_' || CAST(id % 3 AS VARCHAR) AS name,
+        |  CAST(id * 0.5 AS DOUBLE) AS value,
+        |  CAST(NULL AS DOUBLE) AS score
+        |FROM jun
+        |UNION ALL
+        |SELECT 'segments_2021_07', id + 1,
+        |  CASE WHEN id % 5 = 0 THEN
+        |    'POINT (' || CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ')'
+        |  ELSE
+        |    'POLYGON ((' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.0 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+        |      CAST(x + 1.0 AS VARCHAR) || ' ' || CAST(y + 2.0 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y + 2.0 AS VARCHAR) || ', ' ||
+        |      CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))'
+        |  END,
+        |  CASE WHEN id % 7 = 0 THEN NULL ELSE 'c_' || CAST(id % 4 AS VARCHAR) END,
+        |  CAST(id * 0.25 AS DOUBLE),
+        |  CAST(id * 1.5 + 0.25 AS DOUBLE)
+        |FROM jul)
+        |ORDER BY layer, fid""".stripMargin,
     // s16: regenerate the canonical WKT + typed dBase attributes the
     // shapefile reader emits.
     // s16b: the sharded write -> read round trip regenerates from closed

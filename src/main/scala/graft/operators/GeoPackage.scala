@@ -459,16 +459,25 @@ object GeoPackage {
     out
   }
 
-  /** Assemble a single-layer GPKG file: page 1 = sqlite_master (layer
-    * table + gpkg_contents), then the feature b-tree - one leaf when the
-    * cells fit, else paginated leaves under an interior root (so big
-    * fixtures exercise the reader's interior walk) - then gpkg_contents.
-    * `cells` are (rowid, serialized record) in ASCENDING rowid order
-    * (b-tree key order); `layerSql` is the layer's CREATE TABLE statement
-    * (the reader recovers the schema from it).
+  /** One layer's inputs to the file assembler: name, CREATE TABLE sql,
+    * srs id, and (rowid, serialized record) cells in ASCENDING rowid
+    * order (b-tree key order).
     */
-  private def buildGpkgFile(layer: String, layerSql: String, srsId: Int,
-      cells: Seq[(Long, Array[Byte])]): Array[Byte] = {
+  private final case class LayerDef(name: String, sql: String, srsId: Int,
+      cells: Seq[(Long, Array[Byte])])
+
+  /** Assemble a GPKG file from one or MORE feature layers: page 1 =
+    * sqlite_master (one entry per layer table + gpkg_contents), then each
+    * layer's feature b-tree — one leaf when the cells fit, else paginated
+    * leaves under an interior root (so big fixtures exercise the reader's
+    * interior walk) — then gpkg_contents with one `features` row per
+    * layer (the reference's month-keyed layer sets,
+    * object_classifier.py:193-213, live several-to-a-file).
+    */
+  private def buildGpkgFile(layers: Seq[LayerDef]): Array[Byte] = {
+    require(layers.nonEmpty, "need at least one layer")
+    require(layers.map(_.name).distinct.length == layers.length,
+      s"duplicate layer names: ${layers.map(_.name).mkString(", ")}")
     val pageSize = 4096
     // pages(i) is file page i+1; slot 0 reserved for page 1 (master)
     val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]](null)
@@ -500,16 +509,18 @@ object GeoPackage {
       }
     }
 
-    val featRoot = writeTable(cells)
-    val contentsRoot = writeTable(Seq(
-      1L -> record(Seq(layer, "features", layer, srsId.toLong))))
+    val roots = layers.map(l => l -> writeTable(l.cells))
+    val contentsRoot = writeTable(layers.zipWithIndex.map { case (l, i) =>
+      (i + 1).toLong -> record(Seq(l.name, "features", l.name, l.srsId.toLong))
+    })
 
     val contentsSql = "CREATE TABLE gpkg_contents (table_name TEXT, " +
       "data_type TEXT, identifier TEXT, srs_id INTEGER)"
-    pages(0) = leafPage(pageSize, page1 = true, Seq(
-      1L -> record(Seq("table", layer, layer, featRoot.toLong, layerSql)),
-      2L -> record(Seq("table", "gpkg_contents", "gpkg_contents",
-        contentsRoot.toLong, contentsSql))))
+    pages(0) = leafPage(pageSize, page1 = true,
+      roots.zipWithIndex.map { case ((l, root), i) =>
+        (i + 1).toLong -> record(Seq("table", l.name, l.name, root.toLong, l.sql))
+      } :+ ((layers.length + 1).toLong -> record(Seq("table", "gpkg_contents",
+        "gpkg_contents", contentsRoot.toLong, contentsSql))))
 
     val db = pages.toArray.flatten
     // 100-byte file header over page 1's start
@@ -531,14 +542,14 @@ object GeoPackage {
     */
   def synthGpkg(layer: String,
       features: Seq[(Long, Array[Byte], String, Double)]): Array[Byte] =
-    buildGpkgFile(layer,
+    buildGpkgFile(Seq(LayerDef(layer,
       s"CREATE TABLE $layer (fid INTEGER PRIMARY KEY, " +
         "geom POLYGON, name TEXT, value REAL)",
       srsId = 0,
       features.map { case (fid, geom, name, value) =>
         // INTEGER PRIMARY KEY alias rule: fid stored as NULL, rowid carries it
         fid -> record(Seq(null, geom, name, value))
-      })
+      })))
 
   /** Declared SQLite type for a Spark field (the writer half of
     * [[sparkTypeOf]] - chosen so read-after-write recovers the same Spark
@@ -567,9 +578,28 @@ object GeoPackage {
       srsId: Int = 0): Array[Byte] =
     layerBytes(df.schema, df.collect().toIndexedSeq, layer, geomCol, fidCol, srsId)
 
+  /** MULTI-layer write: one GPKG file holding several feature layers —
+    * the reference's month-keyed layer sets (object_classifier.py:193-213
+    * writes one layer per month into the same container). Layers may have
+    * different schemas; each is enumerable via [[layersOf]] and readable
+    * by name via [[readLayer]]. Driver-side like [[writeLayer]] (one
+    * SQLite b-tree per file); shard across MANY files via
+    * [[writeLayerFiles]] for the 100 TB shape.
+    */
+  def writeLayers(layers: Seq[(String, DataFrame)],
+      geomCol: String = "geom", fidCol: String = "fid",
+      srsId: Int = 0): Array[Byte] =
+    buildGpkgFile(layers.map { case (name, df) =>
+      layerDefOf(df.schema, df.collect().toIndexedSeq, name, geomCol, fidCol, srsId)
+    })
+
   /** The executor-safe core of [[writeLayer]] (pure bytes from rows). */
   private def layerBytes(schema: StructType, rows: Seq[Row], layer: String,
-      geomCol: String, fidCol: String, srsId: Int): Array[Byte] = {
+      geomCol: String, fidCol: String, srsId: Int): Array[Byte] =
+    buildGpkgFile(Seq(layerDefOf(schema, rows, layer, geomCol, fidCol, srsId)))
+
+  private def layerDefOf(schema: StructType, rows: Seq[Row], layer: String,
+      geomCol: String, fidCol: String, srsId: Int): LayerDef = {
     val fidIdx = schema.fieldIndex(fidCol)
     val geomIdx = schema.fieldIndex(geomCol)
     require(schema(geomIdx).dataType == StringType,
@@ -606,7 +636,7 @@ object GeoPackage {
       }
       fidOf(r) -> record(vals)
     }
-    buildGpkgFile(layer, layerSql, srsId, cells)
+    LayerDef(layer, layerSql, srsId, cells)
   }
 
   /** Distributed GPKG sink: one `.gpkg` file per `keyCol` value under

@@ -120,6 +120,28 @@ class GeoPackageSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](GeoPackage.writeLayer(badFid, "l"))
   }
 
+  test("writeLayers: multi-layer file enumerates in order, each layer keeps its own schema") {
+    import spark.implicits._
+    val a = Seq((1L, "POINT (0 0)", 2.5), (2L, "POINT (1 2)", 3.5))
+      .toDF("fid", "geom", "value")
+    val b = Seq((1L, "LINESTRING (0 0, 3 4)", "x", 7L))
+      .toDF("fid", "geom", "tag", "n")
+    val gpkg = GeoPackage.writeLayers(Seq("jan" -> a, "feb" -> b))
+    assert(GeoPackage.layersOf(gpkg) == Seq("jan", "feb"))
+    val ra = GeoPackage.readLayer(spark, gpkg, "jan")
+    assert(ra.schema.fieldNames.toSeq == Seq("fid", "geom", "value"))
+    assert(ra.orderBy("fid").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "POINT (0.0 0.0)", 2.5), (2L, "POINT (1.0 2.0)", 3.5)))
+    val rb = GeoPackage.readLayer(spark, gpkg, "feb")
+    assert(rb.schema.fieldNames.toSeq == Seq("fid", "geom", "tag", "n"))
+    assert(rb.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq((1L, "LINESTRING (0.0 0.0, 3.0 4.0)", "x", 7L)))
+    // duplicate layer names reject loudly
+    val e = intercept[IllegalArgumentException](
+      GeoPackage.writeLayers(Seq("jan" -> a, "jan" -> a)))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("non-SQLite payloads and missing layers fail loudly") {
     intercept[IllegalArgumentException] {
       GeoPackage.readLayer(spark, "not a database".getBytes("UTF-8"), "x")
