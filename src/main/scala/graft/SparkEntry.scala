@@ -1691,6 +1691,24 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM6B — the two remaining real-world PNG profiles: PALETTE (color
+    * type 3 — the web-corpus staple; PLTE indices expand to RGB) and
+    * 16-BIT grayscale (big-endian samples, filters striding 2 bytes).
+    * Same closed-form regeneration oracle as mm6 — the palette
+    * indirection and the BE sample assembly must be exactly invisible.
+    */
+  private def mm6b(s: SparkSession, d: String) = {
+    import s.implicits._
+    val palette = (0 until 7).map(i => ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))
+    val pal = operators.MultimodalOps.synthPngPalette(12, 9, palette, r => r % 5)(
+      (r, c) => (r * 5 + c * 3) % 7)
+    val gray16 = operators.MultimodalOps.synthPng(10, 8, 1, r => (r + 1) % 5, depth = 16)(
+      (r, c, _) => (r * 4099 + c * 769) % 65536)
+    operators.MultimodalOps.pngToPixels(
+        Seq((1L, pal), (2L, gray16)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** MM7 — baseline JPEG pixel decode (ITU-T T.81 SOF0): marker walk,
     * standard Annex-K Huffman entropy decode with byte unstuffing +
     * restart markers, dequantize, de-zigzag, separable float IDCT, level
@@ -3537,6 +3555,7 @@ object SparkEntry {
     "mm4_wav_header" -> (mm4 _),
     "mm5_tiff_header" -> (mm5 _),
     "mm6_png_pixels" -> (mm6 _),
+    "mm6b_png_palette16" -> (mm6b _),
     "mm7_jpeg_pixels" -> (mm7 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
@@ -4410,6 +4429,23 @@ object SparkEntry {
         |  CAST((id % 64) // 4 AS INT), CAST(id % 4 AS INT),
         |  CAST((id // 64 * 17 + ((id % 64) // 4) * 5 + (id % 4) * 29) % 256 AS INT)
         |FROM range(640) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
+    // mm6b: palette indices and 16-bit BE samples regenerate closed-form —
+    // the PLTE indirection and the 2-byte assembly are invisible.
+    "mm6b_png_palette16" ->
+      """SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 36 AS INT) AS px_row,
+        |  CAST((id % 36) // 3 AS INT) AS px_col, CAST(id % 3 AS INT) AS channel,
+        |  CAST(CASE id % 3
+        |    WHEN 0 THEN (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 37) % 256
+        |    WHEN 1 THEN (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 59) % 256
+        |    ELSE (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 83) % 256
+        |  END AS INT) AS value
+        |FROM range(324) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 10 AS INT), CAST(id % 10 AS INT),
+        |  CAST(0 AS INT),
+        |  CAST((id // 10 * 4099 + id % 10 * 769) % 65536 AS INT)
+        |FROM range(80) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
     // mm7: DC-only baseline JPEG — the IDCT collapses to ONE product
     // chain per pixel (C0² · dc·q · 0.25, then round+clamp), evaluated

@@ -153,19 +153,29 @@ object MultimodalOps {
   // ---- PNG IDAT pixel decode (full-frame, 8-bit gray/RGB/±alpha) ----
 
   /** FULL PNG pixel decode — the image modality's first full-frame codec
-    * next to TIFF (mm3 parses headers only): chunk walk (IHDR/IDAT/IEND,
-    * ancillary chunks skipped), zlib-inflate of the concatenated IDAT
-    * stream (JDK Inflater — zlib is in the PNG spec), then the five
-    * per-row filters (None/Sub/Up/Average/Paeth) undone exactly. Bit
-    * depth 8 only; color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA);
-    * interlaced (Adam7), palette, and 16-bit files FAIL CLOSED.
-    * Returns (width, height, channels, row-major channel-interleaved
-    * pixel bytes).
+    * next to TIFF (mm3 parses headers only): chunk walk (IHDR/PLTE/IDAT/
+    * IEND, ancillary chunks skipped), zlib-inflate of the concatenated
+    * IDAT stream (JDK Inflater — zlib is in the PNG spec), then the five
+    * per-row filters (None/Sub/Up/Average/Paeth) undone exactly (the
+    * filters operate on BYTES with a bpp stride, so 16-bit rows reuse the
+    * identical pass).
+    *
+    * Scope: bit depths 8 and 16 (16-bit samples are big-endian per spec);
+    * color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at both depths,
+    * plus type 3 (palette) at depth 8 — PLTE indices expand to 3 RGB
+    * output channels, exactly what a web-scraped corpus's palette PNGs
+    * need. FAIL CLOSED: interlaced (Adam7), packed 1/2/4-bit depths,
+    * 16-bit palettes, palettes with a tRNS alpha chunk, and out-of-range
+    * palette indices all reject loudly.
+    * Returns (width, height, out_channels, row-major channel-interleaved
+    * sample values — 0..255 at depth 8, 0..65535 at depth 16).
     */
-  def decodePngPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+  def decodePngPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig), "not a PNG")
     var off = 8
-    var w = 0; var h = 0; var channels = 0
+    var w = 0; var h = 0; var rawCh = 0; var depth = 0; var ct = 0
+    var plte: Array[Byte] = null
+    var hasTrns = false
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!done && off + 8 <= bytes.length) {
@@ -176,18 +186,24 @@ object MultimodalOps {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")
           w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
-          val depth = bytes(off + 16).toInt
-          val ct = bytes(off + 17).toInt
-          require(depth == 8, s"bit depth $depth unsupported (8 only)")
-          channels = ct match {
-            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+          depth = bytes(off + 16).toInt
+          ct = bytes(off + 17).toInt
+          require(depth == 8 || depth == 16,
+            s"bit depth $depth unsupported (8 or 16; packed 1/2/4 fail closed)")
+          rawCh = ct match {
+            case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
             case other => throw new IllegalArgumentException(
-              s"color type $other unsupported (0/2/4/6)")
+              s"color type $other unsupported (0/2/3/4/6)")
           }
+          require(!(ct == 3 && depth == 16), "16-bit palette PNG is not valid")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
             "nonstandard compression/filter method")
           require(bytes(off + 20) == 0, "interlaced (Adam7) PNG unsupported")
           seenIhdr = true
+        case "PLTE" =>
+          require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "tRNS" => hasTrns = true
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => // ancillary chunk — skip
@@ -196,9 +212,17 @@ object MultimodalOps {
     }
     require(seenIhdr && w > 0 && h > 0, "missing or empty IHDR")
     require(idat.size > 0, "no IDAT data")
+    if (ct == 3) {
+      require(plte != null, "palette PNG (color type 3) missing its PLTE chunk")
+      // tRNS would add per-entry alpha the RGB expansion silently drops —
+      // fail closed rather than fabricate opaque pixels
+      require(!hasTrns, "palette PNG with tRNS (palette alpha) unsupported")
+    }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val rowBytes = w * channels
+    val sampleBytes = depth / 8
+    val bpp = rawCh * sampleBytes
+    val rowBytes = w * bpp
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
@@ -210,7 +234,6 @@ object MultimodalOps {
     inflater.end()
     require(got == raw.length, s"IDAT inflates to $got bytes, expected ${raw.length}")
     val out = new Array[Byte](rowBytes * h)
-    val bpp = channels // bytes per pixel at depth 8
     var r = 0
     while (r < h) {
       val ft = raw(r * (rowBytes + 1)) & 0xff
@@ -238,24 +261,40 @@ object MultimodalOps {
       }
       r += 1
     }
-    (w, h, channels, out)
+    // bytes → sample values (palette expansion / 16-bit BE assembly)
+    if (ct == 3) {
+      val vals = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val idx = out(i) & 0xff
+        require(idx * 3 + 2 < plte.length,
+          s"palette index $idx out of range (${plte.length / 3} entries)")
+        vals(i * 3) = plte(idx * 3) & 0xff
+        vals(i * 3 + 1) = plte(idx * 3 + 1) & 0xff
+        vals(i * 3 + 2) = plte(idx * 3 + 2) & 0xff
+        i += 1
+      }
+      (w, h, 3, vals)
+    } else if (depth == 8) {
+      (w, h, rawCh, out.map(_ & 0xff))
+    } else {
+      val vals = new Array[Int](w * h * rawCh)
+      var i = 0
+      while (i < vals.length) {
+        vals(i) = ((out(2 * i) & 0xff) << 8) | (out(2 * i + 1) & 0xff)
+        i += 1
+      }
+      (w, h, rawCh, vals)
+    }
   }
 
-  /** The encode half (tests/oracles — the mm3 pattern): a valid
-    * single-IDAT PNG with per-row filter types from `filterOf` (0..4),
-    * zlib-deflated scanlines. CRCs are zero — the decoder validates
-    * structure, not checksums.
+  /** Filter raw pixel BYTES into PNG scanlines (per-row filter types from
+    * `filterOf`, prediction stride `bpp`) and deflate — shared by the
+    * depth-8, depth-16, and palette synth writers.
     */
-  def synthPng(width: Int, height: Int, channels: Int,
-      filterOf: Int => Int = _ % 5)(values: (Int, Int, Int) => Int): Array[Byte] = {
-    require(Set(1, 2, 3, 4)(channels), s"bad channel count $channels")
-    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
-    val rowBytes = width * channels
-    val px = new Array[Byte](rowBytes * height)
-    for (r <- 0 until height; c <- 0 until width; ch <- 0 until channels)
-      px(r * rowBytes + c * channels + ch) = (values(r, c, ch) & 0xff).toByte
+  private def filterAndDeflate(px: Array[Byte], rowBytes: Int, height: Int,
+      bpp: Int, filterOf: Int => Int): Array[Byte] = {
     val raw = new Array[Byte]((rowBytes + 1) * height)
-    val bpp = channels
     for (r <- 0 until height) {
       val ft = filterOf(r) % 5
       raw(r * (rowBytes + 1)) = ft.toByte
@@ -283,17 +322,70 @@ object MultimodalOps {
     val tmp = new Array[Byte](8192)
     while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
     deflater.end()
-    val idat = comp.toByteArray
-    val out = java.nio.ByteBuffer.allocate(8 + 25 + 12 + idat.length + 12)
+    comp.toByteArray
+  }
+
+  private def assemblePng(width: Int, height: Int, depth: Int, colorType: Int,
+      plte: Option[Array[Byte]], idat: Array[Byte]): Array[Byte] = {
+    val plteLen = plte.map(12 + _.length).getOrElse(0)
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + plteLen + 12 + idat.length + 12)
     out.put(PngSig)
     out.putInt(13).put("IHDR".getBytes("US-ASCII"))
     out.putInt(width).putInt(height)
-    out.put(8.toByte).put(colorType.toByte)
+    out.put(depth.toByte).put(colorType.toByte)
     out.put(0.toByte).put(0.toByte).put(0.toByte)
     out.putInt(0)
+    plte.foreach { p =>
+      out.putInt(p.length).put("PLTE".getBytes("US-ASCII")).put(p).putInt(0)
+    }
     out.putInt(idat.length).put("IDAT".getBytes("US-ASCII")).put(idat).putInt(0)
     out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
     out.array()
+  }
+
+  /** The encode half (tests/oracles — the mm3 pattern): a valid
+    * single-IDAT PNG with per-row filter types from `filterOf` (0..4),
+    * zlib-deflated scanlines. `depth` 8 or 16 (16-bit samples big-endian;
+    * `values` then returns 0..65535). CRCs are zero — the decoder
+    * validates structure, not checksums.
+    */
+  def synthPng(width: Int, height: Int, channels: Int,
+      filterOf: Int => Int = _ % 5, depth: Int = 8)(
+      values: (Int, Int, Int) => Int): Array[Byte] = {
+    require(Set(1, 2, 3, 4)(channels), s"bad channel count $channels")
+    require(depth == 8 || depth == 16, s"bad depth $depth")
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val sampleBytes = depth / 8
+    val bpp = channels * sampleBytes
+    val rowBytes = width * bpp
+    val px = new Array[Byte](rowBytes * height)
+    for (r <- 0 until height; c <- 0 until width; ch <- 0 until channels) {
+      val v = values(r, c, ch)
+      val base = r * rowBytes + (c * channels + ch) * sampleBytes
+      if (depth == 8) px(base) = (v & 0xff).toByte
+      else { px(base) = ((v >> 8) & 0xff).toByte; px(base + 1) = (v & 0xff).toByte }
+    }
+    assemblePng(width, height, depth, colorType, None,
+      filterAndDeflate(px, rowBytes, height, bpp, filterOf))
+  }
+
+  /** Palette (color type 3, depth 8) synth: `palette` RGB entries become
+    * the PLTE chunk; `idxOf(r, c)` the per-pixel index bytes.
+    */
+  def synthPngPalette(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
+      filterOf: Int => Int = _ % 5)(idxOf: (Int, Int) => Int): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256, s"bad palette size ${palette.length}")
+    val plte = palette.flatMap { case (r, g, b) =>
+      Seq((r & 0xff).toByte, (g & 0xff).toByte, (b & 0xff).toByte)
+    }.toArray
+    val px = new Array[Byte](width * height)
+    for (r <- 0 until height; c <- 0 until width) {
+      val i = idxOf(r, c)
+      require(i >= 0 && i < palette.length, s"index $i outside the palette")
+      px(r * width + c) = i.toByte
+    }
+    assemblePng(width, height, 8, 3, Some(plte),
+      filterAndDeflate(px, width, height, 1, filterOf))
   }
 
   /** PNG binary column → pixel rows (pass-through columns preserved;
@@ -314,7 +406,7 @@ object MultimodalOps {
       val pass = passIdx.map(r.get).toSeq
       val (w, h, ch, px) = decodePngPixels(r.getAs[Array[Byte]](bytesIdx))
       for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
-        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k) & 0xff))
+        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k)))
     }
     spark.createDataFrame(rdd, outSchema)
   }

@@ -117,18 +117,88 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert((px((r * 16 + c) * 3 + k) & 0xff) == v(r, c, k), s"mixed ($r,$c,$k)")
   }
 
-  test("PNG pixel decode fails closed on interlace, palette, 16-bit, truncation") {
+  test("PNG 16-bit decode: big-endian samples round-trip through every filter") {
+    def v(r: Int, c: Int, ch: Int): Int = (r * 9173 + c * 517 + ch * 31 + 260) % 65536
+    for (ch <- Seq(1, 3); ft <- 0 to 4) {
+      val png = MultimodalOps.synthPng(7, 5, ch, _ => ft, depth = 16)(v)
+      val (w, h, nch, px) = MultimodalOps.decodePngPixels(png)
+      assert((w, h, nch) == ((7, 5, ch)), s"ch=$ch ft=$ft")
+      for (r <- 0 until 5; c <- 0 until 7; k <- 0 until ch)
+        assert(px((r * 7 + c) * ch + k) == v(r, c, k), s"16-bit ch=$ch ft=$ft ($r,$c,$k)")
+    }
+  }
+
+  test("PNG palette decode: PLTE indices expand to RGB") {
+    val palette = (0 until 17).map(i => ((i * 13) % 256, (i * 29) % 256, (i * 47) % 256))
+    val png = MultimodalOps.synthPngPalette(11, 6, palette)((r, c) => (r * 11 + c) % 17)
+    val (w, h, nch, px) = MultimodalOps.decodePngPixels(png)
+    assert((w, h, nch) == ((11, 6, 3)))
+    for (r <- 0 until 6; c <- 0 until 11) {
+      val (pr, pg, pb) = palette((r * 11 + c) % 17)
+      assert((px((r * 11 + c) * 3), px((r * 11 + c) * 3 + 1), px((r * 11 + c) * 3 + 2))
+        == ((pr, pg, pb)), s"($r,$c)")
+    }
+  }
+
+  test("PNG pixel decode fails closed on interlace, packed depths, tRNS palettes, truncation") {
     val good = MultimodalOps.synthPng(6, 4, 3)((r, c, ch) => r + c + ch)
     // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1)
     val inter = good.clone(); inter(28) = 1
     assert(intercept[IllegalArgumentException](
       MultimodalOps.decodePngPixels(inter)).getMessage.contains("interlaced"))
+    // flipping an RGB stream's color type to palette: no PLTE chunk → reject
     val pal = good.clone(); pal(25) = 3 // color type byte
     assert(intercept[IllegalArgumentException](
-      MultimodalOps.decodePngPixels(pal)).getMessage.contains("color type"))
-    val deep = good.clone(); deep(24) = 16 // bit depth byte
+      MultimodalOps.decodePngPixels(pal)).getMessage.contains("PLTE"))
+    // packed sub-byte depth fails closed
+    val packed = good.clone(); packed(24) = 4 // bit depth byte
     assert(intercept[IllegalArgumentException](
-      MultimodalOps.decodePngPixels(deep)).getMessage.contains("bit depth"))
+      MultimodalOps.decodePngPixels(packed)).getMessage.contains("bit depth"))
+    // flipping depth to 16 on an 8-bit stream: the inflate length no
+    // longer matches — rejected, never half-decoded
+    val deep = good.clone(); deep(24) = 16
+    intercept[IllegalArgumentException](MultimodalOps.decodePngPixels(deep))
+    // palette with a tRNS chunk (palette alpha) fails closed: splice a
+    // zero-length tRNS chunk before IDAT of a real palette file
+    val basePal = MultimodalOps.synthPngPalette(4, 3, Seq((1, 2, 3)))((_, _) => 0)
+    val idatAt = {
+      var off = 8
+      while (new String(basePal, off + 4, 4, "US-ASCII") != "IDAT")
+        off += 12 + ((basePal(off) & 0xff) << 24 | (basePal(off + 1) & 0xff) << 16 |
+          (basePal(off + 2) & 0xff) << 8 | (basePal(off + 3) & 0xff))
+      off
+    }
+    val trns = basePal.take(idatAt) ++
+      Array[Byte](0, 0, 0, 0) ++ "tRNS".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      basePal.drop(idatAt)
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodePngPixels(trns)).getMessage.contains("tRNS"))
+    // out-of-range palette index fails closed
+    val oneEntry = MultimodalOps.synthPngPalette(2, 1, Seq((9, 9, 9), (5, 5, 5)))((_, c) => c)
+    val (_, _, _, ok) = MultimodalOps.decodePngPixels(oneEntry)
+    assert(ok.toSeq == Seq(9, 9, 9, 5, 5, 5))
+    intercept[IllegalArgumentException] {
+      // shrink the PLTE to one entry while the pixels still index entry 1
+      val p = MultimodalOps.synthPngPalette(2, 1, Seq((9, 9, 9)))((_, _) => 0)
+      // splice pixel index 1 in by re-synthesizing with an out-of-range byte:
+      // easier — decode a hand-built file whose PLTE has 1 entry but whose
+      // index stream holds 1 (reuse oneEntry's IDAT with p's PLTE)
+      val idat1 = {
+        var off = 8
+        while (new String(oneEntry, off + 4, 4, "US-ASCII") != "IDAT")
+          off += 12 + ((oneEntry(off) & 0xff) << 24 | (oneEntry(off + 1) & 0xff) << 16 |
+            (oneEntry(off + 2) & 0xff) << 8 | (oneEntry(off + 3) & 0xff))
+        off
+      }
+      val plteEnd = {
+        var off = 8
+        while (new String(p, off + 4, 4, "US-ASCII") != "IDAT")
+          off += 12 + ((p(off) & 0xff) << 24 | (p(off + 1) & 0xff) << 16 |
+            (p(off + 2) & 0xff) << 8 | (p(off + 3) & 0xff))
+        off
+      }
+      MultimodalOps.decodePngPixels(p.take(plteEnd) ++ oneEntry.drop(idat1))
+    }
     intercept[IllegalArgumentException](
       MultimodalOps.decodePngPixels(good.take(good.length - 20)))
     // header-only synth (no IDAT) is rejected, not fabricated
