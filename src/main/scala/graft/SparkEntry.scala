@@ -1739,6 +1739,37 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM8 — CHROMA-SUBSAMPLED baseline JPEG (the profile virtually every
+    * camera/web JPEG ships): a 4:2:0 image (Y 2×2 — MCU-interleaved scan
+    * with restart markers crossing MCU boundaries) and a 4:2:2 image
+    * (Y 2×1 — horizontal-only halving). DC-only blocks keep the mm7
+    * closed-form oracle recipe; chroma planes decode at their own
+    * resolution and box-upsample, so the oracle indexes chroma blocks at
+    * (r/16, c/16) resp. (r/8, c/16) — the MCU interleave, per-plane
+    * padding, and replication must all be exactly invisible.
+    */
+  private def mm8(s: SparkSession, d: String) = {
+    import s.implicits._
+    val qY = Array.fill(64)(16); val qC = Array.fill(64)(8)
+    val j420 = operators.Jpeg.synthJpeg(24, 20, 3, Seq(qY, qC),
+      restartInterval = 3, sampling = Seq((2, 2), (1, 1), (1, 1))) { (c, by, bx) =>
+      val nat = new Array[Int](64)
+      nat(0) = if (c == 0) ((by * 5 + bx * 3) % 48) - 24
+        else ((c * 7 + by * 3 + bx * 5) % 30) - 15
+      nat
+    }
+    val j422 = operators.Jpeg.synthJpeg(16, 10, 3, Seq(qY, qC),
+      sampling = Seq((2, 1), (1, 1), (1, 1))) { (c, by, bx) =>
+      val nat = new Array[Int](64)
+      nat(0) = if (c == 0) ((by * 11 + bx) % 44) - 22
+        else ((c * 9 + by * 7 + bx) % 26) - 13
+      nat
+    }
+    operators.Jpeg.jpegToPixels(
+        Seq((1L, j420), (2L, j422)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3557,6 +3588,7 @@ object SparkEntry {
     "mm6_png_pixels" -> (mm6 _),
     "mm6b_png_palette16" -> (mm6b _),
     "mm7_jpeg_pixels" -> (mm7 _),
+    "mm8_jpeg_subsampled" -> (mm8 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4466,6 +4498,31 @@ object SparkEntry {
         |        * (CASE WHEN id % 3 = 0 THEN 10 ELSE 12 END) AS DOUBLE)
         |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
         |FROM range(384) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
+    // mm8: DC-only subsampled JPEG — same one-product closed form as mm7,
+    // with chroma block indices at the SUBSAMPLED resolution (r//16, c//16
+    // for 4:2:0; r//8, c//16 for 4:2:2): wrong upsampling or interleave
+    // re-keys every chroma sample.
+    "mm8_jpeg_subsampled" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      s"""SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 72 AS INT) AS px_row,
+        |  CAST((id % 72) // 3 AS INT) AS px_col, CAST(id % 3 AS INT) AS channel,
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST(CASE WHEN id % 3 = 0
+        |      THEN (((id // 72 // 8) * 5 + ((id % 72) // 3 // 8) * 3) % 48 - 24) * 16
+        |      ELSE (((id % 3) * 7 + (id // 72 // 16) * 3 + ((id % 72) // 3 // 16) * 5) % 30 - 15) * 8
+        |    END AS DOUBLE) * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS value
+        |FROM range(1440) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 48 AS INT),
+        |  CAST((id % 48) // 3 AS INT), CAST(id % 3 AS INT),
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST(CASE WHEN id % 3 = 0
+        |      THEN (((id // 48 // 8) * 11 + ((id % 48) // 3 // 8)) % 44 - 22) * 16
+        |      ELSE (((id % 3) * 9 + (id // 48 // 8) * 7 + ((id % 48) // 3 // 16)) % 26 - 13) * 8
+        |    END AS DOUBLE) * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
+        |FROM range(480) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin
     },
     "mm5_tiff_header" ->

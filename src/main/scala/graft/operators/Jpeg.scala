@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   *   - baseline sequential only (SOF0); progressive (SOF2), extended
   *     (SOF1), arithmetic coding, and hierarchical modes are rejected
   *   - 8-bit precision, 8-bit quantization tables (Pq=0)
-  *   - 1 component (grayscale) or 3 components with NO chroma
-  *     subsampling (all sampling factors 1×1 — "4:4:4")
+  *   - 1 component (grayscale, 1×1) or 3 components with per-axis
+  *     sampling factors of 1 or 2 — covering 4:4:4, 4:2:2, 4:4:0 and
+  *     the ubiquitous 4:2:0; chroma planes decode at their own
+  *     resolution and upsample by pixel replication (box — libjpeg's
+  *     non-fancy mode); 3×/4× factors (legal, unseen in practice) reject
   *   - output is the RAW component plane values (Y, or Y/Cb/Cr
   *     channel-interleaved) — color-space conversion is a separate
   *     concern, exactly as TIFF bands are returned unconverted
@@ -188,6 +191,8 @@ object Jpeg {
     var w = 0; var h = 0; var ncomp = 0
     var compQ: Array[Int] = null
     var compId: Array[Int] = null
+    var compSampH: Array[Int] = null
+    var compSampV: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
 
@@ -232,10 +237,19 @@ object Jpeg {
           ncomp = bytes(seg + 5) & 0xff
           require(ncomp == 1 || ncomp == 3, s"$ncomp components unsupported (1 or 3)")
           compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+          compSampH = new Array[Int](ncomp); compSampV = new Array[Int](ncomp)
           for (i <- 0 until ncomp) {
             compId(i) = bytes(seg + 6 + 3 * i) & 0xff
             val hv = bytes(seg + 7 + 3 * i) & 0xff
-            require(hv == 0x11, "chroma subsampling unsupported (4:4:4 only)")
+            val sh = hv >> 4; val sv = hv & 0x0f
+            // 1×1 and 2×-factor layouts cover 4:4:4 / 4:2:2 / 4:4:0 /
+            // 4:2:0 — everything a camera/web baseline JPEG ships; 3× and
+            // 4× factors (legal but unseen in practice) fail closed
+            require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+              f"sampling factor ${sh}x$sv unsupported (1 or 2 per axis)")
+            if (ncomp == 1)
+              require(hv == 0x11, "grayscale must be 1x1 sampled")
+            compSampH(i) = sh; compSampV(i) = sv
             compQ(i) = bytes(seg + 8 + 3 * i) & 0xff
           }
           sofSeen = true
@@ -265,100 +279,133 @@ object Jpeg {
       pos += 2 + len
     }
 
-    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // MCU-interleaved scan (T.81 A.2.3): each MCU carries v_i×h_i blocks
+    // per component in component order; component planes are padded to
+    // whole MCUs and decoded at their own resolution, then upsampled to
+    // full resolution by pixel replication (box upsampling — libjpeg's
+    // non-fancy mode) at output assembly.
+    val maxH = compSampH.max; val maxV = compSampV.max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeW = Array.tabulate(ncomp)(i => mcusX * compSampH(i) * 8)
+    val planeH = Array.tabulate(ncomp)(i => mcusY * compSampV(i) * 8)
+    val planes = Array.tabulate(ncomp)(i => new Array[Byte](planeW(i) * planeH(i)))
     val out = new Array[Byte](w * h * ncomp)
     val rd = new BitReader(bytes, scanStart)
     val dcPred = new Array[Int](ncomp)
     val coef = new Array[Int](64)
     val pix = Array.ofDim[Double](8, 8)
     var mcu = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           rd.restart()
           java.util.Arrays.fill(dcPred, 0)
         }
         var ci = 0
         while (ci < ncomp) {
-          java.util.Arrays.fill(coef, 0)
-          val q = qt(compQ(ci))
-          require(q != null, s"missing quant table ${compQ(ci)}")
-          // DC
-          val s = rd.huff(dcTbl(compDc(ci)))
-          val diff = extend(rd.bits(s), s)
-          dcPred(ci) += diff
-          coef(0) = dcPred(ci) * q(0)
-          // AC
-          var k = 1
-          while (k < 64) {
-            val rs = rd.huff(acTbl(compAc(ci)))
-            val r = rs >> 4; val sz = rs & 0x0f
-            if (sz == 0) {
-              if (r == 15) { // ZRL
-                k += 16
-                // fail closed on corrupt entropy data: a ZRL that advances
-                // past the block end would otherwise truncate silently
-                require(k <= 64, "ZRL run overflows the block")
-              }
-              else k = 64 // EOB
-            } else {
-              k += r
-              require(k < 64, "AC run overflows the block")
-              coef(Zigzag(k)) = extend(rd.bits(sz), sz) * q(k)
-              k += 1
-            }
-          }
-          // IDCT (direct separable double sum; DC-only blocks stay exact)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var sum = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val f = coef(v * 8 + u)
-                  if (f != 0) {
-                    val cu = if (u == 0) C0 else 1.0
-                    val cv = if (v == 0) C0 else 1.0
-                    sum += cu * cv * f.toDouble * cosT(x)(u) * cosT(y)(v)
+          var bv = 0
+          while (bv < compSampV(ci)) {
+            var bh2 = 0
+            while (bh2 < compSampH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val q = qt(compQ(ci))
+              require(q != null, s"missing quant table ${compQ(ci)}")
+              // DC
+              val s = rd.huff(dcTbl(compDc(ci)))
+              val diff = extend(rd.bits(s), s)
+              dcPred(ci) += diff
+              coef(0) = dcPred(ci) * q(0)
+              // AC
+              var k = 1
+              while (k < 64) {
+                val rs = rd.huff(acTbl(compAc(ci)))
+                val r = rs >> 4; val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r == 15) { // ZRL
+                    k += 16
+                    // fail closed on corrupt entropy data: a ZRL that
+                    // advances past the block end would truncate silently
+                    require(k <= 64, "ZRL run overflows the block")
                   }
-                  u += 1
+                  else k = 64 // EOB
+                } else {
+                  k += r
+                  require(k < 64, "AC run overflows the block")
+                  coef(Zigzag(k)) = extend(rd.bits(sz), sz) * q(k)
+                  k += 1
                 }
-                v += 1
               }
-              pix(y)(x) = sum * 0.25
-              x += 1
-            }
-            y += 1
-          }
-          // place (clip partial edge blocks)
-          var yy = 0
-          while (yy < 8) {
-            val row = by * 8 + yy
-            if (row < h) {
-              var xx = 0
-              while (xx < 8) {
-                val colp = bx * 8 + xx
-                if (colp < w) {
+              // IDCT (direct separable double sum; DC-only blocks stay exact)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var sum = 0.0
+                  var v = 0
+                  while (v < 8) {
+                    var u = 0
+                    while (u < 8) {
+                      val f = coef(v * 8 + u)
+                      if (f != 0) {
+                        val cu = if (u == 0) C0 else 1.0
+                        val cv = if (v == 0) C0 else 1.0
+                        sum += cu * cv * f.toDouble * cosT(x)(u) * cosT(y)(v)
+                      }
+                      u += 1
+                    }
+                    v += 1
+                  }
+                  pix(y)(x) = sum * 0.25
+                  x += 1
+                }
+                y += 1
+              }
+              // place into this component's padded plane (level shift +
+              // clamp happen per PLANE sample, before any upsampling)
+              val pw = planeW(ci)
+              val rowBase = (my * compSampV(ci) + bv) * 8
+              val colBase = (mx * compSampH(ci) + bh2) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
                   val p = Math.round(pix(yy)(xx) + 128.0).toInt
-                  out((row * w + colp) * ncomp + ci) =
+                  planes(ci)((rowBase + yy) * pw + colBase + xx) =
                     math.max(0, math.min(255, p)).toByte
+                  xx += 1
                 }
-                xx += 1
+                yy += 1
               }
+              bh2 += 1
             }
-            yy += 1
+            bv += 1
           }
           ci += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
+    }
+    // assemble full-resolution channel-interleaved output (replication)
+    var ci = 0
+    while (ci < ncomp) {
+      val pw = planeW(ci)
+      val sh = compSampH(ci); val sv = compSampV(ci)
+      var r = 0
+      while (r < h) {
+        val pr = r * sv / maxV
+        var c = 0
+        while (c < w) {
+          out((r * w + c) * ncomp + ci) = planes(ci)(pr * pw + c * sh / maxH)
+          c += 1
+        }
+        r += 1
+      }
+      ci += 1
     }
     (w, h, ncomp, out)
   }
@@ -395,17 +442,25 @@ object Jpeg {
   }
 
   /** Build a baseline JPEG from QUANTIZED coefficients (natural order,
-    * 64 per block) via `coefOf(comp, blockRow, blockCol)`. Standard
+    * 64 per block) via `coefOf(comp, blockRow, blockCol)` — block indices
+    * are in the COMPONENT's own plane (padded to whole MCUs). Standard
     * Annex K Huffman tables; `quant` are the 8-bit quantization tables
     * in zigzag order (table 0 for component 0, table 1 for 1/2).
-    * `restartInterval` > 0 emits DRI + RSTn markers.
+    * `restartInterval` > 0 emits DRI + RSTn markers (counted in MCUs).
+    * `sampling` gives per-component (h, v) factors (empty = all 1×1);
+    * blocks are MCU-interleaved per T.81 A.2.3.
     */
   def synthJpeg(
       width: Int, height: Int, components: Int,
       quant: Seq[Array[Int]],
-      restartInterval: Int = 0)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      restartInterval: Int = 0,
+      sampling: Seq[(Int, Int)] = Nil)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
     require(components == 1 || components == 3, "1 or 3 components")
     require(quant.nonEmpty && quant.forall(_.length == 64), "need 64-entry zigzag quant tables")
+    val samp = if (sampling.isEmpty) Seq.fill(components)((1, 1)) else sampling
+    require(samp.length == components, "one (h,v) sampling pair per component")
+    require(samp.forall { case (sh, sv) => sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2 },
+      "sampling factors must be 1 or 2")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -433,8 +488,11 @@ object Jpeg {
     // SOF0
     marker(0xc0); be16(8 + 3 * components)
     out.write(8); be16(height); be16(width); out.write(components)
-    for (c <- 0 until components)
-      { out.write(c + 1); out.write(0x11); out.write(math.min(c, quant.length - 1)) }
+    for (c <- 0 until components) {
+      out.write(c + 1)
+      out.write((samp(c)._1 << 4) | samp(c)._2)
+      out.write(math.min(c, quant.length - 1))
+    }
     // SOS
     marker(0xda); be16(6 + 2 * components)
     out.write(components)
@@ -448,21 +506,27 @@ object Jpeg {
       new HuffEncode(StdDcChrBits, StdDcChrVals))
     val acEnc = Array(new HuffEncode(StdAcLumBits, StdAcLumVals),
       new HuffEncode(StdAcChrBits, StdAcChrVals))
-    val bw = (width + 7) / 8; val bh = (height + 7) / 8
+    val maxH = samp.map(_._1).max; val maxV = samp.map(_._2).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
     var wtr = new BitWriter(out)
     val dcPred = new Array[Int](components)
     var mcu = 0
     var rstIdx = 0
-    for (by <- 0 until bh; bx <- 0 until bw) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         wtr.flush()
         marker(0xd0 + (rstIdx % 8)); rstIdx += 1
         wtr = new BitWriter(out)
         java.util.Arrays.fill(dcPred, 0)
       }
-      for (c <- 0 until components) {
+      for {
+        c <- 0 until components
+        bv <- 0 until samp(c)._2
+        bh2 <- 0 until samp(c)._1
+      } {
         val ti = if (c == 0) 0 else 1
-        val nat = coefOf(c, by, bx)
+        val nat = coefOf(c, my * samp(c)._2 + bv, mx * samp(c)._1 + bh2)
         require(nat.length == 64, "coefOf must return 64 naturals")
         val zz = Array.tabulate(64)(i => nat(Zigzag(i)))
         // DC

@@ -97,6 +97,71 @@ class JpegSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 with dense AC blocks: MCU interleave + box upsample match the reference") {
+    val qY = Array.tabulate(64)(i => 6 + (i % 4))
+    val qC = Array.tabulate(64)(i => 9 + (i % 3))
+    // deterministic dense coefficients per (comp, blockRow, blockCol)
+    def coef(c: Int, by: Int, bx: Int): Array[Int] = {
+      val nat = new Array[Int](64)
+      nat(0) = ((c * 31 + by * 17 + bx * 7) % 90) - 45
+      nat(1) = ((c + by + bx) % 7) - 3
+      nat(8) = ((c * 5 + bx) % 9) - 4
+      nat(27) = if ((c + by) % 2 == 0) 6 else -6
+      nat
+    }
+    // 20×12, 4:2:0 (Y 2×2): 2×1 MCUs of 16×16; Y plane 32×16 padded,
+    // chroma planes 16×8; restart interval to mix RST into interleaving
+    val jpg = Jpeg.synthJpeg(20, 12, 3, Seq(qY, qC),
+      restartInterval = 1, sampling = Seq((2, 2), (1, 1), (1, 1)))(coef)
+    val (w, h, ch, px) = Jpeg.decodeJpegPixels(jpg)
+    assert((w, h, ch) == (20, 12, 3))
+    // reference: decode each plane independently, then replicate
+    def planeVal(c: Int, pr: Int, pc: Int): Int = {
+      val q = if (c == 0) qY else qC
+      refIdct(dequant(q, coef(c, pr / 8, pc / 8)))((pr % 8) * 8 + (pc % 8))
+    }
+    for (r <- 0 until 12; cl <- 0 until 20) {
+      assert((px((r * 20 + cl) * 3) & 0xff) == planeVal(0, r, cl), s"Y ($r,$cl)")
+      assert((px((r * 20 + cl) * 3 + 1) & 0xff) == planeVal(1, r / 2, cl / 2), s"Cb ($r,$cl)")
+      assert((px((r * 20 + cl) * 3 + 2) & 0xff) == planeVal(2, r / 2, cl / 2), s"Cr ($r,$cl)")
+    }
+  }
+
+  test("4:2:2 (Y 2x1): horizontal-only chroma halving") {
+    val qY = Array.fill(64)(4); val qC = Array.fill(64)(5)
+    def coef(c: Int, by: Int, bx: Int): Array[Int] = {
+      val nat = new Array[Int](64)
+      nat(0) = ((c * 13 + by * 9 + bx * 5) % 60) - 30
+      nat(9) = ((c + bx) % 5) - 2
+      nat
+    }
+    val jpg = Jpeg.synthJpeg(18, 10, 3, Seq(qY, qC),
+      sampling = Seq((2, 1), (1, 1), (1, 1)))(coef)
+    val (w, h, ch, px) = Jpeg.decodeJpegPixels(jpg)
+    assert((w, h, ch) == (18, 10, 3))
+    def planeVal(c: Int, pr: Int, pc: Int): Int = {
+      val q = if (c == 0) qY else qC
+      refIdct(dequant(q, coef(c, pr / 8, pc / 8)))((pr % 8) * 8 + (pc % 8))
+    }
+    for (r <- 0 until 10; cl <- 0 until 18) {
+      assert((px((r * 18 + cl) * 3) & 0xff) == planeVal(0, r, cl), s"Y ($r,$cl)")
+      // vertical resolution full, horizontal halved
+      assert((px((r * 18 + cl) * 3 + 1) & 0xff) == planeVal(1, r, cl / 2), s"Cb ($r,$cl)")
+      assert((px((r * 18 + cl) * 3 + 2) & 0xff) == planeVal(2, r, cl / 2), s"Cr ($r,$cl)")
+    }
+  }
+
+  test("3x sampling factors and 2x2 grayscale fail closed") {
+    val q = Array.fill(64)(16)
+    val ok3 = Jpeg.synthJpeg(8, 8, 3, Seq(q, q)) { (_, _, _) => new Array[Int](64) }
+    val sofAt = (0 until ok3.length - 1).find(i =>
+      (ok3(i) & 0xff) == 0xff && (ok3(i + 1) & 0xff) == 0xc0).get
+    val bad = ok3.clone()
+    bad(sofAt + 11) = 0x31.toByte // Y 3x1
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decodeJpegPixels(bad)).getMessage.contains("sampling factor"))
+  }
+
   test("partial edge blocks clip to the image rectangle") {
     val q = Array.fill(64)(16)
     val jpg = Jpeg.synthJpeg(10, 5, 1, Seq(q)) { (_, _, bx) =>
