@@ -3249,6 +3249,37 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G12 — GEODESIC measures: per-part lon/lat quadrilaterals (WKT built
+    * in-plan, re-parsed by the measure — the round trip is part of the
+    * check) scored with the Chamberlain–Duquette spherical-excess area
+    * and great-circle haversine perimeter on the WGS84 authalic sphere.
+    * The planar shoelace would be wrong by ~cos(38°)² ≈ 0.62 here — the
+    * oracle evaluates the IDENTICAL closed form (interpolated R/Deg2Rad
+    * constants, same left-assoc 4-term folds), fixed-pointed at 2^20.
+    */
+  private def g12(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-96.0) + (col("p_partkey") % 50).cast("double") * lit(0.01)).as("lon0"),
+      (lit(30.0) + (col("p_size") % 40).cast("double") * lit(0.01)).as("lat0"),
+      (lit(0.01) + (col("p_partkey") % 7).cast("double") * lit(0.001)).as("dx"),
+      (lit(0.008) + (col("p_size") % 5).cast("double") * lit(0.001)).as("dy"))
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val wkt = concat(lit("POLYGON (("),
+      pt(col("lon0"), col("lat0")), lit(", "),
+      pt(col("lon0") + col("dx"), col("lat0")), lit(", "),
+      pt(col("lon0") + col("dx"), col("lat0") + col("dy")), lit(", "),
+      pt(col("lon0"), col("lat0") + col("dy")), lit(", "),
+      pt(col("lon0"), col("lat0")), lit("))"))
+    base.withColumn("geom", wkt)
+      .select(col("pk"),
+        floor(SpatialOps.wktAreaGeodesic(col("geom")) * lit(1048576.0))
+          .cast("long").as("area_fp"),
+        floor(SpatialOps.wktPerimeterGeodesic(col("geom")) * lit(1048576.0))
+          .cast("long").as("perim_fp"))
+      .orderBy("pk")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3580,6 +3611,7 @@ object SparkEntry {
     "g9_datum_shift" -> (g9 _),
     "g10_albers_reproject" -> (g10 _),
     "g11_wkt_reproject" -> (g11 _),
+    "g12_geodesic_measures" -> (g12 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -5164,6 +5196,39 @@ object SparkEntry {
         |  ON a.ar = CAST(floor((35.68493 - lat2) / 0.0007) AS INT)
         | AND a.ac = CAST(floor((lon2 - 139.6895) / 0.001) AS INT)
         |ORDER BY px_row, px_col, dem NULLS FIRST""".stripMargin
+    },
+    // g12: the identical C-D spherical-excess and haversine folds with
+    // interpolated R/Deg2Rad constants — 4 explicit left-assoc terms
+    // mirror the engine's sequence-fold order; fixed-point 2^20.
+    "g12_geodesic_measures" -> {
+      val rr2 = functions.SpatialOps.Wgs84AuthalicRadius *
+        functions.SpatialOps.Wgs84AuthalicRadius / 2.0
+      val r2 = 2.0 * functions.SpatialOps.Wgs84AuthalicRadius
+      val d2r = math.Pi / 180.0
+      def seg(xa: String, ya: String, xb: String, yb: String) =
+        s"($xb * $d2r - $xa * $d2r) * (2.0 + sin($ya * $d2r) + sin($yb * $d2r))"
+      def hav(xa: String, ya: String, xb: String, yb: String) =
+        s"$r2 * asin(sqrt(sin(($yb * $d2r - $ya * $d2r) / 2.0) * " +
+          s"sin(($yb * $d2r - $ya * $d2r) / 2.0) + cos($ya * $d2r) * cos($yb * $d2r) * " +
+          s"sin(($xb * $d2r - $xa * $d2r) / 2.0) * sin(($xb * $d2r - $xa * $d2r) / 2.0)))"
+      s"""WITH p AS (SELECT p_partkey AS pk,
+        |    -96.0 + CAST(p_partkey % 50 AS DOUBLE) * 0.01 AS lon0,
+        |    30.0 + CAST(p_size % 40 AS DOUBLE) * 0.01 AS lat0,
+        |    0.01 + CAST(p_partkey % 7 AS DOUBLE) * 0.001 AS dx,
+        |    0.008 + CAST(p_size % 5 AS DOUBLE) * 0.001 AS dy
+        |  FROM part),
+        |v AS (SELECT pk, lon0 AS x1, lat0 AS y1, lon0 + dx AS x2, lat0 AS y2,
+        |    lon0 + dx AS x3, lat0 + dy AS y3, lon0 AS x4, lat0 + dy AS y4 FROM p)
+        |SELECT pk,
+        |  CAST(floor(abs((((${seg("x1", "y1", "x2", "y2")})
+        |    + ${seg("x2", "y2", "x3", "y3")})
+        |    + ${seg("x3", "y3", "x4", "y4")})
+        |    + ${seg("x4", "y4", "x1", "y1")}) * $rr2 * 1048576.0) AS BIGINT) AS area_fp,
+        |  CAST(floor((((${hav("x1", "y1", "x2", "y2")}
+        |    + ${hav("x2", "y2", "x3", "y3")})
+        |    + ${hav("x3", "y3", "x4", "y4")})
+        |    + ${hav("x4", "y4", "x1", "y1")}) * 1048576.0) AS BIGINT) AS perim_fp
+        |FROM v ORDER BY pk""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal

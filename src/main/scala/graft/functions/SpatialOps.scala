@@ -139,6 +139,75 @@ object SpatialOps {
   def ringsNumPoints(rings: Column): Column =
     aggregate(rings, lit(0), (acc, r) => acc + size(r))
 
+  // ---- geodesic measures (lon/lat degrees on the WGS84 authalic sphere) ----
+  //
+  // The planar shoelace above is correct for PROJECTED coordinates (the
+  // reference's UTM segments); the moment a user measures lon/lat
+  // geometries — which the engine actively produces via the inverse
+  // projections and surfaces from .prj-less vector files — planar math is
+  // wrong by cos(lat)² scale factors. These variants treat coordinates as
+  // degrees on the sphere of WGS84's AUTHALIC radius (the equal-area
+  // sphere, so areas are ellipsoid-consistent to ~0.1%):
+  //   - area: the Chamberlain–Duquette spherical excess sum (JPL 07-03,
+  //     the published algorithm GIS stacks evaluate for "geodesic area"
+  //     on a sphere): 2A/R² = Σ (λ_{i+1} − λ_i)(2 + sin φ_i + sin φ_{i+1});
+  //     exact for parallel/meridian-bounded quads (spherical band area),
+  //     signed per ring so holes subtract under orientation convention
+  //   - perimeter: great-circle haversine per segment
+  // Same Column-HOF shape as the planar forms — no library, no shuffle.
+
+  /** WGS84 authalic radius R_A = a·√(q_p/2) (Snyder 3-13): the sphere
+    * with the ellipsoid's exact surface area.
+    */
+  val Wgs84AuthalicRadius: Double = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    val e = math.sqrt(e2)
+    val qPole = 1 - ((1 - e2) / (2 * e)) * math.log((1 - e) / (1 + e))
+    a * math.sqrt(qPole / 2)
+  }
+
+  private val Deg2Rad: Double = math.Pi / 180.0
+
+  /** Signed Chamberlain–Duquette sum over one closed lon/lat ring. */
+  private def ringGeoSum(pts: Column): Column =
+    when(size(pts) < 2, lit(0.0)).otherwise(
+      aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (acc, i) =>
+        acc + (element_at(pts, i + 1).getField("x") * lit(Deg2Rad)
+            - element_at(pts, i).getField("x") * lit(Deg2Rad)) *
+          (lit(2.0) + sin(element_at(pts, i).getField("y") * lit(Deg2Rad))
+            + sin(element_at(pts, i + 1).getField("y") * lit(Deg2Rad)))))
+
+  /** Net signed spherical sum over all rings (holes subtract). */
+  def ringsCrossGeodesic(rings: Column): Column =
+    aggregate(rings, lit(0.0), (acc, r) => acc + ringGeoSum(r))
+
+  /** Geodesic polygon area in m² from parsed lon/lat rings. */
+  def ringsAreaGeodesic(rings: Column): Column =
+    abs(ringsCrossGeodesic(rings)) * lit(Wgs84AuthalicRadius * Wgs84AuthalicRadius / 2.0)
+
+  /** Geodesic boundary length in m (great-circle haversine per segment). */
+  def ringsPerimeterGeodesic(rings: Column): Column =
+    aggregate(rings, lit(0.0), (acc, pts) =>
+      acc + when(size(pts) < 2, lit(0.0)).otherwise(
+        aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) => {
+          val phi1 = element_at(pts, i).getField("y") * lit(Deg2Rad)
+          val phi2 = element_at(pts, i + 1).getField("y") * lit(Deg2Rad)
+          val lam1 = element_at(pts, i).getField("x") * lit(Deg2Rad)
+          val lam2 = element_at(pts, i + 1).getField("x") * lit(Deg2Rad)
+          val sdp = sin((phi2 - phi1) / lit(2.0))
+          val sdl = sin((lam2 - lam1) / lit(2.0))
+          a + lit(2.0 * Wgs84AuthalicRadius) *
+            asin(sqrt(sdp * sdp + cos(phi1) * cos(phi2) * sdl * sdl))
+        })))
+
+  /** Geodesic polygon area in m² of a lon/lat WKT polygon. */
+  def wktAreaGeodesic(wkt: Column): Column = ringsAreaGeodesic(wktRings(wkt))
+
+  /** Geodesic boundary length in m of a lon/lat WKT polygon. */
+  def wktPerimeterGeodesic(wkt: Column): Column = ringsPerimeterGeodesic(wktRings(wkt))
+
   /** Polygon area (holes subtract under the orientation convention). */
   def wktArea(wkt: Column): Column = ringsArea(wktRings(wkt))
 

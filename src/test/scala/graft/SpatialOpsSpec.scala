@@ -96,6 +96,57 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got.getDouble(1) == 12.0)
   }
 
+  test("geodesic measures: band-quad area is the exact spherical band, holes subtract") {
+    import spark.implicits._
+    val R = SpatialOps.Wgs84AuthalicRadius
+    val d2r = math.Pi / 180.0
+    // a parallel/meridian-bounded quad: C-D area == R²·Δλ·(sinφ2 − sinφ1)
+    def quad(l1: Double, p1: Double, l2: Double, p2: Double) =
+      s"POLYGON (($l1 $p1, $l2 $p1, $l2 $p2, $l1 $p2, $l1 $p1))"
+    val df = Seq(
+      (1L, quad(10.0, 0.0, 11.0, 1.0)),   // equatorial 1°×1°
+      (2L, quad(-96.0, 40.0, -95.0, 41.0)) // mid-latitude
+    ).toDF("id", "geom")
+    val got = df.select($"id", SpatialOps.wktAreaGeodesic($"geom").as("a"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def band(l1: Double, p1: Double, l2: Double, p2: Double) =
+      R * R * (l2 - l1) * d2r * (math.sin(p2 * d2r) - math.sin(p1 * d2r))
+    assert(math.abs(got(1L) - band(10, 0, 11, 1)) / band(10, 0, 11, 1) < 1e-12)
+    assert(math.abs(got(2L) - band(-96, 40, -95, 41)) / band(-96, 40, -95, 41) < 1e-12)
+    // the mid-latitude band is visibly smaller than the equatorial one —
+    // the cos(lat) effect planar shoelace misses entirely
+    assert(got(2L) < got(1L) * 0.8)
+    // hole subtracts: outer CCW quad minus an inner CW quad
+    val holed = "POLYGON ((10.0 0.0, 11.0 0.0, 11.0 1.0, 10.0 1.0, 10.0 0.0), " +
+      "(10.2 0.2, 10.2 0.8, 10.8 0.8, 10.8 0.2, 10.2 0.2))"
+    val ha = df.sparkSession.range(1).select(
+      SpatialOps.wktAreaGeodesic(lit(holed))).head().getDouble(0)
+    val expect = band(10, 0, 11, 1) - band(10.2, 0.2, 10.8, 0.8)
+    assert(math.abs(ha - expect) / expect < 1e-12)
+  }
+
+  test("geodesic perimeter: meridian and equator arcs are exact great-circle arcs") {
+    import spark.implicits._
+    val R = SpatialOps.Wgs84AuthalicRadius
+    val d2r = math.Pi / 180.0
+    // thin meridian-ish quad 2° tall at lon 5: the two meridian edges are
+    // each exactly R·Δφ; parallel edges at φ=0 and 2 are R·Δλ·cosφ-ish
+    // (haversine is exact for any great circle; parallels at φ≠0 are NOT
+    // great circles, so measure a quad on the equator edge instead)
+    val df = Seq((1L, "POLYGON ((5.0 0.0, 6.0 0.0, 6.0 2.0, 5.0 2.0, 5.0 0.0))"))
+      .toDF("id", "geom")
+    val p = df.select(SpatialOps.wktPerimeterGeodesic($"geom")).head().getDouble(0)
+    // equator edge: R·1°; meridian edges: R·2° each; top edge at φ=2°:
+    // haversine chord of the parallel — compute it directly
+    val topH = {
+      val phi = 2.0 * d2r
+      2 * R * math.asin(math.sqrt(
+        math.cos(phi) * math.cos(phi) * math.pow(math.sin(0.5 * d2r), 2)))
+    }
+    val expect = R * 1.0 * d2r + 2 * R * 2.0 * d2r + topH
+    assert(math.abs(p - expect) / expect < 1e-12, s"got $p want $expect")
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val vecs = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
     vecs.createOrReplaceTempView("v_ext")
