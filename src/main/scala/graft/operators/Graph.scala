@@ -38,6 +38,7 @@ object Graph {
       dstCol: String = "b",
       maxIter: Int = 20,
       localThreshold: Long = 1L << 22): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // The edge input is cached up front: everything downstream (the local
     // take, or the 3-way union building `und`) re-references it, and
     // without a cache the whole upstream pipeline — e.g. LSH + Jaccard
@@ -72,63 +73,87 @@ object Graph {
     // Distributed path: undirected edges in both directions PLUS a
     // self-loop per node — the min over a node's in-neighbors' labels then
     // includes its own label, so each round is ONE join + ONE aggregation
-    // (no second join to merge the old label back in).
+    // (no second join to merge the old label back in). No distinct: the
+    // min-aggregation is duplicate-insensitive, so deduplicating the
+    // undirected expansion would spend a whole extra edge-list shuffle to
+    // save nothing (the r7→r8 cc2 audit measured the distinct as pure
+    // overhead at every scale — min over a multiset IS min over its set).
     val nodes = fwd.select(col("x")).union(fwd.select(col("y"))).distinct()
     // pre-partition by x: the per-round groupBy(x) then reuses this
     // partitioning (when AQE broadcasts the small labels side, the join
     // preserves the streamed side's distribution → zero shuffles per round;
     // with a huge label table it degrades to a plain shuffled join).
-    // Persisted lazily — the first round's checksum materializes it off the
-    // fwd cache; no extra count barrier.
     val und = fwd
       .union(fwd.select(col("y").as("x"), col("x").as("y")))
       .union(nodes.select(col("x"), col("x").as("y")))
-      .distinct()
       .repartition(col("x"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize und off the fwd cache, then drop fwd: the iterative loop
-    // only reads und, and on the over-threshold path keeping both pinned
-    // ~3x the edge-list footprint exactly where memory pressure is worst
-    // (the count here is one extra job on the rare huge-graph path only)
-    und.count()
-    fwd.unpersist()
     try {
-      var labels = und.select(col("x").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only ever decrease (min-propagation is monotone), so an
-      // unchanged checksum ⟺ a fixpoint; computing it over the fresh cache
-      // also materializes ALL partitions before the old cache is dropped
-      // (a limit()-style early-out would leave the cache partial and force
-      // full lineage recomputation every round — quadratic blowup).
+      // unchanged checksum ⟺ a pointwise fixpoint; computing it over the
+      // fresh cache also materializes ALL partitions before the old cache
+      // is dropped (a limit()-style early-out would leave the cache
+      // partial and force full lineage recomputation every round), AND —
+      // because `prop` feeds the jump under TWO different join keys —
+      // eager materialization stops the AQE exchange race that would
+      // execute the join+agg subtree twice (the inc1 lesson). One action
+      // per frame does all three jobs: materialize, race-fence, converge.
       def checksum(df: DataFrame): java.math.BigDecimal =
         Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
           .getOrElse(java.math.BigDecimal.ZERO) // sum over zero rows is NULL
+      // pointer jump: label ← label's label. Every label value is itself
+      // a node (self-loops put all nodes in `prop`), and labels only
+      // decrease, so the jump is always valid and monotone. Propagation
+      // alone needs diameter rounds (a 1M-node chain = 1M shuffles);
+      // interleaving one jump per round compresses label chains
+      // geometrically → O(log diameter) rounds, one extra equi-join each.
+      def jump(prop: DataFrame): DataFrame = prop
+        .join(prop.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+      // ROUND 1 FUSED: against identity labels the propagation join is the
+      // identity on the neighbor side, so min-over-neighbors collapses to
+      // a plain groupBy(x).min(y) — its action also materializes `und`
+      // (replacing the separate und.count barrier) and delivers both round
+      // 1's pre-jump checksum and the identity sum in one job, so an
+      // already-converged (edge-free) graph is detected with zero extra
+      // identity-labels materialization.
+      val prop1 = und.groupBy(col("x").as("node")).agg(min(col("y")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r1 = prop1.agg(
+        sum(col("label").cast("decimal(38,0)")),
+        sum(col("node").cast("decimal(38,0)"))).head()
+      fwd.unpersist() // und is now fully cached; the loop reads only und
+      def dec(i: Int): java.math.BigDecimal =
+        Option(r1.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO)
+      if (dec(0).compareTo(dec(1)) == 0)
+        return prop1.select(col("node"), col("label").as("component"))
+      var labels = jump(prop1).persist(StorageLevel.MEMORY_AND_DISK)
       var prev = checksum(labels)
+      prop1.unpersist()
+      var it = 1
       var converged = false
-      var it = 0
       while (!converged && it < maxIter) {
-        // neighbor-min propagation: one join + one agg
+        // neighbor-min propagation: one join + one agg; its checksum IS
+        // the convergence test (prop == previous labels ⟺ fixpoint, by
+        // monotonicity), so the FINAL confirming round costs one
+        // propagation job and no jump/checksum pair.
         val prop = und
           .join(labels.select(col("node").as("y"), col("label").as("nl")), Seq("y"))
           .groupBy(col("x").as("node"))
           .agg(min(col("nl")).as("label"))
-        // pointer jump: label ← label's label. Every label value is itself
-        // a node (self-loops put all nodes in `prop`), and labels only
-        // decrease, so the jump is always valid and monotone. Propagation
-        // alone needs diameter rounds (a 1M-node chain = 1M shuffles);
-        // interleaving one jump per round compresses label chains
-        // geometrically → O(log diameter) rounds, one extra equi-join each.
-        val next = prop
-          .join(prop.select(col("node").as("label"), col("label").as("ll")),
-            Seq("label"), "left")
-          .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val s = checksum(next)
-        labels.unpersist()
-        labels = next
-        converged = s.compareTo(prev) == 0
-        prev = s
+        val s = checksum(prop)
+        if (s.compareTo(prev) == 0) {
+          converged = true
+          prop.unpersist() // labels already hold the fixpoint
+        } else {
+          val next = jump(prop).persist(StorageLevel.MEMORY_AND_DISK)
+          prev = checksum(next)
+          prop.unpersist()
+          labels.unpersist()
+          labels = next
+        }
         it += 1
       }
       labels.select(col("node"), col("label").as("component"))
