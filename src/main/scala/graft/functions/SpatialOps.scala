@@ -220,6 +220,65 @@ object SpatialOps {
   /** Total coordinate count as written (closing points included). */
   def wktNumPoints(wkt: Column): Column = ringsNumPoints(wktRings(wkt))
 
+  // ---- vector geometry reprojection (the ogr2ogr half of the CRS story) ----
+
+  /** Re-emit parsed rings as the WKT body "((x y, …), (…))". Coordinates
+    * print as canonical shortest-round-trip doubles (the same spelling the
+    * vector readers/writers use), so parse ∘ emit is the identity on the
+    * engine's own WKT.
+    */
+  private def ringsToWktBody(rings: Column): Column =
+    concat_ws(", ", transform(rings, r => concat(lit("("),
+      concat_ws(", ", transform(r, p => concat(
+        p.getField("x").cast("string"), lit(" "), p.getField("y").cast("string")))),
+      lit(")"))))
+
+  private def mapPts(pts: Column, t: graft.operators.Regrid.Transform2D): Column =
+    transform(pts, p => {
+      val (x, y) = t(p.getField("x"), p.getField("y"))
+      struct(x.as("x"), y.as("y"))
+    })
+
+  /** Reproject a WKT geometry's coordinates through a
+    * [[graft.operators.Regrid.Transform2D]] — what `ogr2ogr -t_srs` does
+    * to a vector file, as a pure Column expression: the same closed-form
+    * projection algebra the raster regrid evaluates, applied inside the
+    * coordinate-array HOFs. Supports POINT / LINESTRING / POLYGON (the
+    * geometries the engine's vector codecs emit); MULTI* and anything
+    * else reject loudly (fail closed — a silently-dropped ring re-keys
+    * downstream joins). NULL propagates.
+    */
+  def reprojectWkt(wkt: Column, t: graft.operators.Regrid.Transform2D): Column = {
+    val typ = upper(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1))
+    // single-group parse for POINT/LINESTRING (wktRings wants two parens)
+    val flat = ringPts(
+      regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "\\)\\s*$", ""))
+    when(wkt.isNull, lit(null).cast("string"))
+      .when(typ === "POINT", {
+        val p = element_at(mapPts(flat, t), 1)
+        concat(lit("POINT ("), p.getField("x").cast("string"), lit(" "),
+          p.getField("y").cast("string"), lit(")"))
+      })
+      .when(typ === "LINESTRING",
+        concat(lit("LINESTRING "), ringsToWktBody(array(mapPts(flat, t)))))
+      .when(typ === "POLYGON",
+        concat(lit("POLYGON ("),
+          ringsToWktBody(transform(wktRings(wkt), r => mapPts(r, t))), lit(")")))
+      .otherwise(raise_error(concat(
+        lit("reprojectWkt: unsupported WKT type '"), typ,
+        lit("' (POINT | LINESTRING | POLYGON)"))))
+  }
+
+  /** WKT-CRS front door for feature tables: reproject `geomCol` from
+    * `srcWkt`'s CRS into `dstWkt`'s (both WKT1 PROJCS/GEOGCS strings —
+    * e.g. the `crs` column Shapefile.readFeatureFiles surfaces), via
+    * [[graft.operators.CrsWkt.transformBetween]].
+    */
+  def reprojectFeatures(df: org.apache.spark.sql.DataFrame, geomCol: String,
+      srcWkt: String, dstWkt: String): org.apache.spark.sql.DataFrame =
+    df.withColumn(geomCol, reprojectWkt(col(geomCol),
+      graft.operators.CrsWkt.transformBetween(srcWkt, dstWkt)))
+
   /** Z-order (Morton) key: interleave the low `bits` bits of two
     * non-negative integer cell coordinates — bit i of x lands at 2i, bit i
     * of y at 2i+1. Sorting by this key gives recursive-quadrant locality,

@@ -147,6 +147,61 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(math.abs(p - expect) / expect < 1e-12, s"got $p want $expect")
   }
 
+  test("reprojectWkt: geographic->UTM round trip is the identity to sub-mm") {
+    import spark.implicits._
+    import graft.operators.Regrid
+    val df = Seq(
+      (1L, "POINT (139.7 35.67)"),
+      (2L, "LINESTRING (139.68 35.66, 139.71 35.69)"),
+      (3L, "POLYGON ((139.68 35.66, 139.72 35.66, 139.72 35.7, 139.68 35.7, 139.68 35.66), " +
+        "(139.69 35.67, 139.69 35.68, 139.7 35.68, 139.7 35.67, 139.69 35.67))")
+    ).toDF("id", "geom")
+    val fwd = Regrid.UtmFromGeographic(54)
+    val there = df.withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd))
+    // projected coordinates are UTM-plausible metres
+    val pt = there.filter($"id" === 1).head().getString(1)
+    val Array(e, n) = pt.stripPrefix("POINT (").stripSuffix(")").split(" ").map(_.toDouble)
+    assert(e > 100000 && e < 900000 && n > 3900000 && n < 4000000, pt)
+    val back = there.withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd.inverse))
+      .orderBy("id").collect().map(_.getString(1))
+    val orig = df.orderBy("id").collect().map(_.getString(1))
+    val numRe = "-?\\d+(?:\\.\\d+)?(?:[Ee]-?\\d+)?"
+    def coords(w: String): Seq[Double] =
+      numRe.r.findAllIn(w).map(_.toDouble).toSeq
+    back.zip(orig).foreach { case (b, o) =>
+      // same structure
+      assert(b.replaceAll(numRe, "#") == o.replaceAll(numRe, "#"))
+      coords(b).zip(coords(o)).foreach { case (cb, co) =>
+        assert(math.abs(cb - co) < 1e-8, s"$b vs $o") // ~1 mm in degrees
+      }
+    }
+    // unsupported type rejects loudly
+    val err = intercept[Exception] {
+      Seq((1L, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")).toDF("id", "geom")
+        .select(SpatialOps.reprojectWkt($"geom", fwd)).collect()
+    }
+    assert(err.getMessage.contains("unsupported WKT type"))
+    // NULL propagates
+    val n0 = Seq((1L, null: String)).toDF("id", "geom")
+      .select(SpatialOps.reprojectWkt($"geom", fwd)).head()
+    assert(n0.isNullAt(0))
+  }
+
+  test("reprojectFeatures dispatches from WKT CRS strings (datum shift moves ~360 m)") {
+    import spark.implicits._
+    val wgs = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+    val tokyo = "GEOGCS[\"GCS_Tokyo\",DATUM[\"D_Tokyo\",SPHEROID[\"Bessel_1841\"," +
+      "6377397.155,299.1528128]],PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+    val df = Seq((1L, "POINT (139.7 35.67)")).toDF("id", "geom")
+    val shifted = SpatialOps.reprojectFeatures(df, "geom", wgs, tokyo).head().getString(1)
+    val Array(lon, lat) = shifted.stripPrefix("POINT (").stripSuffix(")")
+      .split(" ").map(_.toDouble)
+    // the published Tokyo shift moves coordinates ~11.6 arcsec (≈360 m)
+    assert(math.abs(lon - 139.7) * 3600 > 5 && math.abs(lon - 139.7) * 3600 < 20, s"$lon")
+    assert(math.abs(lat - 35.67) * 3600 > 5 && math.abs(lat - 35.67) * 3600 < 20, s"$lat")
+  }
+
   test("cosine_sim is callable from SQL via GraftExtensions") {
     val vecs = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
     vecs.createOrReplaceTempView("v_ext")
