@@ -1770,6 +1770,46 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM9 — PROGRESSIVE JPEG (SOF2): a grayscale image with DC successive
+    * approximation (Al 1→0), split all-zero AC bands (EOB-run heavy) and
+    * restart markers, plus a 4:2:0 color image with an interleaved DC
+    * first scan + per-component AC scans + a DC refinement. DC-only
+    * blocks keep the mm7 closed-form oracle recipe — the multi-scan
+    * coefficient accumulation, successive-approximation shifts, EOB runs,
+    * and the MCU-interleaved/non-interleaved block orders must all be
+    * exactly invisible in the final pixels.
+    */
+  private def mm9(s: SparkSession, d: String) = {
+    import s.implicits._
+    import operators.Jpeg.ScanSpec
+    val qG = Array.fill(64)(16)
+    val gray = operators.Jpeg.synthJpegProgressive(20, 12, 1, Seq(qG), Seq(
+      ScanSpec(Seq(0), 0, 0, 0, 1),
+      ScanSpec(Seq(0), 1, 20, 0, 0),
+      ScanSpec(Seq(0), 0, 0, 1, 0),
+      ScanSpec(Seq(0), 21, 63, 0, 0)), restartInterval = 2) { (_, by, bx) =>
+      val nat = new Array[Int](64)
+      nat(0) = ((by * 7 + bx * 3) % 50) - 25
+      nat
+    }
+    val qY = Array.fill(64)(16); val qC = Array.fill(64)(8)
+    val color = operators.Jpeg.synthJpegProgressive(24, 20, 3, Seq(qY, qC), Seq(
+      ScanSpec(Seq(0, 1, 2), 0, 0, 0, 1),
+      ScanSpec(Seq(0), 1, 63, 0, 0),
+      ScanSpec(Seq(1), 1, 63, 0, 0),
+      ScanSpec(Seq(2), 1, 63, 0, 0),
+      ScanSpec(Seq(0, 1, 2), 0, 0, 1, 0)),
+      sampling = Seq((2, 2), (1, 1), (1, 1))) { (c, by, bx) =>
+      val nat = new Array[Int](64)
+      nat(0) = if (c == 0) ((by * 5 + bx * 3) % 48) - 24
+        else ((c * 7 + by * 3 + bx * 5) % 30) - 15
+      nat
+    }
+    operators.Jpeg.jpegToPixels(
+        Seq((1L, gray), (2L, color)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3664,6 +3704,7 @@ object SparkEntry {
     "mm6b_png_palette16" -> (mm6b _),
     "mm7_jpeg_pixels" -> (mm7 _),
     "mm8_jpeg_subsampled" -> (mm8 _),
+    "mm9_jpeg_progressive" -> (mm9 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4598,6 +4639,28 @@ object SparkEntry {
         |      ELSE (((id % 3) * 9 + (id // 48 // 8) * 7 + ((id % 48) // 3 // 16)) % 26 - 13) * 8
         |    END AS DOUBLE) * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
         |FROM range(480) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
+    // mm9: DC-only progressive JPEG — the coefficients reassembled across
+    // scans equal the single-scan values, so the same one-product closed
+    // form as mm7/mm8 applies (img2's blocks are mm8-img1's exactly).
+    "mm9_jpeg_progressive" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      s"""SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 20 AS INT) AS px_row,
+        |  CAST(id % 20 AS INT) AS px_col, CAST(0 AS INT) AS channel,
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST((((id // 20 // 8) * 7 + (id % 20 // 8) * 3) % 50 - 25) * 16 AS DOUBLE)
+        |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS value
+        |FROM range(240) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 72 AS INT),
+        |  CAST((id % 72) // 3 AS INT), CAST(id % 3 AS INT),
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST(CASE WHEN id % 3 = 0
+        |      THEN (((id // 72 // 8) * 5 + ((id % 72) // 3 // 8) * 3) % 48 - 24) * 16
+        |      ELSE (((id % 3) * 7 + (id // 72 // 16) * 3 + ((id % 72) // 3 // 16) * 5) % 30 - 15) * 8
+        |    END AS DOUBLE) * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
+        |FROM range(1440) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin
     },
     "mm5_tiff_header" ->

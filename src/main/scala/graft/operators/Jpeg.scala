@@ -3,14 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** Baseline JPEG (ITU-T T.81 sequential DCT, SOF0) codec from the public
-  * spec — the last pixel-format gap after TIFF and PNG: marker walk,
-  * canonical Huffman entropy decode with byte unstuffing and restart
-  * markers, dequantize + de-zigzag, separable float IDCT, level shift.
+/** JPEG (ITU-T T.81) codec from the public spec — the last pixel-format
+  * gap after TIFF and PNG: marker walk, canonical Huffman entropy decode
+  * with byte unstuffing and restart markers, dequantize + de-zigzag,
+  * separable float IDCT, level shift. Covers BOTH Huffman DCT modes real
+  * files ship: baseline sequential (SOF0) and progressive (SOF2 —
+  * spectral selection, successive approximation with Annex-G
+  * correction-bit refinement, EOB runs).
   *
   * Scope (everything else FAILS CLOSED, the Tiff/Png doctrine):
-  *   - baseline sequential only (SOF0); progressive (SOF2), extended
-  *     (SOF1), arithmetic coding, and hierarchical modes are rejected
+  *   - SOF0 baseline + SOF2 progressive; extended sequential (SOF1),
+  *     arithmetic coding, and hierarchical modes are rejected
   *   - 8-bit precision, 8-bit quantization tables (Pq=0)
   *   - 1 component (grayscale, 1×1) or 3 components with per-axis
   *     sampling factors of 1 or 2 — covering 4:4:4, 4:2:2, 4:4:0 and
@@ -84,6 +87,19 @@ object Jpeg {
     0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // Progressive AC scans additionally emit EOBn symbols (0x10..0xE0),
+  // which the baseline Annex-K tables do not define — real progressive
+  // encoders ship custom DHTs. This synthetic table assigns every symbol
+  // a progressive scan can emit (EOB0..EOB14, ZRL, and (r,s) for
+  // s = 1..10) a flat 8-bit canonical code: valid (176 < 255 codes, no
+  // all-ones), trivially decodable, compression-irrelevant for fixtures.
+  private val ProgAcVals: Array[Int] =
+    ((0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private val ProgAcBits: Array[Int] = {
+    val b = new Array[Int](17); b(8) = ProgAcVals.length; b
+  }
 
   // ---- canonical Huffman (T.81 Annex C) ----
 
@@ -177,9 +193,28 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline JPEG to (width, height, channels, row-major
-    * channel-interleaved raw component bytes) — Y for grayscale, Y/Cb/Cr
-    * (unconverted) for color.
+  /** zigzag position of each natural (row-major) index — Zigzag's inverse. */
+  private val NatToZig: Array[Int] = {
+    val inv = new Array[Int](64)
+    for (z <- 0 until 64) inv(Zigzag(z)) = z
+    inv
+  }
+
+  /** Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG to (width,
+    * height, channels, row-major channel-interleaved raw component
+    * bytes) — Y for grayscale, Y/Cb/Cr (unconverted) for color.
+    *
+    * Architecture: every scan decodes RAW coefficients into a
+    * per-component MCU-padded coefficient store; dequantize + IDCT +
+    * level shift + box upsample run ONCE after EOI. Baseline is the
+    * degenerate single-scan case, so both modes share one reconstruction
+    * path — which makes the progressive mode directly testable: the same
+    * final coefficients MUST produce bit-identical pixels through either
+    * coding (JpegSpec asserts it). Progressive scans cover the T.81
+    * surface real encoders emit: interleaved DC scans, single-component
+    * spectral AC bands, successive approximation (DC bit refinement; AC
+    * first + correction-bit refinement per Annex G), EOB runs, and
+    * restart markers in every scan kind.
     */
   def decodeJpegPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
@@ -193,205 +228,372 @@ object Jpeg {
     var compId: Array[Int] = null
     var compSampH: Array[Int] = null
     var compSampV: Array[Int] = null
+    var dcPred: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
+    var progressive = false
+    var maxH = 0; var maxV = 0; var mcusX = 0; var mcusY = 0
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // RAW (undequantized) coefficients
 
     def be16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
 
-    var scanStart = -1
-    var compDc: Array[Int] = null
-    var compAc: Array[Int] = null
-    while (scanStart < 0) {
-      require(pos + 4 <= bytes.length, "truncated before SOS")
-      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
-      val m = bytes(pos + 1) & 0xff
-      val len = be16(pos + 2)
-      require(len >= 2 && pos + 2 + len <= bytes.length,
-        f"segment 0xFF$m%02X overruns the file")
-      val seg = pos + 4
-      m match {
-        case 0xdb => // DQT
-          var o = seg
-          while (o < pos + 2 + len) {
-            val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
-            require(pq == 0, "16-bit quantization tables unsupported")
-            qt(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
-            o += 65
-          }
-        case 0xc4 => // DHT
-          var o = seg
-          while (o < pos + 2 + len) {
-            val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
-            val bits = new Array[Int](17)
-            var total = 0
-            for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
-            val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
-            val t = new HuffDecode(bits, vals)
-            if (tc == 0) dcTbl(th) = t else acTbl(th) = t
-            o += 17 + total
-          }
-        case 0xc0 => // SOF0 baseline
-          require(!sofSeen, "multiple SOF segments")
-          require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
-          h = be16(seg + 1); w = be16(seg + 3)
-          ncomp = bytes(seg + 5) & 0xff
-          require(ncomp == 1 || ncomp == 3, s"$ncomp components unsupported (1 or 3)")
-          compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
-          compSampH = new Array[Int](ncomp); compSampV = new Array[Int](ncomp)
-          for (i <- 0 until ncomp) {
-            compId(i) = bytes(seg + 6 + 3 * i) & 0xff
-            val hv = bytes(seg + 7 + 3 * i) & 0xff
-            val sh = hv >> 4; val sv = hv & 0x0f
-            // 1×1 and 2×-factor layouts cover 4:4:4 / 4:2:2 / 4:4:0 /
-            // 4:2:0 — everything a camera/web baseline JPEG ships; 3× and
-            // 4× factors (legal but unseen in practice) fail closed
-            require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
-              f"sampling factor ${sh}x$sv unsupported (1 or 2 per axis)")
-            if (ncomp == 1)
-              require(hv == 0x11, "grayscale must be 1x1 sampled")
-            compSampH(i) = sh; compSampV(i) = sv
-            compQ(i) = bytes(seg + 8 + 3 * i) & 0xff
-          }
-          sofSeen = true
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          throw new IllegalArgumentException(
-            f"SOF 0xFF$m%02X unsupported (baseline sequential SOF0 only)")
-        case 0xdd => restartInterval = be16(seg)
-        case 0xda => // SOS
-          require(sofSeen, "SOS before SOF0")
-          val ns = bytes(seg) & 0xff
-          require(ns == ncomp, "partial scans unsupported")
-          compDc = new Array[Int](ncomp); compAc = new Array[Int](ncomp)
-          for (i <- 0 until ns) {
-            val cid = bytes(seg + 1 + 2 * i) & 0xff
-            val ti = compId.indexOf(cid)
-            require(ti >= 0, s"SOS references unknown component $cid")
-            compDc(ti) = (bytes(seg + 2 + 2 * i) & 0xff) >> 4
-            compAc(ti) = bytes(seg + 2 + 2 * i) & 0x0f
-          }
-          require((bytes(seg + 1 + 2 * ns) & 0xff) == 0 &&
-            (bytes(seg + 2 + 2 * ns) & 0xff) == 63,
-            "spectral selection must be 0..63 (baseline)")
-          scanStart = pos + 2 + len
-        case 0xd9 => throw new IllegalArgumentException("EOI before SOS")
-        case _ => // APPn, COM, others: skip
+    /** Decode one scan's entropy data; returns the position just past it. */
+    def decodeScan(seg: Int, entropyStart: Int): Int = {
+      val ns = bytes(seg) & 0xff
+      require(ns >= 1 && ns <= ncomp, s"bad scan component count $ns")
+      val scanComp = new Array[Int](ns)
+      val scanDc = new Array[Int](ns)
+      val scanAc = new Array[Int](ns)
+      for (i <- 0 until ns) {
+        val cid = bytes(seg + 1 + 2 * i) & 0xff
+        val ti = compId.indexOf(cid)
+        require(ti >= 0, s"SOS references unknown component $cid")
+        scanComp(i) = ti
+        scanDc(i) = (bytes(seg + 2 + 2 * i) & 0xff) >> 4
+        scanAc(i) = bytes(seg + 2 + 2 * i) & 0x0f
       }
-      pos += 2 + len
-    }
+      val ss = bytes(seg + 1 + 2 * ns) & 0xff
+      val se = bytes(seg + 2 + 2 * ns) & 0xff
+      val ahAl = bytes(seg + 3 + 2 * ns) & 0xff
+      val ah = ahAl >> 4; val al = ahAl & 0x0f
+      if (!progressive) {
+        require(ns == ncomp, "partial scans unsupported in baseline")
+        require(ss == 0 && se == 63 && ah == 0 && al == 0,
+          "baseline scan must cover spectral band 0..63 at full precision")
+      } else {
+        if (ss == 0) require(se == 0, "progressive DC scan must have Se=0")
+        else {
+          require(ns == 1, "progressive AC scans are single-component (T.81)")
+          require(se >= ss && se <= 63, s"bad spectral band $ss..$se")
+        }
+        require(al <= 13 && (ah == 0 || ah == al + 1),
+          s"bad successive approximation Ah=$ah Al=$al")
+      }
+      val rd = new BitReader(bytes, entropyStart)
+      java.util.Arrays.fill(dcPred, 0)
+      var eobrun = 0
 
-    // MCU-interleaved scan (T.81 A.2.3): each MCU carries v_i×h_i blocks
-    // per component in component order; component planes are padded to
-    // whole MCUs and decoded at their own resolution, then upsampled to
-    // full resolution by pixel replication (box upsampling — libjpeg's
-    // non-fancy mode) at output assembly.
-    val maxH = compSampH.max; val maxV = compSampV.max
-    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
-    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
-    val planeW = Array.tabulate(ncomp)(i => mcusX * compSampH(i) * 8)
-    val planeH = Array.tabulate(ncomp)(i => mcusY * compSampV(i) * 8)
-    val planes = Array.tabulate(ncomp)(i => new Array[Byte](planeW(i) * planeH(i)))
-    val out = new Array[Byte](w * h * ncomp)
-    val rd = new BitReader(bytes, scanStart)
-    val dcPred = new Array[Int](ncomp)
-    val coef = new Array[Int](64)
-    val pix = Array.ofDim[Double](8, 8)
-    var mcu = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+      def baselineBlock(i: Int, ci: Int, off: Int): Unit = {
+        val s = rd.huff(dcTbl(scanDc(i)))
+        dcPred(ci) += extend(rd.bits(s), s)
+        coefs(ci)(off) = dcPred(ci)
+        var k = 1
+        while (k < 64) {
+          val rs = rd.huff(acTbl(scanAc(i)))
+          val r = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r == 15) { // ZRL
+              k += 16
+              // fail closed on corrupt entropy data: a ZRL that advances
+              // past the block end would truncate silently
+              require(k <= 64, "ZRL run overflows the block")
+            }
+            else k = 64 // EOB
+          } else {
+            k += r
+            require(k < 64, "AC run overflows the block")
+            coefs(ci)(off + Zigzag(k)) = extend(rd.bits(sz), sz)
+            k += 1
+          }
+        }
+      }
+
+      def dcFirst(i: Int, ci: Int, off: Int): Unit = {
+        val s = rd.huff(dcTbl(scanDc(i)))
+        dcPred(ci) += extend(rd.bits(s), s)
+        coefs(ci)(off) = dcPred(ci) << al
+      }
+
+      def dcRefine(ci: Int, off: Int): Unit =
+        if (rd.bit() == 1) coefs(ci)(off) |= (1 << al)
+
+      def acFirst(i: Int, ci: Int, off: Int): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = rd.huff(acTbl(scanAc(i)))
+          val r = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (r < 15) { // EOBn: run of 2^r + bits(r) blocks (incl. this one)
+              eobrun = 1 << r
+              if (r > 0) eobrun += rd.bits(r)
+              eobrun -= 1
+              k = se + 1
+            } else {
+              k += 16 // ZRL within the band
+              require(k <= se + 1, "ZRL run overflows the spectral band")
+            }
+          } else {
+            k += r
+            require(k <= se, "AC run overflows the spectral band")
+            coefs(ci)(off + Zigzag(k)) = extend(rd.bits(sz), sz) << al
+            k += 1
+          }
+        }
+      }
+
+      // Annex G.1.2.3 correction-bit refinement (the jdphuff-shaped walk:
+      // every nonzero-history coefficient passed over reads one bit).
+      def acRefine(i: Int, ci: Int, off: Int): Unit = {
+        val p1 = 1 << al; val m1 = -1 << al
+        val c = coefs(ci)
+        var k = ss
+        if (eobrun == 0) {
+          var inBand = true
+          while (k <= se && inBand) {
+            val rs = rd.huff(acTbl(scanAc(i)))
+            var r = rs >> 4; val sz = rs & 0x0f
+            var newVal = 0
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = 1 << r
+                if (r > 0) eobrun += rd.bits(r)
+                inBand = false // fall through to the EOB correction sweep
+              }
+              // r == 15: ZRL — skip 16 zero-history positions below
+            } else {
+              require(sz == 1, "AC refinement magnitude must be 1")
+              newVal = if (rd.bit() == 1) p1 else m1
+            }
+            if (inBand) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = off + Zigzag(k)
+                if (c(idx) != 0) {
+                  if (rd.bit() == 1 && (c(idx) & p1) == 0) {
+                    if (c(idx) >= 0) c(idx) += p1 else c(idx) += m1
+                  }
+                } else {
+                  if (r == 0) {
+                    if (sz != 0) c(idx) = newVal
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              require(placed || k > se, "refinement run overflows the band")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { // EOB: correction bits only
+            val idx = off + Zigzag(k)
+            if (c(idx) != 0) {
+              if (rd.bit() == 1 && (c(idx) & p1) == 0) {
+                if (c(idx) >= 0) c(idx) += p1 else c(idx) += m1
+              }
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def decodeUnit(i: Int, ci: Int, off: Int): Unit =
+        if (!progressive) baselineBlock(i, ci, off)
+        else if (ss == 0) { if (ah == 0) dcFirst(i, ci, off) else dcRefine(ci, off) }
+        else { if (ah == 0) acFirst(i, ci, off) else acRefine(i, ci, off) }
+
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
           rd.restart()
           java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
         }
-        var ci = 0
-        while (ci < ncomp) {
-          var bv = 0
-          while (bv < compSampV(ci)) {
-            var bh2 = 0
-            while (bh2 < compSampH(ci)) {
-              java.util.Arrays.fill(coef, 0)
-              val q = qt(compQ(ci))
-              require(q != null, s"missing quant table ${compQ(ci)}")
-              // DC
-              val s = rd.huff(dcTbl(compDc(ci)))
-              val diff = extend(rd.bits(s), s)
-              dcPred(ci) += diff
-              coef(0) = dcPred(ci) * q(0)
-              // AC
-              var k = 1
-              while (k < 64) {
-                val rs = rd.huff(acTbl(compAc(ci)))
-                val r = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r == 15) { // ZRL
-                    k += 16
-                    // fail closed on corrupt entropy data: a ZRL that
-                    // advances past the block end would truncate silently
-                    require(k <= 64, "ZRL run overflows the block")
-                  }
-                  else k = 64 // EOB
-                } else {
-                  k += r
-                  require(k < 64, "AC run overflows the block")
-                  coef(Zigzag(k)) = extend(rd.bits(sz), sz) * q(k)
-                  k += 1
+
+      if (ns > 1) {
+        // interleaved: MCU order (baseline full scans; progressive DC scans)
+        require(ns == ncomp, "partial interleaved scans unsupported")
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart(mcu)
+            var i = 0
+            while (i < ns) {
+              val ci = scanComp(i)
+              var bv = 0
+              while (bv < compSampV(ci)) {
+                var bh2 = 0
+                while (bh2 < compSampH(ci)) {
+                  val by = my * compSampV(ci) + bv
+                  val bx = mx * compSampH(ci) + bh2
+                  decodeUnit(i, ci, (by * blocksW(ci) + bx) * 64)
+                  bh2 += 1
                 }
+                bv += 1
               }
-              // IDCT (direct separable double sum; DC-only blocks stay exact)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var sum = 0.0
-                  var v = 0
-                  while (v < 8) {
-                    var u = 0
-                    while (u < 8) {
-                      val f = coef(v * 8 + u)
-                      if (f != 0) {
-                        val cu = if (u == 0) C0 else 1.0
-                        val cv = if (v == 0) C0 else 1.0
-                        sum += cu * cv * f.toDouble * cosT(x)(u) * cosT(y)(v)
-                      }
-                      u += 1
-                    }
-                    v += 1
-                  }
-                  pix(y)(x) = sum * 0.25
-                  x += 1
-                }
-                y += 1
-              }
-              // place into this component's padded plane (level shift +
-              // clamp happen per PLANE sample, before any upsampling)
-              val pw = planeW(ci)
-              val rowBase = (my * compSampV(ci) + bv) * 8
-              val colBase = (mx * compSampH(ci) + bh2) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  val p = Math.round(pix(yy)(xx) + 128.0).toInt
-                  planes(ci)((rowBase + yy) * pw + colBase + xx) =
-                    math.max(0, math.min(255, p)).toByte
-                  xx += 1
-                }
-                yy += 1
-              }
-              bh2 += 1
+              i += 1
             }
-            bv += 1
+            mcu += 1
+            mx += 1
           }
-          ci += 1
+          my += 1
         }
-        mcu += 1
-        mx += 1
+      } else {
+        // non-interleaved: the component's OWN block dims (T.81 A.2.2 —
+        // ceil of the component size, NOT the MCU-padded grid)
+        val ci = scanComp(0)
+        val compW = (w * compSampH(ci) + maxH - 1) / maxH
+        val compH2 = (h * compSampV(ci) + maxV - 1) / maxV
+        val wB = (compW + 7) / 8; val hB = (compH2 + 7) / 8
+        var unit = 0
+        var by = 0
+        while (by < hB) {
+          var bx = 0
+          while (bx < wB) {
+            maybeRestart(unit)
+            decodeUnit(0, ci, (by * blocksW(ci) + bx) * 64)
+            unit += 1
+            bx += 1
+          }
+          by += 1
+        }
       }
-      my += 1
+      rd.pos
     }
-    // assemble full-resolution channel-interleaved output (replication)
+
+    var done = false
+    while (!done) {
+      require(pos + 2 <= bytes.length, "truncated before EOI")
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0xd9) { done = true; pos += 2 } // EOI
+      else {
+        val len = be16(pos + 2)
+        require(len >= 2 && pos + 2 + len <= bytes.length,
+          f"segment 0xFF$m%02X overruns the file")
+        val seg = pos + 4
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xdb => // DQT
+            var o = seg
+            while (o < pos + 2 + len) {
+              val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              qt(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
+              o += 65
+            }
+          case 0xc4 => // DHT
+            var o = seg
+            while (o < pos + 2 + len) {
+              val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
+              val bits = new Array[Int](17)
+              var total = 0
+              for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
+              val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
+              val t = new HuffDecode(bits, vals)
+              if (tc == 0) dcTbl(th) = t else acTbl(th) = t
+              o += 17 + total
+            }
+          case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+            require(!sofSeen, "multiple SOF segments")
+            progressive = m == 0xc2
+            require((bytes(seg) & 0xff) == 8, "only 8-bit precision supported")
+            h = be16(seg + 1); w = be16(seg + 3)
+            ncomp = bytes(seg + 5) & 0xff
+            require(ncomp == 1 || ncomp == 3, s"$ncomp components unsupported (1 or 3)")
+            compId = new Array[Int](ncomp); compQ = new Array[Int](ncomp)
+            compSampH = new Array[Int](ncomp); compSampV = new Array[Int](ncomp)
+            dcPred = new Array[Int](ncomp)
+            for (i <- 0 until ncomp) {
+              compId(i) = bytes(seg + 6 + 3 * i) & 0xff
+              val hv = bytes(seg + 7 + 3 * i) & 0xff
+              val sh = hv >> 4; val sv = hv & 0x0f
+              // 1x1 and 2x-factor layouts cover 4:4:4 / 4:2:2 / 4:4:0 /
+              // 4:2:0 — everything a camera/web JPEG ships; 3x and 4x
+              // factors (legal but unseen in practice) fail closed
+              require(sh >= 1 && sh <= 2 && sv >= 1 && sv <= 2,
+                f"sampling factor ${sh}x$sv unsupported (1 or 2 per axis)")
+              if (ncomp == 1)
+                require(hv == 0x11, "grayscale must be 1x1 sampled")
+              compSampH(i) = sh; compSampV(i) = sv
+              compQ(i) = bytes(seg + 8 + 3 * i) & 0xff
+            }
+            maxH = compSampH.max; maxV = compSampV.max
+            mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+            mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+            blocksW = Array.tabulate(ncomp)(i => mcusX * compSampH(i))
+            blocksH = Array.tabulate(ncomp)(i => mcusY * compSampV(i))
+            coefs = Array.tabulate(ncomp)(i => new Array[Int](blocksW(i) * blocksH(i) * 64))
+            sofSeen = true
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"SOF 0xFF$m%02X unsupported (baseline SOF0 and progressive SOF2)")
+          case 0xdd => restartInterval = be16(seg)
+          case 0xda => // SOS
+            require(sofSeen, "SOS before SOF")
+            nextPos = decodeScan(seg, pos + 2 + len)
+          case _ => // APPn, COM, others: skip
+        }
+        pos = nextPos
+      }
+    }
+    require(sofSeen && w > 0 && h > 0, "no SOF frame before EOI")
+
+    // ---- shared reconstruction: dequantize + IDCT + clamp per plane,
+    // then box-upsample to full-resolution channel-interleaved output ----
+    val planeW = Array.tabulate(ncomp)(i => blocksW(i) * 8)
+    val planes = Array.tabulate(ncomp)(i => new Array[Byte](blocksW(i) * blocksH(i) * 64))
+    val pix = Array.ofDim[Double](8, 8)
     var ci = 0
+    while (ci < ncomp) {
+      val q = qt(compQ(ci))
+      require(q != null, s"missing quant table ${compQ(ci)}")
+      val c = coefs(ci)
+      val pw = planeW(ci)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val off = (by * blocksW(ci) + bx) * 64
+          // IDCT (direct separable double sum; DC-only blocks stay exact)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var sum = 0.0
+              var v = 0
+              while (v < 8) {
+                var u = 0
+                while (u < 8) {
+                  val f = c(off + v * 8 + u) * q(NatToZig(v * 8 + u))
+                  if (f != 0) {
+                    val cu = if (u == 0) C0 else 1.0
+                    val cv = if (v == 0) C0 else 1.0
+                    sum += cu * cv * f.toDouble * cosT(x)(u) * cosT(y)(v)
+                  }
+                  u += 1
+                }
+                v += 1
+              }
+              pix(y)(x) = sum * 0.25
+              x += 1
+            }
+            y += 1
+          }
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val p = Math.round(pix(yy)(xx) + 128.0).toInt
+              planes(ci)((by * 8 + yy) * pw + bx * 8 + xx) =
+                math.max(0, math.min(255, p)).toByte
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    val out = new Array[Byte](w * h * ncomp)
+    ci = 0
     while (ci < ncomp) {
       val pw = planeW(ci)
       val sh = compSampH(ci); val sv = compSampV(ci)
@@ -559,6 +761,235 @@ object Jpeg {
       mcu += 1
     }
     wtr.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** One progressive scan's script entry: which components (indices into
+    * 0 until `components`), the spectral band [ss, se], and the
+    * successive-approximation pair (ah, al). DC scans have ss = se = 0
+    * and may interleave several components; AC scans are one component.
+    */
+  final case class ScanSpec(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** Build a PROGRESSIVE (SOF2) JPEG from the same quantized-coefficient
+    * contract as [[synthJpeg]], coded by the given scan script — the
+    * encode half needed to test the progressive decode path (spectral
+    * selection, DC/AC successive approximation with correction bits, EOB
+    * runs, per-scan restart markers; T.81 Annex G). The coefficient
+    * function gives FINAL values; each scan transmits its band at its
+    * precision, so decoding all scans reconstructs them exactly and the
+    * pixels must equal the baseline encoding's (JpegSpec asserts this).
+    */
+  def synthJpegProgressive(
+      width: Int, height: Int, components: Int,
+      quant: Seq[Array[Int]],
+      scans: Seq[ScanSpec],
+      restartInterval: Int = 0,
+      sampling: Seq[(Int, Int)] = Nil)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+    require(components == 1 || components == 3, "1 or 3 components")
+    require(quant.nonEmpty && quant.forall(_.length == 64), "need 64-entry zigzag quant tables")
+    val samp = if (sampling.isEmpty) Seq.fill(components)((1, 1)) else sampling
+    require(samp.length == components, "one (h,v) sampling pair per component")
+    val maxH = samp.map(_._1).max; val maxV = samp.map(_._2).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    // materialize every (MCU-padded) block's final coefficients up front
+    val blocksW = Array.tabulate(components)(i => mcusX * samp(i)._1)
+    val blocksH = Array.tabulate(components)(i => mcusY * samp(i)._2)
+    val blocks = Array.tabulate(components) { ci =>
+      Array.tabulate(blocksH(ci), blocksW(ci)) { (by, bx) =>
+        val nat = coefOf(ci, by, bx)
+        require(nat.length == 64, "coefOf must return 64 naturals")
+        nat
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    for ((q, ti) <- quant.zipWithIndex) {
+      marker(0xdb); be16(2 + 65); out.write(ti); q.foreach(out.write)
+    }
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length)
+      out.write((tc << 4) | th)
+      for (l <- 1 to 16) out.write(bits(l))
+      vals.foreach(out.write)
+    }
+    dht(0, 0, StdDcLumBits, StdDcLumVals)
+    dht(1, 0, ProgAcBits, ProgAcVals)
+    if (components == 3) {
+      dht(0, 1, StdDcChrBits, StdDcChrVals)
+      dht(1, 1, ProgAcBits, ProgAcVals)
+    }
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xc2) // SOF2 progressive
+    be16(8 + 3 * components)
+    out.write(8); be16(height); be16(width); out.write(components)
+    for (c <- 0 until components) {
+      out.write(c + 1)
+      out.write((samp(c)._1 << 4) | samp(c)._2)
+      out.write(math.min(c, quant.length - 1))
+    }
+    val dcEnc = Array(new HuffEncode(StdDcLumBits, StdDcLumVals),
+      new HuffEncode(StdDcChrBits, StdDcChrVals))
+    val acEnc = Array(new HuffEncode(ProgAcBits, ProgAcVals),
+      new HuffEncode(ProgAcBits, ProgAcVals))
+
+    for (scan <- scans) {
+      val ScanSpec(comps, ss, se, ah, al) = scan
+      require(comps.nonEmpty && comps.forall(c => c >= 0 && c < components),
+        s"bad scan components $comps")
+      if (ss == 0) require(se == 0, "DC scan must have se=0")
+      else require(comps.length == 1 && se >= ss && se <= 63, "AC scans are single-component")
+      marker(0xda); be16(6 + 2 * comps.length)
+      out.write(comps.length)
+      for (c <- comps) {
+        val ti = if (c == 0) 0 else 1
+        out.write(c + 1); out.write((ti << 4) | ti)
+      }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+
+      var wtr = new BitWriter(out)
+      val dcPred = new Array[Int](components)
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int] // correction bits riding the EOB run
+      def emitSym(ti: Int, sym: Int, ac: Boolean): Unit = {
+        val (code, len) = (if (ac) acEnc(ti) else dcEnc(ti)).codeOf.get(sym)
+        wtr.put(code, len)
+      }
+      def flushEob(ti: Int): Unit = if (eobrun > 0) {
+        var n = 0
+        while ((eobrun >> n) > 1) n += 1
+        emitSym(ti, n << 4, ac = true)
+        if (n > 0) wtr.put(eobrun & ((1 << n) - 1), n)
+        eobrun = 0
+        pending.foreach(b => wtr.put(b, 1))
+        pending.clear()
+      }
+      def pointT(v: Int): Int = if (v >= 0) v >> al else -((-v) >> al)
+
+      def encodeDcFirst(ci: Int, nat: Array[Int]): Unit = {
+        val ti = if (ci == 0) 0 else 1
+        val v = nat(0) >> al // arithmetic shift (T.81 DC point transform)
+        val diff = v - dcPred(ci); dcPred(ci) = v
+        val s = category(diff)
+        emitSym(ti, s, ac = false)
+        if (s > 0) wtr.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      }
+      def encodeDcRefine(nat: Array[Int]): Unit =
+        wtr.put((nat(0) >> al) & 1, 1)
+      def encodeAcFirst(ci: Int, nat: Array[Int]): Unit = {
+        val ti = if (ci == 0) 0 else 1
+        var lastNz = se
+        while (lastNz >= ss && pointT(nat(Zigzag(lastNz))) == 0) lastNz -= 1
+        if (lastNz < ss) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob(ti)
+          return
+        }
+        flushEob(ti)
+        var r = 0
+        var k = ss
+        while (k <= lastNz) {
+          val v = pointT(nat(Zigzag(k)))
+          if (v == 0) r += 1
+          else {
+            while (r > 15) { emitSym(ti, 0xf0, ac = true); r -= 16 }
+            val s = category(v)
+            emitSym(ti, (r << 4) | s, ac = true)
+            wtr.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            r = 0
+          }
+          k += 1
+        }
+        if (lastNz < se) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob(ti)
+        }
+      }
+      // Annex G refinement: newly-significant coefficients code (run, 1)
+      // + sign; already-significant ones ride as buffered correction bits
+      // emitted after the next symbol (or with the EOB run).
+      def encodeAcRefine(ci: Int, nat: Array[Int]): Unit = {
+        val ti = if (ci == 0) 0 else 1
+        val av = Array.tabulate(se + 1)(k => if (k < ss) 0 else math.abs(pointT(nat(Zigzag(k)))))
+        var eobPos = ss - 1
+        for (k <- ss to se) if (av(k) == 1) eobPos = k
+        var r = 0
+        val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var k = ss
+        while (k <= se) {
+          val t = av(k)
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEob(ti)
+              emitSym(ti, 0xf0, ac = true)
+              r -= 16
+              br.foreach(b => wtr.put(b, 1)); br.clear()
+            }
+            if (t > 1) br += (t & 1) // already significant: correction bit
+            else {
+              flushEob(ti)
+              emitSym(ti, (r << 4) | 1, ac = true)
+              wtr.put(if (nat(Zigzag(k)) < 0) 0 else 1, 1)
+              br.foreach(b => wtr.put(b, 1)); br.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || br.nonEmpty) {
+          eobrun += 1
+          pending ++= br
+          if (eobrun == 0x7fff || pending.length > 900) flushEob(ti)
+        }
+      }
+      def encodeUnit(ci: Int, by: Int, bx: Int): Unit = {
+        val nat = blocks(ci)(by)(bx)
+        if (ss == 0) { if (ah == 0) encodeDcFirst(ci, nat) else encodeDcRefine(nat) }
+        else { if (ah == 0) encodeAcFirst(ci, nat) else encodeAcRefine(ci, nat) }
+      }
+
+      var rstIdx = 0
+      def restartBoundary(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          flushEob(if (comps.head == 0) 0 else 1)
+          wtr.flush()
+          marker(0xd0 + (rstIdx % 8)); rstIdx += 1
+          wtr = new BitWriter(out)
+          java.util.Arrays.fill(dcPred, 0)
+        }
+
+      if (comps.length > 1) {
+        var mcu = 0
+        for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+          restartBoundary(mcu)
+          for {
+            ci <- comps
+            bv <- 0 until samp(ci)._2
+            bh2 <- 0 until samp(ci)._1
+          } encodeUnit(ci, my * samp(ci)._2 + bv, mx * samp(ci)._1 + bh2)
+          mcu += 1
+        }
+      } else {
+        val ci = comps.head
+        val compW = (width * samp(ci)._1 + maxH - 1) / maxH
+        val compH = (height * samp(ci)._2 + maxV - 1) / maxV
+        val wB = (compW + 7) / 8; val hB = (compH + 7) / 8
+        var unit = 0
+        for (by <- 0 until hB; bx <- 0 until wB) {
+          restartBoundary(unit)
+          encodeUnit(ci, by, bx)
+          unit += 1
+        }
+      }
+      flushEob(if (comps.head == 0) 0 else 1)
+      wtr.flush()
+    }
     marker(0xd9) // EOI
     out.toByteArray
   }

@@ -162,6 +162,84 @@ class JpegSpec extends AnyFunSuite {
       Jpeg.decodeJpegPixels(bad)).getMessage.contains("sampling factor"))
   }
 
+  test("progressive == baseline: same coefficients, bit-identical pixels (grayscale, full SA script)") {
+    val q = Array.tabulate(64)(i => 5 + (i % 7))
+    def coef(c: Int, by: Int, bx: Int): Array[Int] = {
+      val nat = new Array[Int](64)
+      nat(0) = ((by * 13 + bx * 7) % 70) - 35
+      nat(1) = ((by + bx) % 9) - 4
+      nat(8) = ((by * 3 + bx) % 11) - 5
+      nat(18) = ((bx * 5) % 7) - 3
+      nat(63) = if ((by + bx) % 3 == 0) 3 else 0 // band-tail coef
+      nat
+    }
+    val base = Jpeg.synthJpeg(24, 16, 1, Seq(q))(coef)
+    // DC first at Al=1, DC refinement; AC split into two spectral bands,
+    // each first at Al=1 then correction-bit refined to Al=0
+    val prog = Jpeg.synthJpegProgressive(24, 16, 1, Seq(q), Seq(
+      Jpeg.ScanSpec(Seq(0), 0, 0, 0, 1),
+      Jpeg.ScanSpec(Seq(0), 1, 5, 0, 1),
+      Jpeg.ScanSpec(Seq(0), 6, 63, 0, 1),
+      Jpeg.ScanSpec(Seq(0), 0, 0, 1, 0),
+      Jpeg.ScanSpec(Seq(0), 1, 5, 1, 0),
+      Jpeg.ScanSpec(Seq(0), 6, 63, 1, 0)))(coef)
+    val (w1, h1, c1, p1) = Jpeg.decodeJpegPixels(base)
+    val (w2, h2, c2, p2) = Jpeg.decodeJpegPixels(prog)
+    assert((w1, h1, c1) == ((24, 16, 1)) && (w2, h2, c2) == ((24, 16, 1)))
+    assert(p1.sameElements(p2), "progressive decode diverged from baseline")
+  }
+
+  test("progressive == baseline: 4:2:0 color with interleaved DC, restarts, deep SA") {
+    val qY = Array.fill(64)(4); val qC = Array.fill(64)(6)
+    def coef(c: Int, by: Int, bx: Int): Array[Int] = {
+      val nat = new Array[Int](64)
+      nat(0) = ((c * 19 + by * 11 + bx * 5) % 80) - 40
+      nat(2) = ((c + by * 2 + bx) % 13) - 6
+      nat(9) = ((c * 3 + bx) % 9) - 4
+      nat(35) = ((by + bx + c) % 5) - 2
+      nat
+    }
+    val base = Jpeg.synthJpeg(20, 12, 3, Seq(qY, qC),
+      sampling = Seq((2, 2), (1, 1), (1, 1)))(coef)
+    // two-step successive approximation (Al 2 -> 1 -> 0) + restart markers
+    val prog = Jpeg.synthJpegProgressive(20, 12, 3, Seq(qY, qC), Seq(
+      Jpeg.ScanSpec(Seq(0, 1, 2), 0, 0, 0, 2), // interleaved DC first
+      Jpeg.ScanSpec(Seq(0), 1, 63, 0, 2),
+      Jpeg.ScanSpec(Seq(1), 1, 63, 0, 2),
+      Jpeg.ScanSpec(Seq(2), 1, 63, 0, 2),
+      Jpeg.ScanSpec(Seq(0, 1, 2), 0, 0, 2, 1), // DC refine 2->1
+      Jpeg.ScanSpec(Seq(0), 1, 63, 2, 1),
+      Jpeg.ScanSpec(Seq(1), 1, 63, 2, 1),
+      Jpeg.ScanSpec(Seq(2), 1, 63, 2, 1),
+      Jpeg.ScanSpec(Seq(0, 1, 2), 0, 0, 1, 0), // DC refine 1->0
+      Jpeg.ScanSpec(Seq(0), 1, 63, 1, 0),
+      Jpeg.ScanSpec(Seq(1), 1, 63, 1, 0),
+      Jpeg.ScanSpec(Seq(2), 1, 63, 1, 0)),
+      restartInterval = 2, sampling = Seq((2, 2), (1, 1), (1, 1)))(coef)
+    val (_, _, _, p1) = Jpeg.decodeJpegPixels(base)
+    val (_, _, _, p2) = Jpeg.decodeJpegPixels(prog)
+    assert(p1.sameElements(p2), "subsampled progressive decode diverged")
+  }
+
+  test("progressive spectral-selection-only (no SA) and EOB-run-heavy streams decode") {
+    val q = Array.fill(64)(8)
+    // mostly-zero blocks: long EOB runs across blocks
+    def coef(c: Int, by: Int, bx: Int): Array[Int] = {
+      val nat = new Array[Int](64)
+      nat(0) = by + bx
+      if ((by * 7 + bx) % 11 == 0) nat(5) = 4
+      nat
+    }
+    val base = Jpeg.synthJpeg(64, 24, 1, Seq(q))(coef)
+    val prog = Jpeg.synthJpegProgressive(64, 24, 1, Seq(q), Seq(
+      Jpeg.ScanSpec(Seq(0), 0, 0, 0, 0),
+      Jpeg.ScanSpec(Seq(0), 1, 4, 0, 0),
+      Jpeg.ScanSpec(Seq(0), 5, 63, 0, 0)))(coef)
+    val (_, _, _, p1) = Jpeg.decodeJpegPixels(base)
+    val (_, _, _, p2) = Jpeg.decodeJpegPixels(prog)
+    assert(p1.sameElements(p2))
+  }
+
   test("partial edge blocks clip to the image rectangle") {
     val q = Array.fill(64)(16)
     val jpg = Jpeg.synthJpeg(10, 5, 1, Seq(q)) { (_, _, bx) =>
@@ -174,13 +252,20 @@ class JpegSpec extends AnyFunSuite {
     assert((px(0) & 0xff) == hi && (px(9) & 0xff) == lo)
   }
 
-  test("fail closed: progressive, subsampling, 16-bit DQT, truncation") {
+  test("fail closed: SOF1/bad progressive scans, subsampling, 16-bit DQT, truncation") {
     val q = Array.fill(64)(16)
     val ok = Jpeg.synthJpeg(8, 8, 1, Seq(q)) { (_, _, _) => new Array[Int](64) }
-    // flip SOF0 -> SOF2 (progressive)
+    // SOF1 (extended sequential) is outside the surface
+    val sof1 = ok.clone()
+    val sofAt = (0 until sof1.length - 1).find(i =>
+      (sof1(i) & 0xff) == 0xff && (sof1(i + 1) & 0xff) == 0xc0).get
+    sof1(sofAt + 1) = 0xc1.toByte
+    assert(intercept[IllegalArgumentException](
+      Jpeg.decodeJpegPixels(sof1)).getMessage.contains("unsupported"))
+    // flipping a BASELINE stream's marker to SOF2 yields an invalid
+    // progressive scan script (full-band DC scan) — rejected, not
+    // misdecoded
     val prog = ok.clone()
-    val sofAt = (0 until prog.length - 1).find(i =>
-      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(prog))
     // flip the sampling byte to 2x2
