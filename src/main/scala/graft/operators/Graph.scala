@@ -128,8 +128,18 @@ object Graph {
         Option(r1.getDecimal(i)).getOrElse(java.math.BigDecimal.ZERO)
       if (dec(0).compareTo(dec(1)) == 0)
         return prop1.select(col("node"), col("label").as("component"))
-      var labels = jump(prop1).persist(StorageLevel.MEMORY_AND_DISK)
-      var prev = checksum(labels)
+      // LINEAGE TRUNCATION: the jump references prop twice, so the
+      // logical plan DOUBLES per round — exponential in iterations (a
+      // 64-chain's ~7 rounds already produce plan strings big enough to
+      // OOM AQE's explain). Re-wrapping each materialized cache as a
+      // LogicalRDD keeps the SQL plan flat every round (the standard
+      // iterative-graph fix — GraphFrames checkpoints for the same
+      // reason); the RDD still reads the persisted blocks.
+      def flat(df: DataFrame): DataFrame =
+        df.sparkSession.createDataFrame(df.rdd, df.schema)
+      var labelsCached = jump(prop1).persist(StorageLevel.MEMORY_AND_DISK)
+      var prev = checksum(labelsCached)
+      var labels = flat(labelsCached)
       prop1.unpersist()
       var it = 1
       var converged = false
@@ -148,11 +158,12 @@ object Graph {
           converged = true
           prop.unpersist() // labels already hold the fixpoint
         } else {
-          val next = jump(prop).persist(StorageLevel.MEMORY_AND_DISK)
+          val next = jump(flat(prop)).persist(StorageLevel.MEMORY_AND_DISK)
           prev = checksum(next)
           prop.unpersist()
-          labels.unpersist()
-          labels = next
+          labelsCached.unpersist()
+          labelsCached = next
+          labels = flat(next)
         }
         it += 1
       }
