@@ -76,14 +76,17 @@ object SpatialOps {
       element_at(split(trim(p), " +"), 1).cast("double").as("x"),
       element_at(split(trim(p), " +"), 2).cast("double").as("y")))
 
-  /** WKT POLYGON → array of rings, each an array of (x,y) structs (closed:
-    * first point repeats last, as WKT requires).
+  /** WKT POLYGON (or MULTIPOLYGON / MULTILINESTRING — any innermost
+    * coordinate group) → array of rings, each an array of (x,y) structs
+    * (closed: first point repeats last, as WKT requires for rings). The
+    * extraction is the flat list of innermost parenthesized groups, so
+    * the polygon grouping of a MULTIPOLYGON is dropped — exactly right
+    * for every measure here: areas are signed per ring (holes are CW and
+    * subtract), perimeter/moments/counts are plain sums over rings.
     */
   def wktRings(wkt: Column): Column =
     transform(
-      split(
-        regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(\\s*\\(", ""), "\\)\\s*\\)\\s*$", ""),
-        "\\)\\s*,\\s*\\("),
+      regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)),
       r => ringPts(r))
 
   /** Σ (x_i·y_{i+1} − x_{i+1}·y_i) over a closed ring = 2·signed area. */
@@ -243,16 +246,26 @@ object SpatialOps {
     * [[graft.operators.Regrid.Transform2D]] — what `ogr2ogr -t_srs` does
     * to a vector file, as a pure Column expression: the same closed-form
     * projection algebra the raster regrid evaluates, applied inside the
-    * coordinate-array HOFs. Supports POINT / LINESTRING / POLYGON (the
-    * geometries the engine's vector codecs emit); MULTI* and anything
-    * else reject loudly (fail closed — a silently-dropped ring re-keys
-    * downstream joins). NULL propagates.
+    * coordinate-array HOFs. Supports every geometry the engine's vector
+    * codecs emit: POINT / LINESTRING / POLYGON / MULTILINESTRING /
+    * MULTIPOLYGON (polygon grouping preserved). Anything else rejects
+    * loudly (fail closed — a silently-dropped ring re-keys downstream
+    * joins). NULL propagates.
     */
   def reprojectWkt(wkt: Column, t: graft.operators.Regrid.Transform2D): Column = {
     val typ = upper(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1))
-    // single-group parse for POINT/LINESTRING (wktRings wants two parens)
+    // single-group parse for POINT/LINESTRING
     val flat = ringPts(
       regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "\\)\\s*$", ""))
+    // MULTIPOLYGON: split the body on the ")), ((" polygon boundary; each
+    // fragment's rings come from the "),(" splits with stray boundary
+    // parens stripped (ring bodies themselves contain no parens)
+    def fragRings(f: Column): Column =
+      transform(split(f, "\\)\\s*,\\s*\\("), s => ringPts(
+        regexp_replace(regexp_replace(s, "^[\\s()]+", ""), "[\\s()]+$", "")))
+    val mpFrags = split(
+      regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "\\)\\s*$", ""),
+      "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(")
     when(wkt.isNull, lit(null).cast("string"))
       .when(typ === "POINT", {
         val p = element_at(mapPts(flat, t), 1)
@@ -264,9 +277,19 @@ object SpatialOps {
       .when(typ === "POLYGON",
         concat(lit("POLYGON ("),
           ringsToWktBody(transform(wktRings(wkt), r => mapPts(r, t))), lit(")")))
+      .when(typ === "MULTILINESTRING", // same flat-group body shape as POLYGON
+        concat(lit("MULTILINESTRING ("),
+          ringsToWktBody(transform(wktRings(wkt), r => mapPts(r, t))), lit(")")))
+      .when(typ === "MULTIPOLYGON",
+        concat(lit("MULTIPOLYGON ("),
+          concat_ws(", ", transform(mpFrags, f =>
+            concat(lit("("),
+              ringsToWktBody(transform(fragRings(f), r => mapPts(r, t))),
+              lit(")")))),
+          lit(")")))
       .otherwise(raise_error(concat(
         lit("reprojectWkt: unsupported WKT type '"), typ,
-        lit("' (POINT | LINESTRING | POLYGON)"))))
+        lit("' (POINT | LINESTRING | POLYGON | MULTILINESTRING | MULTIPOLYGON)"))))
   }
 
   /** WKT-CRS front door for feature tables: reproject `geomCol` from

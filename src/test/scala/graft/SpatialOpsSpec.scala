@@ -175,9 +175,27 @@ class SpatialOpsSpec extends AnyFunSuite {
         assert(math.abs(cb - co) < 1e-8, s"$b vs $o") // ~1 mm in degrees
       }
     }
+    // MULTI* round-trip preserves the grouping structure exactly
+    val multis = Seq(
+      (1L, "MULTIPOLYGON (((139.68 35.66, 139.72 35.66, 139.72 35.7, 139.68 35.66), " +
+        "(139.69 35.67, 139.7 35.68, 139.69 35.68, 139.69 35.67)), " +
+        "((139.73 35.71, 139.74 35.71, 139.74 35.72, 139.73 35.71)))"),
+      (2L, "MULTILINESTRING ((139.68 35.66, 139.7 35.68), (139.71 35.69, 139.72 35.7))")
+    ).toDF("id", "geom")
+    val mBack = multis
+      .withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd))
+      .withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd.inverse))
+      .orderBy("id").collect().map(_.getString(1))
+    val mOrig = multis.orderBy("id").collect().map(_.getString(1))
+    mBack.zip(mOrig).foreach { case (bk, o) =>
+      assert(bk.replaceAll(numRe, "#") == o.replaceAll(numRe, "#"), s"structure: $bk vs $o")
+      coords(bk).zip(coords(o)).foreach { case (cb, co) =>
+        assert(math.abs(cb - co) < 1e-8, s"$bk vs $o")
+      }
+    }
     // unsupported type rejects loudly
     val err = intercept[Exception] {
-      Seq((1L, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")).toDF("id", "geom")
+      Seq((1L, "GEOMETRYCOLLECTION (POINT (0 0))")).toDF("id", "geom")
         .select(SpatialOps.reprojectWkt($"geom", fwd)).collect()
     }
     assert(err.getMessage.contains("unsupported WKT type"))
@@ -185,6 +203,22 @@ class SpatialOpsSpec extends AnyFunSuite {
     val n0 = Seq((1L, null: String)).toDF("id", "geom")
       .select(SpatialOps.reprojectWkt($"geom", fwd)).head()
     assert(n0.isNullAt(0))
+  }
+
+  test("measures accept MULTIPOLYGON: flat ring extraction, holes subtract, grouping-free") {
+    import spark.implicits._
+    // two CCW squares (2x2 and 1x1) with a CW 1x1 hole in the first:
+    // net planar area = 4 - 1 + 1 = 4; perimeter = 8 + 4 + 4 = 16
+    val mp = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0), " +
+      "(0.5 0.5, 0.5 1.5, 1.5 1.5, 1.5 0.5, 0.5 0.5)), " +
+      "((5 5, 6 5, 6 6, 5 6, 5 5)))"
+    val r = spark.range(1).select(
+      SpatialOps.wktArea(lit(mp)).as("a"),
+      SpatialOps.wktPerimeter(lit(mp)).as("p"),
+      SpatialOps.wktNumPoints(lit(mp)).as("n")).head()
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 16.0)
+    assert(r.getInt(2) == 15)
   }
 
   test("reprojectFeatures dispatches from WKT CRS strings (datum shift moves ~360 m)") {
