@@ -480,6 +480,30 @@ object Regrid {
     def inverse: Transform2D = AlbersFromGeographic(p)
   }
 
+  /** Apply `t` to (x, y) over `df`, STAGING each composition step's
+    * output as real columns behind a Generate barrier
+    * (`inline(array(struct(...)))` — the rep1 lesson: plain aliases
+    * re-inline under CollapseProject). Without staging, a composed
+    * transform's second stage references its input expression 3-8× per
+    * formula, duplicating the ENTIRE first-stage series tree each time —
+    * a UTM∘Molodensky chain built ~16 copies of the Snyder series and
+    * spent seconds in the analyzer/codegen (g11 measured 6.2 s vs ~1 s
+    * staged). Returns (staged df, sx, sy, temp columns to drop).
+    */
+  private def stageTransform(df: DataFrame, t: Transform2D,
+      x: Column, y: Column, tag: Int = 0): (DataFrame, Column, Column, Seq[String]) =
+    t match {
+      case ComposedTransform(first, second) =>
+        val (d1, mx, my, tmp1) = stageTransform(df, first, x, y, tag * 2 + 1)
+        val xc = s"__crs_x$tag"; val yc = s"__crs_y$tag"
+        val d2 = d1.select(col("*"), inline(array(struct(mx.as(xc), my.as(yc)))))
+        val (d3, ox, oy, tmp2) = stageTransform(d2, second, col(xc), col(yc), tag * 2 + 2)
+        (d3, ox, oy, (tmp1 :+ xc :+ yc) ++ tmp2)
+      case simple =>
+        val (ox, oy) = simple(x, y)
+        (df, ox, oy, Nil)
+    }
+
   /** Nearest-neighbor resample of `aux` onto the master grid: for every
     * master pixel row, attach `valueCols` from the aux cell containing the
     * master cell's center. Left join — cells outside aux coverage get NULL.
@@ -498,10 +522,11 @@ object Regrid {
       s"master columns and valueCols must be disjoint; shared: ${clash.mkString(", ")}")
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
-    val (sx, sy) = transform(cx, cy)
-    val keyed = master
+    val (staged, sx, sy, tmps) = stageTransform(master, transform, cx, cy)
+    val keyed = staged
       .withColumn("__src_row", SpatialOps.pixelRowOf(sy, lit(auxGrid.originY), lit(auxGrid.pxH)))
       .withColumn("__src_col", SpatialOps.pixelColOf(sx, lit(auxGrid.originX), lit(auxGrid.pxW)))
+      .drop(tmps: _*)
     val src = aux.select(
       col(rowCol).as("__src_row") +: col(colCol).as("__src_col") +: valueCols.map(col): _*)
     keyed.join(src, Seq("__src_row", "__src_col"), "left")
@@ -535,7 +560,7 @@ object Regrid {
       mkTaps: (Column, Column, Column, Column) => Seq[Column]): DataFrame = {
     val cx = SpatialOps.cellCenterX(col(colCol), lit(masterGrid.originX), lit(masterGrid.pxW))
     val cy = SpatialOps.cellCenterY(col(rowCol), lit(masterGrid.originY), lit(masterGrid.pxH))
-    val (sx, sy) = transform(cx, cy)
+    val (stagedIn, sx, sy, tmps) = stageTransform(master, transform, cx, cy)
     // u = (x − originX)/pxW − 0.5 so that u = c exactly at aux center c
     val u = (sx - lit(auxGrid.originX)) / lit(auxGrid.pxW) - lit(0.5)
     val v = (lit(auxGrid.originY) - sy) / lit(auxGrid.pxH) - lit(0.5)
@@ -549,8 +574,9 @@ object Regrid {
     // common-subexpression elimination, so an unstaged 16-tap kernel
     // inlines the whole world→pixel derivation 32+ times — a Janino
     // compile tax and per-row recompute (see the g1 staging note).
-    val staged = master
+    val staged = stagedIn
       .withColumn("__u", u).withColumn("__v", v)
+      .drop(tmps: _*)
       .withColumn("__c0", floor(col("__u")).cast("int"))
       .withColumn("__r0", floor(col("__v")).cast("int"))
       .withColumn("__fx", col("__u") - col("__c0"))
