@@ -1710,8 +1710,12 @@ object SparkEntry {
       (r, c) => (r * 5 + c * 3) % 7)
     val gray16 = operators.MultimodalOps.synthPng(10, 8, 1, r => (r + 1) % 5, depth = 16)(
       (r, c, _) => (r * 4099 + c * 769) % 65536)
+    // tRNS: per-entry alpha expands to RGBA; entry 3+ pads opaque (255)
+    val palA = operators.MultimodalOps.synthPngPalette(8, 6,
+      (0 until 5).map(i => ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)),
+      r => (r + 3) % 5, alpha = Seq(17, 200, 90))((r, c) => (r * 3 + c) % 5)
     operators.MultimodalOps.pngToPixels(
-        Seq((1L, pal), (2L, gray16)).toDF("img_id", "bytes"))
+        Seq((1L, pal), (2L, gray16), (3L, palA)).toDF("img_id", "bytes"))
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
@@ -4605,6 +4609,17 @@ object SparkEntry {
         |  CAST(0 AS INT),
         |  CAST((id // 10 * 4099 + id % 10 * 769) % 65536 AS INT)
         |FROM range(80) t(id)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(id // 32 AS INT),
+        |  CAST((id % 32) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST(CASE id % 4
+        |    WHEN 0 THEN (((id // 32 * 3 + (id % 32) // 4) % 5) * 37) % 256
+        |    WHEN 1 THEN (((id // 32 * 3 + (id % 32) // 4) % 5) * 59) % 256
+        |    WHEN 2 THEN (((id // 32 * 3 + (id % 32) // 4) % 5) * 83) % 256
+        |    ELSE CASE (id // 32 * 3 + (id % 32) // 4) % 5
+        |      WHEN 0 THEN 17 WHEN 1 THEN 200 WHEN 2 THEN 90 ELSE 255 END
+        |  END AS INT) AS value
+        |FROM range(192) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
     // mm7: DC-only baseline JPEG — the IDCT collapses to ONE product
     // chain per pixel (C0² · dc·q · 0.25, then round+clamp), evaluated

@@ -162,11 +162,12 @@ object MultimodalOps {
     *
     * Scope: bit depths 8 and 16 (16-bit samples are big-endian per spec);
     * color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at both depths,
-    * plus type 3 (palette) at depth 8 — PLTE indices expand to 3 RGB
-    * output channels, exactly what a web-scraped corpus's palette PNGs
-    * need. FAIL CLOSED: interlaced (Adam7), packed 1/2/4-bit depths,
-    * 16-bit palettes, palettes with a tRNS alpha chunk, and out-of-range
-    * palette indices all reject loudly.
+    * plus type 3 (palette) at depth 8 — PLTE indices expand to RGB
+    * output channels (RGBA when a tRNS per-entry alpha table is present;
+    * entries past it are opaque per spec), exactly what a web-scraped
+    * corpus's palette PNGs need. FAIL CLOSED: interlaced (Adam7), packed
+    * 1/2/4-bit depths, 16-bit palettes, gray/truecolor tRNS (transparent-
+    * color semantics), and out-of-range palette indices reject loudly.
     * Returns (width, height, out_channels, row-major channel-interleaved
     * sample values — 0..255 at depth 8, 0..65535 at depth 16).
     */
@@ -175,7 +176,7 @@ object MultimodalOps {
     var off = 8
     var w = 0; var h = 0; var rawCh = 0; var depth = 0; var ct = 0
     var plte: Array[Byte] = null
-    var hasTrns = false
+    var trns: Array[Byte] = null
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!done && off + 8 <= bytes.length) {
@@ -203,7 +204,8 @@ object MultimodalOps {
         case "PLTE" =>
           require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
           plte = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
-        case "tRNS" => hasTrns = true
+        case "tRNS" =>
+          trns = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => done = true
         case _ => // ancillary chunk — skip
@@ -214,10 +216,12 @@ object MultimodalOps {
     require(idat.size > 0, "no IDAT data")
     if (ct == 3) {
       require(plte != null, "palette PNG (color type 3) missing its PLTE chunk")
-      // tRNS would add per-entry alpha the RGB expansion silently drops —
-      // fail closed rather than fabricate opaque pixels
-      require(!hasTrns, "palette PNG with tRNS (palette alpha) unsupported")
-    }
+      if (trns != null) require(trns.length <= plte.length / 3,
+        s"tRNS has ${trns.length} entries but the palette only ${plte.length / 3}")
+    } else require(trns == null,
+      // gray/truecolor tRNS is a single TRANSPARENT COLOR, not per-entry
+      // alpha — dropping it would silently opaque the image; fail closed
+      s"tRNS on color type $ct unsupported (palette transparency only)")
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val sampleBytes = depth / 8
@@ -261,20 +265,25 @@ object MultimodalOps {
       }
       r += 1
     }
-    // bytes → sample values (palette expansion / 16-bit BE assembly)
+    // bytes → sample values (palette expansion / 16-bit BE assembly).
+    // A tRNS chunk adds per-entry alpha: output becomes RGBA (entries
+    // past the tRNS table are fully opaque, per spec).
     if (ct == 3) {
-      val vals = new Array[Int](w * h * 3)
+      val outCh = if (trns != null) 4 else 3
+      val vals = new Array[Int](w * h * outCh)
       var i = 0
       while (i < w * h) {
         val idx = out(i) & 0xff
         require(idx * 3 + 2 < plte.length,
           s"palette index $idx out of range (${plte.length / 3} entries)")
-        vals(i * 3) = plte(idx * 3) & 0xff
-        vals(i * 3 + 1) = plte(idx * 3 + 1) & 0xff
-        vals(i * 3 + 2) = plte(idx * 3 + 2) & 0xff
+        vals(i * outCh) = plte(idx * 3) & 0xff
+        vals(i * outCh + 1) = plte(idx * 3 + 1) & 0xff
+        vals(i * outCh + 2) = plte(idx * 3 + 2) & 0xff
+        if (outCh == 4)
+          vals(i * 4 + 3) = if (idx < trns.length) trns(idx) & 0xff else 255
         i += 1
       }
-      (w, h, 3, vals)
+      (w, h, outCh, vals)
     } else if (depth == 8) {
       (w, h, rawCh, out.map(_ & 0xff))
     } else {
@@ -326,9 +335,11 @@ object MultimodalOps {
   }
 
   private def assemblePng(width: Int, height: Int, depth: Int, colorType: Int,
-      plte: Option[Array[Byte]], idat: Array[Byte]): Array[Byte] = {
+      plte: Option[Array[Byte]], idat: Array[Byte],
+      trns: Option[Array[Byte]] = None): Array[Byte] = {
     val plteLen = plte.map(12 + _.length).getOrElse(0)
-    val out = java.nio.ByteBuffer.allocate(8 + 25 + plteLen + 12 + idat.length + 12)
+    val trnsLen = trns.map(12 + _.length).getOrElse(0)
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + plteLen + trnsLen + 12 + idat.length + 12)
     out.put(PngSig)
     out.putInt(13).put("IHDR".getBytes("US-ASCII"))
     out.putInt(width).putInt(height)
@@ -337,6 +348,9 @@ object MultimodalOps {
     out.putInt(0)
     plte.foreach { p =>
       out.putInt(p.length).put("PLTE".getBytes("US-ASCII")).put(p).putInt(0)
+    }
+    trns.foreach { t =>
+      out.putInt(t.length).put("tRNS".getBytes("US-ASCII")).put(t).putInt(0)
     }
     out.putInt(idat.length).put("IDAT".getBytes("US-ASCII")).put(idat).putInt(0)
     out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
@@ -370,11 +384,14 @@ object MultimodalOps {
   }
 
   /** Palette (color type 3, depth 8) synth: `palette` RGB entries become
-    * the PLTE chunk; `idxOf(r, c)` the per-pixel index bytes.
+    * the PLTE chunk; `idxOf(r, c)` the per-pixel index bytes. `alpha`
+    * (possibly shorter than the palette) becomes a tRNS chunk.
     */
   def synthPngPalette(width: Int, height: Int, palette: Seq[(Int, Int, Int)],
-      filterOf: Int => Int = _ % 5)(idxOf: (Int, Int) => Int): Array[Byte] = {
+      filterOf: Int => Int = _ % 5, alpha: Seq[Int] = Nil)(
+      idxOf: (Int, Int) => Int): Array[Byte] = {
     require(palette.nonEmpty && palette.length <= 256, s"bad palette size ${palette.length}")
+    require(alpha.length <= palette.length, "more tRNS entries than palette entries")
     val plte = palette.flatMap { case (r, g, b) =>
       Seq((r & 0xff).toByte, (g & 0xff).toByte, (b & 0xff).toByte)
     }.toArray
@@ -385,7 +402,8 @@ object MultimodalOps {
       px(r * width + c) = i.toByte
     }
     assemblePng(width, height, 8, 3, Some(plte),
-      filterAndDeflate(px, width, height, 1, filterOf))
+      filterAndDeflate(px, width, height, 1, filterOf),
+      trns = if (alpha.isEmpty) None else Some(alpha.map(a => (a & 0xff).toByte).toArray))
   }
 
   /** PNG binary column → pixel rows (pass-through columns preserved;

@@ -140,6 +140,23 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG palette + tRNS: per-entry alpha expands to RGBA, short tables pad opaque") {
+    val palette = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90))
+    val alpha = Seq(0, 128) // entry 2 beyond the table -> 255
+    val png = MultimodalOps.synthPngPalette(3, 2, palette, alpha = alpha)(
+      (r, c) => (r * 3 + c) % 3)
+    val (w, h, nch, px) = MultimodalOps.decodePngPixels(png)
+    assert((w, h, nch) == ((3, 2, 4)))
+    for (r <- 0 until 2; c <- 0 until 3) {
+      val i = (r * 3 + c) % 3
+      val (pr, pg, pb) = palette(i)
+      val pa = if (i < alpha.length) alpha(i) else 255
+      val base = (r * 3 + c) * 4
+      assert((px(base), px(base + 1), px(base + 2), px(base + 3)) == ((pr, pg, pb, pa)),
+        s"($r,$c)")
+    }
+  }
+
   test("PNG pixel decode fails closed on interlace, packed depths, tRNS palettes, truncation") {
     val good = MultimodalOps.synthPng(6, 4, 3)((r, c, ch) => r + c + ch)
     // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1)
@@ -158,19 +175,20 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // longer matches — rejected, never half-decoded
     val deep = good.clone(); deep(24) = 16
     intercept[IllegalArgumentException](MultimodalOps.decodePngPixels(deep))
-    // palette with a tRNS chunk (palette alpha) fails closed: splice a
-    // zero-length tRNS chunk before IDAT of a real palette file
-    val basePal = MultimodalOps.synthPngPalette(4, 3, Seq((1, 2, 3)))((_, _) => 0)
+    // tRNS on GRAYSCALE (transparent-color semantics, not palette alpha)
+    // fails closed: splice a 2-byte tRNS before IDAT of a gray file
+    val baseGray = MultimodalOps.synthPng(4, 3, 1)((r, c, _) => r + c)
     val idatAt = {
       var off = 8
-      while (new String(basePal, off + 4, 4, "US-ASCII") != "IDAT")
-        off += 12 + ((basePal(off) & 0xff) << 24 | (basePal(off + 1) & 0xff) << 16 |
-          (basePal(off + 2) & 0xff) << 8 | (basePal(off + 3) & 0xff))
+      while (new String(baseGray, off + 4, 4, "US-ASCII") != "IDAT")
+        off += 12 + ((baseGray(off) & 0xff) << 24 | (baseGray(off + 1) & 0xff) << 16 |
+          (baseGray(off + 2) & 0xff) << 8 | (baseGray(off + 3) & 0xff))
       off
     }
-    val trns = basePal.take(idatAt) ++
-      Array[Byte](0, 0, 0, 0) ++ "tRNS".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
-      basePal.drop(idatAt)
+    val trns = baseGray.take(idatAt) ++
+      Array[Byte](0, 0, 0, 2) ++ "tRNS".getBytes("US-ASCII") ++
+      Array[Byte](0, 7, 0, 0, 0, 0) ++
+      baseGray.drop(idatAt)
     assert(intercept[IllegalArgumentException](
       MultimodalOps.decodePngPixels(trns)).getMessage.contains("tRNS"))
     // out-of-range palette index fails closed
