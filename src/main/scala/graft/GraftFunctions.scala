@@ -62,7 +62,15 @@ object GraftFunctions {
       cs => TextOps.simhash16(cs(0))),
     composed("graft_rolling_fp",
       "graft_rolling_fp(text) - order-sensitive polynomial rolling-hash fingerprint", 1)(
-      cs => TextOps.rollingFingerprint(cs(0))))
+      cs => TextOps.rollingFingerprint(cs(0))),
+    composed("graft_geo_area",
+      "graft_geo_area(wkt) - geodesic polygon area in m2 of lon/lat WKT " +
+        "(Chamberlain-Duquette spherical excess, WGS84 authalic sphere; holes subtract)", 1)(
+      cs => graft.functions.SpatialOps.wktAreaGeodesic(cs(0))),
+    composed("graft_geo_perimeter",
+      "graft_geo_perimeter(wkt) - geodesic boundary length in m of lon/lat WKT " +
+        "(great-circle haversine per segment, WGS84 authalic sphere)", 1)(
+      cs => graft.functions.SpatialOps.wktPerimeterGeodesic(cs(0))))
 
   /** Idempotent post-hoc registration on a live session: the function
     * catalog plus the spatial-join rewrite rule (via the public

@@ -243,6 +243,19 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(math.abs(r - 0.6) < 1e-6)
   }
 
+  test("graft_geo_area / graft_geo_perimeter are callable from SQL") {
+    import spark.implicits._
+    val R = SpatialOps.Wgs84AuthalicRadius
+    val d2r = math.Pi / 180.0
+    Seq(("POLYGON ((10.0 0.0, 11.0 0.0, 11.0 1.0, 10.0 1.0, 10.0 0.0))"))
+      .toDF("geom").createOrReplaceTempView("v_geo")
+    val row = spark.sql(
+      "SELECT graft_geo_area(geom) AS a, graft_geo_perimeter(geom) AS p FROM v_geo").head()
+    val band = R * R * 1.0 * d2r * (math.sin(1.0 * d2r) - 0.0)
+    assert(math.abs(row.getDouble(0) - band) / band < 1e-12)
+    assert(row.getDouble(1) > 0)
+  }
+
   test("CosineSimExpr matches the HOF cosine bit-for-bit and handles zero norms") {
     val vecs = Seq(
       (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
