@@ -1853,6 +1853,39 @@ object SparkEntry {
       .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
+  /** S19 — the remaining common TIFF codecs: DEFLATE (259=8, zlib — GDAL's
+    * COMPRESSION=DEFLATE, routinely paired with PREDICTOR) and PACKBITS
+    * (259=32773, the TIFF-6 byte RLE every scanner writes). Scene 1 is a
+    * 2-band chunky int32 deflate BigTIFF WITH the horizontal-difference
+    * predictor; scene 2 a classic BE uint8 PackBits stripped file whose
+    * values mix long runs and literals so both packet kinds decode.
+    * Closed-form pixel oracle — the codecs must be exactly invisible.
+    */
+  private def s19(s: SparkSession, d: String) = {
+    import s.implicits._
+    val deflate32 = operators.Tiff.synthMultibandTiff(
+      40, 24, 16, 16, littleEndian = true, tile = true,
+      bands = 2, planarConfig = 1, bigTiff = true, predictor = 2,
+      sampleBits = 32, sampleFormat = 2, intPad = -9999L, compressionCode = 8,
+      intValues = (b, r, c) => if ((b + r * 2 + c) % 11 == 0) -9999L
+        else (b * 2777L + r * 40L + c) * 7L % 2003L - 1000L)((_, _, _) => 0f)
+    val packbits8 = operators.Tiff.synthMultibandTiff(
+      30, 16, 30, 4, littleEndian = false, tile = false,
+      bands = 1, sampleBits = 8, sampleFormat = 1, intPad = 255L,
+      compressionCode = 32773,
+      intValues = (_, r, c) => if ((r + c * 3) % 13 == 0) 255L
+        else if (c < 18) (r * 5L) % 250L else (r * 11L + c) % 250L)((_, _, _) => 0f)
+    def pixels(sceneId: Long, bytes: Array[Byte], bh: Int, bw: Int, nodata: Float) = {
+      val blocks = operators.Tiff.tiffToBandBlocks(
+        Seq((sceneId, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw, nodata = nodata)
+        .select(col("scene_id"), col("band"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, deflate32, 16, 16, -9999.0f).unionAll(pixels(2L, packbits8, 4, 30, 255.0f))
+      .orderBy("scene_id", "band", "px_row", "px_col")
+  }
+
   /** MM5 — REAL TIFF header decode (the format every reference byte lives
     * in, feature_stacking.py:75-98): synthesize valid TIFFs from
     * integer-derived geometry — both byte orders, tiled AND stripped
@@ -3727,6 +3760,7 @@ object SparkEntry {
     "s16b_prj_roundtrip" -> (s16b _),
     "s17_lzw_fp_predictor" -> (s17 _),
     "s18_lzw_int_predictor" -> (s18 _),
+    "s19_deflate_packbits" -> (s19 _),
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
@@ -4577,6 +4611,23 @@ object SparkEntry {
         |  CAST((id // 36 * 36 + id % 36) * 113 % 60001 AS INT)
         |FROM range(720) t(id)
         |WHERE ((id // 36) * 2 + id % 36) % 9 <> 0
+        |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
+    // s19: Deflate and PackBits containers regenerate from the same
+    // closed forms — both codecs (and the deflate-side predictor) must
+    // be invisible in the hash.
+    "s19_deflate_packbits" ->
+      """SELECT CAST(1 AS BIGINT) AS scene_id, CAST(id // 960 AS INT) AS band,
+        |  CAST((id % 960) // 40 AS INT) AS px_row, CAST(id % 40 AS INT) AS px_col,
+        |  CAST((id // 960 * 2777 + ((id % 960) // 40) * 40 + id % 40) * 7 % 2003 - 1000 AS INT) AS v
+        |FROM range(1920) t(id)
+        |WHERE (id // 960 + ((id % 960) // 40) * 2 + id % 40) % 11 <> 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(0 AS INT),
+        |  CAST(id // 30 AS INT), CAST(id % 30 AS INT),
+        |  CAST(CASE WHEN id % 30 < 18 THEN (id // 30 * 5) % 250
+        |       ELSE (id // 30 * 11 + id % 30) % 250 END AS INT)
+        |FROM range(480) t(id)
+        |WHERE (id // 30 + (id % 30) * 3) % 13 <> 0
         |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.

@@ -361,6 +361,83 @@ object Tiff {
     bits.toByteArray
   }
 
+  // ---- Deflate (259 = 8, zlib streams per the Adobe Deflate note —
+  // GDAL's COMPRESSION=DEFLATE) and PackBits (259 = 32773, the TIFF-6
+  // byte-RLE every scanner writes) ----
+
+  private[graft] def inflateBlock(in: Array[Byte], maxOut: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(in)
+    val out = new Array[Byte](maxOut)
+    var got = 0
+    while (got < maxOut && !inf.finished()) {
+      val n = inf.inflate(out, got, maxOut - got)
+      if (n == 0 && inf.needsInput())
+        throw new IllegalArgumentException("truncated deflate block")
+      got += n
+    }
+    inf.end()
+    require(got == maxOut, s"deflate block inflates to $got bytes, expected $maxOut")
+    out
+  }
+
+  private[graft] def deflateBlock(in: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(in); d.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    buf.toByteArray
+  }
+
+  /** TIFF-6 PackBits: header n in 0..127 → n+1 literal bytes follow;
+    * n in -1..-127 → the next byte repeats 1-n times; -128 is a no-op.
+    */
+  private[graft] def packBitsDecode(in: Array[Byte], maxOut: Int): Array[Byte] = {
+    val out = new Array[Byte](maxOut)
+    var i = 0; var o = 0
+    while (o < maxOut) {
+      require(i < in.length, "truncated PackBits block")
+      val n = in(i); i += 1
+      if (n >= 0) {
+        require(i + n + 1 <= in.length && o + n + 1 <= maxOut, "PackBits literal overrun")
+        System.arraycopy(in, i, out, o, n + 1)
+        i += n + 1; o += n + 1
+      } else if (n != -128) {
+        require(i < in.length && o + (1 - n) <= maxOut, "PackBits run overrun")
+        java.util.Arrays.fill(out, o, o + 1 - n, in(i))
+        i += 1; o += 1 - n
+      }
+    }
+    out
+  }
+
+  private[graft] def packBitsEncode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def repeatAt(k: Int): Int = {
+      var r = 1
+      while (k + r < in.length && r < 128 && in(k + r) == in(k)) r += 1
+      r
+    }
+    while (i < in.length) {
+      val run = repeatAt(i)
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1): repeats 1-(1-run) = run times
+        out.write(in(i))
+        i += run
+      } else {
+        var j = i + 1
+        while (j < in.length && j - i < 128 && repeatAt(j) < 3) j += 1
+        out.write(j - i - 1)
+        out.write(in, i, j - i)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
   // ---- TIFF TechNote 3 floating-point predictor (317 = 3) ----
   //
   // The common write profile for float32 GeoTIFFs (GDAL `PREDICTOR=3`):
@@ -551,8 +628,10 @@ object Tiff {
     val p = parse(bytes).getOrElse(
       throw new IllegalArgumentException("not a TIFF/BigTIFF"))
     val compression = p.intVal(259).getOrElse(1L)
-    require(compression == 1L || compression == 5L,
-      s"only uncompressed (1) or LZW (5) TIFF blocks decode, got $compression")
+    require(compression == 1L || compression == 5L || compression == 8L ||
+        compression == 32773L,
+      s"only uncompressed (1), LZW (5), Deflate (8), or PackBits (32773) " +
+        s"TIFF blocks decode, got $compression")
     val predictor = p.intVal(317).getOrElse(1L).toInt
     // BitsPerSample/SampleFormat have count=SamplesPerPixel: EVERY element
     // must agree (a mixed-type file would silently misdecode). Spec
@@ -570,11 +649,14 @@ object Tiff {
       s"unsupported sample type SampleFormat=$fmt/BitsPerSample=$bits " +
         "(float32, or signed/unsigned int8/16/32)")
     val bps = bits / 8
+    // predictors pair with the dictionary codecs (LZW/Deflate — GDAL
+    // writes PREDICTOR with both); PackBits is raw byte RLE, no predictor
+    val dictCodec = compression == 5L || compression == 8L
     require(predictor == 1 ||
-        (predictor == 3 && compression == 5L && isFloat) ||
-        (predictor == 2 && compression == 5L && !isFloat),
+        (predictor == 3 && dictCodec && isFloat) ||
+        (predictor == 2 && dictCodec && !isFloat),
       s"Predictor $predictor unsupported (none (1); horizontal-difference (2) " +
-        "with LZW on integer samples; floating-point (3) with LZW on float32)")
+        "with LZW/Deflate on integer samples; floating-point (3) with LZW/Deflate on float32)")
     val spp = p.intVal(277).map(_.toInt).getOrElse(1)
     val planar = p.intVal(284).map(_.toInt).getOrElse(1)
     require(spp >= 1, s"bad SamplesPerPixel $spp")
@@ -594,6 +676,8 @@ object Tiff {
       val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       val out =
         if (compression == 5L) lzwDecode(stored, rawLen)
+        else if (compression == 8L) inflateBlock(stored, rawLen)
+        else if (compression == 32773L) packBitsDecode(stored, rawLen)
         else { require(stored.length == rawLen,
           s"block byte count ${stored.length} != $rawLen"); stored }
       if (!isFloat) {
@@ -829,11 +913,18 @@ object Tiff {
       sampleBits: Int = 32,
       sampleFormat: Int = 3,
       intValues: (Int, Int, Int) => Long = null,
-      intPad: Long = 0L)(values: (Int, Int, Int) => Float): Array[Byte] = {
+      intPad: Long = 0L,
+      compressionCode: Int = -1)(values: (Int, Int, Int) => Float): Array[Byte] = {
     require(width > 0 && height > 0 && blockW > 0 && blockH > 0, "bad geometry")
     require(tile || blockW == width, "strips span the full width")
     require(bands >= 1, s"bad band count $bands")
     require(planarConfig == 1 || planarConfig == 2, s"bad PlanarConfiguration $planarConfig")
+    // compressionCode overrides the legacy lzw flag: 1 none, 5 LZW,
+    // 8 Deflate (zlib), 32773 PackBits
+    val comp = if (compressionCode >= 0) compressionCode else if (lzw) 5 else 1
+    require(Set(1, 5, 8, 32773)(comp), s"unsupported compression code $comp")
+    require(compressionCode < 0 || !lzw || compressionCode == 5,
+      "conflicting lzw flag and compressionCode")
     val isFloat = sampleFormat == 3
     require(
       (isFloat && sampleBits == 32) ||
@@ -842,10 +933,11 @@ object Tiff {
       s"unsupported sample type SampleFormat=$sampleFormat/BitsPerSample=$sampleBits")
     require(isFloat == (intValues == null),
       "pass intValues exactly when SampleFormat is integer (1|2)")
-    require(predictor == 1 || (predictor == 3 && lzw && isFloat) ||
-        (predictor == 2 && lzw && !isFloat),
+    val dictCodec = comp == 5 || comp == 8
+    require(predictor == 1 || (predictor == 3 && dictCodec && isFloat) ||
+        (predictor == 2 && dictCodec && !isFloat),
       s"predictor $predictor unsupported (none; horizontal-difference (2) with " +
-        "LZW on integer samples; floating-point (3) with LZW on float32)")
+        "LZW/Deflate on integer samples; floating-point (3) with LZW/Deflate on float32)")
     val bps = sampleBits / 8
     val across = if (tile) (width + blockW - 1) / blockW else 1
     val down = (height + blockH - 1) / blockH
@@ -893,7 +985,12 @@ object Tiff {
               if (planar) 1 else bands, littleEndian)
           raw.array()
         }
-      if (lzw) lzwEncode(pre) else pre
+      comp match {
+        case 5 => lzwEncode(pre)
+        case 8 => deflateBlock(pre)
+        case 32773 => packBitsEncode(pre)
+        case _ => pre
+      }
     }
     val blockBytes = blocks.map(_.length)
 
@@ -936,7 +1033,7 @@ object Tiff {
     w.entry(257, 4, 1, height)
     if (bands == 1) w.entry(258, 3, 1, sampleBits)
     else w.entryShorts(258, Seq.fill(bands)(sampleBits), bitsArrOff)
-    w.entry(259, 3, 1, if (lzw) 5 else 1)
+    w.entry(259, 3, 1, comp)
     w.entry(262, 3, 1, 1)
     if (!tile) offsetsEntry(273)
     w.entry(277, 3, 1, bands)

@@ -62,15 +62,55 @@ class TiffSpec extends AnyFunSuite {
 
   test("blocksOf rejects unsupported compressions but reports them in meta") {
     val b = Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true)((r, c) => 0f)
-    // patch Compression (tag 259, third entry's value) to 8 (deflate)
+    // patch Compression (tag 259, third entry's value) to 7 (JPEG-in-TIFF)
     val patched = b.clone()
     // IFD at 8; entries at 10; 259 is the 4th entry (256,257,258,259)
     val valOff = 10 + 3 * 12 + 8
-    patched(valOff) = 8
+    patched(valOff) = 7
     val m = meta(patched)
-    assert(m.getInt(fi("compression")) == 8) // header still parses, compression reported
+    assert(m.getInt(fi("compression")) == 7) // header still parses, compression reported
     val e = intercept[IllegalArgumentException](Tiff.blocksOf(patched))
     assert(e.getMessage.contains("LZW"))
+  }
+
+  test("Deflate (8) and PackBits (32773) blocks round-trip; deflate pairs with predictors") {
+    def v(r: Int, c: Int): Float = if ((r + c) % 9 == 0) -9999f else ((r * 31 + c) % 103).toFloat
+    for (le <- Seq(true, false)) {
+      // deflate float32 tiled, with and without the TechNote-3 predictor
+      for (pred <- Seq(1, 3)) {
+        val t = Tiff.synthMultibandTiff(20, 14, 8, 8, littleEndian = le, tile = true,
+          bands = 1, pad = -9999f, predictor = pred, compressionCode = 8)((_, r, c) => v(r, c))
+        val blocks = Tiff.blocksOf(t)
+        assert(blocks.nonEmpty)
+        val px = blocks.map { case (ty, tx, bh, bw, blob) =>
+          val bb = java.nio.ByteBuffer.wrap(blob)
+          (0 until bh * bw).map(i => (ty * 8 + i / bw, tx * 8 + i % bw) -> bb.getFloat(i * 4))
+        }.flatten.toMap
+        for (r <- 0 until 14; c <- 0 until 20)
+          assert(px((r, c)) == v(r, c), s"deflate le=$le pred=$pred ($r,$c)")
+      }
+      // PackBits uint8 strips (run-heavy values exercise both packet kinds)
+      val t2 = Tiff.synthMultibandTiff(20, 10, 20, 4, littleEndian = le, tile = false,
+        bands = 1, sampleBits = 8, sampleFormat = 1, compressionCode = 32773,
+        intValues = (_, r, c) => if (c < 12) (r * 3) % 250 else (r * 7 + c) % 250,
+        intPad = 0L)((_, _, _) => 0f)
+      val blocks2 = Tiff.blocksOf(t2)
+      val px2 = blocks2.map { case (ty, tx, bh, bw, blob) =>
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        (0 until bh * bw).map(i => (ty * 4 + i / bw, tx * 20 + i % bw) -> bb.getFloat(i * 4))
+      }.flatten.toMap
+      for (r <- 0 until 10; c <- 0 until 20) {
+        val want = if (c < 12) (r * 3) % 250 else (r * 7 + c) % 250
+        assert(px2((r, c)) == want.toFloat, s"packbits le=$le ($r,$c)")
+      }
+    }
+    // packbits codec inverse on adversarial byte patterns
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 2, 127, 128, 129, 300)) {
+      val data = Array.tabulate(n)(i =>
+        if (i % 11 < 7) 42.toByte else rnd.nextInt(256).toByte)
+      assert(Tiff.packBitsDecode(Tiff.packBitsEncode(data), n).sameElements(data), s"n=$n")
+    }
   }
 
   test("tiled round trip through explodeBlocks reproduces the raster (both orders)") {
