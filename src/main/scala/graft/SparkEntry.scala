@@ -1820,6 +1820,26 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM10 — REAL PCM WAV sample decode (the audio modality's pixel-level
+    * codec; mm4 proved the header walk): 16-bit stereo, 8-bit unsigned
+    * mono, and 24-bit mono payloads synthesized by the codec's own
+    * writer, decoded back through the little-endian sign-extension rules,
+    * hash-checked against closed-form regeneration — channel
+    * de-interleaving and every sample width must be exact.
+    */
+  private def mm10(s: SparkSession, d: String) = {
+    import s.implicits._
+    val w1 = operators.MultimodalOps.synthWavPcm(44100, 2, 16, 30)(
+      (f, ch) => ((f * 773 + ch * 331) % 65536) - 32768)
+    val w2 = operators.MultimodalOps.synthWavPcm(8000, 1, 8, 40)(
+      (f, _) => (f * 37) % 256)
+    val w3 = operators.MultimodalOps.synthWavPcm(48000, 1, 24, 20)(
+      (f, _) => ((f * 524287) % 16777216) - 8388608)
+    operators.MultimodalOps.wavToSamples(
+        Seq((1L, w1), (2L, w2), (3L, w3)).toDF("media_id", "bytes"))
+      .orderBy("media_id", "frame_idx", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3753,6 +3773,7 @@ object SparkEntry {
     "mm7_jpeg_pixels" -> (mm7 _),
     "mm8_jpeg_subsampled" -> (mm8 _),
     "mm9_jpeg_progressive" -> (mm9 _),
+    "mm10_wav_samples" -> (mm10 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4629,6 +4650,22 @@ object SparkEntry {
         |FROM range(480) t(id)
         |WHERE (id // 30 + (id % 30) * 3) % 13 <> 0
         |ORDER BY scene_id, band, px_row, px_col""".stripMargin,
+    // mm10: PCM samples regenerate closed-form — the interleave and the
+    // per-width sign rules (8u / 16s / 24s LE) must be exact.
+    "mm10_wav_samples" ->
+      """SELECT CAST(1 AS BIGINT) AS media_id, CAST(id // 2 AS INT) AS frame_idx,
+        |  CAST(id % 2 AS INT) AS channel,
+        |  CAST((id // 2 * 773 + id % 2 * 331) % 65536 - 32768 AS INT) AS value
+        |FROM range(60) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id AS INT), CAST(0 AS INT),
+        |  CAST((id * 37) % 256 AS INT)
+        |FROM range(40) t(id)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(id AS INT), CAST(0 AS INT),
+        |  CAST((id * 524287) % 16777216 - 8388608 AS INT)
+        |FROM range(20) t(id)
+        |ORDER BY media_id, frame_idx, channel""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     // mm6: PNG pixels regenerate from the closed forms — the zlib stream

@@ -482,6 +482,90 @@ object MultimodalOps {
     Row(rate, channels, bits, nFrames, nFrames * 1000000L / rate)
   }
 
+  /** Canonical PCM WAV with an actual sample payload — the encode half
+    * for [[decodeWavSamples]] fixtures: `sample(frame, channel)` returns
+    * the integer sample (unsigned 0..255 at 8 bits; signed two's
+    * complement at 16/24/32, little-endian per spec).
+    */
+  def synthWavPcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nFrames: Int)(sample: (Int, Int) => Int): Array[Byte] = {
+    require(Set(8, 16, 24, 32)(bitsPerSample), s"bad bits $bitsPerSample")
+    val header = synthWavHeader(sampleRate, channels, bitsPerSample, nFrames.toLong)
+    val bps = bitsPerSample / 8
+    val buf = java.nio.ByteBuffer.allocate(header.length + nFrames * channels * bps)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(header)
+    for (f <- 0 until nFrames; ch <- 0 until channels) {
+      val v = sample(f, ch)
+      bitsPerSample match {
+        case 8 => buf.put((v & 0xff).toByte)
+        case 16 => buf.putShort(v.toShort)
+        case 24 =>
+          buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+            .put(((v >> 16) & 0xff).toByte)
+        case 32 => buf.putInt(v)
+      }
+    }
+    buf.array()
+  }
+
+  /** REAL PCM sample decode — the audio modality's pixel-level codec
+    * next to mm4's header parse: canonical PCM WAV payload → (rate,
+    * channels, bits, frame-major channel-interleaved Int samples).
+    * 8-bit samples are UNSIGNED 0..255, 16/24/32-bit are signed
+    * little-endian two's complement (the spec's exact rules). Fails
+    * closed on anything `decodeWavMeta` rejects or a truncated payload.
+    */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    val meta = decodeWavMeta(bytes)
+    require(meta != null, "not a canonical PCM WAV")
+    val rate = meta.getInt(0)
+    val channels = meta.getInt(1)
+    val bits = meta.getInt(2)
+    val nFrames = meta.getLong(3)
+    require(Set(8, 16, 24, 32)(bits), s"bits per sample $bits unsupported")
+    val bps = bits / 8
+    val n = (nFrames * channels).toInt
+    require(44L + n.toLong * bps <= bytes.length, "truncated PCM payload")
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val off = 44 + i * bps
+      out(i) = bits match {
+        case 8 => bytes(off) & 0xff
+        case 16 => (bytes(off) & 0xff) | (bytes(off + 1) << 8) // sign-extends
+        case 24 => (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          (bytes(off + 2) << 16)
+        case 32 => leInt(bytes, off)
+      }
+      i += 1
+    }
+    (rate, channels, bits, out)
+  }
+
+  /** WAV binary column → PCM sample rows (pass-through columns preserved;
+    * one row per (frame_idx, channel)). Generator shape like pngToPixels:
+    * flatMap, zero shuffle — at 100 TB the parallelism unit is the FILE,
+    * exactly how audio corpora shard.
+    */
+  def wavToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (_, ch, _, samples) = decodeWavSamples(r.getAs[Array[Byte]](bytesIdx))
+      for (i <- samples.indices)
+        yield Row.fromSeq(pass ++ Seq(i / ch, i % ch, samples(i)))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Audio twin of `withDecodedMeta`: partition-mapped WAV header decode,
     * no shuffle, typed `audio_meta` struct (NULL when the payload is not
     * canonical PCM WAV).

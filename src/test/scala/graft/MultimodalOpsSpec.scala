@@ -224,6 +224,30 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodePngPixels(MultimodalOps.synthPngHeader(4, 4, alpha = false)))
   }
 
+  test("WAV PCM sample decode: every width round-trips with exact sign rules") {
+    for (bits <- Seq(8, 16, 24, 32); ch <- Seq(1, 2)) {
+      def v(f: Int, c: Int): Int = bits match {
+        case 8 => (f * 31 + c * 7) % 256
+        case 16 => ((f * 9173 + c * 517) % 65536) - 32768
+        case 24 => ((f * 1048573 + c * 99991) % 16777216) - 8388608
+        case 32 => (f * 715827883 + c * 12345) ^ (f << 17) // any int
+      }
+      val wav = MultimodalOps.synthWavPcm(16000, ch, bits, 13)(v)
+      val (rate, nch, b2, samples) = MultimodalOps.decodeWavSamples(wav)
+      assert((rate, nch, b2) == ((16000, ch, bits)))
+      assert(samples.length == 13 * ch)
+      for (f <- 0 until 13; c <- 0 until ch)
+        assert(samples(f * ch + c) == v(f, c), s"bits=$bits ch=$ch ($f,$c)")
+    }
+    // truncated payload fails closed
+    val wav = MultimodalOps.synthWavPcm(8000, 1, 16, 10)((f, _) => f)
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeWavSamples(wav.take(wav.length - 4)))
+    // non-WAV fails closed
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeWavSamples(Array[Byte](1, 2, 3)))
+  }
+
   test("pngToPixels emits one row per sample with pass-through columns") {
     val png = MultimodalOps.synthPng(5, 3, 2)((r, c, ch) => (r * 5 + c) * 2 + ch)
     val df = Seq((42L, png)).toDF("img_id", "bytes")
