@@ -1840,6 +1840,26 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx", "channel")
   }
 
+  /** MM11 — GIF89a decode (the remaining ubiquitous web-image container,
+    * and the first MULTI-FRAME one): a full-screen frame off the global
+    * palette plus an offset sub-rectangle frame with a LOCAL palette and
+    * graphic-control transparency, both through the GIF LZW dialect
+    * (LSB-first, growing code widths). Closed-form RGBA regeneration —
+    * the LZW dictionary replay, sub-block reassembly, palette scoping,
+    * and the transparent-index alpha must all be exact.
+    */
+  private def mm11(s: SparkSession, d: String) = {
+    import s.implicits._
+    val global = (0 until 6).map(i => ((i * 41) % 256, (i * 73) % 256, (i * 97) % 256))
+    val local = (0 until 4).map(i => ((i * 29 + 5) % 256, (i * 53 + 11) % 256, (i * 89 + 17) % 256))
+    val gif = operators.Gif.synthGif(14, 10, global, Seq(
+      operators.Gif.FrameSpec(0, 0, 14, 10)((r, c) => (r * 7 + c * 3) % 6),
+      operators.Gif.FrameSpec(3, 2, 8, 5, localPalette = Some(local),
+        transparentIdx = Some(2))((r, c) => (r + c * 2) % 4)))
+    operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))
+      .orderBy("frame_idx", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3774,6 +3794,7 @@ object SparkEntry {
     "mm8_jpeg_subsampled" -> (mm8 _),
     "mm9_jpeg_progressive" -> (mm9 _),
     "mm10_wav_samples" -> (mm10 _),
+    "mm11_gif_frames" -> (mm11 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4666,6 +4687,32 @@ object SparkEntry {
         |  CAST((id * 524287) % 16777216 - 8388608 AS INT)
         |FROM range(20) t(id)
         |ORDER BY media_id, frame_idx, channel""".stripMargin,
+    // mm11: both frames' RGBA regenerate closed-form (global vs local
+    // palette, transparent index -> alpha 0) — the LZW replay and the
+    // container walk are invisible.
+    "mm11_gif_frames" ->
+      """SELECT CAST(1 AS BIGINT) AS media_id, CAST(0 AS INT) AS frame_idx,
+        |  CAST(0 AS INT) AS frame_left, CAST(0 AS INT) AS frame_top,
+        |  CAST(id // 56 AS INT) AS px_row, CAST((id % 56) // 4 AS INT) AS px_col,
+        |  CAST(id % 4 AS INT) AS channel,
+        |  CAST(CASE id % 4
+        |    WHEN 0 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 41) % 256
+        |    WHEN 1 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 73) % 256
+        |    WHEN 2 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 97) % 256
+        |    ELSE 255 END AS INT) AS value
+        |FROM range(560) t(id)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(1 AS INT), CAST(3 AS INT), CAST(2 AS INT),
+        |  CAST(id // 32 AS INT), CAST((id % 32) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST(CASE id % 4
+        |    WHEN 0 THEN (((id // 32 + (id % 32) // 4 * 2) % 4) * 29 + 5) % 256
+        |    WHEN 1 THEN (((id // 32 + (id % 32) // 4 * 2) % 4) * 53 + 11) % 256
+        |    WHEN 2 THEN (((id // 32 + (id % 32) // 4 * 2) % 4) * 89 + 17) % 256
+        |    ELSE CASE WHEN (id // 32 + (id % 32) // 4 * 2) % 4 = 2
+        |         THEN 0 ELSE 255 END
+        |  END AS INT)
+        |FROM range(160) t(id)
+        |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     // mm6: PNG pixels regenerate from the closed forms — the zlib stream

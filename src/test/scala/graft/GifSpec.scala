@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.Gif
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GifSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("GIF LZW: encode/decode round-trips adversarial streams incl. width growth and 4096 reset") {
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[(Array[Byte], Int)] = Seq(
+      // KwKwK torture: aaa...a produces the classic just-defined-code reads
+      (Array.fill(500)(7.toByte), 4),
+      // ababab... (period-2 repeats defining chains)
+      (Array.tabulate(400)(i => (if (i % 2 == 0) 3 else 9).toByte), 4),
+      // high-diversity stream long enough to push width 9->12 and force
+      // the 4096-entry clear/reset (random over a 256-symbol alphabet)
+      (Array.fill(20000)(rnd.nextInt(256).toByte), 8),
+      // runs + noise mix over a small alphabet
+      (Array.tabulate(6000)(i =>
+        (if (i % 37 < 25) (i / 37) % 4 else rnd.nextInt(4)).toByte), 2),
+      (Array.empty[Byte], 2),
+      (Array[Byte](0), 2))
+    for (((data, mcs), i) <- cases.zipWithIndex) {
+      val enc = Gif.lzwEncodeGif(data, mcs)
+      val dec = Gif.lzwDecodeGif(enc, mcs, data.length)
+      assert(dec.sameElements(data), s"case $i (n=${data.length}, mcs=$mcs)")
+    }
+  }
+
+  test("GIF LZW fails closed: truncation, missing EOI, code beyond dictionary") {
+    val data = Array.tabulate(100)(i => (i % 4).toByte)
+    val enc = Gif.lzwEncodeGif(data, 2)
+    intercept[IllegalArgumentException](Gif.lzwDecodeGif(enc.take(enc.length / 2), 2, 100))
+    // ask for more pixels than encoded: hits EOI early or runs out
+    intercept[IllegalArgumentException](Gif.lzwDecodeGif(enc, 2, 101))
+  }
+
+  test("multi-frame GIF: rectangles, local palette, transparency round-trip") {
+    val global = Seq((10, 20, 30), (200, 100, 50), (0, 0, 0), (255, 255, 255))
+    val local = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (250, 251, 252),
+      (40, 41, 42), (50, 51, 52), (60, 61, 62), (70, 71, 72))
+    val gif = Gif.synthGif(40, 30, global, Seq(
+      Gif.FrameSpec(0, 0, 40, 30)((r, c) => (r + c) % 4),
+      Gif.FrameSpec(5, 7, 12, 9, localPalette = Some(local),
+        transparentIdx = Some(3))((r, c) => (r * 3 + c) % 8)))
+    val (sw, sh, frames) = Gif.decodeGifFrames(gif)
+    assert((sw, sh) == ((40, 30)) && frames.length == 2)
+    val f0 = frames(0)
+    assert((f0.left, f0.top, f0.w, f0.h) == ((0, 0, 40, 30)))
+    for (r <- 0 until 30; c <- 0 until 40) {
+      val (pr, pg, pb) = global((r + c) % 4)
+      val base = (r * 40 + c) * 4
+      assert((f0.rgba(base), f0.rgba(base + 1), f0.rgba(base + 2), f0.rgba(base + 3))
+        == ((pr, pg, pb, 255)), s"f0 ($r,$c)")
+    }
+    val f1 = frames(1)
+    assert((f1.left, f1.top, f1.w, f1.h) == ((5, 7, 12, 9)))
+    for (r <- 0 until 9; c <- 0 until 12) {
+      val i = (r * 3 + c) % 8
+      val (pr, pg, pb) = local(i)
+      val a = if (i == 3) 0 else 255
+      val base = (r * 12 + c) * 4
+      assert((f1.rgba(base), f1.rgba(base + 1), f1.rgba(base + 2), f1.rgba(base + 3))
+        == ((pr, pg, pb, a)), s"f1 ($r,$c)")
+    }
+  }
+
+  test("container fails closed: bad signature, interlace, unknown block, truncation") {
+    val ok = Gif.synthGif(8, 8, Seq((0, 0, 0), (1, 1, 1)),
+      Seq(Gif.FrameSpec(0, 0, 8, 8)((r, c) => (r + c) % 2)))
+    val badSig = ok.clone(); badSig(3) = 'X'.toByte
+    assert(intercept[IllegalArgumentException](
+      Gif.decodeGifFrames(badSig)).getMessage.contains("signature"))
+    // set the interlace flag in the image descriptor's packed byte
+    val inter = ok.clone()
+    val descAt = (13 + 6) // header+LSD (13) + 2-entry global table (6)
+    assert((inter(descAt) & 0xff) == 0x2c)
+    inter(descAt + 9) = (inter(descAt + 9) | 0x40).toByte
+    assert(intercept[IllegalArgumentException](
+      Gif.decodeGifFrames(inter)).getMessage.contains("interlaced"))
+    val unknown = ok.clone(); unknown(descAt) = 0x7e.toByte
+    assert(intercept[IllegalArgumentException](
+      Gif.decodeGifFrames(unknown)).getMessage.contains("unknown GIF block"))
+    intercept[IllegalArgumentException](Gif.decodeGifFrames(ok.take(ok.length - 3)))
+  }
+
+  test("gifToFrames: one row per frame sample with pass-through columns") {
+    val gif = Gif.synthGif(6, 4, Seq((9, 8, 7), (6, 5, 4)), Seq(
+      Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r * 6 + c) % 2),
+      Gif.FrameSpec(2, 1, 3, 2)((_, c) => c % 2)))
+    val df = Seq((77L, gif)).toDF("media_id", "bytes")
+    val out = Gif.gifToFrames(df)
+    assert(out.columns.toSeq == Seq("media_id", "frame_idx", "frame_left", "frame_top",
+      "px_row", "px_col", "channel", "value"))
+    assert(out.count() == (6 * 4 + 3 * 2) * 4)
+    assert(out.filter(col("frame_idx") === 1).select("frame_left").head().getInt(0) == 2)
+    // spot-check one pixel of frame 0: idx (0*6+1)%2 = 1 -> (6,5,4,255)
+    val px = out.filter(col("frame_idx") === 0 && col("px_row") === 0 && col("px_col") === 1)
+      .orderBy("channel").collect().map(_.getInt(7))
+    assert(px.toSeq == Seq(6, 5, 4, 255))
+  }
+}
