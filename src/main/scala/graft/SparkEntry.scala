@@ -1860,6 +1860,25 @@ object SparkEntry {
       .orderBy("frame_idx", "px_row", "px_col", "channel")
   }
 
+  /** MM12 — BMP pixel decode (mm3 proved the header walk): 24-bit
+    * bottom-up, 8-bit palette top-down (negative height), and 32-bit
+    * BGRA — row padding, the BGR→RGB swap, palette-quad expansion, and
+    * both row orders hash-checked against closed-form regeneration.
+    */
+  private def mm12(s: SparkSession, d: String) = {
+    import s.implicits._
+    val bgr24 = operators.MultimodalOps.synthBmp(9, 6, 3)(
+      (r, c, ch) => (r * 37 + c * 11 + ch * 71 + 3) % 256)
+    val pal = (0 until 5).map(i => ((i * 31 + 2) % 256, (i * 57 + 4) % 256, (i * 91 + 8) % 256))
+    val idx8 = operators.MultimodalOps.synthBmp(7, 5, 1, palette = pal, topDown = true)(
+      (r, c, _) => (r * 2 + c) % 5)
+    val bgra32 = operators.MultimodalOps.synthBmp(5, 4, 4)(
+      (r, c, ch) => (r * 19 + c * 23 + ch * 41 + 9) % 256)
+    operators.MultimodalOps.bmpToPixels(
+        Seq((1L, bgr24), (2L, idx8), (3L, bgra32)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -3795,6 +3814,7 @@ object SparkEntry {
     "mm9_jpeg_progressive" -> (mm9 _),
     "mm10_wav_samples" -> (mm10 _),
     "mm11_gif_frames" -> (mm11 _),
+    "mm12_bmp_pixels" -> (mm12 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4713,6 +4733,27 @@ object SparkEntry {
         |  END AS INT)
         |FROM range(160) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm12: BMP values regenerate closed-form — padding, BGR swap, row
+    // order, and palette quads are invisible.
+    "mm12_bmp_pixels" ->
+      """SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 27 AS INT) AS px_row,
+        |  CAST((id % 27) // 3 AS INT) AS px_col, CAST(id % 3 AS INT) AS channel,
+        |  CAST((id // 27 * 37 + (id % 27) // 3 * 11 + id % 3 * 71 + 3) % 256 AS INT) AS value
+        |FROM range(162) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 21 AS INT),
+        |  CAST((id % 21) // 3 AS INT), CAST(id % 3 AS INT),
+        |  CAST(CASE id % 3
+        |    WHEN 0 THEN ((id // 21 * 2 + (id % 21) // 3) % 5 * 31 + 2) % 256
+        |    WHEN 1 THEN ((id // 21 * 2 + (id % 21) // 3) % 5 * 57 + 4) % 256
+        |    ELSE ((id // 21 * 2 + (id % 21) // 3) % 5 * 91 + 8) % 256 END AS INT)
+        |FROM range(105) t(id)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(id // 20 AS INT),
+        |  CAST((id % 20) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST((id // 20 * 19 + (id % 20) // 4 * 23 + id % 4 * 41 + 9) % 256 AS INT)
+        |FROM range(80) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
     // mm5: every metadata field is integer-derived from the row id —
     // regenerate the closed forms.
     // mm6: PNG pixels regenerate from the closed forms — the zlib stream

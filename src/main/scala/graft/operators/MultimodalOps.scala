@@ -406,6 +406,144 @@ object MultimodalOps {
       trns = if (alpha.isEmpty) None else Some(alpha.map(a => (a & 0xff).toByte).toArray))
   }
 
+  // ---- BMP pixel decode (BI_RGB 8-bit palette / 24 / 32) ----
+
+  /** REAL BMP pixel decode (BITMAPINFOHEADER, BI_RGB): 8-bit palette
+    * (BGRA quads → RGB expansion), 24-bit BGR, and 32-bit BGRA rows, with
+    * the spec's 4-byte row padding and bottom-up (positive height) or
+    * top-down (negative height) row order. RLE compressions, 1/4/16-bit
+    * depths, and V4/V5 headers beyond plain BI_RGB fail closed. Returns
+    * (width, height, channels, row-major interleaved values) — RGB for
+    * 8/24-bit, RGBA for 32-bit.
+    */
+  def decodeBmpPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP")
+    val dataOff = leInt(bytes, 10)
+    val dibSize = leInt(bytes, 14)
+    require(dibSize >= 40, s"DIB header size $dibSize unsupported (BITMAPINFOHEADER+)")
+    val w = leInt(bytes, 18)
+    val hRaw = leInt(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0 && w < (1 << 20) && h < (1 << 20), s"bad geometry ${w}x$hRaw")
+    require(leShort(bytes, 26) == 1, "planes must be 1")
+    val bpp = leShort(bytes, 28)
+    require(bpp == 8 || bpp == 24 || bpp == 32,
+      s"bits per pixel $bpp unsupported (8 palette / 24 / 32)")
+    require(leInt(bytes, 30) == 0, "only uncompressed BI_RGB decodes")
+    val palette: Array[Byte] =
+      if (bpp == 8) {
+        val used = leInt(bytes, 46)
+        val n = if (used == 0) 256 else used
+        require(n > 0 && n <= 256, s"bad palette size $n")
+        val at = 14 + dibSize
+        require(at + 4 * n <= bytes.length, "palette overruns the file")
+        java.util.Arrays.copyOfRange(bytes, at, at + 4 * n)
+      } else null
+    val rowBytes = ((w * bpp / 8) + 3) & ~3 // rows pad to 4 bytes
+    require(dataOff.toLong + rowBytes.toLong * h <= bytes.length,
+      "pixel data overruns the file")
+    val outCh = if (bpp == 32) 4 else 3
+    val vals = new Array[Int](w * h * outCh)
+    var r = 0
+    while (r < h) {
+      val srcRow = dataOff + (if (topDown) r else h - 1 - r) * rowBytes
+      var c = 0
+      while (c < w) {
+        val o = (r * w + c) * outCh
+        bpp match {
+          case 8 =>
+            val idx = bytes(srcRow + c) & 0xff
+            require(idx * 4 + 2 < palette.length,
+              s"palette index $idx outside the ${palette.length / 4}-entry table")
+            vals(o) = palette(idx * 4 + 2) & 0xff // quads are B,G,R,reserved
+            vals(o + 1) = palette(idx * 4 + 1) & 0xff
+            vals(o + 2) = palette(idx * 4) & 0xff
+          case 24 =>
+            val p = srcRow + c * 3
+            vals(o) = bytes(p + 2) & 0xff
+            vals(o + 1) = bytes(p + 1) & 0xff
+            vals(o + 2) = bytes(p) & 0xff
+          case 32 =>
+            val p = srcRow + c * 4
+            vals(o) = bytes(p + 2) & 0xff
+            vals(o + 1) = bytes(p + 1) & 0xff
+            vals(o + 2) = bytes(p) & 0xff
+            vals(o + 3) = bytes(p + 3) & 0xff
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (w, h, outCh, vals)
+  }
+
+  /** The encode half: a valid BI_RGB BMP. `channels` 3 (24-bit BGR) or 4
+    * (32-bit BGRA); `palette` non-empty writes an 8-bit indexed file and
+    * `values(r, c, 0)` is then the palette index. Negative-height
+    * (top-down) layout when `topDown`.
+    */
+  def synthBmp(width: Int, height: Int, channels: Int,
+      palette: Seq[(Int, Int, Int)] = Nil, topDown: Boolean = false)(
+      values: (Int, Int, Int) => Int): Array[Byte] = {
+    val bpp = if (palette.nonEmpty) 8 else channels * 8
+    require(bpp == 8 || bpp == 24 || bpp == 32, s"bad layout")
+    require(palette.length <= 256, "palette too large")
+    val rowBytes = ((width * bpp / 8) + 3) & ~3
+    val dataOff = 54 + 4 * palette.length
+    val size = dataOff + rowBytes * height
+    val out = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(dataOff)
+    out.putInt(40).putInt(width).putInt(if (topDown) -height else height)
+    out.putShort(1).putShort(bpp.toShort).putInt(0).putInt(rowBytes * height)
+    out.putInt(2835).putInt(2835).putInt(palette.length).putInt(0)
+    palette.foreach { case (r, g, b) =>
+      out.put((b & 0xff).toByte).put((g & 0xff).toByte).put((r & 0xff).toByte).put(0.toByte)
+    }
+    for (r <- 0 until height) {
+      val gr = if (topDown) r else height - 1 - r
+      var written = 0
+      for (c <- 0 until width) {
+        if (palette.nonEmpty) {
+          val i = values(gr, c, 0)
+          require(i >= 0 && i < palette.length, s"index $i outside the palette")
+          out.put(i.toByte); written += 1
+        } else {
+          out.put((values(gr, c, 2) & 0xff).toByte) // B
+            .put((values(gr, c, 1) & 0xff).toByte) // G
+            .put((values(gr, c, 0) & 0xff).toByte) // R
+          written += 3
+          if (channels == 4) { out.put((values(gr, c, 3) & 0xff).toByte); written += 1 }
+        }
+      }
+      while (written < rowBytes) { out.put(0.toByte); written += 1 }
+    }
+    out.array()
+  }
+
+  /** BMP binary column → pixel rows (the pngToPixels shape: flatMap,
+    * zero shuffle; RGB(A) values regardless of the file's BGR layout).
+    */
+  def bmpToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("px_row", IntegerType, nullable = false),
+      StructField("px_col", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (w, h, ch, px) = decodeBmpPixels(r.getAs[Array[Byte]](bytesIdx))
+      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
+        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k)))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** PNG binary column → pixel rows (pass-through columns preserved;
     * one row per (px_row, px_col, channel) with the 0..255 value).
     * Generator shape like [[Tiff.tiffToBlocks]]: flatMap, zero shuffle.

@@ -248,6 +248,37 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodeWavSamples(Array[Byte](1, 2, 3)))
   }
 
+  test("BMP pixel decode: 8/24/32-bit, both row orders, padding invisible; fails closed") {
+    def v(r: Int, c: Int, ch: Int): Int = (r * 41 + c * 13 + ch * 67 + 5) % 256
+    for (ch <- Seq(3, 4); td <- Seq(false, true)) {
+      // widths chosen so rowBytes padding kicks in (9*3=27 -> 28 etc.)
+      val bmp = MultimodalOps.synthBmp(9, 5, ch, topDown = td)(v)
+      val (w, h, nch, px) = MultimodalOps.decodeBmpPixels(bmp)
+      assert((w, h, nch) == ((9, 5, ch)), s"ch=$ch td=$td")
+      for (r <- 0 until 5; c <- 0 until 9; k <- 0 until ch)
+        assert(px((r * 9 + c) * ch + k) == v(r, c, k), s"ch=$ch td=$td ($r,$c,$k)")
+    }
+    val pal = Seq((250, 1, 2), (3, 240, 5), (6, 7, 230))
+    val bmp8 = MultimodalOps.synthBmp(6, 4, 1, palette = pal)((r, c, _) => (r + c) % 3)
+    val (_, _, n8, p8) = MultimodalOps.decodeBmpPixels(bmp8)
+    assert(n8 == 3)
+    for (r <- 0 until 4; c <- 0 until 6) {
+      val (pr, pg, pb) = pal((r + c) % 3)
+      assert((p8((r * 6 + c) * 3), p8((r * 6 + c) * 3 + 1), p8((r * 6 + c) * 3 + 2))
+        == ((pr, pg, pb)), s"($r,$c)")
+    }
+    // fail closed: RLE compression, 16-bit depth, truncation
+    val ok = MultimodalOps.synthBmp(4, 3, 3)((r, c, ch) => r + c + ch)
+    val rle = ok.clone(); rle(30) = 1 // biCompression = BI_RLE8
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodeBmpPixels(rle)).getMessage.contains("BI_RGB"))
+    val b16 = ok.clone(); b16(28) = 16
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodeBmpPixels(b16)).getMessage.contains("bits per pixel"))
+    intercept[IllegalArgumentException](
+      MultimodalOps.decodeBmpPixels(ok.take(ok.length - 8)))
+  }
+
   test("pngToPixels emits one row per sample with pass-through columns") {
     val png = MultimodalOps.synthPng(5, 3, 2)((r, c, ch) => (r * 5 + c) * 2 + ch)
     val df = Seq((42L, png)).toDF("img_id", "bytes")
