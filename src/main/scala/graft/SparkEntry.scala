@@ -1297,6 +1297,51 @@ object SparkEntry {
     * pipe0's closed form — the TIFF containers, both planar layouts, LZW,
     * and the mask join must all be invisible in the output hash.
     */
+  /** PIPE5 — the MULTIMODAL surface composed in ONE plan: six real
+    * containers (palette PNG, baseline JPEG, animated-GIF frame, BMP,
+    * PCM WAV, float32 GeoTIFF) each decoded by its own codec, reduced to
+    * per-kind sample censuses, and unioned — the "mixed media lake"
+    * census a training-data pipeline runs before deciding what to keep.
+    * Every codec's closed form re-aggregates in the oracle, so a defect
+    * in ANY of the six decoders breaks the hash.
+    */
+  private def pipe5(s: SparkSession, d: String) = {
+    import s.implicits._
+    def census(kind: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("sum_v"),
+          min(col("value").cast("int")).as("min_v"), max(col("value").cast("int")).as("max_v"))
+        .select(lit(kind).as("kind"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+    val png = operators.MultimodalOps.synthPngPalette(12, 9,
+      (0 until 7).map(i => ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)), r => r % 5)(
+      (r, c) => (r * 5 + c * 3) % 7)
+    val jpg = operators.Jpeg.synthJpeg(20, 12, 1, Seq(Array.fill(64)(16)), restartInterval = 2) {
+      (_, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = ((by * 3 + bx) * 7) % 40 - 20
+        nat
+    }
+    val gif = operators.Gif.synthGif(14, 10,
+      (0 until 6).map(i => ((i * 41) % 256, (i * 73) % 256, (i * 97) % 256)),
+      Seq(operators.Gif.FrameSpec(0, 0, 14, 10)((r, c) => (r * 7 + c * 3) % 6)))
+    val bmp = operators.MultimodalOps.synthBmp(9, 6, 3)(
+      (r, c, ch) => (r * 37 + c * 11 + ch * 71 + 3) % 256)
+    val wav = operators.MultimodalOps.synthWavPcm(44100, 2, 16, 30)(
+      (f, ch) => ((f * 773 + ch * 331) % 65536) - 32768)
+    val tif = operators.Tiff.synthTiff(16, 8, 16, 8, littleEndian = true, tile = true)(
+      (r, c) => ((r * 13 + c) % 97).toFloat)
+    val tifPx = operators.RasterBridge.explodeBlocks(
+      operators.Tiff.tiffToBlocks(Seq((1L, tif)).toDF("scene_id", "bytes")),
+      blockH = 8, blockW = 16, nodata = -9999.0f)
+      .select(col("value").cast("int").as("value"))
+    census("bmp", operators.MultimodalOps.bmpToPixels(Seq((1L, bmp)).toDF("img_id", "bytes")))
+      .unionAll(census("gif", operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))))
+      .unionAll(census("jpeg", operators.Jpeg.jpegToPixels(Seq((1L, jpg)).toDF("img_id", "bytes"))))
+      .unionAll(census("png", operators.MultimodalOps.pngToPixels(Seq((1L, png)).toDF("img_id", "bytes"))))
+      .unionAll(census("tiff", tifPx))
+      .unionAll(census("wav", operators.MultimodalOps.wavToSamples(Seq((1L, wav)).toDF("media_id", "bytes"))))
+      .orderBy("kind")
+  }
+
   private def pipe4(s: SparkSession, d: String) = {
     import s.implicits._
     def bandVal(scene: Int, b: Int, r: Int, c: Int): Float = b match {
@@ -3748,6 +3793,7 @@ object SparkEntry {
     "e6_simhash" -> (e6 _),
     "pipe0_feature_stack" -> (pipe0 _),
     "pipe4_tiff_stack" -> (pipe4 _),
+    "pipe5_media_census" -> (pipe5 _),
     "m1_rf_classify" -> (m1 _),
     "m1b_frozen_forest" -> (m1b _),
     "m5_segment_polygonize" -> (m5 _),
@@ -3977,7 +4023,38 @@ object SparkEntry {
     // pipe4 ingests the SAME scene fixture as pipe0 from multi-band LZW
     // BigTIFF containers (+ mask sidecar TIFFs) — the containers must be
     // invisible, so the oracle text is pipe0's verbatim.
-    ("pipe4_tiff_stack" -> oracleSqlBase("pipe0_feature_stack"))
+    ("pipe4_tiff_stack" -> oracleSqlBase("pipe0_feature_stack")) +
+    // pipe5: each codec's closed form re-aggregated to its census — a
+    // defect in any of the six decoders shifts a sum.
+    ("pipe5_media_census" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      def census(kind: String, n: Int, v: String) =
+        s"""SELECT '$kind' AS kind, count(*) AS n,
+          |  CAST(sum(v) AS BIGINT) AS sum_v,
+          |  CAST(min(v) AS INT) AS min_v, CAST(max(v) AS INT) AS max_v
+          |FROM (SELECT $v AS v FROM range($n) t(id))""".stripMargin
+      Seq(
+        census("bmp", 162,
+          "(id // 27 * 37 + (id % 27) // 3 * 11 + id % 3 * 71 + 3) % 256"),
+        census("gif", 560,
+          """CASE id % 4
+            |    WHEN 0 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 41) % 256
+            |    WHEN 1 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 73) % 256
+            |    WHEN 2 THEN (((id // 56 * 7 + (id % 56) // 4 * 3) % 6) * 97) % 256
+            |    ELSE 255 END""".stripMargin),
+        census("jpeg", 240,
+          s"""LEAST(255, GREATEST(0, CAST(floor(
+            |    $c0sq * CAST(((((id // 20 // 8) * 3 + (id % 20 // 8)) * 7) % 40 - 20) * 16 AS DOUBLE)
+            |      * 0.25 + 128.0 + 0.5) AS INT)))""".stripMargin),
+        census("png", 324,
+          """CASE id % 3
+            |    WHEN 0 THEN (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 37) % 256
+            |    WHEN 1 THEN (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 59) % 256
+            |    ELSE (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 83) % 256 END""".stripMargin),
+        census("tiff", 128, "(id // 16 * 13 + id % 16) % 97"),
+        census("wav", 60, "(id // 2 * 773 + id % 2 * 331) % 65536 - 32768")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY kind")
+    })
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_count" -> "SELECT count(*) AS cnt FROM lineitem",
