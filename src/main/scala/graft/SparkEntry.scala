@@ -1297,6 +1297,21 @@ object SparkEntry {
     * pipe0's closed form — the TIFF containers, both planar layouts, LZW,
     * and the mask join must all be invisible in the output hash.
     */
+  /** BL1 — cross-document LINE dedup (the RefinedWeb/C4 boilerplate
+    * pass): lines whose normalized text appears in ≥3 distinct documents
+    * are stripped from every document, survivors re-join in order. The
+    * fixture derives lines by splitting the corpus text on a frequent
+    * token, so genuinely-shared lines exist; oracle recomputes the df
+    * census with count(DISTINCT) and string_agg, so the engine's
+    * no-distinct-expand window spelling must be exactly equivalent.
+    */
+  private def bl1(s: SparkSession, d: String) = {
+    val lined = Tables.documents(s, d)
+      .select(col("doc_id"), expr("replace(text, ' the ', char(10))").as("text"))
+    operators.Curation.stripBoilerplateLines(lined, minDocFreq = 3)
+      .orderBy("doc_id")
+  }
+
   /** PIPE5 — the MULTIMODAL surface composed in ONE plan: six real
     * containers (palette PNG, baseline JPEG, animated-GIF frame, BMP,
     * PCM WAV, float32 GeoTIFF) each decoded by its own codec, reduced to
@@ -3794,6 +3809,7 @@ object SparkEntry {
     "pipe0_feature_stack" -> (pipe0 _),
     "pipe4_tiff_stack" -> (pipe4 _),
     "pipe5_media_census" -> (pipe5 _),
+    "bl1_boilerplate_lines" -> (bl1 _),
     "m1_rf_classify" -> (m1 _),
     "m1b_frozen_forest" -> (m1b _),
     "m5_segment_polygonize" -> (m5 _),
@@ -6721,6 +6737,29 @@ object SparkEntry {
         |SELECT cohort_day, day_offset, n_active, n_events, cohort_size,
         |  n_active * CAST(1000000 AS BIGINT) // cohort_size AS retention_ppm
         |FROM w ORDER BY cohort_day, day_offset""".stripMargin,
+    // bl1: the distinct-doc line census recomputed the relational way
+    // (count(DISTINCT) + join-back) — the engine's shared-exchange window
+    // spelling must be exactly equivalent; text re-joins via string_agg
+    // ordered by position.
+    "bl1_boilerplate_lines" ->
+      """WITH lined AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lined),
+        |ix AS (SELECT doc_id, lines,
+        |    unnest(generate_series(1, len(lines))) AS i FROM sp),
+        |l AS (SELECT doc_id, i, lines[i] AS line,
+        |    lower(trim(lines[i])) AS norm FROM ix),
+        |df AS (SELECT norm, count(DISTINCT doc_id) AS ndocs FROM l
+        |  WHERE norm <> '' GROUP BY norm),
+        |k AS (SELECT l.doc_id, l.i, l.line FROM l LEFT JOIN df ON l.norm = df.norm
+        |  WHERE l.norm = '' OR coalesce(df.ndocs, 0) < 3),
+        |tot AS (SELECT doc_id, count(*) AS n FROM l GROUP BY doc_id),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+        |    count(*) AS kept FROM k GROUP BY doc_id)
+        |SELECT tot.doc_id, coalesce(agg.text, '') AS text,
+        |  CAST(tot.n - coalesce(agg.kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot LEFT JOIN agg USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin,
     // qc1: the same hash-space weights (md5-derived, mod-centered) summed
     // per doc — integer margins, so the census is hash-exact.
     "qc1_linear_classifier" ->

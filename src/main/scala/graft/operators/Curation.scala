@@ -323,6 +323,48 @@ object Curation {
           .as("shared_grams"))
   }
 
+  /** LINE-level boilerplate removal — the RefinedWeb/C4-style pass that
+    * strips navigation chrome, cookie banners, and footers: a LINE whose
+    * normalized text (lower + trim) appears in ≥ `minDocFreq` DISTINCT
+    * documents is boilerplate and is dropped from every document; the
+    * survivors re-join in original order. Blank-normalized lines never
+    * count and are always kept (they are structure, not boilerplate).
+    *
+    * Plan shape (the passageDupStats discipline): explode lines with
+    * positions → ONE exchange on the normalized line, where a lag marks
+    * the first row of each (norm, doc) run and a sum-over-partition
+    * window SHARING that exchange+sort yields the distinct-doc count (no
+    * distinct expand, no join-back) → one exchange on the doc id for the
+    * ordered reassembly. Two shuffles total at any corpus size.
+    *
+    * Returns the caller's id column + `text` (cleaned) + `n_dropped`.
+    */
+  def stripBoilerplateLines(
+      docs: DataFrame,
+      minDocFreq: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val byNorm = Window.partitionBy("__norm")
+    val byNormDoc = byNorm.orderBy(col(idCol))
+    Partitioning.spread(docs)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__norm", lower(trim(col("__line"))))
+      .withColumn("__first",
+        when(col("__norm") === "", lit(0L)) // blanks never count
+          .when(lag(col(idCol), 1).over(byNormDoc) === col(idCol), lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("__ndocs", sum(col("__first")).over(byNorm))
+      .withColumn("__keep", col("__norm") === "" || col("__ndocs") < minDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          p => p.getField("__line")), "\n").as("text"),
+        sum(when(col("__keep"), lit(0L)).otherwise(lit(1L))).as("n_dropped"))
+  }
+
   /** Unigram language-model score per document — the in-engine analog of
     * perplexity-based quality filtering (a real curation stack scores
     * docs under a reference LM and drops the tails; the unigram model is

@@ -269,6 +269,28 @@ class CurationSpec extends AnyFunSuite {
     assert(ok.length == 1)
   }
 
+  test("stripBoilerplateLines: cross-doc lines drop, blanks and order survive") {
+    val docs = Seq(
+      (1L, "unique one\nCookie Notice\n\nbody text a\nall rights reserved"),
+      (2L, "cookie notice \nbody text b\nAll Rights Reserved"),
+      (3L, "COOKIE NOTICE\nunique three\nall rights reserved"),
+      (4L, "totally unique\n\n")
+    ).toDF("doc_id", "text")
+    val out = Curation.stripBoilerplateLines(docs, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+    // "cookie notice" (3 docs, case/space-insensitive) and "all rights
+    // reserved" (3 docs) are boilerplate; everything else survives in order
+    assert(out(0).getString(1) == "unique one\n\nbody text a")
+    assert(out(0).getLong(2) == 2)
+    assert(out(1).getString(1) == "body text b")
+    assert(out(1).getLong(2) == 2)
+    assert(out(2).getString(1) == "unique three")
+    assert(out(2).getLong(2) == 2)
+    // blanks are never boilerplate even though they appear in 2+ docs
+    assert(out(3).getString(1) == "totally unique\n\n")
+    assert(out(3).getLong(2) == 0)
+  }
+
   test("hashedLinearScore: margin equals the sum of per-token hash weights, keeps caller columns") {
     import graft.functions.TextOps
     val docs = Seq((1L, "alpha beta alpha", "s0"), (2L, "gamma", "s1"))
