@@ -296,6 +296,19 @@ class PlanSpec extends AnyFunSuite {
       s"second window must reuse the (gram, doc) sort:\n$plan")
   }
 
+  test("stripBoilerplateLines: exactly two hash exchanges, no distinct expand") {
+    val lined = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.expr("replace(text, ' the ', char(10))").as("text"))
+    val plan = Curation.stripBoilerplateLines(lined, minDocFreq = 3)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 2, s"expected exactly 2 shuffles:\n$plan")
+    assert(!plan.contains("Expand"), s"distinct expand crept in:\n$plan")
+    // both windows share the norm exchange AND its (norm, doc) sort
+    assert("Sort ".r.findAllIn(plan).size <= 1,
+      s"second window must reuse the (norm, doc) sort:\n$plan")
+  }
+
   test("retentionCohorts: no countDistinct expand, windows stay cohort-partitioned") {
     val plan = SparkEntry.queries("cohort1_retention")(spark, sf)
       .queryExecution.executedPlan.toString
