@@ -95,6 +95,9 @@ object CrsWkt {
       val name = ident()
       ws()
       if (pos >= s.length || (s(pos) != '[' && s(pos) != '(')) fail(s"expected [ after $name")
+      nodeBody(name)
+    }
+    def nodeBody(name: String): Node = {
       val close = if (s(pos) == '[') ']' else ')'
       pos += 1
       val args = Vector.newBuilder[Any]
@@ -112,7 +115,14 @@ object CrsWkt {
           first = false
           if (pos >= s.length) fail("unterminated node")
           else if (s(pos) == '"') args += quoted()
-          else if (s(pos).isLetter) args += node()
+          else if (s(pos).isLetter) {
+            // a nested node, or a WKT2 bare keyword (Cartesian, east,
+            // north, …) which surfaces as a plain string argument
+            val n2 = ident()
+            ws()
+            if (pos < s.length && (s(pos) == '[' || s(pos) == '(')) args += nodeBody(n2)
+            else args += n2
+          }
           else args += number()
         }
       }
@@ -148,6 +158,12 @@ object CrsWkt {
     */
   private val NamedDatumShifts: Map[String, (Double, Double, Double)] = Map(
     "WGS_1984" -> (0.0, 0.0, 0.0),
+    // WKT2 spells the datum out (and often as an ensemble)
+    "WORLD_GEODETIC_SYSTEM_1984" -> (0.0, 0.0, 0.0),
+    "WORLD_GEODETIC_SYSTEM_1984_ENSEMBLE" -> (0.0, 0.0, 0.0),
+    // NAD83/GRS80 is coincident with WGS84 at the metre level
+    "NORTH_AMERICAN_DATUM_1983" -> (0.0, 0.0, 0.0),
+    "NORTH_AMERICAN_1983" -> (0.0, 0.0, 0.0),
     "TOKYO" -> (-146.414, 507.337, 680.507),
     "NORTH_AMERICAN_DATUM_1927" -> (-8.0, 160.0, 176.0),
     "NORTH_AMERICAN_1927" -> (-8.0, 160.0, 176.0))
@@ -165,7 +181,7 @@ object CrsWkt {
   }
 
   private def normDatum(name: String): String = {
-    val up = name.toUpperCase
+    val up = name.toUpperCase.replace(' ', '_')
     if (up.startsWith("D_")) up.drop(2) else up
   }
 
@@ -203,16 +219,94 @@ object CrsWkt {
     GeogCrs(dName, ell, shift)
   }
 
-  /** Case-insensitive PARAMETER lookup with a default for omitted keys
-    * (GDAL omits parameters at their defaults).
+  /** normalized parameter/method key: lowercase, spaces → underscores */
+  private def pNorm(name: String): String = name.toLowerCase.replace(' ', '_')
+
+  /** Canonical projection key from a WKT1 PROJECTION / WKT2 METHOD name
+    * (or the METHOD's EPSG code, which wins when present).
     */
-  private def param(n: Node, key: String, default: Double = Double.NaN): Double =
-    n.args.collectFirst {
-      case c: Node if c.name == "PARAMETER" && c.str(0).equalsIgnoreCase(key) => c.num(1)
-    }.getOrElse {
-      require(!default.isNaN, s"PROJCS missing required PARAMETER[$key]")
-      default
+  private def methodKeyOf(name: String, epsg: Option[Int]): String = {
+    epsg match {
+      case Some(9807) => return "tm"
+      case Some(1024) => return "webmerc"
+      case Some(9802) => return "lcc"
+      case Some(9822) => return "aea"
+      case Some(other) => throw new IllegalArgumentException(
+        s"projection METHOD EPSG:$other is not implemented " +
+          "(9807 TM, 1024 Pseudo-Mercator, 9802 LCC 2SP, 9822 Albers)")
+      case None =>
     }
+    pNorm(name) match {
+      case "transverse_mercator" | "gauss_kruger" => "tm"
+      case "mercator_1sp" | "mercator_auxiliary_sphere" |
+          "popular_visualisation_pseudo_mercator" | "pseudo_mercator" => "webmerc"
+      case "lambert_conformal_conic_2sp" | "lambert_conformal_conic" |
+          "lambert_conic_conformal_(2sp)" => "lcc"
+      case "albers_conic_equal_area" | "albers" | "albers_equal_area" => "aea"
+      case other => throw new IllegalArgumentException(
+        s"PROJECTION/METHOD '$name' is not implemented (Transverse_Mercator/UTM, " +
+          "Mercator_1SP/Pseudo-Mercator, Lambert_Conformal_Conic_2SP, " +
+          "Albers_Conic_Equal_Area)")
+    }
+  }
+
+  /** The shared projection builder: `p(aliases, default)` resolves one
+    * parameter slot under any of its WKT1/WKT2 spellings (NaN default =
+    * required). Both dialects' front doors feed this.
+    */
+  private def buildProjection(geog: GeogCrs, key: String,
+      p: (Seq[String], Double) => Double): Transform2D = {
+    val Req = Double.NaN
+    def lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
+      "latitude_of_false_origin"), 0.0)
+    def cm = p(Seq("central_meridian", "longitude_of_natural_origin",
+      "longitude_of_false_origin"), Req)
+    def cm0 = p(Seq("central_meridian", "longitude_of_natural_origin",
+      "longitude_of_false_origin"), 0.0)
+    def fe = p(Seq("false_easting", "easting_at_false_origin"), 0.0)
+    def fn = p(Seq("false_northing", "northing_at_false_origin"), 0.0)
+    def k0 = p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0)
+    def sp1 = p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), Req)
+    def sp2 = p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"), Req)
+    key match {
+      case "tm" =>
+        // only the UTM parameterization is implemented (the Utm constants
+        // are baked into the Snyder series): k0=0.9996, FE=500km, lat0=0,
+        // central meridian on a zone line, FN 0 (N) or 10000km (S)
+        require(k0 == 0.9996, s"Transverse Mercator with scale_factor $k0: only the " +
+          "UTM parameterization (0.9996) is implemented")
+        require(lat0 == 0.0, s"UTM latitude_of_origin must be 0, got $lat0")
+        require(fe == 500000.0, s"UTM false_easting must be 500000, got $fe")
+        val southern = fn match {
+          case 0.0 => false
+          case 10000000.0 => true
+          case other => throw new IllegalArgumentException(
+            s"UTM false_northing must be 0 or 10000000, got $other")
+        }
+        val c = cm
+        val zone = math.round((c + 183.0) / 6.0).toInt
+        require(zone >= 1 && zone <= 60 && Utm.centralMeridianDeg(zone) == c,
+          s"central_meridian $c is not a UTM zone meridian")
+        require(geog.ellipsoid == Ellipsoid.Wgs84,
+          s"UTM is implemented on WGS84 only; got ellipsoid ${geog.ellipsoid}")
+        UtmFromGeographic(zone, southern)
+      case "webmerc" =>
+        // EPSG:3857 spherical Web-Mercator on the WGS84 semi-major sphere
+        require(cm0 == 0.0 && fe == 0.0 && fn == 0.0 && k0 == 1.0 &&
+          p(Seq("standard_parallel_1"), 0.0) == 0.0,
+          "only the EPSG:3857 Web-Mercator parameterization is implemented " +
+            "(central_meridian/false offsets 0, scale 1)")
+        require(geog.ellipsoid == Ellipsoid.Wgs84,
+          s"Web-Mercator is implemented on the WGS84 sphere only")
+        WebMercatorFromGeographic
+      case "lcc" =>
+        LambertConformalFromGeographic(LccParams(
+          sp1, sp2, lat0, cm, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
+      case "aea" =>
+        AlbersFromGeographic(AeaParams(
+          sp1, sp2, lat0, cm, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
+    }
+  }
 
   private def parseProjcs(n: Node): Projected = {
     val geog = parseGeogcs(n.child("GEOGCS").getOrElse(
@@ -225,70 +319,129 @@ object CrsWkt {
       require(math.abs(u.num(1) - 1.0) < 1e-9,
         s"PROJCS linear unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
     }
-    val cm = () => param(n, "central_meridian")
-    val lat0 = () => param(n, "latitude_of_origin", 0.0)
-    val fe = () => param(n, "false_easting", 0.0)
-    val fn = () => param(n, "false_northing", 0.0)
-    val fwd: Transform2D = projName.toUpperCase match {
-      case "TRANSVERSE_MERCATOR" | "GAUSS_KRUGER" =>
-        // only the UTM parameterization is implemented (the Utm constants
-        // are baked into the Snyder series): k0=0.9996, FE=500km, lat0=0,
-        // central meridian on a zone line, FN 0 (N) or 10000km (S)
-        val k0 = param(n, "scale_factor", 1.0)
-        require(k0 == 0.9996, s"Transverse Mercator with scale_factor $k0: only the " +
-          "UTM parameterization (0.9996) is implemented")
-        require(lat0() == 0.0, s"UTM latitude_of_origin must be 0, got ${lat0()}")
-        require(fe() == 500000.0, s"UTM false_easting must be 500000, got ${fe()}")
-        val southern = fn() match {
-          case 0.0 => false
-          case 10000000.0 => true
-          case other => throw new IllegalArgumentException(
-            s"UTM false_northing must be 0 or 10000000, got $other")
-        }
-        val zoneD = (cm() + 183.0) / 6.0
-        val zone = math.round(zoneD).toInt
-        require(zone >= 1 && zone <= 60 && Utm.centralMeridianDeg(zone) == cm(),
-          s"central_meridian ${cm()} is not a UTM zone meridian")
-        require(geog.ellipsoid == Ellipsoid.Wgs84,
-          s"UTM is implemented on WGS84 only; got ellipsoid ${geog.ellipsoid}")
-        UtmFromGeographic(zone, southern)
-      case "MERCATOR_1SP" | "MERCATOR_AUXILIARY_SPHERE" |
-          "POPULAR_VISUALISATION_PSEUDO_MERCATOR" | "PSEUDO_MERCATOR" =>
-        // EPSG:3857 spherical Web-Mercator on the WGS84 semi-major sphere
-        require(param(n, "central_meridian", 0.0) == 0.0 && fe() == 0.0 && fn() == 0.0 &&
-          param(n, "scale_factor", 1.0) == 1.0 &&
-          param(n, "standard_parallel_1", 0.0) == 0.0,
-          "only the EPSG:3857 Web-Mercator parameterization is implemented " +
-            "(central_meridian/false offsets 0, scale 1)")
-        require(geog.ellipsoid == Ellipsoid.Wgs84,
-          s"Web-Mercator is implemented on the WGS84 sphere only")
-        WebMercatorFromGeographic
-      case "LAMBERT_CONFORMAL_CONIC_2SP" | "LAMBERT_CONFORMAL_CONIC" =>
-        // ESRI spells 2SP LCC without the suffix; both carry two
-        // standard_parallel parameters
-        LambertConformalFromGeographic(LccParams(
-          param(n, "standard_parallel_1"), param(n, "standard_parallel_2"),
-          lat0(), cm(), fe(), fn(), geog.ellipsoid.a, geog.ellipsoid.e2))
-      case "ALBERS_CONIC_EQUAL_AREA" | "ALBERS" =>
-        AlbersFromGeographic(AeaParams(
-          param(n, "standard_parallel_1"), param(n, "standard_parallel_2"),
-          lat0(), cm(), fe(), fn(), geog.ellipsoid.a, geog.ellipsoid.e2))
-      case other => throw new IllegalArgumentException(
-        s"PROJECTION '$other' is not implemented (Transverse_Mercator/UTM, " +
-          "Mercator_1SP/Pseudo-Mercator, Lambert_Conformal_Conic_2SP, " +
-          "Albers_Conic_Equal_Area)")
-    }
-    Projected(geog, fwd)
+    def p(names: Seq[String], default: Double): Double =
+      n.args.collectFirst {
+        case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
+          c.num(1)
+      }.getOrElse {
+        require(!default.isNaN, s"PROJCS missing required PARAMETER[${names.head}]")
+        default
+      }
+    Projected(geog, buildProjection(geog, methodKeyOf(projName, None), p))
   }
 
-  /** Parse one `.prj`-style WKT1 string into a [[Crs]]. */
+  // ---- WKT2 (ISO 19162 / the default GDAL ≥3 output) ----
+
+  /** GEOGCRS/BASEGEOGCRS: DATUM (or ENSEMBLE) + ELLIPSOID. WKT2 carries
+    * no TOWGS84 — datum shifts resolve through the published named-datum
+    * table, anything else rejects loudly.
+    */
+  private def parseGeogcrs2(n: Node): GeogCrs = {
+    val datum = n.child("DATUM").orElse(n.child("ENSEMBLE")).getOrElse(
+      throw new IllegalArgumentException(s"${n.name} without DATUM/ENSEMBLE"))
+    val ell = datum.child("ELLIPSOID").orElse(datum.child("SPHEROID")).getOrElse(
+      throw new IllegalArgumentException("datum without ELLIPSOID"))
+    ell.child("LENGTHUNIT").foreach { u =>
+      require(math.abs(u.num(1) - 1.0) < 1e-9,
+        s"ellipsoid unit '${u.str(0)}' is not metres")
+    }
+    val dName = normDatum(datum.str(0))
+    val shift = NamedDatumShifts.getOrElse(dName,
+      throw new IllegalArgumentException(
+        s"datum '$dName' is not a known named datum " +
+          s"(${NamedDatumShifts.keys.toSeq.sorted.mkString(", ")}) — WKT2 carries " +
+          "no TOWGS84, so only published datums resolve"))
+    GeogCrs(dName, resolveEllipsoid(ell.num(1), ell.num(2)), shift)
+  }
+
+  private def parseProjcrs2(n: Node): Projected = {
+    val geog = parseGeogcrs2(
+      n.child("BASEGEOGCRS").orElse(n.child("BASEGEODCRS")).getOrElse(
+        throw new IllegalArgumentException("PROJCRS without BASEGEOGCRS")))
+    val conv = n.child("CONVERSION").getOrElse(
+      throw new IllegalArgumentException("PROJCRS without CONVERSION"))
+    val method = conv.child("METHOD").getOrElse(
+      throw new IllegalArgumentException("CONVERSION without METHOD"))
+    val epsg = method.child("ID").flatMap { id =>
+      if (id.str(0).equalsIgnoreCase("EPSG")) Some(id.num(1).toInt) else None
+    }
+    // axis / CS length units must be metres
+    for (ax <- n.children("AXIS"); u <- ax.child("LENGTHUNIT"))
+      require(math.abs(u.num(1) - 1.0) < 1e-9,
+        s"PROJCRS axis unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
+    n.child("LENGTHUNIT").foreach { u =>
+      require(math.abs(u.num(1) - 1.0) < 1e-9,
+        s"PROJCRS unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
+    }
+    def p(names: Seq[String], default: Double): Double =
+      conv.args.collectFirst {
+        case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
+          c.child("ANGLEUNIT").foreach { u =>
+            require(math.abs(u.num(1) - math.Pi / 180.0) < 1e-9,
+              s"parameter '${c.str(0)}' unit is not degrees")
+          }
+          c.child("LENGTHUNIT").foreach { u =>
+            require(math.abs(u.num(1) - 1.0) < 1e-9,
+              s"parameter '${c.str(0)}' unit is not metres")
+          }
+          c.num(1)
+      }.getOrElse {
+        require(!default.isNaN, s"CONVERSION missing required PARAMETER[${names.head}]")
+        default
+      }
+    Projected(geog, buildProjection(geog, methodKeyOf(method.str(0), epsg), p))
+  }
+
+  // ---- EPSG shorthand ----
+
+  private val Nad83Ellipsoid = Ellipsoid(6378137.0, 298.257222101) // GRS80
+
+  /** The common codes a corpus actually carries, as a direct table —
+    * users pass "EPSG:32654" far more often than WKT. Everything else
+    * rejects loudly (no network, no proj.db).
+    */
+  def epsgCrs(code: Int): Crs = {
+    val wgs = GeogCrs("WGS_1984", Ellipsoid.Wgs84, (0.0, 0.0, 0.0))
+    code match {
+      case 4326 => Geographic(wgs)
+      case 3857 => Projected(wgs, WebMercatorFromGeographic)
+      case z if z >= 32601 && z <= 32660 => Projected(wgs, UtmFromGeographic(z - 32600))
+      case z if z >= 32701 && z <= 32760 =>
+        Projected(wgs, UtmFromGeographic(z - 32700, southern = true))
+      case 4269 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1983",
+        Nad83Ellipsoid, (0.0, 0.0, 0.0)))
+      case 4267 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1927",
+        Ellipsoid.Clarke1866, (-8.0, 160.0, 176.0)))
+      case 4301 => Geographic(GeogCrs("TOKYO",
+        Ellipsoid.Bessel1841, (-146.414, 507.337, 680.507)))
+      case 5070 => Projected( // NAD83 / Conus Albers
+        GeogCrs("NORTH_AMERICAN_DATUM_1983", Nad83Ellipsoid, (0.0, 0.0, 0.0)),
+        AlbersFromGeographic(AeaParams(29.5, 45.5, 23.0, -96.0,
+          a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
+      case other => throw new IllegalArgumentException(
+        s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
+          "4267, 4269, 4301, 5070) — pass the CRS WKT instead")
+    }
+  }
+
+  /** Parse a CRS designator: `.prj`-style WKT1, WKT2 (GDAL ≥3's default
+    * output), or an `EPSG:nnnn` shorthand.
+    */
   def parseCrs(wkt: String): Crs = {
-    val root = parseNode(wkt.trim)
+    val t = wkt.trim
+    val epsgRe = "(?i)^EPSG:(\\d{1,6})$".r
+    t match {
+      case epsgRe(code) => return epsgCrs(code.toInt)
+      case _ =>
+    }
+    val root = parseNode(t)
     root.name match {
       case "PROJCS" => parseProjcs(root)
       case "GEOGCS" => Geographic(parseGeogcs(root))
+      case "PROJCRS" | "PROJECTEDCRS" => parseProjcrs2(root)
+      case "GEOGCRS" | "GEODCRS" | "GEODETICCRS" => Geographic(parseGeogcrs2(root))
       case other => throw new IllegalArgumentException(
-        s"root node $other unsupported (PROJCS or GEOGCS)")
+        s"root node $other unsupported (PROJCS/GEOGCS, PROJCRS/GEOGCRS, or EPSG:nnnn)")
     }
   }
 

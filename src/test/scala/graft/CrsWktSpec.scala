@@ -144,6 +144,112 @@ class CrsWktSpec extends AnyFunSuite {
       "not degrees")
   }
 
+  test("WKT2 (GDAL >= 3 default output): PROJCRS/GEOGCRS resolve to the same transforms") {
+    // a faithful `gdalsrsinfo -o wkt2` shape for EPSG:32654 — ensemble
+    // datum, METHOD EPSG id, spelled-out parameter names, bare keywords
+    // (Cartesian/east/north), USAGE/ID decorations
+    val utm54 =
+      """PROJCRS["WGS 84 / UTM zone 54N",
+        |    BASEGEOGCRS["WGS 84",
+        |        ENSEMBLE["World Geodetic System 1984 ensemble",
+        |            MEMBER["World Geodetic System 1984 (Transit)"],
+        |            MEMBER["World Geodetic System 1984 (G2296)"],
+        |            ELLIPSOID["WGS 84",6378137,298.257223563,
+        |                LENGTHUNIT["metre",1]],
+        |            ENSEMBLEACCURACY[2.0]],
+        |        PRIMEM["Greenwich",0,
+        |            ANGLEUNIT["degree",0.0174532925199433]],
+        |        ID["EPSG",4326]],
+        |    CONVERSION["UTM zone 54N",
+        |        METHOD["Transverse Mercator",
+        |            ID["EPSG",9807]],
+        |        PARAMETER["Latitude of natural origin",0,
+        |            ANGLEUNIT["degree",0.0174532925199433],
+        |            ID["EPSG",8801]],
+        |        PARAMETER["Longitude of natural origin",141,
+        |            ANGLEUNIT["degree",0.0174532925199433],
+        |            ID["EPSG",8802]],
+        |        PARAMETER["Scale factor at natural origin",0.9996,
+        |            SCALEUNIT["unity",1],
+        |            ID["EPSG",8805]],
+        |        PARAMETER["False easting",500000,
+        |            LENGTHUNIT["metre",1],
+        |            ID["EPSG",8806]],
+        |        PARAMETER["False northing",0,
+        |            LENGTHUNIT["metre",1],
+        |            ID["EPSG",8807]]],
+        |    CS[Cartesian,2],
+        |        AXIS["(E)",east,
+        |            ORDER[1],
+        |            LENGTHUNIT["metre",1]],
+        |        AXIS["(N)",north,
+        |            ORDER[2],
+        |            LENGTHUNIT["metre",1]],
+        |    USAGE[
+        |        SCOPE["Navigation and medium accuracy spatial referencing."],
+        |        AREA["Between 138°E and 144°E, northern hemisphere."],
+        |        BBOX[0,138,84,144]],
+        |    ID["EPSG",32654]]""".stripMargin
+    assert(CrsWkt.parseCrs(utm54).asInstanceOf[CrsWkt.Projected].forward ==
+      UtmFromGeographic(54))
+    val geogcrs =
+      """GEOGCRS["WGS 84",
+        |    ENSEMBLE["World Geodetic System 1984 ensemble",
+        |        ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]],
+        |        ENSEMBLEACCURACY[2.0]],
+        |    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],
+        |    CS[ellipsoidal,2],
+        |        AXIS["geodetic latitude (Lat)",north,ANGLEUNIT["degree",0.0174532925199433]],
+        |        AXIS["geodetic longitude (Lon)",east,ANGLEUNIT["degree",0.0174532925199433]],
+        |    ID["EPSG",4326]]""".stripMargin
+    assert(CrsWkt.parseCrs(geogcrs).isInstanceOf[CrsWkt.Geographic])
+    // WKT2 -> WKT1 cross-dialect chain: identical transform either way
+    assert(CrsWkt.transformBetween(utm54, geogcrs) == GeographicFromUtm(54))
+    // WKT2 LCC with false-origin parameter spellings (EPSG 9802)
+    val lcc2 =
+      """PROJCRS["custom LCC",
+        |  BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",
+        |    ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+        |    PRIMEM["Greenwich",0]],
+        |  CONVERSION["lcc",METHOD["Lambert Conic Conformal (2SP)",ID["EPSG",9802]],
+        |    PARAMETER["Latitude of false origin",23],
+        |    PARAMETER["Longitude of false origin",-96],
+        |    PARAMETER["Latitude of 1st standard parallel",33],
+        |    PARAMETER["Latitude of 2nd standard parallel",45],
+        |    PARAMETER["Easting at false origin",0],
+        |    PARAMETER["Northing at false origin",0]],
+        |  CS[Cartesian,2]]""".stripMargin
+    assert(CrsWkt.parseCrs(lcc2).asInstanceOf[CrsWkt.Projected].forward ==
+      LambertConformalFromGeographic(LccParams(33.0, 45.0, 23.0, -96.0)))
+    // unknown METHOD EPSG id rejects loudly
+    val bad = lcc2.replace("9802", "9801")
+    assert(intercept[IllegalArgumentException](CrsWkt.parseCrs(bad))
+      .getMessage.contains("EPSG:9801"))
+  }
+
+  test("EPSG:nnnn shorthand resolves the shipped table and rejects the rest") {
+    assert(CrsWkt.parseCrs("EPSG:4326") ==
+      CrsWkt.Geographic(CrsWkt.GeogCrs("WGS_1984", Ellipsoid.Wgs84, (0.0, 0.0, 0.0))))
+    assert(CrsWkt.parseCrs("epsg:32654").asInstanceOf[CrsWkt.Projected].forward ==
+      UtmFromGeographic(54))
+    assert(CrsWkt.parseCrs("EPSG:32733").asInstanceOf[CrsWkt.Projected].forward ==
+      UtmFromGeographic(33, southern = true))
+    assert(CrsWkt.parseCrs("EPSG:3857").asInstanceOf[CrsWkt.Projected].forward ==
+      WebMercatorFromGeographic)
+    val albers = CrsWkt.parseCrs("EPSG:5070").asInstanceOf[CrsWkt.Projected]
+    assert(albers.forward.isInstanceOf[AlbersFromGeographic])
+    assert(CrsWkt.parseCrs("EPSG:4301") == CrsWkt.Geographic(CrsWkt.GeogCrs(
+      "TOKYO", Ellipsoid.Bessel1841, (-146.414, 507.337, 680.507))))
+    // EPSG shorthand composes with WKT through the same seam: 32654 -> Tokyo
+    val tokyo = CrsWkt.parseCrs("EPSG:4301")
+    assert(CrsWkt.transform(CrsWkt.parseCrs("EPSG:32654"), tokyo) ==
+      ComposedTransform(GeographicFromUtm(54),
+        AbridgedMolodensky(146.414, -507.337, -680.507,
+          Ellipsoid.Wgs84, Ellipsoid.Bessel1841)))
+    assert(intercept[IllegalArgumentException](CrsWkt.parseCrs("EPSG:27700"))
+      .getMessage.contains("not in the shipped table"))
+  }
+
   test("quoted-string escapes and whitespace are tolerated") {
     val wkt = "GEOGCS [ \"WGS \"\"84\"\"\" ,\n  DATUM[\"WGS_1984\"," +
       "SPHEROID[\"WGS 84\", 6378137, 298.257223563]],\n" +
