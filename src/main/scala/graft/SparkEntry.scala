@@ -3456,6 +3456,29 @@ object SparkEntry {
       .orderBy("px_row", "px_col", "dem")
   }
 
+  /** G14 — the EPSG SHORTHAND front door: the identical reprojection as
+    * g11 with the transform dispatched from "EPSG:32654" → "EPSG:4301"
+    * code strings (UTM 54N → legacy Tokyo geographic) instead of WKT —
+    * the way users actually name CRSs. The oracle is g11's VERBATIM, so
+    * the code table must resolve to bit-identical transforms.
+    */
+  private def g14(s: SparkSession, d: String) = {
+    val master = Tables.lineitem(s, d)
+      .select((col("l_orderkey") % 16).cast("int").as("px_row"),
+        (col("l_partkey") % 16).cast("int").as("px_col"))
+      .distinct()
+    val aux = Tables.part(s, d)
+      .groupBy((col("p_partkey") % 24).cast("int").as("px_row"),
+        ((col("p_partkey") * 7 + col("p_size")) % 26).cast("int").as("px_col"))
+      .agg(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("dem"))
+    operators.Regrid.reproject(master, aux,
+      operators.Regrid.GridDef(381000.0, 3950000.0, 100.0, 100.0),
+      operators.Regrid.GridDef(139.6895, 35.68493, 0.001, 0.0007),
+      "EPSG:32654", "EPSG:4301",
+      Seq("dem"), kernel = "nearest")
+      .orderBy("px_row", "px_col", "dem")
+  }
+
   /** G12 — GEODESIC measures: per-part lon/lat quadrilaterals (WKT built
     * in-plan, re-parsed by the measure — the round trip is part of the
     * check) scored with the Chamberlain–Duquette spherical-excess area
@@ -3864,6 +3887,7 @@ object SparkEntry {
     "g11_wkt_reproject" -> (g11 _),
     "g12_geodesic_measures" -> (g12 _),
     "g13_vector_reproject" -> (g13 _),
+    "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
     "mm3_header_decode" -> (mm3 _),
@@ -4040,6 +4064,10 @@ object SparkEntry {
     // BigTIFF containers (+ mask sidecar TIFFs) — the containers must be
     // invisible, so the oracle text is pipe0's verbatim.
     ("pipe4_tiff_stack" -> oracleSqlBase("pipe0_feature_stack")) +
+    // g14 dispatches the SAME transform as g11 from EPSG code strings —
+    // the code table must be bit-identical to the .prj path, so the
+    // oracle text is g11's verbatim.
+    ("g14_epsg_reproject" -> oracleSqlBase("g11_wkt_reproject")) +
     // pipe5: each codec's closed form re-aggregated to its census — a
     // defect in any of the six decoders shifts a sum.
     ("pipe5_media_census" -> {
