@@ -231,6 +231,7 @@ object Jpeg {
     var dcPred: Array[Int] = null
     var restartInterval = 0
     var sofSeen = false
+    var scanSeen = false
     var progressive = false
     var maxH = 0; var maxV = 0; var mcusX = 0; var mcusY = 0
     var blocksW: Array[Int] = null
@@ -527,12 +528,17 @@ object Jpeg {
           case 0xda => // SOS
             require(sofSeen, "SOS before SOF")
             nextPos = decodeScan(seg, pos + 2 + len)
+            scanSeen = true
           case _ => // APPn, COM, others: skip
         }
         pos = nextPos
       }
     }
     require(sofSeen && w > 0 && h > 0, "no SOF frame before EOI")
+    // fail closed on a scan-less file (e.g. a download truncated after the
+    // headers then re-terminated): without this, every coefficient stays 0
+    // and the image silently decodes to flat mid-gray
+    require(scanSeen, "no SOS scan before EOI")
 
     // ---- shared reconstruction: dequantize + IDCT + clamp per plane,
     // then box-upsample to full-resolution channel-interleaved output ----

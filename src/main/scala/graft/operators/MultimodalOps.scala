@@ -231,8 +231,12 @@ object MultimodalOps {
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
-      if (n == 0 && inflater.needsInput())
-        throw new IllegalArgumentException("truncated IDAT stream")
+      // zero progress = truncation or a preset-dictionary stream — fail
+      // loudly instead of spinning
+      if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+        throw new IllegalArgumentException(
+          if (inflater.needsDictionary()) "IDAT requires a preset dictionary (invalid PNG)"
+          else "truncated IDAT stream")
       got += n
     }
     inflater.end()

@@ -372,8 +372,12 @@ object Tiff {
     var got = 0
     while (got < maxOut && !inf.finished()) {
       val n = inf.inflate(out, got, maxOut - got)
-      if (n == 0 && inf.needsInput())
-        throw new IllegalArgumentException("truncated deflate block")
+      // zero progress means truncation, a preset-dictionary (FDICT)
+      // stream, or any other stall — fail loudly instead of spinning
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new IllegalArgumentException(
+          if (inf.needsDictionary()) "deflate block requires a preset dictionary (unsupported)"
+          else "truncated deflate block")
       got += n
     }
     inf.end()
