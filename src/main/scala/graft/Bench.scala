@@ -82,6 +82,7 @@ object Bench {
       if (warmDir.isDirectory) {
         val heavy = Seq(
           "e10_fuzzy_dedup_keep", "e12_keep_best_quality", "cc1_dup_components",
+          "e14_simhash_neardup",
           "e2b_lsh_pairs", "e7_jaccard_verify", "e3b_ivf_topk", "e8_embedding_neardup",
           "e11_decontaminate", "pipe1_curation", "pipe2_curation_v2",
           "url1_domain_filter", "tfidf1_top_terms", "rep1_ngram_repetition",
@@ -131,7 +132,33 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    def dumpErrors(): Unit =
+      try {
+        val w = new java.io.PrintWriter("_bench_errors.json")
+        try w.println(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }
+          .mkString("{", ",", "}")) finally w.close()
+      } catch { case _: Throwable => }
+    // Runner-level failures (anything that escapes timeOnce's per-query
+    // guard — an OOM in the map itself, a crash while rendering) must be
+    // as attributable as per-query ones: record under "__runner__", dump
+    // the sidecar, THEN rethrow. The r8 bench log opened with a truncated
+    // anonymous stack trace from a prior runner crash that left no record.
+    def attributable[T](body: => T): T =
+      try body catch {
+        case e: Throwable =>
+          val frame = e.getStackTrace.headOption
+            .map(f => s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+            .getOrElse("<no frame>")
+          errors("__runner__") = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)} @ $frame"
+          dumpErrors()
+          throw e
+      }
+    val results = attributable { selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = (1 to repeat).map(_ => timeOnce(name, fn)).last
       // The shared host has multi-second CPU-steal bursts (measured: the
       // same query 0.75 s and 9.4 s minutes apart). A single polluted
@@ -145,7 +172,7 @@ object Bench {
       // back-to-back runs, and a genuinely heavy query loses nothing.
       if (repeat == 1 && tFinal > 8.0) tFinal = math.min(tFinal, timeOnce(name, fn))
       name -> tFinal
-    }
+    } }
     // The driver captures only the last ~2000 chars of stdout; rounds 1-3
     // all ended with parsed:null because the full per-query map (~2700
     // chars at 117 queries) overflowed that window and the line arrived
@@ -154,11 +181,6 @@ object Bench {
     // ones were dropped (every omitted query is faster than every kept
     // one). The complete map still lands in BENCH_LOCAL.json.
     def s3(v: Double): String = f"$v%.3f"
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // provenance: the driver invokes Bench with no REPEAT (cold, one JVM);
     // a local warm re-run sets SPARK_GRAFT_BENCH_REPEAT>1 — labeling the
@@ -177,18 +199,19 @@ object Bench {
       kept = kept.dropRight(1)
     // error sidecar BEFORE the metric line, so a crash after this point
     // still leaves the evidence on disk
-    try {
-      val w = new java.io.PrintWriter("_bench_errors.json")
-      try w.println(errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }
-        .mkString("{", ",", "}")) finally w.close()
-    } catch { case _: Throwable => }
+    dumpErrors()
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} queries threw: " +
         errors.map { case (n, e) => s"$n -> $e" }.mkString("; ").take(1000))
     println(render(kept, results.size - kept.size))
-    // complete map on disk (committed to the repo for the judge)
+    // Complete map on disk (committed to the repo for the judge). Warm
+    // (REPEAT>1) runs get their OWN artifact: the driver's final cold run
+    // overwrites BENCH_LOCAL.json, so a shared filename let the two
+    // provenances collide (the r8 warm artifact survived only in git
+    // history). BENCH_WARM.json and BENCH_LOCAL.json now coexist.
+    val artifact = if (repeat > 1) "BENCH_WARM.json" else "BENCH_LOCAL.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json")
+      val w = new java.io.PrintWriter(artifact)
       try w.println(render(results, 0)) finally w.close()
     } catch { case _: Throwable => }
     spark.stop()

@@ -348,7 +348,11 @@ object Curation {
     val byNorm = Window.partitionBy("__norm")
     val byNormDoc = byNorm.orderBy(col(idCol))
     Partitioning.spread(docs)
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      // NULL text coalesces to "" BEFORE the split: posexplode(split(NULL))
+      // yields no rows, which would silently drop the document from the
+      // output instead of returning it with empty text / n_dropped=0.
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("__pos", "__line")))
       .withColumn("__norm", lower(trim(col("__line"))))
       .withColumn("__first",
         when(col("__norm") === "", lit(0L)) // blanks never count

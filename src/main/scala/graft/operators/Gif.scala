@@ -208,6 +208,10 @@ object Gif {
           val label = bytes(pos + 1) & 0xff
           pos += 2
           if (label == 0xf9) { // graphic control
+            // 6 bytes follow: size, packed, 2×delay, transparent index,
+            // terminator — a file truncated inside the GCE body must fail
+            // closed, not throw ArrayIndexOutOfBoundsException
+            require(pos + 6 <= bytes.length, "truncated graphic control extension")
             require((bytes(pos) & 0xff) == 4, "bad GCE block size")
             val packed = bytes(pos + 1) & 0xff
             transparentIdx = if ((packed & 1) != 0) bytes(pos + 4) & 0xff else -1
@@ -215,6 +219,7 @@ object Gif {
             require((bytes(pos) & 0xff) == 0, "GCE missing terminator")
             pos += 1
           } else { // skip any other extension's sub-blocks
+            require(pos < bytes.length, "truncated after extension label")
             var n = bytes(pos) & 0xff
             while (n != 0) {
               pos += 1 + n

@@ -272,6 +272,16 @@ object Jpeg {
         require(al <= 13 && (ah == 0 || ah == al + 1),
           s"bad successive approximation Ah=$ah Al=$al")
       }
+      // a scan referencing a DHT slot that was never defined must reject
+      // descriptively, not NullPointerException at the first huff() call
+      // (progressive DC refinement reads raw bits — no table needed; AC
+      // scans never touch the DC table)
+      for (i <- 0 until ns) {
+        if (!progressive || (ss == 0 && ah == 0))
+          require(dcTbl(scanDc(i)) != null, s"missing DC Huffman table ${scanDc(i)}")
+        if (!progressive || ss > 0)
+          require(acTbl(scanAc(i)) != null, s"missing AC Huffman table ${scanAc(i)}")
+      }
       val rd = new BitReader(bytes, entropyStart)
       java.util.Arrays.fill(dcPred, 0)
       var eobrun = 0

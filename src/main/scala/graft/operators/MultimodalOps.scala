@@ -446,6 +446,11 @@ object MultimodalOps {
         java.util.Arrays.copyOfRange(bytes, at, at + 4 * n)
       } else null
     val rowBytes = ((w * bpp / 8) + 3) & ~3 // rows pad to 4 bytes
+    // dataOff must point PAST the headers and palette — a malformed offset
+    // into the header (e.g. 0) would silently decode header/palette bytes
+    // as pixels instead of failing closed
+    require(dataOff >= 14 + dibSize + (if (palette == null) 0 else palette.length),
+      s"pixel data offset $dataOff points inside the header")
     require(dataOff.toLong + rowBytes.toLong * h <= bytes.length,
       "pixel data overruns the file")
     val outCh = if (bpp == 32) 4 else 3

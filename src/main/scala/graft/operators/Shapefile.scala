@@ -131,6 +131,63 @@ object Shapefile {
     out.toSeq
   }
 
+  // ---- .shx record index ----
+
+  /** Parse a .shx index → (record offset, content length) pairs in BYTES
+    * (the file stores both in 16-bit words). The offset addresses the
+    * record HEADER in the .shp; content length excludes that header.
+    */
+  def shxEntries(shx: Array[Byte]): Seq[(Int, Int)] = {
+    require(shx.length >= 100 && i32be(shx, 0) == 9994,
+      "not a shapefile index (bad file code)")
+    require(i32le(shx, 28) == 1000, "unsupported shx version")
+    val fileLen = i32be(shx, 24) * 2
+    require(fileLen <= shx.length, s"truncated shx: $fileLen > ${shx.length}")
+    (100 until fileLen by 8).map(o => (i32be(shx, o) * 2, i32be(shx, o + 4) * 2))
+  }
+
+  /** Build the .shx index for a .shp payload in the same record-framing
+    * walk the reader uses: the .shp's own 100-byte header (with the
+    * index's length patched into word 24), then one BE (offset, content
+    * length) pair per record, both in 16-bit words. External consumers
+    * (OGR/ArcGIS) require the index to open a shapefile at all — the
+    * engine's own reader frames sequentially and never needed it, but
+    * interop artifacts missing it are rejected wholesale.
+    */
+  def synthShx(shp: Array[Byte]): Array[Byte] = {
+    require(shp.length >= 100 && i32be(shp, 0) == 9994,
+      "not a shapefile (bad file code)")
+    val fileLen = i32be(shp, 24) * 2
+    require(fileLen <= shp.length, s"truncated shapefile: $fileLen > ${shp.length}")
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var off = 100
+    while (off + 8 <= fileLen) {
+      val contentLen = i32be(shp, off + 4) * 2
+      require(off + 8 + contentLen <= fileLen, "record overruns the file")
+      entries += ((off, contentLen))
+      off += 8 + contentLen
+    }
+    val buf = java.nio.ByteBuffer.allocate(100 + 8 * entries.length) // BE default
+    buf.put(java.util.Arrays.copyOfRange(shp, 0, 100))
+    buf.putInt(24, (100 + 8 * entries.length) / 2) // the shx's OWN word length
+    entries.foreach { case (o, l) => buf.putInt(o / 2).putInt(l / 2) }
+    buf.array()
+  }
+
+  /** Walk records through the .shx index (random-access framing — the
+    * splittable-at-scale path, and the one an index-bearing external
+    * shapefile exercises). Yields exactly what [[shpRecords]] yields on a
+    * consistent pair.
+    */
+  def shpRecordsIndexed(shp: Array[Byte], shx: Array[Byte]): Seq[(Int, String)] =
+    shxEntries(shx).map { case (off, len) =>
+      require(off >= 100 && off + 8 + len <= shp.length,
+        s"shx entry ($off,$len) overruns the shp (${shp.length} bytes)")
+      require(i32be(shp, off + 4) * 2 == len,
+        s"shx content length $len disagrees with the record header at $off")
+      (i32be(shp, off), shapeToWkt(shp, off + 8))
+    }
+
   // ---- .dbf attribute table ----
 
   private final case class DbfField(name: String, typ: Char, len: Int, dec: Int)
@@ -223,14 +280,14 @@ object Shapefile {
     // works unchanged on hdfs:// / s3a:// deployments. The .dbf payloads
     // ride one small equi-join keyed on the stem (one row per FILE, not
     // per record — file-count scale, not data scale).
-    def loadSidecars(ext: String): DataFrame =
+    def loadSidecars(ext: String, as: String = "__side"): DataFrame =
       try spark.read.format("binaryFile").load(path + "/*" + ext)
         .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
-          col("content").as("__side"))
+          col("content").as(as))
       catch { // no files matching the glob → empty frame, same shape
         case _: org.apache.spark.sql.AnalysisException =>
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-            StructField("__stem", StringType), StructField("__side", BinaryType))))
+            StructField("__stem", StringType), StructField(as, BinaryType))))
       }
     val files = spark.read.format("binaryFile").load(path + "/*.shp")
       .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
@@ -251,17 +308,21 @@ object Shapefile {
     // or a missing/narrower .dbf on a non-first pair must error loudly, not
     // silently shift or narrow the attribute association.
     val attrNames = schema.fields.drop(2).map(_.name).toSeq
-    val paired = files.join(loadSidecars(".dbf"), Seq("__stem"), "left")
+    val paired = files.join(loadSidecars(".dbf", "__dbf"), Seq("__stem"), "left")
+      .join(loadSidecars(".shx", "__shx"), Seq("__stem"), "left")
     val rdd = paired.rdd.flatMap { r =>
       val stem = r.getString(0)
       val path = r.getString(1)
       val shp = r.getAs[Array[Byte]](2)
       val dbf = Option(r.getAs[Array[Byte]](3))
+      val shx = Option(r.getAs[Array[Byte]](4))
       val crs = prjByStem.get(stem)
       require(crs == expectedCrs,
         s"$path: CRS sidecar ${crs.getOrElse("<absent>")} != the directory's " +
           s"${expectedCrs.getOrElse("<absent>")} — mixed-CRS directories are rejected")
-      val shapes = shpRecords(shp)
+      // with a .shx sidecar, frame via the index (cross-validates the two
+      // files and exercises the random-access path); sequential otherwise
+      val shapes = shx.map(shpRecordsIndexed(shp, _)).getOrElse(shpRecords(shp))
       val attrs = dbf match {
         case Some(d) =>
           val (s, rows) = dbfRows(d)
@@ -433,6 +494,8 @@ object Shapefile {
         }
       })
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shp"), shp)
+      // external consumers (OGR/ArcGIS) refuse a shapefile without its index
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.shx"), synthShx(shp))
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$safe.dbf"), dbf)
       crsWkt.foreach(c => java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, s"$safe.prj"), c.getBytes("US-ASCII")))

@@ -78,8 +78,10 @@ class ShapefileSpec extends AnyFunSuite {
     }.toDF("tile", "geom", "dn", "score", "name")
     Shapefile.writeFeatureFiles(src, dir, keyCol = "tile")
     val files = new java.io.File(dir).listFiles().map(_.getName).sorted
-    assert(files.toSeq == Seq("tile_0.dbf", "tile_0.shp", "tile_1.dbf", "tile_1.shp",
-      "tile_2.dbf", "tile_2.shp"))
+    assert(files.toSeq == Seq(
+      "tile_0.dbf", "tile_0.shp", "tile_0.shx",
+      "tile_1.dbf", "tile_1.shp", "tile_1.shx",
+      "tile_2.dbf", "tile_2.shp", "tile_2.shx"))
     val back = Shapefile.readFeatureFiles(spark, dir)
     assert(back.count() == 18)
     assert(back.columns.toSeq == Seq("rec_no", "geom", "dn", "score", "name"))
@@ -192,6 +194,40 @@ class ShapefileSpec extends AnyFunSuite {
     def mentions(t: Throwable): Boolean =
       t != null && (String.valueOf(t.getMessage).contains("mixed-CRS") || mentions(t.getCause))
     assert(mentions(e))
+  }
+
+  test(".shx index: entry count, offsets, and content lengths match the written records") {
+    val wkts = Seq(poly, holed, line, mline, point, null)
+    val shp = Shapefile.synthShp(wkts)
+    val shx = Shapefile.synthShx(shp)
+    val entries = Shapefile.shxEntries(shx)
+    assert(entries.length == wkts.length)
+    // re-derive the ground truth by the sequential walk and compare 1:1
+    var off = 100
+    entries.zipWithIndex.foreach { case ((o, len), i) =>
+      assert(o == off, s"record $i: shx offset $o != sequential $off")
+      // content length must equal the .shp record header's own claim
+      val hdrLen = ((shp(off + 4) & 0xff) << 24 | (shp(off + 5) & 0xff) << 16 |
+        (shp(off + 6) & 0xff) << 8 | (shp(off + 7) & 0xff)) * 2
+      assert(len == hdrLen, s"record $i: shx length $len != header $hdrLen")
+      off += 8 + len
+    }
+    assert(off == shp.length, "index does not cover the full file")
+    // the index-driven walk decodes identically to the sequential one
+    assert(Shapefile.shpRecordsIndexed(shp, shx) == Shapefile.shpRecords(shp))
+    // the shx header records its OWN length (100 + 8·n bytes, in words)
+    val hdrWords = ((shx(24) & 0xff) << 24 | (shx(25) & 0xff) << 16 |
+      (shx(26) & 0xff) << 8 | (shx(27) & 0xff))
+    assert(hdrWords * 2 == shx.length)
+  }
+
+  test(".shx that disagrees with the .shp fails closed in the indexed walk") {
+    val shp = Shapefile.synthShp(Seq(point, line))
+    val shx = Shapefile.synthShx(shp)
+    // corrupt the second entry's content length (word at offset 108+4)
+    val bad = shx.clone(); bad(115) = (bad(115) + 1).toByte
+    intercept[IllegalArgumentException](Shapefile.shpRecordsIndexed(shp, bad))
+    intercept[IllegalArgumentException](Shapefile.shxEntries("junk".getBytes))
   }
 
   test("writeFeatureFiles rejects strings wider than the dBase field instead of truncating") {
