@@ -3552,6 +3552,44 @@ object SparkEntry {
       .orderBy("pk", "pt_idx")
   }
 
+  /** G13b — MULTIPOINT reprojection: two opposite corners of each g13
+    * quadrilateral packed into one MULTIPOINT (written in the BARE WKT
+    * spelling, re-emitted parenthesized — both grammar paths execute),
+    * reprojected through the same WKT-dispatched WGS84 → UTM 15N
+    * transform, exploded back to vertices. The oracle is g13's forward
+    * Snyder series restricted to the two corners.
+    */
+  private def g13b(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val geoWkt = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+    val utmWkt = "PROJCS[\"WGS 84 / UTM zone 15N\",GEOGCS[\"WGS 84\"," +
+      "DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]," +
+      "PROJECTION[\"Transverse_Mercator\"],PARAMETER[\"latitude_of_origin\",0]," +
+      "PARAMETER[\"central_meridian\",-93],PARAMETER[\"scale_factor\",0.9996]," +
+      "PARAMETER[\"false_easting\",500000],PARAMETER[\"false_northing\",0]," +
+      "UNIT[\"metre\",1]]"
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-96.0) + (col("p_partkey") % 50).cast("double") * lit(0.01)).as("lon0"),
+      (lit(30.0) + (col("p_size") % 40).cast("double") * lit(0.01)).as("lat0"),
+      (lit(0.01) + (col("p_partkey") % 7).cast("double") * lit(0.001)).as("dx"),
+      (lit(0.008) + (col("p_size") % 5).cast("double") * lit(0.001)).as("dy"))
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val wkt = concat(lit("MULTIPOINT ("),
+      pt(col("lon0"), col("lat0")), lit(", "),
+      pt(col("lon0") + col("dx"), col("lat0") + col("dy")), lit(")"))
+    base.withColumn("geom", wkt)
+      .withColumn("geom", SpatialOps.reprojectWkt(col("geom"),
+        operators.CrsWkt.transformBetween(geoWkt, utmWkt)))
+      .select(col("pk"),
+        posexplode(flatten(SpatialOps.wktRings(col("geom")))))
+      .select(col("pk"), col("pos").as("pt_idx"),
+        col("col").getField("x").as("x"), col("col").getField("y").as("y"))
+      .orderBy("pk", "pt_idx")
+  }
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3887,6 +3925,7 @@ object SparkEntry {
     "g11_wkt_reproject" -> (g11 _),
     "g12_geodesic_measures" -> (g12 _),
     "g13_vector_reproject" -> (g13 _),
+    "g13b_multipoint_reproject" -> (g13b _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -5680,6 +5719,40 @@ object SparkEntry {
         |    CASE i.idx WHEN 0 THEN y1 WHEN 1 THEN y2 WHEN 2 THEN y3
         |      WHEN 3 THEN y4 ELSE y1 END AS lat
         |  FROM v CROSS JOIN (VALUES (0), (1), (2), (3), (4)) i(idx)),
+        |f1 AS (SELECT pk, pt_idx, lat * ${Utm.Deg2Rad} AS phi,
+        |    (lon - (-93.0)) * ${Utm.Deg2Rad} AS dlam FROM pts),
+        |f2 AS (SELECT pk, pt_idx, phi, dlam,
+        |    sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp FROM f1),
+        |f3 AS (SELECT pk, pt_idx, phi, tp,
+        |    ${Utm.A} / sqrt(1.0 - ${Utm.E2} * sp * sp) AS n,
+        |    tp * tp AS t, ${Utm.Ep2} * cp * cp AS c, dlam * cp AS aa,
+        |    ${Utm.A} * (${Utm.M0} * phi - ${Utm.M2} * sin(2.0 * phi)
+        |      + ${Utm.M4} * sin(4.0 * phi) - ${Utm.M6} * sin(6.0 * phi)) AS m
+        |  FROM f2)
+        |SELECT pk, pt_idx,
+        |  ${Utm.FalseEasting} + ${Utm.K0} * n * (aa
+        |    + (1.0 - t + c) * aa * aa * aa / 6.0
+        |    + (5.0 - 18.0 * t + t * t + 72.0 * c - ${58.0 * Utm.Ep2})
+        |      * aa * aa * aa * aa * aa / 120.0) AS x,
+        |  0.0 + ${Utm.K0} * (m + n * tp * (aa * aa / 2.0
+        |    + (5.0 - t + 9.0 * c + 4.0 * c * c) * aa * aa * aa * aa / 24.0
+        |    + (61.0 - 58.0 * t + t * t + 600.0 * c - ${330.0 * Utm.Ep2})
+        |      * aa * aa * aa * aa * aa * aa / 720.0)) AS y
+        |FROM f3 ORDER BY pk, pt_idx""".stripMargin
+    },
+    // g13b: g13's forward series on the two MULTIPOINT corners only
+    "g13b_multipoint_reproject" -> {
+      import operators.Regrid.Utm
+      s"""WITH p AS (SELECT p_partkey AS pk,
+        |    -96.0 + CAST(p_partkey % 50 AS DOUBLE) * 0.01 AS lon0,
+        |    30.0 + CAST(p_size % 40 AS DOUBLE) * 0.01 AS lat0,
+        |    0.01 + CAST(p_partkey % 7 AS DOUBLE) * 0.001 AS dx,
+        |    0.008 + CAST(p_size % 5 AS DOUBLE) * 0.001 AS dy
+        |  FROM part),
+        |pts AS (SELECT pk, i.idx AS pt_idx,
+        |    CASE i.idx WHEN 0 THEN lon0 ELSE lon0 + dx END AS lon,
+        |    CASE i.idx WHEN 0 THEN lat0 ELSE lat0 + dy END AS lat
+        |  FROM p CROSS JOIN (VALUES (0), (1)) i(idx)),
         |f1 AS (SELECT pk, pt_idx, lat * ${Utm.Deg2Rad} AS phi,
         |    (lon - (-93.0)) * ${Utm.Deg2Rad} AS dlam FROM pts),
         |f2 AS (SELECT pk, pt_idx, phi, dlam,

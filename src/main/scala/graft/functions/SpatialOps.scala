@@ -247,10 +247,14 @@ object SpatialOps {
     * to a vector file, as a pure Column expression: the same closed-form
     * projection algebra the raster regrid evaluates, applied inside the
     * coordinate-array HOFs. Supports every geometry the engine's vector
-    * codecs emit: POINT / LINESTRING / POLYGON / MULTILINESTRING /
-    * MULTIPOLYGON (polygon grouping preserved). Anything else rejects
-    * loudly (fail closed — a silently-dropped ring re-keys downstream
-    * joins). NULL propagates.
+    * codecs emit plus MULTIPOINT (both WKT spellings parse — bare
+    * `MULTIPOINT (1 2, 3 4)` and parenthesized `MULTIPOINT ((1 2), (3 4))`;
+    * the emit is the parenthesized canonical form, which the measures'
+    * ring parse handles as single-point groups: area/perimeter 0,
+    * numPoints = n): POINT / MULTIPOINT / LINESTRING / POLYGON /
+    * MULTILINESTRING / MULTIPOLYGON (polygon grouping preserved).
+    * Anything else rejects loudly (fail closed — a silently-dropped ring
+    * re-keys downstream joins). NULL propagates.
     */
   def reprojectWkt(wkt: Column, t: graft.operators.Regrid.Transform2D): Column = {
     val typ = upper(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1))
@@ -272,6 +276,17 @@ object SpatialOps {
         concat(lit("POINT ("), p.getField("x").cast("string"), lit(" "),
           p.getField("y").cast("string"), lit(")"))
       })
+      .when(typ === "MULTIPOINT", {
+        // strip the type word + every paren → "x1 y1, x2 y2" under BOTH
+        // accepted spellings, then re-emit each point parenthesized
+        val pts = ringPts(regexp_replace(
+          regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "[()]", ""))
+        concat(lit("MULTIPOINT ("),
+          concat_ws(", ", transform(mapPts(pts, t), p => concat(lit("("),
+            p.getField("x").cast("string"), lit(" "),
+            p.getField("y").cast("string"), lit(")")))),
+          lit(")"))
+      })
       .when(typ === "LINESTRING",
         concat(lit("LINESTRING "), ringsToWktBody(array(mapPts(flat, t)))))
       .when(typ === "POLYGON",
@@ -289,7 +304,7 @@ object SpatialOps {
           lit(")")))
       .otherwise(raise_error(concat(
         lit("reprojectWkt: unsupported WKT type '"), typ,
-        lit("' (POINT | LINESTRING | POLYGON | MULTILINESTRING | MULTIPOLYGON)"))))
+        lit("' (POINT | MULTIPOINT | LINESTRING | POLYGON | MULTILINESTRING | MULTIPOLYGON)"))))
   }
 
   /** WKT-CRS front door for feature tables: reproject `geomCol` from

@@ -205,6 +205,44 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(n0.isNullAt(0))
   }
 
+  test("reprojectWkt MULTIPOINT: both spellings parse, emit is canonical, measures degrade right") {
+    import spark.implicits._
+    import graft.operators.Regrid
+    val fwd = Regrid.UtmFromGeographic(54)
+    val df = Seq(
+      (1L, "MULTIPOINT (139.68 35.66, 139.71 35.69)"),          // bare
+      (2L, "MULTIPOINT ((139.68 35.66), (139.71 35.69))")       // parenthesized
+    ).toDF("id", "geom")
+    val proj = df.withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd))
+      .orderBy("id").collect().map(_.getString(1))
+    // the two spellings carry the same coordinates → identical emit
+    assert(proj(0) == proj(1), s"${proj(0)} vs ${proj(1)}")
+    assert(proj(0).startsWith("MULTIPOINT ((") && proj(0).contains("), ("))
+    // each point projects exactly like a standalone POINT
+    val singles = Seq((1L, "POINT (139.68 35.66)"), (2L, "POINT (139.71 35.69)"))
+      .toDF("id", "geom")
+      .withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd))
+      .orderBy("id").collect().map(_.getString(1).stripPrefix("POINT (").stripSuffix(")"))
+    assert(proj(0) == s"MULTIPOINT ((${singles(0)}), (${singles(1)}))")
+    // round trip is the identity to ~1 mm
+    val back = df.limit(1)
+      .withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd))
+      .withColumn("geom", SpatialOps.reprojectWkt($"geom", fwd.inverse))
+      .head().getString(1)
+    val numRe = "-?\\d+(?:\\.\\d+)?(?:[Ee]-?\\d+)?"
+    numRe.r.findAllIn(back).map(_.toDouble).toSeq
+      .zip(Seq(139.68, 35.66, 139.71, 35.69)).foreach { case (b, o) =>
+        assert(math.abs(b - o) < 1e-8, back)
+      }
+    // measures on the canonical form: single-point groups → zero
+    // area/perimeter, numPoints counts the points
+    val m = Seq(("MULTIPOINT ((1.0 2.0), (3.0 4.0), (5.0 6.0))"))
+      .toDF("geom")
+      .select(SpatialOps.wktArea($"geom"), SpatialOps.wktPerimeter($"geom"),
+        SpatialOps.wktNumPoints($"geom")).head()
+    assert(m.getDouble(0) == 0.0 && m.getDouble(1) == 0.0 && m.getInt(2) == 3)
+  }
+
   test("measures accept MULTIPOLYGON: flat ring extraction, holes subtract, grouping-free") {
     import spark.implicits._
     // two CCW squares (2x2 and 1x1) with a CW 1x1 hole in the first:
