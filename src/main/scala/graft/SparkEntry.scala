@@ -3590,6 +3590,54 @@ object SparkEntry {
       .orderBy("pk", "pt_idx")
   }
 
+  /** G15 — US-survey-foot State Plane dispatch (the single most common
+    * real-world CRS reject before r9): synthetic lon/lat points over the
+    * Texas Central zone projected through a ftUS `.prj` (the EPSG:2277
+    * parameterization) via the WKT front door. `CrsWkt` scales the
+    * linear parameters into metres (fe·u) and wraps the metre LCC
+    * forward in the exact affine (1/u) unit map; the oracle evaluates
+    * the identical Snyder series with constants interpolated from the
+    * SAME `LccParams` arithmetic, then the same affine — the foot path
+    * is the metre path times a constant. Outputs are fixed-point
+    * floor(v·2^6) (1/64 ft): Spark's Pow codegen is StrictMath (fdlibm)
+    * where DuckDB's is C libm — they disagree by 1 ULP on some inputs
+    * (bisected: every stage bit-equal through `t`, pow(t, n) off by one),
+    * so raw pow-bearing doubles can NEVER be hash-compared cross-engine;
+    * the fixture's worst margin on the ×64 grid is 8.5e-6 across all
+    * three SFs (Python-replica scan, the g6 recipe) vs ≤ ~5e-7 of ULP
+    * drift, so the floor decisions are provably stable. The bit-identity
+    * of the DISPATCH (ftUS parse ≡ hand-built metre chain + affine) is
+    * proven structurally in CrsWktSpec.
+    */
+  private def g15(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-101.5) + (col("p_partkey") % 80).cast("double") * lit(0.025)).as("lon"),
+      (lit(29.0) + (col("p_size") % 50).cast("double") * lit(0.06)).as("lat"))
+    val t = operators.CrsWkt.transformBetween(G15GeoWkt, G15FtUsWkt)
+    val (x, y) = t(col("lon"), col("lat"))
+    base.select(col("pk"),
+      floor(x * lit(64.0)).cast("long").as("x_fp"),
+      floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
+  }
+
+  private val G15UsFoot = 0.30480060960121924 // 1200/3937
+  private val G15GeoWkt =
+    "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
+      "SPHEROID[\"GRS 1980\",6378137,298.257222101]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+  private val G15FtUsWkt =
+    "PROJCS[\"NAD83 / Texas Central (ftUS)\",GEOGCS[\"NAD83\"," +
+      "DATUM[\"North_American_Datum_1983\",SPHEROID[\"GRS 1980\",6378137,298.257222101]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]," +
+      "PROJECTION[\"Lambert_Conformal_Conic_2SP\"]," +
+      "PARAMETER[\"standard_parallel_1\",31.88333333333333]," +
+      "PARAMETER[\"standard_parallel_2\",30.11666666666667]," +
+      "PARAMETER[\"latitude_of_origin\",29.66666666666667]," +
+      "PARAMETER[\"central_meridian\",-100.3333333333333]," +
+      "PARAMETER[\"false_easting\",2296583.333333333]," +
+      "PARAMETER[\"false_northing\",9842500.0]," +
+      s"UNIT[\"Foot_US\",$G15UsFoot]]"
+
   /** A8 — per-tile PCA, driver-checked: 4 synthetic tiles of 64 pixels with
     * per-tile slope t+1 (x uniform 0-7, y = slope·x + independent 0-7
     * noise). All moments are integer-exact, the eigen-gap is large, so the
@@ -3926,6 +3974,7 @@ object SparkEntry {
     "g12_geodesic_measures" -> (g12 _),
     "g13_vector_reproject" -> (g13 _),
     "g13b_multipoint_reproject" -> (g13b _),
+    "g15_stateplane_ftus" -> (g15 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -5773,6 +5822,37 @@ object SparkEntry {
         |    + (61.0 - 58.0 * t + t * t + 600.0 * c - ${330.0 * Utm.Ep2})
         |      * aa * aa * aa * aa * aa * aa / 720.0)) AS y
         |FROM f3 ORDER BY pk, pt_idx""".stripMargin
+    },
+    // g15: the Snyder LCC forward series with the metre-scaled constants
+    // interpolated from the SAME LccParams arithmetic the CRS dispatch
+    // builds, then the exact affine (1/u) unit wrap — mirrored term by
+    // term including the 0.0-coefficient cross terms
+    "g15_stateplane_ftus" -> {
+      import operators.Regrid.{Ellipsoid, LccParams, Utm}
+      val u = G15UsFoot
+      val grs80 = Ellipsoid(6378137.0, 298.257222101)
+      val p = LccParams(31.88333333333333, 30.11666666666667, 29.66666666666667,
+        -100.3333333333333, 2296583.333333333 * u, 9842500.0 * u, grs80.a, grs80.e2)
+      val invU = 1.0 / u
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    -101.5 + CAST(p_partkey % 80 AS DOUBLE) * 0.025 AS lon,
+        |    29.0 + CAST(p_size % 50 AS DOUBLE) * 0.06 AS lat
+        |  FROM part),
+        |f1 AS (SELECT pk, lon, lat * ${Utm.Deg2Rad} AS phi FROM pts),
+        |f2 AS (SELECT pk, lon, phi, ${p.e} * sin(phi) AS esin FROM f1),
+        |f3 AS (SELECT pk, lon,
+        |    tan(${math.Pi / 4.0} - phi / 2.0)
+        |      / pow((1.0 - esin) / (1.0 + esin), ${p.e / 2.0}) AS t FROM f2),
+        |f4 AS (SELECT pk, lon, ${p.aF} * pow(t, ${p.n}) AS rho FROM f3),
+        |f5 AS (SELECT pk, rho,
+        |    (${p.n} * (lon - (${p.lon0Deg}))) * ${Utm.Deg2Rad} AS theta FROM f4),
+        |m AS (SELECT pk,
+        |    ${p.falseEasting} + rho * sin(theta) AS xm,
+        |    (${p.falseNorthing} + ${p.rho0}) - rho * cos(theta) AS ym FROM f5)
+        |SELECT pk,
+        |  CAST(floor(((($invU * xm) + (0.0 * ym)) + 0.0) * 64.0) AS BIGINT) AS x_fp,
+        |  CAST(floor(((0.0 * xm) + ($invU * ym) + 0.0) * 64.0) AS BIGINT) AS y_fp
+        |FROM m ORDER BY pk""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal

@@ -19,11 +19,14 @@ import graft.operators.Regrid._
   * parameter keys, names LCC without the `_2SP` suffix).
   *
   * Fail-closed doctrine (the Tiff/Jpeg stance): anything outside the
-  * implemented surface — an unknown projection method, a non-metre
-  * projected unit, a rotated/scaled 7-parameter TOWGS84, an unknown
-  * datum with no TOWGS84 — REJECTS loudly. No silent approximations:
-  * a wrong CRS re-keys every pixel (g9 measured ≈360 m for the Tokyo
-  * shift alone).
+  * implemented surface — an unknown projection method, a rotated/scaled
+  * 7-parameter TOWGS84, an unknown datum with no TOWGS84 — REJECTS
+  * loudly. No silent approximations: a wrong CRS re-keys every pixel
+  * (g9 measured ≈360 m for the Tokyo shift alone). Non-metre linear
+  * units (US survey foot — the State Plane staple — international foot)
+  * are NOT approximations: the WKT's own conversion factor scales the
+  * linear parameters into metres and the projected metres back into the
+  * unit, exactly.
   *
   * Implemented surface (exactly what [[Regrid]] ships):
   *   - Transverse Mercator in its UTM parameterization → [[UtmFromGeographic]]
@@ -308,26 +311,51 @@ object CrsWkt {
     }
   }
 
+  /** WKT parameter slots whose values are LINEAR (carry the PROJCS's
+    * linear unit, per the WKT1 convention); everything else is angular
+    * degrees or dimensionless.
+    */
+  private val LinearParamNames = Set(
+    "false_easting", "false_northing",
+    "easting_at_false_origin", "northing_at_false_origin")
+
+  /** Wrap a metre-emitting forward projection for a CRS whose linear unit
+    * is `unitFactor` metres (US survey foot 0.304800609601219…,
+    * international foot 0.3048 — the US State Plane staple): projected
+    * metres divide back into the declared unit. Exact algebra, no
+    * approximation — the WKT's own conversion factor is authoritative.
+    */
+  private def inUnit(fwdMetres: Transform2D, unitFactor: Double): Transform2D =
+    if (unitFactor == 1.0) fwdMetres
+    else ComposedTransform(fwdMetres,
+      AffineTransform(1.0 / unitFactor, 0.0, 0.0, 0.0, 1.0 / unitFactor, 0.0))
+
   private def parseProjcs(n: Node): Projected = {
     val geog = parseGeogcs(n.child("GEOGCS").getOrElse(
       throw new IllegalArgumentException("PROJCS without GEOGCS")))
     val projName = n.child("PROJECTION").getOrElse(
       throw new IllegalArgumentException("PROJCS without PROJECTION")).str(0)
-    // linear unit must be metres (every shipped projection emits metres);
-    // US feet etc. reject rather than silently mis-scale by 3.28
-    n.children("UNIT").lastOption.foreach { u =>
-      require(math.abs(u.num(1) - 1.0) < 1e-9,
-        s"PROJCS linear unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
-    }
+    // Linear unit: metres pass through; any unit with an explicit
+    // positive conversion factor scales EXACTLY — linear parameters
+    // enter the projection algebra in metres (fe·u), projected metres
+    // divide back into the unit (the inUnit wrap). The WKT factor is the
+    // definition of the unit, so nothing here is approximated; a missing
+    // or non-numeric factor still rejects in num(1).
+    val rawFactor = n.children("UNIT").lastOption.map(_.num(1)).getOrElse(1.0)
+    require(rawFactor > 0.0 && java.lang.Double.isFinite(rawFactor),
+      s"PROJCS linear unit factor $rawFactor must be a positive number")
+    // snap printing-precision variants of exactly-1 to the metre path
+    val unitFactor = if (math.abs(rawFactor - 1.0) < 1e-9) 1.0 else rawFactor
     def p(names: Seq[String], default: Double): Double =
       n.args.collectFirst {
         case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
-          c.num(1)
+          if (names.exists(LinearParamNames)) c.num(1) * unitFactor else c.num(1)
       }.getOrElse {
         require(!default.isNaN, s"PROJCS missing required PARAMETER[${names.head}]")
         default
       }
-    Projected(geog, buildProjection(geog, methodKeyOf(projName, None), p))
+    Projected(geog,
+      inUnit(buildProjection(geog, methodKeyOf(projName, None), p), unitFactor))
   }
 
   // ---- WKT2 (ISO 19162 / the default GDAL ≥3 output) ----
@@ -365,14 +393,19 @@ object CrsWkt {
     val epsg = method.child("ID").flatMap { id =>
       if (id.str(0).equalsIgnoreCase("EPSG")) Some(id.num(1).toInt) else None
     }
-    // axis / CS length units must be metres
-    for (ax <- n.children("AXIS"); u <- ax.child("LENGTHUNIT"))
-      require(math.abs(u.num(1) - 1.0) < 1e-9,
-        s"PROJCRS axis unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
-    n.child("LENGTHUNIT").foreach { u =>
-      require(math.abs(u.num(1) - 1.0) < 1e-9,
-        s"PROJCRS unit '${u.str(0)}' (factor ${u.num(1)}) is not metres")
-    }
+    // Axis / CS length unit: the coordinate unit of the CRS. Metres pass
+    // through; an explicit positive factor (ftUS State Plane) scales
+    // exactly via the inUnit wrap. Mixed per-axis units reject (a CRS
+    // whose easting and northing disagree has no affine unit wrap).
+    val axisFactors =
+      for (ax <- n.children("AXIS"); u <- ax.child("LENGTHUNIT")) yield u.num(1)
+    val rawCs = n.child("LENGTHUNIT").map(_.num(1))
+      .orElse(axisFactors.headOption).getOrElse(1.0)
+    require(rawCs > 0.0 && java.lang.Double.isFinite(rawCs),
+      s"PROJCRS length unit factor $rawCs must be a positive number")
+    require(axisFactors.forall(f => math.abs(f - rawCs) < 1e-12),
+      s"PROJCRS axes carry different length units: ${axisFactors.mkString(", ")}")
+    val csFactor = if (math.abs(rawCs - 1.0) < 1e-9) 1.0 else rawCs
     def p(names: Seq[String], default: Double): Double =
       conv.args.collectFirst {
         case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
@@ -380,16 +413,22 @@ object CrsWkt {
             require(math.abs(u.num(1) - math.Pi / 180.0) < 1e-9,
               s"parameter '${c.str(0)}' unit is not degrees")
           }
-          c.child("LENGTHUNIT").foreach { u =>
-            require(math.abs(u.num(1) - 1.0) < 1e-9,
-              s"parameter '${c.str(0)}' unit is not metres")
+          // WKT2 units are per-parameter: a linear value scales by its
+          // own declared factor (metres = ×1.0, bit-identical); a linear
+          // parameter with NO unit node inherits the CS unit per spec
+          c.child("LENGTHUNIT") match {
+            case Some(u) =>
+              require(u.num(1) > 0.0, s"parameter '${c.str(0)}' unit factor must be positive")
+              c.num(1) * u.num(1)
+            case None if names.exists(LinearParamNames) => c.num(1) * csFactor
+            case None => c.num(1)
           }
-          c.num(1)
       }.getOrElse {
         require(!default.isNaN, s"CONVERSION missing required PARAMETER[${names.head}]")
         default
       }
-    Projected(geog, buildProjection(geog, methodKeyOf(method.str(0), epsg), p))
+    Projected(geog,
+      inUnit(buildProjection(geog, methodKeyOf(method.str(0), epsg), p), csFactor))
   }
 
   // ---- EPSG shorthand ----

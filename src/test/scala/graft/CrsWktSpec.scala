@@ -124,9 +124,12 @@ class CrsWktSpec extends AnyFunSuite {
     rejects(
       s"""PROJCS["sinu",$GdalWgs84Geo,PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],UNIT["metre",1]]""",
       "not implemented")
-    // feet unit
+    // a UTM spelled in feet still rejects — the scaled false easting is
+    // no longer the UTM parameterization (units scale; UTM stays metric)
     rejects(utmProjcs(33, unit = "UNIT[\"US survey foot\",0.304800609601219]"),
-      "not metres")
+      "false_easting")
+    // nonsense unit factors reject rather than scale
+    rejects(utmProjcs(33, unit = "UNIT[\"weird\",-1]"), "positive")
     // non-UTM transverse Mercator
     rejects(utmProjcs(33).replace("0.9996", "1.0000"), "scale_factor")
     rejects(utmProjcs(33).replace("\"central_meridian\",15", "\"central_meridian\",14"),
@@ -142,6 +145,74 @@ class CrsWktSpec extends AnyFunSuite {
     // gradian angular unit
     rejects(GdalWgs84Geo.replace("\"degree\",0.0174532925199433", "\"grad\",0.01570796326794897"),
       "not degrees")
+  }
+
+  test("US-survey-foot State Plane LCC dispatches bit-identical to the hand-built metre chain") {
+    // NAD83 / Texas Central (ftUS) — the EPSG:2277 parameterization in
+    // the GDAL .prj spelling (linear parameters in ftUS, per WKT1)
+    val u = 0.30480060960121924 // 1200/3937, the US survey foot
+    val feFt = 2296583.333333333
+    val fnFt = 9842500.0
+    val prj =
+      "PROJCS[\"NAD83 / Texas Central (ftUS)\",GEOGCS[\"NAD83\"," +
+        "DATUM[\"North_American_Datum_1983\",SPHEROID[\"GRS 1980\",6378137,298.257222101]]," +
+        "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]," +
+        "PROJECTION[\"Lambert_Conformal_Conic_2SP\"]," +
+        "PARAMETER[\"standard_parallel_1\",31.88333333333333]," +
+        "PARAMETER[\"standard_parallel_2\",30.11666666666667]," +
+        "PARAMETER[\"latitude_of_origin\",29.66666666666667]," +
+        "PARAMETER[\"central_meridian\",-100.3333333333333]," +
+        s"PARAMETER[\"false_easting\",$feFt]," +
+        s"PARAMETER[\"false_northing\",$fnFt]," +
+        s"UNIT[\"Foot_US\",$u]]"
+    val grs80 = Ellipsoid(6378137.0, 298.257222101)
+    val expected = ComposedTransform(
+      LambertConformalFromGeographic(LccParams(
+        31.88333333333333, 30.11666666666667, 29.66666666666667,
+        -100.3333333333333, feFt * u, fnFt * u, grs80.a, grs80.e2)),
+      AffineTransform(1.0 / u, 0.0, 0.0, 0.0, 1.0 / u, 0.0))
+    // structural case-class equality = the SAME doubles in every slot:
+    // the dispatched transform IS the hand-built metre chain + unit wrap
+    assert(CrsWkt.parseCrs(prj) == CrsWkt.Projected(
+      CrsWkt.GeogCrs("NORTH_AMERICAN_DATUM_1983", grs80, (0.0, 0.0, 0.0)),
+      expected))
+    // sanity: the zone origin lands at (FE, FN) in feet, and a point a
+    // degree east is ~60 statute miles of eastings away
+    val crs = CrsWkt.parseCrs(prj).asInstanceOf[CrsWkt.Projected]
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (x, y) = crs.forward(col("lon"), col("lat"))
+    val r = Seq((-100.3333333333333, 29.66666666666667), (-99.3333333333333, 30.0))
+      .toDF("lon", "lat").select(x.as("x"), y.as("y")).collect()
+    assert(math.abs(r(0).getDouble(0) - feFt) < 1e-6, r(0).toString)
+    assert(math.abs(r(0).getDouble(1) - fnFt) < 1e-6, r(0).toString)
+    val dxFt = r(1).getDouble(0) - r(0).getDouble(0)
+    assert(dxFt > 300000 && dxFt < 330000, s"one degree east = $dxFt ft")
+    // WKT2 spelling (per-parameter LENGTHUNITs + CS unit) dispatches to
+    // the very same chain
+    val wkt2 =
+      "PROJCRS[\"NAD83 / Texas Central (ftUS)\"," +
+        "BASEGEOGCRS[\"NAD83\",DATUM[\"North American Datum 1983\"," +
+        "ELLIPSOID[\"GRS 1980\",6378137,298.257222101,LENGTHUNIT[\"metre\",1]]]]," +
+        "CONVERSION[\"SPCS83 Texas Central zone (US survey foot)\"," +
+        "METHOD[\"Lambert Conic Conformal (2SP)\",ID[\"EPSG\",9802]]," +
+        "PARAMETER[\"Latitude of false origin\",29.66666666666667," +
+        "ANGLEUNIT[\"degree\",0.0174532925199433]]," +
+        "PARAMETER[\"Longitude of false origin\",-100.3333333333333," +
+        "ANGLEUNIT[\"degree\",0.0174532925199433]]," +
+        "PARAMETER[\"Latitude of 1st standard parallel\",31.88333333333333," +
+        "ANGLEUNIT[\"degree\",0.0174532925199433]]," +
+        "PARAMETER[\"Latitude of 2nd standard parallel\",30.11666666666667," +
+        "ANGLEUNIT[\"degree\",0.0174532925199433]]," +
+        s"PARAMETER[\"Easting at false origin\",$feFt," +
+        s"LENGTHUNIT[\"US survey foot\",$u]]," +
+        s"PARAMETER[\"Northing at false origin\",$fnFt," +
+        s"LENGTHUNIT[\"US survey foot\",$u]]]," +
+        "CS[Cartesian,2]," +
+        s"AXIS[\"easting (X)\",east,LENGTHUNIT[\"US survey foot\",$u]]," +
+        s"AXIS[\"northing (Y)\",north,LENGTHUNIT[\"US survey foot\",$u]]]"
+    assert(CrsWkt.parseCrs(wkt2).asInstanceOf[CrsWkt.Projected].forward == expected)
   }
 
   test("WKT2 (GDAL >= 3 default output): PROJCRS/GEOGCRS resolve to the same transforms") {
