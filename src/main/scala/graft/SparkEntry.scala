@@ -3620,6 +3620,26 @@ object SparkEntry {
       floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
   }
 
+  /** G16 — polar stereographic (EPSG:3413, the NSIDC sea-ice grid every
+    * polar corpus ships in) through the EPSG shorthand front door:
+    * Arctic lon/lat points forward-projected, fixed-point floor(v·2^6)
+    * outputs (the g15 rule — pow is StrictMath-vs-libm unstable by
+    * 1 ULP, never raw-hashed). Fixture margins on the ×64 grid scanned
+    * at all three SFs with the Python replica: worst 3.4e-5 vs ≤ ~1.2e-7
+    * ULP drift; constants off special angles so no exact-zero sin/cos.
+    */
+  private def g16(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-179.13) + (col("p_partkey") % 144).cast("double") * lit(2.47)).as("lon"),
+      (lit(60.29) + (col("p_size") % 28).cast("double") * lit(0.97)).as("lat"))
+    val crs = operators.CrsWkt.parseCrs("EPSG:3413")
+      .asInstanceOf[operators.CrsWkt.Projected]
+    val (x, y) = crs.forward(col("lon"), col("lat"))
+    base.select(col("pk"),
+      floor(x * lit(64.0)).cast("long").as("x_fp"),
+      floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -3975,6 +3995,7 @@ object SparkEntry {
     "g13_vector_reproject" -> (g13 _),
     "g13b_multipoint_reproject" -> (g13b _),
     "g15_stateplane_ftus" -> (g15 _),
+    "g16_polar_stereographic" -> (g16 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -5853,6 +5874,29 @@ object SparkEntry {
         |  CAST(floor(((($invU * xm) + (0.0 * ym)) + 0.0) * 64.0) AS BIGINT) AS x_fp,
         |  CAST(floor(((0.0 * xm) + ($invU * ym) + 0.0) * 64.0) AS BIGINT) AS y_fp
         |FROM m ORDER BY pk""".stripMargin
+    },
+    // g16: the Snyder polar-stereographic forward (21-30..21-34) with
+    // PsParams constants interpolated from the same Scala arithmetic,
+    // mirrored association, fixed-point ×64 floor (margins scanned)
+    "g16_polar_stereographic" -> {
+      import operators.Regrid.{PsParams, Utm}
+      val p = PsParams(70.0, -45.0) // EPSG:3413 on WGS84
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    -179.13 + CAST(p_partkey % 144 AS DOUBLE) * 2.47 AS lon,
+        |    60.29 + CAST(p_size % 28 AS DOUBLE) * 0.97 AS lat
+        |  FROM part),
+        |f1 AS (SELECT pk, lon, lat * ${Utm.Deg2Rad} AS phi FROM pts),
+        |f2 AS (SELECT pk, lon, phi, ${p.e} * sin(phi) AS esin FROM f1),
+        |f3 AS (SELECT pk, lon,
+        |    tan(${math.Pi / 4.0} - phi / 2.0)
+        |      / pow((1.0 - esin) / (1.0 + esin), ${p.e / 2.0}) AS t FROM f2),
+        |f4 AS (SELECT pk, lon, ${p.rhoF} * t AS rho FROM f3),
+        |f5 AS (SELECT pk, rho,
+        |    (lon - (${p.lon0Deg})) * ${Utm.Deg2Rad} AS dlam FROM f4)
+        |SELECT pk,
+        |  CAST(floor((0.0 + rho * sin(dlam)) * 64.0) AS BIGINT) AS x_fp,
+        |  CAST(floor((0.0 + ((-1.0) * rho) * cos(dlam)) * 64.0) AS BIGINT) AS y_fp
+        |FROM f5 ORDER BY pk""".stripMargin
     },
     // a8: same synthetic tiles from range(); moments via explicit
     // sum()/count() (bit-identical to the Spark aggregation), principal

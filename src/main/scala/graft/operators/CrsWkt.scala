@@ -33,6 +33,7 @@ import graft.operators.Regrid._
   *   - Mercator_1SP / Pseudo-Mercator → [[WebMercatorFromGeographic]]
   *   - Lambert_Conformal_Conic_2SP → [[LambertConformalFromGeographic]]
   *   - Albers_Conic_Equal_Area → [[AlbersFromGeographic]]
+  *   - Polar_Stereographic (variant B) → [[PolarStereographicFromGeographic]]
   *   - plain GEOGCS (geographic degrees — the identity "projection")
   *   - datum shifts via TOWGS84 3-param (or the published table for the
   *     named legacy datums) → [[AbridgedMolodensky]]
@@ -234,9 +235,10 @@ object CrsWkt {
       case Some(1024) => return "webmerc"
       case Some(9802) => return "lcc"
       case Some(9822) => return "aea"
+      case Some(9829) => return "ps" // Polar Stereographic (variant B)
       case Some(other) => throw new IllegalArgumentException(
         s"projection METHOD EPSG:$other is not implemented " +
-          "(9807 TM, 1024 Pseudo-Mercator, 9802 LCC 2SP, 9822 Albers)")
+          "(9807 TM, 1024 Pseudo-Mercator, 9802 LCC 2SP, 9822 Albers, 9829 Polar Stereographic B)")
       case None =>
     }
     pNorm(name) match {
@@ -246,10 +248,13 @@ object CrsWkt {
       case "lambert_conformal_conic_2sp" | "lambert_conformal_conic" |
           "lambert_conic_conformal_(2sp)" => "lcc"
       case "albers_conic_equal_area" | "albers" | "albers_equal_area" => "aea"
+      // GDAL WKT1 + the ESRI per-aspect spellings + the WKT2 method name
+      case "polar_stereographic" | "polar_stereographic_(variant_b)" |
+          "stereographic_north_pole" | "stereographic_south_pole" => "ps"
       case other => throw new IllegalArgumentException(
         s"PROJECTION/METHOD '$name' is not implemented (Transverse_Mercator/UTM, " +
           "Mercator_1SP/Pseudo-Mercator, Lambert_Conformal_Conic_2SP, " +
-          "Albers_Conic_Equal_Area)")
+          "Albers_Conic_Equal_Area, Polar_Stereographic)")
     }
   }
 
@@ -308,6 +313,22 @@ object CrsWkt {
       case "aea" =>
         AlbersFromGeographic(AeaParams(
           sp1, sp2, lat0, cm, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
+      case "ps" =>
+        // WKT1 (GDAL) writes the standard parallel as latitude_of_origin;
+        // ESRI and WKT2 variant B spell it standard_parallel_1 /
+        // "Latitude of standard parallel". A |lat| = 90 value is the
+        // variant-A parameterization (true scale at the pole, scale_factor
+        // meaningful) — a DIFFERENT formula; PsParams rejects it, and a
+        // non-1 scale factor rejects here.
+        val ts = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
+          "standard_parallel_1", "latitude_of_standard_parallel"), Req)
+        require(k0 == 1.0,
+          s"polar stereographic scale_factor $k0: only the standard-parallel " +
+            "parameterization (variant B, scale factor 1) is implemented")
+        val c = p(Seq("central_meridian", "longitude_of_natural_origin",
+          "longitude_of_origin"), Req)
+        PolarStereographicFromGeographic(PsParams(
+          ts, c, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
     }
   }
 
@@ -457,9 +478,15 @@ object CrsWkt {
         GeogCrs("NORTH_AMERICAN_DATUM_1983", Nad83Ellipsoid, (0.0, 0.0, 0.0)),
         AlbersFromGeographic(AeaParams(29.5, 45.5, 23.0, -96.0,
           a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
+      case 3413 => // WGS 84 / NSIDC Sea Ice Polar Stereographic North
+        Projected(wgs, PolarStereographicFromGeographic(PsParams(70.0, -45.0)))
+      case 3976 => // WGS 84 / NSIDC Sea Ice Polar Stereographic South
+        Projected(wgs, PolarStereographicFromGeographic(PsParams(-70.0, 0.0)))
+      case 3031 => // WGS 84 / Antarctic Polar Stereographic
+        Projected(wgs, PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
       case other => throw new IllegalArgumentException(
         s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
-          "4267, 4269, 4301, 5070) — pass the CRS WKT instead")
+          "4267, 4269, 4301, 5070, 3413/3976/3031) — pass the CRS WKT instead")
     }
   }
 

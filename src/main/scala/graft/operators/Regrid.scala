@@ -480,6 +480,99 @@ object Regrid {
     def inverse: Transform2D = AlbersFromGeographic(p)
   }
 
+  /** Constants for one parameterization of the ellipsoidal POLAR
+    * STEREOGRAPHIC in its standard-parallel form (EPSG variant B; Snyder
+    * 21-30..21-41 + the conformal-latitude series 3-5, closed form — no
+    * per-row iteration) — the projection every polar sea-ice / DEM
+    * corpus ships in (EPSG:3413 north, EPSG:3976/3031 south). The SIGN
+    * of `latTsDeg` picks the aspect: positive → north-pole, negative →
+    * south-pole. Same driver-double-constants discipline as
+    * [[LccParams]].
+    */
+  final case class PsParams(
+      latTsDeg: Double, lon0Deg: Double,
+      falseEasting: Double = 0.0, falseNorthing: Double = 0.0,
+      a: Double = Utm.A, e2: Double = Utm.E2) {
+    import Utm.Deg2Rad
+    require(math.abs(latTsDeg) > 0.0 && math.abs(latTsDeg) < 90.0,
+      s"polar stereographic standard parallel must lie strictly between a pole " +
+        s"and the equator, got $latTsDeg (variant A — true scale at the pole — " +
+        "is a different parameterization and is not implemented)")
+    val north: Boolean = latTsDeg > 0
+    val e: Double = math.sqrt(e2)
+    /** Snyder 15-9: the conformal pole-distance kernel t(φ). */
+    private def tOf(phiDeg: Double): Double = {
+      val phi = phiDeg * Deg2Rad
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+    }
+    private def mOf(phiDeg: Double): Double = {
+      val phi = phiDeg * Deg2Rad
+      math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+    }
+    private val absTs = math.abs(latTsDeg)
+    /** ρ(φ) = rhoF · t(φ′) (Snyder 21-34, standard-parallel form). */
+    val rhoF: Double = a * mOf(absTs) / tOf(absTs)
+    /** Scale factor k(φ) = ρ/(a·m) — 1.0 exactly at the standard
+      * parallel (the defining property, exercised by RegridSpec).
+      */
+    def scaleAt(phiDeg: Double): Double = {
+      val ad = math.abs(phiDeg)
+      rhoF * tOf(ad) / (a * mOf(ad))
+    }
+    // conformal → geodetic latitude series coefficients (Snyder 3-5)
+    val C2: Double = e2 / 2 + 5 * e2 * e2 / 24 + e2 * e2 * e2 / 12 +
+      13 * e2 * e2 * e2 * e2 / 360
+    val C4: Double = 7 * e2 * e2 / 48 + 29 * e2 * e2 * e2 / 240 +
+      811 * e2 * e2 * e2 * e2 / 11520
+    val C6: Double = 7 * e2 * e2 * e2 / 120 + 81 * e2 * e2 * e2 * e2 / 1120
+    val C8: Double = 4279 * e2 * e2 * e2 * e2 / 161280
+  }
+
+  /** Geographic (lon°, lat°) → polar stereographic (x, y) meters (Snyder
+    * 21-30..21-34): t from the aspect-mirrored latitude, ρ = rhoF·t,
+    * x = FE + ρ·sin(λ−λ0), y = FN ∓ ρ·cos(λ−λ0) (− north, + south —
+    * the PROJ `stere` aspect convention). FIFTH named-CRS family through
+    * the Transform2D seam — azimuthal, where UTM/Web-Mercator are
+    * cylindrical and LCC/Albers conic.
+    */
+  final case class PolarStereographicFromGeographic(p: PsParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      // the south aspect is the north formulas on the mirrored latitude
+      val phi = lat * lit(if (p.north) Deg2Rad else -Deg2Rad)
+      val esin = lit(p.e) * sin(phi)
+      val t = tan(lit(math.Pi / 4.0) - phi / lit(2.0)) /
+        pow((lit(1.0) - esin) / (lit(1.0) + esin), lit(p.e / 2.0))
+      val rho = lit(p.rhoF) * t
+      val dlam = (lon - lit(p.lon0Deg)) * lit(Deg2Rad)
+      (lit(p.falseEasting) + rho * sin(dlam),
+        lit(p.falseNorthing) + lit(if (p.north) -1.0 else 1.0) * rho * cos(dlam))
+    }
+    def inverse: Transform2D = GeographicFromPolarStereographic(p)
+  }
+
+  /** Polar stereographic (x, y) meters → geographic (Snyder 21-39/7-9 +
+    * series 3-5, closed form): ρ = √(x′² + y′²), t = ρ/rhoF,
+    * χ = π/2 − 2·atan(t), φ = ±(χ + C2·sin2χ + …),
+    * λ = λ0 + atan2(x′, ∓y′).
+    */
+  final case class GeographicFromPolarStereographic(p: PsParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val xp = x - lit(p.falseEasting)
+      val yp = (y - lit(p.falseNorthing)) * lit(if (p.north) -1.0 else 1.0)
+      val rho = sqrt(xp * xp + yp * yp)
+      val t = rho / lit(p.rhoF)
+      val chi = lit(math.Pi / 2.0) - lit(2.0) * atan(t)
+      val phi = chi + lit(p.C2) * sin(lit(2.0) * chi) + lit(p.C4) * sin(lit(4.0) * chi) +
+        lit(p.C6) * sin(lit(6.0) * chi) + lit(p.C8) * sin(lit(8.0) * chi)
+      (lit(p.lon0Deg) + atan2(xp, yp) / lit(Deg2Rad),
+        phi * lit(if (p.north) 1.0 else -1.0) / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = PolarStereographicFromGeographic(p)
+  }
+
   /** Apply `t` to (x, y) over `df`, STAGING each composition step's
     * output as real columns behind a Generate barrier
     * (`inline(array(struct(...)))` — the rep1 lesson: plain aliases

@@ -147,6 +147,36 @@ class CrsWktSpec extends AnyFunSuite {
       "not degrees")
   }
 
+  test("Polar stereographic: GDAL WKT1, ESRI spelling, and EPSG shorthand dispatch identically") {
+    // the GDAL .prj for EPSG:3413 (standard parallel rides latitude_of_origin)
+    val gdal3413 =
+      s"""PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",$GdalWgs84Geo,""" +
+        """PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",70],""" +
+        """PARAMETER["central_meridian",-45],PARAMETER["scale_factor",1],""" +
+        """PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    val expected = PolarStereographicFromGeographic(PsParams(70.0, -45.0))
+    assert(CrsWkt.parseCrs(gdal3413).asInstanceOf[CrsWkt.Projected].forward == expected)
+    assert(CrsWkt.parseCrs("EPSG:3413").asInstanceOf[CrsWkt.Projected].forward == expected)
+    // ESRI spells the south aspect with its own projection name and
+    // standard_parallel_1
+    val esri3031 =
+      s"""PROJCS["WGS_1984_Antarctic_Polar_Stereographic",$EsriWgs84Geo,""" +
+        """PROJECTION["Stereographic_South_Pole"],PARAMETER["standard_parallel_1",-71.0],""" +
+        """PARAMETER["central_meridian",0.0],PARAMETER["false_easting",0.0],""" +
+        """PARAMETER["false_northing",0.0],UNIT["Meter",1.0]]"""
+    assert(CrsWkt.parseCrs(esri3031).asInstanceOf[CrsWkt.Projected].forward ==
+      PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
+    assert(CrsWkt.parseCrs("EPSG:3976").asInstanceOf[CrsWkt.Projected].forward ==
+      PolarStereographicFromGeographic(PsParams(-70.0, 0.0)))
+    // variant A (true scale at the pole / non-1 scale factor) fails closed
+    val variantA = gdal3413.replace("\"latitude_of_origin\",70", "\"latitude_of_origin\",90")
+    val e1 = intercept[IllegalArgumentException](CrsWkt.parseCrs(variantA))
+    assert(e1.getMessage.contains("variant A"))
+    val badK = gdal3413.replace("\"scale_factor\",1", "\"scale_factor\",0.994")
+    val e2 = intercept[IllegalArgumentException](CrsWkt.parseCrs(badK))
+    assert(e2.getMessage.contains("scale_factor"))
+  }
+
   test("US-survey-foot State Plane LCC dispatches bit-identical to the hand-built metre chain") {
     // NAD83 / Texas Central (ftUS) — the EPSG:2277 parameterization in
     // the GDAL .prj spelling (linear parameters in ftUS, per WKT1)

@@ -383,6 +383,80 @@ class RegridSpec extends AnyFunSuite {
 
   // ---- datum shift (abridged Molodensky) + composition ----
 
+  // ---- polar stereographic (Snyder 21-30..21-41, 3-5) ----
+
+  test("Polar stereographic invariants: unit scale at the standard parallel, pole anchor") {
+    val n = Regrid.PsParams(70.0, -45.0) // EPSG:3413
+    assert(math.abs(n.scaleAt(70.0) - 1.0) < 1e-12)
+    // azimuthal distortion profile: shrinks toward the pole, grows away
+    assert(n.scaleAt(89.0) < 1.0 && n.scaleAt(55.0) > 1.0)
+    // the pole maps to exactly (FE, FN) at any longitude (t(90) = 0)
+    val fwd = Regrid.PolarStereographicFromGeographic(n)
+    val atPole = evalXform(fwd, Seq((0.0, 90.0), (123.0, 90.0)))
+    atPole.foreach { case (x, y) =>
+      assert(math.abs(x) < 1e-9 && math.abs(y) < 1e-9) }
+    // on the central meridian at the standard parallel: x = 0,
+    // y = -a·m(70) (ρ = a·m_c exactly there, independent mini-formula)
+    val e2 = Regrid.Ellipsoid.Wgs84.e2
+    val s70 = math.sin(70.0 * math.Pi / 180)
+    val m70 = math.cos(70.0 * math.Pi / 180) / math.sqrt(1 - e2 * s70 * s70)
+    val onCm = evalXform(fwd, Seq((-45.0, 70.0)))
+    assert(math.abs(onCm(0)._1) < 1e-9)
+    assert(math.abs(onCm(0)._2 - (-6378137.0 * m70)) < 1e-6,
+      s"y = ${onCm(0)._2}, expected ${-6378137.0 * m70}")
+    // the variant-A spelling (parallel at the pole) rejects
+    intercept[IllegalArgumentException](Regrid.PsParams(90.0, 0.0))
+    intercept[IllegalArgumentException](Regrid.PsParams(-90.0, 0.0))
+  }
+
+  test("Polar stereographic ellipsoidal forward degenerates to the textbook sphere as e -> 0") {
+    // sphere: rho = R(1 + sin phi_c)·tan(pi/4 − phi/2) (half-angle identity
+    // collapses m_c/t(phi_c)), x = rho sin(dlam), y = −rho cos(dlam) —
+    // coded independently of the Transform2D implementation
+    val R = 6370997.0
+    val p = Regrid.PsParams(70.0, -45.0, a = R, e2 = 0.0)
+    val d2r = math.Pi / 180
+    def sphere(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = R * (1 + math.sin(70.0 * d2r)) * math.tan(math.Pi / 4 - latDeg * d2r / 2)
+      val dlam = (lonDeg - (-45.0)) * d2r
+      (rho * math.sin(dlam), -rho * math.cos(dlam))
+    }
+    val pts = Seq((-45.0, 70.0), (0.0, 75.0), (90.0, 82.0), (-135.0, 65.0), (180.0, 88.0))
+    val got = evalXform(Regrid.PolarStereographicFromGeographic(p), pts)
+    pts.zip(got).foreach { case ((lon, lat), (x, y)) =>
+      val (ex, ey) = sphere(lon, lat)
+      assert(math.abs(x - ex) < 1e-6 && math.abs(y - ey) < 1e-6,
+        s"($lon,$lat): got ($x,$y) expected ($ex,$ey)")
+    }
+  }
+
+  test("Polar stereographic round-trips sub-millimeter, both aspects, with false offsets") {
+    val north = Regrid.PolarStereographicFromGeographic(
+      Regrid.PsParams(70.0, -45.0, falseEasting = 100000.0, falseNorthing = -200000.0))
+    val npts = for (lon <- Seq(-180.0, -45.0, 0.0, 120.0); lat <- Seq(60.0, 70.0, 85.0, 89.9))
+      yield (lon, lat)
+    evalXform(north.inverse, evalXform(north, npts)).zip(npts).foreach {
+      case ((lon2, lat2), (lon, lat)) =>
+        assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+          s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // south aspect (EPSG:3031 parameters): quadrant orientation matches
+    // the PROJ convention — along lon0 toward the equator, y is POSITIVE
+    val sp = Regrid.PsParams(-71.0, 0.0)
+    val south = Regrid.PolarStereographicFromGeographic(sp)
+    val at0 = evalXform(south, Seq((0.0, -75.0), (90.0, -75.0)))
+    assert(at0(0)._2 > 0 && math.abs(at0(0)._1) < 1e-9, at0(0).toString)
+    assert(at0(1)._1 > 0 && math.abs(at0(1)._2) < 1e-9, at0(1).toString) // 90E -> +x
+    assert(math.abs(sp.scaleAt(-71.0) - 1.0) < 1e-12)
+    val spts = for (lon <- Seq(-120.0, 0.0, 45.0, 179.0); lat <- Seq(-60.0, -71.0, -89.5))
+      yield (lon, lat)
+    evalXform(south.inverse, evalXform(south, spts)).zip(spts).foreach {
+      case ((lon2, lat2), (lon, lat)) =>
+        assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+          s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
   test("Molodensky WGS84->Tokyo reproduces the published ~11.6 arcsec offset over Tokyo") {
     // EPSG Tokyo->WGS84 shift is (-146.414, 507.337, 680.507); going the
     // other way, a point near Tokyo must move ≈ -11.6" in lat, +11.6" in
