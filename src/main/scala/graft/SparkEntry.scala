@@ -3620,6 +3620,41 @@ object SparkEntry {
       floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
   }
 
+  /** S20 — the GeoTIFF raster SINK end-to-end (the write half of the
+    * reference's stage-0/1 contract, r8 verdict mandate 1): part-derived
+    * pixels → `RasterBridge.packBlocks` → `Tiff.writeGeoTiffFiles` (the
+    * reference's tiled-LZW-BigTIFF profile, one .tif per scene, written
+    * from the executors) → re-ingest through the real source path
+    * (`readGeoTiffFiles` ∘ `explodeBlocks`) → per-(scene, band) census.
+    * The oracle computes the census from the SOURCE pixel definition in
+    * DuckDB and never sees a TIFF byte — the container (pack, encode,
+    * file sharding, decode) must be completely invisible. All values are
+    * small integers, so float32 carries them exactly and the sums are
+    * integer-exact cross-engine.
+    */
+  private def s20(s: SparkSession, d: String) = {
+    import operators.{RasterBridge, Tiff}
+    val px = Tables.part(s, d).select(
+      concat(lit("sc"), (col("p_partkey") % 3).cast("string")).as("scene"),
+      (floor(col("p_partkey") / lit(3.0)).cast("int") % 2).cast("int").as("band"),
+      (floor(col("p_partkey") / lit(6.0)).cast("int") / 64).cast("int").as("px_row"),
+      (floor(col("p_partkey") / lit(6.0)).cast("int") % 64).cast("int").as("px_col"),
+      (col("p_partkey") % 997).cast("float").as("value"))
+    val blocks = RasterBridge.packBlocks(px, 16, 16, Float.NaN,
+      keyCols = Seq("scene", "band"))
+      .withColumn("origin_x", lit(500000.0)).withColumn("origin_y", lit(4100000.0))
+      .withColumn("px_w", lit(30.0)).withColumn("px_h", lit(30.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_s20").toString
+    Tiff.writeGeoTiffFiles(blocks, dir, sceneCol = "scene",
+      compressionCode = 5, bigTiff = true) // feature_stacking.py:226-249 profile
+    val back = RasterBridge.explodeBlocks(Tiff.readGeoTiffFiles(s, dir), 16, 16, Float.NaN)
+    back.groupBy(col("scene"), col("band"))
+      .agg(count(lit(1)).as("n_px"),
+        sum(col("value").cast("long")).as("sum_v"),
+        sum((col("px_row") * lit(131) + col("px_col")).cast("long")).as("coord_sum"))
+      .orderBy("scene", "band")
+  }
+
   /** G16 — polar stereographic (EPSG:3413, the NSIDC sea-ice grid every
     * polar corpus ships in) through the EPSG shorthand front door:
     * Arctic lon/lat points forward-projected, fixed-point floor(v·2^6)
@@ -3996,6 +4031,7 @@ object SparkEntry {
     "g13b_multipoint_reproject" -> (g13b _),
     "g15_stateplane_ftus" -> (g15 _),
     "g16_polar_stereographic" -> (g16 _),
+    "s20_geotiff_sink" -> (s20 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -5875,6 +5911,21 @@ object SparkEntry {
         |  CAST(floor(((0.0 * xm) + ($invU * ym) + 0.0) * 64.0) AS BIGINT) AS y_fp
         |FROM m ORDER BY pk""".stripMargin
     },
+    // s20: the census from the SOURCE pixel definition — the oracle never
+    // sees a TIFF byte; pack → LZW-BigTIFF encode → per-scene files →
+    // decode must be invisible
+    "s20_geotiff_sink" ->
+      """WITH px AS (SELECT
+        |    'sc' || CAST(p_partkey % 3 AS VARCHAR) AS scene,
+        |    CAST(CAST(floor(p_partkey / 3.0) AS INT) % 2 AS INT) AS band,
+        |    CAST(floor(p_partkey / 6.0) AS INT) // 64 AS px_row,
+        |    CAST(floor(p_partkey / 6.0) AS INT) % 64 AS px_col,
+        |    p_partkey % 997 AS value
+        |  FROM part)
+        |SELECT scene, band, count(*) AS n_px,
+        |  sum(CAST(value AS BIGINT)) AS sum_v,
+        |  sum(CAST(px_row * 131 + px_col AS BIGINT)) AS coord_sum
+        |FROM px GROUP BY scene, band ORDER BY scene, band""".stripMargin,
     // g16: the Snyder polar-stereographic forward (21-30..21-34) with
     // PsParams constants interpolated from the same Scala arithmetic,
     // mirrored association, fixed-point ×64 floor (margins scanned)

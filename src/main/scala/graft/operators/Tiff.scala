@@ -872,6 +872,143 @@ object Tiff {
     }
   }
 
+  /** Distributed GeoTIFF raster sink — the composed WRITE half of the
+    * reference's stage-0/1 contract, which this engine could until now
+    * only read (feature_stacking.py:226-249 writes the feature stack as a
+    * tiled, LZW-compressed BigTIFF block by block;
+    * pixel_classifier_stream.py:76-87 writes the int32 label raster with
+    * nodata −1). One `.tif` per `sceneCol` value under `dir`, assembled
+    * ON THE EXECUTORS from [[RasterBridge.packBlocks]]-shaped block rows
+    * via the [[KeyedFileSink]] pattern: scenes hash-shuffle across the
+    * cluster, each task serializes its scenes locally, nothing rides the
+    * driver. A scene is one unsplittable container, so one scene's
+    * blocks are the per-task memory floor — exactly the
+    * [[GeoPackage.writeLayerFiles]] doctrine; a 100 TB corpus
+    * parallelizes by scene.
+    *
+    * Input schema: `sceneCol` [, `band`], `tile_y`, `tile_x`, `block_h`,
+    * `block_w`, `blob` — each blob a float32 BIG-endian plane (the
+    * bridge's buffer order). Optional constant-per-scene columns:
+    *   - `origin_x`/`origin_y`/`px_w`/`px_h` → GeoTIFF
+    *     ModelPixelScale + ModelTiepoint tags (the `GridDef` pair);
+    *   - `width`/`height` → exact raster extent (edge tiles pad with
+    *     `nodata`, spec behavior); absent → the tight full-block extent.
+    * Missing blocks (sparse scenes) and missing band planes fill with
+    * `nodata`. Integer profiles (`sampleFormat` 1|2) round the float
+    * pipeline values — exact for the label-raster case (IDs ≤ 2^24);
+    * `nodata` must then itself be integral.
+    *
+    * The container round-trips bit-exactly: [[tiffToBandBlocks]] ∘
+    * writeGeoTiffFiles ≡ the input blocks (TiffSpec matrix + the s20
+    * oracle prove the container invisible across the profile matrix —
+    * LZW/Deflate/PackBits/uncompressed, BigTIFF, chunky/planar,
+    * predictors, both endiannesses).
+    */
+  def writeGeoTiffFiles(
+      blocks: DataFrame,
+      dir: String,
+      sceneCol: String,
+      littleEndian: Boolean = true,
+      compressionCode: Int = 5, // LZW — the reference's write profile
+      bigTiff: Boolean = true, //   ... and BIGTIFF='YES'
+      planarConfig: Int = 1,
+      predictor: Int = 1,
+      sampleBits: Int = 32,
+      sampleFormat: Int = 3,
+      nodata: Float = Float.NaN): Unit = {
+    val schema = blocks.schema
+    def idxOpt(n: String): Option[Int] =
+      if (schema.fieldNames.contains(n)) Some(schema.fieldIndex(n)) else None
+    val bandIdx = idxOpt("band")
+    val tyIdx = schema.fieldIndex("tile_y")
+    val txIdx = schema.fieldIndex("tile_x")
+    val bhIdx = schema.fieldIndex("block_h")
+    val bwIdx = schema.fieldIndex("block_w")
+    val blobIdx = schema.fieldIndex("blob")
+    val geoIdx = Seq("origin_x", "origin_y", "px_w", "px_h").map(idxOpt)
+    require(geoIdx.forall(_.isDefined) || geoIdx.forall(_.isEmpty),
+      "georeferencing columns must appear all together (origin_x, origin_y, px_w, px_h)")
+    val whIdx = Seq("width", "height").map(idxOpt)
+    require(whIdx.forall(_.isDefined) || whIdx.forall(_.isEmpty),
+      "extent columns must appear together (width, height)")
+    val isFloat = sampleFormat == 3
+    if (!isFloat) require(nodata == math.rint(nodata),
+      s"integer sample format needs an integral nodata, got $nodata")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    KeyedFileSink.foreachKeyRun(blocks, sceneCol) { (key, rows) =>
+      require(rows.nonEmpty, s"scene '$key' has no blocks")
+      val blockH = rows.head.getInt(bhIdx)
+      val blockW = rows.head.getInt(bwIdx)
+      val plane = new scala.collection.mutable.HashMap[(Int, Int, Int), Array[Byte]]
+      var maxBand = 0; var maxTy = 0; var maxTx = 0
+      rows.foreach { r =>
+        val band = bandIdx.map(r.getInt).getOrElse(0)
+        val ty = r.getInt(tyIdx); val tx = r.getInt(txIdx)
+        require(ty >= 0 && tx >= 0 && band >= 0,
+          s"scene '$key': negative tile/band index ($band,$ty,$tx) — a raster origin is (0,0)")
+        require(r.getInt(bhIdx) == blockH && r.getInt(bwIdx) == blockW,
+          s"scene '$key': mixed block geometry (${r.getInt(bhIdx)}x${r.getInt(bwIdx)} vs ${blockH}x$blockW)")
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        require(blob.length == 4 * blockH * blockW,
+          s"scene '$key': blob length ${blob.length} != 4*$blockH*$blockW")
+        require(plane.put((band, ty, tx), blob).isEmpty,
+          s"scene '$key': duplicate block ($band,$ty,$tx)")
+        maxBand = math.max(maxBand, band); maxTy = math.max(maxTy, ty); maxTx = math.max(maxTx, tx)
+      }
+      def constCol(i: Int, name: String): Double = {
+        val vs = rows.map(_.getDouble(i)).distinct
+        require(vs.size == 1, s"scene '$key': $name varies within the scene: $vs")
+        vs.head
+      }
+      val grid = if (geoIdx.head.isDefined) Some(Regrid.GridDef(
+        constCol(geoIdx(0).get, "origin_x"), constCol(geoIdx(1).get, "origin_y"),
+        constCol(geoIdx(2).get, "px_w"), constCol(geoIdx(3).get, "px_h"))) else None
+      def constInt(i: Int, name: String): Int = {
+        val vs = rows.map(_.getInt(i)).distinct
+        require(vs.size == 1, s"scene '$key': $name varies within the scene: $vs")
+        vs.head
+      }
+      val width = whIdx.head.map(constInt(_, "width")).getOrElse((maxTx + 1) * blockW)
+      val height = whIdx(1).map(constInt(_, "height")).getOrElse((maxTy + 1) * blockH)
+      require(width > maxTx * blockW && height > maxTy * blockH,
+        s"scene '$key': extent ${width}x$height does not reach tile ($maxTy,$maxTx)")
+      def valueAt(b: Int, gr: Int, gc: Int): Float =
+        plane.get((b, gr / blockH, gc / blockW)) match {
+          case Some(blob) =>
+            val off = 4 * ((gr % blockH) * blockW + (gc % blockW))
+            java.lang.Float.intBitsToFloat(
+              ((blob(off) & 0xff) << 24) | ((blob(off + 1) & 0xff) << 16) |
+                ((blob(off + 2) & 0xff) << 8) | (blob(off + 3) & 0xff))
+          case None => nodata
+        }
+      val tif = synthMultibandTiff(width, height, blockW, blockH,
+        littleEndian, tile = true, bands = maxBand + 1, planarConfig, grid,
+        pad = nodata, lzw = false, bigTiff = bigTiff, predictor = predictor,
+        sampleBits = sampleBits, sampleFormat = sampleFormat,
+        intValues = if (isFloat) null
+          else (b: Int, r: Int, c: Int) => math.rint(valueAt(b, r, c).toDouble).toLong,
+        intPad = math.rint(nodata.toDouble).toLong,
+        compressionCode = compressionCode)(
+        if (isFloat) (b, r, c) => valueAt(b, r, c) else (_, _, _) => 0f)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"${KeyedFileSink.safeName(key)}.tif"), tif)
+    }
+  }
+
+  /** Directory of per-scene `.tif` files → band-block rows (scene from
+    * the file stem, then [[tiffToBandBlocks]]'s band/tile/blob columns) —
+    * the matching source, one task per file.
+    */
+  def readGeoTiffFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    tiffToBandBlocks(
+      spark.read.format("binaryFile").load(path + "/*.tif")
+        .select(regexp_extract(col("path"), "([^/]+)\\.tif$", 1).as("scene"),
+          col("content")),
+      bytesCol = "content")
+  }
+
   /** Minimal valid float32 TIFF bytes. `tile` picks tiled (true) vs
     * stripped (false) layout; `grid` adds the GeoTIFF ModelPixelScale/
     * ModelTiepoint pair; `lzw` compresses each block with TIFF-6 LZW;

@@ -439,6 +439,115 @@ class TiffSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Predictor"))
   }
 
+  // ---- the GeoTIFF raster SINK (write half of the stage-0/1 contract) ----
+
+  /** Deterministic pixel fixture: 2 scenes × 2 bands over a 37×29 raster
+    * (non-multiples of the 16-px block → edge padding on both axes),
+    * every cell integral so float32 carries it exactly.
+    */
+  private def sinkPixels = (for {
+    scene <- Seq("sceneA", "sceneB")
+    band <- 0 until 2
+    r <- 0 until 29; c <- 0 until 37
+  } yield (scene, band, r, c,
+    ((r * 31 + c * 7 + band * 3 + scene.length) % 1000).toFloat))
+    .toDF("scene", "band", "px_row", "px_col", "value")
+
+  test("writeGeoTiffFiles: packBlocks -> write -> re-ingest is the identity across the profile matrix") {
+    val px = sinkPixels
+    val blocks = RasterBridge.packBlocks(px, 16, 16, Float.NaN,
+        keyCols = Seq("scene", "band"))
+      .withColumn("origin_x", lit(500000.0)).withColumn("origin_y", lit(4100000.0))
+      .withColumn("px_w", lit(30.0)).withColumn("px_h", lit(30.0))
+      .withColumn("width", lit(37)).withColumn("height", lit(29))
+    val profiles = Seq(
+      ("lzw_bigtiff", 5, true, 1, 1, true), // the reference's write profile
+      ("deflate_pred3", 8, false, 1, 3, true),
+      ("packbits_planar", 32773, true, 2, 1, false),
+      ("raw_be", 1, false, 1, 1, false))
+    val want = px.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getFloat(4))).toSet
+    for ((tag, comp, big, planar, pred, le) <- profiles) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_gtiff_$tag").toString
+      Tiff.writeGeoTiffFiles(blocks, dir, sceneCol = "scene", littleEndian = le,
+        compressionCode = comp, bigTiff = big, planarConfig = planar, predictor = pred)
+      val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+      assert(files.toSeq == Seq("sceneA.tif", "sceneB.tif"), s"$tag: $files")
+      // container metadata carries the full profile + the grid tags
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "sceneA.tif"))
+      val m = meta(bytes)
+      assert(m.getInt(fi("width")) == 37 && m.getInt(fi("height")) == 29, tag)
+      assert(m.getInt(fi("compression")) == comp && m.getBoolean(fi("is_big")) == big, tag)
+      assert(m.getInt(fi("n_bands")) == 2, tag)
+      assert(m.getDouble(fi("origin_x")) == 500000.0 &&
+        m.getDouble(fi("origin_y")) == 4100000.0 &&
+        m.getDouble(fi("px_w")) == 30.0, tag)
+      // re-ingest through the real source path; the container must be
+      // invisible: exactly the input pixels, bit-for-bit
+      val back = RasterBridge.explodeBlocks(
+        Tiff.readGeoTiffFiles(spark, dir), 16, 16, Float.NaN)
+      val got = back.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getFloat(4))).toSet
+      assert(got == want, s"$tag: ${got.size} vs ${want.size} pixels")
+    }
+  }
+
+  test("writeGeoTiffFiles: int32 label profile (the pixel_classifier shape, nodata -1)") {
+    // sparse labels: only some cells carry a segment id; nodata -1
+    val px = (for {
+      r <- 0 until 20; c <- 0 until 20
+      if (r + c) % 3 == 0
+    } yield ("labels", r, c, (r * 1000 + c).toFloat)).toDF("scene", "px_row", "px_col", "value")
+    val blocks = RasterBridge.packBlocks(px, 16, 16, -1f, keyCols = Seq("scene"))
+      .withColumn("width", lit(20)).withColumn("height", lit(20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gtiff_int").toString
+    Tiff.writeGeoTiffFiles(blocks, dir, sceneCol = "scene",
+      compressionCode = 5, bigTiff = true, predictor = 2,
+      sampleBits = 32, sampleFormat = 2, nodata = -1f)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "labels.tif"))
+    val m = meta(bytes)
+    assert(m.getInt(fi("sample_format")) == 2 && m.getInt(fi("bits_per_sample")) == 32)
+    val back = RasterBridge.explodeBlocks(
+      Tiff.readGeoTiffFiles(spark, dir), 16, 16, -1f)
+    // back = (scene, band, px_row, px_col, value); single-band → band 0
+    val got = back.collect().map(r => (r.getInt(2), r.getInt(3), r.getFloat(4))).toSet
+    val want = px.collect().map(r => (r.getInt(1), r.getInt(2), r.getFloat(3))).toSet
+    assert(got == want)
+    // integral nodata is enforced for integer formats
+    val e = intercept[IllegalArgumentException] {
+      Tiff.writeGeoTiffFiles(blocks, dir, sceneCol = "scene",
+        sampleFormat = 2, nodata = Float.NaN)
+    }
+    assert(e.getMessage.contains("integral nodata"))
+  }
+
+  test("writeGeoTiffFiles fails loudly on inconsistent scenes") {
+    def write(blocks: org.apache.spark.sql.DataFrame): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_gtiff_bad").toString
+      Tiff.writeGeoTiffFiles(blocks, dir, sceneCol = "scene")
+    }
+    def mentions(t: Throwable, s: String): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains(s) || mentions(t.getCause, s))
+    val base = RasterBridge.packBlocks(sinkPixels, 16, 16, Float.NaN,
+      keyCols = Seq("scene", "band"))
+    // duplicate block (same band/tile twice)
+    val dup = base.union(base.limit(1))
+    assert(mentions(intercept[Exception](write(dup)), "duplicate block"))
+    // negative tile index (raster origin is (0,0))
+    val neg = RasterBridge.packBlocks(
+      Seq(("s", -1, 2, 1.0f)).toDF("scene", "px_row", "px_col", "value"),
+      16, 16, Float.NaN, keyCols = Seq("scene"))
+    assert(mentions(intercept[Exception](write(neg)), "negative tile"))
+    // per-scene varying georeferencing
+    val geo = base.withColumn("origin_x",
+        when(col("tile_x") === 0, 1.0).otherwise(2.0))
+      .withColumn("origin_y", lit(0.0)).withColumn("px_w", lit(1.0))
+      .withColumn("px_h", lit(1.0))
+    assert(mentions(intercept[Exception](write(geo)), "origin_x varies"))
+  }
+
   test("single-block files keep offsets/counts inline (both containers)") {
     // one 8x8 tile: the offset/count arrays fit the value field, so the
     // spec's inline rule applies — a pointer there would misdecode.
