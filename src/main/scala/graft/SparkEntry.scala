@@ -1939,6 +1939,43 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM13 — a REAL video container (r8 verdict stretch item): MJPEG-in-AVI
+    * sampled through the RIFF walk + the engine's own JPEG decoder. Two
+    * synth AVIs — 4 grayscale frames and 2 color 4:2:0 frames, every
+    * frame a complete DC-only baseline JPEG — decode via `aviToFrames` ∘
+    * `jpegToPixels`; the mm7/mm8 closed-form oracle extends with a frame
+    * dimension (and the container's per-frame presentation time). The
+    * RIFF framing, hdrl stream checks, and chunk padding must be
+    * invisible in the pixels.
+    */
+  private def mm13(s: SparkSession, d: String) = {
+    import s.implicits._
+    val qG = Array.fill(64)(16)
+    val gFrames = (0 until 4).map { f =>
+      operators.Jpeg.synthJpeg(16, 8, 1, Seq(qG)) { (_, _, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = ((f * 13 + bx * 7) % 50) - 25
+        nat
+      }
+    }
+    val avi1 = operators.MultimodalOps.synthAviMjpeg(16, 8, 40000, gFrames)
+    val qY = Array.fill(64)(16); val qC = Array.fill(64)(8)
+    val cFrames = (0 until 2).map { f =>
+      operators.Jpeg.synthJpeg(24, 20, 3, Seq(qY, qC),
+        sampling = Seq((2, 2), (1, 1), (1, 1))) { (c, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = if (c == 0) ((f * 9 + by * 5 + bx * 3) % 48) - 24
+          else ((c * 7 + f * 5 + by * 3 + bx * 5) % 30) - 15
+        nat
+      }
+    }
+    val avi2 = operators.MultimodalOps.synthAviMjpeg(24, 20, 33333, cFrames)
+    val frames = operators.MultimodalOps.aviToFrames(
+      Seq((1L, avi1), (2L, avi2)).toDF("media_id", "bytes"))
+    operators.Jpeg.jpegToPixels(frames, bytesCol = "frame")
+      .orderBy("media_id", "frame_idx", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -4046,6 +4083,7 @@ object SparkEntry {
     "mm10_wav_samples" -> (mm10 _),
     "mm11_gif_frames" -> (mm11 _),
     "mm12_bmp_pixels" -> (mm12 _),
+    "mm13_avi_mjpeg" -> (mm13 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4999,6 +5037,33 @@ object SparkEntry {
         |  END AS INT)
         |FROM range(160) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm13: the mm7/mm8 DC-only closed form extended with a frame
+    // dimension + the container's presentation times (frame_idx · usec)
+    "mm13_avi_mjpeg" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      s"""SELECT CAST(1 AS BIGINT) AS media_id, CAST(id // 128 AS INT) AS frame_idx,
+        |  CAST((id // 128) * 40000 AS BIGINT) AS frame_us,
+        |  CAST((id % 128) // 16 AS INT) AS px_row, CAST(id % 16 AS INT) AS px_col,
+        |  CAST(0 AS INT) AS channel,
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST((((id // 128) * 13 + ((id % 16) // 8) * 7) % 50 - 25) * 16 AS DOUBLE)
+        |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS value
+        |FROM range(512) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 1440 AS INT),
+        |  CAST((id // 1440) * 33333 AS BIGINT),
+        |  CAST((id % 1440) // 72 AS INT), CAST(((id % 1440) % 72) // 3 AS INT),
+        |  CAST(id % 3 AS INT),
+        |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+        |    $c0sq * CAST(CASE WHEN id % 3 = 0
+        |      THEN (((id // 1440) * 9 + ((id % 1440) // 72 // 8) * 5
+        |        + (((id % 1440) % 72) // 3 // 8) * 3) % 48 - 24) * 16
+        |      ELSE (((id % 3) * 7 + (id // 1440) * 5 + ((id % 1440) // 72 // 16) * 3
+        |        + (((id % 1440) % 72) // 3 // 16) * 5) % 30 - 15) * 8
+        |    END AS DOUBLE) * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
+        |FROM range(2880) t(id)
+        |ORDER BY media_id, frame_idx, px_row, px_col, channel""".stripMargin
+    },
     // mm12: BMP values regenerate closed-form — padding, BGR swap, row
     // order, and palette quads are invisible.
     "mm12_bmp_pixels" ->

@@ -728,6 +728,180 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- real video container parsing (AVI: RIFF 'AVI ' / hdrl / movi) ----
+  //
+  // MJPEG-in-AVI makes `sampleFrames` a real codec path: the RIFF walk is
+  // the WAV machinery's sibling, and each '00dc' chunk is a complete JPEG
+  // that [[Jpeg.decodeJpegPixels]] already decodes. Fail-closed doctrine:
+  // any stream that is not a single MJPG video stream rejects loudly
+  // (cinepak/DIB/audio would otherwise fabricate frames).
+
+  /** Assemble an MJPEG AVI container around complete per-frame JPEG
+    * payloads (the encode half for fixtures/oracles — the synthWavPcm
+    * pattern): RIFF('AVI ') → LIST(hdrl: avih + LIST(strl: strh'vids'/
+    * 'MJPG' + strf BITMAPINFOHEADER)) → LIST(movi: '00dc' chunks, even-
+    * padded per RIFF).
+    */
+  def synthAviMjpeg(width: Int, height: Int, usecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    require(usecPerFrame > 0, s"bad frame duration $usecPerFrame")
+    frames.foreach(f => require(f.length >= 2 &&
+      (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+      "every MJPEG frame must be a complete JPEG (SOI missing)"))
+    def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length % 2 // RIFF chunks are word-aligned
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("LIST".getBytes("US-ASCII")).putInt(4 + payload.length)
+        .put(listType.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val maxFrame = frames.map(_.length).max
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.length).putInt(0).putInt(1).putInt(maxFrame)
+      .putInt(width).putInt(height) // + 16 reserved zero bytes
+    val strh = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(usecPerFrame).putInt(1000000) // scale/rate = frame duration
+      .putInt(0).putInt(frames.length).putInt(maxFrame).putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    val strf = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(width * height * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = list("hdrl", chunk("avih", avih.array()) ++
+      list("strl", chunk("strh", strh.array()) ++ chunk("strf", strf.array())))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** REAL MJPEG-AVI decode: walk RIFF → hdrl (geometry + the fail-closed
+    * single-MJPG-stream check) → movi ('00dc'/'00db' frame chunks, in
+    * stream order) → (width, height, usec_per_frame, JPEG payloads).
+    * Truncation anywhere, a non-MJPG codec, multiple streams, or a frame
+    * count disagreeing with the header all reject with descriptive
+    * errors (the Gif bounds-check lesson applied from the start).
+    */
+  def aviMjpegFrames(bytes: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    require(bytes != null && bytes.length >= 12 &&
+      asciiAt(bytes, 0, 4) == "RIFF" && asciiAt(bytes, 8, 4) == "AVI ",
+      "not a RIFF AVI container")
+    val riffEnd = math.min(bytes.length.toLong, 8L + (leInt(bytes, 4).toLong & 0xffffffffL)).toInt
+    var width = -1; var height = -1; var usec = -1; var total = -1
+    var streams = -1; var vidsMjpg = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walkHdrl(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val cc = asciiAt(bytes, pos, 4)
+        val sz = leInt(bytes, pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= to, s"hdrl chunk '$cc' overruns the list")
+        if (cc == "avih") {
+          require(sz >= 40, s"avih too short ($sz)")
+          val p = pos + 8 // payload start (past the chunk header)
+          usec = leInt(bytes, p)
+          total = leInt(bytes, p + 16)
+          streams = leInt(bytes, p + 24)
+          width = leInt(bytes, p + 32)
+          height = leInt(bytes, p + 36)
+        } else if (cc == "LIST" && sz >= 4 && asciiAt(bytes, pos + 8, 4) == "strl") {
+          // first chunk inside strl is strh
+          val sPos = pos + 12
+          require(sPos + 8 <= to && asciiAt(bytes, sPos, 4) == "strh",
+            "strl list does not start with strh")
+          val sSz = leInt(bytes, sPos + 4)
+          require(sSz >= 8 && sPos + 8 + sSz <= to, "strh overruns the list")
+          val fccType = asciiAt(bytes, sPos + 8, 4)
+          val handler = asciiAt(bytes, sPos + 12, 4)
+          require(fccType == "vids",
+            s"stream type '$fccType' unsupported (MJPEG video only)")
+          require(handler == "MJPG" || handler == "mjpg",
+            s"video codec '$handler' unsupported (MJPG only — no fabricated frames)")
+          vidsMjpg = true
+        }
+        pos += 8 + sz + (sz % 2)
+      }
+    }
+    def walkMovi(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val cc = asciiAt(bytes, pos, 4)
+        val sz = leInt(bytes, pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= to, s"movi chunk '$cc' overruns the list")
+        if (cc == "00dc" || cc == "00db") {
+          val f = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + sz)
+          require(f.length >= 2 && (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+            s"movi frame ${frames.length} is not a JPEG (no SOI)")
+          frames += f
+        } else require(cc == "JUNK",
+          s"movi chunk '$cc' unsupported (single MJPEG video stream only)")
+        pos += 8 + sz + (sz % 2)
+      }
+    }
+    var pos = 12
+    while (pos + 8 <= riffEnd) {
+      val cc = asciiAt(bytes, pos, 4)
+      val sz = leInt(bytes, pos + 4)
+      require(sz >= 0 && pos + 8 + sz <= riffEnd, s"chunk '$cc' overruns the file")
+      if (cc == "LIST") {
+        require(sz >= 4, "LIST chunk too short")
+        asciiAt(bytes, pos + 8, 4) match {
+          case "hdrl" => walkHdrl(pos + 12, pos + 8 + sz)
+          case "movi" => walkMovi(pos + 12, pos + 8 + sz)
+          case _ => // INFO etc.: ignorable metadata lists
+        }
+      } else require(cc == "idx1" || cc == "JUNK",
+        s"top-level chunk '$cc' unsupported")
+      pos += 8 + sz + (sz % 2)
+    }
+    require(width > 0 && height > 0 && usec > 0, "missing or malformed avih header")
+    require(streams == 1, s"AVI carries $streams streams (single MJPEG stream only)")
+    require(vidsMjpg, "no MJPG video stream declared in hdrl")
+    require(frames.length == total,
+      s"movi holds ${frames.length} frames, header declares $total")
+    (width, height, usec, frames.toSeq)
+  }
+
+  /** AVI binary column → one row per frame (pass-through columns
+    * preserved): frame_idx, frame_us (presentation time), frame (the
+    * complete JPEG payload — feed to [[Jpeg.jpegToPixels]]). Generator
+    * shape: flatMap, zero shuffle; corpora parallelize by FILE. This
+    * turns [[sampleFrames]]' synthetic explosion into a real codec path —
+    * `aviToFrames(df).filter($"frame_idx" % stride === 0)` is frame
+    * sampling over real video bytes.
+    */
+  def aviToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_us", LongType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (_, _, usec, frames) = aviMjpegFrames(r.getAs[Array[Byte]](bytesIdx))
+      frames.zipWithIndex.map { case (f, i) =>
+        Row.fromSeq(pass ++ Seq(i, i.toLong * usec, f))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** STUB-backed resize: recomputes metadata for a target box preserving
     * aspect ratio (the pixel resample would live in the same map).
     */

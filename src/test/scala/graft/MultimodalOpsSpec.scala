@@ -279,6 +279,44 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodeBmpPixels(ok.take(ok.length - 8)))
   }
 
+  test("AVI MJPEG: container round-trips frames; fails closed on foreign codecs and truncation") {
+    import graft.operators.Jpeg
+    val q = Array.fill(64)(16)
+    val frames = (0 until 3).map { f =>
+      Jpeg.synthJpeg(16, 8, 1, Seq(q)) { (_, _, bx) =>
+        val nat = new Array[Int](64); nat(0) = f * 5 + bx - 3; nat
+      }
+    }
+    val avi = MultimodalOps.synthAviMjpeg(16, 8, 40000, frames)
+    val (w, h, usec, got) = MultimodalOps.aviMjpegFrames(avi)
+    assert(w == 16 && h == 8 && usec == 40000 && got.length == 3)
+    // the container is byte-invisible: payloads round-trip exactly (the
+    // odd/even RIFF padding must not leak into the frames)
+    got.zip(frames).foreach { case (g, f) => assert(g.sameElements(f)) }
+    // each extracted frame decodes through the engine's own JPEG codec
+    val (fw, fh, ch, _) = Jpeg.decodeJpegPixels(got(1))
+    assert(fw == 16 && fh == 8 && ch == 1)
+    // fail-closed: a foreign codec handler must not fabricate frames
+    val cinepak = avi.clone()
+    val idx = avi.indexOfSlice("MJPG".getBytes("US-ASCII"))
+    System.arraycopy("cvid".getBytes("US-ASCII"), 0, cinepak, idx, 4)
+    val e1 = intercept[IllegalArgumentException](MultimodalOps.aviMjpegFrames(cinepak))
+    assert(e1.getMessage.contains("codec"))
+    // truncation inside movi rejects descriptively
+    val e2 = intercept[IllegalArgumentException](
+      MultimodalOps.aviMjpegFrames(java.util.Arrays.copyOfRange(avi, 0, avi.length - 40)))
+    assert(e2.getMessage.contains("overruns"))
+    intercept[IllegalArgumentException](MultimodalOps.aviMjpegFrames("RIFFjunk".getBytes))
+    // aviToFrames: generator shape with pass-through + presentation times
+    import spark.implicits._
+    val df = MultimodalOps.aviToFrames(Seq((7L, avi)).toDF("media_id", "bytes"))
+    val rows = df.orderBy("frame_idx").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(7L, 7L, 7L))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 40000L, 80000L))
+    assert(rows(2).getAs[Array[Byte]](3).sameElements(frames(2)))
+  }
+
   test("pngToPixels emits one row per sample with pass-through columns") {
     val png = MultimodalOps.synthPng(5, 3, 2)((r, c, ch) => (r * 5 + c) * 2 + ch)
     val df = Seq((42L, png)).toDF("img_id", "bytes")
