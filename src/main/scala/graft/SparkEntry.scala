@@ -1976,6 +1976,30 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx", "px_row", "px_col", "channel")
   }
 
+  /** MM14 — EXIF orientation (the other documented-decision gap from the
+    * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
+    * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
+    * IFD0 tag 274, read through the engine's own TIFF IFD walker),
+    * decoded UPRIGHT via `jpegToPixelsUpright`. Orientations 5..8 swap
+    * the axes; the oracle evaluates the mm7 closed form at the
+    * per-orientation source coordinate — the coordinate remap must be
+    * exactly the EXIF display transform.
+    */
+  private def mm14(s: SparkSession, d: String) = {
+    import s.implicits._
+    val q = Array.fill(64)(16)
+    val imgs = (1 to 8).map { o =>
+      (o.toLong, operators.Jpeg.synthJpeg(16, 8, 1, Seq(q), exifOrientation = o) {
+        (_, _, bx) =>
+          val nat = new Array[Int](64)
+          nat(0) = ((o * 7 + bx * 11) % 50) - 25
+          nat
+      })
+    }
+    operators.Jpeg.jpegToPixelsUpright(imgs.toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** S18 — TIFF integer predictor (317=2, GDAL PREDICTOR=2) + integer
     * sample formats: the reference's stage-1 OUTPUT profile (int32 class
     * labels, LZW, pixel_classifier_stream.py:77-83). Two containers:
@@ -4084,6 +4108,7 @@ object SparkEntry {
     "mm11_gif_frames" -> (mm11 _),
     "mm12_bmp_pixels" -> (mm12 _),
     "mm13_avi_mjpeg" -> (mm13 _),
+    "mm14_exif_orientation" -> (mm14 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5037,6 +5062,31 @@ object SparkEntry {
         |  END AS INT)
         |FROM range(160) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm14: the mm7 closed form evaluated at the per-orientation SOURCE
+    // coordinate (value depends only on the stored column's block index,
+    // so each orientation is one coordinate substitution)
+    "mm14_exif_orientation" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      val parts = (1 to 8).map { o =>
+        val ow = if (o >= 5) 8 else 16
+        val oh = if (o >= 5) 16 else 8
+        val cSrc = o match {
+          case 1 | 4 => s"(id % $ow)"
+          case 2 | 3 => s"(15 - id % $ow)"
+          case 5 | 6 => s"(id // $ow)"
+          case _ => s"(15 - id // $ow)"
+        }
+        s"""SELECT CAST($o AS BIGINT) AS img_id, CAST($o AS INT) AS orientation,
+           |  CAST(id // $ow AS INT) AS px_row, CAST(id % $ow AS INT) AS px_col,
+           |  CAST(0 AS INT) AS channel,
+           |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+           |    $c0sq * CAST((($o * 7 + ($cSrc // 8) * 11) % 50 - 25) * 16 AS DOUBLE)
+           |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS value
+           |FROM range(${ow * oh}) t(id)""".stripMargin
+      }
+      parts.mkString("", "\nUNION ALL\n",
+        "\nORDER BY img_id, px_row, px_col, channel")
+    },
     // mm13: the mm7/mm8 DC-only closed form extended with a frame
     // dimension + the container's presentation times (frame_idx · usec)
     "mm13_avi_mjpeg" -> {

@@ -668,11 +668,132 @@ object Jpeg {
     * `sampling` gives per-component (h, v) factors (empty = all 1×1);
     * blocks are MCU-interleaved per T.81 A.2.3.
     */
+  // ---- EXIF orientation (APP1 "Exif\0\0" → TIFF IFD0, tag 274) ----
+
+  /** The camera orientation from the JPEG's Exif segment: 1..8 per the
+    * EXIF spec (1 = upright; 2/4 mirror, 3 = 180°, 5/7 transpose,
+    * 6/8 = 90°/270°), 1 when there is no Exif segment or no orientation
+    * tag — the documented decision for the web-scrape reality: absent
+    * metadata means upright, but a PRESENT-and-malformed Exif TIFF or an
+    * out-of-range value rejects loudly (a silently-dropped rotation
+    * re-keys every pixel of a portrait photo).
+    */
+  def exifOrientation(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI)")
+    def be16(o: Int) = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    var pos = 2
+    while (pos + 2 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff, f"expected marker at $pos")
+      val m = bytes(pos + 1) & 0xff
+      // Exif must precede the scan; stop at SOS/EOI
+      if (m == 0xd9 || m == 0xda) return 1
+      require(pos + 4 <= bytes.length, "truncated segment header")
+      val len = be16(pos + 2)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        f"segment 0xFF$m%02X overruns the file")
+      if (m == 0xe1 && len >= 10 &&
+          new String(bytes, pos + 4, 4, "US-ASCII") == "Exif" &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+        val body = java.util.Arrays.copyOfRange(bytes, pos + 10, pos + 2 + len)
+        val o = Tiff.ifdScalarStrict(body, 274).map(_.toInt).getOrElse(1)
+        require(o >= 1 && o <= 8, s"EXIF orientation $o out of range (1..8)")
+        return o
+      }
+      pos += 2 + len
+    }
+    1
+  }
+
+  /** Remap channel-interleaved pixels to the upright frame for an EXIF
+    * orientation: returns (upright width, upright height, pixels).
+    * Orientations 5..8 swap the axes. Pure index algebra — the decoded
+    * samples are untouched.
+    */
+  def applyOrientation(w: Int, h: Int, ch: Int, px: Array[Byte],
+      orientation: Int): (Int, Int, Array[Byte]) = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    if (orientation == 1) return (w, h, px)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](px.length)
+    var rp = 0
+    while (rp < oh) {
+      var cp = 0
+      while (cp < ow) {
+        // source (r, c) whose sample displays at upright (rp, cp)
+        val (r, c) = orientation match {
+          case 2 => (rp, w - 1 - cp)
+          case 3 => (h - 1 - rp, w - 1 - cp)
+          case 4 => (h - 1 - rp, cp)
+          case 5 => (cp, rp)
+          case 6 => (h - 1 - cp, rp)
+          case 7 => (h - 1 - cp, w - 1 - rp)
+          case _ => (cp, w - 1 - rp) // 8
+        }
+        var k = 0
+        while (k < ch) {
+          out((rp * ow + cp) * ch + k) = px((r * w + c) * ch + k)
+          k += 1
+        }
+        cp += 1
+      }
+      rp += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** [[jpegToPixels]] in the UPRIGHT frame: the Exif orientation (tag
+    * 274) is applied to the emitted coordinates and surfaced as an
+    * `orientation` column — what a training pipeline actually wants from
+    * a web-scraped corpus, where ~all portrait photos carry 6 or 8.
+    */
+  def jpegToPixelsUpright(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("orientation", IntegerType, nullable = false),
+      StructField("px_row", IntegerType, nullable = false),
+      StructField("px_col", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", IntegerType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val bytes = r.getAs[Array[Byte]](bytesIdx)
+      val o = exifOrientation(bytes)
+      val (w0, h0, ch, px0) = decodeJpegPixels(bytes)
+      val (w, h, px) = applyOrientation(w0, h0, ch, px0, o)
+      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
+        yield Row.fromSeq(pass ++ Seq(o, row, c, k, px((row * w + c) * ch + k) & 0xff))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Minimal valid APP1 Exif segment carrying only orientation: the
+    * "Exif\0\0" preamble + a little-endian TIFF header + a one-entry
+    * IFD0 (tag 274, SHORT).
+    */
+  private def exifApp1(orientation: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(2 + 2 + 6 + 26)
+    b.put(0xff.toByte).put(0xe1.toByte)
+    b.putShort((2 + 6 + 26).toShort) // segment length (excl. the marker)
+    b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8) // TIFF header
+    b.putShort(1) // one IFD entry
+    b.putShort(274).putShort(3).putInt(1).putShort(orientation.toShort).putShort(0)
+    b.putInt(0) // next-IFD terminator
+    b.array()
+  }
+
   def synthJpeg(
       width: Int, height: Int, components: Int,
       quant: Seq[Array[Int]],
       restartInterval: Int = 0,
-      sampling: Seq[(Int, Int)] = Nil)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
+      sampling: Seq[(Int, Int)] = Nil,
+      exifOrientation: Int = 0)(coefOf: (Int, Int, Int) => Array[Int]): Array[Byte] = {
     require(components == 1 || components == 3, "1 or 3 components")
     require(quant.nonEmpty && quant.forall(_.length == 64), "need 64-entry zigzag quant tables")
     val samp = if (sampling.isEmpty) Seq.fill(components)((1, 1)) else sampling
@@ -683,6 +804,11 @@ object Jpeg {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     marker(0xd8) // SOI
+    if (exifOrientation != 0) {
+      require(exifOrientation >= 1 && exifOrientation <= 8,
+        s"bad EXIF orientation $exifOrientation")
+      out.write(exifApp1(exifOrientation), 0, 2 + 2 + 6 + 26)
+    }
     // DQT
     for ((q, ti) <- quant.zipWithIndex) {
       marker(0xdb); be16(2 + 65)

@@ -177,6 +177,19 @@ object Tiff {
     }
   }
 
+  /** Scalar IFD tag lookup over any TIFF-STRUCTURED payload — the Exif
+    * body inside a JPEG APP1 is exactly a TIFF header + IFD0, so
+    * [[Jpeg.exifOrientation]] reads tag 274 through this seam. Throws
+    * when the payload is not TIFF-shaped (the caller declared it Exif —
+    * a malformed body fails closed); None when it parses but lacks the
+    * tag.
+    */
+  private[operators] def ifdScalarStrict(bytes: Array[Byte], tag: Int): Option[Long] = {
+    val p = parse(bytes)
+    require(p.isDefined, "payload is not a TIFF structure")
+    p.get.intVal(tag)
+  }
+
   /** REAL TIFF header decode (the raster twin of the PNG/BMP/WAV parsers
     * in [[MultimodalOps]]): dimensions, sample layout, compression, block
     * geometry (tiles or strips), byte order, and the GeoTIFF north-up

@@ -285,6 +285,65 @@ class JpegSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jpeg.decodeJpegPixels(Array[Byte](1, 2, 3)))
   }
 
+  test("EXIF orientation: APP1 parses, remaps are exact, malformed Exif fails closed") {
+    val q = Array.fill(64)(16)
+    // dense asymmetric image so every remap error is visible
+    def img(o: Int): Array[Byte] =
+      Jpeg.synthJpeg(16, 8, 1, Seq(q), exifOrientation = o) { (_, _, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = bx * 9 - 4; nat(1) = 3; nat(8) = -2
+        nat
+      }
+    val (w0, h0, _, base) = Jpeg.decodeJpegPixels(img(0)) // no APP1
+    assert(w0 == 16 && h0 == 8)
+    assert(Jpeg.exifOrientation(img(0)) == 1) // absent Exif → upright
+    for (o <- 1 to 8) {
+      val bytes = img(o)
+      assert(Jpeg.exifOrientation(bytes) == o)
+      // the APP1 segment is invisible to the pixel decode itself
+      val (w, h, _, raw) = Jpeg.decodeJpegPixels(bytes)
+      assert(w == 16 && h == 8 && raw.sameElements(base), s"o=$o")
+      // index remap against the spec transform, checked pointwise
+      val (ow, oh, up) = Jpeg.applyOrientation(w, h, 1, raw, o)
+      assert((ow, oh) == (if (o >= 5) (8, 16) else (16, 8)), s"o=$o")
+      for (rp <- 0 until oh; cp <- 0 until ow) {
+        val (r, c) = o match {
+          case 1 => (rp, cp); case 2 => (rp, 15 - cp)
+          case 3 => (7 - rp, 15 - cp); case 4 => (7 - rp, cp)
+          case 5 => (cp, rp); case 6 => (7 - cp, rp)
+          case 7 => (7 - cp, 15 - rp); case _ => (cp, 15 - rp)
+        }
+        assert(up(rp * ow + cp) == raw(r * 16 + c), s"o=$o ($rp,$cp)")
+      }
+    }
+    // involution invariants: the mirror/rotation pairs compose to identity
+    val (_, _, _, raw) = Jpeg.decodeJpegPixels(img(0))
+    for ((a, b) <- Seq((2, 2), (3, 3), (4, 4), (5, 5), (7, 7), (6, 8), (8, 6))) {
+      val (w1, h1, p1) = Jpeg.applyOrientation(16, 8, 1, raw, a)
+      val (w2, h2, p2) = Jpeg.applyOrientation(w1, h1, 1, p1, b)
+      assert(w2 == 16 && h2 == 8 && p2.sameElements(raw), s"$a then $b")
+    }
+    // malformed Exif body (declared Exif, not TIFF-shaped) rejects
+    val bad = img(6)
+    val tiffOff = 2 + 4 + 6 // SOI + APP1 marker/len + "Exif\0\0"
+    bad(tiffOff) = 'X'.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.exifOrientation(bad))
+    assert(e.getMessage.contains("TIFF structure"))
+    // out-of-range orientation value rejects
+    val range = img(6)
+    // the SHORT value sits 8 (hdr) + 2 (count) + 8 (entry tag/typ/cnt) past the TIFF start
+    range(tiffOff + 18) = 9.toByte
+    val e2 = intercept[IllegalArgumentException](Jpeg.exifOrientation(range))
+    assert(e2.getMessage.contains("out of range"))
+    intercept[IllegalArgumentException](Jpeg.applyOrientation(2, 2, 1, new Array[Byte](4), 9))
+    // upright DataFrame surface: portrait (o=6) swaps the emitted axes
+    val df = Jpeg.jpegToPixelsUpright(Seq((1L, img(6))).toDF("img_id", "bytes"))
+    val rows = df.collect()
+    assert(rows.length == 128)
+    assert(rows.forall(_.getInt(1) == 6)) // orientation column
+    assert(rows.map(_.getInt(2)).max == 15 && rows.map(_.getInt(3)).max == 7)
+  }
+
   test("jpegToPixels: DataFrame surface preserves pass-through columns") {
     val q = Array.fill(64)(16)
     val jpg = Jpeg.synthJpeg(8, 8, 1, Seq(q)) { (_, _, _) =>
