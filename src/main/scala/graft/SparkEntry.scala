@@ -1779,6 +1779,24 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM6c — Adam7 INTERLACED PNG (r9: the last documented PNG gap): an
+    * RGB-8 and a gray-16 image whose dimensions clip every pass stride,
+    * written by the codec's own interlaced encoder and decoded through
+    * the seven-pass scatter path. The oracle regenerates the pixels
+    * closed-form — the interlace (pass splitting, per-pass filtering,
+    * scatter) must be exactly invisible.
+    */
+  private def mm6c(s: SparkSession, d: String) = {
+    import s.implicits._
+    val rgb = operators.MultimodalOps.synthPng(13, 11, 3, r => r % 5,
+      interlaced = true)((r, c, ch) => (r * 31 + c * 7 + ch * 11) % 256)
+    val gray16 = operators.MultimodalOps.synthPng(9, 7, 1, r => (r + 2) % 5,
+      depth = 16, interlaced = true)((r, c, _) => (r * 4099 + c * 769) % 65536)
+    operators.MultimodalOps.pngToPixels(
+        Seq((1L, rgb), (2L, gray16)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** MM7 — baseline JPEG pixel decode (ITU-T T.81 SOF0): marker walk,
     * standard Annex-K Huffman entropy decode with byte unstuffing +
     * restart markers, dequantize, de-zigzag, separable float IDCT, level
@@ -4101,6 +4119,7 @@ object SparkEntry {
     "mm5_tiff_header" -> (mm5 _),
     "mm6_png_pixels" -> (mm6 _),
     "mm6b_png_palette16" -> (mm6b _),
+    "mm6c_png_adam7" -> (mm6c _),
     "mm7_jpeg_pixels" -> (mm7 _),
     "mm8_jpeg_subsampled" -> (mm8 _),
     "mm9_jpeg_progressive" -> (mm9 _),
@@ -5149,6 +5168,19 @@ object SparkEntry {
         |  CAST((id % 64) // 4 AS INT), CAST(id % 4 AS INT),
         |  CAST((id // 64 * 17 + ((id % 64) // 4) * 5 + (id % 4) * 29) % 256 AS INT)
         |FROM range(640) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
+    // mm6c: Adam7 pixels regenerate closed-form — pass splitting,
+    // per-pass filtering, and the seven-pass scatter are invisible
+    "mm6c_png_adam7" ->
+      """SELECT CAST(1 AS BIGINT) AS img_id, CAST(id // 39 AS INT) AS px_row,
+        |  CAST((id % 39) // 3 AS INT) AS px_col, CAST(id % 3 AS INT) AS channel,
+        |  CAST((id // 39 * 31 + (id % 39) // 3 * 7 + (id % 3) * 11) % 256 AS INT) AS value
+        |FROM range(429) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id // 9 AS INT), CAST(id % 9 AS INT),
+        |  CAST(0 AS INT),
+        |  CAST((id // 9 * 4099 + id % 9 * 769) % 65536 AS INT)
+        |FROM range(63) t(id)
         |ORDER BY img_id, px_row, px_col, channel""".stripMargin,
     // mm6b: palette indices and 16-bit BE samples regenerate closed-form —
     // the PLTE indirection and the 2-byte assembly are invisible.

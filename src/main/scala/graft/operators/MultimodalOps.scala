@@ -165,9 +165,12 @@ object MultimodalOps {
     * plus type 3 (palette) at depth 8 — PLTE indices expand to RGB
     * output channels (RGBA when a tRNS per-entry alpha table is present;
     * entries past it are opaque per spec), exactly what a web-scraped
-    * corpus's palette PNGs need. FAIL CLOSED: interlaced (Adam7), packed
-    * 1/2/4-bit depths, 16-bit palettes, gray/truecolor tRNS (transparent-
-    * color semantics), and out-of-range palette indices reject loudly.
+    * corpus's palette PNGs need. Adam7 interlace (r9) decodes for every
+    * supported depth/color type: the seven independently-filtered
+    * sub-images de-filter separately and scatter onto the full frame.
+    * FAIL CLOSED: packed 1/2/4-bit depths, 16-bit palettes, gray/
+    * truecolor tRNS (transparent-color semantics), and out-of-range
+    * palette indices reject loudly.
     * Returns (width, height, out_channels, row-major channel-interleaved
     * sample values — 0..255 at depth 8, 0..65535 at depth 16).
     */
@@ -175,6 +178,7 @@ object MultimodalOps {
     require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig), "not a PNG")
     var off = 8
     var w = 0; var h = 0; var rawCh = 0; var depth = 0; var ct = 0
+    var interlace = 0
     var plte: Array[Byte] = null
     var trns: Array[Byte] = null
     var seenIhdr = false; var done = false
@@ -199,7 +203,9 @@ object MultimodalOps {
           require(!(ct == 3 && depth == 16), "16-bit palette PNG is not valid")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
             "nonstandard compression/filter method")
-          require(bytes(off + 20) == 0, "interlaced (Adam7) PNG unsupported")
+          interlace = bytes(off + 20).toInt
+          require(interlace == 0 || interlace == 1,
+            s"interlace method $interlace invalid (0 none, 1 Adam7)")
           seenIhdr = true
         case "PLTE" =>
           require(len > 0 && len % 3 == 0 && len <= 768, s"bad PLTE length $len")
@@ -227,7 +233,19 @@ object MultimodalOps {
     val sampleBytes = depth / 8
     val bpp = rawCh * sampleBytes
     val rowBytes = w * bpp
-    val raw = new Array[Byte]((rowBytes + 1) * h)
+    // Adam7 (interlace 1): seven independently-FILTERED sub-images
+    // concatenated in the one zlib stream, pass p covering the pixels at
+    // (y0 + r·dy, x0 + c·dx); empty passes contribute no scanlines at
+    // all (spec). interlace 0 is the single full-frame "pass".
+    val passes: Seq[(Int, Int, Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1, w, h))
+      else Adam7Passes.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+        val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+        (x0, y0, dx, dy, pw, ph)
+      }.filter(p => p._5 > 0 && p._6 > 0)
+    val raw = new Array[Byte](
+      passes.map { case (_, _, _, _, pw, ph) => (pw * bpp + 1) * ph }.sum)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
@@ -242,32 +260,23 @@ object MultimodalOps {
     inflater.end()
     require(got == raw.length, s"IDAT inflates to $got bytes, expected ${raw.length}")
     val out = new Array[Byte](rowBytes * h)
-    var r = 0
-    while (r < h) {
-      val ft = raw(r * (rowBytes + 1)) & 0xff
-      val src = r * (rowBytes + 1) + 1
-      val dst = r * rowBytes
-      var i = 0
-      while (i < rowBytes) {
-        val x = raw(src + i) & 0xff
-        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
-        val b = if (r > 0) out(dst - rowBytes + i) & 0xff else 0 // up
-        val c = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0
-        val rec = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + (a + b) / 2
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
-          case other => throw new IllegalArgumentException(s"unknown row filter $other")
+    var from = 0
+    passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
+      val sub = unfilterRows(raw, from, pw * bpp, ph, bpp)
+      from += (pw * bpp + 1) * ph
+      if (interlace == 0) System.arraycopy(sub, 0, out, 0, sub.length)
+      else { // scatter the de-filtered sub-image onto the full frame
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            System.arraycopy(sub, (r * pw + c) * bpp,
+              out, ((y0 + r * dy) * w + (x0 + c * dx)) * bpp, bpp)
+            c += 1
+          }
+          r += 1
         }
-        out(dst + i) = (rec & 0xff).toByte
-        i += 1
       }
-      r += 1
     }
     // bytes → sample values (palette expansion / 16-bit BE assembly).
     // A tRNS chunk adds per-entry alpha: output becomes RGBA (entries
@@ -305,7 +314,53 @@ object MultimodalOps {
     * `filterOf`, prediction stride `bpp`) and deflate — shared by the
     * depth-8, depth-16, and palette synth writers.
     */
-  private def filterAndDeflate(px: Array[Byte], rowBytes: Int, height: Int,
+  /** The seven Adam7 passes as (x origin, y origin, x stride, y stride). */
+  private val Adam7Passes: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Undo PNG row filters over one (sub-)image whose filtered scanlines
+    * start at `raw(from)`: `height` rows of `rowBytes` bytes each, byte
+    * prediction stride `bpp`. Shared by the full-frame path and each
+    * Adam7 pass (the spec filters every pass independently).
+    */
+  private def unfilterRows(raw: Array[Byte], from: Int, rowBytes: Int,
+      height: Int, bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](rowBytes * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(from + r * (rowBytes + 1)) & 0xff
+      val src = from + r * (rowBytes + 1) + 1
+      val dst = r * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = raw(src + i) & 0xff
+        val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0 // left
+        val b = if (r > 0) out(dst - rowBytes + i) & 0xff else 0 // up
+        val c = if (r > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case other => throw new IllegalArgumentException(s"unknown row filter $other")
+        }
+        out(dst + i) = (rec & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Apply per-row filters (types from `filterOf`) to raw pixel bytes —
+    * the encode half of [[unfilterRows]], one (sub-)image at a time.
+    */
+  private def filterRows(px: Array[Byte], rowBytes: Int, height: Int,
       bpp: Int, filterOf: Int => Int): Array[Byte] = {
     val raw = new Array[Byte]((rowBytes + 1) * height)
     for (r <- 0 until height) {
@@ -329,6 +384,10 @@ object MultimodalOps {
         raw(r * (rowBytes + 1) + 1 + i) = ((x - pred) & 0xff).toByte
       }
     }
+    raw
+  }
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val comp = new java.io.ByteArrayOutputStream()
@@ -338,9 +397,14 @@ object MultimodalOps {
     comp.toByteArray
   }
 
+  private def filterAndDeflate(px: Array[Byte], rowBytes: Int, height: Int,
+      bpp: Int, filterOf: Int => Int): Array[Byte] =
+    deflateBytes(filterRows(px, rowBytes, height, bpp, filterOf))
+
   private def assemblePng(width: Int, height: Int, depth: Int, colorType: Int,
       plte: Option[Array[Byte]], idat: Array[Byte],
-      trns: Option[Array[Byte]] = None): Array[Byte] = {
+      trns: Option[Array[Byte]] = None,
+      interlaced: Boolean = false): Array[Byte] = {
     val plteLen = plte.map(12 + _.length).getOrElse(0)
     val trnsLen = trns.map(12 + _.length).getOrElse(0)
     val out = java.nio.ByteBuffer.allocate(8 + 25 + plteLen + trnsLen + 12 + idat.length + 12)
@@ -348,7 +412,7 @@ object MultimodalOps {
     out.putInt(13).put("IHDR".getBytes("US-ASCII"))
     out.putInt(width).putInt(height)
     out.put(depth.toByte).put(colorType.toByte)
-    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.put(0.toByte).put(0.toByte).put(if (interlaced) 1.toByte else 0.toByte)
     out.putInt(0)
     plte.foreach { p =>
       out.putInt(p.length).put("PLTE".getBytes("US-ASCII")).put(p).putInt(0)
@@ -368,7 +432,8 @@ object MultimodalOps {
     * validates structure, not checksums.
     */
   def synthPng(width: Int, height: Int, channels: Int,
-      filterOf: Int => Int = _ % 5, depth: Int = 8)(
+      filterOf: Int => Int = _ % 5, depth: Int = 8,
+      interlaced: Boolean = false)(
       values: (Int, Int, Int) => Int): Array[Byte] = {
     require(Set(1, 2, 3, 4)(channels), s"bad channel count $channels")
     require(depth == 8 || depth == 16, s"bad depth $depth")
@@ -383,8 +448,27 @@ object MultimodalOps {
       if (depth == 8) px(base) = (v & 0xff).toByte
       else { px(base) = ((v >> 8) & 0xff).toByte; px(base + 1) = (v & 0xff).toByte }
     }
-    assemblePng(width, height, depth, colorType, None,
-      filterAndDeflate(px, rowBytes, height, bpp, filterOf))
+    val idat =
+      if (!interlaced) filterAndDeflate(px, rowBytes, height, bpp, filterOf)
+      else {
+        // gather each Adam7 pass's pixels, filter the pass independently
+        // (its own row 0 — no inter-pass prediction), one zlib stream
+        val scanlines = new java.io.ByteArrayOutputStream()
+        Adam7Passes.foreach { case (x0, y0, dx, dy) =>
+          val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+          val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](pw * ph * bpp)
+            for (r <- 0 until ph; c <- 0 until pw)
+              System.arraycopy(px, ((y0 + r * dy) * width + (x0 + c * dx)) * bpp,
+                sub, (r * pw + c) * bpp, bpp)
+            scanlines.write(filterRows(sub, pw * bpp, ph, bpp, filterOf))
+          }
+        }
+        deflateBytes(scanlines.toByteArray)
+      }
+    assemblePng(width, height, depth, colorType, None, idat,
+      interlaced = interlaced)
   }
 
   /** Palette (color type 3, depth 8) synth: `palette` RGB entries become

@@ -157,12 +157,17 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("PNG pixel decode fails closed on interlace, packed depths, tRNS palettes, truncation") {
+  test("PNG pixel decode fails closed on bad interlace, packed depths, tRNS palettes, truncation") {
     val good = MultimodalOps.synthPng(6, 4, 3)((r, c, ch) => r + c + ch)
-    // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1)
+    // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1).
+    // Flipping a sequential stream to Adam7 changes the expected scanline
+    // layout → the inflate-length check rejects (never half-decodes);
+    // an undefined method id rejects by name.
     val inter = good.clone(); inter(28) = 1
+    intercept[IllegalArgumentException](MultimodalOps.decodePngPixels(inter))
+    val badI = good.clone(); badI(28) = 2
     assert(intercept[IllegalArgumentException](
-      MultimodalOps.decodePngPixels(inter)).getMessage.contains("interlaced"))
+      MultimodalOps.decodePngPixels(badI)).getMessage.contains("interlace"))
     // flipping an RGB stream's color type to palette: no PLTE chunk → reject
     val pal = good.clone(); pal(25) = 3 // color type byte
     assert(intercept[IllegalArgumentException](
@@ -277,6 +282,30 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodeBmpPixels(b16)).getMessage.contains("bits per pixel"))
     intercept[IllegalArgumentException](
       MultimodalOps.decodeBmpPixels(ok.take(ok.length - 8)))
+  }
+
+  test("PNG Adam7 interlace decodes identically to the sequential twin across shapes and depths") {
+    // every (depth, channels) the decoder supports, on dimensions that
+    // exercise empty and partial passes (1x1 has FOUR empty passes;
+    // 9x5 clips every stride; 16x16 fills all seven)
+    for {
+      (w, h) <- Seq((1, 1), (2, 2), (9, 5), (8, 8), (16, 16), (13, 3))
+      (depth, ch) <- Seq((8, 1), (8, 3), (8, 4), (16, 1), (16, 3))
+    } {
+      def v(r: Int, c: Int, k: Int): Int =
+        if (depth == 8) (r * 31 + c * 7 + k * 11) % 256
+        else (r * 4099 + c * 769 + k * 131) % 65536
+      val seq0 = MultimodalOps.synthPng(w, h, ch, depth = depth)(v)
+      val adam = MultimodalOps.synthPng(w, h, ch, depth = depth, interlaced = true)(v)
+      val (w1, h1, c1, p1) = MultimodalOps.decodePngPixels(seq0)
+      val (w2, h2, c2, p2) = MultimodalOps.decodePngPixels(adam)
+      assert((w1, h1, c1) == (w2, h2, c2), s"${w}x$h d$depth ch$ch")
+      assert(p1.sameElements(p2), s"${w}x$h d$depth ch$ch: interlace not invisible")
+    }
+    // a truncated Adam7 stream still fails closed
+    val adam = MultimodalOps.synthPng(16, 16, 3, interlaced = true)((r, c, k) => r + c + k)
+    val cut = adam.take(adam.length - 24) ++ adam.takeRight(12) // keep IEND
+    intercept[IllegalArgumentException](MultimodalOps.decodePngPixels(cut))
   }
 
   test("AVI MJPEG: container round-trips frames; fails closed on foreign codecs and truncation") {
