@@ -3734,6 +3734,40 @@ object SparkEntry {
       .orderBy("scene", "band")
   }
 
+  /** S21 — WEBDATASET shard ingest (r9): two ustar shards, each holding
+    * per-sample PNG + TXT members (the multimodal-corpus shipping
+    * convention — one tar per shard, one member per modality), exploded
+    * by `Tar.tarToFiles` and routed by modality key in ONE plan: PNGs
+    * through the real PNG decoder to a pixel census, text to a byte
+    * census. The oracle regenerates both censuses from the member
+    * generators — the tar container (headers, checksums, 512-padding,
+    * zero-length members) must be invisible.
+    */
+  private def s21(s: SparkSession, d: String) = {
+    import s.implicits._
+    def shard(sh: Int, n: Int): Array[Byte] = operators.Tar.synthTar(
+      (0 until n).flatMap { i =>
+        val png = operators.MultimodalOps.synthPng(6, 4, 3, r => (r + i) % 5)(
+          (r, c, ch) => (sh * 7 + i * 13 + r * 31 + c * 7 + ch * 11) % 256)
+        val txt = s"sample $sh-$i " + ("x" * ((i * 11 + sh) % 40))
+        Seq((f"$i%04d.png", png), (f"$i%04d.txt", txt.getBytes("UTF-8")))
+      })
+    val files = operators.Tar.tarToFiles(
+      Seq((1L, shard(1, 5)), (2L, shard(2, 7))).toDF("shard_id", "bytes"))
+    val pngCensus = operators.MultimodalOps.pngToPixels(
+        files.filter(col("ext") === "png")
+          .select(col("shard_id"), col("bytes")))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("long")).as("total"))
+      .withColumn("kind", lit("png"))
+    val txtCensus = files.filter(col("ext") === "txt")
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n"), sum(length(col("bytes")).cast("long")).as("total"))
+      .withColumn("kind", lit("txt"))
+    pngCensus.unionByName(txtCensus)
+      .select("shard_id", "kind", "n", "total").orderBy("shard_id", "kind")
+  }
+
   /** G16 — polar stereographic (EPSG:3413, the NSIDC sea-ice grid every
     * polar corpus ships in) through the EPSG shorthand front door:
     * Arctic lon/lat points forward-projected, fixed-point floor(v·2^6)
@@ -4111,6 +4145,7 @@ object SparkEntry {
     "g15_stateplane_ftus" -> (g15 _),
     "g16_polar_stereographic" -> (g16 _),
     "s20_geotiff_sink" -> (s20 _),
+    "s21_webdataset_shards" -> (s21 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -6073,6 +6108,30 @@ object SparkEntry {
         |  sum(CAST(value AS BIGINT)) AS sum_v,
         |  sum(CAST(px_row * 131 + px_col AS BIGINT)) AS coord_sum
         |FROM px GROUP BY scene, band ORDER BY scene, band""".stripMargin,
+    // s21: both censuses regenerate from the member generators — the tar
+    // container (headers, checksums, padding) never reaches the oracle.
+    // Shard 1: 5 samples, shard 2: 7; each PNG is 6x4x3 = 72 values of
+    // (sh*7 + i*13 + r*31 + c*7 + ch*11) % 256; each TXT is
+    // 11 + (i*11 + sh) % 40 bytes.
+    "s21_webdataset_shards" ->
+      """WITH png AS (
+        |  SELECT 1 AS shard_id, id FROM range(360) t(id)
+        |  UNION ALL SELECT 2, id FROM range(504) t(id)),
+        |px AS (SELECT shard_id,
+        |    (shard_id * 7 + (id // 72) * 13 + ((id % 72) // 18) * 31
+        |      + (((id % 72) % 18) // 3) * 7 + (id % 3) * 11) % 256 AS v
+        |  FROM png),
+        |txt AS (
+        |  SELECT 1 AS shard_id, id FROM range(5) t(id)
+        |  UNION ALL SELECT 2, id FROM range(7) t(id))
+        |SELECT shard_id, 'png' AS kind, count(*) AS n,
+        |  sum(CAST(v AS BIGINT)) AS total
+        |FROM px GROUP BY shard_id
+        |UNION ALL
+        |SELECT shard_id, 'txt', count(*),
+        |  sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT))
+        |FROM txt GROUP BY shard_id
+        |ORDER BY shard_id, kind""".stripMargin,
     // g16: the Snyder polar-stereographic forward (21-30..21-34) with
     // PsParams constants interpolated from the same Scala arithmetic,
     // mirrored association, fixed-point ×64 floor (margins scanned)
