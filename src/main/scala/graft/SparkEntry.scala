@@ -1994,6 +1994,24 @@ object SparkEntry {
       .orderBy("media_id", "frame_idx", "px_row", "px_col", "channel")
   }
 
+  /** MM15 — IEEE-FLOAT WAV (format tag 3, the layout soundfile/librosa
+    * write for float audio): stereo and mono payloads with the 18-byte
+    * fmt + fact chunks riding the generic RIFF walk, decoded to exact
+    * float32 samples. Sample values are dyadic rationals (k/64), so the
+    * float32 payload and the oracle's double arithmetic are the same
+    * numbers — the chunk walk and bit reassembly must be invisible.
+    */
+  private def mm15(s: SparkSession, d: String) = {
+    import s.implicits._
+    val stereo = operators.MultimodalOps.synthWavFloat(44100, 2, 30)(
+      (f, ch) => (f * 37 + ch * 11 - 50) / 64.0f)
+    val mono = operators.MultimodalOps.synthWavFloat(16000, 1, 25)(
+      (f, _) => (f * f - 300) / 64.0f)
+    operators.MultimodalOps.wavFloatToSamples(
+        Seq((1L, stereo), (2L, mono)).toDF("media_id", "bytes"))
+      .orderBy("media_id", "frame_idx", "channel")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -4163,6 +4181,7 @@ object SparkEntry {
     "mm12_bmp_pixels" -> (mm12 _),
     "mm13_avi_mjpeg" -> (mm13 _),
     "mm14_exif_orientation" -> (mm14 _),
+    "mm15_wav_float" -> (mm15 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5116,6 +5135,18 @@ object SparkEntry {
         |  END AS INT)
         |FROM range(160) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm15: dyadic-rational float samples regenerate exactly in double
+    // arithmetic (k/64 is the same number in float32 and float64)
+    "mm15_wav_float" ->
+      """SELECT CAST(1 AS BIGINT) AS media_id, CAST(id // 2 AS INT) AS frame_idx,
+        |  CAST(id % 2 AS INT) AS channel,
+        |  CAST(((id // 2) * 37 + (id % 2) * 11 - 50) AS DOUBLE) / 64.0 AS value
+        |FROM range(60) t(id)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(id AS INT), CAST(0 AS INT),
+        |  CAST(id * id - 300 AS DOUBLE) / 64.0
+        |FROM range(25) t(id)
+        |ORDER BY media_id, frame_idx, channel""".stripMargin,
     // mm14: the mm7 closed form evaluated at the per-orientation SOURCE
     // coordinate (value depends only on the stored column's block index,
     // so each orientation is one coordinate substitution)

@@ -691,26 +691,56 @@ object MultimodalOps {
     out.array()
   }
 
-  /** REAL header decode for canonical PCM WAV (the audio modality's mm3):
-    * sniffs RIFF/WAVE/fmt, demands PCM (format tag 1) and a leading data
-    * chunk, derives frame count from the declared data size and block
-    * align, duration in µs by integer division. Returns null (→ NULL
-    * struct) for anything that doesn't parse — fail-closed, no stub: audio
-    * consumers branch on parse success, they don't get fabricated rates.
+  /** RIFF/WAVE chunk walk → (format tag, channels, rate, block align,
+    * bits, data offset, data length). None for anything that is not a
+    * WAVE with a well-formed fmt chunk ahead of its data chunk; unknown
+    * chunks (fact, LIST, cue, …) skip with RIFF word alignment — real
+    * float and extensible WAVs carry them.
+    */
+  private def wavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 12 || asciiAt(bytes, 0, 4) != "RIFF" ||
+        asciiAt(bytes, 8, 4) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int, Int)] = None
+    while (pos + 8 <= bytes.length) {
+      val id = asciiAt(bytes, pos, 4)
+      val len = leInt(bytes, pos + 4)
+      if (len < 0) return None
+      if (id == "data") {
+        // the DECLARED size is the contract (header-only fixtures carry
+        // no payload; the sample decoders bounds-check what they read)
+        return fmt.map { case (tag, ch, rate, ba, bits) =>
+          (tag, ch, rate, ba, bits, pos + 8, len)
+        }
+      }
+      // chunks we must walk PAST need their payload present
+      if (pos + 8 + len > bytes.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        fmt = Some((leShort(bytes, pos + 8), leShort(bytes, pos + 10),
+          leInt(bytes, pos + 12), leShort(bytes, pos + 20), leShort(bytes, pos + 22)))
+      }
+      pos += 8 + len + (len % 2) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** REAL header decode for PCM and IEEE-float WAV (the audio modality's
+    * mm3): walks the RIFF chunks (fact/LIST/cue skip), accepts format
+    * tag 1 (integer PCM) and tag 3 (IEEE float — the ML-corpus staple),
+    * derives frame count from the data size and block align, duration in
+    * µs by integer division. Returns null (→ NULL struct) for anything
+    * that doesn't parse — fail-closed, no stub: audio consumers branch
+    * on parse success, they don't get fabricated rates.
     */
   def decodeWavMeta(bytes: Array[Byte]): Row = {
-    val ok = bytes != null && bytes.length >= 44 &&
-      asciiAt(bytes, 0, 4) == "RIFF" && asciiAt(bytes, 8, 4) == "WAVE" &&
-      asciiAt(bytes, 12, 4) == "fmt " && leInt(bytes, 16) == 16 &&
-      leShort(bytes, 20) == 1 && asciiAt(bytes, 36, 4) == "data"
-    if (!ok) return null
-    val channels = leShort(bytes, 22)
-    val rate = leInt(bytes, 24)
-    val blockAlign = leShort(bytes, 32)
-    val bits = leShort(bytes, 34)
-    if (rate <= 0 || blockAlign <= 0) return null
-    val nFrames = (leInt(bytes, 40).toLong & 0xffffffffL) / blockAlign
-    Row(rate, channels, bits, nFrames, nFrames * 1000000L / rate)
+    wavLayout(bytes) match {
+      case Some((tag, channels, rate, blockAlign, bits, _, dataLen))
+          if (tag == 1 || tag == 3) && rate > 0 && blockAlign > 0 =>
+        val nFrames = (dataLen.toLong & 0xffffffffL) / blockAlign
+        Row(rate, channels, bits, nFrames, nFrames * 1000000L / rate)
+      case _ => null
+    }
   }
 
   /** Canonical PCM WAV with an actual sample payload — the encode half
@@ -748,20 +778,20 @@ object MultimodalOps {
     * closed on anything `decodeWavMeta` rejects or a truncated payload.
     */
   def decodeWavSamples(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
-    val meta = decodeWavMeta(bytes)
-    require(meta != null, "not a canonical PCM WAV")
-    val rate = meta.getInt(0)
-    val channels = meta.getInt(1)
-    val bits = meta.getInt(2)
-    val nFrames = meta.getLong(3)
+    val layout = wavLayout(bytes)
+    require(layout.isDefined, "not a RIFF/WAVE payload")
+    val (tag, channels, rate, blockAlign, bits, dataOff, dataLen) = layout.get
+    require(tag == 1, s"format tag $tag is not integer PCM — float WAV decodes " +
+      "through decodeWavFloatSamples")
+    require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
     require(Set(8, 16, 24, 32)(bits), s"bits per sample $bits unsupported")
     val bps = bits / 8
-    val n = (nFrames * channels).toInt
-    require(44L + n.toLong * bps <= bytes.length, "truncated PCM payload")
+    val n = ((dataLen.toLong & 0xffffffffL) / blockAlign * channels).toInt
+    require(dataOff.toLong + n.toLong * bps <= bytes.length, "truncated PCM payload")
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val off = 44 + i * bps
+      val off = dataOff + i * bps
       out(i) = bits match {
         case 8 => bytes(off) & 0xff
         case 16 => (bytes(off) & 0xff) | (bytes(off + 1) << 8) // sign-extends
@@ -772,6 +802,76 @@ object MultimodalOps {
       i += 1
     }
     (rate, channels, bits, out)
+  }
+
+  /** IEEE-float WAV (format tag 3, 32-bit — the ML audio-corpus staple;
+    * librosa/soundfile write it by default for float arrays): frame-major
+    * channel-interleaved little-endian float32 samples. A `fact` chunk,
+    * when present, rides the generic chunk walk. Fails closed on integer
+    * PCM (route through [[decodeWavSamples]]) and 64-bit float.
+    */
+  def decodeWavFloatSamples(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val layout = wavLayout(bytes)
+    require(layout.isDefined, "not a RIFF/WAVE payload")
+    val (tag, channels, rate, blockAlign, bits, dataOff, dataLen) = layout.get
+    require(tag == 3, s"format tag $tag is not IEEE float (PCM decodes " +
+      "through decodeWavSamples)")
+    require(bits == 32, s"float WAV bits $bits unsupported (32 only)")
+    require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
+    val n = ((dataLen.toLong & 0xffffffffL) / blockAlign * channels).toInt
+    require(dataOff.toLong + n.toLong * 4 <= bytes.length, "truncated float payload")
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = java.lang.Float.intBitsToFloat(leInt(bytes, dataOff + i * 4))
+      i += 1
+    }
+    (rate, channels, out)
+  }
+
+  /** Float WAV with a real payload (the encode half for fixtures/oracles):
+    * format tag 3, 18-byte fmt (cbSize 0) + fact chunk + data — the exact
+    * layout soundfile/libsndfile emit.
+    */
+  def synthWavFloat(sampleRate: Int, channels: Int, nFrames: Int)(
+      sample: (Int, Int) => Float): Array[Byte] = {
+    val blockAlign = channels * 4
+    val dataSize = nFrames * blockAlign
+    val total = 12 + (8 + 18) + (8 + 4) + (8 + dataSize)
+    val out = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(total - 8).put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(18)
+      .putShort(3).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(32).putShort(0) // cbSize = 0
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(nFrames)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    for (f <- 0 until nFrames; ch <- 0 until channels) out.putFloat(sample(f, ch))
+    out.array()
+  }
+
+  /** Float-WAV twin of [[wavToSamples]]: one row per (frame_idx, channel),
+    * FloatType values. Generator shape, zero shuffle, file = parallelism
+    * unit.
+    */
+  def wavFloatToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
+    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
+    val bytesIdx = media.schema.fieldIndex(bytesCol)
+    val outSchema = StructType(passFields.toSeq ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("channel", IntegerType, nullable = false),
+      StructField("value", FloatType, nullable = false)))
+    val rdd = media.rdd.flatMap { r =>
+      val pass = passIdx.map(r.get).toSeq
+      val (_, ch, samples) = decodeWavFloatSamples(r.getAs[Array[Byte]](bytesIdx))
+      // Seq[Any]: a bare Seq(Int, Int, Float) unifies to Seq[Float] and
+      // silently widens the indices (weak conformance)
+      for (i <- samples.indices)
+        yield Row.fromSeq(pass ++ Seq[Any](i / ch, i % ch, samples(i)))
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** WAV binary column → PCM sample rows (pass-through columns preserved;

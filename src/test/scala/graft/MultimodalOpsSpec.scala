@@ -284,6 +284,38 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.decodeBmpPixels(ok.take(ok.length - 8)))
   }
 
+  test("IEEE-float WAV: fact-chunk walk, bit-exact samples, cross-format fail-closed") {
+    val f32 = MultimodalOps.synthWavFloat(48000, 2, 20)(
+      (f, ch) => (f * 0.125f + ch * 0.5f) - 1.0f)
+    // meta surfaces through the same schema (rate/ch/bits/frames/µs)
+    val m = MultimodalOps.decodeWavMeta(f32)
+    assert(m.getInt(0) == 48000 && m.getInt(1) == 2 && m.getInt(2) == 32)
+    assert(m.getLong(3) == 20L)
+    // bit-exact payload round trip (incl. negative and fractional values)
+    val (rate, ch, samples) = MultimodalOps.decodeWavFloatSamples(f32)
+    assert(rate == 48000 && ch == 2 && samples.length == 40)
+    for (f <- 0 until 20; c <- 0 until 2)
+      assert(samples(f * 2 + c) == (f * 0.125f + c * 0.5f) - 1.0f, s"($f,$c)")
+    // special values survive the bit reassembly
+    val weird = MultimodalOps.synthWavFloat(8000, 1, 4)((f, _) => f match {
+      case 0 => Float.NaN; case 1 => Float.PositiveInfinity
+      case 2 => -0.0f; case _ => Float.MinPositiveValue
+    })
+    val (_, _, w) = MultimodalOps.decodeWavFloatSamples(weird)
+    assert(w(0).isNaN && w(1).isPosInfinity)
+    assert(java.lang.Float.floatToIntBits(w(2)) == java.lang.Float.floatToIntBits(-0.0f))
+    assert(w(3) == Float.MinPositiveValue)
+    // cross-format routing fails closed both directions
+    val pcm = MultimodalOps.synthWavPcm(8000, 1, 16, 4)((f, _) => f)
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodeWavFloatSamples(pcm)).getMessage.contains("not IEEE float"))
+    assert(intercept[IllegalArgumentException](
+      MultimodalOps.decodeWavSamples(f32)).getMessage.contains("not integer PCM"))
+    // the canonical 44-byte PCM layout still parses through the new walk
+    val pm = MultimodalOps.decodeWavMeta(pcm)
+    assert(pm.getInt(0) == 8000 && pm.getLong(3) == 4L)
+  }
+
   test("PNG Adam7 interlace decodes identically to the sequential twin across shapes and depths") {
     // every (depth, channels) the decoder supports, on dimensions that
     // exercise empty and partial passes (1x1 has FOUR empty passes;
