@@ -123,6 +123,27 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** ZO1 — Z-ORDER clustering (r9; the lakehouse OPTIMIZE ZORDER BY):
+    * lineitem rewritten with `ZoneMap.writeZOrdered` on (l_partkey,
+    * l_suppkey), zone-mapped, and a TWO-dimensional box predicate read
+    * through the composed file prune. The oracle is the plain filtered
+    * scan — the clustering, interleaved keys, and multi-column skipping
+    * must be exactly invisible in the result (the zm1 recipe, one
+    * dimension up). ZoneMapSpec separately proves the layout actually
+    * prunes on BOTH dimensions.
+    */
+  private def zo1(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    operators.ZoneMap.writeZOrdered(Tables.lineitem(s, d), out,
+      Seq("l_partkey", "l_suppkey"), nFiles = 12)
+    val idx = operators.ZoneMap.build(s, out, Seq("l_partkey", "l_suppkey"))
+    operators.ZoneMap.prunedReadBox(s, out, idx,
+        Seq(("l_partkey", 200L, 400L), ("l_suppkey", 10L, 60L)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   private def s6(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -4138,6 +4159,7 @@ object SparkEntry {
     "tri1_dup_triangles" -> (tri1 _),
     "dd1_degree_distribution" -> (dd1 _),
     "zm1_zonemap_skip" -> (zm1 _),
+    "zo1_zorder_skip" -> (zo1 _),
     "st3_sessionize" -> (st3 _),
     "st7_enrich" -> (st7 _),
     "m7b_polygonize_cells" -> (m7b _),
@@ -6941,6 +6963,13 @@ object SparkEntry {
         |ORDER BY user_id, event_id""".stripMargin,
     // zm1: the oracle ignores the zone-map machinery entirely — a pruned
     // read must equal the plain filtered scan.
+    "zo1_zorder_skip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey >= 200 AND l_partkey < 400
+        |  AND l_suppkey >= 10 AND l_suppkey < 60
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "zm1_zonemap_skip" ->
       """SELECT l_returnflag, count(*) AS n,
         |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

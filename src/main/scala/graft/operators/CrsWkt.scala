@@ -455,6 +455,7 @@ object CrsWkt {
   // ---- EPSG shorthand ----
 
   private val Nad83Ellipsoid = Ellipsoid(6378137.0, 298.257222101) // GRS80
+  private val UsSurveyFoot = 0.30480060960121924 // 1200/3937
 
   /** The common codes a corpus actually carries, as a direct table —
     * users pass "EPSG:32654" far more often than WKT. Everything else
@@ -478,6 +479,19 @@ object CrsWkt {
         GeogCrs("NORTH_AMERICAN_DATUM_1983", Nad83Ellipsoid, (0.0, 0.0, 0.0)),
         AlbersFromGeographic(AeaParams(29.5, 45.5, 23.0, -96.0,
           a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
+      case 2277 => // NAD83 / Texas Central (ftUS) — the State Plane shape;
+        // linear parameters enter in metres (fe·u), coordinates emit in
+        // US survey feet via the exact affine unit wrap, exactly the
+        // dispatch a ftUS .prj produces (proven equal in CrsWktSpec)
+        val u = UsSurveyFoot
+        Projected(
+          GeogCrs("NORTH_AMERICAN_DATUM_1983", Nad83Ellipsoid, (0.0, 0.0, 0.0)),
+          ComposedTransform(
+            LambertConformalFromGeographic(LccParams(
+              31.88333333333333, 30.11666666666667, 29.66666666666667,
+              -100.3333333333333, 2296583.333333333 * u, 9842500.0 * u,
+              Nad83Ellipsoid.a, Nad83Ellipsoid.e2)),
+            AffineTransform(1.0 / u, 0.0, 0.0, 0.0, 1.0 / u, 0.0)))
       case 3413 => // WGS 84 / NSIDC Sea Ice Polar Stereographic North
         Projected(wgs, PolarStereographicFromGeographic(PsParams(70.0, -45.0)))
       case 3976 => // WGS 84 / NSIDC Sea Ice Polar Stereographic South
@@ -486,7 +500,7 @@ object CrsWkt {
         Projected(wgs, PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
       case other => throw new IllegalArgumentException(
         s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
-          "4267, 4269, 4301, 5070, 3413/3976/3031) — pass the CRS WKT instead")
+          "4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
     }
   }
 

@@ -46,6 +46,73 @@ object ZoneMap {
   def prune(index: DataFrame, colName: String, lo: Any, hi: Any): DataFrame =
     index.filter(col(s"${colName}_max") >= lit(lo) && col(s"${colName}_min") < lit(hi))
 
+  /** Morton / Z-ORDER clustering write — the lakehouse `OPTIMIZE ZORDER
+    * BY` as a plain parquet rewrite: each clustering column normalizes to
+    * a `bits`-bit rank by its global [min, max] (ONE aggregate pass whose
+    * bounds land in the plan as literals), the ranks bit-interleave into
+    * one integer key, and the frame range-partitions + sorts by it. Files
+    * then have tight ranges on EVERY clustering column at once, so a
+    * multi-dimensional box predicate prunes to ~O(n^((k-1)/k)) of the
+    * files where a single-column range layout prunes only its own
+    * dimension. Scale shape: one agg + one shuffle-write pass — exactly
+    * what a metastore OPTIMIZE job costs.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 16): Unit = {
+    require(cols.size >= 2,
+      "z-ordering needs >= 2 columns (one column is a plain range layout)")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits($bits) x columns(${cols.size}) must fit a signed long")
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column '$c' must be numeric, got ${df.schema(c).dataType}")
+    }
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val mn = bounds.getDouble(2 * i)
+      val mx = bounds.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0 // constant column: rank 0
+      least(lit(maxRank),
+        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxRank + 1.0))
+          .cast("long"))
+    }
+    val k = cols.size
+    val zkey = (0 until bits).flatMap { b =>
+      ranks.zipWithIndex.map { case (r, i) =>
+        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** [[prunedRead]] for a MULTI-dimensional box: compose the per-column
+    * file prunes, read the surviving files once, apply every residual.
+    * The shape z-ordered layouts exist for — each extra dimension prunes
+    * multiplicatively instead of not at all.
+    */
+  def prunedReadBox(
+      spark: SparkSession,
+      dir: String,
+      index: DataFrame,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one predicate")
+    val pruned = preds.foldLeft(index) { case (ix, (c, lo, hi)) => prune(ix, c, lo, hi) }
+    val files = pruned.select("file").collect().map(_.getString(0))
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) < lit(hi)
+    }.reduce(_ && _)
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.option("basePath", dir)
+      .parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** Read only the files the index cannot rule out for `lo <= c < hi`,
     * then apply the exact residual filter (zone maps prune files, they
     * don't evaluate predicates). Result ≡ full read + filter, by

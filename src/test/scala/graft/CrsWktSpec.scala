@@ -243,6 +243,9 @@ class CrsWktSpec extends AnyFunSuite {
         s"AXIS[\"easting (X)\",east,LENGTHUNIT[\"US survey foot\",$u]]," +
         s"AXIS[\"northing (Y)\",north,LENGTHUNIT[\"US survey foot\",$u]]]"
     assert(CrsWkt.parseCrs(wkt2).asInstanceOf[CrsWkt.Projected].forward == expected)
+    // the EPSG shorthand resolves to the identical chain — code table,
+    // .prj, and WKT2 all dispatch the same doubles
+    assert(CrsWkt.parseCrs("EPSG:2277").asInstanceOf[CrsWkt.Projected].forward == expected)
   }
 
   test("WKT2 (GDAL >= 3 default output): PROJCRS/GEOGCRS resolve to the same transforms") {

@@ -46,6 +46,43 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("k", "mod", "tag"))
   }
 
+  test("z-order layout prunes a 2-D box on BOTH dimensions; result equals plain filter") {
+    // a 64x64 integer grid: x and y independent, so a single-column range
+    // layout gives the second dimension no file locality at all
+    val df = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong, x * 64L + y)).toDF("x", "y", "payload")
+    val zDir = java.nio.file.Files.createTempDirectory("zo_spec_z").toString
+    ZoneMap.writeZOrdered(df, zDir, Seq("x", "y"), nFiles = 16)
+    val rDir = java.nio.file.Files.createTempDirectory("zo_spec_r").toString
+    df.repartitionByRange(16, col("x")).write.mode("overwrite").parquet(rDir)
+    val box = Seq(("x", 8L, 24L), ("y", 8L, 24L)) // a 16x16 box = 1/16 of the data
+    def prunedFiles(dir: String): Int = {
+      val idx = ZoneMap.build(spark, dir, Seq("x", "y"))
+      box.foldLeft(idx) { case (ix, (c, lo, hi)) => ZoneMap.prune(ix, c, lo, hi) }
+        .count().toInt
+    }
+    val zFiles = prunedFiles(zDir)
+    val rFiles = prunedFiles(rDir)
+    // the x-range layout keeps ~hi-lo/4 of 16 files on x and NOTHING on y;
+    // z-order must do at least as well and actually skip most files
+    assert(zFiles > 0 && zFiles <= rFiles, s"z=$zFiles range=$rFiles")
+    assert(zFiles < 16 / 2, s"z-order pruned only to $zFiles of 16 files")
+    // correctness: pruned box read ≡ plain filter (both layouts)
+    val want = df.filter(col("x").between(8, 23) && col("y").between(8, 23))
+      .agg(sum("payload")).head().getLong(0)
+    for (dir <- Seq(zDir, rDir)) {
+      val idx = ZoneMap.build(spark, dir, Seq("x", "y"))
+      val got = ZoneMap.prunedReadBox(spark, dir, idx, box)
+        .agg(sum("payload")).head().getLong(0)
+      assert(got == want, dir)
+    }
+    // guards: one column or a non-numeric column rejects
+    intercept[IllegalArgumentException](
+      ZoneMap.writeZOrdered(df, zDir, Seq("x"), 4))
+    intercept[IllegalArgumentException](
+      ZoneMap.writeZOrdered(df.withColumn("s", lit("a")), zDir, Seq("x", "s"), 4))
+  }
+
   test("all-NULL files are skipped for range predicates (NULL never matches)") {
     val dir = java.nio.file.Files.createTempDirectory("zm_null").toString
     val some = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(9L)))
