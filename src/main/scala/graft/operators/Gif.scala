@@ -352,30 +352,19 @@ object Gif {
     * columns — the video-modality frame explosion with a REAL codec
     * (flatMap, zero shuffle).
     */
-  def gifToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
+  def gifToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_left", IntegerType, nullable = false),
-      StructField("frame_top", IntegerType, nullable = false),
-      StructField("px_row", IntegerType, nullable = false),
-      StructField("px_col", IntegerType, nullable = false),
-      StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (_, _, frames) = decodeGifFrames(r.getAs[Array[Byte]](bytesIdx))
+      StructField("frame_top", IntegerType, nullable = false)) ++
+        MultimodalOps.PixelFields) { payload =>
+      val (_, _, frames) = decodeGifFrames(payload)
       for {
-        (f, fi) <- frames.zipWithIndex
+        (f, fi) <- frames.iterator.zipWithIndex
         row <- 0 until f.h
         c <- 0 until f.w
         k <- 0 until 4
-      } yield Row.fromSeq(pass ++ Seq(fi, f.left, f.top, row, c, k,
-        f.rgba((row * f.w + c) * 4 + k)))
+      } yield Seq[Any](fi, f.left, f.top, row, c, k,
+        f.rgba((row * f.w + c) * 4 + k))
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }

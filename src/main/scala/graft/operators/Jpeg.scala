@@ -272,11 +272,14 @@ object Jpeg {
         require(al <= 13 && (ah == 0 || ah == al + 1),
           s"bad successive approximation Ah=$ah Al=$al")
       }
-      // a scan referencing a DHT slot that was never defined must reject
-      // descriptively, not NullPointerException at the first huff() call
-      // (progressive DC refinement reads raw bits — no table needed; AC
-      // scans never touch the DC table)
+      // a scan referencing a DHT slot that was never defined — or a slot
+      // id beyond the 4-slot space — must reject descriptively, not
+      // NullPointerException/ArrayIndexOutOfBounds at the first huff()
+      // call (progressive DC refinement reads raw bits — no table
+      // needed; AC scans never touch the DC table)
       for (i <- 0 until ns) {
+        require(scanDc(i) < 4 && scanAc(i) < 4,
+          s"Huffman table id ${math.max(scanDc(i), scanAc(i))} out of range (0..3)")
         if (!progressive || (ss == 0 && ah == 0))
           require(dcTbl(scanDc(i)) != null, s"missing DC Huffman table ${scanDc(i)}")
         if (!progressive || ss > 0)
@@ -748,28 +751,16 @@ object Jpeg {
     * `orientation` column — what a training pipeline actually wants from
     * a web-scraped corpus, where ~all portrait photos carry 6 or 8.
     */
-  def jpegToPixelsUpright(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("orientation", IntegerType, nullable = false),
-      StructField("px_row", IntegerType, nullable = false),
-      StructField("px_col", IntegerType, nullable = false),
-      StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val bytes = r.getAs[Array[Byte]](bytesIdx)
-      val o = exifOrientation(bytes)
-      val (w0, h0, ch, px0) = decodeJpegPixels(bytes)
+  def jpegToPixelsUpright(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol,
+      StructField("orientation", IntegerType, nullable = false) +:
+        MultimodalOps.PixelFields) { payload =>
+      val o = exifOrientation(payload)
+      val (w0, h0, ch, px0) = decodeJpegPixels(payload)
       val (w, h, px) = applyOrientation(w0, h0, ch, px0, o)
-      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
-        yield Row.fromSeq(pass ++ Seq(o, row, c, k, px((row * w + c) * ch + k) & 0xff))
+      for (row <- (0 until h).iterator; c <- 0 until w; k <- 0 until ch)
+        yield Seq[Any](o, row, c, k, px((row * w + c) * ch + k) & 0xff)
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** Minimal valid APP1 Exif segment carrying only orientation: the
     * "Exif\0\0" preamble + a little-endian TIFF header + a one-entry
@@ -1140,22 +1131,10 @@ object Jpeg {
     * preserved; one row per (px_row, px_col, channel)). Generator shape
     * like pngToPixels/tiffToBlocks: flatMap, zero shuffle.
     */
-  def jpegToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("px_row", IntegerType, nullable = false),
-      StructField("px_col", IntegerType, nullable = false),
-      StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (w, h, ch, px) = decodeJpegPixels(r.getAs[Array[Byte]](bytesIdx))
-      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
-        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k) & 0xff))
+  def jpegToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, MultimodalOps.PixelFields) { payload =>
+      val (w, h, ch, px) = decodeJpegPixels(payload)
+      for (row <- (0 until h).iterator; c <- 0 until w; k <- 0 until ch)
+        yield Seq[Any](row, c, k, px((row * w + c) * ch + k) & 0xff)
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }

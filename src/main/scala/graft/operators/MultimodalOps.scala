@@ -618,47 +618,32 @@ object MultimodalOps {
   /** BMP binary column → pixel rows (the pngToPixels shape: flatMap,
     * zero shuffle; RGB(A) values regardless of the file's BGR layout).
     */
-  def bmpToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("px_row", IntegerType, nullable = false),
-      StructField("px_col", IntegerType, nullable = false),
-      StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (w, h, ch, px) = decodeBmpPixels(r.getAs[Array[Byte]](bytesIdx))
-      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
-        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k)))
+  def bmpToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, PixelFields) { payload =>
+      val (w, h, ch, px) = decodeBmpPixels(payload)
+      for (row <- (0 until h).iterator; c <- 0 until w; k <- 0 until ch)
+        yield Seq[Any](row, c, k, px((row * w + c) * ch + k))
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** PNG binary column → pixel rows (pass-through columns preserved;
     * one row per (px_row, px_col, channel) with the 0..255 value).
     * Generator shape like [[Tiff.tiffToBlocks]]: flatMap, zero shuffle.
     */
-  def pngToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("px_row", IntegerType, nullable = false),
-      StructField("px_col", IntegerType, nullable = false),
-      StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (w, h, ch, px) = decodePngPixels(r.getAs[Array[Byte]](bytesIdx))
-      for (row <- 0 until h; c <- 0 until w; k <- 0 until ch)
-        yield Row.fromSeq(pass ++ Seq(row, c, k, px((row * w + c) * ch + k)))
+  def pngToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, PixelFields) { payload =>
+      val (w, h, ch, px) = decodePngPixels(payload)
+      for (row <- (0 until h).iterator; c <- 0 until w; k <- 0 until ch)
+        yield Seq[Any](row, c, k, px((row * w + c) * ch + k))
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
+
+  /** The (px_row, px_col, channel, value) suffix every full-frame pixel
+    * decoder emits.
+    */
+  private[operators] val PixelFields: Seq[StructField] = Seq(
+    StructField("px_row", IntegerType, nullable = false),
+    StructField("px_col", IntegerType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("value", IntegerType, nullable = false))
 
   // ---- real audio header parsing (WAV: RIFF / fmt / data) ----
 
@@ -697,15 +682,17 @@ object MultimodalOps {
     * chunks (fact, LIST, cue, …) skip with RIFF word alignment — real
     * float and extensible WAVs carry them.
     */
-  private def wavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+  private def wavLayout(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Long)] = {
     if (bytes == null || bytes.length < 12 || asciiAt(bytes, 0, 4) != "RIFF" ||
         asciiAt(bytes, 8, 4) != "WAVE") return None
     var pos = 12
     var fmt: Option[(Int, Int, Int, Int, Int)] = None
     while (pos + 8 <= bytes.length) {
       val id = asciiAt(bytes, pos, 4)
-      val len = leInt(bytes, pos + 4)
-      if (len < 0) return None
+      // RIFF sizes are UNSIGNED 32-bit (a 3 GB data chunk is legal); all
+      // arithmetic stays in Long so a huge declared length can neither
+      // wrap a bounds check nor drive `pos` negative
+      val len = leInt(bytes, pos + 4).toLong & 0xffffffffL
       if (id == "data") {
         // the DECLARED size is the contract (header-only fixtures carry
         // no payload; the sample decoders bounds-check what they read)
@@ -714,13 +701,13 @@ object MultimodalOps {
         }
       }
       // chunks we must walk PAST need their payload present
-      if (pos + 8 + len > bytes.length) return None
+      if (pos.toLong + 8 + len > bytes.length) return None
       if (id == "fmt ") {
         if (len < 16) return None
         fmt = Some((leShort(bytes, pos + 8), leShort(bytes, pos + 10),
           leInt(bytes, pos + 12), leShort(bytes, pos + 20), leShort(bytes, pos + 22)))
       }
-      pos += 8 + len + (len % 2) // RIFF chunks are word-aligned
+      pos = (pos.toLong + 8 + len + (len % 2)).toInt // word-aligned; fits: ≤ length
     }
     None
   }
@@ -737,7 +724,7 @@ object MultimodalOps {
     wavLayout(bytes) match {
       case Some((tag, channels, rate, blockAlign, bits, _, dataLen))
           if (tag == 1 || tag == 3) && rate > 0 && blockAlign > 0 =>
-        val nFrames = (dataLen.toLong & 0xffffffffL) / blockAlign
+        val nFrames = dataLen / blockAlign
         Row(rate, channels, bits, nFrames, nFrames * 1000000L / rate)
       case _ => null
     }
@@ -786,8 +773,9 @@ object MultimodalOps {
     require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
     require(Set(8, 16, 24, 32)(bits), s"bits per sample $bits unsupported")
     val bps = bits / 8
-    val n = ((dataLen.toLong & 0xffffffffL) / blockAlign * channels).toInt
-    require(dataOff.toLong + n.toLong * bps <= bytes.length, "truncated PCM payload")
+    val nL = dataLen / blockAlign * channels
+    require(dataOff.toLong + nL * bps <= bytes.length, "truncated PCM payload")
+    val n = nL.toInt
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
@@ -818,8 +806,9 @@ object MultimodalOps {
       "through decodeWavSamples)")
     require(bits == 32, s"float WAV bits $bits unsupported (32 only)")
     require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
-    val n = ((dataLen.toLong & 0xffffffffL) / blockAlign * channels).toInt
-    require(dataOff.toLong + n.toLong * 4 <= bytes.length, "truncated float payload")
+    val nL = dataLen / blockAlign * channels
+    require(dataOff.toLong + nL * 4 <= bytes.length, "truncated float payload")
+    val n = nL.toInt
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
@@ -854,48 +843,30 @@ object MultimodalOps {
     * FloatType values. Generator shape, zero shuffle, file = parallelism
     * unit.
     */
-  def wavFloatToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
+  def wavFloatToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("channel", IntegerType, nullable = false),
-      StructField("value", FloatType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (_, ch, samples) = decodeWavFloatSamples(r.getAs[Array[Byte]](bytesIdx))
+      StructField("value", FloatType, nullable = false))) { payload =>
+      val (_, ch, samples) = decodeWavFloatSamples(payload)
       // Seq[Any]: a bare Seq(Int, Int, Float) unifies to Seq[Float] and
       // silently widens the indices (weak conformance)
-      for (i <- samples.indices)
-        yield Row.fromSeq(pass ++ Seq[Any](i / ch, i % ch, samples(i)))
+      samples.indices.iterator.map(i => Seq[Any](i / ch, i % ch, samples(i)))
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** WAV binary column → PCM sample rows (pass-through columns preserved;
     * one row per (frame_idx, channel)). Generator shape like pngToPixels:
     * flatMap, zero shuffle — at 100 TB the parallelism unit is the FILE,
     * exactly how audio corpora shard.
     */
-  def wavToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
+  def wavToSamples(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("channel", IntegerType, nullable = false),
-      StructField("value", IntegerType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (_, ch, _, samples) = decodeWavSamples(r.getAs[Array[Byte]](bytesIdx))
-      for (i <- samples.indices)
-        yield Row.fromSeq(pass ++ Seq(i / ch, i % ch, samples(i)))
+      StructField("value", IntegerType, nullable = false))) { payload =>
+      val (_, ch, _, samples) = decodeWavSamples(payload)
+      samples.indices.iterator.map(i => Seq[Any](i / ch, i % ch, samples(i)))
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** Audio twin of `withDecodedMeta`: partition-mapped WAV header decode,
     * no shuffle, typed `audio_meta` struct (NULL when the payload is not
@@ -1067,24 +1038,16 @@ object MultimodalOps {
     * `aviToFrames(df).filter($"frame_idx" % stride === 0)` is frame
     * sampling over real video bytes.
     */
-  def aviToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
+  def aviToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_us", LongType, nullable = false),
-      StructField("frame", BinaryType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      val (_, _, usec, frames) = aviMjpegFrames(r.getAs[Array[Byte]](bytesIdx))
-      frames.zipWithIndex.map { case (f, i) =>
-        Row.fromSeq(pass ++ Seq(i, i.toLong * usec, f))
+      StructField("frame", BinaryType, nullable = false))) { payload =>
+      val (_, _, usec, frames) = aviMjpegFrames(payload)
+      frames.iterator.zipWithIndex.map { case (f, i) =>
+        Seq[Any](i, i.toLong * usec, f)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** STUB-backed resize: recomputes metadata for a target box preserving
     * aspect ratio (the pixel resample would live in the same map).

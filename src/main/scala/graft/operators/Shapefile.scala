@@ -143,6 +143,11 @@ object Shapefile {
     require(i32le(shx, 28) == 1000, "unsupported shx version")
     val fileLen = i32be(shx, 24) * 2
     require(fileLen <= shx.length, s"truncated shx: $fileLen > ${shx.length}")
+    // a corrupt declared length must not silently yield ZERO entries (a
+    // shapefile's records would vanish from the read) nor let a
+    // misaligned tail read past the declared end
+    require(fileLen >= 100 && (fileLen - 100) % 8 == 0,
+      s"malformed shx length $fileLen (header + whole 8-byte entries required)")
     (100 until fileLen by 8).map(o => (i32be(shx, o) * 2, i32be(shx, o + 4) * 2))
   }
 
@@ -179,14 +184,22 @@ object Shapefile {
     * shapefile exercises). Yields exactly what [[shpRecords]] yields on a
     * consistent pair.
     */
-  def shpRecordsIndexed(shp: Array[Byte], shx: Array[Byte]): Seq[(Int, String)] =
-    shxEntries(shx).map { case (off, len) =>
+  def shpRecordsIndexed(shp: Array[Byte], shx: Array[Byte]): Seq[(Int, String)] = {
+    val entries = shxEntries(shx)
+    // the index must account for the .shp's full declared extent — a
+    // short (or empty) index would silently drop the tail records
+    val shpLen = i32be(shp, 24) * 2
+    val end = entries.map { case (o, l) => o + 8 + l }.foldLeft(100)(math.max)
+    require(end == shpLen,
+      s"shx covers $end bytes but the shp declares $shpLen — index out of date")
+    entries.map { case (off, len) =>
       require(off >= 100 && off + 8 + len <= shp.length,
         s"shx entry ($off,$len) overruns the shp (${shp.length} bytes)")
       require(i32be(shp, off + 4) * 2 == len,
         s"shx content length $len disagrees with the record header at $off")
       (i32be(shp, off), shapeToWkt(shp, off + 8))
     }
+  }
 
   // ---- .dbf attribute table ----
 

@@ -149,25 +149,16 @@ object Tar {
     * parallelizes by SHARD, each task exploding its members for the
     * per-modality codecs downstream.
     */
-  def tarToFiles(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
+  def tarToFiles(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
       StructField("member_idx", IntegerType, nullable = false),
       StructField("name", StringType, nullable = false),
       StructField("ext", StringType, nullable = false),
-      StructField("bytes", BinaryType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      tarEntries(r.getAs[Array[Byte]](bytesIdx)).zipWithIndex.map {
-        case ((name, data), i) =>
-          val dot = name.lastIndexOf('.')
-          val ext = if (dot < 0) "" else name.substring(dot + 1).toLowerCase
-          Row.fromSeq(pass ++ Seq(i, name, ext, data))
+      StructField("bytes", BinaryType, nullable = false))) { payload =>
+      tarEntries(payload).iterator.zipWithIndex.map { case ((name, data), i) =>
+        val dot = name.lastIndexOf('.')
+        val ext = if (dot < 0) "" else name.substring(dot + 1).toLowerCase
+        Seq[Any](i, name, ext, data)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 }

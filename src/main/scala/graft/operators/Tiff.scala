@@ -789,52 +789,35 @@ object Tiff {
     * [[RasterBridge.explodeBlocks]] for pixel rows — together these are
     * the reference's windowed `src.read(window)` loop as a plan.
     */
-  def tiffToBlocks(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("tile_y", IntegerType, nullable = false),
-      StructField("tile_x", IntegerType, nullable = false),
-      StructField("block_h", IntegerType, nullable = false),
-      StructField("block_w", IntegerType, nullable = false),
-      StructField("blob", BinaryType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      blocksOf(r.getAs[Array[Byte]](bytesIdx)).map { case (ty, tx, bh, bw, blob) =>
-        Row.fromSeq(pass ++ Seq(ty, tx, bh, bw, blob))
+  def tiffToBlocks(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, BlockFields) { payload =>
+      blocksOf(payload).iterator.map { case (ty, tx, bh, bw, blob) =>
+        Seq[Any](ty, tx, bh, bw, blob)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
+
+  /** The (tile_y, tile_x, block_h, block_w, blob) suffix the block
+    * bridges emit.
+    */
+  private[operators] val BlockFields: Seq[StructField] = Seq(
+    StructField("tile_y", IntegerType, nullable = false),
+    StructField("tile_x", IntegerType, nullable = false),
+    StructField("block_h", IntegerType, nullable = false),
+    StructField("block_w", IntegerType, nullable = false),
+    StructField("blob", BinaryType, nullable = false))
 
   /** Multi-band twin of [[tiffToBlocks]]: adds a `band` column, decodes
     * both planar configurations via [[bandBlocksOf]]. The band column is
     * an ordinary pass-through for [[RasterBridge.explodeBlocks]], so
     * per-band pixel tables come out of the same bridge plan.
     */
-  def tiffToBandBlocks(media: DataFrame, bytesCol: String = "bytes"): DataFrame = {
-    val spark = media.sparkSession
-    val passFields = media.schema.fields.filterNot(_.name == bytesCol)
-    val passIdx = passFields.map(f => media.schema.fieldIndex(f.name))
-    val bytesIdx = media.schema.fieldIndex(bytesCol)
-    val outSchema = StructType(passFields.toSeq ++ Seq(
-      StructField("band", IntegerType, nullable = false),
-      StructField("tile_y", IntegerType, nullable = false),
-      StructField("tile_x", IntegerType, nullable = false),
-      StructField("block_h", IntegerType, nullable = false),
-      StructField("block_w", IntegerType, nullable = false),
-      StructField("blob", BinaryType, nullable = false)))
-    val rdd = media.rdd.flatMap { r =>
-      val pass = passIdx.map(r.get).toSeq
-      bandBlocksOf(r.getAs[Array[Byte]](bytesIdx)).map {
-        case (band, ty, tx, bh, bw, blob) =>
-          Row.fromSeq(pass ++ Seq(band, ty, tx, bh, bw, blob))
+  def tiffToBandBlocks(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol,
+      StructField("band", IntegerType, nullable = false) +: BlockFields) { payload =>
+      bandBlocksOf(payload).iterator.map { case (band, ty, tx, bh, bw, blob) =>
+        Seq[Any](band, ty, tx, bh, bw, blob)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   // ---- synth writer (the encode half, for tests/oracles — mm3 pattern) ----
 
@@ -950,6 +933,12 @@ object Tiff {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     KeyedFileSink.foreachKeyRun(blocks, sceneCol) { (key, rows) =>
       require(rows.nonEmpty, s"scene '$key' has no blocks")
+      // the file stem IS the scene id on re-ingest (readGeoTiffFiles) —
+      // a key that sanitization would rename cannot round-trip, so it
+      // fails closed instead of silently re-keying the corpus
+      require(KeyedFileSink.safeName(key) == key,
+        s"scene '$key' is not filesystem-safe ([A-Za-z0-9_.-]) — the stem is " +
+          "the scene id on read-back; rename the scene column before writing")
       val blockH = rows.head.getInt(bhIdx)
       val blockW = rows.head.getInt(bwIdx)
       val plane = new scala.collection.mutable.HashMap[(Int, Int, Int), Array[Byte]]

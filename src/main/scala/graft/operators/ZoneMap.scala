@@ -70,6 +70,11 @@ object ZoneMap {
     val boundAggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"z-order column '$c' has NULL bounds — the input is empty or the " +
+          "column is entirely NULL; nothing to cluster")
+    }
     val maxRank = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       val mn = bounds.getDouble(2 * i)
