@@ -240,16 +240,22 @@ object Gif {
           val table =
             if ((packed & 0x80) != 0) colorTable(packed & 0x07) else globalTable
           require(table != null, "frame has neither local nor global color table")
+          // geometry must be bounded BEFORE it sizes the pixel buffer
+          // (65535 x 65535 would overflow w*h into a negative allocation)
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 24),
+            s"implausible GIF frame geometry ${w}x$h")
           require(pos < bytes.length, "truncated before LZW data")
           val minCodeSize = bytes(pos) & 0xff
           pos += 1
           // concatenate the ≤255-byte data sub-blocks
           val data = new java.io.ByteArrayOutputStream()
+          require(pos < bytes.length, "truncated before image data")
           var n = bytes(pos) & 0xff
           while (n != 0) {
             require(pos + 1 + n <= bytes.length, "image data overruns the file")
             data.write(bytes, pos + 1, n)
             pos += 1 + n
+            require(pos < bytes.length, "image data overruns the file")
             n = bytes(pos) & 0xff
           }
           pos += 1

@@ -477,6 +477,7 @@ object Jpeg {
       val m = bytes(pos + 1) & 0xff
       if (m == 0xd9) { done = true; pos += 2 } // EOI
       else {
+        require(pos + 4 <= bytes.length, "truncated segment header")
         val len = be16(pos + 2)
         require(len >= 2 && pos + 2 + len <= bytes.length,
           f"segment 0xFF$m%02X overruns the file")
@@ -488,6 +489,8 @@ object Jpeg {
             while (o < pos + 2 + len) {
               val pq = (bytes(o) & 0xff) >> 4; val tq = bytes(o) & 0x0f
               require(pq == 0, "16-bit quantization tables unsupported")
+              require(tq < 4, s"quantization table id $tq out of range (0..3)")
+              require(o + 65 <= pos + 2 + len, "DQT overruns its segment")
               qt(tq) = Array.tabulate(64)(i => bytes(o + 1 + i) & 0xff)
               o += 65
             }
@@ -495,9 +498,12 @@ object Jpeg {
             var o = seg
             while (o < pos + 2 + len) {
               val tc = (bytes(o) & 0xff) >> 4; val th = bytes(o) & 0x0f
+              require(tc < 2 && th < 4, s"DHT class $tc / id $th out of range")
+              require(o + 17 <= pos + 2 + len, "DHT overruns its segment")
               val bits = new Array[Int](17)
               var total = 0
               for (l <- 1 to 16) { bits(l) = bytes(o + l) & 0xff; total += bits(l) }
+              require(o + 17 + total <= pos + 2 + len, "DHT values overrun the segment")
               val vals = Array.tabulate(total)(i => bytes(o + 17 + i) & 0xff)
               val t = new HuffDecode(bits, vals)
               if (tc == 0) dcTbl(th) = t else acTbl(th) = t
@@ -526,6 +532,7 @@ object Jpeg {
                 require(hv == 0x11, "grayscale must be 1x1 sampled")
               compSampH(i) = sh; compSampV(i) = sv
               compQ(i) = bytes(seg + 8 + 3 * i) & 0xff
+              require(compQ(i) < 4, s"quantization table id ${compQ(i)} out of range (0..3)")
             }
             maxH = compSampH.max; maxV = compSampV.max
             mcusX = (w + 8 * maxH - 1) / (8 * maxH)

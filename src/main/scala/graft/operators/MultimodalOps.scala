@@ -191,6 +191,11 @@ object MultimodalOps {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")
           w = beInt(bytes, off + 8); h = beInt(bytes, off + 12)
+          // bound the geometry BEFORE it sizes any allocation: a corrupt
+          // dimension field must reject, not NegativeArraySize/OOM
+          require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) &&
+            w.toLong * h <= (1L << 26),
+            s"implausible PNG geometry ${w}x$h")
           depth = bytes(off + 16).toInt
           ct = bytes(off + 17).toInt
           require(depth == 8 || depth == 16,

@@ -75,9 +75,16 @@ object Shapefile {
         // bbox (4 doubles) skipped; then numParts, numPoints, parts, points
         val nParts = i32le(b, off0 + 36)
         val nPoints = i32le(b, off0 + 40)
+        // corrupt counts must reject before they index anything: the
+        // part/point arrays have to fit the remaining payload
+        require(nParts >= 0 && nPoints >= 0 &&
+          off0 + 44L + 4L * nParts + 16L * nPoints <= b.length,
+          s"shape record declares $nParts parts / $nPoints points beyond the payload")
         val partsOff = off0 + 44
         val pointsOff = partsOff + 4 * nParts
         val starts = (0 until nParts).map(i => i32le(b, partsOff + 4 * i))
+        require(starts.forall(s0 => s0 >= 0 && s0 <= nPoints),
+          s"part offsets $starts outside 0..$nPoints")
         val bounds = starts :+ nPoints
         val partPts: IndexedSeq[IndexedSeq[(Double, Double)]] =
           (0 until nParts).map { p =>
@@ -123,10 +130,13 @@ object Shapefile {
     var off = 100
     while (off + 8 <= fileLen) {
       val recNo = i32be(shp, off)
-      val contentLen = i32be(shp, off + 4) * 2
-      require(off + 8 + contentLen <= fileLen, s"record $recNo overruns the file")
+      // Long arithmetic: a corrupt 32-bit length would otherwise wrap the
+      // bounds check negative and walk the cursor off the array
+      val contentLen = i32be(shp, off + 4).toLong * 2
+      require(contentLen >= 0 && off + 8 + contentLen <= fileLen,
+        s"record $recNo overruns the file")
       out += recNo -> shapeToWkt(shp, off + 8)
-      off += 8 + contentLen
+      off = (off + 8 + contentLen).toInt
     }
     out.toSeq
   }
@@ -210,6 +220,11 @@ object Shapefile {
     val nRec = i32le(dbf, 4)
     val hdrSize = i16le(dbf, 8)
     val recSize = i16le(dbf, 10)
+    // corrupt header fields must reject before they drive any record read
+    require(nRec >= 0 && hdrSize >= 33 && recSize >= 1 &&
+      hdrSize <= dbf.length && hdrSize + nRec.toLong * recSize <= dbf.length,
+      s"dbf header declares $nRec records of $recSize bytes after a " +
+        s"$hdrSize-byte header — beyond the ${dbf.length}-byte file")
     val fields = scala.collection.mutable.ArrayBuffer.empty[DbfField]
     var off = 32
     while (off + 32 <= hdrSize && dbf(off) != 0x0d) {
@@ -219,6 +234,10 @@ object Shapefile {
         dbf(off + 11).toChar, dbf(off + 16) & 0xff, dbf(off + 17) & 0xff)
       off += 32
     }
+    // corrupt field widths must not walk a record read past its bounds:
+    // the declared widths (plus the deletion flag) have to fit recSize
+    require(1 + fields.map(_.len).sum <= recSize,
+      s"dbf fields declare ${fields.map(_.len).sum} bytes inside $recSize-byte records")
     (fields.toSeq, nRec, hdrSize, recSize)
   }
 

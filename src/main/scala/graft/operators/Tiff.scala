@@ -99,13 +99,19 @@ object Tiff {
     }
 
     /** Where the entry's payload lives: inline when it fits in the value
-      * field (4 bytes classic, 8 bytes BigTIFF).
+      * field (4 bytes classic, 8 bytes BigTIFF). External payloads are
+      * bounds-checked here so a corrupt offset rejects descriptively
+      * instead of letting a later array read escape.
       */
     private def payloadOff(e: Entry): Int = {
       val sz = typeSize(e.typ) * e.count
       if (sz <= (if (big) 8 else 4)) e.valOff
-      else if (big) r.u64(e.valOff).toInt
-      else r.u32(e.valOff).toInt
+      else {
+        val off = if (big) r.u64(e.valOff) else r.u32(e.valOff)
+        require(off >= 0 && off + sz <= bytes.length,
+          s"tag ${e.tag}: external payload at $off+$sz outside the ${bytes.length}-byte file")
+        off.toInt
+      }
     }
 
     def intVal(tag: Int): Option[Long] = entries.get(tag).map { e =>
@@ -679,16 +685,23 @@ object Tiff {
     require(spp >= 1, s"bad SamplesPerPixel $spp")
     require(planar == 1 || planar == 2,
       s"PlanarConfiguration must be chunky (1) or planar (2), got $planar")
-    val width = p.intVal(256).get.toInt
-    val height = p.intVal(257).get.toInt
+    def reqTag(tag: Int): Long = p.intVal(tag).getOrElse(
+      throw new IllegalArgumentException(s"missing required TIFF tag $tag"))
+    val width = reqTag(256).toInt
+    val height = reqTag(257).toInt
+    require(width > 0 && height > 0 && width <= (1 << 20) && height <= (1 << 20),
+      s"implausible TIFF geometry ${width}x$height")
     val tiled = p.entries.contains(322)
-    val offsets = p.longArray(if (tiled) 324 else 273).get
-    val counts = p.longArray(if (tiled) 325 else 279).get
+    val offsets = p.longArray(if (tiled) 324 else 273).getOrElse(
+      throw new IllegalArgumentException("missing block offsets tag"))
+    val counts = p.longArray(if (tiled) 325 else 279).getOrElse(
+      throw new IllegalArgumentException("missing block byte-counts tag"))
     require(offsets.length == counts.length, "offset/count arrays disagree")
 
     def slice(off: Long, len: Long, nSamples: Int, samplesPerRow: Int,
         stride: Int): Array[Byte] = {
-      require(off + len <= bytes.length, s"block at $off+$len beyond EOF ${bytes.length}")
+      require(off >= 0 && len >= 0 && off + len <= bytes.length,
+        s"block at $off+$len beyond EOF ${bytes.length}")
       val rawLen = bps * nSamples
       val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       val out =
@@ -722,8 +735,10 @@ object Tiff {
     // spatial geometry: (tile_y, tile_x, rows, cols) for plane-block i
     val (nSpatial, geom): (Int, Int => (Int, Int, Int, Int)) =
       if (tiled) {
-        val tw = p.intVal(322).get.toInt
-        val th = p.intVal(323).get.toInt
+        val tw = reqTag(322).toInt
+        val th = reqTag(323).toInt
+        require(tw > 0 && th > 0 && tw <= (1 << 16) && th <= (1 << 16),
+          s"implausible tile geometry ${tw}x$th")
         val across = (width + tw - 1) / tw
         val down = (height + th - 1) / th
         (across * down, i => (i / across, i % across, th, tw))
