@@ -42,11 +42,13 @@ object GeoPackage {
     var v = 0L
     var i = 0
     while (i < 8) {
+      require(off + i < b.length, "varint runs past the end of the file")
       val x = b(off + i)
       v = (v << 7) | (x & 0x7fL)
       i += 1
       if ((x & 0x80) == 0) return (v, i)
     }
+    require(off + 8 < b.length, "varint runs past the end of the file")
     ((v << 8) | (b(off + 8) & 0xffL), 9)
   }
 
@@ -55,6 +57,8 @@ object GeoPackage {
 
   private def decodeRecord(payload: Array[Byte], rowid: Long): Rec = {
     val (hdrLen, n0) = varint(payload, 0)
+    require(hdrLen >= n0 && hdrLen <= payload.length,
+      s"record header length $hdrLen outside the ${payload.length}-byte payload")
     var hOff = n0
     val types = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (hOff < hdrLen) {
@@ -62,11 +66,19 @@ object GeoPackage {
       types += t; hOff += n
     }
     var bOff = hdrLen.toInt
+    // declared serial-type widths must fit the payload body — a corrupt
+    // header would otherwise read (or String-construct) past the array
+    def bodyTake(n: Int): Int = {
+      require(n >= 0 && bOff + n <= payload.length,
+        s"serial value of $n bytes at $bOff overruns the ${payload.length}-byte record")
+      val at = bOff; bOff += n; at
+    }
     val values = types.map { t =>
       def intN(n: Int): Long = {
-        var v: Long = payload(bOff).toLong // sign-extend first byte
-        for (i <- 1 until n) v = (v << 8) | (payload(bOff + i) & 0xffL)
-        bOff += n; v
+        val at = bodyTake(n)
+        var v: Long = payload(at).toLong // sign-extend first byte
+        for (i <- 1 until n) v = (v << 8) | (payload(at + i) & 0xffL)
+        v
       }
       t match {
         case 0 => null
@@ -81,12 +93,12 @@ object GeoPackage {
         case 9 => 1L
         case t if t >= 12 && t % 2 == 0 =>
           val len = ((t - 12) / 2).toInt
-          val v = java.util.Arrays.copyOfRange(payload, bOff, bOff + len)
-          bOff += len; v
+          val at = bodyTake(len)
+          java.util.Arrays.copyOfRange(payload, at, at + len)
         case t if t >= 13 =>
           val len = ((t - 13) / 2).toInt
-          val v = new String(payload, bOff, len, "UTF-8")
-          bOff += len; v
+          val at = bodyTake(len)
+          new String(payload, at, len, "UTF-8")
         case other => throw new IllegalArgumentException(s"serial type $other")
       }
     }
@@ -96,13 +108,22 @@ object GeoPackage {
   /** Walk a table b-tree from `rootPage` (1-based), yielding decoded rows.
     * Overflow pages are out of scope (fail loudly if a cell spills).
     */
-  private def tableRows(db: Array[Byte], pageSize: Int, rootPage: Int): Seq[Rec] = {
+  private def tableRows(db: Array[Byte], pageSize: Int, rootPage: Int,
+      depth: Int = 0): Seq[Rec] = {
+    // corrupt page numbers / self-referencing interior pages must reject,
+    // not index past the file or recurse forever
+    require(depth < 32, "b-tree deeper than 32 levels — cyclic or corrupt")
+    require(rootPage >= 1 && rootPage.toLong * pageSize <= db.length,
+      s"page $rootPage outside the ${db.length}-byte file")
     val pageOff = (rootPage - 1) * pageSize
     val hdrOff = if (rootPage == 1) pageOff + 100 else pageOff
+    require(hdrOff + 12 <= db.length, "page header runs past the end of the file")
     val pageType = db(hdrOff) & 0xff
     val nCells = u16(db, hdrOff + 3)
     pageType match {
       case 0x0d => // leaf
+        require(hdrOff + 8 + 2 * nCells <= db.length,
+          "cell pointer array runs past the end of the file")
         (0 until nCells).flatMap { i =>
           val cellOff = pageOff + u16(db, hdrOff + 8 + 2 * i)
           val (payloadLen, n1) = varint(db, cellOff)
@@ -110,16 +131,22 @@ object GeoPackage {
           val maxLocal = pageSize - 35 // usable - 35: the no-overflow bound
           require(payloadLen <= maxLocal,
             s"cell payload $payloadLen spills to overflow pages (unsupported)")
+          require(payloadLen >= 0 &&
+            cellOff.toLong + n1 + n2 + payloadLen <= db.length,
+            s"cell payload at $cellOff+$payloadLen runs past the end of the file")
           val payload = java.util.Arrays.copyOfRange(
             db, cellOff + n1 + n2, cellOff + n1 + n2 + payloadLen.toInt)
           Seq(decodeRecord(payload, rowid))
         }
       case 0x05 => // interior: left-child pointers + rightmost pointer
+        require(hdrOff + 12 + 2 * nCells <= db.length,
+          "cell pointer array runs past the end of the file")
         val kids = (0 until nCells).map { i =>
           val cellOff = pageOff + u16(db, hdrOff + 12 + 2 * i)
+          require(cellOff + 4 <= db.length, "child pointer runs past the end of the file")
           u32(db, cellOff).toInt
         } :+ u32(db, hdrOff + 8).toInt
-        kids.flatMap(tableRows(db, pageSize, _))
+        kids.flatMap(tableRows(db, pageSize, _, depth + 1))
       case other =>
         throw new IllegalArgumentException(f"not a table b-tree page: type 0x$other%02x")
     }
@@ -232,8 +259,12 @@ object GeoPackage {
         val cols = columnsOf(m.sql).map(_._1)
         val tIdx = cols.indexOf("table_name")
         val dIdx = cols.indexOf("data_type")
-        tableRows(bytes, pageSize, m.rootPage)
-          .filter(r => r.values(dIdx) == "features")
+        require(tIdx >= 0 && dIdx >= 0,
+          s"gpkg_contents lacks table_name/data_type columns: ${cols.mkString(", ")}")
+        val rows = tableRows(bytes, pageSize, m.rootPage)
+        rows.foreach(r => require(r.values.length > math.max(tIdx, dIdx),
+          s"gpkg_contents row has ${r.values.length} values, schema declares ${cols.length}"))
+        rows.filter(r => r.values(dIdx) == "features")
           .map(_.values(tIdx).asInstanceOf[String])
     }
   }

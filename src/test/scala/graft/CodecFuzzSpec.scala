@@ -138,6 +138,15 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("shx", Seq(Shapefile.synthShx(shp)))(Shapefile.shxEntries)
   }
 
+  test("GPKG b-tree walk never escapes fail-closed") {
+    val gpkg = GeoPackage.synthGpkg("seg", (0 until 6).map { i =>
+      val x = i.toDouble
+      (i.toLong + 1, GeoPackage.gpkgPolygonBlob(
+        Seq((x, 0.0), (x + 1.0, 0.0), (x + 1.0, 1.0), (x, 0.0))), s"n$i", i * 0.5)
+    })
+    fuzz("gpkg", Seq(gpkg))(GeoPackage.layersOf)
+  }
+
   test("CRS text parser never escapes fail-closed") {
     val rnd = new scala.util.Random(7)
     val base =
