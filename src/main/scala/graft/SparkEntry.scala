@@ -3827,6 +3827,24 @@ object SparkEntry {
       floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
   }
 
+  /** G17 — NAD83 / UTM (EPSG:26915, the GRS80 UTM band that was a reject
+    * before r9's parameterized Transverse Mercator): central-US lon/lat
+    * points forward-projected through the EPSG shorthand. The TM series
+    * is pow-free, so raw double outputs hash cross-engine (the g13
+    * precedent); the oracle evaluates the identical Snyder series with
+    * TmParams' GRS80-derived constants interpolated from the SAME Scala
+    * arithmetic, including the exact −M(φ0)=−0.0 northing term.
+    */
+  private def g17(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-96.0) + (col("p_partkey") % 50).cast("double") * lit(0.02)).as("lon"),
+      (lit(38.0) + (col("p_size") % 40).cast("double") * lit(0.05)).as("lat"))
+    val crs = operators.CrsWkt.parseCrs("EPSG:26915")
+      .asInstanceOf[operators.CrsWkt.Projected]
+    val (x, y) = crs.forward(col("lon"), col("lat"))
+    base.select(col("pk"), x.as("x"), y.as("y")).orderBy("pk")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -4184,6 +4202,7 @@ object SparkEntry {
     "g13b_multipoint_reproject" -> (g13b _),
     "g15_stateplane_ftus" -> (g15 _),
     "g16_polar_stereographic" -> (g16 _),
+    "g17_nad83_utm" -> (g17 _),
     "s20_geotiff_sink" -> (s20 _),
     "s21_webdataset_shards" -> (s21 _),
     "g14_epsg_reproject" -> (g14 _),
@@ -6185,6 +6204,38 @@ object SparkEntry {
         |  sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT))
         |FROM txt GROUP BY shard_id
         |ORDER BY shard_id, kind""".stripMargin,
+    // g17: the Snyder TM forward with TmParams' GRS80 constants
+    // interpolated from the same Scala arithmetic, mirrored term by term
+    // (incl. the exact (m - 0.0) origin-offset spelling)
+    "g17_nad83_utm" -> {
+      import operators.Regrid.{Ellipsoid, TmParams, Utm}
+      val grs80 = Ellipsoid(6378137.0, 298.257222101)
+      val p = TmParams(-93.0, a = grs80.a, e2 = grs80.e2)
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    -96.0 + CAST(p_partkey % 50 AS DOUBLE) * 0.02 AS lon,
+        |    38.0 + CAST(p_size % 40 AS DOUBLE) * 0.05 AS lat
+        |  FROM part),
+        |f1 AS (SELECT pk, lat * ${Utm.Deg2Rad} AS phi,
+        |    (lon - (${p.lon0Deg})) * ${Utm.Deg2Rad} AS dlam FROM pts),
+        |f2 AS (SELECT pk, phi, dlam,
+        |    sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp FROM f1),
+        |f3 AS (SELECT pk, phi, tp,
+        |    ${p.a} / sqrt(1.0 - ${p.e2} * sp * sp) AS n,
+        |    tp * tp AS t, ${p.ep2} * cp * cp AS c, dlam * cp AS aa,
+        |    ${p.a} * (${p.m0c} * phi - ${p.m2c} * sin(2.0 * phi)
+        |      + ${p.m4c} * sin(4.0 * phi) - ${p.m6c} * sin(6.0 * phi)) AS m
+        |  FROM f2)
+        |SELECT pk,
+        |  ${p.falseEasting} + ${p.k0} * n * (aa
+        |    + (1.0 - t + c) * aa * aa * aa / 6.0
+        |    + (5.0 - 18.0 * t + t * t + 72.0 * c - ${58.0 * p.ep2})
+        |      * aa * aa * aa * aa * aa / 120.0) AS x,
+        |  ${p.falseNorthing} + ${p.k0} * ((m - ${p.m0Arc}) + n * tp * (aa * aa / 2.0
+        |    + (5.0 - t + 9.0 * c + 4.0 * c * c) * aa * aa * aa * aa / 24.0
+        |    + (61.0 - 58.0 * t + t * t + 600.0 * c - ${330.0 * p.ep2})
+        |      * aa * aa * aa * aa * aa * aa / 720.0)) AS y
+        |FROM f3 ORDER BY pk""".stripMargin
+    },
     // g16: the Snyder polar-stereographic forward (21-30..21-34) with
     // PsParams constants interpolated from the same Scala arithmetic,
     // mirrored association, fixed-point ×64 floor (margins scanned)

@@ -29,7 +29,9 @@ import graft.operators.Regrid._
   * unit, exactly.
   *
   * Implemented surface (exactly what [[Regrid]] ships):
-  *   - Transverse Mercator in its UTM parameterization → [[UtmFromGeographic]]
+  *   - Transverse Mercator: the WGS84 UTM parameterization →
+  *     [[UtmFromGeographic]]; everything else (NAD83/GRS80 UTM,
+  *     Gauss-Krüger, nonzero origins) → the parameterized [[TmParams]]
   *   - Mercator_1SP / Pseudo-Mercator → [[WebMercatorFromGeographic]]
   *   - Lambert_Conformal_Conic_2SP → [[LambertConformalFromGeographic]]
   *   - Albers_Conic_Equal_Area → [[AlbersFromGeographic]]
@@ -278,26 +280,22 @@ object CrsWkt {
     def sp2 = p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"), Req)
     key match {
       case "tm" =>
-        // only the UTM parameterization is implemented (the Utm constants
-        // are baked into the Snyder series): k0=0.9996, FE=500km, lat0=0,
-        // central meridian on a zone line, FN 0 (N) or 10000km (S)
-        require(k0 == 0.9996, s"Transverse Mercator with scale_factor $k0: only the " +
-          "UTM parameterization (0.9996) is implemented")
-        require(lat0 == 0.0, s"UTM latitude_of_origin must be 0, got $lat0")
-        require(fe == 500000.0, s"UTM false_easting must be 500000, got $fe")
-        val southern = fn match {
-          case 0.0 => false
-          case 10000000.0 => true
-          case other => throw new IllegalArgumentException(
-            s"UTM false_northing must be 0 or 10000000, got $other")
-        }
+        // the exact WGS84 UTM parameterization keeps the pinned
+        // [[UtmFromGeographic]] pair (existing oracles hash against its
+        // constants); every OTHER Transverse Mercator — NAD83/GRS80 UTM,
+        // Gauss-Krüger, national grids, nonzero latitude of origin —
+        // dispatches the parameterized [[TmParams]] series (r9; this was
+        // a reject before)
         val c = cm
         val zone = math.round((c + 183.0) / 6.0).toInt
-        require(zone >= 1 && zone <= 60 && Utm.centralMeridianDeg(zone) == c,
-          s"central_meridian $c is not a UTM zone meridian")
-        require(geog.ellipsoid == Ellipsoid.Wgs84,
-          s"UTM is implemented on WGS84 only; got ellipsoid ${geog.ellipsoid}")
-        UtmFromGeographic(zone, southern)
+        val isUtmParams = k0 == 0.9996 && lat0 == 0.0 && fe == 500000.0 &&
+          (fn == 0.0 || fn == 10000000.0) &&
+          zone >= 1 && zone <= 60 && Utm.centralMeridianDeg(zone) == c
+        if (isUtmParams && geog.ellipsoid == Ellipsoid.Wgs84)
+          UtmFromGeographic(zone, southern = fn == 10000000.0)
+        else
+          TransverseMercatorFromGeographic(TmParams(
+            c, lat0, k0, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
       case "webmerc" =>
         // EPSG:3857 spherical Web-Mercator on the WGS84 semi-major sphere
         require(cm0 == 0.0 && fe == 0.0 && fn == 0.0 && k0 == 1.0 &&
@@ -469,6 +467,12 @@ object CrsWkt {
       case z if z >= 32601 && z <= 32660 => Projected(wgs, UtmFromGeographic(z - 32600))
       case z if z >= 32701 && z <= 32760 =>
         Projected(wgs, UtmFromGeographic(z - 32700, southern = true))
+      case z if z >= 26901 && z <= 26923 => // NAD83 / UTM zones 1N..23N (GRS80)
+        Projected(
+          GeogCrs("NORTH_AMERICAN_DATUM_1983", Nad83Ellipsoid, (0.0, 0.0, 0.0)),
+          TransverseMercatorFromGeographic(TmParams(
+            Utm.centralMeridianDeg(z - 26900),
+            a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
       case 4269 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1983",
         Nad83Ellipsoid, (0.0, 0.0, 0.0)))
       case 4267 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1927",
@@ -500,7 +504,7 @@ object CrsWkt {
         Projected(wgs, PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
       case other => throw new IllegalArgumentException(
         s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
-          "4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
+          "269xx NAD83 UTM, 4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
     }
   }
 

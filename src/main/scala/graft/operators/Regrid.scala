@@ -207,6 +207,108 @@ object Regrid {
     def inverse: Transform2D = UtmFromGeographic(zone, southern)
   }
 
+  /** Constants for a GENERAL ellipsoidal Transverse Mercator (Snyder
+    * 8-9..8-25) — the parameterized superset of the WGS84-pinned UTM
+    * pair: any ellipsoid (NAD83/GRS80 UTM — the most common US raster
+    * CRS after State Plane — Gauss-Krüger, legacy national grids), any
+    * central meridian/scale/false offsets, and a nonzero latitude of
+    * origin via the meridian-arc offset M(φ0). Same driver-double-
+    * constants discipline as [[LccParams]]; on the exact UTM
+    * parameterization the algebra reproduces [[UtmFromGeographic]]'s
+    * values bit-for-bit (RegridSpec proves it).
+    */
+  final case class TmParams(
+      lon0Deg: Double, lat0Deg: Double = 0.0, k0: Double = 0.9996,
+      falseEasting: Double = 500000.0, falseNorthing: Double = 0.0,
+      a: Double = Utm.A, e2: Double = Utm.E2) {
+    import Utm.Deg2Rad
+    require(k0 > 0, s"scale factor $k0 must be positive")
+    val ep2: Double = e2 / (1 - e2)
+    // meridian-arc series coefficients (Snyder 3-21)
+    val m0c: Double = 1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256
+    val m2c: Double = 3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024
+    val m4c: Double = 15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024
+    val m6c: Double = 35 * e2 * e2 * e2 / 3072
+    /** Meridian arc length M(φ) as a plain double (for the φ0 offset). */
+    def arc(phiDeg: Double): Double = {
+      val p = phiDeg * Deg2Rad
+      a * (m0c * p - m2c * math.sin(2 * p) + m4c * math.sin(4 * p) -
+        m6c * math.sin(6 * p))
+    }
+    val m0Arc: Double = arc(lat0Deg)
+    // footpoint-latitude series coefficients (Snyder 3-26)
+    val e1: Double = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    val p2: Double = 3 * e1 / 2 - 27 * e1 * e1 * e1 / 32
+    val p4: Double = 21 * e1 * e1 / 16 - 55 * e1 * e1 * e1 * e1 / 32
+    val p6: Double = 151 * e1 * e1 * e1 / 96
+    val p8: Double = 1097 * e1 * e1 * e1 * e1 / 512
+  }
+
+  /** Geographic (lon°, lat°) → general Transverse Mercator (x, y) —
+    * [[UtmFromGeographic]]'s algebra with every constant drawn from
+    * [[TmParams]] (plus the M(φ0) northing offset, an exact zero on the
+    * UTM parameterization).
+    */
+  final case class TransverseMercatorFromGeographic(p: TmParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val phi = lat * lit(Deg2Rad)
+      val dlam = (lon - lit(p.lon0Deg)) * lit(Deg2Rad)
+      val sinPhi = sin(phi); val cosPhi = cos(phi); val tanPhi = tan(phi)
+      val n = lit(p.a) / sqrt(lit(1.0) - lit(p.e2) * sinPhi * sinPhi)
+      val t = tanPhi * tanPhi
+      val c = lit(p.ep2) * cosPhi * cosPhi
+      val aa = dlam * cosPhi
+      val m = lit(p.a) * (lit(p.m0c) * phi - lit(p.m2c) * sin(lit(2.0) * phi) +
+        lit(p.m4c) * sin(lit(4.0) * phi) - lit(p.m6c) * sin(lit(6.0) * phi))
+      val easting = lit(p.falseEasting) + lit(p.k0) * n * (aa +
+        (lit(1.0) - t + c) * aa * aa * aa / lit(6.0) +
+        (lit(5.0) - lit(18.0) * t + t * t + lit(72.0) * c - lit(58.0) * p.ep2) *
+          aa * aa * aa * aa * aa / lit(120.0))
+      val northing = lit(p.falseNorthing) + lit(p.k0) * (m - lit(p.m0Arc) +
+        n * tanPhi * (aa * aa / lit(2.0) +
+          (lit(5.0) - t + lit(9.0) * c + lit(4.0) * c * c) *
+            aa * aa * aa * aa / lit(24.0) +
+          (lit(61.0) - lit(58.0) * t + t * t + lit(600.0) * c - lit(330.0) * p.ep2) *
+            aa * aa * aa * aa * aa * aa / lit(720.0)))
+      (easting, northing)
+    }
+    def inverse: Transform2D = GeographicFromTransverseMercator(p)
+  }
+
+  /** General Transverse Mercator (x, y) → geographic (lon°, lat°) —
+    * [[GeographicFromUtm]]'s footpoint algebra parameterized by
+    * [[TmParams]].
+    */
+  final case class GeographicFromTransverseMercator(p: TmParams) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(x: Column, y: Column): (Column, Column) = {
+      val m = (y - lit(p.falseNorthing)) / lit(p.k0) + lit(p.m0Arc)
+      val mu = m / lit(p.a * p.m0c)
+      val phi1 = mu + lit(p.p2) * sin(lit(2.0) * mu) + lit(p.p4) * sin(lit(4.0) * mu) +
+        lit(p.p6) * sin(lit(6.0) * mu) + lit(p.p8) * sin(lit(8.0) * mu)
+      val sinP1 = sin(phi1); val cosP1 = cos(phi1); val tanP1 = tan(phi1)
+      val c1 = lit(p.ep2) * cosP1 * cosP1
+      val t1 = tanP1 * tanP1
+      val oneMinus = lit(1.0) - lit(p.e2) * sinP1 * sinP1
+      val n1 = lit(p.a) / sqrt(oneMinus)
+      val r1 = lit(p.a * (1 - p.e2)) / (oneMinus * sqrt(oneMinus))
+      val d = (x - lit(p.falseEasting)) / (n1 * lit(p.k0))
+      val latRad = phi1 - (n1 * tanP1 / r1) * (d * d / lit(2.0) -
+        (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 -
+          lit(9.0) * p.ep2) * d * d * d * d / lit(24.0) +
+        (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
+          lit(252.0) * p.ep2 - lit(3.0) * c1 * c1) *
+          d * d * d * d * d * d / lit(720.0))
+      val lonRad = (d - (lit(1.0) + lit(2.0) * t1 + c1) * d * d * d / lit(6.0) +
+        (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
+          lit(8.0) * p.ep2 + lit(24.0) * t1 * t1) *
+          d * d * d * d * d / lit(120.0)) / cosP1
+      (lit(p.lon0Deg) + lonRad / lit(Deg2Rad), latRad / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = TransverseMercatorFromGeographic(p)
+  }
+
   /** Geographic (lon°, lat°) → spherical Web-Mercator (EPSG:3857) meters —
     * the second named-CRS family through the same [[Transform2D]] seam as
     * UTM (proving the pattern generalizes): x = R·λ, y = R·ln(tan(π/4 +

@@ -124,16 +124,30 @@ class CrsWktSpec extends AnyFunSuite {
     rejects(
       s"""PROJCS["sinu",$GdalWgs84Geo,PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],UNIT["metre",1]]""",
       "not implemented")
-    // a UTM spelled in feet still rejects — the scaled false easting is
-    // no longer the UTM parameterization (units scale; UTM stays metric)
-    rejects(utmProjcs(33, unit = "UNIT[\"US survey foot\",0.304800609601219]"),
-      "false_easting")
+    // a UTM spelled in feet is no longer the pinned UTM parameterization
+    // (the scaled false easting differs) — since r9 it dispatches the
+    // parameterized TM wrapped in the exact foot-unit affine
+    locally {
+      val u = 0.304800609601219
+      assert(CrsWkt.parseCrs(
+          utmProjcs(33, unit = s"""UNIT["US survey foot",$u]"""))
+        .asInstanceOf[CrsWkt.Projected].forward ==
+        ComposedTransform(
+          TransverseMercatorFromGeographic(TmParams(15.0, 0.0, 0.9996, 500000.0 * u, 0.0)),
+          AffineTransform(1.0 / u, 0.0, 0.0, 0.0, 1.0 / u, 0.0)))
+    }
     // nonsense unit factors reject rather than scale
     rejects(utmProjcs(33, unit = "UNIT[\"weird\",-1]"), "positive")
-    // non-UTM transverse Mercator
-    rejects(utmProjcs(33).replace("0.9996", "1.0000"), "scale_factor")
-    rejects(utmProjcs(33).replace("\"central_meridian\",15", "\"central_meridian\",14"),
-      "zone meridian")
+    // non-UTM transverse Mercator dispatches the PARAMETERIZED series
+    // since r9 (it was a reject before): k0=1 Gauss-Krüger style and an
+    // off-zone central meridian both resolve to TmParams chains
+    assert(CrsWkt.parseCrs(utmProjcs(33).replace("0.9996", "1.0000"))
+      .asInstanceOf[CrsWkt.Projected].forward ==
+      TransverseMercatorFromGeographic(TmParams(15.0, 0.0, 1.0, 500000.0, 0.0)))
+    assert(CrsWkt.parseCrs(
+        utmProjcs(33).replace("\"central_meridian\",15", "\"central_meridian\",14"))
+      .asInstanceOf[CrsWkt.Projected].forward ==
+      TransverseMercatorFromGeographic(TmParams(14.0, 0.0, 0.9996, 500000.0, 0.0)))
     // unknown datum with no TOWGS84
     rejects(GdalWgs84Geo.replace("WGS_1984", "Unknown_Local_1901"), "named datum")
     // 7-param TOWGS84 with a rotation

@@ -383,6 +383,41 @@ class RegridSpec extends AnyFunSuite {
 
   // ---- datum shift (abridged Molodensky) + composition ----
 
+  test("parameterized TM reproduces the pinned UTM pair bit-for-bit on UTM parameters") {
+    val utm = Regrid.UtmFromGeographic(33)
+    val gen = Regrid.TransverseMercatorFromGeographic(Regrid.TmParams(15.0))
+    val pts = for (lon <- Seq(12.0, 15.0, 17.9); lat <- Seq(-40.0, 0.0, 38.7, 71.2))
+      yield (lon, lat)
+    evalXform(utm, pts).zip(evalXform(gen, pts)).foreach { case ((ux, uy), (gx, gy)) =>
+      // exact double equality: same series, same constants, and the
+      // M(phi0)=0 offset subtracts an exact zero
+      assert(ux == gx && uy == gy, s"($ux,$uy) vs ($gx,$gy)")
+    }
+    evalXform(utm.inverse, pts.map(p => (p._1 * 40000, p._2 * 50000)))
+      .zip(evalXform(gen.inverse, pts.map(p => (p._1 * 40000, p._2 * 50000))))
+      .foreach { case ((ux, uy), (gx, gy)) =>
+        assert(ux == gx && uy == gy, s"inverse ($ux,$uy) vs ($gx,$gy)")
+      }
+  }
+
+  test("parameterized TM: GRS80 ellipsoid + nonzero origin round-trips sub-millimeter") {
+    val grs80 = Regrid.Ellipsoid(6378137.0, 298.257222101)
+    // a Gauss-Krüger-ish zone: k0=1, lat0=40, offset origins, GRS80
+    val p = Regrid.TmParams(-93.0, 40.0, 1.0, 250000.0, 100000.0, grs80.a, grs80.e2)
+    val fwd = Regrid.TransverseMercatorFromGeographic(p)
+    // the grid origin maps to exactly (FE, FN): M(phi0) cancels M(phi)
+    val at0 = evalXform(fwd, Seq((-93.0, 40.0)))
+    assert(math.abs(at0(0)._1 - 250000.0) < 1e-9 &&
+      math.abs(at0(0)._2 - 100000.0) < 1e-9, at0(0).toString)
+    val pts = for (lon <- Seq(-95.5, -93.0, -90.2); lat <- Seq(30.0, 40.0, 48.9))
+      yield (lon, lat)
+    evalXform(fwd.inverse, evalXform(fwd, pts)).zip(pts).foreach {
+      case ((lon2, lat2), (lon, lat)) =>
+        assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+          s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
   // ---- polar stereographic (Snyder 21-30..21-41, 3-5) ----
 
   test("Polar stereographic invariants: unit scale at the standard parallel, pole anchor") {
