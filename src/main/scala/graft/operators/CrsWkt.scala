@@ -170,6 +170,10 @@ object CrsWkt {
     // NAD83/GRS80 is coincident with WGS84 at the metre level
     "NORTH_AMERICAN_DATUM_1983" -> (0.0, 0.0, 0.0),
     "NORTH_AMERICAN_1983" -> (0.0, 0.0, 0.0),
+    // ETRS89/GRS80 is likewise coincident with WGS84 at the metre level
+    "EUROPEAN_TERRESTRIAL_REFERENCE_SYSTEM_1989" -> (0.0, 0.0, 0.0),
+    "ETRS89" -> (0.0, 0.0, 0.0),
+    "ETRS_1989" -> (0.0, 0.0, 0.0),
     "TOKYO" -> (-146.414, 507.337, 680.507),
     "NORTH_AMERICAN_DATUM_1927" -> (-8.0, 160.0, 176.0),
     "NORTH_AMERICAN_1927" -> (-8.0, 160.0, 176.0))
@@ -473,6 +477,14 @@ object CrsWkt {
           TransverseMercatorFromGeographic(TmParams(
             Utm.centralMeridianDeg(z - 26900),
             a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
+      case z if z >= 25828 && z <= 25838 => // ETRS89 / UTM zones 28N..38N (GRS80,
+        // coincident with WGS84 at the metre level — the European corpus band)
+        Projected(
+          GeogCrs("EUROPEAN_TERRESTRIAL_REFERENCE_SYSTEM_1989", Nad83Ellipsoid,
+            (0.0, 0.0, 0.0)),
+          TransverseMercatorFromGeographic(TmParams(
+            Utm.centralMeridianDeg(z - 25800),
+            a = Nad83Ellipsoid.a, e2 = Nad83Ellipsoid.e2)))
       case 4269 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1983",
         Nad83Ellipsoid, (0.0, 0.0, 0.0)))
       case 4267 => Geographic(GeogCrs("NORTH_AMERICAN_DATUM_1927",
@@ -504,7 +516,7 @@ object CrsWkt {
         Projected(wgs, PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
       case other => throw new IllegalArgumentException(
         s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
-          "269xx NAD83 UTM, 4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
+          "269xx NAD83 UTM, 258xx ETRS89 UTM, 4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
     }
   }
 

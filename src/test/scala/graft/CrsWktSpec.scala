@@ -364,6 +364,15 @@ class CrsWktSpec extends AnyFunSuite {
       ComposedTransform(GeographicFromUtm(54),
         AbridgedMolodensky(146.414, -507.337, -680.507,
           Ellipsoid.Wgs84, Ellipsoid.Bessel1841)))
+    // the GRS80 UTM bands (NAD83 + ETRS89) dispatch the parameterized TM
+    val grs80 = Ellipsoid(6378137.0, 298.257222101)
+    assert(CrsWkt.parseCrs("EPSG:26915").asInstanceOf[CrsWkt.Projected].forward ==
+      TransverseMercatorFromGeographic(TmParams(-93.0, a = grs80.a, e2 = grs80.e2)))
+    assert(CrsWkt.parseCrs("EPSG:25832").asInstanceOf[CrsWkt.Projected].forward ==
+      TransverseMercatorFromGeographic(TmParams(9.0, a = grs80.a, e2 = grs80.e2)))
+    // NAD83/ETRS89/WGS84 coincide at the metre level: no datum shift in chains
+    assert(CrsWkt.transform(CrsWkt.parseCrs("EPSG:4269"),
+      CrsWkt.parseCrs("EPSG:26915")).isInstanceOf[TransverseMercatorFromGeographic])
     assert(intercept[IllegalArgumentException](CrsWkt.parseCrs("EPSG:27700"))
       .getMessage.contains("not in the shipped table"))
   }
