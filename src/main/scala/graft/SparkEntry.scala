@@ -3845,6 +3845,35 @@ object SparkEntry {
     base.select(col("pk"), x.as("x"), y.as("y")).orderBy("pk")
   }
 
+  /** G18 — the two TmParams branches g17 doesn't reach: a classic
+    * Gauss-Krüger zone 3 (.prj-style WKT1: BESSEL ellipsoid, k0 = 1,
+    * FE = 3 500 000 — the legacy German national grid) through the WKT
+    * front door, and a nonzero-latitude-of-origin TM (the −M(φ0)
+    * northing offset, interpolated as the same Scala double on both
+    * sides). Raw doubles — the TM series is pow-free (g13/g17 precedent).
+    */
+  private def g18(s: SparkSession, d: String) = {
+    val gkWkt =
+      "PROJCS[\"DHDN-ish / Gauss-Krueger zone 3\",GEOGCS[\"Bessel geographic\"," +
+        "DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]]," +
+        "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]," +
+        "PROJECTION[\"Transverse_Mercator\"],PARAMETER[\"latitude_of_origin\",0]," +
+        "PARAMETER[\"central_meridian\",9],PARAMETER[\"scale_factor\",1]," +
+        "PARAMETER[\"false_easting\",3500000],PARAMETER[\"false_northing\",0]," +
+        "UNIT[\"metre\",1]]"
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(7.2) + (col("p_partkey") % 60).cast("double") * lit(0.06)).as("lon"),
+      (lit(47.3) + (col("p_size") % 45).cast("double") * lit(0.08)).as("lat"))
+    val gk = operators.CrsWkt.parseCrs(gkWkt)
+      .asInstanceOf[operators.CrsWkt.Projected].forward
+    val lat0Tm = operators.Regrid.TransverseMercatorFromGeographic(
+      operators.Regrid.TmParams(9.0, 48.0, 1.0, 250000.0, 100000.0))
+    val (x1, y1) = gk(col("lon"), col("lat"))
+    val (x2, y2) = lat0Tm(col("lon"), col("lat"))
+    base.select(col("pk"), x1.as("gk_x"), y1.as("gk_y"),
+      x2.as("o_x"), y2.as("o_y")).orderBy("pk")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -4203,6 +4232,7 @@ object SparkEntry {
     "g15_stateplane_ftus" -> (g15 _),
     "g16_polar_stereographic" -> (g16 _),
     "g17_nad83_utm" -> (g17 _),
+    "g18_gauss_kruger" -> (g18 _),
     "s20_geotiff_sink" -> (s20 _),
     "s21_webdataset_shards" -> (s21 _),
     "g14_epsg_reproject" -> (g14 _),
@@ -6204,6 +6234,46 @@ object SparkEntry {
         |  sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT))
         |FROM txt GROUP BY shard_id
         |ORDER BY shard_id, kind""".stripMargin,
+    // g18: both series mirrored in one chain (phi/dlam/t/aa shared —
+    // both CRSs use central meridian 9); per-ellipsoid n/c/m constants
+    // and the interpolated -M(phi0) term
+    "g18_gauss_kruger" -> {
+      import operators.Regrid.{Ellipsoid, TmParams, Utm}
+      val p1 = TmParams(9.0, 0.0, 1.0, 3500000.0, 0.0,
+        Ellipsoid.Bessel1841.a, Ellipsoid.Bessel1841.e2)
+      val p2 = TmParams(9.0, 48.0, 1.0, 250000.0, 100000.0)
+      def xy(p: TmParams, n: String, c: String, m: String, xa: String, ya: String) =
+        s"""  ${p.falseEasting} + ${p.k0} * $n * (aa
+           |    + (1.0 - t + $c) * aa * aa * aa / 6.0
+           |    + (5.0 - 18.0 * t + t * t + 72.0 * $c - ${58.0 * p.ep2})
+           |      * aa * aa * aa * aa * aa / 120.0) AS $xa,
+           |  ${p.falseNorthing} + ${p.k0} * (($m - ${p.m0Arc}) + $n * tp * (aa * aa / 2.0
+           |    + (5.0 - t + 9.0 * $c + 4.0 * $c * $c) * aa * aa * aa * aa / 24.0
+           |    + (61.0 - 58.0 * t + t * t + 600.0 * $c - ${330.0 * p.ep2})
+           |      * aa * aa * aa * aa * aa * aa / 720.0)) AS $ya""".stripMargin
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    7.2 + CAST(p_partkey % 60 AS DOUBLE) * 0.06 AS lon,
+        |    47.3 + CAST(p_size % 45 AS DOUBLE) * 0.08 AS lat
+        |  FROM part),
+        |f1 AS (SELECT pk, lat * ${Utm.Deg2Rad} AS phi,
+        |    (lon - (9.0)) * ${Utm.Deg2Rad} AS dlam FROM pts),
+        |f2 AS (SELECT pk, phi, dlam,
+        |    sin(phi) AS sp, cos(phi) AS cp, tan(phi) AS tp FROM f1),
+        |f3 AS (SELECT pk, phi, tp, tp * tp AS t, dlam * cp AS aa,
+        |    ${p1.a} / sqrt(1.0 - ${p1.e2} * sp * sp) AS n1,
+        |    ${p1.ep2} * cp * cp AS c1,
+        |    ${p1.a} * (${p1.m0c} * phi - ${p1.m2c} * sin(2.0 * phi)
+        |      + ${p1.m4c} * sin(4.0 * phi) - ${p1.m6c} * sin(6.0 * phi)) AS m1,
+        |    ${p2.a} / sqrt(1.0 - ${p2.e2} * sp * sp) AS n2,
+        |    ${p2.ep2} * cp * cp AS c2,
+        |    ${p2.a} * (${p2.m0c} * phi - ${p2.m2c} * sin(2.0 * phi)
+        |      + ${p2.m4c} * sin(4.0 * phi) - ${p2.m6c} * sin(6.0 * phi)) AS m2
+        |  FROM f2)
+        |SELECT pk,
+        |${xy(p1, "n1", "c1", "m1", "gk_x", "gk_y")},
+        |${xy(p2, "n2", "c2", "m2", "o_x", "o_y")}
+        |FROM f3 ORDER BY pk""".stripMargin
+    },
     // g17: the Snyder TM forward with TmParams' GRS80 constants
     // interpolated from the same Scala arithmetic, mirrored term by term
     // (incl. the exact (m - 0.0) origin-offset spelling)
