@@ -3850,7 +3850,14 @@ object SparkEntry {
     * FE = 3 500 000 — the legacy German national grid) through the WKT
     * front door, and a nonzero-latitude-of-origin TM (the −M(φ0)
     * northing offset, interpolated as the same Scala double on both
-    * sides). Raw doubles — the TM series is pow-free (g13/g17 precedent).
+    * sides). Fixed-point floor(v·2^6) outputs (the g15/g16 rule): the
+    * r9 raw-double spelling failed by 1 ULP on gk_y — the (m − M(φ0))
+    * cancellation amplifies StrictMath-vs-libm sin drift past the 53rd
+    * bit even though the series is pow-free. Fixture constants shifted
+    * off special angles (7.217/47.303 — the old 7.2 base put pk%60==30
+    * exactly ON the central meridian). Margin scan
+    * (tools/g18_margin_scan.py, committed): worst ×64-grid distance
+    * 3.0e-5 across all 3 SFs vs ~3e-8 ULP drift at this magnitude.
     */
   private def g18(s: SparkSession, d: String) = {
     val gkWkt =
@@ -3862,16 +3869,19 @@ object SparkEntry {
         "PARAMETER[\"false_easting\",3500000],PARAMETER[\"false_northing\",0]," +
         "UNIT[\"metre\",1]]"
     val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
-      (lit(7.2) + (col("p_partkey") % 60).cast("double") * lit(0.06)).as("lon"),
-      (lit(47.3) + (col("p_size") % 45).cast("double") * lit(0.08)).as("lat"))
+      (lit(7.217) + (col("p_partkey") % 60).cast("double") * lit(0.06)).as("lon"),
+      (lit(47.303) + (col("p_size") % 45).cast("double") * lit(0.08)).as("lat"))
     val gk = operators.CrsWkt.parseCrs(gkWkt)
       .asInstanceOf[operators.CrsWkt.Projected].forward
     val lat0Tm = operators.Regrid.TransverseMercatorFromGeographic(
       operators.Regrid.TmParams(9.0, 48.0, 1.0, 250000.0, 100000.0))
     val (x1, y1) = gk(col("lon"), col("lat"))
     val (x2, y2) = lat0Tm(col("lon"), col("lat"))
-    base.select(col("pk"), x1.as("gk_x"), y1.as("gk_y"),
-      x2.as("o_x"), y2.as("o_y")).orderBy("pk")
+    base.select(col("pk"),
+      floor(x1 * lit(64.0)).cast("long").as("gk_x"),
+      floor(y1 * lit(64.0)).cast("long").as("gk_y"),
+      floor(x2 * lit(64.0)).cast("long").as("o_x"),
+      floor(y2 * lit(64.0)).cast("long").as("o_y")).orderBy("pk")
   }
 
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
@@ -6243,17 +6253,17 @@ object SparkEntry {
         Ellipsoid.Bessel1841.a, Ellipsoid.Bessel1841.e2)
       val p2 = TmParams(9.0, 48.0, 1.0, 250000.0, 100000.0)
       def xy(p: TmParams, n: String, c: String, m: String, xa: String, ya: String) =
-        s"""  ${p.falseEasting} + ${p.k0} * $n * (aa
+        s"""  CAST(floor((${p.falseEasting} + ${p.k0} * $n * (aa
            |    + (1.0 - t + $c) * aa * aa * aa / 6.0
            |    + (5.0 - 18.0 * t + t * t + 72.0 * $c - ${58.0 * p.ep2})
-           |      * aa * aa * aa * aa * aa / 120.0) AS $xa,
-           |  ${p.falseNorthing} + ${p.k0} * (($m - ${p.m0Arc}) + $n * tp * (aa * aa / 2.0
+           |      * aa * aa * aa * aa * aa / 120.0)) * 64.0) AS BIGINT) AS $xa,
+           |  CAST(floor((${p.falseNorthing} + ${p.k0} * (($m - ${p.m0Arc}) + $n * tp * (aa * aa / 2.0
            |    + (5.0 - t + 9.0 * $c + 4.0 * $c * $c) * aa * aa * aa * aa / 24.0
            |    + (61.0 - 58.0 * t + t * t + 600.0 * $c - ${330.0 * p.ep2})
-           |      * aa * aa * aa * aa * aa * aa / 720.0)) AS $ya""".stripMargin
+           |      * aa * aa * aa * aa * aa * aa / 720.0))) * 64.0) AS BIGINT) AS $ya""".stripMargin
       s"""WITH pts AS (SELECT p_partkey AS pk,
-        |    7.2 + CAST(p_partkey % 60 AS DOUBLE) * 0.06 AS lon,
-        |    47.3 + CAST(p_size % 45 AS DOUBLE) * 0.08 AS lat
+        |    7.217 + CAST(p_partkey % 60 AS DOUBLE) * 0.06 AS lon,
+        |    47.303 + CAST(p_size % 45 AS DOUBLE) * 0.08 AS lat
         |  FROM part),
         |f1 AS (SELECT pk, lat * ${Utm.Deg2Rad} AS phi,
         |    (lon - (9.0)) * ${Utm.Deg2Rad} AS dlam FROM pts),
