@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-invocation run id, printed first AND embedded in the metric
+    // line: the r9 driver artifact's tail opened with a stack fragment
+    // from a PRIOR crashed invocation sharing the same sbt log — with the
+    // id, any log content outside this run's begin marker / metric pair
+    // is attributable to another invocation instead of silently reading
+    // as this run's output.
+    val runId = java.lang.Long.toHexString(System.nanoTime())
+    println(s"[bench] run $runId begin")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -190,7 +198,7 @@ object Bench {
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + s3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"omitted_fastest":$omitted,"source":"$source","repeat":$repeat,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"omitted_fastest":$omitted,"source":"$source","repeat":$repeat,"run":"$runId","queries":$qs,"sf":"$sfDir"}"""
     }
     val budget = 1800
     val byTime = results.sortBy(-_._2)

@@ -6217,8 +6217,8 @@ object SparkEntry {
         |    p_partkey % 997 AS value
         |  FROM part)
         |SELECT scene, band, count(*) AS n_px,
-        |  sum(CAST(value AS BIGINT)) AS sum_v,
-        |  sum(CAST(px_row * 131 + px_col AS BIGINT)) AS coord_sum
+        |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+        |  CAST(sum(CAST(px_row * 131 + px_col AS BIGINT)) AS BIGINT) AS coord_sum
         |FROM px GROUP BY scene, band ORDER BY scene, band""".stripMargin,
     // s21: both censuses regenerate from the member generators — the tar
     // container (headers, checksums, padding) never reaches the oracle.
@@ -6237,11 +6237,11 @@ object SparkEntry {
         |  SELECT 1 AS shard_id, id FROM range(5) t(id)
         |  UNION ALL SELECT 2, id FROM range(7) t(id))
         |SELECT shard_id, 'png' AS kind, count(*) AS n,
-        |  sum(CAST(v AS BIGINT)) AS total
+        |  CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS total
         |FROM px GROUP BY shard_id
         |UNION ALL
         |SELECT shard_id, 'txt', count(*),
-        |  sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT))
+        |  CAST(sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT)) AS BIGINT)
         |FROM txt GROUP BY shard_id
         |ORDER BY shard_id, kind""".stripMargin,
     // g18: both series mirrored in one chain (phi/dlam/t/aa shared —

@@ -271,6 +271,13 @@ object SpatialOps {
       regexp_replace(regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "\\)\\s*$", ""),
       "\\)\\s*\\)\\s*,\\s*\\(\\s*\\(")
     when(wkt.isNull, lit(null).cast("string"))
+      // 'MULTIPOINT EMPTY' (and every other EMPTY spelling) is valid WKT
+      // but carries no coordinates — without this guard it bypasses the
+      // paren strip and dies in a confusing cast inside ringPts instead
+      // of the loud unsupported reject the branch contract promises
+      .when(upper(wkt).rlike("^\\s*[A-Z]+\\s+EMPTY\\s*$"), raise_error(concat(
+        lit("reprojectWkt: EMPTY geometry '"), wkt,
+        lit("' unsupported (no coordinates to reproject)"))))
       .when(typ === "POINT", {
         val p = element_at(mapPts(flat, t), 1)
         concat(lit("POINT ("), p.getField("x").cast("string"), lit(" "),

@@ -778,6 +778,11 @@ object MultimodalOps {
     require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
     require(Set(8, 16, 24, 32)(bits), s"bits per sample $bits unsupported")
     val bps = bits / 8
+    // frame count divides by the DECLARED blockAlign but the loop below
+    // reads at channels·bps stride — a file where the two disagree would
+    // silently decode a wrong sample count instead of failing closed
+    require(blockAlign == channels * bps,
+      s"blockAlign $blockAlign != channels $channels x $bps bytes/sample")
     val nL = dataLen / blockAlign * channels
     require(dataOff.toLong + nL * bps <= bytes.length, "truncated PCM payload")
     val n = nL.toInt
@@ -811,6 +816,8 @@ object MultimodalOps {
       "through decodeWavSamples)")
     require(bits == 32, s"float WAV bits $bits unsupported (32 only)")
     require(rate > 0 && blockAlign > 0, "malformed fmt chunk")
+    require(blockAlign == channels * 4,
+      s"blockAlign $blockAlign != channels $channels x 4 bytes/sample")
     val nL = dataLen / blockAlign * channels
     require(dataOff.toLong + nL * 4 <= bytes.length, "truncated float payload")
     val n = nL.toInt

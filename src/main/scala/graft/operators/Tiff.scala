@@ -104,6 +104,13 @@ object Tiff {
       * instead of letting a later array read escape.
       */
     private def payloadOff(e: Entry): Int = {
+      // count is a raw u32/u64 read as signed Long from untrusted bytes: a
+      // negative (wrapped) or absurd value would overflow sz past the
+      // inline-fit test and reach Array.tabulate as a crash instead of the
+      // codec's descriptive reject. No legitimate entry has more elements
+      // than the file has bytes.
+      require(e.count >= 0 && e.count <= bytes.length,
+        s"tag ${e.tag}: entry count ${e.count} outside the ${bytes.length}-byte file")
       val sz = typeSize(e.typ) * e.count
       if (sz <= (if (big) 8 else 4)) e.valOff
       else {
@@ -927,6 +934,46 @@ object Tiff {
       sampleBits: Int = 32,
       sampleFormat: Int = 3,
       nodata: Float = Float.NaN): Unit = {
+    // Normalize numeric column types up front: the per-row readers below
+    // use positional getDouble/getInt, so a caller supplying e.g. an
+    // IntegerType origin_x or a LongType width would otherwise die in a
+    // raw ClassCastException instead of this sink's descriptive errors.
+    // Non-numeric drift (a string width) rejects loudly here.
+    val doubleCols = Seq("origin_x", "origin_y", "px_w", "px_h")
+    val intCols = Seq("band", "tile_y", "tile_x", "block_h", "block_w",
+      "width", "height")
+    val normalized = blocks.columns.foldLeft(blocks) { (df, c) =>
+      val want =
+        if (doubleCols.contains(c)) Some(DoubleType)
+        else if (intCols.contains(c)) Some(IntegerType)
+        else None
+      want match {
+        case Some(t) if df.schema(c).dataType == t => df
+        case Some(t) =>
+          require(df.schema(c).dataType.isInstanceOf[NumericType],
+            s"column $c must be numeric for the GeoTIFF sink, got " +
+              df.schema(c).dataType.simpleString)
+          df.withColumn(c, col(c).cast(t))
+        case None => df
+      }
+    }
+    writeGeoTiffFilesTyped(normalized, dir, sceneCol, littleEndian,
+      compressionCode, bigTiff, planarConfig, predictor, sampleBits,
+      sampleFormat, nodata)
+  }
+
+  private def writeGeoTiffFilesTyped(
+      blocks: DataFrame,
+      dir: String,
+      sceneCol: String,
+      littleEndian: Boolean,
+      compressionCode: Int,
+      bigTiff: Boolean,
+      planarConfig: Int,
+      predictor: Int,
+      sampleBits: Int,
+      sampleFormat: Int,
+      nodata: Float): Unit = {
     val schema = blocks.schema
     def idxOpt(n: String): Option[Int] =
       if (schema.fieldNames.contains(n)) Some(schema.fieldIndex(n)) else None

@@ -398,4 +398,21 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(top(0).getAs[Long]("neighbor_id") == 3L) // identical bytes → cosine 1
     assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
   }
+
+  test("WAV blockAlign disagreeing with channels x bytes/sample fails closed") {
+    // frame count divides by the DECLARED blockAlign but decode reads at
+    // channels·bps stride — a mismatch must reject, not silently decode
+    // the wrong sample count. blockAlign sits at byte 32 in both layouts.
+    val wav = MultimodalOps.synthWavPcm(8000, 2, 16, 10)((f, c) => f + c)
+    val p = wav.clone()
+    p(32) = 6 // declared 6 != 2 ch * 2 B = 4
+    val e = intercept[IllegalArgumentException](MultimodalOps.decodeWavSamples(p))
+    assert(e.getMessage.contains("blockAlign"), e.getMessage)
+    val fw = MultimodalOps.synthWavFloat(8000, 2, 10)((f, c) => f + c * 0.5f)
+    val pf = fw.clone()
+    pf(32) = 12 // declared 12 != 2 ch * 4 B = 8
+    val e2 = intercept[IllegalArgumentException](
+      MultimodalOps.decodeWavFloatSamples(pf))
+    assert(e2.getMessage.contains("blockAlign"), e2.getMessage)
+  }
 }

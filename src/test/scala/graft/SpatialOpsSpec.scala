@@ -309,4 +309,17 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
     assert(out(1).isNullAt(0)) // zero norm → NULL
   }
+
+  test("reprojectWkt rejects EMPTY geometries with the descriptive error") {
+    import spark.implicits._
+    import graft.operators.Regrid
+    val fwd = Regrid.UtmFromGeographic(54)
+    for (w <- Seq("MULTIPOINT EMPTY", "POINT EMPTY", "polygon empty")) {
+      val err = intercept[Exception] {
+        Seq((1L, w)).toDF("id", "geom")
+          .select(SpatialOps.reprojectWkt($"geom", fwd)).collect()
+      }
+      assert(err.getMessage.contains("EMPTY geometry"), s"$w: ${err.getMessage}")
+    }
+  }
 }

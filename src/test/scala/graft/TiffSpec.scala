@@ -560,4 +560,48 @@ class TiffSpec extends AnyFunSuite {
       for (i <- 0 until 64) assert(buf.getFloat(4 * i) == i, s"big=$big lzw=$lzw px$i")
     }
   }
+
+  test("IFD entry with wrapped/huge count rejects descriptively (classic + BigTIFF)") {
+    // classic: entry count is a raw u32 — patch entry 0's count to
+    // 0xFFFFFFFF (4 GiB of elements in a 300-byte file)
+    val b = Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true)((r, c) => 0f)
+    val p = b.clone()
+    // IFD at 8, entries at 10: tag(2) typ(2) count(4) val(4) → entry0 count at 14
+    for (i <- 14 until 18) p(i) = -1
+    val e = intercept[IllegalArgumentException](Tiff.blocksOf(p))
+    assert(e.getMessage.contains("count"), e.getMessage)
+    // BigTIFF: count is a raw u64 read as SIGNED Long — all-ones is -1,
+    // which the pre-fix size test (typeSize*count <= 8) silently passed
+    val bb = Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true,
+      bigTiff = true)((r, c) => 0f)
+    val pb = bb.clone()
+    val ifd = java.nio.ByteBuffer.wrap(pb, 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    // entries at ifd+8, 20 bytes each: tag(2) typ(2) count(8) val(8)
+    for (i <- ifd + 12 until ifd + 20) pb(i) = -1
+    val e2 = intercept[IllegalArgumentException](Tiff.blocksOf(pb))
+    assert(e2.getMessage.contains("count"), e2.getMessage)
+  }
+
+  test("writeGeoTiffFiles normalizes numeric type drift; non-numeric rejects descriptively") {
+    val base = RasterBridge.packBlocks(sinkPixels, 16, 16, Float.NaN,
+      keyCols = Seq("scene", "band"))
+    // integer georeferencing + long extents: cast up front, identical output
+    val drift = base
+      .withColumn("origin_x", lit(500000)).withColumn("origin_y", lit(4100000))
+      .withColumn("px_w", lit(30)).withColumn("px_h", lit(30))
+      .withColumn("width", lit(37L)).withColumn("height", lit(29L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gtiff_drift").toString
+    Tiff.writeGeoTiffFiles(drift, dir, sceneCol = "scene")
+    val m = meta(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "sceneA.tif")))
+    assert(m.getDouble(fi("origin_x")) == 500000.0 && m.getInt(fi("width")) == 37)
+    // a STRING width is not castable type drift — reject loudly up front
+    val e = intercept[IllegalArgumentException] {
+      Tiff.writeGeoTiffFiles(base.withColumn("width", lit("37")),
+        java.nio.file.Files.createTempDirectory("graft_gtiff_bad2").toString,
+        sceneCol = "scene")
+    }
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+  }
 }

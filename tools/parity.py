@@ -40,12 +40,40 @@ def cell_eq(a, b) -> bool:
         return pd.Timestamp(a) == pd.Timestamp(b)
     return str(a) == str(b)
 
+DTYPE_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool",
+               "O": "obj", "S": "obj", "U": "obj", "M": "ts", "m": "td"}
+
 def compare(name, spark_df, duck_df):
     s, d = canon(spark_df), canon(duck_df)
     if list(s.columns) != list(d.columns):
         return f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"
     if len(s) != len(d):
         return f"FAIL {name}: rows {len(s)} vs {len(d)}"
+    # The driver's t2 hash stringifies values, so an int64 Spark column vs
+    # a float64 DuckDB column (e.g. a HUGEINT sum widened by the pandas
+    # bridge: 3 vs 3.0) hash-FAILS even when every value compares equal.
+    # Mirror that strictness at the dtype-class level — this is exactly how
+    # s20/s21 went driver-red in r9 while the value-tolerant compare below
+    # stayed green (sum(BIGINT) -> HUGEINT, the missing CAST ... AS BIGINT).
+    def dclass(series):
+        k = DTYPE_CLASS.get(series.dtype.kind, series.dtype.kind)
+        if k == "obj":
+            # Spark parquet DATE columns surface as object(datetime.date)
+            # through pandas while DuckDB gives datetime64 — the driver
+            # canonicalizes those identically (cohort1 is hash-green), so
+            # class date-like objects as timestamps.
+            import datetime
+            nn = series.dropna()
+            if len(nn) and isinstance(nn.iloc[0],
+                                      (datetime.date, datetime.datetime)):
+                return "ts"
+        return k
+    for col in s.columns:
+        sk, dk = dclass(s[col]), dclass(d[col])
+        if sk != dk:
+            return (f"FAIL {name}: col {col} dtype class {sk} (spark "
+                    f"{s[col].dtype}) vs {dk} (duck {d[col].dtype}) — "
+                    f"driver hash would differ")
     for col in s.columns:
         sa, da = s[col].values, d[col].values
         for i in range(len(sa)):
