@@ -98,7 +98,12 @@ object Bench {
           "q3_shipping_priority", "st4_interval_join", "samp2_stratified",
           "e13_bloom_decontaminate", "inc1_incremental_dedup",
           "span1_repeated_spans", "cap1_source_cap",
-          "leak1_split_leakage", "pipe3_mix_construction")
+          "leak1_split_leakage", "pipe3_mix_construction",
+          // r10: tfidf2's driver-cold flag bisected to host noise (three
+          // isolated colds 2.34/2.56/2.80 s, warm 2.69 s, same code the r9
+          // builder-cold measured at 2.11 s); warming its window+HOF+agg
+          // shapes shrinks the first-run surface a steal burst can amplify
+          "tfidf2_pair_similarity")
         val toWarm = filter match {
           case Some(f) => heavy.filter(f)
           case None => heavy
