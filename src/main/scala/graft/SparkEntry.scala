@@ -3702,7 +3702,7 @@ object SparkEntry {
       .withColumn("geom", SpatialOps.reprojectWkt(col("geom"),
         operators.CrsWkt.transformBetween(geoWkt, utmWkt)))
       .select(col("pk"),
-        posexplode(flatten(SpatialOps.wktRings(col("geom")))))
+        posexplode(flatten(functions.SpatialOps.wktRings(col("geom")))))
       .select(col("pk"), col("pos").as("pt_idx"),
         col("col").getField("x").as("x"), col("col").getField("y").as("y"))
       .orderBy("pk", "pt_idx")
@@ -3805,6 +3805,49 @@ object SparkEntry {
       .withColumn("kind", lit("txt"))
     pngCensus.unionByName(txtCensus)
       .select("shard_id", "kind", "n", "total").orderBy("shard_id", "kind")
+  }
+
+  /** S22 — GeoParquet round trip (the parquet-native vector half next to
+    * the GPKG/SHP codecs; reference anchor: the stage-2/3 vector
+    * artifacts, image_segmentation.py:153-162 and
+    * object_classifier.py:193-213, under the published
+    * "Parquet/GeoParquet" storage line): part-derived POINT/LINESTRING/
+    * POLYGON features → `writeGeoParquet` (WKT→WKB + `geo` footer on
+    * every part-file) → `readGeoParquet` (footer-recognized, WKB→WKT) →
+    * per-vertex census. The oracle regenerates every vertex from the
+    * source definition — the container (WKB encode, footer rewrite,
+    * decode) must be invisible. All coordinates sit on the 1/64 grid
+    * exactly (pure binary-exact arithmetic, no transcendentals), so the
+    * ×64 fixed point is deterministic on both engines.
+    */
+  private def s22(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (col("p_partkey") % 3).cast("int").as("kind"),
+      ((col("p_partkey") % 50).cast("double") * lit(1.5) + lit(0.25)).as("x"),
+      ((col("p_size") % 40).cast("double") * lit(0.75) + lit(0.125)).as("y"),
+      (col("p_partkey") % 997).as("attr"))
+    def n(c: Column) = c.cast("string")
+    val wkt = when(col("kind") === 0,
+        concat(lit("POINT ("), n(col("x")), lit(" "), n(col("y")), lit(")")))
+      .when(col("kind") === 1,
+        concat(lit("LINESTRING ("), n(col("x")), lit(" "), n(col("y")), lit(", "),
+          n(col("x") + lit(2.0)), lit(" "), n(col("y") + lit(1.5)), lit(")")))
+      .otherwise(
+        concat(lit("POLYGON (("), n(col("x")), lit(" "), n(col("y")), lit(", "),
+          n(col("x") + lit(2.5)), lit(" "), n(col("y")), lit(", "),
+          n(col("x") + lit(2.5)), lit(" "), n(col("y") + lit(1.25)), lit(", "),
+          n(col("x")), lit(" "), n(col("y") + lit(1.25)), lit(", "),
+          n(col("x")), lit(" "), n(col("y")), lit("))")))
+    val src = base.withColumn("geom", wkt).select("pk", "attr", "geom")
+    val dir = java.nio.file.Files.createTempDirectory("graft_s22").toString + "/store"
+    operators.GeoParquet.writeGeoParquet(src, dir, geomCol = "geom")
+    val back = operators.GeoParquet.readGeoParquet(s, dir)
+    back.select(col("pk"), col("attr"),
+        posexplode(flatten(functions.SpatialOps.wktRings(col("geom")))))
+      .select(col("pk"), col("attr"), col("pos").as("pt_idx"),
+        floor(col("col").getField("x") * lit(64.0)).cast("long").as("x_fp"),
+        floor(col("col").getField("y") * lit(64.0)).cast("long").as("y_fp"))
+      .orderBy("pk", "pt_idx")
   }
 
   /** G16 — polar stereographic (EPSG:3413, the NSIDC sea-ice grid every
@@ -4245,6 +4288,7 @@ object SparkEntry {
     "g18_gauss_kruger" -> (g18 _),
     "s20_geotiff_sink" -> (s20 _),
     "s21_webdataset_shards" -> (s21 _),
+    "s22_geoparquet_roundtrip" -> (s22 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -6244,6 +6288,30 @@ object SparkEntry {
         |  CAST(sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT)) AS BIGINT)
         |FROM txt GROUP BY shard_id
         |ORDER BY shard_id, kind""".stripMargin,
+    // s22: every vertex regenerated from the source definition — the
+    // GeoParquet container (WKB encode, geo footer, decode) never reaches
+    // the oracle; coordinates are binary-exact 1/64-grid doubles
+    "s22_geoparquet_roundtrip" ->
+      """WITH p AS (SELECT p_partkey AS pk, CAST(p_partkey % 3 AS INT) AS kind,
+        |    CAST(p_partkey % 50 AS DOUBLE) * 1.5 + 0.25 AS x,
+        |    CAST(p_size % 40 AS DOUBLE) * 0.75 + 0.125 AS y,
+        |    p_partkey % 997 AS attr
+        |  FROM part),
+        |pts AS (SELECT pk, attr, i.idx AS pt_idx,
+        |    CASE WHEN kind = 0 THEN x
+        |         WHEN kind = 1 THEN CASE i.idx WHEN 0 THEN x ELSE x + 2.0 END
+        |         ELSE CASE i.idx WHEN 1 THEN x + 2.5 WHEN 2 THEN x + 2.5 ELSE x END
+        |    END AS px,
+        |    CASE WHEN kind = 0 THEN y
+        |         WHEN kind = 1 THEN CASE i.idx WHEN 0 THEN y ELSE y + 1.5 END
+        |         ELSE CASE i.idx WHEN 2 THEN y + 1.25 WHEN 3 THEN y + 1.25 ELSE y END
+        |    END AS py
+        |  FROM p CROSS JOIN (VALUES (0), (1), (2), (3), (4)) i(idx)
+        |  WHERE (kind = 0 AND i.idx < 1) OR (kind = 1 AND i.idx < 2) OR kind = 2)
+        |SELECT pk, attr, pt_idx,
+        |  CAST(floor(px * 64.0) AS BIGINT) AS x_fp,
+        |  CAST(floor(py * 64.0) AS BIGINT) AS y_fp
+        |FROM pts ORDER BY pk, pt_idx""".stripMargin,
     // g18: both series mirrored in one chain (phi/dlam/t/aa shared —
     // both CRSs use central meridian 9); per-ellipsoid n/c/m constants
     // and the interpolated -M(phi0) term

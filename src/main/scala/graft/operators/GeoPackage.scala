@@ -199,7 +199,7 @@ object GeoPackage {
 
   // ---- GPKG geometry blob (GP header + WKB) → WKT ----
 
-  private def wkbToWkt(b: Array[Byte], off0: Int): String = {
+  private[graft] def wkbToWkt(b: Array[Byte], off0: Int): String = {
     var off = off0
     val le = b(off) == 1; off += 1
     def rd32(): Long = {
