@@ -3927,6 +3927,50 @@ object SparkEntry {
       floor(y2 * lit(64.0)).cast("long").as("o_y")).orderBy("pk")
   }
 
+  /** DHDN → WGS84 Bursa–Wolf parameters (the published German national
+    * 7-parameter set) + the GK zone-4 / WGS84 WKT pair g19 dispatches.
+    */
+  private val G19Params = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+  private val G19GkWkt = {
+    val (dx, dy, dz, rx, ry, rz, ds) = G19Params
+    "PROJCS[\"DHDN / Gauss-Krueger zone 4\",GEOGCS[\"DHDN\"," +
+      "DATUM[\"Deutsches_Hauptdreiecksnetz\"," +
+      "SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+      s"TOWGS84[$dx,$dy,$dz,$rx,$ry,$rz,$ds]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]," +
+      "PROJECTION[\"Transverse_Mercator\"],PARAMETER[\"latitude_of_origin\",0]," +
+      "PARAMETER[\"central_meridian\",12],PARAMETER[\"scale_factor\",1]," +
+      "PARAMETER[\"false_easting\",4500000],PARAMETER[\"false_northing\",0]," +
+      "UNIT[\"metre\",1]]"
+  }
+  private val G19Wgs84Wkt =
+    "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+
+  /** G19 — 7-parameter Helmert (Bursa–Wolf) datum transform through the
+    * WKT front door: a DHDN Gauss-Krüger zone-4 `.prj` whose TOWGS84
+    * node carries the full rotation+scale set (the European legacy
+    * staple CrsWkt rejected before r10). Chain: GK inverse → geocentric
+    * Helmert (position-vector convention, exact driver-side matrix) →
+    * Bowring inverse → WGS84 lon/lat, staged per composition step (the
+    * g11 barrier). Outputs fixed-point floor(deg·2^20) per the g15/g18
+    * rule; margin scan (tools/g19_margin_scan.py, committed): worst
+    * 2^20-grid distance 3.0e-4 across all 3 SFs vs ≲1e-6 drift.
+    */
+  private def g19(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(4420000.0) + (col("p_partkey") % 60).cast("double") * lit(2963.0)).as("gx"),
+      (lit(5240000.0) + (col("p_size") % 45).cast("double") * lit(4231.0)).as("gy"))
+    val t = operators.CrsWkt.transformBetween(G19GkWkt, G19Wgs84Wkt)
+    val (staged, lonC, latC, tmps) =
+      operators.Regrid.stageTransform(base, t, col("gx"), col("gy"))
+    staged.select(col("pk"),
+      floor(lonC * lit(1048576.0)).cast("long").as("lon_fp"),
+      floor(latC * lit(1048576.0)).cast("long").as("lat_fp"))
+      .orderBy("pk")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -4289,6 +4333,7 @@ object SparkEntry {
     "s20_geotiff_sink" -> (s20 _),
     "s21_webdataset_shards" -> (s21 _),
     "s22_geoparquet_roundtrip" -> (s22 _),
+    "g19_helmert_7param" -> (g19 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -6312,6 +6357,77 @@ object SparkEntry {
         |  CAST(floor(px * 64.0) AS BIGINT) AS x_fp,
         |  CAST(floor(py * 64.0) AS BIGINT) AS y_fp
         |FROM pts ORDER BY pk, pt_idx""".stripMargin,
+    // g19: the full GK-inverse → geocentric Helmert → Bowring chain
+    // mirrored stage-by-stage (the CTE staging = the spark barrier
+    // staging, bit-preserving per the g11 precedent); every Helmert
+    // matrix coefficient and Bowring constant interpolated from the SAME
+    // Scala arithmetic the dispatch builds
+    "g19_helmert_7param" -> {
+      import operators.Regrid.{Ellipsoid, HelmertDatumShift, TmParams, Utm}
+      val p = TmParams(12.0, 0.0, 1.0, 4500000.0, 0.0,
+        Ellipsoid.Bessel1841.a, Ellipsoid.Bessel1841.e2)
+      val (dx, dy, dz, rx, ry, rz, ds) = G19Params
+      val h = HelmertDatumShift(dx, dy, dz, rx, ry, rz, ds,
+        Ellipsoid.Bessel1841, Ellipsoid.Wgs84)
+      val src = Ellipsoid.Bessel1841; val dst = Ellipsoid.Wgs84
+      val b = dst.a * (1 - dst.f)
+      val ep2 = dst.e2 / (1 - dst.e2)
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    4420000.0 + CAST(p_partkey % 60 AS DOUBLE) * 2963.0 AS gx,
+        |    5240000.0 + CAST(p_size % 45 AS DOUBLE) * 4231.0 AS gy
+        |  FROM part),
+        |i1 AS (SELECT pk, gx,
+        |    ((gy - ${p.falseNorthing}) / ${p.k0} + ${p.m0Arc}) / ${p.a * p.m0c} AS mu
+        |  FROM pts),
+        |i2 AS (SELECT pk, gx, mu + ${p.p2} * sin(2.0 * mu) + ${p.p4} * sin(4.0 * mu)
+        |     + ${p.p6} * sin(6.0 * mu) + ${p.p8} * sin(8.0 * mu) AS phi1 FROM i1),
+        |i3 AS (SELECT pk, gx, phi1, ${p.ep2} * cos(phi1) * cos(phi1) AS c1,
+        |    tan(phi1) * tan(phi1) AS t1,
+        |    1.0 - ${p.e2} * sin(phi1) * sin(phi1) AS om FROM i2),
+        |i4 AS (SELECT pk, gx, phi1, c1, t1,
+        |    ${p.a} / sqrt(om) AS n1, ${p.a * (1 - p.e2)} / (om * sqrt(om)) AS r1
+        |  FROM i3),
+        |i5 AS (SELECT pk, phi1, c1, t1, n1, r1,
+        |    (gx - ${p.falseEasting}) / (n1 * ${p.k0}) AS dd FROM i4),
+        |geo AS (SELECT pk,
+        |    ${p.lon0Deg} + (dd - (1.0 + 2.0 * t1 + c1) * dd * dd * dd / 6.0
+        |      + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + ${8.0 * p.ep2}
+        |         + 24.0 * t1 * t1) * dd * dd * dd * dd * dd / 120.0) / cos(phi1)
+        |      / ${Utm.Deg2Rad} AS lon,
+        |    (phi1 - (n1 * tan(phi1) / r1) * (dd * dd / 2.0
+        |      - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - ${9.0 * p.ep2})
+        |        * dd * dd * dd * dd / 24.0
+        |      + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - ${252.0 * p.ep2}
+        |         - 3.0 * c1 * c1) * dd * dd * dd * dd * dd * dd / 720.0))
+        |      / ${Utm.Deg2Rad} AS lat
+        |  FROM i5),
+        |h1 AS (SELECT pk, lat * ${Utm.Deg2Rad} AS phi, lon * ${Utm.Deg2Rad} AS lam
+        |  FROM geo),
+        |h2 AS (SELECT pk, sin(phi) AS sp, cos(phi) AS cp,
+        |    sin(lam) AS sl, cos(lam) AS cl FROM h1),
+        |h3 AS (SELECT pk, sp, cp, sl, cl,
+        |    ${src.a} / sqrt(1.0 - ${src.e2} * sp * sp) AS n FROM h2),
+        |h4 AS (SELECT pk, n * cp * cl AS x, n * cp * sl AS y,
+        |    n * ${1.0 - src.e2} * sp AS z FROM h3),
+        |h5 AS (SELECT pk,
+        |    ${h.tx} + ${h.m00} * x + ${h.m01} * y + ${h.m02} * z AS xp,
+        |    ${h.ty} + ${h.m10} * x + ${h.m11} * y + ${h.m12} * z AS yp,
+        |    ${h.tz} + ${h.m20} * x + ${h.m21} * y + ${h.m22} * z AS zp FROM h4),
+        |h6 AS (SELECT pk, xp, yp, zp, sqrt(xp * xp + yp * yp) AS pr FROM h5),
+        |h7 AS (SELECT pk, xp, yp, zp, pr,
+        |    atan2(zp * ${dst.a}, pr * $b) AS theta FROM h6),
+        |h8 AS (SELECT pk, xp, yp, zp, pr, sin(theta) AS st, cos(theta) AS ct
+        |  FROM h7),
+        |o AS (SELECT pk,
+        |    atan2(yp, xp) / ${Utm.Deg2Rad} AS lon2,
+        |    atan2(zp + ${ep2 * b} * st * st * st,
+        |          pr - ${dst.e2 * dst.a} * ct * ct * ct) / ${Utm.Deg2Rad} AS lat2
+        |  FROM h8)
+        |SELECT pk,
+        |  CAST(floor(lon2 * 1048576.0) AS BIGINT) AS lon_fp,
+        |  CAST(floor(lat2 * 1048576.0) AS BIGINT) AS lat_fp
+        |FROM o ORDER BY pk""".stripMargin
+    },
     // g18: both series mirrored in one chain (phi/dlam/t/aa shared —
     // both CRSs use central meridian 9); per-ellipsoid n/c/m constants
     // and the interpolated -M(phi0) term

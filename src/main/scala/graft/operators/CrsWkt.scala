@@ -147,7 +147,14 @@ object CrsWkt {
     * IS WGS84.
     */
   final case class GeogCrs(datumName: String, ellipsoid: Ellipsoid,
-      toWgs84: (Double, Double, Double))
+      toWgs84: (Double, Double, Double),
+      /** Bursa–Wolf rotations to WGS84 in ARC-SECONDS (EPSG 9606
+        * position-vector convention — TOWGS84 args 4-6); (0,0,0) for the
+        * 3-parameter / named-datum cases.
+        */
+      rotWgs84: (Double, Double, Double) = (0.0, 0.0, 0.0),
+      /** Bursa–Wolf scale difference to WGS84 in PPM (TOWGS84 arg 7). */
+      scaleWgs84Ppm: Double = 0.0)
 
   sealed trait Crs { def geog: GeogCrs }
   /** Plain lon/lat degrees on `geog`'s datum. */
@@ -202,23 +209,23 @@ object CrsWkt {
       throw new IllegalArgumentException("DATUM without SPHEROID"))
     val ell = resolveEllipsoid(sph.num(1), sph.num(2))
     val dName = normDatum(datum.str(0))
-    val shift = datum.child("TOWGS84") match {
+    // translation (metres), rotation (arc-seconds, position-vector),
+    // scale (ppm): the full Bursa–Wolf parameter set. 3-param nodes and
+    // named datums carry zero rotation/scale; 7-param nodes (the European
+    // legacy staple — DHDN, MGI) route through the geocentric Helmert
+    // path in `transform`.
+    val (shift, rot, ppm) = datum.child("TOWGS84") match {
       case Some(t) =>
-        // 3-param geocentric translation; a 7-param node is accepted only
-        // when its rotation/scale terms are zero (the abridged Molodensky
-        // path implements translations, not rotations — fail closed)
         require(t.args.length == 3 || t.args.length == 7,
           s"TOWGS84 must have 3 or 7 parameters, got ${t.args.length}")
         if (t.args.length == 7)
-          require((3 until 7).forall(i => t.num(i) == 0.0),
-            "7-parameter TOWGS84 with nonzero rotation/scale is not supported " +
-              "(only geocentric translations are implemented)")
-        (t.num(0), t.num(1), t.num(2))
-      case None => NamedDatumShifts.getOrElse(dName,
+          ((t.num(0), t.num(1), t.num(2)), (t.num(3), t.num(4), t.num(5)), t.num(6))
+        else ((t.num(0), t.num(1), t.num(2)), (0.0, 0.0, 0.0), 0.0)
+      case None => (NamedDatumShifts.getOrElse(dName,
         throw new IllegalArgumentException(
           s"datum '$dName' has no TOWGS84 and is not a known named datum " +
             s"(${NamedDatumShifts.keys.toSeq.sorted.mkString(", ")}) — cannot " +
-            "derive a datum shift; add a TOWGS84 node"))
+            "derive a datum shift; add a TOWGS84 node")), (0.0, 0.0, 0.0), 0.0)
     }
     // sanity: the angular unit must be degrees (all shipped transforms
     // take degrees); gradians etc. reject
@@ -226,7 +233,7 @@ object CrsWkt {
       require(math.abs(u.num(1) - math.Pi / 180.0) < 1e-9,
         s"GEOGCS angular unit '${u.str(0)}' (${u.num(1)}) is not degrees")
     }
-    GeogCrs(dName, ell, shift)
+    GeogCrs(dName, ell, shift, rot, ppm)
   }
 
   /** normalized parameter/method key: lowercase, spaces → underscores */
@@ -556,15 +563,52 @@ object CrsWkt {
     }
     val shift: Option[Transform2D] = {
       val sameDatum = src.geog.ellipsoid == dst.geog.ellipsoid &&
-        src.geog.toWgs84 == dst.geog.toWgs84
+        src.geog.toWgs84 == dst.geog.toWgs84 &&
+        src.geog.rotWgs84 == dst.geog.rotWgs84 &&
+        src.geog.scaleWgs84Ppm == dst.geog.scaleWgs84Ppm
+      val noRotation = src.geog.rotWgs84 == ((0.0, 0.0, 0.0)) &&
+        dst.geog.rotWgs84 == ((0.0, 0.0, 0.0)) &&
+        src.geog.scaleWgs84Ppm == 0.0 && dst.geog.scaleWgs84Ppm == 0.0
       if (sameDatum) None
-      else {
+      else if (noRotation) {
         val (sx, sy, sz) = src.geog.toWgs84
         val (dx, dy, dz) = dst.geog.toWgs84
         // src→WGS84 is +src.toWgs84; WGS84→dst is −dst.toWgs84; the
         // combined translation is their difference (standard PROJ chain)
         Some(AbridgedMolodensky(sx - dx, sy - dy, sz - dz,
           src.geog.ellipsoid, dst.geog.ellipsoid))
+      } else {
+        // Bursa–Wolf with rotation/scale on either side: src→WGS84 and
+        // WGS84→dst are geocentric AFFINE maps, so their composition is a
+        // single driver-composed affine — ONE geocentric round trip per
+        // row regardless of how many datums the chain crosses. The
+        // WGS84→dst leg is the exact matrix inverse (not the negated-
+        // parameter approximation).
+        def leg(g: GeogCrs) = HelmertDatumShift(
+          g.toWgs84._1, g.toWgs84._2, g.toWgs84._3,
+          g.rotWgs84._1, g.rotWgs84._2, g.rotWgs84._3, g.scaleWgs84Ppm,
+          g.ellipsoid, Ellipsoid.Wgs84)
+        val a = leg(src.geog) // src → WGS84
+        val b = leg(dst.geog).inverse // WGS84 → dst
+        // compose: XYZ_dst = Tb + Mb·(Ta + Ma·XYZ) — constants fold on
+        // the driver; ellipsoids are src's (geocentric fwd) and dst's
+        // (Bowring inverse)
+        def mul(p: GeocentricAffineShift, q: GeocentricAffineShift) =
+          GeocentricAffineShift(
+            q.tx + q.m00 * p.tx + q.m01 * p.ty + q.m02 * p.tz,
+            q.ty + q.m10 * p.tx + q.m11 * p.ty + q.m12 * p.tz,
+            q.tz + q.m20 * p.tx + q.m21 * p.ty + q.m22 * p.tz,
+            q.m00 * p.m00 + q.m01 * p.m10 + q.m02 * p.m20,
+            q.m00 * p.m01 + q.m01 * p.m11 + q.m02 * p.m21,
+            q.m00 * p.m02 + q.m01 * p.m12 + q.m02 * p.m22,
+            q.m10 * p.m00 + q.m11 * p.m10 + q.m12 * p.m20,
+            q.m10 * p.m01 + q.m11 * p.m11 + q.m12 * p.m21,
+            q.m10 * p.m02 + q.m11 * p.m12 + q.m12 * p.m22,
+            q.m20 * p.m00 + q.m21 * p.m10 + q.m22 * p.m20,
+            q.m20 * p.m01 + q.m21 * p.m11 + q.m22 * p.m21,
+            q.m20 * p.m02 + q.m21 * p.m12 + q.m22 * p.m22,
+            p.src, q.dst)
+        Some(mul(a, b.asInstanceOf[GeocentricAffineShift]))
       }
     }
     val dstFwd: Option[Transform2D] = dst match {

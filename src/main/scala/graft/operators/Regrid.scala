@@ -389,6 +389,101 @@ object Regrid {
     def inverse: Transform2D = AbridgedMolodensky(-dx, -dy, -dz, dst, src)
   }
 
+  /** Geographic→geographic datum shift through GEOCENTRIC coordinates
+    * with a general affine XYZ map — the execution shape of the
+    * 7-parameter Helmert (Bursa–Wolf) transform European legacy `.prj`
+    * files carry in their TOWGS84 node (DHDN, MGI, …). Chain (all
+    * closed-form Column algebra, no per-row iteration):
+    *
+    *   (λ, φ) on src → geocentric XYZ at h = 0
+    *     (X = N·cosφ·cosλ, Y = N·cosφ·sinλ, Z = N·(1−e²)·sinφ)
+    *   → XYZ' = T + M·XYZ (T, M driver-side constants)
+    *   → (λ', φ') on dst by Bowring's closed-form inverse (1976):
+    *     θ  = atan2(Z'·a, p·b),  p = √(X'²+Y'²),  b = a·(1−f)
+    *     φ' = atan2(Z' + e′²·b·sin³θ, p − e²·a·cos³θ),  λ' = atan2(Y', X')
+    *
+    * Bowring's single-step form is exact to well under a millimetre at
+    * h = 0 — the standard non-iterative geodetic inverse. Because the
+    * XYZ map is affine with CONSTANT coefficients, the exact inverse is
+    * the driver-side inverted matrix (no small-angle reciprocal
+    * approximation): fwd ∘ inv closes to machine precision (RegridSpec).
+    * Construct via [[HelmertDatumShift]] for TOWGS84 semantics.
+    */
+  final case class GeocentricAffineShift(
+      tx: Double, ty: Double, tz: Double,
+      m00: Double, m01: Double, m02: Double,
+      m10: Double, m11: Double, m12: Double,
+      m20: Double, m21: Double, m22: Double,
+      src: Ellipsoid, dst: Ellipsoid) extends Transform2D {
+    import Utm.Deg2Rad
+    def apply(lon: Column, lat: Column): (Column, Column) = {
+      val phi = lat * lit(Deg2Rad)
+      val lam = lon * lit(Deg2Rad)
+      val sinP = sin(phi); val cosP = cos(phi)
+      val sinL = sin(lam); val cosL = cos(lam)
+      val n = lit(src.a) / sqrt(lit(1.0) - lit(src.e2) * sinP * sinP)
+      val x = n * cosP * cosL
+      val y = n * cosP * sinL
+      val z = n * lit(1.0 - src.e2) * sinP
+      val xp = lit(tx) + lit(m00) * x + lit(m01) * y + lit(m02) * z
+      val yp = lit(ty) + lit(m10) * x + lit(m11) * y + lit(m12) * z
+      val zp = lit(tz) + lit(m20) * x + lit(m21) * y + lit(m22) * z
+      val b = dst.a * (1 - dst.f)
+      val ep2 = dst.e2 / (1 - dst.e2)
+      val p = sqrt(xp * xp + yp * yp)
+      val theta = atan2(zp * lit(dst.a), p * lit(b))
+      val sinT = sin(theta); val cosT = cos(theta)
+      val phiD = atan2(zp + lit(ep2 * b) * sinT * sinT * sinT,
+        p - lit(dst.e2 * dst.a) * cosT * cosT * cosT)
+      (atan2(yp, xp) / lit(Deg2Rad), phiD / lit(Deg2Rad))
+    }
+    def inverse: Transform2D = {
+      val det = m00 * (m11 * m22 - m12 * m21) -
+        m01 * (m10 * m22 - m12 * m20) + m02 * (m10 * m21 - m11 * m20)
+      require(det != 0.0, "geocentric affine is singular")
+      val (i00, i01, i02) = ((m11 * m22 - m12 * m21) / det,
+        (m02 * m21 - m01 * m22) / det, (m01 * m12 - m02 * m11) / det)
+      val (i10, i11, i12) = ((m12 * m20 - m10 * m22) / det,
+        (m00 * m22 - m02 * m20) / det, (m02 * m10 - m00 * m12) / det)
+      val (i20, i21, i22) = ((m10 * m21 - m11 * m20) / det,
+        (m01 * m20 - m00 * m21) / det, (m00 * m11 - m01 * m10) / det)
+      GeocentricAffineShift(
+        -(i00 * tx + i01 * ty + i02 * tz),
+        -(i10 * tx + i11 * ty + i12 * tz),
+        -(i20 * tx + i21 * ty + i22 * tz),
+        i00, i01, i02, i10, i11, i12, i20, i21, i22, dst, src)
+    }
+  }
+
+  /** 7-parameter Helmert (Bursa–Wolf) datum shift with TOWGS84 semantics:
+    * EPSG 9606 POSITION-VECTOR rotation convention (what GDAL/PROJ apply
+    * to a TOWGS84 node — the coordinate-frame convention flips the
+    * rotation signs), rotations in ARC-SECONDS, scale in PPM:
+    *
+    *   ⎡X'⎤   ⎡tx⎤         ⎡  1  −rz   ry⎤ ⎡X⎤
+    *   ⎢Y'⎥ = ⎢ty⎥ + (1+s)·⎢ rz    1  −rx⎥·⎢Y⎥
+    *   ⎣Z'⎦   ⎣tz⎦         ⎣−ry   rx    1⎦ ⎣Z⎦
+    *
+    * Returns the [[GeocentricAffineShift]] carrying the expanded matrix;
+    * rx = ry = rz = s = 0 degenerates to the pure translation (the
+    * 3-parameter case on the geocentric path).
+    */
+  object HelmertDatumShift {
+    private val Sec2Rad = math.Pi / (180.0 * 3600.0)
+    def apply(
+        dx: Double, dy: Double, dz: Double,
+        rxSec: Double, rySec: Double, rzSec: Double, dsPpm: Double,
+        src: Ellipsoid, dst: Ellipsoid): GeocentricAffineShift = {
+      val s = 1.0 + dsPpm * 1e-6
+      val rx = rxSec * Sec2Rad; val ry = rySec * Sec2Rad; val rz = rzSec * Sec2Rad
+      GeocentricAffineShift(dx, dy, dz,
+        s, -s * rz, s * ry,
+        s * rz, s, -s * rx,
+        -s * ry, s * rx, s,
+        src, dst)
+    }
+  }
+
   /** Function composition over the Transform2D seam — the PROJ "pipeline"
     * shape (e.g. UTM inverse → datum shift → LCC forward chains through
     * two of these). Applies `first`, then `second`.
@@ -685,7 +780,7 @@ object Regrid {
     * spent seconds in the analyzer/codegen (g11 measured 6.2 s vs ~1 s
     * staged). Returns (staged df, sx, sy, temp columns to drop).
     */
-  private def stageTransform(df: DataFrame, t: Transform2D,
+  private[graft] def stageTransform(df: DataFrame, t: Transform2D,
       x: Column, y: Column, tag: Int = 0): (DataFrame, Column, Column, Seq[String]) =
     t match {
       case ComposedTransform(first, second) =>

@@ -150,12 +150,21 @@ class CrsWktSpec extends AnyFunSuite {
       TransverseMercatorFromGeographic(TmParams(14.0, 0.0, 0.9996, 500000.0, 0.0)))
     // unknown datum with no TOWGS84
     rejects(GdalWgs84Geo.replace("WGS_1984", "Unknown_Local_1901"), "named datum")
-    // 7-param TOWGS84 with a rotation
-    rejects(
+    // 7-param TOWGS84 with a rotation is ACCEPTED since r10 (the
+    // geocentric Helmert path) — the parse carries all seven parameters
+    val seven = CrsWkt.parseCrs(
       "GEOGCS[\"x\",DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
         "TOWGS84[-146.414,507.337,680.507,0,0,1.0,0]],PRIMEM[\"Greenwich\",0]," +
+        "UNIT[\"degree\",0.0174532925199433]]")
+    assert(seven.geog.toWgs84 == ((-146.414, 507.337, 680.507)))
+    assert(seven.geog.rotWgs84 == ((0.0, 0.0, 1.0)))
+    assert(seven.geog.scaleWgs84Ppm == 0.0)
+    // wrong arity still rejects
+    rejects(
+      "GEOGCS[\"x\",DATUM[\"Tokyo\",SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+        "TOWGS84[-146.414,507.337]],PRIMEM[\"Greenwich\",0]," +
         "UNIT[\"degree\",0.0174532925199433]]",
-      "rotation")
+      "3 or 7 parameters")
     // gradian angular unit
     rejects(GdalWgs84Geo.replace("\"degree\",0.0174532925199433", "\"grad\",0.01570796326794897"),
       "not degrees")

@@ -542,4 +542,78 @@ class RegridSpec extends AnyFunSuite {
       assert(math.abs(a1 - a2) < 1e-12 && math.abs(b1 - b2) < 1e-12)
     }
   }
+
+  // DHDN → WGS84 Bursa–Wolf parameters (the published German national set)
+  private val Dhdn7 = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+
+  test("Helmert: pure Z rotation shifts longitude by exactly the rotation angle") {
+    // position-vector convention: +rz rotates X toward Y → lon' = lon + rz.
+    // Z and p are (to O(rz²)) unchanged, so latitude must not move.
+    val eps = 1.5 // arc-seconds
+    val t = Regrid.HelmertDatumShift(0, 0, 0, 0, 0, eps, 0,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Wgs84)
+    val pts = Seq((7.5, 47.6), (-120.0, -33.0), (139.68, 35.68))
+    evalXform(t, pts).zip(pts).foreach { case ((lon2, lat2), (lon, lat)) =>
+      assert(math.abs((lon2 - lon) * 3600.0 - eps) < 1e-6,
+        s"dLon=${(lon2 - lon) * 3600}")
+      assert(math.abs(lat2 - lat) < 1e-8, s"dLat=${lat2 - lat}")
+    }
+  }
+
+  test("Helmert fwd ∘ inverse closes horizontally (exact matrix inverse)") {
+    val (dx, dy, dz, rx, ry, rz, ds) = Dhdn7
+    val fwd = Regrid.HelmertDatumShift(dx, dy, dz, rx, ry, rz, ds,
+      Regrid.Ellipsoid.Bessel1841, Regrid.Ellipsoid.Wgs84)
+    val pts = for (lon <- Seq(6.1, 9.7, 13.4); lat <- Seq(47.5, 50.2, 54.8))
+      yield (lon, lat)
+    val back = evalXform(fwd.inverse, evalXform(fwd, pts))
+    // the affine XYZ leg inverts exactly; the only residual is Bowring's
+    // h=0 re-projection of the ~0-500 m induced ellipsoidal height —
+    // second-order in horizontal position (sub-millimetre)
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-8 && math.abs(lat - lat2) < 1e-8,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+  }
+
+  test("Helmert translation-only agrees with abridged Molodensky to its truncation") {
+    val (tx, ty, tz) = (146.414, -507.337, -680.507)
+    val exact = Regrid.HelmertDatumShift(tx, ty, tz, 0, 0, 0, 0,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841)
+    val abridged = Regrid.AbridgedMolodensky(tx, ty, tz,
+      Regrid.Ellipsoid.Wgs84, Regrid.Ellipsoid.Bessel1841)
+    val pts = Seq((129.5, 26.0), (139.68, 35.68), (145.2, 44.9))
+    evalXform(exact, pts).zip(evalXform(abridged, pts)).foreach {
+      case ((lonE, latE), (lonA, latA)) =>
+        // abridged drops the Δh-coupled terms: agreement ~1e-5 deg (~1 m)
+        assert(math.abs(lonE - lonA) < 1e-4 && math.abs(latE - latA) < 1e-4,
+          s"exact ($lonE,$latE) vs abridged ($lonA,$latA)")
+    }
+  }
+
+  test("7-param TOWGS84 in WKT routes through the composed geocentric Helmert") {
+    import graft.operators.CrsWkt
+    val (dx, dy, dz, rx, ry, rz, ds) = Dhdn7
+    val dhdn = "GEOGCS[\"DHDN\",DATUM[\"Deutsches_Hauptdreiecksnetz\"," +
+      "SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+      s"TOWGS84[$dx,$dy,$dz,$rx,$ry,$rz,$ds]]," +
+      "PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+    val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"," +
+      "SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+    val t = CrsWkt.transformBetween(dhdn, wgs84)
+    // the g15 structural-proof shape: WGS84's identity leg folds away
+    // exactly, so the dispatch must equal the hand-built single Helmert
+    // in every double slot (case-class equality)
+    val want = Regrid.HelmertDatumShift(dx, dy, dz, rx, ry, rz, ds,
+      Regrid.Ellipsoid.Bessel1841, Regrid.Ellipsoid.Wgs84)
+    assert(t == want, s"$t")
+    // and 3-param TOWGS84 still routes through abridged Molodensky
+    val tokyo3 = "GEOGCS[\"Tokyo\",DATUM[\"Tokyo\"," +
+      "SPHEROID[\"Bessel 1841\",6377397.155,299.1528128]," +
+      "TOWGS84[-146.414,507.337,680.507]],PRIMEM[\"Greenwich\",0]," +
+      "UNIT[\"degree\",0.0174532925199433]]"
+    assert(CrsWkt.transformBetween(tokyo3, wgs84)
+      .isInstanceOf[Regrid.AbridgedMolodensky])
+  }
 }
