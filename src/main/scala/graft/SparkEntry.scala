@@ -1369,12 +1369,40 @@ object SparkEntry {
       operators.Tiff.tiffToBlocks(Seq((1L, tif)).toDF("scene_id", "bytes")),
       blockH = 8, blockW = 16, nodata = -9999.0f)
       .select(col("value").cast("int").as("value"))
+    // r10: the REJECTS census — a mixed crawl bag (2 decodable files + 4
+    // unsupported/corrupt ones) through `mediaCensusWithRejects`, so the
+    // same plan reports skip counts per container format instead of
+    // relying on exceptions (the 100 TB operability contract). sum_v for
+    // a bag row is the count of decoded values (0 for rejects — kept
+    // NULL-free so the census stays integer-typed cross-engine).
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ Array.fill[Byte](12)(7)
+    val gifI = operators.Gif.synthGif(6, 4,
+      (0 until 4).map(i => (i * 50, i * 60, i * 70)),
+      Seq(operators.Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r + c) % 4)))
+    locally { // set the interlace flag (no palette byte equals 0x2C here)
+      val p = (13 until gifI.length).find(i => gifI(i) == 0x2c).get
+      gifI(p + 9) = (gifI(p + 9) | 0x40).toByte
+    }
+    val bmpRle = operators.MultimodalOps.synthBmp(5, 4, 3)((r, c, ch) => r + c + ch)
+    bmpRle(30) = 1 // BI_RLE8
+    val bag = Seq((1L, png), (2L, webp), (3L, gifI), (4L, bmpRle),
+      (5L, wav), (6L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "bytes")
+    val bagRows = operators.MultimodalOps.mediaCensusWithRejects(bag)
+      .groupBy(col("format"), col("ok"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("n_values"), lit(0L))).as("sum_v"))
+      .select(concat(lit("z_"), col("format"),
+          when(col("ok"), lit("_ok")).otherwise(lit("_rej"))).as("kind"),
+        col("n"), col("sum_v"),
+        lit(0).as("min_v"), lit(0).as("max_v"))
     census("bmp", operators.MultimodalOps.bmpToPixels(Seq((1L, bmp)).toDF("img_id", "bytes")))
       .unionAll(census("gif", operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))))
       .unionAll(census("jpeg", operators.Jpeg.jpegToPixels(Seq((1L, jpg)).toDF("img_id", "bytes"))))
       .unionAll(census("png", operators.MultimodalOps.pngToPixels(Seq((1L, png)).toDF("img_id", "bytes"))))
       .unionAll(census("tiff", tifPx))
       .unionAll(census("wav", operators.MultimodalOps.wavToSamples(Seq((1L, wav)).toDF("media_id", "bytes"))))
+      .unionAll(bagRows)
       .orderBy("kind")
   }
 
@@ -4547,7 +4575,15 @@ object SparkEntry {
             |    WHEN 1 THEN (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 59) % 256
             |    ELSE (((id // 36 * 5 + (id % 36) // 3 * 3) % 7) * 83) % 256 END""".stripMargin),
         census("tiff", 128, "(id // 16 * 13 + id % 16) % 97"),
-        census("wav", 60, "(id // 2 * 773 + id % 2 * 331) % 65536 - 32768")
+        census("wav", 60, "(id // 2 * 773 + id % 2 * 331) % 65536 - 32768"),
+        // the rejects-census bag: per-(format, ok) file counts with the
+        // decoded-value totals for the ok files — all literals, because
+        // the bag's composition IS the contract (4 rejects, 2 ok)
+        """SELECT kind, CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v,
+          |  CAST(0 AS INT) AS min_v, CAST(0 AS INT) AS max_v
+          |FROM (VALUES ('z_bmp_rej', 1, 0), ('z_gif_rej', 1, 0),
+          |  ('z_png_ok', 1, 324), ('z_unknown_rej', 1, 0),
+          |  ('z_wav_ok', 1, 60), ('z_webp_rej', 1, 0)) t(kind, n, sum_v)""".stripMargin
       ).mkString("", "\nUNION ALL\n", "\nORDER BY kind")
     })
 

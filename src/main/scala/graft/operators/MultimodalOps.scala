@@ -641,6 +641,111 @@ object MultimodalOps {
         yield Seq[Any](row, c, k, px((row * w + c) * ch + k))
     }
 
+  /** Container format from magic bytes — the crawl-side dispatch key for
+    * [[mediaCensusWithRejects]]. Recognizes every container the engine
+    * decodes (png/jpeg/gif/bmp/wav/tiff/avi) plus WebP (recognized but
+    * undecodable — the web-corpus staple a census must COUNT rather than
+    * crash on); anything else is "unknown".
+    */
+  def sniffFormat(b: Array[Byte]): String = {
+    def ascii(off: Int, s: String) = b.length >= off + s.length &&
+      s.indices.forall(i => b(off + i) == s(i).toByte)
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(1, "PNG")) "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (ascii(0, "GIF8")) "gif"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "avi"
+    else if (ascii(0, "BM")) "bmp"
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) {
+      val magic = if (b(0) == 'I') (b(2) & 0xff) | ((b(3) & 0xff) << 8)
+        else ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      if (magic == 42 || magic == 43) "tiff" else "unknown"
+    }
+    else "unknown"
+  }
+
+  /** Per-FILE integer-value census with rejects surfaced as ROWS — the
+    * operability contract a 100 TB crawl needs: unsupported or corrupt
+    * files become countable `(ok = false, reject_reason)` rows instead of
+    * dropped rows or dead tasks, so a curation run can report "N WebP
+    * skipped, M truncated JPEGs" from the same plan that censuses the
+    * decodable majority. Dispatch is by [[sniffFormat]] magic; decode
+    * failures keep the codec's own descriptive message.
+    *
+    * Census semantics per format (documented, closed-form oracle-able):
+    * png/bmp = channel values; jpeg = decoded component bytes; gif = RGBA
+    * values across frames; wav = integer PCM samples (IEEE-float WAV
+    * rejects with the PCM router's message — its samples have no integer
+    * census; use `wavFloatToSamples`); tiff = stored float32 samples
+    * including block padding, rejected when any sample is non-integral;
+    * avi rejects toward `aviToFrames` (frames, not scalars); webp and
+    * unknown magic reject descriptively.
+    *
+    * Output suffix: (format, n_values, sum_value, ok, reject_reason).
+    * Same scale shape as every codec surface: flatMap, one task per
+    * file, zero shuffle, ONE row out per file.
+    */
+  def mediaCensusWithRejects(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("n_values", LongType, nullable = true),
+      StructField("sum_value", LongType, nullable = true),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("reject_reason", StringType, nullable = true))) { payload =>
+      val fmt = sniffFormat(payload)
+      try {
+        val (n, sum) = fmt match {
+          case "png" =>
+            val (_, _, _, px) = decodePngPixels(payload)
+            (px.length.toLong, px.foldLeft(0L)(_ + _))
+          case "bmp" =>
+            val (_, _, _, px) = decodeBmpPixels(payload)
+            (px.length.toLong, px.foldLeft(0L)(_ + _))
+          case "jpeg" =>
+            val (_, _, _, px) = Jpeg.decodeJpegPixels(payload)
+            (px.length.toLong, px.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+          case "gif" =>
+            val (_, _, frames) = Gif.decodeGifFrames(payload)
+            frames.foldLeft((0L, 0L)) { case ((n0, s0), f) =>
+              (n0 + f.rgba.length, s0 + f.rgba.foldLeft(0L)(_ + _))
+            }
+          case "wav" =>
+            val (_, _, _, samples) = decodeWavSamples(payload)
+            (samples.length.toLong, samples.foldLeft(0L)(_ + _))
+          case "tiff" =>
+            var n = 0L; var s = 0L
+            Tiff.blocksOf(payload).foreach { case (_, _, _, _, blob) =>
+              var i = 0
+              while (i < blob.length) {
+                val v = java.lang.Float.intBitsToFloat(
+                  ((blob(i) & 0xff) << 24) | ((blob(i + 1) & 0xff) << 16) |
+                    ((blob(i + 2) & 0xff) << 8) | (blob(i + 3) & 0xff))
+                require(v == math.rint(v),
+                  s"non-integral float sample $v has no integer census")
+                n += 1; s += v.toLong
+                i += 4
+              }
+            }
+            (n, s)
+          case "webp" => throw new IllegalArgumentException(
+            "WEBP (RIFF/VP8) is recognized but not decodable — no VP8 decoder shipped")
+          case "avi" => throw new IllegalArgumentException(
+            "AVI carries video frames, not a scalar census — route through aviToFrames")
+          case _ => throw new IllegalArgumentException(
+            s"unrecognized container magic (${payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
+        }
+        Iterator.single(Seq[Any](fmt, n, sum, true, null))
+      } catch {
+        case e: IllegalArgumentException =>
+          Iterator.single(Seq[Any](fmt, null, null, false,
+            s"${e.getMessage}"))
+        case e: java.util.zip.DataFormatException =>
+          Iterator.single(Seq[Any](fmt, null, null, false,
+            s"corrupt compressed stream: ${e.getMessage}"))
+      }
+    }
+
   /** The (px_row, px_col, channel, value) suffix every full-frame pixel
     * decoder emits.
     */

@@ -399,6 +399,60 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
   }
 
+  test("mediaCensusWithRejects: rejects are countable rows with descriptive reasons") {
+    import spark.implicits._
+    val png = MultimodalOps.synthPng(4, 3, 3, _ => 0)((r, c, ch) => (r + c + ch) % 256)
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ Array.fill[Byte](12)(7)
+    val gifI = operators.Gif.synthGif(6, 4,
+      (0 until 4).map(i => (i * 50, i * 60, i * 70)),
+      Seq(operators.Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r + c) % 4)))
+    // set the interlace flag in the image descriptor's packed byte (the
+    // 0x2C introducer scan is safe: no palette byte equals 44 here)
+    locally {
+      val p = (13 until gifI.length).find(i => gifI(i) == 0x2c).get
+      gifI(p + 9) = (gifI(p + 9) | 0x40).toByte
+    }
+    val bmpRle = MultimodalOps.synthBmp(5, 4, 3)((r, c, ch) => r + c + ch)
+    bmpRle(30) = 1 // BI_RLE8
+    val tiffJpeg = {
+      val t = operators.Tiff.synthTiff(8, 8, 8, 8, littleEndian = true,
+        tile = true)((r, c) => 1f)
+      t(10 + 3 * 12 + 8) = 7 // Compression -> JPEG-in-TIFF
+      t
+    }
+    val wav = MultimodalOps.synthWavPcm(8000, 1, 16, 5)((f, _) => f * 3)
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val bag = Seq(
+      (1L, png), (2L, webp), (3L, gifI), (4L, bmpRle), (5L, tiffJpeg),
+      (6L, wav), (7L, junk)).toDF("media_id", "bytes")
+    val out = MultimodalOps.mediaCensusWithRejects(bag)
+      .orderBy("media_id").collect()
+    def row(i: Int) = out(i - 1)
+    assert(out.length == 7)
+    // ok files carry the closed-form census
+    assert(row(1).getString(1) == "png" && row(1).getBoolean(4))
+    assert(row(1).getLong(2) == 4 * 3 * 3)
+    assert(row(6).getString(1) == "wav" && row(6).getBoolean(4) &&
+      row(6).getLong(2) == 5 && row(6).getLong(3) == (0 + 3 + 6 + 9 + 12))
+    // rejects: right format sniffed, ok=false, reason descriptive
+    def rej(i: Int, fmt: String, needle: String): Unit = {
+      assert(row(i).getString(1) == fmt, s"row $i: ${row(i)}")
+      assert(!row(i).getBoolean(4) && row(i).isNullAt(2), s"row $i: ${row(i)}")
+      assert(row(i).getString(5).toLowerCase.contains(needle), s"row $i: ${row(i).getString(5)}")
+    }
+    rej(2, "webp", "webp")
+    rej(3, "gif", "interlac")
+    rej(4, "bmp", "bi_rgb")
+    rej(5, "tiff", "")
+    rej(7, "unknown", "magic")
+    // the skip-count report a crawl wants: one groupBy away
+    val counts = MultimodalOps.mediaCensusWithRejects(bag)
+      .groupBy("format", "ok").count()
+      .collect().map(r => (r.getString(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(counts(("webp", false)) == 1 && counts(("png", true)) == 1)
+  }
+
   test("WAV blockAlign disagreeing with channels x bytes/sample fails closed") {
     // frame count divides by the DECLARED blockAlign but decode reads at
     // channels·bps stride — a mismatch must reject, not silently decode
