@@ -1377,16 +1377,13 @@ object SparkEntry {
     // NULL-free so the census stays integer-typed cross-engine).
     val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
       "WEBPVP8 ".getBytes("US-ASCII") ++ Array.fill[Byte](12)(7)
-    val gifI = operators.Gif.synthGif(6, 4,
-      (0 until 4).map(i => (i * 50, i * 60, i * 70)),
+    val gifT = operators.Gif.synthGif(6, 4, // truncated stream (interlace
+      (0 until 4).map(i => (i * 50, i * 60, i * 70)), // decodes since r10)
       Seq(operators.Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r + c) % 4)))
-    locally { // set the interlace flag (no palette byte equals 0x2C here)
-      val p = (13 until gifI.length).find(i => gifI(i) == 0x2c).get
-      gifI(p + 9) = (gifI(p + 9) | 0x40).toByte
-    }
+      .dropRight(10)
     val bmpRle = operators.MultimodalOps.synthBmp(5, 4, 3)((r, c, ch) => r + c + ch)
     bmpRle(30) = 1 // BI_RLE8
-    val bag = Seq((1L, png), (2L, webp), (3L, gifI), (4L, bmpRle),
+    val bag = Seq((1L, png), (2L, webp), (3L, gifT), (4L, bmpRle),
       (5L, wav), (6L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "bytes")
     val bagRows = operators.MultimodalOps.mediaCensusWithRejects(bag)
       .groupBy(col("format"), col("ok"))
@@ -1982,7 +1979,12 @@ object SparkEntry {
     val gif = operators.Gif.synthGif(14, 10, global, Seq(
       operators.Gif.FrameSpec(0, 0, 14, 10)((r, c) => (r * 7 + c * 3) % 6),
       operators.Gif.FrameSpec(3, 2, 8, 5, localPalette = Some(local),
-        transparentIdx = Some(2))((r, c) => (r + c * 2) % 4)))
+        transparentIdx = Some(2))((r, c) => (r + c * 2) % 4),
+      // r10: an INTERLACED frame (odd height so all four passes have
+      // uneven strides) — the 8/8/4/2 row scatter must be invisible:
+      // the oracle regenerates the same closed form as a sequential frame
+      operators.Gif.FrameSpec(1, 1, 11, 9, interlaced = true)(
+        (r, c) => (r * 5 + c) % 6)))
     operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))
       .orderBy("frame_idx", "px_row", "px_col", "channel")
   }
@@ -5340,6 +5342,15 @@ object SparkEntry {
         |         THEN 0 ELSE 255 END
         |  END AS INT)
         |FROM range(160) t(id)
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+        |  CAST(id // 44 AS INT), CAST((id % 44) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST(CASE id % 4
+        |    WHEN 0 THEN (((id // 44 * 5 + (id % 44) // 4) % 6) * 41) % 256
+        |    WHEN 1 THEN (((id // 44 * 5 + (id % 44) // 4) % 6) * 73) % 256
+        |    WHEN 2 THEN (((id // 44 * 5 + (id % 44) // 4) % 6) * 97) % 256
+        |    ELSE 255 END AS INT)
+        |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
     // mm15: dyadic-rational float samples regenerate exactly in double
     // arithmetic (k/64 is the same number in float32 and float64)

@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * TIFF's LZW is MSB-first WITH early code-width change; the two
   * dialects share nothing but the dictionary idea).
   *
-  * Scope (fail closed, the Tiff/Png/Jpeg doctrine): interlaced frames,
-  * missing color tables, palette-overflow indices, and truncated
-  * streams reject loudly. Frames decode to their OWN rectangles as RGBA
+  * Scope (fail closed, the Tiff/Png/Jpeg doctrine): missing color
+  * tables, palette-overflow indices, and truncated streams reject
+  * loudly; interlaced frames DECODE since r10 (the 8/8/4/2 4-pass row
+  * scatter, undone after the LZW stage — mm6c's Adam7 sibling). Frames decode to their OWN rectangles as RGBA
   * (transparent index → alpha 0); inter-frame disposal compositing is a
   * presentation concern left to the caller — for corpus work the
   * per-frame payload is the signal, exactly like `sampleFrames` treats
@@ -236,7 +237,7 @@ object Gif {
           val h = u16le(bytes, pos + 7)
           val packed = bytes(pos + 9) & 0xff
           pos += 10
-          require((packed & 0x40) == 0, "interlaced GIF frames unsupported")
+          val interlaced = (packed & 0x40) != 0
           val table =
             if ((packed & 0x80) != 0) colorTable(packed & 0x07) else globalTable
           require(table != null, "frame has neither local nor global color table")
@@ -259,7 +260,20 @@ object Gif {
             n = bytes(pos) & 0xff
           }
           pos += 1
-          val idx = lzwDecodeGif(data.toByteArray, minCodeSize, w * h)
+          val seqIdx = lzwDecodeGif(data.toByteArray, minCodeSize, w * h)
+          // interlaced frames store rows in 4-pass order (8/8/4/2-row
+          // strides — the GIF87a scatter, same family as PNG's Adam7):
+          // stored row s is DISPLAY row interlaceOrder(h)(s)
+          val idx = if (!interlaced) seqIdx else {
+            val order = interlaceOrder(h)
+            val out = new Array[Byte](w * h)
+            var s = 0
+            while (s < h) {
+              System.arraycopy(seqIdx, s * w, out, order(s) * w, w)
+              s += 1
+            }
+            out
+          }
           val entries = table.length / 3
           val rgba = new Array[Int](w * h * 4)
           var i = 0
@@ -283,13 +297,30 @@ object Gif {
 
   // ---- synth writer (the encode half, for tests/oracles) ----
 
+  /** GIF 4-pass interlace: display rows in stored order (pass 1 rows
+    * 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6,10…, pass 4 odd rows).
+    */
+  private[operators] def interlaceOrder(h: Int): Array[Int] = {
+    val starts = Array(0, 4, 2, 1); val steps = Array(8, 8, 4, 2)
+    val out = new Array[Int](h); var k = 0
+    var p = 0
+    while (p < 4) {
+      var r = starts(p)
+      while (r < h) { out(k) = r; k += 1; r += steps(p) }
+      p += 1
+    }
+    out
+  }
+
   /** One frame's inputs: rectangle, optional local palette, optional
-    * transparent index (emits an 89a graphic-control extension), and the
+    * transparent index (emits an 89a graphic-control extension),
+    * interlace flag (rows stored in the 4-pass scatter order), and the
     * per-pixel palette index function.
     */
   final case class FrameSpec(left: Int, top: Int, w: Int, h: Int,
       localPalette: Option[Seq[(Int, Int, Int)]] = None,
-      transparentIdx: Option[Int] = None)(val idxOf: (Int, Int) => Int)
+      transparentIdx: Option[Int] = None,
+      interlaced: Boolean = false)(val idxOf: (Int, Int) => Int)
 
   def synthGif(screenW: Int, screenH: Int,
       globalPalette: Seq[(Int, Int, Int)],
@@ -323,18 +354,22 @@ object Gif {
       out.write(0x2c)
       le16(f.left); le16(f.top); le16(f.w); le16(f.h)
       val palette = f.localPalette.getOrElse(globalPalette)
+      val iFlag = if (f.interlaced) 0x40 else 0
       f.localPalette match {
         case Some(p) =>
           val b = tableBits(p.length)
-          out.write(0x80 | b)
+          out.write(0x80 | iFlag | b)
           writeTable(p, b)
-        case None => out.write(0)
+        case None => out.write(iFlag)
       }
+      // stored row s carries display row rows(s) (identity when not
+      // interlaced; the 4-pass scatter when it is)
+      val rows = if (f.interlaced) interlaceOrder(f.h) else Array.range(0, f.h)
       val idx = new Array[Byte](f.w * f.h)
-      for (r <- 0 until f.h; c <- 0 until f.w) {
-        val i = f.idxOf(r, c)
+      for (s <- 0 until f.h; c <- 0 until f.w) {
+        val i = f.idxOf(rows(s), c)
         require(i >= 0 && i < palette.length, s"index $i outside the palette")
-        idx(r * f.w + c) = i.toByte
+        idx(s * f.w + c) = i.toByte
       }
       val minCodeSize = math.max(2, tableBits(palette.length) + 1)
       out.write(minCodeSize)

@@ -80,10 +80,17 @@ class CodecFuzzSpec extends AnyFunSuite {
   }
 
   test("GIF frame decode never escapes fail-closed") {
-    fuzz("gif", Seq(Gif.synthGif(10, 8,
-      globalPalette = (0 until 4).map(i => (i * 60, i * 50, i * 40)),
-      frames = Seq(Gif.FrameSpec(0, 0, 10, 8, transparentIdx = Some(1))(
-        (r, c) => (r + c) % 4)))))(Gif.decodeGifFrames)
+    fuzz("gif", Seq(
+      Gif.synthGif(10, 8,
+        globalPalette = (0 until 4).map(i => (i * 60, i * 50, i * 40)),
+        frames = Seq(Gif.FrameSpec(0, 0, 10, 8, transparentIdx = Some(1))(
+          (r, c) => (r + c) % 4))),
+      // r10: interlaced seed — the deinterlace scatter is a new decode
+      // path and gets the same mutation sweep the day it lands
+      Gif.synthGif(9, 7,
+        globalPalette = (0 until 4).map(i => (i * 55, i * 45, i * 35)),
+        frames = Seq(Gif.FrameSpec(0, 0, 9, 7, interlaced = true)(
+          (r, c) => (r * 2 + c) % 4)))))(Gif.decodeGifFrames)
   }
 
   test("BMP pixel decode never escapes fail-closed") {

@@ -68,19 +68,14 @@ class GifSpec extends AnyFunSuite {
     }
   }
 
-  test("container fails closed: bad signature, interlace, unknown block, truncation") {
+  test("container fails closed: bad signature, unknown block, truncation") {
     val ok = Gif.synthGif(8, 8, Seq((0, 0, 0), (1, 1, 1)),
       Seq(Gif.FrameSpec(0, 0, 8, 8)((r, c) => (r + c) % 2)))
     val badSig = ok.clone(); badSig(3) = 'X'.toByte
     assert(intercept[IllegalArgumentException](
       Gif.decodeGifFrames(badSig)).getMessage.contains("signature"))
-    // set the interlace flag in the image descriptor's packed byte
-    val inter = ok.clone()
     val descAt = (13 + 6) // header+LSD (13) + 2-entry global table (6)
-    assert((inter(descAt) & 0xff) == 0x2c)
-    inter(descAt + 9) = (inter(descAt + 9) | 0x40).toByte
-    assert(intercept[IllegalArgumentException](
-      Gif.decodeGifFrames(inter)).getMessage.contains("interlaced"))
+    assert((ok(descAt) & 0xff) == 0x2c)
     val unknown = ok.clone(); unknown(descAt) = 0x7e.toByte
     assert(intercept[IllegalArgumentException](
       Gif.decodeGifFrames(unknown)).getMessage.contains("unknown GIF block"))
@@ -101,5 +96,27 @@ class GifSpec extends AnyFunSuite {
     val px = out.filter(col("frame_idx") === 0 && col("px_row") === 0 && col("px_col") === 1)
       .orderBy("channel").collect().map(_.getInt(7))
     assert(px.toSeq == Seq(6, 5, 4, 255))
+  }
+
+  test("interlaced frame decodes pixel-identical to its sequential twin") {
+    // the strongest equivalence shape (the progressive-JPEG precedent):
+    // same idxOf, interlaced vs not — the 4-pass scatter must be
+    // invisible. Heights cover every pass-boundary case: 1 and 2 (only
+    // late passes populated), 4 (no pass-2 row beyond start), 8 (one row
+    // per stride), 9 and 16 (multi-row passes).
+    val pal = (0 until 5).map(i => (i * 47 % 256, i * 31 % 256, i * 61 % 256))
+    for (h <- Seq(1, 2, 4, 8, 9, 16)) {
+      def frame(i: Boolean) = Gif.synthGif(7, h, pal,
+        Seq(Gif.FrameSpec(0, 0, 7, h, interlaced = i)((r, c) => (r * 3 + c) % 5)))
+      val (_, _, seqF) = Gif.decodeGifFrames(frame(false))
+      val (_, _, intF) = Gif.decodeGifFrames(frame(true))
+      assert(seqF.length == 1 && intF.length == 1, s"h=$h")
+      assert(java.util.Arrays.equals(seqF.head.rgba, intF.head.rgba), s"h=$h")
+    }
+    // and the interlace bit really is set in the interlaced spelling
+    val b = Gif.synthGif(7, 9, pal,
+      Seq(Gif.FrameSpec(0, 0, 7, 9, interlaced = true)((r, c) => 0)))
+    val p = (13 until b.length).find(i => b(i) == 0x2c).get
+    assert((b(p + 9) & 0x40) != 0)
   }
 }

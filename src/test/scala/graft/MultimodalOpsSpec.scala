@@ -404,15 +404,12 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val png = MultimodalOps.synthPng(4, 3, 3, _ => 0)((r, c, ch) => (r + c + ch) % 256)
     val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
       "WEBPVP8 ".getBytes("US-ASCII") ++ Array.fill[Byte](12)(7)
-    val gifI = operators.Gif.synthGif(6, 4,
+    // a truncated GIF (interlace decodes since r10, so the reject
+    // exemplar is stream truncation — the crawl's most common corruption)
+    val gifT = operators.Gif.synthGif(6, 4,
       (0 until 4).map(i => (i * 50, i * 60, i * 70)),
       Seq(operators.Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r + c) % 4)))
-    // set the interlace flag in the image descriptor's packed byte (the
-    // 0x2C introducer scan is safe: no palette byte equals 44 here)
-    locally {
-      val p = (13 until gifI.length).find(i => gifI(i) == 0x2c).get
-      gifI(p + 9) = (gifI(p + 9) | 0x40).toByte
-    }
+      .dropRight(10)
     val bmpRle = MultimodalOps.synthBmp(5, 4, 3)((r, c, ch) => r + c + ch)
     bmpRle(30) = 1 // BI_RLE8
     val tiffJpeg = {
@@ -424,7 +421,7 @@ class MultimodalOpsSpec extends AnyFunSuite {
     val wav = MultimodalOps.synthWavPcm(8000, 1, 16, 5)((f, _) => f * 3)
     val junk = Array[Byte](1, 2, 3, 4, 5)
     val bag = Seq(
-      (1L, png), (2L, webp), (3L, gifI), (4L, bmpRle), (5L, tiffJpeg),
+      (1L, png), (2L, webp), (3L, gifT), (4L, bmpRle), (5L, tiffJpeg),
       (6L, wav), (7L, junk)).toDF("media_id", "bytes")
     val out = MultimodalOps.mediaCensusWithRejects(bag)
       .orderBy("media_id").collect()
@@ -442,7 +439,7 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(row(i).getString(5).toLowerCase.contains(needle), s"row $i: ${row(i).getString(5)}")
     }
     rej(2, "webp", "webp")
-    rej(3, "gif", "interlac")
+    rej(3, "gif", "overrun")
     rej(4, "bmp", "bi_rgb")
     rej(5, "tiff", "")
     rej(7, "unknown", "magic")
