@@ -4001,6 +4001,26 @@ object SparkEntry {
       .orderBy("pk")
   }
 
+  /** G20 — polar stereographic VARIANT A (EPSG 9810: scale factor at the
+    * pole — the UPS parameterization, the last documented
+    * projection-family reject) through the EPSG:5041 shorthand: Arctic
+    * lon/lat forward-projected, fixed-point floor(v·2^6) outputs (the
+    * g16 rule — the t-kernel carries a pow). Margin scan
+    * (tools/g20_margin_scan.py, committed): worst ×64-grid distance
+    * 3.4e-5 across all 3 SFs vs ≲2e-7 ULP drift at UPS magnitudes.
+    */
+  private def g20(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-178.73) + (col("p_partkey") % 120).cast("double") * lit(2.99)).as("lon"),
+      (lit(62.17) + (col("p_size") % 27).cast("double") * lit(1.01)).as("lat"))
+    val crs = operators.CrsWkt.parseCrs("EPSG:5041")
+      .asInstanceOf[operators.CrsWkt.Projected]
+    val (x, y) = crs.forward(col("lon"), col("lat"))
+    base.select(col("pk"),
+      floor(x * lit(64.0)).cast("long").as("x_fp"),
+      floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -4364,6 +4384,7 @@ object SparkEntry {
     "s21_webdataset_shards" -> (s21 _),
     "s22_geoparquet_roundtrip" -> (s22 _),
     "g19_helmert_7param" -> (g19 _),
+    "g20_ups_variant_a" -> (g20 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -6546,6 +6567,29 @@ object SparkEntry {
         |    + (61.0 - 58.0 * t + t * t + 600.0 * c - ${330.0 * p.ep2})
         |      * aa * aa * aa * aa * aa * aa / 720.0)) AS y
         |FROM f3 ORDER BY pk""".stripMargin
+    },
+    // g20: the identical Snyder kernel as g16 with the VARIANT-A rho
+    // constant (2·a·k0/√((1+e)^(1+e)(1−e)^(1−e)), Snyder 21-33) and the
+    // UPS false origin — rhoF interpolated from the same PsParams
+    "g20_ups_variant_a" -> {
+      import operators.Regrid.{PsParams, Utm}
+      val p = PsParams(90.0, 0.0, 2000000.0, 2000000.0, k0Pole = Some(0.994))
+      s"""WITH pts AS (SELECT p_partkey AS pk,
+        |    -178.73 + CAST(p_partkey % 120 AS DOUBLE) * 2.99 AS lon,
+        |    62.17 + CAST(p_size % 27 AS DOUBLE) * 1.01 AS lat
+        |  FROM part),
+        |f1 AS (SELECT pk, lon, lat * ${Utm.Deg2Rad} AS phi FROM pts),
+        |f2 AS (SELECT pk, lon, phi, ${p.e} * sin(phi) AS esin FROM f1),
+        |f3 AS (SELECT pk, lon,
+        |    tan(${math.Pi / 4.0} - phi / 2.0)
+        |      / pow((1.0 - esin) / (1.0 + esin), ${p.e / 2.0}) AS t FROM f2),
+        |f4 AS (SELECT pk, lon, ${p.rhoF} * t AS rho FROM f3),
+        |f5 AS (SELECT pk, rho,
+        |    (lon - (${p.lon0Deg})) * ${Utm.Deg2Rad} AS dlam FROM f4)
+        |SELECT pk,
+        |  CAST(floor((${p.falseEasting} + rho * sin(dlam)) * 64.0) AS BIGINT) AS x_fp,
+        |  CAST(floor((${p.falseNorthing} + ((-1.0) * rho) * cos(dlam)) * 64.0) AS BIGINT) AS y_fp
+        |FROM f5 ORDER BY pk""".stripMargin
     },
     // g16: the Snyder polar-stereographic forward (21-30..21-34) with
     // PsParams constants interpolated from the same Scala arithmetic,

@@ -249,9 +249,11 @@ object CrsWkt {
       case Some(9802) => return "lcc"
       case Some(9822) => return "aea"
       case Some(9829) => return "ps" // Polar Stereographic (variant B)
+      case Some(9810) => return "ps" // Polar Stereographic (variant A — UPS)
       case Some(other) => throw new IllegalArgumentException(
         s"projection METHOD EPSG:$other is not implemented " +
-          "(9807 TM, 1024 Pseudo-Mercator, 9802 LCC 2SP, 9822 Albers, 9829 Polar Stereographic B)")
+          "(9807 TM, 1024 Pseudo-Mercator, 9802 LCC 2SP, 9822 Albers, " +
+          "9829/9810 Polar Stereographic B/A)")
       case None =>
     }
     pNorm(name) match {
@@ -331,13 +333,21 @@ object CrsWkt {
         // non-1 scale factor rejects here.
         val ts = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
           "standard_parallel_1", "latitude_of_standard_parallel"), Req)
-        require(k0 == 1.0,
-          s"polar stereographic scale_factor $k0: only the standard-parallel " +
-            "parameterization (variant B, scale factor 1) is implemented")
         val c = p(Seq("central_meridian", "longitude_of_natural_origin",
           "longitude_of_origin"), Req)
-        PolarStereographicFromGeographic(PsParams(
-          ts, c, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
+        if (math.abs(ts) == 90.0)
+          // the pole as latitude of origin IS variant A (EPSG 9810, the
+          // UPS parameterization) — scale_factor is the pole scale
+          PolarStereographicFromGeographic(PsParams(
+            ts, c, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2, Some(k0)))
+        else {
+          require(k0 == 1.0,
+            s"polar stereographic scale_factor $k0 with standard parallel " +
+              s"$ts: variant B's scale factor is 1 by definition (a pole " +
+              "latitude of origin selects variant A)")
+          PolarStereographicFromGeographic(PsParams(
+            ts, c, fe, fn, geog.ellipsoid.a, geog.ellipsoid.e2))
+        }
     }
   }
 
@@ -521,9 +531,16 @@ object CrsWkt {
         Projected(wgs, PolarStereographicFromGeographic(PsParams(-70.0, 0.0)))
       case 3031 => // WGS 84 / Antarctic Polar Stereographic
         Projected(wgs, PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
+      case 5041 => // WGS 84 / UPS North (E,N) — variant A, k0 at the pole
+        Projected(wgs, PolarStereographicFromGeographic(PsParams(
+          90.0, 0.0, 2000000.0, 2000000.0, k0Pole = Some(0.994))))
+      case 5042 => // WGS 84 / UPS South (E,N)
+        Projected(wgs, PolarStereographicFromGeographic(PsParams(
+          -90.0, 0.0, 2000000.0, 2000000.0, k0Pole = Some(0.994))))
       case other => throw new IllegalArgumentException(
         s"EPSG:$other is not in the shipped table (4326, 3857, 326xx/327xx UTM, " +
-          "269xx NAD83 UTM, 258xx ETRS89 UTM, 4267, 4269, 4301, 5070, 2277, 3413/3976/3031) — pass the CRS WKT instead")
+          "269xx NAD83 UTM, 258xx ETRS89 UTM, 4267, 4269, 4301, 5070, 2277, " +
+          "3413/3976/3031, 5041/5042 UPS) — pass the CRS WKT instead")
     }
   }
 

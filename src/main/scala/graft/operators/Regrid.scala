@@ -689,12 +689,26 @@ object Regrid {
   final case class PsParams(
       latTsDeg: Double, lon0Deg: Double,
       falseEasting: Double = 0.0, falseNorthing: Double = 0.0,
-      a: Double = Utm.A, e2: Double = Utm.E2) {
+      a: Double = Utm.A, e2: Double = Utm.E2,
+      /** Variant A (EPSG 9810 — scale factor AT the pole, latitude of
+        * origin ±90; the UPS parameterization): Some(k0). None is the
+        * standard-parallel variant B (EPSG 9829). Both share the t/ρ
+        * kernel — only the ρ scale constant differs (Snyder 21-33 vs
+        * 21-34), so the forward/inverse transforms are identical code.
+        */
+      k0Pole: Option[Double] = None) {
     import Utm.Deg2Rad
-    require(math.abs(latTsDeg) > 0.0 && math.abs(latTsDeg) < 90.0,
-      s"polar stereographic standard parallel must lie strictly between a pole " +
-        s"and the equator, got $latTsDeg (variant A — true scale at the pole — " +
-        "is a different parameterization and is not implemented)")
+    k0Pole match {
+      case None =>
+        require(math.abs(latTsDeg) > 0.0 && math.abs(latTsDeg) < 90.0,
+          s"polar stereographic standard parallel must lie strictly between a " +
+            s"pole and the equator, got $latTsDeg (variant A — true scale at " +
+            "the pole — passes k0Pole = Some(k0) with latTsDeg = ±90)")
+      case Some(k0) =>
+        require(math.abs(latTsDeg) == 90.0,
+          s"variant A's latitude of origin is the pole (±90), got $latTsDeg")
+        require(k0 > 0.0 && k0 <= 1.0, s"pole scale factor $k0 out of (0, 1]")
+    }
     val north: Boolean = latTsDeg > 0
     val e: Double = math.sqrt(e2)
     /** Snyder 15-9: the conformal pole-distance kernel t(φ). */
@@ -708,8 +722,14 @@ object Regrid {
       math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
     }
     private val absTs = math.abs(latTsDeg)
-    /** ρ(φ) = rhoF · t(φ′) (Snyder 21-34, standard-parallel form). */
-    val rhoF: Double = a * mOf(absTs) / tOf(absTs)
+    /** ρ(φ) = rhoF · t(φ′): Snyder 21-34 (variant B, a·m(ts)/t(ts)) or
+      * 21-33 (variant A, 2·a·k0/√((1+e)^(1+e)·(1−e)^(1−e))).
+      */
+    val rhoF: Double = k0Pole match {
+      case None => a * mOf(absTs) / tOf(absTs)
+      case Some(k0) => 2.0 * a * k0 /
+        math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+    }
     /** Scale factor k(φ) = ρ/(a·m) — 1.0 exactly at the standard
       * parallel (the defining property, exercised by RegridSpec).
       */

@@ -191,13 +191,16 @@ class CrsWktSpec extends AnyFunSuite {
       PolarStereographicFromGeographic(PsParams(-71.0, 0.0)))
     assert(CrsWkt.parseCrs("EPSG:3976").asInstanceOf[CrsWkt.Projected].forward ==
       PolarStereographicFromGeographic(PsParams(-70.0, 0.0)))
-    // variant A (true scale at the pole / non-1 scale factor) fails closed
+    // a pole latitude_of_origin dispatches variant A since r10 (k0 = the
+    // pole scale; 3413's spelling with lat 90 is UPS-style k0=1)
     val variantA = gdal3413.replace("\"latitude_of_origin\",70", "\"latitude_of_origin\",90")
-    val e1 = intercept[IllegalArgumentException](CrsWkt.parseCrs(variantA))
-    assert(e1.getMessage.contains("variant A"))
+    assert(CrsWkt.parseCrs(variantA).asInstanceOf[CrsWkt.Projected].forward ==
+      PolarStereographicFromGeographic(PsParams(90.0, -45.0, k0Pole = Some(1.0))))
+    // a non-1 scale factor with a NON-pole standard parallel still rejects
     val badK = gdal3413.replace("\"scale_factor\",1", "\"scale_factor\",0.994")
     val e2 = intercept[IllegalArgumentException](CrsWkt.parseCrs(badK))
-    assert(e2.getMessage.contains("scale_factor"))
+    assert(e2.getMessage.contains("scale_factor") ||
+      e2.getMessage.contains("variant B"))
   }
 
   test("US-survey-foot State Plane LCC dispatches bit-identical to the hand-built metre chain") {

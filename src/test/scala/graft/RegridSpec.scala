@@ -543,6 +543,46 @@ class RegridSpec extends AnyFunSuite {
     }
   }
 
+  test("polar stereographic variant A (k0 at pole): B-equivalence, pole anchor, round trip") {
+    import Regrid.{PsParams, PolarStereographicFromGeographic}
+    // a variant-B projection IS a variant-A one with k0 = rhoF_B / rhoF_A(k0=1)
+    // (both scale the same t-kernel) — the standard EPSG equivalence
+    val vb = PsParams(70.0, -45.0)
+    val k0equiv = vb.rhoF / PsParams(90.0, -45.0, k0Pole = Some(1.0)).rhoF
+    val va = PsParams(90.0, -45.0, k0Pole = Some(k0equiv))
+    val pts = for (lon <- Seq(-170.0, -45.3, 60.7); lat <- Seq(61.2, 75.8, 88.4))
+      yield (lon, lat)
+    evalXform(PolarStereographicFromGeographic(vb), pts)
+      .zip(evalXform(PolarStereographicFromGeographic(va), pts))
+      .foreach { case ((xb, yb), (xa, ya)) =>
+        assert(math.abs(xb - xa) < 1e-6 && math.abs(yb - ya) < 1e-6,
+          s"($xb,$yb) vs ($xa,$ya)")
+      }
+    // UPS North: the pole maps to (FE, FN) exactly
+    val ups = PsParams(90.0, 0.0, 2000000.0, 2000000.0, k0Pole = Some(0.994))
+    val Seq((px, py)) = evalXform(PolarStereographicFromGeographic(ups), Seq((37.0, 90.0)))
+    assert(px == 2000000.0 && math.abs(py - 2000000.0) < 1e-9, s"($px,$py)")
+    // round trip closes
+    val fwd = PolarStereographicFromGeographic(ups)
+    val back = evalXform(fwd.inverse, evalXform(fwd, pts))
+    pts.zip(back).foreach { case ((lon, lat), (lon2, lat2)) =>
+      assert(math.abs(lon - lon2) < 1e-9 && math.abs(lat - lat2) < 1e-9,
+        s"($lon,$lat) -> ($lon2,$lat2)")
+    }
+    // WKT1 .prj with a pole latitude_of_origin dispatches variant A, and
+    // the EPSG:5041 shorthand is the identical parameterization
+    import graft.operators.CrsWkt
+    val upsWkt =
+      """PROJCS["WGS 84 / UPS North (E,N)",GEOGCS["WGS 84",DATUM["WGS_1984",""" +
+        """SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],""" +
+        """UNIT["degree",0.0174532925199433]],PROJECTION["Polar_Stereographic"],""" +
+        """PARAMETER["latitude_of_origin",90],PARAMETER["central_meridian",0],""" +
+        """PARAMETER["scale_factor",0.994],PARAMETER["false_easting",2000000],""" +
+        """PARAMETER["false_northing",2000000],UNIT["metre",1]]"""
+    assert(CrsWkt.parseCrs(upsWkt).asInstanceOf[CrsWkt.Projected].forward ==
+      CrsWkt.parseCrs("EPSG:5041").asInstanceOf[CrsWkt.Projected].forward)
+  }
+
   // DHDN → WGS84 Bursa–Wolf parameters (the published German national set)
   private val Dhdn7 = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
 
