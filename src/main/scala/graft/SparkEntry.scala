@@ -1383,8 +1383,14 @@ object SparkEntry {
       .dropRight(10)
     val bmpRle = operators.MultimodalOps.synthBmp(5, 4, 3)((r, c, ch) => r + c + ch)
     bmpRle(30) = 1 // BI_RLE8
+    // r10b: a DECODABLE lossless WebP rides next to the lossy reject —
+    // the census reports both ('z_webp_ok' and 'z_webp_rej')
+    val webpOk = operators.Webp.synthWebpLossless(6, 4, (r, c) =>
+      (((r * 11 + c * 7 + 5) % 256) << 24) | (((r * 31 + c) % 256) << 16) |
+        (((r + c * 13) % 256) << 8) | ((r * 3 + c * 17) % 256))
     val bag = Seq((1L, png), (2L, webp), (3L, gifT), (4L, bmpRle),
-      (5L, wav), (6L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "bytes")
+      (5L, wav), (6L, Array[Byte](1, 2, 3, 4, 5)), (7L, webpOk))
+      .toDF("media_id", "bytes")
     val bagRows = operators.MultimodalOps.mediaCensusWithRejects(bag)
       .groupBy(col("format"), col("ok"))
       .agg(count(lit(1)).as("n"),
@@ -2061,6 +2067,35 @@ object SparkEntry {
     operators.MultimodalOps.wavFloatToSamples(
         Seq((1L, stereo), (2L, mono)).toDF("media_id", "bytes"))
       .orderBy("media_id", "frame_idx", "channel")
+  }
+
+  /** MM16 — lossless WebP (VP8L, r10): three containers through the
+    * from-scratch `Webp` codec in one plan — (1) a plain literal stream,
+    * (2) the full feature stack (SUBTRACT_GREEN + a predictor transform
+    * + color cache + a meta prefix image) over the SAME pixel formula,
+    * and (3) a delta-coded 13-entry palette with sub-byte index
+    * bundling. The oracle regenerates every RGBA value closed-form, so
+    * the prefix coding, transforms, cache, and bundling must all be
+    * invisible — and (2) sharing (1)'s formula proves the stacked
+    * features change nothing but the bytes.
+    */
+  private def mm16(s: SparkSession, d: String) = {
+    import s.implicits._
+    def pix(r: Int, c: Int): Int =
+      (((r * 5 + c * 3 + 9) % 256) << 24) | (((r * 31 + c * 7) % 256) << 16) |
+        (((r * 13 + c * 17 + 5) % 256) << 8) | ((r * 3 + c * 29 + 11) % 256)
+    val plain = operators.Webp.synthWebpLossless(9, 5, pix)
+    val stacked = operators.Webp.synthWebpLossless(8, 6, pix,
+      subtractGreen = true, predictorMode = Some(7), cacheBits = 4,
+      metaBits = Some(2))
+    val pal = (0 until 13).map(i =>
+      (((i * 37 + 100) % 256) << 24) | (((i * 59) % 256) << 16) |
+        (((i * 83 + 7) % 256) << 8) | ((i * 29 + 3) % 256))
+    val paletted = operators.Webp.synthWebpPalette(10, 4, pal,
+      (r, c) => (r * 7 + c * 5) % 13)
+    operators.Webp.webpToPixels(
+        Seq((1L, plain), (2L, stacked), (3L, paletted)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
   /** MM14 — EXIF orientation (the other documented-decision gap from the
@@ -4403,6 +4438,7 @@ object SparkEntry {
     "mm13_avi_mjpeg" -> (mm13 _),
     "mm14_exif_orientation" -> (mm14 _),
     "mm15_wav_float" -> (mm15 _),
+    "mm16_webp_lossless" -> (mm16 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -4606,7 +4642,8 @@ object SparkEntry {
           |  CAST(0 AS INT) AS min_v, CAST(0 AS INT) AS max_v
           |FROM (VALUES ('z_bmp_rej', 1, 0), ('z_gif_rej', 1, 0),
           |  ('z_png_ok', 1, 324), ('z_unknown_rej', 1, 0),
-          |  ('z_wav_ok', 1, 60), ('z_webp_rej', 1, 0)) t(kind, n, sum_v)""".stripMargin
+          |  ('z_wav_ok', 1, 60), ('z_webp_ok', 1, 96),
+          |  ('z_webp_rej', 1, 0)) t(kind, n, sum_v)""".stripMargin
       ).mkString("", "\nUNION ALL\n", "\nORDER BY kind")
     })
 
@@ -5373,6 +5410,42 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm16: every RGBA value regenerates closed-form — the VP8L prefix
+    // coding, transforms, color cache, and palette bundling never reach
+    // the oracle; files 1 and 2 share one formula (stacked features are
+    // bytes-only)
+    "mm16_webp_lossless" -> {
+      def file(img: Int, w: Int, rv: String, gv: String, bv: String, av: String) =
+        s"""SELECT CAST($img AS BIGINT) AS img_id,
+           |  CAST(id // ${w * 4} AS INT) AS px_row,
+           |  CAST((id % ${w * 4}) // 4 AS INT) AS px_col,
+           |  CAST(id % 4 AS INT) AS channel,
+           |  CAST(CASE id % 4 WHEN 0 THEN $rv WHEN 1 THEN $gv
+           |    WHEN 2 THEN $bv ELSE $av END AS INT) AS value""".stripMargin
+      val r1 = "(id // 36)"; val c1 = "((id % 36) // 4)"
+      val r2 = "(id // 32)"; val c2 = "((id % 32) // 4)"
+      def rgba(r: String, c: String) = (
+        s"($r * 31 + $c * 7) % 256", s"($r * 13 + $c * 17 + 5) % 256",
+        s"($r * 3 + $c * 29 + 11) % 256", s"($r * 5 + $c * 3 + 9) % 256")
+      val (ra, ga, ba, aa) = rgba(r1, c1)
+      val (rb, gb, bb, ab) = rgba(r2, c2)
+      s"""${file(1, 9, ra, ga, ba, aa)}
+        |FROM range(180) t(id)
+        |UNION ALL
+        |${file(2, 8, rb, gb, bb, ab)}
+        |FROM range(192) t(id)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(id // 40 AS INT),
+        |  CAST((id % 40) // 4 AS INT), CAST(id % 4 AS INT),
+        |  CAST(CASE id % 4
+        |    WHEN 0 THEN (((id // 40) * 7 + ((id % 40) // 4) * 5) % 13 * 59) % 256
+        |    WHEN 1 THEN (((id // 40) * 7 + ((id % 40) // 4) * 5) % 13 * 83 + 7) % 256
+        |    WHEN 2 THEN (((id // 40) * 7 + ((id % 40) // 4) * 5) % 13 * 29 + 3) % 256
+        |    ELSE (((id // 40) * 7 + ((id % 40) // 4) * 5) % 13 * 37 + 100) % 256
+        |  END AS INT)
+        |FROM range(160) t(id)
+        |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
     // mm15: dyadic-rational float samples regenerate exactly in double
     // arithmetic (k/64 is the same number in float32 and float64)
     "mm15_wav_float" ->

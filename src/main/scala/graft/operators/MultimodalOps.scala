@@ -679,8 +679,9 @@ object MultimodalOps {
     * rejects with the PCM router's message — its samples have no integer
     * census; use `wavFloatToSamples`); tiff = stored float32 samples
     * including block padding, rejected when any sample is non-integral;
-    * avi rejects toward `aviToFrames` (frames, not scalars); webp and
-    * unknown magic reject descriptively.
+    * webp = RGBA values (lossless VP8L decodes via [[Webp]]; lossy VP8
+    * rejects descriptively); avi rejects toward `aviToFrames` (frames,
+    * not scalars); unknown magic rejects descriptively.
     *
     * Output suffix: (format, n_values, sum_value, ok, reject_reason).
     * Same scale shape as every codec surface: flatMap, one task per
@@ -728,8 +729,14 @@ object MultimodalOps {
               }
             }
             (n, s)
-          case "webp" => throw new IllegalArgumentException(
-            "WEBP (RIFF/VP8) is recognized but not decodable — no VP8 decoder shipped")
+          case "webp" =>
+            // lossless (VP8L) decodes since r10; lossy VP8 rejects from
+            // the container walk with its own descriptive message
+            val (_, _, px) = Webp.decodeWebpPixels(payload)
+            (px.length.toLong * 4, px.foldLeft(0L) { (acc, p) =>
+              acc + ((p >>> 24) & 0xff) + ((p >> 16) & 0xff) +
+                ((p >> 8) & 0xff) + (p & 0xff)
+            })
           case "avi" => throw new IllegalArgumentException(
             "AVI carries video frames, not a scalar census — route through aviToFrames")
           case _ => throw new IllegalArgumentException(

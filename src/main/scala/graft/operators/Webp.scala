@@ -1,0 +1,892 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructField
+
+/** WebP LOSSLESS (VP8L) codec — the last web-corpus container the engine
+  * recognized but could not decode (reference scope: the crawl-side
+  * image modality next to PNG/JPEG/GIF/BMP; WebP is the second most
+  * common image format in web crawls after JPEG). Built from the public
+  * "WebP Lossless Bitstream Specification" (and the container spec for
+  * the RIFF framing); no third-party code.
+  *
+  * Decode surface (the full lossless feature set):
+  *   - RIFF walk: `VP8L` payloads decode; `VP8 ` (lossy) and alpha-less
+  *     `VP8X` extended files reject DESCRIPTIVELY (no VP8 DCT decoder is
+  *     shipped — a curation pipeline counts them via
+  *     `mediaCensusWithRejects`).
+  *   - LSB-first bitstream, 14-bit dimensions, version 0.
+  *   - Prefix codes: simple (1-2 symbol) AND full canonical
+  *     code-length-coded alphabets (19-symbol length code, repeats
+  *     16/17/18, optional max-symbol cap), per-group 5 codes
+  *     (green+length+cache, red, blue, alpha, distance).
+  *   - Meta prefix (huffman image), color cache (1..11 bits), LZ77
+  *     back-references with the 120-entry 2-D distance neighborhood map.
+  *   - All four transforms, inverse-applied in reverse read order:
+  *     PREDICTOR (14 modes, libwebp's contiguous-buffer edge semantics),
+  *     COLOR (cross-color deltas, signed >> 5), SUBTRACT_GREEN,
+  *     COLOR_INDEXING (delta-coded palette incl. sub-byte pixel
+  *     bundling for palettes ≤ 16).
+  *
+  * Encode half (`synthWebpLossless`, for fixtures/oracles): version-0
+  * stream with flat two-length canonical alphabets (232×8 + 48×9 bits
+  * for the 280-symbol green code — complete by Kraft), optional
+  * SUBTRACT_GREEN and COLOR_INDEXING (packed) transforms. Fail-closed
+  * doctrine throughout: corrupt streams reject with
+  * IllegalArgumentException, never an array escape (CodecFuzzSpec).
+  */
+object Webp {
+
+  // ---- LSB-first bit reader over untrusted bytes ----
+
+  private final class BitReader(bytes: Array[Byte], start: Int) {
+    private var bytePos = start
+    private var bitPos = 0
+    def read(n: Int): Int = {
+      require(n >= 0 && n <= 24, s"bad bit read $n")
+      var v = 0; var got = 0
+      while (got < n) {
+        require(bytePos < bytes.length, "VP8L stream truncated")
+        val avail = 8 - bitPos
+        val take = math.min(avail, n - got)
+        val bits = ((bytes(bytePos) & 0xff) >> bitPos) & ((1 << take) - 1)
+        v |= bits << got
+        got += take; bitPos += take
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      }
+      v
+    }
+  }
+
+  // ---- canonical prefix codes ----
+
+  /** Decode table: canonical code from symbol lengths (0 = absent).
+    * `zeroBitSym >= 0` marks the degenerate single-symbol code that
+    * consumes no bits.
+    */
+  private final class PrefixCode(lengths: Array[Int]) {
+    private val present = lengths.zipWithIndex.filter(_._1 > 0)
+    require(present.nonEmpty, "prefix code with no symbols")
+    val zeroBitSym: Int = if (present.length == 1) present.head._2 else -1
+    // canonical assignment: by (length, symbol); codes stored MSB-first,
+    // the bitstream delivers them bit by bit
+    private val bySym = new java.util.HashMap[Long, Integer]()
+    val maxLen: Int = if (present.length == 1) 0 else {
+      var code = 0; var prevLen = 0
+      // Kraft completeness check (single-symbol codes exempt)
+      val kraft = present.map { case (l, _) => 1.0 / (1L << l) }.sum
+      require(math.abs(kraft - 1.0) < 1e-12,
+        f"prefix code is not complete (Kraft sum $kraft%.6f)")
+      var ml = 0
+      present.sortBy { case (l, s) => (l, s) }.foreach { case (l, s) =>
+        code <<= (l - prevLen); prevLen = l
+        bySym.put((l.toLong << 32) | code.toLong, s)
+        code += 1
+        ml = math.max(ml, l)
+      }
+      ml
+    }
+    def decode(br: BitReader): Int = {
+      if (zeroBitSym >= 0) return zeroBitSym
+      var code = 0; var len = 0
+      while (len <= maxLen) {
+        code = (code << 1) | br.read(1)
+        len += 1
+        val hit = bySym.get((len.toLong << 32) | code.toLong)
+        if (hit != null) return hit
+      }
+      throw new IllegalArgumentException("invalid prefix code in VP8L stream")
+    }
+  }
+
+  private val ClOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** One prefix code off the stream (spec 6.2.x): simple or length-coded. */
+  private def readCode(br: BitReader, alphabetSize: Int): PrefixCode = {
+    if (br.read(1) == 1) { // simple
+      val numSyms = br.read(1) + 1
+      val first = if (br.read(1) == 1) br.read(8) else br.read(1)
+      val lengths = new Array[Int](alphabetSize)
+      require(first < alphabetSize, s"simple-code symbol $first outside alphabet")
+      if (numSyms == 2) {
+        val second = br.read(8)
+        require(second < alphabetSize, s"simple-code symbol $second outside alphabet")
+        require(second != first, "simple code repeats a symbol")
+        lengths(first) = 1; lengths(second) = 1
+      } else lengths(first) = 1 // single symbol: zero-bit code
+      new PrefixCode(lengths)
+    } else {
+      val numCl = 4 + br.read(4)
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLens(ClOrder(i)) = br.read(3); i += 1 }
+      val clCode = new PrefixCode(clLens)
+      var maxSymbol =
+        if (br.read(1) == 1) {
+          val lengthNBits = 2 + 2 * br.read(3)
+          2 + br.read(lengthNBits)
+        } else alphabetSize
+      val lengths = new Array[Int](alphabetSize)
+      var sym = 0; var prevLen = 8
+      while (sym < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.decode(br)
+        cl match {
+          case l if l < 16 =>
+            lengths(sym) = l; sym += 1
+            if (l != 0) prevLen = l
+          case 16 =>
+            val n = 3 + br.read(2)
+            require(sym + n <= alphabetSize, "code-length repeat overruns alphabet")
+            var k = 0; while (k < n) { lengths(sym) = prevLen; sym += 1; k += 1 }
+          case 17 =>
+            val n = 3 + br.read(3)
+            require(sym + n <= alphabetSize, "zero-run overruns alphabet")
+            sym += n
+          case 18 =>
+            val n = 11 + br.read(7)
+            require(sym + n <= alphabetSize, "zero-run overruns alphabet")
+            sym += n
+          case other =>
+            throw new IllegalArgumentException(s"code-length symbol $other")
+        }
+      }
+      new PrefixCode(lengths)
+    }
+  }
+
+  // ---- LZ77 prefix-coded values + distance neighborhood map ----
+
+  private def readLz77Value(code: Int, br: BitReader): Int = {
+    require(code >= 0 && code < 40, s"LZ77 prefix code $code out of range")
+    if (code < 4) code + 1
+    else {
+      val nBits = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << nBits
+      offset + br.read(nBits) + 1
+    }
+  }
+
+  /** The 120-entry (dx, dy) close-neighborhood distance codes (spec 5.2.3). */
+  private val DistMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (-2, 8), (1, 8), (-1, 8), (7, 5), (-7, 5), (5, 7),
+    (-5, 7), (8, 3), (-3, 8), (3, 8), (0, 8))
+
+  private def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val (dx, dy) = DistMap(planeCode - 1)
+      math.max(1, dy * xsize - dx)
+    }
+
+  // ---- entropy-coded ARGB image ----
+
+  private final case class Group(
+      green: PrefixCode, red: PrefixCode, blue: PrefixCode,
+      alpha: PrefixCode, dist: PrefixCode)
+
+  /** Decode one entropy-coded image stream (spec "decoding of image
+    * data"). `level0` enables the huffman image; transforms are handled
+    * by the caller. Returns packed ARGB ints.
+    */
+  private def readEntropyImage(
+      br: BitReader, xsize: Int, ysize: Int, level0: Boolean): Array[Int] = {
+    // color cache (all levels, per the reference decoder)
+    val cacheBits = if (br.read(1) == 1) {
+      val b = br.read(4)
+      require(b >= 1 && b <= 11, s"color cache bits $b out of 1..11")
+      b
+    } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    // huffman image (level 0 only)
+    var metaBits = 0
+    var meta: Array[Int] = null
+    var metaW = 0
+    var nGroups = 1
+    if (level0 && br.read(1) == 1) {
+      metaBits = br.read(3) + 2
+      metaW = (xsize + (1 << metaBits) - 1) >> metaBits
+      val metaH = (ysize + (1 << metaBits) - 1) >> metaBits
+      meta = readEntropyImage(br, metaW, metaH, level0 = false)
+      var mx = 0
+      meta.foreach { px =>
+        val idx = ((px >> 8) & 0xffff) // (red << 8) | green
+        mx = math.max(mx, idx)
+      }
+      nGroups = mx + 1
+      require(nGroups <= 1 + meta.length, s"implausible meta group count $nGroups")
+    }
+    val groups = Array.fill(nGroups) {
+      Group(
+        readCode(br, 256 + 24 + cacheSize),
+        readCode(br, 256), readCode(br, 256), readCode(br, 256),
+        readCode(br, 40))
+    }
+    val n = xsize * ysize
+    val out = new Array[Int](n)
+    def cacheInsert(argb: Int): Unit =
+      if (cache != null)
+        cache(((0x1e35a7bd * argb) >>> (32 - cacheBits)).toInt) = argb
+    var pos = 0
+    while (pos < n) {
+      val x = pos % xsize; val y = pos / xsize
+      val g =
+        if (meta == null) groups(0)
+        else {
+          val m = meta((y >> metaBits) * metaW + (x >> metaBits))
+          val idx = (m >> 8) & 0xffff
+          require(idx < nGroups, s"meta group $idx out of range")
+          groups(idx)
+        }
+      val s = g.green.decode(br)
+      if (s < 256) {
+        val r = g.red.decode(br)
+        val b = g.blue.decode(br)
+        val a = g.alpha.decode(br)
+        val px = (a << 24) | (r << 16) | (s << 8) | b
+        out(pos) = px; cacheInsert(px); pos += 1
+      } else if (s < 256 + 24) {
+        val len = readLz77Value(s - 256, br)
+        val distCode = readLz77Value(g.dist.decode(br), br)
+        val dist = planeCodeToDistance(xsize, distCode)
+        require(dist >= 1 && dist <= pos, "LZ77 reference before image start")
+        require(pos + len <= n, "LZ77 copy overruns the image")
+        var k = 0
+        while (k < len) {
+          val px = out(pos - dist)
+          out(pos) = px; cacheInsert(px); pos += 1; k += 1
+        }
+      } else {
+        require(cache != null, "cache symbol without a color cache")
+        val idx = s - 256 - 24
+        require(idx < cacheSize, s"cache index $idx out of range")
+        val px = cache(idx)
+        out(pos) = px; pos += 1
+      }
+    }
+    out
+  }
+
+  // ---- inverse transforms ----
+
+  private def avg2(a: Int, b: Int): Int = {
+    // per-channel average of two ARGB pixels
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def addPixels(a: Int, b: Int): Int = {
+    // per-channel mod-256 sum
+    val ag = (a & 0xff00ff00L) + (b & 0xff00ff00L)
+    val rb = (a & 0x00ff00ff) + (b & 0x00ff00ff)
+    ((ag & 0xff00ff00L) | (rb & 0x00ff00ff)).toInt
+  }
+
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => // Select: smaller Manhattan distance to l+t-tl
+        def comp(p: Int, i: Int) = (p >>> (8 * i)) & 0xff
+        var pl = 0; var pt = 0
+        var i = 0
+        while (i < 4) {
+          val pred = comp(l, i) + comp(t, i) - comp(tl, i)
+          pl += math.abs(pred - comp(l, i))
+          pt += math.abs(pred - comp(t, i))
+          i += 1
+        }
+        if (pl <= pt) l else t
+      case 12 => // ClampAddSubtractFull
+        def comp(p: Int, i: Int) = (p >>> (8 * i)) & 0xff
+        var out = 0
+        var i = 0
+        while (i < 4) {
+          out |= clamp255(comp(l, i) + comp(t, i) - comp(tl, i)) << (8 * i)
+          i += 1
+        }
+        out
+      case 13 => // ClampAddSubtractHalf
+        def comp(p: Int, i: Int) = (p >>> (8 * i)) & 0xff
+        val a = avg2(l, t)
+        var out = 0
+        var i = 0
+        while (i < 4) {
+          val av = comp(a, i)
+          out |= clamp255(av + (av - comp(tl, i)) / 2) << (8 * i)
+          i += 1
+        }
+        out
+      case other =>
+        throw new IllegalArgumentException(s"predictor mode $other")
+    }
+
+  private def inversePredictor(
+      px: Array[Int], w: Int, h: Int, bits: Int, modes: Array[Int], modesW: Int): Unit = {
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pos = y * w + x
+        val pred =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) px(pos - 1) // top row: L
+          else if (x == 0) px(pos - w) // left edge: T
+          else {
+            val mode = (modes((y >> bits) * modesW + (x >> bits)) >> 8) & 0xff
+            val l = px(pos - 1)
+            val t = px(pos - w)
+            val tl = px(pos - w - 1)
+            // contiguous-buffer top-right (the reference decoder's edge
+            // semantics): at x = w-1 this reads the CURRENT row's x = 0
+            val tr = px(pos - w + 1)
+            predict(mode, l, t, tl, tr)
+          }
+        px(pos) = addPixels(px(pos), pred)
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def inverseColorTransform(
+      px: Array[Int], w: Int, h: Int, bits: Int, els: Array[Int], elsW: Int): Unit = {
+    def ctd(t: Int, c: Int): Int = ((t.toByte.toInt * c.toByte.toInt) >> 5)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = els((y >> bits) * elsW + (x >> bits))
+        val g2r = e & 0xff // blue channel of the element
+        val g2b = (e >> 8) & 0xff
+        val r2b = (e >> 16) & 0xff
+        val pos = y * w + x
+        val p = px(pos)
+        val green = (p >> 8) & 0xff
+        var red = (p >> 16) & 0xff
+        var blue = p & 0xff
+        red = (red + ctd(g2r, green)) & 0xff
+        blue = (blue + ctd(g2b, green) + ctd(r2b, red)) & 0xff
+        px(pos) = (p & 0xff00ff00) | (red << 16) | blue
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  private def inverseSubtractGreen(px: Array[Int]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val g = (p >> 8) & 0xff
+      val r = (((p >> 16) & 0xff) + g) & 0xff
+      val b = ((p & 0xff) + g) & 0xff
+      px(i) = (p & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  // ---- container + top-level decode ----
+
+  /** Locate the VP8L payload inside the RIFF/WEBP container; lossy and
+    * undecodable layouts reject with the reason a census reports.
+    */
+  private def vp8lPayload(bytes: Array[Byte]): (Int, Int) = {
+    def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
+      s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    require(ascii(0, "RIFF") && ascii(8, "WEBP"), "not a RIFF/WEBP container")
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val size = (bytes(pos + 4) & 0xffL) | ((bytes(pos + 5) & 0xffL) << 8) |
+        ((bytes(pos + 6) & 0xffL) << 16) | ((bytes(pos + 7) & 0xffL) << 24)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"WEBP chunk '$tag' overruns the file")
+      tag match {
+        case "VP8L" => return (pos + 8, (pos + 8 + size).toInt)
+        case "VP8 " => throw new IllegalArgumentException(
+          "lossy WebP (VP8) is not decodable — only the lossless VP8L profile is shipped")
+        case _ => // VP8X/ALPH/EXIF/ICCP/ANIM...: keep walking for a VP8L
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    throw new IllegalArgumentException(
+      "WEBP container carries no VP8L (lossless) chunk")
+  }
+
+  /** Full lossless decode: (width, height, ARGB pixels row-major). */
+  def decodeWebpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (from, _) = vp8lPayload(bytes)
+    require(from < bytes.length && (bytes(from) & 0xff) == 0x2f,
+      "VP8L signature byte missing")
+    val br = new BitReader(bytes, from + 1)
+    val width = br.read(14) + 1
+    val height = br.read(14) + 1
+    br.read(1) // alpha hint
+    val version = br.read(3)
+    require(version == 0, s"VP8L version $version unsupported")
+    require(width.toLong * height <= (1L << 24),
+      s"implausible WebP geometry ${width}x$height")
+    // transforms, in read order
+    var packedW = width
+    var palette: Array[Int] = null
+    var paletteBits = 0
+    var predictor: (Int, Array[Int], Int) = null
+    var colorTf: (Int, Array[Int], Int) = null
+    var subtractGreen = false
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (br.read(1) == 1) {
+      val t = br.read(2)
+      require(seen.add(t), s"transform $t appears twice")
+      order += t
+      t match {
+        case 0 => // predictor
+          val bits = br.read(3) + 2
+          val tw = (packedW + (1 << bits) - 1) >> bits
+          val th = (height + (1 << bits) - 1) >> bits
+          predictor = (bits, readEntropyImage(br, tw, th, level0 = false), tw)
+        case 1 => // color transform
+          val bits = br.read(3) + 2
+          val tw = (packedW + (1 << bits) - 1) >> bits
+          val th = (height + (1 << bits) - 1) >> bits
+          colorTf = (bits, readEntropyImage(br, tw, th, level0 = false), tw)
+        case 2 => subtractGreen = true
+        case 3 => // color indexing
+          val size = br.read(8) + 1
+          val raw = readEntropyImage(br, size, 1, level0 = false)
+          // palette entries are DELTA-coded per channel
+          palette = new Array[Int](size)
+          var prev = 0
+          var i = 0
+          while (i < size) {
+            prev = addPixels(prev, raw(i)); palette(i) = prev; i += 1
+          }
+          paletteBits =
+            if (size <= 2) 3 else if (size <= 4) 2 else if (size <= 16) 1 else 0
+          packedW = (width + (1 << paletteBits) - 1) >> paletteBits
+      }
+    }
+    val packed = readEntropyImage(br, packedW, height, level0 = true)
+    // inverse transforms in REVERSE read order
+    var px = packed
+    var curW = packedW
+    order.reverseIterator.foreach {
+      case 3 =>
+        val out = new Array[Int](width * height)
+        val perByte = 1 << paletteBits
+        val idxBits = 8 >> paletteBits
+        val mask = (1 << idxBits) - 1
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val cell = px(y * curW + (x >> paletteBits))
+            val sub = x & (perByte - 1)
+            val idx = ((cell >> 8) & 0xff) >> (sub * idxBits) & mask
+            require(idx < palette.length,
+              s"palette index $idx outside the ${palette.length}-entry palette")
+            out(y * width + x) = palette(idx)
+            x += 1
+          }
+          y += 1
+        }
+        px = out; curW = width
+      case 2 => inverseSubtractGreen(px)
+      case 1 =>
+        val (bits, els, elsW) = colorTf
+        inverseColorTransform(px, curW, height, bits, els, elsW)
+      case 0 =>
+        val (bits, modes, modesW) = predictor
+        inversePredictor(px, curW, height, bits, modes, modesW)
+    }
+    require(curW == width, "color-indexing transform missing for packed stream")
+    (width, height, px)
+  }
+
+  /** WebP binary column → RGBA pixel rows (the pngToPixels shape). */
+  def webpToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, MultimodalOps.PixelFields) { payload =>
+      val (w, h, px) = decodeWebpPixels(payload)
+      for (row <- (0 until h).iterator; c <- 0 until w; k <- 0 until 4)
+        yield {
+          val p = px(row * w + c)
+          val v = k match {
+            case 0 => (p >> 16) & 0xff // R
+            case 1 => (p >> 8) & 0xff // G
+            case 2 => p & 0xff // B
+            case _ => (p >>> 24) & 0xff // A
+          }
+          Seq[Any](row, c, k, v)
+        }
+    }
+
+  // ---- encode half (fixtures/oracles) ----
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      require(n >= 0 && n <= 24 && (v >> n) == 0, s"bad bit write $v/$n")
+      acc |= v << nBits
+      nBits += n
+      while (nBits >= 8) {
+        out.write(acc & 0xff); acc >>>= 8; nBits -= 8
+      }
+    }
+    def toBytes: Array[Byte] = {
+      if (nBits > 0) { out.write(acc & 0xff); acc = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Canonical two-length flat code over `n` symbols: `n8` symbols at the
+    * short length, the rest one bit longer, chosen complete by Kraft.
+    * Returns (lengths, codes) in canonical assignment.
+    */
+  private def flatCode(n: Int): (Array[Int], Array[Int]) = {
+    // find L with 2^L < n <= 2^(L+1); x symbols at L, n-x at L+1 where
+    // x = 2^(L+1) - n
+    var l = 1
+    while ((1 << (l + 1)) < n) l += 1
+    val x = (1 << (l + 1)) - n
+    val lengths = Array.tabulate(n)(i => if (i < x) l else l + 1)
+    val codes = new Array[Int](n)
+    var code = 0; var prevLen = 0
+    lengths.zipWithIndex.sortBy { case (len, s) => (len, s) }.foreach {
+      case (len, s) =>
+        code <<= (len - prevLen); prevLen = len
+        codes(s) = code; code += 1
+    }
+    (lengths, codes)
+  }
+
+  private def writeFlatCode(bw: BitWriter, lengths: Array[Int]): Unit = {
+    // non-simple code; transmit lengths via a 1- or 2-symbol code-length
+    // code over the length values in use (a single-length alphabet — all
+    // 256 at 8 bits — degenerates to the zero-bit CL code: no data bits)
+    val used = lengths.distinct.sorted
+    require(used.length <= 2 && used.forall(l => l > 0 && l <= 15),
+      s"flat code lengths out of the writer's envelope: ${used.mkString(",")}")
+    bw.write(0, 1) // not simple
+    bw.write(19 - 4, 4) // all 19 code-length slots
+    ClOrder.foreach { s =>
+      bw.write(if (used.contains(s)) 1 else 0, 3)
+    }
+    bw.write(0, 1) // no max-symbol cap
+    if (used.length == 2) {
+      val shortL = used(0)
+      // canonical 1-bit CL code: smaller symbol gets 0
+      lengths.foreach { l => bw.write(if (l == shortL) 0 else 1, 1) }
+    } // single length: the zero-bit CL code repeats it with no data bits
+  }
+
+  private def writeRev(bw: BitWriter, code: Int, len: Int): Unit = {
+    // prefix codes are read MSB-first off the LSB-first stream: emit the
+    // code bits in MSB→LSB order, one at a time
+    var i = len - 1
+    while (i >= 0) { bw.write((code >> i) & 1, 1); i -= 1 }
+  }
+
+  /** Inverse of [[readLz77Value]]: value → (prefix code, extra bits,
+    * extra value).
+    */
+  private def lz77Prefix(v: Int): (Int, Int, Int) = {
+    require(v >= 1, s"LZ77 value $v")
+    if (v <= 4) (v - 1, 0, 0)
+    else {
+      var code = 4
+      while (code < 40) {
+        val nBits = (code - 2) >> 1
+        val offset = (2 + (code & 1)) << nBits
+        if (v <= offset + (1 << nBits)) return (code, nBits, v - 1 - offset)
+        code += 1
+      }
+      throw new IllegalArgumentException(s"LZ77 value $v out of range")
+    }
+  }
+
+  /** One entropy-coded subimage (transform data / palette / meta): no
+    * color cache, flat codes, literal pixels.
+    */
+  private def writeEntropyPixels(bw: BitWriter, px: Iterator[Int]): Unit = {
+    bw.write(0, 1) // no color cache
+    val (gl, gc) = flatCode(256 + 24)
+    val (cl, cc) = flatCode(256)
+    val (dl, _) = flatCode(40)
+    writeFlatCode(bw, gl)
+    writeFlatCode(bw, cl); writeFlatCode(bw, cl); writeFlatCode(bw, cl)
+    writeFlatCode(bw, dl)
+    px.foreach { p =>
+      writeRev(bw, gc((p >> 8) & 0xff), gl((p >> 8) & 0xff))
+      writeRev(bw, cc((p >> 16) & 0xff), cl((p >> 16) & 0xff))
+      writeRev(bw, cc(p & 0xff), cl(p & 0xff))
+      writeRev(bw, cc((p >>> 24) & 0xff), cl((p >>> 24) & 0xff))
+    }
+  }
+
+  /** Real VP8L encoder (fixtures/oracles/round-trip proofs): version 0,
+    * flat canonical alphabets, with every DECODE feature optionally
+    * exercised — SUBTRACT_GREEN, a constant-mode PREDICTOR transform
+    * (residuals computed exactly as the inverse reconstructs), a color
+    * cache (`cacheBits` 1..11), LZ77 back-references (identical rows
+    * collapse to one full-row copy), and a meta prefix image
+    * (`metaBits`: blocks alternate between two identical code groups —
+    * the group-selection path runs; the bits don't change).
+    */
+  def synthWebpLossless(
+      w: Int, h: Int,
+      argb: (Int, Int) => Int,
+      subtractGreen: Boolean = false,
+      predictorMode: Option[Int] = None,
+      cacheBits: Int = 0,
+      lz77Rows: Boolean = false,
+      metaBits: Option[Int] = None): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16383 && h <= 16383, s"bad dims ${w}x$h")
+    require(cacheBits >= 0 && cacheBits <= 11, s"cache bits $cacheBits")
+    predictorMode.foreach(m => require(m >= 0 && m <= 13, s"predictor mode $m"))
+    metaBits.foreach(b => require(b >= 2 && b <= 9, s"meta bits $b"))
+    val bw = new BitWriter
+    bw.write(0x2f, 8)
+    bw.write(w - 1, 14); bw.write(h - 1, 14)
+    bw.write(0, 1) // alpha hint
+    bw.write(0, 3) // version
+    // source pixels, then the forward transform pipeline in READ order
+    // (the decoder inverts in reverse): subtract-green first, predictor
+    // residuals second
+    val base = Array.tabulate(h * w)(i => argb(i / w, i % w))
+    if (subtractGreen) {
+      bw.write(1, 1); bw.write(2, 2)
+      var i = 0
+      while (i < base.length) {
+        val p = base(i); val g = (p >> 8) & 0xff
+        base(i) = (p & 0xff00ff00) |
+          (((((p >> 16) & 0xff) - g) & 0xff) << 16) | (((p & 0xff) - g) & 0xff)
+        i += 1
+      }
+    }
+    val stored = predictorMode match {
+      case None => base
+      case Some(mode) =>
+        val bits = 4 // 16x16 blocks
+        bw.write(1, 1); bw.write(0, 2)
+        bw.write(bits - 2, 3)
+        val tw = (w + (1 << bits) - 1) >> bits
+        val th = (h + (1 << bits) - 1) >> bits
+        writeEntropyPixels(bw,
+          Iterator.fill(tw * th)(0xff000000 | (mode << 8)))
+        // residual = pixel − predicted, where prediction reads the
+        // RECONSTRUCTED (= original transformed-domain) neighbors and
+        // the decoder's exact edge rules
+        val res = new Array[Int](h * w)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pos = y * w + x
+            val pred =
+              if (x == 0 && y == 0) 0xff000000
+              else if (y == 0) base(pos - 1)
+              else if (x == 0) base(pos - w)
+              else predict(mode, base(pos - 1), base(pos - w),
+                base(pos - w - 1), base(pos - w + 1))
+            res(pos) = subPixels(base(pos), pred)
+            x += 1
+          }
+          y += 1
+        }
+        res
+    }
+    bw.write(0, 1) // no more transforms
+    // main stream: optional color cache + optional meta prefix image
+    if (cacheBits > 0) { bw.write(1, 1); bw.write(cacheBits, 4) }
+    else bw.write(0, 1)
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    val nGroups = metaBits match {
+      case Some(mb) =>
+        bw.write(1, 1)
+        bw.write(mb - 2, 3)
+        val tw = (w + (1 << mb) - 1) >> mb
+        val th = (h + (1 << mb) - 1) >> mb
+        // block (bx, by) → group (bx + by) % 2, in the GREEN channel
+        writeEntropyPixels(bw, (0 until th).iterator.flatMap(by =>
+          (0 until tw).iterator.map(bx =>
+            0xff000000 | (((bx + by) % 2) << 8))))
+        2
+      case None => bw.write(0, 1); 1
+    }
+    val (gl, gc) = flatCode(256 + 24 + cacheSize)
+    val (cl, cc) = flatCode(256)
+    val (dl, dc) = flatCode(40)
+    for (_ <- 0 until nGroups) {
+      writeFlatCode(bw, gl)
+      writeFlatCode(bw, cl); writeFlatCode(bw, cl); writeFlatCode(bw, cl)
+      writeFlatCode(bw, dl)
+    }
+    def cacheKey(p: Int): Int = ((0x1e35a7bd * p) >>> (32 - cacheBits)).toInt
+    def insert(p: Int): Unit = if (cache != null) cache(cacheKey(p)) = p
+    var y = 0
+    while (y < h) {
+      val rowEqual = lz77Rows && y > 0 && {
+        var eq = true; var x = 0
+        while (eq && x < w) { eq = stored(y * w + x) == stored((y - 1) * w + x); x += 1 }
+        eq
+      }
+      if (rowEqual) {
+        // one back-reference: len = w, dist = w (spelled as the
+        // non-neighborhood distance code dist + 120)
+        val (lc, lBits, lExtra) = lz77Prefix(w)
+        writeRev(bw, gc(256 + lc), gl(256 + lc))
+        bw.write(lExtra, lBits)
+        val (dcode, dBits, dExtra) = lz77Prefix(w + 120)
+        writeRev(bw, dc(dcode), dl(dcode))
+        bw.write(dExtra, dBits)
+        var x = 0
+        while (x < w) { insert(stored(y * w + x)); x += 1 }
+      } else {
+        var x = 0
+        while (x < w) {
+          val p = stored(y * w + x)
+          if (cache != null && cache(cacheKey(p)) == p) {
+            val sym = 256 + 24 + cacheKey(p)
+            writeRev(bw, gc(sym), gl(sym))
+          } else {
+            writeRev(bw, gc((p >> 8) & 0xff), gl((p >> 8) & 0xff))
+            writeRev(bw, cc((p >> 16) & 0xff), cl((p >> 16) & 0xff))
+            writeRev(bw, cc(p & 0xff), cl(p & 0xff))
+            writeRev(bw, cc((p >>> 24) & 0xff), cl((p >>> 24) & 0xff))
+            insert(p)
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
+    wrapRiff(bw.toBytes)
+  }
+
+  /** Palette (COLOR_INDEXING) VP8L: `palette` ARGB entries, `idxOf` the
+    * per-pixel palette index — exercises the delta-coded palette stream
+    * and sub-byte index bundling (palette ≤ 16).
+    */
+  def synthWebpPalette(
+      w: Int, h: Int,
+      palette: Seq[Int],
+      idxOf: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16383 && h <= 16383, s"bad dims ${w}x$h")
+    require(palette.nonEmpty && palette.length <= 256, "palette size 1..256")
+    val bw = new BitWriter
+    bw.write(0x2f, 8)
+    bw.write(w - 1, 14); bw.write(h - 1, 14)
+    bw.write(0, 1); bw.write(0, 3)
+    bw.write(1, 1); bw.write(3, 2) // transform: color indexing
+    bw.write(palette.length - 1, 8)
+    // palette stream: entropy image of size x 1, DELTA-coded entries
+    locally {
+      bw.write(0, 1) // no color cache
+      val (l, c) = flatCode(256 + 24)
+      val (cl, cc) = flatCode(256)
+      val (dl, dc) = flatCode(40)
+      writeFlatCode(bw, l)
+      writeFlatCode(bw, cl); writeFlatCode(bw, cl); writeFlatCode(bw, cl)
+      writeFlatCode(bw, dl)
+      var prev = 0
+      palette.foreach { p =>
+        val d = subPixels(p, prev); prev = p
+        writeRev(bw, c((d >> 8) & 0xff), l((d >> 8) & 0xff))
+        writeRev(bw, cc((d >> 16) & 0xff), cl((d >> 16) & 0xff))
+        writeRev(bw, cc(d & 0xff), cl(d & 0xff))
+        writeRev(bw, cc((d >>> 24) & 0xff), cl((d >>> 24) & 0xff))
+      }
+    }
+    bw.write(0, 1) // no more transforms
+    // main stream: packed indices in the GREEN channel
+    bw.write(0, 1) // no color cache
+    bw.write(0, 1) // no huffman image
+    val (gl, gc) = flatCode(256 + 24)
+    val (cl2, cc2) = flatCode(256)
+    val (dl2, dc2) = flatCode(40)
+    writeFlatCode(bw, gl)
+    writeFlatCode(bw, cl2); writeFlatCode(bw, cl2); writeFlatCode(bw, cl2)
+    writeFlatCode(bw, dl2)
+    val bits =
+      if (palette.length <= 2) 3
+      else if (palette.length <= 4) 2
+      else if (palette.length <= 16) 1 else 0
+    val perByte = 1 << bits
+    val idxBits = 8 >> bits
+    val packedW = (w + perByte - 1) >> bits
+    for (r <- 0 until h; pc <- 0 until packedW) {
+      var cell = 0
+      var s = 0
+      while (s < perByte) {
+        val x = (pc << bits) + s
+        if (x < w) {
+          val i = idxOf(r, x)
+          require(i >= 0 && i < palette.length, s"palette index $i")
+          cell |= i << (s * idxBits)
+        }
+        s += 1
+      }
+      // pixel = (a=0, r=0, g=cell, b=0): alpha/red/blue all 0
+      writeRev(bw, gc(cell), gl(cell))
+      writeRev(bw, cc2(0), cl2(0))
+      writeRev(bw, cc2(0), cl2(0))
+      writeRev(bw, cc2(0), cl2(0))
+    }
+    wrapRiff(bw.toBytes)
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    // per-channel mod-256 difference a - b
+    var out = 0
+    var i = 0
+    while (i < 4) {
+      val d = (((a >>> (8 * i)) & 0xff) - ((b >>> (8 * i)) & 0xff)) & 0xff
+      out |= d << (8 * i)
+      i += 1
+    }
+    out
+  }
+
+  private def wrapRiff(vp8l: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val chunk = vp8l.length + (vp8l.length & 1)
+    tag("RIFF"); le32(4 + 8 + chunk); tag("WEBP")
+    tag("VP8L"); le32(vp8l.length); out.write(vp8l)
+    if ((vp8l.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+}

@@ -101,6 +101,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       MultimodalOps.decodeBmpPixels)
   }
 
+  test("WebP VP8L decode never escapes fail-closed") {
+    def pix(r: Int, c: Int): Int =
+      (((r * 5 + c + 9) % 256) << 24) | (((r * 31 + c * 7) % 256) << 16) |
+        (((r * 13 + c * 17) % 256) << 8) | ((r + c * 29) % 256)
+    fuzz("webp", Seq(
+      Webp.synthWebpLossless(9, 7, pix),
+      Webp.synthWebpLossless(12, 8, pix, subtractGreen = true,
+        predictorMode = Some(7), cacheBits = 4, metaBits = Some(2),
+        lz77Rows = true),
+      Webp.synthWebpPalette(11, 5,
+        (0 until 7).map(i => (255 << 24) | (i * 40 << 8) | (i * 30)),
+        (r, c) => (r + c) % 7)))(Webp.decodeWebpPixels)
+  }
+
   test("WAV decoders never escape fail-closed") {
     val pcm = MultimodalOps.synthWavPcm(8000, 2, 16, 12)((f, ch) => f * 100 + ch)
     val flt = MultimodalOps.synthWavFloat(8000, 1, 10)((f, _) => f * 0.25f)

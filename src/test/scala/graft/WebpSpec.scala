@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{MultimodalOps, Webp}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WebpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def px(r: Int, c: Int): Int = {
+    val a = (r * 5 + c * 3 + 9) % 256
+    val red = (r * 31 + c * 7) % 256
+    val g = (r * 13 + c * 17 + 5) % 256
+    val b = (r * 3 + c * 29 + 11) % 256
+    (a << 24) | (red << 16) | (g << 8) | b
+  }
+
+  private def assertIdentity(bytes: Array[Byte], w: Int, h: Int,
+      want: (Int, Int) => Int, tag: String): Unit = {
+    val (dw, dh, out) = Webp.decodeWebpPixels(bytes)
+    assert((dw, dh) == ((w, h)), tag)
+    for (r <- 0 until h; c <- 0 until w)
+      assert(out(r * w + c) == want(r, c),
+        f"$tag ($r,$c): ${out(r * w + c)}%08x vs ${want(r, c)}%08x")
+  }
+
+  test("plain round trip is the identity (odd dims, 1x1, full ARGB range)") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (16, 16), (23, 9)))
+      assertIdentity(Webp.synthWebpLossless(w, h, px), w, h, px, s"${w}x$h")
+  }
+
+  test("every encode feature decodes to the identity (the progressive-JPEG proof shape)") {
+    val (w, h) = (21, 13)
+    // subtract-green
+    assertIdentity(Webp.synthWebpLossless(w, h, px, subtractGreen = true),
+      w, h, px, "sg")
+    // all 14 predictor modes, alone and stacked on subtract-green
+    for (m <- 0 to 13) {
+      assertIdentity(Webp.synthWebpLossless(w, h, px, predictorMode = Some(m)),
+        w, h, px, s"pred$m")
+      assertIdentity(Webp.synthWebpLossless(w, h, px,
+        subtractGreen = true, predictorMode = Some(m)), w, h, px, s"sg+pred$m")
+    }
+    // wider-than-one-block so block lookups and the x = w-1 top-right
+    // edge rule both run
+    assertIdentity(Webp.synthWebpLossless(37, 19, px, predictorMode = Some(11)),
+      37, 19, px, "pred11-multiblock")
+    // color cache
+    for (bits <- Seq(1, 4, 11))
+      assertIdentity(Webp.synthWebpLossless(w, h, px, cacheBits = bits),
+        w, h, px, s"cache$bits")
+    // LZ77 full-row copies (rows repeat with period 3)
+    def stripes(r: Int, c: Int): Int = px(r % 3, c)
+    assertIdentity(Webp.synthWebpLossless(w, 12, stripes, lz77Rows = true),
+      w, 12, stripes, "lz77")
+    // meta prefix image (two groups selected per 4x4 block)
+    assertIdentity(Webp.synthWebpLossless(w, h, px, metaBits = Some(2)),
+      w, h, px, "meta")
+    // everything at once
+    assertIdentity(Webp.synthWebpLossless(33, 18, stripes,
+      subtractGreen = true, cacheBits = 6, lz77Rows = true,
+      metaBits = Some(3)), 33, 18, stripes, "all")
+  }
+
+  test("palette (color-indexing) round trips incl. sub-byte bundling") {
+    // sizes straddling every bundling width: 2 -> 8px/byte, 3..4 ->
+    // 4px/byte, 5..16 -> 2px/byte, 17+ -> unpacked
+    for (n <- Seq(2, 3, 4, 11, 16, 17, 200)) {
+      val pal = (0 until n).map(i =>
+        ((i * 37 + 100) % 256 << 24) | ((i * 59) % 256 << 16) |
+          ((i * 83 + 7) % 256 << 8) | ((i * 29 + 3) % 256))
+      def idx(r: Int, c: Int) = (r * 7 + c * 5) % n
+      val bytes = Webp.synthWebpPalette(19, 7, pal, idx)
+      assertIdentity(bytes, 19, 7, (r, c) => pal(idx(r, c)), s"pal$n")
+    }
+  }
+
+  test("webpToPixels: RGBA rows; lossy and non-VP8L containers fail closed") {
+    val bytes = Webp.synthWebpLossless(4, 3, px)
+    val out = Webp.webpToPixels(Seq((9L, bytes)).toDF("img_id", "bytes"))
+      .orderBy("px_row", "px_col", "channel").collect()
+    assert(out.length == 4 * 3 * 4)
+    val first = out.take(4).map(_.getInt(4)).toSeq
+    val p0 = px(0, 0)
+    assert(first == Seq((p0 >> 16) & 0xff, (p0 >> 8) & 0xff, p0 & 0xff, p0 >>> 24))
+    // lossy VP8 rejects by name
+    val lossy = "RIFF".getBytes("US-ASCII") ++ Array[Byte](24, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++
+      Array.fill[Byte](12)(7)
+    val e = intercept[IllegalArgumentException](Webp.decodeWebpPixels(lossy))
+    assert(e.getMessage.contains("lossy"), e.getMessage)
+    // VP8L-less extended container rejects descriptively
+    val vp8x = "RIFF".getBytes("US-ASCII") ++ Array[Byte](14, 0, 0, 0) ++
+      "WEBPVP8X".getBytes("US-ASCII") ++ Array[Byte](10, 0, 0, 0) ++
+      Array.fill[Byte](10)(0)
+    val e2 = intercept[IllegalArgumentException](Webp.decodeWebpPixels(vp8x))
+    assert(e2.getMessage.contains("no VP8L"), e2.getMessage)
+    // and the rejects census now DECODES lossless webp
+    val census = MultimodalOps.mediaCensusWithRejects(
+      Seq((1L, bytes)).toDF("media_id", "bytes")).collect()(0)
+    assert(census.getString(1) == "webp" && census.getBoolean(4))
+    assert(census.getLong(2) == 4 * 3 * 4)
+    val wantSum = (for (r <- 0 until 3; c <- 0 until 4) yield {
+      val p = px(r, c)
+      ((p >>> 24) & 0xff) + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }).sum.toLong
+    assert(census.getLong(3) == wantSum)
+  }
+}
