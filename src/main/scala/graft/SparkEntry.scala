@@ -2098,6 +2098,29 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  /** MM17 — REAL pixel resize (r10: the thumbnail half the resize stub
+    * deferred): a decoded PNG through `resizePixels` with both kernels —
+    * bilinear 9×6→4×3 (fractional x-ratio 2.25 exercises interpolation,
+    * integral y-ratio hits exact centers) and nearest 9×6→5×2. The
+    * bilinear sum is assembled in a fixed order (per-tap slots), so the
+    * doubles are bit-deterministic and the oracle mirrors the identical
+    * +,*,/ chain — raw-double hashable (no transcendentals anywhere).
+    */
+  private def mm17(s: SparkSession, d: String) = {
+    import s.implicits._
+    val png = operators.MultimodalOps.synthPng(9, 6, 3, _ => 0)(
+      (r, c, ch) => (r * 23 + c * 31 + ch * 41 + 7) % 256)
+    val px = operators.MultimodalOps.pngToPixels(Seq((1L, png)).toDF("img_id", "bytes"))
+    val bil = operators.MultimodalOps.resizePixels(px, 9, 6, 4, 3, "bilinear")
+      .withColumn("kind", lit("bilinear"))
+    val nn = operators.MultimodalOps.resizePixels(px, 9, 6, 5, 2, "nearest")
+      .withColumn("kind", lit("nearest"))
+      .withColumn("value", col("value").cast("double"))
+    bil.unionByName(nn)
+      .select("img_id", "kind", "px_row", "px_col", "channel", "value")
+      .orderBy("kind", "px_row", "px_col", "channel")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -4439,6 +4462,7 @@ object SparkEntry {
     "mm14_exif_orientation" -> (mm14 _),
     "mm15_wav_float" -> (mm15 _),
     "mm16_webp_lossless" -> (mm16 _),
+    "mm17_pixel_resize" -> (mm17 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5410,6 +5434,47 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm17: the identical half-pixel mapping, clamps, and FIXED-order
+    // tap sum evaluated in DuckDB over the closed-form source pixels —
+    // pure +,*,/ both engines, so raw doubles hash
+    "mm17_pixel_resize" -> {
+      val rxB = 9.0 / 4; val ryB = 6.0 / 3
+      val rxN = 9.0 / 5; val ryN = 6.0 / 2
+      def sv(r: String, c: String, ch: String) =
+        s"CAST(($r * 23 + $c * 31 + $ch * 41 + 7) % 256 AS DOUBLE)"
+      s"""WITH bd AS (SELECT id // 12 AS r, (id % 12) // 3 AS c, id % 3 AS ch
+        |  FROM range(36) t(id)),
+        |b1 AS (SELECT r, c, ch,
+        |    (CAST(c AS DOUBLE) + 0.5) * $rxB - 0.5 AS u,
+        |    (CAST(r AS DOUBLE) + 0.5) * $ryB - 0.5 AS v FROM bd),
+        |b2 AS (SELECT r, c, ch, u, v,
+        |    CAST(floor(u) AS INT) AS c0, CAST(floor(v) AS INT) AS r0,
+        |    u - floor(u) AS fx, v - floor(v) AS fy FROM b1),
+        |b3 AS (SELECT r, c, ch, fx, fy,
+        |    LEAST(GREATEST(r0 + 0, 0), 5) AS sr0, LEAST(GREATEST(r0 + 1, 0), 5) AS sr1,
+        |    LEAST(GREATEST(c0 + 0, 0), 8) AS sc0, LEAST(GREATEST(c0 + 1, 0), 8) AS sc1
+        |  FROM b2),
+        |bil AS (SELECT CAST(1 AS BIGINT) AS img_id, 'bilinear' AS kind,
+        |    CAST(r AS INT) AS px_row, CAST(c AS INT) AS px_col,
+        |    CAST(ch AS INT) AS channel,
+        |    ((${sv("sr0", "sc0", "ch")} * ((1.0 - fy) * (1.0 - fx))
+        |      + ${sv("sr0", "sc1", "ch")} * ((1.0 - fy) * fx))
+        |      + ${sv("sr1", "sc0", "ch")} * (fy * (1.0 - fx)))
+        |      + ${sv("sr1", "sc1", "ch")} * (fy * fx) AS value
+        |  FROM b3),
+        |nd AS (SELECT id // 15 AS r, (id % 15) // 3 AS c, id % 3 AS ch
+        |  FROM range(30) t(id)),
+        |nn AS (SELECT CAST(1 AS BIGINT) AS img_id, 'nearest' AS kind,
+        |    CAST(r AS INT) AS px_row, CAST(c AS INT) AS px_col,
+        |    CAST(ch AS INT) AS channel,
+        |    ${sv(
+             "LEAST(GREATEST(CAST(floor((CAST(r AS DOUBLE) + 0.5) * " + ryN + " - 0.5 + 0.5) AS INT), 0), 5)",
+             "LEAST(GREATEST(CAST(floor((CAST(c AS DOUBLE) + 0.5) * " + rxN + " - 0.5 + 0.5) AS INT), 0), 8)",
+             "ch")} AS value
+        |  FROM nd)
+        |SELECT * FROM bil UNION ALL SELECT * FROM nn
+        |ORDER BY kind, px_row, px_col, channel""".stripMargin
+    },
     // mm16: every RGBA value regenerates closed-form — the VP8L prefix
     // coding, transforms, color cache, and palette bundling never reach
     // the oracle; files 1 and 2 share one formula (stacked features are

@@ -1173,8 +1173,96 @@ object MultimodalOps {
       }
     }
 
-  /** STUB-backed resize: recomputes metadata for a target box preserving
-    * aspect ratio (the pixel resample would live in the same map).
+  /** REAL pixel resize over decoded image tables — the thumbnail /
+    * model-input-normalization step a multimodal corpus runs after
+    * decode (r10: upgrades the metadata stub below to actual pixels).
+    * Input is the codecs' common tall shape (keyCols…, px_row, px_col,
+    * channel, value) with DENSE per-image coverage; output is the same
+    * shape on the dstW×dstH grid. Center mapping is the standard
+    * half-pixel convention (align_corners = false), edges replicate
+    * (coordinates clamp).
+    *
+    * Kernels: "nearest" — one equi-join, value passthrough;
+    * "bilinear" — 4 taps exploded then re-joined, each dst pixel's sum
+    * assembled in a FIXED order (per-tap conditional max, then
+    * ((t0+t1)+t2)+t3) so the float result is bit-deterministic under any
+    * partitioning — the same +,*,/ chain evaluates identically in DuckDB,
+    * which is what lets mm17 hash raw doubles cross-engine.
+    *
+    * Scale shape: per-image work is a key-partitioned equi-join (keys ×
+    * src coords), zero driver involvement; the 4× tap inflation is the
+    * only overhead — identical to `Regrid.regridBilinear`'s plan, keyed.
+    */
+  def resizePixels(
+      pixels: DataFrame,
+      srcW: Int, srcH: Int, dstW: Int, dstH: Int,
+      kernel: String = "bilinear",
+      keyCols: Seq[String] = Seq("img_id"),
+      rowCol: String = "px_row", colCol: String = "px_col",
+      valueCol: String = "value"): DataFrame = {
+    require(srcW > 0 && srcH > 0 && dstW > 0 && dstH > 0,
+      s"bad resize geometry ${srcW}x$srcH -> ${dstW}x$dstH")
+    val rx = srcW.toDouble / dstW
+    val ry = srcH.toDouble / dstH
+    val keys = pixels.select(keyCols.map(col): _*).distinct()
+    val grid = keys
+      .withColumn(rowCol, explode(sequence(lit(0), lit(dstH - 1))))
+      .withColumn(colCol, explode(sequence(lit(0), lit(dstW - 1))))
+    val u = (col(colCol).cast("double") + lit(0.5)) * lit(rx) - lit(0.5)
+    val v = (col(rowCol).cast("double") + lit(0.5)) * lit(ry) - lit(0.5)
+    def clampC(c: org.apache.spark.sql.Column, hi: Int) = least(greatest(c, lit(0)), lit(hi))
+    val srcSide = pixels
+      .withColumnRenamed(rowCol, "__sr").withColumnRenamed(colCol, "__sc")
+    kernel match {
+      case "nearest" =>
+        grid
+          .withColumn("__sr", clampC(floor(v + lit(0.5)).cast("int"), srcH - 1))
+          .withColumn("__sc", clampC(floor(u + lit(0.5)).cast("int"), srcW - 1))
+          .join(srcSide, keyCols :+ "__sr" :+ "__sc")
+          .drop("__sr", "__sc")
+      case "bilinear" =>
+        val staged = grid
+          .withColumn("__c0", floor(u).cast("int"))
+          .withColumn("__r0", floor(v).cast("int"))
+          .withColumn("__fx", u - floor(u))
+          .withColumn("__fy", v - floor(v))
+        val taps = for { dr <- 0 to 1; dc <- 0 to 1 } yield {
+          val w = (if (dr == 0) lit(1.0) - col("__fy") else col("__fy")) *
+            (if (dc == 0) lit(1.0) - col("__fx") else col("__fx"))
+          struct(lit(dr * 2 + dc).as("__tap"),
+            clampC(col("__r0") + dr, srcH - 1).as("__sr"),
+            clampC(col("__c0") + dc, srcW - 1).as("__sc"), w.as("__w"))
+        }
+        val exploded = staged
+          .withColumn("__t", explode(array(taps: _*)))
+          .select((keyCols.map(col) :+ col(rowCol) :+ col(colCol)) ++
+            Seq(col("__t.__tap").as("__tap"), col("__t.__sr").as("__sr"),
+              col("__t.__sc").as("__sc"), col("__t.__w").as("__w")): _*)
+        val joined = exploded.join(srcSide, keyCols :+ "__sr" :+ "__sc")
+        val passCols = srcSide.columns.toSeq
+          .filterNot(c => (keyCols :+ "__sr" :+ "__sc" :+ valueCol).contains(c))
+        // one conditional slot per tap, then a FIXED-order sum — a plain
+        // sum() would accumulate in partition order and lose bit
+        // determinism (the stat1 lesson)
+        val slots = (0 to 3).map(k =>
+          max(when(col("__tap") === k,
+            col(valueCol).cast("double") * col("__w"))).as(s"__t$k"))
+        joined
+          .groupBy((keyCols.map(col) :+ col(rowCol) :+ col(colCol)) ++
+            passCols.map(col): _*)
+          .agg(slots.head, slots.tail: _*)
+          .withColumn(valueCol,
+            ((col("__t0") + col("__t1")) + col("__t2")) + col("__t3"))
+          .drop("__t0", "__t1", "__t2", "__t3")
+      case other =>
+        throw new IllegalArgumentException(
+          s"resize kernel '$other' (nearest | bilinear)")
+    }
+  }
+
+  /** STUB-backed resize metadata: recomputes the meta struct for a
+    * target box preserving aspect ratio ([[resizePixels]] is the pixel
+    * half).
     */
   def withResizedMeta(decoded: DataFrame, maxSide: Int): DataFrame =
     decoded

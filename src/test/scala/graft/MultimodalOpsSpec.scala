@@ -450,6 +450,39 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(counts(("webp", false)) == 1 && counts(("png", true)) == 1)
   }
 
+  test("resizePixels: identity at ratio 1, exact 2x box average, clamped edges, kernel reject") {
+    import spark.implicits._
+    def v(r: Int, c: Int): Int = (r * 17 + c * 5 + 3) % 256
+    val px = (for (r <- 0 until 6; c <- 0 until 8)
+      yield (1L, r, c, 0, v(r, c))).toDF("img_id", "px_row", "px_col", "channel", "value")
+    // ratio 1: bilinear is the identity (fx = fy = 0 exactly)
+    val id = MultimodalOps.resizePixels(px, 8, 6, 8, 6, "bilinear")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(4))).toMap
+    for (r <- 0 until 6; c <- 0 until 8) assert(id((r, c)) == v(r, c).toDouble, s"($r,$c)")
+    // 2x downscale: u = 2c + 0.5 → the exact 4-pixel box average
+    val half = MultimodalOps.resizePixels(px, 8, 6, 4, 3, "bilinear")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(4))).toMap
+    for (r <- 0 until 3; c <- 0 until 4) {
+      val want = (v(2 * r, 2 * c) + v(2 * r, 2 * c + 1) +
+        v(2 * r + 1, 2 * c) + v(2 * r + 1, 2 * c + 1)) / 4.0
+      assert(math.abs(half((r, c)) - want) < 1e-12, s"($r,$c)")
+    }
+    // upscale: every dst pixel exists, corners replicate the src corners
+    val up = MultimodalOps.resizePixels(px, 8, 6, 16, 12, "bilinear").collect()
+    assert(up.length == 16 * 12)
+    val upMap = up.map(r => ((r.getInt(1), r.getInt(2)), r.getDouble(4))).toMap
+    assert(upMap((0, 0)) == v(0, 0).toDouble) // clamped corner
+    assert(upMap((11, 15)) == v(5, 7).toDouble)
+    // nearest passes source values through untouched
+    val nn = MultimodalOps.resizePixels(px, 8, 6, 4, 3, "nearest")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)), r.getInt(4))).toMap
+    assert(nn.size == 12 && nn.values.forall(x => (0 until 6).exists(r =>
+      (0 until 8).exists(c => v(r, c) == x))))
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.resizePixels(px, 8, 6, 4, 3, "lanczos").collect())
+    assert(e.getMessage.contains("kernel"), e.getMessage)
+  }
+
   test("WAV blockAlign disagreeing with channels x bytes/sample fails closed") {
     // frame count divides by the DECLARED blockAlign but decode reads at
     // channels·bps stride — a mismatch must reject, not silently decode
