@@ -2121,6 +2121,27 @@ object SparkEntry {
       .orderBy("kind", "px_row", "px_col", "channel")
   }
 
+  /** AU1 — STFT band energies over a decoded stereo PCM WAV (the audio
+    * feature-extract step, r10b): the full codec → samples →
+    * `stftBandEnergy` chain (frame 17, hop 9 → overlapping frames, 4
+    * bands; the PRIME frame size keeps every nonzero θ off the π/2
+    * multiples where sin rounds to exactly 1.0 and a 1-ULP drift would
+    * flip a floor). The oracle regenerates the samples closed-form and mirrors
+    * the fixed-point DFT chain exactly (per-term floor ⇒ integer sums ⇒
+    * identical energies); tools/au1_margin_scan.py proves every term
+    * sits ≥ 2.5e-4 (×2^20 grid) from a floor boundary vs the proven
+    * ≤1-ULP cos/sin cross-engine drift.
+    */
+  private def au1(s: SparkSession, d: String) = {
+    import s.implicits._
+    val wav = operators.MultimodalOps.synthWavPcm(8000, 2, 16, 48)(
+      (f, ch) => ((f * 37 + ch * 19) % 200) - 100)
+    val samples = operators.MultimodalOps.wavToSamples(
+      Seq((1L, wav)).toDF("media_id", "bytes"))
+    operators.MultimodalOps.stftBandEnergy(samples, 17, 9, 4)
+      .orderBy("channel", "frame", "band")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -4463,6 +4484,7 @@ object SparkEntry {
     "mm15_wav_float" -> (mm15 _),
     "mm16_webp_lossless" -> (mm16 _),
     "mm17_pixel_resize" -> (mm17 _),
+    "au1_stft_energy" -> (au1 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5434,6 +5456,39 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // au1: samples regenerate closed-form, frames via the identical
+    // floor-division bounds, and the DFT chain mirrors term by term —
+    // per-term floor makes the sums integer-exact (HUGEINT cast back!),
+    // the energies derive from identical bigints
+    "au1_stft_energy" -> {
+      val w0 = 2.0 * math.Pi / 17
+      s"""WITH s AS (SELECT id // 2 AS i, CAST(id % 2 AS INT) AS ch,
+        |    ((id // 2) * 37 + (id % 2) * 19) % 200 - 100 AS x
+        |  FROM range(96) t(id)),
+        |fr AS (SELECT i, ch, x, f.frame
+        |  FROM s CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    GREATEST(CAST(0 AS BIGINT), CAST(floor((i - 17) / 9) AS BIGINT) + 1),
+        |    CAST(floor(i / 9) AS BIGINT))) AS frame) f),
+        |t1 AS (SELECT ch, frame, b.band, i - frame * 9 AS n, x
+        |  FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        |t2 AS (SELECT ch, frame, CAST(band AS INT) AS band,
+        |    CAST(floor(CAST(x AS DOUBLE)
+        |      * cos($w0 * (CAST(band AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * 1048576.0) AS BIGINT) AS c,
+        |    CAST(floor(CAST(x AS DOUBLE)
+        |      * sin($w0 * (CAST(band AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      * 1048576.0) AS BIGINT) AS sgn
+        |  FROM t1),
+        |agg AS (SELECT ch AS channel, frame, band, count(*) AS n_terms,
+        |    CAST(sum(c) AS BIGINT) AS sc_fp, CAST(sum(sgn) AS BIGINT) AS ss_fp
+        |  FROM t2 GROUP BY ch, frame, band)
+        |SELECT CAST(1 AS BIGINT) AS media_id, channel, frame, band, n_terms,
+        |  sc_fp, ss_fp,
+        |  (CAST(sc_fp AS DOUBLE) / 1048576.0) * (CAST(sc_fp AS DOUBLE) / 1048576.0)
+        |    + (CAST(ss_fp AS DOUBLE) / 1048576.0) * (CAST(ss_fp AS DOUBLE) / 1048576.0)
+        |    AS energy
+        |FROM agg ORDER BY channel, frame, band""".stripMargin
+    },
     // mm17: the identical half-pixel mapping, clamps, and FIXED-order
     // tap sum evaluated in DuckDB over the closed-form source pixels —
     // pure +,*,/ both engines, so raw doubles hash

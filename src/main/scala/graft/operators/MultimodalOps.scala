@@ -992,6 +992,65 @@ object MultimodalOps {
       samples.indices.iterator.map(i => Seq[Any](i / ch, i % ch, samples(i)))
     }
 
+  /** STFT band energies over decoded PCM samples — the audio
+    * FEATURE-EXTRACT step (r10b): the fixed-point relational DFT the
+    * audio modality needs next to the image codecs' pixel paths
+    * (spectral features are what audio curation filters on — silence,
+    * bandwidth, tonality). Input: `wavToSamples`' shape (keyCols…,
+    * frame_idx, channel, value). Output: one row per (keyCols…,
+    * channel, frame, band) with 2^20 fixed-point DFT sums and the
+    * band's energy:
+    *
+    *   sc_fp = Σ_n floor(x_n · cos(2π·band·n/frameSize) · 2^20)
+    *   ss_fp = Σ_n floor(x_n · sin(…) · 2^20)    (n = sample − frame·hop)
+    *   energy = (sc_fp/2^20)² + (ss_fp/2^20)²
+    *
+    * The per-term floor makes every accumulation integer-exact (the
+    * emb1/lm1 recipe), so the sums — and the energy derived from them —
+    * are deterministic under any partitioning and engine-identical when
+    * an oracle mirrors the same chain (au1's margin scan proves the
+    * fixture sits off the floor boundaries).
+    *
+    * Scale shape: each sample lands in ≤ ceil(frameSize/hop) frames ×
+    * nBands rows (documented inflation), then ONE map-side-combinable
+    * aggregation — no window, no driver. Trailing partial frames emit
+    * with the samples they have (the caller filters on n_samples if it
+    * wants full frames only).
+    */
+  def stftBandEnergy(
+      samples: DataFrame,
+      frameSize: Int, hop: Int, nBands: Int,
+      keyCols: Seq[String] = Seq("media_id"),
+      idxCol: String = "frame_idx",
+      valueCol: String = "value"): DataFrame = {
+    require(frameSize > 0 && hop > 0 && hop <= frameSize,
+      s"bad STFT geometry frame=$frameSize hop=$hop")
+    require(nBands >= 1 && nBands <= frameSize, s"bands $nBands out of range")
+    val w0 = 2.0 * math.Pi / frameSize
+    val i = col(idxCol).cast("long")
+    val fLo = greatest(lit(0L),
+      floor((i - lit(frameSize.toLong)) / lit(hop.toLong)).cast("long") + lit(1L))
+    val fHi = floor(i / lit(hop.toLong)).cast("long")
+    val exploded = samples
+      .withColumn("frame", explode(sequence(fLo, fHi)))
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("__n", i - col("frame") * lit(hop.toLong))
+      .withColumn("__theta",
+        lit(w0) * (col("band").cast("double") * col("__n").cast("double")))
+    val x = col(valueCol).cast("double")
+    exploded
+      .withColumn("__c", floor(x * cos(col("__theta")) * lit(1048576.0)).cast("long"))
+      .withColumn("__s", floor(x * sin(col("__theta")) * lit(1048576.0)).cast("long"))
+      .groupBy((keyCols.map(col) :+ col("channel") :+ col("frame") :+ col("band")): _*)
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__c")).as("sc_fp"), sum(col("__s")).as("ss_fp"))
+      .withColumn("energy",
+        (col("sc_fp").cast("double") / lit(1048576.0)) *
+          (col("sc_fp").cast("double") / lit(1048576.0)) +
+          (col("ss_fp").cast("double") / lit(1048576.0)) *
+            (col("ss_fp").cast("double") / lit(1048576.0)))
+  }
+
   /** Audio twin of `withDecodedMeta`: partition-mapped WAV header decode,
     * no shuffle, typed `audio_meta` struct (NULL when the payload is not
     * canonical PCM WAV).

@@ -809,6 +809,79 @@ object Regrid {
         val d2 = d1.select(col("*"), inline(array(struct(mx.as(xc), my.as(yc)))))
         val (d3, ox, oy, tmp2) = stageTransform(d2, second, col(xc), col(yc), tag * 2 + 2)
         (d3, ox, oy, (tmp1 :+ xc :+ yc) ++ tmp2)
+      case tm: GeographicFromTransverseMercator =>
+        // The footpoint series references d ~21× and n1/r1/φ1 almost as
+        // often; unstaged, every copy re-inlines the whole μ-series tree
+        // (g19's 5.6 s warm was THIS stage, not the Helmert tail). Stage
+        // φ1 then (c1, t1, n1, r1, d) as real columns; formulas are
+        // `apply`'s verbatim, so every double is identical.
+        import Utm.Deg2Rad
+        val p = tm.p
+        val m = (y - lit(p.falseNorthing)) / lit(p.k0) + lit(p.m0Arc)
+        val mu = m / lit(p.a * p.m0c)
+        val phi1 = mu + lit(p.p2) * sin(lit(2.0) * mu) + lit(p.p4) * sin(lit(4.0) * mu) +
+          lit(p.p6) * sin(lit(6.0) * mu) + lit(p.p8) * sin(lit(8.0) * mu)
+        val phic = s"__tm_phi$tag"
+        val d1 = df.select(col("*"), inline(array(struct(phi1.as(phic)))))
+        val sinP1 = sin(col(phic)); val cosP1 = cos(col(phic))
+        val tanP1 = tan(col(phic))
+        val oneMinus = lit(1.0) - lit(p.e2) * sinP1 * sinP1
+        val n1e = lit(p.a) / sqrt(oneMinus)
+        val (c1c, t1c, n1c, r1c, ddc) = (s"__tm_c$tag", s"__tm_t$tag",
+          s"__tm_n$tag", s"__tm_r$tag", s"__tm_d$tag")
+        val d2 = d1.select(col("*"), inline(array(struct(
+          (lit(p.ep2) * cosP1 * cosP1).as(c1c),
+          (tanP1 * tanP1).as(t1c),
+          n1e.as(n1c),
+          (lit(p.a * (1 - p.e2)) / (oneMinus * sqrt(oneMinus))).as(r1c),
+          ((x - lit(p.falseEasting)) / (n1e * lit(p.k0))).as(ddc)))))
+        val (c1, t1, n1, r1, d) = (col(c1c), col(t1c), col(n1c), col(r1c), col(ddc))
+        val latRad = col(phic) - (n1 * tan(col(phic)) / r1) * (d * d / lit(2.0) -
+          (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 -
+            lit(9.0) * p.ep2) * d * d * d * d / lit(24.0) +
+          (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 -
+            lit(252.0) * p.ep2 - lit(3.0) * c1 * c1) *
+            d * d * d * d * d * d / lit(720.0))
+        val lonRad = (d - (lit(1.0) + lit(2.0) * t1 + c1) * d * d * d / lit(6.0) +
+          (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 +
+            lit(8.0) * p.ep2 + lit(24.0) * t1 * t1) *
+            d * d * d * d * d / lit(120.0)) / cos(col(phic))
+        (d2, lit(p.lon0Deg) + lonRad / lit(Deg2Rad), latRad / lit(Deg2Rad),
+          Seq(phic, c1c, t1c, n1c, r1c, ddc))
+      case g: GeocentricAffineShift =>
+        // The geocentric chain references its intermediates heavily
+        // (theta 6× in the Bowring tail, each copy containing p with two
+        // copies of xp…), so the unstaged Column tree grows to thousands
+        // of nodes and dominates runtime (g19 measured 5.6 s warm
+        // unstaged vs ~1 s staged at sf0.1). Stage XYZ → X'Y'Z' →
+        // (p, θ) as real columns behind Generate barriers; the algebra —
+        // and therefore every double — is exactly `apply`'s.
+        import Utm.Deg2Rad
+        val phi = y * lit(Deg2Rad)
+        val lam = x * lit(Deg2Rad)
+        val sinP = sin(phi); val cosP = cos(phi)
+        val n = lit(g.src.a) / sqrt(lit(1.0) - lit(g.src.e2) * sinP * sinP)
+        val (xc, yc, zc) = (s"__geo_x$tag", s"__geo_y$tag", s"__geo_z$tag")
+        val d1 = df.select(col("*"), inline(array(struct(
+          (n * cosP * cos(lam)).as(xc),
+          (n * cosP * sin(lam)).as(yc),
+          (n * lit(1.0 - g.src.e2) * sinP).as(zc)))))
+        val (xpc, ypc, zpc) = (s"__aff_x$tag", s"__aff_y$tag", s"__aff_z$tag")
+        val d2 = d1.select(col("*"), inline(array(struct(
+          (lit(g.tx) + lit(g.m00) * col(xc) + lit(g.m01) * col(yc) + lit(g.m02) * col(zc)).as(xpc),
+          (lit(g.ty) + lit(g.m10) * col(xc) + lit(g.m11) * col(yc) + lit(g.m12) * col(zc)).as(ypc),
+          (lit(g.tz) + lit(g.m20) * col(xc) + lit(g.m21) * col(yc) + lit(g.m22) * col(zc)).as(zpc)))))
+        val b = g.dst.a * (1 - g.dst.f)
+        val ep2 = g.dst.e2 / (1 - g.dst.e2)
+        val p = sqrt(col(xpc) * col(xpc) + col(ypc) * col(ypc))
+        val (pc, thc) = (s"__pol_p$tag", s"__pol_t$tag")
+        val d3 = d2.select(col("*"), inline(array(struct(
+          p.as(pc), atan2(col(zpc) * lit(g.dst.a), p * lit(b)).as(thc)))))
+        val sinT = sin(col(thc)); val cosT = cos(col(thc))
+        val phiD = atan2(col(zpc) + lit(ep2 * b) * sinT * sinT * sinT,
+          col(pc) - lit(g.dst.e2 * g.dst.a) * cosT * cosT * cosT)
+        (d3, atan2(col(ypc), col(xpc)) / lit(Deg2Rad), phiD / lit(Deg2Rad),
+          Seq(xc, yc, zc, xpc, ypc, zpc, pc, thc))
       case simple =>
         val (ox, oy) = simple(x, y)
         (df, ox, oy, Nil)

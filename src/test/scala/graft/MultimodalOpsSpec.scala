@@ -483,6 +483,37 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("kernel"), e.getMessage)
   }
 
+  test("stftBandEnergy: DC band recovers the frame sum; pure tone peaks in its band") {
+    import spark.implicits._
+    // constant signal: band 0 (DC) energy = (frameSize * x)^2, all
+    // higher bands ~0 (fixed-point floor leaves sub-integer residue)
+    val const = (0 until 34).flatMap(i => Seq((1L, i, 0, 50)))
+      .toDF("media_id", "frame_idx", "channel", "value")
+    val dc = MultimodalOps.stftBandEnergy(const, 17, 17, 3)
+      .collect().map(r => ((r.getLong(2), r.getInt(3)),
+        (r.getLong(4), r.getLong(5), r.getDouble(7)))).toMap
+    // two non-overlapping full frames
+    for (f <- Seq(0L, 1L)) {
+      val (n, sc, e) = dc((f, 0))
+      assert(n == 17 && sc == 17L * 50 * 1048576)
+      assert(math.abs(e - math.pow(17.0 * 50, 2)) < 1e-3, s"frame $f: $e")
+      val (_, _, e1) = dc((f, 1))
+      assert(e1 < 1.0, s"frame $f band 1 leak: $e1") // orthogonality
+    }
+    // a cos tone at band 2 concentrates there (real DFT splits energy
+    // between the +/- frequencies; band 2 of a k=2 cosine = (A*F/2)^2)
+    val tone = (0 until 17).map { i =>
+      (1L, i, 0, math.rint(80 * math.cos(2 * math.Pi * 2 * i / 17)).toInt)
+    }.toDF("media_id", "frame_idx", "channel", "value")
+    val tb = MultimodalOps.stftBandEnergy(tone, 17, 17, 4)
+      .collect().map(r => (r.getInt(3), r.getDouble(7))).toMap
+    assert(tb(2) > 100 * tb(1) && tb(2) > 100 * tb(3),
+      s"tone energies: $tb") // peak at its own band
+    // bad geometry rejects
+    intercept[IllegalArgumentException](
+      MultimodalOps.stftBandEnergy(const, 8, 9, 2))
+  }
+
   test("WAV blockAlign disagreeing with channels x bytes/sample fails closed") {
     // frame count divides by the DECLARED blockAlign but decode reads at
     // channels·bps stride — a mismatch must reject, not silently decode
