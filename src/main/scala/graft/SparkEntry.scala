@@ -2142,6 +2142,36 @@ object SparkEntry {
       .orderBy("channel", "frame", "band")
   }
 
+  /** E15 — perceptual-hash IMAGE near-dup pairs (r10b: the pixel-space
+    * sibling of e14's text simhash): 24 synthetic 16×12 RGB images in 4
+    * pattern groups (members differ by one noised source pixel), hashed
+    * by `perceptualHash` (luma → bilinear 8×8 → integer mean-threshold
+    * bits) and paired by `phashNearDupPairs` (4-band pigeonhole,
+    * Hamming ≤ 3). The oracle BRUTE-FORCES all pairs over hashes it
+    * derives from the same closed-form pixels — the banding is proven
+    * lossless (the e14 oracle shape), and the whole chain is exact
+    * dyadic arithmetic (resize weights ∈ {0.25, 0.5, 0.75}; integer
+    * thresholding), so no margin scan is needed.
+    */
+  private def e15(s: SparkSession, d: String) = {
+    import s.implicits._
+    val px = (for {
+      i <- 0 until 24; r <- 0 until 12; c <- 0 until 16; ch <- 0 until 3
+    } yield {
+      val g = i % 4
+      val high = (r / 3 + c / 2 + g) % 2 == 0
+      val v = ch match {
+        case 0 => ((g * 31 + r * 3 + c * 5) % 40) + (if (high) 150 else 10)
+        case 1 => if (high) 250 else 20
+        case _ => if (r == (i * 5) % 12 && c == (i * 7) % 16 && i / 4 > 0) 200 else 30
+      }
+      (i.toLong, r, c, ch, v)
+    }).toDF("img_id", "px_row", "px_col", "channel", "value")
+    val hashes = operators.MultimodalOps.perceptualHash(px, 16, 12)
+    operators.MultimodalOps.phashNearDupPairs(hashes, maxHamming = 3)
+      .orderBy("a", "b")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -4485,6 +4515,7 @@ object SparkEntry {
     "mm16_webp_lossless" -> (mm16 _),
     "mm17_pixel_resize" -> (mm17 _),
     "au1_stft_energy" -> (au1 _),
+    "e15_phash_neardup" -> (e15 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5456,6 +5487,56 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // e15: hashes derived from the same closed-form pixels (luma →
+    // mirrored bilinear 8×8 → integer mean threshold → shifted bit
+    // packs), then ALL pairs brute-forced — DuckDB does the O(n²) work
+    // the banding avoids, proving it lossless; exact dyadic arithmetic
+    // end to end
+    "e15_phash_neardup" -> {
+      // luma at source pixel (rr, cc) of image i — mirrors the fixture
+      def lum(rr: String, cc: String) = {
+        val high = s"((($rr) // 3 + ($cc) // 2 + i % 4) % 2 = 0)"
+        val rch = s"((i % 4) * 31 + ($rr) * 3 + ($cc) * 5) % 40 + (CASE WHEN $high THEN 150 ELSE 10 END)"
+        val gch = s"(CASE WHEN $high THEN 250 ELSE 20 END)"
+        val bch = s"(CASE WHEN ($rr) = (i * 5) % 12 AND ($cc) = (i * 7) % 16 AND i // 4 > 0 THEN 200 ELSE 30 END)"
+        s"(2 * ($rch) + 5 * $gch + $bch)"
+      }
+      s"""WITH cell AS (SELECT i.i, id // 8 AS r, id % 8 AS c
+        |  FROM (SELECT unnest(generate_series(0, 23)) AS i) i
+        |  CROSS JOIN range(64) t(id)),
+        |st AS (SELECT i, r, c,
+        |    (CAST(c AS DOUBLE) + 0.5) * ${16.0 / 8} - 0.5 AS u,
+        |    (CAST(r AS DOUBLE) + 0.5) * ${12.0 / 8} - 0.5 AS v FROM cell),
+        |st2 AS (SELECT i, r, c,
+        |    CAST(floor(u) AS INT) AS c0, CAST(floor(v) AS INT) AS r0,
+        |    u - floor(u) AS fx, v - floor(v) AS fy FROM st),
+        |st3 AS (SELECT i, r, c, fx, fy,
+        |    LEAST(GREATEST(r0 + 0, 0), 11) AS sr0, LEAST(GREATEST(r0 + 1, 0), 11) AS sr1,
+        |    LEAST(GREATEST(c0 + 0, 0), 15) AS sc0, LEAST(GREATEST(c0 + 1, 0), 15) AS sc1
+        |  FROM st2),
+        |cells AS (SELECT i, r, c,
+        |    ((CAST(${lum("sr0", "sc0")} AS DOUBLE) * ((1.0 - fy) * (1.0 - fx))
+        |      + CAST(${lum("sr0", "sc1")} AS DOUBLE) * ((1.0 - fy) * fx))
+        |      + CAST(${lum("sr1", "sc0")} AS DOUBLE) * (fy * (1.0 - fx)))
+        |      + CAST(${lum("sr1", "sc1")} AS DOUBLE) * (fy * fx) AS val
+        |  FROM st3),
+        |fp AS (SELECT i, r, c, CAST(floor(val * 1048576.0) AS BIGINT) AS fp
+        |  FROM cells),
+        |tot AS (SELECT i, CAST(sum(fp) AS BIGINT) AS tot FROM fp GROUP BY i),
+        |bits AS (SELECT f.i, f.r * 8 + f.c AS idx, f.fp * 64 > t.tot AS onb
+        |  FROM fp f JOIN tot t ON f.i = t.i),
+        |h AS (SELECT i,
+        |    CAST(coalesce(sum(CASE WHEN onb AND idx < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(idx AS INT)) END), 0) AS BIGINT) AS lo,
+        |    CAST(coalesce(sum(CASE WHEN onb AND idx >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(idx - 32 AS INT)) END), 0) AS BIGINT) AS hi
+        |  FROM bits GROUP BY i)
+        |SELECT x.i AS a, y.i AS b,
+        |  CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+        |FROM h x JOIN h y ON x.i < y.i
+        |WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+        |ORDER BY a, b""".stripMargin
+    },
     // au1: samples regenerate closed-form, frames via the identical
     // floor-division bounds, and the DFT chain mirrors term by term —
     // per-term floor makes the sums integer-exact (HUGEINT cast back!),

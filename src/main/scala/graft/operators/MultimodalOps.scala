@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal column operators (extension surface E3/"multimodal" of
   * BASELINE.json; SURVEY.md §2.6 E1-E4 family).
@@ -1049,6 +1050,85 @@ object MultimodalOps {
           (col("sc_fp").cast("double") / lit(1048576.0)) +
           (col("ss_fp").cast("double") / lit(1048576.0)) *
             (col("ss_fp").cast("double") / lit(1048576.0)))
+  }
+
+  /** Average-hash (aHash) perceptual image fingerprint — the IMAGE
+    * near-dup key a multimodal crawl dedups on (the pixel-space sibling
+    * of text simhash / embedding RHP-LSH): integer luma (2R + 5G + B)
+    * per source pixel → bilinear 8×8 thumbnail via [[resizePixels]] →
+    * 2^20 fixed-point cells → each bit = cell ABOVE the 64-cell mean,
+    * compared in INTEGER space (cell·64 > Σcells — no division, no
+    * float compare, bit-deterministic) → two 32-bit halves
+    * (`phash_lo` = cells 0..31 row-major, `phash_hi` = 32..63), packed
+    * with shifts so no pow touches the path.
+    *
+    * Scale shape: one keyed aggregation (luma), the resize joins, one
+    * keyed window + aggregation — all key-partitioned, nothing global.
+    */
+  def perceptualHash(
+      pixels: DataFrame,
+      srcW: Int, srcH: Int,
+      keyCols: Seq[String] = Seq("img_id")): DataFrame = {
+    val luma = pixels
+      .groupBy((keyCols.map(col) :+ col("px_row") :+ col("px_col")): _*)
+      .agg(sum(when(col("channel") === 0, col("value") * 2)
+        .when(col("channel") === 1, col("value") * 5)
+        .when(col("channel") === 2, col("value"))).as("value"))
+    val cells = resizePixels(luma, srcW, srcH, 8, 8, "bilinear", keyCols)
+      .withColumn("__fp", floor(col("value") * lit(1048576.0)).cast("long"))
+    val withSum = cells.withColumn("__tot",
+      sum(col("__fp")).over(Window.partitionBy(keyCols.map(col): _*)))
+      .withColumn("__bit", (col("px_row") * 8 + col("px_col")).cast("int"))
+      .withColumn("__on", col("__fp") * 64 > col("__tot"))
+    withSum.groupBy(keyCols.map(col): _*)
+      .agg(
+        coalesce(sum(when(col("__on") && col("__bit") < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), __bit)"))), lit(0L)).as("phash_lo"),
+        coalesce(sum(when(col("__on") && col("__bit") >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), __bit - 32)"))), lit(0L)).as("phash_hi"))
+  }
+
+  /** Hamming-radius IMAGE near-dup pairs over [[perceptualHash]] output
+    * by pigeonhole banding (the e14 shape: maxHamming+1 equal bands ⇒ a
+    * pair within the radius shares at least one band exactly — zero
+    * false negatives): equi-join per band, verify with
+    * bit_count(xor) over both halves. `maxHamming` must be 2^k − 1
+    * (bands then align to the 32-bit halves). Output (a, b, hamming),
+    * a < b.
+    */
+  def phashNearDupPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "img_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64 &&
+      ((maxHamming + 1) & maxHamming) == 0,
+      s"maxHamming must be 2^k - 1 (0, 1, 3, 7, 15, 31), got $maxHamming")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bands = (0 until nBands).map { b =>
+      val off = b * width
+      val half = if (off < 32) col("phash_lo") else col("phash_hi")
+      val lo = off % 32
+      val bits =
+        if (width >= 32) half // one band per half
+        else pmod(shiftright(half, lo), lit(1L << width))
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    val exploded = hashes.select(col(idCol), col("phash_lo"), col("phash_hi"),
+        explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col("phash_lo"), col("phash_hi"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    exploded.select(col(idCol).as("a"), col("phash_lo").as("lo_a"),
+        col("phash_hi").as("hi_a"), col("band"), col("bits"))
+      .join(exploded.select(col(idCol).as("b"), col("phash_lo").as("lo_b"),
+        col("phash_hi").as("hi_b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Audio twin of `withDecodedMeta`: partition-mapped WAV header decode,

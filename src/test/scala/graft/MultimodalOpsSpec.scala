@@ -514,6 +514,51 @@ class MultimodalOpsSpec extends AnyFunSuite {
       MultimodalOps.stftBandEnergy(const, 8, 9, 2))
   }
 
+  test("perceptualHash + phashNearDupPairs: banding == brute force, knobs reject") {
+    import spark.implicits._
+    // 10 images: pairs (2k, 2k+1) differ by one noised pixel; distinct k
+    // have different block patterns
+    val px = (for {
+      i <- 0 until 10; r <- 0 until 12; c <- 0 until 16; ch <- 0 until 3
+    } yield {
+      val k = i / 2
+      val high = (r / 3 + c / 4 + k) % 3 == 0
+      val v = ch match {
+        case 0 => if (high) 220 else 15
+        case 1 => if (high) 240 else 25
+        case _ => if (i % 2 == 1 && r == (k * 3) % 12 && c == (k * 5) % 16) 180 else 40
+      }
+      (i.toLong, r, c, ch, v)
+    }).toDF("img_id", "px_row", "px_col", "channel", "value")
+    val hashes = MultimodalOps.perceptualHash(px, 16, 12)
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hs.size == 10)
+    hs.values.foreach { case (lo, hi) =>
+      assert(lo >= 0 && lo < (1L << 32) && hi >= 0 && hi < (1L << 32))
+    }
+    // banding returns EXACTLY the brute-force pair set (zero false
+    // negatives is the pigeonhole guarantee; distinct() kills dups)
+    for (mh <- Seq(1, 3, 7)) {
+      val got = MultimodalOps.phashNearDupPairs(hashes, maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- 0 until 10; b <- a + 1 until 10
+        d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+          java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+        if d <= mh
+      } yield (a.toLong, b.toLong, d.toLong)).toSet
+      assert(got == want, s"maxHamming=$mh: ${got.size} vs ${want.size}")
+    }
+    // twin images pair at a tight radius; distinct patterns don't
+    val p3 = MultimodalOps.phashNearDupPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(k => p3.contains((2L * k, 2L * k + 1))), p3)
+    // non-2^k-1 radius rejects
+    intercept[IllegalArgumentException](
+      MultimodalOps.phashNearDupPairs(hashes, maxHamming = 2))
+  }
+
   test("WAV blockAlign disagreeing with channels x bytes/sample fails closed") {
     // frame count divides by the DECLARED blockAlign but decode reads at
     // channels·bps stride — a mismatch must reject, not silently decode
