@@ -2172,6 +2172,29 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  /** MM18 — ANIMATED lossless WebP (r10b: VP8X + ANIM + ANMF frames,
+    * each a full VP8L payload): three offset frames with distinct
+    * durations through `webpToFrames` — the gifToFrames shape for the
+    * web's other animation container. The oracle regenerates every
+    * frame's RGBA closed-form with the per-frame source shift; the ANMF
+    * framing (halved offsets, minus-one dims, 24-bit durations) must be
+    * invisible.
+    */
+  private def mm18(s: SparkSession, d: String) = {
+    import s.implicits._
+    def pix(dr: Int, dc: Int)(r: Int, c: Int): Int = {
+      val rr = r + dr; val cc = c + dc
+      (((rr * 5 + cc * 3 + 9) % 256) << 24) | (((rr * 31 + cc * 7) % 256) << 16) |
+        (((rr * 13 + cc * 17 + 5) % 256) << 8) | ((rr * 3 + cc * 29 + 11) % 256)
+    }
+    val anim = operators.Webp.synthWebpAnim(14, 10, Seq(
+      (0, 0, 14, 10, 33, pix(0, 0)),
+      (4, 2, 7, 5, 47, pix(2, 3)),
+      (8, 6, 5, 3, 55, pix(5, 1))))
+    operators.Webp.webpToFrames(Seq((1L, anim)).toDF("media_id", "bytes"))
+      .orderBy("frame_idx", "px_row", "px_col", "channel")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -4514,6 +4537,7 @@ object SparkEntry {
     "mm15_wav_float" -> (mm15 _),
     "mm16_webp_lossless" -> (mm16 _),
     "mm17_pixel_resize" -> (mm17 _),
+    "mm18_webp_anim" -> (mm18 _),
     "au1_stft_energy" -> (au1 _),
     "e15_phash_neardup" -> (e15 _),
     "s13_gpkg_roundtrip" -> (s13 _),
@@ -5487,6 +5511,30 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // mm18: every frame's RGBA regenerates closed-form at the
+    // per-frame source shift — the ANMF container framing is invisible
+    "mm18_webp_anim" -> {
+      def frame(idx: Int, left: Int, top: Int, w: Int, h: Int, dur: Int,
+          dr: Int, dc: Int) = {
+        val r = s"(id // ${w * 4} + $dr)"; val c = s"((id % ${w * 4}) // 4 + $dc)"
+        s"""SELECT CAST(1 AS BIGINT) AS media_id, CAST($idx AS INT) AS frame_idx,
+           |  CAST($left AS INT) AS frame_left, CAST($top AS INT) AS frame_top,
+           |  CAST($dur AS INT) AS duration_ms,
+           |  CAST(id // ${w * 4} AS INT) AS px_row,
+           |  CAST((id % ${w * 4}) // 4 AS INT) AS px_col,
+           |  CAST(id % 4 AS INT) AS channel,
+           |  CAST(CASE id % 4
+           |    WHEN 0 THEN ($r * 31 + $c * 7) % 256
+           |    WHEN 1 THEN ($r * 13 + $c * 17 + 5) % 256
+           |    WHEN 2 THEN ($r * 3 + $c * 29 + 11) % 256
+           |    ELSE ($r * 5 + $c * 3 + 9) % 256 END AS INT) AS value
+           |FROM range(${w * h * 4}) t(id)""".stripMargin
+      }
+      Seq(frame(0, 0, 0, 14, 10, 33, 0, 0), frame(1, 4, 2, 7, 5, 47, 2, 3),
+        frame(2, 8, 6, 5, 3, 55, 5, 1))
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY frame_idx, px_row, px_col, channel")
+    },
     // e15: hashes derived from the same closed-form pixels (luma →
     // mirrored bilinear 8×8 → integer mean threshold → shifted bit
     // packs), then ALL pairs brute-forced — DuckDB does the O(n²) work

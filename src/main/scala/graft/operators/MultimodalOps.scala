@@ -731,13 +731,16 @@ object MultimodalOps {
             }
             (n, s)
           case "webp" =>
-            // lossless (VP8L) decodes since r10; lossy VP8 rejects from
-            // the container walk with its own descriptive message
-            val (_, _, px) = Webp.decodeWebpPixels(payload)
-            (px.length.toLong * 4, px.foldLeft(0L) { (acc, p) =>
-              acc + ((p >>> 24) & 0xff) + ((p >> 16) & 0xff) +
-                ((p >> 8) & 0xff) + (p & 0xff)
-            })
+            // lossless (VP8L) decodes since r10, incl. ANIMATED frames
+            // (r10b); lossy VP8 rejects from the container walk with its
+            // own descriptive message
+            val (_, _, frames) = Webp.decodeWebpFrames(payload)
+            frames.foldLeft((0L, 0L)) { case ((n0, s0), f) =>
+              (n0 + f.argb.length.toLong * 4, s0 + f.argb.foldLeft(0L) { (acc, p) =>
+                acc + ((p >>> 24) & 0xff) + ((p >> 16) & 0xff) +
+                  ((p >> 8) & 0xff) + (p & 0xff)
+              })
+            }
           case "avi" => throw new IllegalArgumentException(
             "AVI carries video frames, not a scalar census — route through aviToFrames")
           case _ => throw new IllegalArgumentException(

@@ -442,6 +442,11 @@ object Webp {
   /** Full lossless decode: (width, height, ARGB pixels row-major). */
   def decodeWebpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val (from, _) = vp8lPayload(bytes)
+    decodeVp8l(bytes, from)
+  }
+
+  /** One VP8L payload starting at `from` (signature byte first). */
+  private def decodeVp8l(bytes: Array[Byte], from: Int): (Int, Int, Array[Int]) = {
     require(from < bytes.length && (bytes(from) & 0xff) == 0x2f,
       "VP8L signature byte missing")
     val br = new BitReader(bytes, from + 1)
@@ -527,6 +532,168 @@ object Webp {
     }
     require(curW == width, "color-indexing transform missing for packed stream")
     (width, height, px)
+  }
+
+  /** One decoded animation frame: canvas offset, duration, dims, ARGB. */
+  final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
+      durationMs: Int, argb: Array[Int])
+
+  /** Animated WebP decode (VP8X + ANIM + ANMF, lossless frames): the
+    * container walk for the ANIMATION-flagged extended layout, each ANMF
+    * frame's VP8L payload through the full lossless decoder. Frames
+    * decode to their own rectangles (disposal/blend compositing is a
+    * presentation concern, the Gif doctrine). Lossy (VP8) frames and
+    * ALPH-paired layouts reject descriptively; a plain single-image
+    * VP8L file decodes as one frame at (0,0) duration 0 — callers get
+    * ONE surface for both layouts.
+    */
+  def decodeWebpFrames(bytes: Array[Byte]): (Int, Int, Seq[AnimFrame]) = {
+    def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
+      s.indices.forall(i => bytes(off + i) == s(i).toByte)
+    require(ascii(0, "RIFF") && ascii(8, "WEBP"), "not a RIFF/WEBP container")
+    def u24(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16)
+    var canvasW = 0; var canvasH = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
+    var sawAnim = false
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val size = (bytes(pos + 4) & 0xffL) | ((bytes(pos + 5) & 0xffL) << 8) |
+        ((bytes(pos + 6) & 0xffL) << 16) | ((bytes(pos + 7) & 0xffL) << 24)
+      require(size >= 0 && pos + 8 + size <= bytes.length,
+        s"WEBP chunk '$tag' overruns the file")
+      val body = pos + 8
+      tag match {
+        case "VP8X" =>
+          require(size >= 10, "VP8X chunk too short")
+          canvasW = u24(body + 4) + 1
+          canvasH = u24(body + 7) + 1
+        case "ANIM" => sawAnim = true
+        case "ANMF" =>
+          require(size >= 16, "ANMF chunk too short")
+          val left = u24(body) * 2
+          val top = u24(body + 3) * 2
+          val w = u24(body + 6) + 1
+          val h = u24(body + 9) + 1
+          val dur = u24(body + 12)
+          // the frame's image chunk follows the 16-byte ANMF header
+          val sub = body + 16
+          require(sub + 8 <= body + size, "ANMF carries no image chunk")
+          val subTag = new String(bytes, sub, 4, "US-ASCII")
+          val subSize = (bytes(sub + 4) & 0xffL) | ((bytes(sub + 5) & 0xffL) << 8) |
+            ((bytes(sub + 6) & 0xffL) << 16) | ((bytes(sub + 7) & 0xffL) << 24)
+          require(subSize >= 0 && sub + 8 + subSize <= body + size,
+            "ANMF image chunk overruns the frame")
+          require(subTag == "VP8L", subTag match {
+            case "VP8 " => "lossy (VP8) animation frames are not decodable — VP8L only"
+            case other => s"ANMF image chunk '$other' unsupported (VP8L only)"
+          })
+          val (fw, fh, px) = decodeVp8l(bytes, sub + 8)
+          require(fw == w && fh == h,
+            s"ANMF declares ${w}x$h but the VP8L payload is ${fw}x$fh")
+          frames += AnimFrame(left, top, w, h, dur, px)
+        case "VP8L" =>
+          val (w, h, px) = decodeVp8l(bytes, body)
+          return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
+        case "VP8 " => throw new IllegalArgumentException(
+          "lossy WebP (VP8) is not decodable — only the lossless VP8L profile is shipped")
+        case _ => // ALPH/ICCP/EXIF/XMP: skip
+      }
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    require(sawAnim && frames.nonEmpty,
+      "WEBP container carries neither a VP8L image nor an animation")
+    ((if (canvasW > 0) canvasW else frames.map(f => f.left + f.w).max),
+      (if (canvasH > 0) canvasH else frames.map(f => f.top + f.h).max),
+      frames.toSeq)
+  }
+
+  /** Animated-WebP binary column → per-frame RGBA pixel rows with the
+    * frame's canvas offset and duration (the gifToFrames shape — the
+    * video-modality frame explosion for WebP).
+    */
+  def webpToFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
+      StructField("frame_idx", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("frame_left", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("frame_top", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("duration_ms", org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+        MultimodalOps.PixelFields) { payload =>
+      val (_, _, frames) = decodeWebpFrames(payload)
+      for {
+        (f, fi) <- frames.iterator.zipWithIndex
+        r <- 0 until f.h
+        c <- 0 until f.w
+        k <- 0 until 4
+      } yield {
+        val p = f.argb(r * f.w + c)
+        val v = k match {
+          case 0 => (p >> 16) & 0xff
+          case 1 => (p >> 8) & 0xff
+          case 2 => p & 0xff
+          case _ => (p >>> 24) & 0xff
+        }
+        Seq[Any](fi, f.left, f.top, f.durationMs, r, c, k, v)
+      }
+    }
+
+  /** Animated lossless WebP (VP8X + ANIM + per-frame ANMF/VP8L) — the
+    * encode half: each frame from [[synthWebpLossless]]'s plain profile.
+    * Offsets must be even (ANMF stores them halved, per spec).
+    */
+  def synthWebpAnim(
+      canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Int, Int, (Int, Int) => Int)]): Array[Byte] = {
+    // (left, top, w, h, durationMs, argb)
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def u24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    def chunk(t: String, payload: Array[Byte]): Unit = {
+      body.write(t.getBytes("US-ASCII"))
+      val s = payload.length
+      body.write(s & 0xff); body.write((s >> 8) & 0xff)
+      body.write((s >> 16) & 0xff); body.write((s >> 24) & 0xff)
+      body.write(payload)
+      if ((s & 1) == 1) body.write(0)
+    }
+    locally { // VP8X: animation flag (bit 1 of byte 0), canvas minus-one
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x02); b.write(0); b.write(0); b.write(0)
+      def w24(v: Int): Unit = {
+        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
+      }
+      w24(canvasW - 1); w24(canvasH - 1)
+      chunk("VP8X", b.toByteArray)
+    }
+    chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0)) // bg color + loop count 0
+    frames.foreach { case (left, top, w, h, dur, argb) =>
+      require(left % 2 == 0 && top % 2 == 0,
+        s"ANMF offsets must be even, got ($left, $top)")
+      val full = synthWebpLossless(w, h, argb)
+      // extract the VP8L chunk (skip the standalone RIFF wrap)
+      val vp8lSize = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+        ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+      val b = new java.io.ByteArrayOutputStream()
+      def w24(v: Int): Unit = {
+        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
+      }
+      w24(left / 2); w24(top / 2); w24(w - 1); w24(h - 1)
+      w24(dur); b.write(0x02) // blend=no-blend, dispose=none
+      b.write(full, 12, 8 + vp8lSize) // the VP8L chunk verbatim
+      chunk("ANMF", b.toByteArray)
+    }
+    val payload = body.toByteArray
+    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
+    out.toByteArray
   }
 
   /** WebP binary column → RGBA pixel rows (the pngToPixels shape). */

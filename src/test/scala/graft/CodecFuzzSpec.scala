@@ -113,6 +113,9 @@ class CodecFuzzSpec extends AnyFunSuite {
       Webp.synthWebpPalette(11, 5,
         (0 until 7).map(i => (255 << 24) | (i * 40 << 8) | (i * 30)),
         (r, c) => (r + c) % 7)))(Webp.decodeWebpPixels)
+    fuzz("webp-anim", Seq(Webp.synthWebpAnim(12, 8, Seq(
+      (0, 0, 12, 8, 30, (r, c) => pix(r, c)),
+      (4, 2, 5, 4, 45, (r, c) => pix(r + 1, c + 2))))))(Webp.decodeWebpFrames)
   }
 
   test("WAV decoders never escape fail-closed") {

@@ -75,6 +75,36 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("animated WebP: ANMF frames round-trip with offsets and durations") {
+    def f1(r: Int, c: Int) = px(r, c)
+    def f2(r: Int, c: Int) = px(r + 3, c + 1)
+    def f3(r: Int, c: Int) = px(r, c + 5)
+    val anim = Webp.synthWebpAnim(20, 16, Seq(
+      (0, 0, 20, 16, 33, f1), (4, 2, 9, 7, 40, f2), (10, 8, 5, 4, 50, f3)))
+    val (cw, ch, frames) = Webp.decodeWebpFrames(anim)
+    assert((cw, ch) == ((20, 16)))
+    assert(frames.map(f => (f.left, f.top, f.w, f.h, f.durationMs)) ==
+      Seq((0, 0, 20, 16, 33), (4, 2, 9, 7, 40), (10, 8, 5, 4, 50)))
+    for ((f, want) <- frames.zip(Seq(f1 _, f2 _, f3 _)); r <- 0 until f.h; c <- 0 until f.w)
+      assert(f.argb(r * f.w + c) == want(r, c), s"(${f.left},${f.top}) ($r,$c)")
+    // a plain single-image file decodes as one frame at the origin
+    val (pw, ph, one) = Webp.decodeWebpFrames(Webp.synthWebpLossless(6, 4, px))
+    assert((pw, ph) == ((6, 4)) && one.length == 1 &&
+      one.head.durationMs == 0 && one.head.left == 0)
+    // odd offsets reject at encode (ANMF halves them)
+    intercept[IllegalArgumentException](
+      Webp.synthWebpAnim(8, 8, Seq((1, 0, 4, 4, 10, f1))))
+    // the frame explosion surface
+    import spark.implicits._
+    val rows = Webp.webpToFrames(Seq((5L, anim)).toDF("media_id", "bytes"))
+      .collect()
+    assert(rows.length == (20 * 16 + 9 * 7 + 5 * 4) * 4)
+    // and the census decodes animated files whole
+    val census = MultimodalOps.mediaCensusWithRejects(
+      Seq((1L, anim)).toDF("media_id", "bytes")).collect()(0)
+    assert(census.getBoolean(4) && census.getLong(2) == (20 * 16 + 9 * 7 + 5 * 4) * 4)
+  }
+
   test("webpToPixels: RGBA rows; lossy and non-VP8L containers fail closed") {
     val bytes = Webp.synthWebpLossless(4, 3, px)
     val out = Webp.webpToPixels(Seq((9L, bytes)).toDF("img_id", "bytes"))
