@@ -2172,6 +2172,21 @@ object SparkEntry {
       .orderBy("a", "b")
   }
 
+  /** SHUF1 — deterministic epoch shuffle (r10b: the training-order
+    * assignment a data pipeline runs per epoch): two independent
+    * md5-keyed permutations of the documents corpus via
+    * `Curation.deterministicShuffle` (GlobalOrder two-pass rank — no
+    * global sort, no single reducer), joined per doc. Reproducible under
+    * any partitioning; the oracle replays both orders as plain windowed
+    * row_numbers over the same md5-prefix keys.
+    */
+  private def shuf1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d).select("doc_id")
+    val e1 = operators.Curation.deterministicShuffle(docs, "epoch-1", outCol = "pos_e1")
+    val e2 = operators.Curation.deterministicShuffle(docs, "epoch-2", outCol = "pos_e2")
+    e1.join(e2, "doc_id").orderBy("doc_id")
+  }
+
   /** MM18 — ANIMATED lossless WebP (r10b: VP8X + ANIM + ANMF frames,
     * each a full VP8L payload): three offset frames with distinct
     * durations through `webpToFrames` — the gifToFrames shape for the
@@ -4540,6 +4555,7 @@ object SparkEntry {
     "mm18_webp_anim" -> (mm18 _),
     "au1_stft_energy" -> (au1 _),
     "e15_phash_neardup" -> (e15 _),
+    "shuf1_epoch_shuffle" -> (shuf1 _),
     "s13_gpkg_roundtrip" -> (s13 _),
     "s13b_gpkg_write" -> (s13b _),
     "s13c_gpkg_multilayer" -> (s13c _),
@@ -5511,6 +5527,20 @@ object SparkEntry {
         |    ELSE 255 END AS INT)
         |FROM range(396) t(id)
         |ORDER BY frame_idx, px_row, px_col, channel""".stripMargin,
+    // shuf1: both permutations replayed as windowed row_numbers over the
+    // same md5-prefix keys (the hexVal machinery proven since samp1)
+    "shuf1_epoch_shuffle" -> {
+      def epoch(seed: String, out: String) =
+        s"""SELECT doc_id, row_number() OVER (ORDER BY hv, doc_id) AS $out
+           |FROM (SELECT doc_id,
+           |  md5('$seed:' || CAST(doc_id AS VARCHAR)) AS h FROM documents) s0,
+           |  LATERAL (SELECT ${sqlHexVal("h", 15)} AS hv) s1""".stripMargin
+      s"""WITH e1 AS (${epoch("epoch-1", "pos_e1")}),
+        |e2 AS (${epoch("epoch-2", "pos_e2")})
+        |SELECT e1.doc_id, pos_e1, pos_e2
+        |FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id
+        |ORDER BY e1.doc_id""".stripMargin
+    },
     // mm18: every frame's RGBA regenerates closed-form at the
     // per-frame source shift — the ANMF container framing is invisible
     "mm18_webp_anim" -> {

@@ -20,6 +20,28 @@ object Curation {
     * which is what training pipelines need so a document never migrates
     * between train and eval. Fractions are cumulative percentages.
     */
+  /** Deterministic corpus shuffle — training-order assignment (r10b):
+    * `outCol` = 1-based position in the order of
+    * (md5(seed || ':' || id), id). Reproducible under any partitioning,
+    * cluster size, or rerun (the property epoch shuffles need that
+    * `orderBy(rand())` lacks), and a new `seed` is a new independent
+    * permutation — one shuffle per epoch. No global sort:
+    * [[GlobalOrder.withGlobalRank]]'s two-pass bucket rank (the 60-bit
+    * md5 prefix is the numeric leading order, `idCol` the tie-break).
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      seed: String,
+      idCol: String = "doc_id",
+      outCol: String = "shuffle_pos"): DataFrame = {
+    val key = TextOps.hexVal(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 15)
+    GlobalOrder.withGlobalRank(
+        df.withColumn("__shuf_key", key),
+        Seq(col("__shuf_key"), col(idCol)), outCol)
+      .drop("__shuf_key")
+  }
+
   def hashSplit(
       df: DataFrame,
       idCol: String,

@@ -25,6 +25,20 @@ class DeterminismSpec extends AnyFunSuite {
     assert(a.nonEmpty, s"$name produced no rows — vacuous invariance")
   }
 
+  test("deterministicShuffle is a true permutation, invariant across layouts, seed-keyed") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    invariant("shuffle")(d =>
+      Curation.deterministicShuffle(d, "e1").orderBy("doc_id"))(docs)
+    val out = Curation.deterministicShuffle(docs, "e1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 1..N (a permutation, no gaps or dups)
+    assert(out.values.toSeq.sorted == (1L to out.size).toSeq)
+    // a different seed is a different permutation (astronomically sure)
+    val out2 = Curation.deterministicShuffle(docs, "e2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out != out2)
+  }
+
   test("unigramLogprobScore is identical across partition layouts") {
     invariant("lm")(d => Curation.unigramLogprobScore(d).orderBy("doc_id"))(
       Tables.documents(spark, sf))
