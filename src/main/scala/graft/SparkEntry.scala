@@ -3984,6 +3984,94 @@ object SparkEntry {
       .select("shard_id", "kind", "n", "total").orderBy("shard_id", "kind")
   }
 
+  /** S23 — zip shard ingest (the OTHER container corpora ship in besides
+    * tar; [[operators.Zip]] walks EOCD → central directory → local
+    * headers, stored AND deflate members in one shard, CRC-verified).
+    * Census proves exact member payloads through both methods: per
+    * (shard, modality) count, byte length, and a full ASCII-code
+    * checksum of every decoded character — the container (headers,
+    * deflate streams, CRCs, padding) is invisible to the oracle, which
+    * regenerates the member texts from their definitions.
+    */
+  private def s23(s: SparkSession, d: String) = {
+    import s.implicits._
+    def shard(sh: Int, n: Int): Array[Byte] = operators.Zip.synthZip(
+      (0 until n).flatMap { i =>
+        val txt = s"zip sample $sh-$i " + ("y" * ((i * 13 + sh * 3) % 50))
+        val jsn = s"""{"id":$i,"shard":$sh,"pad":"${"z" * ((i * 7 + sh) % 30)}"}"""
+        Seq((f"$i%04d.txt", txt.getBytes("UTF-8")), (f"$i%04d.json", jsn.getBytes("UTF-8")))
+      },
+      deflate = _.endsWith(".txt")) // mixed methods inside one shard
+    val files = operators.Zip.zipToFiles(
+      Seq((1, shard(1, 6)), (2, shard(2, 9))).toDF("shard_id", "bytes"))
+    files.select(col("shard_id"), col("ext"), col("bytes").cast("string").as("txt"))
+      .withColumn("ascii_sum", expr(
+        "aggregate(sequence(1, length(txt)), 0L, (a, i) -> a + ascii(substring(txt, i, 1)))"))
+      .groupBy("shard_id", "ext")
+      .agg(count(lit(1)).as("n"), sum(length(col("txt")).cast("long")).as("sum_len"),
+        sum(col("ascii_sum")).as("ascii_sum"))
+      .orderBy("shard_id", "ext")
+  }
+
+  /** S24 — NPZ tensor bundles end to end: part-derived tensors (six
+    * dtypes across the whole supported descr set) → `.npy` encode →
+    * zip-bundled `.npz` shards → [[operators.Npy.npzToValues]] decode →
+    * per-tensor census (count, fixed-point value sum, order-weighted
+    * checksum proving C-order element positions). The oracle regenerates
+    * every element from the source definition — npy headers, zip
+    * directory, and deflate streams are invisible. Float values are
+    * exact multiples of 1/8 (f4-representable), so floor(v*64) is
+    * deterministic on both engines; the one-tensor-per-key-run build is
+    * the documented memory floor (the GPKG/GeoTIFF-sink doctrine).
+    */
+  private def s24(s: SparkSession, d: String) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val parts = Tables.part(s, d).select(
+      (col("p_partkey") % 6).cast("int").as("tid"), col("p_partkey").as("pk"))
+    val grouped = parts.groupBy("tid").agg(sort_array(collect_list(col("pk"))).as("pks"))
+    val npyRdd = grouped.rdd.map { r =>
+      val tid = r.getInt(0)
+      val pks = r.getSeq[Long](1)
+      val bytes = tid match {
+        case 0 => operators.Npy.synthNpy("<f4", Seq(pks.length),
+          doubles = pks.map(pk => (pk % 9973) * 0.25).toArray)
+        case 1 => operators.Npy.synthNpy("<f8", Seq(pks.length),
+          doubles = pks.map(pk => (pk % 9973) * 0.125).toArray)
+        case 2 => operators.Npy.synthNpy("<i2", Seq(pks.length),
+          longs = pks.map(pk => pk % 32768 - 16384).toArray)
+        case 3 => operators.Npy.synthNpy("<i4", Seq(pks.length),
+          longs = pks.map(pk => pk % 1000003).toArray)
+        case 4 => operators.Npy.synthNpy("<i8", Seq(pks.length),
+          longs = pks.map(pk => (pk % 9973) * 1000000007L).toArray)
+        case _ => operators.Npy.synthNpy("|u1", Seq(pks.length),
+          longs = pks.map(pk => pk % 256).toArray)
+      }
+      Row(tid % 2, s"t$tid", bytes)
+    }
+    val npyDf = s.createDataFrame(npyRdd, StructType(Seq(
+      StructField("shard_id", IntegerType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("npy", BinaryType, nullable = false))))
+    val bundles = npyDf.groupBy("shard_id")
+      .agg(sort_array(collect_list(struct(col("name"), col("npy")))).as("members"))
+    val npzRdd = bundles.rdd.map { r =>
+      val members = r.getSeq[Row](1).map(m =>
+        (m.getString(0) + ".npy", m.getAs[Array[Byte]](1)))
+      Row(r.getInt(0), operators.Zip.synthZip(members))
+    }
+    val npzDf = s.createDataFrame(npzRdd, StructType(Seq(
+      StructField("shard_id", IntegerType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false))))
+    operators.Npy.npzToValues(npzDf)
+      .withColumn("value_fp", when(col("value_l").isNotNull, col("value_l"))
+        .otherwise(floor(col("value_d") * 64).cast("long")))
+      .groupBy("shard_id", "tensor", "dtype")
+      .agg(count(lit(1)).as("n"), sum(col("value_fp")).as("sum_fp"),
+        sum(((col("elem_idx") + 1) * col("value_fp")) % 1000000007L).as("ord_fp"))
+      .orderBy("tensor")
+  }
+
   /** S22 — GeoParquet round trip (the parquet-native vector half next to
     * the GPKG/SHP codecs; reference anchor: the stage-2/3 vector
     * artifacts, image_segmentation.py:153-162 and
@@ -4530,6 +4618,8 @@ object SparkEntry {
     "s20_geotiff_sink" -> (s20 _),
     "s21_webdataset_shards" -> (s21 _),
     "s22_geoparquet_roundtrip" -> (s22 _),
+    "s23_zip_shards" -> (s23 _),
+    "s24_npz_tensors" -> (s24 _),
     "g19_helmert_7param" -> (g19 _),
     "g20_ups_variant_a" -> (g20 _),
     "g14_epsg_reproject" -> (g14 _),
@@ -6753,6 +6843,57 @@ object SparkEntry {
         |  CAST(sum(CAST(11 + (id * 11 + shard_id) % 40 AS BIGINT)) AS BIGINT)
         |FROM txt GROUP BY shard_id
         |ORDER BY shard_id, kind""".stripMargin,
+    // s23: both member texts regenerate from their definitions — the zip
+    // container (local headers, central directory, deflate streams, CRCs)
+    // never reaches the oracle. Shard 1: 6 samples, shard 2: 9; each
+    // sample has one deflated .txt and one stored .json member; the
+    // ascii_sum column is a full per-character checksum of every decoded
+    // payload, proving exact content through BOTH methods.
+    "s23_zip_shards" ->
+      """WITH samp AS (
+        |  SELECT 1 AS shard_id, CAST(id AS INT) AS i FROM range(6) t(id)
+        |  UNION ALL SELECT 2, CAST(id AS INT) FROM range(9) t(id)),
+        |m AS (
+        |  SELECT shard_id, 'txt' AS ext,
+        |    'zip sample ' || CAST(shard_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+        |      || ' ' || repeat('y', (i * 13 + shard_id * 3) % 50) AS s
+        |  FROM samp
+        |  UNION ALL
+        |  SELECT shard_id, 'json',
+        |    '{"id":' || CAST(i AS VARCHAR) || ',"shard":' || CAST(shard_id AS VARCHAR)
+        |      || ',"pad":"' || repeat('z', (i * 7 + shard_id) % 30) || '"}'
+        |  FROM samp)
+        |SELECT shard_id, ext, count(*) AS n,
+        |  CAST(sum(length(s)) AS BIGINT) AS sum_len,
+        |  CAST(sum(list_sum(list_transform(generate_series(1, length(s)),
+        |    i -> ascii(substr(s, i, 1))))) AS BIGINT) AS ascii_sum
+        |FROM m GROUP BY shard_id, ext ORDER BY shard_id, ext""".stripMargin,
+    // s24: every tensor element regenerated from the source definition —
+    // npy headers, the zip central directory, and deflate streams never
+    // reach the oracle. Element order inside each tensor is ascending
+    // p_partkey (the build sorts before encoding), so ROW_NUMBER mirrors
+    // elem_idx; float tensors hold exact multiples of 1/8, making
+    // floor(v*64) engine-deterministic (the g15/g16 fixed-point rule).
+    "s24_npz_tensors" ->
+      """WITH t AS (SELECT p_partkey AS pk, CAST(p_partkey % 6 AS INT) AS tid FROM part),
+        |o AS (SELECT tid, pk,
+        |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY pk) - 1 AS idx FROM t),
+        |v AS (SELECT tid, idx,
+        |    CASE tid
+        |      WHEN 0 THEN CAST(floor(CAST(pk % 9973 AS DOUBLE) * 0.25 * 64) AS BIGINT)
+        |      WHEN 1 THEN CAST(floor(CAST(pk % 9973 AS DOUBLE) * 0.125 * 64) AS BIGINT)
+        |      WHEN 2 THEN pk % 32768 - 16384
+        |      WHEN 3 THEN pk % 1000003
+        |      WHEN 4 THEN (pk % 9973) * 1000000007
+        |      ELSE pk % 256 END AS vfp
+        |  FROM o)
+        |SELECT CAST(tid % 2 AS INT) AS shard_id,
+        |  't' || CAST(tid AS VARCHAR) AS tensor,
+        |  CASE tid WHEN 0 THEN '<f4' WHEN 1 THEN '<f8' WHEN 2 THEN '<i2'
+        |    WHEN 3 THEN '<i4' WHEN 4 THEN '<i8' ELSE '|u1' END AS dtype,
+        |  count(*) AS n, CAST(sum(vfp) AS BIGINT) AS sum_fp,
+        |  CAST(sum(((idx + 1) * vfp) % 1000000007) AS BIGINT) AS ord_fp
+        |FROM v GROUP BY tid ORDER BY tensor""".stripMargin,
     // s22: every vertex regenerated from the source definition — the
     // GeoParquet container (WKB encode, geo footer, decode) never reaches
     // the oracle; coordinates are binary-exact 1/64-grid doubles

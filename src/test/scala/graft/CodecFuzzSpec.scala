@@ -141,6 +141,23 @@ class CodecFuzzSpec extends AnyFunSuite {
       "c.txt" -> "hello".getBytes))))(Tar.tarEntries)
   }
 
+  test("zip walk never escapes fail-closed") {
+    fuzz("zip", Seq(Zip.synthZip(Seq(
+      "a/b.npy" -> Array.tabulate(700)(_.toByte),
+      "c.txt" -> "hello zip".getBytes), deflate = _.endsWith(".npy"))))(Zip.zipEntries)
+  }
+
+  test("npy/npz parse never escapes fail-closed") {
+    val npys = Seq(
+      Npy.synthNpy("<f4", Seq(5, 3), doubles = Array.tabulate(15)(_ * 0.25)),
+      Npy.synthNpy("<i8", Seq(7), longs = Array.tabulate(7)(_ * 1000000007L)),
+      Npy.synthNpy("|u1", Seq(2, 2, 2), longs = Array.tabulate(8)(_.toLong)))
+    fuzz("npy", npys)(Npy.npyTensor)
+    fuzz("npz", Seq(Zip.synthZip(npys.zipWithIndex.map {
+      case (b, i) => s"t$i.npy" -> b
+    })))(b => Zip.zipEntries(b).map { case (_, d) => Npy.npyTensor(d) })
+  }
+
   test("AVI walk never escapes fail-closed") {
     val q = Array.fill(64)(16)
     val frames = (0 until 2).map { f =>
