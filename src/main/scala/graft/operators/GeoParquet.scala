@@ -91,12 +91,19 @@ object GeoParquet {
     val bbox = if (stats.isNullAt(0)) None
       else Some((stats.getDouble(0), stats.getDouble(1),
         stats.getDouble(2), stats.getDouble(3)))
-    val types = stats.getSeq[String](4)
-      .map(t => t.head.toString + t.tail.toLowerCase) // WKT word → spec spelling
-      .map { case "Point" => "Point"; case "Linestring" => "LineString"
-             case "Polygon" => "Polygon"; case "Multipoint" => "MultiPoint"
-             case "Multilinestring" => "MultiLineString"
-             case "Multipolygon" => "MultiPolygon"; case other => other }
+    // WKT word → the six spec spellings, fail-closed: a value whose first
+    // word the regex couldn't extract (empty string) or that isn't one of
+    // the spec's geometry types must not pass through in a non-spec
+    // spelling — readers key dispatch on these strings.
+    val types = stats.getSeq[String](4).filter(_.nonEmpty).map {
+      case "POINT" => "Point"; case "LINESTRING" => "LineString"
+      case "POLYGON" => "Polygon"; case "MULTIPOINT" => "MultiPoint"
+      case "MULTILINESTRING" => "MultiLineString"
+      case "MULTIPOLYGON" => "MultiPolygon"
+      case other => throw new IllegalArgumentException(
+        s"$geomCol carries WKT type '$other' — GeoParquet geometry_types " +
+          "admits only the six simple-features types")
+    }
     val json = geoJson(geomCol, types, bbox, crsProjjson)
     df.withColumn(geomCol, wktToWkbCol(col(geomCol)))
       .write.mode("overwrite").parquet(path)
@@ -141,15 +148,32 @@ object GeoParquet {
       } finally r.close()
     }
     kv.put("geo", json)
-    val tmp = new Path(file + ".geo.tmp")
-    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf), schema,
-      ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 8 * 1024 * 1024)
-    w.start()
-    w.appendFile(in)
-    w.end(kv)
     val fs = p.getFileSystem(conf)
-    require(fs.delete(p, false) && fs.rename(tmp, p),
-      s"footer rewrite swap failed for $file")
+    val tmp = new Path(file + ".geo.tmp")
+    try {
+      val w = new ParquetFileWriter(HadoopOutputFile.fromPath(tmp, conf), schema,
+        ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 8 * 1024 * 1024)
+      w.start()
+      w.appendFile(in)
+      w.end(kv)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: Throwable => }
+        throw e
+    }
+    // Swap via rename-aside (never delete-then-rename): a crash at any
+    // point leaves a COMPLETE file at a deterministic path — the original
+    // at `file`, or mid-swap at `file + ".geo.old"`, or post-swap the
+    // rewrite at `file` — so recovery is a rename, never a data loss
+    // (delete-then-rename had a window where the only copy was the .tmp).
+    val old = new Path(file + ".geo.old")
+    if (fs.exists(old)) fs.delete(old, false)
+    require(fs.rename(p, old), s"footer rewrite: cannot park original $file")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back: original returns to its path
+      throw new IllegalStateException(s"footer rewrite swap failed for $file")
+    }
+    fs.delete(old, false)
   }
 
   /** The `geo` footer JSON of a GeoParquet store (first part-file), or

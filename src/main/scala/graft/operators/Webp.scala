@@ -189,8 +189,12 @@ object Webp {
   private def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
     if (planeCode > 120) planeCode - 120
     else {
+      // dist = yoffset*xsize + xoffset (spec 5.2.3; libwebp's
+      // PlaneCodeToDistance with xoffset = 8 - (code & 0xf)) — positive
+      // dx points LEFT of the current pixel, so it ADDS to the distance.
+      // Sub-1 results (e.g. code 2 = (1,0) on any width) clamp to 1.
       val (dx, dy) = DistMap(planeCode - 1)
-      math.max(1, dy * xsize - dx)
+      math.max(1, dy * xsize + dx)
     }
 
   // ---- entropy-coded ARGB image ----
@@ -455,8 +459,12 @@ object Webp {
     br.read(1) // alpha hint
     val version = br.read(3)
     require(version == 0, s"VP8L version $version unsupported")
-    require(width.toLong * height <= (1L << 24),
-      s"implausible WebP geometry ${width}x$height")
+    // Allocation guard at the SPEC's own geometry bound (14-bit dims →
+    // 16384×16384 = 2^28 pixels ≈ 1 GiB of ARGB): every conformant
+    // stream passes; this is a resource ceiling for the `n`-int
+    // allocation below, not a plausibility claim about crawl content.
+    require(width.toLong * height <= (1L << 28),
+      s"WebP geometry ${width}x$height exceeds the 2^28-pixel allocation guard")
     // transforms, in read order
     var packedW = width
     var palette: Array[Int] = null
@@ -689,6 +697,10 @@ object Webp {
       w24(left / 2); w24(top / 2); w24(w - 1); w24(h - 1)
       w24(dur); b.write(0x02) // blend=no-blend, dispose=none
       b.write(full, 12, 8 + vp8lSize) // the VP8L chunk verbatim
+      // RIFF sub-chunks pad to even size: an odd VP8L payload inside the
+      // ANMF body needs the pad byte too (strict demuxers walk padded
+      // sub-chunks; the chunk() helper applies the same rule)
+      if ((vp8lSize & 1) == 1) b.write(0)
       chunk("ANMF", b.toByteArray)
     }
     val payload = body.toByteArray
@@ -1027,6 +1039,53 @@ object Webp {
       writeRev(bw, cc2(0), cl2(0))
       writeRev(bw, cc2(0), cl2(0))
       writeRev(bw, cc2(0), cl2(0))
+    }
+    wrapRiff(bw.toBytes)
+  }
+
+  /** Fixture writer for the 2-D DISTANCE NEIGHBORHOOD codes (plane codes
+    * 1..120): `literals` pixels first, then each `(len, planeCode)` copy
+    * emitted with the plane code AS the distance value (≤ 120 — the
+    * decoder maps it through the (dx, dy) table). The in-repo encoder's
+    * own LZ77 path only ever emits `dist + 120` codes, so round trips
+    * never exercised the neighborhood map — this demo stream is how the
+    * decode test pins `dist = dy*xsize + dx` (a sign error mirrors every
+    * dx-asymmetric code and collapses pure-horizontal ones to 1).
+    */
+  def synthWebpLz77Demo(
+      w: Int, h: Int,
+      literals: Seq[Int],
+      copies: Seq[(Int, Int)]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 16383 && h <= 16383, s"bad dims ${w}x$h")
+    require(literals.length + copies.map(_._1).sum == w * h,
+      "literals + copy lengths must tile the image exactly")
+    val bw = new BitWriter
+    bw.write(0x2f, 8)
+    bw.write(w - 1, 14); bw.write(h - 1, 14)
+    bw.write(0, 1); bw.write(0, 3) // alpha hint, version
+    bw.write(0, 1) // no transforms
+    bw.write(0, 1) // no color cache
+    bw.write(0, 1) // no huffman image
+    val (gl, gc) = flatCode(256 + 24)
+    val (cl, cc) = flatCode(256)
+    val (dl, dc) = flatCode(40)
+    writeFlatCode(bw, gl)
+    writeFlatCode(bw, cl); writeFlatCode(bw, cl); writeFlatCode(bw, cl)
+    writeFlatCode(bw, dl)
+    literals.foreach { p =>
+      writeRev(bw, gc((p >> 8) & 0xff), gl((p >> 8) & 0xff))
+      writeRev(bw, cc((p >> 16) & 0xff), cl((p >> 16) & 0xff))
+      writeRev(bw, cc(p & 0xff), cl(p & 0xff))
+      writeRev(bw, cc((p >>> 24) & 0xff), cl((p >>> 24) & 0xff))
+    }
+    copies.foreach { case (len, planeCode) =>
+      require(planeCode >= 1 && planeCode <= 120, s"plane code $planeCode")
+      val (lcode, lBits, lExtra) = lz77Prefix(len)
+      writeRev(bw, gc(256 + lcode), gl(256 + lcode))
+      bw.write(lExtra, lBits)
+      val (dcode, dBits, dExtra) = lz77Prefix(planeCode)
+      writeRev(bw, dc(dcode), dl(dcode))
+      bw.write(dExtra, dBits)
     }
     wrapRiff(bw.toBytes)
   }

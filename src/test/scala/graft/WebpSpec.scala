@@ -62,6 +62,35 @@ class WebpSpec extends AnyFunSuite {
       metaBits = Some(3)), 33, 18, stripes, "all")
   }
 
+  test("2-D distance neighborhood codes: dist = dy*xsize + dx (spec 5.2.3)") {
+    // The in-repo encoder only emits dist+120 codes, so round trips never
+    // touch the neighborhood map — this hand-built stream pins the sign
+    // convention. A mirrored formula (dy*xsize - dx) rejects code 4
+    // ((-1,1): dist 3 ≤ pos, mirrored 5 > pos) and collapses the
+    // pure-horizontal code 6 ((2,0): dist 2) to 1.
+    val A = 0xff102030; val B = 0xff405060; val C = 0xff708090; val D = 0xffa0b0c0
+    val bytes = Webp.synthWebpLz77Demo(4, 4,
+      literals = Seq(A, B, C, D),
+      copies = Seq(
+        (4, 4), // (-1,1) → dist 3: row1 = B C D B
+        (2, 6), // (2,0)  → dist 2: D B
+        (2, 2), // (1,0)  → dist 1: B B   (row2 = D B B B)
+        (4, 3))) // (1,1) → dist 5: row3 = B D B B
+    val want = Seq(
+      A, B, C, D,
+      B, C, D, B,
+      D, B, B, B,
+      B, D, B, B)
+    val (w, h, out) = Webp.decodeWebpPixels(bytes)
+    assert((w, h) == ((4, 4)))
+    for (i <- 0 until 16)
+      assert(out(i) == want(i), f"pixel $i: ${out(i)}%08x vs ${want(i)}%08x")
+    // code 1 ((0,1) → dist = xsize) is the dx-symmetric full-row copy
+    val rowCopy = Webp.synthWebpLz77Demo(4, 2, Seq(A, B, C, D), Seq((4, 1)))
+    assert(Webp.decodeWebpPixels(rowCopy)._3.toSeq ==
+      Seq(A, B, C, D, A, B, C, D))
+  }
+
   test("palette (color-indexing) round trips incl. sub-byte bundling") {
     // sizes straddling every bundling width: 2 -> 8px/byte, 3..4 ->
     // 4px/byte, 5..16 -> 2px/byte, 17+ -> unpacked
