@@ -2210,6 +2210,52 @@ object SparkEntry {
       .orderBy("frame_idx", "px_row", "px_col", "channel")
   }
 
+  // mm19 fixture parameters, shared between the query and its oracle:
+  // per-MB quantizer-level Y2-DC values (file 1: flat MBs via DC/H/V/TM
+  // prediction + one skipped MB, spanning token categories cat2/3/5/6 and
+  // both signs) and file 2's Y2-DC + per-block AC pairs (column stripes
+  // through the exact integer IDCT). qi=0: y2dcQ=8, yacQ=4, uvdcQ=4.
+  private val Mm19Vy = Array(16, 8, -40, 70, 30, 0)
+  private val Mm19Vu = Array(12, -6, 20, -18, 9, 0)
+  private val Mm19Vv = Array(-10, 15, -25, 22, -12, 0)
+  private val Mm19W2 = Array(10, 0, 24, -16, 33, 5)
+  private val Mm19A2 = Array(6, 14, -9, 20, 3, -30)
+
+  /** MM19 — LOSSY WebP (VP8 intra keyframe, r11): two files through the
+    * from-scratch [[operators.Vp8]] decoder in one plan. File 1 (48x32):
+    * six flat macroblocks — DC/H/H/V/TM modes + one SKIPPED MB — whose
+    * Y2-DC and chroma-DC coefficients span token categories 2/3/5/6 and
+    * both signs; every pixel is an integer closed form (prediction
+    * prefix sums + the (v*q+3)>>3 / +4>>3 transform chain). File 2
+    * (41x21, crop on both axes): per-block AC coefficients at position 1
+    * make column stripes through the exact integer IDCT (20091/35468
+    * multipliers). The oracle regenerates every RGBA value from the same
+    * fixture literals through the identical integer arithmetic incl. the
+    * reference decoder's fixed-point BT.601 YUV→RGB — the bool coder,
+    * token trees, dequant, WHT/DCT, and prediction must all be
+    * invisible. (Conformance vs the reference decoder itself — real
+    * encodes, prob updates, segmentation, loop filter — is Vp8Spec.)
+    */
+  private def mm19(s: SparkSession, d: String) = {
+    import s.implicits._
+    def y2of(v: Int) = { val a = new Array[Int](16); a(0) = v; a }
+    def uvOf(v: Int) = Array.tabulate(4)(_ => { val a = new Array[Int](16); a(0) = v; a })
+    val modes1 = Array(0, 2, 2, 1, 3, 1) // DC, H, H, V, TM, V(skip)
+    val f1 = operators.Vp8.encodeKeyframe(48, 32, 0, 0, (0 until 6).map { i =>
+      if (i == 5) operators.Vp8.MbSpec(yMode = modes1(i), uvMode = modes1(i), skip = true)
+      else operators.Vp8.MbSpec(yMode = modes1(i), uvMode = modes1(i),
+        y2 = y2of(Mm19Vy(i)), u = uvOf(Mm19Vu(i)), v = uvOf(Mm19Vv(i)))
+    })
+    val modes2 = Array(0, 2, 2, 1, 1, 1) // DC, H, H, V, V, V
+    val f2 = operators.Vp8.encodeKeyframe(41, 21, 0, 0, (0 until 6).map { i =>
+      operators.Vp8.MbSpec(yMode = modes2(i), uvMode = modes2(i),
+        y2 = y2of(Mm19W2(i)),
+        y = Array.fill(16) { val a = new Array[Int](16); a(1) = Mm19A2(i); a })
+    })
+    operators.Webp.webpToPixels(Seq((1L, f1), (2L, f2)).toDF("img_id", "bytes"))
+      .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
   /** MM14 — EXIF orientation (the other documented-decision gap from the
     * r8 verdict): eight otherwise-identical DC-only grayscale JPEGs, one
     * per orientation 1..8, each carrying a real APP1 Exif segment (TIFF
@@ -3995,15 +4041,21 @@ object SparkEntry {
     */
   private def s23(s: SparkSession, d: String) = {
     import s.implicits._
-    def shard(sh: Int, n: Int): Array[Byte] = operators.Zip.synthZip(
-      (0 until n).flatMap { i =>
-        val txt = s"zip sample $sh-$i " + ("y" * ((i * 13 + sh * 3) % 50))
-        val jsn = s"""{"id":$i,"shard":$sh,"pad":"${"z" * ((i * 7 + sh) % 30)}"}"""
-        Seq((f"$i%04d.txt", txt.getBytes("UTF-8")), (f"$i%04d.json", jsn.getBytes("UTF-8")))
-      },
-      deflate = _.endsWith(".txt")) // mixed methods inside one shard
+    def shard(sh: Int, n: Int, z64: Boolean = false): Array[Byte] =
+      operators.Zip.synthZip(
+        (0 until n).flatMap { i =>
+          val txt = s"zip sample $sh-$i " + ("y" * ((i * 13 + sh * 3) % 50))
+          val jsn = s"""{"id":$i,"shard":$sh,"pad":"${"z" * ((i * 7 + sh) % 30)}"}"""
+          Seq((f"$i%04d.txt", txt.getBytes("UTF-8")), (f"$i%04d.json", jsn.getBytes("UTF-8")))
+        },
+        deflate = _.endsWith(".txt"), // mixed methods inside one shard
+        forceZip64 = z64)
+    // shard 3 (r11) ships the ZIP64 layout — masked EOCD + EOCD64 record
+    // + per-member 0x0001 extras — over the same member formula, so the
+    // 64-bit directory walk must be invisible to the census
     val files = operators.Zip.zipToFiles(
-      Seq((1, shard(1, 6)), (2, shard(2, 9))).toDF("shard_id", "bytes"))
+      Seq((1, shard(1, 6)), (2, shard(2, 9)), (3, shard(3, 7, z64 = true)))
+        .toDF("shard_id", "bytes"))
     files.select(col("shard_id"), col("ext"), col("bytes").cast("string").as("txt"))
       .withColumn("ascii_sum", expr(
         "aggregate(sequence(1, length(txt)), 0L, (a, i) -> a + ascii(substring(txt, i, 1)))"))
@@ -4030,7 +4082,7 @@ object SparkEntry {
     val parts = Tables.part(s, d).select(
       (col("p_partkey") % 6).cast("int").as("tid"), col("p_partkey").as("pk"))
     val grouped = parts.groupBy("tid").agg(sort_array(collect_list(col("pk"))).as("pks"))
-    val npyRdd = grouped.rdd.map { r =>
+    val npyRdd = grouped.rdd.flatMap { r =>
       val tid = r.getInt(0)
       val pks = r.getSeq[Long](1)
       val bytes = tid match {
@@ -4047,7 +4099,18 @@ object SparkEntry {
         case _ => operators.Npy.synthNpy("|u1", Seq(pks.length),
           longs = pks.map(pk => pk % 256).toArray)
       }
-      Row(tid % 2, s"t$tid", bytes)
+      // r11: t6 re-spells t2's values as a 2-D FORTRAN-order v2-header
+      // tensor (even-truncated so the shape is rectangular) — decode
+      // surfaces C order either way, so the oracle's idx/value mapping is
+      // identical; the column-major buffer and 4-byte header must be
+      // invisible
+      val extra = if (tid != 2) Nil else {
+        val m = pks.length - (pks.length % 2)
+        List(Row(0, "t6", operators.Npy.synthNpy("<i2", Seq(2, m / 2),
+          longs = pks.take(m).map(pk => pk % 32768 - 16384).toArray,
+          fortranOrder = true, version = 2)))
+      }
+      Row(tid % 2, s"t$tid", bytes) :: extra
     }
     val npyDf = s.createDataFrame(npyRdd, StructType(Seq(
       StructField("shard_id", IntegerType, nullable = false),
@@ -4643,6 +4706,7 @@ object SparkEntry {
     "mm16_webp_lossless" -> (mm16 _),
     "mm17_pixel_resize" -> (mm17 _),
     "mm18_webp_anim" -> (mm18 _),
+    "mm19_webp_lossy" -> (mm19 _),
     "au1_stft_energy" -> (au1 _),
     "e15_phash_neardup" -> (e15 _),
     "shuf1_epoch_shuffle" -> (shuf1 _),
@@ -5630,6 +5694,92 @@ object SparkEntry {
         |SELECT e1.doc_id, pos_e1, pos_e2
         |FROM e1 JOIN e2 ON e1.doc_id = e2.doc_id
         |ORDER BY e1.doc_id""".stripMargin
+    },
+    // mm19: every RGBA value regenerates from the fixture's quantizer-
+    // level coefficient literals through the IDENTICAL integer chains —
+    // dequant ((v*8+3)>>3 Y2-WHT fold, +4>>3 IDCT DC), the 20091/35468
+    // IDCT stripe terms, prediction prefix sums (DC/H/V/TM + skip), and
+    // the reference decoder's fixed-point BT.601 YUV→RGB — so the bool
+    // coder, token trees, and bitstream framing must be invisible
+    "mm19_webp_lossy" -> {
+      def dY(v: Int) = s"floor((floor(($v*8+3)/8.0)+4)/8.0)"
+      def dUV(v: Int) = s"floor(($v*4+4)/8.0)"
+      // file 1 per-MB flat constants: prediction prefix sums (modes
+      // DC,H,H,V,TM,V-skipped on a 3x2 grid)
+      def consts(vs: Array[Int], d: Int => String): Array[String] = {
+        val c = new Array[String](6)
+        c(0) = s"(128 + ${d(vs(0))})"
+        c(1) = s"(${c(0)} + ${d(vs(1))})"
+        c(2) = s"(${c(1)} + ${d(vs(2))})"
+        c(3) = s"(${c(0)} + ${d(vs(3))})"
+        c(4) = s"(${c(3)} + ${c(1)} - ${c(0)} + ${d(vs(4))})" // TM = L+A-AL
+        c(5) = c(2) // skipped V_PRED copies the MB above
+        c
+      }
+      val cy = consts(Mm19Vy, dY)
+      val cu = consts(Mm19Vu, dUV)
+      val cvv = consts(Mm19Vv, dUV)
+      def mbCase(cs: Array[String]) =
+        "CASE (r//16)*3 + (c//16) " +
+          (0 until 6).map(i => s"WHEN $i THEN ${cs(i)}").mkString(" ") + " END"
+      // file 2: AC-at-position-1 column stripes through the exact IDCT
+      def stripe(w: Int, a: Int, k: Int): String = {
+        val aq = a * 4 // yacQ = 4 at qi 0
+        val d = s"floor(($w*8+3)/8.0)"
+        val t20 = s"floor(($aq*20091)/65536.0)"
+        val t35 = s"floor(($aq*35468)/65536.0)"
+        k match {
+          case 0 => s"floor(($d + $aq + $t20 + 4)/8.0)"
+          case 1 => s"floor(($d + $t35 + 4)/8.0)"
+          case 2 => s"floor(($d - ($t35) + 4)/8.0)"
+          case _ => s"floor(($d - ($aq) - ($t20) + 4)/8.0)"
+        }
+      }
+      // row 0 H_PRED stacks the LEFT MB's column-15 stripe (k=3); row 1
+      // V_PRED stacks on the same column class
+      val v2 = Array.ofDim[String](6, 4)
+      for (k <- 0 until 4) {
+        v2(0)(k) = s"(128 + ${stripe(Mm19W2(0), Mm19A2(0), k)})"
+        v2(1)(k) = s"(128 + ${stripe(Mm19W2(0), Mm19A2(0), 3)} + ${stripe(Mm19W2(1), Mm19A2(1), k)})"
+        v2(2)(k) = s"(128 + ${stripe(Mm19W2(0), Mm19A2(0), 3)} + ${stripe(Mm19W2(1), Mm19A2(1), 3)} + ${stripe(Mm19W2(2), Mm19A2(2), k)})"
+        v2(3)(k) = s"(${v2(0)(k)} + ${stripe(Mm19W2(3), Mm19A2(3), k)})"
+        v2(4)(k) = s"(${v2(1)(k)} + ${stripe(Mm19W2(4), Mm19A2(4), k)})"
+        v2(5)(k) = s"(${v2(2)(k)} + ${stripe(Mm19W2(5), Mm19A2(5), k)})"
+      }
+      val mbCase2 =
+        "CASE ((r//16)*3 + (c//16))*4 + (c%4) " +
+          (for (m <- 0 until 6; k <- 0 until 4)
+            yield s"WHEN ${m * 4 + k} THEN ${v2(m)(k)}").mkString(" ") + " END"
+      // the reference decoder's integer YUV→RGB: MultHi = (v*coeff)>>8,
+      // 6-bit fixed point with saturation
+      // NB: DuckDB's // on DOUBLE operands (floor() yields DOUBLE) is
+      // plain division, and CAST rounds half-even — floor() explicitly
+      def clip6(x: String) =
+        s"CASE WHEN ($x) < 0 THEN 0 WHEN ($x) > 16383 THEN 255 ELSE CAST(floor(($x) / 64.0) AS INT) END"
+      def rgba = {
+        val my = "floor(yv*19077/256.0)"
+        s"""CAST(CASE ch
+           |    WHEN 3 THEN 255
+           |    WHEN 0 THEN ${clip6(s"$my + floor(vv*26149/256.0) - 14234")}
+           |    WHEN 1 THEN ${clip6(s"$my - floor(uv*6419/256.0) - floor(vv*13320/256.0) + 8708")}
+           |    ELSE ${clip6(s"$my + floor(uv*33050/256.0) - 17685")} END AS INT)""".stripMargin
+      }
+      s"""WITH g1 AS (SELECT CAST(id // ${48 * 4} AS INT) AS r,
+         |    CAST((id % ${48 * 4}) // 4 AS INT) AS c, CAST(id % 4 AS INT) AS ch
+         |  FROM range(${48 * 32 * 4}) t(id)),
+         |p1 AS (SELECT r, c, ch, ${mbCase(cy)} AS yv,
+         |    ${mbCase(cu)} AS uv, ${mbCase(cvv)} AS vv FROM g1),
+         |f1 AS (SELECT CAST(1 AS BIGINT) AS img_id, r AS px_row, c AS px_col,
+         |    ch AS channel, $rgba AS value FROM p1),
+         |g2 AS (SELECT CAST(id // ${41 * 4} AS INT) AS r,
+         |    CAST((id % ${41 * 4}) // 4 AS INT) AS c, CAST(id % 4 AS INT) AS ch
+         |  FROM range(${41 * 21 * 4}) t(id)),
+         |p2 AS (SELECT r, c, ch, $mbCase2 AS yv,
+         |    CAST(128 AS INT) AS uv, CAST(128 AS INT) AS vv FROM g2),
+         |f2 AS (SELECT CAST(2 AS BIGINT) AS img_id, r AS px_row, c AS px_col,
+         |    ch AS channel, $rgba AS value FROM p2)
+         |SELECT * FROM f1 UNION ALL SELECT * FROM f2
+         |ORDER BY img_id, px_row, px_col, channel""".stripMargin
     },
     // mm18: every frame's RGBA regenerates closed-form at the
     // per-frame source shift — the ANMF container framing is invisible
@@ -6848,11 +6998,14 @@ object SparkEntry {
     // never reaches the oracle. Shard 1: 6 samples, shard 2: 9; each
     // sample has one deflated .txt and one stored .json member; the
     // ascii_sum column is a full per-character checksum of every decoded
-    // payload, proving exact content through BOTH methods.
+    // payload, proving exact content through BOTH methods. Shard 3 (r11)
+    // carries the same formula through the ZIP64 layout — identical
+    // regeneration, the 64-bit directory is invisible.
     "s23_zip_shards" ->
       """WITH samp AS (
         |  SELECT 1 AS shard_id, CAST(id AS INT) AS i FROM range(6) t(id)
-        |  UNION ALL SELECT 2, CAST(id AS INT) FROM range(9) t(id)),
+        |  UNION ALL SELECT 2, CAST(id AS INT) FROM range(9) t(id)
+        |  UNION ALL SELECT 3, CAST(id AS INT) FROM range(7) t(id)),
         |m AS (
         |  SELECT shard_id, 'txt' AS ext,
         |    'zip sample ' || CAST(shard_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
@@ -6886,14 +7039,22 @@ object SparkEntry {
         |      WHEN 3 THEN pk % 1000003
         |      WHEN 4 THEN (pk % 9973) * 1000000007
         |      ELSE pk % 256 END AS vfp
-        |  FROM o)
-        |SELECT CAST(tid % 2 AS INT) AS shard_id,
+        |  FROM o),
+        |-- t6 (r11): t2's values through the fortran-order v2 spelling,
+        |-- even-truncated to a (2, m/2) shape — decode surfaces C order,
+        |-- so idx/value regeneration is IDENTICAL to t2's prefix
+        |v6 AS (SELECT 6 AS tid, idx, vfp FROM (
+        |    SELECT idx, vfp, COUNT(*) OVER () AS cnt FROM v WHERE tid = 2) z
+        |  WHERE idx < 2 * (cnt // 2)),
+        |allv AS (SELECT * FROM v UNION ALL SELECT * FROM v6)
+        |SELECT CAST(CASE WHEN tid = 6 THEN 0 ELSE tid % 2 END AS INT) AS shard_id,
         |  't' || CAST(tid AS VARCHAR) AS tensor,
         |  CASE tid WHEN 0 THEN '<f4' WHEN 1 THEN '<f8' WHEN 2 THEN '<i2'
-        |    WHEN 3 THEN '<i4' WHEN 4 THEN '<i8' ELSE '|u1' END AS dtype,
+        |    WHEN 3 THEN '<i4' WHEN 4 THEN '<i8' WHEN 6 THEN '<i2'
+        |    ELSE '|u1' END AS dtype,
         |  count(*) AS n, CAST(sum(vfp) AS BIGINT) AS sum_fp,
         |  CAST(sum(((idx + 1) * vfp) % 1000000007) AS BIGINT) AS ord_fp
-        |FROM v GROUP BY tid ORDER BY tensor""".stripMargin,
+        |FROM allv GROUP BY tid ORDER BY tensor""".stripMargin,
     // s22: every vertex regenerated from the source definition — the
     // GeoParquet container (WKB encode, geo footer, decode) never reaches
     // the oracle; coordinates are binary-exact 1/64-grid doubles

@@ -3,18 +3,20 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.StructField
 
-/** WebP LOSSLESS (VP8L) codec — the last web-corpus container the engine
-  * recognized but could not decode (reference scope: the crawl-side
-  * image modality next to PNG/JPEG/GIF/BMP; WebP is the second most
-  * common image format in web crawls after JPEG). Built from the public
-  * "WebP Lossless Bitstream Specification" (and the container spec for
+/** WebP codec front door — LOSSLESS (VP8L, this file) and LOSSY (VP8
+  * intra keyframes, [[Vp8]], r11) for the crawl-side image modality next
+  * to PNG/JPEG/GIF/BMP (WebP is the second most common image format in
+  * web crawls after JPEG). Built from the public "WebP Lossless
+  * Bitstream Specification" and RFC 6386 (plus the container spec for
   * the RIFF framing); no third-party code.
   *
   * Decode surface (the full lossless feature set):
-  *   - RIFF walk: `VP8L` payloads decode; `VP8 ` (lossy) and alpha-less
-  *     `VP8X` extended files reject DESCRIPTIVELY (no VP8 DCT decoder is
-  *     shipped — a curation pipeline counts them via
-  *     `mediaCensusWithRejects`).
+  *   - RIFF walk: `VP8L` payloads decode losslessly; `VP8 ` (lossy)
+  *     stills and animation frames decode through the [[Vp8]] keyframe
+  *     decoder (r11 — conformance-tested bit-exact against the reference
+  *     decoder's YUV output); ALPH-bearing lossy layouts reject
+  *     DESCRIPTIVELY (no alpha-plane decoder) — a curation pipeline
+  *     counts them via `mediaCensusWithRejects`.
   *   - LSB-first bitstream, 14-bit dimensions, version 0.
   *   - Prefix codes: simple (1-2 symbol) AND full canonical
   *     code-length-coded alphabets (19-symbol length code, repeats
@@ -417,13 +419,16 @@ object Webp {
 
   // ---- container + top-level decode ----
 
-  /** Locate the VP8L payload inside the RIFF/WEBP container; lossy and
-    * undecodable layouts reject with the reason a census reports.
+  /** Locate the image payload inside the RIFF/WEBP container: returns
+    * (start, end, lossy?) for the first VP8L (lossless) or VP8 (lossy)
+    * chunk. Alpha-bearing lossy layouts (ALPH sidecar plane) reject
+    * descriptively — the census counts them.
     */
-  private def vp8lPayload(bytes: Array[Byte]): (Int, Int) = {
+  private def imagePayload(bytes: Array[Byte]): (Int, Int, Boolean) = {
     def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
       s.indices.forall(i => bytes(off + i) == s(i).toByte)
     require(ascii(0, "RIFF") && ascii(8, "WEBP"), "not a RIFF/WEBP container")
+    var sawAlph = false
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val tag = new String(bytes, pos, 4, "US-ASCII")
@@ -432,21 +437,29 @@ object Webp {
       require(size >= 0 && pos + 8 + size <= bytes.length,
         s"WEBP chunk '$tag' overruns the file")
       tag match {
-        case "VP8L" => return (pos + 8, (pos + 8 + size).toInt)
-        case "VP8 " => throw new IllegalArgumentException(
-          "lossy WebP (VP8) is not decodable — only the lossless VP8L profile is shipped")
-        case _ => // VP8X/ALPH/EXIF/ICCP/ANIM...: keep walking for a VP8L
+        case "VP8L" => return (pos + 8, (pos + 8 + size).toInt, false)
+        case "VP8 " =>
+          require(!sawAlph,
+            "lossy WebP with an ALPH alpha plane is not decodable (VP8 keyframe only)")
+          return (pos + 8, (pos + 8 + size).toInt, true)
+        case "ALPH" => sawAlph = true
+        case _ => // VP8X/EXIF/ICCP/ANIM...: keep walking for the image chunk
       }
       pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
     }
     throw new IllegalArgumentException(
-      "WEBP container carries no VP8L (lossless) chunk")
+      "WEBP container carries no VP8L or VP8 image chunk")
   }
 
-  /** Full lossless decode: (width, height, ARGB pixels row-major). */
+  /** Full still-image decode, lossless (VP8L) or lossy (VP8 keyframe via
+    * [[Vp8]]): (width, height, ARGB pixels row-major). Lossy pixels are
+    * the reference decoder's YUV420 reconstruction through the exact
+    * integer BT.601 transform (nearest chroma), alpha 255.
+    */
   def decodeWebpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val (from, _) = vp8lPayload(bytes)
-    decodeVp8l(bytes, from)
+    val (from, end, lossy) = imagePayload(bytes)
+    if (lossy) Vp8.decodeToArgb(bytes, from, end - from)
+    else decodeVp8l(bytes, from)
   }
 
   /** One VP8L payload starting at `from` (signature byte first). */
@@ -564,6 +577,7 @@ object Webp {
     var canvasW = 0; var canvasH = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
     var sawAnim = false
+    var sawAlph = false
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val tag = new String(bytes, pos, 4, "US-ASCII")
@@ -593,20 +607,27 @@ object Webp {
             ((bytes(sub + 6) & 0xffL) << 16) | ((bytes(sub + 7) & 0xffL) << 24)
           require(subSize >= 0 && sub + 8 + subSize <= body + size,
             "ANMF image chunk overruns the frame")
-          require(subTag == "VP8L", subTag match {
-            case "VP8 " => "lossy (VP8) animation frames are not decodable — VP8L only"
-            case other => s"ANMF image chunk '$other' unsupported (VP8L only)"
-          })
-          val (fw, fh, px) = decodeVp8l(bytes, sub + 8)
+          val (fw, fh, px) = subTag match {
+            case "VP8L" => decodeVp8l(bytes, sub + 8)
+            case "VP8 " => Vp8.decodeToArgb(bytes, sub + 8, subSize.toInt)
+            case "ALPH" => throw new IllegalArgumentException(
+              "ANMF frames with an ALPH alpha plane are not decodable")
+            case other => throw new IllegalArgumentException(
+              s"ANMF image chunk '$other' unsupported (VP8L/VP8 only)")
+          }
           require(fw == w && fh == h,
-            s"ANMF declares ${w}x$h but the VP8L payload is ${fw}x$fh")
+            s"ANMF declares ${w}x$h but the ${subTag.trim} payload is ${fw}x$fh")
           frames += AnimFrame(left, top, w, h, dur, px)
         case "VP8L" =>
           val (w, h, px) = decodeVp8l(bytes, body)
           return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
-        case "VP8 " => throw new IllegalArgumentException(
-          "lossy WebP (VP8) is not decodable — only the lossless VP8L profile is shipped")
-        case _ => // ALPH/ICCP/EXIF/XMP: skip
+        case "VP8 " =>
+          require(!sawAlph,
+            "lossy WebP with an ALPH alpha plane is not decodable (VP8 keyframe only)")
+          val (w, h, px) = Vp8.decodeToArgb(bytes, body, size.toInt)
+          return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
+        case "ALPH" => sawAlph = true
+        case _ => // ICCP/EXIF/XMP: skip
       }
       pos += 8 + size.toInt + (size.toInt & 1)
     }

@@ -18,17 +18,23 @@ import org.apache.spark.sql.types._
   * the central directory (the authoritative index), then each member's
   * local header — because appended junk or a truncated tail must fail
   * loudly, not shift member boundaries. Stored (0) and deflate (8)
-  * members, CRC-32 verified over every decoded payload. Fail-closed
-  * doctrine: encryption, zip64 markers, multi-disk, unknown methods,
-  * central/local name disagreement, size/CRC mismatches all reject with
-  * descriptive errors. All offset arithmetic in Long (untrusted u32
-  * fields must never wrap an Int — the RIFF lesson, NOTES_BUILDER r9).
+  * members, CRC-32 verified over every decoded payload. ZIP64 reads
+  * (r11): the EOCD64 locator + record take over when the classic EOCD
+  * carries 0xFFFF/0xFFFFFFFF markers, and per-member 0x0001 extra fields
+  * supply the masked sizes/offsets — webdataset-scale shards routinely
+  * exceed 4 GiB / 65k members. Fail-closed doctrine: encryption,
+  * multi-disk, unknown methods, central/local name disagreement,
+  * size/CRC mismatches all reject with descriptive errors. All offset
+  * arithmetic in Long (untrusted u32 fields must never wrap an Int — the
+  * RIFF lesson, NOTES_BUILDER r9).
   */
 object Zip {
 
   private val LocalSig = 0x04034b50L
   private val CentralSig = 0x02014b50L
   private val EocdSig = 0x06054b50L
+  private val Eocd64Sig = 0x06064b50L
+  private val Eocd64LocSig = 0x07064b50L
 
   private def u16(b: Array[Byte], off: Long): Int = {
     val o = off.toInt
@@ -38,6 +44,11 @@ object Zip {
     val o = off.toInt
     ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  }
+  private def u64(b: Array[Byte], off: Long): Long = {
+    val v = u32(b, off) | (u32(b, off + 4) << 32)
+    require(v >= 0, f"zip64 field 0x$v%016x exceeds the signed-64 range")
+    v
   }
 
   /** Walk a zip shard → (member name, payload) for every file member, in
@@ -60,21 +71,44 @@ object Zip {
       else cand -= 1
     }
     require(eocd >= 0, "no end-of-central-directory record (not a zip, or truncated tail)")
-    val diskNo = u16(bytes, eocd + 4)
-    val cdDisk = u16(bytes, eocd + 6)
-    val nOnDisk = u16(bytes, eocd + 8)
-    val nTotal = u16(bytes, eocd + 10)
-    val cdSize = u32(bytes, eocd + 12)
-    val cdOff = u32(bytes, eocd + 16)
+    var diskNo = u16(bytes, eocd + 4).toLong
+    var cdDisk = u16(bytes, eocd + 6).toLong
+    var nOnDisk = u16(bytes, eocd + 8).toLong
+    var nTotal = u16(bytes, eocd + 10).toLong
+    var cdSize = u32(bytes, eocd + 12)
+    var cdOff = u32(bytes, eocd + 16)
+    // zip64 (r11): 0xFFFF/0xFFFFFFFF EOCD markers hand authority to the
+    // EOCD64 record, reached through the 20-byte locator that directly
+    // precedes the EOCD (webdataset-scale shards routinely exceed the
+    // 4 GiB / 65k-member classic limits; small archives may carry the
+    // markers too — writers force zip64 freely)
+    if (nTotal == 0xffffL || cdOff == 0xffffffffL || cdSize == 0xffffffffL) {
+      require(eocd >= 20 && u32(bytes, eocd - 20) == Eocd64LocSig,
+        "EOCD carries zip64 markers but no EOCD64 locator precedes it")
+      val locDisk = u32(bytes, eocd - 16)
+      val e64 = u64(bytes, eocd - 12)
+      val totalDisks = u32(bytes, eocd - 4)
+      require(locDisk == 0 && totalDisks <= 1,
+        s"multi-disk zip64 archive (EOCD64 on disk $locDisk of $totalDisks) unsupported")
+      require(e64 + 56 <= eocd - 20, s"EOCD64 record at $e64 overruns its locator")
+      require(u32(bytes, e64) == Eocd64Sig,
+        f"bad EOCD64 signature 0x${u32(bytes, e64)}%08x at $e64")
+      diskNo = u32(bytes, e64 + 16)
+      cdDisk = u32(bytes, e64 + 20)
+      nOnDisk = u64(bytes, e64 + 24)
+      nTotal = u64(bytes, e64 + 32)
+      cdSize = u64(bytes, e64 + 40)
+      cdOff = u64(bytes, e64 + 48)
+    }
     require(diskNo == 0 && cdDisk == 0 && nOnDisk == nTotal,
       s"multi-disk archive (disk $diskNo/$cdDisk, $nOnDisk/$nTotal) unsupported")
-    require(nTotal != 0xffff && cdOff != 0xffffffffL && cdSize != 0xffffffffL,
-      "zip64 archive unsupported (EOCD carries 0xFFFF/0xFFFFFFFF markers)")
     require(cdOff + cdSize <= eocd,
       s"central directory [$cdOff,+$cdSize) overruns the EOCD at $eocd")
+    require(nTotal <= cdSize / 46 + 1,
+      s"$nTotal members cannot fit a $cdSize-byte central directory")
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var off = cdOff
-    var i = 0
+    var i = 0L
     while (i < nTotal) {
       require(off + 46 <= eocd, s"central entry $i truncated at $off")
       require(u32(bytes, off) == CentralSig,
@@ -82,20 +116,50 @@ object Zip {
       val flags = u16(bytes, off + 8)
       val method = u16(bytes, off + 10)
       val crc = u32(bytes, off + 16)
-      val csize = u32(bytes, off + 20)
-      val usize = u32(bytes, off + 24)
+      var csize = u32(bytes, off + 20)
+      var usize = u32(bytes, off + 24)
       val nameLen = u16(bytes, off + 28)
       val extraLen = u16(bytes, off + 30)
       val commentLen = u16(bytes, off + 32)
-      val diskStart = u16(bytes, off + 34)
-      val localOff = u32(bytes, off + 42)
+      var diskStart = u16(bytes, off + 34).toLong
+      var localOff = u32(bytes, off + 42)
       require(off + 46 + nameLen + extraLen + commentLen <= eocd,
         s"central entry $i variable fields overrun the directory")
       val name = new String(bytes, (off + 46).toInt, nameLen, "UTF-8")
       require((flags & 0x1) == 0, s"member '$name' is encrypted — unsupported, fail closed")
+      // zip64 extra field (id 0x0001): carries, IN ORDER, exactly the
+      // fields the fixed record masked with 0xFFFFFFFF/0xFFFF
+      if (usize == 0xffffffffL || csize == 0xffffffffL ||
+          localOff == 0xffffffffL || diskStart == 0xffffL) {
+        var ex = off + 46 + nameLen
+        val exEnd = ex + extraLen
+        var found = false
+        while (!found && ex + 4 <= exEnd) {
+          val id = u16(bytes, ex)
+          val sz = u16(bytes, ex + 2)
+          require(ex + 4 + sz <= exEnd,
+            f"member '$name%s': extra field 0x$id%04x overruns the extra block")
+          if (id == 0x0001) {
+            var p = ex + 4
+            def take8(what: String): Long = {
+              require(p + 8 <= ex + 4 + sz,
+                s"member '$name': zip64 extra too short for $what")
+              val v = u64(bytes, p); p += 8; v
+            }
+            if (usize == 0xffffffffL) usize = take8("uncompressed size")
+            if (csize == 0xffffffffL) csize = take8("compressed size")
+            if (localOff == 0xffffffffL) localOff = take8("local header offset")
+            if (diskStart == 0xffffL) {
+              require(p + 4 <= ex + 4 + sz,
+                s"member '$name': zip64 extra too short for disk start")
+              diskStart = u32(bytes, p)
+            }
+            found = true
+          } else ex += 4 + sz
+        }
+        require(found, s"member '$name' carries zip64 markers but no 0x0001 extra field")
+      }
       require(diskStart == 0, s"member '$name' starts on disk $diskStart — multi-disk unsupported")
-      require(csize != 0xffffffffL && usize != 0xffffffffL && localOff != 0xffffffffL,
-        s"member '$name' carries zip64 markers — unsupported")
       val isDir = name.endsWith("/")
       if (isDir) {
         require(usize == 0, s"directory '$name' with nonzero size $usize")
@@ -167,19 +231,26 @@ object Zip {
 
   /** Assemble a valid zip shard (the encode half for fixtures/oracles and
     * the NPZ writer). `deflate(name)` picks the method per member; fixed
-    * DOS timestamps keep shards byte-deterministic.
+    * DOS timestamps keep shards byte-deterministic. `forceZip64` writes
+    * the zip64 layout regardless of size — EOCD markers + EOCD64 record
+    * + locator, and per-member 0x0001 extras masking sizes/offset — the
+    * legal small-file spelling writers use under force_zip64, so the
+    * reader's zip64 path is testable without a 4 GiB fixture.
     */
   def synthZip(entries: Seq[(String, Array[Byte])],
-               deflate: String => Boolean = _ => true): Array[Byte] = {
+               deflate: String => Boolean = _ => true,
+               forceZip64: Boolean = false): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = {
       bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
       bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
     }
+    def w64(v: Long): Unit = { w32(v & 0xffffffffL); w32((v >>> 32) & 0xffffffffL) }
     case class Central(name: Array[Byte], method: Int, crc: Long,
                        csize: Int, usize: Int, off: Long)
     val centrals = scala.collection.mutable.ArrayBuffer.empty[Central]
+    val version = if (forceZip64) 45 else 20
     entries.foreach { case (name, data) =>
       val nb = name.getBytes("UTF-8")
       require(nb.nonEmpty && nb.length <= 0xffff, s"bad member name '$name'")
@@ -196,7 +267,7 @@ object Zip {
         } finally d.end()
       }
       val off = bos.size().toLong
-      w32(LocalSig); w16(20); w16(0); w16(method)
+      w32(LocalSig); w16(version); w16(0); w16(method)
       w16(0); w16(0x21) // fixed DOS time 00:00:00, date 1980-01-01: deterministic
       w32(crc); w32(payload.length.toLong); w32(data.length.toLong)
       w16(nb.length); w16(0)
@@ -205,14 +276,35 @@ object Zip {
     }
     val cdOff = bos.size().toLong
     centrals.foreach { c =>
-      w32(CentralSig); w16(20); w16(20); w16(0); w16(c.method)
-      w16(0); w16(0x21); w32(c.crc); w32(c.csize.toLong); w32(c.usize.toLong)
-      w16(c.name.length); w16(0); w16(0); w16(0); w16(0); w32(0)
-      w32(c.off); bos.write(c.name)
+      w32(CentralSig); w16(version); w16(version); w16(0); w16(c.method)
+      w16(0); w16(0x21); w32(c.crc)
+      if (forceZip64) {
+        w32(0xffffffffL); w32(0xffffffffL) // csize, usize masked
+        w16(c.name.length); w16(4 + 24); w16(0); w16(0); w16(0); w32(0)
+        w32(0xffffffffL) // local offset masked
+        bos.write(c.name)
+        w16(0x0001); w16(24) // zip64 extra: usize, csize, local offset
+        w64(c.usize.toLong); w64(c.csize.toLong); w64(c.off)
+      } else {
+        w32(c.csize.toLong); w32(c.usize.toLong)
+        w16(c.name.length); w16(0); w16(0); w16(0); w16(0); w32(0)
+        w32(c.off); bos.write(c.name)
+      }
     }
     val cdSize = bos.size().toLong - cdOff
-    w32(EocdSig); w16(0); w16(0); w16(centrals.size); w16(centrals.size)
-    w32(cdSize); w32(cdOff); w16(0)
+    if (forceZip64) {
+      val e64 = bos.size().toLong
+      w32(Eocd64Sig); w64(44) // record size (excl. sig + this field)
+      w16(45); w16(45); w32(0); w32(0)
+      w64(centrals.size.toLong); w64(centrals.size.toLong)
+      w64(cdSize); w64(cdOff)
+      w32(Eocd64LocSig); w32(0); w64(e64); w32(1)
+      w32(EocdSig); w16(0); w16(0); w16(0xffff); w16(0xffff)
+      w32(0xffffffffL); w32(0xffffffffL); w16(0)
+    } else {
+      w32(EocdSig); w16(0); w16(0); w16(centrals.size); w16(centrals.size)
+      w32(cdSize); w32(cdOff); w16(0)
+    }
     bos.toByteArray
   }
 

@@ -118,6 +118,24 @@ class CodecFuzzSpec extends AnyFunSuite {
       (4, 2, 5, 4, 45, (r, c) => pix(r + 1, c + 2))))))(Webp.decodeWebpFrames)
   }
 
+  test("WebP VP8 (lossy keyframe) decode never escapes fail-closed") {
+    // one in-repo fixture (rich token mix) + one real-encoder fixture
+    // (prob updates, segmentation, loop filter) — the bool decoder feeds
+    // zeros past the partition end by spec, so rejects come from the
+    // structural bounds, never an array escape
+    def y2 = { val a = new Array[Int](16); a(0) = 40; a(5) = -11; a }
+    def yb = Array.tabulate(16) { i =>
+      val a = new Array[Int](16); a(1) = 9 + i; a(7) = -3; a
+    }
+    val synth = Vp8.encodeKeyframe(35, 19, 12, 20, Seq.fill(6)(
+      Vp8.MbSpec(yMode = 0, uvMode = 3, y2 = y2, y = yb)))
+    val real = {
+      val in = getClass.getResourceAsStream("/vp8/edges_80x64_q25.webp")
+      try in.readAllBytes() finally in.close()
+    }
+    fuzz("vp8", Seq(synth, real))(Webp.decodeWebpPixels)
+  }
+
   test("WAV decoders never escape fail-closed") {
     val pcm = MultimodalOps.synthWavPcm(8000, 2, 16, 12)((f, ch) => f * 100 + ch)
     val flt = MultimodalOps.synthWavFloat(8000, 1, 10)((f, _) => f * 0.25f)

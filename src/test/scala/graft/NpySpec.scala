@@ -73,15 +73,52 @@ class NpySpec extends AnyFunSuite {
     assert(Npy.npyTensor(Npy.synthNpy("<f8", Seq(0), doubles = Array[Double]())).nElems == 0L)
   }
 
+  // r11 goldens, same capture protocol (np.lib.format.write_array):
+  // np.asfortranarray of goldenF4's values, version (1,0)
+  private val goldenFortranF4 = unhex(
+    "934e554d5059010076007b276465736372273a20273c6634272c2027666f727472616e5f6f72646572273a20547275652c20277368617065273a2028332c2032292c207d20202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020200a0000c03f000040400000003e000010c0000098400000c842")
+  // np.arange(6,dtype='<i4').reshape(2,3)*7-9, version (2,0)
+  private val goldenV2I4 = unhex(
+    "934e554d50590200740000007b276465736372273a20273c6934272c2027666f727472616e5f6f72646572273a2046616c73652c20277368617065273a2028322c2033292c207d20202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020200af7fffffffeffffff050000000c000000130000001a000000")
+  // np.asfortranarray(np.arange(12,dtype='<i8').reshape(2,3,2)*1000003-17), version (2,0)
+  private val goldenV2FortranI8 = unhex(
+    "934e554d50590200740000007b276465736372273a20273c6938272c2027666f727472616e5f6f72646572273a20547275652c20277368617065273a2028322c20332c2032292c207d2020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020202020200aefffffffffffffff818d5b000000000075841e000000000007127a0000000000fb083d00000000008d9698000000000032420f0000000000c4cf6a0000000000b8c62d00000000004a548900000000003e4b4c0000000000d0d8a70000000000")
+
+  test("fortran order transposes on read; v2 headers parse — real numpy bytes (r11)") {
+    // fortran f4 decodes to the SAME C-order values as the C-layout twin
+    val f = Npy.npyTensor(goldenFortranF4)
+    assert(f.shape == Seq(3, 2))
+    assert(f.doubles.toSeq == Npy.npyTensor(goldenF4).doubles.toSeq)
+    // v2 4-byte header length
+    val v2 = Npy.npyTensor(goldenV2I4)
+    assert(v2.shape == Seq(2, 3))
+    assert(v2.longs.toSeq == (0 until 6).map(_ * 7L - 9))
+    // v2 + fortran, 3-d
+    val vf = Npy.npyTensor(goldenV2FortranI8)
+    assert(vf.shape == Seq(2, 3, 2))
+    assert(vf.longs.toSeq == (0 until 12).map(_ * 1000003L - 17))
+    // writer halves reproduce numpy's bytes for both features
+    assert(Npy.synthNpy("<f4", Seq(3, 2),
+      doubles = Array(1.5, -2.25, 3.0, 4.75, 0.125, 100.0),
+      fortranOrder = true).sameElements(goldenFortranF4))
+    assert(Npy.synthNpy("<i4", Seq(2, 3),
+      longs = (0 until 6).map(_ * 7L - 9).toArray,
+      version = 2).sameElements(goldenV2I4))
+    assert(Npy.synthNpy("<i8", Seq(2, 3, 2),
+      longs = (0 until 12).map(_ * 1000003L - 17).toArray,
+      fortranOrder = true, version = 2).sameElements(goldenV2FortranI8))
+    // fortran round trip is the identity for every rank
+    for (shape <- Seq(Seq(5), Seq(2, 3), Seq(2, 3, 4), Seq(3, 1, 2, 2))) {
+      val n = shape.product
+      val vals = Array.tabulate(n)(i => i * 31L - 7)
+      val t = Npy.npyTensor(Npy.synthNpy("<i8", shape, longs = vals, fortranOrder = true))
+      assert(t.longs.toSeq == vals.toSeq, shape)
+    }
+  }
+
   test("malformed tensors fail closed descriptively") {
     assert(intercept[IllegalArgumentException](Npy.npyTensor("junk".getBytes))
       .getMessage.contains("npy"))
-    // fortran order rejects
-    val fortran = new String(goldenF4, 10, 118, "US-ASCII").replace("False", "True ")
-    val fBytes = goldenF4.clone()
-    System.arraycopy(fortran.getBytes("US-ASCII"), 0, fBytes, 10, 118)
-    assert(intercept[IllegalArgumentException](Npy.npyTensor(fBytes))
-      .getMessage.contains("fortran"))
     // big-endian descr rejects
     val be = goldenF4.clone()
     be(new String(goldenF4, "ISO-8859-1").indexOf("<f4")) = '>'.toByte
@@ -90,9 +127,9 @@ class NpySpec extends AnyFunSuite {
     // shape/buffer disagreement
     assert(intercept[IllegalArgumentException](Npy.npyTensor(goldenF4.dropRight(4)))
       .getMessage.contains("disagrees"))
-    // v2 header
-    val v2 = goldenF4.clone(); v2(6) = 2
-    assert(intercept[IllegalArgumentException](Npy.npyTensor(v2))
+    // v4+ headers reject
+    val v4 = goldenF4.clone(); v4(6) = 4
+    assert(intercept[IllegalArgumentException](Npy.npyTensor(v4))
       .getMessage.contains("version"))
   }
 

@@ -142,18 +142,35 @@ class WebpSpec extends AnyFunSuite {
     val first = out.take(4).map(_.getInt(4)).toSeq
     val p0 = px(0, 0)
     assert(first == Seq((p0 >> 16) & 0xff, (p0 >> 8) & 0xff, p0 & 0xff, p0 >>> 24))
-    // lossy VP8 rejects by name
+    // corrupt lossy VP8 rejects from the keyframe parser (r11: lossy
+    // DECODES now; this garbage payload has no keyframe start code)
     val lossy = "RIFF".getBytes("US-ASCII") ++ Array[Byte](24, 0, 0, 0) ++
       "WEBPVP8 ".getBytes("US-ASCII") ++ Array[Byte](12, 0, 0, 0) ++
       Array.fill[Byte](12)(7)
     val e = intercept[IllegalArgumentException](Webp.decodeWebpPixels(lossy))
-    assert(e.getMessage.contains("lossy"), e.getMessage)
-    // VP8L-less extended container rejects descriptively
+    assert(e.getMessage.contains("VP8"), e.getMessage) // inter-frame/start-code reject
+    // imageless extended container rejects descriptively
     val vp8x = "RIFF".getBytes("US-ASCII") ++ Array[Byte](14, 0, 0, 0) ++
       "WEBPVP8X".getBytes("US-ASCII") ++ Array[Byte](10, 0, 0, 0) ++
       Array.fill[Byte](10)(0)
     val e2 = intercept[IllegalArgumentException](Webp.decodeWebpPixels(vp8x))
-    assert(e2.getMessage.contains("no VP8L"), e2.getMessage)
+    assert(e2.getMessage.contains("no VP8L or VP8"), e2.getMessage)
+    // a REAL lossy still (from the reference encoder) decodes to ARGB
+    val in = getClass.getResourceAsStream("/vp8/gradient_16x16_q80.webp")
+    val realLossy = try in.readAllBytes() finally in.close()
+    val (lw, lh, lpx) = Webp.decodeWebpPixels(realLossy)
+    assert((lw, lh) == ((16, 16)) && lpx.forall(p => (p >>> 24) == 0xff))
+    // ALPH-bearing lossy layouts reject descriptively
+    val withAlph = {
+      val vp8Chunk = realLossy.drop(12) // "VP8 " chunk verbatim
+      val alph = "ALPH".getBytes("US-ASCII") ++ Array[Byte](2, 0, 0, 0, 0, 0)
+      val body = alph ++ vp8Chunk
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](
+        ((body.length + 4) & 0xff).toByte, (((body.length + 4) >> 8) & 0xff).toByte, 0, 0) ++
+        "WEBP".getBytes("US-ASCII") ++ body
+    }
+    val e3 = intercept[IllegalArgumentException](Webp.decodeWebpPixels(withAlph))
+    assert(e3.getMessage.contains("ALPH"), e3.getMessage)
     // and the rejects census now DECODES lossless webp
     val census = MultimodalOps.mediaCensusWithRejects(
       Seq((1L, bytes)).toDF("media_id", "bytes")).collect()(0)

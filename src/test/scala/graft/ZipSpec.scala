@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** ZIP shard codec invariants: writer and walker agree (names, payloads,
   * directory order, stored AND deflated members), CRCs are real, sizes
-  * are authoritative, and everything outside the supported profile
-  * (encryption, zip64, foreign methods, multi-disk) fails closed.
+  * are authoritative, the ZIP64 layout (r11) reads identically to the
+  * classic one, and everything outside the supported profile
+  * (encryption, foreign methods, multi-disk) fails closed.
   */
 class ZipSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -69,6 +70,35 @@ class ZipSpec extends AnyFunSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
     blob(cd3 + 24) = 10; blob(cd3 + 25) = 0 // usize 100 -> 10
     intercept[IllegalArgumentException](Zip.zipEntries(blob))
+  }
+
+  test("zip64: forced-marker layout decodes identically; broken locator fails closed") {
+    val z64 = Zip.synthZip(entries, forceZip64 = true)
+    val got = Zip.zipEntries(z64)
+    assert(got.map(_._1) == entries.map(_._1))
+    got.zip(entries).foreach { case ((_, g), (_, w)) => assert(g.sameElements(w)) }
+    // the classic spelling of the same members decodes to the same bytes
+    val classic = Zip.zipEntries(Zip.synthZip(entries))
+    classic.zip(got).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    // markers without a locator reject descriptively
+    val noLoc = z64.clone()
+    noLoc(noLoc.length - 22 - 20) = 'X'.toByte // locator signature byte
+    assert(intercept[IllegalArgumentException](Zip.zipEntries(noLoc))
+      .getMessage.contains("locator"))
+    // a masked member whose 0x0001 extra is missing rejects descriptively:
+    // flip the extra header id in the first central entry
+    val noExtra = z64.clone()
+    val cdOff = {
+      // EOCD64 record sits right after the central directory; read cdOff
+      // from it (offset +48)
+      val e64 = noExtra.length - 22 - 20 - 56
+      java.nio.ByteBuffer.wrap(noExtra, e64 + 48, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    }
+    val nameLen = (noExtra(cdOff + 28) & 0xff) | ((noExtra(cdOff + 29) & 0xff) << 8)
+    noExtra(cdOff + 46 + nameLen) = 0x77 // extra id 0x0001 -> 0x7777? (lo byte)
+    assert(intercept[IllegalArgumentException](Zip.zipEntries(noExtra))
+      .getMessage.contains("0x0001"))
   }
 
   test("zipToFiles explodes shards with pass-through, order, and modality keys") {
