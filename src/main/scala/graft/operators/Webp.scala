@@ -101,8 +101,13 @@ object Webp {
     }
   }
 
+  // Code-length-code slot order (spec 6.2.2): NOT deflate's — symbol 16
+  // (repeat-previous) sits BETWEEN 5 and 6. Round 10 had 16 at the END
+  // (the deflate habit): self-consistent round trips hid it, but every
+  // real encoder stream whose table transmits ≥9 slots misparsed (the
+  // r11 conformance fixtures caught it — see NOTES_BUILDER r11).
   private val ClOrder =
-    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
   /** One prefix code off the stream (spec 6.2.x): simple or length-coded. */
   private def readCode(br: BitReader, alphabetSize: Int): PrefixCode = {
@@ -170,7 +175,13 @@ object Webp {
     }
   }
 
-  /** The 120-entry (dx, dy) close-neighborhood distance codes (spec 5.2.3). */
+  /** The 120-entry (dx, dy) close-neighborhood distance codes (spec
+    * 5.2.3; (dx, dy) = (8 - (code & 0xf), code >> 4) over the spec's
+    * byte table). Round 10's hand-typed copy was THREE ENTRIES SHORT
+    * with a fabricated dy=8 tail — decode-only territory the in-repo
+    * encoder (dist+120 codes only) never exercised; the r11 real-encoder
+    * conformance fixtures crashed on code 118 and forced the re-derive.
+    */
   private val DistMap: Array[(Int, Int)] = Array(
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
@@ -185,8 +196,8 @@ object Webp {
     (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
     (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
     (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
-    (-6, 6), (2, 8), (-2, 8), (1, 8), (-1, 8), (7, 5), (-7, 5), (5, 7),
-    (-5, 7), (8, 3), (-3, 8), (3, 8), (0, 8))
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
 
   private def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
     if (planeCode > 120) planeCode - 120

@@ -91,6 +91,37 @@ class WebpSpec extends AnyFunSuite {
       Seq(A, B, C, D, A, B, C, D))
   }
 
+  test("conformance: real libwebp lossless encodes decode to the exact source RGBA") {
+    // tools/vp8l_fixtures.py: the REAL encoder's output uses decode
+    // paths the in-repo synth writer never emits (2-D LZ77 distance
+    // codes, per-tile meta prefix groups, chosen transform stacks) —
+    // round trips alone missed the r11 planeCodeToDistance sign bug
+    val mf = {
+      val in = getClass.getResourceAsStream("/vp8l/manifest.txt")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    for (line <- mf.trim.split("\n")) {
+      val Array(name, ws, hs) = line.trim.split(" ")
+      val w = ws.toInt; val h = hs.toInt
+      def res(ext: String) = {
+        val in = getClass.getResourceAsStream(s"/vp8l/$name.$ext")
+        try in.readAllBytes() finally in.close()
+      }
+      val (dw, dh, px) = Webp.decodeWebpPixels(res("webp"))
+      assert((dw, dh) == ((w, h)), name)
+      val want = res("rgba")
+      var bad = 0
+      for (i <- 0 until w * h) {
+        val p = px(i)
+        if (((p >> 16) & 0xff) != (want(i * 4) & 0xff) ||
+            ((p >> 8) & 0xff) != (want(i * 4 + 1) & 0xff) ||
+            (p & 0xff) != (want(i * 4 + 2) & 0xff) ||
+            ((p >>> 24) & 0xff) != (want(i * 4 + 3) & 0xff)) bad += 1
+      }
+      assert(bad == 0, s"$name: $bad mismatched pixels of ${w * h}")
+    }
+  }
+
   test("palette (color-indexing) round trips incl. sub-byte bundling") {
     // sizes straddling every bundling width: 2 -> 8px/byte, 3..4 ->
     // 4px/byte, 5..16 -> 2px/byte, 17+ -> unpacked
