@@ -4167,15 +4167,38 @@ object SparkEntry {
           n(col("x")), lit(" "), n(col("y") + lit(1.25)), lit(", "),
           n(col("x")), lit(" "), n(col("y")), lit("))")))
     val src = base.withColumn("geom", wkt).select("pk", "attr", "geom")
-    val dir = java.nio.file.Files.createTempDirectory("graft_s22").toString + "/store"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s22").toString
+    val dir = tmp + "/store"
     operators.GeoParquet.writeGeoParquet(src, dir, geomCol = "geom")
+    // r11: a SECOND store written with a projected CRS (.prj WKT1 →
+    // PROJJSON through the engine's CRS front door) — the footer must
+    // carry a non-null `crs` a GeoParquet consumer would honor (reading
+    // projected coordinates as lon/lat was the documented interop
+    // hazard); same features, so the census doubles exactly
+    val dir2 = tmp + "/store_utm"
+    val utmPrj = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],PARAMETER["false_northing",0],""" +
+      """UNIT["metre",1]]"""
+    operators.GeoParquet.writeGeoParquet(src, dir2, geomCol = "geom",
+      crsWkt = Some(utmPrj))
+    val crsJson = operators.GeoParquet.geoMetadata(dir2).getOrElse("")
+    require(crsJson.contains("\"crs\":{") && crsJson.contains("ProjectedCRS") &&
+      crsJson.contains("Transverse Mercator"),
+      s"projected-CRS store footer lacks a PROJJSON crs: ${crsJson.take(200)}")
     val back = operators.GeoParquet.readGeoParquet(s, dir)
-    back.select(col("pk"), col("attr"),
+      .withColumn("store", lit(1))
+      .unionByName(operators.GeoParquet.readGeoParquet(s, dir2)
+        .withColumn("store", lit(2)))
+    back.select(col("store"), col("pk"), col("attr"),
         posexplode(flatten(functions.SpatialOps.wktRings(col("geom")))))
-      .select(col("pk"), col("attr"), col("pos").as("pt_idx"),
+      .select(col("store"), col("pk"), col("attr"), col("pos").as("pt_idx"),
         floor(col("col").getField("x") * lit(64.0)).cast("long").as("x_fp"),
         floor(col("col").getField("y") * lit(64.0)).cast("long").as("y_fp"))
-      .orderBy("pk", "pt_idx")
+      .orderBy("store", "pk", "pt_idx")
   }
 
   /** G16 — polar stereographic (EPSG:3413, the NSIDC sea-ice grid every
@@ -4317,6 +4340,54 @@ object SparkEntry {
     base.select(col("pk"),
       floor(x * lit(64.0)).cast("long").as("x_fp"),
       floor(y * lit(64.0)).cast("long").as("y_fp")).orderBy("pk")
+  }
+
+  /** G21 — GEOMETRYCOLLECTION census (r11: the last documented WKT-type
+    * reject becomes a first-class surface): a mixed frame of plain
+    * geometries, two collection shapes (heterogeneous members incl. a
+    * MULTIPOINT), and `GEOMETRYCOLLECTION EMPTY`, exploded flat through
+    * [[functions.SpatialOps.collectionMembers]] (plain geometries ride
+    * the same surface as one-member collections; EMPTY surfaces as a
+    * countable zero-member row). Per member: type word, point count, and
+    * fixed-point envelope corners — all coordinates dyadic (1/64 grid),
+    * the oracle regenerates every member from the kind formulas.
+    */
+  private def g21(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (col("p_partkey") % 5).cast("int").as("kind"),
+      ((col("p_partkey") % 50).cast("double") * lit(1.5) + lit(0.25)).as("x"),
+      ((col("p_size") % 40).cast("double") * lit(0.75) + lit(0.125)).as("y"))
+    def n(c: Column) = c.cast("string")
+    val x = col("x"); val y = col("y")
+    def pt(px: Column, py: Column) =
+      concat(lit("POINT ("), n(px), lit(" "), n(py), lit(")"))
+    val wkt = when(col("kind") === 0, pt(x, y))
+      .when(col("kind") === 1, concat(lit("LINESTRING ("), n(x), lit(" "), n(y),
+        lit(", "), n(x + 2.0), lit(" "), n(y + 1.5), lit(")")))
+      .when(col("kind") === 2, concat(lit("GEOMETRYCOLLECTION ("), pt(x, y),
+        lit(", LINESTRING ("), n(x + 1.0), lit(" "), n(y), lit(", "),
+        n(x + 3.0), lit(" "), n(y + 0.5), lit("))")))
+      .when(col("kind") === 3, concat(lit("GEOMETRYCOLLECTION (POLYGON (("),
+        n(x), lit(" "), n(y), lit(", "), n(x + 2.0), lit(" "), n(y), lit(", "),
+        n(x + 2.0), lit(" "), n(y + 1.0), lit(", "), n(x), lit(" "), n(y),
+        lit(")), "), pt(x + 5.0, y + 2.0),
+        lit(", MULTIPOINT (("), n(x + 6.0), lit(" "), n(y), lit("), ("),
+        n(x + 7.0), lit(" "), n(y + 0.25), lit(")))")))
+      .otherwise(lit("GEOMETRYCOLLECTION EMPTY"))
+    base.withColumn("geom", wkt)
+      .select(col("pk"), col("kind"),
+        posexplode_outer(functions.SpatialOps.collectionMembers(col("geom"))))
+      .select(col("pk"), col("kind"),
+        coalesce(col("pos"), lit(-1)).cast("int").as("member_idx"),
+        coalesce(upper(regexp_extract(col("col"), "^\\s*([A-Za-z]+)", 1)),
+          lit("EMPTY")).as("mtype"),
+        coalesce(functions.SpatialOps.wktNumPoints(col("col")).cast("long"),
+          lit(0L)).as("n_pts"),
+        coalesce(floor(functions.SpatialOps.wktEnvelope(col("col"))
+          .getField("xmin") * lit(64.0)), lit(0.0)).cast("long").as("xmin_fp"),
+        coalesce(floor(functions.SpatialOps.wktEnvelope(col("col"))
+          .getField("ymax") * lit(64.0)), lit(0.0)).cast("long").as("ymax_fp"))
+      .orderBy("pk", "member_idx")
   }
 
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
@@ -4685,6 +4756,7 @@ object SparkEntry {
     "s24_npz_tensors" -> (s24 _),
     "g19_helmert_7param" -> (g19 _),
     "g20_ups_variant_a" -> (g20 _),
+    "g21_geometrycollection" -> (g21 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -7075,10 +7147,33 @@ object SparkEntry {
         |    END AS py
         |  FROM p CROSS JOIN (VALUES (0), (1), (2), (3), (4)) i(idx)
         |  WHERE (kind = 0 AND i.idx < 1) OR (kind = 1 AND i.idx < 2) OR kind = 2)
-        |SELECT pk, attr, pt_idx,
+        |SELECT s.store, pk, attr, pt_idx,
         |  CAST(floor(px * 64.0) AS BIGINT) AS x_fp,
         |  CAST(floor(py * 64.0) AS BIGINT) AS y_fp
-        |FROM pts ORDER BY pk, pt_idx""".stripMargin,
+        |FROM pts CROSS JOIN (VALUES (1), (2)) s(store)
+        |ORDER BY s.store, pk, pt_idx""".stripMargin,
+    // g21: every member regenerated from the kind formulas — the
+    // collection framing (lookahead member split, EMPTY handling, flat
+    // explode) must be invisible; all coordinates dyadic, ×64 exact
+    "g21_geometrycollection" ->
+      """WITH p AS (SELECT p_partkey AS pk, CAST(p_partkey % 5 AS INT) AS kind,
+        |    CAST(p_partkey % 50 AS DOUBLE) * 1.5 + 0.25 AS x,
+        |    CAST(p_size % 40 AS DOUBLE) * 0.75 + 0.125 AS y FROM part),
+        |m AS (
+        |  SELECT pk, kind, 0 AS member_idx, 'POINT' AS mtype, 1 AS n_pts,
+        |      x AS xmin, y AS ymax FROM p WHERE kind = 0
+        |  UNION ALL SELECT pk, kind, 0, 'LINESTRING', 2, x, y + 1.5 FROM p WHERE kind = 1
+        |  UNION ALL SELECT pk, kind, 0, 'POINT', 1, x, y FROM p WHERE kind = 2
+        |  UNION ALL SELECT pk, kind, 1, 'LINESTRING', 2, x + 1.0, y + 0.5 FROM p WHERE kind = 2
+        |  UNION ALL SELECT pk, kind, 0, 'POLYGON', 4, x, y + 1.0 FROM p WHERE kind = 3
+        |  UNION ALL SELECT pk, kind, 1, 'POINT', 1, x + 5.0, y + 2.0 FROM p WHERE kind = 3
+        |  UNION ALL SELECT pk, kind, 2, 'MULTIPOINT', 2, x + 6.0, y + 0.25 FROM p WHERE kind = 3
+        |  UNION ALL SELECT pk, kind, -1, 'EMPTY', 0, NULL, NULL FROM p WHERE kind = 4)
+        |SELECT pk, kind, CAST(member_idx AS INT) AS member_idx, mtype,
+        |  CAST(n_pts AS BIGINT) AS n_pts,
+        |  CAST(coalesce(floor(xmin * 64.0), 0) AS BIGINT) AS xmin_fp,
+        |  CAST(coalesce(floor(ymax * 64.0), 0) AS BIGINT) AS ymax_fp
+        |FROM m ORDER BY pk, member_idx""".stripMargin,
     // g19: the full GK-inverse → geocentric Helmert → Bowring chain
     // mirrored stage-by-stage (the CTE staging = the spark barrier
     // staging, bit-preserving per the g11 precedent); every Helmert

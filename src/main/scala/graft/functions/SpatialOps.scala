@@ -223,6 +223,38 @@ object SpatialOps {
   /** Total coordinate count as written (closing points included). */
   def wktNumPoints(wkt: Column): Column = ringsNumPoints(wktRings(wkt))
 
+  /** GEOMETRYCOLLECTION → its members as standalone WKT strings (r11 —
+    * closes the last documented WKT-type reject). Flat member explode:
+    * every member opens with a type keyword, so member boundaries are
+    * exactly the commas a type keyword follows (a lookahead split; no
+    * other comma in WKT precedes a letter). Non-collection input returns
+    * a one-element array so callers get ONE surface for both layouts;
+    * `GEOMETRYCOLLECTION EMPTY` returns an empty array (countable, the
+    * census contract); NESTED collections reject descriptively (the
+    * flat-members contract — GC-in-GC is vanishingly rare and silently
+    * mis-splitting one would be worse than the loud reject).
+    */
+  def collectionMembers(wkt: Column): Column = {
+    val typ = upper(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1))
+    val body = regexp_replace(
+      regexp_replace(wkt, "(?i)^\\s*GEOMETRYCOLLECTION\\s*\\(", ""),
+      "\\)\\s*$", "")
+    val kw = "POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|" +
+      "MULTIPOLYGON|GEOMETRYCOLLECTION"
+    val members = transform(
+      split(body, s",\\s*(?=(?i:$kw)\\b)"), m => trim(m))
+    when(wkt.isNull, lit(null).cast("array<string>"))
+      .when(typ =!= "GEOMETRYCOLLECTION", array(wkt))
+      .when(upper(wkt).rlike("^\\s*GEOMETRYCOLLECTION\\s+EMPTY\\s*$"),
+        array().cast("array<string>"))
+      .when(exists(members, m =>
+          upper(m).startsWith("GEOMETRYCOLLECTION")),
+        raise_error(concat(
+          lit("nested GEOMETRYCOLLECTION unsupported (flat members only): "),
+          wkt)))
+      .otherwise(members)
+  }
+
   // ---- vector geometry reprojection (the ogr2ogr half of the CRS story) ----
 
   /** Re-emit parsed rings as the WKT body "((x y, …), (…))". Coordinates

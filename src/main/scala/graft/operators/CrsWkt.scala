@@ -646,4 +646,209 @@ object CrsWkt {
     */
   def transformBetween(srcWkt: String, dstWkt: String): Transform2D =
     transform(parseCrs(srcWkt), parseCrs(dstWkt))
+
+  // ---- PROJJSON emission (r11 — the GeoParquet `crs` encoding) ----
+
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def ellipsoidName(e: Ellipsoid): String =
+    if (e == Ellipsoid.Wgs84) "WGS 84"
+    else if (math.abs(e.a - 6378137.0) < 1e-3 &&
+      math.abs(e.invF - 298.257222101) < 1e-6) "GRS 1980"
+    else if (e == Ellipsoid.Bessel1841) "Bessel 1841"
+    else if (e == Ellipsoid.Clarke1866) "Clarke 1866"
+    else "unnamed"
+
+  private def geogProjjsonBody(name: String, g: GeogCrs): String = {
+    val ell = s"""{"name":${jq(ellipsoidName(g.ellipsoid))},""" +
+      s""""semi_major_axis":${g.ellipsoid.a},""" +
+      s""""inverse_flattening":${g.ellipsoid.invF}}"""
+    s""""type":"GeographicCRS","name":${jq(name)},""" +
+      s""""datum":{"type":"GeodeticReferenceFrame",""" +
+      s""""name":${jq(g.datumName.replace('_', ' '))},"ellipsoid":$ell},""" +
+      """"coordinate_system":{"subtype":"ellipsoidal","axis":[""" +
+      """{"name":"Geodetic latitude","abbreviation":"Lat","direction":"north","unit":"degree"},""" +
+      """{"name":"Geodetic longitude","abbreviation":"Lon","direction":"east","unit":"degree"}]}"""
+  }
+
+  /** PROJJSON for a CRS WKT (WKT1 `.prj` or WKT2) — the GeoParquet
+    * footer's `crs` encoding, so projected-CRS stores stop defaulting to
+    * null/CRS84 (a State-Plane store read as lon/lat is the interop
+    * hazard this closes). Methods and parameters are emitted under their
+    * EPSG names/codes for the engine's projection families; linear
+    * parameter values are converted to METRES (the WKT1 convention puts
+    * them in the CRS unit), while the axis unit keeps the declared unit
+    * so consumers see coordinates as stored. EPSG:nnnn shorthands reject
+    * (no parameter tree to emit) — pass the WKT.
+    */
+  def toProjjson(crsText: String): String = {
+    val t = crsText.trim
+    require(!t.matches("(?i)^EPSG:\\d{1,6}$"),
+      "toProjjson needs the CRS WKT text (an EPSG shorthand carries no " +
+        "parameter tree) — pass the .prj/WKT2 string")
+    val root = parseNode(t)
+    root.name match {
+      case "GEOGCS" =>
+        s"""{"$$schema":"https://proj.org/schemas/v0.7/projjson.schema.json",""" +
+          geogProjjsonBody(root.str(0), parseGeogcs(root)) + "}"
+      case "GEOGCRS" | "GEODCRS" | "GEODETICCRS" =>
+        s"""{"$$schema":"https://proj.org/schemas/v0.7/projjson.schema.json",""" +
+          geogProjjsonBody(root.str(0), parseGeogcrs2(root)) + "}"
+      case "PROJCS" => projcsProjjson(root)
+      case "PROJCRS" | "PROJECTEDCRS" => projcrs2Projjson(root)
+      case other => throw new IllegalArgumentException(
+        s"toProjjson: root node $other unsupported (PROJCS/GEOGCS, PROJCRS/GEOGCRS)")
+    }
+  }
+
+  /** Shared conversion emitter: `p(aliases, default)` resolves one
+    * parameter (linear values already in metres — the same contract as
+    * buildProjection's resolver).
+    */
+  private def conversionProjjson(key: String,
+      p: (Seq[String], Double) => Double): String = {
+    val Req = Double.NaN
+    def lat0 = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
+      "latitude_of_false_origin"), 0.0)
+    def cm = p(Seq("central_meridian", "longitude_of_natural_origin",
+      "longitude_of_false_origin"), Req)
+    def fe = p(Seq("false_easting", "easting_at_false_origin"), 0.0)
+    def fn = p(Seq("false_northing", "northing_at_false_origin"), 0.0)
+    def k0 = p(Seq("scale_factor", "scale_factor_at_natural_origin"), 1.0)
+    def sp1 = p(Seq("standard_parallel_1", "latitude_of_1st_standard_parallel"), Req)
+    def sp2 = p(Seq("standard_parallel_2", "latitude_of_2nd_standard_parallel"), Req)
+    val (mName, mCode, params) = key match {
+      case "tm" => ("Transverse Mercator", 9807, Seq(
+        ("Latitude of natural origin", 8801, lat0, "degree"),
+        ("Longitude of natural origin", 8802, cm, "degree"),
+        ("Scale factor at natural origin", 8805, k0, "unity"),
+        ("False easting", 8806, fe, "metre"),
+        ("False northing", 8807, fn, "metre")))
+      case "webmerc" => ("Popular Visualisation Pseudo Mercator", 1024, Seq(
+        ("Latitude of natural origin", 8801, lat0, "degree"),
+        ("Longitude of natural origin", 8802,
+          p(Seq("central_meridian", "longitude_of_natural_origin",
+            "longitude_of_false_origin"), 0.0), "degree"),
+        ("False easting", 8806, fe, "metre"),
+        ("False northing", 8807, fn, "metre")))
+      case "lcc" => ("Lambert Conic Conformal (2SP)", 9802, Seq(
+        ("Latitude of false origin", 8821, lat0, "degree"),
+        ("Longitude of false origin", 8822, cm, "degree"),
+        ("Latitude of 1st standard parallel", 8823, sp1, "degree"),
+        ("Latitude of 2nd standard parallel", 8824, sp2, "degree"),
+        ("Easting at false origin", 8826, fe, "metre"),
+        ("Northing at false origin", 8827, fn, "metre")))
+      case "aea" => ("Albers Equal Area", 9822, Seq(
+        ("Latitude of false origin", 8821, lat0, "degree"),
+        ("Longitude of false origin", 8822, cm, "degree"),
+        ("Latitude of 1st standard parallel", 8823, sp1, "degree"),
+        ("Latitude of 2nd standard parallel", 8824, sp2, "degree"),
+        ("Easting at false origin", 8826, fe, "metre"),
+        ("Northing at false origin", 8827, fn, "metre")))
+      case "ps" =>
+        val ts = p(Seq("latitude_of_origin", "latitude_of_natural_origin",
+          "standard_parallel_1", "latitude_of_standard_parallel"), Req)
+        val c = p(Seq("central_meridian", "longitude_of_natural_origin",
+          "longitude_of_origin"), Req)
+        if (math.abs(ts) == 90.0)
+          ("Polar Stereographic (variant A)", 9810, Seq(
+            ("Latitude of natural origin", 8801, ts, "degree"),
+            ("Longitude of natural origin", 8802, c, "degree"),
+            ("Scale factor at natural origin", 8805, k0, "unity"),
+            ("False easting", 8806, fe, "metre"),
+            ("False northing", 8807, fn, "metre")))
+        else
+          ("Polar Stereographic (variant B)", 9829, Seq(
+            ("Latitude of standard parallel", 8832, ts, "degree"),
+            ("Longitude of origin", 8833, c, "degree"),
+            ("False easting", 8806, fe, "metre"),
+            ("False northing", 8807, fn, "metre")))
+      case other => throw new IllegalArgumentException(
+        s"toProjjson: projection family '$other' has no PROJJSON mapping")
+    }
+    val ps = params.map { case (n, c, v, u) =>
+      s"""{"name":${jq(n)},"value":$v,"unit":${jq(u)},""" +
+        s""""id":{"authority":"EPSG","code":$c}}"""
+    }.mkString("[", ",", "]")
+    s""""conversion":{"name":"unnamed","method":{"name":${jq(mName)},""" +
+      s""""id":{"authority":"EPSG","code":$mCode}},"parameters":$ps}"""
+  }
+
+  private def cartesianCs(unitFactor: Double): String = {
+    val unit =
+      if (unitFactor == 1.0) "\"metre\""
+      else {
+        val name =
+          if (math.abs(unitFactor - 0.30480060960121924) < 1e-15) "US survey foot"
+          else if (math.abs(unitFactor - 0.3048) < 1e-15) "foot"
+          else "unit"
+        s"""{"type":"LinearUnit","name":${jq(name)},"conversion_factor":$unitFactor}"""
+      }
+    s""""coordinate_system":{"subtype":"Cartesian","axis":[""" +
+      s"""{"name":"Easting","abbreviation":"E","direction":"east","unit":$unit},""" +
+      s"""{"name":"Northing","abbreviation":"N","direction":"north","unit":$unit}]}"""
+  }
+
+  private def projcsProjjson(n: Node): String = {
+    val geogNode = n.child("GEOGCS").getOrElse(
+      throw new IllegalArgumentException("PROJCS without GEOGCS"))
+    val geog = parseGeogcs(geogNode)
+    val projName = n.child("PROJECTION").getOrElse(
+      throw new IllegalArgumentException("PROJCS without PROJECTION")).str(0)
+    val rawFactor = n.children("UNIT").lastOption.map(_.num(1)).getOrElse(1.0)
+    val unitFactor = if (math.abs(rawFactor - 1.0) < 1e-9) 1.0 else rawFactor
+    def p(names: Seq[String], default: Double): Double =
+      n.args.collectFirst {
+        case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
+          if (names.exists(LinearParamNames)) c.num(1) * unitFactor else c.num(1)
+      }.getOrElse {
+        require(!default.isNaN, s"PROJCS missing required PARAMETER[${names.head}]")
+        default
+      }
+    s"""{"$$schema":"https://proj.org/schemas/v0.7/projjson.schema.json",""" +
+      s""""type":"ProjectedCRS","name":${jq(n.str(0))},""" +
+      s""""base_crs":{${geogProjjsonBody(geogNode.str(0), geog)}},""" +
+      conversionProjjson(methodKeyOf(projName, None), p) + "," +
+      cartesianCs(unitFactor) + "}"
+  }
+
+  private def projcrs2Projjson(n: Node): String = {
+    val geogNode = n.child("BASEGEOGCRS").orElse(n.child("BASEGEODCRS")).getOrElse(
+      throw new IllegalArgumentException("PROJCRS without BASEGEOGCRS"))
+    val geog = parseGeogcrs2(geogNode)
+    val conv = n.child("CONVERSION").getOrElse(
+      throw new IllegalArgumentException("PROJCRS without CONVERSION"))
+    val method = conv.child("METHOD").getOrElse(
+      throw new IllegalArgumentException("CONVERSION without METHOD"))
+    val epsg = method.child("ID").flatMap { id =>
+      if (id.str(0).equalsIgnoreCase("EPSG")) Some(id.num(1).toInt) else None
+    }
+    val axisFactors =
+      for (ax <- n.children("AXIS"); u <- ax.child("LENGTHUNIT")) yield u.num(1)
+    val rawCs = n.child("LENGTHUNIT").map(_.num(1))
+      .orElse(axisFactors.headOption).getOrElse(1.0)
+    val csFactor = if (math.abs(rawCs - 1.0) < 1e-9) 1.0 else rawCs
+    def p(names: Seq[String], default: Double): Double =
+      conv.args.collectFirst {
+        case c: Node if c.name == "PARAMETER" && names.contains(pNorm(c.str(0))) =>
+          c.child("LENGTHUNIT") match {
+            case Some(u) => c.num(1) * u.num(1)
+            case None if names.exists(LinearParamNames) => c.num(1) * csFactor
+            case None => c.num(1)
+          }
+      }.getOrElse {
+        require(!default.isNaN, s"CONVERSION missing required PARAMETER[${names.head}]")
+        default
+      }
+    s"""{"$$schema":"https://proj.org/schemas/v0.7/projjson.schema.json",""" +
+      s""""type":"ProjectedCRS","name":${jq(n.str(0))},""" +
+      s""""base_crs":{${geogProjjsonBody(geogNode.str(0), geog)}},""" +
+      conversionProjjson(methodKeyOf(method.str(0), epsg), p) + "," +
+      cartesianCs(csFactor) + "}"
+  }
 }

@@ -78,9 +78,16 @@ object GeoParquet {
       df: DataFrame,
       path: String,
       geomCol: String = "geom",
-      crsProjjson: Option[String] = None): Unit = {
+      crsProjjson: Option[String] = None,
+      /** CRS as WKT1/WKT2 text (a `.prj` string): emitted as PROJJSON
+        * through the engine's own CRS front door (r11 — projected-CRS
+        * stores stop defaulting to null/CRS84). A ready `crsProjjson`
+        * document wins when both are given.
+        */
+      crsWkt: Option[String] = None): Unit = {
     require(df.schema(geomCol).dataType == StringType,
       s"$geomCol must be WKT strings, got ${df.schema(geomCol).dataType.simpleString}")
+    val crsJson = crsProjjson.orElse(crsWkt.map(CrsWkt.toProjjson))
     val stats = df.select(
         SpatialOps.wktEnvelope(col(geomCol)).as("env"),
         upper(regexp_extract(col(geomCol), "^\\s*([A-Za-z]+)", 1)).as("t"))
@@ -104,7 +111,7 @@ object GeoParquet {
         s"$geomCol carries WKT type '$other' — GeoParquet geometry_types " +
           "admits only the six simple-features types")
     }
-    val json = geoJson(geomCol, types, bbox, crsProjjson)
+    val json = geoJson(geomCol, types, bbox, crsJson)
     df.withColumn(geomCol, wktToWkbCol(col(geomCol)))
       .write.mode("overwrite").parquet(path)
     // footer rewrite, one executor task per part-file (Hadoop FS listing —

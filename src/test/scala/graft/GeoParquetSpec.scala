@@ -73,6 +73,55 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(raw.count() == 4)
   }
 
+  test("PROJJSON from WKT: projected/geographic CRS footers parse as spec-shaped documents") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    // WKT1 State Plane (ftUS LCC) — the documented interop hazard case
+    val spPrj = """PROJCS["NAD83 / Texas Central (ftUS)",GEOGCS["NAD83",""" +
+      """DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,298.257222101]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Lambert_Conformal_Conic_2SP"],""" +
+      """PARAMETER["standard_parallel_1",31.88333333333333],""" +
+      """PARAMETER["standard_parallel_2",30.11666666666667],""" +
+      """PARAMETER["latitude_of_origin",29.66666666666667],""" +
+      """PARAMETER["central_meridian",-100.3333333333333],""" +
+      """PARAMETER["false_easting",2296583.333333333],""" +
+      """PARAMETER["false_northing",9842500],""" +
+      """UNIT["US survey foot",0.3048006096012192]]"""
+    val json = operators.CrsWkt.toProjjson(spPrj)
+    val doc = mapper.readTree(json) // must be well-formed JSON
+    assert(doc.get("type").asText == "ProjectedCRS")
+    assert(doc.get("base_crs").get("datum").get("ellipsoid")
+      .get("inverse_flattening").asDouble == 298.257222101)
+    val conv = doc.get("conversion")
+    assert(conv.get("method").get("id").get("code").asInt == 9802)
+    val params = (0 until conv.get("parameters").size())
+      .map(conv.get("parameters").get)
+      .map(p => p.get("name").asText -> p.get("value").asDouble).toMap
+    assert(params("Latitude of 1st standard parallel") == 31.88333333333333)
+    // linear parameters are emitted in METRES (ftUS value × factor)
+    assert(math.abs(params("Easting at false origin") -
+      2296583.333333333 * 0.3048006096012192) < 1e-6)
+    // the axis unit keeps the declared ftUS
+    val unit = doc.get("coordinate_system").get("axis").get(0).get("unit")
+    assert(unit.get("name").asText == "US survey foot")
+    // geographic WKT1 emits a GeographicCRS
+    val geog = mapper.readTree(operators.CrsWkt.toProjjson(
+      """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+        """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""))
+    assert(geog.get("type").asText == "GeographicCRS")
+    assert(geog.get("datum").get("name").asText == "WGS 1984")
+    // the write path lands it in the footer
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpq6").toString + "/utm"
+    GeoParquet.writeGeoParquet(features.limit(2), dir, "geom", crsWkt = Some(spPrj))
+    val footer = GeoParquet.geoMetadata(dir).get
+    val crsNode = mapper.readTree(footer).get("columns").get("geom").get("crs")
+    assert(crsNode != null && !crsNode.isNull && crsNode.get("type").asText == "ProjectedCRS")
+    // EPSG shorthand rejects descriptively (no parameter tree)
+    val e = intercept[IllegalArgumentException](operators.CrsWkt.toProjjson("EPSG:32633"))
+    assert(e.getMessage.contains("WKT"), e.getMessage)
+  }
+
   test("crs passes through verbatim; plain parquet and non-WKB fail closed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gpq3").toString + "/store"
     val projjson = """{"type":"GeographicCRS","name":"WGS 84"}"""

@@ -322,4 +322,31 @@ class SpatialOpsSpec extends AnyFunSuite {
       assert(err.getMessage.contains("EMPTY geometry"), s"$w: ${err.getMessage}")
     }
   }
+
+  test("collectionMembers: flat explode, one surface, EMPTY countable, nested rejects") {
+    import spark.implicits._
+    def members(w: String): Seq[String] =
+      Seq(w).toDF("g").select(SpatialOps.collectionMembers(col("g")).as("m"))
+        .collect()(0).getSeq[String](0)
+    // heterogeneous collection splits on member keywords only
+    assert(members("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6), " +
+      "POLYGON ((0 0, 1 0, 1 1, 0 0)), MULTIPOINT ((7 8), (9 10)))") ==
+      Seq("POINT (1 2)", "LINESTRING (3 4, 5 6)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))", "MULTIPOINT ((7 8), (9 10))"))
+    // plain geometry = a one-member surface
+    assert(members("POINT (3 4)") == Seq("POINT (3 4)"))
+    // EMPTY collection = zero members (countable, never a throw)
+    assert(members("GEOMETRYCOLLECTION EMPTY") == Seq())
+    // nested collections reject descriptively
+    val e = intercept[Exception] { members(
+      "GEOMETRYCOLLECTION (POINT (1 2), GEOMETRYCOLLECTION (POINT (3 4)))") }
+    assert(e.getMessage.contains("nested GEOMETRYCOLLECTION"), e.getMessage)
+    // members feed the existing measures directly
+    val n = Seq("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (3 4, 5 6, 7 8))")
+      .toDF("g")
+      .select(explode(SpatialOps.collectionMembers(col("g"))).as("m"))
+      .select(SpatialOps.wktNumPoints(col("m")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(n == Seq(1L, 3L))
+  }
 }
