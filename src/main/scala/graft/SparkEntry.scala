@@ -1985,11 +1985,11 @@ object SparkEntry {
     val gif = operators.Gif.synthGif(14, 10, global, Seq(
       operators.Gif.FrameSpec(0, 0, 14, 10)((r, c) => (r * 7 + c * 3) % 6),
       operators.Gif.FrameSpec(3, 2, 8, 5, localPalette = Some(local),
-        transparentIdx = Some(2))((r, c) => (r + c * 2) % 4),
+        transparentIdx = Some(2), delayCs = 45)((r, c) => (r + c * 2) % 4),
       // r10: an INTERLACED frame (odd height so all four passes have
       // uneven strides) — the 8/8/4/2 row scatter must be invisible:
       // the oracle regenerates the same closed form as a sequential frame
-      operators.Gif.FrameSpec(1, 1, 11, 9, interlaced = true)(
+      operators.Gif.FrameSpec(1, 1, 11, 9, interlaced = true, delayCs = 7)(
         (r, c) => (r * 5 + c) % 6)))
     operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))
       .orderBy("frame_idx", "px_row", "px_col", "channel")
@@ -2254,6 +2254,45 @@ object SparkEntry {
     })
     operators.Webp.webpToPixels(Seq((1L, f1), (2L, f2)).toDF("img_id", "bytes"))
       .orderBy("img_id", "px_row", "px_col", "channel")
+  }
+
+  /** MM20 — video-duration rollup over BOTH animated containers (r11):
+    * a delayed multi-frame GIF (centisecond GCE delays — new frame
+    * timing surface) and an animated WebP MIXING a lossless VP8L frame
+    * with a LOSSY VP8 frame in one ANIM (real encoders emit exactly
+    * this), exploded to frames and rolled up per media: frame count,
+    * total duration, value census. The oracle regenerates every frame's
+    * pixels closed-form (palette formulas for GIF, the pix formula for
+    * VP8L, the mm19 integer chain for the VP8 frame) and re-aggregates —
+    * so timing metadata AND the mixed-codec frame routing are invisible.
+    */
+  private def mm20(s: SparkSession, d: String) = {
+    import s.implicits._
+    val pal = (0 until 5).map(i => ((i * 41) % 256, (i * 73) % 256, (i * 97) % 256))
+    val gif = operators.Gif.synthGif(12, 8, pal, Seq(
+      operators.Gif.FrameSpec(0, 0, 12, 8, delayCs = 12)((r, c) => (r * 3 + c) % 5),
+      operators.Gif.FrameSpec(2, 1, 6, 4)((r, c) => (r + c) % 5),
+      operators.Gif.FrameSpec(4, 3, 5, 3, delayCs = 30)((r, c) => (r * 2 + c) % 5)))
+    def pix(r: Int, c: Int): Int =
+      (((r * 5 + c * 3 + 9) % 256) << 24) | (((r * 31 + c * 7) % 256) << 16) |
+        (((r * 13 + c * 17 + 5) % 256) << 8) | ((r * 3 + c * 29 + 11) % 256)
+    val lossless = operators.Webp.synthWebpLossless(10, 6, pix)
+    val lossy = operators.Vp8.encodeKeyframe(16, 16, 0, 0, Seq(
+      operators.Vp8.MbSpec(yMode = 0, uvMode = 0,
+        y2 = { val a = new Array[Int](16); a(0) = 24; a })))
+    val anim = operators.Webp.synthWebpAnimFiles(20, 16, Seq(
+      (0, 0, 33, lossless), (4, 2, 55, lossy)))
+    val frames = operators.Gif.gifToFrames(Seq((1L, gif)).toDF("media_id", "bytes"))
+      .unionByName(operators.Webp.webpToFrames(
+        Seq((2L, anim)).toDF("media_id", "bytes")))
+    frames.groupBy(col("media_id"), col("frame_idx"))
+      .agg(min(col("duration_ms")).as("dur"),
+        count(lit(1)).as("nv"), sum(col("value").cast("long")).as("sv"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(col("dur")).cast("long").as("total_ms"),
+        sum(col("nv")).as("n_values"), sum(col("sv")).as("sum_values"))
+      .orderBy("media_id")
   }
 
   /** MM14 — EXIF orientation (the other documented-decision gap from the
@@ -4779,6 +4818,7 @@ object SparkEntry {
     "mm17_pixel_resize" -> (mm17 _),
     "mm18_webp_anim" -> (mm18 _),
     "mm19_webp_lossy" -> (mm19 _),
+    "mm20_frame_durations" -> (mm20 _),
     "au1_stft_energy" -> (au1 _),
     "e15_phash_neardup" -> (e15 _),
     "shuf1_epoch_shuffle" -> (shuf1 _),
@@ -5724,6 +5764,7 @@ object SparkEntry {
     "mm11_gif_frames" ->
       """SELECT CAST(1 AS BIGINT) AS media_id, CAST(0 AS INT) AS frame_idx,
         |  CAST(0 AS INT) AS frame_left, CAST(0 AS INT) AS frame_top,
+        |  CAST(0 AS INT) AS duration_ms,
         |  CAST(id // 56 AS INT) AS px_row, CAST((id % 56) // 4 AS INT) AS px_col,
         |  CAST(id % 4 AS INT) AS channel,
         |  CAST(CASE id % 4
@@ -5734,6 +5775,7 @@ object SparkEntry {
         |FROM range(560) t(id)
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), CAST(1 AS INT), CAST(3 AS INT), CAST(2 AS INT),
+        |  CAST(450 AS INT),
         |  CAST(id // 32 AS INT), CAST((id % 32) // 4 AS INT), CAST(id % 4 AS INT),
         |  CAST(CASE id % 4
         |    WHEN 0 THEN (((id // 32 + (id % 32) // 4 * 2) % 4) * 29 + 5) % 256
@@ -5745,6 +5787,7 @@ object SparkEntry {
         |FROM range(160) t(id)
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), CAST(2 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+        |  CAST(70 AS INT),
         |  CAST(id // 44 AS INT), CAST((id % 44) // 4 AS INT), CAST(id % 4 AS INT),
         |  CAST(CASE id % 4
         |    WHEN 0 THEN (((id // 44 * 5 + (id % 44) // 4) % 6) * 41) % 256
@@ -5852,6 +5895,53 @@ object SparkEntry {
          |    ch AS channel, $rgba AS value FROM p2)
          |SELECT * FROM f1 UNION ALL SELECT * FROM f2
          |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
+    // mm20: every frame's pixels regenerate closed-form (GIF palette
+    // formulas, the VP8L pix formula, the mm19 integer chain for the
+    // LOSSY ANMF frame) and re-aggregate — frame timing metadata and the
+    // mixed-codec routing must be invisible
+    "mm20_frame_durations" -> {
+      def gifFrame(fi: Int, dur: Int, w: Int, h: Int, idxExpr: String) =
+        s"""SELECT 1 AS media_id, $fi AS fi, $dur AS dur,
+           |  CAST(CASE id % 4
+           |    WHEN 0 THEN (($idxExpr) * 41) % 256
+           |    WHEN 1 THEN (($idxExpr) * 73) % 256
+           |    WHEN 2 THEN (($idxExpr) * 97) % 256
+           |    ELSE 255 END AS BIGINT) AS v
+           |FROM range(${w * h * 4}) t(id)""".stripMargin
+      val f0 = gifFrame(0, 120, 12, 8, "((id//4)//12 * 3 + (id//4)%12) % 5")
+      val f1 = gifFrame(1, 0, 6, 4, "((id//4)//6 + (id//4)%6) % 5")
+      val f2 = gifFrame(2, 300, 5, 3, "((id//4)//5 * 2 + (id//4)%5) % 5")
+      val r = "((id//4)//10)"; val c = "((id//4)%10)"
+      val wl =
+        s"""SELECT 2, 0, 33, CAST(CASE id % 4
+           |    WHEN 0 THEN ($r*31 + $c*7) % 256
+           |    WHEN 1 THEN ($r*13 + $c*17 + 5) % 256
+           |    WHEN 2 THEN ($r*3 + $c*29 + 11) % 256
+           |    ELSE ($r*5 + $c*3 + 9) % 256 END AS BIGINT)
+           |FROM range(${10 * 6 * 4}) t(id)""".stripMargin
+      val yv = "(128 + CAST(floor((floor((24*8+3)/8.0)+4)/8.0) AS INT))"
+      val my = s"floor($yv*19077/256.0)"
+      def clip6(x: String) =
+        s"CASE WHEN ($x) < 0 THEN 0 WHEN ($x) > 16383 THEN 255 ELSE CAST(floor(($x)/64.0) AS INT) END"
+      val rC = clip6(s"$my + floor(128*26149/256.0) - 14234")
+      val gC = clip6(s"$my - floor(128*6419/256.0) - floor(128*13320/256.0) + 8708")
+      val bC = clip6(s"$my + floor(128*33050/256.0) - 17685")
+      val lo =
+        s"""SELECT 2, 1, 55, CAST(CASE id % 4
+           |    WHEN 0 THEN $rC WHEN 1 THEN $gC WHEN 2 THEN $bC
+           |    ELSE 255 END AS BIGINT)
+           |FROM range(${16 * 16 * 4}) t(id)""".stripMargin
+      s"""WITH v(media_id, fi, dur, v) AS (
+         |${Seq(f0, f1, f2, wl, lo).mkString("\nUNION ALL\n")}),
+         |pf AS (SELECT media_id, fi, MIN(dur) AS dur, COUNT(*) AS nv,
+         |    SUM(v) AS sv FROM v GROUP BY media_id, fi)
+         |SELECT CAST(media_id AS BIGINT) AS media_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(SUM(dur) AS BIGINT) AS total_ms,
+         |  CAST(SUM(nv) AS BIGINT) AS n_values,
+         |  CAST(SUM(sv) AS BIGINT) AS sum_values
+         |FROM pf GROUP BY media_id ORDER BY media_id""".stripMargin
     },
     // mm18: every frame's RGBA regenerates closed-form at the
     // per-frame source shift — the ANMF container framing is invisible

@@ -29,7 +29,12 @@ object Gif {
   /** One decoded frame: its rectangle within the logical screen and
     * row-major RGBA samples (4 ints per pixel).
     */
-  final case class Frame(left: Int, top: Int, w: Int, h: Int, rgba: Array[Int])
+  final case class Frame(left: Int, top: Int, w: Int, h: Int, rgba: Array[Int],
+      /** GCE delay in MILLISECONDS (stored centiseconds x 10); 0 when the
+        * frame carries no graphic-control extension (r11 — the frame
+        * timing a video-duration rollup reads).
+        */
+      delayMs: Int = 0)
 
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -198,6 +203,7 @@ object Gif {
     val globalTable =
       if ((lsdPacked & 0x80) != 0) colorTable(lsdPacked & 0x07) else null
     var transparentIdx = -1
+    var delayCs = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     var done = false
     while (!done) {
@@ -216,6 +222,7 @@ object Gif {
             require((bytes(pos) & 0xff) == 4, "bad GCE block size")
             val packed = bytes(pos + 1) & 0xff
             transparentIdx = if ((packed & 1) != 0) bytes(pos + 4) & 0xff else -1
+            delayCs = u16le(bytes, pos + 2) // centiseconds, LE
             pos += 5
             require((bytes(pos) & 0xff) == 0, "GCE missing terminator")
             pos += 1
@@ -286,8 +293,8 @@ object Gif {
             rgba(i * 4 + 3) = if (e == transparentIdx) 0 else 255
             i += 1
           }
-          frames += Frame(left, top, w, h, rgba)
-          transparentIdx = -1 // GCE applies to the next image only
+          frames += Frame(left, top, w, h, rgba, delayCs * 10)
+          transparentIdx = -1; delayCs = 0 // GCE applies to the next image only
         case other =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$other%02X")
       }
@@ -320,7 +327,10 @@ object Gif {
   final case class FrameSpec(left: Int, top: Int, w: Int, h: Int,
       localPalette: Option[Seq[(Int, Int, Int)]] = None,
       transparentIdx: Option[Int] = None,
-      interlaced: Boolean = false)(val idxOf: (Int, Int) => Int)
+      interlaced: Boolean = false,
+      /** GCE delay in centiseconds (the stored unit); emits a GCE when
+        * nonzero even without transparency. */
+      delayCs: Int = 0)(val idxOf: (Int, Int) => Int)
 
   def synthGif(screenW: Int, screenH: Int,
       globalPalette: Seq[(Int, Int, Int)],
@@ -344,11 +354,12 @@ object Gif {
     }
     writeTable(globalPalette, gBits)
     for (f <- frames) {
-      f.transparentIdx.foreach { t =>
+      if (f.transparentIdx.isDefined || f.delayCs != 0) {
+        require(f.delayCs >= 0 && f.delayCs <= 0xffff, s"delay ${f.delayCs}cs")
         out.write(0x21); out.write(0xf9); out.write(4)
-        out.write(1) // transparency flag
-        out.write(0); out.write(0) // delay
-        out.write(t)
+        out.write(if (f.transparentIdx.isDefined) 1 else 0) // transparency flag
+        out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
+        out.write(f.transparentIdx.getOrElse(0))
         out.write(0) // terminator
       }
       out.write(0x2c)
@@ -397,7 +408,8 @@ object Gif {
     MediaExplode.explode(media, bytesCol, Seq(
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_left", IntegerType, nullable = false),
-      StructField("frame_top", IntegerType, nullable = false)) ++
+      StructField("frame_top", IntegerType, nullable = false),
+      StructField("duration_ms", IntegerType, nullable = false)) ++
         MultimodalOps.PixelFields) { payload =>
       val (_, _, frames) = decodeGifFrames(payload)
       for {
@@ -405,7 +417,7 @@ object Gif {
         row <- 0 until f.h
         c <- 0 until f.w
         k <- 0 until 4
-      } yield Seq[Any](fi, f.left, f.top, row, c, k,
+      } yield Seq[Any](fi, f.left, f.top, f.delayMs, row, c, k,
         f.rgba((row * f.w + c) * 4 + k))
     }
 }

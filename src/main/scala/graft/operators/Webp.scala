@@ -716,24 +716,78 @@ object Webp {
     }
     chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0)) // bg color + loop count 0
     frames.foreach { case (left, top, w, h, dur, argb) =>
-      require(left % 2 == 0 && top % 2 == 0,
-        s"ANMF offsets must be even, got ($left, $top)")
-      val full = synthWebpLossless(w, h, argb)
-      // extract the VP8L chunk (skip the standalone RIFF wrap)
-      val vp8lSize = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
-        ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+      writeAnmf(chunk, left, top, w, h, dur, synthWebpLossless(w, h, argb))
+    }
+    val payload = body.toByteArray
+    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
+    out.toByteArray
+  }
+
+  /** One ANMF chunk from a COMPLETE single-image WebP file's bytes (a
+    * `synthWebpLossless` or `Vp8.encodeKeyframe` container): the image
+    * chunk (VP8L or VP8) is lifted verbatim into the frame body — so
+    * animations mix LOSSLESS and LOSSY frames, exactly like real
+    * encoders emit (r11).
+    */
+  private def writeAnmf(chunk: (String, Array[Byte]) => Unit,
+      left: Int, top: Int, w: Int, h: Int, dur: Int,
+      full: Array[Byte]): Unit = {
+    require(left % 2 == 0 && top % 2 == 0,
+      s"ANMF offsets must be even, got ($left, $top)")
+    // the image chunk starts at offset 12 of the standalone RIFF wrap
+    val imgSize = (full(16) & 0xff) | ((full(17) & 0xff) << 8) |
+      ((full(18) & 0xff) << 16) | ((full(19) & 0xff) << 24)
+    val b = new java.io.ByteArrayOutputStream()
+    def w24(v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
+    }
+    w24(left / 2); w24(top / 2); w24(w - 1); w24(h - 1)
+    w24(dur); b.write(0x02) // blend=no-blend, dispose=none
+    b.write(full, 12, 8 + imgSize) // the image chunk verbatim
+    // RIFF sub-chunks pad to even size: an odd payload inside the ANMF
+    // body needs the pad byte too (strict demuxers walk padded
+    // sub-chunks; the chunk() helper applies the same rule)
+    if ((imgSize & 1) == 1) b.write(0)
+    chunk("ANMF", b.toByteArray)
+  }
+
+  /** Animated WebP from COMPLETE single-image containers (lossless or
+    * lossy stills, mixed freely): each becomes one ANMF frame at
+    * (left, top) with `durationMs`.
+    */
+  def synthWebpAnimFiles(
+      canvasW: Int, canvasH: Int,
+      frames: Seq[(Int, Int, Int, Array[Byte])]): Array[Byte] = {
+    // (left, top, durationMs, file) — dims read from the file itself
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    def chunk(t: String, payload: Array[Byte]): Unit = {
+      body.write(t.getBytes("US-ASCII"))
+      val s = payload.length
+      body.write(s & 0xff); body.write((s >> 8) & 0xff)
+      body.write((s >> 16) & 0xff); body.write((s >> 24) & 0xff)
+      body.write(payload)
+      if ((s & 1) == 1) body.write(0)
+    }
+    locally {
       val b = new java.io.ByteArrayOutputStream()
+      b.write(0x02); b.write(0); b.write(0); b.write(0)
       def w24(v: Int): Unit = {
         b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
       }
-      w24(left / 2); w24(top / 2); w24(w - 1); w24(h - 1)
-      w24(dur); b.write(0x02) // blend=no-blend, dispose=none
-      b.write(full, 12, 8 + vp8lSize) // the VP8L chunk verbatim
-      // RIFF sub-chunks pad to even size: an odd VP8L payload inside the
-      // ANMF body needs the pad byte too (strict demuxers walk padded
-      // sub-chunks; the chunk() helper applies the same rule)
-      if ((vp8lSize & 1) == 1) b.write(0)
-      chunk("ANMF", b.toByteArray)
+      w24(canvasW - 1); w24(canvasH - 1)
+      chunk("VP8X", b.toByteArray)
+    }
+    chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    frames.foreach { case (left, top, dur, file) =>
+      val (w, h, _) = decodeWebpPixels(file) // dims (and validity) from the file
+      writeAnmf(chunk, left, top, w, h, dur, file)
     }
     val payload = body.toByteArray
     tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)

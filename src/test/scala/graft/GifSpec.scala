@@ -89,12 +89,17 @@ class GifSpec extends AnyFunSuite {
     val df = Seq((77L, gif)).toDF("media_id", "bytes")
     val out = Gif.gifToFrames(df)
     assert(out.columns.toSeq == Seq("media_id", "frame_idx", "frame_left", "frame_top",
-      "px_row", "px_col", "channel", "value"))
+      "duration_ms", "px_row", "px_col", "channel", "value"))
+    // no GCE -> duration 0; a delayed frame surfaces centiseconds x 10
+    assert(out.select("duration_ms").distinct().head().getInt(0) == 0)
+    val delayed = Gif.gifToFrames(Seq((1L, Gif.synthGif(4, 2, Seq((1, 2, 3), (4, 5, 6)),
+      Seq(Gif.FrameSpec(0, 0, 4, 2, delayCs = 25)((r, c) => (r + c) % 2))))).toDF("media_id", "bytes"))
+    assert(delayed.select("duration_ms").distinct().head().getInt(0) == 250)
     assert(out.count() == (6 * 4 + 3 * 2) * 4)
     assert(out.filter(col("frame_idx") === 1).select("frame_left").head().getInt(0) == 2)
     // spot-check one pixel of frame 0: idx (0*6+1)%2 = 1 -> (6,5,4,255)
     val px = out.filter(col("frame_idx") === 0 && col("px_row") === 0 && col("px_col") === 1)
-      .orderBy("channel").collect().map(_.getInt(7))
+      .orderBy("channel").collect().map(_.getInt(8))
     assert(px.toSeq == Seq(6, 5, 4, 255))
   }
 
