@@ -2256,6 +2256,35 @@ object SparkEntry {
       .orderBy("img_id", "px_row", "px_col", "channel")
   }
 
+  // mm21 fixture parameters (shared with the oracle): per-MB Y2/U/V DC
+  // quantizer values for a 2x1-MB lossy still (DC then H prediction)
+  private val Mm21Vy = Array(16, 40)
+  private val Mm21Vu = Array(8, -12)
+  private val Mm21Vv = Array(20, 6)
+
+  /** MM21 — lossy WebP WITH an ALPHA PLANE (VP8X + ALPH + VP8, r11: the
+    * layout every transparent crawl WebP ships, a reject until now): a
+    * flat 2-MB lossy still whose ALPH chunk carries a GRADIENT-filtered
+    * raw plane — the decoder's unfilter must invert it exactly, so
+    * decoded alpha has the literal fixture formula as its closed form
+    * while RGB rides the mm19 integer chain. (Method-1/VP8L-compressed
+    * alpha is conformance-tested bit-exact against the reference decoder
+    * in WebpSpec.)
+    */
+  private def mm21(s: SparkSession, d: String) = {
+    import s.implicits._
+    def y2of(v: Int) = { val a = new Array[Int](16); a(0) = v; a }
+    def uvOf(v: Int) = Array.tabulate(4)(_ => { val a = new Array[Int](16); a(0) = v; a })
+    val lossy = operators.Vp8.encodeKeyframe(32, 16, 0, 0, (0 until 2).map { i =>
+      operators.Vp8.MbSpec(yMode = if (i == 0) 0 else 2, uvMode = if (i == 0) 0 else 2,
+        y2 = y2of(Mm21Vy(i)), u = uvOf(Mm21Vu(i)), v = uvOf(Mm21Vv(i)))
+    })
+    val file = operators.Webp.synthWebpLossyAlpha(lossy,
+      (r, c) => (r * 13 + c * 7 + 5) % 256, filterM = 3)
+    operators.Webp.webpToPixels(Seq((1L, file)).toDF("img_id", "bytes"))
+      .orderBy("px_row", "px_col", "channel")
+  }
+
   /** MM20 — video-duration rollup over BOTH animated containers (r11):
     * a delayed multi-frame GIF (centisecond GCE delays — new frame
     * timing surface) and an animated WebP MIXING a lossless VP8L frame
@@ -4819,6 +4848,7 @@ object SparkEntry {
     "mm18_webp_anim" -> (mm18 _),
     "mm19_webp_lossy" -> (mm19 _),
     "mm20_frame_durations" -> (mm20 _),
+    "mm21_webp_alpha" -> (mm21 _),
     "au1_stft_energy" -> (au1 _),
     "e15_phash_neardup" -> (e15 _),
     "shuf1_epoch_shuffle" -> (shuf1 _),
@@ -5895,6 +5925,38 @@ object SparkEntry {
          |    ch AS channel, $rgba AS value FROM p2)
          |SELECT * FROM f1 UNION ALL SELECT * FROM f2
          |ORDER BY img_id, px_row, px_col, channel""".stripMargin
+    },
+    // mm21: RGB regenerates through the mm19 integer chains from the
+    // per-MB DC literals (DC then H prediction = a running sum); ALPHA
+    // regenerates as the literal fixture formula — the gradient filter,
+    // the ALPH framing, and the plane merge must all be invisible
+    "mm21_webp_alpha" -> {
+      def dY(v: Int) = s"floor((floor(($v*8+3)/8.0)+4)/8.0)"
+      def dUV(v: Int) = s"floor(($v*4+4)/8.0)"
+      val cy = Array(s"(128 + ${dY(Mm21Vy(0))})",
+        s"(128 + ${dY(Mm21Vy(0))} + ${dY(Mm21Vy(1))})")
+      val cu = Array(s"(128 + ${dUV(Mm21Vu(0))})",
+        s"(128 + ${dUV(Mm21Vu(0))} + ${dUV(Mm21Vu(1))})")
+      val cvv = Array(s"(128 + ${dUV(Mm21Vv(0))})",
+        s"(128 + ${dUV(Mm21Vv(0))} + ${dUV(Mm21Vv(1))})")
+      def mbCase(cs: Array[String]) =
+        s"CASE c // 16 WHEN 0 THEN ${cs(0)} ELSE ${cs(1)} END"
+      def clip6(x: String) =
+        s"CASE WHEN ($x) < 0 THEN 0 WHEN ($x) > 16383 THEN 255 ELSE CAST(floor(($x) / 64.0) AS INT) END"
+      val my = "floor(yv*19077/256.0)"
+      s"""WITH g AS (SELECT CAST(id // ${32 * 4} AS INT) AS r,
+         |    CAST((id % ${32 * 4}) // 4 AS INT) AS c, CAST(id % 4 AS INT) AS ch
+         |  FROM range(${32 * 16 * 4}) t(id)),
+         |p AS (SELECT r, c, ch, ${mbCase(cy)} AS yv,
+         |    ${mbCase(cu)} AS uv, ${mbCase(cvv)} AS vv FROM g)
+         |SELECT CAST(1 AS BIGINT) AS img_id, r AS px_row, c AS px_col,
+         |  ch AS channel,
+         |  CAST(CASE ch
+         |    WHEN 3 THEN (r*13 + c*7 + 5) % 256
+         |    WHEN 0 THEN ${clip6(s"$my + floor(vv*26149/256.0) - 14234")}
+         |    WHEN 1 THEN ${clip6(s"$my - floor(uv*6419/256.0) - floor(vv*13320/256.0) + 8708")}
+         |    ELSE ${clip6(s"$my + floor(uv*33050/256.0) - 17685")} END AS INT) AS value
+         |FROM p ORDER BY px_row, px_col, channel""".stripMargin
     },
     // mm20: every frame's pixels regenerate closed-form (GIF palette
     // formulas, the VP8L pix formula, the mm19 integer chain for the

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.StructField
   *   - RIFF walk: `VP8L` payloads decode losslessly; `VP8 ` (lossy)
   *     stills and animation frames decode through the [[Vp8]] keyframe
   *     decoder (r11 — conformance-tested bit-exact against the reference
-  *     decoder's YUV output); ALPH-bearing lossy layouts reject
-  *     DESCRIPTIVELY (no alpha-plane decoder) — a curation pipeline
-  *     counts them via `mediaCensusWithRejects`.
+  *     decoder's YUV output); ALPH alpha planes decode too (r11: raw and
+  *     VP8L-compressed methods, all four prediction filters) and merge
+  *     into the ARGB output — the transparent-crawl-WebP layout is fully
+  *     first-class.
   *   - LSB-first bitstream, 14-bit dimensions, version 0.
   *   - Prefix codes: simple (1-2 symbol) AND full canonical
   *     code-length-coded alphabets (19-symbol length code, repeats
@@ -431,15 +432,15 @@ object Webp {
   // ---- container + top-level decode ----
 
   /** Locate the image payload inside the RIFF/WEBP container: returns
-    * (start, end, lossy?) for the first VP8L (lossless) or VP8 (lossy)
-    * chunk. Alpha-bearing lossy layouts (ALPH sidecar plane) reject
-    * descriptively — the census counts them.
+    * (start, end, lossy?, alph) for the first VP8L (lossless) or VP8
+    * (lossy) chunk, with the preceding ALPH chunk's (start, size) when
+    * the lossy layout carries an alpha plane (r11 — decodable now).
     */
-  private def imagePayload(bytes: Array[Byte]): (Int, Int, Boolean) = {
+  private def imagePayload(bytes: Array[Byte]): (Int, Int, Boolean, Option[(Int, Int)]) = {
     def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
       s.indices.forall(i => bytes(off + i) == s(i).toByte)
     require(ascii(0, "RIFF") && ascii(8, "WEBP"), "not a RIFF/WEBP container")
-    var sawAlph = false
+    var alph: Option[(Int, Int)] = None
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val tag = new String(bytes, pos, 4, "US-ASCII")
@@ -448,12 +449,9 @@ object Webp {
       require(size >= 0 && pos + 8 + size <= bytes.length,
         s"WEBP chunk '$tag' overruns the file")
       tag match {
-        case "VP8L" => return (pos + 8, (pos + 8 + size).toInt, false)
-        case "VP8 " =>
-          require(!sawAlph,
-            "lossy WebP with an ALPH alpha plane is not decodable (VP8 keyframe only)")
-          return (pos + 8, (pos + 8 + size).toInt, true)
-        case "ALPH" => sawAlph = true
+        case "VP8L" => return (pos + 8, (pos + 8 + size).toInt, false, None)
+        case "VP8 " => return (pos + 8, (pos + 8 + size).toInt, true, alph)
+        case "ALPH" => alph = Some((pos + 8, size.toInt))
         case _ => // VP8X/EXIF/ICCP/ANIM...: keep walking for the image chunk
       }
       pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
@@ -463,14 +461,21 @@ object Webp {
   }
 
   /** Full still-image decode, lossless (VP8L) or lossy (VP8 keyframe via
-    * [[Vp8]]): (width, height, ARGB pixels row-major). Lossy pixels are
-    * the reference decoder's YUV420 reconstruction through the exact
-    * integer BT.601 transform (nearest chroma), alpha 255.
+    * [[Vp8]], with the ALPH alpha plane merged when present — r11):
+    * (width, height, ARGB pixels row-major). Lossy pixels are the
+    * reference decoder's YUV420 reconstruction through the exact integer
+    * BT.601 transform (nearest chroma); alpha 255 when no plane ships.
     */
   def decodeWebpPixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val (from, end, lossy) = imagePayload(bytes)
-    if (lossy) Vp8.decodeToArgb(bytes, from, end - from)
-    else decodeVp8l(bytes, from)
+    val (from, end, lossy, alph) = imagePayload(bytes)
+    if (lossy) {
+      val (w, h, px) = Vp8.decodeToArgb(bytes, from, end - from)
+      alph match {
+        case Some((a0, asz)) =>
+          (w, h, withAlpha(px, decodeAlphaPlane(bytes, a0, asz, w, h)))
+        case None => (w, h, px)
+      }
+    } else decodeVp8l(bytes, from)
   }
 
   /** One VP8L payload starting at `from` (signature byte first). */
@@ -489,6 +494,14 @@ object Webp {
     // allocation below, not a plausibility claim about crawl content.
     require(width.toLong * height <= (1L << 28),
       s"WebP geometry ${width}x$height exceeds the 2^28-pixel allocation guard")
+    (width, height, decodeVp8lBody(br, width, height))
+  }
+
+  /** The VP8L image stream AFTER the 5-byte header — also the exact
+    * layout an ALPH chunk's lossless payload uses (headerless, dims
+    * supplied by the caller — the r11 alpha-plane path).
+    */
+  private def decodeVp8lBody(br: BitReader, width: Int, height: Int): Array[Int] = {
     // transforms, in read order
     var packedW = width
     var palette: Array[Int] = null
@@ -563,7 +576,107 @@ object Webp {
         inversePredictor(px, curW, height, bits, modes, modesW)
     }
     require(curW == width, "color-indexing transform missing for packed stream")
-    (width, height, px)
+    px
+  }
+
+  /** Decode one ALPH chunk's alpha plane (r11 — the lossy-with-alpha
+    * layout every transparent crawl WebP ships): header byte = 2-bit
+    * compression method (0 raw, 1 headerless VP8L with alpha in GREEN),
+    * 2-bit prediction filter (none/horizontal/vertical/gradient,
+    * unfiltered with the reference decoder's exact left/top/gradient
+    * semantics), 2-bit pre-processing (quantized levels pass through —
+    * the reference only smooths them under its opt-in dithering flag).
+    * Returns w*h alpha values 0..255, row-major.
+    */
+  private[operators] def decodeAlphaPlane(
+      bytes: Array[Byte], from: Int, size: Int, w: Int, h: Int): Array[Int] = {
+    require(size >= 1, "ALPH chunk empty")
+    val hdr = bytes(from) & 0xff
+    val method = hdr & 3
+    val filterM = (hdr >> 2) & 3
+    val pre = (hdr >> 4) & 3
+    require(method <= 1, s"ALPH compression method $method unsupported (raw/lossless only)")
+    require(pre <= 1, s"ALPH pre-processing $pre out of spec")
+    val plane: Array[Int] =
+      if (method == 0) {
+        require(1L + w.toLong * h <= size,
+          s"raw ALPH plane ${w}x$h overruns the ${size}-byte chunk")
+        Array.tabulate(w * h)(i => bytes(from + 1 + i) & 0xff)
+      } else {
+        val br = new BitReader(bytes, from + 1)
+        val px = decodeVp8lBody(br, w, h)
+        px.map(p => (p >> 8) & 0xff) // alpha rides the GREEN channel
+      }
+    // prediction filters (reference semantics: row 0 of every filter is
+    // the horizontal chain seeded 0; later rows seed from the row above)
+    filterM match {
+      case 0 => // none
+      case 1 => // horizontal
+        var y = 0
+        while (y < h) {
+          var pred = if (y == 0) 0 else plane((y - 1) * w)
+          var x = 0
+          while (x < w) {
+            val v = (plane(y * w + x) + pred) & 0xff
+            plane(y * w + x) = v; pred = v
+            x += 1
+          }
+          y += 1
+        }
+      case 2 => // vertical
+        var pred = 0
+        var x = 0
+        while (x < w) { // row 0 = horizontal chain
+          val v = (plane(x) + pred) & 0xff
+          plane(x) = v; pred = v
+          x += 1
+        }
+        var y = 1
+        while (y < h) {
+          x = 0
+          while (x < w) {
+            plane(y * w + x) = (plane(y * w + x) + plane((y - 1) * w + x)) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+      case _ => // gradient
+        var pred = 0
+        var x = 0
+        while (x < w) {
+          val v = (plane(x) + pred) & 0xff
+          plane(x) = v; pred = v
+          x += 1
+        }
+        var y = 1
+        while (y < h) {
+          var left = plane((y - 1) * w)
+          var topLeft = left
+          x = 0
+          while (x < w) {
+            val top = plane((y - 1) * w + x)
+            val g = clamp255(left + top - topLeft)
+            left = (plane(y * w + x) + g) & 0xff
+            plane(y * w + x) = left
+            topLeft = top
+            x += 1
+          }
+          y += 1
+        }
+    }
+    plane
+  }
+
+  /** Merge a decoded alpha plane into packed ARGB pixels. */
+  private def withAlpha(px: Array[Int], alpha: Array[Int]): Array[Int] = {
+    require(px.length == alpha.length,
+      s"alpha plane ${alpha.length} px vs image ${px.length} px")
+    var i = 0
+    while (i < px.length) {
+      px(i) = (px(i) & 0x00ffffff) | (alpha(i) << 24)
+      i += 1
+    }
+    px
   }
 
   /** One decoded animation frame: canvas offset, duration, dims, ARGB. */
@@ -588,7 +701,7 @@ object Webp {
     var canvasW = 0; var canvasH = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[AnimFrame]
     var sawAnim = false
-    var sawAlph = false
+    var stillAlph: Option[(Int, Int)] = None
     var pos = 12
     while (pos + 8 <= bytes.length) {
       val tag = new String(bytes, pos, 4, "US-ASCII")
@@ -618,26 +731,47 @@ object Webp {
             ((bytes(sub + 6) & 0xffL) << 16) | ((bytes(sub + 7) & 0xffL) << 24)
           require(subSize >= 0 && sub + 8 + subSize <= body + size,
             "ANMF image chunk overruns the frame")
-          val (fw, fh, px) = subTag match {
-            case "VP8L" => decodeVp8l(bytes, sub + 8)
-            case "VP8 " => Vp8.decodeToArgb(bytes, sub + 8, subSize.toInt)
-            case "ALPH" => throw new IllegalArgumentException(
-              "ANMF frames with an ALPH alpha plane are not decodable")
+          // frame layout: optional ALPH sub-chunk, then the image chunk
+          var imgAt = sub
+          var imgTag = subTag
+          var imgSize = subSize
+          var frameAlph: Option[(Int, Int)] = None
+          if (subTag == "ALPH") {
+            frameAlph = Some((sub + 8, subSize.toInt))
+            imgAt = sub + 8 + subSize.toInt + (subSize.toInt & 1)
+            require(imgAt + 8 <= body + size, "ANMF carries no image chunk after ALPH")
+            imgTag = new String(bytes, imgAt, 4, "US-ASCII")
+            imgSize = (bytes(imgAt + 4) & 0xffL) | ((bytes(imgAt + 5) & 0xffL) << 8) |
+              ((bytes(imgAt + 6) & 0xffL) << 16) | ((bytes(imgAt + 7) & 0xffL) << 24)
+            require(imgSize >= 0 && imgAt + 8 + imgSize <= body + size,
+              "ANMF image chunk overruns the frame")
+          }
+          val (fw, fh, px) = imgTag match {
+            case "VP8L" => decodeVp8l(bytes, imgAt + 8)
+            case "VP8 " =>
+              val (pw, ph, p) = Vp8.decodeToArgb(bytes, imgAt + 8, imgSize.toInt)
+              frameAlph match {
+                case Some((a0, asz)) =>
+                  (pw, ph, withAlpha(p, decodeAlphaPlane(bytes, a0, asz, pw, ph)))
+                case None => (pw, ph, p)
+              }
             case other => throw new IllegalArgumentException(
               s"ANMF image chunk '$other' unsupported (VP8L/VP8 only)")
           }
           require(fw == w && fh == h,
-            s"ANMF declares ${w}x$h but the ${subTag.trim} payload is ${fw}x$fh")
+            s"ANMF declares ${w}x$h but the ${imgTag.trim} payload is ${fw}x$fh")
           frames += AnimFrame(left, top, w, h, dur, px)
         case "VP8L" =>
           val (w, h, px) = decodeVp8l(bytes, body)
           return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
         case "VP8 " =>
-          require(!sawAlph,
-            "lossy WebP with an ALPH alpha plane is not decodable (VP8 keyframe only)")
-          val (w, h, px) = Vp8.decodeToArgb(bytes, body, size.toInt)
+          val (w, h, px0) = Vp8.decodeToArgb(bytes, body, size.toInt)
+          val px = stillAlph match {
+            case Some((a0, asz)) => withAlpha(px0, decodeAlphaPlane(bytes, a0, asz, w, h))
+            case None => px0
+          }
           return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
-        case "ALPH" => sawAlph = true
+        case "ALPH" => stillAlph = Some((body, size.toInt))
         case _ => // ICCP/EXIF/XMP: skip
       }
       pos += 8 + size.toInt + (size.toInt & 1)
@@ -789,6 +923,87 @@ object Webp {
       val (w, h, _) = decodeWebpPixels(file) // dims (and validity) from the file
       writeAnmf(chunk, left, top, w, h, dur, file)
     }
+    val payload = body.toByteArray
+    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
+    out.toByteArray
+  }
+
+  /** Lossy still WITH an alpha plane (VP8X + ALPH + VP8) from a complete
+    * lossy container (`Vp8.encodeKeyframe` output) and a per-pixel alpha
+    * formula — the encode half for the alpha-bearing layout. The plane
+    * ships RAW (method 0), optionally forward-FILTERED (1 horizontal /
+    * 2 vertical / 3 gradient — the decoder's unfilter must invert it
+    * exactly), so decoded alpha has the closed form `alphaOf` itself.
+    */
+  def synthWebpLossyAlpha(lossyFile: Array[Byte], alphaOf: (Int, Int) => Int,
+      filterM: Int = 0): Array[Byte] = {
+    require(filterM >= 0 && filterM <= 3, s"ALPH filter $filterM")
+    val (w, h, _) = decodeWebpPixels(lossyFile)
+    val a = Array.tabulate(h * w) { i =>
+      val v = alphaOf(i / w, i % w)
+      require(v >= 0 && v <= 255, s"alpha $v out of range"); v
+    }
+    val res = new Array[Int](h * w)
+    filterM match {
+      case 0 => System.arraycopy(a, 0, res, 0, a.length)
+      case 1 =>
+        for (y <- 0 until h) {
+          var pred = if (y == 0) 0 else a((y - 1) * w)
+          for (x <- 0 until w) {
+            res(y * w + x) = (a(y * w + x) - pred) & 0xff
+            pred = a(y * w + x)
+          }
+        }
+      case 2 =>
+        var pred = 0
+        for (x <- 0 until w) { res(x) = (a(x) - pred) & 0xff; pred = a(x) }
+        for (y <- 1 until h; x <- 0 until w)
+          res(y * w + x) = (a(y * w + x) - a((y - 1) * w + x)) & 0xff
+      case _ =>
+        var pred = 0
+        for (x <- 0 until w) { res(x) = (a(x) - pred) & 0xff; pred = a(x) }
+        for (y <- 1 until h) {
+          var left = a((y - 1) * w); var topLeft = left
+          for (x <- 0 until w) {
+            val top = a((y - 1) * w + x)
+            val g = math.max(0, math.min(255, left + top - topLeft))
+            res(y * w + x) = (a(y * w + x) - g) & 0xff
+            left = a(y * w + x); topLeft = top
+          }
+        }
+    }
+    val vp8Size = (lossyFile(16) & 0xff) | ((lossyFile(17) & 0xff) << 8) |
+      ((lossyFile(18) & 0xff) << 16) | ((lossyFile(19) & 0xff) << 24)
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    def chunk(t: String, payload: Array[Byte]): Unit = {
+      body.write(t.getBytes("US-ASCII"))
+      val s = payload.length
+      body.write(s & 0xff); body.write((s >> 8) & 0xff)
+      body.write((s >> 16) & 0xff); body.write((s >> 24) & 0xff)
+      body.write(payload)
+      if ((s & 1) == 1) body.write(0)
+    }
+    locally { // VP8X: alpha flag (0x10), canvas minus-one
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(0x10); b.write(0); b.write(0); b.write(0)
+      def w24(v: Int): Unit = {
+        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
+      }
+      w24(w - 1); w24(h - 1)
+      chunk("VP8X", b.toByteArray)
+    }
+    val alphPayload = new Array[Byte](1 + res.length)
+    alphPayload(0) = (filterM << 2).toByte // method 0, no pre-processing
+    var i = 0
+    while (i < res.length) { alphPayload(1 + i) = res(i).toByte; i += 1 }
+    chunk("ALPH", alphPayload)
+    body.write(lossyFile, 12, 8 + vp8Size + (vp8Size & 1))
     val payload = body.toByteArray
     tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
     out.toByteArray

@@ -133,7 +133,17 @@ class CodecFuzzSpec extends AnyFunSuite {
       val in = getClass.getResourceAsStream("/vp8/edges_80x64_q25.webp")
       try in.readAllBytes() finally in.close()
     }
-    fuzz("vp8", Seq(synth, real))(Webp.decodeWebpPixels)
+    // alpha-bearing layouts: a synth raw-filtered plane + a real
+    // method-1 (VP8L-compressed) plane from the reference encoder
+    val alphaSynth = Webp.synthWebpLossyAlpha(
+      Vp8.encodeKeyframe(19, 13, 8, 10,
+        Seq(Vp8.MbSpec(0, 0, y2 = y2), Vp8.MbSpec(1, 1))),
+      (r, c) => (r * 7 + c * 3) % 256, filterM = 3)
+    val alphaReal = {
+      val in = getClass.getResourceAsStream("/vp8alpha/blocky_40x24_q60.webp")
+      try in.readAllBytes() finally in.close()
+    }
+    fuzz("vp8", Seq(synth, real, alphaSynth, alphaReal))(Webp.decodeWebpPixels)
   }
 
   test("WAV decoders never escape fail-closed") {

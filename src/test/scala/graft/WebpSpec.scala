@@ -122,6 +122,77 @@ class WebpSpec extends AnyFunSuite {
     }
   }
 
+  test("ALPH conformance: real lossy+alpha encodes decode to the reference alpha + YUV") {
+    // tools/vp8_alpha_fixtures.py: WebPEncodeRGBA(quality<100) output
+    // (VP8X + ALPH method-1/VP8L + VP8) with the reference decoder's own
+    // alpha channel and YUV planes as expected values
+    val mf = {
+      val in = getClass.getResourceAsStream("/vp8alpha/manifest.txt")
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    for (line <- mf.trim.split("\n")) {
+      val Array(name, ws, hs) = line.trim.split(" ")
+      val w = ws.toInt; val h = hs.toInt
+      def res(ext: String) = {
+        val in = getClass.getResourceAsStream(s"/vp8alpha/$name.$ext")
+        try in.readAllBytes() finally in.close()
+      }
+      val webp = res("webp")
+      val (dw, dh, px) = Webp.decodeWebpPixels(webp)
+      assert((dw, dh) == ((w, h)), name)
+      val wantA = res("alpha")
+      var badA = 0
+      for (i <- 0 until w * h)
+        if (((px(i) >>> 24) & 0xff) != (wantA(i) & 0xff)) badA += 1
+      assert(badA == 0, s"$name: $badA mismatched alpha samples")
+      // the paired VP8 keyframe still matches the reference YUV
+      val vp8At = {
+        var p = 12; var found = -1
+        while (found < 0 && p + 8 <= webp.length) {
+          val tag = new String(webp, p, 4, "US-ASCII")
+          val sz = (webp(p + 4) & 0xff) | ((webp(p + 5) & 0xff) << 8) |
+            ((webp(p + 6) & 0xff) << 16) | ((webp(p + 7) & 0xff) << 24)
+          if (tag == "VP8 ") found = p else p += 8 + sz + (sz & 1)
+        }
+        found
+      }
+      assert(vp8At > 0, name)
+      val sz = (webp(vp8At + 4) & 0xff) | ((webp(vp8At + 5) & 0xff) << 8) |
+        ((webp(vp8At + 6) & 0xff) << 16) | ((webp(vp8At + 7) & 0xff) << 24)
+      val f = operators.Vp8.decodeFrame(webp, vp8At + 8, sz)
+      val yuv = res("yuv")
+      var badY = 0
+      for (r <- 0 until h; c <- 0 until w)
+        if (f.y(r * f.yStride + c) != (yuv(r * w + c) & 0xff)) badY += 1
+      assert(badY == 0, s"$name: $badY mismatched Y samples")
+    }
+  }
+
+  test("synthWebpLossyAlpha: every ALPH filter round-trips; alpha merges into pixels") {
+    def af(r: Int, c: Int): Int = (r * 11 + c * 29 + 3) % 256
+    val lossy = operators.Vp8.encodeKeyframe(20, 18, 0, 0, Seq(
+      operators.Vp8.MbSpec(yMode = 0, uvMode = 0,
+        y2 = { val a = new Array[Int](16); a(0) = 16; a }),
+      operators.Vp8.MbSpec(yMode = 2, uvMode = 2,
+        y2 = { val a = new Array[Int](16); a(0) = -8; a }),
+      operators.Vp8.MbSpec(yMode = 1, uvMode = 1),
+      operators.Vp8.MbSpec(yMode = 1, uvMode = 1,
+        y2 = { val a = new Array[Int](16); a(0) = 24; a })))
+    for (filterM <- 0 to 3) {
+      val file = Webp.synthWebpLossyAlpha(lossy, af, filterM)
+      val (w, h, px) = Webp.decodeWebpPixels(file)
+      assert((w, h) == ((20, 18)), s"filter $filterM")
+      for (r <- 0 until h; c <- 0 until w)
+        assert(((px(r * w + c) >>> 24) & 0xff) == af(r, c),
+          s"filter $filterM alpha ($r,$c)")
+    }
+    // the RGB under the alpha is the plain lossy decode
+    val plain = Webp.decodeWebpPixels(lossy)._3
+    val merged = Webp.decodeWebpPixels(Webp.synthWebpLossyAlpha(lossy, af))._3
+    assert(plain.zip(merged).forall { case (p, m) =>
+      (p & 0xffffff) == (m & 0xffffff) })
+  }
+
   test("palette (color-indexing) round trips incl. sub-byte bundling") {
     // sizes straddling every bundling width: 2 -> 8px/byte, 3..4 ->
     // 4px/byte, 5..16 -> 2px/byte, 17+ -> unpacked
