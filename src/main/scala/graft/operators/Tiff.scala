@@ -267,8 +267,15 @@ object Tiff {
   // table add, so it reads at w(nextCode+1)). The encoder emits a clear
   // when n reaches 4094, so code 4095 is never assigned.
 
+  // Code width while the next table entry will be `n`: plain-LZW timing
+  // (bump at 512/1024/2048 table entries). Round 10 bumped one code
+  // EARLY (a misreading of the "TIFF early change" lore) — self-
+  // consistent round trips hid it while real encoders' files misdecoded
+  // and real readers (the JDK's JAI codec, libtiff-interop-tested for
+  // decades) crashed on the in-repo writer's output. Caught by the r11
+  // ImageIoConformanceSpec (the VP8L lesson applied to every codec).
   private def lzwWidth(n: Int): Int =
-    if (n <= 510) 9 else if (n <= 1022) 10 else if (n <= 2046) 11 else 12
+    if (n <= 511) 9 else if (n <= 1023) 10 else if (n <= 2047) 11 else 12
 
   /** Decode one LZW-compressed block. `maxOut` bounds the output (the
     * caller knows the uncompressed block size); a stream that would
