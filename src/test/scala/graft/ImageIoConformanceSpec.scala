@@ -188,6 +188,109 @@ class ImageIoConformanceSpec extends AnyFunSuite {
         s"tiff ($y,$x)")
   }
 
+  test("PNG/GIF/BMP reverse: the JDK decodes the in-repo writers' output exactly") {
+    // PNG truecolor (all five filters exercised by content variety)
+    val w = 21; val h = 14
+    val png = MultimodalOps.synthPng(w, h, 3)(
+      (r, c, k) => (r * 23 + c * 31 + k * 41 + 7) % 256)
+    val pimg = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(pimg != null, "JDK cannot decode the in-repo PNG")
+    for (r <- 0 until h; c <- 0 until w) {
+      val want = ((0xff << 24) | (((r * 23 + c * 31 + 7) % 256) << 16) |
+        (((r * 23 + c * 31 + 48) % 256) << 8) | ((r * 23 + c * 31 + 89) % 256))
+      assert(pimg.getRGB(c, r) == want, s"png reverse ($r,$c)")
+    }
+    // PNG palette + 16-bit gray
+    val pal = Seq((10, 200, 30), (250, 40, 90), (5, 5, 5))
+    val palPng = MultimodalOps.synthPngPalette(9, 6, pal)((r, c) => (r + c) % 3)
+    val palImg = ImageIO.read(new java.io.ByteArrayInputStream(palPng))
+    assert(palImg != null)
+    for (r <- 0 until 6; c <- 0 until 9) {
+      val (pr, pg, pb) = pal((r + c) % 3)
+      assert(palImg.getRGB(c, r) == ((0xff << 24) | (pr << 16) | (pg << 8) | pb),
+        s"png palette reverse ($r,$c)")
+    }
+    // GIF (the LZW dialect + table layout must satisfy a real reader)
+    val gpal = (0 until 6).map(i => ((i * 41) % 256, (i * 73) % 256, (i * 97) % 256))
+    val gif = Gif.synthGif(14, 10, gpal,
+      Seq(Gif.FrameSpec(0, 0, 14, 10)((r, c) => (r * 7 + c * 3) % 6)))
+    val gimg = ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(gimg != null, "JDK cannot decode the in-repo GIF")
+    for (r <- 0 until 10; c <- 0 until 14) {
+      val k = (r * 7 + c * 3) % 6
+      val want = (0xff << 24) | (((k * 41) % 256) << 16) |
+        (((k * 73) % 256) << 8) | ((k * 97) % 256)
+      assert(gimg.getRGB(c, r) == want, s"gif reverse ($r,$c)")
+    }
+    // BMP 24-bit
+    val bmp = MultimodalOps.synthBmp(9, 6, 3)(
+      (r, c, k) => (r * 37 + c * 11 + k * 71 + 3) % 256)
+    val bimg = ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(bimg != null, "JDK cannot decode the in-repo BMP")
+    for (r <- 0 until 6; c <- 0 until 9) {
+      val want = (0xff << 24) | (((r * 37 + c * 11 + 3) % 256) << 16) |
+        (((r * 37 + c * 11 + 74) % 256) << 8) | ((r * 37 + c * 11 + 145) % 256)
+      assert(bimg.getRGB(c, r) == want, s"bmp reverse ($r,$c)")
+    }
+  }
+
+  test("JPEG reverse: the JDK decodes the in-repo baseline encoder within tolerance") {
+    // DC-only blocks have a closed-form constant per block — the JDK's
+    // IDCT must land within ±1 of it
+    val q = Array.fill(64)(16)
+    val bytes = Jpeg.synthJpeg(32, 16, 1, Seq(q)) { (_, by, bx) =>
+      val nat = new Array[Int](64); nat(0) = ((by * 3 + bx) * 7) % 40 - 20; nat
+    }
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK cannot decode the in-repo JPEG")
+    val c0sq = Jpeg.C0 * Jpeg.C0
+    var maxd = 0
+    for (r <- 0 until 16; c <- 0 until 32) {
+      val dc = ((r / 8 * 3 + c / 8) * 7) % 40 - 20
+      val want = math.max(0, math.min(255,
+        math.floor(c0sq * (dc * 16).toDouble * 0.25 + 128.0 + 0.5).toInt))
+      val got = img.getRaster.getSample(c, r, 0)
+      maxd = math.max(maxd, math.abs(got - want))
+    }
+    assert(maxd <= 1, s"jpeg reverse: max diff $maxd from the closed form")
+  }
+
+  test("ZIP interop: java.util.zip reads the in-repo writer and vice versa") {
+    import java.util.zip._
+    val members = Seq(
+      "a/b.txt" -> "zip interop".getBytes("UTF-8"),
+      "c.bin" -> Array.tabulate(3000)(i => (i * 7 % 251).toByte))
+    // reverse: ZipInputStream over my synthZip (both methods)
+    for (deflate <- Seq(true, false)) {
+      val zin = new ZipInputStream(new java.io.ByteArrayInputStream(
+        operators.Zip.synthZip(members, _ => deflate)))
+      for ((name, data) <- members) {
+        val e = zin.getNextEntry
+        assert(e != null && e.getName == name, s"jdk zip entry $name (deflate=$deflate)")
+        assert(zin.readAllBytes().sameElements(data), s"jdk zip payload $name")
+      }
+      assert(zin.getNextEntry == null)
+    }
+    // and zip64: the JDK reads the forced-marker layout too
+    val zin64 = new ZipInputStream(new java.io.ByteArrayInputStream(
+      operators.Zip.synthZip(members, _ => true, forceZip64 = true)))
+    for ((name, data) <- members) {
+      val e = zin64.getNextEntry
+      assert(e != null && e.getName == name, s"jdk zip64 entry $name")
+      assert(zin64.readAllBytes().sameElements(data), s"jdk zip64 payload $name")
+    }
+    // forward: my reader over ZipOutputStream output
+    val bos = new java.io.ByteArrayOutputStream()
+    val zout = new ZipOutputStream(bos)
+    for ((name, data) <- members) {
+      zout.putNextEntry(new ZipEntry(name)); zout.write(data); zout.closeEntry()
+    }
+    zout.close()
+    val got = operators.Zip.zipEntries(bos.toByteArray)
+    assert(got.map(_._1) == members.map(_._1))
+    got.zip(members).foreach { case ((_, g), (_, w)) => assert(g.sameElements(w)) }
+  }
+
   test("TIFF reverse: the JDK decodes the in-repo LZW writer's output exactly") {
     // the direction that caught the r11 width bug: a self-consistent
     // encoder/decoder pair must ALSO produce files real readers accept
@@ -219,5 +322,18 @@ class ImageIoConformanceSpec extends AnyFunSuite {
     assert(samples.length == n * 2)
     for (f <- 0 until n; c <- 0 until 2)
       assert(samples(f * 2 + c) == ((f * 523 + c * 117) % 65536) - 32768, s"wav ($f,$c)")
+    // reverse: javax.sound reads the in-repo writer's output exactly
+    val mine = MultimodalOps.synthWavPcm(8000, 2, 16, n)(
+      (f, c) => ((f * 523 + c * 117) % 65536) - 32768)
+    val ais2 = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(mine))
+    assert(ais2.getFormat.getSampleRate == 8000f &&
+      ais2.getFormat.getChannels == 2 && ais2.getFormat.getSampleSizeInBits == 16)
+    val back = ais2.readAllBytes()
+    assert(back.length == n * 4)
+    for (f <- 0 until n; c <- 0 until 2) {
+      val v = ((back((f * 2 + c) * 2) & 0xff) |
+        (back((f * 2 + c) * 2 + 1) << 8)).toShort.toInt
+      assert(v == ((f * 523 + c * 117) % 65536) - 32768, s"wav reverse ($f,$c)")
+    }
   }
 }
