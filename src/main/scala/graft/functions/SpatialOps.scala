@@ -241,10 +241,17 @@ object SpatialOps {
       "\\)\\s*$", "")
     val kw = "POINT|LINESTRING|POLYGON|MULTIPOINT|MULTILINESTRING|" +
       "MULTIPOLYGON|GEOMETRYCOLLECTION"
-    val members = transform(
-      split(body, s",\\s*(?=(?i:$kw)\\b)"), m => trim(m))
+    // drop empty fragments so the nonstandard-but-seen 'GEOMETRYCOLLECTION ()'
+    // spelling counts as zero members like EMPTY, instead of emitting one
+    // empty-string member that dies confusingly in a downstream parser
+    val members = filter(
+      transform(split(body, s",\\s*(?=(?i:$kw)\\b)"), m => trim(m)),
+      m => m =!= "")
     when(wkt.isNull, lit(null).cast("array<string>"))
       .when(typ =!= "GEOMETRYCOLLECTION", array(wkt))
+      .when(upper(wkt).rlike("^\\s*GEOMETRYCOLLECTION\\s+(Z|M|ZM)\\b"),
+        raise_error(concat(
+          lit("3D/measured GEOMETRYCOLLECTION unsupported (2D only): "), wkt)))
       .when(upper(wkt).rlike("^\\s*GEOMETRYCOLLECTION\\s+EMPTY\\s*$"),
         array().cast("array<string>"))
       .when(exists(members, m =>

@@ -762,12 +762,20 @@ object CrsWkt {
             ("Scale factor at natural origin", 8805, k0, "unity"),
             ("False easting", 8806, fe, "metre"),
             ("False northing", 8807, fn, "metre")))
-        else
+        else {
+          // variant B's scale factor is 1 by definition — silently
+          // dropping a non-1 value would emit PROJJSON describing a
+          // DIFFERENT projection than the WKT declared (buildProjection
+          // rejects the same parameterization)
+          require(k0 == 1.0,
+            s"polar stereographic scale_factor $k0 with standard parallel " +
+              s"$ts has no PROJJSON spelling (variant B's scale factor is 1)")
           ("Polar Stereographic (variant B)", 9829, Seq(
             ("Latitude of standard parallel", 8832, ts, "degree"),
             ("Longitude of origin", 8833, c, "degree"),
             ("False easting", 8806, fe, "metre"),
             ("False northing", 8807, fn, "metre")))
+        }
       case other => throw new IllegalArgumentException(
         s"toProjjson: projection family '$other' has no PROJJSON mapping")
     }

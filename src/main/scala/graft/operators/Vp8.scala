@@ -213,10 +213,7 @@ object Vp8 {
     var yMode = 0 // 0..3 or 4 = B_PRED
     var uvMode = 0
     val bModes = new Array[Int](16)
-    var hasCoeffs = false
-    // dequantized coefficients, natural order: 24 blocks of 16
-    // (16 Y then 4 U then 4 V); Y DCs already carry the Y2 WHT output.
-    var coeffs: Array[Int] = null
+    var hasCoeffs = false // any nonzero coefficient (the loop filter's input)
   }
 
   // ---- dequantization (RFC 6386 §14.1) ----
@@ -650,8 +647,14 @@ object Vp8 {
     val width = w16 & 0x3fff
     val height = h16 & 0x3fff
     require(width > 0 && height > 0, "VP8 zero dimension")
-    require(width.toLong * height <= (1L << 28),
-      s"VP8 geometry ${width}x$height exceeds the 2^28-pixel allocation guard")
+    // Allocation guard: a lossy frame's decode footprint is three int
+    // planes (+ the caller's ARGB) ≈ 10 bytes/pixel, so 2^26 pixels
+    // (67 MP — far beyond any real crawl still) bounds one task at
+    // ~650 MB. Conformant-but-larger geometry rejects DESCRIPTIVELY
+    // instead of OOM-killing the executor (resource guard, not a
+    // plausibility claim).
+    require(width.toLong * height <= (1L << 26),
+      s"VP8 geometry ${width}x$height exceeds the 2^26-pixel allocation guard")
     val partBase = from + 10
     require(firstPartSize > 0 && partBase + firstPartSize <= from + size,
       "VP8 first partition overruns the payload")
@@ -779,7 +782,19 @@ object Vp8 {
       mby += 1
     }
 
-    // --- pass 2: residuals from the token partitions (§13) ---
+    // --- pass 2: residuals + reconstruction, fused in raster order ---
+    // Residual decode and prediction+transform reconstruction both walk
+    // MBs in raster order, so they fuse into ONE pass: each MB's
+    // dequantized coefficients live only for its own reconstruction
+    // (retaining 1.5 KB × every MB made a hostile max-geometry frame
+    // cost gigabytes — the review's OOM finding).
+    val yStride = mbW * 16
+    val uvStride = mbW * 8
+    val yPlane = new Array[Int](yStride * mbH * 16)
+    val uPlane = new Array[Int](uvStride * mbH * 8)
+    val vPlane = new Array[Int](uvStride * mbH * 8)
+    val blk = new Array[Int](16)
+    val coeffs = new Array[Int](24 * 16) // per-MB scratch, reused
     // nz contexts: above per-MB (4 y, 2 u, 2 v, 1 y2), left per-row
     val aboveNz = Array.ofDim[Int](mbW, 9)
     val leftNz = new Array[Int](9)
@@ -792,14 +807,15 @@ object Vp8 {
         val mb = mbs(mby * mbW + mbx)
         val aNz = aboveNz(mbx)
         val q = quantsFor(h, mb.segment)
+        var decoded = false
         if (mb.skip) {
           java.util.Arrays.fill(leftNz, 0, 8, 0)
           java.util.Arrays.fill(aNz, 0, 8, 0)
           if (mb.yMode != 4) { leftNz(8) = 0; aNz(8) = 0 }
           mb.hasCoeffs = false
         } else {
-          val coeffs = new Array[Int](24 * 16)
-          mb.coeffs = coeffs
+          java.util.Arrays.fill(coeffs, 0)
+          decoded = true
           var any = false
           var first = 0
           var yType = 3
@@ -860,33 +876,18 @@ object Vp8 {
           }
           mb.hasCoeffs = any
         }
-        mbx += 1
-      }
-      mby += 1
-    }
-
-    // --- pass 3: reconstruction (prediction + transforms), unfiltered ---
-    val yStride = mbW * 16
-    val uvStride = mbW * 8
-    val yPlane = new Array[Int](yStride * mbH * 16)
-    val uPlane = new Array[Int](uvStride * mbH * 8)
-    val vPlane = new Array[Int](uvStride * mbH * 8)
-    val blk = new Array[Int](16)
-    mby = 0
-    while (mby < mbH) {
-      var mbx = 0
-      while (mbx < mbW) {
-        val mb = mbs(mby * mbW + mbx)
+        // reconstruction (prediction + transforms), unfiltered — uses
+        // only already-reconstructed raster-order neighbors
         val hasAbove = mby > 0
         val hasLeft = mbx > 0
         val yx = mbx * 16; val yy = mby * 16
         if (mb.yMode != 4) {
           predictBlock(yPlane, yStride, yx, yy, 16, mb.yMode, hasAbove, hasLeft)
-          if (mb.coeffs != null) {
+          if (decoded) {
             var sb = 0
             while (sb < 16) {
               addResidual(yPlane, yStride, yx + (sb & 3) * 4, yy + (sb >> 2) * 4,
-                mb.coeffs, sb * 16, blk)
+                coeffs, sb * 16, blk)
               sb += 1
             }
           }
@@ -914,8 +915,8 @@ object Vp8 {
                 yPlane((by - 1) * yStride + bx + 6),
                 yPlane((by - 1) * yStride + bx + 7))
             predictB(yPlane, yStride, bx, by, mb.bModes(sb), ar, mby, mbx)
-            if (mb.coeffs != null)
-              addResidual(yPlane, yStride, bx, by, mb.coeffs, sb * 16, blk)
+            if (decoded)
+              addResidual(yPlane, yStride, bx, by, coeffs, sb * 16, blk)
             sb += 1
           }
         }
@@ -923,12 +924,12 @@ object Vp8 {
         val ux = mbx * 8; val uy = mby * 8
         predictBlock(uPlane, uvStride, ux, uy, 8, mb.uvMode, hasAbove, hasLeft)
         predictBlock(vPlane, uvStride, ux, uy, 8, mb.uvMode, hasAbove, hasLeft)
-        if (mb.coeffs != null) {
+        if (decoded) {
           var sb = 0
           while (sb < 4) {
             val bx = ux + (sb & 1) * 4; val by = uy + (sb >> 1) * 4
-            addResidual(uPlane, uvStride, bx, by, mb.coeffs, (16 + sb) * 16, blk)
-            addResidual(vPlane, uvStride, bx, by, mb.coeffs, (20 + sb) * 16, blk)
+            addResidual(uPlane, uvStride, bx, by, coeffs, (16 + sb) * 16, blk)
+            addResidual(vPlane, uvStride, bx, by, coeffs, (20 + sb) * 16, blk)
             sb += 1
           }
         }
@@ -1318,6 +1319,8 @@ object Vp8 {
 
     // --- assemble: frame tag + start code + dims + partitions ---
     val payload = new java.io.ByteArrayOutputStream()
+    require(firstPart.length < (1 << 19),
+      s"first partition ${firstPart.length} bytes exceeds the 19-bit size field")
     val tag = (firstPart.length << 5) | (1 << 4) | 0 // show_frame, keyframe
     payload.write(tag & 0xff); payload.write((tag >> 8) & 0xff)
     payload.write((tag >> 16) & 0xff)

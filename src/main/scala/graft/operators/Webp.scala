@@ -685,11 +685,11 @@ object Webp {
 
   /** Animated WebP decode (VP8X + ANIM + ANMF, lossless frames): the
     * container walk for the ANIMATION-flagged extended layout, each ANMF
-    * frame's VP8L payload through the full lossless decoder. Frames
+    * frame's payload through the matching decoder — VP8L lossless, VP8
+    * lossy keyframes, and ALPH alpha planes all decode (r11). Frames
     * decode to their own rectangles (disposal/blend compositing is a
-    * presentation concern, the Gif doctrine). Lossy (VP8) frames and
-    * ALPH-paired layouts reject descriptively; a plain single-image
-    * VP8L file decodes as one frame at (0,0) duration 0 — callers get
+    * presentation concern, the Gif doctrine); a plain single-image
+    * file decodes as one frame at (0,0) duration 0 — callers get
     * ONE surface for both layouts.
     */
   def decodeWebpFrames(bytes: Array[Byte]): (Int, Int, Seq[AnimFrame]) = {
@@ -821,16 +821,22 @@ object Webp {
       frames: Seq[(Int, Int, Int, Int, Int, (Int, Int) => Int)]): Array[Byte] = {
     // (left, top, w, h, durationMs, argb)
     require(frames.nonEmpty, "an animation needs at least one frame")
-    val out = new java.io.ByteArrayOutputStream()
-    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-    def le32(v: Int): Unit = {
-      out.write(v & 0xff); out.write((v >> 8) & 0xff)
-      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    val riff = new RiffBuilder
+    riff.chunk("VP8X", vp8xPayload(0x02, canvasW, canvasH)) // animation flag
+    riff.chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0)) // bg color + loop count 0
+    frames.foreach { case (left, top, w, h, dur, argb) =>
+      writeAnmf(riff.chunk, left, top, w, h, dur, synthWebpLossless(w, h, argb))
     }
-    def u24(v: Int): Unit = {
-      out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
-    }
-    val body = new java.io.ByteArrayOutputStream()
+    riff.build()
+  }
+
+
+  /** RIFF/WEBP container assembly: sub-chunks pad to even sizes; the
+    * RIFF size covers "WEBP" + the padded body (ONE writer for the
+    * animated/alpha/lossless wrap sites).
+    */
+  private final class RiffBuilder {
+    private val body = new java.io.ByteArrayOutputStream()
     def chunk(t: String, payload: Array[Byte]): Unit = {
       body.write(t.getBytes("US-ASCII"))
       val s = payload.length
@@ -839,22 +845,47 @@ object Webp {
       body.write(payload)
       if ((s & 1) == 1) body.write(0)
     }
-    locally { // VP8X: animation flag (bit 1 of byte 0), canvas minus-one
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0x02); b.write(0); b.write(0); b.write(0)
-      def w24(v: Int): Unit = {
-        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
-      }
-      w24(canvasW - 1); w24(canvasH - 1)
-      chunk("VP8X", b.toByteArray)
+    def chunkRaw(bytes: Array[Byte], off: Int, len: Int): Unit =
+      body.write(bytes, off, len)
+    def build(): Array[Byte] = {
+      val payload = body.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val v = 4 + payload.length
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+      out.write("WEBP".getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
     }
-    chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0)) // bg color + loop count 0
-    frames.foreach { case (left, top, w, h, dur, argb) =>
-      writeAnmf(chunk, left, top, w, h, dur, synthWebpLossless(w, h, argb))
+  }
+
+  /** VP8X payload: flags byte + 24-bit canvas minus-one dims. */
+  private def vp8xPayload(flags: Int, canvasW: Int, canvasH: Int): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(flags); b.write(0); b.write(0); b.write(0)
+    def w24(v: Int): Unit = {
+      b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
     }
-    val payload = body.toByteArray
-    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
-    out.toByteArray
+    w24(canvasW - 1); w24(canvasH - 1)
+    b.toByteArray
+  }
+
+  /** Dimensions straight from a single-image container's image-chunk
+    * header (offset 12: VP8L's 14-bit fields or the VP8 keyframe's
+    * 16-bit fields) — O(1), no pixel decode.
+    */
+  private def imageChunkDims(file: Array[Byte]): (Int, Int) = {
+    val tag = new String(file, 12, 4, "US-ASCII")
+    if (tag == "VP8L") {
+      require(file.length > 25 && (file(20) & 0xff) == 0x2f, "bad VP8L header")
+      val br = new BitReader(file, 21)
+      (br.read(14) + 1, br.read(14) + 1)
+    } else {
+      require(tag == "VP8 " && file.length > 30, "bad VP8 header")
+      ((((file(26) & 0xff) | ((file(27) & 0xff) << 8)) & 0x3fff),
+        (((file(28) & 0xff) | ((file(29) & 0xff) << 8)) & 0x3fff))
+    }
   }
 
   /** One ANMF chunk from a COMPLETE single-image WebP file's bytes (a
@@ -894,39 +925,20 @@ object Webp {
       frames: Seq[(Int, Int, Int, Array[Byte])]): Array[Byte] = {
     // (left, top, durationMs, file) — dims read from the file itself
     require(frames.nonEmpty, "an animation needs at least one frame")
-    val out = new java.io.ByteArrayOutputStream()
-    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-    def le32(v: Int): Unit = {
-      out.write(v & 0xff); out.write((v >> 8) & 0xff)
-      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
-    }
-    val body = new java.io.ByteArrayOutputStream()
-    def chunk(t: String, payload: Array[Byte]): Unit = {
-      body.write(t.getBytes("US-ASCII"))
-      val s = payload.length
-      body.write(s & 0xff); body.write((s >> 8) & 0xff)
-      body.write((s >> 16) & 0xff); body.write((s >> 24) & 0xff)
-      body.write(payload)
-      if ((s & 1) == 1) body.write(0)
-    }
-    locally {
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0x02); b.write(0); b.write(0); b.write(0)
-      def w24(v: Int): Unit = {
-        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
-      }
-      w24(canvasW - 1); w24(canvasH - 1)
-      chunk("VP8X", b.toByteArray)
-    }
-    chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    val riff = new RiffBuilder
+    riff.chunk("VP8X", vp8xPayload(0x02, canvasW, canvasH))
+    riff.chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
     frames.foreach { case (left, top, dur, file) =>
-      val (w, h, _) = decodeWebpPixels(file) // dims (and validity) from the file
-      writeAnmf(chunk, left, top, w, h, dur, file)
+      require(file.length > 20 && {
+        val t = new String(file, 12, 4, "US-ASCII"); t == "VP8L" || t == "VP8 "
+      }, "animation frames must be plain single-image containers (VP8L or " +
+        "'VP8 ' at offset 12) — extended VP8X layouts would embed a broken frame")
+      val (w, h) = imageChunkDims(file) // dims from the image-chunk header
+      writeAnmf(riff.chunk, left, top, w, h, dur, file)
     }
-    val payload = body.toByteArray
-    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
-    out.toByteArray
+    riff.build()
   }
+
 
   /** Lossy still WITH an alpha plane (VP8X + ALPH + VP8) from a complete
     * lossy container (`Vp8.encodeKeyframe` output) and a per-pixel alpha
@@ -938,7 +950,14 @@ object Webp {
   def synthWebpLossyAlpha(lossyFile: Array[Byte], alphaOf: (Int, Int) => Int,
       filterM: Int = 0): Array[Byte] = {
     require(filterM >= 0 && filterM <= 3, s"ALPH filter $filterM")
-    val (w, h, _) = decodeWebpPixels(lossyFile)
+    // the input must be a PLAIN lossy still ("VP8 " chunk at offset 12):
+    // a VP8L or VP8X-led container would win the image walk over the
+    // ALPH we are about to add, silently dropping the requested alpha
+    require(lossyFile.length > 20 &&
+      new String(lossyFile, 12, 4, "US-ASCII") == "VP8 ",
+      "synthWebpLossyAlpha needs a plain lossy still (a 'VP8 ' chunk at " +
+        "offset 12) — VP8L/VP8X inputs would silently drop the alpha plane")
+    val (w, h) = imageChunkDims(lossyFile)
     val a = Array.tabulate(h * w) { i =>
       val v = alphaOf(i / w, i % w)
       require(v >= 0 && v <= 255, s"alpha $v out of range"); v
@@ -974,40 +993,17 @@ object Webp {
     }
     val vp8Size = (lossyFile(16) & 0xff) | ((lossyFile(17) & 0xff) << 8) |
       ((lossyFile(18) & 0xff) << 16) | ((lossyFile(19) & 0xff) << 24)
-    val out = new java.io.ByteArrayOutputStream()
-    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
-    def le32(v: Int): Unit = {
-      out.write(v & 0xff); out.write((v >> 8) & 0xff)
-      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
-    }
-    val body = new java.io.ByteArrayOutputStream()
-    def chunk(t: String, payload: Array[Byte]): Unit = {
-      body.write(t.getBytes("US-ASCII"))
-      val s = payload.length
-      body.write(s & 0xff); body.write((s >> 8) & 0xff)
-      body.write((s >> 16) & 0xff); body.write((s >> 24) & 0xff)
-      body.write(payload)
-      if ((s & 1) == 1) body.write(0)
-    }
-    locally { // VP8X: alpha flag (0x10), canvas minus-one
-      val b = new java.io.ByteArrayOutputStream()
-      b.write(0x10); b.write(0); b.write(0); b.write(0)
-      def w24(v: Int): Unit = {
-        b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
-      }
-      w24(w - 1); w24(h - 1)
-      chunk("VP8X", b.toByteArray)
-    }
+    val riff = new RiffBuilder
+    riff.chunk("VP8X", vp8xPayload(0x10, w, h)) // alpha flag
     val alphPayload = new Array[Byte](1 + res.length)
     alphPayload(0) = (filterM << 2).toByte // method 0, no pre-processing
     var i = 0
     while (i < res.length) { alphPayload(1 + i) = res(i).toByte; i += 1 }
-    chunk("ALPH", alphPayload)
-    body.write(lossyFile, 12, 8 + vp8Size + (vp8Size & 1))
-    val payload = body.toByteArray
-    tag("RIFF"); le32(4 + payload.length); tag("WEBP"); out.write(payload)
-    out.toByteArray
+    riff.chunk("ALPH", alphPayload)
+    riff.chunkRaw(lossyFile, 12, 8 + vp8Size + (vp8Size & 1)) // VP8 chunk verbatim
+    riff.build()
   }
+
 
   /** WebP binary column → RGBA pixel rows (the pngToPixels shape). */
   def webpToPixels(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
