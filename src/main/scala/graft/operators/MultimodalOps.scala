@@ -680,9 +680,10 @@ object MultimodalOps {
     * rejects with the PCM router's message — its samples have no integer
     * census; use `wavFloatToSamples`); tiff = stored float32 samples
     * including block padding, rejected when any sample is non-integral;
-    * webp = RGBA values (lossless VP8L decodes via [[Webp]]; lossy VP8
-    * rejects descriptively); avi rejects toward `aviToFrames` (frames,
-    * not scalars); unknown magic rejects descriptively.
+    * webp = RGBA values (lossless VP8L AND lossy VP8 keyframes with
+    * ALPH alpha planes, via [[Webp]]/[[Vp8]] — r11); avi rejects toward
+    * `aviToFrames` (frames, not scalars); unknown magic rejects
+    * descriptively.
     *
     * Output suffix: (format, n_values, sum_value, ok, reject_reason).
     * Same scale shape as every codec surface: flatMap, one task per
@@ -731,9 +732,9 @@ object MultimodalOps {
             }
             (n, s)
           case "webp" =>
-            // lossless (VP8L) decodes since r10, incl. ANIMATED frames
-            // (r10b); lossy VP8 rejects from the container walk with its
-            // own descriptive message
+            // lossless (VP8L) since r10 incl. ANIMATED frames; lossy VP8
+            // keyframes + ALPH alpha planes since r11 — corrupt or
+            // unsupported layouts reject with the walk's own message
             val (_, _, frames) = Webp.decodeWebpFrames(payload)
             frames.foldLeft((0L, 0L)) { case ((n0, s0), f) =>
               (n0 + f.argb.length.toLong * 4, s0 + f.argb.foldLeft(0L) { (acc, p) =>
