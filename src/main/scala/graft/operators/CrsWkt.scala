@@ -544,6 +544,91 @@ object CrsWkt {
     }
   }
 
+  /** Canonical WKT1 text for a shorthand code in the shipped table — the
+    * SAME parameterization [[epsgCrs]] dispatches, as a `.prj` string, so
+    * surfaces that need the parameter TREE (→ [[toProjjson]] → GeoParquet
+    * footers) serve `EPSG:nnnn`-dispatched stores too (r12; an
+    * EPSG-shorthand store used to get a null footer CRS). CrsWktSpec
+    * proves `parseCrs(epsgWkt(code)) == epsgCrs(code)` structurally —
+    * the text round-trips to the exact same transform doubles.
+    */
+  def epsgWkt(code: Int): String = {
+    def geog(name: String, datum: String, sph: String, a: Double, invF: Double,
+        towgs: Option[(Double, Double, Double)] = None): String = {
+      val tw = towgs.map { case (x, y, z) => s",TOWGS84[$x,$y,$z,0,0,0,0]" }
+        .getOrElse("")
+      s"""GEOGCS["$name",DATUM["$datum",SPHEROID["$sph",$a,$invF]$tw],""" +
+        """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]"""
+    }
+    lazy val wgs = geog("WGS 84", "WGS_1984", "WGS 84", 6378137.0, 298.257223563)
+    lazy val nad83 = geog("NAD83", "North_American_Datum_1983", "GRS 1980",
+      Nad83Ellipsoid.a, Nad83Ellipsoid.invF)
+    lazy val etrs89 = geog("ETRS89", "European_Terrestrial_Reference_System_1989",
+      "GRS 1980", Nad83Ellipsoid.a, Nad83Ellipsoid.invF)
+    def proj(name: String, g: String, projection: String,
+        params: Seq[(String, Double)],
+        unit: String = """UNIT["metre",1]"""): String =
+      s"""PROJCS["$name",$g,PROJECTION["$projection"],""" +
+        params.map { case (n, v) => s"""PARAMETER["$n",$v]""" }.mkString(",") +
+        s",$unit]"
+    def utm(zone: Int, g: String, gname: String, southern: Boolean): String =
+      proj(s"$gname / UTM zone $zone${if (southern) "S" else "N"}", g,
+        "Transverse_Mercator", Seq(
+          "latitude_of_origin" -> 0.0,
+          "central_meridian" -> Utm.centralMeridianDeg(zone),
+          "scale_factor" -> 0.9996,
+          "false_easting" -> 500000.0,
+          "false_northing" -> (if (southern) 1.0e7 else 0.0)))
+    def polar(name: String, ts: Double, cm: Double): String =
+      proj(name, wgs, "Polar_Stereographic", Seq(
+        "latitude_of_origin" -> ts, "central_meridian" -> cm,
+        "false_easting" -> 0.0, "false_northing" -> 0.0))
+    def ups(name: String, pole: Double): String =
+      proj(name, wgs, "Polar_Stereographic", Seq(
+        "latitude_of_origin" -> pole, "central_meridian" -> 0.0,
+        "scale_factor" -> 0.994,
+        "false_easting" -> 2000000.0, "false_northing" -> 2000000.0))
+    code match {
+      case 4326 => wgs
+      case 4269 => nad83
+      case 4267 => geog("NAD27", "North_American_Datum_1927", "Clarke 1866",
+        Ellipsoid.Clarke1866.a, Ellipsoid.Clarke1866.invF,
+        Some((-8.0, 160.0, 176.0)))
+      case 4301 => geog("Tokyo", "Tokyo", "Bessel 1841",
+        Ellipsoid.Bessel1841.a, Ellipsoid.Bessel1841.invF,
+        Some((-146.414, 507.337, 680.507)))
+      case 3857 => proj("WGS 84 / Pseudo-Mercator", wgs, "Mercator_1SP", Seq(
+        "central_meridian" -> 0.0, "scale_factor" -> 1.0,
+        "false_easting" -> 0.0, "false_northing" -> 0.0))
+      case z if z >= 32601 && z <= 32660 => utm(z - 32600, wgs, "WGS 84", southern = false)
+      case z if z >= 32701 && z <= 32760 => utm(z - 32700, wgs, "WGS 84", southern = true)
+      case z if z >= 26901 && z <= 26923 =>
+        utm(z - 26900, nad83, "NAD83", southern = false)
+      case z if z >= 25828 && z <= 25838 =>
+        utm(z - 25800, etrs89, "ETRS89", southern = false)
+      case 5070 => proj("NAD83 / Conus Albers", nad83, "Albers_Conic_Equal_Area", Seq(
+        "standard_parallel_1" -> 29.5, "standard_parallel_2" -> 45.5,
+        "latitude_of_origin" -> 23.0, "central_meridian" -> -96.0,
+        "false_easting" -> 0.0, "false_northing" -> 0.0))
+      case 2277 => proj("NAD83 / Texas Central (ftUS)", nad83,
+        "Lambert_Conformal_Conic_2SP", Seq(
+          "standard_parallel_1" -> 31.88333333333333,
+          "standard_parallel_2" -> 30.11666666666667,
+          "latitude_of_origin" -> 29.66666666666667,
+          "central_meridian" -> -100.3333333333333,
+          "false_easting" -> 2296583.333333333,
+          "false_northing" -> 9842500.0),
+        s"""UNIT["US survey foot",$UsSurveyFoot]""")
+      case 3413 => polar("WGS 84 / NSIDC Sea Ice Polar Stereographic North", 70.0, -45.0)
+      case 3976 => polar("WGS 84 / NSIDC Sea Ice Polar Stereographic South", -70.0, 0.0)
+      case 3031 => polar("WGS 84 / Antarctic Polar Stereographic", -71.0, 0.0)
+      case 5041 => ups("WGS 84 / UPS North (E,N)", 90.0)
+      case 5042 => ups("WGS 84 / UPS South (E,N)", -90.0)
+      case other => throw new IllegalArgumentException(
+        s"EPSG:$other is not in the shipped table — pass the CRS WKT instead")
+    }
+  }
+
   /** Parse a CRS designator: `.prj`-style WKT1, WKT2 (GDAL ≥3's default
     * output), or an `EPSG:nnnn` shorthand.
     */
@@ -683,14 +768,18 @@ object CrsWkt {
     * EPSG names/codes for the engine's projection families; linear
     * parameter values are converted to METRES (the WKT1 convention puts
     * them in the CRS unit), while the axis unit keeps the declared unit
-    * so consumers see coordinates as stored. EPSG:nnnn shorthands reject
-    * (no parameter tree to emit) — pass the WKT.
+    * so consumers see coordinates as stored. EPSG:nnnn shorthands (r12)
+    * derive their parameter tree from the shipped table's own
+    * parameterization via [[epsgWkt]] — an EPSG-dispatched GeoParquet
+    * store gets the same non-null footer CRS as the `.prj` path.
     */
   def toProjjson(crsText: String): String = {
     val t = crsText.trim
-    require(!t.matches("(?i)^EPSG:\\d{1,6}$"),
-      "toProjjson needs the CRS WKT text (an EPSG shorthand carries no " +
-        "parameter tree) — pass the .prj/WKT2 string")
+    val epsgRe = "(?i)^EPSG:(\\d{1,6})$".r
+    t match {
+      case epsgRe(c) => return toProjjson(epsgWkt(c.toInt))
+      case _ =>
+    }
     val root = parseNode(t)
     root.name match {
       case "GEOGCS" =>

@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   * Scope (fail closed, the Tiff/Png/Jpeg doctrine): missing color
   * tables, palette-overflow indices, and truncated streams reject
   * loudly; interlaced frames DECODE since r10 (the 8/8/4/2 4-pass row
-  * scatter, undone after the LZW stage — mm6c's Adam7 sibling). Frames decode to their OWN rectangles as RGBA
-  * (transparent index → alpha 0); inter-frame disposal compositing is a
-  * presentation concern left to the caller — for corpus work the
-  * per-frame payload is the signal, exactly like `sampleFrames` treats
-  * video.
+  * scatter, undone after the LZW stage — mm6c's Adam7 sibling). Frames
+  * decode to their OWN rectangles as RGBA (transparent index → alpha 0)
+  * with their GCE disposal method; [[composeFrames]] (r12) honors
+  * disposal to emit full-canvas snapshots — what a renderer shows —
+  * while `gifToFrames` keeps the raw per-frame payloads.
   *
   * Scale shape: one file decodes inside one task (`gifToFrames` is a
   * generator-shaped flatMap, zero shuffle); corpora parallelize by FILE.
@@ -34,7 +34,12 @@ object Gif {
         * frame carries no graphic-control extension (r11 — the frame
         * timing a video-duration rollup reads).
         */
-      delayMs: Int = 0)
+      delayMs: Int = 0,
+      /** GCE disposal method (r12 — composition): 0/1 leave the canvas,
+        * 2 restore the frame's rect to background (transparent), 3
+        * restore the whole canvas to its pre-frame state.
+        */
+      disposal: Int = 0)
 
   private def u16le(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
@@ -204,6 +209,7 @@ object Gif {
       if ((lsdPacked & 0x80) != 0) colorTable(lsdPacked & 0x07) else null
     var transparentIdx = -1
     var delayCs = 0
+    var disposal = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     var done = false
     while (!done) {
@@ -223,6 +229,7 @@ object Gif {
             val packed = bytes(pos + 1) & 0xff
             transparentIdx = if ((packed & 1) != 0) bytes(pos + 4) & 0xff else -1
             delayCs = u16le(bytes, pos + 2) // centiseconds, LE
+            disposal = (packed >> 2) & 7 // r12: 0/1 none, 2 bg, 3 previous
             pos += 5
             require((bytes(pos) & 0xff) == 0, "GCE missing terminator")
             pos += 1
@@ -293,8 +300,9 @@ object Gif {
             rgba(i * 4 + 3) = if (e == transparentIdx) 0 else 255
             i += 1
           }
-          frames += Frame(left, top, w, h, rgba, delayCs * 10)
-          transparentIdx = -1; delayCs = 0 // GCE applies to the next image only
+          frames += Frame(left, top, w, h, rgba, delayCs * 10, disposal)
+          // GCE applies to the next image only
+          transparentIdx = -1; delayCs = 0; disposal = 0
         case other =>
           throw new IllegalArgumentException(f"unknown GIF block 0x$other%02X")
       }
@@ -330,7 +338,11 @@ object Gif {
       interlaced: Boolean = false,
       /** GCE delay in centiseconds (the stored unit); emits a GCE when
         * nonzero even without transparency. */
-      delayCs: Int = 0)(val idxOf: (Int, Int) => Int)
+      delayCs: Int = 0,
+      /** GCE disposal method (0 none, 2 restore-to-background, 3
+        * restore-to-previous); emits a GCE when nonzero (r12).
+        */
+      disposal: Int = 0)(val idxOf: (Int, Int) => Int)
 
   def synthGif(screenW: Int, screenH: Int,
       globalPalette: Seq[(Int, Int, Int)],
@@ -354,10 +366,13 @@ object Gif {
     }
     writeTable(globalPalette, gBits)
     for (f <- frames) {
-      if (f.transparentIdx.isDefined || f.delayCs != 0) {
+      if (f.transparentIdx.isDefined || f.delayCs != 0 || f.disposal != 0) {
         require(f.delayCs >= 0 && f.delayCs <= 0xffff, s"delay ${f.delayCs}cs")
+        require(f.disposal >= 0 && f.disposal <= 3, s"disposal ${f.disposal}")
         out.write(0x21); out.write(0xf9); out.write(4)
-        out.write(if (f.transparentIdx.isDefined) 1 else 0) // transparency flag
+        // packed: disposal in bits 2-4, transparency flag in bit 0
+        out.write(((f.disposal & 7) << 2) |
+          (if (f.transparentIdx.isDefined) 1 else 0))
         out.write(f.delayCs & 0xff); out.write((f.delayCs >> 8) & 0xff)
         out.write(f.transparentIdx.getOrElse(0))
         out.write(0) // terminator
@@ -418,6 +433,59 @@ object Gif {
         c <- 0 until f.w
         k <- 0 until 4
       } yield Seq[Any](fi, f.left, f.top, f.delayMs, row, c, k,
+        f.rgba((row * f.w + c) * 4 + k))
+    }
+
+  /** Decoded GIF frames → full-canvas composed snapshots (r12): GIF
+    * painting is binary-alpha blending (transparent-index pixels leave
+    * the canvas), disposal 2 clears the frame's rect, disposal 3
+    * restores the pre-frame canvas — the shared [[Canvas]] kernel.
+    * Result: one full-screen RGBA frame per input frame (per-channel
+    * ints, the [[Frame]] layout), delays preserved.
+    */
+  def composeFrames(screenW: Int, screenH: Int,
+      frames: Seq[Frame]): Seq[Frame] = {
+    val layers = frames.map { f =>
+      val packed = new Array[Int](f.w * f.h)
+      var i = 0
+      while (i < packed.length) {
+        packed(i) = (f.rgba(i * 4 + 3) << 24) | (f.rgba(i * 4) << 16) |
+          (f.rgba(i * 4 + 1) << 8) | f.rgba(i * 4 + 2)
+        i += 1
+      }
+      Canvas.Layer(f.left, f.top, f.w, f.h, packed, blend = true,
+        disposeBg = f.disposal == 2, restorePrev = f.disposal == 3)
+    }
+    Canvas.compose(screenW, screenH, layers).zip(frames).map { case (px, f) =>
+      val rgba = new Array[Int](px.length * 4)
+      var i = 0
+      while (i < px.length) {
+        rgba(i * 4) = (px(i) >> 16) & 0xff
+        rgba(i * 4 + 1) = (px(i) >> 8) & 0xff
+        rgba(i * 4 + 2) = px(i) & 0xff
+        rgba(i * 4 + 3) = px(i) >>> 24
+        i += 1
+      }
+      Frame(0, 0, screenW, screenH, rgba, f.delayMs, 0)
+    }
+  }
+
+  /** GIF binary column → per-frame COMPOSED full-canvas RGBA pixel rows
+    * ([[gifToFrames]]' sibling; same one-file-one-task generator shape,
+    * zero shuffle).
+    */
+  def gifToComposedFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("duration_ms", IntegerType, nullable = false)) ++
+        MultimodalOps.PixelFields) { payload =>
+      val (sw, sh, frames) = decodeGifFrames(payload)
+      for {
+        (f, fi) <- composeFrames(sw, sh, frames).iterator.zipWithIndex
+        row <- 0 until f.h
+        c <- 0 until f.w
+        k <- 0 until 4
+      } yield Seq[Any](fi, f.delayMs, row, c, k,
         f.rgba((row * f.w + c) * 4 + k))
     }
 }

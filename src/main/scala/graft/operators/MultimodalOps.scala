@@ -161,19 +161,23 @@ object MultimodalOps {
     * filters operate on BYTES with a bpp stride, so 16-bit rows reuse the
     * identical pass).
     *
-    * Scope: bit depths 8 and 16 (16-bit samples are big-endian per spec);
-    * color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at both depths,
-    * plus type 3 (palette) at depth 8 — PLTE indices expand to RGB
-    * output channels (RGBA when a tRNS per-entry alpha table is present;
-    * entries past it are opaque per spec), exactly what a web-scraped
-    * corpus's palette PNGs need. Adam7 interlace (r9) decodes for every
-    * supported depth/color type: the seven independently-filtered
-    * sub-images de-filter separately and scatter onto the full frame.
-    * FAIL CLOSED: packed 1/2/4-bit depths, 16-bit palettes, gray/
-    * truecolor tRNS (transparent-color semantics), and out-of-range
-    * palette indices reject loudly.
+    * Scope: bit depths 8 and 16 (16-bit samples are big-endian per spec)
+    * for color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA), PLUS the
+    * packed 1/2/4-bit depths for gray and palette (r12 — favicon-era and
+    * palette-packed web-corpus staples; MSB-first bit unpacking feeds
+    * the same filter machinery with the spec's 1-byte stride). Palette
+    * (type 3) PLTE indices expand to RGB output channels (RGBA when a
+    * tRNS per-entry alpha table is present; entries past it are opaque
+    * per spec). Gray/truecolor tRNS (r12) is transparent-COLOR
+    * semantics: matching pixels get alpha 0, output gains an alpha
+    * channel. Adam7 interlace (r9) decodes for every supported depth/
+    * color type: the seven independently-filtered sub-images de-filter
+    * separately and scatter onto the full frame. FAIL CLOSED: 16-bit
+    * palettes, tRNS on alpha-bearing types, packed multi-channel
+    * depths, and out-of-range palette indices reject loudly.
     * Returns (width, height, out_channels, row-major channel-interleaved
-    * sample values — 0..255 at depth 8, 0..65535 at depth 16).
+    * sample values at the STORED depth — 0..2^d-1 packed, 0..255 at
+    * depth 8, 0..65535 at depth 16).
     */
   def decodePngPixels(bytes: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig), "not a PNG")
@@ -199,13 +203,16 @@ object MultimodalOps {
             s"implausible PNG geometry ${w}x$h")
           depth = bytes(off + 16).toInt
           ct = bytes(off + 17).toInt
-          require(depth == 8 || depth == 16,
-            s"bit depth $depth unsupported (8 or 16; packed 1/2/4 fail closed)")
           rawCh = ct match {
             case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
             case other => throw new IllegalArgumentException(
               s"color type $other unsupported (0/2/3/4/6)")
           }
+          // packed 1/2/4-bit depths (r12) are valid for gray + palette
+          // only, per spec; multi-channel types need whole bytes
+          require(depth == 8 || depth == 16 ||
+            ((depth == 1 || depth == 2 || depth == 4) && (ct == 0 || ct == 3)),
+            s"bit depth $depth invalid for color type $ct")
           require(!(ct == 3 && depth == 16), "16-bit palette PNG is not valid")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
             "nonstandard compression/filter method")
@@ -230,15 +237,25 @@ object MultimodalOps {
       require(plte != null, "palette PNG (color type 3) missing its PLTE chunk")
       if (trns != null) require(trns.length <= plte.length / 3,
         s"tRNS has ${trns.length} entries but the palette only ${plte.length / 3}")
-    } else require(trns == null,
-      // gray/truecolor tRNS is a single TRANSPARENT COLOR, not per-entry
-      // alpha — dropping it would silently opaque the image; fail closed
-      s"tRNS on color type $ct unsupported (palette transparency only)")
+    } else if (trns != null) {
+      // gray/truecolor tRNS (r12) is a single TRANSPARENT COLOR: pixels
+      // matching it get alpha 0, the output gains an alpha channel.
+      // Alpha-bearing types (4/6) must not carry tRNS, per spec.
+      require(ct == 0 || ct == 2,
+        s"tRNS on color type $ct is invalid (alpha channel already present)")
+      require(trns.length == (if (ct == 0) 2 else 6),
+        s"tRNS length ${trns.length} wrong for color type $ct")
+    }
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val sampleBytes = depth / 8
-    val bpp = rawCh * sampleBytes
-    val rowBytes = w * bpp
+    // packed depths (1/2/4): pixels share bytes MSB-first, the filter
+    // byte-stride is 1 (spec: "bpp is rounded up to one"); row length is
+    // ceil(w·depth/8). Depths 8/16 keep the whole-byte geometry.
+    val packed = depth < 8
+    val bpp = if (packed) 1 else rawCh * (depth / 8)
+    def prowBytes(pw: Int): Int =
+      if (packed) (pw * depth + 7) / 8 else pw * bpp
+    val rowBytes = prowBytes(w)
     // Adam7 (interlace 1): seven independently-FILTERED sub-images
     // concatenated in the one zlib stream, pass p covering the pixels at
     // (y0 + r·dy, x0 + c·dx); empty passes contribute no scanlines at
@@ -251,7 +268,7 @@ object MultimodalOps {
         (x0, y0, dx, dy, pw, ph)
       }.filter(p => p._5 > 0 && p._6 > 0)
     val raw = new Array[Byte](
-      passes.map { case (_, _, _, _, pw, ph) => (pw * bpp + 1) * ph }.sum)
+      passes.map { case (_, _, _, _, pw, ph) => (prowBytes(pw) + 1) * ph }.sum)
     var got = 0
     while (got < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, got, raw.length - got)
@@ -265,12 +282,30 @@ object MultimodalOps {
     }
     inflater.end()
     require(got == raw.length, s"IDAT inflates to $got bytes, expected ${raw.length}")
-    val out = new Array[Byte](rowBytes * h)
+    val out = new Array[Byte](if (packed) 0 else rowBytes * h)
+    // packed path: sub-image pixels aren't byte-aligned, so each pass
+    // unpacks its bits (MSB-first within each byte, per spec) to sample
+    // values BEFORE scattering — rawCh is 1 for both packed types
+    val packedSamples = if (packed) new Array[Int](w * h) else null
     var from = 0
     passes.foreach { case (x0, y0, dx, dy, pw, ph) =>
-      val sub = unfilterRows(raw, from, pw * bpp, ph, bpp)
-      from += (pw * bpp + 1) * ph
-      if (interlace == 0) System.arraycopy(sub, 0, out, 0, sub.length)
+      val prow = prowBytes(pw)
+      val sub = unfilterRows(raw, from, prow, ph, bpp)
+      from += (prow + 1) * ph
+      if (packed) {
+        val mask = (1 << depth) - 1
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            val bitPos = c * depth
+            val v = (sub(r * prow + (bitPos >> 3)) >> (8 - depth - (bitPos & 7))) & mask
+            packedSamples((y0 + r * dy) * w + (x0 + c * dx)) = v
+            c += 1
+          }
+          r += 1
+        }
+      } else if (interlace == 0) System.arraycopy(sub, 0, out, 0, sub.length)
       else { // scatter the de-filtered sub-image onto the full frame
         var r = 0
         while (r < ph) {
@@ -285,14 +320,14 @@ object MultimodalOps {
       }
     }
     // bytes → sample values (palette expansion / 16-bit BE assembly).
-    // A tRNS chunk adds per-entry alpha: output becomes RGBA (entries
-    // past the tRNS table are fully opaque, per spec).
+    // A palette tRNS chunk adds per-entry alpha: output becomes RGBA
+    // (entries past the tRNS table are fully opaque, per spec).
     if (ct == 3) {
       val outCh = if (trns != null) 4 else 3
       val vals = new Array[Int](w * h * outCh)
       var i = 0
       while (i < w * h) {
-        val idx = out(i) & 0xff
+        val idx = if (packed) packedSamples(i) else out(i) & 0xff
         require(idx * 3 + 2 < plte.length,
           s"palette index $idx out of range (${plte.length / 3} entries)")
         vals(i * outCh) = plte(idx * 3) & 0xff
@@ -302,17 +337,47 @@ object MultimodalOps {
           vals(i * 4 + 3) = if (idx < trns.length) trns(idx) & 0xff else 255
         i += 1
       }
-      (w, h, outCh, vals)
-    } else if (depth == 8) {
-      (w, h, rawCh, out.map(_ & 0xff))
-    } else {
-      val vals = new Array[Int](w * h * rawCh)
+      return (w, h, outCh, vals)
+    }
+    val vals: Array[Int] =
+      if (packed) packedSamples
+      else if (depth == 8) out.map(_ & 0xff)
+      else {
+        val v = new Array[Int](w * h * rawCh)
+        var i = 0
+        while (i < v.length) {
+          v(i) = ((out(2 * i) & 0xff) << 8) | (out(2 * i + 1) & 0xff)
+          i += 1
+        }
+        v
+      }
+    if (trns == null) (w, h, rawCh, vals)
+    else {
+      // gray/truecolor transparent color (r12): matching pixels get
+      // alpha 0, everything else the depth's max sample — output gains
+      // an alpha channel (G→GA, RGB→RGBA), samples stay at stored depth.
+      // The 2-byte-per-channel tRNS fields use their LOW bits at depths
+      // < 16, per spec.
+      val maxV = (1 << depth) - 1
+      val outCh = rawCh + 1
+      val withA = new Array[Int](w * h * outCh)
+      def tv(k: Int): Int =
+        (((trns(2 * k) & 0xff) << 8) | (trns(2 * k + 1) & 0xff)) &
+          (if (depth == 16) 0xffff else maxV)
       var i = 0
-      while (i < vals.length) {
-        vals(i) = ((out(2 * i) & 0xff) << 8) | (out(2 * i + 1) & 0xff)
+      while (i < w * h) {
+        var transparent = true
+        var k = 0
+        while (k < rawCh) {
+          val s = vals(i * rawCh + k)
+          withA(i * outCh + k) = s
+          if (s != tv(k)) transparent = false
+          k += 1
+        }
+        withA(i * outCh + rawCh) = if (transparent) 0 else maxV
         i += 1
       }
-      (w, h, rawCh, vals)
+      (w, h, outCh, withA)
     }
   }
 
@@ -439,10 +504,20 @@ object MultimodalOps {
     */
   def synthPng(width: Int, height: Int, channels: Int,
       filterOf: Int => Int = _ % 5, depth: Int = 8,
-      interlaced: Boolean = false)(
+      interlaced: Boolean = false,
+      /** gray/truecolor transparent COLOR (one value per channel, at the
+        * stored depth) → a 2-bytes-per-channel tRNS chunk (r12).
+        */
+      transparent: Option[Seq[Int]] = None)(
       values: (Int, Int, Int) => Int): Array[Byte] = {
     require(Set(1, 2, 3, 4)(channels), s"bad channel count $channels")
     require(depth == 8 || depth == 16, s"bad depth $depth")
+    transparent.foreach { t =>
+      require(channels == 1 || channels == 3,
+        "a transparent color needs an alpha-free type (gray or RGB)")
+      require(t.length == channels, s"transparent color has ${t.length} " +
+        s"values for $channels channels")
+    }
     val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
     val sampleBytes = depth / 8
     val bpp = channels * sampleBytes
@@ -474,7 +549,53 @@ object MultimodalOps {
         deflateBytes(scanlines.toByteArray)
       }
     assemblePng(width, height, depth, colorType, None, idat,
+      trns = transparent.map(_.flatMap(v =>
+        Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray),
       interlaced = interlaced)
+  }
+
+  /** Packed-depth (1/2/4 bit) synth — gray (color type 0) or palette
+    * (type 3) when `palette` is given: pixels pack MSB-first into
+    * scanline bytes (the spec's 1-byte filter stride), `valueOf(r, c)`
+    * the per-pixel sample/index. `alpha` (palette) → per-entry tRNS;
+    * `transparentGray` (gray) → a transparent-color tRNS (r12).
+    */
+  def synthPngPacked(width: Int, height: Int, depth: Int,
+      palette: Option[Seq[(Int, Int, Int)]] = None,
+      filterOf: Int => Int = _ % 5, alpha: Seq[Int] = Nil,
+      transparentGray: Option[Int] = None)(
+      valueOf: (Int, Int) => Int): Array[Byte] = {
+    require(depth == 1 || depth == 2 || depth == 4, s"bad packed depth $depth")
+    val maxV = (1 << depth) - 1
+    val rowBytes = (width * depth + 7) / 8
+    val px = new Array[Byte](rowBytes * height)
+    for (r <- 0 until height; c <- 0 until width) {
+      val v = valueOf(r, c)
+      require(v >= 0 && v <= maxV, s"sample $v exceeds the depth-$depth range")
+      palette.foreach(p => require(v < p.length, s"index $v outside the palette"))
+      val bitPos = c * depth
+      val at = r * rowBytes + (bitPos >> 3)
+      px(at) = (px(at) | (v << (8 - depth - (bitPos & 7)))).toByte
+    }
+    val idat = filterAndDeflate(px, rowBytes, height, 1, filterOf)
+    palette match {
+      case Some(p) =>
+        require(p.nonEmpty && p.length <= (1 << depth),
+          s"palette size ${p.length} exceeds depth-$depth addressing")
+        require(alpha.length <= p.length, "more tRNS entries than palette entries")
+        require(transparentGray.isEmpty, "transparentGray is the GRAY spelling")
+        val plte = p.flatMap { case (r, g, b) =>
+          Seq((r & 0xff).toByte, (g & 0xff).toByte, (b & 0xff).toByte)
+        }.toArray
+        assemblePng(width, height, depth, 3, Some(plte), idat,
+          trns = if (alpha.isEmpty) None
+            else Some(alpha.map(a => (a & 0xff).toByte).toArray))
+      case None =>
+        require(alpha.isEmpty, "per-entry alpha is the PALETTE spelling")
+        assemblePng(width, height, depth, 0, None, idat,
+          trns = transparentGray.map(tv =>
+            Array(((tv >> 8) & 0xff).toByte, (tv & 0xff).toByte)))
+    }
   }
 
   /** Palette (color type 3, depth 8) synth: `palette` RGB entries become
@@ -644,9 +765,10 @@ object MultimodalOps {
 
   /** Container format from magic bytes — the crawl-side dispatch key for
     * [[mediaCensusWithRejects]]. Recognizes every container the engine
-    * decodes (png/jpeg/gif/bmp/wav/tiff/avi) plus WebP (recognized but
-    * undecodable — the web-corpus staple a census must COUNT rather than
-    * crash on); anything else is "unknown".
+    * decodes (png/jpeg/gif/bmp/wav/tiff/webp/avi) plus the crawl-audio
+    * staples mp3 (ID3v2 tag or MPEG frame sync) and flac — recognized but
+    * undecoded, so a census COUNTS them by name rather than lumping them
+    * into "unknown"; anything else is "unknown".
     */
   def sniffFormat(b: Array[Byte]): String = {
     def ascii(off: Int, s: String) = b.length >= off + s.length &&
@@ -658,6 +780,15 @@ object MultimodalOps {
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "webp"
     else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "avi"
     else if (ascii(0, "BM")) "bmp"
+    // crawl audio staples: recognized so the rejects census counts them BY
+    // NAME ("N mp3 skipped") instead of "unknown", even before any decode
+    // exists. MP3 = ID3v2 tag, or a bare MPEG frame sync (11 set bits,
+    // non-reserved version, non-zero layer — checked to keep random binary
+    // from sniffing as mp3). FLAC = the fLaC stream marker.
+    else if (ascii(0, "ID3")) "mp3"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0 &&
+      ((b(1) >> 3) & 3) != 1 && ((b(1) >> 1) & 3) != 0) "mp3"
+    else if (ascii(0, "fLaC")) "flac"
     else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'I') || (b(0) == 'M' && b(1) == 'M'))) {
       val magic = if (b(0) == 'I') (b(2) & 0xff) | ((b(3) & 0xff) << 8)
         else ((b(2) & 0xff) << 8) | (b(3) & 0xff)
@@ -744,6 +875,10 @@ object MultimodalOps {
             }
           case "avi" => throw new IllegalArgumentException(
             "AVI carries video frames, not a scalar census — route through aviToFrames")
+          case "mp3" => throw new IllegalArgumentException(
+            "mp3 recognized but no decoder exists — counted, not decoded")
+          case "flac" => throw new IllegalArgumentException(
+            "flac recognized but no decoder exists — counted, not decoded")
           case _ => throw new IllegalArgumentException(
             s"unrecognized container magic (${payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
         }

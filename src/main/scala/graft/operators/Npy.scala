@@ -185,6 +185,13 @@ object Npy {
     val fixed = if (version == 1) 10 else 12
     val pad = (64 - (fixed + dict.length + 1) % 64) % 64
     val header = dict + (" " * pad) + "\n"
+    // fail-closed write doctrine: a v1 header longer than the 2-byte
+    // length field would silently wrap the stored length and emit a
+    // corrupt file (ADVICE r11) — numpy itself auto-upgrades to v2 here;
+    // we reject and let the caller ask for v2 explicitly
+    require(version != 1 || header.length <= 0xffff,
+      s"v1 npy header (${header.length} bytes) overflows the 2-byte length " +
+        "field — write version 2")
     val out = java.nio.ByteBuffer.allocate(fixed + header.length + (n * esz).toInt)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     out.put(Magic).put(version.toByte).put(0.toByte)

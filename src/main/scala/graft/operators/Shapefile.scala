@@ -312,16 +312,21 @@ object Shapefile {
     // works unchanged on hdfs:// / s3a:// deployments. The .dbf payloads
     // ride one small equi-join keyed on the stem (one row per FILE, not
     // per record — file-count scale, not data scale).
-    def loadSidecars(ext: String, as: String = "__side"): DataFrame =
-      try spark.read.format("binaryFile").load(path + "/*" + ext)
+    // Globs resolve to explicit file lists BEFORE the load (Fs.resolveGlob):
+    // a literal glob path trips FileStreamSink's metadata probe, whose
+    // caught FileNotFoundException logs a WARN stack on every sidecar load.
+    def loadSidecars(ext: String, as: String = "__side"): DataFrame = {
+      val found = Fs.resolveGlob(spark, path + "/*" + ext)
+      if (found.isEmpty) // no files matching the glob → empty frame, same shape
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("__stem", StringType), StructField(as, BinaryType))))
+      else spark.read.format("binaryFile").load(found: _*)
         .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
           col("content").as(as))
-      catch { // no files matching the glob → empty frame, same shape
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-            StructField("__stem", StringType), StructField(as, BinaryType))))
-      }
-    val files = spark.read.format("binaryFile").load(path + "/*.shp")
+    }
+    val shpPaths = Fs.resolveGlob(spark, path + "/*.shp")
+    require(shpPaths.nonEmpty, s"no .shp files under $path")
+    val files = spark.read.format("binaryFile").load(shpPaths: _*)
       .select(regexp_replace(col("path"), "\\.[^./]+$", "").as("__stem"),
         col("path"), col("content"))
     // .prj sidecars are tiny (one WKT line per tile): census them on the

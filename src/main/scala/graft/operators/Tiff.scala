@@ -1073,8 +1073,12 @@ object Tiff {
   def readGeoTiffFiles(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
+    // glob resolved driver-side (Fs.resolveGlob) — a literal glob path
+    // trips FileStreamSink's metadata probe and its WARN stack per load
+    val tifPaths = Fs.resolveGlob(spark, path + "/*.tif")
+    require(tifPaths.nonEmpty, s"no .tif files under $path")
     tiffToBandBlocks(
-      spark.read.format("binaryFile").load(path + "/*.tif")
+      spark.read.format("binaryFile").load(tifPaths: _*)
         .select(regexp_extract(col("path"), "([^/]+)\\.tif$", 1).as("scene"),
           col("content")),
       bytesCol = "content")

@@ -40,6 +40,19 @@ import org.apache.spark.sql.types.StructField
   */
 object Webp {
 
+  /** VP8L decode allocation ceiling in pixels: 2^26 by default (matches
+    * the VP8 path), raiseable per JVM via -Dgraft.webp.maxPixels but
+    * hard-clamped to the spec's 14-bit-dims geometry bound of 2^28.
+    * Read once per executor JVM — a per-task lookup would be free too,
+    * but the guard is doctrine, not tuning.
+    */
+  private val maxWebpPixels: Long = {
+    val spec = 1L << 28
+    math.min(spec, math.max(1L,
+      sys.props.get("graft.webp.maxPixels").flatMap(s =>
+        scala.util.Try(s.toLong).toOption).getOrElse(1L << 26)))
+  }
+
   // ---- LSB-first bit reader over untrusted bytes ----
 
   private final class BitReader(bytes: Array[Byte], start: Int) {
@@ -488,12 +501,15 @@ object Webp {
     br.read(1) // alpha hint
     val version = br.read(3)
     require(version == 0, s"VP8L version $version unsupported")
-    // Allocation guard at the SPEC's own geometry bound (14-bit dims →
-    // 16384×16384 = 2^28 pixels ≈ 1 GiB of ARGB): every conformant
-    // stream passes; this is a resource ceiling for the `n`-int
-    // allocation below, not a plausibility claim about crawl content.
-    require(width.toLong * height <= (1L << 28),
-      s"WebP geometry ${width}x$height exceeds the 2^28-pixel allocation guard")
+    // Allocation guard, DEFAULT 2^26 pixels (the VP8 path's bound — a
+    // few-hundred-byte hostile header at the spec's full 14-bit geometry
+    // of 2^28 pixels would force ~1 GiB of int allocations PER TASK, and
+    // 32 concurrent tasks would OOM the executor; ADVICE r11). Raiseable
+    // per deployment up to the spec ceiling via -Dgraft.webp.maxPixels
+    // when a lake genuinely holds >8k×8k lossless WebP.
+    require(width.toLong * height <= maxWebpPixels,
+      s"WebP geometry ${width}x$height exceeds the $maxWebpPixels-pixel " +
+        "allocation guard (-Dgraft.webp.maxPixels raises it, max 2^28)")
     (width, height, decodeVp8lBody(br, width, height))
   }
 
@@ -679,18 +695,24 @@ object Webp {
     px
   }
 
-  /** One decoded animation frame: canvas offset, duration, dims, ARGB. */
+  /** One decoded animation frame: canvas offset, duration, dims, ARGB,
+    * plus the ANMF composition flags (r12): `blend` false = the spec's
+    * "do not blend" bit (overwrite the rect), `disposeBg` = clear the
+    * rect to transparent after display. Stills default to the bits a
+    * single full-canvas image implies.
+    */
   final case class AnimFrame(left: Int, top: Int, w: Int, h: Int,
-      durationMs: Int, argb: Array[Int])
+      durationMs: Int, argb: Array[Int],
+      blend: Boolean = true, disposeBg: Boolean = false)
 
   /** Animated WebP decode (VP8X + ANIM + ANMF, lossless frames): the
     * container walk for the ANIMATION-flagged extended layout, each ANMF
     * frame's payload through the matching decoder — VP8L lossless, VP8
     * lossy keyframes, and ALPH alpha planes all decode (r11). Frames
-    * decode to their own rectangles (disposal/blend compositing is a
-    * presentation concern, the Gif doctrine); a plain single-image
-    * file decodes as one frame at (0,0) duration 0 — callers get
-    * ONE surface for both layouts.
+    * decode to their own rectangles WITH their blend/dispose flags
+    * (r12) — [[composeFrames]] turns them into full-canvas snapshots;
+    * a plain single-image file decodes as one frame at (0,0) duration
+    * 0 — callers get ONE surface for both layouts.
     */
   def decodeWebpFrames(bytes: Array[Byte]): (Int, Int, Seq[AnimFrame]) = {
     def ascii(off: Int, s: String) = bytes.length >= off + s.length &&
@@ -760,7 +782,11 @@ object Webp {
           }
           require(fw == w && fh == h,
             s"ANMF declares ${w}x$h but the ${imgTag.trim} payload is ${fw}x$fh")
-          frames += AnimFrame(left, top, w, h, dur, px)
+          // flags byte (last of the 16-byte ANMF header): bit 1 = do NOT
+          // blend, bit 0 = dispose to background (r12 — composition)
+          val flags = bytes(body + 15) & 0xff
+          frames += AnimFrame(left, top, w, h, dur, px,
+            blend = (flags & 2) == 0, disposeBg = (flags & 1) != 0)
         case "VP8L" =>
           val (w, h, px) = decodeVp8l(bytes, body)
           return (w, h, Seq(AnimFrame(0, 0, w, h, 0, px)))
@@ -896,7 +922,8 @@ object Webp {
     */
   private def writeAnmf(chunk: (String, Array[Byte]) => Unit,
       left: Int, top: Int, w: Int, h: Int, dur: Int,
-      full: Array[Byte]): Unit = {
+      full: Array[Byte],
+      blend: Boolean = false, disposeBg: Boolean = false): Unit = {
     require(left % 2 == 0 && top % 2 == 0,
       s"ANMF offsets must be even, got ($left, $top)")
     // the image chunk starts at offset 12 of the standalone RIFF wrap
@@ -907,7 +934,8 @@ object Webp {
       b.write(v & 0xff); b.write((v >> 8) & 0xff); b.write((v >> 16) & 0xff)
     }
     w24(left / 2); w24(top / 2); w24(w - 1); w24(h - 1)
-    w24(dur); b.write(0x02) // blend=no-blend, dispose=none
+    // flags: bit 1 = do NOT blend, bit 0 = dispose to background
+    w24(dur); b.write((if (blend) 0 else 2) | (if (disposeBg) 1 else 0))
     b.write(full, 12, 8 + imgSize) // the image chunk verbatim
     // RIFF sub-chunks pad to even size: an odd payload inside the ANMF
     // body needs the pad byte too (strict demuxers walk padded
@@ -938,6 +966,80 @@ object Webp {
     }
     riff.build()
   }
+
+  /** One frame spec for [[synthWebpAnimComposed]]: placement, duration,
+    * the complete single-image container, and the ANMF composition
+    * flags (the encode half of the r12 blend/dispose surface).
+    */
+  final case class AnmfSpec(left: Int, top: Int, durationMs: Int,
+      file: Array[Byte], blend: Boolean = true, disposeBg: Boolean = false)
+
+  /** Animated WebP with PER-FRAME blend/dispose flags — what real
+    * encoders emit for partial-rect updates (the fixture shape
+    * [[composeFrames]]' oracles need; `synthWebpAnimFiles` pins
+    * no-blend/none for the census fixtures).
+    */
+  def synthWebpAnimComposed(canvasW: Int, canvasH: Int,
+      frames: Seq[AnmfSpec]): Array[Byte] = {
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    val riff = new RiffBuilder
+    riff.chunk("VP8X", vp8xPayload(0x02, canvasW, canvasH))
+    riff.chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    frames.foreach { f =>
+      require(f.file.length > 20 && {
+        val t = new String(f.file, 12, 4, "US-ASCII"); t == "VP8L" || t == "VP8 "
+      }, "animation frames must be plain single-image containers")
+      val (w, h) = imageChunkDims(f.file)
+      writeAnmf(riff.chunk, f.left, f.top, w, h, f.durationMs, f.file,
+        blend = f.blend, disposeBg = f.disposeBg)
+    }
+    riff.build()
+  }
+
+  /** Decoded animation → full-canvas composed snapshots (r12): honors
+    * each frame's blend/dispose flags via the shared [[Canvas]] kernel;
+    * returns one (0,0,canvasW,canvasH) [[AnimFrame]] per input frame,
+    * durations preserved. This is the surface a frame-sampling training
+    * pipeline reads — a real animation with partial-rect updates decodes
+    * to what a renderer would SHOW, not to fragments.
+    */
+  def composeFrames(canvasW: Int, canvasH: Int,
+      frames: Seq[AnimFrame]): Seq[AnimFrame] = {
+    val shown = Canvas.compose(canvasW, canvasH, frames.map(f =>
+      Canvas.Layer(f.left, f.top, f.w, f.h, f.argb,
+        blend = f.blend, disposeBg = f.disposeBg, restorePrev = false)))
+    frames.zip(shown).map { case (f, px) =>
+      AnimFrame(0, 0, canvasW, canvasH, f.durationMs, px)
+    }
+  }
+
+  /** Animated-WebP binary column → per-frame COMPOSED full-canvas RGBA
+    * pixel rows ([[webpToFrames]]' sibling; same one-file-one-task
+    * generator shape, zero shuffle — composition is pure CPU inside the
+    * decode task).
+    */
+  def webpToComposedFrames(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    MediaExplode.explode(media, bytesCol, Seq(
+      StructField("frame_idx", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("duration_ms", org.apache.spark.sql.types.IntegerType, nullable = false)) ++
+        MultimodalOps.PixelFields) { payload =>
+      val (cw, ch, frames) = decodeWebpFrames(payload)
+      for {
+        (f, fi) <- composeFrames(cw, ch, frames).iterator.zipWithIndex
+        r <- 0 until f.h
+        c <- 0 until f.w
+        k <- 0 until 4
+      } yield {
+        val p = f.argb(r * f.w + c)
+        val v = k match {
+          case 0 => (p >> 16) & 0xff
+          case 1 => (p >> 8) & 0xff
+          case 2 => p & 0xff
+          case _ => (p >>> 24) & 0xff
+        }
+        Seq[Any](fi, f.durationMs, r, c, k, v)
+      }
+    }
 
 
   /** Lossy still WITH an alpha plane (VP8X + ALPH + VP8) from a complete

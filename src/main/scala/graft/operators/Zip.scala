@@ -77,6 +77,9 @@ object Zip {
     var nTotal = u16(bytes, eocd + 10).toLong
     var cdSize = u32(bytes, eocd + 12)
     var cdOff = u32(bytes, eocd + 16)
+    // the position the central directory must end at or before: the EOCD
+    // itself classically, tightened to the EOCD64 record start under zip64
+    var cdEnd = eocd
     // zip64 (r11): 0xFFFF/0xFFFFFFFF EOCD markers hand authority to the
     // EOCD64 record, reached through the 20-byte locator that directly
     // precedes the EOCD (webdataset-scale shards routinely exceed the
@@ -99,18 +102,22 @@ object Zip {
       nTotal = u64(bytes, e64 + 32)
       cdSize = u64(bytes, e64 + 40)
       cdOff = u64(bytes, e64 + 48)
+      // with zip64 in effect the directory must end BEFORE the EOCD64
+      // record, not merely before the classic EOCD — the looser bound let
+      // a crafted directory overlap the EOCD64/locator region (ADVICE r11)
+      cdEnd = e64
     }
     require(diskNo == 0 && cdDisk == 0 && nOnDisk == nTotal,
       s"multi-disk archive (disk $diskNo/$cdDisk, $nOnDisk/$nTotal) unsupported")
-    require(cdOff + cdSize <= eocd,
-      s"central directory [$cdOff,+$cdSize) overruns the EOCD at $eocd")
+    require(cdOff + cdSize <= cdEnd,
+      s"central directory [$cdOff,+$cdSize) overruns its bound at $cdEnd")
     require(nTotal <= cdSize / 46 + 1,
       s"$nTotal members cannot fit a $cdSize-byte central directory")
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     var off = cdOff
     var i = 0L
     while (i < nTotal) {
-      require(off + 46 <= eocd, s"central entry $i truncated at $off")
+      require(off + 46 <= cdEnd, s"central entry $i truncated at $off")
       require(u32(bytes, off) == CentralSig,
         f"bad central-directory signature 0x${u32(bytes, off)}%08x for entry $i at $off")
       val flags = u16(bytes, off + 8)
@@ -123,7 +130,7 @@ object Zip {
       val commentLen = u16(bytes, off + 32)
       var diskStart = u16(bytes, off + 34).toLong
       var localOff = u32(bytes, off + 42)
-      require(off + 46 + nameLen + extraLen + commentLen <= eocd,
+      require(off + 46 + nameLen + extraLen + commentLen <= cdEnd,
         s"central entry $i variable fields overrun the directory")
       val name = new String(bytes, (off + 46).toInt, nameLen, "UTF-8")
       require((flags & 0x1) == 0, s"member '$name' is encrypted — unsupported, fail closed")

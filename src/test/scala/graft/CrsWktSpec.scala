@@ -389,6 +389,33 @@ class CrsWktSpec extends AnyFunSuite {
       .getMessage.contains("not in the shipped table"))
   }
 
+  test("epsgWkt: canonical WKT1 round-trips to the exact table transform for every code") {
+    // structural case-class equality = the SAME doubles in every slot —
+    // the synthesized .prj text IS the table's parameterization, so
+    // toProjjson(epsgWkt(code)) describes exactly what epsgCrs dispatches
+    val codes = Seq(4326, 4269, 4267, 4301, 3857,
+      32601, 32633, 32654, 32660, 32701, 32733, 32760,
+      26901, 26915, 26923, 25828, 25832, 25838,
+      5070, 2277, 3413, 3976, 3031, 5041, 5042)
+    for (c <- codes)
+      assert(CrsWkt.parseCrs(CrsWkt.epsgWkt(c)) == CrsWkt.epsgCrs(c),
+        s"EPSG:$c text round-trip diverges from the table dispatch")
+    // and the tree feeds toProjjson: a ProjectedCRS document with the
+    // right method for a sample of each projection family
+    def doc(c: Int) = CrsWkt.toProjjson(s"EPSG:$c")
+    assert(doc(32633).contains("\"Transverse Mercator\"") &&
+      doc(32633).contains("ProjectedCRS"))
+    assert(doc(3857).contains("Pseudo Mercator"))
+    assert(doc(5070).contains("Albers Equal Area"))
+    assert(doc(2277).contains("Lambert Conic Conformal (2SP)") &&
+      doc(2277).contains("US survey foot"))
+    assert(doc(3413).contains("Polar Stereographic (variant B)"))
+    assert(doc(5041).contains("Polar Stereographic (variant A)"))
+    assert(doc(4326).contains("GeographicCRS"))
+    assert(intercept[IllegalArgumentException](CrsWkt.epsgWkt(27700))
+      .getMessage.contains("not in the shipped table"))
+  }
+
   test("quoted-string escapes and whitespace are tolerated") {
     val wkt = "GEOGCS [ \"WGS \"\"84\"\"\" ,\n  DATUM[\"WGS_1984\"," +
       "SPHEROID[\"WGS 84\", 6378137, 298.257223563]],\n" +

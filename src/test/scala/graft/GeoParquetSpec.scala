@@ -117,8 +117,20 @@ class GeoParquetSpec extends AnyFunSuite {
     val footer = GeoParquet.geoMetadata(dir).get
     val crsNode = mapper.readTree(footer).get("columns").get("geom").get("crs")
     assert(crsNode != null && !crsNode.isNull && crsNode.get("type").asText == "ProjectedCRS")
-    // EPSG shorthand rejects descriptively (no parameter tree)
-    val e = intercept[IllegalArgumentException](operators.CrsWkt.toProjjson("EPSG:32633"))
+    // EPSG shorthand (r12): the parameter tree derives from the shipped
+    // table's own parameterization — BYTE-IDENTICAL to the .prj path's
+    // document for the same CRS
+    val utm33Prj = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",""" +
+      """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],""" +
+      """PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],""" +
+      """PARAMETER["false_easting",500000],PARAMETER["false_northing",0],""" +
+      """UNIT["metre",1]]"""
+    assert(operators.CrsWkt.toProjjson("EPSG:32633") ==
+      operators.CrsWkt.toProjjson(utm33Prj))
+    // an out-of-table code still rejects descriptively
+    val e = intercept[IllegalArgumentException](operators.CrsWkt.toProjjson("EPSG:27700"))
     assert(e.getMessage.contains("WKT"), e.getMessage)
   }
 

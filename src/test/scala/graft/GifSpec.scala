@@ -124,4 +124,51 @@ class GifSpec extends AnyFunSuite {
     val p = (13 until b.length).find(i => b(i) == 0x2c).get
     assert((b(p + 9) & 0x40) != 0)
   }
+
+  test("disposal methods round-trip and compose full-canvas frames (r12)") {
+    val pal = (0 until 6).map(i => (i * 40, i * 30, i * 20))
+    // f0 full screen; f1 partial with transparent holes, restore-previous;
+    // f2 partial, restore-background; f3 partial opaque
+    val bytes = Gif.synthGif(6, 4, pal, Seq(
+      Gif.FrameSpec(0, 0, 6, 4)((r, c) => (r + c) % 6),
+      Gif.FrameSpec(2, 1, 3, 2, transparentIdx = Some(0), delayCs = 7,
+        disposal = 3)((r, c) => (r * 2 + c) % 3),
+      Gif.FrameSpec(0, 0, 2, 2, disposal = 2)((r, c) => 5 - (r + c) % 2),
+      Gif.FrameSpec(4, 2, 2, 2)((r, c) => (r + c) % 4 + 1)))
+    val (sw, sh, frames) = Gif.decodeGifFrames(bytes)
+    assert((sw, sh) == ((6, 4)))
+    assert(frames.map(_.disposal) == Seq(0, 3, 2, 0))
+    assert(frames.map(_.delayMs) == Seq(0, 70, 0, 0))
+    val composed = Gif.composeFrames(sw, sh, frames)
+    assert(composed.forall(f => f.w == 6 && f.h == 4))
+    def rgbaAt(fi: Int, r: Int, c: Int): (Int, Int, Int, Int) = {
+      val a = composed(fi).rgba
+      val i = (r * 6 + c) * 4
+      (a(i), a(i + 1), a(i + 2), a(i + 3))
+    }
+    def palAt(i: Int) = (pal(i)._1, pal(i)._2, pal(i)._3, 255)
+    // frame 0: the base everywhere
+    for (r <- 0 until 4; c <- 0 until 6)
+      assert(rgbaAt(0, r, c) == palAt((r + c) % 6), s"f0 ($r,$c)")
+    // frame 1: opaque cells of f1 land; transparent (idx 0) keep the base
+    assert(rgbaAt(1, 1, 2) == palAt((1 + 2) % 6)) // f1 idx (0,0)=0 -> hole keeps base
+    assert(rgbaAt(1, 1, 3) == palAt(1)) // f1 idx (0,1)=1
+    assert(rgbaAt(1, 2, 2) == palAt(2)) // f1 idx (1,0)=2
+    // frame 2: f1 was RESTORED TO PREVIOUS — only f2's rect differs
+    for (r <- 0 until 4; c <- 0 until 6)
+      if (r < 2 && c < 2) assert(rgbaAt(2, r, c) == palAt(5 - (r + c) % 2))
+      else assert(rgbaAt(2, r, c) == palAt((r + c) % 6), s"f2 ($r,$c)")
+    // frame 3: f2's rect restored to background (transparent), f3 drawn
+    assert(rgbaAt(3, 0, 0) == ((0, 0, 0, 0)) && rgbaAt(3, 1, 1) == ((0, 0, 0, 0)))
+    assert(rgbaAt(3, 2, 4) == palAt(1) && rgbaAt(3, 3, 5) == palAt(3))
+    assert(rgbaAt(3, 3, 2) == palAt((3 + 2) % 6)) // untouched base
+    // the DataFrame surface matches (full canvas per frame)
+    import spark.implicits._
+    val rows = Gif.gifToComposedFrames(Seq((9L, bytes)).toDF("media_id", "bytes"))
+      .collect()
+    assert(rows.length == 4 * 6 * 4 * 4)
+    val m = rows.map(r => (r.getInt(1), r.getInt(3), r.getInt(4), r.getInt(5)) ->
+      r.getInt(6)).toMap
+    assert(m((3, 0, 0, 3)) == 0 && m((1, 1, 3, 0)) == pal(1)._1)
+  }
 }

@@ -70,6 +70,34 @@ class ImageIoConformanceSpec extends AnyFunSuite {
       assert(px3(y * w + x) == ref.getRaster.getSample(x, y, 0), s"png gray ($y,$x)")
   }
 
+  test("PNG: JDK-encoded PACKED palette depths (1/2/4-bit) decode exactly (r12)") {
+    for (bits <- Seq(1, 2, 4)) {
+      val n = 1 << bits
+      val cols = Array.tabulate(n)(i =>
+        0xff000000 | ((i * 37 % 256) << 16) | ((i * 59 % 256) << 8) | (i * 83 % 256))
+      val icm = new java.awt.image.IndexColorModel(bits, n,
+        cols.map(v => ((v >> 16) & 0xff).toByte),
+        cols.map(v => ((v >> 8) & 0xff).toByte),
+        cols.map(v => (v & 0xff).toByte))
+      val w = 13; val h = 7
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (y * 3 + x) % n)
+      val bytes = encode(img, "png")
+      // the JDK really wrote a PACKED stream (IHDR depth byte at 24)
+      assert(bytes(24) == bits, s"JDK wrote depth ${bytes(24)}, wanted $bits")
+      val (dw, dh, ch, px) = MultimodalOps.decodePngPixels(bytes)
+      assert((dw, dh, ch) == ((w, h, 3)), s"b$bits")
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * 3 + x) % n
+        val at = (y * w + x) * 3
+        assert(px(at) == ((cols(i) >> 16) & 0xff) &&
+          px(at + 1) == ((cols(i) >> 8) & 0xff) && px(at + 2) == (cols(i) & 0xff),
+          s"b$bits ($y,$x)")
+      }
+    }
+  }
+
   test("GIF: JDK-encoded palette image decodes exactly") {
     val w = 19; val h = 13
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
@@ -84,6 +112,92 @@ class ImageIoConformanceSpec extends AnyFunSuite {
       val rgba = frames.head.rgba
       assert(rgba(at) == ((want >> 16) & 0xff) && rgba(at + 1) == ((want >> 8) & 0xff) &&
         rgba(at + 2) == (want & 0xff), s"gif ($y,$x)")
+    }
+  }
+
+  test("GIF animation: JDK-WRITTEN offsets/disposal/delays parse and compose (r12)") {
+    import javax.imageio.{IIOImage, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // a fixed 4-entry palette, explicit IndexColorModel so the JDK writes
+    // EXACTLY these colors (no quantizer in the loop)
+    val cols = Array(0xff204060, 0xff80a0c0, 0xffe01030, 0xff10e070)
+    val icm = new java.awt.image.IndexColorModel(2, 4,
+      cols.map(v => ((v >> 16) & 0xff).toByte),
+      cols.map(v => ((v >> 8) & 0xff).toByte),
+      cols.map(v => (v & 0xff).toByte))
+    def frame(w: Int, h: Int, idxOf: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, idxOf(y, x))
+      img
+    }
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def write(img: BufferedImage, left: Int, top: Int,
+        disposal: String, delayCs: Int): Unit = {
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = meta.getNativeMetadataFormatName // javax_imageio_gif_image_1.0
+      val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def node(name: String): IIOMetadataNode = {
+        val found = root.getElementsByTagName(name)
+        if (found.getLength > 0) found.item(0).asInstanceOf[IIOMetadataNode]
+        else { val n = new IIOMetadataNode(name); root.appendChild(n); n }
+      }
+      val gce = node("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", delayCs.toString)
+      gce.setAttribute("transparentColorIndex", "0")
+      val desc = node("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", left.toString)
+      desc.setAttribute("imageTopPosition", top.toString)
+      desc.setAttribute("imageWidth", img.getWidth.toString)
+      desc.setAttribute("imageHeight", img.getHeight.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, meta),
+        writer.getDefaultWriteParam)
+    }
+    // f0 full 8x6; f1 3x2 at (4,2) restore-to-background; f2 2x2 at (1,1)
+    write(frame(8, 6, (y, x) => (y + x) % 4), 0, 0, "doNotDispose", 11)
+    write(frame(3, 2, (y, x) => (y * 2 + x) % 4), 4, 2, "restoreToBackgroundColor", 7)
+    write(frame(2, 2, (y, x) => 3 - (y + x) % 2), 1, 1, "none", 0)
+    writer.endWriteSequence(); ios.close()
+    val bytes = bos.toByteArray
+    // the engine parses the JDK's spelling of the metadata...
+    val (sw, sh, frames) = Gif.decodeGifFrames(bytes)
+    assert((sw, sh) == ((8, 6)), s"screen ${sw}x$sh")
+    assert(frames.map(f => (f.left, f.top, f.w, f.h)) ==
+      Seq((0, 0, 8, 6), (4, 2, 3, 2), (1, 1, 2, 2)))
+    assert(frames.map(_.disposal) == Seq(1, 2, 0))
+    assert(frames.map(_.delayMs) == Seq(110, 70, 0))
+    // ...and the composition matches an INDEPENDENT hand-rolled replay
+    // (binary-alpha paint + disposal, straight loops — not Canvas)
+    val canvas = Array.fill(8 * 6)(0) // packed ARGB, 0 = transparent
+    val specs = Seq(
+      (0, 0, 8, 6, (y: Int, x: Int) => (y + x) % 4, false),
+      (4, 2, 3, 2, (y: Int, x: Int) => (y * 2 + x) % 4, true),
+      (1, 1, 2, 2, (y: Int, x: Int) => 3 - (y + x) % 2, false))
+    val composed = Gif.composeFrames(sw, sh, frames)
+    for (((left, top, w, h, idxOf, disposeBg), fi) <- specs.zipWithIndex) {
+      for (y <- 0 until h; x <- 0 until w)
+        canvas((top + y) * 8 + left + x) = cols(idxOf(y, x))
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val want = canvas(y * 8 + x)
+        val at = (y * 8 + x) * 4
+        val rgba = composed(fi).rgba
+        val got = (rgba(at + 3) << 24) | (rgba(at) << 16) |
+          (rgba(at + 1) << 8) | rgba(at + 2)
+        assert(got == want, f"frame $fi ($y,$x): $got%08x vs $want%08x")
+      }
+      if (disposeBg)
+        for (y <- 0 until h; x <- 0 until w)
+          canvas((top + y) * 8 + left + x) = 0
     }
   }
 

@@ -157,6 +157,60 @@ class MultimodalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG packed 1/2/4-bit depths round-trip through every filter (r12)") {
+    // gray: all depths, widths that don't byte-align, all five filters
+    for (depth <- Seq(1, 2, 4); (w, h) <- Seq((1, 1), (13, 7), (8, 3), (17, 5))) {
+      val maxV = (1 << depth) - 1
+      def v(r: Int, c: Int) = (r * 3 + c * 5) % (maxV + 1)
+      val bytes = MultimodalOps.synthPngPacked(w, h, depth)(v)
+      val (dw, dh, ch, px) = MultimodalOps.decodePngPixels(bytes)
+      assert((dw, dh, ch) == ((w, h, 1)), s"d$depth ${w}x$h")
+      for (r <- 0 until h; c <- 0 until w)
+        assert(px(r * w + c) == v(r, c), s"d$depth ($r,$c)")
+    }
+    // packed palette + per-entry alpha → RGBA
+    val pal = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val pp = MultimodalOps.synthPngPacked(9, 4, 2, palette = Some(pal),
+      alpha = Seq(7, 250))((r, c) => (r + c) % 4)
+    val (_, _, pch, ppx) = MultimodalOps.decodePngPixels(pp)
+    assert(pch == 4)
+    for (r <- 0 until 4; c <- 0 until 9) {
+      val i = (r + c) % 4
+      val at = (r * 9 + c) * 4
+      assert(ppx(at) == pal(i)._1 && ppx(at + 1) == pal(i)._2 &&
+        ppx(at + 2) == pal(i)._3)
+      assert(ppx(at + 3) == (i match { case 0 => 7; case 1 => 250; case _ => 255 }))
+    }
+    // gray transparent color: matching pixels get alpha 0, max otherwise
+    val gt = MultimodalOps.synthPngPacked(6, 3, 2, transparentGray = Some(2))(
+      (r, c) => (r + c) % 4)
+    val (_, _, gch, gpx) = MultimodalOps.decodePngPixels(gt)
+    assert(gch == 2)
+    for (r <- 0 until 3; c <- 0 until 6) {
+      val v = (r + c) % 4
+      assert(gpx((r * 6 + c) * 2) == v)
+      assert(gpx((r * 6 + c) * 2 + 1) == (if (v == 2) 0 else 3))
+    }
+    // truecolor transparent color at depth 8 and 16
+    for (depth <- Seq(8, 16)) {
+      val m = if (depth == 8) 256 else 65536
+      def v(r: Int, c: Int, k: Int) = (r * 1031 + c * 517 + k * 89) % m
+      val t = Seq(v(1, 1, 0), v(1, 1, 1), v(1, 1, 2))
+      val bytes = MultimodalOps.synthPng(5, 4, 3, depth = depth,
+        transparent = Some(t))(v)
+      val (_, _, ch, px) = MultimodalOps.decodePngPixels(bytes)
+      assert(ch == 4)
+      for (r <- 0 until 4; c <- 0 until 5) {
+        val isT = (0 until 3).forall(k => v(r, c, k) == t(k))
+        assert(px((r * 5 + c) * 4 + 3) == (if (isT) 0 else m - 1),
+          s"d$depth ($r,$c)")
+        for (k <- 0 until 3) assert(px((r * 5 + c) * 4 + k) == v(r, c, k))
+      }
+      assert((0 until 4).exists(r => (0 until 5).exists(c =>
+        (0 until 3).forall(k => v(r, c, k) == t(k)))), "fixture has no match")
+    }
+  }
+
   test("PNG pixel decode fails closed on bad interlace, packed depths, tRNS palettes, truncation") {
     val good = MultimodalOps.synthPng(6, 4, 3)((r, c, ch) => r + c + ch)
     // interlace byte lives at offset 28 (sig 8 + len 4 + type 4 + 13-1).
@@ -180,8 +234,9 @@ class MultimodalOpsSpec extends AnyFunSuite {
     // longer matches — rejected, never half-decoded
     val deep = good.clone(); deep(24) = 16
     intercept[IllegalArgumentException](MultimodalOps.decodePngPixels(deep))
-    // tRNS on GRAYSCALE (transparent-color semantics, not palette alpha)
-    // fails closed: splice a 2-byte tRNS before IDAT of a gray file
+    // tRNS on GRAYSCALE decodes with transparent-COLOR semantics since
+    // r12 (splice a 2-byte tRNS before IDAT of a gray file): a non-
+    // matching color leaves every pixel opaque but ADDS the alpha channel
     val baseGray = MultimodalOps.synthPng(4, 3, 1)((r, c, _) => r + c)
     val idatAt = {
       var off = 8
@@ -194,8 +249,14 @@ class MultimodalOpsSpec extends AnyFunSuite {
       Array[Byte](0, 0, 0, 2) ++ "tRNS".getBytes("US-ASCII") ++
       Array[Byte](0, 7, 0, 0, 0, 0) ++
       baseGray.drop(idatAt)
+    val (_, _, trnsCh, trnsPx) = MultimodalOps.decodePngPixels(trns)
+    assert(trnsCh == 2 && trnsPx.grouped(2).forall(_(1) == 255))
+    // ...but a WRONG-LENGTH tRNS and tRNS on an alpha-bearing type reject
+    val badLen = baseGray.take(idatAt) ++
+      Array[Byte](0, 0, 0, 3) ++ "tRNS".getBytes("US-ASCII") ++
+      Array[Byte](0, 7, 1, 0, 0, 0, 0) ++ baseGray.drop(idatAt)
     assert(intercept[IllegalArgumentException](
-      MultimodalOps.decodePngPixels(trns)).getMessage.contains("tRNS"))
+      MultimodalOps.decodePngPixels(badLen)).getMessage.contains("tRNS"))
     // out-of-range palette index fails closed
     val oneEntry = MultimodalOps.synthPngPalette(2, 1, Seq((9, 9, 9), (5, 5, 5)))((_, c) => c)
     val (_, _, _, ok) = MultimodalOps.decodePngPixels(oneEntry)

@@ -236,6 +236,91 @@ class WebpSpec extends AnyFunSuite {
     assert(census.getBoolean(4) && census.getLong(2) == (20 * 16 + 9 * 7 + 5 * 4) * 4)
   }
 
+  test("composition: ANMF blend/dispose flags round-trip and compose (r12)") {
+    import graft.operators.Canvas
+    // flags survive the container round trip
+    val base = Webp.synthWebpLossless(6, 4, (r, c) => 0xff000000 | px(r, c) & 0xffffff)
+    val patch = Webp.synthWebpLossless(2, 2, (r, c) =>
+      ((if (r == 0) 255 else 0) << 24) | (px(r, c) & 0xffffff))
+    val anim = Webp.synthWebpAnimComposed(6, 4, Seq(
+      Webp.AnmfSpec(0, 0, 10, base, blend = false),
+      Webp.AnmfSpec(2, 2, 20, patch, blend = true),
+      Webp.AnmfSpec(4, 0, 30, patch, blend = false, disposeBg = true),
+      Webp.AnmfSpec(0, 0, 40, patch)))
+    val (cw, ch, frames) = Webp.decodeWebpFrames(anim)
+    assert((cw, ch) == ((6, 4)))
+    assert(frames.map(f => (f.blend, f.disposeBg)) ==
+      Seq((false, false), (true, false), (false, true), (true, false)))
+    val composed = Webp.composeFrames(cw, ch, frames)
+    assert(composed.forall(f => f.w == 6 && f.h == 4 && f.left == 0 && f.top == 0))
+    assert(composed.map(_.durationMs) == Seq(10, 20, 30, 40))
+    def at(fi: Int, r: Int, c: Int) = composed(fi).argb(r * 6 + c)
+    def baseAt(r: Int, c: Int) = 0xff000000 | px(r, c) & 0xffffff
+    def patchAt(r: Int, c: Int) =
+      ((if (r == 0) 255 else 0) << 24) | (px(r, c) & 0xffffff)
+    // frame 0: base everywhere
+    for (r <- 0 until 4; c <- 0 until 6) assert(at(0, r, c) == baseAt(r, c))
+    // frame 1: BLEND — opaque patch row lands, transparent row keeps base
+    assert(at(1, 2, 2) == patchAt(0, 0) && at(1, 2, 3) == patchAt(0, 1))
+    assert(at(1, 3, 2) == baseAt(3, 2) && at(1, 3, 3) == baseAt(3, 3))
+    // frame 2: NO-blend at (4,0) — the transparent row OVERWRITES
+    // (punches a hole: alpha 0, patch RGB preserved verbatim)
+    assert(at(2, 0, 4) == patchAt(0, 0) && at(2, 1, 4) == patchAt(1, 0))
+    assert((at(2, 1, 4) >>> 24) == 0)
+    // frame 3: frame 2's rect was disposed to transparent, patch redrawn
+    // at the origin over the frame-1 state
+    assert(at(3, 0, 4) == 0 && at(3, 1, 5) == 0)
+    assert(at(3, 0, 0) == patchAt(0, 0))
+    assert(at(3, 1, 0) == baseAt(1, 0)) // transparent patch row blends away
+    assert(at(3, 2, 2) == patchAt(0, 0)) // frame-1 state survives
+    // fractional alpha: the EXACT integer rule, verified against an
+    // independent evaluation of the spec's real-number formula
+    val src = (128 << 24) | (200 << 16) | (40 << 8) | 90
+    val dst = (180 << 24) | (10 << 16) | (250 << 8) | 33
+    val got = Canvas.over(src, dst)
+    val aNum = 128 * 255 + 180 * (255 - 128)
+    def want(shift: Int): Int = {
+      val cS = (src >> shift) & 0xff; val cD = (dst >> shift) & 0xff
+      (cS * 128 * 255 + cD * 180 * (255 - 128) + aNum / 2) / aNum
+    }
+    assert((got >>> 24) == (aNum + 127) / 255)
+    assert(((got >> 16) & 0xff) == want(16) &&
+      ((got >> 8) & 0xff) == want(8) && (got & 0xff) == want(0))
+    // and the degenerate alphas are exact selections
+    assert(Canvas.over(src & 0xffffff, dst) == dst)
+    assert(Canvas.over(src | 0xff000000, dst) == (src | 0xff000000))
+    // blending onto a fully transparent canvas keeps the source pixel
+    assert(Canvas.over(src, 0) == src)
+    // out-of-canvas rects fail closed
+    intercept[IllegalArgumentException](Canvas.compose(4, 4, Seq(
+      Canvas.Layer(3, 0, 2, 2, new Array[Int](4), blend = true,
+        disposeBg = false, restorePrev = false))))
+  }
+
+  test("inter-frame VP8 in animations rejects countably — documented out of scope (r12)") {
+    // Decision (r12, verdict stretch-10): real-encoder animated lossy
+    // WebP MAY emit non-keyframe ANMF frames; golden-frame inter decode
+    // is out of scope until fixture evidence shows it is common in crawl
+    // content. The contract is a COUNTABLE reject (named reason), never
+    // a silent drop or a dead task.
+    import graft.operators.Vp8
+    val key = Vp8.encodeKeyframe(16, 16, 0, 0, Seq(
+      Vp8.MbSpec(yMode = 0, uvMode = 0,
+        y2 = { val a = new Array[Int](16); a(0) = 24; a })))
+    val inter = key.clone(); inter(20) = (inter(20) | 1).toByte // frame-type bit
+    val e = intercept[IllegalArgumentException](Webp.decodeWebpFrames(inter))
+    assert(e.getMessage.contains("inter"), e.getMessage)
+    val anim = Webp.synthWebpAnimFiles(16, 16, Seq((0, 0, 10, key), (0, 0, 20, inter)))
+    val e2 = intercept[IllegalArgumentException](Webp.decodeWebpFrames(anim))
+    assert(e2.getMessage.contains("inter"), e2.getMessage)
+    import spark.implicits._
+    val rows = MultimodalOps.mediaCensusWithRejects(
+      Seq((1L, anim), (2L, key)).toDF("media_id", "bytes")).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).getBoolean(4) && byId(1L).getString(5).contains("inter"))
+    assert(byId(2L).getBoolean(4))
+  }
+
   test("webpToPixels: RGBA rows; lossy and non-VP8L containers fail closed") {
     val bytes = Webp.synthWebpLossless(4, 3, px)
     val out = Webp.webpToPixels(Seq((9L, bytes)).toDF("img_id", "bytes"))
