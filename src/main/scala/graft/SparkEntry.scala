@@ -4597,6 +4597,54 @@ object SparkEntry {
       .orderBy("pk", "member_idx")
   }
 
+  /** g22 — NESTED collections through [[functions.CollectionLeavesExpr]]
+    * (r12): same fixture algebra as g21, but the collections nest — a
+    * GC-in-GC with leaves either side (leaf order + index continuity), a
+    * depth-3 chain around a POLYGON, and a nested `GEOMETRYCOLLECTION
+    * EMPTY` sibling whose zero leaves must shift the MULTIPOINT's index
+    * left. Every leaf's type/points/envelope regenerates closed-form, so
+    * the depth walk (paren counter, not the flat lookahead) is the only
+    * thing under test.
+    */
+  private def g22(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (col("p_partkey") % 5).cast("int").as("kind"),
+      ((col("p_partkey") % 50).cast("double") * lit(1.5) + lit(0.25)).as("x"),
+      ((col("p_size") % 40).cast("double") * lit(0.75) + lit(0.125)).as("y"))
+    def n(c: Column) = c.cast("string")
+    val x = col("x"); val y = col("y")
+    def pt(px: Column, py: Column) =
+      concat(lit("POINT ("), n(px), lit(" "), n(py), lit(")"))
+    val wkt = when(col("kind") === 0, pt(x, y))
+      .when(col("kind") === 1, concat(lit("GEOMETRYCOLLECTION ("), pt(x, y),
+        lit(", GEOMETRYCOLLECTION (LINESTRING ("), n(x + 1.0), lit(" "), n(y),
+        lit(", "), n(x + 3.0), lit(" "), n(y + 0.5), lit("), "),
+        pt(x + 4.0, y + 2.0), lit("))")))
+      .when(col("kind") === 2, concat(
+        lit("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POLYGON (("),
+        n(x), lit(" "), n(y), lit(", "), n(x + 2.0), lit(" "), n(y), lit(", "),
+        n(x + 2.0), lit(" "), n(y + 1.0), lit(", "), n(x), lit(" "), n(y),
+        lit(")))))")))
+      .when(col("kind") === 3, concat(lit("GEOMETRYCOLLECTION ("), pt(x, y),
+        lit(", GEOMETRYCOLLECTION EMPTY, MULTIPOINT (("), n(x + 6.0), lit(" "),
+        n(y), lit("), ("), n(x + 7.0), lit(" "), n(y + 0.25), lit(")))")))
+      .otherwise(lit("GEOMETRYCOLLECTION EMPTY"))
+    base.withColumn("geom", wkt)
+      .select(col("pk"), col("kind"),
+        posexplode_outer(functions.SpatialOps.collectionLeaves(col("geom"))))
+      .select(col("pk"), col("kind"),
+        coalesce(col("pos"), lit(-1)).cast("int").as("member_idx"),
+        coalesce(upper(regexp_extract(col("col"), "^\\s*([A-Za-z]+)", 1)),
+          lit("EMPTY")).as("mtype"),
+        coalesce(functions.SpatialOps.wktNumPoints(col("col")).cast("long"),
+          lit(0L)).as("n_pts"),
+        coalesce(floor(functions.SpatialOps.wktEnvelope(col("col"))
+          .getField("xmin") * lit(64.0)), lit(0.0)).cast("long").as("xmin_fp"),
+        coalesce(floor(functions.SpatialOps.wktEnvelope(col("col"))
+          .getField("ymax") * lit(64.0)), lit(0.0)).cast("long").as("ymax_fp"))
+      .orderBy("pk", "member_idx")
+  }
+
   private val G15UsFoot = 0.30480060960121924 // 1200/3937
   private val G15GeoWkt =
     "GEOGCS[\"NAD83\",DATUM[\"North_American_Datum_1983\"," +
@@ -4965,6 +5013,7 @@ object SparkEntry {
     "g19_helmert_7param" -> (g19 _),
     "g20_ups_variant_a" -> (g20 _),
     "g21_geometrycollection" -> (g21 _),
+    "g22_nested_collection" -> (g22 _),
     "g14_epsg_reproject" -> (g14 _),
     "a8_tile_pca" -> (a8 _),
     "w7_halo2d" -> (w7 _),
@@ -7578,6 +7627,28 @@ object SparkEntry {
         |  UNION ALL SELECT pk, kind, 0, 'POLYGON', 4, x, y + 1.0 FROM p WHERE kind = 3
         |  UNION ALL SELECT pk, kind, 1, 'POINT', 1, x + 5.0, y + 2.0 FROM p WHERE kind = 3
         |  UNION ALL SELECT pk, kind, 2, 'MULTIPOINT', 2, x + 6.0, y + 0.25 FROM p WHERE kind = 3
+        |  UNION ALL SELECT pk, kind, -1, 'EMPTY', 0, NULL, NULL FROM p WHERE kind = 4)
+        |SELECT pk, kind, CAST(member_idx AS INT) AS member_idx, mtype,
+        |  CAST(n_pts AS BIGINT) AS n_pts,
+        |  CAST(coalesce(floor(xmin * 64.0), 0) AS BIGINT) AS xmin_fp,
+        |  CAST(coalesce(floor(ymax * 64.0), 0) AS BIGINT) AS ymax_fp
+        |FROM m ORDER BY pk, member_idx""".stripMargin,
+    // g22: the nested twin — every LEAF regenerated from the kind
+    // formulas; the depth walk (GC-in-GC split, depth-3 chain, nested
+    // EMPTY shifting later siblings' indices) must be invisible
+    "g22_nested_collection" ->
+      """WITH p AS (SELECT p_partkey AS pk, CAST(p_partkey % 5 AS INT) AS kind,
+        |    CAST(p_partkey % 50 AS DOUBLE) * 1.5 + 0.25 AS x,
+        |    CAST(p_size % 40 AS DOUBLE) * 0.75 + 0.125 AS y FROM part),
+        |m AS (
+        |  SELECT pk, kind, 0 AS member_idx, 'POINT' AS mtype, 1 AS n_pts,
+        |      x AS xmin, y AS ymax FROM p WHERE kind = 0
+        |  UNION ALL SELECT pk, kind, 0, 'POINT', 1, x, y FROM p WHERE kind = 1
+        |  UNION ALL SELECT pk, kind, 1, 'LINESTRING', 2, x + 1.0, y + 0.5 FROM p WHERE kind = 1
+        |  UNION ALL SELECT pk, kind, 2, 'POINT', 1, x + 4.0, y + 2.0 FROM p WHERE kind = 1
+        |  UNION ALL SELECT pk, kind, 0, 'POLYGON', 4, x, y + 1.0 FROM p WHERE kind = 2
+        |  UNION ALL SELECT pk, kind, 0, 'POINT', 1, x, y FROM p WHERE kind = 3
+        |  UNION ALL SELECT pk, kind, 1, 'MULTIPOINT', 2, x + 6.0, y + 0.25 FROM p WHERE kind = 3
         |  UNION ALL SELECT pk, kind, -1, 'EMPTY', 0, NULL, NULL FROM p WHERE kind = 4)
         |SELECT pk, kind, CAST(member_idx AS INT) AS member_idx, mtype,
         |  CAST(n_pts AS BIGINT) AS n_pts,

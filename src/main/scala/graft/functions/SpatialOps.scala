@@ -231,8 +231,9 @@ object SpatialOps {
     * a one-element array so callers get ONE surface for both layouts;
     * `GEOMETRYCOLLECTION EMPTY` returns an empty array (countable, the
     * census contract); NESTED collections reject descriptively (the
-    * flat-members contract — GC-in-GC is vanishingly rare and silently
-    * mis-splitting one would be worse than the loud reject).
+    * flat-members contract — the lookahead split cannot tell inner member
+    * commas from outer ones; callers that want nesting flattened use
+    * [[collectionLeaves]], the depth-aware r12 surface).
     */
   def collectionMembers(wkt: Column): Column = {
     val typ = upper(regexp_extract(wkt, "^\\s*([A-Za-z]+)", 1))
@@ -261,6 +262,14 @@ object SpatialOps {
           wkt)))
       .otherwise(members)
   }
+
+  /** GEOMETRYCOLLECTION → LEAF geometries through arbitrary nesting
+    * (r12): the depth-aware twin of [[collectionMembers]] — see
+    * [[CollectionLeavesExpr]] for the contract (depth-first leaf order,
+    * nested EMPTY contributes zero, depth-32 cap, fail-closed parse).
+    */
+  def collectionLeaves(wkt: Column): Column =
+    CollectionLeavesExpr.collectionLeaves(wkt)
 
   // ---- vector geometry reprojection (the ogr2ogr half of the CRS story) ----
 

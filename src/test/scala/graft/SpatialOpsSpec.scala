@@ -349,4 +349,57 @@ class SpatialOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(n == Seq(1L, 3L))
   }
+
+  test("collectionLeaves: nested flatten, leaf order, nested EMPTY, depth cap, fail-closed") {
+    import spark.implicits._
+    def leaves(w: String): Seq[String] =
+      Seq(w).toDF("g").select(SpatialOps.collectionLeaves(col("g")).as("m"))
+        .collect()(0).getSeq[String](0)
+    // nested collections flatten depth-first in textual order
+    assert(leaves("GEOMETRYCOLLECTION (POINT (1 2), GEOMETRYCOLLECTION (" +
+      "LINESTRING (3 4, 5 6), POINT (7 8)), POLYGON ((0 0, 1 0, 1 1, 0 0)))") ==
+      Seq("POINT (1 2)", "LINESTRING (3 4, 5 6)", "POINT (7 8)",
+        "POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+    // depth-3 chain
+    assert(leaves("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (" +
+      "GEOMETRYCOLLECTION (POINT (1 2))))") == Seq("POINT (1 2)"))
+    // flat inputs agree with collectionMembers: one surface, EMPTY countable
+    assert(leaves("POINT (3 4)") == Seq("POINT (3 4)"))
+    assert(leaves("GEOMETRYCOLLECTION EMPTY") == Seq())
+    assert(leaves("GEOMETRYCOLLECTION ( )") == Seq())
+    assert(leaves("geometrycollection (point (1 2))") == Seq("point (1 2)"))
+    // nested EMPTY contributes zero leaves and shifts later siblings left
+    assert(leaves("GEOMETRYCOLLECTION (POINT (1 2), GEOMETRYCOLLECTION EMPTY, " +
+      "MULTIPOINT ((3 4), (5 6)))") ==
+      Seq("POINT (1 2)", "MULTIPOINT ((3 4), (5 6))"))
+    // depth cap rejects instead of overflowing the stack
+    val deep = "GEOMETRYCOLLECTION (" * 40 + "POINT (1 2)" + ")" * 40
+    val eDeep = intercept[Exception] { leaves(deep) }
+    assert(eDeep.getMessage.contains("nesting exceeds depth"), eDeep.getMessage)
+    // a legitimate depth well under the cap still parses
+    val ok16 = "GEOMETRYCOLLECTION (" * 16 + "POINT (1 2)" + ")" * 16
+    assert(leaves(ok16) == Seq("POINT (1 2)"))
+    // fail-closed parse: unbalanced parens, trailing garbage, 3D, no body
+    for ((bad, frag) <- Seq(
+        ("GEOMETRYCOLLECTION (POINT (1 2)", "unbalanced"),
+        ("GEOMETRYCOLLECTION (POINT (1 2))) ", "content after close"),
+        ("GEOMETRYCOLLECTION (POINT (1 2)) junk", "content after close"),
+        ("GEOMETRYCOLLECTION Z (POINT Z (1 2 3))", "2D only"),
+        ("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))", "2D only"),
+        ("GEOMETRYCOLLECTION", "no body"))) {
+      val e = intercept[Exception] { leaves(bad) }
+      assert(e.getMessage.contains(frag), s"$bad: ${e.getMessage}")
+    }
+    // NULL propagates
+    val r = Seq[(Long, String)]((1L, null)).toDF("id", "g")
+      .select(SpatialOps.collectionLeaves(col("g"))).collect()(0)
+    assert(r.isNullAt(0))
+    // leaves feed the measures (depth-2 member measured like a flat one)
+    val n = Seq("GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (LINESTRING (3 4, 5 6, 7 8)))")
+      .toDF("g")
+      .select(explode(SpatialOps.collectionLeaves(col("g"))).as("m"))
+      .select(SpatialOps.wktNumPoints(col("m")).cast("long").as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(n == Seq(3L))
+  }
 }
