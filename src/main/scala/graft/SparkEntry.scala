@@ -3241,6 +3241,17 @@ object SparkEntry {
     Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 2)
       .orderBy("a", "b")
 
+  /** e14b — the WIDE (60-bit) simhash near-dup pairs, the corpus-scale
+    * path (r12): the sf1 probe measured the 16-bit form at 22× wall for
+    * 10× docs (2^5-key bands saturate), while 60-bit bands have 2^20
+    * keys and stay linear. Same pigeonhole construction, same
+    * brute-force oracle — the banding must again lose nothing, now over
+    * a sparse bucket space.
+    */
+  private def e14b(s: SparkSession, d: String) =
+    Dedup.simhashNearDupPairsWide(Tables.documents(s, d), maxHamming = 2)
+      .orderBy("a", "b")
+
   /** q6b — TPC-H Q6 shape: single-scan predicate-pushdown revenue forecast.
     * All three filters reach the parquet scan (PushedFilters); the agg is a
     * partial-final pair with no shuffle beyond the final single-row merge.
@@ -5111,6 +5122,7 @@ object SparkEntry {
     "lm1_unigram_logprob" -> (lm1 _),
     "lm2_bigram_logprob" -> (lm2 _),
     "e14_simhash_neardup" -> (e14 _),
+    "e14b_simhash_wide" -> (e14b _),
     "q6b_forecast_revenue" -> (q6b _),
     "q7b_volume_shipping" -> (q7b _),
     "q8b_market_share" -> (q8b _),
@@ -8562,6 +8574,20 @@ object SparkEntry {
          |h AS (SELECT doc_id, list_transform(list_transform(toks, tk -> md5(tk)), m -> ${sqlHexVal("m", 4)}) AS hs FROM t),
          |sig AS (SELECT doc_id, CAST(${(0 until 16).map(j =>
               s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END")
+              .mkString(" + ")} AS BIGINT) AS simhash
+         |FROM h)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
+    // e14b: the 60-bit twin — same brute-force proof, the signature is
+    // 60 per-bit vote sums over 15-hex-char (60-bit) token hashes
+    "e14b_simhash_wide" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(list_transform(toks, tk -> md5(tk)), m -> ${sqlHexVal("m", 15)}) AS hs FROM t),
+         |sig AS (SELECT doc_id, CAST(${(0 until 60).map(j =>
+              s"CASE WHEN list_sum(list_transform(hs, x -> ((x >> $j) % 2) * 2 - 1)) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END")
               .mkString(" + ")} AS BIGINT) AS simhash
          |FROM h)
          |SELECT x.doc_id AS a, y.doc_id AS b,

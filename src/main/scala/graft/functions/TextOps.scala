@@ -122,6 +122,22 @@ object TextOps {
     */
   def simhash16(text: Column): Column = simhash16FromHashes(tokenHashes16(text))
 
+  /** 60-bit token-hash array for the WIDE SimHash (r12 scale path): 15
+    * hex chars of md5 = 60 bits, the widest value `conv` holds exactly
+    * in a signed long on both engines. Same distinct-token contract as
+    * the 16-bit form.
+    */
+  def tokenHashes60(text: Column): Column =
+    transform(transform(array_distinct(tokens(text)), t => md5(t)), h => hexVal(h, 15))
+
+  /** 60-bit SimHash from a bound hash-array column — one codegen pass
+    * (see [[SimHashExpr]]), vote semantics identical to the 16-bit form.
+    */
+  def simhash60FromHashes(hashes: Column): Column = SimHashExpr.simhash(hashes, 60)
+
+  /** Convenience single-expression 60-bit form. */
+  def simhash60(text: Column): Column = simhash60FromHashes(tokenHashes60(text))
+
   /** Polynomial rolling-hash document fingerprint (order-sensitive, unlike
     * `fingerprint`): h = fold(0, (acc, t) → (acc·B + H(t)) mod M) over the
     * token stream, H = 24-bit md5 hash. B=131, M=1e9+7 keeps every

@@ -426,11 +426,13 @@ object Dedup {
     * SCALE CAVEAT: a 16-bit signature gives each band a key space of at
     * most 2^6..2^8 values, so bucket occupancy grows LINEARLY with corpus
     * size and the candidate join is quadratic past ~10^5 docs — this
-    * exact form is for corpus slices / per-partition dedup. At corpus
-    * scale set `maxBucket` (> 0) to shed saturated buckets before the
-    * quadratic step, the same guard as the MinHash path — that trades the
-    * no-false-negatives guarantee on shed buckets for bounded work
-    * (e14 runs uncapped because its oracle brute-forces all pairs).
+    * exact form is for corpus slices / per-partition dedup
+    * (probe-measured at ~sf1: 22× wall at 10× docs). At corpus scale use
+    * [[simhashNearDupPairsWide]] (60-bit signature, 2^20-key bands,
+    * linear), or set `maxBucket` (> 0) to shed saturated buckets before
+    * the quadratic step, the same guard as the MinHash path — that
+    * trades the no-false-negatives guarantee on shed buckets for bounded
+    * work (e14 runs uncapped because its oracle brute-forces all pairs).
     */
   def simhashNearDupPairs(
       docs: DataFrame,
@@ -439,12 +441,48 @@ object Dedup {
       textCol: String = "text",
       maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, s"maxHamming in [0,16), got $maxHamming")
-    val nBands = maxHamming + 1
-    val width = 16 / nBands // bands cover width·nBands bits; remainder goes to the last band
     val sig = spread(docs).select(col(idCol), TextOps.simhash16(col(textCol)).as("__sh"))
+    bandedHammingPairs(sig, 16, maxHamming, idCol, maxBucket)
+  }
+
+  /** WIDE SimHash near-dup pairs — the corpus-scale form (r12, the sf1
+    * probe finding): a 60-bit signature (one codegen pass, see
+    * [[graft.functions.SimHashExpr]]) puts each radius-2 pigeonhole band
+    * at a 2^20 key space, so band buckets hold only genuine near-dups
+    * plus rare collisions and the candidate join stays LINEAR in corpus
+    * size — probe-measured vs the 16-bit form's 22× at 10× data. Same
+    * no-false-negatives banding, same exact `bit_count(xor)` verify.
+    * Note the semantics differ from the 16-bit form only through the
+    * hash width: radius-2 on 60 bits is a STRICTER near-dup notion
+    * (fewer token-set differences fit in 2 bit flips of 60).
+    */
+  def simhashNearDupPairsWide(
+      docs: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucket: Int = 0): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 60, s"maxHamming in [0,60), got $maxHamming")
+    val sig = spread(docs).select(col(idCol), TextOps.simhash60(col(textCol)).as("__sh"))
+    bandedHammingPairs(sig, 60, maxHamming, idCol, maxBucket)
+  }
+
+  /** Shared pigeonhole machinery over a prepared (id, __sh) signature
+    * frame: `maxHamming + 1` bands ⇒ any pair within the radius agrees on
+    * at least one whole band (no false negatives); equi-join on
+    * (band, bits) proposes, `bit_count(xor) <= maxHamming` disposes.
+    */
+  private def bandedHammingPairs(
+      sig: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      idCol: String,
+      maxBucket: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = bits / nBands // bands cover width·nBands bits; remainder goes to the last band
     val bands = (0 until nBands).map { b =>
       val lo = b * width
-      val w = if (b == nBands - 1) 16 - lo else width
+      val w = if (b == nBands - 1) bits - lo else width
       struct(lit(b).as("band"),
         pmod(shiftright(col("__sh"), lo), lit(1L << w)).as("bits"))
     }

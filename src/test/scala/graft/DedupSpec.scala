@@ -79,6 +79,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashNearDupPairsWide (60-bit) equals brute-force; SimHashExpr matches the HOF votes (E14b)") {
+    // the wide signature: same vote semantics, checked against brute force
+    val byDoc = docs.select(col("doc_id"), graft.functions.TextOps.simhash60(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.values.foreach(h => assert(h >= 0L && h < (1L << 60)))
+    for (radius <- Seq(0, 2, 5)) {
+      val brute = (for {
+        a <- byDoc.keys; b <- byDoc.keys if a < b
+        if java.lang.Long.bitCount(byDoc(a) ^ byDoc(b)) <= radius
+      } yield (a, b)).toSet
+      val banded = Dedup.simhashNearDupPairsWide(docs, maxHamming = radius)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == brute, s"radius=$radius")
+    }
+    // exact dup (1,2) is radius-0 close; permutation 3 shares the token
+    // SET so its distinct-token signature is identical too
+    assert(java.lang.Long.bitCount(byDoc(1L) ^ byDoc(2L)) == 0)
+    assert(java.lang.Long.bitCount(byDoc(1L) ^ byDoc(3L)) == 0)
+    // the codegen kernel IS the HOF vote fold: at bits=16 over the same
+    // hash array the two spellings must agree bit for bit
+    val both = docs.select(
+      graft.functions.TextOps.simhash16(col("text")).as("hof"),
+      graft.functions.SimHashExpr.simhash(
+        graft.functions.TextOps.tokenHashes16(col("text")), 16).as("gen"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash groups identical docs together (E6)") {
     val g = Dedup.simhashGroups(docs)
     val dupGroup = g.filter(col("n_dups") >= 2).collect()

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Scale-probe data generator (r12 verdict stretch-9): replicate the
+read-only sf0.1 testdata K times (default 10 -> ~sf1) into an OUT dir
+with per-replica key offsets, so every FK join stays consistent and the
+heaviest bench queries can be timed at ~10x the driver's bench SF.
+
+Replica perturbations keep the probe honest:
+  - all keys offset per replica (joins neither dangle nor collapse)
+  - document text is vowel-permuted per replica (translate with a
+    distinct 'aeiou' permutation) plus a replica suffix: replicas are
+    far in shingle/simhash/minhash space, so NEAR-dup density stays
+    constant per corpus size instead of every doc becoming a genuine
+    10-near-dup family (the first probe run showed e14 at 84x from
+    exactly that artifact: suffix-only replicas ARE near-dups, and
+    real sf1 data would not be 10x near-dup-dense); token counts and
+    lengths are preserved so quality/length-based ops stay realistic
+  - embeddings shift by k*1e-4 per dimension (ANN top-k stays spread)
+  - region/nation stay fixed (TPC-H dimension tables do not scale)
+
+Usage: python3 tools/sfprobe_gen.py [K] [OUT]  (defaults 10 /tmp/sfprobe1)
+"""
+import sys
+import duckdb
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe1"
+SRC = "/root/testdata/sf0.1"
+
+OFF = dict(order=10_000_000, part=1_000_000, supp=100_000, cust=1_000_000,
+           doc=1_000_000, vec=1_000_000, ev=10_000_000, user=1_000_000)
+
+con = duckdb.connect()
+con.execute("PRAGMA threads=16")
+import os
+os.makedirs(OUT, exist_ok=True)
+
+def gen(table, select, extra=None):
+    reps = " UNION ALL ".join(
+        select.format(k=k, src=f"'{SRC}/{table}.parquet'",
+                      **(extra(k) if extra else {})) for k in range(K))
+    con.execute(f"COPY ({reps}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM '{OUT}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+for t in ("region", "nation"):
+    con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"{t}: copied")
+
+gen("customer", f"SELECT c_custkey + {{k}}*{OFF['cust']} AS c_custkey, c_name, "
+    "c_nationkey, c_acctbal, c_mktsegment FROM {src}")
+gen("supplier", f"SELECT s_suppkey + {{k}}*{OFF['supp']} AS s_suppkey, s_name, "
+    "s_nationkey, s_acctbal FROM {src}")
+gen("part", f"SELECT p_partkey + {{k}}*{OFF['part']} AS p_partkey, p_name, "
+    "p_brand, p_type, p_size, p_retailprice FROM {src}")
+gen("orders", f"SELECT o_orderkey + {{k}}*{OFF['order']} AS o_orderkey, "
+    f"o_custkey + {{k}}*{OFF['cust']} AS o_custkey, o_orderstatus, "
+    "o_totalprice, o_orderdate, o_orderpriority FROM {src}")
+gen("lineitem", f"SELECT l_orderkey + {{k}}*{OFF['order']} AS l_orderkey, "
+    f"l_partkey + {{k}}*{OFF['part']} AS l_partkey, "
+    f"l_suppkey + {{k}}*{OFF['supp']} AS l_suppkey, "
+    "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+    "l_returnflag, l_linestatus, l_shipdate FROM {src}")
+gen("events", f"SELECT event_id + {{k}}*{OFF['ev']} AS event_id, ts, "
+    f"user_id + {{k}}*{OFF['user']} AS user_id, event_type, value, props FROM {{src}}".replace("{{src}}", "{src}"))
+from itertools import permutations
+VOWEL_PERMS = ["".join(p) for p in permutations("aeiou")]  # [0] = identity
+gen("documents", f"SELECT doc_id + {{k}}*{OFF['doc']} AS doc_id, "
+    "translate(text, 'aeiou', '{perm}') || ' r{k}' AS text, "
+    "lang, source, n_chars + 3 AS n_chars FROM {src}",
+    extra=lambda k: dict(perm=VOWEL_PERMS[k % len(VOWEL_PERMS)]))
+gen("embeddings", f"SELECT vec_id + {{k}}*{OFF['vec']} AS vec_id, "
+    "list_transform(embedding, x -> CAST(x + {k}*1e-4 AS FLOAT)) AS embedding, "
+    "label FROM {src}")
+print("done:", OUT)
