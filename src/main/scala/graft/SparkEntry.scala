@@ -1206,6 +1206,19 @@ object SparkEntry {
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("a", "b")
 
+  /** e8b — BANDED RHP-LSH near-dup pairs, the corpus-scale embedding
+    * path (r12): e8's `bits = 0` exact join is O(N²) by contract
+    * (probe: 55× at 10× vectors); 4 independent 8-plane tables give a
+    * deterministic candidate contract (shares ≥1 whole band) the oracle
+    * recomputes plane-by-plane — every ±1 normal component interpolated
+    * from the SAME md5 parity, projections as identical left-assoc
+    * chains, so candidates AND verified cosines hash-match exactly.
+    */
+  private def e8b(s: SparkSession, d: String) =
+    Dedup.embeddingNearDupPairsBanded(Tables.embeddings(s, d), threshold = 0.35)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy("a", "b")
+
   /** Staged projections: token array bound once, then counts, then the
     * derived ratios — inlined forms would re-tokenize per output column.
     */
@@ -4807,6 +4820,27 @@ object SparkEntry {
       .orderBy("probe_key", "p_partkey")
   }
 
+  /** fz2 — segment-signature edit-distance join (r12 scale path): the
+    * same probe construction as fz1, matched with COMPLETE recall
+    * through the Pass-Join pigeonhole (no prefix-blocking clause in the
+    * oracle — pairs whose first two chars differ are found too, which
+    * the blocked form misses by contract). Probes every 200th part so
+    * the brute-force oracle stays tractable at the sf0.1 sweep.
+    */
+  private def fz2(s: SparkSession, d: String) = {
+    val p = Tables.part(s, d)
+    val probes = p.filter(col("p_partkey") % 200 === 0)
+      .select(col("p_partkey").as("probe_key"),
+        concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1 << 20))
+          .as("probe_name"))
+    operators.FuzzyJoin.segmentLevenshtein(
+        probes, p.select(col("p_partkey"), col("p_name")),
+        "probe_name", "p_name", maxDist = 2)
+      .select(col("probe_key"), col("probe_name"), col("p_partkey"), col("p_name"),
+        col("edit_dist").cast("int").as("edit_dist"))
+      .orderBy("probe_key", "p_partkey")
+  }
+
   /** s11 — JSONL round trip (the interchange format every curation
     * pipeline speaks): documents are written as JSON lines and read back
     * under an explicit schema; the oracle aggregates the parquet source
@@ -4947,6 +4981,7 @@ object SparkEntry {
     "j13_bbox_skew" -> (j13 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
+    "e8b_embedding_banded" -> (e8b _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
@@ -5138,6 +5173,7 @@ object SparkEntry {
     "iv1_incremental_rollup" -> (iv1 _),
     "iv2_join_delta" -> (iv2 _),
     "fz1_fuzzy_match" -> (fz1 _),
+    "fz2_segment_match" -> (fz2 _),
     "s11_jsonl_roundtrip" -> (s11 _),
     "span2_strip_spans" -> (span2 _),
     "tfidf2_pair_similarity" -> (tfidf2 _),
@@ -5670,6 +5706,37 @@ object SparkEntry {
          |  (sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")})) AS c
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
          |SELECT a, b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY a, b""".stripMargin,
+    // e8b: the banded-LSH candidate contract restated plane-by-plane -
+    // every RHP normal component is the interpolated rhpSign constant,
+    // each projection the identical left-assoc chain (signs folded as
+    // +/- terms: x*1.0 == x and x*-1.0 == -x bitwise), so bucket ids,
+    // the DISTINCT candidate set, and the fused-cosine verify all match
+    "e8b_embedding_banded" -> {
+      def bucketSql(b: Int): String =
+        (0 until 8).map { t =>
+          val proj = (0 until 64).map { i =>
+            val s = graft.functions.VectorOps.rhpSign(b * 8 + t, i)
+            val term = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+            if (i == 0) { if (s > 0) term else s"- $term" }
+            else if (s > 0) s"+ $term" else s"- $term"
+          }.mkString(" ")
+          s"CASE WHEN ($proj) > 0 THEN ${1L << t} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      s"""WITH bb AS (
+         |  SELECT vec_id, 0 AS band, ${bucketSql(0)} AS bucket FROM embeddings
+         |  UNION ALL SELECT vec_id, 1, ${bucketSql(1)} FROM embeddings
+         |  UNION ALL SELECT vec_id, 2, ${bucketSql(2)} FROM embeddings
+         |  UNION ALL SELECT vec_id, 3, ${bucketSql(3)} FROM embeddings),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM bb x JOIN bb y ON x.band = y.band AND x.bucket = y.bucket
+         |    AND x.vec_id < y.vec_id),
+         |p AS (SELECT a, b,
+         |  ${sqlDot("ea.embedding", "eb.embedding")} /
+         |  (sqrt(${sqlDot("ea.embedding", "ea.embedding")}) * sqrt(${sqlDot("eb.embedding", "eb.embedding")})) AS c
+         |  FROM cand JOIN embeddings ea ON ea.vec_id = cand.a
+         |  JOIN embeddings eb ON eb.vec_id = cand.b)
+         |SELECT a, b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY a, b""".stripMargin
+    },
     "e9_rolling_fingerprint" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform(list_transform(string_split(text, ' '), tk -> md5(tk)), h -> ${sqlHexVal("h", 6)}) AS hs
@@ -8842,6 +8909,18 @@ object SparkEntry {
         |  CAST(levenshtein(probe_name, p.p_name) AS INTEGER) AS edit_dist
         |FROM pr JOIN part p ON substr(probe_name, 1, 2) = substr(p.p_name, 1, 2)
         |  AND abs(len(probe_name) - len(p.p_name)) <= 2
+        |  AND levenshtein(probe_name, p.p_name) <= 2
+        |ORDER BY probe_key, p.p_partkey""".stripMargin,
+    // fz2: the oracle is the UNBLOCKED brute force (length filter only,
+    // which edit<=2 implies) - a hash match proves the segment-signature
+    // candidates lose nothing, the claim prefix blocking cannot make
+    "fz2_segment_match" ->
+      """WITH pr AS (SELECT p_partkey AS probe_key,
+        |  concat(substr(p_name, 1, 2), substr(p_name, 4)) AS probe_name
+        |  FROM part WHERE p_partkey % 200 = 0)
+        |SELECT probe_key, probe_name, p.p_partkey, p.p_name,
+        |  CAST(levenshtein(probe_name, p.p_name) AS INTEGER) AS edit_dist
+        |FROM pr JOIN part p ON abs(len(probe_name) - len(p.p_name)) <= 2
         |  AND levenshtein(probe_name, p.p_name) <= 2
         |ORDER BY probe_key, p.p_partkey""".stripMargin,
     // s11: the oracle never sees the JSON — it aggregates the parquet

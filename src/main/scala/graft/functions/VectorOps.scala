@@ -81,4 +81,33 @@ object VectorOps {
         when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }
       .reduce(_ + _)
+
+  /** The ±1 normal-component of RHP plane `j` at dimension `i` — the SAME
+    * md5 parity `rhpBucket` folds in-plan, computed driver-side so (a)
+    * band variants seed DISTINCT plane families via a plane offset and
+    * (b) oracles interpolate the identical constant (r12).
+    */
+  def rhpSign(j: Int, i: Int): Double = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j|$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** `rhpBucket` with the plane family shifted by `planeOffset` — band b
+    * of a banded-LSH signature uses planes [offset, offset + bits) so
+    * every band hashes with INDEPENDENT hyperplanes, while the bucket's
+    * bit positions stay local (the sum fits `bits` bits). At
+    * planeOffset = 0 this is bit-identical to [[rhpBucket]] (signs are
+    * the same md5 parities, the sum the same left-assoc chain) —
+    * spec-asserted.
+    */
+  def rhpBucketSeeded(v: Column, bits: Int, dim: Int, planeOffset: Int): Column =
+    (0 until bits)
+      .map { t =>
+        val proj = (0 until dim)
+          .map(i => element_at(v, i + 1).cast("double") * lit(rhpSign(planeOffset + t, i)))
+          .reduce(_ + _)
+        when(proj > 0, lit(1L << t)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
 }

@@ -55,4 +55,109 @@ object FuzzyJoin {
       .filter(col("edit_dist") <= maxDist)
       .drop("__blk", "__band")
   }
+
+  /** Segment-signature edit-distance join — the CORPUS-SCALE form (r12,
+    * the sf1 probe finding), after the partition-based method of
+    * Pass-Join (Li, Deng, Wang, Feng — VLDB 2011): complete recall with
+    * a content-derived join key space.
+    *
+    * Why the blocked form above goes quadratic: its (prefix, length)
+    * key space is FIXED (a 2-char prefix over a finite vocabulary), so
+    * block occupancy grows linearly with data and the in-block join
+    * quadratically — probe-measured at 77× wall for 10× rows. Segment
+    * signatures key on CONTENT substrings instead: the key space grows
+    * with the corpus and bucket occupancy stays O(true-match density).
+    *
+    * Pigeonhole lemma: split the probe string s into `maxDist + 1`
+    * contiguous segments (even split, shorter segments first). Any t
+    * with edit(s, t) <= maxDist has at least one segment UNTOUCHED by
+    * every edit, and its image in t is an exact substring copy shifted
+    * by the net indel offset before it — at most maxDist positions. So
+    * candidates come from an EQUI-join on (probe length, segment index,
+    * segment string) against substrings of t at the allowed positions,
+    * with zero false negatives; `levenshtein <= maxDist` verifies
+    * exactly. UNLIKE the prefix-blocked form, recall is complete — the
+    * oracle twin states plain `levenshtein(s, t) <= k` with no blocking
+    * clause.
+    *
+    * Right-side expansion is CONSTANT per row (<= (2k+1) candidate
+    * probe-lengths × (k+1) segments × (2k+1) shifts, bounds-clipped),
+    * so the whole plan is linear in input. Probe strings shorter than
+    * `maxDist + 1` (no nonempty split exists) fall back to a
+    * length-banded brute bucket — fine when short strings are rare, and
+    * when they are not, the ANSWER itself is quadratic (every short
+    * string matches every other), so no algorithm does better.
+    */
+  def segmentLevenshtein(
+      left: DataFrame,
+      right: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist
+    val nSeg = k + 1
+    val clash = left.columns.intersect(right.columns)
+    require(clash.isEmpty,
+      s"left/right column names must be disjoint; shared: ${clash.mkString(",")}")
+
+    // even split of a length-`lc` string into nSeg segments, shorter
+    // segments first: q = lc div nSeg short ones, then r = lc mod nSeg
+    // of length q+1. All arithmetic integral (no double division).
+    def q(lc: Column) = ((lc - pmod(lc, lit(nSeg))) / nSeg).cast("int")
+    def boundary(lc: Column) = lit(nSeg) - pmod(lc, lit(nSeg)) // # of length-q segments
+    def segStart(lc: Column, i: Int): Column =
+      when(lit(i) < boundary(lc), lit(i) * q(lc) + 1)
+        .otherwise(boundary(lc) * q(lc) + (lit(i) - boundary(lc)) * (q(lc) + 1) + 1)
+    def segWidth(lc: Column, i: Int): Column =
+      when(lit(i) < boundary(lc), q(lc)).otherwise(q(lc) + 1)
+
+    val lLen = length(col(leftCol))
+    val lSegs = (0 until nSeg).map(i =>
+      struct(lit(i).as("i"), segStart(lLen, i).as("p"), segWidth(lLen, i).as("w")))
+    val lBig = left.filter(lLen >= nSeg)
+      .withColumn("__s", explode(array(lSegs: _*)))
+      .select(left.columns.map(col) :+
+        lLen.as("__jl") :+ col("__s.i").as("__ji") :+
+        col(leftCol).substr(col("__s.p"), col("__s.w")).as("__jseg"): _*)
+
+    val tLen = length(col(rightCol))
+    // candidate probe lengths reachable within k edits, then that
+    // length's segmentation, then the +-k position window (clipped to
+    // the string; sequence() DESCENDS on an empty range, so guard it)
+    val rExp = right
+      .withColumn("__lp", explode(sequence(tLen - k, tLen + k)))
+      .filter(col("__lp") >= nSeg)
+    val rSegs = (0 until nSeg).map(i =>
+      struct(lit(i).as("i"), segStart(col("__lp"), i).as("p"),
+        segWidth(col("__lp"), i).as("w")))
+    val rPos = rExp
+      .withColumn("__sp", explode(array(rSegs: _*)))
+      .withColumn("__lo", greatest(lit(1), col("__sp.p") - k))
+      .withColumn("__hi", least(length(col(rightCol)) - col("__sp.w") + 1, col("__sp.p") + k))
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("__pos", explode(sequence(col("__lo"), col("__hi"))))
+      .select(right.columns.map(col) :+
+        col("__lp").as("__jl") :+ col("__sp.i").as("__ji") :+
+        col(rightCol).substr(col("__pos"), col("__sp.w")).as("__jseg"): _*)
+
+    val big = lBig.join(rPos, Seq("__jl", "__ji", "__jseg"))
+      .withColumn("edit_dist", levenshtein(col(leftCol), col(rightCol)))
+      .filter(col("edit_dist") <= maxDist)
+      .drop("__jl", "__ji", "__jseg")
+      .distinct() // a pair can match on several segments/positions
+
+    // tiny probes (no nonempty split): length-banded brute bucket. A
+    // tiny probe's partners satisfy tlen <= llen + k < 2k + 1, so the
+    // right side prunes to tlen <= 2k AT THE SCAN before replicating.
+    val lTiny = left.filter(lLen < nSeg).withColumn("__band", lLen)
+    val rTiny = right.filter(tLen <= 2 * k).withColumn("__band",
+      explode(sequence(tLen - k, tLen + k)))
+    val tiny = lTiny.join(rTiny, Seq("__band"))
+      .withColumn("edit_dist", levenshtein(col(leftCol), col(rightCol)))
+      .filter(col("edit_dist") <= maxDist)
+      .drop("__band")
+
+    big.unionByName(tiny)
+  }
 }

@@ -79,6 +79,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingNearDupPairsBanded: candidates = pairs sharing >=1 band; seeded bucket == legacy at offset 0 (E8b)") {
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val bands = 3; val bb = 4
+    // driver-side replica of the banded contract
+    val sigs = vecs.select(col("vec_id") +:
+        (0 until bands).map(b =>
+          VectorOps.rhpBucketSeeded(col("embedding"), bb, 8, b * bb).as(s"b$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to bands).map(r.getLong(_))).toMap
+    val raw = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i)).sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if sigs(a).zip(sigs(b)).exists { case (x, y) => x == y }
+      if cos(raw(a), raw(b)) >= 0.2
+    } yield (a, b)).toSet
+    val got = Dedup.embeddingNearDupPairsBanded(vecs, threshold = 0.2,
+        bands = bands, bandBits = bb, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // plane-offset 0 reproduces the legacy single-table bucket bit-for-bit
+    val eq = vecs.select(
+      VectorOps.rhpBucket(col("embedding"), 6, 8).as("legacy"),
+      VectorOps.rhpBucketSeeded(col("embedding"), 6, 8, 0).as("seeded"))
+      .collect()
+    eq.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhashNearDupPairsWide (60-bit) equals brute-force; SimHashExpr matches the HOF votes (E14b)") {
     // the wide signature: same vote semantics, checked against brute force
     val byDoc = docs.select(col("doc_id"), graft.functions.TextOps.simhash60(col("text")).as("h"))

@@ -14,13 +14,38 @@ Replica perturbations keep the probe honest:
     exactly that artifact: suffix-only replicas ARE near-dups, and
     real sf1 data would not be 10x near-dup-dense); token counts and
     lengths are preserved so quality/length-based ops stay realistic
-  - embeddings shift by k*1e-4 per dimension (ANN top-k stays spread)
+  - embeddings are dimension-ROTATED per replica (circular shift by k)
+    plus a k*1e-4 offset: rotation preserves norms and the value
+    distribution but decorrelates replicas, so cosine-near-dup density
+    stays constant per corpus size (the k*1e-4-only first version left
+    replica pairs at cosine ~1.0 and inflated e8 the same way the text
+    suffix inflated e14)
   - region/nation stay fixed (TPC-H dimension tables do not scale)
 
 Usage: python3 tools/sfprobe_gen.py [K] [OUT]  (defaults 10 /tmp/sfprobe1)
 """
 import sys
 import duckdb
+from itertools import permutations
+
+# greedily pick permutations that agree with every already-kept one in
+# at most ONE vowel position: lexicographically consecutive permutations
+# share long prefixes (perms 0-5 all keep 'ae'), which left replicas 0-5
+# near-identical and re-inflated the near-dup queries the perturbation
+# exists to keep honest. [0] stays the identity so replica 0 == source.
+def _pick_perms(n):
+    kept = ["aeiou"]
+    for cap in (1, 2):  # only 8 perms exist at agreement <= 1; top up at <= 2
+        for p in permutations("aeiou"):
+            cand = "".join(p)
+            if cand not in kept and all(
+                    sum(a == b for a, b in zip(cand, q)) <= cap for q in kept):
+                kept.append(cand)
+            if len(kept) >= n:
+                return kept
+    return kept
+
+VOWEL_PERMS = _pick_perms(10)
 
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe1"
@@ -50,8 +75,14 @@ gen("customer", f"SELECT c_custkey + {{k}}*{OFF['cust']} AS c_custkey, c_name, "
     "c_nationkey, c_acctbal, c_mktsegment FROM {src}")
 gen("supplier", f"SELECT s_suppkey + {{k}}*{OFF['supp']} AS s_suppkey, s_name, "
     "s_nationkey, s_acctbal FROM {src}")
-gen("part", f"SELECT p_partkey + {{k}}*{OFF['part']} AS p_partkey, p_name, "
-    "p_brand, p_type, p_size, p_retailprice FROM {src}")
+# p_name vowel-permuted per replica: verbatim replication makes every
+# name a 10-duplicate family and the edit-distance joins' TRUE match set
+# grows quadratically (fz2 first measured 33x at 10x from exactly that);
+# real TPC-H names at sf1 are ~distinct
+gen("part", f"SELECT p_partkey + {{k}}*{OFF['part']} AS p_partkey, "
+    "translate(p_name, 'aeiou', '{perm}') AS p_name, "
+    "p_brand, p_type, p_size, p_retailprice FROM {src}",
+    extra=lambda k: dict(perm=VOWEL_PERMS[k % len(VOWEL_PERMS)]))
 gen("orders", f"SELECT o_orderkey + {{k}}*{OFF['order']} AS o_orderkey, "
     f"o_custkey + {{k}}*{OFF['cust']} AS o_custkey, o_orderstatus, "
     "o_totalprice, o_orderdate, o_orderpriority FROM {src}")
@@ -62,13 +93,13 @@ gen("lineitem", f"SELECT l_orderkey + {{k}}*{OFF['order']} AS l_orderkey, "
     "l_returnflag, l_linestatus, l_shipdate FROM {src}")
 gen("events", f"SELECT event_id + {{k}}*{OFF['ev']} AS event_id, ts, "
     f"user_id + {{k}}*{OFF['user']} AS user_id, event_type, value, props FROM {{src}}".replace("{{src}}", "{src}"))
-from itertools import permutations
-VOWEL_PERMS = ["".join(p) for p in permutations("aeiou")]  # [0] = identity
 gen("documents", f"SELECT doc_id + {{k}}*{OFF['doc']} AS doc_id, "
     "translate(text, 'aeiou', '{perm}') || ' r{k}' AS text, "
     "lang, source, n_chars + 3 AS n_chars FROM {src}",
     extra=lambda k: dict(perm=VOWEL_PERMS[k % len(VOWEL_PERMS)]))
 gen("embeddings", f"SELECT vec_id + {{k}}*{OFF['vec']} AS vec_id, "
-    "list_transform(embedding, x -> CAST(x + {k}*1e-4 AS FLOAT)) AS embedding, "
-    "label FROM {src}")
+    "list_transform(list_concat(embedding[{k1}:], embedding[:{k}]), "
+    "x -> CAST(x + {k}*1e-4 AS FLOAT)) AS embedding, "
+    "label FROM {src}",
+    extra=lambda k: dict(k1=k + 1))
 print("done:", OUT)
