@@ -123,7 +123,11 @@ object Bench {
           // Column chains + coordinate-array HOFs once at sf0.001 so a
           // steal burst can't amplify first-run codegen (bisect dossier in
           // NOTES_BUILDER.md)
-          "g11_wkt_reproject", "g13_vector_reproject")
+          "g11_wkt_reproject", "g13_vector_reproject",
+          // r12: the new scale-path queries — fz2's triple-Generate +
+          // three-key equi-join and e14b's 60-lane kernel are exactly
+          // the codegen-heavy first-run shapes this list exists for
+          "fz2_segment_match", "e14b_simhash_wide", "e8b_embedding_banded")
         val toWarm = filter match {
           case Some(f) => heavy.filter(f)
           case None => heavy
