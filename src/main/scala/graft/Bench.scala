@@ -177,20 +177,29 @@ object Bench {
     // The sidecar is keyed by run id and MERGED with whatever a prior run
     // left behind — overwrite-on-run erased a crashed run's record the
     // moment a clean rerun followed it (r11 verdict §wrong-2). The merge
-    // reuses the file's own known shape (one flat JSON object, our own
-    // writer): slice off the outer braces and prepend the old entries.
-    // prior runs' entries, captured ONCE before this run's first dump —
-    // dumpErrors may fire twice in one run (runner-crash path then the
-    // end-of-run dump) and must stay idempotent for this run's key
-    val priorInner: String =
-      try {
-        val p = java.nio.file.Paths.get("_bench_errors.json")
-        val t = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-        if (t.startsWith("{") && t.endsWith("}")) t.substring(1, t.length - 1).trim
-        else ""
-      } catch { case _: Throwable => "" }
+    // reuses the file's own known shape (one flat JSON object of
+    // "runId":{...} entries, our own writer): slice off the outer braces
+    // and prepend the old entries. Prior entries are RE-READ at every
+    // dump (r12 self-review: a snapshot captured at run START let a long
+    // run's end-of-run dump overwrite everything a concurrent short run
+    // had recorded in between); idempotency for THIS run's key — the
+    // runner-crash path may dump before the end-of-run dump — comes from
+    // stripping our own entry out of the re-read content (run values are
+    // flat objects, so the entry is brace-free and regex-removable).
     def dumpErrors(): Unit =
       try {
+        val priorInner: String = {
+          val t =
+            try {
+              val p = java.nio.file.Paths.get("_bench_errors.json")
+              new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+            } catch { case _: Throwable => "" }
+          val inner =
+            if (t.startsWith("{") && t.endsWith("}")) t.substring(1, t.length - 1).trim
+            else ""
+          inner.replaceAll(s"""(^|,)\\s*"$runId"\\s*:\\s*\\{[^}]*\\}""", "$1")
+            .replaceAll("^,|,$", "").replaceAll(",,", ",").trim
+        }
         val thisRun = errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }
           .mkString("{", ",", "}")
         val prefix = if (priorInner.isEmpty) "" else priorInner + ","

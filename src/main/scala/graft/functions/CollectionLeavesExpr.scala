@@ -34,9 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - leaves emit depth-first in textual order, trimmed, original case
   *   - `Z`/`M`/`ZM` designators reject loudly at any depth (2D only,
   *     matching the flat surface and the measures)
-  *   - unbalanced parentheses or trailing garbage reject loudly (fail
-  *     closed — silently mis-splitting one geometry re-keys downstream
-  *     joins worse than any crash)
+  *   - unbalanced parentheses, trailing garbage, EMPTY MEMBERS (stray
+  *     or double commas), and empty input reject loudly (fail closed —
+  *     silently mis-splitting or index-shifting one geometry re-keys
+  *     downstream joins worse than any crash)
   *   - nesting deeper than [[CollectionLeavesExpr.MaxDepth]] rejects
   *     loudly (a one-line hostile input can spell unbounded depth;
   *     recursion must not become the stack-overflow surface)
@@ -84,6 +85,8 @@ object CollectionLeavesExpr {
     */
   def compute(s: UTF8String): ArrayData = {
     val full = s.toString
+    if (full.trim.isEmpty)
+      fail("empty WKT string", full)
     val out = new ArrayBuffer[Any]
     walk(full, full, 1, out)
     new GenericArrayData(out.toArray)
@@ -94,7 +97,13 @@ object CollectionLeavesExpr {
 
   private def walk(g: String, full: String, depth: Int, out: ArrayBuffer[Any]): Unit = {
     val t = g.trim
-    if (t.isEmpty) return
+    // an empty MEMBER means a stray/double comma — reject (fail closed:
+    // silently skipping one shifts every later sibling's leaf index,
+    // re-keying downstream joins); the whitespace-only BODY of the
+    // nonstandard 'GEOMETRYCOLLECTION ()' spelling never reaches here
+    // (the body parse short-circuits it to zero members)
+    if (t.isEmpty)
+      fail("malformed GEOMETRYCOLLECTION (empty member — stray comma)", full)
     if (depth > MaxDepth)
       fail(s"GEOMETRYCOLLECTION nesting exceeds depth $MaxDepth", full)
     if (!t.regionMatches(true, 0, Keyword, 0, Keyword.length)) {
@@ -128,6 +137,7 @@ object CollectionLeavesExpr {
       fail("malformed GEOMETRYCOLLECTION (content after close)", full)
     // split the body on top-level commas, recurse each member
     val body = t.substring(i + 1, close)
+    if (body.trim.isEmpty) return // the nonstandard '()' spelling: zero members
     var start = 0
     var k = 0
     var bd = 0

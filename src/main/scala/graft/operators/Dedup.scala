@@ -313,11 +313,20 @@ object Dedup {
       .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
       .withColumn("bucket", element_at(col("__bs"), col("band") + 1))
       .select(col(idCol), col(vecCol), col("band"), col("bucket"))
-    val a = e.select(col(idCol).as("a"), col(vecCol).as("va"), col("band"), col("bucket"))
-    val b = e.select(col(idCol).as("b"), col(vecCol).as("vb"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    // the band self-join and the multi-band dedup shuffle IDS ONLY —
+    // carrying both 64-float vectors through the exchange and the
+    // dropDuplicates hash state roughly doubles exchanged bytes per
+    // candidate (r12 self-review); vectors re-join once per side for
+    // the cosine verify, the same shape the oracle spells
+    val a = e.select(col(idCol).as("a"), col("band"), col("bucket"))
+    val b = e.select(col(idCol).as("b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b") // a pair can share several bands
+      .select("a", "b")
+      .distinct() // a pair can share several bands
+    val ea = vecs.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val eb = vecs.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    cand.join(ea, Seq("a")).join(eb, Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.CosineSimExpr.cosineSim(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -22,10 +22,28 @@ import org.apache.spark.sql.SparkSession
 object Fs {
   /** All concrete file paths matching `glob`, or Nil when nothing matches
     * (the glob form would have thrown AnalysisException instead).
+    *
+    * FAIL-CLOSED on glob metacharacters in RESOLVED names (r12
+    * self-review): `spark.read...load` glob-expands every path it is
+    * handed AGAIN, so a file literally named `grid[2020].shp` would
+    * re-parse `[2020]` as a character class and silently load a
+    * DIFFERENT file (measured: it matches `grid2.shp`). No escape
+    * survives the whole Spark path: backslash-escaping satisfies
+    * Hadoop's globStatus but the file then vanishes silently inside
+    * Spark's own file-index qualification (measured: empty DataFrame,
+    * no error). A loud reject here is the only honest contract; the
+    * engine's own sinks never emit such names (safeName sanitization).
     */
   def resolveGlob(spark: SparkSession, glob: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString)).getOrElse(Nil)
+    val found = Option(fs.globStatus(p)).map(_.toSeq.map(_.getPath.toString)).getOrElse(Nil)
+    val unsafe = found.filter(_.exists(GlobMeta.contains(_)))
+    require(unsafe.isEmpty,
+      s"resolved file names contain glob metacharacters spark.read would re-expand " +
+        s"(rename the files): ${unsafe.take(3).mkString(", ")}")
+    found
   }
+
+  private val GlobMeta: Set[Char] = Set('*', '?', '[', ']', '{', '}')
 }

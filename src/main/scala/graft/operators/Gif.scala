@@ -446,6 +446,13 @@ object Gif {
   def composeFrames(screenW: Int, screenH: Int,
       frames: Seq[Frame]): Seq[Frame] = {
     val layers = frames.map { f =>
+      // the decoder stores the raw 3-bit GCE field; 4-7 are undefined
+      // by the spec (4 is a known off-by-one for 'restore previous' in
+      // buggy encoders) — composing them as 'none' would silently keep
+      // pixels a conforming renderer restores, so reject (fail closed;
+      // r12 self-review)
+      require(f.disposal >= 0 && f.disposal <= 3,
+        s"undefined GIF disposal method ${f.disposal} (spec defines 0-3)")
       val packed = new Array[Int](f.w * f.h)
       var i = 0
       while (i < packed.length) {

@@ -171,4 +171,10 @@ class GifSpec extends AnyFunSuite {
       r.getInt(6)).toMap
     assert(m((3, 0, 0, 3)) == 0 && m((1, 1, 3, 0)) == pal(1)._1)
   }
+
+  test("composeFrames rejects undefined disposal methods 4-7 (fail closed)") {
+    val f = Gif.Frame(0, 0, 1, 1, Array(1, 2, 3, 255), 0, disposal = 4)
+    val e = intercept[IllegalArgumentException] { Gif.composeFrames(1, 1, Seq(f)) }
+    assert(e.getMessage.contains("undefined GIF disposal"), e.getMessage)
+  }
 }

@@ -386,7 +386,13 @@ class SpatialOpsSpec extends AnyFunSuite {
         ("GEOMETRYCOLLECTION (POINT (1 2)) junk", "content after close"),
         ("GEOMETRYCOLLECTION Z (POINT Z (1 2 3))", "2D only"),
         ("GEOMETRYCOLLECTION ZM (POINT ZM (1 2 3 4))", "2D only"),
-        ("GEOMETRYCOLLECTION", "no body"))) {
+        ("GEOMETRYCOLLECTION", "no body"),
+        // stray/double commas silently shifting leaf indices would
+        // re-key downstream joins — reject (r12 self-review)
+        ("GEOMETRYCOLLECTION (POINT (1 2),)", "empty member"),
+        ("GEOMETRYCOLLECTION (POINT (1 2),, MULTIPOINT ((3 4), (5 6)))", "empty member"),
+        ("", "empty WKT"),
+        ("   ", "empty WKT"))) {
       val e = intercept[Exception] { leaves(bad) }
       assert(e.getMessage.contains(frag), s"$bad: ${e.getMessage}")
     }

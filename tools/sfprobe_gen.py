@@ -32,10 +32,14 @@ from itertools import permutations
 # at most ONE vowel position: lexicographically consecutive permutations
 # share long prefixes (perms 0-5 all keep 'ae'), which left replicas 0-5
 # near-identical and re-inflated the near-dup queries the perturbation
-# exists to keep honest. [0] stays the identity so replica 0 == source.
+# exists to keep honest. [0] keeps the identity PERMUTATION (replica 0's
+# letters match the source; the ' r0' suffix is still appended).
 def _pick_perms(n):
     kept = ["aeiou"]
-    for cap in (1, 2):  # only 8 perms exist at agreement <= 1; top up at <= 2
+    # only 8 perms exist at agreement <= 1; relax the cap as needed
+    # (any two DISTINCT perms agree in <= 3 positions, so cap 3 reaches
+    # all 120 — enough for any K this probe will ever run)
+    for cap in (1, 2, 3):
         for p in permutations("aeiou"):
             cand = "".join(p)
             if cand not in kept and all(
@@ -45,10 +49,13 @@ def _pick_perms(n):
                 return kept
     return kept
 
-VOWEL_PERMS = _pick_perms(10)
-
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfprobe1"
+
+# K perms, not a fixed 10: reuse at K > 10 would hand replica pairs the
+# SAME permutation, re-creating the suffix-only near-dup artifact
+VOWEL_PERMS = _pick_perms(K)
+assert len(VOWEL_PERMS) >= K, f"only {len(VOWEL_PERMS)} dissimilar perms for K={K}"
 SRC = "/root/testdata/sf0.1"
 
 OFF = dict(order=10_000_000, part=1_000_000, supp=100_000, cust=1_000_000,
@@ -82,7 +89,7 @@ gen("supplier", f"SELECT s_suppkey + {{k}}*{OFF['supp']} AS s_suppkey, s_name, "
 gen("part", f"SELECT p_partkey + {{k}}*{OFF['part']} AS p_partkey, "
     "translate(p_name, 'aeiou', '{perm}') AS p_name, "
     "p_brand, p_type, p_size, p_retailprice FROM {src}",
-    extra=lambda k: dict(perm=VOWEL_PERMS[k % len(VOWEL_PERMS)]))
+    extra=lambda k: dict(perm=VOWEL_PERMS[k]))
 gen("orders", f"SELECT o_orderkey + {{k}}*{OFF['order']} AS o_orderkey, "
     f"o_custkey + {{k}}*{OFF['cust']} AS o_custkey, o_orderstatus, "
     "o_totalprice, o_orderdate, o_orderpriority FROM {src}")
@@ -95,8 +102,8 @@ gen("events", f"SELECT event_id + {{k}}*{OFF['ev']} AS event_id, ts, "
     f"user_id + {{k}}*{OFF['user']} AS user_id, event_type, value, props FROM {{src}}".replace("{{src}}", "{src}"))
 gen("documents", f"SELECT doc_id + {{k}}*{OFF['doc']} AS doc_id, "
     "translate(text, 'aeiou', '{perm}') || ' r{k}' AS text, "
-    "lang, source, n_chars + 3 AS n_chars FROM {src}",
-    extra=lambda k: dict(perm=VOWEL_PERMS[k % len(VOWEL_PERMS)]))
+    "lang, source, n_chars + {slen} AS n_chars FROM {src}",
+    extra=lambda k: dict(perm=VOWEL_PERMS[k], slen=len(f" r{k}")))
 gen("embeddings", f"SELECT vec_id + {{k}}*{OFF['vec']} AS vec_id, "
     "list_transform(list_concat(embedding[{k1}:], embedding[:{k}]), "
     "x -> CAST(x + {k}*1e-4 AS FLOAT)) AS embedding, "
