@@ -127,7 +127,13 @@ object Bench {
           // r12: the new scale-path queries — fz2's triple-Generate +
           // three-key equi-join and e14b's 60-lane kernel are exactly
           // the codegen-heavy first-run shapes this list exists for
-          "fz2_segment_match", "e14b_simhash_wide", "e8b_embedding_banded")
+          "fz2_segment_match", "e14b_simhash_wide", "e8b_embedding_banded",
+          // r13: q8_cube/q7b r12 driver-colds (6.58/3.69 s) vs 0.28/0.57 s
+          // warm on code untouched since r4, adjacent in run order — the
+          // bm25_1/g11 host-steal signature; warming compiles the Expand
+          // cube plan and the double-broadcast dim join once at sf0.001
+          // (bisect dossier in NOTES_BUILDER.md)
+          "q8_cube", "q7b_volume_shipping")
         val toWarm = filter match {
           case Some(f) => heavy.filter(f)
           case None => heavy
@@ -184,8 +190,40 @@ object Bench {
     // run's end-of-run dump overwrite everything a concurrent short run
     // had recorded in between); idempotency for THIS run's key — the
     // runner-crash path may dump before the end-of-run dump — comes from
-    // stripping our own entry out of the re-read content (run values are
-    // flat objects, so the entry is brace-free and regex-removable).
+    // stripping our own entry out of the re-read content. The strip walks
+    // the value object with a quote/escape-aware brace-depth scan — the
+    // r12 flat `[^}]*` regex stopped at the first '}' INSIDE an error
+    // message (exception text routinely contains one), leaving a dangling
+    // fragment that corrupted the merged file on the crash-then-end-of-run
+    // double-dump path (ADVICE r12).
+    def stripRunEntry(inner: String, id: String): String = {
+      val key = "\"" + id + "\""
+      val k = inner.indexOf(key)
+      if (k < 0) return inner
+      val open = inner.indexOf('{', k + key.length)
+      if (open < 0) return inner
+      var i = open; var depth = 0; var inStr = false; var end = -1
+      while (i < inner.length && end < 0) {
+        val c = inner.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (end < 0) return inner // malformed prior content: keep as-is
+      // also swallow one adjacent comma so the splice stays valid JSON
+      var from = k
+      var to = end + 1
+      if (from > 0 && inner.charAt(from - 1) == ',') from -= 1
+      else if (to < inner.length && inner.charAt(to) == ',') to += 1
+      (inner.substring(0, from) + inner.substring(to)).trim
+    }
     def dumpErrors(): Unit =
       try {
         val priorInner: String = {
@@ -197,8 +235,7 @@ object Bench {
           val inner =
             if (t.startsWith("{") && t.endsWith("}")) t.substring(1, t.length - 1).trim
             else ""
-          inner.replaceAll(s"""(^|,)\\s*"$runId"\\s*:\\s*\\{[^}]*\\}""", "$1")
-            .replaceAll("^,|,$", "").replaceAll(",,", ",").trim
+          stripRunEntry(inner, runId)
         }
         val thisRun = errors.map { case (n, e) => s"${jstr(n)}:${jstr(e)}" }
           .mkString("{", ",", "}")

@@ -447,6 +447,112 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  // ---- J16/J17/J18: exact-geometry refine (filter-refine spatial joins) ----
+  //
+  // The r12 gap: the PBSM join was envelope-exact only. These queries prove
+  // the TRUE-geometry refine stage (SpatialOps.ringsContainPoint /
+  // ringsIntersectPolys) end-to-end against pure-arithmetic DuckDB oracles:
+  // every coordinate is an integer-derived dyadic double, and the crossing /
+  // orientation algebra is IEEE +,−,×,÷ evaluated in the same order by both
+  // engines, so the oracle replays each geometric DECISION bit-for-bit.
+
+  /** Concave "arrow" polygon (notch at top center) with a square hole —
+    * the j16 fixture family: its bbox genuinely over-approximates (notch +
+    * hole), so refine does real work. All coordinates dyadic-exact.
+    */
+  private def arrowWkt(k: Column, withHole: Boolean): Column = {
+    val x0 = (k % 90).cast("double"); val y0 = (k % 80).cast("double")
+    val w = (k % 5 + 4).cast("double"); val h = (k % 7 + 4).cast("double")
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val outer = concat_ws(", ",
+      pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + h),
+      pt(x0 + w / 2, y0 + h / 2), pt(x0, y0 + h), pt(x0, y0))
+    val hole = concat_ws(", ",
+      pt(x0 + 0.5, y0 + 0.5), pt(x0 + 0.5, y0 + 1.5),
+      pt(x0 + 1.5, y0 + 1.5), pt(x0 + 1.5, y0 + 0.5), pt(x0 + 0.5, y0 + 0.5))
+    if (withHole) concat(lit("POLYGON (("), outer, lit("), ("), hole, lit("))"))
+    else concat(lit("POLYGON (("), outer, lit("))"))
+  }
+
+  /** J16 — TRUE point-in-polygon on the WKT surface: crossing number,
+    * boundary detection, and closed containment per supplier arrow against
+    * a per-key probe point sweeping interior / hole / notch / edge / vertex
+    * / outside positions. The Spark side PARSES the WKT it built (the
+    * production path); the oracle recomputes the identical crossing
+    * arithmetic directly from the generating integers.
+    */
+  private def j16(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val k = col("s_suppkey")
+    val x0 = (k % 90).cast("double"); val y0 = (k % 80).cast("double")
+    val px = x0 + (k % 9).cast("double") * lit(0.5)
+    val py = y0 + (k % 11).cast("double") * lit(0.5)
+    Tables.supplier(s, d)
+      .select(k, arrowWkt(k, withHole = true).as("geom"), px.as("px"), py.as("py"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"),
+        col("px"), col("py"))
+      .select(col("s_suppkey"),
+        SpatialOps.ringsCrossingNumber(col("_r"), col("px"), col("py")).as("crossings"),
+        SpatialOps.ringsPointOnBoundary(col("_r"), col("px"), col("py"))
+          .cast("int").as("on_boundary"),
+        SpatialOps.ringsContainPoint(col("_r"), col("px"), col("py"))
+          .cast("int").as("inside"))
+      .orderBy("s_suppkey")
+  }
+
+  /** J17 — filter-refine point-in-polygon JOIN: customers (points) into
+    * supplier arrows through SpatialJoin.bboxJoin with the exact
+    * containment refine ANDed join-local. The oracle is the UNFILTERED
+    * theta join evaluating the same crossing arithmetic — the refine path
+    * must be result-identical to brute force.
+    */
+  private def j17(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_r")))
+    val c = col("c_custkey")
+    val pts = Tables.customer(s, d).select(c,
+        ((c % 93).cast("double") + (c % 3).cast("double") * lit(0.5)).as("px"),
+        ((c % 83).cast("double") + (c % 7).cast("double") * lit(0.25)).as("py"))
+      .withColumn("env_r", SpatialOps.bbox(col("px"), col("py"), col("px"), col("py")))
+    operators.SpatialJoin.bboxJoin(polys, pts, "env", "env_r", cellSize = 8.0,
+        refine = SpatialOps.ringsContainPoint(col("_r"), col("px"), col("py")))
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** J18 — filter-refine polygon-OVERLAP join: supplier arrows (concave,
+    * no hole) against customer diamonds (no axis-aligned edges) through
+    * bboxJoin with the exact intersection refine (segment orientation
+    * tests + representative-vertex containment). Oracle = unfiltered theta
+    * join over the same orientation algebra.
+    */
+  private def j18(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = false).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val diamond = concat(lit("POLYGON (("),
+      concat_ws(", ", pt(cx, cy - r), pt(cx + r, cy), pt(cx, cy + r),
+        pt(cx - r, cy), pt(cx, cy - r)), lit("))"))
+    val b = Tables.customer(s, d)
+      .select(c, diamond.as("geom_b"))
+      .select(col("c_custkey"), SpatialOps.wktRings(col("geom_b")).as("_rb"))
+      .withColumn("env_r", SpatialOps.ringsEnvelope(col("_rb")))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0,
+        refine = SpatialOps.ringsIntersectPolys(col("_ra"), col("_rb")))
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** Z1 — z-order (Morton) layout key: the write-side spatial-clustering
     * primitive (SpatialOps.zorderKey / clusterByZOrder). Hash-checks the
     * bit-interleave against an explicit bit-arithmetic DuckDB oracle.
@@ -463,6 +569,94 @@ object SparkEntry {
     (0 until bits).flatMap(i => Seq(
       s"(((($x) >> $i) & 1) << ${2 * i})",
       s"(((($y) >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  // ---- DuckDB replicas of the exact-geometry refine predicates (j16-j18).
+  // Every operand is re-parenthesized on substitution so the SQL groups
+  // identically to the Column algebra (e.g. `py - y1` with y1 = "y0 + h"
+  // must read `py - (y0 + h)`, not `py - y0 + h`); all ops are IEEE
+  // +,-,*,/ and comparisons, correctly rounded in both engines, so each
+  // geometric decision replays bit-for-bit.
+
+  /** Consecutive segments of a closed ring given its point list. */
+  private def sqlRingSegs(pts: Seq[(String, String)]): Seq[((String, String), (String, String))] =
+    pts.map { case (x, y) => (s"($x)", s"($y)") }.zip(
+      pts.tail.map { case (x, y) => (s"($x)", s"($y)") })
+
+  /** Rightward-ray crossing count (SpatialOps.ringsCrossingNumber). */
+  private def sqlCrossings(segs: Seq[((String, String), (String, String))],
+      px: String, py: String): String =
+    segs.map { case ((x1, y1), (x2, y2)) =>
+      s"(CASE WHEN (($y1 > $py) <> ($y2 > $py)) AND " +
+        s"($px < $x1 + ($py - $y1) * ($x2 - $x1) / ($y2 - $y1)) THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Exact point-on-segment test (SpatialOps.ringsPointOnBoundary). */
+  private def sqlOnBoundary(segs: Seq[((String, String), (String, String))],
+      px: String, py: String): String =
+    segs.map { case ((x1, y1), (x2, y2)) =>
+      s"((($x2 - $x1) * ($py - $y1) - ($y2 - $y1) * ($px - $x1) = 0) AND " +
+        s"$px >= least($x1, $x2) AND $px <= greatest($x1, $x2) AND " +
+        s"$py >= least($y1, $y2) AND $py <= greatest($y1, $y2))"
+    }.mkString("(", " OR ", ")")
+
+  /** Closed containment = boundary OR odd parity (SpatialOps.ringsContainPoint). */
+  private def sqlContains(segs: Seq[((String, String), (String, String))],
+      px: String, py: String): String =
+    s"(${sqlOnBoundary(segs, px, py)} OR ${sqlCrossings(segs, px, py)} % 2 = 1)"
+
+  /** Closed segment-pair intersection (SpatialOps.segmentsIntersect: CLRS
+    * orientation signs + collinear endpoint-on-segment touches).
+    */
+  private def sqlSegIntersect(a: ((String, String), (String, String)),
+      b: ((String, String), (String, String))): String = {
+    def orient(ax: String, ay: String, bx: String, by: String,
+        cx: String, cy: String): String =
+      s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+    def on(ax: String, ay: String, bx: String, by: String,
+        cx: String, cy: String): String =
+      s"($cx >= least($ax, $bx) AND $cx <= greatest($ax, $bx) AND " +
+        s"$cy >= least($ay, $by) AND $cy <= greatest($ay, $by))"
+    val ((x1, y1), (x2, y2)) = a
+    val ((x3, y3), (x4, y4)) = b
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    s"(((($d1 > 0 AND $d2 < 0) OR ($d1 < 0 AND $d2 > 0)) AND " +
+      s"(($d3 > 0 AND $d4 < 0) OR ($d3 < 0 AND $d4 > 0))) OR " +
+      s"($d1 = 0 AND ${on(x3, y3, x4, y4, x1, y1)}) OR " +
+      s"($d2 = 0 AND ${on(x3, y3, x4, y4, x2, y2)}) OR " +
+      s"($d3 = 0 AND ${on(x1, y1, x2, y2, x3, y3)}) OR " +
+      s"($d4 = 0 AND ${on(x1, y1, x2, y2, x4, y4)}))"
+  }
+
+  /** Any-segment-pair-intersects over two rings (SpatialOps.ringsEdgesIntersect). */
+  private def sqlEdgesIntersect(a: Seq[((String, String), (String, String))],
+      b: Seq[((String, String), (String, String))]): String =
+    (for (sa <- a; sb <- b) yield sqlSegIntersect(sa, sb)).mkString("(", " OR ", ")")
+
+  /** The j16/j17 arrow's ring points in terms of base columns x0,y0,w,h. */
+  private def arrowSqlPts(withHole: Boolean): Seq[Seq[(String, String)]] = {
+    val outer = Seq(
+      ("x0", "y0"), ("x0 + w", "y0"), ("x0 + w", "y0 + h"),
+      ("x0 + w / 2", "y0 + h / 2"), ("x0", "y0 + h"), ("x0", "y0"))
+    val hole = Seq(
+      ("x0 + 0.5", "y0 + 0.5"), ("x0 + 0.5", "y0 + 1.5"),
+      ("x0 + 1.5", "y0 + 1.5"), ("x0 + 1.5", "y0 + 0.5"), ("x0 + 0.5", "y0 + 0.5"))
+    if (withHole) Seq(outer, hole) else Seq(outer)
+  }
+
+  /** The j18 diamond's ring points in terms of base columns cx,cy,r. */
+  private val diamondSqlPts: Seq[(String, String)] = Seq(
+    ("cx", "cy - r"), ("cx + r", "cy"), ("cx", "cy + r"),
+    ("cx - r", "cy"), ("cx", "cy - r"))
+
+  /** The arrow's generating integers as a SQL CTE body (j16-j18). */
+  private val arrowSqlBase: String =
+    """SELECT s_suppkey,
+      |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
+      |  CAST(s_suppkey % 5 + 4 AS DOUBLE) AS w, CAST(s_suppkey % 7 + 4 AS DOUBLE) AS h
+      |FROM supplier""".stripMargin
 
   /** Q6 — pivot: per-returnflag quantity sums spread across linestatus
     * columns (`RelationalGroupedDataset.pivot`; oracle via CASE aggregation).
@@ -4979,6 +5173,9 @@ object SparkEntry {
     "e3e_ivfpq" -> (e3e _),
     "km1_lloyd_round" -> (km1 _),
     "j13_bbox_skew" -> (j13 _),
+    "j16_point_in_polygon" -> (j16 _),
+    "j17_refine_join" -> (j17 _),
+    "j18_overlap_join" -> (j18 _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e8b_embedding_banded" -> (e8b _),
@@ -5477,6 +5674,50 @@ object SparkEntry {
     "z1_zorder" ->
       s"""SELECT s_suppkey, CAST(${zorderSqlExpr("s_suppkey % 97", "s_suppkey % 89", 7)} AS BIGINT) AS zkey
          |FROM supplier ORDER BY zkey, s_suppkey""".stripMargin,
+    // j16: the crossing-number / boundary / containment arithmetic replayed
+    // from the generating integers (the Spark side parses the WKT it built;
+    // the oracle never parses - it recomputes the same dyadic coordinates).
+    "j16_point_in_polygon" -> {
+      val segs = arrowSqlPts(withHole = true).flatMap(sqlRingSegs)
+      s"""WITH base AS ($arrowSqlBase),
+         |p AS (SELECT s_suppkey, x0, y0, w, h,
+         |  x0 + CAST(s_suppkey % 9 AS DOUBLE) * 0.5 AS px,
+         |  y0 + CAST(s_suppkey % 11 AS DOUBLE) * 0.5 AS py FROM base)
+         |SELECT s_suppkey, ${sqlCrossings(segs, "px", "py")} AS crossings,
+         |  CASE WHEN ${sqlOnBoundary(segs, "px", "py")} THEN 1 ELSE 0 END AS on_boundary,
+         |  CASE WHEN ${sqlContains(segs, "px", "py")} THEN 1 ELSE 0 END AS inside
+         |FROM p ORDER BY s_suppkey""".stripMargin
+    },
+    // j17: the UNFILTERED theta join with the same closed-containment
+    // arithmetic - the bbox+refine path must be result-identical.
+    "j17_refine_join" -> {
+      val segs = arrowSqlPts(withHole = true).flatMap(sqlRingSegs)
+      s"""WITH sup AS ($arrowSqlBase),
+         |cust AS (SELECT c_custkey,
+         |  CAST(c_custkey % 93 AS DOUBLE) + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS px,
+         |  CAST(c_custkey % 83 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) * 0.25 AS py
+         |  FROM customer)
+         |SELECT s_suppkey, c_custkey FROM sup JOIN cust
+         |  ON ${sqlContains(segs, "px", "py")}
+         |ORDER BY s_suppkey, c_custkey""".stripMargin
+    },
+    // j18: unfiltered theta join over the orientation-sign segment tests +
+    // representative-vertex containment (closed overlap semantics).
+    "j18_overlap_join" -> {
+      val aSegs = arrowSqlPts(withHole = false).flatMap(sqlRingSegs)
+      val bSegs = sqlRingSegs(diamondSqlPts)
+      s"""WITH sup AS ($arrowSqlBase),
+         |cust AS (SELECT c_custkey,
+         |  CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+         |  CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+         |  1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r
+         |  FROM customer)
+         |SELECT s_suppkey, c_custkey FROM sup JOIN cust
+         |  ON (${sqlEdgesIntersect(aSegs, bSegs)}
+         |   OR ${sqlContains(bSegs, "(x0)", "(y0)")}
+         |   OR ${sqlContains(aSegs, "(cx)", "(cy - r)")})
+         |ORDER BY s_suppkey, c_custkey""".stripMargin
+    },
     "q6_pivot" ->
       """SELECT l_returnflag,
         |CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,

@@ -83,6 +83,19 @@ object RhpBucketsExpr {
   def compute(ad: ArrayData, bands: Int, bandBits: Int, dim: Int, isFloat: Boolean): ArrayData = {
     val n = ad.numElements()
     require(n >= dim, s"vector has $n elements, rhp buckets need $dim")
+    // fail closed on null ELEMENTS (ADVICE r12): parquet list elements are
+    // nullable by default, so checkInputDataTypes cannot reject
+    // containsNull=true without breaking every real source; an unchecked
+    // getFloat/getDouble on a null slot silently reads 0.0 (UnsafeArrayData)
+    // and diverges from the Column form, whose element_at chain null-poisons
+    // the whole projection — match the short-vector reject instead.
+    var k = 0
+    while (k < dim) {
+      if (ad.isNullAt(k))
+        throw new IllegalArgumentException(
+          s"rhp buckets: null element at index $k (need $dim non-null values)")
+      k += 1
+    }
     val planes = bands * bandBits
     val s = signs(planes, dim)
     val out = new Array[Any](bands)

@@ -142,6 +142,161 @@ object SpatialOps {
   def ringsNumPoints(rings: Column): Column =
     aggregate(rings, lit(0), (acc, r) => acc + size(r))
 
+  /** Envelope struct of parsed rings — the staged twin of [[wktEnvelope]]
+    * (parse once, derive envelope + refine predicate from the same rings).
+    */
+  def ringsEnvelope(rings: Column): Column = {
+    val flat = flatten(rings)
+    bbox(
+      array_min(transform(flat, _.getField("x"))),
+      array_min(transform(flat, _.getField("y"))),
+      array_max(transform(flat, _.getField("x"))),
+      array_max(transform(flat, _.getField("y"))))
+  }
+
+  // ---- exact geometry predicates (filter-REFINE: the step after bbox) ----
+  //
+  // The PBSM join ([[graft.operators.SpatialJoin.bboxJoin]]) filters
+  // candidates by envelope; these predicates decide the TRUE relationship
+  // on the ring geometry (the reference's Stage-2 output is real polygons,
+  // image_segmentation.py:160-162 — joining points or other polygons to
+  // them by actual containment/overlap is the first post-bbox query).
+  //
+  // Containment is the crossing-number (even-odd) test evaluated over ALL
+  // rings at once, so holes need no special casing: a point inside a hole
+  // crosses the exterior ring once and the hole ring once — even parity,
+  // outside. Boundary points are detected separately (exact collinearity +
+  // on-segment bbox) and count as INSIDE — CLOSED semantics, matching the
+  // closed bbox predicates above, so a refine can only SHRINK the bbox
+  // candidate set (never resurrect a pair bbox pruning dropped).
+  //
+  // Every operation is +,−,×,÷ and comparisons over doubles: IEEE ops are
+  // correctly rounded and neither engine reorders float expressions, so a
+  // SQL oracle evaluating the identical form reproduces each decision
+  // bit-for-bit — these predicates are hash-oracle-able, not just testable.
+
+  /** Rightward-ray crossing count of point (x,y) vs every ring segment.
+    * Half-open edge rule: a segment counts when its endpoints straddle y
+    * strictly ((y1 > y) ≠ (y2 > y)) and the ray origin is strictly left of
+    * the crossing — the standard form whose parity is containment for any
+    * simple polygon, concave included. Exposed (rather than private) so
+    * oracles can hash-check the raw count, not just the parity.
+    */
+  def ringsCrossingNumber(rings: Column, x: Column, y: Column): Column =
+    aggregate(rings, lit(0), (acc, pts) =>
+      acc + when(size(pts) < 2, lit(0)).otherwise(
+        aggregate(sequence(lit(1), size(pts) - 1), lit(0), (a, i) => {
+          val x1 = element_at(pts, i).getField("x")
+          val y1 = element_at(pts, i).getField("y")
+          val x2 = element_at(pts, i + 1).getField("x")
+          val y2 = element_at(pts, i + 1).getField("y")
+          a + when(((y1 > y) =!= (y2 > y)) &&
+              (x < x1 + (y - y1) * (x2 - x1) / (y2 - y1)), lit(1))
+            .otherwise(lit(0))
+        })))
+
+  /** Point lies exactly on some ring segment: zero cross product
+    * (collinear) and inside the segment's coordinate range. Exact under
+    * IEEE arithmetic — for integer/dyadic coordinates (every generated
+    * fixture and all reasonable projected data at metre scale) the cross
+    * product is computed without rounding, so the test is a true geometric
+    * predicate, not an epsilon heuristic.
+    */
+  def ringsPointOnBoundary(rings: Column, x: Column, y: Column): Column =
+    exists(rings, pts =>
+      when(size(pts) < 2, lit(false)).otherwise(
+        exists(sequence(lit(1), size(pts) - 1), i => {
+          val x1 = element_at(pts, i).getField("x")
+          val y1 = element_at(pts, i).getField("y")
+          val x2 = element_at(pts, i + 1).getField("x")
+          val y2 = element_at(pts, i + 1).getField("y")
+          ((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)) === lit(0.0) &&
+            x >= least(x1, x2) && x <= greatest(x1, x2) &&
+            y >= least(y1, y2) && y <= greatest(y1, y2)
+        })))
+
+  /** TRUE point-in-polygon (closed): on the boundary, or odd crossing
+    * parity. Holes via even-odd; MULTIPOLYGON works unchanged (the flat
+    * ring list sums crossings over all parts — a point is in the multi iff
+    * it is in exactly one part, which is odd total parity for disjoint
+    * parts).
+    */
+  def ringsContainPoint(rings: Column, x: Column, y: Column): Column =
+    ringsPointOnBoundary(rings, x, y) ||
+      (ringsCrossingNumber(rings, x, y) % 2 === 1)
+
+  /** Point-in-polygon on a WKT geometry column (parse + refine in one). */
+  def wktContainsPoint(wkt: Column, x: Column, y: Column): Column =
+    ringsContainPoint(wktRings(wkt), x, y)
+
+  /** 2×cross-product orientation of c relative to directed segment a→b. */
+  private def orient2(ax: Column, ay: Column, bx: Column, by: Column,
+      cx: Column, cy: Column): Column =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  /** Closed segment-pair intersection (CLRS 33.1): proper crossing via
+    * opposite orientation signs on both sides, plus the four collinear
+    * endpoint-on-segment touch cases.
+    */
+  private def segmentsIntersect(
+      x1: Column, y1: Column, x2: Column, y2: Column,
+      x3: Column, y3: Column, x4: Column, y4: Column): Column = {
+    val d1 = orient2(x3, y3, x4, y4, x1, y1)
+    val d2 = orient2(x3, y3, x4, y4, x2, y2)
+    val d3 = orient2(x1, y1, x2, y2, x3, y3)
+    val d4 = orient2(x1, y1, x2, y2, x4, y4)
+    val z = lit(0.0)
+    def on(ax: Column, ay: Column, bx: Column, by: Column,
+        cx: Column, cy: Column): Column =
+      cx >= least(ax, bx) && cx <= greatest(ax, bx) &&
+        cy >= least(ay, by) && cy <= greatest(ay, by)
+    (((d1 > z && d2 < z) || (d1 < z && d2 > z)) &&
+      ((d3 > z && d4 < z) || (d3 < z && d4 > z))) ||
+      (d1 === z && on(x3, y3, x4, y4, x1, y1)) ||
+      (d2 === z && on(x3, y3, x4, y4, x2, y2)) ||
+      (d3 === z && on(x1, y1, x2, y2, x3, y3)) ||
+      (d4 === z && on(x1, y1, x2, y2, x4, y4))
+  }
+
+  /** Any segment of rings `a` intersects any segment of rings `b`
+    * (closed; touching counts). O(|a|·|b|) segment pairs per row — the
+    * REFINE cost shape: candidates already survived bbox pruning, and
+    * real polygon rings are tens of points, so the constant is small.
+    */
+  def ringsEdgesIntersect(a: Column, b: Column): Column =
+    exists(a, pa => when(size(pa) < 2, lit(false)).otherwise(
+      exists(sequence(lit(1), size(pa) - 1), i =>
+        exists(b, pb => when(size(pb) < 2, lit(false)).otherwise(
+          exists(sequence(lit(1), size(pb) - 1), j =>
+            segmentsIntersect(
+              element_at(pa, i).getField("x"), element_at(pa, i).getField("y"),
+              element_at(pa, i + 1).getField("x"), element_at(pa, i + 1).getField("y"),
+              element_at(pb, j).getField("x"), element_at(pb, j).getField("y"),
+              element_at(pb, j + 1).getField("x"), element_at(pb, j + 1).getField("y"))))))))
+
+  /** TRUE polygon–polygon intersection (closed): the regions share at
+    * least one point. Decided as: some edge pair intersects, OR one
+    * polygon's representative vertex lies inside the other. The
+    * representative-vertex argument: when NO edges cross, each polygon
+    * lies entirely within a single face of the other's arrangement
+    * (exterior, interior, or a hole), so any one of its points — the
+    * first vertex of its first ring — decides for the whole region; a
+    * polygon straddling a hole boundary would have crossing edges and is
+    * caught by the edge test first. NULL/empty ring arrays propagate NULL
+    * (fail-null, surfaced by the join dropping the row).
+    */
+  def ringsIntersectPolys(a: Column, b: Column): Column = {
+    val pa = element_at(element_at(a, 1), 1)
+    val pb = element_at(element_at(b, 1), 1)
+    ringsEdgesIntersect(a, b) ||
+      ringsContainPoint(b, pa.getField("x"), pa.getField("y")) ||
+      ringsContainPoint(a, pb.getField("x"), pb.getField("y"))
+  }
+
+  /** Polygon overlap on WKT columns (parse + refine in one). */
+  def wktIntersects(a: Column, b: Column): Column =
+    ringsIntersectPolys(wktRings(a), wktRings(b))
+
   // ---- geodesic measures (lon/lat degrees on the WGS84 authalic sphere) ----
   //
   // The planar shoelace above is correct for PROJECTED coordinates (the

@@ -74,12 +74,23 @@ object SpatialJoin {
     * work spreads over `salts` tasks. Cost: right-side cell rows × salts
     * — size `salts` to the observed hot-cell ratio, keep 1 for uniform
     * data.
+    *
+    * `refine` (r13) is the exact-geometry stage of the classic
+    * filter-refine pipeline: any predicate over both sides' columns —
+    * typically [[SpatialOps.ringsContainPoint]] or
+    * [[SpatialOps.ringsIntersectPolys]] over pre-parsed ring columns. It
+    * is ANDed into the join condition, so it evaluates JOIN-LOCAL on the
+    * bbox survivors (no second shuffle, no intermediate materialization);
+    * because the exact predicates are CLOSED like the envelope test, the
+    * refine can only shrink the candidate set. Default `lit(true)` keeps
+    * the join envelope-exact (the pre-r13 behavior).
     */
   def bboxJoin(
       left: DataFrame, right: DataFrame,
       leftEnv: String, rightEnv: String,
       cellSize: Double,
-      salts: Int = 1): DataFrame = {
+      salts: Int = 1,
+      refine: Column = lit(true)): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val l0 = binned(left, leftEnv, "__gj_cx", "__gj_cy", cellSize)
@@ -103,7 +114,8 @@ object SpatialJoin {
       col("__gj_cy") === col("__gj_cy_r")) ++ saltKeys ++ Seq(
       SpatialOps.bboxIntersects(le, re),
       cellX(refX, cellSize) === col("__gj_cx"),
-      cellX(refY, cellSize) === col("__gj_cy"))).reduce(_ && _)
+      cellX(refY, cellSize) === col("__gj_cy"),
+      refine)).reduce(_ && _)
     l.join(r, cond)
       .drop("__gj_cx", "__gj_cy", "__gj_cx_r", "__gj_cy_r", "__gj_salt", "__gj_salt_r")
   }

@@ -126,6 +126,67 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(clustered.rdd.getNumPartitions == 4)
   }
 
+  /** Concave arrow polygons with a square hole, integer-derived (the j16
+    * family): bbox candidates genuinely exceed true containment (the notch
+    * and the hole both produce bbox-hit/geometry-miss candidates).
+    */
+  private def arrows(n: Int, idCol: String, seed: Int): DataFrame = {
+    val rows = (1 to n).map { i =>
+      val h = (i * 2654435761L + seed) & 0x7fffffffL
+      val x0 = (h % 50).toDouble; val y0 = ((h / 50) % 40).toDouble
+      val w = 4.0 + (h % 5); val ht = 4.0 + (h % 7)
+      val wkt = s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + ht}, " +
+        s"${x0 + w / 2} ${y0 + ht / 2}, $x0 ${y0 + ht}, $x0 $y0), " +
+        s"(${x0 + 0.5} ${y0 + 0.5}, ${x0 + 0.5} ${y0 + 1.5}, " +
+        s"${x0 + 1.5} ${y0 + 1.5}, ${x0 + 1.5} ${y0 + 0.5}, ${x0 + 0.5} ${y0 + 0.5}))"
+      (i.toLong, wkt)
+    }
+    rows.toDF(idCol, "wkt")
+  }
+
+  test("refine stage: point-in-polygon join == brute force, strictly fewer than bbox") {
+    val polys = arrows(120, "lid", seed = 5)
+      .select($"lid", SpatialOps.wktRings($"wkt").as("rings"), $"wkt")
+      .withColumn("env", SpatialOps.ringsEnvelope($"rings"))
+    val pts = (1 to 400).map { i =>
+      val h = (i * 40503L + 11) & 0x7fffffffL
+      (i.toLong, (h % 110).toDouble * 0.5, ((h / 110) % 95).toDouble * 0.5)
+    }.toDF("rid", "px", "py")
+      .withColumn("env_r", SpatialOps.bbox($"px", $"py", $"px", $"py"))
+    val refined = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0,
+      refine = SpatialOps.ringsContainPoint(col("rings"), col("px"), col("py")))
+      .select("lid", "rid"))
+    val brute = pairs(polys.crossJoin(pts)
+      .filter(SpatialOps.wktContainsPoint($"wkt", $"px", $"py"))
+      .select("lid", "rid"))
+    val bboxOnly = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0)
+      .select("lid", "rid"))
+    assert(refined == brute && refined.nonEmpty)
+    // the refine must actually refine: notch/hole candidates drop out
+    assert(refined.size < bboxOnly.size, s"${refined.size} vs bbox ${bboxOnly.size}")
+  }
+
+  test("refine stage: polygon-overlap join == brute force") {
+    val polys = arrows(100, "lid", seed = 23)
+      .select($"lid", SpatialOps.wktRings($"wkt").as("rings_a"), $"wkt".as("wkt_a"))
+      .withColumn("env", SpatialOps.ringsEnvelope($"rings_a"))
+    val diamonds = (1 to 150).map { i =>
+      val h = (i * 69069L + 7) & 0x7fffffffL
+      val cx = (h % 52).toDouble + 2; val cy = ((h / 52) % 42).toDouble + 2
+      val r = 1.0 + (h % 3) * 0.5
+      (i.toLong, s"POLYGON (($cx ${cy - r}, ${cx + r} $cy, $cx ${cy + r}, ${cx - r} $cy, $cx ${cy - r}))")
+    }.toDF("rid", "wkt_b")
+      .select($"rid", SpatialOps.wktRings($"wkt_b").as("rings_b"), $"wkt_b")
+      .withColumn("env_r", SpatialOps.ringsEnvelope($"rings_b"))
+    val refined = pairs(SpatialJoin.bboxJoin(polys, diamonds, "env", "env_r", 8.0,
+      refine = SpatialOps.ringsIntersectPolys(col("rings_a"), col("rings_b")))
+      .select("lid", "rid"))
+    val brute = pairs(polys.crossJoin(diamonds)
+      .filter(SpatialOps.wktIntersects($"wkt_a", $"wkt_b"))
+      .select("lid", "rid"))
+    assert(refined == brute && refined.nonEmpty)
+  }
+
   test("plans as an equi-join on cell keys, not a cartesian product") {
     val l = boxes(200, "lid", "env", seed = 3)
     val r = boxes(200, "rid", "env_r", seed = 17)

@@ -323,6 +323,75 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("point-in-polygon: crossing parity, holes, on-edge closed, concave, MULTIPOLYGON") {
+    import spark.implicits._
+    // concave arrow (notch at top center) with a square hole at (0.5,0.5)
+    val arrow = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0), " +
+      "(0.5 0.5, 0.5 1.5, 1.5 1.5, 1.5 0.5, 0.5 0.5))"
+    val cases = Seq(
+      (3.0, 0.5, true, "plain interior"),
+      (1.0, 1.0, false, "inside the hole"),
+      (0.5, 1.0, true, "on the hole boundary (closed)"),
+      (2.0, 3.0, false, "in the concave notch (bbox would say yes)"),
+      (0.0, 0.0, true, "on a vertex"),
+      (2.0, 2.0, true, "on the concave vertex"),
+      (4.0, 2.0, true, "on the right edge"),
+      (1.0, 0.0, true, "on the bottom edge"),
+      (3.0, 3.0, true, "exactly on the notch diagonal"),
+      (-1.0, 1.0, false, "outside left"),
+      (5.0, 5.0, false, "outside entirely"))
+    val df = cases.toDF("x", "y", "expect", "label")
+      .withColumn("got", SpatialOps.wktContainsPoint(lit(arrow), $"x", $"y"))
+    val bad = df.filter($"got" =!= $"expect").collect()
+    assert(bad.isEmpty, bad.map(_.getString(3)).mkString(", "))
+    // MULTIPOLYGON: in either disjoint part = contained; between parts = not
+    val mp = "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))"
+    val mpCases = Seq(
+      (1.0, 1.0, true), (6.0, 6.0, true), (3.5, 3.5, false), (2.0, 2.0, true))
+      .toDF("x", "y", "expect")
+      .withColumn("got", SpatialOps.wktContainsPoint(lit(mp), $"x", $"y"))
+    assert(mpCases.filter($"got" =!= $"expect").count() == 0)
+  }
+
+  test("polygon overlap: cross, touch, containment, notch-disjoint, holes, MULTIPOLYGON") {
+    import spark.implicits._
+    val arrow = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0))"
+    def diamond(cx: Double, cy: Double, r: Double) =
+      s"POLYGON (($cx ${cy - r}, ${cx + r} $cy, $cx ${cy + r}, ${cx - r} $cy, $cx ${cy - r}))"
+    val cases = Seq(
+      (diamond(3, 1, 0.5), true, "diamond fully inside arrow wing"),
+      (diamond(2, 0.5, 10), true, "arrow fully inside big diamond"),
+      (diamond(4, 0, 1), true, "edges properly cross at the corner"),
+      (diamond(5, 2, 1), true, "touch at single point (4,2) - closed"),
+      // bboxes overlap (notch region) but true geometries are disjoint:
+      // the refine case bbox-exact joins get wrong
+      (diamond(2, 3.4, 0.4), false, "in the concave notch: bbox hits, geometry misses"),
+      (diamond(10, 10, 1), false, "fully disjoint"))
+    val got = cases.toDF("b", "expect", "label")
+      .withColumn("got", SpatialOps.wktIntersects(lit(arrow), $"b"))
+    val bad = got.filter($"got" =!= $"expect").collect()
+    assert(bad.isEmpty, bad.map(_.getString(2)).mkString(", "))
+    // holes: B entirely inside A's hole = disjoint; B straddling the hole
+    // boundary = intersecting (edge test catches it)
+    val holed = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3))"
+    val holeCases = Seq(
+      ("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))", false, "inside the hole"),
+      ("POLYGON ((2 2, 6 2, 6 4, 2 4, 2 2))", true, "straddles the hole boundary"),
+      ("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))", true, "in the solid annulus"))
+      .toDF("b", "expect", "label")
+      .withColumn("got", SpatialOps.wktIntersects(lit(holed), $"b"))
+    val badH = holeCases.filter($"got" =!= $"expect").collect()
+    assert(badH.isEmpty, badH.map(_.getString(2)).mkString(", "))
+    // MULTIPOLYGON: candidate overlaps only the SECOND part; first-vertex
+    // representative still correct because the edge test fires
+    val mp = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 8 5, 8 8, 5 8, 5 5)))"
+    val gotMp = spark.range(1).select(
+      SpatialOps.wktIntersects(lit(mp), lit("POLYGON ((6 6, 7 6, 7 7, 6 7, 6 6))")).as("inside2nd"),
+      SpatialOps.wktIntersects(lit(mp), lit("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")).as("between"))
+      .head()
+    assert(gotMp.getBoolean(0) && !gotMp.getBoolean(1))
+  }
+
   test("collectionMembers: flat explode, one surface, EMPTY countable, nested rejects") {
     import spark.implicits._
     def members(w: String): Seq[String] =
