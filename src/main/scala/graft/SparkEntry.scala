@@ -553,6 +553,46 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** S25 — JPEG-in-TIFF ingest (compression 7, TIFF Tech Note 2: the
+    * profile real aerial-imagery GeoTIFF archives ship — r12 verdict
+    * missing-item 4). Two scenes through the strip walk: a 3-strip
+    * grayscale file whose shared DQT/DHT live in the JPEGTables tag
+    * (abbreviated strip streams; the last strip's 8-row JPEG crops to its
+    * 4-row grid cell) and a self-contained single-strip YCbCr file
+    * (tables inline, no 347). DC-only blocks keep the mm7 one-product
+    * closed form, so the oracle regenerates every sample exactly — the
+    * table splice, the strip walk, and the crop must all be invisible.
+    */
+  private def s25(s: SparkSession, d: String) = {
+    import s.implicits._
+    val qG = Array.fill(64)(16)
+    val gray = operators.Tiff.synthJpegTiff(20, 20, 1, 8, useJpegTables = true) { si =>
+      operators.Jpeg.synthJpeg(20, 8, 1, Seq(qG)) { (_, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = ((si * 5 + by * 3 + bx) * 7) % 40 - 20
+        nat
+      }
+    }
+    val qY = Array.fill(64)(10); val qC = Array.fill(64)(12)
+    val color = operators.Tiff.synthJpegTiff(16, 16, 3, 16, useJpegTables = false) { _ =>
+      operators.Jpeg.synthJpeg(16, 16, 3, Seq(qY, qC)) { (ch, by, bx) =>
+        val nat = new Array[Int](64)
+        nat(0) = (ch * 11 + by + bx * 5) % 30 - 15
+        nat
+      }
+    }
+    def pixels(id: Long, bytes: Array[Byte], bh: Int, bw: Int) = {
+      val blocks = operators.Tiff.tiffToBandBlocks(
+        Seq((id, bytes)).toDF("scene_id", "bytes"))
+      operators.RasterBridge.explodeBlocks(blocks, blockH = bh, blockW = bw,
+          nodata = -9999f)
+        .select(col("scene_id"), col("band"), col("px_row"), col("px_col"),
+          col("value").cast("int").as("v"))
+    }
+    pixels(1L, gray, 8, 20).unionAll(pixels(2L, color, 16, 16))
+      .orderBy("scene_id", "band", "px_row", "px_col")
+  }
+
   /** Z1 — z-order (Morton) layout key: the write-side spatial-clustering
     * primitive (SpatialOps.zorderKey / clusterByZOrder). Hash-checks the
     * bit-interleave against an explicit bit-arithmetic DuckDB oracle.
@@ -5297,6 +5337,7 @@ object SparkEntry {
     "s9_raster_blocks" -> (s9 _),
     "s12_geotiff_ingest" -> (s12 _),
     "s14_bigtiff_lzw" -> (s14 _),
+    "s25_jpeg_in_tiff" -> (s25 _),
     "s15_multiband_tiff" -> (s15 _),
     "rep1_ngram_repetition" -> (rep1 _),
     "par1_dup_passages" -> (par1 _),
@@ -7030,6 +7071,28 @@ object SparkEntry {
         |FROM range(1024) t(id)
         |WHERE (id // 32 + id % 32) % 7 <> 0
         |ORDER BY px_row, px_col""".stripMargin,
+    // s25: JPEG-in-TIFF — the mm7 DC-only closed form evaluated per strip
+    // (scene 1: strip index enters the DC; the 3rd strip's 8-row JPEG is
+    // cropped to 4 grid rows) and per channel (scene 2, YCbCr inline
+    // tables); the table splice and strip walk must be invisible.
+    "s25_jpeg_in_tiff" -> {
+      val c0sq = operators.Jpeg.C0 * operators.Jpeg.C0
+      s"""SELECT CAST(1 AS BIGINT) AS scene_id, CAST(0 AS INT) AS band,
+         |  CAST(id // 20 AS INT) AS px_row, CAST(id % 20 AS INT) AS px_col,
+         |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+         |    $c0sq * CAST((((id // 20 // 8) * 5 + (id % 20) // 8) * 7 % 40 - 20) * 16 AS DOUBLE)
+         |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT) AS v
+         |FROM range(400) t(id)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(id % 3 AS INT),
+         |  CAST(id // 3 // 16 AS INT), CAST((id // 3) % 16 AS INT),
+         |  CAST(LEAST(255, GREATEST(0, CAST(floor(
+         |    $c0sq * CAST((((id % 3) * 11 + id // 3 // 16 // 8 + ((id // 3) % 16 // 8) * 5) % 30 - 15)
+         |        * (CASE WHEN id % 3 = 0 THEN 10 ELSE 12 END) AS DOUBLE)
+         |      * 0.25 + 128.0 + 0.5) AS INT))) AS INT)
+         |FROM range(768) t(id)
+         |ORDER BY scene_id, band, px_row, px_col""".stripMargin
+    },
     // s14: the LZW/BigTIFF containers must be as invisible as s12's raw
     // one — same closed-form regeneration, two scenes.
     "s14_bigtiff_lzw" ->

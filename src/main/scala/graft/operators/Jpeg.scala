@@ -758,6 +758,42 @@ object Jpeg {
     * `orientation` column — what a training pipeline actually wants from
     * a web-scraped corpus, where ~all portrait photos carry 6 or 8.
     */
+  /** Split a full JPEG stream into (tables, abbreviated) per TIFF Tech
+    * Note 2: tables = SOI + every DQT/DHT segment + EOI (the JPEGTables
+    * tag's datastream); abbreviated = SOI + every other segment through
+    * EOI (what a compression-7 strip stores). Marker-space walk only —
+    * entropy data is reachable solely through SOS, which never moves to
+    * the tables stream, so the remainder from the first SOS copies whole.
+    */
+  def splitTables(bytes: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (missing SOI)")
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    for (o <- Seq(tables, rest)) { o.write(0xff); o.write(0xd8) }
+    var pos = 2
+    var done = false
+    while (!done) {
+      require(pos + 2 <= bytes.length, "truncated JPEG while splitting tables")
+      require((bytes(pos) & 0xff) == 0xff,
+        f"expected a marker at $pos, got 0x${bytes(pos) & 0xff}%02x")
+      val m = bytes(pos + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) { // EOI, or SOS + entropy + trailer
+        rest.write(bytes, pos, bytes.length - pos)
+        done = true
+      } else {
+        require(pos + 4 <= bytes.length, "truncated segment header")
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(pos + 2 + len <= bytes.length, "segment past EOF")
+        val dst = if (m == 0xdb || m == 0xc4) tables else rest // DQT/DHT
+        dst.write(bytes, pos, 2 + len)
+        pos += 2 + len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
   def jpegToPixelsUpright(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
     MediaExplode.explode(media, bytesCol,
       StructField("orientation", IntegerType, nullable = false) +:

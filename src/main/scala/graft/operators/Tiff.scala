@@ -148,6 +148,16 @@ object Tiff {
       val off = payloadOff(e)
       Array.tabulate(e.count.toInt)(i => r.f64(off + i * 8))
     }
+
+    /** Raw payload bytes of a BYTE/UNDEFINED tag (JPEGTables lives in
+      * UNDEFINED type 7 per TIFF Tech Note 2).
+      */
+    def rawBytes(tag: Int): Option[Array[Byte]] = entries.get(tag).map { e =>
+      require(e.typ == 1 || e.typ == 7,
+        s"tag $tag: expected BYTE/UNDEFINED payload, got type ${e.typ}")
+      val off = payloadOff(e)
+      java.util.Arrays.copyOfRange(bytes, off, off + e.count.toInt)
+    }
   }
 
   /** Parse header + first IFD — classic TIFF (magic 42) or BigTIFF
@@ -666,9 +676,9 @@ object Tiff {
       throw new IllegalArgumentException("not a TIFF/BigTIFF"))
     val compression = p.intVal(259).getOrElse(1L)
     require(compression == 1L || compression == 5L || compression == 8L ||
-        compression == 32773L,
-      s"only uncompressed (1), LZW (5), Deflate (8), or PackBits (32773) " +
-        s"TIFF blocks decode, got $compression")
+        compression == 32773L || compression == 7L,
+      s"only uncompressed (1), JPEG (7), LZW (5), Deflate (8), or PackBits " +
+        s"(32773) TIFF blocks decode, got $compression")
     val predictor = p.intVal(317).getOrElse(1L).toInt
     // BitsPerSample/SampleFormat have count=SamplesPerPixel: EVERY element
     // must agree (a mixed-type file would silently misdecode). Spec
@@ -699,6 +709,30 @@ object Tiff {
     require(spp >= 1, s"bad SamplesPerPixel $spp")
     require(planar == 1 || planar == 2,
       s"PlanarConfiguration must be chunky (1) or planar (2), got $planar")
+    // New-style JPEG-in-TIFF (compression 7, TIFF Tech Note 2 — the
+    // profile real aerial-imagery GeoTIFF archives ship): each strip/tile
+    // is a complete (possibly table-less "abbreviated") JPEG stream; the
+    // optional JPEGTables tag (347) carries shared DQT/DHT segments as an
+    // SOI..EOI datastream spliced ahead of every block's own segments.
+    // Bands surface the STORED sample space (Y for photometric 1, raw
+    // Y/Cb/Cr components for photometric 6 — same contract as every other
+    // compression here: the reader never color-converts). Old-style
+    // compression 6 stays rejected (deprecated, no JPEGTables semantics).
+    val jpegTables: Option[Array[Byte]] =
+      if (compression == 7L) {
+        require(bits == 8 && fmt == 1,
+          s"JPEG-in-TIFF is 8-bit unsigned (got bits=$bits fmt=$fmt)")
+        require(planar == 1, "JPEG-in-TIFF blocks are pixel-interleaved " +
+          s"(PlanarConfiguration 1), got $planar")
+        val t = p.rawBytes(347)
+        t.foreach { tb =>
+          require(tb.length >= 4 &&
+              (tb(0) & 0xff) == 0xff && (tb(1) & 0xff) == 0xd8 &&
+              (tb(tb.length - 2) & 0xff) == 0xff && (tb(tb.length - 1) & 0xff) == 0xd9,
+            "JPEGTables must be an SOI..EOI table datastream (Tech Note 2)")
+        }
+        t
+      } else None
     def reqTag(tag: Int): Long = p.intVal(tag).getOrElse(
       throw new IllegalArgumentException(s"missing required TIFF tag $tag"))
     val width = reqTag(256).toInt
@@ -712,6 +746,42 @@ object Tiff {
       throw new IllegalArgumentException("missing block byte-counts tag"))
     require(offsets.length == counts.length, "offset/count arrays disagree")
 
+    /** Decode one JPEG block: splice JPEGTables ahead of the block's own
+      * segments (both open with SOI; the tables stream's EOI is dropped —
+      * a block re-specifying a table id overrides, plain T.81 semantics),
+      * then crop the decoded MCU-padded image to the block geometry.
+      * Output is interleaved uint8 samples, exactly what the generic
+      * integer path expects.
+      */
+    def jpegBlock(stored: Array[Byte], bw: Int, bh: Int, ch: Int): Array[Byte] = {
+      require(stored.length >= 2 &&
+          (stored(0) & 0xff) == 0xff && (stored(1) & 0xff) == 0xd8,
+        "JPEG-in-TIFF block does not start with SOI")
+      val merged = jpegTables match {
+        case Some(tb) =>
+          val m = new Array[Byte](tb.length - 2 + stored.length - 2)
+          System.arraycopy(tb, 0, m, 0, tb.length - 2) // SOI + tables
+          System.arraycopy(stored, 2, m, tb.length - 2, stored.length - 2)
+          m
+        case None => stored
+      }
+      val (jw, jh, jch, px) = Jpeg.decodeJpegPixels(merged)
+      require(jch == ch,
+        s"JPEG block has $jch components, file declares SamplesPerPixel=$ch")
+      require(jw >= bw && jh >= bh,
+        s"JPEG block ${jw}x$jh smaller than its ${bw}x$bh grid cell")
+      if (jw == bw && jh == bh) px
+      else { // writer padded the stream to MCU multiples: crop row-wise
+        val out = new Array[Byte](bw * bh * ch)
+        var y = 0
+        while (y < bh) {
+          System.arraycopy(px, y * jw * ch, out, y * bw * ch, bw * ch)
+          y += 1
+        }
+        out
+      }
+    }
+
     def slice(off: Long, len: Long, nSamples: Int, samplesPerRow: Int,
         stride: Int): Array[Byte] = {
       require(off >= 0 && len >= 0 && off + len <= bytes.length,
@@ -719,7 +789,9 @@ object Tiff {
       val rawLen = bps * nSamples
       val stored = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
       val out =
-        if (compression == 5L) lzwDecode(stored, rawLen)
+        if (compression == 7L)
+          jpegBlock(stored, samplesPerRow / stride, nSamples / samplesPerRow, stride)
+        else if (compression == 5L) lzwDecode(stored, rawLen)
         else if (compression == 8L) inflateBlock(stored, rawLen)
         else if (compression == 32773L) packBitsDecode(stored, rawLen)
         else { require(stored.length == rawLen,
@@ -862,6 +934,7 @@ object Tiff {
       if (big) buf.putLong(count.toLong) else buf.putInt(count)
       val fieldEnd = buf.position() + (if (big) 8 else 4)
       val typeSize = typ match {
+        case 1 | 7 => 1 // BYTE / UNDEFINED (JPEGTables)
         case 3 => 2 // SHORT
         case 4 => 4 // LONG
         case 12 | 16 => 8 // DOUBLE / LONG8
@@ -1288,6 +1361,81 @@ object Tiff {
       b.putDouble(g.originX).putDouble(g.originY).putDouble(0.0)
     }
     blocks.foreach(b.put)
+    b.array()
+  }
+
+  /** Minimal classic-TIFF container around per-strip JPEG streams
+    * (compression 7, TIFF Tech Note 2 — the profile real aerial-imagery
+    * GeoTIFF archives ship). `stripJpeg(i)` supplies strip i's FULL JPEG
+    * stream ([[Jpeg.synthJpeg]] output, tables included); with
+    * `useJpegTables` the DQT/DHT segments split out into tag 347 and the
+    * strips store abbreviated streams — all strips must then agree on
+    * their tables (fails closed on divergence: a strip's own overriding
+    * tables are legal to READ but ambiguous to dedupe on write).
+    * Photometric derives from the channel count: 1 (BlackIsZero) for one
+    * sample, 6 (YCbCr) for three — the stored components, no conversion.
+    */
+  def synthJpegTiff(
+      width: Int, height: Int, spp: Int, rowsPerStrip: Int,
+      littleEndian: Boolean = true,
+      useJpegTables: Boolean = true)(stripJpeg: Int => Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rowsPerStrip > 0, "bad geometry")
+    require(spp == 1 || spp == 3, s"JPEG-in-TIFF writes 1 or 3 samples, got $spp")
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val full = (0 until nStrips).map(stripJpeg)
+    val (tablesOpt, blocks) =
+      if (useJpegTables) {
+        val split = full.map(Jpeg.splitTables)
+        val tabs = split.map(_._1)
+        require(tabs.forall(t => java.util.Arrays.equals(t, tabs.head)),
+          "strips disagree on their table segments; cannot share JPEGTables")
+        (Some(tabs.head), split.map(_._2))
+      } else (None, full)
+    val n = nStrips
+    val arraysInline = 4 * n <= 4
+    val shortsInline = 2 * spp <= 4
+    val nEntries = 10 + (if (spp > 1) 1 else 0) + tablesOpt.size
+    val ifdSize = 2 + 12 * nEntries + 4
+    val extOff = 8 + ifdSize
+    val offArrOff = extOff
+    val cntArrOff = offArrOff + (if (arraysInline) 0 else 4 * n)
+    val bitsArrOff = cntArrOff + (if (arraysInline) 0 else 4 * n)
+    val fmtArrOff = bitsArrOff + (if (shortsInline) 0 else 2 * spp)
+    val tabOff = fmtArrOff + (if (shortsInline) 0 else 2 * spp)
+    val dataOff = tabOff + tablesOpt.map(_.length).getOrElse(0)
+    val blockBytes = blocks.map(_.length)
+    val total = dataOff + blockBytes.sum
+    val offs = blockBytes.scanLeft(dataOff)(_ + _)
+    val w = new Writer(total, littleEndian, big = false)
+    val b = w.buf
+    b.put((if (littleEndian) "II" else "MM").getBytes("US-ASCII"))
+    b.putShort(42).putInt(8)
+    b.putShort(nEntries.toShort)
+    w.entry(256, 4, 1, width)
+    w.entry(257, 4, 1, height)
+    if (spp == 1) w.entry(258, 3, 1, 8)
+    else w.entryShorts(258, Seq.fill(spp)(8), bitsArrOff)
+    w.entry(259, 3, 1, 7)
+    w.entry(262, 3, 1, if (spp == 3) 6 else 1)
+    w.entry(273, 4, n, if (arraysInline) offs(0).toLong else offArrOff.toLong)
+    w.entry(277, 3, 1, spp)
+    w.entry(278, 4, 1, rowsPerStrip)
+    w.entry(279, 4, n, if (arraysInline) blockBytes(0).toLong else cntArrOff.toLong)
+    if (spp > 1) w.entry(284, 3, 1, 1)
+    if (spp == 1) w.entry(339, 3, 1, 1)
+    else w.entryShorts(339, Seq.fill(spp)(1), fmtArrOff)
+    tablesOpt.foreach(tb => w.entry(347, 7, tb.length, tabOff.toLong))
+    b.putInt(0) // next-IFD terminator
+    if (!arraysInline) {
+      offs.dropRight(1).foreach(o => b.putInt(o))
+      blockBytes.foreach(c => b.putInt(c))
+    }
+    if (!shortsInline) {
+      for (_ <- 0 until spp) b.putShort(8.toShort)
+      for (_ <- 0 until spp) b.putShort(1.toShort)
+    }
+    tablesOpt.foreach(tb => b.put(tb))
+    blocks.foreach(blk => b.put(blk))
     b.array()
   }
 }

@@ -302,6 +302,69 @@ class ImageIoConformanceSpec extends AnyFunSuite {
         s"tiff ($y,$x)")
   }
 
+  test("JPEG-in-TIFF: JDK-written compression-7 TIFF decodes within JPEG tolerance (r13)") {
+    // smooth gradients (the JPEG tolerance argument from the plain-JPEG
+    // test above); h not MCU-aligned so padded/clipped strip handling runs
+    val w = 48; val h = 33
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 40 + x * 3; val g = 60 + y * 4; val b = 80 + (x + y) * 2
+      img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    param.setCompressionQuality(0.9f)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    // it really wrote new-style JPEG compression
+    val meta = operators.Tiff.decodeMeta(bytes)
+    assert(meta.getInt(operators.Tiff.metaSchema.fieldIndex("compression")) == 7,
+      "JDK did not write compression 7")
+    // reassemble our per-band planes (bandBlocksOf surfaces the STORED
+    // sample space — raw Y/Cb/Cr for photometric 6)
+    val blocks = operators.Tiff.bandBlocksOf(bytes)
+    val rps = blocks.head._4
+    val comp = Array.ofDim[Int](3, w * h)
+    for ((band, ty, _, bh, bw, blob) <- blocks) {
+      val rows = math.min(bh, h - ty * rps)
+      for (r <- 0 until rows; x <- 0 until math.min(bw, w)) {
+        val at = (r * bw + x) * 4
+        val bits = ((blob(at) & 0xff) << 24) | ((blob(at + 1) & 0xff) << 16) |
+          ((blob(at + 2) & 0xff) << 8) | (blob(at + 3) & 0xff)
+        comp(band)((ty * rps + r) * w + x) = java.lang.Float.intBitsToFloat(bits).toInt
+      }
+    }
+    // JFIF conversion, then the plain-JPEG tolerance contract vs the
+    // JDK's own decode of the same file
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "JDK cannot read back its own JPEG-in-TIFF")
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    var maxDiff = 0
+    var over3 = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val yy = comp(0)(y * w + x)
+      val cb = comp(1)(y * w + x) - 128
+      val cr = comp(2)(y * w + x) - 128
+      val got = Seq(clamp(yy + 1.402 * cr),
+        clamp(yy - 0.344136 * cb - 0.714136 * cr), clamp(yy + 1.772 * cb))
+      for (k <- 0 until 3) {
+        val want = (ref.getRGB(x, y) >> ((2 - k) * 8)) & 0xff
+        val d = math.abs(got(k) - want)
+        maxDiff = math.max(maxDiff, d)
+        if (d > 3) over3 += 1
+      }
+    }
+    assert(over3 <= (w * h * 3) / 100,
+      s"jpeg-in-tiff: $over3 samples differ by >3 (max $maxDiff) — structural divergence")
+    assert(maxDiff <= 8, s"jpeg-in-tiff: max per-sample difference $maxDiff")
+  }
+
   test("PNG/GIF/BMP reverse: the JDK decodes the in-repo writers' output exactly") {
     // PNG truecolor (all five filters exercised by content variety)
     val w = 21; val h = 14

@@ -62,15 +62,20 @@ class TiffSpec extends AnyFunSuite {
 
   test("blocksOf rejects unsupported compressions but reports them in meta") {
     val b = Tiff.synthTiff(8, 8, 8, 8, littleEndian = true, tile = true)((r, c) => 0f)
-    // patch Compression (tag 259, third entry's value) to 7 (JPEG-in-TIFF)
+    // patch Compression (tag 259, third entry's value) to 6 — OLD-style
+    // TIFF-6.0 JPEG, deprecated and rejected (new-style 7 decodes, r13)
     val patched = b.clone()
     // IFD at 8; entries at 10; 259 is the 4th entry (256,257,258,259)
     val valOff = 10 + 3 * 12 + 8
-    patched(valOff) = 7
+    patched(valOff) = 6
     val m = meta(patched)
-    assert(m.getInt(fi("compression")) == 7) // header still parses, compression reported
+    assert(m.getInt(fi("compression")) == 6) // header still parses, compression reported
     val e = intercept[IllegalArgumentException](Tiff.blocksOf(patched))
     assert(e.getMessage.contains("LZW"))
+    // new-style JPEG (7) on a float32 file rejects on sample type instead
+    val p7 = b.clone(); p7(valOff) = 7
+    val e7 = intercept[IllegalArgumentException](Tiff.blocksOf(p7))
+    assert(e7.getMessage.contains("8-bit unsigned"), e7.getMessage)
   }
 
   test("Deflate (8) and PackBits (32773) blocks round-trip; deflate pairs with predictors") {
@@ -603,5 +608,71 @@ class TiffSpec extends AnyFunSuite {
         sceneCol = "scene")
     }
     assert(e.getMessage.contains("must be numeric"), e.getMessage)
+  }
+
+  test("JPEG-in-TIFF: shared JPEGTables == inline tables == standalone JPEG; edge strip crops (r13)") {
+    import graft.operators.Jpeg
+    val qG = Array.fill(64)(16)
+    def strip(si: Int) = Jpeg.synthJpeg(20, 8, 1, Seq(qG)) { (_, _, bx) =>
+      val nat = new Array[Int](64)
+      nat(0) = ((si * 5 + bx) * 7) % 40 - 20
+      nat
+    }
+    val shared = Tiff.synthJpegTiff(20, 20, 1, 8)(strip)
+    val inline = Tiff.synthJpegTiff(20, 20, 1, 8, useJpegTables = false)(strip)
+    val a = Tiff.bandBlocksOf(shared)
+    val b = Tiff.bandBlocksOf(inline)
+    // geometry: 3 strips, last clipped to 4 rows (its JPEG is 8 tall - crop)
+    assert(a.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      Seq((0, 0, 0, 8, 20), (0, 1, 0, 8, 20), (0, 2, 0, 4, 20)))
+    // the two table spellings decode identically
+    assert(a.size == b.size && a.zip(b).forall { case (x, y) =>
+      (x._1, x._2, x._3, x._4, x._5) == (y._1, y._2, y._3, y._4, y._5) &&
+        java.util.Arrays.equals(x._6, y._6)
+    })
+    // blob floats equal the standalone full-stream decode (cropped rows)
+    for (((_, _, _, bh, bw, blob), si) <- a.zipWithIndex) {
+      val (jw, jh, ch, px) = Jpeg.decodeJpegPixels(strip(si))
+      assert((jw, jh, ch) == ((20, 8, 1)))
+      for (r <- 0 until bh; c <- 0 until bw) {
+        val o = 4 * (r * bw + c)
+        val bits = ((blob(o) & 0xff) << 24) | ((blob(o + 1) & 0xff) << 16) |
+          ((blob(o + 2) & 0xff) << 8) | (blob(o + 3) & 0xff)
+        assert(java.lang.Float.intBitsToFloat(bits) == (px(r * jw + c) & 0xff).toFloat,
+          s"strip $si ($r,$c)")
+      }
+    }
+    // the shared file really holds abbreviated strips (one DQT total, in
+    // JPEGTables); the inline file repeats tables per strip. Marker scans
+    // are safe: entropy data byte-stuffs 0xff, and every other byte here
+    // is deterministic.
+    def countMarker(bytes: Array[Byte], m: Int): Int =
+      (0 until bytes.length - 1).count(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+    assert(countMarker(shared, 0xdb) == 1 && countMarker(inline, 0xdb) == 3)
+    // 3-channel YCbCr with inline tables: three band planes per strip
+    val color = Tiff.synthJpegTiff(16, 16, 3, 16, useJpegTables = false)(_ =>
+      Jpeg.synthJpeg(16, 16, 3, Seq(Array.fill(64)(10), Array.fill(64)(12))) {
+        (ch, by, bx) =>
+          val nat = new Array[Int](64)
+          nat(0) = (ch * 11 + by + bx * 5) % 30 - 15
+          nat
+      })
+    val cb = Tiff.bandBlocksOf(color)
+    assert(cb.map(_._1) == Seq(0, 1, 2) &&
+      cb.forall(t => (t._4, t._5) == ((16, 16))))
+    // channel mismatch fails closed (file declares 3 samples, stream has 1)
+    val bad = Tiff.synthJpegTiff(16, 8, 3, 8, useJpegTables = false)(_ =>
+      Jpeg.synthJpeg(16, 8, 1, Seq(qG))((_, _, _) => new Array[Int](64)))
+    val e1 = intercept[Exception](Tiff.bandBlocksOf(bad))
+    assert(e1.getMessage.contains("components"), e1.getMessage)
+    // corrupted JPEGTables (EOI clobbered) fails closed descriptively
+    val tables = Jpeg.splitTables(strip(0))._1
+    val at = shared.indexOfSlice(tables)
+    assert(at > 0, "tables payload not found in container")
+    val corrupt = shared.clone()
+    corrupt(at + tables.length - 1) = 0x00
+    val e2 = intercept[Exception](Tiff.bandBlocksOf(corrupt))
+    assert(e2.getMessage.contains("JPEGTables"), e2.getMessage)
   }
 }
