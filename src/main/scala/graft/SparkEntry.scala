@@ -1647,9 +1647,27 @@ object SparkEntry {
     val mp3 = "ID3".getBytes("US-ASCII") ++
       Array[Byte](3, 0, 0, 0, 0, 0, 10) ++ Array.fill[Byte](10)(0)
     val flac = "fLaC".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0)
+    // r13: APNG recognized BY NAME (acTL chunk before the first IDAT) —
+    // the environment ships no reference encoder to conform a decoder
+    // against (no PIL/ffmpeg/magick; the JDK cannot write APNG), so per
+    // the conformance law it rejects countably like mp3/flac (decision
+    // note in NOTES_BUILDER r13). The fixture is a valid PNG stream with
+    // a correctly-CRC'd acTL spliced after IHDR (signature+IHDR = 33 B).
+    val apng = {
+      val base = operators.MultimodalOps.synthPng(6, 4, 1, _ => 0)(
+        (r, c, _) => (r * 7 + c) % 256)
+      val data = Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) // 1 frame, loop forever
+      val crc = new java.util.zip.CRC32()
+      crc.update("acTL".getBytes("US-ASCII")); crc.update(data)
+      val v = crc.getValue
+      base.take(33) ++ Array[Byte](0, 0, 0, 8) ++
+        "acTL".getBytes("US-ASCII") ++ data ++
+        Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte) ++
+        base.drop(33)
+    }
     val bag = Seq((1L, png), (2L, webp), (3L, gifT), (4L, bmpRle),
       (5L, wav), (6L, Array[Byte](1, 2, 3, 4, 5)), (7L, webpOk),
-      (8L, mp3), (9L, flac))
+      (8L, mp3), (9L, flac), (10L, apng))
       .toDF("media_id", "bytes")
     val bagRows = operators.MultimodalOps.mediaCensusWithRejects(bag)
       .groupBy(col("format"), col("ok"))
@@ -5527,11 +5545,12 @@ object SparkEntry {
         census("wav", 60, "(id // 2 * 773 + id % 2 * 331) % 65536 - 32768"),
         // the rejects-census bag: per-(format, ok) file counts with the
         // decoded-value totals for the ok files — all literals, because
-        // the bag's composition IS the contract (6 rejects incl. the
-        // named mp3/flac audio skips, 2 ok)
+        // the bag's composition IS the contract (7 rejects incl. the
+        // named mp3/flac/apng skips, 2 ok)
         """SELECT kind, CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v,
           |  CAST(0 AS INT) AS min_v, CAST(0 AS INT) AS max_v
-          |FROM (VALUES ('z_bmp_rej', 1, 0), ('z_flac_rej', 1, 0),
+          |FROM (VALUES ('z_apng_rej', 1, 0), ('z_bmp_rej', 1, 0),
+          |  ('z_flac_rej', 1, 0),
           |  ('z_gif_rej', 1, 0), ('z_mp3_rej', 1, 0),
           |  ('z_png_ok', 1, 324), ('z_unknown_rej', 1, 0),
           |  ('z_wav_ok', 1, 60), ('z_webp_ok', 1, 96),

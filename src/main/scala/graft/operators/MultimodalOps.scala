@@ -765,15 +765,34 @@ object MultimodalOps {
 
   /** Container format from magic bytes — the crawl-side dispatch key for
     * [[mediaCensusWithRejects]]. Recognizes every container the engine
-    * decodes (png/jpeg/gif/bmp/wav/tiff/webp/avi) plus the crawl-audio
-    * staples mp3 (ID3v2 tag or MPEG frame sync) and flac — recognized but
-    * undecoded, so a census COUNTS them by name rather than lumping them
-    * into "unknown"; anything else is "unknown".
+    * decodes (png/jpeg/gif/bmp/wav/tiff/webp/avi) plus the crawl staples
+    * recognized-but-undecoded — mp3 (ID3v2 tag or MPEG frame sync), flac
+    * (stream marker), and apng (r13: a PNG whose acTL chunk precedes the
+    * first IDAT, per the APNG spec) — so a census COUNTS them by name
+    * rather than lumping them into "unknown"; anything else is "unknown".
     */
   def sniffFormat(b: Array[Byte]): String = {
     def ascii(off: Int, s: String) = b.length >= off + s.length &&
       s.indices.forall(i => b(off + i) == s(i).toByte)
-    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(1, "PNG")) "png"
+    if (b.length >= 8 && (b(0) & 0xff) == 0x89 && ascii(1, "PNG")) {
+      // APNG sniff: walk the chunk directory until acTL (→ apng), the
+      // first IDAT/IEND (→ plain png), or any malformed length (→ png;
+      // the decoder then rejects that file with its own message). The
+      // walk is bounds-checked against untrusted lengths.
+      var off = 8
+      var kind = "png"
+      var walking = true
+      while (walking && off + 8 <= b.length) {
+        val len = ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        if (typ == "acTL") { kind = "apng"; walking = false }
+        else if (typ == "IDAT" || typ == "IEND") walking = false
+        else if (off + 12L + len > b.length) walking = false
+        else off += 12 + len.toInt
+      }
+      kind
+    }
     else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else if (ascii(0, "GIF8")) "gif"
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
@@ -879,6 +898,10 @@ object MultimodalOps {
             "mp3 recognized but no decoder exists — counted, not decoded")
           case "flac" => throw new IllegalArgumentException(
             "flac recognized but no decoder exists — counted, not decoded")
+          case "apng" => throw new IllegalArgumentException(
+            "APNG recognized but undecoded: no reference encoder exists in " +
+              "this environment to conform a decoder against (the mp3 " +
+              "stance) — counted, not decoded")
           case _ => throw new IllegalArgumentException(
             s"unrecognized container magic (${payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
         }

@@ -511,6 +511,39 @@ class MultimodalOpsSpec extends AnyFunSuite {
     assert(counts(("webp", false)) == 1 && counts(("png", true)) == 1)
   }
 
+  test("APNG sniffs by name (acTL before IDAT) and rejects countably (r13)") {
+    import spark.implicits._
+    // No reference encoder exists in this environment (no PIL/ffmpeg/
+    // magick; the JDK cannot write APNG), so per the conformance law the
+    // container is recognized-but-undecoded — the mp3 stance.
+    val base = MultimodalOps.synthPng(6, 4, 1, _ => 0)((r, c, _) => (r + c) % 256)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      val v = crc.getValue
+      Array[Byte](
+        (data.length >>> 24).toByte, (data.length >>> 16).toByte,
+        (data.length >>> 8).toByte, data.length.toByte) ++
+        typ.getBytes("US-ASCII") ++ data ++
+        Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    }
+    val acTl = chunk("acTL", Array[Byte](0, 0, 0, 1, 0, 0, 0, 0))
+    val apng = base.take(33) ++ acTl ++ base.drop(33) // after IHDR: valid APNG shape
+    assert(MultimodalOps.sniffFormat(apng) == "apng")
+    assert(MultimodalOps.sniffFormat(base) == "png")
+    // acTL AFTER the first IDAT is not valid APNG — stays plain png
+    val late = base.dropRight(12) ++ acTl ++ base.takeRight(12)
+    assert(MultimodalOps.sniffFormat(late) == "png")
+    // a malformed chunk length ends the walk safely (still png)
+    val mal = base.clone(); mal(8) = 0x7f
+    assert(MultimodalOps.sniffFormat(mal) == "png")
+    // the census counts it by name instead of decoding or "unknown"
+    val out = MultimodalOps.mediaCensusWithRejects(
+      Seq((1L, apng)).toDF("media_id", "bytes")).collect()(0)
+    assert(out.getString(1) == "apng" && !out.getBoolean(4) &&
+      out.getString(5).contains("APNG"), out.toString)
+  }
+
   test("resizePixels: identity at ratio 1, exact 2x box average, clamped edges, kernel reject") {
     import spark.implicits._
     def v(r: Int, c: Int): Int = (r * 17 + c * 5 + 3) % 256
