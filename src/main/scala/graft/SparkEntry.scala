@@ -517,8 +517,12 @@ object SparkEntry {
         ((c % 93).cast("double") + (c % 3).cast("double") * lit(0.5)).as("px"),
         ((c % 83).cast("double") + (c % 7).cast("double") * lit(0.25)).as("py"))
       .withColumn("env_r", SpatialOps.bbox(col("px"), col("py"), col("px"), col("py")))
+    // codegen refine (GeomPredExprs): bit-identical decisions to the
+    // ringsContainPoint HOF algebra (spec-asserted), one static call per
+    // candidate inside whole-stage codegen instead of interpreted HOFs
     operators.SpatialJoin.bboxJoin(polys, pts, "env", "env_r", cellSize = 8.0,
-        refine = SpatialOps.ringsContainPoint(col("_r"), col("px"), col("py")))
+        refine = graft.functions.GeomPredExprs.pointInRings(
+          col("_r"), col("px"), col("py")))
       .select("s_suppkey", "c_custkey")
       .orderBy("s_suppkey", "c_custkey")
   }
@@ -547,8 +551,11 @@ object SparkEntry {
       .select(c, diamond.as("geom_b"))
       .select(col("c_custkey"), SpatialOps.wktRings(col("geom_b")).as("_rb"))
       .withColumn("env_r", SpatialOps.ringsEnvelope(col("_rb")))
+    // codegen refine — the probe measured the interpreted HOF form at
+    // ~340 µs/candidate (12.7 s at sf0.1 over 205 k bbox candidates); the
+    // fused kernel runs the identical IEEE algebra as one static call
     operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0,
-        refine = SpatialOps.ringsIntersectPolys(col("_ra"), col("_rb")))
+        refine = graft.functions.GeomPredExprs.ringsIntersect(col("_ra"), col("_rb")))
       .select("s_suppkey", "c_custkey")
       .orderBy("s_suppkey", "c_custkey")
   }

@@ -154,8 +154,14 @@ class SpatialJoinSpec extends AnyFunSuite {
     }.toDF("rid", "px", "py")
       .withColumn("env_r", SpatialOps.bbox($"px", $"py", $"px", $"py"))
     val refined = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0,
+      refine = graft.functions.GeomPredExprs.pointInRings(
+        col("rings"), col("px"), col("py")))
+      .select("lid", "rid"))
+    // the HOF spelling refines to the identical pair set
+    val refinedHof = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0,
       refine = SpatialOps.ringsContainPoint(col("rings"), col("px"), col("py")))
       .select("lid", "rid"))
+    assert(refined == refinedHof)
     val brute = pairs(polys.crossJoin(pts)
       .filter(SpatialOps.wktContainsPoint($"wkt", $"px", $"py"))
       .select("lid", "rid"))
@@ -179,7 +185,8 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"rid", SpatialOps.wktRings($"wkt_b").as("rings_b"), $"wkt_b")
       .withColumn("env_r", SpatialOps.ringsEnvelope($"rings_b"))
     val refined = pairs(SpatialJoin.bboxJoin(polys, diamonds, "env", "env_r", 8.0,
-      refine = SpatialOps.ringsIntersectPolys(col("rings_a"), col("rings_b")))
+      refine = graft.functions.GeomPredExprs.ringsIntersect(
+        col("rings_a"), col("rings_b")))
       .select("lid", "rid"))
     val brute = pairs(polys.crossJoin(diamonds)
       .filter(SpatialOps.wktIntersects($"wkt_a", $"wkt_b"))

@@ -392,6 +392,68 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(gotMp.getBoolean(0) && !gotMp.getBoolean(1))
   }
 
+  test("GeomPredExprs codegen == HOF algebra bit-for-bit; fail-closed nulls (r13)") {
+    import spark.implicits._
+    import graft.functions.GeomPredExprs
+    // randomized arrows (concave + hole) x probe grid: the codegen kernel
+    // must agree with the Column HOF on EVERY decision, boundary included
+    val polys = (1 to 60).map { i =>
+      val h = (i * 2654435761L + 17) & 0x7fffffffL
+      val x0 = (h % 50).toDouble; val y0 = ((h / 50) % 40).toDouble
+      val w = 4.0 + (h % 5); val ht = 4.0 + (h % 7)
+      s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + ht}, " +
+        s"${x0 + w / 2} ${y0 + ht / 2}, $x0 ${y0 + ht}, $x0 $y0), " +
+        s"(${x0 + 0.5} ${y0 + 0.5}, ${x0 + 0.5} ${y0 + 1.5}, " +
+        s"${x0 + 1.5} ${y0 + 1.5}, ${x0 + 1.5} ${y0 + 0.5}, ${x0 + 0.5} ${y0 + 0.5}))"
+    }
+    val probes = (1 to 40).map { j =>
+      val h = (j * 69069L + 3) & 0x7fffffffL
+      ((h % 110).toDouble * 0.5, ((h / 110) % 90).toDouble * 0.5)
+    }
+    val pip = polys.flatMap(p => probes.map { case (x, y) => (p, x, y) })
+      .toDF("wkt", "x", "y")
+      .withColumn("r", SpatialOps.wktRings($"wkt"))
+      .select(
+        GeomPredExprs.pointInRings($"r", $"x", $"y").as("gen"),
+        SpatialOps.ringsContainPoint($"r", $"x", $"y").as("hof"))
+    assert(pip.filter($"gen" =!= $"hof").count() == 0)
+    assert(pip.filter($"gen").count() > 0 && pip.filter(!$"gen").count() > 0)
+    // polygon-overlap: arrows x diamonds, same bit-for-bit contract
+    val diamonds = (1 to 40).map { j =>
+      val h = (j * 40503L + 7) & 0x7fffffffL
+      val cx = (h % 52).toDouble + 2; val cy = ((h / 52) % 42).toDouble + 2
+      val r = 1.0 + (h % 3) * 0.5
+      s"POLYGON (($cx ${cy - r}, ${cx + r} $cy, $cx ${cy + r}, ${cx - r} $cy, $cx ${cy - r}))"
+    }
+    val ovl = polys.take(30).flatMap(a => diamonds.map(b => (a, b)))
+      .toDF("wa", "wb")
+      .select(SpatialOps.wktRings($"wa").as("ra"), SpatialOps.wktRings($"wb").as("rb"))
+      .select(
+        GeomPredExprs.ringsIntersect($"ra", $"rb").as("gen"),
+        SpatialOps.ringsIntersectPolys($"ra", $"rb").as("hof"))
+    assert(ovl.filter($"gen" =!= $"hof").count() == 0)
+    assert(ovl.filter($"gen").count() > 0 && ovl.filter(!$"gen").count() > 0)
+    // documented delta: empty rings are FALSE in the codegen form (the
+    // HOF form null-poisons); NULL input still propagates
+    val empty = spark.sql("SELECT CAST(array() AS array<array<struct<x double, y double>>>) AS r")
+    val er = empty.select(GeomPredExprs.pointInRings($"r", lit(1.0), lit(1.0)),
+      GeomPredExprs.ringsIntersect($"r", $"r")).head()
+    assert(!er.getBoolean(0) && !er.getBoolean(1))
+    val nr = spark.sql("SELECT CAST(NULL AS array<array<struct<x double, y double>>>) AS r")
+      .select(GeomPredExprs.pointInRings($"r", lit(1.0), lit(1.0))).head()
+    assert(nr.isNullAt(0))
+    // fail closed on null coordinates (never a silent 0.0 read)
+    val bad = spark.sql(
+      "SELECT array(array(named_struct('x', CAST(NULL AS DOUBLE), 'y', 1.0d), " +
+        "named_struct('x', 2.0d, 'y', 2.0d))) AS r")
+    val e = intercept[Exception] {
+      bad.select(GeomPredExprs.pointInRings($"r", lit(1.0), lit(1.0))).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null coordinate") ||
+      e.getCause != null && e.getCause.getMessage.contains("null coordinate"),
+      String.valueOf(e.getMessage))
+  }
+
   test("collectionMembers: flat explode, one surface, EMPTY countable, nested rejects") {
     import spark.implicits._
     def members(w: String): Seq[String] =
