@@ -600,6 +600,75 @@ object SparkEntry {
       .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
+  // WGS84 constants for the g23 oracle (interpolated so DuckDB evaluates
+  // the same doubles the Column algebra bakes in)
+  private val EllE2: Double = { val f = 1.0 / 298.257223563; f * (2 - f) }
+  private val EllE: Double = math.sqrt(EllE2)
+  private val EllB2: Double = 6378137.0 * 6378137.0 * (1 - EllE2)
+  private val EllK: Double = math.Pi / 180.0
+
+  /** G23 — TRUE-ellipsoid area/perimeter (r12 verdict stretch 8): the
+    * g13-family lon/lat quads through `wktAreaEllipsoidal` /
+    * `wktPerimeterEllipsoidal`. The quads are parallel/meridian-bounded,
+    * where the trapezoidal zone sum is EXACT (zone area =
+    * Δλ·(b²/2)·(F(φ2)−F(φ1))), so the oracle evaluates the closed form.
+    * Outputs are fixed-point floors (area at 16 m² spacing, perimeter at
+    * 1 m) — cross-engine sin/ln drift is ≤ ~1e-13·value while the margin
+    * scan (tools/g23_margin_scan.py) shows every row's distance to a
+    * floor boundary is orders above it.
+    */
+  private def g23(s: SparkSession, d: String) = {
+    val base = Tables.part(s, d).select(col("p_partkey").as("pk"),
+      (lit(-96.0) + (col("p_partkey") % 50).cast("double") * lit(0.01)).as("lon0"),
+      (lit(30.0) + (col("p_size") % 40).cast("double") * lit(0.01)).as("lat0"),
+      (lit(0.01) + (col("p_partkey") % 7).cast("double") * lit(0.001)).as("dx"),
+      (lit(0.008) + (col("p_size") % 5).cast("double") * lit(0.001)).as("dy"))
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val wkt = concat(lit("POLYGON (("),
+      pt(col("lon0"), col("lat0")), lit(", "),
+      pt(col("lon0") + col("dx"), col("lat0")), lit(", "),
+      pt(col("lon0") + col("dx"), col("lat0") + col("dy")), lit(", "),
+      pt(col("lon0"), col("lat0") + col("dy")), lit(", "),
+      pt(col("lon0"), col("lat0")), lit("))"))
+    val g = graft.functions.SpatialOps
+    base.withColumn("geom", wkt)
+      .select(col("pk"),
+        floor(g.wktAreaEllipsoidal(col("geom")) / lit(16.0)).cast("long").as("area_fp"),
+        floor(g.wktPerimeterEllipsoidal(col("geom"))).cast("long").as("perim_fp"))
+      .orderBy("pk")
+  }
+
+  /** J4B — model-BATCH dispatch at its design shape (r12 verdict stretch
+    * 9; pixel_classifier_stream.py:90-96's memory-bounded loop): 18
+    * frozen single-tree rules tables — more than the reference's batch
+    * bound — dispatched by `l_suppkey % 18` in batches of 5, so four
+    * map-only passes each compile at most five vote expressions. The
+    * models are synthetic forestRules-shaped box tables (dyadic leaf
+    * probabilities), so the oracle regenerates every leaf decision
+    * closed-form — no training, no artifact.
+    */
+  private def j4b(s: SparkSession, d: String) = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select(
+      (col("l_suppkey") % 18).cast("int").as("mk"),
+      col("l_quantity").cast("double").as("q"))
+    def fp(p: Double) = math.rint(p * operators.MlOps.RuleProbScale).toLong
+    val rules = (0 until 18).map { k =>
+      val a = (10 + k % 13).toDouble
+      val b = (25 + k % 17).toDouble
+      val p1 = if (k % 2 == 0) 0.25 else 0.75
+      val p2 = if (k % 3 == 0) 0.75 else 0.25
+      val p3 = if (k % 5 == 0) 0.875 else 0.125
+      k -> Seq(
+        (0, 0, -1e18, a, fp(p1)),
+        (0, 1, a, b, fp(p2)),
+        (0, 2, b, 1e18, fp(p3))).toDF("tree_id", "leaf_id", "q_lo", "q_hi", "p1_fp")
+    }
+    operators.MlOps.classifyFromRulesBatched(rules, li, "mk", Seq("q"), batchSize = 5)
+      .groupBy("mk", "pred_label").agg(count(lit(1)).as("n"))
+      .orderBy("mk", "pred_label")
+  }
+
   /** Z1 — z-order (Morton) layout key: the write-side spatial-clustering
     * primitive (SpatialOps.zorderKey / clusterByZOrder). Hash-checks the
     * bit-interleave against an explicit bit-arithmetic DuckDB oracle.
@@ -5241,6 +5310,8 @@ object SparkEntry {
     "j16_point_in_polygon" -> (j16 _),
     "j17_refine_join" -> (j17 _),
     "j18_overlap_join" -> (j18 _),
+    "g23_ellipsoidal_measures" -> (g23 _),
+    "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e8b_embedding_banded" -> (e8b _),
@@ -5768,6 +5839,47 @@ object SparkEntry {
          |  ON ${sqlContains(segs, "px", "py")}
          |ORDER BY s_suppkey, c_custkey""".stripMargin
     },
+    // g23: the exact ellipsoidal zone closed form — the engine's
+    // trapezoidal edge sum collapses to Δλ·(b²/2)·(F(φ2)−F(φ1)) on
+    // parallel/meridian quads; constants interpolated so both engines
+    // bake the identical doubles; fixed-point floors (margins scanned).
+    "g23_ellipsoidal_measures" ->
+      s"""WITH base AS (SELECT p_partkey AS pk,
+         |  -96.0 + CAST(p_partkey % 50 AS DOUBLE) * 0.01 AS lon0,
+         |  30.0 + CAST(p_size % 40 AS DOUBLE) * 0.01 AS lat0,
+         |  0.01 + CAST(p_partkey % 7 AS DOUBLE) * 0.001 AS dx,
+         |  0.008 + CAST(p_size % 5 AS DOUBLE) * 0.001 AS dy FROM part),
+         |r AS (SELECT pk, lon0 * $EllK AS l1, (lon0 + dx) * $EllK AS l2,
+         |  lat0 * $EllK AS f1, (lat0 + dy) * $EllK AS f2 FROM base),
+         |z AS (SELECT pk, l1, l2, f1, f2,
+         |  sin(f1) AS s1, sin(f2) AS s2, (f1 + f2) / 2 AS fm FROM r),
+         |m AS (SELECT pk, l1, l2, f1, f2, s1, s2,
+         |  s1 / (1 - $EllE2 * s1 * s1) + ln((1 + $EllE * s1) / (1 - $EllE * s1)) / ${2 * EllE} AS zf1,
+         |  s2 / (1 - $EllE2 * s2 * s2) + ln((1 + $EllE * s2) / (1 - $EllE * s2)) / ${2 * EllE} AS zf2,
+         |  1 - $EllE2 * sin(fm) * sin(fm) AS w2 FROM z)
+         |SELECT pk,
+         |  CAST(floor(abs((l2 - l1) * (zf2 - zf1)) * ${EllB2 / 2.0} / 16.0) AS BIGINT) AS area_fp,
+         |  CAST(floor(
+         |    (6378137.0 / sqrt(1 - $EllE2 * s1 * s1)) * cos(f1) * (l2 - l1)
+         |    + (6378137.0 / sqrt(1 - $EllE2 * s2 * s2)) * cos(f2) * (l2 - l1)
+         |    + 2 * ${6378137.0 * (1 - EllE2)} / (w2 * sqrt(w2)) * (f2 - f1)
+         |  ) AS BIGINT) AS perim_fp
+         |FROM m ORDER BY pk""".stripMargin,
+    // j4b: every leaf decision regenerated closed-form — the batched
+    // dispatch must be invisible (each row scored by exactly its key's
+    // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic
+    // leaf probabilities).
+    "j4b_batched_dispatch" ->
+      """WITH f AS (SELECT CAST(l_suppkey % 18 AS INT) AS mk,
+        |  CAST(l_quantity AS DOUBLE) AS q FROM lineitem),
+        |p AS (SELECT mk, q,
+        |  CASE WHEN q <= 10 + mk % 13 THEN (CASE WHEN mk % 2 = 0 THEN 0.25 ELSE 0.75 END)
+        |       WHEN q <= 25 + mk % 17 THEN (CASE WHEN mk % 3 = 0 THEN 0.75 ELSE 0.25 END)
+        |       ELSE (CASE WHEN mk % 5 = 0 THEN 0.875 ELSE 0.125 END) END AS p1
+        |  FROM f)
+        |SELECT mk, CAST(CASE WHEN p1 > 0.5 THEN 1 ELSE 0 END AS INT) AS pred_label,
+        |  count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY mk, pred_label""".stripMargin,
     // j18: unfiltered theta join over the orientation-sign segment tests +
     // representative-vertex containment (closed overlap semantics).
     "j18_overlap_join" -> {

@@ -191,6 +191,14 @@ object MlOps {
       df: DataFrame,
       featureCols: Seq[String],
       predCol: String = "pred_label"): DataFrame = {
+    val pred = rulesPrediction(rules, featureCols)
+    df.withColumn(predCol, pred)
+  }
+
+  /** The frozen forest's prediction as a bare Column (the dispatchable
+    * form [[classifyFromRulesBatched]] composes per model key).
+    */
+  def rulesPrediction(rules: DataFrame, featureCols: Seq[String]): Column = {
     val collected = rules.collect()
     require(collected.nonEmpty, "empty rules table")
     val nTrees = collected.map(_.getInt(0)).distinct.length
@@ -242,8 +250,44 @@ object MlOps {
       when(rootGuard, descend(leaves.toSeq)).otherwise(lit(0L))
     }
     val votes1 = treeExprs.reduce(_ + _)
-    df.withColumn(predCol,
-      when(votes1 * 2 > lit(nTrees * RuleProbScale), 1).otherwise(0).cast("int"))
+    when(votes1 * 2 > lit(nTrees * RuleProbScale), 1).otherwise(0).cast("int")
+  }
+
+  /** J4 at model-BATCH scale (pixel_classifier_stream.py:90-96's
+    * memory-bounded loop made a plan shape): score rows against K frozen
+    * rules tables dispatched by an integer key in batches of `batchSize`.
+    * Each batch compiles ONE plan holding only its own models' vote
+    * expressions — the reference bounds resident models exactly this way
+    * — the batches partition the dispatched key space (every row with a
+    * model scores exactly once; keys with no model drop, the reference's
+    * unrouted-combo behavior), and the batch union is deterministic
+    * (keys ascending). Scale shape: B map-only passes over the input, no
+    * join, no shuffle — per-pass codegen stays bounded at batchSize
+    * dispatch arms no matter how many models exist.
+    */
+  def classifyFromRulesBatched(
+      rulesByKey: Seq[(Int, DataFrame)],
+      df: DataFrame,
+      keyCol: String,
+      featureCols: Seq[String],
+      batchSize: Int = 8,
+      predCol: String = "pred_label"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(rulesByKey.nonEmpty, "no models to dispatch")
+    val keys = rulesByKey.map(_._1)
+    require(keys.distinct.size == keys.size, s"duplicate model keys: $keys")
+    val batches = rulesByKey.sortBy(_._1).grouped(batchSize).toSeq
+    batches.map { batch =>
+      val preds = batch.map { case (k, rules) =>
+        k -> rulesPrediction(rules, featureCols)
+      }
+      val dispatch = preds.tail
+        .foldLeft(when(col(keyCol) === lit(preds.head._1), preds.head._2)) {
+          case (acc, (k, p)) => acc.when(col(keyCol) === lit(k), p)
+        }
+      df.filter(col(keyCol).isin(batch.map(_._1): _*))
+        .withColumn(predCol, dispatch)
+    }.reduce(_ unionByName _)
   }
 
   /** J4 — per-combo model dispatch. Trains one model per distinct non-null

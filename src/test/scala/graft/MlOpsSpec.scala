@@ -113,4 +113,41 @@ class MlOpsSpec extends AnyFunSuite {
     assert(out(2L) == 0) // no lookup → backup predicts 0 for x=0
     assert(out(3L) == 1) // no lookup → backup predicts 1 for x=10
   }
+
+  test("classifyFromRulesBatched == per-key classifyFromRules; unrouted keys drop (r13)") {
+    import spark.implicits._
+    def fp(p: Double) = math.rint(p * MlOps.RuleProbScale).toLong
+    // 18 synthetic single-tree models (the j4b fixture family)
+    val rules = (0 until 18).map { k =>
+      val a = (10 + k % 13).toDouble; val b = (25 + k % 17).toDouble
+      k -> Seq(
+        (0, 0, -1e18, a, fp(if (k % 2 == 0) 0.25 else 0.75)),
+        (0, 1, a, b, fp(if (k % 3 == 0) 0.75 else 0.25)),
+        (0, 2, b, 1e18, fp(if (k % 5 == 0) 0.875 else 0.125)))
+        .toDF("tree_id", "leaf_id", "q_lo", "q_hi", "p1_fp")
+    }
+    // keys 0..19: 18 and 19 have NO model and must drop (unrouted combos)
+    val df = (1 to 400).map(i => (i.toLong, i % 20, (i % 50).toDouble))
+      .toDF("row_id", "mk", "q")
+    def collectPreds(out: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      out.select("row_id", "pred_label").as[(Long, Int)].collect().toMap
+    val batched = collectPreds(
+      MlOps.classifyFromRulesBatched(rules, df, "mk", Seq("q"), batchSize = 5))
+    // reference: each key's rows through the plain single-model replay
+    val expect = rules.flatMap { case (k, r) =>
+      collectPreds(MlOps.classifyFromRules(r, df.filter($"mk" === k), Seq("q")))
+    }.toMap
+    assert(batched == expect && batched.nonEmpty)
+    assert(!batched.keySet.exists(id => id % 20 == 18 || id % 20 == 19))
+    // batch size is semantics-invisible (1 model/plan vs all in one)
+    assert(collectPreds(MlOps.classifyFromRulesBatched(rules, df, "mk", Seq("q"),
+      batchSize = 1)) == batched)
+    assert(collectPreds(MlOps.classifyFromRulesBatched(rules, df, "mk", Seq("q"),
+      batchSize = 100)) == batched)
+    // duplicate model keys reject
+    val e = intercept[IllegalArgumentException] {
+      MlOps.classifyFromRulesBatched(rules :+ rules.head, df, "mk", Seq("q"))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
 }

@@ -147,6 +147,49 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(math.abs(p - expect) / expect < 1e-12, s"got $p want $expect")
   }
 
+  test("ellipsoidal measures: zone quad exact, visibly off-authalic, holes subtract (r13)") {
+    import spark.implicits._
+    val e2 = { val f = 1.0 / 298.257223563; f * (2 - f) }
+    val e = math.sqrt(e2)
+    val a = 6378137.0
+    val b2 = a * a * (1 - e2)
+    val k = math.Pi / 180.0
+    def F(phi: Double) = {
+      val s = math.sin(phi)
+      s / (1 - e2 * s * s) + math.log((1 + e * s) / (1 - e * s)) / (2 * e)
+    }
+    def quad(l1: Double, p1: Double, l2: Double, p2: Double) =
+      s"POLYGON (($l1 $p1, $l2 $p1, $l2 $p2, $l1 $p2, $l1 $p1))"
+    val df = Seq((1L, quad(10.0, 40.0, 11.0, 41.0))).toDF("id", "geom")
+    val got = df.select(
+      SpatialOps.wktAreaEllipsoidal($"geom").as("ae"),
+      SpatialOps.wktAreaGeodesic($"geom").as("as"),
+      SpatialOps.wktPerimeterEllipsoidal($"geom").as("pe")).head()
+    // the zone closed form is exact for parallel/meridian quads
+    val zone = (11.0 - 10.0) * k * (b2 / 2) * (F(41 * k) - F(40 * k))
+    assert(math.abs(got.getDouble(0) - zone) / zone < 1e-12,
+      s"${got.getDouble(0)} vs $zone")
+    // the authalic-sphere form differs by the documented ~0.1%-scale gap
+    val rel = math.abs(got.getDouble(0) - got.getDouble(1)) / got.getDouble(0)
+    assert(rel > 1e-5 && rel < 3e-3, s"authalic gap $rel")
+    // perimeter: meridian edges are M(fm)*dphi, parallels N(f)*cos(f)*dlam
+    def nrad(phi: Double) = a / math.sqrt(1 - e2 * math.pow(math.sin(phi), 2))
+    def mrad(phi: Double) = {
+      val w2 = 1 - e2 * math.pow(math.sin(phi), 2)
+      a * (1 - e2) / (w2 * math.sqrt(w2))
+    }
+    val want = nrad(40 * k) * math.cos(40 * k) * k +
+      nrad(41 * k) * math.cos(41 * k) * k + 2 * mrad(40.5 * k) * k
+    assert(math.abs(got.getDouble(2) - want) / want < 1e-12,
+      s"${got.getDouble(2)} vs $want")
+    // holes subtract (signed per ring under the orientation convention)
+    val holed = "POLYGON ((10.0 40.0, 11.0 40.0, 11.0 41.0, 10.0 41.0, 10.0 40.0), " +
+      "(10.2 40.2, 10.2 40.8, 10.8 40.8, 10.8 40.2, 10.2 40.2))"
+    val ha = spark.range(1).select(SpatialOps.wktAreaEllipsoidal(lit(holed))).head().getDouble(0)
+    val expect = zone - 0.6 * k * (b2 / 2) * (F(40.8 * k) - F(40.2 * k))
+    assert(math.abs(ha - expect) / expect < 1e-12)
+  }
+
   test("reprojectWkt: geographic->UTM round trip is the identity to sub-mm") {
     import spark.implicits._
     import graft.operators.Regrid
