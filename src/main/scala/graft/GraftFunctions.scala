@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, SortedIntersectCountExpr, TextOps}
+import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, PointInRingsExpr, RingsIntersectExpr, SortedIntersectCountExpr, TextOps}
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -70,7 +70,32 @@ object GraftFunctions {
     composed("graft_geo_perimeter",
       "graft_geo_perimeter(wkt) - geodesic boundary length in m of lon/lat WKT " +
         "(great-circle haversine per segment, WGS84 authalic sphere)", 1)(
-      cs => graft.functions.SpatialOps.wktPerimeterGeodesic(cs(0))))
+      cs => graft.functions.SpatialOps.wktPerimeterGeodesic(cs(0))),
+    composed("graft_ell_area",
+      "graft_ell_area(wkt) - TRUE-WGS84-ellipsoid polygon area in m2 of lon/lat WKT " +
+        "(exact zone integral, trapezoidal edge sum; holes subtract)", 1)(
+      cs => graft.functions.SpatialOps.wktAreaEllipsoidal(cs(0))),
+    composed("graft_ell_perimeter",
+      "graft_ell_perimeter(wkt) - TRUE-WGS84-ellipsoid boundary length in m of lon/lat WKT " +
+        "(local-curvature arc per segment, mean-latitude M/N radii)", 1)(
+      cs => graft.functions.SpatialOps.wktPerimeterEllipsoidal(cs(0))),
+    // the r13 exact-geometry refine predicates (codegen kernels)
+    (FunctionIdentifier("st_contains_point"),
+      info("st_contains_point",
+        "st_contains_point(rings, x, y) - TRUE point-in-polygon over parsed rings " +
+          "(st_rings output): even-odd crossing number over all rings, closed boundary",
+        classOf[PointInRingsExpr]),
+      (exprs: Seq[Expression]) => PointInRingsExpr(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("st_rings_intersect"),
+      info("st_rings_intersect",
+        "st_rings_intersect(a, b) - TRUE polygon-overlap over two parsed ring lists " +
+          "(segment orientation tests + representative-vertex containment; closed)",
+        classOf[RingsIntersectExpr]),
+      (exprs: Seq[Expression]) => RingsIntersectExpr(exprs(0), exprs(1))),
+    composed("st_rings",
+      "st_rings(wkt) - parse a WKT geometry's coordinate groups to " +
+        "array<array<struct<x,y>>> (the refine predicates' input)", 1)(
+      cs => graft.functions.SpatialOps.wktRings(cs(0))))
 
   /** Idempotent post-hoc registration on a live session: the function
     * catalog plus the spatial-join rewrite rule (via the public

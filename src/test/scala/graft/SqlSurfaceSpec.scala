@@ -107,4 +107,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows.length == 3)
     assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0))
   }
+
+  test("st_rings / st_contains_point / st_rings_intersect are callable from SQL (r13)") {
+    val arrow = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0), " +
+      "(0.5 0.5, 0.5 1.5, 1.5 1.5, 1.5 0.5, 0.5 0.5))"
+    val r = spark.sql(
+      s"""SELECT st_contains_point(st_rings('$arrow'), 3.0d, 0.5d) AS interior,
+         |  st_contains_point(st_rings('$arrow'), 1.0d, 1.0d) AS in_hole,
+         |  st_contains_point(st_rings('$arrow'), 2.0d, 3.0d) AS in_notch,
+         |  st_rings_intersect(st_rings('$arrow'),
+         |    st_rings('POLYGON ((3 0.5, 3.5 1, 3 1.5, 2.5 1, 3 0.5))')) AS ovl,
+         |  st_rings_intersect(st_rings('$arrow'),
+         |    st_rings('POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))')) AS disj
+         |""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    // ellipsoidal measures ride the same catalog
+    val zone = spark.sql(
+      "SELECT graft_ell_area('POLYGON ((10 40, 11 40, 11 41, 10 41, 10 40))') AS a, " +
+        "graft_ell_perimeter('POLYGON ((10 40, 11 40, 11 41, 10 41, 10 40))') AS p").head()
+    assert(zone.getDouble(0) > 9.3e9 && zone.getDouble(0) < 9.7e9) // ~0.94e10 m2
+    assert(zone.getDouble(1) > 3.9e5 && zone.getDouble(1) < 4.1e5)
+  }
 }
