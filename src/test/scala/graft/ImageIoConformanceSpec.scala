@@ -365,6 +365,79 @@ class ImageIoConformanceSpec extends AnyFunSuite {
     assert(maxDiff <= 8, s"jpeg-in-tiff: max per-sample difference $maxDiff")
   }
 
+  test("JPEG-in-TIFF TILED: JDK-written 32x32 tiles decode within tolerance (r13)") {
+    // the layout real aerial GeoTIFF archives ship: tiled + JPEG; edge
+    // tiles are padded to full tile size, each tile its own JPEG stream
+    val w = 70; val h = 45 // deliberately not tile-aligned
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 30 + x * 2; val g = 50 + y * 3; val b = 70 + (x + y)
+      img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("JPEG")
+    param.setCompressionQuality(0.9f)
+    param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setTiling(32, 32, 0, 0)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    val meta = operators.Tiff.decodeMeta(bytes)
+    assert(meta.getInt(operators.Tiff.metaSchema.fieldIndex("compression")) == 7)
+    assert(meta.getBoolean(operators.Tiff.metaSchema.fieldIndex("tiled")),
+      "JDK did not write a tiled layout")
+    val blocks = operators.Tiff.bandBlocksOf(bytes)
+    val th = blocks.head._4; val tw = blocks.head._5
+    assert(th == 32 && tw == 32, s"tile geometry ${tw}x$th")
+    val comp = Array.ofDim[Int](3, w * h)
+    for ((band, ty, tx, bh, bw, blob) <- blocks) {
+      val rows = math.min(bh, h - ty * th)
+      val cols = math.min(bw, w - tx * tw)
+      for (r <- 0 until rows; x <- 0 until cols) {
+        val at = (r * bw + x) * 4
+        val bits = ((blob(at) & 0xff) << 24) | ((blob(at + 1) & 0xff) << 16) |
+          ((blob(at + 2) & 0xff) << 8) | (blob(at + 3) & 0xff)
+        comp(band)((ty * th + r) * w + tx * tw + x) =
+          java.lang.Float.intBitsToFloat(bits).toInt
+      }
+    }
+    val ref = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+    // Two-zone contract: pixels in FULLY-INTERIOR tiles see only smooth
+    // content and get the plain-JPEG tolerance; pixels in EDGE tiles sit
+    // next to the writer's pad fill (a sharp transition inside that
+    // tile's own JPEG), where two conforming IDCT/upsampler pairs
+    // legitimately ring differently — bounded, but looser.
+    var maxIn = 0; var over3In = 0; var nIn = 0
+    var maxEdge = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val yy = comp(0)(y * w + x)
+      val cb = comp(1)(y * w + x) - 128
+      val cr = comp(2)(y * w + x) - 128
+      val got = Seq(clamp(yy + 1.402 * cr),
+        clamp(yy - 0.344136 * cb - 0.714136 * cr), clamp(yy + 1.772 * cb))
+      val edgeTile = (x / tw) == (w - 1) / tw || (y / th) == (h - 1) / th
+      for (k <- 0 until 3) {
+        val want = (ref.getRGB(x, y) >> ((2 - k) * 8)) & 0xff
+        val d = math.abs(got(k) - want)
+        if (edgeTile) maxEdge = math.max(maxEdge, d)
+        else {
+          maxIn = math.max(maxIn, d); if (d > 3) over3In += 1; nIn += 1
+        }
+      }
+    }
+    assert(nIn > 0 && over3In <= nIn / 100,
+      s"tiled jpeg-in-tiff interior: $over3In/$nIn samples differ by >3 (max $maxIn)")
+    assert(maxIn <= 8, s"tiled jpeg-in-tiff interior: max difference $maxIn")
+    assert(maxEdge <= 32,
+      s"tiled jpeg-in-tiff edge tiles: max difference $maxEdge — beyond pad ringing")
+  }
+
   test("PNG/GIF/BMP reverse: the JDK decodes the in-repo writers' output exactly") {
     // PNG truecolor (all five filters exercised by content variety)
     val w = 21; val h = 14

@@ -66,6 +66,68 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("SQL filter-refine: st_bbox_intersects AND st_contains_point rewrites, equals j17 (r13)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Tables.registerAll(spark, sf)
+    // the j17 fixtures spelled in pure SQL: arrow polygons (rings + their
+    // envelope) vs customer probe points; the refine predicate rides as an
+    // EXTRA conjunct on the spatial join — SpatialJoinRewrite must fold it
+    // into the binned equi-join's condition, never fall back to a cartesian
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW poly_sql AS
+        |SELECT s_suppkey, r AS rings, named_struct(
+        |    'xmin', CAST(s_suppkey % 90 AS DOUBLE),
+        |    'ymin', CAST(s_suppkey % 80 AS DOUBLE),
+        |    'xmax', CAST(s_suppkey % 90 AS DOUBLE) + CAST(s_suppkey % 5 + 4 AS DOUBLE),
+        |    'ymax', CAST(s_suppkey % 80 AS DOUBLE) + CAST(s_suppkey % 7 + 4 AS DOUBLE)) AS env
+        |FROM (SELECT s_suppkey, st_rings(concat(
+        |  'POLYGON ((',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + CAST(s_suppkey % 5 + 4 AS DOUBLE) AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + CAST(s_suppkey % 5 + 4 AS DOUBLE) AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + CAST(s_suppkey % 7 + 4 AS DOUBLE) AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + CAST(s_suppkey % 5 + 4 AS DOUBLE) / 2 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + CAST(s_suppkey % 7 + 4 AS DOUBLE) / 2 AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + CAST(s_suppkey % 7 + 4 AS DOUBLE) AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) AS STRING),
+        |  '), (',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + 0.5 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + 0.5 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + 1.5 AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + 1.5 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + 1.5 AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + 1.5 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS STRING), ', ',
+        |    CAST(CAST(s_suppkey % 90 AS DOUBLE) + 0.5 AS STRING), ' ',
+        |    CAST(CAST(s_suppkey % 80 AS DOUBLE) + 0.5 AS STRING),
+        |  '))')) AS r FROM supplier)""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW pts_sql AS
+        |SELECT c_custkey,
+        |  CAST(c_custkey % 93 AS DOUBLE) + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS px,
+        |  CAST(c_custkey % 83 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) * 0.25 AS py
+        |FROM customer""".stripMargin)
+    val q = spark.sql(
+      """SELECT s_suppkey, c_custkey FROM poly_sql JOIN pts_sql
+        |  ON st_bbox_intersects(poly_sql.env,
+        |       named_struct('xmin', px, 'ymin', py, 'xmax', px, 'ymax', py))
+        | AND st_contains_point(rings, px, py)
+        |ORDER BY s_suppkey, c_custkey""".stripMargin)
+    val plan = q.queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "refined spatial join must still plan as the binned equi-join")
+    val viaSql = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaDf = SparkEntry.queries("j17_refine_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+  }
+
   test("st_bbox_intersects still evaluates as a plain predicate (non-join use)") {
     val got = spark.sql(
       """SELECT st_bbox_intersects(
