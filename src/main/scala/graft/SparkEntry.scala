@@ -600,12 +600,13 @@ object SparkEntry {
       .orderBy("scene_id", "band", "px_row", "px_col")
   }
 
-  // WGS84 constants for the g23 oracle (interpolated so DuckDB evaluates
-  // the same doubles the Column algebra bakes in)
-  private val EllE2: Double = { val f = 1.0 / 298.257223563; f * (2 - f) }
-  private val EllE: Double = math.sqrt(EllE2)
-  private val EllB2: Double = 6378137.0 * 6378137.0 * (1 - EllE2)
-  private val EllK: Double = math.Pi / 180.0
+  // WGS84 constants for the g23 oracle — ALIASES of the SpatialOps values
+  // the Column algebra bakes in (one derivation; the oracle's
+  // interpolated doubles can never silently desynchronize)
+  private val EllE2: Double = graft.functions.SpatialOps.Wgs84E2
+  private val EllE: Double = graft.functions.SpatialOps.Wgs84E
+  private val EllB2: Double = graft.functions.SpatialOps.Wgs84B2
+  private val EllK: Double = graft.functions.SpatialOps.Deg2Rad
 
   /** G23 — TRUE-ellipsoid area/perimeter (r12 verdict stretch 8): the
     * g13-family lon/lat quads through `wktAreaEllipsoidal` /

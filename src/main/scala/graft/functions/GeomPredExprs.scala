@@ -29,8 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, DoubleType,
 object GeomPredExprs {
 
   private def ringsTypeOk(t: DataType): Boolean = t match {
+    // field NAMES checked too (the BBoxIntersectsExpr convention): eval
+    // reads positionally, so a named_struct('y',...,'x',...) would
+    // silently transpose coordinates if shape alone were accepted
     case ArrayType(ArrayType(s: StructType, _), _) =>
-      s.length == 2 && s.fields.forall(_.dataType == DoubleType)
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
     case _ => false
   }
 

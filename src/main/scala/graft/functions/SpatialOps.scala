@@ -225,7 +225,12 @@ object SpatialOps {
     ringsPointOnBoundary(rings, x, y) ||
       (ringsCrossingNumber(rings, x, y) % 2 === 1)
 
-  /** Point-in-polygon on a WKT geometry column (parse + refine in one). */
+  /** Point-in-polygon on a WKT geometry column (parse + refine in one).
+    * Convenience form: the HOF tree re-parses the WKT per reference
+    * (boundary test + crossing count), so hot paths — every join refine —
+    * should stage `wktRings` into a column once and use
+    * [[GeomPredExprs.pointInRings]] (the codegen kernel) on it instead.
+    */
   def wktContainsPoint(wkt: Column, x: Column, y: Column): Column =
     ringsContainPoint(wktRings(wkt), x, y)
 
@@ -293,7 +298,13 @@ object SpatialOps {
       ringsContainPoint(a, pb.getField("x"), pb.getField("y"))
   }
 
-  /** Polygon overlap on WKT columns (parse + refine in one). */
+  /** Polygon overlap on WKT columns (parse + refine in one).
+    * Convenience form: each WKT re-parses up to four times inside the
+    * interpreted HOF tree (edge test, two containment branches, the
+    * representative-vertex lookup) — hot paths should stage `wktRings`
+    * once per side and use [[GeomPredExprs.ringsIntersect]] instead,
+    * the way j17/j18 do.
+    */
   def wktIntersects(a: Column, b: Column): Column =
     ringsIntersectPolys(wktRings(a), wktRings(b))
 
@@ -326,7 +337,7 @@ object SpatialOps {
     a * math.sqrt(qPole / 2)
   }
 
-  private val Deg2Rad: Double = math.Pi / 180.0
+  private[graft] val Deg2Rad: Double = math.Pi / 180.0
 
   /** Signed Chamberlain–Duquette sum over one closed lon/lat ring. */
   private def ringGeoSum(pts: Column): Column =
@@ -377,10 +388,12 @@ object SpatialOps {
   //    continental-scale edge should use a geodesic solver, not a
   //    polygon census)
 
-  private val Wgs84A: Double = 6378137.0
-  private val Wgs84E2: Double = { val f = 1.0 / 298.257223563; f * (2 - f) }
-  private val Wgs84E: Double = math.sqrt(Wgs84E2)
-  private val Wgs84B2: Double = Wgs84A * Wgs84A * (1 - Wgs84E2)
+  // private[graft]: the g23 oracle interpolates these SAME doubles into
+  // its DuckDB SQL — a second derivation could silently desynchronize
+  private[graft] val Wgs84A: Double = 6378137.0
+  private[graft] val Wgs84E2: Double = { val f = 1.0 / 298.257223563; f * (2 - f) }
+  private[graft] val Wgs84E: Double = math.sqrt(Wgs84E2)
+  private[graft] val Wgs84B2: Double = Wgs84A * Wgs84A * (1 - Wgs84E2)
 
   /** Ellipsoidal zone function F(φ) (φ in radians). */
   private def zoneF(phi: Column): Column = {

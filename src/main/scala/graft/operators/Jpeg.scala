@@ -753,11 +753,6 @@ object Jpeg {
     (ow, oh, out)
   }
 
-  /** [[jpegToPixels]] in the UPRIGHT frame: the Exif orientation (tag
-    * 274) is applied to the emitted coordinates and surfaced as an
-    * `orientation` column — what a training pipeline actually wants from
-    * a web-scraped corpus, where ~all portrait photos carry 6 or 8.
-    */
   /** Split a full JPEG stream into (tables, abbreviated) per TIFF Tech
     * Note 2: tables = SOI + every DQT/DHT segment + EOI (the JPEGTables
     * tag's datastream); abbreviated = SOI + every other segment through
@@ -777,10 +772,21 @@ object Jpeg {
       require(pos + 2 <= bytes.length, "truncated JPEG while splitting tables")
       require((bytes(pos) & 0xff) == 0xff,
         f"expected a marker at $pos, got 0x${bytes(pos) & 0xff}%02x")
+      // T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a marker
+      // code — without the skip, FF FF DB would read DQT's first length
+      // byte as the marker and a garbage length after it
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      require(pos + 2 <= bytes.length, "truncated JPEG while splitting tables")
       val m = bytes(pos + 1) & 0xff
       if (m == 0xd9 || m == 0xda) { // EOI, or SOS + entropy + trailer
         rest.write(bytes, pos, bytes.length - pos)
         done = true
+      } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone markers (TEM / RSTn) carry no length field and are
+        // illegal in pre-SOS marker space — reject rather than read a
+        // bogus length out of whatever follows
+        throw new IllegalArgumentException(
+          f"standalone marker 0x$m%02x before SOS while splitting tables")
       } else {
         require(pos + 4 <= bytes.length, "truncated segment header")
         val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
@@ -794,6 +800,11 @@ object Jpeg {
     (tables.toByteArray, rest.toByteArray)
   }
 
+  /** [[jpegToPixels]] in the UPRIGHT frame: the Exif orientation (tag
+    * 274) is applied to the emitted coordinates and surfaced as an
+    * `orientation` column — what a training pipeline actually wants from
+    * a web-scraped corpus, where ~all portrait photos carry 6 or 8.
+    */
   def jpegToPixelsUpright(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
     MediaExplode.explode(media, bytesCol,
       StructField("orientation", IntegerType, nullable = false) +:

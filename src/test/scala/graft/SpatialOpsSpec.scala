@@ -495,6 +495,16 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("null coordinate") ||
       e.getCause != null && e.getCause.getMessage.contains("null coordinate"),
       String.valueOf(e.getMessage))
+    // swapped field NAMES reject at analysis — eval reads positionally,
+    // so accepting shape alone would silently transpose coordinates
+    val swapped = spark.sql(
+      "SELECT array(array(named_struct('y', 1.0d, 'x', 2.0d))) AS r")
+    val eSwap = intercept[Exception] {
+      swapped.select(GeomPredExprs.pointInRings($"r", lit(1.0), lit(1.0))).collect()
+    }
+    assert(String.valueOf(eSwap.getMessage).contains("point_in_rings") ||
+      String.valueOf(eSwap.getMessage).contains("DATATYPE_MISMATCH"),
+      String.valueOf(eSwap.getMessage))
   }
 
   test("collectionMembers: flat explode, one surface, EMPTY countable, nested rejects") {

@@ -666,6 +666,17 @@ class TiffSpec extends AnyFunSuite {
       Jpeg.synthJpeg(16, 8, 1, Seq(qG))((_, _, _) => new Array[Int](64)))
     val e1 = intercept[Exception](Tiff.bandBlocksOf(bad))
     assert(e1.getMessage.contains("components"), e1.getMessage)
+    // T.81 B.1.1.2 fill bytes before a marker are skipped, not misread
+    // as a marker code (a fill before DQT must not shift the split)
+    locally {
+      val full = strip(0)
+      val at = full.indexOfSlice(Array(0xff.toByte, 0xdb.toByte))
+      assert(at > 0, "no DQT in the fixture stream")
+      val filled = full.take(at) ++ Array(0xff.toByte) ++ full.drop(at)
+      val (t1, r1) = Jpeg.splitTables(full)
+      val (t2, r2) = Jpeg.splitTables(filled)
+      assert(java.util.Arrays.equals(t1, t2) && java.util.Arrays.equals(r1, r2))
+    }
     // corrupted JPEGTables (EOI clobbered) fails closed descriptively
     val tables = Jpeg.splitTables(strip(0))._1
     val at = shared.indexOfSlice(tables)
