@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, PointInRingsExpr, RingsIntersectExpr, SortedIntersectCountExpr, TextOps}
+import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, PointInRingsExpr, RingsIntersectExpr, SortedIntersectCountExpr, TextOps, WithinDistExpr}
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -92,6 +92,12 @@ object GraftFunctions {
           "(segment orientation tests + representative-vertex containment; closed)",
         classOf[RingsIntersectExpr]),
       (exprs: Seq[Expression]) => RingsIntersectExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_within_dist"),
+      info("st_within_dist",
+        "st_within_dist(rings, x, y, d) - ST_DWithin(point, polygon): in the region, " +
+          "or within d of its boundary (clamped segment projection; closed)",
+        classOf[WithinDistExpr]),
+      (exprs: Seq[Expression]) => WithinDistExpr(exprs(0), exprs(1), exprs(2), exprs(3))),
     composed("st_rings",
       "st_rings(wkt) - parse a WKT geometry's coordinate groups to " +
         "array<array<struct<x,y>>> (the refine predicates' input)", 1)(

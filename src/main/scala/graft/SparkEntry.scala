@@ -560,6 +560,38 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J19 — ST_DWithin refine join (the buffer query — the most common
+    * real spatial predicate after containment): customers within 1.5
+    * units of the supplier arrows' REGION (inside counts as distance 0;
+    * a point in the hole measures to the hole ring). The filter stage
+    * expands each polygon's envelope by the distance so bbox pruning
+    * stays complete; the refine is the codegen clamped-segment-projection
+    * kernel. Oracle = unfiltered theta join over the identical IEEE
+    * arithmetic (contains OR boundary-dist² ≤ 2.25).
+    */
+  private def j19(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val dist = 1.5
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", {
+        val e = SpatialOps.ringsEnvelope(col("_r"))
+        SpatialOps.bbox(e.getField("xmin") - dist, e.getField("ymin") - dist,
+          e.getField("xmax") + dist, e.getField("ymax") + dist)
+      })
+    val c = col("c_custkey")
+    val pts = Tables.customer(s, d).select(c,
+        ((c % 93).cast("double") + (c % 3).cast("double") * lit(0.5)).as("px"),
+        ((c % 83).cast("double") + (c % 7).cast("double") * lit(0.25)).as("py"))
+      .withColumn("env_r", SpatialOps.bbox(col("px"), col("py"), col("px"), col("py")))
+    operators.SpatialJoin.bboxJoin(polys, pts, "env", "env_r", cellSize = 8.0,
+        refine = graft.functions.GeomPredExprs.withinDistCol(
+          col("_r"), col("px"), col("py"), lit(dist)))
+      .select("s_suppkey", "c_custkey")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
   /** S25 — JPEG-in-TIFF ingest (compression 7, TIFF Tech Note 2: the
     * profile real aerial-imagery GeoTIFF archives ship — r12 verdict
     * missing-item 4). Two scenes through the strip walk: a 3-strip
@@ -720,6 +752,24 @@ object SparkEntry {
   private def sqlContains(segs: Seq[((String, String), (String, String))],
       px: String, py: String): String =
     s"(${sqlOnBoundary(segs, px, py)} OR ${sqlCrossings(segs, px, py)} % 2 = 1)"
+
+  /** Minimum boundary distance² (SpatialOps.ringsBoundaryDistSq): per
+    * segment the clamped-projection offset², identical op order; LEAST
+    * over the segment list equals the Column fold's running min exactly
+    * (min selects one bit-identical operand, no rounding).
+    */
+  private def sqlBoundaryDistSq(segs: Seq[((String, String), (String, String))],
+      px: String, py: String): String =
+    "LEAST(" + segs.map { case ((x1, y1), (x2, y2)) =>
+      val dx = s"($x2 - $x1)"
+      val dy = s"($y2 - $y1)"
+      val l2 = s"($dx * $dx + $dy * $dy)"
+      val t = s"(CASE WHEN $l2 = 0 THEN 0.0 ELSE GREATEST(0.0, LEAST(1.0, " +
+        s"(($px - $x1) * $dx + ($py - $y1) * $dy) / $l2)) END)"
+      val qx = s"($x1 + $t * $dx)"
+      val qy = s"($y1 + $t * $dy)"
+      s"(($px - $qx) * ($px - $qx) + ($py - $qy) * ($py - $qy))"
+    }.mkString(", ") + ")"
 
   /** Closed segment-pair intersection (SpatialOps.segmentsIntersect: CLRS
     * orientation signs + collinear endpoint-on-segment touches).
@@ -5311,6 +5361,7 @@ object SparkEntry {
     "j16_point_in_polygon" -> (j16 _),
     "j17_refine_join" -> (j17 _),
     "j18_overlap_join" -> (j18 _),
+    "j19_dwithin_join" -> (j19 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
@@ -5838,6 +5889,21 @@ object SparkEntry {
          |  FROM customer)
          |SELECT s_suppkey, c_custkey FROM sup JOIN cust
          |  ON ${sqlContains(segs, "px", "py")}
+         |ORDER BY s_suppkey, c_custkey""".stripMargin
+    },
+    // j19: the UNFILTERED theta join with the same region-distance
+    // arithmetic (contains OR clamped-projection boundary-dist² ≤ 2.25) —
+    // the expanded-envelope bbox + codegen refine must equal brute force.
+    "j19_dwithin_join" -> {
+      val segs = arrowSqlPts(withHole = true).flatMap(sqlRingSegs)
+      s"""WITH sup AS ($arrowSqlBase),
+         |cust AS (SELECT c_custkey,
+         |  CAST(c_custkey % 93 AS DOUBLE) + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS px,
+         |  CAST(c_custkey % 83 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) * 0.25 AS py
+         |  FROM customer)
+         |SELECT s_suppkey, c_custkey FROM sup JOIN cust
+         |  ON (${sqlContains(segs, "px", "py")}
+         |   OR ${sqlBoundaryDistSq(segs, "px", "py")} <= 2.25)
          |ORDER BY s_suppkey, c_custkey""".stripMargin
     },
     // g23: the exact ellipsoidal zone closed form — the engine's

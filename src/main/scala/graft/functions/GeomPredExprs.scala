@@ -177,6 +177,39 @@ object GeomPredExprs {
       containsPoint(a, pb.getDouble(0), pb.getDouble(1))
   }
 
+  /** Boundary distance² — ringsBoundaryDistSq's loops (clamped segment
+    * projection, zero-length segments fall back to the endpoint).
+    */
+  def boundaryDistSq(rings: ArrayData, x: Double, y: Double): Double = {
+    var best = Double.MaxValue
+    var ri = 0
+    val nr = rings.numElements()
+    while (ri < nr) {
+      val pts = ring(rings, ri)
+      val n = pts.numElements()
+      var i = 0
+      while (i < n - 1) {
+        val p1 = pt(pts, i); val p2 = pt(pts, i + 1)
+        val x1 = p1.getDouble(0); val y1 = p1.getDouble(1)
+        val dx = p2.getDouble(0) - x1; val dy = p2.getDouble(1) - y1
+        val l2 = dx * dx + dy * dy
+        val t =
+          if (l2 == 0.0) 0.0
+          else math.max(0.0, math.min(1.0, ((x - x1) * dx + (y - y1) * dy) / l2))
+        val qx = x1 + t * dx; val qy = y1 + t * dy
+        val d2 = (x - qx) * (x - qx) + (y - qy) * (y - qy)
+        if (d2 < best) best = d2
+        i += 1
+      }
+      ri += 1
+    }
+    best
+  }
+
+  /** ringsWithinDist: in the region, or within `dist` of its boundary. */
+  def withinDist(rings: ArrayData, x: Double, y: Double, dist: Double): Boolean =
+    containsPoint(rings, x, y) || boundaryDistSq(rings, x, y) <= dist * dist
+
   /** Column builder: TRUE point-in-polygon, codegen form. */
   def pointInRings(rings: Column, x: Column, y: Column): Column =
     GraftBridge.column(PointInRingsExpr(GraftBridge.expression(rings),
@@ -186,6 +219,12 @@ object GeomPredExprs {
   def ringsIntersect(a: Column, b: Column): Column =
     GraftBridge.column(RingsIntersectExpr(GraftBridge.expression(a),
       GraftBridge.expression(b)))
+
+  /** Column builder: ST_DWithin(point, polygon), codegen form. */
+  def withinDistCol(rings: Column, x: Column, y: Column, dist: Column): Column =
+    GraftBridge.column(WithinDistExpr(GraftBridge.expression(rings),
+      GraftBridge.expression(x), GraftBridge.expression(y),
+      GraftBridge.expression(dist)))
 
   private[functions] def checkRings(t: DataType, what: String): TypeCheckResult =
     if (ringsTypeOk(t)) TypeCheckResult.TypeCheckSuccess
@@ -220,6 +259,37 @@ case class PointInRingsExpr(first: Expression, second: Expression, third: Expres
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Codegen ST_DWithin over parsed rings (see [[GeomPredExprs.withinDist]]). */
+case class WithinDistExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GeomPredExprs.checkRings(first.dataType, "st_within_dist")
+    if (r != TypeCheckResult.TypeCheckSuccess) r
+    else if (Seq(second, third, fourth).exists(_.dataType != DoubleType))
+      TypeCheckResult.TypeCheckFailure(
+        "st_within_dist needs double coordinates and distance, got " +
+          s"${second.dataType}/${third.dataType}/${fourth.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(rings: Any, x: Any, y: Any, d: Any): Any =
+    GeomPredExprs.withinDist(rings.asInstanceOf[ArrayData],
+      x.asInstanceOf[Double], y.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, x, y, d) =>
+      s"${ev.value} = graft.functions.GeomPredExprs.withinDist($r, $x, $y, $d);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Codegen polygon-overlap over two parsed ring lists (see [[GeomPredExprs]]). */

@@ -234,6 +234,45 @@ object SpatialOps {
   def wktContainsPoint(wkt: Column, x: Column, y: Column): Column =
     ringsContainPoint(wktRings(wkt), x, y)
 
+  /** Squared distance from (x,y) to the nearest point on any ring SEGMENT
+    * (the polygon BOUNDARY): per segment, the clamped projection
+    * t = max(0, min(1, ((x−x1)·dx + (y−y1)·dy) / L²)) (zero-length
+    * segments fall back to their endpoint), then the squared offset to
+    * the projected point. Interior points get their boundary distance —
+    * compose with [[ringsContainPoint]] for region semantics
+    * ([[ringsWithinDist]]). Single-point "rings" (MULTIPOINT canonical
+    * form) have no segments and contribute nothing. Same hash-oracle-able
+    * IEEE algebra as the other refine predicates.
+    */
+  def ringsBoundaryDistSq(rings: Column, x: Column, y: Column): Column =
+    aggregate(rings, lit(Double.MaxValue), (acc, pts) =>
+      when(size(pts) < 2, acc).otherwise(
+        aggregate(sequence(lit(1), size(pts) - 1), acc, (a, i) => {
+          val x1 = element_at(pts, i).getField("x")
+          val y1 = element_at(pts, i).getField("y")
+          val x2 = element_at(pts, i + 1).getField("x")
+          val y2 = element_at(pts, i + 1).getField("y")
+          val dx = x2 - x1
+          val dy = y2 - y1
+          val l2 = dx * dx + dy * dy
+          val t = when(l2 === lit(0.0), lit(0.0)).otherwise(
+            greatest(lit(0.0), least(lit(1.0),
+              ((x - x1) * dx + (y - y1) * dy) / l2)))
+          val qx = x1 + t * dx
+          val qy = y1 + t * dy
+          least(a, (x - qx) * (x - qx) + (y - qy) * (y - qy))
+        })))
+
+  /** TRUE "within distance" — ST_DWithin(point, polygon) semantics: the
+    * point lies in the region (distance 0), or within `dist` of its
+    * boundary. A point inside a HOLE is outside the region, so its
+    * distance is to the hole ring — which is part of the boundary, so
+    * the composition is exactly region-distance ≤ dist (closed).
+    */
+  def ringsWithinDist(rings: Column, x: Column, y: Column, dist: Column): Column =
+    ringsContainPoint(rings, x, y) ||
+      (ringsBoundaryDistSq(rings, x, y) <= dist * dist)
+
   /** 2×cross-product orientation of c relative to directed segment a→b. */
   private def orient2(ax: Column, ay: Column, bx: Column, by: Column,
       cx: Column, cy: Column): Column =

@@ -172,6 +172,37 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(refined.size < bboxOnly.size, s"${refined.size} vs bbox ${bboxOnly.size}")
   }
 
+  test("refine stage: ST_DWithin join (expanded envelopes) == brute force") {
+    val dist = 1.5
+    val polys = arrows(100, "lid", seed = 41)
+      .select($"lid", SpatialOps.wktRings($"wkt").as("rings"), $"wkt")
+      .withColumn("env", {
+        val e = SpatialOps.ringsEnvelope($"rings")
+        SpatialOps.bbox(e.getField("xmin") - dist, e.getField("ymin") - dist,
+          e.getField("xmax") + dist, e.getField("ymax") + dist)
+      })
+    val pts = (1 to 300).map { i =>
+      val h = (i * 40503L + 29) & 0x7fffffffL
+      (i.toLong, (h % 120).toDouble * 0.5 - 3.0, ((h / 120) % 100).toDouble * 0.5 - 3.0)
+    }.toDF("rid", "px", "py")
+      .withColumn("env_r", SpatialOps.bbox($"px", $"py", $"px", $"py"))
+    val refined = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0,
+      refine = graft.functions.GeomPredExprs.withinDistCol(
+        col("rings"), col("px"), col("py"), lit(dist)))
+      .select("lid", "rid"))
+    val brute = pairs(polys.crossJoin(pts)
+      .filter(SpatialOps.ringsWithinDist(
+        SpatialOps.wktRings($"wkt"), $"px", $"py", lit(dist)))
+      .select("lid", "rid"))
+    assert(refined == brute && refined.nonEmpty)
+    // dwithin is strictly looser than containment at the same fixtures
+    val contained = pairs(SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0,
+      refine = graft.functions.GeomPredExprs.pointInRings(
+        col("rings"), col("px"), col("py")))
+      .select("lid", "rid"))
+    assert(contained.subsetOf(refined) && contained.size < refined.size)
+  }
+
   test("refine stage: polygon-overlap join == brute force") {
     val polys = arrows(100, "lid", seed = 23)
       .select($"lid", SpatialOps.wktRings($"wkt").as("rings_a"), $"wkt".as("wkt_a"))

@@ -435,6 +435,42 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(gotMp.getBoolean(0) && !gotMp.getBoolean(1))
   }
 
+  test("ST_DWithin: region distance semantics incl. holes; codegen == HOF (r13)") {
+    import spark.implicits._
+    import graft.functions.GeomPredExprs
+    val arrow = "POLYGON ((0 0, 4 0, 4 4, 2 2, 0 4, 0 0), " +
+      "(0.5 0.5, 0.5 1.5, 1.5 1.5, 1.5 0.5, 0.5 0.5))"
+    val cases = Seq(
+      (3.0, 0.5, 0.5, true, "interior: distance 0 regardless of d"),
+      (1.0, 0.0, 0.0, true, "on the boundary at d = 0 (closed)"),
+      (-1.0, 1.0, 1.0, true, "outside, exactly at distance d (closed)"),
+      (-1.0, 1.0, 0.5, false, "outside, beyond d"),
+      (5.5, 2.0, 1.5, true, "off the right edge within 1.5"),
+      (1.0, 1.0, 0.25, false, "inside the hole, 0.5 from its ring: beyond 0.25"),
+      (1.0, 1.0, 0.5, true, "inside the hole, exactly 0.5 from its ring"),
+      (2.0, 3.5, 0.5, false, "in the notch, > d above the diagonal"),
+      (2.0, 2.5, 0.5, true, "in the notch, within d of the concave vertex region"))
+    val df = cases.toDF("x", "y", "d", "expect", "label")
+      .withColumn("r", SpatialOps.wktRings(lit(arrow)))
+      .select($"label", $"expect",
+        SpatialOps.ringsWithinDist($"r", $"x", $"y", $"d").as("hof"),
+        GeomPredExprs.withinDistCol($"r", $"x", $"y", $"d").as("gen"))
+    val bad = df.filter($"hof" =!= $"expect" || $"gen" =!= $"expect").collect()
+    assert(bad.isEmpty, bad.map(_.getString(0)).mkString(", "))
+    // randomized sweep: codegen distance decisions == HOF bit-for-bit
+    val probes = (1 to 300).map { j =>
+      val h = (j * 69069L + 11) & 0x7fffffffL
+      ((h % 25).toDouble * 0.25 - 1.0, ((h / 25) % 25).toDouble * 0.25 - 1.0,
+        0.25 + (h % 7).toDouble * 0.25)
+    }
+    val sweep = probes.toDF("x", "y", "d")
+      .withColumn("r", SpatialOps.wktRings(lit(arrow)))
+      .select(SpatialOps.ringsWithinDist($"r", $"x", $"y", $"d").as("hof"),
+        GeomPredExprs.withinDistCol($"r", $"x", $"y", $"d").as("gen"))
+    assert(sweep.filter($"hof" =!= $"gen").count() == 0)
+    assert(sweep.filter($"gen").count() > 0 && sweep.filter(!$"gen").count() > 0)
+  }
+
   test("GeomPredExprs codegen == HOF algebra bit-for-bit; fail-closed nulls (r13)") {
     import spark.implicits._
     import graft.functions.GeomPredExprs
