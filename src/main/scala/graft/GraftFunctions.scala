@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, PointInRingsExpr, RingsIntersectExpr, SortedIntersectCountExpr, TextOps, WithinDistExpr}
+import graft.functions.{BBoxIntersectsExpr, CosineSimExpr, PointInRingsExpr, RegionDistSqExpr, RingsIntersectExpr, SortedIntersectCountExpr, TextOps, WithinDistExpr}
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -92,6 +92,12 @@ object GraftFunctions {
           "(segment orientation tests + representative-vertex containment; closed)",
         classOf[RingsIntersectExpr]),
       (exprs: Seq[Expression]) => RingsIntersectExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_region_dist_sq"),
+      info("st_region_dist_sq",
+        "st_region_dist_sq(rings, x, y) - squared region distance (0 inside the " +
+          "polygon, else squared distance to the nearest ring segment)",
+        classOf[RegionDistSqExpr]),
+      (exprs: Seq[Expression]) => RegionDistSqExpr(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("st_within_dist"),
       info("st_within_dist",
         "st_within_dist(rings, x, y, d) - ST_DWithin(point, polygon): in the region, " +

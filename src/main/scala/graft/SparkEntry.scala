@@ -592,6 +592,43 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J20 — NEAREST-NEIGHBOR spatial join (k = 1 with a search radius —
+    * "snap each point to its closest parcel"): for every customer point,
+    * the supplier arrow with the minimum REGION distance (0 inside; else
+    * boundary distance) within radius 3, ties to the lower key. The
+    * filter stage is the j19 expanded-envelope bbox join; ranking is a
+    * lexicographic `min(struct(d2, key))` per point — one aggregation
+    * exchange, no window over a global sort. The oracle replays the
+    * identical distance arithmetic over the unfiltered theta join and
+    * ranks with row_number(ORDER BY d2, key); the d2 DOUBLES hash-match
+    * bit-for-bit because every op chain is identical.
+    */
+  private def j20(s: SparkSession, d: String) = {
+    import graft.functions.{GeomPredExprs, SpatialOps}
+    val radius = 3.0
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", {
+        val e = SpatialOps.ringsEnvelope(col("_r"))
+        SpatialOps.bbox(e.getField("xmin") - radius, e.getField("ymin") - radius,
+          e.getField("xmax") + radius, e.getField("ymax") + radius)
+      })
+    val c = col("c_custkey")
+    val pts = Tables.customer(s, d).select(c,
+        ((c % 93).cast("double") + (c % 3).cast("double") * lit(0.5)).as("px"),
+        ((c % 83).cast("double") + (c % 7).cast("double") * lit(0.25)).as("py"))
+      .withColumn("env_r", SpatialOps.bbox(col("px"), col("py"), col("px"), col("py")))
+    operators.SpatialJoin.bboxJoin(polys, pts, "env", "env_r", cellSize = 8.0)
+      .withColumn("d2", GeomPredExprs.regionDistSqCol(col("_r"), col("px"), col("py")))
+      .filter(col("d2") <= lit(radius * radius))
+      .groupBy("c_custkey")
+      .agg(min(struct(col("d2"), col("s_suppkey"))).as("best"))
+      .select(col("c_custkey"), col("best.s_suppkey").as("s_suppkey"),
+        col("best.d2").as("d2"))
+      .orderBy("c_custkey")
+  }
+
   /** S25 — JPEG-in-TIFF ingest (compression 7, TIFF Tech Note 2: the
     * profile real aerial-imagery GeoTIFF archives ship — r12 verdict
     * missing-item 4). Two scenes through the strip walk: a 3-strip
@@ -5362,6 +5399,7 @@ object SparkEntry {
     "j17_refine_join" -> (j17 _),
     "j18_overlap_join" -> (j18 _),
     "j19_dwithin_join" -> (j19 _),
+    "j20_nearest_join" -> (j20 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
@@ -5905,6 +5943,27 @@ object SparkEntry {
          |  ON (${sqlContains(segs, "px", "py")}
          |   OR ${sqlBoundaryDistSq(segs, "px", "py")} <= 2.25)
          |ORDER BY s_suppkey, c_custkey""".stripMargin
+    },
+    // j20: the unfiltered theta join computing the identical region
+    // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
+    // aggregation must pick the same (d2, key) pair, and the raw d2
+    // doubles must hash-match bit-for-bit.
+    "j20_nearest_join" -> {
+      val segs = arrowSqlPts(withHole = true).flatMap(sqlRingSegs)
+      s"""WITH sup AS ($arrowSqlBase),
+         |cust AS (SELECT c_custkey,
+         |  CAST(c_custkey % 93 AS DOUBLE) + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS px,
+         |  CAST(c_custkey % 83 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) * 0.25 AS py
+         |  FROM customer),
+         |cand AS (SELECT c_custkey, s_suppkey,
+         |  CASE WHEN ${sqlContains(segs, "px", "py")} THEN 0.0
+         |       ELSE ${sqlBoundaryDistSq(segs, "px", "py")} END AS d2
+         |  FROM sup JOIN cust ON TRUE)
+         |SELECT c_custkey, s_suppkey, d2 FROM (
+         |  SELECT c_custkey, s_suppkey, d2,
+         |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+         |  FROM cand WHERE d2 <= 9.0) t
+         |WHERE rn = 1 ORDER BY c_custkey""".stripMargin
     },
     // g23: the exact ellipsoidal zone closed form — the engine's
     // trapezoidal edge sum collapses to Δλ·(b²/2)·(F(φ2)−F(φ1)) on

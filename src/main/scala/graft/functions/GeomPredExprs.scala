@@ -210,6 +210,10 @@ object GeomPredExprs {
   def withinDist(rings: ArrayData, x: Double, y: Double, dist: Double): Boolean =
     containsPoint(rings, x, y) || boundaryDistSq(rings, x, y) <= dist * dist
 
+  /** ringsRegionDistSq: 0 inside the region, else boundary distance². */
+  def regionDistSq(rings: ArrayData, x: Double, y: Double): Double =
+    if (containsPoint(rings, x, y)) 0.0 else boundaryDistSq(rings, x, y)
+
   /** Column builder: TRUE point-in-polygon, codegen form. */
   def pointInRings(rings: Column, x: Column, y: Column): Column =
     GraftBridge.column(PointInRingsExpr(GraftBridge.expression(rings),
@@ -225,6 +229,11 @@ object GeomPredExprs {
     GraftBridge.column(WithinDistExpr(GraftBridge.expression(rings),
       GraftBridge.expression(x), GraftBridge.expression(y),
       GraftBridge.expression(dist)))
+
+  /** Column builder: squared region distance (ST_Distance² value form). */
+  def regionDistSqCol(rings: Column, x: Column, y: Column): Column =
+    GraftBridge.column(RegionDistSqExpr(GraftBridge.expression(rings),
+      GraftBridge.expression(x), GraftBridge.expression(y)))
 
   private[functions] def checkRings(t: DataType, what: String): TypeCheckResult =
     if (ringsTypeOk(t)) TypeCheckResult.TypeCheckSuccess
@@ -255,6 +264,34 @@ case class PointInRingsExpr(first: Expression, second: Expression, third: Expres
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (r, x, y) =>
       s"${ev.value} = graft.functions.GeomPredExprs.containsPoint($r, $x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Codegen squared region distance (see [[GeomPredExprs.regionDistSq]]). */
+case class RegionDistSqExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GeomPredExprs.checkRings(first.dataType, "st_region_dist_sq")
+    if (r != TypeCheckResult.TypeCheckSuccess) r
+    else if (second.dataType != DoubleType || third.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"st_region_dist_sq needs double coordinates, got ${second.dataType}/${third.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, x: Any, y: Any): Any =
+    GeomPredExprs.regionDistSq(rings.asInstanceOf[ArrayData],
+      x.asInstanceOf[Double], y.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, x, y) =>
+      s"${ev.value} = graft.functions.GeomPredExprs.regionDistSq($r, $x, $y);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

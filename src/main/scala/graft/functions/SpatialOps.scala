@@ -273,6 +273,15 @@ object SpatialOps {
     ringsContainPoint(rings, x, y) ||
       (ringsBoundaryDistSq(rings, x, y) <= dist * dist)
 
+  /** Squared REGION distance (ST_Distance² for a point vs a polygon):
+    * 0 inside the region, else the boundary distance² — the VALUE form
+    * the nearest-neighbor join ranks on ([[GeomPredExprs.regionDistSqCol]]
+    * is the codegen twin).
+    */
+  def ringsRegionDistSq(rings: Column, x: Column, y: Column): Column =
+    when(ringsContainPoint(rings, x, y), lit(0.0))
+      .otherwise(ringsBoundaryDistSq(rings, x, y))
+
   /** 2×cross-product orientation of c relative to directed segment a→b. */
   private def orient2(ax: Column, ay: Column, bx: Column, by: Column,
       cx: Column, cy: Column): Column =

@@ -203,6 +203,42 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(contained.subsetOf(refined) && contained.size < refined.size)
   }
 
+  test("nearest-neighbor join (min-struct over region distance) == brute-force ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val radius = 3.0
+    val polys = arrows(80, "lid", seed = 53)
+      .select($"lid", SpatialOps.wktRings($"wkt").as("rings"), $"wkt")
+      .withColumn("env", {
+        val e = SpatialOps.ringsEnvelope($"rings")
+        SpatialOps.bbox(e.getField("xmin") - radius, e.getField("ymin") - radius,
+          e.getField("xmax") + radius, e.getField("ymax") + radius)
+      })
+    val pts = (1 to 250).map { i =>
+      val h = (i * 48271L + 13) & 0x7fffffffL
+      (i.toLong, (h % 120).toDouble * 0.5 - 3.0, ((h / 120) % 100).toDouble * 0.5 - 3.0)
+    }.toDF("rid", "px", "py")
+      .withColumn("env_r", SpatialOps.bbox($"px", $"py", $"px", $"py"))
+    val nearest = SpatialJoin.bboxJoin(polys, pts, "env", "env_r", 8.0)
+      .withColumn("d2", graft.functions.GeomPredExprs.regionDistSqCol(
+        col("rings"), col("px"), col("py")))
+      .filter($"d2" <= lit(radius * radius))
+      .groupBy("rid").agg(min(struct($"d2", $"lid")).as("best"))
+      .select($"rid", $"best.lid".as("lid"), $"best.d2".as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = polys.crossJoin(pts)
+      .withColumn("d2", SpatialOps.ringsRegionDistSq(
+        SpatialOps.wktRings($"wkt"), $"px", $"py"))
+      .filter($"d2" <= lit(radius * radius))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("rid").orderBy($"d2", $"lid")))
+      .filter($"rn" === 1)
+      .select("rid", "lid", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(nearest == brute && nearest.nonEmpty)
+    // some points snap to a nonzero-distance neighbor, some sit inside
+    assert(nearest.exists(_._3 == 0.0) && nearest.exists(_._3 > 0.0))
+  }
+
   test("refine stage: polygon-overlap join == brute force") {
     val polys = arrows(100, "lid", seed = 23)
       .select($"lid", SpatialOps.wktRings($"wkt").as("rings_a"), $"wkt".as("wkt_a"))

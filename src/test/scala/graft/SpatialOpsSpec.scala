@@ -466,9 +466,15 @@ class SpatialOpsSpec extends AnyFunSuite {
     val sweep = probes.toDF("x", "y", "d")
       .withColumn("r", SpatialOps.wktRings(lit(arrow)))
       .select(SpatialOps.ringsWithinDist($"r", $"x", $"y", $"d").as("hof"),
-        GeomPredExprs.withinDistCol($"r", $"x", $"y", $"d").as("gen"))
+        GeomPredExprs.withinDistCol($"r", $"x", $"y", $"d").as("gen"),
+        SpatialOps.ringsRegionDistSq($"r", $"x", $"y").as("dhof"),
+        GeomPredExprs.regionDistSqCol($"r", $"x", $"y").as("dgen"))
     assert(sweep.filter($"hof" =!= $"gen").count() == 0)
     assert(sweep.filter($"gen").count() > 0 && sweep.filter(!$"gen").count() > 0)
+    // the distance VALUE form agrees bit-for-bit too (0 inside the region)
+    assert(sweep.filter($"dhof" =!= $"dgen").count() == 0)
+    assert(sweep.filter($"dgen" === 0.0).count() > 0 &&
+      sweep.filter($"dgen" > 0.0).count() > 0)
   }
 
   test("GeomPredExprs codegen == HOF algebra bit-for-bit; fail-closed nulls (r13)") {
