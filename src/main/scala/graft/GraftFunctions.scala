@@ -27,6 +27,26 @@ object GraftFunctions {
         GraftBridge.toCatalyst(build(exprs.map(GraftBridge.column)))
       })
 
+  /** Like `composed`, but the LAST argument must fold to an integer at
+    * plan time (the geohash family bakes the precision into the generated
+    * expression tree — a per-row precision would mean a per-row plan). */
+  private def composedIntLast(name: String, usage: String, arity: Int)(
+      build: (Seq[Column], Int) => Column): Entry =
+    (FunctionIdentifier(name), info(name, usage, TextOps.getClass),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity, s"$name expects $arity argument(s)")
+        require(exprs.last.foldable, s"$name: the last argument must be a literal integer")
+        val p = exprs.last.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case b: Byte => b.toInt
+          case other => throw new IllegalArgumentException(
+            s"$name: the last argument must be a literal integer, got $other")
+        }
+        GraftBridge.toCatalyst(build(exprs.init.map(GraftBridge.column), p))
+      })
+
   val all: Seq[Entry] = Seq(
     (FunctionIdentifier("cosine_sim"),
       info("cosine_sim",
@@ -107,7 +127,19 @@ object GraftFunctions {
     composed("st_rings",
       "st_rings(wkt) - parse a WKT geometry's coordinate groups to " +
         "array<array<struct<x,y>>> (the refine predicates' input)", 1)(
-      cs => graft.functions.SpatialOps.wktRings(cs(0))))
+      cs => graft.functions.SpatialOps.wktRings(cs(0))),
+    composedIntLast("st_geohash",
+      "st_geohash(lon, lat, precision) - base32 geohash cell id (precision in " +
+        "[1,12] must be a literal; prefix-nesting bucketing key for lat/lon stores)", 3)(
+      (cs, p) => graft.functions.SpatialOps.geohash(cs(0), cs(1), p)),
+    composedIntLast("st_geohash_bbox",
+      "st_geohash_bbox(gh, precision) - decode a geohash to its exact cell " +
+        "envelope struct (xmin,ymin,xmax,ymax)", 2)(
+      (cs, p) => graft.functions.SpatialOps.geohashBbox(cs(0), p)),
+    composedIntLast("st_geohash_neighbors",
+      "st_geohash_neighbors(gh, precision) - the up-to-8 surrounding cells " +
+        "(lon wraps at the date line, poleward entries drop)", 2)(
+      (cs, p) => graft.functions.SpatialOps.geohashNeighbors(cs(0), p)))
 
   /** Idempotent post-hoc registration on a live session: the function
     * catalog plus the spatial-join rewrite rule (via the public

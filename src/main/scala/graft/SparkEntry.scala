@@ -629,6 +629,87 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  // --- geohash oracle-SQL generators: the engine's Column algebra
+  // (SpatialOps geohash family) re-spelled term-for-term in DuckDB SQL.
+  // Integer bit ops are exact in both engines; the only floating step is
+  // the quantizer's ((v+off)/span)·2^k, whose op chain mirrors 1:1.
+  private def ghSqlQuant(v: String, off: String, span: String, k: Int): String =
+    s"least(greatest(CAST(floor((($v + $off) / $span) * ${(1L << k).toDouble}) AS BIGINT), 0), ${(1L << k) - 1})"
+
+  private def ghSqlInterleave(lonQ: String, latQ: String, p: Int): String = {
+    val n = 5 * p; val nLon = (n + 1) / 2; val nLat = n / 2
+    val terms = (0 until nLon).map { k =>
+      s"((($lonQ) >> ${nLon - 1 - k}) & 1) * ${1L << (n - 1 - 2 * k)}"
+    } ++ (0 until nLat).map { k =>
+      s"((($latQ) >> ${nLat - 1 - k}) & 1) * ${1L << (n - 2 - 2 * k)}"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  private def ghSqlBase32(comb: String, p: Int): String = {
+    val n = 5 * p
+    (0 until p).map { i =>
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((($comb) >> ${n - 5 * (i + 1)}) & 31 AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+  }
+
+  /** GH1 — geohash bucket census: the standard prefix-nesting lat/lon
+    * bucketing key (the string-keyed sibling of zorderKey — at 100 TB this
+    * is the layout/partition column for geographic stores, and the
+    * equi-join key for proximity grouping). Coordinates derive from
+    * user_id modular arithmetic (events carry no geography; the derivation
+    * mirrors into the oracle exactly). Plan: one projection (the whole
+    * encode is codegen'd integer algebra, no UDF) + one hash aggregate on
+    * the 5-char cell id.
+    */
+  private def gh1(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val u = col("user_id")
+    Tables.events(s, d).select(u,
+        ((u * 131 % 3600).cast("double") / lit(10.0) - lit(180.0)).as("lon"),
+        ((u * 89 % 1700).cast("double") / lit(10.0) - lit(85.0)).as("lat"))
+      .withColumn("gh", SpatialOps.geohash(col("lon"), col("lat"), 5))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"),
+        min(col("user_id")).as("min_uid"))
+      .orderBy("gh")
+  }
+
+  /** GH2 — geohash cell decode + topology audit: per occupied cell, the
+    * EXACT decoded envelope (dyadic fractions — bit-identical doubles both
+    * engines), proof that every member point lies in its cell
+    * (all_in_cell), that the precision-4 parent both prefixes and contains
+    * the cell (nested), and the east/north shifted neighbors (wrap/clamp
+    * semantics). Everything after the group-by is per-cell string algebra.
+    */
+  private def gh2(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val c = col("c_custkey")
+    val enriched = Tables.customer(s, d).select(c,
+        ((c * 131 % 3600).cast("double") / lit(10.0) - lit(180.0)).as("lon"),
+        ((c * 89 % 1700).cast("double") / lit(10.0) - lit(85.0)).as("lat"))
+      .withColumn("gh", SpatialOps.geohash(col("lon"), col("lat"), 5))
+      .withColumn("ghp", SpatialOps.geohash(col("lon"), col("lat"), 4))
+      .withColumn("cell", SpatialOps.geohashBbox(col("gh"), 5))
+      .withColumn("par", SpatialOps.geohashBbox(col("ghp"), 4))
+    enriched.groupBy("gh")
+      .agg(count(lit(1)).as("n"), min(c).as("min_key"),
+        bool_and(SpatialOps.bboxContainsPoint(col("cell"), col("lon"), col("lat")))
+          .as("all_in_cell"),
+        bool_and(col("gh").substr(lit(1), lit(4)) === col("ghp") &&
+          col("cell.xmin") >= col("par.xmin") && col("cell.xmax") <= col("par.xmax") &&
+          col("cell.ymin") >= col("par.ymin") && col("cell.ymax") <= col("par.ymax"))
+          .as("nested"))
+      .select(col("gh"), col("n"), col("min_key"), col("all_in_cell"), col("nested"),
+        SpatialOps.geohashShift(col("gh"), 1, 0, 5).as("east"),
+        SpatialOps.geohashShift(col("gh"), 0, 1, 5).as("north"),
+        SpatialOps.geohashBbox(col("gh"), 5).getField("xmin").as("xmin"),
+        SpatialOps.geohashBbox(col("gh"), 5).getField("ymin").as("ymin"),
+        SpatialOps.geohashBbox(col("gh"), 5).getField("xmax").as("xmax"),
+        SpatialOps.geohashBbox(col("gh"), 5).getField("ymax").as("ymax"))
+      .orderBy("gh")
+  }
+
   /** S25 — JPEG-in-TIFF ingest (compression 7, TIFF Tech Note 2: the
     * profile real aerial-imagery GeoTIFF archives ship — r12 verdict
     * missing-item 4). Two scenes through the strip walk: a 3-strip
@@ -5400,6 +5481,8 @@ object SparkEntry {
     "j18_overlap_join" -> (j18 _),
     "j19_dwithin_join" -> (j19 _),
     "j20_nearest_join" -> (j20 _),
+    "gh1_geohash_bucket" -> (gh1 _),
+    "gh2_geohash_cells" -> (gh2 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
@@ -5964,6 +6047,68 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
          |  FROM cand WHERE d2 <= 9.0) t
          |WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+    },
+    // gh1: the full geohash encode replayed in SQL — quantize (the one
+    // floating chain, mirrored op-for-op), interleave and base32 as exact
+    // integer bit algebra — then the identical bucket census.
+    "gh1_geohash_bucket" -> {
+      val lonq = ghSqlQuant("lon", "180.0", "360.0", 13)
+      val latq = ghSqlQuant("lat", "90.0", "180.0", 12)
+      val comb = ghSqlInterleave("lonq", "latq", 5)
+      val gh = ghSqlBase32("comb", 5)
+      s"""WITH pts AS (SELECT user_id,
+         |  (CAST((user_id * 131) % 3600 AS DOUBLE) / 10.0) - 180.0 AS lon,
+         |  (CAST((user_id * 89) % 1700 AS DOUBLE) / 10.0) - 85.0 AS lat FROM events),
+         |q AS (SELECT user_id, $lonq AS lonq, $latq AS latq FROM pts),
+         |e AS (SELECT user_id, $comb AS comb FROM q)
+         |SELECT $gh AS gh, count(*) AS cnt, count(DISTINCT user_id) AS users,
+         |  min(user_id) AS min_uid
+         |FROM e GROUP BY 1 ORDER BY gh""".stripMargin
+    },
+    // gh2: decode/shift replayed from the QUANTIZED integers (the string
+    // decode round-trips to exactly these values — integer-exact, so the
+    // envelope doubles and neighbor ids hash-match the engine's
+    // string-path decode bit-for-bit). Parent at precision 4; east wraps
+    // mod 2^13, north NULLs past the top latitude row.
+    "gh2_geohash_cells" -> {
+      val lonq5 = ghSqlQuant("lon", "180.0", "360.0", 13)
+      val latq5 = ghSqlQuant("lat", "90.0", "180.0", 12)
+      val lonq4 = ghSqlQuant("lon", "180.0", "360.0", 10)
+      val latq4 = ghSqlQuant("lat", "90.0", "180.0", 10)
+      val comb5 = ghSqlInterleave("lonq5", "latq5", 5)
+      val comb4 = ghSqlInterleave("lonq4", "latq4", 4)
+      val combE = ghSqlInterleave("lonqe", "latq5", 5)
+      val combN = ghSqlInterleave("lonq5", "latqn", 5)
+      s"""WITH pts AS (SELECT c_custkey,
+         |  (CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0) - 180.0 AS lon,
+         |  (CAST((c_custkey * 89) % 1700 AS DOUBLE) / 10.0) - 85.0 AS lat FROM customer),
+         |q AS (SELECT c_custkey, lon, lat, $lonq5 AS lonq5, $latq5 AS latq5,
+         |  $lonq4 AS lonq4, $latq4 AS latq4 FROM pts),
+         |e AS (SELECT *, $comb5 AS comb5, $comb4 AS comb4,
+         |  (lonq5 + 1) % 8192 AS lonqe, latq5 + 1 AS latqn FROM q),
+         |g AS (SELECT *, ${ghSqlBase32("comb5", 5)} AS gh5,
+         |  ${ghSqlBase32("comb4", 4)} AS gh4, $combE AS combe, $combN AS combn FROM e),
+         |h AS (SELECT *,
+         |  ${ghSqlBase32("combe", 5)} AS east0,
+         |  CASE WHEN latqn <= 4095 THEN ${ghSqlBase32("combn", 5)} END AS north0,
+         |  (CAST(lonq5 AS DOUBLE) / 8192.0) * 360.0 - 180.0 AS xmin0,
+         |  (CAST(latq5 AS DOUBLE) / 4096.0) * 180.0 - 90.0 AS ymin0,
+         |  (CAST(lonq5 + 1 AS DOUBLE) / 8192.0) * 360.0 - 180.0 AS xmax0,
+         |  (CAST(latq5 + 1 AS DOUBLE) / 4096.0) * 180.0 - 90.0 AS ymax0,
+         |  (CAST(lonq4 AS DOUBLE) / 1024.0) * 360.0 - 180.0 AS pxmin,
+         |  (CAST(latq4 AS DOUBLE) / 1024.0) * 180.0 - 90.0 AS pymin,
+         |  (CAST(lonq4 + 1 AS DOUBLE) / 1024.0) * 360.0 - 180.0 AS pxmax,
+         |  (CAST(latq4 + 1 AS DOUBLE) / 1024.0) * 180.0 - 90.0 AS pymax FROM g)
+         |SELECT gh5 AS gh, count(*) AS n, min(c_custkey) AS min_key,
+         |  bool_and(lon >= xmin0 AND lon <= xmax0 AND lat >= ymin0 AND lat <= ymax0)
+         |    AS all_in_cell,
+         |  bool_and(substr(gh5, 1, 4) = gh4
+         |    AND xmin0 >= pxmin AND xmax0 <= pxmax
+         |    AND ymin0 >= pymin AND ymax0 <= pymax) AS nested,
+         |  min(east0) AS east, min(north0) AS north,
+         |  min(xmin0) AS xmin, min(ymin0) AS ymin,
+         |  min(xmax0) AS xmax, min(ymax0) AS ymax
+         |FROM h GROUP BY gh5 ORDER BY gh""".stripMargin
     },
     // g23: the exact ellipsoidal zone closed form — the engine's
     // trapezoidal edge sum collapses to Δλ·(b²/2)·(F(φ2)−F(φ1)) on

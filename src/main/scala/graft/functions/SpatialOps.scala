@@ -694,6 +694,93 @@ object SpatialOps {
       .drop("__zkey")
   }
 
+  // --- Geohash (the public base32 algorithm: MSB-first interleave of the
+  // lon/lat binary fractions, longitude bit first, 5 bits per character —
+  // en.wikipedia.org/wiki/Geohash). Complements zorderKey: the base32
+  // STRING nests by prefix (the precision-(p−1) prefix names the containing
+  // cell), which makes it the standard bucketing/layout key for lat/lon
+  // stores and a human-portable cell id for proximity grouping. The
+  // bisection formulation is equivalent to quantizing each axis to its bit
+  // budget and reading the quantized integer's bits MSB-first: the float
+  // quantizer is Column algebra (its op chain mirrors one-for-one into the
+  // DuckDB oracle), and the integer interleave/base32/parse steps are the
+  // GeohashExprs codegen kernels (integer-exact, so any faithful oracle
+  // route matches; the pure-Column spelling was a measured Janino bomb).
+
+  /** (total bits, lon bits, lat bits) at `precision` chars. Lon gets the
+    * extra bit when 5·p is odd because the interleave leads with lon. */
+  private def ghWidths(precision: Int): (Int, Int, Int) = {
+    require(precision >= 1 && precision <= 12,
+      s"geohash precision must be in [1,12], got $precision")
+    val n = 5 * precision
+    (n, (n + 1) / 2, n / 2)
+  }
+
+  /** Quantize a coordinate to k bits over [−offset, −offset+span]: floor of
+    * the scaled fraction, clamped so the exact upper edge (+180/+90) lands
+    * in the last cell — the closed upper boundary of the bisection form. */
+  private def ghQuant(v: Column, offset: Double, span: Double, k: Int): Column =
+    least(greatest(
+      floor((v + lit(offset)) / lit(span) * lit((1L << k).toDouble)).cast("long"),
+      lit(0L)), lit((1L << k) - 1L))
+
+  /** Geohash cell id of a lon/lat point at `precision` base32 chars. The
+    * quantizer (the family's only floating arithmetic) stays Column
+    * algebra so its op chain mirrors into the SQL oracle; the integer
+    * interleave+base32 is one codegen kernel ([[GeohashExprs.encode]] —
+    * the 5p-term Column spelling was a measured Janino compile bomb). */
+  def geohash(lon: Column, lat: Column, precision: Int): Column = {
+    val (_, nLon, nLat) = ghWidths(precision)
+    GeohashExprs.encodeCol(
+      ghQuant(lon, 180.0, 360.0, nLon), ghQuant(lat, 90.0, 180.0, nLat), precision)
+  }
+
+  /** Packed quantized cell coordinates of a geohash: (lonQ << 31) | latQ
+    * via the [[GeohashExprs.quants]] kernel. Fail-closed on malformed ids. */
+  private def ghQuants(gh: Column, precision: Int): Column =
+    GeohashExprs.quantsCol(gh, precision)
+
+  private def ghLonQ(packed: Column): Column = shiftright(packed, 31)
+  private def ghLatQ(packed: Column): Column = packed.bitwiseAND(lit((1L << 31) - 1L))
+
+  /** Decode a geohash to its cell bbox (xmin,ymin,xmax,ymax). EXACT: cell
+    * bounds are dyadic fractions of the span, so quantized-int ÷ 2^k × span
+    * stays inside 53 mantissa bits end-to-end — no rounding anywhere, and
+    * the doubles hash-match an oracle recomputing them from the same
+    * integers by any faithful route. */
+  def geohashBbox(gh: Column, precision: Int): Column = {
+    val (_, nLon, nLat) = ghWidths(precision)
+    val q = ghQuants(gh, precision)
+    def edge(v: Column, k: Int, span: Double, offset: Double) =
+      v.cast("double") / lit((1L << k).toDouble) * lit(span) - lit(offset)
+    bbox(edge(ghLonQ(q), nLon, 360.0, 180.0), edge(ghLatQ(q), nLat, 180.0, 90.0),
+      edge(ghLonQ(q) + lit(1L), nLon, 360.0, 180.0),
+      edge(ghLatQ(q) + lit(1L), nLat, 180.0, 90.0))
+  }
+
+  /** The cell `dLon` columns east / `dLat` rows north of `gh` at the same
+    * precision. Longitude wraps at the date line (pmod); latitude CLAMPS —
+    * a poleward shift off the grid returns NULL (there is no cell beyond
+    * the poles; standard geohash neighbor semantics). */
+  def geohashShift(gh: Column, dLon: Int, dLat: Int, precision: Int): Column = {
+    val (_, nLon, nLat) = ghWidths(precision)
+    val q = ghQuants(gh, precision)
+    val lq = pmod(ghLonQ(q) + lit(dLon.toLong), lit(1L << nLon))
+    val tq = ghLatQ(q) + lit(dLat.toLong)
+    when(tq >= lit(0L) && tq <= lit((1L << nLat) - 1L),
+      GeohashExprs.encodeCol(lq, tq, precision))
+  }
+
+  /** The up-to-8 surrounding cells in (W,E,S,N,SW,SE,NW,NE) order with
+    * off-pole entries dropped — the probe set for geohash proximity joins
+    * (a point within one cell width of a query point is in the cell or a
+    * neighbor, so candidate pairs come from a 9-key equi-join). */
+  def geohashNeighbors(gh: Column, precision: Int): Column = {
+    val shifts = Seq((-1, 0), (1, 0), (0, -1), (0, 1), (-1, -1), (1, -1), (-1, 1), (1, 1))
+    filter(array(shifts.map { case (dl, dt) => geohashShift(gh, dl, dt, precision) }: _*),
+      _.isNotNull)
+  }
+
   /** J6 — point-in-pixel spatial join: derive integer cell keys on the
     * point side, then equi-join against the pixel table. Broadcast-free,
     * shuffle-on-ints; Catalyst can still broadcast the small side.

@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.SpatialOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Geohash family: encode against the PUBLIC test vectors (the bisection
+  * algorithm's published examples), exact decode, prefix nesting, and the
+  * wrap/clamp neighbor semantics. The implementation quantizes each axis to
+  * its bit budget and interleaves MSB-first — provably equivalent to the
+  * textbook bisection loop (floor((v+off)/span·2^k) IS the k-step bisection
+  * path), which the vector tests pin down end-to-end.
+  */
+class GeohashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("encode matches the published test vectors") {
+    // (lon, lat, precision, expected): Wikipedia's Jutland example at 11
+    // chars, the original geohash.org README example at 5, and the closed
+    // upper corner clamping into the all-ones cell.
+    val cases = Seq(
+      (10.40744, 57.64911, 11, "u4pruydqqvj"),
+      (-5.603, 42.605, 5, "ezs42"),
+      (180.0, 90.0, 5, "zzzzz"),
+      (-180.0, -90.0, 5, "00000"))
+    cases.foreach { case (lon, lat, p, want) =>
+      val got = Seq((lon, lat)).toDF("lon", "lat")
+        .select(SpatialOps.geohash($"lon", $"lat", p)).head.getString(0)
+      assert(got == want, s"geohash($lon, $lat, $p)")
+    }
+  }
+
+  test("decode bbox contains the encoded point and has the exact cell size") {
+    val pts = (1 to 200).map { i =>
+      (((i * 131) % 3600) / 10.0 - 180.0, ((i * 89) % 1700) / 10.0 - 85.0)
+    }.toDF("lon", "lat")
+    (1 to 8).foreach { p =>
+      val (n, nLon, nLat) = (5 * p, (5 * p + 1) / 2, 5 * p / 2)
+      val out = pts
+        .withColumn("gh", SpatialOps.geohash($"lon", $"lat", p))
+        .withColumn("b", SpatialOps.geohashBbox($"gh", p))
+        .withColumn("inside", SpatialOps.bboxContainsPoint($"b", $"lon", $"lat"))
+        .withColumn("wOk", $"b.xmax" - $"b.xmin" === lit(360.0 / (1L << nLon)))
+        .withColumn("hOk", $"b.ymax" - $"b.ymin" === lit(180.0 / (1L << nLat)))
+      assert(out.filter(!$"inside" || !$"wOk" || !$"hOk").count() == 0, s"p=$p (n=$n)")
+    }
+  }
+
+  test("prefix nesting: the p-1 cell is a string prefix and contains the p cell") {
+    val pts = (1 to 200).map { i =>
+      (((i * 37) % 3600) / 10.0 - 180.0, ((i * 53) % 1700) / 10.0 - 85.0)
+    }.toDF("lon", "lat")
+    Seq(2, 5, 9, 12).foreach { p =>
+      val out = pts
+        .withColumn("ghC", SpatialOps.geohash($"lon", $"lat", p))
+        .withColumn("ghP", SpatialOps.geohash($"lon", $"lat", p - 1))
+        .withColumn("c", SpatialOps.geohashBbox($"ghC", p))
+        .withColumn("par", SpatialOps.geohashBbox($"ghP", p - 1))
+        .withColumn("prefixOk", $"ghC".substr(lit(1), lit(p - 1)) === $"ghP")
+        .withColumn("nestOk",
+          $"c.xmin" >= $"par.xmin" && $"c.xmax" <= $"par.xmax" &&
+            $"c.ymin" >= $"par.ymin" && $"c.ymax" <= $"par.ymax")
+      assert(out.filter(!$"prefixOk" || !$"nestOk").count() == 0, s"p=$p")
+    }
+  }
+
+  test("shift: east/west are adjacent cells, date line wraps, poles clamp to NULL") {
+    val df = Seq(("u4pru", 0)).toDF("gh", "z")
+    val row = df.select(
+      SpatialOps.geohashBbox($"gh", 5).as("b"),
+      SpatialOps.geohashShift($"gh", 1, 0, 5).as("e"),
+      SpatialOps.geohashShift($"gh", -1, 0, 5).as("w"),
+      SpatialOps.geohashShift($"gh", 0, 1, 5).as("n")).head
+    val b = row.getStruct(0)
+    val eastB = df.select(SpatialOps.geohashBbox(lit(row.getString(1)), 5)).head.getStruct(0)
+    assert(eastB.getDouble(0) == b.getDouble(2), "east xmin == cell xmax")
+    assert(eastB.getDouble(1) == b.getDouble(1), "same latitude row")
+    val westB = df.select(SpatialOps.geohashBbox(lit(row.getString(2)), 5)).head.getStruct(0)
+    assert(westB.getDouble(2) == b.getDouble(0), "west xmax == cell xmin")
+
+    // zzzzz is the top-right cell: east wraps to lon bits all-zero (the
+    // west edge), north is off the pole → NULL, so 5 neighbors remain.
+    val z = Seq(("zzzzz", 0)).toDF("gh", "z").select(
+      SpatialOps.geohashShift($"gh", 1, 0, 5).as("e"),
+      SpatialOps.geohashShift($"gh", 0, 1, 5).as("n"),
+      SpatialOps.geohashNeighbors($"gh", 5).as("nb")).head
+    val eWrapped = Seq((z.getString(0), 0)).toDF("gh", "z")
+      .select(SpatialOps.geohashBbox($"gh", 5)).head.getStruct(0)
+    assert(eWrapped.getDouble(0) == -180.0, "date-line wrap lands at xmin=-180")
+    assert(z.isNullAt(1), "north of the pole row is NULL")
+    assert(z.getSeq[String](2).size == 5, "corner cell keeps 5 of 8 neighbors")
+  }
+
+  test("neighbors: interior cell has 8 distinct edge-adjacent cells") {
+    val df = Seq(("ezs42", 0)).toDF("gh", "z")
+    val nb = df.select(SpatialOps.geohashNeighbors($"gh", 5)).head.getSeq[String](0)
+    assert(nb.size == 8 && nb.distinct.size == 8 && !nb.contains("ezs42"))
+    val b = df.select(SpatialOps.geohashBbox($"gh", 5)).head.getStruct(0)
+    nb.foreach { g =>
+      val nbB = df.select(SpatialOps.geohashBbox(lit(g), 5)).head.getStruct(0)
+      // each neighbor's bbox touches the center cell's bbox (closed contact)
+      assert(nbB.getDouble(2) >= b.getDouble(0) && nbB.getDouble(0) <= b.getDouble(2) &&
+        nbB.getDouble(3) >= b.getDouble(1) && nbB.getDouble(1) <= b.getDouble(3), g)
+    }
+  }
+
+  test("kernels: interpreted eval matches codegen; malformed ids fail closed") {
+    import graft.functions.GeohashExprs
+    import org.apache.spark.unsafe.types.UTF8String
+    // interpreted round-trip vs the DataFrame (codegen) path
+    val pts = (1 to 100).map { i =>
+      (((i * 211) % 3600) / 10.0 - 180.0, ((i * 97) % 1700) / 10.0 - 85.0)
+    }
+    val viaDf = pts.toDF("lon", "lat")
+      .select(SpatialOps.geohash($"lon", $"lat", 7)).collect().map(_.getString(0))
+    pts.zip(viaDf).foreach { case ((lon, lat), gh) =>
+      val packed = GeohashExprs.quants(UTF8String.fromString(gh), 7)
+      val enc = GeohashExprs.encode(packed >> 31, packed & ((1L << 31) - 1), 7)
+      assert(enc.toString == gh, s"interpreted round-trip of $gh")
+    }
+    // fail-closed: bad alphabet char ('a' is excluded) and wrong length
+    intercept[IllegalArgumentException] {
+      GeohashExprs.quants(UTF8String.fromString("ezs4a"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      GeohashExprs.quants(UTF8String.fromString("ezs42"), 6)
+    }
+    intercept[IllegalArgumentException] { GeohashExprs.encode(-1L, 0L, 5) }
+    intercept[IllegalArgumentException] { GeohashExprs.encode(0L, 4096L, 5) }
+    val dfErr = intercept[Exception] {
+      Seq(("ezs4A", 0)).toDF("gh", "z")
+        .select(SpatialOps.geohashBbox($"gh", 5)).collect()
+    }
+    assert(dfErr.getMessage != null)
+  }
+
+  test("SQL surface: st_geohash / st_geohash_bbox / st_geohash_neighbors") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT st_geohash(10.40744, 57.64911, 11) AS gh, " +
+        "st_geohash_bbox('ezs42', 5) AS b, " +
+        "size(st_geohash_neighbors('ezs42', 5)) AS nnb").head
+    assert(r.getString(0) == "u4pruydqqvj")
+    val b = r.getStruct(1)
+    assert(b.getDouble(0) <= -5.603 && b.getDouble(2) >= -5.603)
+    assert(r.getInt(2) == 8)
+    // non-literal precision must be rejected at plan time
+    val err = intercept[Exception] {
+      spark.sql("SELECT st_geohash(1.0, 2.0, CAST(rand() * 5 AS INT))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+}
