@@ -1698,6 +1698,38 @@ object SparkEntry {
       .withColumn("cos", round(col("cos"), 6))
       .orderBy("a", "b")
 
+  /** E16 — SemDeDup semantic dedup census: quantize onto 16 deterministic
+    * cells (vec_id < 16 as centroids — the e3c bring-your-own-quantizer
+    * contract), pair WITHIN cells at cos ≥ 0.35, drop the more-typical
+    * member of each pair (keep the most atypical — the paper's diversity
+    * rule). Per-cell census fingerprints membership, drop set, and the
+    * Σfloor(c_sim·2^20) of every member — cosine chains identical in both
+    * engines, so the floors match bit-for-bit.
+    */
+  private def e16(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    Dedup.semanticDedup(emb, centroids, threshold = 0.35)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("dropped"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+        sum(when(col("dropped"), col("vec_id"))).as("dropped_fp"),
+        sum(floor(col("c_sim") * lit(1048576L)).cast("long")).as("csim_fp"))
+      .orderBy("cell")
+  }
+
+  /** DSIR1 — importance resampling toward an in-corpus target (lang='en'):
+    * unigram log-ratio weights, Gumbel top-25. The oracle replays the
+    * whole chain — grouped counts, smoothed ratio fixed-points, the
+    * md5-derived Gumbel — and must pick the identical 25 documents with
+    * identical integer keys.
+    */
+  private def dsir1(s: SparkSession, d: String) =
+    Curation.dsirResample(Tables.documents(s, d), col("lang") === "en", k = 25)
+      .select("doc_id", "n_tok", "w_fp", "key_fp")
+      .orderBy("doc_id")
+
   /** Staged projections: token array bound once, then counts, then the
     * derived ratios — inlined forms would re-tokenize per output column.
     */
@@ -5488,6 +5520,8 @@ object SparkEntry {
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
     "e8b_embedding_banded" -> (e8b _),
+    "e16_semantic_dedup" -> (e16 _),
+    "dsir1_importance_resample" -> (dsir1 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
@@ -6428,6 +6462,60 @@ object SparkEntry {
          |  JOIN embeddings eb ON eb.vec_id = cand.b)
          |SELECT a, b, round(c, 6) AS cos FROM p WHERE c >= 0.35 ORDER BY a, b""".stripMargin
     },
+    // e16: the SemDeDup chain replayed — km1's argmin quantizer, within-
+    // cell pairwise cosine, the (c_sim, id) dominance drop rule, and the
+    // per-cell census. Every double (assignment fold, c_sim, pair cos)
+    // is the identical in-order chain, so the floors match exactly.
+    "e16_semantic_dedup" ->
+      s"""WITH init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 16),
+         |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |asg AS (SELECT vec_id, cv, cell FROM (
+         |  SELECT c.vec_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN init k) WHERE rk = 1),
+         |sim AS (SELECT a.vec_id, a.cell, a.cv,
+         |  ${sqlDot("a.cv", "k.kv")} /
+         |  (sqrt(${sqlDot("a.cv", "a.cv")}) * sqrt(${sqlDot("k.kv", "k.kv")})) AS c_sim
+         |  FROM asg a JOIN init k USING (cell)),
+         |drp AS (SELECT DISTINCT CASE WHEN x.c_sim > y.c_sim
+         |    OR (x.c_sim = y.c_sim AND x.vec_id > y.vec_id)
+         |    THEN x.vec_id ELSE y.vec_id END AS vec_id
+         |  FROM sim x JOIN sim y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${sqlDot("x.cv", "y.cv")} /
+         |    (sqrt(${sqlDot("x.cv", "x.cv")}) * sqrt(${sqlDot("y.cv", "y.cv")})) >= 0.35),
+         |fin AS (SELECT s.vec_id, s.cell, s.c_sim,
+         |  s.vec_id IN (SELECT vec_id FROM drp) AS dropped FROM sim s)
+         |SELECT cell, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN dropped THEN vec_id END) AS BIGINT) AS dropped_fp,
+         |  CAST(sum(CAST(floor(c_sim * 1048576.0) AS BIGINT)) AS BIGINT) AS csim_fp
+         |FROM fin GROUP BY cell ORDER BY cell""".stripMargin,
+    // dsir1: the full DSIR chain — grouped (doc, term) counts, the
+    // smoothed log-ratio fixed points (exact totals from the same
+    // frequency table), integer weight sums, the md5 Gumbel key, and the
+    // identical top-25 (key DESC, id ASC).
+    "dsir1_importance_resample" ->
+      s"""WITH td AS (SELECT doc_id, tgt, term, count(*) AS c FROM (
+         |    SELECT doc_id, lang = 'en' AS tgt,
+         |      unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY doc_id, tgt, term),
+         |fr AS (SELECT term, CAST(sum(c) AS BIGINT) AS tr,
+         |  CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS tt FROM td GROUP BY term),
+         |tot AS (SELECT CAST(sum(tr) AS BIGINT) AS nr, CAST(sum(tt) AS BIGINT) AS nt,
+         |  count(*) AS v FROM fr),
+         |lr AS (SELECT term,
+         |  CAST(floor((ln(CAST(tt + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE))
+         |    - ln(CAST(tr AS DOUBLE) / CAST(nr AS DOUBLE))) * 1048576.0) AS BIGINT) AS lr_fp
+         |  FROM fr CROSS JOIN tot),
+         |w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  CAST(sum(c * lr_fp) AS BIGINT) AS w_fp
+         |  FROM td JOIN lr USING (term) GROUP BY doc_id),
+         |g AS (SELECT doc_id, n_tok, w_fp, w_fp + CAST(floor(
+         |    -ln(-ln((${sqlHexVal("md5(CAST(doc_id AS VARCHAR))", 8)} + 1) / 4294967297.0))
+         |    * 1048576.0) AS BIGINT) AS key_fp FROM w),
+         |top AS (SELECT * FROM g ORDER BY key_fp DESC, doc_id LIMIT 25)
+         |SELECT doc_id, n_tok, w_fp, key_fp FROM top ORDER BY doc_id""".stripMargin,
     "e9_rolling_fingerprint" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform(list_transform(string_split(text, ' '), tk -> md5(tk)), h -> ${sqlHexVal("h", 6)}) AS hs

@@ -442,6 +442,80 @@ object Curation {
     } finally cached.unpersist()
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by the unigram log-likelihood RATIO of a target
+    * corpus (the rows where `isTarget`) against the raw corpus, then draw
+    * a deterministic weighted sample of k via Gumbel top-k — argmax of
+    * (log w + Gumbel(0,1)) IS sampling ∝ w, and staying in LOG space
+    * sidesteps exp() overflow on corpus-scale ratio sums entirely.
+    *
+    * Per term: lr = ln((tf_tgt + 1)/(N_tgt + V)) − ln(tf_raw/N_raw)
+    * (add-one smoothing keeps target-absent terms finite; the raw side
+    * needs none — every observed term has tf_raw ≥ 1), fixed-pointed to
+    * floor(lr·2^20) BIGINT so the per-doc weight Σ count·lr_fp is an
+    * integer aggregation (commutative, partition-order-proof,
+    * oracle-exact). The Gumbel draw is md5-derived from the id (the
+    * weightedSample A-ES discipline — no RNG state), u ∈ (0,1) strictly:
+    * (hex+1)/2^32+1 so neither ln can hit 0 or −∞.
+    *
+    * Same local-vocabulary hybrid as [[unigramLogprobScore]]: the grouped
+    * (doc, term) counts are pinned once; the (term → lr_fp) table becomes
+    * a broadcast local relation when it fits, else the lazy multi-pass
+    * plan stands (the 100 TB fallback). Selection is orderBy+limit —
+    * TakeOrdered, no global sort. Zero-token docs cannot score and drop
+    * (both engines agree); documents keep (n_tok, w_fp, gumbel_fp,
+    * key_fp) so the weight decomposition is auditable.
+    */
+  def dsirResample(
+      docs: DataFrame,
+      isTarget: Column,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      localVocabThreshold: Int = 1 << 21): DataFrame = {
+    require(k > 0, s"dsirResample k must be positive, got $k")
+    val spark = docs.sparkSession
+    val td = Partitioning.spread(docs)
+      .select(col(idCol), isTarget.as("__tgt"), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .groupBy(col(idCol), col("__tgt"), col("__term"))
+      .agg(count(lit(1)).as("__c"))
+    val cached = td.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freq = cached.groupBy("__term").agg(
+        sum(col("__c")).as("__tr"),
+        sum(when(col("__tgt"), col("__c")).otherwise(lit(0L))).as("__tt"))
+      val head = freq.take(localVocabThreshold + 1)
+      val lr =
+        if (head.length <= localVocabThreshold) {
+          val nRaw = head.map(_.getLong(1)).sum // exact: Σ tf IS the token count
+          val nTgt = head.map(_.getLong(2)).sum
+          val v = head.length.toLong
+          val local = spark.createDataFrame(
+            spark.sparkContext.parallelize(head.toIndexedSeq, 1), freq.schema)
+          broadcast(local.select(col("__term"),
+            floor((log((col("__tt") + lit(1L)).cast("double") / lit(nTgt + v).cast("double")) -
+              log(col("__tr").cast("double") / lit(nRaw).cast("double"))) * lit(1048576L))
+              .cast("long").as("__lr_fp")))
+        } else {
+          val tot = freq.agg(sum(col("__tr")).as("__nr"), sum(col("__tt")).as("__nt"),
+            count(lit(1)).as("__v"))
+          freq.crossJoin(broadcast(tot)).select(col("__term"),
+            floor((log((col("__tt") + lit(1L)).cast("double") / (col("__nt") + col("__v")).cast("double")) -
+              log(col("__tr").cast("double") / col("__nr").cast("double"))) * lit(1048576L))
+              .cast("long").as("__lr_fp"))
+        }
+      val u = (TextOps.hexVal(md5(col(idCol).cast("string")), 8) + lit(1L))
+        .cast("double") / lit(4294967297.0)
+      cached.join(lr, Seq("__term"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as("n_tok"), sum(col("__c") * col("__lr_fp")).as("w_fp"))
+        .withColumn("gumbel_fp", floor(-log(-log(u)) * lit(1048576L)).cast("long"))
+        .withColumn("key_fp", col("w_fp") + col("gumbel_fp"))
+        .orderBy(col("key_fp").desc, col(idCol).asc)
+        .limit(k)
+    } finally cached.unpersist()
+  }
+
   /** Interpolated BIGRAM language-model score per document — one rung up
     * the n-gram ladder from [[unigramLogprobScore]] toward the
     * perplexity filters real curation stacks run: per bigram (c, n),

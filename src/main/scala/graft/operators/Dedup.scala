@@ -558,4 +558,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * the embedding-space sibling of the MinHash family): quantize the
+    * corpus onto `centroidDf`'s cells (broadcast argmin, the e3c/km1
+    * quantizer), compute pairwise cosine WITHIN cells only, and of every
+    * near-dup pair (cos ≥ threshold) drop the vector MORE similar to its
+    * cell centroid — the paper keeps the most atypical member of a
+    * duplicate family, preserving diversity. Dominance is the one-pass
+    * pairwise rule (lexicographic (c_sim, id), deterministic tie-break);
+    * the CC-exact family variant composes with Graph.connectedComponents
+    * (cc1) when whole-family resolution is needed.
+    *
+    * 100 TB shape: the quadratic pair step is BOUNDED per cell — cell
+    * count grows with the corpus (the paper runs √N cells), so per-cell
+    * membership and the within-cell join stay flat; cross-cell near-dups
+    * are unreachable BY CONTRACT (that is the recall/cost trade the
+    * technique is). Returns (idCol, cell, c_sim, dropped); zero vectors
+    * have NULL c_sim, never pair (NULL cos fails the threshold), and are
+    * never dropped.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorOps
+    val withSim = Similarity.assignCells(corpus, centroidDf, idCol, vecCol)
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(centroidDf), Seq("cell"))
+      .withColumn("c_sim", VectorOps.cosine(col(vecCol), col("centroid")))
+      .select(col(idCol), col("cell"), col(vecCol), col("c_sim"))
+    val lhs = withSim.select(col("cell"), col(idCol).as("a"),
+      col(vecCol).as("__va"), col("c_sim").as("__sa"))
+    val rhs = withSim.select(col("cell"), col(idCol).as("b"),
+      col(vecCol).as("__vb"), col("c_sim").as("__sb"))
+    val dropped = lhs.join(rhs, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(VectorOps.cosine(col("__va"), col("__vb")) >= lit(threshold))
+      .select(when(col("__sa") > col("__sb") ||
+          (col("__sa") === col("__sb") && col("a") > col("b")), col("a"))
+        .otherwise(col("b")).as(idCol))
+      .distinct()
+      .withColumn("dropped", lit(true))
+    withSim.select(col(idCol), col("cell"), col("c_sim"))
+      .join(dropped, Seq(idCol), "left")
+      .withColumn("dropped", coalesce(col("dropped"), lit(false)))
+  }
 }

@@ -322,4 +322,53 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("margin") == 0L)
     assert(out(0).getAs[Boolean]("predicted_keep"))
   }
+
+  test("dsirResample: weights match a local replay; selection is deterministic") {
+    val docs = Seq(
+      (1L, "ml training data pipeline", "en"),
+      (2L, "ml ml models training", "en"),
+      (3L, "der hund und die katze", "de"),
+      (4L, "la casa de la playa", "es"),
+      (5L, "training data for ml", "en"),
+      (6L, "und der baum und der wald", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.dsirResample(docs, col("lang") === "en", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got.length == 3)
+    // local replay of the weight arithmetic (same smoothing, same 2^20 floor)
+    val rows = Seq(
+      1L -> ("ml training data pipeline", true),
+      2L -> ("ml ml models training", true),
+      3L -> ("der hund und die katze", false),
+      4L -> ("la casa de la playa", false),
+      5L -> ("training data for ml", true),
+      6L -> ("und der baum und der wald", false))
+    val terms = rows.flatMap { case (id, (t, tgt)) => t.split(" ", -1).map(w => (id, tgt, w)) }
+    val tr = terms.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val tt = terms.filter(_._2).groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nRaw = terms.size.toLong
+    val nTgt = terms.count(_._2).toLong
+    val v = tr.size.toLong
+    val lrFp = tr.map { case (term, raw) =>
+      term -> math.floor((math.log((tt.getOrElse(term, 0L) + 1).toDouble / (nTgt + v)) -
+        math.log(raw.toDouble / nRaw)) * 1048576L).toLong
+    }
+    val wFp = rows.map { case (id, (t, _)) =>
+      id -> t.split(" ", -1).map(lrFp).sum
+    }.toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("w_fp") == wFp(r.getLong(0)), s"doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("key_fp") == r.getAs[Long]("w_fp") + r.getAs[Long]("gumbel_fp"))
+    }
+    // deterministic under repartition + rerun
+    val again = Curation.dsirResample(docs.repartition(5), col("lang") === "en", k = 3)
+      .orderBy("doc_id").collect()
+    assert(again.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq)
+    assert(again.map(_.getAs[Long]("key_fp")).toSeq == got.map(_.getAs[Long]("key_fp")).toSeq)
+    // k caps the sample; k must be positive
+    assert(Curation.dsirResample(docs, col("lang") === "en", k = 100).count() == 6)
+    intercept[IllegalArgumentException] {
+      Curation.dsirResample(docs, col("lang") === "en", k = 0)
+    }
+  }
 }

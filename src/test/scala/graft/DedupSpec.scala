@@ -151,4 +151,39 @@ class DedupSpec extends AnyFunSuite {
     val hamming = java.lang.Long.bitCount(byDoc(1L) ^ byDoc(4L))
     assert(hamming <= 8, s"near-dups should be close in simhash space, got $hamming")
   }
+
+  test("semanticDedup keeps the most atypical member of each near-dup pair") {
+    val centroids = Seq(
+      (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("cell", "centroid")
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // cell 0, c_sim = 1 (most typical)
+      (11L, Seq(0.95f, 0.3f, 0.0f, 0.0f)),  // cell 0, near-dup of 10, less typical
+      (12L, Seq(0.0f, 0.2f, 1.0f, 0.0f)),   // cell 0 or 1? → far from both dups
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // cell 1, typical
+      (21L, Seq(0.2f, 0.97f, 0.0f, 0.0f)),  // cell 1, near-dup of 20, less typical
+      (30L, Seq(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector: NULL c_sim, never drops
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(corpus, centroids, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    val dropped = out.filter(_.getAs[Boolean]("dropped")).map(_.getLong(0)).toSet
+    // in each pair the member MORE similar to its centroid drops
+    assert(dropped == Set(10L, 20L), s"got $dropped")
+    // zero vector survives with NULL c_sim
+    val zero = out.find(_.getLong(0) == 30L).get
+    assert(zero.isNullAt(zero.fieldIndex("c_sim")) && !zero.getAs[Boolean]("dropped"))
+    // blocking contract: a near-dup pair straddling two cells is unreachable
+    val straddle = Seq(
+      (40L, Seq(0.75f, 0.66f, 0.0f, 0.0f)),  // lands cell 0
+      (41L, Seq(0.66f, 0.75f, 0.0f, 0.0f))   // lands cell 1; cos(40,41) ≈ 0.98
+    ).toDF("vec_id", "embedding")
+    val s2 = Dedup.semanticDedup(straddle, centroids, threshold = 0.9).collect()
+    assert(s2.forall(!_.getAs[Boolean]("dropped")), "cross-cell pairs must not form")
+    assert(s2.map(_.getAs[Int]("cell")).toSet == Set(0, 1))
+    // partition invariance
+    val rep = Dedup.semanticDedup(corpus.repartition(7), centroids, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(rep.map(r => (r.getLong(0), r.getAs[Boolean]("dropped"))).toSeq ==
+      out.map(r => (r.getLong(0), r.getAs[Boolean]("dropped"))).toSeq)
+  }
 }
