@@ -710,6 +710,28 @@ object SparkEntry {
       .orderBy("gh")
   }
 
+  /** GH3 — geohash proximity join: every (customer, supplier) point pair
+    * within 0.15° at precision 4 (cell 0.352°×0.176° — dist ≤ both, the
+    * complete-recall precondition). Candidates = 9-key equi-join (cell +
+    * neighbors), refine = exact euclidean; the oracle is the UNFILTERED
+    * theta join on the identical distance chain, so the blocking must be
+    * invisible — the same ≡-brute-force discipline as j17/j19.
+    */
+  private def gh3(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val c = col("c_custkey"); val k = col("s_suppkey")
+    val cust = Tables.customer(s, d).select(c,
+      ((c * 131 % 3600).cast("double") / lit(10.0) - lit(180.0)).as("px"),
+      ((c * 89 % 1700).cast("double") / lit(10.0) - lit(85.0)).as("py"))
+    val supp = Tables.supplier(s, d).select(k,
+      ((k * 127 % 3600).cast("double") / lit(10.0) - lit(180.0) + lit(0.03)).as("qx"),
+      ((k * 83 % 1700).cast("double") / lit(10.0) - lit(85.0) + lit(0.04)).as("qy"))
+    SpatialOps.geohashProximityJoin(cust, col("px"), col("py"),
+        supp, col("qx"), col("qy"), precision = 4, dist = 0.15)
+      .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** S25 — JPEG-in-TIFF ingest (compression 7, TIFF Tech Note 2: the
     * profile real aerial-imagery GeoTIFF archives ship — r12 verdict
     * missing-item 4). Two scenes through the strip walk: a 3-strip
@@ -5515,6 +5537,7 @@ object SparkEntry {
     "j20_nearest_join" -> (j20 _),
     "gh1_geohash_bucket" -> (gh1 _),
     "gh2_geohash_cells" -> (gh2 _),
+    "gh3_proximity_join" -> (gh3 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
@@ -6144,6 +6167,21 @@ object SparkEntry {
          |  min(xmax0) AS xmax, min(ymax0) AS ymax
          |FROM h GROUP BY gh5 ORDER BY gh""".stripMargin
     },
+    // gh3: the unfiltered theta join on the identical euclidean chain —
+    // the 9-key geohash blocking must be invisible (complete recall at
+    // dist ≤ cell dimension).
+    "gh3_proximity_join" ->
+      """WITH cust AS (SELECT c_custkey,
+        |  (CAST((c_custkey * 131) % 3600 AS DOUBLE) / 10.0) - 180.0 AS px,
+        |  (CAST((c_custkey * 89) % 1700 AS DOUBLE) / 10.0) - 85.0 AS py FROM customer),
+        |supp AS (SELECT s_suppkey,
+        |  ((CAST((s_suppkey * 127) % 3600 AS DOUBLE) / 10.0) - 180.0) + 0.03 AS qx,
+        |  ((CAST((s_suppkey * 83) % 1700 AS DOUBLE) / 10.0) - 85.0) + 0.04 AS qy FROM supplier)
+        |SELECT c_custkey, s_suppkey,
+        |  (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+        |FROM cust JOIN supp
+        |  ON (px - qx) * (px - qx) + (py - qy) * (py - qy) <= 0.15 * 0.15
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     // g23: the exact ellipsoidal zone closed form — the engine's
     // trapezoidal edge sum collapses to Δλ·(b²/2)·(F(φ2)−F(φ1)) on
     // parallel/meridian quads; constants interpolated so both engines

@@ -781,6 +781,51 @@ object SpatialOps {
       _.isNotNull)
   }
 
+  /** Geohash PROXIMITY join: all (left, right) point pairs within
+    * coordinate distance `dist`. Candidates come from a 9-key equi-join —
+    * left keyed by its own cell, right exploded to its cell plus the 8
+    * neighbors — then the exact euclidean refine. COMPLETE RECALL proof:
+    * with dist ≤ one cell dimension on each axis, |Δlon| ≤ cellW and
+    * |Δlat| ≤ cellH imply the quantized coordinates differ by at most 1
+    * (with the date-line wrap the neighbor set already carries), so the
+    * left cell is always in the right point's 9-set; `require` enforces
+    * that precondition instead of silently dropping pairs. Each pair
+    * matches EXACTLY one key (the 9 cells are distinct) — no DISTINCT
+    * pass needed. Date-line neighbor candidates whose true coordinate
+    * distance exceeds dist simply fail the refine.
+    *
+    * 100 TB shape: one shuffle per side on a short string key (right side
+    * ×9 rows), partition-bounded candidates (cell occupancy), zero
+    * windows — the standard distributed proximity join; precision picks
+    * the cell/`dist` ratio and thus the candidate density.
+    *
+    * Caller contract: the four coordinate Columns must reference
+    * disjointly-named columns of their frames (both survive the join).
+    */
+  def geohashProximityJoin(
+      left: org.apache.spark.sql.DataFrame, lonL: Column, latL: Column,
+      right: org.apache.spark.sql.DataFrame, lonR: Column, latR: Column,
+      precision: Int, dist: Double): org.apache.spark.sql.DataFrame = {
+    val (_, nLon, nLat) = ghWidths(precision)
+    val cellW = 360.0 / (1L << nLon)
+    val cellH = 180.0 / (1L << nLat)
+    require(dist > 0 && dist <= math.min(cellW, cellH),
+      s"complete recall requires 0 < dist <= min cell dimension " +
+        s"($cellW x $cellH at precision $precision), got $dist")
+    val l = left.withColumn("__gh", geohash(lonL, latL, precision))
+    val r = right
+      .withColumn("__gh0", geohash(lonR, latR, precision))
+      .withColumn("__gh", explode(concat(
+        array(col("__gh0")), geohashNeighbors(col("__gh0"), precision))))
+      .drop("__gh0")
+    val dx = lonL - lonR
+    val dy = latL - latR
+    l.join(r, Seq("__gh"))
+      .withColumn("d2", dx * dx + dy * dy)
+      .filter(col("d2") <= lit(dist * dist))
+      .drop("__gh")
+  }
+
   /** J6 — point-in-pixel spatial join: derive integer cell keys on the
     * point side, then equi-join against the pixel table. Broadcast-free,
     * shuffle-on-ints; Catalyst can still broadcast the small side.

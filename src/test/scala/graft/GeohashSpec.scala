@@ -135,6 +135,31 @@ class GeohashSpec extends AnyFunSuite {
     assert(dfErr.getMessage != null)
   }
 
+  test("proximity join equals the brute-force theta join (complete recall)") {
+    // clustered modular points so pairs straddle cell boundaries
+    val lpts = (1 to 300).map { i =>
+      (i.toLong, ((i * 53) % 900) / 25.0 - 18.0, ((i * 31) % 400) / 25.0 - 8.0)
+    }.toDF("lid", "px", "py")
+    val rpts = (1 to 200).map { i =>
+      (i.toLong, ((i * 47) % 900) / 25.0 - 18.0 + 0.01, ((i * 29) % 400) / 25.0 - 8.0 + 0.02)
+    }.toDF("rid", "qx", "qy")
+    // precision 5: cell 0.0439x0.0439 -> dist must be <= that
+    val d = 0.04
+    val got = SpatialOps.geohashProximityJoin(
+        lpts, $"px", $"py", rpts, $"qx", $"qy", precision = 5, dist = d)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = lpts.join(rpts,
+        ($"px" - $"qx") * ($"px" - $"qx") + ($"py" - $"qy") * ($"py" - $"qy") <= lit(d * d))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(brute.nonEmpty, "fixture must produce matches")
+    // fail-closed: dist beyond one cell dimension would lose pairs
+    intercept[IllegalArgumentException] {
+      SpatialOps.geohashProximityJoin(
+        lpts, $"px", $"py", rpts, $"qx", $"qy", precision = 5, dist = 0.05)
+    }
+  }
+
   test("SQL surface: st_geohash / st_geohash_bbox / st_geohash_neighbors") {
     GraftFunctions.register(spark)
     val r = spark.sql(
