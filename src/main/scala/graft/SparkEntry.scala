@@ -460,7 +460,7 @@ object SparkEntry {
     * the j16 fixture family: its bbox genuinely over-approximates (notch +
     * hole), so refine does real work. All coordinates dyadic-exact.
     */
-  private def arrowWkt(k: Column, withHole: Boolean): Column = {
+  private[graft] def arrowWkt(k: Column, withHole: Boolean): Column = {
     val x0 = (k % 90).cast("double"); val y0 = (k % 80).cast("double")
     val w = (k % 5 + 4).cast("double"); val h = (k % 7 + 4).cast("double")
     def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))

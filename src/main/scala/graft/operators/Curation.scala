@@ -458,13 +458,21 @@ object Curation {
     * weightedSample A-ES discipline — no RNG state), u ∈ (0,1) strictly:
     * (hex+1)/2^32+1 so neither ln can hit 0 or −∞.
     *
-    * Same local-vocabulary hybrid as [[unigramLogprobScore]]: the grouped
-    * (doc, term) counts are pinned once; the (term → lr_fp) table becomes
-    * a broadcast local relation when it fits, else the lazy multi-pass
-    * plan stands (the 100 TB fallback). Selection is orderBy+limit —
-    * TakeOrdered, no global sort. Zero-token docs cannot score and drop
-    * (both engines agree); documents keep (n_tok, w_fp, gumbel_fp,
-    * key_fp) so the weight decomposition is auditable.
+    * Plan shape: TWO independent corpus passes, no persist — the
+    * frequency pass aggregates straight to (term, tf_raw, tf_tgt) (the
+    * vocabulary, tiny), and the weight pass joins token rows to the
+    * broadcast lr table and sums per doc (Σ_tokens lr_fp ≡ Σ_terms
+    * count·lr_fp, so no intermediate (doc, term) grouping exists at all).
+    * The first dsir cut pinned a (doc,tgt,term) count table with the lm1
+    * persist hybrid; the ~sf1/sf2 probe measured that shape SUPERLINEAR
+    * (2.78× wall at 2× tokens — cache materialization + an extra 2.5M-row
+    * shuffle per action), while two plain scans are linear and strictly
+    * cheaper at every scale. When the vocabulary exceeds the local
+    * threshold the lr table stays distributed (the 100 TB fallback).
+    * Selection is orderBy+limit — TakeOrdered, no global sort.
+    * Zero-token docs cannot score and drop (both engines agree);
+    * documents keep (n_tok, w_fp, gumbel_fp, key_fp) so the weight
+    * decomposition is auditable.
     */
   def dsirResample(
       docs: DataFrame,
@@ -475,45 +483,42 @@ object Curation {
       localVocabThreshold: Int = 1 << 21): DataFrame = {
     require(k > 0, s"dsirResample k must be positive, got $k")
     val spark = docs.sparkSession
-    val td = Partitioning.spread(docs)
-      .select(col(idCol), isTarget.as("__tgt"), explode(TextOps.tokens(col(textCol))).as("__term"))
-      .groupBy(col(idCol), col("__tgt"), col("__term"))
-      .agg(count(lit(1)).as("__c"))
-    val cached = td.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val freq = cached.groupBy("__term").agg(
-        sum(col("__c")).as("__tr"),
-        sum(when(col("__tgt"), col("__c")).otherwise(lit(0L))).as("__tt"))
-      val head = freq.take(localVocabThreshold + 1)
-      val lr =
-        if (head.length <= localVocabThreshold) {
-          val nRaw = head.map(_.getLong(1)).sum // exact: Σ tf IS the token count
-          val nTgt = head.map(_.getLong(2)).sum
-          val v = head.length.toLong
-          val local = spark.createDataFrame(
-            spark.sparkContext.parallelize(head.toIndexedSeq, 1), freq.schema)
-          broadcast(local.select(col("__term"),
-            floor((log((col("__tt") + lit(1L)).cast("double") / lit(nTgt + v).cast("double")) -
-              log(col("__tr").cast("double") / lit(nRaw).cast("double"))) * lit(1048576L))
-              .cast("long").as("__lr_fp")))
-        } else {
-          val tot = freq.agg(sum(col("__tr")).as("__nr"), sum(col("__tt")).as("__nt"),
-            count(lit(1)).as("__v"))
-          freq.crossJoin(broadcast(tot)).select(col("__term"),
-            floor((log((col("__tt") + lit(1L)).cast("double") / (col("__nt") + col("__v")).cast("double")) -
-              log(col("__tr").cast("double") / col("__nr").cast("double"))) * lit(1048576L))
-              .cast("long").as("__lr_fp"))
-        }
-      val u = (TextOps.hexVal(md5(col(idCol).cast("string")), 8) + lit(1L))
-        .cast("double") / lit(4294967297.0)
-      cached.join(lr, Seq("__term"))
-        .groupBy(col(idCol))
-        .agg(sum(col("__c")).as("n_tok"), sum(col("__c") * col("__lr_fp")).as("w_fp"))
-        .withColumn("gumbel_fp", floor(-log(-log(u)) * lit(1048576L)).cast("long"))
-        .withColumn("key_fp", col("w_fp") + col("gumbel_fp"))
-        .orderBy(col("key_fp").desc, col(idCol).asc)
-        .limit(k)
-    } finally cached.unpersist()
+    val freq = Partitioning.spread(docs)
+      .select(isTarget.as("__tgt"), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .groupBy("__term").agg(
+        count(lit(1)).as("__tr"),
+        count(when(col("__tgt"), lit(1))).as("__tt"))
+    val head = freq.take(localVocabThreshold + 1)
+    val lr =
+      if (head.length <= localVocabThreshold) {
+        val nRaw = head.map(_.getLong(1)).sum // exact: Σ tf IS the token count
+        val nTgt = head.map(_.getLong(2)).sum
+        val v = head.length.toLong
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(head.toIndexedSeq, 1), freq.schema)
+        broadcast(local.select(col("__term"),
+          floor((log((col("__tt") + lit(1L)).cast("double") / lit(nTgt + v).cast("double")) -
+            log(col("__tr").cast("double") / lit(nRaw).cast("double"))) * lit(1048576L))
+            .cast("long").as("__lr_fp")))
+      } else {
+        val tot = freq.agg(sum(col("__tr")).as("__nr"), sum(col("__tt")).as("__nt"),
+          count(lit(1)).as("__v"))
+        freq.crossJoin(broadcast(tot)).select(col("__term"),
+          floor((log((col("__tt") + lit(1L)).cast("double") / (col("__nt") + col("__v")).cast("double")) -
+            log(col("__tr").cast("double") / col("__nr").cast("double"))) * lit(1048576L))
+            .cast("long").as("__lr_fp"))
+      }
+    val u = (TextOps.hexVal(md5(col(idCol).cast("string")), 8) + lit(1L))
+      .cast("double") / lit(4294967297.0)
+    Partitioning.spread(docs)
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__term"))
+      .join(lr, Seq("__term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum(col("__lr_fp")).as("w_fp"))
+      .withColumn("gumbel_fp", floor(-log(-log(u)) * lit(1048576L)).cast("long"))
+      .withColumn("key_fp", col("w_fp") + col("gumbel_fp"))
+      .orderBy(col("key_fp").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** Interpolated BIGRAM language-model score per document — one rung up
