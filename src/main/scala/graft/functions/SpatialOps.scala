@@ -781,6 +781,53 @@ object SpatialOps {
       _.isNotNull)
   }
 
+  /** Geohash COVER: explode each input polygon into every precision-p
+    * cell whose rectangle intersects the polygon REGION (closed; a cell
+    * strictly inside a hole is correctly excluded — the overlap test is
+    * the exact ringsIntersectPolys kernel, not an envelope check). This
+    * is the tiling primitive behind geohash-partitioned spatial stores:
+    * the cover is the pruning predicate (`cell IN cover`) that lets a
+    * 100 TB store ship only the row groups whose cell keys a query's
+    * geometry touches, and the write-side bucketing key that co-locates
+    * features with the raster/vector tiles they overlap.
+    *
+    * Plan: envelope → quantized cell index ranges (two nested sequence
+    * explodes, candidate count = envelope area in cells) → exact
+    * rect-vs-rings refine per candidate ([[GeomPredExprs.ringsIntersect]],
+    * a single static-kernel call) → base32 id. All per-row generator
+    * work, zero shuffles.
+    *
+    * Returns one row per (input row, covering cell), `outCol` = cell id.
+    */
+  def geohashCoverCells(
+      df: org.apache.spark.sql.DataFrame,
+      ringsCol: String,
+      precision: Int,
+      outCol: String = "gh"): org.apache.spark.sql.DataFrame = {
+    val (_, nLon, nLat) = ghWidths(precision)
+    val env = ringsEnvelope(col(ringsCol))
+    def edge(v: Column, k: Int, span: Double, offset: Double) =
+      v.cast("double") / lit((1L << k).toDouble) * lit(span) - lit(offset)
+    val xmin = edge(col("__lq"), nLon, 360.0, 180.0)
+    val xmax = edge(col("__lq") + lit(1L), nLon, 360.0, 180.0)
+    val ymin = edge(col("__tq"), nLat, 180.0, 90.0)
+    val ymax = edge(col("__tq") + lit(1L), nLat, 180.0, 90.0)
+    val rect = array(array(
+      struct(xmin.as("x"), ymin.as("y")), struct(xmax.as("x"), ymin.as("y")),
+      struct(xmax.as("x"), ymax.as("y")), struct(xmin.as("x"), ymax.as("y")),
+      struct(xmin.as("x"), ymin.as("y"))))
+    df
+      .withColumn("__lq", explode(sequence(
+        ghQuant(env.getField("xmin"), 180.0, 360.0, nLon),
+        ghQuant(env.getField("xmax"), 180.0, 360.0, nLon))))
+      .withColumn("__tq", explode(sequence(
+        ghQuant(env.getField("ymin"), 90.0, 180.0, nLat),
+        ghQuant(env.getField("ymax"), 90.0, 180.0, nLat))))
+      .filter(GeomPredExprs.ringsIntersect(rect, col(ringsCol)))
+      .withColumn(outCol, GeohashExprs.encodeCol(col("__lq"), col("__tq"), precision))
+      .drop("__lq", "__tq")
+  }
+
   /** Geohash PROXIMITY join: all (left, right) point pairs within
     * coordinate distance `dist`. Candidates come from a 9-key equi-join —
     * left keyed by its own cell, right exploded to its cell plus the 8

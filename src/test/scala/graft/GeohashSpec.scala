@@ -160,6 +160,52 @@ class GeohashSpec extends AnyFunSuite {
     }
   }
 
+  test("cover: exact region tiling — hole interiors excluded, refine ⊂ envelope") {
+    import graft.functions.GeomPredExprs
+    // a 3x3 square with a 1.8x1.8 hole, in cell units at precision 5
+    // (cell 0.0439x0.0439): hole fits ~40 whole cells that must drop
+    val cw = 360.0 / 8192  // p=5 lon cell
+    val ch = 180.0 / 4096  // p=5 lat cell
+    val (x0, y0) = (10.0, 20.0)
+    val (w, h) = (68.0 * cw, 68.0 * ch)
+    val hx0 = x0 + 14.0 * cw; val hy0 = y0 + 14.0 * ch
+    val wkt = s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0), " +
+      s"($hx0 $hy0, $hx0 ${hy0 + 40 * ch}, ${hx0 + 40 * cw} ${hy0 + 40 * ch}, ${hx0 + 40 * cw} $hy0, $hx0 $hy0))"
+    val df = Seq((1L, wkt)).toDF("id", "wkt")
+      .select($"id", SpatialOps.wktRings($"wkt").as("r"))
+    val cover = SpatialOps.geohashCoverCells(df, "r", precision = 5)
+    val cells = cover.select("gh").as[String].collect()
+    assert(cells.nonEmpty && cells.distinct.length == cells.length)
+    // every covering cell's rect truly intersects the region (re-verified
+    // independently through the kernel on the decoded bbox)
+    val reverify = cover
+      .withColumn("b", SpatialOps.geohashBbox($"gh", 5))
+      .withColumn("rect", {
+        val b = SpatialOps.geohashBbox($"gh", 5)
+        array(array(
+          struct(b.getField("xmin").as("x"), b.getField("ymin").as("y")),
+          struct(b.getField("xmax").as("x"), b.getField("ymin").as("y")),
+          struct(b.getField("xmax").as("x"), b.getField("ymax").as("y")),
+          struct(b.getField("xmin").as("x"), b.getField("ymax").as("y")),
+          struct(b.getField("xmin").as("x"), b.getField("ymin").as("y"))))
+      })
+      .filter(!GeomPredExprs.ringsIntersect($"rect", $"r"))
+    assert(reverify.count() == 0, "every cover cell must intersect the region")
+    // the hole's strict interior cells are NOT covered: a cell whose rect
+    // lies fully inside the hole must be absent
+    val holeCellGh = Seq((hx0 + 20 * cw, hy0 + 20 * ch)).toDF("lon", "lat")
+      .select(SpatialOps.geohash($"lon", $"lat", 5)).head.getString(0)
+    assert(!cells.contains(holeCellGh), "cell inside the hole must be excluded")
+    // and the refine is strictly tighter than the envelope tiling
+    val envCells = (68 + 1) * (68 + 1) // upper bound on envelope cells
+    assert(cells.length < envCells, s"refine must drop hole cells (${cells.length})")
+    // a solid square of the same outline covers strictly more cells
+    val solid = Seq((1L, s"POLYGON (($x0 $y0, ${x0 + w} $y0, ${x0 + w} ${y0 + h}, $x0 ${y0 + h}, $x0 $y0))"))
+      .toDF("id", "wkt").select($"id", SpatialOps.wktRings($"wkt").as("r"))
+    val solidCount = SpatialOps.geohashCoverCells(solid, "r", precision = 5).count()
+    assert(solidCount > cells.length, "hole must remove interior cells")
+  }
+
   test("SQL surface: st_geohash / st_geohash_bbox / st_geohash_neighbors") {
     GraftFunctions.register(spark)
     val r = spark.sql(
