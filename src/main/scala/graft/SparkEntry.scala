@@ -732,6 +732,43 @@ object SparkEntry {
       .orderBy("c_custkey", "s_suppkey")
   }
 
+  /** TRAJ1 — per-user trajectory statistics over the event stream: order
+    * each user's derived lon/lat points by (ts, event_id), sum the
+    * per-step great-circle distances (per-row fixed-point floors so the
+    * sum is an integer aggregation — order-proof), measure net
+    * displacement first→last (lexicographic min/max struct — no second
+    * window), and the visited bbox. The moving-object analytics a
+    * spatial event pipeline runs (total distance vs displacement =
+    * tortuosity; bbox = coverage). One window + one aggregation, both
+    * partitioned by user — no global sort anywhere.
+    */
+  private def traj1(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val ev = col("event_id")
+    val pts = Tables.events(s, d).select(col("user_id"), col("ts"), ev,
+      ((ev * 37 % 3000).cast("double") / lit(100.0) - lit(15.0)).as("lon"),
+      ((ev * 53 % 2000).cast("double") / lit(100.0) + lit(40.0)).as("lat"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    pts
+      .withColumn("plon", lag("lon", 1).over(w))
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("step_fp", when(col("plon").isNull, lit(0L)).otherwise(
+        floor(SpatialOps.pointDistGeodesic(col("plon"), col("plat"), col("lon"), col("lat"))
+          * lit(1024.0)).cast("long")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("step_fp")).as("path_fp"),
+        min(struct(col("ts"), col("event_id"), col("lon"), col("lat"))).as("__f"),
+        max(struct(col("ts"), col("event_id"), col("lon"), col("lat"))).as("__l"),
+        min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+        min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+      .select(col("user_id"), col("n_points"), col("path_fp"),
+        floor(SpatialOps.pointDistGeodesic(col("__f.lon"), col("__f.lat"),
+          col("__l.lon"), col("__l.lat")) * lit(1024.0)).cast("long").as("disp_fp"),
+        col("lon_min"), col("lon_max"), col("lat_min"), col("lat_max"))
+      .orderBy("user_id")
+  }
+
   /** GH4 — geohash cover census: tile every supplier arrow (hole
     * included) with the precision-4 cells its REGION touches — the
     * pruning/bucketing primitive of a geohash-partitioned store. Census
@@ -5560,6 +5597,7 @@ object SparkEntry {
     "gh2_geohash_cells" -> (gh2 _),
     "gh3_proximity_join" -> (gh3 _),
     "gh4_geohash_cover" -> (gh4 _),
+    "traj1_user_paths" -> (traj1 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
@@ -6204,6 +6242,42 @@ object SparkEntry {
         |FROM cust JOIN supp
         |  ON (px - qx) * (px - qx) + (py - qy) * (py - qy) <= 0.15 * 0.15
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    // traj1: the same lag window, the g12 haversine chain per step
+    // (per-row fixed-point floors → integer sums), first/last via
+    // deterministic row_number ranks (≡ the min/max struct pick — the
+    // (ts, event_id) key is a total order).
+    "traj1_user_paths" -> {
+      val d2r = math.Pi / 180.0
+      val r2 = 2.0 * functions.SpatialOps.Wgs84AuthalicRadius
+      def hav(xa: String, ya: String, xb: String, yb: String) =
+        s"$r2 * asin(sqrt(sin(($yb * $d2r - $ya * $d2r) / 2.0) * " +
+          s"sin(($yb * $d2r - $ya * $d2r) / 2.0) + cos($ya * $d2r) * cos($yb * $d2r) * " +
+          s"sin(($xb * $d2r - $xa * $d2r) / 2.0) * sin(($xb * $d2r - $xa * $d2r) / 2.0)))"
+      s"""WITH pts AS (SELECT user_id, ts, event_id,
+         |  (CAST((event_id * 37) % 3000 AS DOUBLE) / 100.0) - 15.0 AS lon,
+         |  (CAST((event_id * 53) % 2000 AS DOUBLE) / 100.0) + 40.0 AS lat FROM events),
+         |seg AS (SELECT user_id, ts, event_id, lon, lat,
+         |  lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon,
+         |  lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM pts),
+         |st AS (SELECT user_id, lon, lat, rn_a, rn_d,
+         |  CASE WHEN plon IS NULL THEN 0
+         |       ELSE CAST(floor((${hav("plon", "plat", "lon", "lat")}) * 1024.0) AS BIGINT)
+         |  END AS step_fp FROM seg),
+         |agg AS (SELECT user_id, count(*) AS n_points,
+         |  CAST(sum(step_fp) AS BIGINT) AS path_fp,
+         |  min(lon) AS lon_min, max(lon) AS lon_max,
+         |  min(lat) AS lat_min, max(lat) AS lat_max FROM st GROUP BY user_id)
+         |SELECT a.user_id, a.n_points, a.path_fp,
+         |  CAST(floor((${hav("f.lon", "f.lat", "l.lon", "l.lat")}) * 1024.0) AS BIGINT) AS disp_fp,
+         |  a.lon_min, a.lon_max, a.lat_min, a.lat_max
+         |FROM agg a
+         |JOIN st f ON f.user_id = a.user_id AND f.rn_a = 1
+         |JOIN st l ON l.user_id = a.user_id AND l.rn_d = 1
+         |ORDER BY a.user_id""".stripMargin
+    },
     // gh4: the cover replayed symbolically — envelope quantization (the
     // mirrored float chain), lateral cell generation, and the EXACT
     // rect-vs-polygon overlap (36 segment-pair orientation tests + both

@@ -419,6 +419,20 @@ object SpatialOps {
             asin(sqrt(sdp * sdp + cos(phi1) * cos(phi2) * sdl * sdl))
         })))
 
+  /** Great-circle distance in m between two lon/lat points — the SAME
+    * haversine chain as [[ringsPerimeterGeodesic]]'s per-segment term
+    * (authalic-sphere radius, identical op order), exposed for point
+    * pairs: trajectory steps, displacement, nearest-station queries.
+    */
+  def pointDistGeodesic(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val phi1 = lat1 * lit(Deg2Rad)
+    val phi2 = lat2 * lit(Deg2Rad)
+    val sdp = sin((phi2 - phi1) / lit(2.0))
+    val sdl = sin((lon2 * lit(Deg2Rad) - lon1 * lit(Deg2Rad)) / lit(2.0))
+    lit(2.0 * Wgs84AuthalicRadius) *
+      asin(sqrt(sdp * sdp + cos(phi1) * cos(phi2) * sdl * sdl))
+  }
+
   // ---- ellipsoidal measures (r13) ----
   //
   // The authalic-sphere forms above are ellipsoid-consistent to ~0.1%

@@ -634,4 +634,24 @@ class SpatialOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(n == Seq(3L))
   }
+
+  test("pointDistGeodesic: closed-form anchors and perimeter consistency") {
+    val r = SpatialOps.Wgs84AuthalicRadius
+    def dist(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+      Seq((lon1, lat1, lon2, lat2)).toDF("a", "b", "c", "d")
+        .select(SpatialOps.pointDistGeodesic($"a", $"b", $"c", $"d")).head.getDouble(0)
+    // 1° of longitude along the equator = 2πR/360 exactly
+    assert(math.abs(dist(0, 0, 1, 0) - 2 * math.Pi * r / 360) < 1e-6)
+    // 1° of latitude along any meridian = the same arc on a sphere
+    assert(math.abs(dist(20, 10, 20, 11) - 2 * math.Pi * r / 360) < 1e-6)
+    // pole-to-pole = half circumference; zero distance; symmetry
+    assert(math.abs(dist(0, -90, 0, 90) - math.Pi * r) < 1e-6)
+    assert(dist(5, 5, 5, 5) == 0.0)
+    assert(dist(3, 4, 7, 9) == dist(7, 9, 3, 4))
+    // consistency: a 2-point "ring" walked out and back equals 2× the
+    // point distance through the ringsPerimeterGeodesic fold
+    val viaRings = Seq("LINESTRING (3 4, 7 9, 3 4)").toDF("g")
+      .select(SpatialOps.wktPerimeterGeodesic($"g")).head.getDouble(0)
+    assert(math.abs(viaRings - 2 * dist(3, 4, 7, 9)) < 1e-9)
+  }
 }
