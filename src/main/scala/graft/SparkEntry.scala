@@ -779,14 +779,14 @@ object SparkEntry {
     * representative-vertex containments symbolically).
     */
   private def gh4(s: SparkSession, d: String) = {
-    import graft.functions.{GeohashExprs, SpatialOps}
+    import graft.functions.SpatialOps
     val polys = Tables.supplier(s, d).select(col("s_suppkey"),
       SpatialOps.wktRings(arrowWkt(col("s_suppkey"), withHole = true)).as("_r"))
-    SpatialOps.geohashCoverCells(polys, "_r", precision = 4)
+    SpatialOps.geohashCoverCells(polys, "_r", precision = 4, packedCol = Some("pq"))
       .groupBy("s_suppkey")
       .agg(count(lit(1)).as("n_cells"),
         min(col("gh")).as("gh_min"), max(col("gh")).as("gh_max"),
-        sum(GeohashExprs.quantsCol(col("gh"), 4)).as("cells_fp"))
+        sum(col("pq")).as("cells_fp"))
       .orderBy("s_suppkey")
   }
 

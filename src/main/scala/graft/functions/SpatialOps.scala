@@ -404,20 +404,15 @@ object SpatialOps {
   def ringsAreaGeodesic(rings: Column): Column =
     abs(ringsCrossGeodesic(rings)) * lit(Wgs84AuthalicRadius * Wgs84AuthalicRadius / 2.0)
 
-  /** Geodesic boundary length in m (great-circle haversine per segment). */
+  /** Geodesic boundary length in m (great-circle haversine per segment —
+    * each term IS [[pointDistGeodesic]], one definition, no drift). */
   def ringsPerimeterGeodesic(rings: Column): Column =
     aggregate(rings, lit(0.0), (acc, pts) =>
       acc + when(size(pts) < 2, lit(0.0)).otherwise(
-        aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) => {
-          val phi1 = element_at(pts, i).getField("y") * lit(Deg2Rad)
-          val phi2 = element_at(pts, i + 1).getField("y") * lit(Deg2Rad)
-          val lam1 = element_at(pts, i).getField("x") * lit(Deg2Rad)
-          val lam2 = element_at(pts, i + 1).getField("x") * lit(Deg2Rad)
-          val sdp = sin((phi2 - phi1) / lit(2.0))
-          val sdl = sin((lam2 - lam1) / lit(2.0))
-          a + lit(2.0 * Wgs84AuthalicRadius) *
-            asin(sqrt(sdp * sdp + cos(phi1) * cos(phi2) * sdl * sdl))
-        })))
+        aggregate(sequence(lit(1), size(pts) - 1), lit(0.0), (a, i) =>
+          a + pointDistGeodesic(
+            element_at(pts, i).getField("x"), element_at(pts, i).getField("y"),
+            element_at(pts, i + 1).getField("x"), element_at(pts, i + 1).getField("y")))))
 
   /** Great-circle distance in m between two lon/lat points — the SAME
     * haversine chain as [[ringsPerimeterGeodesic]]'s per-segment term
@@ -811,13 +806,17 @@ object SpatialOps {
     * a single static-kernel call) → base32 id. All per-row generator
     * work, zero shuffles.
     *
-    * Returns one row per (input row, covering cell), `outCol` = cell id.
+    * Returns one row per (input row, covering cell), `outCol` = cell id;
+    * `packedCol` optionally also emits the packed (lonQ<<31)|latQ integer
+    * so set-fingerprint consumers need not re-parse the id they were
+    * rendered from.
     */
   def geohashCoverCells(
       df: org.apache.spark.sql.DataFrame,
       ringsCol: String,
       precision: Int,
-      outCol: String = "gh"): org.apache.spark.sql.DataFrame = {
+      outCol: String = "gh",
+      packedCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val (_, nLon, nLat) = ghWidths(precision)
     val env = ringsEnvelope(col(ringsCol))
     def edge(v: Column, k: Int, span: Double, offset: Double) =
@@ -839,6 +838,8 @@ object SpatialOps {
         ghQuant(env.getField("ymax"), 90.0, 180.0, nLat))))
       .filter(GeomPredExprs.ringsIntersect(rect, col(ringsCol)))
       .withColumn(outCol, GeohashExprs.encodeCol(col("__lq"), col("__tq"), precision))
+      .transform(d => packedCol.fold(d)(p =>
+        d.withColumn(p, shiftleft(col("__lq"), 31).bitwiseOR(col("__tq")))))
       .drop("__lq", "__tq")
   }
 
@@ -870,9 +871,17 @@ object SpatialOps {
     val (_, nLon, nLat) = ghWidths(precision)
     val cellW = 360.0 / (1L << nLon)
     val cellH = 180.0 / (1L << nLat)
-    require(dist > 0 && dist <= math.min(cellW, cellH),
-      s"complete recall requires 0 < dist <= min cell dimension " +
-        s"($cellW x $cellH at precision $precision), got $dist")
+    // Strictly below one cell dimension, with a 1e-9 relative margin: the
+    // recall proof is real-arithmetic, but the quantizer computes
+    // floor(fl(fl((v+off)/span)·2^k)) with ~1 ulp of noise — at dist
+    // EXACTLY equal to the cell size, two points straddling boundaries
+    // can quantize 2 rows apart and the pair would silently vanish. The
+    // margin dwarfs the fl error (≤ ~2^-50 relative) while rejecting the
+    // boundary-unsafe request loudly.
+    val cap = math.min(cellW, cellH) * (1.0 - 1e-9)
+    require(dist > 0 && dist <= cap,
+      s"complete recall requires 0 < dist < min cell dimension " +
+        s"($cellW x $cellH at precision $precision, 1e-9 safety margin), got $dist")
     val l = left.withColumn("__gh", geohash(lonL, latL, precision))
     val r = right
       .withColumn("__gh0", geohash(lonR, latR, precision))

@@ -488,9 +488,15 @@ object Curation {
       .groupBy("__term").agg(
         count(lit(1)).as("__tr"),
         count(when(col("__tgt"), lit(1))).as("__tt"))
-    val head = freq.take(localVocabThreshold + 1)
+    // Branch on a SCALAR vocabulary count first: deciding via
+    // take(threshold+1) would ship up to 2M aggregated rows to the driver
+    // (hundreds of MB at corpus-scale vocabularies) just to measure the
+    // length. The local path pays one extra linear pass for the count —
+    // the price of never pulling an unbounded result to the driver.
+    val vocabSize = freq.count()
     val lr =
-      if (head.length <= localVocabThreshold) {
+      if (vocabSize <= localVocabThreshold) {
+        val head = freq.take(localVocabThreshold)
         val nRaw = head.map(_.getLong(1)).sum // exact: Σ tf IS the token count
         val nTgt = head.map(_.getLong(2)).sum
         val v = head.length.toLong

@@ -574,9 +574,13 @@ object Dedup {
     * count grows with the corpus (the paper runs √N cells), so per-cell
     * membership and the within-cell join stay flat; cross-cell near-dups
     * are unreachable BY CONTRACT (that is the recall/cost trade the
-    * technique is). Returns (idCol, cell, c_sim, dropped); zero vectors
-    * have NULL c_sim, never pair (NULL cos fails the threshold), and are
-    * never dropped.
+    * technique is). The assignment subtree is referenced THREE times in
+    * the lazy plan (pair left, pair right, output spine) — deliberate:
+    * three linear argmin scans beat persisting a corpus-sized
+    * (id, vector, cell) intermediate at 100 TB, and the minimum for
+    * pairwise semantics without a cache is exactly three. Returns
+    * (idCol, cell, c_sim, dropped); zero vectors have NULL c_sim, never
+    * pair (NULL cos fails the threshold), and are never dropped.
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -585,8 +589,7 @@ object Dedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorOps
-    val withSim = Similarity.assignCells(corpus, centroidDf, idCol, vecCol)
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val withSim = Similarity.assignCellsKeepVec(corpus, centroidDf, idCol, vecCol)
       .join(broadcast(centroidDf), Seq("cell"))
       .withColumn("c_sim", VectorOps.cosine(col(vecCol), col("centroid")))
       .select(col(idCol), col("cell"), col(vecCol), col("c_sim"))

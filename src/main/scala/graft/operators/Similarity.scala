@@ -344,6 +344,18 @@ object Similarity {
     assignToCentroids(corpus, centroidDf, idCol, vecCol)
       .select(col("neighbor_id").as(idCol), col("cell"))
 
+  /** [[assignCells]] keeping the vector column — consumers that need the
+    * embedding alongside the cell (semanticDedup's pairwise step) read it
+    * straight off the assignment instead of re-joining the corpus.
+    */
+  def assignCellsKeepVec(
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignToCentroids(corpus, centroidDf, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol), col("c_emb").as(vecCol), col("cell"))
+
   /** ONE Lloyd's k-means round as a verifiable relational job: assign
     * every vector to its nearest centroid (broadcast argmin, deterministic
     * tie-break), then recompute each cell's centroid with the FIXED-POINT
