@@ -139,7 +139,13 @@ object GraftFunctions {
     composedIntLast("st_geohash_neighbors",
       "st_geohash_neighbors(gh, precision) - the up-to-8 surrounding cells " +
         "(lon wraps at the date line, poleward entries drop)", 2)(
-      (cs, p) => graft.functions.SpatialOps.geohashNeighbors(cs(0), p)))
+      (cs, p) => graft.functions.SpatialOps.geohashNeighbors(cs(0), p)),
+    composedIntLast("graft_hilbert",
+      "graft_hilbert(x, y, bits) - Hilbert curve distance of BIGINT cell (x, y) " +
+        "on the 2^bits x 2^bits grid (bits a literal in [1,31]); the " +
+        "adjacent-consecutive clustering key behind writeHilbertOrdered — " +
+        "quantize and CAST coordinates to BIGINT first (fail-closed on range)", 3)(
+      (cs, p) => graft.functions.HilbertExprs.indexCol(cs(0), cs(1), p)))
 
   /** Idempotent post-hoc registration on a live session: the function
     * catalog plus the spatial-join rewrite rule (via the public

@@ -150,6 +150,42 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** ZO2 — HILBERT clustering (the zo1 recipe one curve up): lineitem
+    * rewritten with `ZoneMap.writeHilbertOrdered`, zone-mapped, and a
+    * 2-D box read through the composed prune. Same oracle doctrine as
+    * zo1/zm1: the layout must be exactly invisible — the oracle is the
+    * plain filtered scan. HilbertSpec separately proves the curve's
+    * adjacency theorem and that the layout prunes FEWER files than
+    * Z-order needs key ranges (the reason this operator exists).
+    */
+  private def zo2(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zo2").toString
+    operators.ZoneMap.writeHilbertOrdered(Tables.lineitem(s, d), out,
+      Seq("l_partkey", "l_suppkey"), nFiles = 12)
+    val idx = operators.ZoneMap.build(s, out, Seq("l_partkey", "l_suppkey"))
+    operators.ZoneMap.prunedReadBox(s, out, idx,
+        Seq(("l_partkey", 300L, 600L), ("l_suppkey", 20L, 80L)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HB1 — the Hilbert index arithmetic itself, cross-engine: part keys
+    * spread over the 2^16 grid by modular multipliers (all-integer, no
+    * float quantizer in the loop), indexed by the codegen kernel; the
+    * oracle unrolls the identical 16-level rotate/reflect walk as a CTE
+    * chain. Integer-exact both sides → hash equality proves the curve
+    * transform itself, not just its layout-invisibility (zo2).
+    */
+  private def hb1(s: SparkSession, d: String) =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        (col("p_partkey") * lit(48271L) % lit(65536L)).as("x"),
+        (col("p_partkey") * lit(69621L) % lit(65536L)).as("y"))
+      .withColumn("hilbert",
+        graft.functions.HilbertExprs.indexCol(col("x"), col("y"), 16))
+      .orderBy("p_partkey")
+
   private def s6(s: SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -950,6 +986,33 @@ object SparkEntry {
   private def sqlContains(segs: Seq[((String, String), (String, String))],
       px: String, py: String): String =
     s"(${sqlOnBoundary(segs, px, py)} OR ${sqlCrossings(segs, px, py)} % 2 = 1)"
+
+  /** hb1's oracle — HilbertExprs.xy2d unrolled level-by-level: one CTE
+    * per scale bit (s = 2^15 .. 2^0), each applying the quadrant weight
+    * d += s²·((3·rx) XOR ry) and the rotate/reflect frame update. The
+    * grid coordinates come from modular multipliers (all-integer), so
+    * every value in the chain is exact in both engines; `xo`/`yo` carry
+    * the pre-rotation cell through to the output.
+    */
+  private def sqlHilbertUnrolled: String = {
+    val n = 1L << 16
+    val base =
+      s"""h16 AS (SELECT p_partkey,
+         |  (p_partkey * 48271) % 65536 AS xo, (p_partkey * 69621) % 65536 AS yo,
+         |  (p_partkey * 48271) % 65536 AS x, (p_partkey * 69621) % 65536 AS y,
+         |  CAST(0 AS BIGINT) AS d FROM part)""".stripMargin
+    val levels = (15 to 0 by -1).map { b =>
+      val s = 1L << b
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$b AS (SELECT p_partkey, xo, yo,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - y ELSE y END) ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN ${n - 1} - x ELSE x END) ELSE y END AS y,
+         |  d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d FROM h${b + 1})""".stripMargin
+    }
+    (base +: levels).mkString("WITH ", ",\n", "\n") +
+      "SELECT p_partkey, xo AS x, yo AS y, d AS hilbert FROM h0 ORDER BY p_partkey"
+  }
 
   /** Minimum boundary distance² (SpatialOps.ringsBoundaryDistSq): per
     * segment the clamped-projection offset², identical op order; LEAST
@@ -5647,6 +5710,8 @@ object SparkEntry {
     "dd1_degree_distribution" -> (dd1 _),
     "zm1_zonemap_skip" -> (zm1 _),
     "zo1_zorder_skip" -> (zo1 _),
+    "zo2_hilbert_skip" -> (zo2 _),
+    "hb1_hilbert_index" -> (hb1 _),
     "st3_sessionize" -> (st3 _),
     "st7_enrich" -> (st7 _),
     "m7b_polygonize_cells" -> (m7b _),
@@ -9676,6 +9741,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-09-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // zo2: the zo1 doctrine — the Hilbert layout must be invisible, the
+    // oracle is the plain filtered scan.
+    "zo2_hilbert_skip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey >= 300 AND l_partkey < 600
+        |  AND l_suppkey >= 20 AND l_suppkey < 80
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // hb1: HilbertExprs.xy2d replayed as a 16-level CTE chain — the same
+    // all-integer rotate/reflect walk, so the hash proves the transform.
+    "hb1_hilbert_index" -> sqlHilbertUnrolled,
     "q6b_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |count(*) AS n_lines

@@ -97,6 +97,52 @@ object ZoneMap {
       .write.mode("overwrite").parquet(dir)
   }
 
+  /** HILBERT-curve clustering write — [[writeZOrdered]] with the
+    * interleaved Morton key replaced by the Hilbert curve distance
+    * ([[graft.functions.HilbertExprs]]): the same rank normalization and
+    * range-partitioned sort, but consecutive keys are now ALWAYS
+    * 4-adjacent cells, so a 2-D box decomposes into ~1.8x fewer
+    * contiguous key ranges (HilbertSpec measures 25,544 vs 45,312 runs
+    * over every 8x8 box of a 64x64 grid) — directly fewer files opened
+    * per box predicate at any corpus size. Two dimensions only: that is
+    * the curve with the adjacency theorem; for k>2 use writeZOrdered.
+    * Scale shape identical to zo1: one bounds aggregate + one
+    * shuffle-write pass.
+    */
+  def writeHilbertOrdered(df: DataFrame, dir: String, cols: Seq[String],
+      nFiles: Int, bits: Int = 16): Unit = {
+    require(cols.size == 2,
+      s"hilbert ordering is 2-D (got ${cols.size} columns); use writeZOrdered for k != 2")
+    require(bits >= 1 && bits <= 31, s"bits($bits) must be in [1,31]")
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"hilbert column '$c' must be numeric, got ${df.schema(c).dataType}")
+    }
+    val boundAggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"hilbert column '$c' has NULL bounds — the input is empty or the " +
+          "column is entirely NULL; nothing to cluster")
+    }
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val mn = bounds.getDouble(2 * i)
+      val mx = bounds.getDouble(2 * i + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      least(lit(maxRank),
+        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxRank + 1.0))
+          .cast("long"))
+    }
+    val hkey = graft.functions.HilbertExprs.indexCol(ranks(0), ranks(1), bits)
+    df.withColumn("__hkey", hkey)
+      .repartitionByRange(nFiles, col("__hkey"))
+      .sortWithinPartitions("__hkey")
+      .drop("__hkey")
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** [[prunedRead]] for a MULTI-dimensional box: compose the per-column
     * file prunes, read the surviving files once, apply every residual.
     * The shape z-ordered layouts exist for — each extra dimension prunes
