@@ -5410,6 +5410,45 @@ object SparkEntry {
     sk.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
   }
 
+  /** cms1 — COUNT-MIN frequency sketch over the token stream: the
+    * depth=4 x width=512 counter table built as one bounded aggregate,
+    * point-queried for the 30 lexicographically-smallest distinct
+    * tokens, beside their exact counts. md5-seeded and integer-only, so
+    * the oracle recomputes the sketch AND the estimates bit-for-bit
+    * (the kmv1 doctrine); est >= exact always, and the 512-bucket table
+    * under ~10k distinct tokens guarantees real collisions, so the
+    * min-over-rows path is actually exercised, not vacuous.
+    */
+  private def cms1(s: SparkSession, d: String) = {
+    val toks = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sketch = operators.Sketches.countMin(toks, col("tok"), depth = 4, width = 512)
+    val probes = toks.distinct().orderBy("tok").limit(30)
+    val est = operators.Sketches.countMinEstimate(sketch, probes, col("tok"),
+      depth = 4, width = 512)
+    val exact = toks.groupBy(col("tok").as("key")).agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("key")).orderBy("key")
+  }
+
+  /** hll1 — HyperLogLog distinct sketch beside the exact count (and
+    * beside kmv1, same grouping, for a direct sketch-vs-sketch read):
+    * md5-derived registers (deterministic, unlike approx_count_distinct's
+    * engine-private xxhash state), folded to the EXACT fixed-point
+    * harmonic sum and the raw estimate — one double divide by an exact
+    * integer, engine-identical. The ln-based small-range correction is
+    * spec-tested (SketchSpec accuracy harness), not oracled.
+    */
+  private def hll1(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val regs = operators.Sketches.hllRegisters(li, col("l_partkey"), Seq("l_returnflag"), p = 8)
+    val est = operators.Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 8)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    est.join(exact, Seq("l_returnflag"))
+      .select("l_returnflag", "n_zero", "raw_sum", "est_raw", "exact_distinct")
+      .orderBy("l_returnflag")
+  }
+
   /** cdc1 — snapshot diff: two views of `orders` (one-third disjoint on
     * each side, every fifth shared key's price bumped) reconciled into
     * insert/delete/update rows. Null-safe compare; unchanged rows drop.
@@ -5858,6 +5897,8 @@ object SparkEntry {
     "hist2_price_deciles" -> (hist2 _),
     "cap1_source_cap" -> (cap1 _),
     "kmv1_distinct_sketch" -> (kmv1 _),
+    "cms1_countmin_freq" -> (cms1 _),
+    "hll1_hll_distinct" -> (hll1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
     "iv2_join_delta" -> (iv2 _),
@@ -9905,6 +9946,43 @@ object SparkEntry {
          |    ELSE round(CAST(63.0 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(kth_hash AS DOUBLE), 6) END AS est_distinct,
          |  exact_distinct
          |FROM s JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // cms1: the sketch (seeded md5 cells, 4x512 counters), the probe
+    // estimates, and the exact counts all recomputed — integer-only, so
+    // the hash gates the count-min math itself.
+    "cms1_countmin_freq" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |hashed AS (SELECT j, tok, ${sqlHexVal("m", 6)} % 512 AS bucket FROM (
+         |  SELECT j, tok, md5(CAST(j AS VARCHAR) || '|' || tok) AS m
+         |  FROM toks, (VALUES (0),(1),(2),(3)) AS s(j))),
+         |cells AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT tok FROM toks ORDER BY tok LIMIT 30),
+         |pc AS (SELECT tok, j, ${sqlHexVal("m", 6)} % 512 AS bucket FROM (
+         |  SELECT tok, j, md5(CAST(j AS VARCHAR) || '|' || tok) AS m
+         |  FROM probes, (VALUES (0),(1),(2),(3)) AS s(j))),
+         |est AS (SELECT pc.tok AS key, min(coalesce(cnt, 0)) AS est
+         |  FROM pc LEFT JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket GROUP BY 1),
+         |exact AS (SELECT tok AS key, count(*) AS exact FROM toks GROUP BY 1)
+         |SELECT key, est, exact FROM est JOIN exact USING (key) ORDER BY key""".stripMargin,
+    // hll1: registers from the same 60-bit md5 value kmv1 proves, rho via
+    // the minimal binary string (both engines' bin() strips leading
+    // zeros), the fold exact in BIGINT, and ONE double divide by the
+    // Scala-folded literal scale — engine-identical end to end.
+    "hll1_hll_distinct" ->
+      s"""WITH h AS (SELECT l_returnflag, ${sqlHexVal("m", 15)} AS h
+         |  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),
+         |r AS (SELECT l_returnflag, h // 4503599627370496 AS register, h % 4503599627370496 AS suffix FROM h),
+         |rho AS (SELECT l_returnflag, register,
+         |  CASE WHEN suffix = 0 THEN 53 ELSE 53 - length(bin(suffix)) END AS rho FROM r),
+         |regs AS (SELECT l_returnflag, register, max(rho) AS max_rho FROM rho GROUP BY 1, 2),
+         |folded AS (SELECT l_returnflag, 256 - count(*) AS n_zero,
+         |  CAST(sum(CAST(1 AS BIGINT) << CAST(54 - max_rho AS INTEGER))
+         |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT) AS raw_sum
+         |  FROM regs GROUP BY 1),
+         |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct FROM lineitem GROUP BY 1)
+         |SELECT folded.l_returnflag, n_zero, raw_sum,
+         |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) / CAST(raw_sum AS DOUBLE), 6) AS est_raw,
+         |  exact_distinct
+         |FROM folded JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
     "cdc1_snapshot_diff" ->
       """WITH o1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
         |n1 AS (SELECT o_orderkey,

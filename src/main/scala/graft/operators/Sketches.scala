@@ -88,6 +88,135 @@ object Sketches {
     * Output: group columns + `n_min` (hashes kept, = min(k, distinct)),
     * `kth_hash` (the sketch bound), `est_distinct`.
     */
+  /** COUNT-MIN frequency sketch (Cormode & Muthukrishnan 2005), built as
+    * a plain aggregate: every input key maps to `depth` (row, bucket)
+    * cells (independent seeded md5 hashes — the MinHash seed family),
+    * and the sketch is the counter table over those cells. Point
+    * estimate = min over the key's `depth` counters; never an
+    * underestimate, over by at most εN with ε = e/width at the usual
+    * confidence, and — because both build and probe are md5-derived and
+    * integer-only — bit-for-bit reproducible in any engine, so the
+    * estimates themselves are oracle-checkable (the kmv1 doctrine).
+    *
+    * Scale shape: the counter table is bounded at depth·width rows no
+    * matter the corpus — the explode is map-local and partial
+    * aggregation collapses it before the one tiny shuffle, so this is
+    * THE way to get approximate term frequencies at 100 TB without a
+    * vocabulary-sized reduce side. Mergeable: counters add.
+    *
+    * Output: `row`, `bucket`, `cnt` (cells never touched are absent —
+    * semantically zero; [[countMinEstimate]] coalesces).
+    */
+  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        (graft.functions.TextOps.seededHash(key, j) % width).as("bucket"))
+    }
+    df.select(explode(array(cells: _*)).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the [[countMin]] sketch for each distinct value of
+    * `key` in `probes`: recompute the `depth` cells, left-join the
+    * counter table (absent cell = 0), take the min. The sketch side is
+    * depth·width rows → Spark broadcasts it; the probe pass is one
+    * map-side join + a per-key min, no matter how large the probe set.
+    * Output: `key`, `est` (>= the true count, never under).
+    */
+  def countMinEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      key: Column,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val cells = (0 until depth).map { j =>
+      struct(lit(j).as("row"),
+        (graft.functions.TextOps.seededHash(col("key"), j) % width).as("bucket"))
+    }
+    probes.select(key.as("key")).distinct()
+      .select(col("key"), explode(array(cells: _*)).as("rb"))
+      .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HYPERLOGLOG register table (Flajolet et al. 2007), md5-derived and
+    * therefore deterministic across engines (the kmv1 doctrine — Spark's
+    * own approx_count_distinct uses engine-private xxhash state, which
+    * can never be oracle-checked). The 60-bit hash splits into a p-bit
+    * register index and a (60-p)-bit suffix whose leading-zero rank is
+    * the register's update; registers take the MAX — commutative and
+    * idempotent, so partials merge across partitions/stores/days and
+    * duplicates are absorbed for free (no distinct pass, unlike KMV).
+    *
+    * Scale shape: ONE narrow aggregate with map-side partial max onto at
+    * most groups × 2^p rows — the cheapest mergeable distinct sketch
+    * there is.
+    *
+    * Output: group columns + `register` (0..2^p-1, absent = never hit) +
+    * `max_rho` (leading-zero rank, 1..61-p).
+    */
+  def hllRegisters(
+      df: DataFrame,
+      key: Column,
+      groupCols: Seq[String] = Nil,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val L = 60 - p
+    val h = graft.functions.TextOps.hexVal(md5(key.cast("string")), 15)
+    val reg = shiftright(h, L).as("register")
+    // rho = leading zeros of the L-bit suffix + 1; via the minimal binary
+    // string length (all-integer: no float log anywhere)
+    val suffix = h.bitwiseAND(lit((1L << L) - 1))
+    val rho = when(suffix === 0, lit(L + 1).cast("long"))
+      .otherwise(lit(L + 1).cast("long") - length(bin(suffix)).cast("long"))
+    val base = df.select(groupCols.map(col) :+ reg :+ rho.as("__rho"): _*)
+    base.groupBy((groupCols.map(col) :+ col("register")): _*)
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** Fixed-point HLL state fold + raw estimate, per group: `n_zero`
+    * (registers never hit), `raw_sum` = Σ 2^(54-rho) over all 2^p
+    * registers as an EXACT BIGINT (rho <= 53 when p >= 7; empty
+    * registers contribute 2^54), and the raw harmonic estimate
+    * α·m²·2^54 / raw_sum — a single correctly-rounded double divide by
+    * an exact integer, so even the float column is engine-identical
+    * (the kmv1 arithmetic shape). The standard small-range linear
+    * counting correction (m·ln(m/V)) involves a transcendental whose
+    * last-ulp behavior is engine-private — it lives in SketchSpec's
+    * accuracy harness, not in oracled output.
+    */
+  /** α·m²·2^54 for [[hllEstimate]]'s single divide — public so the
+    * DuckDB oracle can interpolate the IDENTICAL double literal. */
+  def hllScale(p: Int): Double = {
+    val m = (1L << p).toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 54)
+  }
+
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String] = Nil, p: Int = 8): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in [7,16] so rho fits the 2^54 scale, got $p")
+    val m = 1L << p
+    val gb = if (groupCols.isEmpty) registers.groupBy() else registers.groupBy(groupCols.map(col): _*)
+    gb.agg(
+        (lit(m) - count(lit(1))).as("n_zero"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - max_rho AS INT))"))
+          + (lit(m) - count(lit(1))) * lit(1L << 54)).as("raw_sum"))
+      .withColumn("est_raw", round(lit(hllScale(p)) / col("raw_sum").cast("double"), 6))
+      // the standard small-range linear-counting switch — ln's last-ulp
+      // behavior is engine-private, so this column is for USERS (accuracy
+      // proven in SketchSpec); oracled queries project est_raw instead
+      .withColumn("est_corrected",
+        when(col("est_raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("est_raw")))
+  }
+
   def kmvDistinct(
       df: DataFrame,
       key: Column,

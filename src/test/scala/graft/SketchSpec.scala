@@ -87,4 +87,110 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(est - x) / x < 0.4, s"flag=${r.get(0)} est=$est exact=$x")
     }
   }
+
+  // ---- count-min ----
+
+  test("countMin never underestimates, and the table is bounded at depth*width") {
+    import spark.implicits._
+    // zipf-ish multiplicities over 600 keys into a 4x128 sketch: heavy
+    // collision pressure, so overestimates genuinely occur
+    val rows = (1 to 600).flatMap(k => Seq.fill(1 + 600 / k)(s"key$k"))
+    val df = rows.toDF("k")
+    val sk = operators.Sketches.countMin(df, col("k"), depth = 4, width = 128)
+    assert(sk.count() <= 4L * 128L)
+    val est = operators.Sketches.countMinEstimate(sk, df, col("k"), depth = 4, width = 128)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, x) =>
+      assert(est(k) >= x, s"$k: est ${est(k)} under exact $x")
+    }
+    assert(exact.exists { case (k, x) => est(k) > x },
+      "4x128 under 600 keys must produce at least one collision overestimate")
+    // CMS error bound: over by at most ~e/width * N at 1-1/e^depth conf;
+    // allow the full union bound with slack
+    val n = rows.size.toLong
+    exact.foreach { case (k, x) =>
+      assert(est(k) - x <= math.ceil(math.E / 128 * n).toLong * 4,
+        s"$k: over-error ${est(k) - x} beyond bound")
+    }
+  }
+
+  test("countMin is mergeable: counters of a union add") {
+    import spark.implicits._
+    val a = (1 to 300).map(i => s"k${i % 50}").toDF("k")
+    val b = (1 to 200).map(i => s"k${i % 30}").toDF("k")
+    val direct = operators.Sketches.countMin(a.union(b), col("k"), 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      operators.Sketches.countMin(df, col("k"), 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(direct == merged)
+  }
+
+  test("countMin fail-closes on bad parameters") {
+    import spark.implicits._
+    val df = Seq("a").toDF("k")
+    intercept[IllegalArgumentException](operators.Sketches.countMin(df, col("k"), 0, 64))
+    intercept[IllegalArgumentException](operators.Sketches.countMin(df, col("k"), 4, 1))
+    intercept[IllegalArgumentException](
+      operators.Sketches.countMinEstimate(df, df, col("k"), 17, 64))
+  }
+
+  // ---- hyperloglog ----
+
+  test("hllRegisters: registers bounded by 2^p, rho in range, duplicates absorbed") {
+    import spark.implicits._
+    val df = (1L to 10000L).toDF("v")
+    val regs = operators.Sketches.hllRegisters(df, col("v"), Nil, p = 8).collect()
+    assert(regs.length <= 256)
+    regs.foreach { r =>
+      val reg = r.getAs[Long]("register"); val rho = r.getAs[Long]("max_rho")
+      assert(reg >= 0 && reg < 256 && rho >= 1 && rho <= 53, s"reg=$reg rho=$rho")
+    }
+    // duplicates change nothing: max is idempotent
+    val dup = operators.Sketches.hllRegisters(df.union(df), col("v"), Nil, p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(dup == regs.map(r => r.getLong(0) -> r.getLong(1)).toSortedMap)
+  }
+
+  test("hll corrected estimate within 4-sigma at three cardinalities") {
+    import spark.implicits._
+    // rse ≈ 1.04/sqrt(256) ≈ 6.5%; accept 4 sigma = 26%
+    Seq(300L, 5000L, 60000L).foreach { n =>
+      val df = (1L to n).map(i => s"item$i").toDF("v")
+      val regs = operators.Sketches.hllRegisters(df, col("v"), Nil, p = 8)
+      val est = operators.Sketches.hllEstimate(regs, Nil, p = 8)
+        .head().getAs[Double]("est_corrected")
+      assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
+    }
+  }
+
+  test("hll is mergeable: register-wise max == registers of the union") {
+    import spark.implicits._
+    val a = (1L to 4000L).toDF("v")
+    val b = (2000L to 9000L).toDF("v")
+    def regMap(df: org.apache.spark.sql.DataFrame) =
+      operators.Sketches.hllRegisters(df, col("v"), Nil, p = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = regMap(a.union(b))
+    val merged = (regMap(a).toSeq ++ regMap(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(direct == merged)
+  }
+
+  test("hll fail-closes on out-of-range precision") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException](
+      operators.Sketches.hllRegisters(df, col("v"), Nil, p = 3))
+    intercept[IllegalArgumentException](
+      operators.Sketches.hllEstimate(df, Nil, p = 6))
+  }
+
+  private implicit class ToSortedMap(pairs: Array[(Long, Long)]) {
+    def toSortedMap: scala.collection.SortedMap[Long, Long] =
+      scala.collection.SortedMap(pairs.toIndexedSeq: _*)
+  }
 }
