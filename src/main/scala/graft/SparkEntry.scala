@@ -987,6 +987,40 @@ object SparkEntry {
       px: String, py: String): String =
     s"(${sqlOnBoundary(segs, px, py)} OR ${sqlCrossings(segs, px, py)} % 2 = 1)"
 
+  /** bpe1's oracle — BpeExprs.encodeWord replayed as a recursive CTE
+    * over the corpus's DISTINCT words: at each step the adjacent-pair
+    * rank list comes from a MAP literal generated from the SAME
+    * EnglishMerges table (chr(31)-joined keys, the kernel's separator),
+    * the leftmost minimum merges via inclusive list slices, and rows
+    * exit the recursion when no table pair remains (single-symbol states
+    * have an empty rank list → NULL min → coalesced to the sentinel).
+    */
+  private def sqlBpeTokens: String = {
+    val merges = graft.functions.BpeExprs.EnglishMerges
+    val keys = merges.map { case (a, b) => s"'$a'||chr(31)||'$b'" }.mkString(",")
+    val vals = merges.indices.mkString(",")
+    val mapLit = s"MAP([$keys],[$vals])"
+    def rks = s"""list_transform(range(1, length(state)), i ->
+                 |    coalesce(map_extract($mapLit, state[i] || chr(31) || state[i+1])[1], 999999))""".stripMargin
+    s"""WITH RECURSIVE words AS (
+       |  SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |steps AS (
+       |  SELECT w, string_split(w, '') AS state FROM dw
+       |  UNION ALL
+       |  SELECT w, state[1:bi-1] || [state[bi] || state[bi+1]] || state[bi+2:] AS state
+       |  FROM (SELECT w, state, list_min(rks) AS br, list_position(rks, list_min(rks)) AS bi
+       |        FROM (SELECT w, state, $rks AS rks FROM steps))
+       |  WHERE br < 999999),
+       |final AS (
+       |  SELECT w, length(state) AS n FROM (
+       |    SELECT w, state, coalesce(list_min($rks), 999999) AS br FROM steps)
+       |  WHERE br = 999999)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_bpe
+       |FROM words JOIN final USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** hb1's oracle — HilbertExprs.xy2d unrolled level-by-level: one CTE
     * per scale bit (s = 2^15 .. 2^0), each applying the quadrant weight
     * d += s²·((3·rx) XOR ry) and the rotate/reflect frame update. The
@@ -5449,6 +5483,22 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** bpe1 — TRUE byte-pair-encoding token counts (the upgrade over the
+    * whitespace/regex proxies every pack/chunk operator budgeted with):
+    * the 40-merge English table applied by rank, one codegen call per
+    * document. The oracle replays the identical leftmost-lowest-rank
+    * single-merge walk as a DuckDB recursive CTE over the corpus's
+    * DISTINCT words (words encode independently, so the join-back is
+    * exact) — the segmentation itself is hash-gated.
+    */
+  private def bpe1(s: SparkSession, d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= lit("")))
+          .cast("long").as("n_words"),
+        graft.functions.BpeExprs.bpeCount(col("text"),
+          graft.functions.BpeExprs.EnglishMerges).as("n_bpe"))
+      .orderBy("doc_id")
+
   /** cdc1 — snapshot diff: two views of `orders` (one-third disjoint on
     * each side, every fifth shared key's price bumped) reconciled into
     * insert/delete/update rows. Null-safe compare; unchanged rows drop.
@@ -5899,6 +5949,7 @@ object SparkEntry {
     "kmv1_distinct_sketch" -> (kmv1 _),
     "cms1_countmin_freq" -> (cms1 _),
     "hll1_hll_distinct" -> (hll1 _),
+    "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
     "iv2_join_delta" -> (iv2 _),
@@ -9983,6 +10034,9 @@ object SparkEntry {
          |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) / CAST(raw_sum AS DOUBLE), 6) AS est_raw,
          |  exact_distinct
          |FROM folded JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // bpe1: the identical leftmost-lowest-rank merge walk, replayed
+    // recursively over distinct words — see sqlBpeTokens.
+    "bpe1_bpe_tokens" -> sqlBpeTokens,
     "cdc1_snapshot_diff" ->
       """WITH o1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
         |n1 AS (SELECT o_orderkey,

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.BpeExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ranks = BpeExprs.rankMap(BpeExprs.EnglishMerges)
+
+  test("known segmentations (incl. the rank-order subtlety in 'when')") {
+    // 'when' is w-h-e-n: (e,n) rank 11 beats (w,h) rank 26, so the
+    // trigraph chain wh→whe→when never forms — ['wh','en'], not ['when']
+    val expected = Map(
+      "the" -> Seq("the"),
+      "when" -> Seq("wh", "en"),
+      "that" -> Seq("that"),
+      "this" -> Seq("this"),
+      "washington" -> Seq("was", "h", "ing", "t", "on"),
+      "interesting" -> Seq("in", "t", "er", "e", "st", "ing"),
+      "attention" -> Seq("at", "t", "en", "t", "i", "on"),
+      "hello" -> Seq("he", "ll", "o"),
+      "a" -> Seq("a"),
+      "mississippi" -> Seq("m", "is", "s", "is", "s", "i", "p", "p", "i"))
+    expected.foreach { case (w, exp) =>
+      assert(BpeExprs.encodeWord(w, ranks).toSeq == exp, s"word $w")
+    }
+  }
+
+  test("tokens always concatenate back to the word; fixpoint has no table pair") {
+    val words = Seq("the", "quick", "brown", "foxes", "jumped", "over",
+      "lazy", "dogs", "antidisestablishmentarianism", "zzz", "x",
+      "together", "understanding", "chesterton")
+    words.foreach { w =>
+      val toks = BpeExprs.encodeWord(w, ranks)
+      assert(toks.mkString == w, s"$w: lossy segmentation")
+      toks.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(!ranks.containsKey(p(0) + '' + p(1)),
+          s"$w: un-merged adjacent table pair ${p.mkString("+")}")
+      }
+    }
+  }
+
+  test("countText sums word encodes; empty words and extra spaces contribute nothing") {
+    val text = "  the when   hello  "
+    val exp = Seq("the", "when", "hello")
+      .map(BpeExprs.encodeWord(_, ranks).length.toLong).sum
+    assert(BpeExprs.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), ranks) == exp)
+    assert(BpeExprs.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""), ranks) == 0L)
+    assert(BpeExprs.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString("   "), ranks) == 0L)
+  }
+
+  test("expressions match the kernel through codegen; null stays null") {
+    val texts = Seq(Some("the quick brown fox"), Some("when that is this"),
+      Some(""), None)
+    val df = texts.toDF("text")
+    val got = df.select(BpeExprs.bpeCount(col("text"), BpeExprs.EnglishMerges).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val exp = texts.map(_.map(t => BpeExprs.countText(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t), ranks)))
+    assert(got.toSeq == exp)
+    val words = Seq("washington", "mississippi").toDF("w")
+    val toks = words.select(BpeExprs.bpeTokens(col("w"), BpeExprs.EnglishMerges).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(toks(0) == Seq("was", "h", "ing", "t", "on"))
+    assert(toks(1) == Seq("m", "is", "s", "is", "s", "i", "p", "p", "i"))
+  }
+
+  test("fail-closed merges-table validation") {
+    intercept[IllegalArgumentException](BpeExprs.rankMap(Nil))
+    intercept[IllegalArgumentException](BpeExprs.rankMap(Seq(("", "a"))))
+    intercept[IllegalArgumentException](BpeExprs.rankMap(Seq(("a", "b"), ("a", "b"))))
+    intercept[IllegalArgumentException](BpeExprs.rankMap(Seq(("ab", "c"))))
+    val e = intercept[Exception](
+      Seq(1).toDF("x").select(BpeExprs.bpeCount(col("x"), BpeExprs.EnglishMerges)).collect())
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("fewer-or-equal tokens than characters, and merges strictly reduce common text") {
+    val text = "the interesting thing is that this was the best attention"
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+    val nBpe = BpeExprs.countText(u, ranks)
+    val nChars = text.split(" ").filter(_.nonEmpty).map(_.length).sum
+    val nWords = text.split(" ").count(_.nonEmpty)
+    assert(nBpe < nChars, "common English must compress below characters")
+    assert(nBpe >= nWords, "a word is never fewer than one token")
+  }
+}
