@@ -140,6 +140,13 @@ object GraftFunctions {
       "st_geohash_neighbors(gh, precision) - the up-to-8 surrounding cells " +
         "(lon wraps at the date line, poleward entries drop)", 2)(
       (cs, p) => graft.functions.SpatialOps.geohashNeighbors(cs(0), p)),
+    (FunctionIdentifier("st_clip_area"),
+      info("st_clip_area",
+        "st_clip_area(rings, box) - EXACT polygon-intersect-box area " +
+          "(Sutherland-Hodgman clip + shoelace; rings from st_rings, box a " +
+          "(xmin,ymin,xmax,ymax) struct; holes subtract by orientation)",
+        classOf[graft.functions.ClipAreaExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaExpr(exprs(0), exprs(1))),
     composedIntLast("graft_hilbert",
       "graft_hilbert(x, y, bits) - Hilbert curve distance of BIGINT cell (x, y) " +
         "on the 2^bits x 2^bits grid (bits a literal in [1,31]); the " +

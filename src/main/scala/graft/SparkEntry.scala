@@ -987,6 +987,98 @@ object SparkEntry {
       px: String, py: String): String =
     s"(${sqlOnBoundary(segs, px, py)} OR ${sqlCrossings(segs, px, py)} % 2 = 1)"
 
+  /** J21 — zonal clip AREAS: supplier arrows (holes included) against an
+    * 8-unit tile grid through bboxJoin, each surviving pair measured by
+    * the exact Sutherland–Hodgman clip area ([[ClipExprs]]). The oracle
+    * computes the SAME S-H passes + shoelace fold over ALL polygon×cell
+    * pairs and keeps clip_area > 0 — so the bbox prune is proven
+    * semantically invisible AND the clipped-vertex arithmetic itself is
+    * hash-gated (every intersection-point divide replayed in order).
+    */
+  private def j21(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_r")))
+    val cells = s.range(156).select(
+        col("id").as("cell_id"),
+        ((col("id") % 13) * 8).cast("double").as("gx"),
+        ((col("id") / 13).cast("long") * 8).cast("double").as("gy"))
+      .withColumn("cenv", SpatialOps.bbox(col("gx"), col("gy"),
+        col("gx") + lit(8.0), col("gy") + lit(8.0)))
+    operators.SpatialJoin.bboxJoin(polys, cells, "env", "cenv", cellSize = 8.0)
+      .withColumn("clip_area", graft.functions.ClipExprs.clipArea(col("_r"), col("cenv")))
+      .filter(col("clip_area") > 0.0)
+      .select("s_suppkey", "cell_id", "clip_area")
+      .orderBy("s_suppkey", "cell_id")
+  }
+
+  /** j21's oracle — the S-H clip + shoelace fold replayed in DuckDB list
+    * algebra: per half-plane pass, a list_transform over the closed
+    * vertex list emits kept vertices and intersection points (the
+    * IDENTICAL divide/multiply/add order as the kernel), the list
+    * re-closes, and the signed area comes from a SEQUENTIAL list_reduce
+    * (the kernel's left fold). All pairs, no prune — clip_area > 0 does
+    * the joining.
+    */
+  private def sqlClipZonal: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    def pass(in: String, onX: Boolean, bound: String, keepGE: Boolean): String = {
+      val f = if (onX) "x" else "y"
+      val cmp = if (keepGE) ">=" else "<="
+      val isect =
+        if (onX)
+          s"struct_pack(x := CAST($bound AS DOUBLE), y := $in[i].y + ((CAST($bound AS DOUBLE) - $in[i].x) / ($in[i+1].x - $in[i].x)) * ($in[i+1].y - $in[i].y))"
+        else
+          s"struct_pack(x := $in[i].x + ((CAST($bound AS DOUBLE) - $in[i].y) / ($in[i+1].y - $in[i].y)) * ($in[i+1].x - $in[i].x), y := CAST($bound AS DOUBLE))"
+      s"""flatten(list_transform(range(1, length($in)), i ->
+         |    CASE WHEN $in[i+1].$f $cmp ($bound) AND $in[i].$f $cmp ($bound) THEN [$in[i+1]]
+         |         WHEN $in[i+1].$f $cmp ($bound) THEN [$isect, $in[i+1]]
+         |         WHEN $in[i].$f $cmp ($bound) THEN [$isect]
+         |         ELSE [] END))""".stripMargin
+    }
+    def close(v: String) =
+      s"CASE WHEN length($v) = 0 THEN $v ELSE list_append($v, $v[1]) END"
+    def crossOf(v: String) =
+      s"""CASE WHEN length($v) < 2 THEN CAST(0 AS DOUBLE) ELSE
+         |    list_reduce(list_transform(range(1, length($v)), i ->
+         |      $v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y), (a, b) -> a + b) END""".stripMargin
+    val passes = Seq(("x", "gx", true), ("x", "gx + 8", false),
+      ("y", "gy", true), ("y", "gy + 8", false))
+    // MATERIALIZED CTE per level: each close references its pass column
+    // 3x and each pass references the previous state ~12x inside lambdas
+    // — nested subqueries let DuckDB inline projections into every
+    // reference, ~36x expression growth per level, exponential over 8
+    // levels (measured: 780 pairs did not finish in 2 min; materialized,
+    // the full 15.6k pairs run in well under a second).
+    val base =
+      s"""lvl0 AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+         |  ${ptsList(rings(0))} AS o0, ${ptsList(rings(1))} AS h0
+         |FROM ($arrowSqlBase) a CROSS JOIN
+         |  (SELECT range AS cell_id, CAST((range % 13) * 8 AS DOUBLE) AS gx,
+         |     CAST((range // 13) * 8 AS DOUBLE) AS gy FROM range(156)) c)""".stripMargin
+    val levels = passes.zipWithIndex.flatMap { case ((axis, bound, ge), k) =>
+      val onX = axis == "x"
+      Seq(
+        s"""p${k + 1} AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+           |  ${pass(s"o$k", onX, bound, ge)} AS oraw,
+           |  ${pass(s"h$k", onX, bound, ge)} AS hraw FROM ${if (k == 0) "lvl0" else s"c$k"})""".stripMargin,
+        s"""c${k + 1} AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+           |  ${close("oraw")} AS o${k + 1}, ${close("hraw")} AS h${k + 1} FROM p${k + 1})""".stripMargin)
+    }
+    (base +: levels).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT s_suppkey, cell_id, clip_area FROM (
+         |  SELECT s_suppkey, cell_id,
+         |    abs((${crossOf("o4")}) + (${crossOf("h4")})) / 2 AS clip_area
+         |  FROM c4)
+         |WHERE clip_area > 0 ORDER BY s_suppkey, cell_id""".stripMargin
+  }
+
   /** bpe1's oracle — BpeExprs.encodeWord replayed as a recursive CTE
     * over the corpus's DISTINCT words: at each step the adjacent-pair
     * rank list comes from a MAP literal generated from the SAME
@@ -5744,6 +5836,7 @@ object SparkEntry {
     "j17_refine_join" -> (j17 _),
     "j18_overlap_join" -> (j18 _),
     "j19_dwithin_join" -> (j19 _),
+    "j21_clip_zonal" -> (j21 _),
     "j20_nearest_join" -> (j20 _),
     "gh1_geohash_bucket" -> (gh1 _),
     "gh2_geohash_cells" -> (gh2 _),
@@ -6301,6 +6394,9 @@ object SparkEntry {
          |   OR ${sqlBoundaryDistSq(segs, "px", "py")} <= 2.25)
          |ORDER BY s_suppkey, c_custkey""".stripMargin
     },
+    // j21: S-H clip passes + sequential shoelace fold over ALL pairs,
+    // clip_area > 0 as the join — see sqlClipZonal.
+    "j21_clip_zonal" -> sqlClipZonal,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2
