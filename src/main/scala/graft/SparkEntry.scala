@@ -5536,18 +5536,19 @@ object SparkEntry {
     sk.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
   }
 
-  /** cms1 — COUNT-MIN frequency sketch over the token stream: the
-    * depth=4 x width=512 counter table built as one bounded aggregate,
-    * point-queried for the 30 lexicographically-smallest distinct
-    * tokens, beside their exact counts. md5-seeded and integer-only, so
-    * the oracle recomputes the sketch AND the estimates bit-for-bit
-    * (the kmv1 doctrine); est >= exact always, and the 512-bucket table
-    * under ~10k distinct tokens guarantees real collisions, so the
-    * min-over-rows path is actually exercised, not vacuous.
+  /** cms1 — COUNT-MIN frequency sketch over the 3-gram SHINGLE stream
+    * (16,657 distinct at sf0.01 — the token vocabulary is only 31 words,
+    * which would never collide in the table): the depth=4 x width=512
+    * counter table built as one bounded aggregate, point-queried for the
+    * 30 lexicographically-smallest distinct shingles, beside their exact
+    * counts. md5-seeded and integer-only, so the oracle recomputes the
+    * sketch AND the estimates bit-for-bit (the kmv1 doctrine); est >=
+    * exact always, and 16k keys over 512 buckets guarantee real
+    * collisions, so the min-over-rows path is exercised, not vacuous.
     */
   private def cms1(s: SparkSession, d: String) = {
     val toks = Tables.documents(s, d)
-      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("tok"))
     val sketch = operators.Sketches.countMin(toks, col("tok"), depth = 4, width = 512)
     val probes = toks.distinct().orderBy("tok").limit(30)
     val est = operators.Sketches.countMinEstimate(sketch, probes, col("tok"),
@@ -5555,6 +5556,21 @@ object SparkEntry {
     val exact = toks.groupBy(col("tok").as("key")).agg(count(lit(1)).as("exact"))
     est.join(exact, Seq("key")).orderBy("key")
   }
+
+  /** cms2 — CMS HEAVY HITTERS end to end (the sketch's canonical use):
+    * users with >= 80 events, found by sketch-prefilter (no false
+    * negatives, since est >= exact) then exact verify of the candidates
+    * only. The e13 doctrine: the oracle is the plain GROUP BY/HAVING —
+    * the sketch must be semantically invisible. Scale contract: the
+    * exact pass touches ONLY candidate keys (broadcast semi-join), never
+    * a full-key shuffle.
+    */
+  private def cms2(s: SparkSession, d: String) =
+    operators.Sketches.heavyHitters(
+        Tables.events(s, d), col("user_id"), minCount = 80L,
+        depth = 4, width = 256)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id")
 
   /** hll1 — HyperLogLog distinct sketch beside the exact count (and
     * beside kmv1, same grouping, for a direct sketch-vs-sketch read):
@@ -6041,6 +6057,7 @@ object SparkEntry {
     "cap1_source_cap" -> (cap1 _),
     "kmv1_distinct_sketch" -> (kmv1 _),
     "cms1_countmin_freq" -> (cms1 _),
+    "cms2_heavy_hitters" -> (cms2 _),
     "hll1_hll_distinct" -> (hll1 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
@@ -10097,7 +10114,11 @@ object SparkEntry {
     // estimates, and the exact counts all recomputed — integer-only, so
     // the hash gates the count-min math itself.
     "cms1_countmin_freq" ->
-      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |sgl AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+         |  ELSE list_transform(generate_series(1, len(toks) - 2),
+         |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS shingles FROM t),
+         |toks AS (SELECT unnest(shingles) AS tok FROM sgl),
          |hashed AS (SELECT j, tok, ${sqlHexVal("m", 6)} % 512 AS bucket FROM (
          |  SELECT j, tok, md5(CAST(j AS VARCHAR) || '|' || tok) AS m
          |  FROM toks, (VALUES (0),(1),(2),(3)) AS s(j))),
@@ -10110,6 +10131,12 @@ object SparkEntry {
          |  FROM pc LEFT JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket GROUP BY 1),
          |exact AS (SELECT tok AS key, count(*) AS exact FROM toks GROUP BY 1)
          |SELECT key, est, exact FROM est JOIN exact USING (key) ORDER BY key""".stripMargin,
+    // cms2: the e13 doctrine — the sketch prefilter must be semantically
+    // invisible; the oracle is the plain exact census.
+    "cms2_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 80
+        |ORDER BY user_id""".stripMargin,
     // hll1: registers from the same 60-bit md5 value kmv1 proves, rho via
     // the minimal binary string (both engines' bin() strips leading
     // zeros), the fold exact in BIGINT, and ONE double divide by the

@@ -112,7 +112,7 @@ object Sketches {
     require(width >= 2, s"width must be >= 2, got $width")
     val cells = (0 until depth).map { j =>
       struct(lit(j).as("row"),
-        (graft.functions.TextOps.seededHash(key, j) % width).as("bucket"))
+        (graft.functions.TextOps.seededHash(key.cast("string"), j) % width).as("bucket"))
     }
     df.select(explode(array(cells: _*)).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
@@ -136,7 +136,7 @@ object Sketches {
     require(width >= 2, s"width must be >= 2, got $width")
     val cells = (0 until depth).map { j =>
       struct(lit(j).as("row"),
-        (graft.functions.TextOps.seededHash(col("key"), j) % width).as("bucket"))
+        (graft.functions.TextOps.seededHash(col("key").cast("string"), j) % width).as("bucket"))
     }
     probes.select(key.as("key")).distinct()
       .select(col("key"), explode(array(cells: _*)).as("rb"))
@@ -144,6 +144,34 @@ object Sketches {
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
       .groupBy("key")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** HEAVY HITTERS end to end — the count-min sketch's canonical use:
+    * keys whose count >= `minCount`, found by sketch prefilter then
+    * exact verify of the candidates ONLY. No false negatives (estimates
+    * never underestimate) and no false positives (the exact recount
+    * drops them), so the result EQUALS the plain GROUP BY/HAVING — at a
+    * bounded cost: the sketch is one depth·width aggregate, the
+    * candidate set is <= N/minCount + collision strays (broadcast-class
+    * by the caller's choice of minCount), and the exact pass is a
+    * broadcast semi-join + recount over candidate rows only. Never a
+    * full-key shuffle.
+    * Output: `key` (original type), `n` (exact count).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      key: Column,
+      minCount: Long,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val keyed = df.select(key.as("key"))
+    val sketch = countMin(keyed, col("key"), depth, width)
+    val cands = countMinEstimate(sketch, keyed, col("key"), depth, width)
+      .filter(col("est") >= minCount)
+    keyed.join(broadcast(cands.select("key")), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
   }
 
   /** HYPERLOGLOG register table (Flajolet et al. 2007), md5-derived and

@@ -129,6 +129,23 @@ class SketchSpec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("heavyHitters equals the plain GROUP BY/HAVING at any width (no false results)") {
+    import spark.implicits._
+    // zipf-ish: key k appears ~1+600/k times; heavy set is the small-k head
+    val rows = (1 to 200).flatMap(k => Seq.fill(1 + 600 / k)(k.toLong))
+    val df = rows.toDF("k")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 50L).toMap
+    // a tiny width forces many false candidates — the exact verify must drop them all
+    Seq(8, 64, 512).foreach { w =>
+      val got = operators.Sketches.heavyHitters(df, col("k"), minCount = 50L, depth = 4, width = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"width=$w: $got != $exact")
+    }
+    intercept[IllegalArgumentException](
+      operators.Sketches.heavyHitters(df, col("k"), minCount = 0L))
+  }
+
   test("countMin fail-closes on bad parameters") {
     import spark.implicits._
     val df = Seq("a").toDF("k")
