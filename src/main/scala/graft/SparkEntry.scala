@@ -5607,6 +5607,39 @@ object SparkEntry {
           graft.functions.BpeExprs.EnglishMerges).as("n_bpe"))
       .orderBy("doc_id")
 
+  /** cov1 — interval UNION coverage per user (merge overlapping ranges):
+    * each event opens a [ts, ts + 30..149 s] interval (length from the
+    * event id, exact micros), and the operator reports the union length,
+    * island count, and interval count per user — the sweep-line classic
+    * as pure window algebra. All-integer (epoch_us both engines), so the
+    * oracle replays the identical windows and hashes exactly.
+    */
+  private def cov1(s: SparkSession, d: String) = {
+    val iv = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + (col("event_id") % 120 + 30) * lit(1000000L)).as("e_us"))
+    operators.TimeSeries.intervalCoverage(iv, Seq("user_id"), "s_us", "e_us")
+      .orderBy("user_id")
+  }
+
+  /** norm1 — unicode normalization as a curation key: NFC + accent fold
+    * (NFD → drop marks → NFC) through the codegen expression, then the
+    * engines' shared lower/whitespace-collapse/trim, fingerprinted. The
+    * oracle runs DuckDB's OWN independent implementations
+    * (nfc_normalize + strip_accents) — a hash match is two engines
+    * agreeing on the Unicode standard, not a replayed formula.
+    */
+  private def norm1(s: SparkSession, d: String) = {
+    def chain =
+      trim(regexp_replace(lower(
+        graft.functions.NormExprs.unicodeNorm(col("text"), "NFC", stripAccents = true)),
+        "\\s+", " "))
+    Tables.documents(s, d).select(col("doc_id"),
+        md5(chain).as("norm_fp"),
+        length(chain).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   /** cdc1 — snapshot diff: two views of `orders` (one-third disjoint on
     * each side, every fifth shared key's price bumped) reconciled into
     * insert/delete/update rows. Null-safe compare; unchanged rows drop.
@@ -6058,6 +6091,8 @@ object SparkEntry {
     "kmv1_distinct_sketch" -> (kmv1 _),
     "cms1_countmin_freq" -> (cms1 _),
     "cms2_heavy_hitters" -> (cms2 _),
+    "cov1_interval_coverage" -> (cov1 _),
+    "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
@@ -10131,6 +10166,28 @@ object SparkEntry {
          |  FROM pc LEFT JOIN cells ON pc.j = cells.j AND pc.bucket = cells.bucket GROUP BY 1),
          |exact AS (SELECT tok AS key, count(*) AS exact FROM toks GROUP BY 1)
          |SELECT key, est, exact FROM est JOIN exact USING (key) ORDER BY key""".stripMargin,
+    // cov1: identical partitioned windows (running max to 1 PRECEDING,
+    // prefix-sum island ids), all-integer epoch_us arithmetic.
+    "cov1_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s_us,
+        |  epoch_us(ts) + (event_id % 120 + 30) * 1000000 AS e_us FROM events),
+        |m AS (SELECT user_id, s_us, e_us, max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+        |i AS (SELECT user_id, s_us, e_us, sum(CASE WHEN pm IS NULL OR s_us > pm THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY s_us, e_us
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+        |g AS (SELECT user_id, isl, min(s_us) AS ms, max(e_us) AS me, count(*) AS n FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered, count(*) AS n_islands,
+        |  CAST(sum(n) AS BIGINT) AS n_intervals
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // norm1: DuckDB's OWN nfc_normalize/strip_accents against the
+    // engine's Normalizer kernel — independent implementations of the
+    // same Unicode standard must agree.
+    "norm1_unicode_norm" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g'))) AS norm_fp,
+        |  CAST(length(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // cms2: the e13 doctrine — the sketch prefilter must be semantically
     // invisible; the oracle is the plain exact census.
     "cms2_heavy_hitters" ->

@@ -120,4 +120,46 @@ object TimeSeries {
       .select("cohort_day", "day_offset", "n_active", "n_events",
         "cohort_size", "retention_ppm")
   }
+  /** UNION LENGTH of possibly-overlapping intervals per key — the
+    * sweep-line "merge overlapping ranges" classic (billing minutes,
+    * sensor uptime, session coverage) as pure window algebra, no
+    * per-key iteration: a running max of interval ends (ROWS to 1
+    * PRECEDING) marks island starts (start strictly beyond everything
+    * seen), a prefix sum numbers the islands, and each island's
+    * [min(start), max(end)] contributes its span. Integer columns in,
+    * integer coverage out — engine-exact.
+    *
+    * Scale shape: one partitioned window sort per key (keys sort
+    * independently, no global order) + one (key, island) aggregate.
+    * Ties on (start, end) cannot flip islands: any tie row after the
+    * first sees a running max >= its own start, so its flag is 0
+    * regardless of tie order.
+    *
+    * Output: key columns + `covered` (union length), `n_islands`,
+    * `n_intervals`.
+    */
+  def intervalCoverage(
+      df: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalCoverage needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__new_island",
+        when(prevMax.isNull || col(startCol) > prevMax, lit(1L)).otherwise(lit(0L)))
+      .withColumn("__island", sum(col("__new_island"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(startCol)).as("__s"), max(col(endCol)).as("__e"),
+        count(lit(1)).as("__n"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__e") - col("__s")).as("covered"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__n")).as("n_intervals"))
+  }
 }

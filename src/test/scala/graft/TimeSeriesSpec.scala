@@ -95,4 +95,51 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-03-02", 0, 1L, 1L, 1L, 1000000L),
       ("2024-03-02", 1, 1L, 1L, 1L, 1000000L)))
   }
+  // ---- intervalCoverage ----
+
+  test("intervalCoverage merges overlaps, nests, and touching intervals") {
+    import spark.implicits._
+    // key a: [0,10] [5,20] (overlap) [20,25] (touching -> same island)
+    //        [30,40] [32,35] (nested) ; [50,60] disjoint
+    // key b: single interval
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L),
+      ("a", 30L, 40L), ("a", 32L, 35L), ("a", 50L, 60L),
+      ("b", 100L, 107L)
+    ).toDF("k", "s", "e")
+    val got = graft.operators.TimeSeries.intervalCoverage(df, Seq("k"), "s", "e")
+      .orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 45L, 3L, 6L), ("b", 7L, 1L, 1L)))
+  }
+
+  test("intervalCoverage matches a brute-force number-line union on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val ivs = (1 to 400).map { i =>
+      val k = s"k${i % 5}"
+      val s0 = rnd.nextInt(1000).toLong
+      (k, s0, s0 + 1 + rnd.nextInt(60))
+    }
+    val got = graft.operators.TimeSeries.intervalCoverage(
+        ivs.toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ivs.groupBy(_._1).view.mapValues { g =>
+      val covered = Array.fill(1100)(false)
+      // half-open cells: [s, e) marks cells s..e-1 — the union length of
+      // closed intervals over integers equals the half-open cell count
+      g.foreach { case (_, s0, e0) =>
+        (s0.toInt until e0.toInt).foreach(covered(_) = true)
+      }
+      covered.count(identity).toLong
+    }.toMap
+    assert(got == exact)
+  }
+
+  test("intervalCoverage fail-closes without keys") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      graft.operators.TimeSeries.intervalCoverage(
+        Seq((1L, 2L)).toDF("s", "e"), Nil, "s", "e"))
+  }
 }
