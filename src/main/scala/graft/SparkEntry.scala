@@ -1014,6 +1014,111 @@ object SparkEntry {
       .orderBy("s_suppkey", "cell_id")
   }
 
+  /** J22 — polygon∩polygon intersection AREAS (the measure form of j18's
+    * boolean overlap): supplier arrows (concave + hole) against customer
+    * diamonds (convex, no axis-aligned edge) through bboxJoin, each pair
+    * measured by the convex-window Sutherland–Hodgman kernel. Same
+    * discipline as j21, general half-planes: the oracle replays each
+    * edge's side values and t = s_p/(s_p−s_q) intersections in identical
+    * IEEE order over the envelope-overlap candidates (exact pre-filter:
+    * a positive intersection area implies overlapping envelopes).
+    */
+  private def j22(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+    val diamond = concat(lit("POLYGON (("),
+      concat_ws(", ", pt(cx, cy - r), pt(cx + r, cy), pt(cx, cy + r),
+        pt(cx - r, cy), pt(cx, cy - r)), lit("))"))
+    val b = Tables.customer(s, d)
+      .select(c, diamond.as("geom_b"))
+      .select(col("c_custkey"),
+        element_at(SpatialOps.wktRings(col("geom_b")), 1).as("_rc"),
+        SpatialOps.ringsEnvelope(SpatialOps.wktRings(col("geom_b"))).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .withColumn("inter_area",
+        graft.functions.ClipExprs.clipAreaPoly(col("_ra"), col("_rc")))
+      .filter(col("inter_area") > 0.0)
+      .select("s_suppkey", "c_custkey", "inter_area")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** j22's oracle — the convex-window S-H replayed per diamond edge:
+    * per level, a `sides` list stages each vertex's side value once
+    * (the kernel computes the same pure function; exact equality is
+    * evaluation-count-independent), the pass CASE consumes sides[i]/
+    * sides[i+1] for the inside tests AND the t = s_p/(s_p−s_q)
+    * intersections, MATERIALIZED per level (the j21 inlining lesson).
+    * Candidates pre-filtered by exact envelope overlap.
+    */
+  private def sqlClipPair: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    // diamond edges, CCW (matches the kernel's winding detection)
+    val edges = Seq(
+      (("cx", "cy - r"), ("cx + r", "cy")),
+      (("cx + r", "cy"), ("cx", "cy + r")),
+      (("cx", "cy + r"), ("cx - r", "cy")),
+      (("cx - r", "cy"), ("cx", "cy - r")))
+    def sidesOf(in: String, ax: String, ay: String, bx: String, by: String): String =
+      s"""list_transform(range(1, length($in) + 1), i ->
+         |    (($bx) - ($ax)) * ($in[i].y - ($ay)) - (($by) - ($ay)) * ($in[i].x - ($ax)))""".stripMargin
+    def passOf(in: String): String = {
+      val isect =
+        s"""struct_pack(
+           |  x := $in[i].x + (sides[i] / (sides[i] - sides[i+1])) * ($in[i+1].x - $in[i].x),
+           |  y := $in[i].y + (sides[i] / (sides[i] - sides[i+1])) * ($in[i+1].y - $in[i].y))""".stripMargin
+      s"""flatten(list_transform(range(1, length($in)), i ->
+         |    CASE WHEN sides[i+1] >= 0 AND sides[i] >= 0 THEN [$in[i+1]]
+         |         WHEN sides[i+1] >= 0 THEN [$isect, $in[i+1]]
+         |         WHEN sides[i] >= 0 THEN [$isect]
+         |         ELSE [] END))""".stripMargin
+    }
+    def close(v: String) =
+      s"CASE WHEN length($v) = 0 THEN $v ELSE list_append($v, $v[1]) END"
+    def crossOf(v: String) =
+      s"""CASE WHEN length($v) < 2 THEN CAST(0 AS DOUBLE) ELSE
+         |    list_reduce(list_transform(range(1, length($v)), i ->
+         |      $v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y), (a, b) -> a + b) END""".stripMargin
+    val base =
+      s"""lvl0 AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+         |  ${ptsList(rings(0))} AS o0, ${ptsList(rings(1))} AS h0
+         |FROM ($arrowSqlBase) a JOIN
+         |  (SELECT c_custkey,
+         |     CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+         |     CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+         |     1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer) b
+         |  ON x0 <= cx + r AND cx - r <= x0 + w AND y0 <= cy + r AND cy - r <= y0 + h)""".stripMargin
+    val levels = edges.zipWithIndex.flatMap { case (((ax, ay), (bx, by)), k) =>
+      Seq(
+        s"""m${k + 1} AS MATERIALIZED (SELECT *,
+           |  ${sidesOf(s"o$k", ax, ay, bx, by)} AS osides,
+           |  ${sidesOf(s"h$k", ax, ay, bx, by)} AS hsides
+           |  FROM ${if (k == 0) "lvl0" else s"c$k"})""".stripMargin,
+        s"""p${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${passOf(s"o$k").replace("sides[", "osides[")} AS oraw,
+           |  ${passOf(s"h$k").replace("sides[", "hsides[")} AS hraw FROM m${k + 1})""".stripMargin,
+        s"""c${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${close("oraw")} AS o${k + 1}, ${close("hraw")} AS h${k + 1} FROM p${k + 1})""".stripMargin)
+    }
+    (base +: levels).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT s_suppkey, c_custkey, inter_area FROM (
+         |  SELECT s_suppkey, c_custkey,
+         |    abs((${crossOf("o4")}) + (${crossOf("h4")})) / 2 AS inter_area
+         |  FROM c4)
+         |WHERE inter_area > 0 ORDER BY s_suppkey, c_custkey""".stripMargin
+  }
+
   /** j21's oracle — the S-H clip + shoelace fold replayed in DuckDB list
     * algebra: per half-plane pass, a list_transform over the closed
     * vertex list emits kept vertices and intersection points (the
@@ -5886,6 +5991,7 @@ object SparkEntry {
     "j18_overlap_join" -> (j18 _),
     "j19_dwithin_join" -> (j19 _),
     "j21_clip_zonal" -> (j21 _),
+    "j22_clip_pair" -> (j22 _),
     "j20_nearest_join" -> (j20 _),
     "gh1_geohash_bucket" -> (gh1 _),
     "gh2_geohash_cells" -> (gh2 _),
@@ -6449,6 +6555,9 @@ object SparkEntry {
     // j21: S-H clip passes + sequential shoelace fold over ALL pairs,
     // clip_area > 0 as the join — see sqlClipZonal.
     "j21_clip_zonal" -> sqlClipZonal,
+    // j22: convex-window S-H per diamond edge over envelope-overlap
+    // candidates — see sqlClipPair.
+    "j22_clip_pair" -> sqlClipPair,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

@@ -75,6 +75,56 @@ case class ClipAreaExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Subject polygon (rings) ∩ CONVEX clip ring → exact area. The box form
+  * generalized to arbitrary convex windows (tiles are boxes; parcels,
+  * viewsheds, and the engine's own j18 diamonds are not): Sutherland–
+  * Hodgman against each clip edge's half-plane, inside = the cross
+  * product side test, intersections parameterized by t = s_p/(s_p−s_q)
+  * over the SAME side values the inside tests computed — so the oracle
+  * mirrors every operation textually. Fail-closed on non-convex,
+  * unclosed, or degenerate clip rings (S-H against a concave window is
+  * silently wrong, not approximate).
+  */
+case class ClipAreaPolyExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private def ringTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_poly needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
+    else if (!ringTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_poly needs one array<struct<x,y>> convex clip ring, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, clip: Any): Any =
+    ClipExprs.clipAreaConvex(rings.asInstanceOf[ArrayData], clip.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipAreaConvex($r, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** Column entry: rings in the st_rings layout, env in the bbox-struct
@@ -82,6 +132,12 @@ object ClipExprs {
   def clipArea(rings: Column, env: Column): Column =
     GraftBridge.column(ClipAreaExpr(
       GraftBridge.expression(rings), GraftBridge.expression(env)))
+
+  /** Column entry: subject rings ∩ one convex clip ring (closed,
+    * array<struct<x,y>> — e.g. `element_at(st_rings(wkt), 1)`). */
+  def clipAreaPoly(rings: Column, clipRing: Column): Column =
+    GraftBridge.column(ClipAreaPolyExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
 
   /** Static kernel (also the codegen target). Fail-closed on null
     * points/coordinates and inverted boxes — the GeomPredExprs doctrine:
@@ -127,6 +183,112 @@ object ClipExprs {
       ri += 1
     }
     math.abs(total) / 2.0
+  }
+
+  /** [[ClipAreaPolyExpr]]'s kernel: subject rings clipped by each edge of
+    * one convex closed ring. The inside test per clip edge a→b is the
+    * side value s(p) = (bx−ax)·(py−ay) − (by−ay)·(px−ax) compared against
+    * 0 in the ring's winding direction; intersections use
+    * t = s(p) / (s(p) − s(q)) on the same side values.
+    */
+  def clipAreaConvex(rings: ArrayData, clip: ArrayData): Double = {
+    val m = clip.numElements()
+    if (m < 4)
+      throw new IllegalArgumentException(
+        s"convex clip ring needs >= 4 points (closed), got $m")
+    val cx = new Array[Double](m)
+    val cy = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (clip.isNullAt(i))
+        throw new IllegalArgumentException(s"null point at clip index $i")
+      val p = clip.getStruct(i, 2)
+      if (p.isNullAt(0) || p.isNullAt(1))
+        throw new IllegalArgumentException(s"null coordinate at clip index $i")
+      cx(i) = p.getDouble(0)
+      cy(i) = p.getDouble(1)
+      i += 1
+    }
+    if (cx(0) != cx(m - 1) || cy(0) != cy(m - 1))
+      throw new IllegalArgumentException("clip ring must be closed (first == last)")
+    // winding via the shoelace sign; convexity via uniform turn signs
+    val twice = cross(cx, cy)
+    if (twice == 0.0)
+      throw new IllegalArgumentException("clip ring has zero area")
+    val ccw = twice > 0.0
+    i = 0
+    while (i < m - 1) {
+      // turn at vertex i+1 (wrapping the closed list: successor of the
+      // last edge is the first edge)
+      val j = if (i + 2 <= m - 1) i + 2 else 1
+      val turn = (cx(i + 1) - cx(i)) * (cy(j) - cy(i + 1)) -
+        (cy(i + 1) - cy(i)) * (cx(j) - cx(i + 1))
+      if (if (ccw) turn < 0.0 else turn > 0.0)
+        throw new IllegalArgumentException(
+          s"clip ring is not convex (reflex turn at vertex ${i + 1})")
+      i += 1
+    }
+    var total = 0.0
+    var ri = 0
+    while (ri < rings.numElements()) {
+      if (rings.isNullAt(ri))
+        throw new IllegalArgumentException(s"null ring at index $ri (malformed WKT?)")
+      val r = rings.getArray(ri)
+      val n = r.numElements()
+      var xs = new Array[Double](n)
+      var ys = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if (r.isNullAt(i))
+          throw new IllegalArgumentException(s"null point at ring index $i (malformed WKT?)")
+        val p = r.getStruct(i, 2)
+        if (p.isNullAt(0) || p.isNullAt(1))
+          throw new IllegalArgumentException(s"null coordinate at ring index $i (malformed WKT?)")
+        xs(i) = p.getDouble(0)
+        ys(i) = p.getDouble(1)
+        i += 1
+      }
+      var st = (xs, ys)
+      var e = 0
+      while (e < m - 1) {
+        st = clipPassEdge(st._1, st._2, cx(e), cy(e), cx(e + 1), cy(e + 1), ccw)
+        e += 1
+      }
+      total += cross(st._1, st._2)
+      ri += 1
+    }
+    math.abs(total) / 2.0
+  }
+
+  /** One S-H pass against the half-plane left (ccw) or right (cw) of the
+    * clip edge a→b; same emit rules as the box passes.
+    */
+  private def clipPassEdge(xs: Array[Double], ys: Array[Double],
+      ax: Double, ay: Double, bx: Double, by: Double,
+      ccw: Boolean): (Array[Double], Array[Double]) = {
+    val n = xs.length
+    if (n < 2) return (Array.empty, Array.empty)
+    def side(i: Int): Double =
+      (bx - ax) * (ys(i) - ay) - (by - ay) * (xs(i) - ax)
+    def inside(s: Double): Boolean = if (ccw) s >= 0.0 else s <= 0.0
+    val ox = new scala.collection.mutable.ArrayBuffer[Double](n + 2)
+    val oy = new scala.collection.mutable.ArrayBuffer[Double](n + 2)
+    var i = 0
+    while (i < n - 1) {
+      val sp = side(i)
+      val sq = side(i + 1)
+      val inP = inside(sp)
+      val inQ = inside(sq)
+      if (inQ != inP) {
+        val t = sp / (sp - sq)
+        ox += xs(i) + t * (xs(i + 1) - xs(i))
+        oy += ys(i) + t * (ys(i + 1) - ys(i))
+      }
+      if (inQ) { ox += xs(i + 1); oy += ys(i + 1) }
+      i += 1
+    }
+    if (ox.nonEmpty) { ox += ox(0); oy += oy(0) }
+    (ox.toArray, oy.toArray)
   }
 
   /** One Sutherland–Hodgman half-plane pass over a CLOSED vertex list

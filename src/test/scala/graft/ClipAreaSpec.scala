@@ -82,6 +82,70 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("rings"))
   }
 
+  // ---- convex-window form (ClipAreaPolyExpr) ----
+
+  private def clipPolyOf(wkt: String, clipWkt: String): Double =
+    Seq((wkt, clipWkt)).toDF("g", "c")
+      .select(ClipExprs.clipAreaPoly(SpatialOps.wktRings(col("g")),
+        element_at(SpatialOps.wktRings(col("c")), 1)).as("a"))
+      .head().getDouble(0)
+
+  private def diamondWkt(cx: Double, cy: Double, r: Double): String =
+    s"POLYGON (($cx ${cy - r}, ${cx + r} $cy, $cx ${cy + r}, ${cx - r} $cy, $cx ${cy - r}))"
+
+  test("convex clip: closed forms against diamonds") {
+    val bigRect = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    // diamond fully inside the rect: intersection = diamond area 2r^2
+    assert(clipPolyOf(bigRect, diamondWkt(50, 50, 3)) == 18.0)
+    // rect fully inside a huge diamond: intersection = rect area
+    val unitRect = "POLYGON ((49 49, 51 49, 51 51, 49 51, 49 49))"
+    assert(clipPolyOf(unitRect, diamondWkt(50, 50, 40)) == 4.0)
+    // disjoint
+    assert(clipPolyOf(unitRect, diamondWkt(80, 80, 2)) == 0.0)
+  }
+
+  test("convex clip by an axis-aligned square ring equals the box kernel") {
+    val square = "POLYGON ((2 1, 7 1, 7 6, 2 6, 2 1))"
+    val viaPoly = clipPolyOf(arrowHole, square)
+    val viaBox = clipOf(arrowHole, (2, 1, 7, 6))
+    assert(viaPoly == viaBox && viaPoly > 0,
+      s"kernels disagree: poly=$viaPoly box=$viaBox")
+  }
+
+  test("convex clip: diamond tiling reassembles the subject's full area") {
+    // radius-r diamonds centered on the 2r lattice + the r-offset lattice
+    // tile the plane; summing clip areas over a covering tiling must
+    // reassemble the arrow+hole polygon exactly
+    val r = 2.0
+    var sum = 0.0
+    for (i <- -1 to 4; j <- -1 to 4) {
+      sum += clipPolyOf(arrowHole, diamondWkt(2 * r * i, 2 * r * j, r))
+      sum += clipPolyOf(arrowHole, diamondWkt(2 * r * i + r, 2 * r * j + r, r))
+    }
+    assert(math.abs(sum - 35.0) < 1e-9, s"tiling sum $sum != 35")
+  }
+
+  test("convex clip winding: a clockwise clip ring gives the same area") {
+    val ccw = diamondWkt(3, 3, 2)
+    val cw = "POLYGON ((3 1, 1 3, 3 5, 5 3, 3 1))"
+    // reversing the ring reorders the edge passes, so the intersection
+    // arithmetic rounds differently — equality is semantic, not bitwise
+    assert(math.abs(clipPolyOf(arrowHole, ccw) - clipPolyOf(arrowHole, cw)) < 1e-9)
+  }
+
+  test("convex clip fail-closed: concave, unclosed, degenerate clip rings") {
+    val arrowRing = "POLYGON ((0 0, 6 0, 6 8, 3 4, 0 8, 0 0))" // concave
+    val e1 = intercept[Exception](clipPolyOf(arrowHole, arrowRing))
+    assert(e1.getMessage.contains("not convex"))
+    val e2 = intercept[Exception](
+      Seq(1).toDF("x").select(ClipExprs.clipAreaPoly(col("x"), col("x"))).collect())
+    assert(e2.getMessage.toLowerCase.contains("rings"))
+    // degenerate (zero-area line ring)
+    val e3 = intercept[Exception](
+      clipPolyOf(arrowHole, "POLYGON ((0 0, 4 0, 2 0, 0 0))"))
+    assert(e3.getMessage.contains("zero area"))
+  }
+
   test("SQL surface: st_clip_area matches the Column form") {
     GraftFunctions.register(spark)
     Seq(arrowHole).toDF("g").createOrReplaceTempView("clipspec")
