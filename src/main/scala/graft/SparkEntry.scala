@@ -1212,10 +1212,18 @@ object SparkEntry {
        |final AS (
        |  SELECT w, length(state) AS n FROM (
        |    SELECT w, state, coalesce(list_min($rks), 999999) AS br FROM steps)
-       |  WHERE br = 999999)
-       |SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_bpe
-       |FROM words JOIN final USING (w)
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  WHERE br = 999999),
+       |percounts AS (
+       |  SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_bpe
+       |  FROM words JOIN final USING (w) GROUP BY doc_id)
+       |-- data-contract mirror (the r3 lesson): a doc whose text is empty /
+       |-- all-spaces has NO words rows but the Spark side still emits
+       |-- (doc_id, 0, 0); a NULL text stays NULL through split/bpe_count
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(p.n_words, 0) END AS n_words,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(p.n_bpe, 0) END AS n_bpe
+       |FROM documents d LEFT JOIN percounts p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** hb1's oracle — HilbertExprs.xy2d unrolled level-by-level: one CTE

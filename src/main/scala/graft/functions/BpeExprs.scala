@@ -171,11 +171,17 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
     val ranksRef = ctx.addReferenceObj("bpeRanks", ranks, classOf[java.util.HashMap[_, _]].getName)
     val adClass = classOf[GenericArrayData].getName
     val u8Class = classOf[UTF8String].getName
+    // freshName, not fixed locals: a non-nullable child makes
+    // nullSafeCodeGen emit this UNBRACED, and two instances in one
+    // projection would redeclare the same Janino locals
+    val toks = ctx.freshName("bpeToks")
+    val u8 = ctx.freshName("bpeU8")
+    val i = ctx.freshName("bpeI")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""String[] _toks = graft.functions.BpeExprs.encodeWord($c.toString(), $ranksRef);
-         |$u8Class[] _u8 = new $u8Class[_toks.length];
-         |for (int _i = 0; _i < _toks.length; _i++) _u8[_i] = $u8Class.fromString(_toks[_i]);
-         |${ev.value} = new $adClass(_u8);""".stripMargin)
+      s"""String[] $toks = graft.functions.BpeExprs.encodeWord($c.toString(), $ranksRef);
+         |$u8Class[] $u8 = new $u8Class[$toks.length];
+         |for (int $i = 0; $i < $toks.length; $i++) $u8[$i] = $u8Class.fromString($toks[$i]);
+         |${ev.value} = new $adClass($u8);""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

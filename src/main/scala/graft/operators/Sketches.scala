@@ -65,29 +65,6 @@ object Sketches {
       Literal(bloom, BinaryType),
       GraftBridge.toCatalyst(xxhash64(keyCol))))
 
-  /** KMV (k-minimum-values) distinct-count sketch, per group: keep the k
-    * smallest distinct 60-bit md5-derived hashes of `key`; with h(k) the
-    * k-th smallest hash on the 2^60 scale, the estimate is
-    * (k-1) · 2^60 / h(k) (Bar-Yossef et al. 2002). Groups holding fewer
-    * than k distinct keys report the EXACT count (the sketch is lossless
-    * below capacity).
-    *
-    * Unlike HyperLogLog this sketch is RNG-free and fully deterministic
-    * (md5 of the value), so two engines agree bit-for-bit — which is what
-    * makes it oracle-checkable. It is also mergeable: the union of two
-    * sketches' hash sets, re-capped to the k smallest, is exactly the
-    * sketch of the unioned inputs, so partials combine across
-    * partitions, stores, or days like any mergeable agg state.
-    *
-    * Scale shape: one distinct shuffle on (group, hash) with map-side
-    * partial dedup, then the k-cap runs through the bounded-heap
-    * [[graft.plans.TopK]] physical operator — the post-distinct exchange
-    * carries at most k rows per group, so the reduce side is O(k·groups)
-    * regardless of input distinct cardinality.
-    *
-    * Output: group columns + `n_min` (hashes kept, = min(k, distinct)),
-    * `kth_hash` (the sketch bound), `est_distinct`.
-    */
   /** COUNT-MIN frequency sketch (Cormode & Muthukrishnan 2005), built as
     * a plain aggregate: every input key maps to `depth` (row, bucket)
     * cells (independent seeded md5 hashes — the MinHash seed family),
@@ -106,6 +83,11 @@ object Sketches {
     *
     * Output: `row`, `bucket`, `cnt` (cells never touched are absent —
     * semantically zero; [[countMinEstimate]] coalesces).
+    *
+    * NULL keys are EXCLUDED throughout the family (the countDistinct
+    * convention): a NULL would hash to a NULL bucket and silently count
+    * toward nothing while the probe side never matched it — callers
+    * wanting a NULL group coalesce to a sentinel upstream.
     */
   def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
@@ -114,7 +96,8 @@ object Sketches {
       struct(lit(j).as("row"),
         (graft.functions.TextOps.seededHash(key.cast("string"), j) % width).as("bucket"))
     }
-    df.select(explode(array(cells: _*)).as("rb"))
+    df.filter(key.isNotNull)
+      .select(explode(array(cells: _*)).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -138,7 +121,7 @@ object Sketches {
       struct(lit(j).as("row"),
         (graft.functions.TextOps.seededHash(col("key").cast("string"), j) % width).as("bucket"))
     }
-    probes.select(key.as("key")).distinct()
+    probes.select(key.as("key")).filter(col("key").isNotNull).distinct()
       .select(col("key"), explode(array(cells: _*)).as("rb"))
       .select(col("key"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .join(broadcast(sketch), Seq("row", "bucket"), "left")
@@ -165,11 +148,26 @@ object Sketches {
       depth: Int = 4,
       width: Int = 512): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val keyed = df.select(key.as("key"))
-    val sketch = countMin(keyed, col("key"), depth, width)
-    val cands = countMinEstimate(sketch, keyed, col("key"), depth, width)
-      .filter(col("est") >= minCount)
-    keyed.join(broadcast(cands.select("key")), Seq("key"), "left_semi")
+    require(depth.toLong * width <= (1L << 22),
+      s"depth*width (${depth.toLong * width}) exceeds the driver-collect bound 2^22")
+    val keyed = df.select(key.as("key")).filter(col("key").isNotNull)
+    // the finished counter table is depth*width rows — the zone-map /
+    // IVF-cell adjudicated-collect class — so the per-row estimate can
+    // be a literal map lookup instead of a probe-side distinct+join:
+    // no vocabulary-sized shuffle anywhere (countMinEstimate's distinct
+    // would be exactly the reduce side this operator exists to avoid)
+    val cellMap: Map[Long, Long] =
+      countMin(keyed, col("key"), depth, width).collect()
+        .map(r => (r.getInt(0).toLong * width + r.getLong(1)) -> r.getLong(2)).toMap
+    val mapLit = typedlit(cellMap)
+    val est = (0 until depth).map { j =>
+      coalesce(element_at(mapLit,
+        lit(j.toLong * width) +
+          graft.functions.TextOps.seededHash(col("key").cast("string"), j) % width),
+        lit(0L))
+    }.reduce(least(_, _))
+    // map-side prefilter -> the groupBy shuffles ONLY candidate rows
+    keyed.filter(est >= minCount)
       .groupBy("key").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
@@ -204,37 +202,44 @@ object Sketches {
     val suffix = h.bitwiseAND(lit((1L << L) - 1))
     val rho = when(suffix === 0, lit(L + 1).cast("long"))
       .otherwise(lit(L + 1).cast("long") - length(bin(suffix)).cast("long"))
-    val base = df.select(groupCols.map(col) :+ reg :+ rho.as("__rho"): _*)
+    // NULL keys excluded (the countDistinct convention, and the countMin
+    // family's): a NULL would form a phantom (NULL, NULL) register row
+    // that hllEstimate would count as a hit while contributing nothing
+    val base = df.filter(key.isNotNull)
+      .select(groupCols.map(col) :+ reg :+ rho.as("__rho"): _*)
     base.groupBy((groupCols.map(col) :+ col("register")): _*)
       .agg(max(col("__rho")).as("max_rho"))
   }
 
   /** Fixed-point HLL state fold + raw estimate, per group: `n_zero`
-    * (registers never hit), `raw_sum` = Σ 2^(54-rho) over all 2^p
-    * registers as an EXACT BIGINT (rho <= 53 when p >= 7; empty
-    * registers contribute 2^54), and the raw harmonic estimate
-    * α·m²·2^54 / raw_sum — a single correctly-rounded double divide by
-    * an exact integer, so even the float column is engine-identical
-    * (the kmv1 arithmetic shape). The standard small-range linear
-    * counting correction (m·ln(m/V)) involves a transcendental whose
-    * last-ulp behavior is engine-private — it lives in SketchSpec's
-    * accuracy harness, not in oracled output.
+    * (registers never hit), `raw_sum` = Σ 2^(L−rho) over all 2^p
+    * registers with L = 62−p, as an EXACT BIGINT — rho <= 61−p so every
+    * term is integral, and the sum is bounded by 2^p · 2^(62−p) = 2^62
+    * for ANY p (the first cut used a fixed 2^54 scale, which the
+    * all-registers-empty bound overflows from p = 10 up). The raw
+    * harmonic estimate α·m²·2^L / raw_sum is a single correctly-rounded
+    * double divide by an exact integer, so even the float column is
+    * engine-identical (the kmv1 arithmetic shape). The standard
+    * small-range linear counting correction (m·ln(m/V)) involves a
+    * transcendental whose last-ulp behavior is engine-private — it
+    * lives in SketchSpec's accuracy harness, not in oracled output.
     */
-  /** α·m²·2^54 for [[hllEstimate]]'s single divide — public so the
+  /** α·m²·2^(62−p) for [[hllEstimate]]'s single divide — public so the
     * DuckDB oracle can interpolate the IDENTICAL double literal. */
   def hllScale(p: Int): Double = {
     val m = (1L << p).toDouble
-    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 54)
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, (62 - p).toDouble)
   }
 
   def hllEstimate(registers: DataFrame, groupCols: Seq[String] = Nil, p: Int = 8): DataFrame = {
-    require(p >= 7 && p <= 16, s"p must be in [7,16] so rho fits the 2^54 scale, got $p")
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
+    val L = 62 - p
     val gb = if (groupCols.isEmpty) registers.groupBy() else registers.groupBy(groupCols.map(col): _*)
     gb.agg(
         (lit(m) - count(lit(1))).as("n_zero"),
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - max_rho AS INT))"))
-          + (lit(m) - count(lit(1))) * lit(1L << 54)).as("raw_sum"))
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($L - max_rho AS INT))"))
+          + (lit(m) - count(lit(1))) * lit(1L << L)).as("raw_sum"))
       .withColumn("est_raw", round(lit(hllScale(p)) / col("raw_sum").cast("double"), 6))
       // the standard small-range linear-counting switch — ln's last-ulp
       // behavior is engine-private, so this column is for USERS (accuracy
@@ -245,6 +250,29 @@ object Sketches {
           .otherwise(col("est_raw")))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch, per group: keep the k
+    * smallest distinct 60-bit md5-derived hashes of `key`; with h(k) the
+    * k-th smallest hash on the 2^60 scale, the estimate is
+    * (k-1) · 2^60 / h(k) (Bar-Yossef et al. 2002). Groups holding fewer
+    * than k distinct keys report the EXACT count (the sketch is lossless
+    * below capacity).
+    *
+    * Unlike HyperLogLog this sketch is RNG-free and fully deterministic
+    * (md5 of the value), so two engines agree bit-for-bit — which is what
+    * makes it oracle-checkable. It is also mergeable: the union of two
+    * sketches' hash sets, re-capped to the k smallest, is exactly the
+    * sketch of the unioned inputs, so partials combine across
+    * partitions, stores, or days like any mergeable agg state.
+    *
+    * Scale shape: one distinct shuffle on (group, hash) with map-side
+    * partial dedup, then the k-cap runs through the bounded-heap
+    * [[graft.plans.TopK]] physical operator — the post-distinct exchange
+    * carries at most k rows per group, so the reduce side is O(k·groups)
+    * regardless of input distinct cardinality.
+    *
+    * Output: group columns + `n_min` (hashes kept, = min(k, distinct)),
+    * `kth_hash` (the sketch bound), `est_distinct`.
+    */
   def kmvDistinct(
       df: DataFrame,
       key: Column,

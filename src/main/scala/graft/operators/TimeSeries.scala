@@ -148,7 +148,15 @@ object TimeSeries {
       .orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
+    // fail-closed on inverted intervals (the repo doctrine): a negative
+    // span would silently subtract from the union length. The checked
+    // value feeds every use of `end`, so the assert can't be pruned.
+    val checkedEnd = when(col(endCol) >= col(startCol), col(endCol))
+      .otherwise(raise_error(concat(
+        lit(s"intervalCoverage: inverted interval (end < start) at $startCol="),
+        col(startCol).cast("string"))))
     val flagged = df
+      .withColumn(endCol, checkedEnd)
       .withColumn("__new_island",
         when(prevMax.isNull || col(startCol) > prevMax, lit(1L)).otherwise(lit(0L)))
       .withColumn("__island", sum(col("__new_island"))

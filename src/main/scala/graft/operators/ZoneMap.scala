@@ -63,16 +63,35 @@ object ZoneMap {
       "z-ordering needs >= 2 columns (one column is a plain range layout)")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits($bits) x columns(${cols.size}) must fit a signed long")
+    val k = cols.size
+    writeCurveOrdered(df, dir, cols, nFiles, bits, "z-order") { ranks =>
+      (0 until bits).flatMap { b =>
+        ranks.zipWithIndex.map { case (r, i) =>
+          shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * k + i)
+        }
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  /** Shared curve-layout scaffolding: global-bounds rank normalization to
+    * `bits`-bit integers (ONE aggregate pass whose bounds land in the
+    * plan as literals), then range-partition + sort on the curve key the
+    * caller builds from the ranks. Both curve writes differ ONLY in the
+    * key expression — keep every shared fix (rank formula, NULL-bounds
+    * rejects, the write tail) in one place.
+    */
+  private def writeCurveOrdered(df: DataFrame, dir: String, cols: Seq[String],
+      nFiles: Int, bits: Int, what: String)(key: Seq[Column] => Column): Unit = {
     cols.foreach { c =>
       require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"z-order column '$c' must be numeric, got ${df.schema(c).dataType}")
+        s"$what column '$c' must be numeric, got ${df.schema(c).dataType}")
     }
     val boundAggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
     cols.zipWithIndex.foreach { case (c, i) =>
       require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
-        s"z-order column '$c' has NULL bounds — the input is empty or the " +
+        s"$what column '$c' has NULL bounds — the input is empty or the " +
           "column is entirely NULL; nothing to cluster")
     }
     val maxRank = (1L << bits) - 1
@@ -84,16 +103,10 @@ object ZoneMap {
         floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxRank + 1.0))
           .cast("long"))
     }
-    val k = cols.size
-    val zkey = (0 until bits).flatMap { b =>
-      ranks.zipWithIndex.map { case (r, i) =>
-        shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * k + i)
-      }
-    }.reduce(_.bitwiseOR(_))
-    df.withColumn("__zkey", zkey)
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
+    df.withColumn("__ckey", key(ranks))
+      .repartitionByRange(nFiles, col("__ckey"))
+      .sortWithinPartitions("__ckey")
+      .drop("__ckey")
       .write.mode("overwrite").parquet(dir)
   }
 
@@ -114,34 +127,11 @@ object ZoneMap {
     require(cols.size == 2,
       s"hilbert ordering is 2-D (got ${cols.size} columns); use writeZOrdered for k != 2")
     require(bits >= 1 && bits <= 31, s"bits($bits) must be in [1,31]")
-    cols.foreach { c =>
-      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"hilbert column '$c' must be numeric, got ${df.schema(c).dataType}")
+    writeCurveOrdered(df, dir, cols, nFiles, bits, "hilbert") { ranks =>
+      graft.functions.HilbertExprs.indexCol(ranks(0), ranks(1), bits)
     }
-    val boundAggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
-    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*).head()
-    cols.zipWithIndex.foreach { case (c, i) =>
-      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
-        s"hilbert column '$c' has NULL bounds — the input is empty or the " +
-          "column is entirely NULL; nothing to cluster")
-    }
-    val maxRank = (1L << bits) - 1
-    val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val mn = bounds.getDouble(2 * i)
-      val mx = bounds.getDouble(2 * i + 1)
-      val span = if (mx > mn) mx - mn else 1.0
-      least(lit(maxRank),
-        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(maxRank + 1.0))
-          .cast("long"))
-    }
-    val hkey = graft.functions.HilbertExprs.indexCol(ranks(0), ranks(1), bits)
-    df.withColumn("__hkey", hkey)
-      .repartitionByRange(nFiles, col("__hkey"))
-      .sortWithinPartitions("__hkey")
-      .drop("__hkey")
-      .write.mode("overwrite").parquet(dir)
   }
+
 
   /** [[prunedRead]] for a MULTI-dimensional box: compose the per-column
     * file prunes, read the surviving files once, apply every residual.

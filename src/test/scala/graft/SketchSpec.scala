@@ -197,13 +197,47 @@ class SketchSpec extends AnyFunSuite {
     assert(direct == merged)
   }
 
+  test("hll p=12 low cardinality: fixed-point fold must not overflow (62-p scale regression)") {
+    import spark.implicits._
+    // ~100 keys over 4096 registers: almost all empty — the old fixed
+    // 2^54 scale put n_zero * 2^54 ≈ 2^66 into a BIGINT and wrapped
+    val df = (1L to 100L).toDF("v")
+    val regs = operators.Sketches.hllRegisters(df, col("v"), Nil, p = 12)
+    val row = operators.Sketches.hllEstimate(regs, Nil, p = 12).head()
+    val rawSum = row.getAs[Long]("raw_sum")
+    assert(rawSum > 0, s"raw_sum wrapped negative: $rawSum")
+    val est = row.getAs[Double]("est_corrected")
+    assert(est > 0 && math.abs(est - 100.0) / 100.0 < 0.2, s"est=$est")
+  }
+
+  test("NULL keys are excluded across the sketch family (the countDistinct convention)") {
+    import spark.implicits._
+    val withNulls = (Seq.fill(200)(Some(1L)) ++ Seq.fill(300)(Option.empty[Long]) ++
+      (2L to 50L).map(Some(_))).toDF("v")
+    val noNulls = withNulls.filter(col("v").isNotNull)
+    // countMin: identical counters with or without the NULL rows
+    def cm(df: org.apache.spark.sql.DataFrame) =
+      operators.Sketches.countMin(df, col("v"), 4, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cm(withNulls) == cm(noNulls))
+    // heavyHitters: the frequent non-null key survives, no NULL row appears
+    val hh = operators.Sketches.heavyHitters(withNulls, col("v"), minCount = 100L, width = 64)
+      .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+    assert(hh.toSeq == Seq((false, 1L, 200L)))
+    // hll: no phantom NULL register; estimate sees only real keys
+    val regs = operators.Sketches.hllRegisters(withNulls, col("v"), Nil, p = 8)
+    assert(!regs.collect().exists(_.isNullAt(0)))
+    val nz = operators.Sketches.hllEstimate(regs, Nil, p = 8).head().getAs[Long]("n_zero")
+    assert(nz >= 256 - 50)
+  }
+
   test("hll fail-closes on out-of-range precision") {
     import spark.implicits._
     val df = Seq(1L).toDF("v")
     intercept[IllegalArgumentException](
       operators.Sketches.hllRegisters(df, col("v"), Nil, p = 3))
     intercept[IllegalArgumentException](
-      operators.Sketches.hllEstimate(df, Nil, p = 6))
+      operators.Sketches.hllEstimate(df, Nil, p = 17))
   }
 
   private implicit class ToSortedMap(pairs: Array[(Long, Long)]) {

@@ -136,6 +136,15 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("intervalCoverage fail-closes on inverted intervals") {
+    import spark.implicits._
+    val bad = Seq(("a", 10L, 3L), ("a", 4L, 8L)).toDF("k", "s", "e")
+    val err = intercept[Exception](
+      graft.operators.TimeSeries.intervalCoverage(bad, Seq("k"), "s", "e").collect())
+    assert(err.getMessage.contains("inverted interval") ||
+      Option(err.getCause).exists(_.getMessage.contains("inverted interval")))
+  }
+
   test("intervalCoverage fail-closes without keys") {
     import spark.implicits._
     intercept[IllegalArgumentException](
