@@ -5753,6 +5753,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** hll2 — HLL MERGE soundness as a query (the daily-sketch shape that
+    * makes the sketch worth having at 100 TB): lineitem split into two
+    * halves by order-key parity, each sketched independently, the
+    * register tables merged by register-wise MAX, then folded. The
+    * oracle computes the SINGLE-PASS sketch of the union — merge(A,B)
+    * must equal sketch(A ∪ B) exactly, register for register, so the
+    * hash gates the merge law itself, not an approximation of it.
+    */
+  private def hll2(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    def regsOf(part: DataFrame) =
+      operators.Sketches.hllRegisters(part, col("l_partkey"), Nil, p = 8)
+    val merged = regsOf(li.filter(col("l_orderkey") % 2 === 0))
+      .unionAll(regsOf(li.filter(col("l_orderkey") % 2 =!= 0)))
+      .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
+    operators.Sketches.hllEstimate(merged, Nil, p = 8)
+      .select("n_zero", "raw_sum", "est_raw")
+  }
+
   /** cdc1 — snapshot diff: two views of `orders` (one-third disjoint on
     * each side, every fifth shared key's price bumped) reconciled into
     * insert/delete/update rows. Null-safe compare; unchanged rows drop.
@@ -6208,6 +6227,7 @@ object SparkEntry {
     "cov1_interval_coverage" -> (cov1 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
+    "hll2_hll_merge" -> (hll2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
@@ -10331,6 +10351,22 @@ object SparkEntry {
          |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) / CAST(raw_sum AS DOUBLE), 6) AS est_raw,
          |  exact_distinct
          |FROM folded JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // hll2: the oracle is the SINGLE-PASS sketch of the whole table —
+    // register-wise max-merge must be exactly sketch(A UNION B).
+    "hll2_hll_merge" ->
+      s"""WITH h AS (SELECT ${sqlHexVal("m", 15)} AS h
+         |  FROM (SELECT md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),
+         |r AS (SELECT h // 4503599627370496 AS register, h % 4503599627370496 AS suffix FROM h),
+         |rho AS (SELECT register,
+         |  CASE WHEN suffix = 0 THEN 53 ELSE 53 - length(bin(suffix)) END AS rho FROM r),
+         |regs AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY 1)
+         |SELECT 256 - count(*) AS n_zero,
+         |  CAST(sum(CAST(1 AS BIGINT) << CAST(54 - max_rho AS INTEGER))
+         |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT) AS raw_sum,
+         |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) /
+         |    CAST(CAST(sum(CAST(1 AS BIGINT) << CAST(54 - max_rho AS INTEGER))
+         |      + (256 - count(*)) * (CAST(1 AS BIGINT) << 54) AS BIGINT) AS DOUBLE), 6) AS est_raw
+         |FROM regs""".stripMargin,
     // bpe1: the identical leftmost-lowest-rank merge walk, replayed
     // recursively over distinct words — see sqlBpeTokens.
     "bpe1_bpe_tokens" -> sqlBpeTokens,
