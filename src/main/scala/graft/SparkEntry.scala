@@ -5753,6 +5753,22 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** cms3 — JOIN-SIZE estimation from sketches (the optimizer-
+    * cardinality use of count-min): the self-join size of lineitem on
+    * l_partkey — the F2 second moment Σ_k c_k² — estimated as the
+    * min-over-rows inner product of the sketch with itself, beside the
+    * exact moment. Never under; within εN² per row. All-integer, so
+    * the estimate itself hash-gates (the kmv1 doctrine).
+    */
+  private def cms3(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val est = operators.Sketches.countMinJoinSize(
+      li, col("l_partkey"), li, col("l_partkey"), depth = 4, width = 512)
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c") * col("__c")).as("exact_f2"))
+    est.crossJoin(exact)
+  }
+
   /** hll2 — HLL MERGE soundness as a query (the daily-sketch shape that
     * makes the sketch worth having at 100 TB): lineitem split into two
     * halves by order-key parity, each sketched independently, the
@@ -6228,6 +6244,7 @@ object SparkEntry {
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
     "hll2_hll_merge" -> (hll2 _),
+    "cms3_join_size" -> (cms3 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
@@ -10351,6 +10368,17 @@ object SparkEntry {
          |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) / CAST(raw_sum AS DOUBLE), 6) AS est_raw,
          |  exact_distinct
          |FROM folded JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // cms3: the sketch self-inner-product and the exact F2 moment both
+    // replayed — integer-only, so the estimate itself is hash-gated.
+    "cms3_join_size" ->
+      s"""WITH hashed AS (SELECT j, ${sqlHexVal("m", 6)} % 512 AS bucket FROM (
+         |  SELECT j, md5(CAST(j AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)) AS m
+         |  FROM lineitem, (VALUES (0),(1),(2),(3)) AS s(j))),
+         |cells AS (SELECT j, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+         |ip AS (SELECT j, CAST(sum(cnt * cnt) AS BIGINT) AS __ip FROM cells GROUP BY j),
+         |x AS (SELECT CAST(sum(__c * __c) AS BIGINT) AS exact_f2 FROM (
+         |  SELECT count(*) AS __c FROM lineitem GROUP BY l_partkey))
+         |SELECT (SELECT min(__ip) FROM ip) AS est, exact_f2 FROM x""".stripMargin,
     // hll2: the oracle is the SINGLE-PASS sketch of the whole table —
     // register-wise max-merge must be exactly sketch(A UNION B).
     "hll2_hll_merge" ->

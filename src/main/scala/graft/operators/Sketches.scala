@@ -172,6 +172,32 @@ object Sketches {
       .filter(col("n") >= minCount)
   }
 
+  /** EQUI-JOIN SIZE estimate from two count-min sketches (Alon–Matias–
+    * Szegedy second moments via the CMS inner product, Cormode &
+    * Muthukrishnan §4.3): |A ⋈ B on key| is estimated as
+    * min over rows j of Σ_buckets cmsA[j][b]·cmsB[j][b] — NEVER an
+    * underestimate (colliding keys only add cross terms), within
+    * εN_A·N_B of truth per row at the usual confidence. The
+    * cardinality-estimation use of the sketch: judge a join's output
+    * size from two depth·width tables WITHOUT running the join or
+    * shuffling either input by key. A = B gives the self-join size
+    * (the F2 second moment, Σ_k c_k²). All-integer, so the estimate
+    * itself is oracle-checkable.
+    * Output: one row, `est` (bigint).
+    */
+  def countMinJoinSize(
+      a: DataFrame, keyA: Column,
+      b: DataFrame, keyB: Column,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val sa = countMin(a, keyA, depth, width)
+    val sb = countMin(b, keyB, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    sa.join(sb, Seq("row", "bucket"))
+      .groupBy("row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("__ip"))
+      .agg(min(col("__ip")).as("est"))
+  }
+
   /** HYPERLOGLOG register table (Flajolet et al. 2007), md5-derived and
     * therefore deterministic across engines (the kmv1 doctrine — Spark's
     * own approx_count_distinct uses engine-private xxhash state, which

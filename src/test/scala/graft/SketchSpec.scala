@@ -146,6 +146,25 @@ class SketchSpec extends AnyFunSuite {
       operators.Sketches.heavyHitters(df, col("k"), minCount = 0L))
   }
 
+  test("countMinJoinSize never underestimates and stays within the eps*Na*Nb bound") {
+    import spark.implicits._
+    val a = (1 to 2000).map(i => (i % 300).toLong).toDF("k")
+    val b = (1 to 1500).map(i => (i % 200).toLong).toDF("k")
+    val est = operators.Sketches.countMinJoinSize(a, col("k"), b, col("k"), 4, 128)
+      .head().getLong(0)
+    val ca = (1 to 2000).map(_ % 300).groupBy(identity).view.mapValues(_.size.toLong)
+    val cb = (1 to 1500).map(_ % 200).groupBy(identity).view.mapValues(_.size.toLong)
+    val exact = ca.keys.map(k => ca(k) * cb.getOrElse(k, 0L)).sum
+    assert(est >= exact, s"est $est under exact $exact")
+    val bound = exact + math.ceil(math.E / 128 * 2000L * 1500L).toLong
+    assert(est <= bound, s"est $est beyond CMS bound $bound")
+    // disjoint keys: exact join size 0, estimate only collision noise
+    val d = (10000 to 10100).map(_.toLong).toDF("k")
+    val estDisjoint = operators.Sketches.countMinJoinSize(a, col("k"), d, col("k"), 4, 128)
+      .head().getLong(0)
+    assert(estDisjoint <= math.ceil(math.E / 128 * 2000L * 101L).toLong)
+  }
+
   test("countMin fail-closes on bad parameters") {
     import spark.implicits._
     val df = Seq("a").toDF("k")
