@@ -5753,6 +5753,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** kmv2 — SET-OPERATION cardinalities from KMV sketches (the theta
+    * construction): customers active in 1996 vs 1997, intersection and
+    * union distinct counts estimated from two k=64 sketches, beside the
+    * exact intersection. Both years hold ~1k distinct customers at
+    * sf0.01 — well over capacity, so the θ-sampling path is exercised,
+    * not the exact-below-capacity shortcut. md5-deterministic end to
+    * end; the oracle replays sketches, θ, the common count, and both
+    * estimates (one divide each, the kmv1 arithmetic shape).
+    */
+  private def kmv2(s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val sk = operators.Sketches.kmvSetSketch(a, col("o_custkey"), b, col("o_custkey"), k = 64)
+    val exact = a.distinct().intersect(b.distinct())
+      .agg(count(lit(1)).as("exact_intersect"))
+    sk.crossJoin(exact)
+  }
+
   /** cms3 — JOIN-SIZE estimation from sketches (the optimizer-
     * cardinality use of count-min): the self-join size of lineitem on
     * l_partkey — the F2 second moment Σ_k c_k² — estimated as the
@@ -6245,6 +6264,7 @@ object SparkEntry {
     "hll1_hll_distinct" -> (hll1 _),
     "hll2_hll_merge" -> (hll2 _),
     "cms3_join_size" -> (cms3 _),
+    "kmv2_set_sketch" -> (kmv2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
@@ -10368,6 +10388,35 @@ object SparkEntry {
          |  round(CAST(${operators.Sketches.hllScale(8)} AS DOUBLE) / CAST(raw_sum AS DOUBLE), 6) AS est_raw,
          |  exact_distinct
          |FROM folded JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
+    // kmv2: sketches, theta, common count, and both estimates replayed —
+    // the kmv1 machinery extended to the theta set construction.
+    "kmv2_set_sketch" ->
+      s"""WITH ha AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1996)),
+         |hb AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1997)),
+         |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 64),
+         |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 64),
+         |sa AS (SELECT count(*) AS na, max(h) AS kha FROM ka),
+         |sb AS (SELECT count(*) AS nb, max(h) AS khb FROM kb),
+         |th AS (SELECT least(CASE WHEN na < 64 THEN 1152921504606846976 ELSE kha END,
+         |                    CASE WHEN nb < 64 THEN 1152921504606846976 ELSE khb END) AS theta FROM sa, sb),
+         |cm AS (SELECT count(*) AS n_common FROM ka JOIN kb USING (h), th WHERE h < theta),
+         |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+         |  (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 64),
+         |su AS (SELECT count(*) AS nu, max(h) AS kthu FROM ku),
+         |x AS (SELECT count(*) AS exact_intersect FROM (
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         |  INTERSECT
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
+         |SELECT n_common, theta,
+         |  round(CAST(n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(theta AS DOUBLE), 6) AS est_intersect,
+         |  CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+         |    ELSE round(CAST(63.0 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(kthu AS DOUBLE), 6) END AS est_union,
+         |  exact_intersect
+         |FROM cm, th, su, x""".stripMargin,
     // cms3: the sketch self-inner-product and the exact F2 moment both
     // replayed — integer-only, so the estimate itself is hash-gated.
     "cms3_join_size" ->

@@ -172,6 +172,56 @@ object Sketches {
       .filter(col("n") >= minCount)
   }
 
+  /** SET-OPERATION cardinalities from two KMV sketches — the theta-sketch
+    * construction (Dasgupta et al. 2016) on the md5-deterministic KMV
+    * base [[kmvDistinct]] proves: with θ = min of the two sketch
+    * thresholds (a below-capacity sketch sees everything, θ = 2^60),
+    * the hashes below θ are a uniform sample of the union, so
+    * |A ∩ B| ≈ |{h ∈ kA ∩ kB : h < θ}| · 2^60 / θ and the union
+    * estimate is the re-capped merged sketch's own KMV estimate. When
+    * BOTH sides are below capacity every number is exact. This is the
+    * audience-overlap shape: intersect/union distinct counts across
+    * stores/days from k-row summaries, no re-scan, no key shuffle —
+    * and md5-determinism makes the estimates themselves oracle-checkable.
+    *
+    * Output: one row — `n_common`, `theta`, `est_intersect`,
+    * `est_union`.
+    */
+  def kmvSetSketch(
+      a: DataFrame, keyA: Column,
+      b: DataFrame, keyB: Column,
+      k: Int = 128): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val full = 1L << 60
+    def kset(df: DataFrame, key: Column) = {
+      val h = graft.functions.TextOps.hexVal(md5(key.cast("string")), 15)
+      graft.plans.TopK.perKey(
+        df.filter(key.isNotNull).select(lit(1).as("__g"), h.as("h")).distinct(),
+        Seq(col("__g")), Seq(col("h").asc), k).select("h")
+    }
+    val ka = kset(a, keyA)
+    val kb = kset(b, keyB)
+    val theta = ka.agg(count(lit(1)).as("na"), max(col("h")).as("ka"))
+      .crossJoin(kb.agg(count(lit(1)).as("nb"), max(col("h")).as("kb")))
+      .select(least(
+        when(col("na") < k, lit(full)).otherwise(col("ka")),
+        when(col("nb") < k, lit(full)).otherwise(col("kb"))).as("theta"))
+    val common = ka.join(kb, "h").crossJoin(broadcast(theta))
+      .filter(col("h") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    val merged = graft.plans.TopK.perKey(
+      ka.union(kb).distinct().select(lit(1).as("__g"), col("h")),
+      Seq(col("__g")), Seq(col("h").asc), k)
+    val union = merged.agg(count(lit(1)).as("nu"), max(col("h")).as("kthu"))
+    common.crossJoin(broadcast(theta)).crossJoin(broadcast(union))
+      .select(col("n_common"), col("theta"),
+        round(col("n_common").cast("double") * lit(math.pow(2.0, 60))
+          / col("theta").cast("double"), 6).as("est_intersect"),
+        when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * math.pow(2.0, 60))
+            / col("kthu").cast("double"), 6)).as("est_union"))
+  }
+
   /** EQUI-JOIN SIZE estimate from two count-min sketches (Alon–Matias–
     * Szegedy second moments via the CMS inner product, Cormode &
     * Muthukrishnan §4.3): |A ⋈ B on key| is estimated as

@@ -250,6 +250,31 @@ class SketchSpec extends AnyFunSuite {
     assert(nz >= 256 - 50)
   }
 
+  test("kmvSetSketch is exact below capacity and within theta-sketch error above") {
+    import spark.implicits._
+    // below capacity on both sides: everything exact
+    val a1 = (1L to 40L).toDF("v")
+    val b1 = (30L to 70L).toDF("v")
+    val small = operators.Sketches.kmvSetSketch(a1, col("v"), b1, col("v"), k = 128).head()
+    assert(small.getAs[Double]("est_intersect") == 11.0)
+    assert(small.getAs[Double]("est_union") == 70.0)
+    assert(small.getAs[Long]("theta") == (1L << 60))
+    // above capacity: rse ~ 1/sqrt(k); accept 4 sigma at k=128 (~35%)
+    val a2 = (1L to 6000L).toDF("v")
+    val b2 = (4000L to 12000L).toDF("v")
+    val big = operators.Sketches.kmvSetSketch(a2, col("v"), b2, col("v"), k = 128).head()
+    val ei = big.getAs[Double]("est_intersect")
+    val eu = big.getAs[Double]("est_union")
+    assert(math.abs(ei - 2001.0) / 2001.0 < 0.5, s"intersect est $ei")
+    assert(math.abs(eu - 12000.0) / 12000.0 < 0.35, s"union est $eu")
+    // disjoint sets: zero common sample entries
+    val d = (100000L to 101000L).toDF("v")
+    val dj = operators.Sketches.kmvSetSketch(a2, col("v"), d, col("v"), k = 128).head()
+    assert(dj.getAs[Long]("n_common") == 0L && dj.getAs[Double]("est_intersect") == 0.0)
+    intercept[IllegalArgumentException](
+      operators.Sketches.kmvSetSketch(a1, col("v"), b1, col("v"), k = 1))
+  }
+
   test("hll fail-closes on out-of-range precision") {
     import spark.implicits._
     val df = Seq(1L).toDF("v")
