@@ -170,6 +170,29 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** ZO3 — Hilbert RANGED reads (the read path that cashes in the
+    * adjacency theorem): lineitem keyed by the curve distance of its
+    * (partkey, suppkey) cell, zone-mapped ON THE KEY, and a 40x50 cell
+    * box served as the contiguous key ranges boxRanges plans — files
+    * prune by key-range intersection, each surviving scan is one
+    * contiguous run. The oracle is the plain modular-box scan: curve,
+    * ranges, and layout must all be exactly invisible, which also
+    * re-proves boxRanges' cell/range equivalence on real data.
+    */
+  private def zo3(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zo3").toString
+    val li = Tables.lineitem(s, d)
+      .withColumn("cx", col("l_partkey") % 256)
+      .withColumn("cy", col("l_suppkey") % 256)
+    operators.ZoneMap.writeHilbertCells(li, out, "cx", "cy", bits = 8, nFiles = 12)
+    val idx = operators.ZoneMap.build(s, out, Seq("__hkey"))
+    val ranges = graft.functions.HilbertExprs.boxRanges(8, 40, 10, 79, 59)
+    operators.ZoneMap.prunedReadRanges(s, out, idx, "__hkey", ranges)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** HB1 — the Hilbert index arithmetic itself, cross-engine: part keys
     * spread over the 2^16 grid by modular multipliers (all-integer, no
     * float quantizer in the loop), indexed by the codegen kernel; the
@@ -6110,6 +6133,7 @@ object SparkEntry {
     "zm1_zonemap_skip" -> (zm1 _),
     "zo1_zorder_skip" -> (zo1 _),
     "zo2_hilbert_skip" -> (zo2 _),
+    "zo3_hilbert_ranges" -> (zo3 _),
     "hb1_hilbert_index" -> (hb1 _),
     "st3_sessionize" -> (st3 _),
     "st7_enrich" -> (st7 _),
@@ -10163,6 +10187,16 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey >= 300 AND l_partkey < 600
         |  AND l_suppkey >= 20 AND l_suppkey < 80
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // zo3: curve, ranges, and layout must be invisible — the oracle is
+    // the plain modular-box scan (and thereby re-proves boxRanges'
+    // cell/range equivalence on real keys).
+    "zo3_hilbert_ranges" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey % 256 >= 40 AND l_partkey % 256 <= 79
+        |  AND l_suppkey % 256 >= 10 AND l_suppkey % 256 <= 59
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // hb1: HilbertExprs.xy2d replayed as a 16-level CTE chain — the same
     // all-integer rotate/reflect walk, so the hash proves the transform.

@@ -118,4 +118,48 @@ object HilbertExprs {
   def indexCol(x: Column, y: Column, order: Int): Column =
     GraftBridge.column(HilbertIndexExpr(
       GraftBridge.expression(x), GraftBridge.expression(y), order))
+
+  /** Decompose a cell box (inclusive corners) into the MINIMAL sorted set
+    * of contiguous curve-distance ranges `[lo, hi)` covering exactly the
+    * box's cells — the planning step that turns the adjacency theorem
+    * into fewer file reads: a Hilbert-keyed layout serves a box with
+    * ~1.8x fewer ranges than Z-order needs (HilbertSpec's measured run
+    * counts), and each range is one contiguous key scan.
+    *
+    * Algorithm: aligned-quadrant descent. The curve fills every aligned
+    * 2^k-square CONTIGUOUSLY (each scale bit finishes one quadrant
+    * before the next), so a block fully inside the box contributes the
+    * single range d & ~(s²−1) .. +s² for ANY of its cells d — no
+    * orientation bookkeeping. Blocks disjoint from the box prune; the
+    * rest recurse. O(perimeter · order) ranges before coalescing.
+    */
+  def boxRanges(order: Int, xmin: Long, ymin: Long, xmax: Long, ymax: Long): Seq[(Long, Long)] = {
+    val n = 1L << order
+    require(xmin <= xmax && ymin <= ymax, s"inverted box ($xmin,$ymin)-($xmax,$ymax)")
+    require(xmin >= 0 && ymin >= 0 && xmax < n && ymax < n,
+      s"box ($xmin,$ymin)-($xmax,$ymax) outside the order-$order grid [0,$n)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def descend(x0: Long, y0: Long, s: Long): Unit = {
+      if (x0 > xmax || y0 > ymax || x0 + s - 1 < xmin || y0 + s - 1 < ymin) ()
+      else if (x0 >= xmin && y0 >= ymin && x0 + s - 1 <= xmax && y0 + s - 1 <= ymax) {
+        val d = xy2d(order, x0, y0)
+        val lo = d & ~(s * s - 1)
+        out += ((lo, lo + s * s))
+      } else {
+        val h = s >> 1
+        descend(x0, y0, h); descend(x0 + h, y0, h)
+        descend(x0, y0 + h, h); descend(x0 + h, y0 + h, h)
+      }
+    }
+    descend(0L, 0L, n)
+    // coalesce touching ranges so the count is the true run count
+    val sorted = out.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (lo, hi) =>
+      if (merged.nonEmpty && merged.last._2 == lo)
+        merged(merged.size - 1) = (merged.last._1, hi)
+      else merged += ((lo, hi))
+    }
+    merged.toSeq
+  }
 }

@@ -133,6 +133,51 @@ object ZoneMap {
   }
 
 
+  /** Hilbert-KEYED layout over INTEGER CELL columns (values already in
+    * [0, 2^bits) — the expression fail-closes on range): keeps the curve
+    * distance as `keyName`, so reads can scan the CONTIGUOUS key ranges
+    * [[graft.functions.HilbertExprs.boxRanges]] plans for a box — the
+    * read path that actually cashes in the adjacency theorem
+    * ([[writeHilbertOrdered]]'s rank-normalized variant only prunes
+    * per-column, like Z-order). One shuffle-write pass, zone-mappable on
+    * the key like any other column.
+    */
+  def writeHilbertCells(df: DataFrame, dir: String, xCol: String, yCol: String,
+      bits: Int, nFiles: Int, keyName: String = "__hkey"): Unit = {
+    require(bits >= 1 && bits <= 31, s"bits($bits) must be in [1,31]")
+    val key = graft.functions.HilbertExprs.indexCol(
+      col(xCol).cast("long"), col(yCol).cast("long"), bits)
+    df.withColumn(keyName, key)
+      .repartitionByRange(nFiles, col(keyName))
+      .sortWithinPartitions(keyName)
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Read only the files whose key bounds intersect ANY of the given
+    * half-open ranges, then apply the exact range residual — the
+    * multi-range generalization of [[prunedRead]] serving
+    * [[graft.functions.HilbertExprs.boxRanges]] output. Result ≡ full
+    * read + the same residual, by construction.
+    */
+  def prunedReadRanges(
+      spark: SparkSession,
+      dir: String,
+      index: DataFrame,
+      keyCol: String,
+      ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "need at least one key range")
+    val filePred = ranges.map { case (lo, hi) =>
+      col(s"${keyCol}_max") >= lit(lo) && col(s"${keyCol}_min") < lit(hi)
+    }.reduce(_ || _)
+    val files = index.filter(filePred).select("file").collect().map(_.getString(0))
+    val residual = ranges.map { case (lo, hi) =>
+      col(keyCol) >= lit(lo) && col(keyCol) < lit(hi)
+    }.reduce(_ || _)
+    if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.option("basePath", dir)
+      .parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** [[prunedRead]] for a MULTI-dimensional box: compose the per-column
     * file prunes, read the surviving files once, apply every residual.
     * The shape z-ordered layouts exist for — each extra dimension prunes

@@ -123,6 +123,58 @@ class HilbertSpec extends AnyFunSuite {
     assert(pruned == full && full.nonEmpty)
   }
 
+  test("boxRanges covers exactly the box's cells, disjoint sorted coalesced") {
+    val order = 6
+    val boxes = Seq((0L, 0L, 63L, 63L), (5L, 7L, 20L, 33L), (10L, 10L, 10L, 10L),
+      (0L, 0L, 0L, 63L), (31L, 31L, 32L, 32L), (1L, 62L, 62L, 63L))
+    boxes.foreach { case (x0, y0, x1, y1) =>
+      val ranges = HilbertExprs.boxRanges(order, x0, y0, x1, y1)
+      // ranges are sorted, disjoint, and fully coalesced
+      ranges.sliding(2).filter(_.size == 2).foreach { case Seq((_, h), (l, _)) =>
+        assert(h < l, s"ranges overlap or touch uncoalesced: $h vs $l")
+      }
+      val covered = ranges.flatMap { case (lo, hi) => lo until hi }.toSet
+      val expected = (for (x <- x0 to x1; y <- y0 to y1)
+        yield HilbertExprs.xy2d(order, x, y)).toSet
+      assert(covered == expected, s"box ($x0,$y0)-($x1,$y1): wrong cell cover")
+      // minimality: range count equals the run count of the sorted d set
+      val runs = expected.toSeq.sorted.foldLeft((0, Long.MinValue)) {
+        case ((r, prev), d) => (if (d == prev + 1) r else r + 1, d)
+      }._1
+      assert(ranges.size == runs, s"box ($x0,$y0)-($x1,$y1): ${ranges.size} vs $runs runs")
+    }
+    intercept[IllegalArgumentException](HilbertExprs.boxRanges(6, 5, 5, 4, 9))
+    intercept[IllegalArgumentException](HilbertExprs.boxRanges(6, 0, 0, 64, 10))
+  }
+
+  test("ranged read equals the box filter and opens no more files than the per-column prune") {
+    val dir = java.nio.file.Files.createTempDirectory("hil_rng").toString
+    val df = (0 until 8192).map { i =>
+      val x = (i * 2654435761L) % 64
+      val y = (i * 40503L) % 64
+      (i.toLong, x, y)
+    }.toDF("id", "cx", "cy")
+    ZoneMap.writeHilbertCells(df, dir, "cx", "cy", bits = 6, nFiles = 16)
+    val idx = ZoneMap.build(spark, dir, Seq("__hkey", "cx", "cy"))
+    val ranges = HilbertExprs.boxRanges(6, 8L, 8L, 23L, 23L)
+    val got = ZoneMap.prunedReadRanges(spark, dir, idx, "__hkey", ranges)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(dir)
+      .filter(col("cx") >= 8L && col("cx") <= 23L && col("cy") >= 8L && col("cy") <= 23L)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && want.nonEmpty)
+    // the payoff: key-range pruning keeps <= the files the per-column
+    // zone-map prune keeps on the SAME layout, and strictly fewer than all
+    val rangePred = ranges.map { case (lo, hi) =>
+      col("__hkey_max") >= lit(lo) && col("__hkey_min") < lit(hi)
+    }.reduce(_ || _)
+    val byRanges = idx.filter(rangePred).count()
+    val byCols = ZoneMap.prune(ZoneMap.prune(idx, "cx", 8L, 24L), "cy", 8L, 24L).count()
+    val total = idx.count()
+    assert(byRanges <= byCols, s"ranges kept $byRanges > per-column $byCols")
+    assert(byRanges < total, s"no pruning: $byRanges of $total")
+  }
+
   test("writeHilbertOrdered fail-closes on arity, bounds, and non-numeric columns") {
     val dir = java.nio.file.Files.createTempDirectory("hil_bad").toString
     val df = Seq((1L, 2L, "s")).toDF("a", "b", "t")
