@@ -82,8 +82,17 @@ object BpeExprs {
       var bestI = -1
       var i = 0
       while (i < st.size - 1) {
-        val r = ranks.get(st.get(i) + '' + st.get(i + 1))
-        if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        // the reserved U+001F pair separator can reach a symbol only FROM
+        // INPUT TEXT (rankMap rejects it in the table), and a symbol
+        // containing it would alias a different table pair's lookup key
+        // (a+SEP+b); such symbols never merge -- they pass through as
+        // opaque tokens, deterministically, instead of silently
+        // mis-merging adversarial/binary-ish text
+        val l = st.get(i); val rr = st.get(i + 1)
+        if (l.indexOf('') < 0 && rr.indexOf('') < 0) {
+          val r = ranks.get(l + '' + rr)
+          if (r != null && r < bestRank) { bestRank = r; bestI = i }
+        }
         i += 1
       }
       if (bestI < 0) done = true

@@ -242,10 +242,16 @@ object Sketches {
     val sa = countMin(a, keyA, depth, width)
     val sb = countMin(b, keyB, depth, width)
       .withColumnRenamed("cnt", "cnt_b")
-    sa.join(sb, Seq("row", "bucket"))
+    // FULL outer + zero-fill: an inner join would drop cells present in
+    // only one sketch (their product is 0, harmless) but — worse — drop a
+    // whole ROW from the min when the two sketches share no cells in it,
+    // so fully-disjoint key sets reported NULL instead of their true
+    // min-over-rows. The final coalesce covers the both-inputs-empty
+    // degenerate (no rows at all → inner product 0, the exact join size).
+    sa.join(sb, Seq("row", "bucket"), "full_outer")
       .groupBy("row")
-      .agg(sum(col("cnt") * col("cnt_b")).as("__ip"))
-      .agg(min(col("__ip")).as("est"))
+      .agg(sum(coalesce(col("cnt"), lit(0L)) * coalesce(col("cnt_b"), lit(0L))).as("__ip"))
+      .agg(coalesce(min(col("__ip")), lit(0L)).as("est"))
   }
 
   /** HYPERLOGLOG register table (Flajolet et al. 2007), md5-derived and

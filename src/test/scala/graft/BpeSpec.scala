@@ -43,6 +43,25 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("reserved U+001F in input text never merges and never aliases a table pair") {
+    // adversarial table: pair ("a\u001fb" would alias) -- ("a","b") ranked;
+    // the input "a\u001fb" contains the separator BETWEEN a and b, so a
+    // naive joined-key lookup would see "a"+SEP+SEP... the quarantine rule
+    // says: any symbol containing U+001F never participates in a merge
+    val t = BpeExprs.rankMap(Seq(("a", "b"), ("b", "c")))
+    // plain text still merges
+    assert(BpeExprs.encodeWord("abc", t).toSeq == Seq("ab", "c"))
+    // the separator char itself passes through untouched, neighbors merge
+    assert(BpeExprs.encodeWord("a\u001fbc", t).toSeq == Seq("a", "\u001f", "bc"))
+    // a word that WOULD alias the (a,b) key if joined naively: "a" SEP "b"
+    // must stay three symbols, not merge into anything
+    assert(BpeExprs.encodeWord("a\u001fb", t).toSeq == Seq("a", "\u001f", "b"))
+    // round-trips losslessly
+    assert(BpeExprs.encodeWord("a\u001fb", t).mkString == "a\u001fb")
+    // and the table itself still rejects the separator inside symbols
+    intercept[IllegalArgumentException](BpeExprs.rankMap(Seq(("a\u001f", "b"))))
+  }
+
   test("countText sums word encodes; empty words and extra spaces contribute nothing") {
     val text = "  the when   hello  "
     val exp = Seq("the", "when", "hello")

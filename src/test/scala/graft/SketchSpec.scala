@@ -163,6 +163,20 @@ class SketchSpec extends AnyFunSuite {
     val estDisjoint = operators.Sketches.countMinJoinSize(a, col("k"), d, col("k"), 4, 128)
       .head().getLong(0)
     assert(estDisjoint <= math.ceil(math.E / 128 * 2000L * 101L).toLong)
+    // a row where the two sketches share NO cells must still contribute
+    // its (zero-filled) inner product to the min -- with width >> keys the
+    // cells are fully disjoint, so the min is 0, not NULL/absent (r13
+    // ADVICE): one key per side, huge width
+    val one = Seq(1L).toDF("k"); val two = Seq(999999L).toDF("k")
+    val estTiny = operators.Sketches.countMinJoinSize(one, col("k"), two, col("k"), 4, 4096)
+      .head()
+    assert(!estTiny.isNullAt(0) && estTiny.getLong(0) == 0L,
+      s"disjoint-cell sketches must report est 0, got $estTiny")
+    // both-empty inputs: join size 0, never NULL
+    val empty = spark.emptyDataset[Long].toDF("k")
+    val estEmpty = operators.Sketches.countMinJoinSize(empty, col("k"), empty, col("k"), 4, 128)
+      .head()
+    assert(!estEmpty.isNullAt(0) && estEmpty.getLong(0) == 0L)
   }
 
   test("countMin fail-closes on bad parameters") {
