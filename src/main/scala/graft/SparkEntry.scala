@@ -688,6 +688,44 @@ object SparkEntry {
       .orderBy("c_custkey")
   }
 
+  /** J24 — k-NEAREST-NEIGHBOR spatial join, k > 1 ("snap each point to
+    * its 3 nearest parcels within radius 3"): j20's expanded-envelope
+    * bbox filter + the identical region-distance refine, ranked by the
+    * [[graft.plans.TopK]] bounded-heap physical operator on the total
+    * order (d2, key) instead of j20's k=1 min-struct. Plan shape: the
+    * partial pass caps each (point, input-partition) at k rows BEFORE
+    * the one exchange — shuffle volume is k·points, never the candidate
+    * set; no window, no per-partition full sort. The oracle replays the
+    * identical distance arithmetic over the unfiltered theta join and
+    * ranks with row_number(ORDER BY d2, key) <= k — the heap must keep
+    * exactly the window's rows, d2 doubles bit-for-bit.
+    */
+  private def j24(s: SparkSession, d: String) = {
+    import graft.functions.{GeomPredExprs, SpatialOps}
+    val radius = 3.0
+    val k = 3
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", {
+        val e = SpatialOps.ringsEnvelope(col("_r"))
+        SpatialOps.bbox(e.getField("xmin") - radius, e.getField("ymin") - radius,
+          e.getField("xmax") + radius, e.getField("ymax") + radius)
+      })
+    val c = col("c_custkey")
+    val pts = Tables.customer(s, d).select(c,
+        ((c % 93).cast("double") + (c % 3).cast("double") * lit(0.5)).as("px"),
+        ((c % 83).cast("double") + (c % 7).cast("double") * lit(0.25)).as("py"))
+      .withColumn("env_r", SpatialOps.bbox(col("px"), col("py"), col("px"), col("py")))
+    val cand = operators.SpatialJoin.bboxJoin(polys, pts, "env", "env_r", cellSize = 8.0)
+      .withColumn("d2", GeomPredExprs.regionDistSqCol(col("_r"), col("px"), col("py")))
+      .filter(col("d2") <= lit(radius * radius))
+      .select("c_custkey", "s_suppkey", "d2")
+    graft.plans.TopK.perKey(cand,
+        Seq(col("c_custkey")), Seq(col("d2").asc, col("s_suppkey").asc), k)
+      .orderBy("c_custkey", "d2", "s_suppkey")
+  }
+
   // --- geohash oracle-SQL generators: the engine's Column algebra
   // (SpatialOps geohash family) re-spelled term-for-term in DuckDB SQL.
   // Integer bit ops are exact in both engines; the only floating step is
@@ -6078,6 +6116,7 @@ object SparkEntry {
     "j21_clip_zonal" -> (j21 _),
     "j22_clip_pair" -> (j22 _),
     "j20_nearest_join" -> (j20 _),
+    "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
     "gh2_geohash_cells" -> (gh2 _),
     "gh3_proximity_join" -> (gh3 _),
@@ -6667,6 +6706,25 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
          |  FROM cand WHERE d2 <= 9.0) t
          |WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+    },
+    // j24: j20's oracle with rn <= 3 — the bounded-heap TopK operator
+    // must keep exactly the rows the window ranking keeps, per point.
+    "j24_knn_join" -> {
+      val segs = arrowSqlPts(withHole = true).flatMap(sqlRingSegs)
+      s"""WITH sup AS ($arrowSqlBase),
+         |cust AS (SELECT c_custkey,
+         |  CAST(c_custkey % 93 AS DOUBLE) + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS px,
+         |  CAST(c_custkey % 83 AS DOUBLE) + CAST(c_custkey % 7 AS DOUBLE) * 0.25 AS py
+         |  FROM customer),
+         |cand AS (SELECT c_custkey, s_suppkey,
+         |  CASE WHEN ${sqlContains(segs, "px", "py")} THEN 0.0
+         |       ELSE ${sqlBoundaryDistSq(segs, "px", "py")} END AS d2
+         |  FROM sup JOIN cust ON TRUE)
+         |SELECT c_custkey, s_suppkey, d2 FROM (
+         |  SELECT c_custkey, s_suppkey, d2,
+         |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+         |  FROM cand WHERE d2 <= 9.0) t
+         |WHERE rn <= 3 ORDER BY c_custkey, d2, s_suppkey""".stripMargin
     },
     // gh1: the full geohash encode replayed in SQL — quantize (the one
     // floating chain, mirrored op-for-op), interleave and base32 as exact

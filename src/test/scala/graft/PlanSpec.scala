@@ -17,6 +17,17 @@ class PlanSpec extends AnyFunSuite {
   private def shuffles(plan: String): Int =
     "Exchange hashpartitioning".r.findAllIn(plan).size
 
+  test("j24 kNN join: bounded-heap TopK pair, no window, no global sort before it") {
+    val plan = SparkEntry.queries("j24_knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\d".r.findAllIn(plan).size == 2,
+      s"expected partial+final TopKPerKeyExec pair in:\n$plan")
+    assert(!plan.contains("Window"), s"kNN must not fall back to a window sort:\n$plan")
+    // exchanges: the bbox equi-join's two sides + the TopK partial->final
+    // hash exchange + the output ordering's range exchange — nothing else
+    assert(shuffles(plan) <= 3, s"expected <= 3 hash exchanges in:\n$plan")
+  }
+
   test("cube aggregates in one Expand + one shuffle") {
     val plan = Tables.lineitem(spark, sf)
       .cube(col("l_returnflag"), col("l_linestatus"))
