@@ -5849,6 +5849,43 @@ object SparkEntry {
     est.crossJoin(exact)
   }
 
+  /** qs1 — mergeable QUANTILE sketch estimates: the bottom-k uniform
+    * sample over l_extendedprice (row identity = the unique
+    * (orderkey, linenumber, partkey, suppkey) 4-tuple string), type-1 sample quantiles at
+    * five probe points beside the sample size. md5-deterministic, so the
+    * estimates themselves hash-gate (the kmv1 doctrine); SketchSpec
+    * carries the rank-error bound the estimate honors.
+    */
+  private def qs1(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val state = operators.Sketches.quantileSketch(li, col("l_extendedprice"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")), Nil, k = 256)
+    operators.Sketches.quantileEstimate(state, Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy("q")
+  }
+
+  /** qs2 — the quantile sketch MERGE LAW as a query (the hll2 shape):
+    * lineitem split by order-key parity, each half sketched
+    * independently, the states unioned and re-capped to the k smallest
+    * hashes. The oracle computes the SINGLE-PASS sketch of the whole
+    * table — recap(state(A) ∪ state(B)) must equal state(A ∪ B) row for
+    * row, hash for hash, which is the property that lets daily/store
+    * partial states combine at 100 TB without re-scanning.
+    */
+  private def qs2(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    def sk(part: DataFrame) = operators.Sketches.quantileSketch(part,
+      col("l_extendedprice"), concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")), Nil, k = 256)
+    val merged = sk(li.filter(col("l_orderkey") % 2 === 0))
+      .unionAll(sk(li.filter(col("l_orderkey") % 2 =!= 0)))
+      .withColumn("__g", lit(1))
+    graft.plans.TopK.perKey(merged, Seq(col("__g")), Seq(col("h").asc), 256)
+      .select("h", "v")
+      .orderBy("h")
+  }
+
   /** hll2 — HLL MERGE soundness as a query (the daily-sketch shape that
     * makes the sketch worth having at 100 TB): lineitem split into two
     * halves by order-key parity, each sketched independently, the
@@ -6326,6 +6363,8 @@ object SparkEntry {
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
     "hll2_hll_merge" -> (hll2 _),
+    "qs1_quantile_sketch" -> (qs1 _),
+    "qs2_quantile_merge" -> (qs2 _),
     "cms3_join_size" -> (cms3 _),
     "kmv2_set_sketch" -> (kmv2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
@@ -10400,6 +10439,30 @@ object SparkEntry {
     // prefixes, k smallest per group) — deterministic, so the estimate is
     // hash-gated. 63·2^60 is exactly representable as a double (6-bit
     // mantissa), so the CASE arithmetic is one correctly-rounded divide.
+    // qs1: the bottom-k quantile sketch replayed — md5 row-identity
+    // hashes, ORDER BY h LIMIT k as the bottom-k, type-1 sample
+    // quantiles at rank max(1, ceil(q*m)). All chains integer or one
+    // exact double multiply, so the estimates hash-gate.
+    "qs1_quantile_sketch" ->
+      s"""WITH h AS (SELECT ${sqlHexVal("m", 15)} AS h, v FROM (
+         |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
+         |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL)),
+         |st AS (SELECT h, v FROM h ORDER BY h LIMIT 256),
+         |r AS (SELECT v, h, row_number() OVER (ORDER BY v, h) AS rn,
+         |  count(*) OVER () AS m FROM st),
+         |q AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+         |SELECT q, v AS est, m FROM r JOIN q ON rn = greatest(1, ceil(q * CAST(m AS DOUBLE)))
+         |ORDER BY q""".stripMargin,
+    // qs2: the merge law's oracle is the SINGLE-PASS bottom-k of the
+    // whole table — recap(state(even) ∪ state(odd)) must equal it row
+    // for row (the hll2 doctrine for quantile state).
+    "qs2_quantile_merge" ->
+      s"""WITH h AS (SELECT ${sqlHexVal("m", 15)} AS h, v FROM (
+         |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
+         |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL))
+         |SELECT h, v FROM h ORDER BY h LIMIT 256""".stripMargin,
     "kmv1_distinct_sketch" ->
       s"""WITH h AS (SELECT DISTINCT l_returnflag, ${sqlHexVal("m", 15)} AS h
          |  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),

@@ -332,6 +332,88 @@ object Sketches {
           .otherwise(col("est_raw")))
   }
 
+  /** MERGEABLE QUANTILE sketch — the fourth canonical mergeable summary
+    * beside CMS (frequency), HLL (distinct), and KMV (theta): a bottom-k
+    * uniform row sample keyed by the 60-bit md5 hash of the row identity
+    * (Cohen & Kaplan 2007's bottom-k sketches, applied to order
+    * statistics). The k rows with the smallest hashes are a uniform
+    * without-replacement sample of the multiset, so the sample's type-1
+    * q-quantile estimates the population's with rank error
+    * O(√(q(1−q)/k)); below capacity the sample IS the input and every
+    * quantile is exact (the kmvDistinct losslessness).
+    *
+    * Why not KLL/t-digest state: their compaction consumes items in
+    * ARRIVAL order, so the state is a function of partition boundaries
+    * and merge scheduling — no two engines (or two runs) agree on it,
+    * which makes the state un-oracle-able and the merge law untestable
+    * as data. Bottom-k state is a pure function of the input SET:
+    * md5-deterministic, engine-identical, and its merge law is exact —
+    * recap_k(state(A) ∪ state(B)) = state(A ∪ B) — the same law hll2
+    * proves for registers and KMV for hashes (qs2 gates it row-for-row).
+    * The price is O(1/√k) rank error instead of KLL's O(1/k); buy
+    * accuracy with k, which only grows the k-row state.
+    *
+    * Scale shape: one distinct-free narrow scan (hash is a projection)
+    * into the bounded-heap [[graft.plans.TopK]] pair — the exchange
+    * carries at most k rows per (group, input partition), the reduce
+    * side O(k·groups), regardless of corpus size. Mergeable across
+    * stores/days by unioning states and re-capping.
+    *
+    * `idCol` must be row-unique (it IS the sampling frame — duplicated
+    * ids collapse rather than double-sample) and integer/string-typed:
+    * the hash is md5 of its string form, and float-to-string rendering
+    * is the one chain engines disagree on, so values stay OUT of the
+    * hash. NULL values excluded (the family convention).
+    * Output: group columns + `h` (60-bit hash) + `v` (the value).
+    */
+  def quantileSketch(
+      df: DataFrame,
+      value: Column,
+      idCol: Column,
+      groupCols: Seq[String] = Nil,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val h = graft.functions.TextOps.hexVal(md5(idCol.cast("string")), 15)
+    val gcols = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val base =
+      if (groupCols.isEmpty)
+        df.filter(value.isNotNull).select(lit(1).as("__g"), h.as("h"), value.as("v"))
+      else
+        df.filter(value.isNotNull)
+          .select(groupCols.map(col) ++ Seq(h.as("h"), value.as("v")): _*)
+    val top = graft.plans.TopK.perKey(base, gcols.map(col), Seq(col("h").asc), k)
+    if (groupCols.isEmpty) top.drop("__g") else top
+  }
+
+  /** Quantile estimates from a [[quantileSketch]] state, per group: the
+    * sample's type-1 quantile — the value at rank max(1, ⌈q·m⌉) of the m
+    * kept rows ordered by (v, h). The window runs over the BOUNDED state
+    * (≤ k rows per group), never the corpus; ⌈q·m⌉ is one exact
+    * double-multiply + ceil, so estimates hash-gate cross-engine.
+    * Output: group columns + `q` + `est` + `m` (sample size).
+    */
+  def quantileEstimate(
+      state: DataFrame,
+      qs: Seq[Double],
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q"))
+    import org.apache.spark.sql.expressions.Window
+    val gcols = if (groupCols.isEmpty) Seq("__g") else groupCols
+    val st = if (groupCols.isEmpty) state.withColumn("__g", lit(1)) else state
+    val w = Window.partitionBy(gcols.map(col): _*)
+    val ranked = st
+      .withColumn("__rn", row_number().over(w.orderBy(col("v").asc, col("h").asc)))
+      .withColumn("m", count(lit(1)).over(w))
+    val est = ranked
+      .select(gcols.map(col) ++ Seq(col("__rn"), col("m"), col("v"),
+        explode(array(qs.map(lit): _*)).as("q")): _*)
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("q") * col("m").cast("double"))))
+      .select(gcols.map(col) ++ Seq(col("q"), col("v").as("est"), col("m")): _*)
+    if (groupCols.isEmpty) est.drop("__g") else est
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch, per group: keep the k
     * smallest distinct 60-bit md5-derived hashes of `key`; with h(k) the
     * k-th smallest hash on the 2^60 scale, the estimate is

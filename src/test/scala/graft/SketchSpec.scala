@@ -289,6 +289,67 @@ class SketchSpec extends AnyFunSuite {
       operators.Sketches.kmvSetSketch(a1, col("v"), b1, col("v"), k = 1))
   }
 
+  // ---- bottom-k quantile sketch ----
+
+  test("quantileSketch is exact below capacity (sample == input, type-1 quantiles)") {
+    import spark.implicits._
+    val vals = (1 to 100).map(i => ((i * 37 % 100).toDouble, i.toLong))
+    val df = vals.toDF("v", "id")
+    val st = operators.Sketches.quantileSketch(df, col("v"), col("id"), Nil, k = 256)
+    assert(st.count() == 100)
+    val est = operators.Sketches.quantileEstimate(st, Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.map(_._1).sorted
+    def exact(q: Double) = sorted(math.max(1, math.ceil(q * 100).toInt) - 1)
+    Seq(0.25, 0.5, 0.9).foreach(q => assert(est(q) == exact(q), s"q=$q"))
+  }
+
+  test("quantileSketch rank error within the bottom-k bound above capacity") {
+    import spark.implicits._
+    val n = 20000
+    val vals = (1 to n).map(i => ((i.toLong * 7919) % n).toDouble)
+    val df = vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val st = operators.Sketches.quantileSketch(df, col("v"), col("id"), Nil, k = 1024)
+    assert(st.count() == 1024)
+    val est = operators.Sketches.quantileEstimate(st, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = vals.sorted
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val rank = sorted.count(_ <= est(q)).toDouble / n
+      // ~4 sigma of sqrt(q(1-q)/k) at k=1024 (max 0.0156 at q=.5) -> 0.07
+      assert(math.abs(rank - q) < 0.07, s"q=$q est=${est(q)} rank=$rank")
+    }
+  }
+
+  test("quantileSketch merge law: recap(state(A) U state(B)) == state(A U B)") {
+    import spark.implicits._
+    val rows = (1 to 5000).map(i => (((i * 271) % 5000).toDouble, i.toLong))
+    val df = rows.toDF("v", "id")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getDouble(1))
+    val whole = operators.Sketches.quantileSketch(df, col("v"), col("id"), Nil, k = 128)
+      .collect().map(key).toSet
+    val a = df.filter(col("id") % 2 === 0); val b = df.filter(col("id") % 2 =!= 0)
+    val merged = operators.Sketches.quantileSketch(a, col("v"), col("id"), Nil, k = 128)
+      .unionAll(operators.Sketches.quantileSketch(b, col("v"), col("id"), Nil, k = 128))
+      .withColumn("__g", org.apache.spark.sql.functions.lit(1))
+    val recapped = graft.plans.TopK.perKey(merged, Seq(col("__g")), Seq(col("h").asc), 128)
+      .select("h", "v").collect().map(key).toSet
+    assert(recapped == whole, "merge law violated")
+  }
+
+  test("quantileSketch/Estimate fail-close on bad parameters; NULL values excluded") {
+    import spark.implicits._
+    val df = Seq((Option(1.0), 1L), (None, 2L)).toDF("v", "id")
+    intercept[IllegalArgumentException](
+      operators.Sketches.quantileSketch(df, col("v"), col("id"), Nil, k = 1))
+    val st = operators.Sketches.quantileSketch(df, col("v"), col("id"), Nil, k = 16)
+    assert(st.count() == 1, "NULL value must be excluded")
+    intercept[IllegalArgumentException](
+      operators.Sketches.quantileEstimate(st, Seq.empty))
+    intercept[IllegalArgumentException](
+      operators.Sketches.quantileEstimate(st, Seq(1.5)))
+  }
+
   test("hll fail-closes on out-of-range precision") {
     import spark.implicits._
     val df = Seq(1L).toDF("v")
