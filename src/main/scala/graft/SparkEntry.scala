@@ -1111,6 +1111,123 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J23 — CONCAVE × CONCAVE polygon intersection AREAS (the r13 top
+    * gap): supplier arrows (concave + hole) against customer DARTS
+    * (concave quads with a reflex notch — the first fixture whose clip
+    * side S-H cannot take), measured by the ear-clipping general kernel:
+    * the dart triangulates into its two ears (tip,bl,notch) and
+    * (tip,notch,br) — deterministic, structurally constant across the
+    * whole fixture family — and each ear runs the UNCHANGED convex
+    * kernel over the subject. The oracle replays both triangles' passes
+    * in the kernel's emission order; ClipAreaSpec proves the engine-side
+    * decomposition is BITWISE the convex kernel over those ears, which
+    * is what makes the replay exact rather than approximate.
+    */
+  private def j23(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val dart = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx + r, cy - r), pt(cx, cy + r))
+    val b = Tables.customer(s, d)
+      .select(c, dart.as("_rc"),
+        SpatialOps.bbox(cx - r, cy - r, cx + r, cy + r).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .withColumn("inter_area",
+        graft.functions.ClipExprs.clipAreaGeneralCol(col("_ra"), col("_rc")))
+      .filter(col("inter_area") > 0.0)
+      .select("s_suppkey", "c_custkey", "inter_area")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** j23's oracle — the general kernel's ear decomposition replayed: the
+    * dart's two CCW ear triangles hard-coded symbolically (tip anchored,
+    * the kernel's deterministic emission — ClipAreaSpec gates it
+    * bitwise), each triangle's three S-H passes MATERIALIZED per level
+    * exactly like sqlClipPair, both triangles advancing in parallel
+    * columns, areas summed tip-ear-first.
+    */
+  private def sqlClipConcave: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    // dart vertices: v0 tip (cx, cy+r), v1 bl (cx-r, cy-r),
+    // v2 notch (cx, cy-0.5r), v3 br (cx+r, cy-r); ears (v0,v1,v2) then
+    // (v0,v2,v3), both CCW
+    val triA = Seq(
+      (("cx", "cy + r"), ("cx - r", "cy - r")),
+      (("cx - r", "cy - r"), ("cx", "cy - 0.5 * r")),
+      (("cx", "cy - 0.5 * r"), ("cx", "cy + r")))
+    val triB = Seq(
+      (("cx", "cy + r"), ("cx", "cy - 0.5 * r")),
+      (("cx", "cy - 0.5 * r"), ("cx + r", "cy - r")),
+      (("cx + r", "cy - r"), ("cx", "cy + r")))
+    def sidesOf(in: String, ax: String, ay: String, bx: String, by: String): String =
+      s"""list_transform(range(1, length($in) + 1), i ->
+         |    (($bx) - ($ax)) * ($in[i].y - ($ay)) - (($by) - ($ay)) * ($in[i].x - ($ax)))""".stripMargin
+    def passOf(in: String, sidesCol: String): String = {
+      val isect =
+        s"""struct_pack(
+           |  x := $in[i].x + ($sidesCol[i] / ($sidesCol[i] - $sidesCol[i+1])) * ($in[i+1].x - $in[i].x),
+           |  y := $in[i].y + ($sidesCol[i] / ($sidesCol[i] - $sidesCol[i+1])) * ($in[i+1].y - $in[i].y))""".stripMargin
+      s"""flatten(list_transform(range(1, length($in)), i ->
+         |    CASE WHEN $sidesCol[i+1] >= 0 AND $sidesCol[i] >= 0 THEN [$in[i+1]]
+         |         WHEN $sidesCol[i+1] >= 0 THEN [$isect, $in[i+1]]
+         |         WHEN $sidesCol[i] >= 0 THEN [$isect]
+         |         ELSE [] END))""".stripMargin
+    }
+    def close(v: String) =
+      s"CASE WHEN length($v) = 0 THEN $v ELSE list_append($v, $v[1]) END"
+    def crossOf(v: String) =
+      s"""CASE WHEN length($v) < 2 THEN CAST(0 AS DOUBLE) ELSE
+         |    list_reduce(list_transform(range(1, length($v)), i ->
+         |      $v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y), (a, b) -> a + b) END""".stripMargin
+    val base =
+      s"""lvl0 AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+         |  ${ptsList(rings(0))} AS oa0, ${ptsList(rings(1))} AS ha0,
+         |  ${ptsList(rings(0))} AS ob0, ${ptsList(rings(1))} AS hb0
+         |FROM ($arrowSqlBase) a JOIN
+         |  (SELECT c_custkey,
+         |     CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+         |     CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+         |     1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer) b
+         |  ON x0 <= cx + r AND cx - r <= x0 + w AND y0 <= cy + r AND cy - r <= y0 + h)""".stripMargin
+    val levels = (0 until 3).flatMap { k =>
+      val ((aax, aay), (abx, aby)) = triA(k)
+      val ((bax, bay), (bbx, bby)) = triB(k)
+      Seq(
+        s"""m${k + 1} AS MATERIALIZED (SELECT *,
+           |  ${sidesOf(s"oa$k", aax, aay, abx, aby)} AS oas,
+           |  ${sidesOf(s"ha$k", aax, aay, abx, aby)} AS has,
+           |  ${sidesOf(s"ob$k", bax, bay, bbx, bby)} AS obs,
+           |  ${sidesOf(s"hb$k", bax, bay, bbx, bby)} AS hbs
+           |  FROM ${if (k == 0) "lvl0" else s"c$k"})""".stripMargin,
+        s"""p${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${passOf(s"oa$k", "oas")} AS oaraw, ${passOf(s"ha$k", "has")} AS haraw,
+           |  ${passOf(s"ob$k", "obs")} AS obraw, ${passOf(s"hb$k", "hbs")} AS hbraw
+           |  FROM m${k + 1})""".stripMargin,
+        s"""c${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${close("oaraw")} AS oa${k + 1}, ${close("haraw")} AS ha${k + 1},
+           |  ${close("obraw")} AS ob${k + 1}, ${close("hbraw")} AS hb${k + 1} FROM p${k + 1})""".stripMargin)
+    }
+    (base +: levels).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT s_suppkey, c_custkey, inter_area FROM (
+         |  SELECT s_suppkey, c_custkey,
+         |    abs((${crossOf("oa3")}) + (${crossOf("ha3")})) / 2
+         |      + abs((${crossOf("ob3")}) + (${crossOf("hb3")})) / 2 AS inter_area
+         |  FROM c3)
+         |WHERE inter_area > 0 ORDER BY s_suppkey, c_custkey""".stripMargin
+  }
+
   /** j22's oracle — the convex-window S-H replayed per diamond edge:
     * per level, a `sides` list stages each vertex's side value once
     * (the kernel computes the same pure function; exact equality is
@@ -6152,6 +6269,7 @@ object SparkEntry {
     "j19_dwithin_join" -> (j19 _),
     "j21_clip_zonal" -> (j21 _),
     "j22_clip_pair" -> (j22 _),
+    "j23_clip_concave" -> (j23 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -6725,6 +6843,8 @@ object SparkEntry {
     // j22: convex-window S-H per diamond edge over envelope-overlap
     // candidates — see sqlClipPair.
     "j22_clip_pair" -> sqlClipPair,
+    // j23: the ear-decomposed general kernel replayed -- see sqlClipConcave.
+    "j23_clip_concave" -> sqlClipConcave,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

@@ -125,6 +125,63 @@ case class ClipAreaPolyExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Subject polygon (rings) ∩ ARBITRARY SIMPLE clip ring — concave
+  * allowed — → exact area. The r13 gap closer: Sutherland–Hodgman is
+  * convex-window-only by algorithm, but the engine's own Stage-2
+  * polygonize output (reference image_segmentation.py:160-162) is
+  * arbitrarily concave, so zonal stats between two REAL polygon stores
+  * need this kernel. Algorithm: deterministic ear-clipping
+  * triangulation of the clip ring (first valid ear scanning from index
+  * 0, restart after each cut — O(n²), n is clip vertex count), then the
+  * UNCHANGED convex kernel per ear triangle, areas summed in emission
+  * order. Ears partition the clip polygon, so
+  * area(S ∩ C) = Σ area(S ∩ Tᵢ) exactly; each term reuses the j22
+  * pass/shoelace arithmetic verbatim, which keeps the DuckDB replay
+  * tractable triangle-by-triangle. Fail-closed on unclosed, zero-area,
+  * or ear-less (degenerate) clip rings; the ring must be SIMPLE
+  * (non-self-intersecting) by caller contract — the same contract every
+  * WKT POLYGON carries.
+  */
+case class ClipAreaGeneralExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private def ringTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_general needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
+    else if (!ringTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_general needs one array<struct<x,y>> simple clip ring, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, clip: Any): Any =
+    ClipExprs.clipAreaGeneral(rings.asInstanceOf[ArrayData], clip.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipAreaGeneral($r, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** Column entry: rings in the st_rings layout, env in the bbox-struct
@@ -137,6 +194,12 @@ object ClipExprs {
     * array<struct<x,y>> — e.g. `element_at(st_rings(wkt), 1)`). */
   def clipAreaPoly(rings: Column, clipRing: Column): Column =
     GraftBridge.column(ClipAreaPolyExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
+
+  /** Column entry: subject rings ∩ one SIMPLE clip ring (concave
+    * allowed) via ear-clipping + the convex kernel per ear. */
+  def clipAreaGeneralCol(rings: Column, clipRing: Column): Column =
+    GraftBridge.column(ClipAreaGeneralExpr(
       GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
 
   /** Static kernel (also the codegen target). Fail-closed on null
@@ -258,6 +321,141 @@ object ClipExprs {
       ri += 1
     }
     math.abs(total) / 2.0
+  }
+
+  /** [[ClipAreaGeneralExpr]]'s kernel: deterministic ear-clipping of the
+    * clip ring, the convex pass/shoelace arithmetic per ear triangle,
+    * areas summed in emission order. Ear rule (deterministic, so the
+    * fixture oracles can hard-code the resulting triangle index lists):
+    * scan positions from 0, take the FIRST vertex whose turn is strictly
+    * convex in the ring's winding AND whose triangle contains no other
+    * remaining vertex (closed containment — a vertex ON the candidate
+    * ear's boundary blocks it, which keeps touching-but-valid geometry
+    * out of wrong ears); cut, restart the scan. A full scan with no ear
+    * means the ring is degenerate or self-intersecting → fail-closed.
+    */
+  def clipAreaGeneral(rings: ArrayData, clip: ArrayData): Double = {
+    val m = clip.numElements()
+    if (m < 4)
+      throw new IllegalArgumentException(
+        s"clip ring needs >= 4 points (closed), got $m")
+    val cx = new Array[Double](m)
+    val cy = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      if (clip.isNullAt(i))
+        throw new IllegalArgumentException(s"null point at clip index $i")
+      val p = clip.getStruct(i, 2)
+      if (p.isNullAt(0) || p.isNullAt(1))
+        throw new IllegalArgumentException(s"null coordinate at clip index $i")
+      cx(i) = p.getDouble(0)
+      cy(i) = p.getDouble(1)
+      i += 1
+    }
+    if (cx(0) != cx(m - 1) || cy(0) != cy(m - 1))
+      throw new IllegalArgumentException("clip ring must be closed (first == last)")
+    val twice = cross(cx, cy)
+    if (twice == 0.0)
+      throw new IllegalArgumentException("clip ring has zero area")
+    val sign = if (twice > 0.0) 1.0 else -1.0
+    // subject rings extracted ONCE (each ear triangle re-clips them)
+    val nr = rings.numElements()
+    val subjX = new Array[Array[Double]](nr)
+    val subjY = new Array[Array[Double]](nr)
+    var ri = 0
+    while (ri < nr) {
+      if (rings.isNullAt(ri))
+        throw new IllegalArgumentException(s"null ring at index $ri (malformed WKT?)")
+      val r = rings.getArray(ri)
+      val n = r.numElements()
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        if (r.isNullAt(i))
+          throw new IllegalArgumentException(s"null point at ring index $i (malformed WKT?)")
+        val p = r.getStruct(i, 2)
+        if (p.isNullAt(0) || p.isNullAt(1))
+          throw new IllegalArgumentException(s"null coordinate at ring index $i (malformed WKT?)")
+        xs(i) = p.getDouble(0)
+        ys(i) = p.getDouble(1)
+        i += 1
+      }
+      subjX(ri) = xs
+      subjY(ri) = ys
+      ri += 1
+    }
+    def sideVal(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    // area(subject ∩ triangle a→b→c→a), the clipAreaConvex arithmetic
+    // with the convexity re-verify elided (a strictly-convex ear IS one)
+    def triArea(a: Int, b: Int, c: Int): Double = {
+      val tx = Array(cx(a), cx(b), cx(c), cx(a))
+      val ty = Array(cy(a), cy(b), cy(c), cy(a))
+      val tw = cross(tx, ty)
+      // a collinear leftover triangle (possible only as the last one, on
+      // rings with collinear runs) covers no area — contribute exactly 0
+      // instead of clipping against an undefined winding
+      if (tw == 0.0) return 0.0
+      val ccwT = tw > 0.0
+      var total = 0.0
+      var rj = 0
+      while (rj < nr) {
+        var st = (subjX(rj), subjY(rj))
+        var e = 0
+        while (e < 3) {
+          st = clipPassEdge(st._1, st._2, tx(e), ty(e), tx(e + 1), ty(e + 1), ccwT)
+          e += 1
+        }
+        total += cross(st._1, st._2)
+        rj += 1
+      }
+      math.abs(total) / 2.0
+    }
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, m - 1)
+    var acc = 0.0
+    while (idx.length > 3) {
+      val L = idx.length
+      var found = -1
+      var t = 0
+      while (found < 0 && t < L) {
+        val a = idx((t + L - 1) % L)
+        val b = idx(t)
+        val c = idx((t + 1) % L)
+        val turn = (cx(b) - cx(a)) * (cy(c) - cy(b)) -
+          (cy(b) - cy(a)) * (cx(c) - cx(b))
+        if (sign * turn > 0.0) {
+          var ok = true
+          var u = 0
+          while (ok && u < L) {
+            val p = idx(u)
+            if (p != a && p != b && p != c &&
+                !(cx(p) == cx(a) && cy(p) == cy(a)) &&
+                !(cx(p) == cx(b) && cy(p) == cy(b)) &&
+                !(cx(p) == cx(c) && cy(p) == cy(c))) {
+              val s1 = sign * sideVal(cx(p), cy(p), cx(a), cy(a), cx(b), cy(b))
+              val s2 = sign * sideVal(cx(p), cy(p), cx(b), cy(b), cx(c), cy(c))
+              val s3 = sign * sideVal(cx(p), cy(p), cx(c), cy(c), cx(a), cy(a))
+              if (s1 >= 0.0 && s2 >= 0.0 && s3 >= 0.0) ok = false
+            }
+            u += 1
+          }
+          if (ok) found = t
+        }
+        t += 1
+      }
+      if (found < 0)
+        throw new IllegalArgumentException(
+          "no ear found: clip ring is degenerate or self-intersecting")
+      val a = idx((found + L - 1) % L)
+      val b = idx(found)
+      val c = idx((found + 1) % L)
+      acc += triArea(a, b, c)
+      idx.remove(found)
+    }
+    acc += triArea(idx(0), idx(1), idx(2))
+    acc
   }
 
   /** One S-H pass against the half-plane left (ccw) or right (cw) of the

@@ -146,6 +146,104 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("zero area"))
   }
 
+  // ---- general (concave) form (ClipAreaGeneralExpr) ----
+
+  private def clipGenOf(wkt: String, clipWkt: String): Double =
+    Seq((wkt, clipWkt)).toDF("g", "c")
+      .select(ClipExprs.clipAreaGeneralCol(SpatialOps.wktRings(col("g")),
+        element_at(SpatialOps.wktRings(col("c")), 1)).as("a"))
+      .head().getDouble(0)
+
+  // concave CCW "dart": tip, bottom-left, reflex notch, bottom-right;
+  // shoelace area = 1.5 r^2
+  private def dartWkt(cx: Double, cy: Double, r: Double): String =
+    s"POLYGON (($cx ${cy + r}, ${cx - r} ${cy - r}, $cx ${cy - 0.5 * r}, " +
+      s"${cx + r} ${cy - r}, $cx ${cy + r}))"
+
+  test("general clip: concave dart closed forms") {
+    val bigRect = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    // dart fully inside the rect: intersection = dart area 1.5 r^2
+    assert(math.abs(clipGenOf(bigRect, dartWkt(50, 50, 2)) - 6.0) < 1e-12)
+    // disjoint
+    val unitRect = "POLYGON ((49 49, 51 49, 51 51, 49 51, 49 49))"
+    assert(clipGenOf(unitRect, dartWkt(80, 80, 2)) == 0.0)
+    // the notch is OUTSIDE the dart: a small box sitting in the notch
+    // (just above the reflex vertex, below the tip-to-corner edges)
+    assert(clipGenOf("POLYGON ((4.9 54.2, 5.1 54.2, 5.1 54.4, 4.9 54.4, 4.9 54.2))",
+      dartWkt(5, 50, 4)) == 0.0)
+  }
+
+  test("general clip equals the convex kernel on convex rings (semantic)") {
+    Seq(diamondWkt(3, 3, 2), diamondWkt(4, 5, 1.5),
+        "POLYGON ((2 1, 7 1, 7 6, 2 6, 2 1))").foreach { c =>
+      val g = clipGenOf(arrowHole, c)
+      val v = clipPolyOf(arrowHole, c)
+      assert(math.abs(g - v) < 1e-9, s"clip $c: general=$g convex=$v")
+    }
+  }
+
+  test("general clip: ear decomposition is BITWISE the convex kernel over the fixture ears") {
+    // the j23 oracle hard-codes the dart's ear triangles (v0,v1,v2) and
+    // (v0,v2,v3) and replays the convex passes per triangle -- this
+    // equality is what makes that replay exact, not approximate
+    val (cx, cy, r) = (5.0, 5.0, 2.0)
+    val dart = dartWkt(cx, cy, r)
+    val t1 = s"POLYGON (($cx ${cy + r}, ${cx - r} ${cy - r}, $cx ${cy - 0.5 * r}, $cx ${cy + r}))"
+    val t2 = s"POLYGON (($cx ${cy + r}, $cx ${cy - 0.5 * r}, ${cx + r} ${cy - r}, $cx ${cy + r}))"
+    val whole = clipGenOf(arrowHole, dart)
+    val parts = clipPolyOf(arrowHole, t1) + clipPolyOf(arrowHole, t2)
+    assert(whole == parts, s"ear order drifted: general=$whole sum=$parts")
+    assert(whole > 0.0)
+  }
+
+  test("general clip: grid partition of the plane reassembles the dart's area") {
+    // subject boxes partition the covering region, the concave dart is
+    // the clip window: sum of intersections must equal 1.5 r^2 exactly
+    // up to float summation -- the partition-exactness of ear clipping
+    val r = 3.0
+    var sum = 0.0
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val (x0, y0) = (2.0 + i * 2, 1.0 + j * 2)
+      val box = s"POLYGON (($x0 $y0, ${x0 + 2} $y0, ${x0 + 2} ${y0 + 2}, $x0 ${y0 + 2}, $x0 $y0))"
+      sum += clipGenOf(box, dartWkt(6, 5, r))
+    }
+    assert(math.abs(sum - 1.5 * r * r) < 1e-9, s"grid sum $sum != ${1.5 * r * r}")
+  }
+
+  test("general clip: swap symmetry on hole-free polygons") {
+    val arrowOuter = "POLYGON ((0 0, 6 0, 6 8, 3 4, 0 8, 0 0))"
+    val dart = dartWkt(3, 3, 3)
+    val ab = clipGenOf(arrowOuter, dart)
+    val ba = clipGenOf(dart, arrowOuter)
+    assert(ab > 0 && math.abs(ab - ba) < 1e-9, s"swap asymmetry: $ab vs $ba")
+  }
+
+  test("general clip: hole subtraction matches the box kernel") {
+    // axis-aligned square ring through the general path == box kernel
+    val square = "POLYGON ((0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"
+    assert(math.abs(clipGenOf(arrowHole, square) - 3.0) < 1e-12)
+  }
+
+  test("general clip: a plain triangle ring is the degenerate (single-ear) case") {
+    // big triangle containing the arrow: intersection = arrow area 35
+    val tri = "POLYGON ((-20 -5, 30 -5, 5 40, -20 -5))"
+    assert(math.abs(clipGenOf(arrowHole, tri) - 35.0) < 1e-9)
+  }
+
+  test("general clip fail-closed: zero-area rings and non-ring inputs") {
+    val e2 = intercept[Exception](
+      clipGenOf(arrowHole, "POLYGON ((0 0, 4 0, 2 0, 0 0))"))
+    assert(e2.getMessage.contains("zero area"))
+    val e3 = intercept[Exception](
+      Seq(1).toDF("x").select(ClipExprs.clipAreaGeneralCol(col("x"), col("x"))).collect())
+    assert(e3.getMessage.toLowerCase.contains("rings"))
+    // clockwise dart (reversed ring) gives the same area -- winding-aware
+    val cwDart = "POLYGON ((5 7, 7 3, 5 4, 3 3, 5 7))"
+    val ccw = clipGenOf(arrowHole, dartWkt(5, 5, 2))
+    val cw = clipGenOf(arrowHole, cwDart)
+    assert(math.abs(ccw - cw) < 1e-9, s"winding asymmetry: $ccw vs $cw")
+  }
+
   test("SQL surface: st_clip_area matches the Column form") {
     GraftFunctions.register(spark)
     Seq(arrowHole).toDF("g").createOrReplaceTempView("clipspec")
