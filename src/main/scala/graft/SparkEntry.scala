@@ -193,6 +193,29 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** ZO4 — Hilbert ranged reads from the prunedReadBox FRONT DOOR (the
+    * r13 mandate: the path a naive caller gets): writeHilbertCells now
+    * leaves a layout sidecar, so the SAME prunedReadBox call that would
+    * per-column-prune a plain store routes this box through
+    * boxRanges/prunedReadRanges — note the index carries ONLY the curve
+    * key's bounds (no cx/cy stats), which per-column pruning could not
+    * serve at all. Oracle = the plain modular-box scan: the routing must
+    * be exactly invisible.
+    */
+  private def zo4(s: SparkSession, d: String) = {
+    val out = java.nio.file.Files.createTempDirectory("graft_zo4").toString
+    val li = Tables.lineitem(s, d)
+      .withColumn("cx", col("l_partkey") % 256)
+      .withColumn("cy", col("l_suppkey") % 256)
+    operators.ZoneMap.writeHilbertCells(li, out, "cx", "cy", bits = 8, nFiles = 12)
+    val idx = operators.ZoneMap.build(s, out, Seq("__hkey"))
+    operators.ZoneMap.prunedReadBox(s, out, idx,
+        Seq(("cx", 100L, 140L), ("cy", 60L, 120L)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** HB1 — the Hilbert index arithmetic itself, cross-engine: part keys
     * spread over the 2^16 grid by modular multipliers (all-integer, no
     * float quantizer in the loop), indexed by the codegen kernel; the
@@ -6328,6 +6351,7 @@ object SparkEntry {
     "zo1_zorder_skip" -> (zo1 _),
     "zo2_hilbert_skip" -> (zo2 _),
     "zo3_hilbert_ranges" -> (zo3 _),
+    "zo4_hilbert_frontdoor" -> (zo4 _),
     "hb1_hilbert_index" -> (hb1 _),
     "st3_sessionize" -> (st3 _),
     "st7_enrich" -> (st7 _),
@@ -10414,6 +10438,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey % 256 >= 40 AND l_partkey % 256 <= 79
         |  AND l_suppkey % 256 >= 10 AND l_suppkey % 256 <= 59
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // zo4: the front-door routing (sidecar -> boxRanges -> ranged read)
+    // must be exactly invisible -- the plain modular-box scan again.
+    "zo4_hilbert_frontdoor" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey % 256 >= 100 AND l_partkey % 256 < 140
+        |  AND l_suppkey % 256 >= 60 AND l_suppkey % 256 < 120
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // hb1: HilbertExprs.xy2d replayed as a 16-level CTE chain — the same
     // all-integer rotate/reflect walk, so the hash proves the transform.

@@ -83,6 +83,51 @@ class ZoneMapSpec extends AnyFunSuite {
       ZoneMap.writeZOrdered(df.withColumn("s", lit("a")), zDir, Seq("x", "s"), 4))
   }
 
+  test("hilbert front door: sidecar routes prunedReadBox through ranged reads, fewer files opened") {
+    val dir = java.nio.file.Files.createTempDirectory("zm_hfd").toString
+    val df = (0 until 64 * 64).map(i => ((i % 64).toLong, (i / 64).toLong, i.toLong))
+      .toDF("cx", "cy", "v")
+    ZoneMap.writeHilbertCells(df, dir, "cx", "cy", bits = 6, nFiles = 24)
+    // the write left a layout sidecar that round-trips
+    val lay = ZoneMap.readHilbertLayout(spark, dir)
+    assert(lay.contains(ZoneMap.HilbertCellLayout("__hkey", "cx", "cy", 6)))
+    val preds = Seq[(String, Any, Any)](("cx", 8L, 24L), ("cy", 16L, 40L))
+    // index carries ONLY the curve key -- per-column pruning could not
+    // even run on it, the ranged route serves the box anyway
+    val idxKey = ZoneMap.build(spark, dir, Seq("__hkey"))
+    val got = ZoneMap.prunedReadBox(spark, dir, idxKey, preds)
+    val expect = spark.read.parquet(dir)
+      .filter(col("cx") >= 8 && col("cx") < 24 && col("cy") >= 16 && col("cy") < 40)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(got.select("v").collect().map(_.getLong(0)).toSet == expect)
+    assert(expect.size == 16 * 24)
+    // file-open count: the ranged route (what the front door took) vs
+    // the per-column fallback (index stripped of the key bounds) -- the
+    // adjacency payoff must show on the path users actually call. An
+    // exhaustive 8x8-box scan over this fixture measured 92 strict wins,
+    // 104 ties, 0 losses; (0,40) is a deterministic win (1 vs 2 files)
+    val idxAll = ZoneMap.build(spark, dir, Seq("__hkey", "cx", "cy"))
+    val winBox = Seq[(String, Any, Any)](("cx", 0L, 8L), ("cy", 40L, 48L))
+    val curveOpened = ZoneMap.prunedReadBox(spark, dir, idxAll, winBox).inputFiles.length
+    val perColOpened = ZoneMap.prunedReadBox(spark, dir,
+      idxAll.drop("__hkey_min", "__hkey_max"), winBox).inputFiles.length
+    assert(curveOpened > 0 && curveOpened < perColOpened,
+      s"ranged route must open strictly fewer files: curve=$curveOpened percol=$perColOpened")
+    // and across THIS test's main box it must never open more
+    val c2 = ZoneMap.prunedReadBox(spark, dir, idxAll, preds).inputFiles.length
+    val p2 = ZoneMap.prunedReadBox(spark, dir,
+      idxAll.drop("__hkey_min", "__hkey_max"), preds).inputFiles.length
+    assert(c2 <= p2, s"ranged route opened MORE files: curve=$c2 percol=$p2")
+    // an out-of-domain box short-circuits to the empty frame, schema kept
+    val empty = ZoneMap.prunedReadBox(spark, dir, idxKey,
+      Seq[(String, Any, Any)](("cx", 100L, 90L), ("cy", 0L, 64L)))
+    assert(empty.count() == 0 && empty.columns.contains("v"))
+    // non-integral bounds fall back to per-column pruning (needs stats)
+    val viaFallback = ZoneMap.prunedReadBox(spark, dir, idxAll,
+      Seq[(String, Any, Any)](("cx", 8.0, 24.0), ("cy", 16.0, 40.0)))
+    assert(viaFallback.select("v").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("all-NULL files are skipped for range predicates (NULL never matches)") {
     val dir = java.nio.file.Files.createTempDirectory("zm_null").toString
     val some = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(9L)))
