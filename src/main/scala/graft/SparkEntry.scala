@@ -2302,6 +2302,28 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** E16b — SemDeDup at GROWN cell count (the r13 mandate twin): e16's
+    * chain with cells = ⌊√N⌋ — the paper's rule, so per-cell membership
+    * (and the within-cell quadratic step) stays FLAT as the corpus
+    * grows instead of riding e16's fixed-16-cell contract. The count is
+    * one driver-side scalar (the adjudicated class); √ then ⌊⌋ is the
+    * identical correctly-rounded chain in both engines. Census output
+    * and oracle identical to e16 modulo the centroid set.
+    */
+  private def e16b(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val cells = math.floor(math.sqrt(emb.count().toDouble)).toLong
+    val centroids = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    Dedup.semanticDedup(emb, centroids, threshold = 0.35)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("dropped"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+        sum(when(col("dropped"), col("vec_id"))).as("dropped_fp"),
+        sum(floor(col("c_sim") * lit(1048576L)).cast("long")).as("csim_fp"))
+      .orderBy("cell")
+  }
+
   /** DSIR1 — importance resampling toward an in-corpus target (lang='en'):
     * unigram log-ratio weights, Gumbel top-25. The oracle replays the
     * whole chain — grouped counts, smoothed ratio fixed-points, the
@@ -6306,6 +6328,7 @@ object SparkEntry {
     "e8_embedding_neardup" -> (e8 _),
     "e8b_embedding_banded" -> (e8b _),
     "e16_semantic_dedup" -> (e16 _),
+    "e16b_semdedup_sqrtn" -> (e16b _),
     "dsir1_importance_resample" -> (dsir1 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
@@ -7382,6 +7405,33 @@ object SparkEntry {
     // is the identical in-order chain, so the floors match exactly.
     "e16_semantic_dedup" ->
       s"""WITH init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 16),
+         |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |asg AS (SELECT vec_id, cv, cell FROM (
+         |  SELECT c.vec_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN init k) WHERE rk = 1),
+         |sim AS (SELECT a.vec_id, a.cell, a.cv,
+         |  ${sqlDot("a.cv", "k.kv")} /
+         |  (sqrt(${sqlDot("a.cv", "a.cv")}) * sqrt(${sqlDot("k.kv", "k.kv")})) AS c_sim
+         |  FROM asg a JOIN init k USING (cell)),
+         |drp AS (SELECT DISTINCT CASE WHEN x.c_sim > y.c_sim
+         |    OR (x.c_sim = y.c_sim AND x.vec_id > y.vec_id)
+         |    THEN x.vec_id ELSE y.vec_id END AS vec_id
+         |  FROM sim x JOIN sim y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${sqlDot("x.cv", "y.cv")} /
+         |    (sqrt(${sqlDot("x.cv", "x.cv")}) * sqrt(${sqlDot("y.cv", "y.cv")})) >= 0.35),
+         |fin AS (SELECT s.vec_id, s.cell, s.c_sim,
+         |  s.vec_id IN (SELECT vec_id FROM drp) AS dropped FROM sim s)
+         |SELECT cell, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN dropped THEN vec_id END) AS BIGINT) AS dropped_fp,
+         |  CAST(sum(CAST(floor(c_sim * 1048576.0) AS BIGINT)) AS BIGINT) AS csim_fp
+         |FROM fin GROUP BY cell ORDER BY cell""".stripMargin,
+        // e16b: the identical SemDeDup replay with cells = floor(sqrt(N)) --
+    // the scalar subquery mirrors the engine's driver-side count+sqrt.
+    "e16b_semdedup_sqrtn" ->
+      s"""WITH init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < (SELECT CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) FROM embeddings)),
          |corp AS (SELECT vec_id, embedding AS cv FROM embeddings),
          |asg AS (SELECT vec_id, cv, cell FROM (
          |  SELECT c.vec_id, c.cv, k.cell,
