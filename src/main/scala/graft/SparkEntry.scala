@@ -5943,6 +5943,53 @@ object SparkEntry {
           graft.functions.BpeExprs.EnglishMerges).as("n_bpe"))
       .orderBy("doc_id")
 
+  /** BPE2 — DISTRIBUTED BPE TRAINING (learn the merges, don't just apply
+    * them): the first 8 merges learned from the documents corpus by
+    * iterative highest-weighted-pair merge over the distinct-word count
+    * table ([[operators.BpeTrain]]). The oracle replays the training
+    * loop as 8 unrolled CTE levels — pair census, (cnt DESC, pair ASC)
+    * argmax, and the greedy non-overlapping single-merge rewrite via the
+    * parity-of-run rule (equivalent to the engine's fold: a merged
+    * symbol can never re-match its own left side within a pass). BpeSpec
+    * separately proves bpe1's tokenizer reproduces the loop's
+    * segmentation under the learned table.
+    */
+  private def bpe2(s: SparkSession, d: String) =
+    operators.BpeTrain.trainMergesDF(Tables.documents(s, d), col("text"), k = 8)
+      .orderBy("rank")
+
+  /** bpe2's oracle — see [[bpe2]]; every CTE MATERIALIZED (the j21
+    * lesson: lambdas reference prior levels many times). */
+  private def sqlBpeTrain: String = {
+    val K = 8
+    val levels = (1 to K).flatMap { k =>
+      Seq(
+        s"""p$k AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |  SELECT n, unnest(list_transform(range(1, length(st)), i ->
+           |    struct_pack(l := st[i], r := st[i+1]))) AS p FROM s${k - 1}) GROUP BY 1, 2)""".stripMargin,
+        s"""b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k WHERE cnt >= 2
+           |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin,
+        s"""m$k AS MATERIALIZED (SELECT w, n, st,
+           |  list_transform(range(1, length(st)), i -> st[i] = b.l AND st[i+1] = b.r) AS mm
+           |  FROM s${k - 1}, b$k b)""".stripMargin,
+        s"""x$k AS MATERIALIZED (SELECT w, n, st, list_transform(range(1, length(st)), i ->
+           |  mm[i] AND ((i - list_max(list_filter(range(0, i), j -> j = 0 OR NOT mm[j]))) % 2 = 1)) AS sel
+           |  FROM m$k)""".stripMargin,
+        s"""s$k AS MATERIALIZED (SELECT w, n, flatten(list_transform(range(1, length(st) + 1), i ->
+           |  CASE WHEN i < length(st) AND sel[i] THEN [st[i] || st[i+1]]
+           |       WHEN i > 1 AND sel[i-1] THEN []
+           |       ELSE [st[i]] END)) AS st FROM x$k)""".stripMargin)
+    }
+    val base = Seq(
+      """words AS MATERIALIZED (SELECT w, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '' GROUP BY w)""".stripMargin,
+      "s0 AS MATERIALIZED (SELECT w, n, string_split(w, '') AS st FROM words)")
+    val union = (1 to K).map(k =>
+      s"SELECT ${k - 1} AS rank, l AS lhs, r AS rhs, cnt FROM b$k").mkString("\nUNION ALL ")
+    (base ++ levels).mkString("WITH ", ",\n", "\n") +
+      s"SELECT * FROM (\n$union\n) ORDER BY rank"
+  }
+
   /** cov1 — interval UNION coverage per user (merge overlapping ranges):
     * each event opens a [ts, ts + 30..149 s] interval (length from the
     * event id, exact micros), and the operator reports the union length,
@@ -6533,6 +6580,7 @@ object SparkEntry {
     "cms3_join_size" -> (cms3 _),
     "kmv2_set_sketch" -> (kmv2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
+    "bpe2_bpe_train" -> (bpe2 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
     "iv1_incremental_rollup" -> (iv1 _),
     "iv2_join_delta" -> (iv2 _),
@@ -10805,6 +10853,8 @@ object SparkEntry {
     // bpe1: the identical leftmost-lowest-rank merge walk, replayed
     // recursively over distinct words — see sqlBpeTokens.
     "bpe1_bpe_tokens" -> sqlBpeTokens,
+    // bpe2: the 8-round training loop unrolled -- see sqlBpeTrain.
+    "bpe2_bpe_train" -> sqlBpeTrain,
     "cdc1_snapshot_diff" ->
       """WITH o1 AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0),
         |n1 AS (SELECT o_orderkey,

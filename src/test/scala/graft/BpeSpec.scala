@@ -62,6 +62,46 @@ class BpeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](BpeExprs.rankMap(Seq(("a\u001f", "b"))))
   }
 
+  test("applyMerge fold: greedy leftmost non-overlapping, runs take every other") {
+    import graft.operators.BpeTrain
+    def run(st: Seq[String], a: String, b: String): Seq[String] =
+      Seq(st).toDF("state")
+        .select(BpeTrain.applyMerge(col("state"), a, b).as("out"))
+        .head().getSeq[String](0)
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(run(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(run(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "ab", "y"))
+    assert(run(Seq("a", "b"), "b", "a") == Seq("a", "b"))
+    assert(run(Seq("a"), "a", "a") == Seq("a"))
+  }
+
+  test("trainMerges: learned table well-formed; bpe1's tokenizer reproduces the loop segmentation") {
+    import graft.operators.BpeTrain
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = BpeTrain.trainMerges(docs, col("text"), 8)
+    assert(merges.size == 8)
+    assert(merges.forall(_._3 >= 2))
+    val table = merges.map(m => (m._1, m._2))
+    val learned = BpeExprs.rankMap(table) // validates: no dups, no empties
+    // replay the loop's application over the distinct words...
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct()
+    var seg = words.withColumn("state", split(col("w"), ""))
+    table.foreach { case (a, b) =>
+      seg = seg.withColumn("state", BpeTrain.applyMerge(col("state"), a, b))
+    }
+    // ...and gate it against the leftmost-lowest-rank ENCODER on the
+    // same table -- the property that lets bpe1 consume bpe2's output
+    val mismatches = seg.collect().filter { r =>
+      val w = r.getString(0)
+      val loop = r.getSeq[String](1)
+      BpeExprs.encodeWord(w, learned).toSeq != loop
+    }
+    assert(mismatches.isEmpty,
+      s"encoder/loop divergence on ${mismatches.length} words, e.g. ${mismatches.take(3).map(_.getString(0)).mkString(",")}")
+  }
+
   test("countText sums word encodes; empty words and extra spaces contribute nothing") {
     val text = "  the when   hello  "
     val exp = Seq("the", "when", "hello")
