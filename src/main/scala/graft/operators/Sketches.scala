@@ -89,17 +89,46 @@ object Sketches {
     * toward nothing while the probe side never matched it — callers
     * wanting a NULL group coalesce to a sentinel upstream.
     */
-  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
+  /** The per-key (row, bucket) cell structs shared by the batch and
+    * streaming CMS builds — one projection, identical md5 chains. */
+  private def cmsCells(key: Column, depth: Int, width: Int): Seq[Column] = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
-    val cells = (0 until depth).map { j =>
+    (0 until depth).map { j =>
       struct(lit(j).as("row"),
         (graft.functions.TextOps.seededHash(key.cast("string"), j) % width).as("bucket"))
     }
+  }
+
+  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = cmsCells(key, depth, width)
     df.filter(key.isNotNull)
       .select(explode(array(cells: _*)).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** STREAMING count-min — the daily-sketch shape, live: per
+    * (event-time window, row, bucket) counts under a watermark. State is
+    * bounded at open-windows × depth·width rows no matter the stream
+    * volume; counts are monotone, so Update-mode refinements collapse by
+    * max (the runToCompletion(finalKeys) contract) and each CLOSED
+    * window's counter table IS the batch [[countMin]] of that window's
+    * rows — EventStreamSpec gates the equality cell-for-cell, which is
+    * what lets live sketches merge with historical ones (counters add).
+    */
+  def streamingCountMin(events: DataFrame, key: Column,
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = cmsCells(key, depth, width)
+    events.filter(key.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(array(cells: _*)).as("rb"))
+      .groupBy(window(col("ts"), window_),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("row"), col("bucket"), col("cnt"))
   }
 
   /** Point-query the [[countMin]] sketch for each distinct value of
@@ -270,27 +299,54 @@ object Sketches {
     * Output: group columns + `register` (0..2^p-1, absent = never hit) +
     * `max_rho` (leading-zero rank, 1..61-p).
     */
+  /** The (register, rho) projection shared by the batch and streaming
+    * HLL builds: rho = leading zeros of the L-bit suffix + 1, via the
+    * minimal binary string length (all-integer: no float log anywhere).
+    */
+  private def hllCols(key: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val L = 60 - p
+    val h = graft.functions.TextOps.hexVal(md5(key.cast("string")), 15)
+    val reg = shiftright(h, L)
+    val suffix = h.bitwiseAND(lit((1L << L) - 1))
+    val rho = when(suffix === 0, lit(L + 1).cast("long"))
+      .otherwise(lit(L + 1).cast("long") - length(bin(suffix)).cast("long"))
+    (reg, rho)
+  }
+
   def hllRegisters(
       df: DataFrame,
       key: Column,
       groupCols: Seq[String] = Nil,
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
-    val L = 60 - p
-    val h = graft.functions.TextOps.hexVal(md5(key.cast("string")), 15)
-    val reg = shiftright(h, L).as("register")
-    // rho = leading zeros of the L-bit suffix + 1; via the minimal binary
-    // string length (all-integer: no float log anywhere)
-    val suffix = h.bitwiseAND(lit((1L << L) - 1))
-    val rho = when(suffix === 0, lit(L + 1).cast("long"))
-      .otherwise(lit(L + 1).cast("long") - length(bin(suffix)).cast("long"))
+    val (reg, rho) = hllCols(key, p)
     // NULL keys excluded (the countDistinct convention, and the countMin
     // family's): a NULL would form a phantom (NULL, NULL) register row
     // that hllEstimate would count as a hit while contributing nothing
     val base = df.filter(key.isNotNull)
-      .select(groupCols.map(col) :+ reg :+ rho.as("__rho"): _*)
+      .select(groupCols.map(col) :+ reg.as("register") :+ rho.as("__rho"): _*)
     base.groupBy((groupCols.map(col) :+ col("register")): _*)
       .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** STREAMING HyperLogLog — registers as a watermarked stateful
+    * aggregate: per (event-time window, register) MAX over the identical
+    * md5-derived rho projection. State bounded at open-windows × 2^p
+    * rows; max is monotone and idempotent, so Update-mode refinements
+    * collapse by max and a closed window's register table IS the batch
+    * [[hllRegisters]] of that window's rows (EventStreamSpec gates it) —
+    * live daily sketches then merge with stored ones by register-wise
+    * max, exactly the law hll2 proves in batch.
+    */
+  def streamingHllRegisters(events: DataFrame, key: Column,
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      p: Int = 8): DataFrame = {
+    val (reg, rho) = hllCols(key, p)
+    events.filter(key.isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), reg.as("register"))
+      .agg(max(rho).as("max_rho"))
+      .select(col("window.start").as("window_start"), col("register"), col("max_rho"))
   }
 
   /** Fixed-point HLL state fold + raw estimate, per group: `n_zero`

@@ -46,6 +46,44 @@ class EventStreamSpec extends AnyFunSuite {
     assert(gotN == batchN)
   }
 
+  test("streaming HLL/CMS sketch state converges to the batch sketch per window") {
+    import graft.operators.Sketches
+    val stream = EventStream.readEvents(spark, streamDir)
+    // HLL: per-window register table == batch hllRegisters of the window
+    val gotHll = EventStream.runToCompletion(
+      Sketches.streamingHllRegisters(stream, col("user_id"), watermark = "400 days", p = 6),
+      "t_shll", finalKeys = Seq("window_start", "register"))
+    val batchHll = Sketches.hllRegisters(
+      Tables.events(spark, sf).withColumn("window_start", date_trunc("hour", col("ts"))),
+      col("user_id"), Seq("window_start"), p = 6)
+    def hKey(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2))
+    val gh = gotHll.select("window_start", "register", "max_rho").collect().map(hKey).toSet
+    val bh = batchHll.select("window_start", "register", "max_rho").collect().map(hKey).toSet
+    assert(gh == bh, s"HLL register tables differ: ${gh.diff(bh).take(3)} / ${bh.diff(gh).take(3)}")
+    // CMS: per-window counter table == batch countMin of the window
+    val gotCms = EventStream.runToCompletion(
+      Sketches.streamingCountMin(stream, col("event_type"),
+        watermark = "400 days", depth = 4, width = 64),
+      "t_scms", finalKeys = Seq("window_start", "row", "bucket"))
+    def cKey(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val gc = gotCms.select("window_start", "row", "bucket", "cnt").collect().map(cKey).toSet
+    val batchCms = Tables.events(spark, sf)
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .collect()  // small fixture; group windows driver-side for the oracle
+    val bcExpected = {
+      val byWin = batchCms.groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+      byWin.iterator.flatMap { case (w, rows) =>
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq),
+          Tables.events(spark, sf).withColumn("window_start", date_trunc("hour", col("ts"))).schema)
+        Sketches.countMin(df, col("event_type"), depth = 4, width = 64)
+          .collect().map(r => (w, r.getInt(0), r.getLong(1), r.getLong(2)))
+      }.toSet
+    }
+    assert(gc == bcExpected, "CMS counter tables differ")
+  }
+
   test("stateful latestPerUser matches the batch max_by merge (J7)") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(
