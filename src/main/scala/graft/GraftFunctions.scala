@@ -147,6 +147,26 @@ object GraftFunctions {
           "(xmin,ymin,xmax,ymax) struct; holes subtract by orientation)",
         classOf[graft.functions.ClipAreaExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipAreaExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_area_poly"),
+      info("st_clip_area_poly",
+        "st_clip_area_poly(rings, clip_ring) - EXACT polygon-intersect-CONVEX-window " +
+          "area (Sutherland-Hodgman per clip edge; clip_ring a closed " +
+          "array<struct<x,y>>, fail-closed on concave windows)",
+        classOf[graft.functions.ClipAreaPolyExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaPolyExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_area_general"),
+      info("st_clip_area_general",
+        "st_clip_area_general(rings, clip_ring) - EXACT polygon-intersect-SIMPLE-ring " +
+          "area, concave clip allowed (deterministic ear-clipping + the convex " +
+          "kernel per ear; fail-closed on zero-area/ear-less rings)",
+        classOf[graft.functions.ClipAreaGeneralExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaGeneralExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_area_polygon"),
+      info("st_clip_area_polygon",
+        "st_clip_area_polygon(rings, clip_rings) - EXACT polygon-intersect-POLYGON " +
+          "area, both sides concave-with-holes (ring 0 positive, holes subtract)",
+        classOf[graft.functions.ClipAreaGeneralRingsExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaGeneralRingsExpr(exprs(0), exprs(1))),
     composedIntLast("graft_hilbert",
       "graft_hilbert(x, y, bits) - Hilbert curve distance of BIGINT cell (x, y) " +
         "on the 2^bits x 2^bits grid (bits a literal in [1,31]); the " +

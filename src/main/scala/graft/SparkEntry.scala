@@ -1170,6 +1170,130 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J25 — polygon-WITH-HOLES × polygon-WITH-HOLES intersection AREAS
+    * (the fully general zonal-stats measure): supplier arrows (concave
+    * + hole) against customer darts carrying a triangular hole in the
+    * right lobe, via [[graft.functions.ClipExprs.clipAreaPolygonCol]]:
+    * area(S ∩ outer) − area(S ∩ hole), each term the ear-decomposed
+    * general kernel. The oracle extends j23's replay with the hole
+    * triangle's three passes (CW winding → the ≤ 0 inside test) and
+    * subtracts its area last — the kernel's exact emission order.
+    */
+  private def j25(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val dart = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx + r, cy - r), pt(cx, cy + r))
+    // CW triangular hole inside the dart's right lobe (ear T2)
+    val hole = array(
+      pt(cx + lit(0.25) * r, cy - lit(0.25) * r),
+      pt(cx + lit(0.375) * r, cy - lit(0.125) * r),
+      pt(cx + lit(0.5) * r, cy - lit(0.25) * r),
+      pt(cx + lit(0.25) * r, cy - lit(0.25) * r))
+    val b = Tables.customer(s, d)
+      .select(c, array(dart, hole).as("_rc"),
+        SpatialOps.bbox(cx - r, cy - r, cx + r, cy + r).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .withColumn("inter_area",
+        graft.functions.ClipExprs.clipAreaPolygonCol(col("_ra"), col("_rc")))
+      .filter(col("inter_area") > 0.0)
+      .select("s_suppkey", "c_custkey", "inter_area")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** j25's oracle — j23's replay plus the hole triangle (CW: inside
+    * tests flip to ≤ 0), its area subtracted last. */
+  private def sqlClipPolygon: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    val triA = Seq(
+      (("cx", "cy + r"), ("cx - r", "cy - r")),
+      (("cx - r", "cy - r"), ("cx", "cy - 0.5 * r")),
+      (("cx", "cy - 0.5 * r"), ("cx", "cy + r")))
+    val triB = Seq(
+      (("cx", "cy + r"), ("cx", "cy - 0.5 * r")),
+      (("cx", "cy - 0.5 * r"), ("cx + r", "cy - r")),
+      (("cx + r", "cy - r"), ("cx", "cy + r")))
+    // the hole triangle, CW emission order (A -> B -> C -> A)
+    val triC = Seq(
+      (("cx + 0.25 * r", "cy - 0.25 * r"), ("cx + 0.375 * r", "cy - 0.125 * r")),
+      (("cx + 0.375 * r", "cy - 0.125 * r"), ("cx + 0.5 * r", "cy - 0.25 * r")),
+      (("cx + 0.5 * r", "cy - 0.25 * r"), ("cx + 0.25 * r", "cy - 0.25 * r")))
+    def sidesOf(in: String, ax: String, ay: String, bx: String, by: String): String =
+      s"""list_transform(range(1, length($in) + 1), i ->
+         |    (($bx) - ($ax)) * ($in[i].y - ($ay)) - (($by) - ($ay)) * ($in[i].x - ($ax)))""".stripMargin
+    def passOf(in: String, sidesCol: String, cmp: String): String = {
+      val isect =
+        s"""struct_pack(
+           |  x := $in[i].x + ($sidesCol[i] / ($sidesCol[i] - $sidesCol[i+1])) * ($in[i+1].x - $in[i].x),
+           |  y := $in[i].y + ($sidesCol[i] / ($sidesCol[i] - $sidesCol[i+1])) * ($in[i+1].y - $in[i].y))""".stripMargin
+      s"""flatten(list_transform(range(1, length($in)), i ->
+         |    CASE WHEN $sidesCol[i+1] $cmp 0 AND $sidesCol[i] $cmp 0 THEN [$in[i+1]]
+         |         WHEN $sidesCol[i+1] $cmp 0 THEN [$isect, $in[i+1]]
+         |         WHEN $sidesCol[i] $cmp 0 THEN [$isect]
+         |         ELSE [] END))""".stripMargin
+    }
+    def close(v: String) =
+      s"CASE WHEN length($v) = 0 THEN $v ELSE list_append($v, $v[1]) END"
+    def crossOf(v: String) =
+      s"""CASE WHEN length($v) < 2 THEN CAST(0 AS DOUBLE) ELSE
+         |    list_reduce(list_transform(range(1, length($v)), i ->
+         |      $v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y), (a, b) -> a + b) END""".stripMargin
+    val base =
+      s"""lvl0 AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+         |  ${ptsList(rings(0))} AS oa0, ${ptsList(rings(1))} AS ha0,
+         |  ${ptsList(rings(0))} AS ob0, ${ptsList(rings(1))} AS hb0,
+         |  ${ptsList(rings(0))} AS oc0, ${ptsList(rings(1))} AS hc0
+         |FROM ($arrowSqlBase) a JOIN
+         |  (SELECT c_custkey,
+         |     CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+         |     CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+         |     1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer) b
+         |  ON x0 <= cx + r AND cx - r <= x0 + w AND y0 <= cy + r AND cy - r <= y0 + h)""".stripMargin
+    val levels = (0 until 3).flatMap { k =>
+      val ((aax, aay), (abx, aby)) = triA(k)
+      val ((bax, bay), (bbx, bby)) = triB(k)
+      val ((cax, cay), (cbx, cby)) = triC(k)
+      Seq(
+        s"""m${k + 1} AS MATERIALIZED (SELECT *,
+           |  ${sidesOf(s"oa$k", aax, aay, abx, aby)} AS oas,
+           |  ${sidesOf(s"ha$k", aax, aay, abx, aby)} AS has,
+           |  ${sidesOf(s"ob$k", bax, bay, bbx, bby)} AS obs,
+           |  ${sidesOf(s"hb$k", bax, bay, bbx, bby)} AS hbs,
+           |  ${sidesOf(s"oc$k", cax, cay, cbx, cby)} AS ocs,
+           |  ${sidesOf(s"hc$k", cax, cay, cbx, cby)} AS hcs
+           |  FROM ${if (k == 0) "lvl0" else s"c$k"})""".stripMargin,
+        s"""p${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${passOf(s"oa$k", "oas", ">=")} AS oaraw, ${passOf(s"ha$k", "has", ">=")} AS haraw,
+           |  ${passOf(s"ob$k", "obs", ">=")} AS obraw, ${passOf(s"hb$k", "hbs", ">=")} AS hbraw,
+           |  ${passOf(s"oc$k", "ocs", "<=")} AS ocraw, ${passOf(s"hc$k", "hcs", "<=")} AS hcraw
+           |  FROM m${k + 1})""".stripMargin,
+        s"""c${k + 1} AS MATERIALIZED (SELECT s_suppkey, c_custkey, cx, cy, r,
+           |  ${close("oaraw")} AS oa${k + 1}, ${close("haraw")} AS ha${k + 1},
+           |  ${close("obraw")} AS ob${k + 1}, ${close("hbraw")} AS hb${k + 1},
+           |  ${close("ocraw")} AS oc${k + 1}, ${close("hcraw")} AS hc${k + 1} FROM p${k + 1})""".stripMargin)
+    }
+    (base +: levels).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT s_suppkey, c_custkey, inter_area FROM (
+         |  SELECT s_suppkey, c_custkey,
+         |    abs((${crossOf("oa3")}) + (${crossOf("ha3")})) / 2
+         |      + abs((${crossOf("ob3")}) + (${crossOf("hb3")})) / 2
+         |      - abs((${crossOf("oc3")}) + (${crossOf("hc3")})) / 2 AS inter_area
+         |  FROM c3)
+         |WHERE inter_area > 0 ORDER BY s_suppkey, c_custkey""".stripMargin
+  }
+
   /** j23's oracle — the general kernel's ear decomposition replayed: the
     * dart's two CCW ear triangles hard-coded symbolically (tip anchored,
     * the kernel's deterministic emission — ClipAreaSpec gates it
@@ -6095,6 +6219,20 @@ object SparkEntry {
       .orderBy("h")
   }
 
+  /** qs3 — GROUPED quantile sketches (the per-store/per-day shape): one
+    * bottom-k state per l_returnflag, estimates at two probe points —
+    * the exchange still carries at most k rows per (flag, partition).
+    */
+  private def qs3(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val state = operators.Sketches.quantileSketch(li, col("l_extendedprice"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      Seq("l_returnflag"), k = 128)
+    operators.Sketches.quantileEstimate(state, Seq(0.5, 0.9), Seq("l_returnflag"))
+      .orderBy("l_returnflag", "q")
+  }
+
   /** hll2 — HLL MERGE soundness as a query (the daily-sketch shape that
     * makes the sketch worth having at 100 TB): lineitem split into two
     * halves by order-key parity, each sketched independently, the
@@ -6362,6 +6500,7 @@ object SparkEntry {
     "j21_clip_zonal" -> (j21 _),
     "j22_clip_pair" -> (j22 _),
     "j23_clip_concave" -> (j23 _),
+    "j25_clip_polygon" -> (j25 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -6577,6 +6716,7 @@ object SparkEntry {
     "hll2_hll_merge" -> (hll2 _),
     "qs1_quantile_sketch" -> (qs1 _),
     "qs2_quantile_merge" -> (qs2 _),
+    "qs3_grouped_quantiles" -> (qs3 _),
     "cms3_join_size" -> (cms3 _),
     "kmv2_set_sketch" -> (kmv2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
@@ -6940,6 +7080,8 @@ object SparkEntry {
     "j22_clip_pair" -> sqlClipPair,
     // j23: the ear-decomposed general kernel replayed -- see sqlClipConcave.
     "j23_clip_concave" -> sqlClipConcave,
+    // j25: j23's replay + the CW hole triangle subtracted -- sqlClipPolygon.
+    "j25_clip_polygon" -> sqlClipPolygon,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2
@@ -10714,6 +10856,24 @@ object SparkEntry {
          |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
          |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL))
          |SELECT h, v FROM h ORDER BY h LIMIT 256""".stripMargin,
+    // qs3: the grouped bottom-k replay -- per-flag rank caps and type-1
+    // sample quantiles, same chains as qs1 with a PARTITION BY.
+    "qs3_grouped_quantiles" ->
+      s"""WITH h AS (SELECT l_returnflag, ${sqlHexVal("m", 15)} AS h, v FROM (
+         |  SELECT l_returnflag,
+         |    md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
+         |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL)),
+         |st AS (SELECT l_returnflag, h, v FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= 128),
+         |r AS (SELECT l_returnflag, v, h,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v, h) AS rn,
+         |  count(*) OVER (PARTITION BY l_returnflag) AS m FROM st),
+         |q AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+         |SELECT l_returnflag, q, v AS est, m FROM r
+         |JOIN q ON rn = greatest(1, ceil(q * CAST(m AS DOUBLE)))
+         |ORDER BY l_returnflag, q""".stripMargin,
     "kmv1_distinct_sketch" ->
       s"""WITH h AS (SELECT DISTINCT l_returnflag, ${sqlHexVal("m", 15)} AS h
          |  FROM (SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),

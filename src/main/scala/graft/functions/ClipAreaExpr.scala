@@ -182,6 +182,48 @@ case class ClipAreaGeneralExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Subject polygon (rings) ∩ a FULL clip POLYGON — outer ring concave
+  * allowed, holes allowed — → exact area: ring 0 is the outer boundary,
+  * every further ring a hole, each measured by the ear-clipping general
+  * kernel and combined as area(S ∩ outer) − Σ area(S ∩ holeᵢ) (exact
+  * for valid polygons: holes are disjoint and inside the outer ring, so
+  * S∩holeᵢ ⊆ S∩outer). Both sides of a zonal-stats join can now be
+  * arbitrary real polygons-with-holes.
+  */
+case class ClipAreaGeneralRingsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_polygon needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
+    else if (!ringsTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_polygon needs array<array<struct<x,y>>> clip rings, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, clip: Any): Any =
+    ClipExprs.clipAreaGeneralMulti(
+      rings.asInstanceOf[ArrayData], clip.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipAreaGeneralMulti($r, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** Column entry: rings in the st_rings layout, env in the bbox-struct
@@ -201,6 +243,32 @@ object ClipExprs {
   def clipAreaGeneralCol(rings: Column, clipRing: Column): Column =
     GraftBridge.column(ClipAreaGeneralExpr(
       GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
+
+  /** Column entry: subject rings ∩ a FULL clip polygon (outer + holes,
+    * the st_rings layout on both sides). */
+  def clipAreaPolygonCol(rings: Column, clipRings: Column): Column =
+    GraftBridge.column(ClipAreaGeneralRingsExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(clipRings)))
+
+  /** [[ClipAreaGeneralRingsExpr]]'s kernel: ring 0 positive, every
+    * further ring (a hole) subtracted, each through [[clipAreaGeneral]]
+    * in ring order — the emission order the oracle replays.
+    */
+  def clipAreaGeneralMulti(rings: ArrayData, clip: ArrayData): Double = {
+    val nc = clip.numElements()
+    if (nc < 1)
+      throw new IllegalArgumentException("clip polygon needs >= 1 ring")
+    var total = 0.0
+    var i = 0
+    while (i < nc) {
+      if (clip.isNullAt(i))
+        throw new IllegalArgumentException(s"null clip ring at index $i")
+      val a = clipAreaGeneral(rings, clip.getArray(i))
+      total = if (i == 0) a else total - a
+      i += 1
+    }
+    total
+  }
 
   /** Static kernel (also the codegen target). Fail-closed on null
     * points/coordinates and inverted boxes — the GeomPredExprs doctrine:

@@ -244,6 +244,56 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(math.abs(ccw - cw) < 1e-9, s"winding asymmetry: $ccw vs $cw")
   }
 
+  test("polygon-with-holes clip: hole subtraction is exact; single ring == general kernel bitwise") {
+    def clipMultiOf(wkt: String, clipWkt: String): Double =
+      Seq((wkt, clipWkt)).toDF("g", "c")
+        .select(ClipExprs.clipAreaPolygonCol(SpatialOps.wktRings(col("g")),
+          SpatialOps.wktRings(col("c"))).as("a"))
+        .head().getDouble(0)
+    val bigRect = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    // dart with a triangular hole in the right lobe (the j25 fixture at
+    // (50,50), r=4): area = 1.5 r^2 - 0.015625 r^2
+    val r = 4.0
+    val dartHole = "POLYGON ((50 54, 46 46, 50 48, 54 46, 50 54), " +
+      "(51 49, 51.5 49.5, 52 49, 51 49))"
+    val got = clipMultiOf(bigRect, dartHole)
+    assert(math.abs(got - (1.5 * r * r - 0.015625 * r * r)) < 1e-9, s"got $got")
+    // a single-ring clip through the polygon form == the general kernel
+    val viaMulti = clipMultiOf(arrowHole, dartWkt(5, 5, 2))
+    val viaGen = clipGenOf(arrowHole, dartWkt(5, 5, 2))
+    assert(viaMulti == viaGen, s"single-ring multi must be bitwise general: $viaMulti vs $viaGen")
+    // subject hole and clip hole interact correctly: clip the arrow by a
+    // box-with-hole where the clip hole covers the subject's 1x1 hole --
+    // subtracting the clip hole removes (2x2 region minus subject hole)=3
+    val boxWithHole = "POLYGON ((0 0, 6 0, 6 3, 0 3, 0 0), " +
+      "(0.5 0.5, 0.5 2.5, 2.5 2.5, 2.5 0.5, 0.5 0.5))"
+    val expect = clipGenOf(arrowHole, "POLYGON ((0 0, 6 0, 6 3, 0 3, 0 0))") - 3.0
+    assert(math.abs(clipMultiOf(arrowHole, boxWithHole) - expect) < 1e-12)
+    // fail-closed: zero rings
+    val e = intercept[Exception](
+      Seq((arrowHole, "x")).toDF("g", "c")
+        .select(ClipExprs.clipAreaPolygonCol(SpatialOps.wktRings(col("g")),
+          array().cast("array<array<struct<x:double,y:double>>>")).as("a"))
+        .head())
+    assert(e.getMessage.contains(">= 1 ring"))
+  }
+
+  test("SQL surface: st_clip_area_poly/general/polygon match the Column forms") {
+    GraftFunctions.register(spark)
+    Seq((arrowHole, dartWkt(5, 5, 2))).toDF("g", "c").createOrReplaceTempView("clipgen")
+    val viaSql = spark.sql(
+      """SELECT st_clip_area_general(st_rings(g), element_at(st_rings(c), 1)) AS a,
+        |       st_clip_area_polygon(st_rings(g), st_rings(c)) AS b
+        |FROM clipgen""".stripMargin).head()
+    val viaCol = clipGenOf(arrowHole, dartWkt(5, 5, 2))
+    assert(viaSql.getDouble(0) == viaCol && viaSql.getDouble(1) == viaCol)
+    val viaPolySql = spark.sql(
+      """SELECT st_clip_area_poly(st_rings(g), element_at(st_rings(c), 1)) AS a
+        |FROM (SELECT g, 'POLYGON ((2 1, 7 1, 7 6, 2 6, 2 1))' AS c FROM clipgen)"""
+        .stripMargin).head().getDouble(0)
+    assert(viaPolySql == clipPolyOf(arrowHole, "POLYGON ((2 1, 7 1, 7 6, 2 6, 2 1))"))
+  }
+
   test("SQL surface: st_clip_area matches the Column form") {
     GraftFunctions.register(spark)
     Seq(arrowHole).toDF("g").createOrReplaceTempView("clipspec")
