@@ -294,6 +294,49 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(viaPolySql == clipPolyOf(arrowHole, "POLYGON ((2 1, 7 1, 7 6, 2 6, 2 1))"))
   }
 
+  test("property: ear clipping is exact on 40 random star-shaped concave polygons") {
+    // star-shaped polygons (vertices at sorted angles around a center)
+    // are simple by construction and concave with probability ~1 --
+    // area(bigBox intersect P) must equal P's shoelace area, and the
+    // intersection must be swap-symmetric
+    val rnd = new scala.util.Random(42)
+    val bigBox = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    def star(): (String, Double) = {
+      val cx = 20 + rnd.nextDouble() * 60
+      val cy = 20 + rnd.nextDouble() * 60
+      val k = 5 + rnd.nextInt(8)
+      // jittered-uniform angles: every gap < 2*(2pi/k) < pi for k >= 5,
+      // which makes the radial polygon SIMPLE by construction (a fully
+      // random angle set can leave a gap > pi, whose closing chord passes
+      // the far side of the center and self-intersects -- caught live by
+      // this test's first draft)
+      val angles = (0 until k).map(i => 2 * math.Pi * (i + 0.8 * rnd.nextDouble()) / k)
+      val pts = angles.map { a =>
+        val r = 1.0 + rnd.nextDouble() * 7.0
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      val closed = pts :+ pts.head
+      val wkt = closed.map { case (x, y) => s"$x $y" }.mkString("POLYGON ((", ", ", "))")
+      val area = math.abs(closed.sliding(2).map {
+        case Seq((x1, y1), (x2, y2)) => x1 * y2 - x2 * y1
+      }.sum) / 2.0
+      (wkt, area)
+    }
+    val polys = Seq.fill(40)(star())
+    polys.foreach { case (wkt, area) =>
+      val got = clipGenOf(bigBox, wkt)
+      assert(math.abs(got - area) < 1e-9 * math.max(1.0, area),
+        s"partition-exactness failed: got $got want $area for $wkt")
+    }
+    // swap symmetry on ten random pairs (both hole-free)
+    polys.take(10).zip(polys.slice(10, 20)).foreach { case ((a, _), (b, _)) =>
+      val ab = clipGenOf(a, b)
+      val ba = clipGenOf(b, a)
+      assert(math.abs(ab - ba) < 1e-9 * math.max(1.0, ab),
+        s"swap asymmetry: $ab vs $ba for\n$a\n$b")
+    }
+  }
+
   test("SQL surface: st_clip_area matches the Column form") {
     GraftFunctions.register(spark)
     Seq(arrowHole).toDF("g").createOrReplaceTempView("clipspec")
