@@ -1098,6 +1098,30 @@ object SparkEntry {
       .orderBy("s_suppkey", "cell_id")
   }
 
+  /** ZS2 — EXACT area-weighted zonal statistics (the query the clip-area
+    * kernels exist FOR): j21's polygon×cell clip areas rolled up per
+    * polygon into the area-weighted mean of a per-cell value — "what is
+    * this parcel's average cell value, weighted by how much of the
+    * parcel each cell actually contains". Weights fixed-point
+    * (floor(area·2²⁰) — exact on IEEE doubles) so the weighted sums are
+    * integer aggregations (commutative, partition-order-proof); the
+    * final mean is ONE divide of exact integers. Oracle wraps the j21
+    * replay in the identical rollup.
+    */
+  private def zs2(s: SparkSession, d: String) = {
+    val afp = floor(col("clip_area") * lit(1048576.0)).cast("long")
+    j21(s, d)
+      .select(col("s_suppkey"), col("cell_id"), afp.as("afp"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("afp")).as("area_fp"),
+        sum(col("afp") * col("cell_id")).as("wsum_fp"))
+      .withColumn("mean_cell",
+        when(col("area_fp") > 0,
+          round(col("wsum_fp").cast("double") / col("area_fp").cast("double"), 6)))
+      .orderBy("s_suppkey")
+  }
+
   /** J22 — polygon∩polygon intersection AREAS (the measure form of j18's
     * boolean overlap): supplier arrows (concave + hole) against customer
     * diamonds (convex, no axis-aligned edge) through bboxJoin, each pair
@@ -6498,6 +6522,7 @@ object SparkEntry {
     "j18_overlap_join" -> (j18 _),
     "j19_dwithin_join" -> (j19 _),
     "j21_clip_zonal" -> (j21 _),
+    "zs2_exact_zonal" -> (zs2 _),
     "j22_clip_pair" -> (j22 _),
     "j23_clip_concave" -> (j23 _),
     "j25_clip_polygon" -> (j25 _),
@@ -7075,6 +7100,16 @@ object SparkEntry {
     // j21: S-H clip passes + sequential shoelace fold over ALL pairs,
     // clip_area > 0 as the join — see sqlClipZonal.
     "j21_clip_zonal" -> sqlClipZonal,
+    // zs2: the j21 replay wrapped in the identical fixed-point rollup.
+    "zs2_exact_zonal" ->
+      s"""WITH zonal AS ($sqlClipZonal)
+         |SELECT s_suppkey, count(*) AS n_cells,
+         |  CAST(sum(CAST(floor(clip_area * 1048576.0) AS BIGINT)) AS BIGINT) AS area_fp,
+         |  CAST(sum(CAST(floor(clip_area * 1048576.0) AS BIGINT) * cell_id) AS BIGINT) AS wsum_fp,
+         |  CASE WHEN sum(CAST(floor(clip_area * 1048576.0) AS BIGINT)) > 0 THEN
+         |    round(CAST(sum(CAST(floor(clip_area * 1048576.0) AS BIGINT) * cell_id) AS DOUBLE)
+         |      / CAST(sum(CAST(floor(clip_area * 1048576.0) AS BIGINT)) AS DOUBLE), 6) END AS mean_cell
+         |FROM zonal GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     // j22: convex-window S-H per diamond edge over envelope-overlap
     // candidates — see sqlClipPair.
     "j22_clip_pair" -> sqlClipPair,
