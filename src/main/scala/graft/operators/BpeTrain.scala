@@ -74,6 +74,15 @@ object BpeTrain {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((l, r, cnt))
         seg = seg.withColumn("state", applyMerge(col("state"), l, r))
+        // each round nests another HOF fold, and every round's pair
+        // census re-evaluates the whole chain — O(K²) fold work and a
+        // K-deep plan. Flatten the lineage every 8 merges: the state
+        // table is vocabulary-sized (executor-resident at any corpus
+        // scale), and localCheckpoint is semantically transparent, so
+        // results are unchanged (bpe2's K=8 never triggers it; BpeSpec
+        // covers the triggered path)
+        if (learned.size % 8 == 0 && learned.size < k)
+          seg = seg.localCheckpoint()
       }
     }
     learned.toSeq

@@ -81,6 +81,10 @@ class BpeSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = BpeTrain.trainMerges(docs, col("text"), 8)
     assert(merges.size == 8)
+    // the lineage-flattening checkpoint (every 8 merges) must be
+    // result-transparent: learning 12 extends the same prefix
+    val merges12 = BpeTrain.trainMerges(docs, col("text"), 12)
+    assert(merges12.take(8) == merges, "checkpoint changed the learned prefix")
     assert(merges.forall(_._3 >= 2))
     val table = merges.map(m => (m._1, m._2))
     val learned = BpeExprs.rankMap(table) // validates: no dups, no empties
