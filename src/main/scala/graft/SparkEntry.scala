@@ -6106,6 +6106,17 @@ object SparkEntry {
     operators.BpeTrain.trainMergesDF(Tables.documents(s, d), col("text"), k = 8)
       .orderBy("rank")
 
+  /** qs2/qs4's shared oracle: the GLOBAL single-pass bottom-k state —
+    * both the two-way merge (qs2) and the per-flag hierarchical rollup
+    * (qs4) must reproduce it row for row.
+    */
+  private def sqlQuantileGlobalState: String =
+    s"""WITH h AS (SELECT ${sqlHexVal("m", 15)} AS h, v FROM (
+       |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+       |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
+       |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL))
+       |SELECT h, v FROM h ORDER BY h LIMIT 256""".stripMargin
+
   /** bpe2's oracle — see [[bpe2]]; every CTE MATERIALIZED (the j21
     * lesson: lambdas reference prior levels many times). */
   private def sqlBpeTrain: String = {
@@ -6255,6 +6266,67 @@ object SparkEntry {
       Seq("l_returnflag"), k = 128)
     operators.Sketches.quantileEstimate(state, Seq(0.5, 0.9), Seq("l_returnflag"))
       .orderBy("l_returnflag", "q")
+  }
+
+  /** qs4 — HIERARCHICAL quantile rollup (the daily→monthly shape): one
+    * bottom-k state per l_returnflag, their union re-capped to k — which
+    * must equal the GLOBAL single-pass state, because any row in the
+    * global bottom-k has ≤ k−1 rows below it globally and therefore ≤
+    * k−1 within its own flag. This is what makes per-partition/per-day
+    * quantile states roll up a tree without re-scanning leaves.
+    */
+  private def qs4(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    val perFlag = operators.Sketches.quantileSketch(li, col("l_extendedprice"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      Seq("l_returnflag"), k = 256)
+    graft.plans.TopK.perKey(
+        perFlag.select(lit(1).as("__g"), col("h"), col("v")),
+        Seq(col("__g")), Seq(col("h").asc), 256)
+      .select("h", "v")
+      .orderBy("h")
+  }
+
+  /** cms4 — COUNT-MIN MERGE law as a query (counters ADD — the fourth
+    * and last mergeable summary to get its law hash-gated, beside hll2,
+    * qs2/qs4, and the KMV re-cap): lineitem split by order-key parity,
+    * each half sketched, cells summed — must equal the single-pass
+    * sketch of the whole table cell for cell.
+    */
+  private def cms4(s: SparkSession, d: String) = {
+    val li = Tables.lineitem(s, d)
+    def sk(part: DataFrame) =
+      operators.Sketches.countMin(part, col("l_partkey"), depth = 4, width = 512)
+    sk(li.filter(col("l_orderkey") % 2 === 0))
+      .unionAll(sk(li.filter(col("l_orderkey") % 2 =!= 0)))
+      .groupBy("row", "bucket")
+      .agg(sum(col("cnt")).as("cnt"))
+      .orderBy("row", "bucket")
+  }
+
+  /** kmv3 — set-DIFFERENCE cardinality from sketches (the last canonical
+    * set operation beside kmv2's intersect/union): |A∖B| estimated as
+    * est_distinct(A) − est_intersect(A,B) over the same md5 KMV base —
+    * 1996-only customers vs the 1996/1997 overlap, beside the exact
+    * count. Pure composition of oracled estimators, so the derived
+    * estimate hash-gates too.
+    */
+  private def kmv3(s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996)
+    val b = o.filter(year(col("o_orderdate")) === 1997)
+    val estA = operators.Sketches.kmvDistinct(a, col("o_custkey"), Nil, k = 64)
+      .select(col("est_distinct").as("est_a"))
+    val setOps = operators.Sketches.kmvSetSketch(
+      a, col("o_custkey"), b, col("o_custkey"), k = 64)
+    val exact = a.select(col("o_custkey")).distinct()
+      .join(b.select(col("o_custkey")).distinct(), Seq("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("exact_diff"))
+    setOps.crossJoin(broadcast(estA)).crossJoin(broadcast(exact))
+      .select(col("est_a"), col("est_intersect"),
+        round(col("est_a") - col("est_intersect"), 6).as("est_diff"),
+        col("exact_diff"))
   }
 
   /** hll2 — HLL MERGE soundness as a query (the daily-sketch shape that
@@ -6742,6 +6814,9 @@ object SparkEntry {
     "qs1_quantile_sketch" -> (qs1 _),
     "qs2_quantile_merge" -> (qs2 _),
     "qs3_grouped_quantiles" -> (qs3 _),
+    "qs4_quantile_rollup" -> (qs4 _),
+    "cms4_cms_merge" -> (cms4 _),
+    "kmv3_set_difference" -> (kmv3 _),
     "cms3_join_size" -> (cms3 _),
     "kmv2_set_sketch" -> (kmv2 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
@@ -10885,12 +10960,10 @@ object SparkEntry {
     // qs2: the merge law's oracle is the SINGLE-PASS bottom-k of the
     // whole table — recap(state(even) ∪ state(odd)) must equal it row
     // for row (the hll2 doctrine for quantile state).
-    "qs2_quantile_merge" ->
-      s"""WITH h AS (SELECT ${sqlHexVal("m", 15)} AS h, v FROM (
-         |  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
-         |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS m,
-         |    l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL))
-         |SELECT h, v FROM h ORDER BY h LIMIT 256""".stripMargin,
+    "qs2_quantile_merge" -> sqlQuantileGlobalState,
+    // qs4: the hierarchical rollup must ALSO equal the global
+    // single-pass state -- same oracle as qs2 by the rollup theorem.
+    "qs4_quantile_rollup" -> sqlQuantileGlobalState,
     // qs3: the grouped bottom-k replay -- per-flag rank caps and type-1
     // sample quantiles, same chains as qs1 with a PARTITION BY.
     "qs3_grouped_quantiles" ->
@@ -11029,6 +11102,39 @@ object SparkEntry {
          |x AS (SELECT CAST(sum(__c * __c) AS BIGINT) AS exact_f2 FROM (
          |  SELECT count(*) AS __c FROM lineitem GROUP BY l_partkey))
          |SELECT (SELECT min(__ip) FROM ip) AS est, exact_f2 FROM x""".stripMargin,
+    // cms4: the merge law's oracle is the single-pass sketch of the
+    // whole table -- summed half-sketches must equal it cell for cell.
+    "cms4_cms_merge" ->
+      s"""WITH hashed AS (SELECT j, ${sqlHexVal("m", 6)} % 512 AS bucket FROM (
+         |  SELECT j, md5(CAST(j AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)) AS m
+         |  FROM lineitem, (VALUES (0),(1),(2),(3)) AS s(j)))
+         |SELECT j AS row, bucket, count(*) AS cnt FROM hashed GROUP BY 1, 2
+         |ORDER BY row, bucket""".stripMargin,
+    // kmv3: kmv1's single-set estimate + kmv2's theta intersect, composed
+    // into the difference estimate, beside the exact anti-join count.
+    "kmv3_set_difference" ->
+      s"""WITH ha AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1996)),
+         |hb AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1997)),
+         |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 64),
+         |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 64),
+         |sa AS (SELECT count(*) AS na, max(h) AS kha FROM ka),
+         |sb AS (SELECT count(*) AS nb, max(h) AS khb FROM kb),
+         |th AS (SELECT least(CASE WHEN na < 64 THEN 1152921504606846976 ELSE kha END,
+         |                    CASE WHEN nb < 64 THEN 1152921504606846976 ELSE khb END) AS theta FROM sa, sb),
+         |cm AS (SELECT count(*) AS n_common FROM ka JOIN kb USING (h), th WHERE h < theta),
+         |ea AS (SELECT CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+         |  ELSE round(CAST(63.0 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(kha AS DOUBLE), 6) END AS est_a FROM sa),
+         |ei AS (SELECT round(CAST(n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |  / CAST(theta AS DOUBLE), 6) AS est_intersect FROM cm, th),
+         |x AS (SELECT count(*) AS exact_diff FROM (
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         |  EXCEPT
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997))
+         |SELECT est_a, est_intersect, round(est_a - est_intersect, 6) AS est_diff, exact_diff
+         |FROM ea, ei, x""".stripMargin,
     // hll2: the oracle is the SINGLE-PASS sketch of the whole table —
     // register-wise max-merge must be exactly sketch(A UNION B).
     "hll2_hll_merge" ->
