@@ -470,6 +470,57 @@ object Sketches {
     if (groupCols.isEmpty) est.drop("__g") else est
   }
 
+  /** Typed bounded bottom-k aggregator over (hash, value) pairs — the
+    * quantile sketch's state as a MERGEABLE AGGREGATE, which is what a
+    * watermarked streaming groupBy needs (the custom TopK physical plan
+    * serves batch; streaming state must live in an agg buffer). merge()
+    * IS the qs2/qs4 re-cap law, so partial states from any partitioning
+    * or micro-batch schedule combine exactly. Buffer kept sorted
+    * ascending by hash and capped at k: O(k) per row — right for
+    * per-window streaming state (bounded rows per trigger); corpus-scale
+    * batch builds should use [[quantileSketch]]'s TopK pair instead.
+    */
+  class BottomKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    override def zero: Seq[(Long, Double)] = Nil
+    override def reduce(b: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+      if (b.length < k) (b :+ x).sortBy(_._1)
+      else if (x._1 < b.last._1) (b.init :+ x).sortBy(_._1)
+      else b
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      (a ++ b).sortBy(_._1).take(k)
+    override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** STREAMING quantile sketch state — per (event-time window), the
+    * bottom-k (hash, value) sample under a watermark, via [[BottomKAgg]]
+    * (a real mergeable aggregate, so Spark's stateful store holds one
+    * bounded buffer per open window). A closed window's rows equal the
+    * batch [[quantileSketch]] of that window's events — EventStreamSpec
+    * gates it — so live window states feed [[quantileEstimate]] and the
+    * qs4 rollup tree directly.
+    * Output: `window_start`, `h`, `v`.
+    */
+  def streamingQuantileState(events: DataFrame, value: Column, idCol: Column,
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      k: Int = 256): DataFrame = {
+    val h = graft.functions.TextOps.hexVal(md5(idCol.cast("string")), 15)
+    val bottomK = udaf(new BottomKAgg(k))
+    events.filter(value.isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("ts"), h.as("__h"), value.cast("double").as("__v"))
+      .groupBy(window(col("ts"), window_))
+      .agg(bottomK(col("__h"), col("__v")).as("state"))
+      .select(col("window.start").as("window_start"), explode(col("state")).as("hv"))
+      .select(col("window_start"), col("hv._1").as("h"), col("hv._2").as("v"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch, per group: keep the k
     * smallest distinct 60-bit md5-derived hashes of `key`; with h(k) the
     * k-th smallest hash on the 2^60 scale, the estimate is

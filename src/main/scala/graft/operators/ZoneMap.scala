@@ -188,10 +188,15 @@ object ZoneMap {
     val (fs, base) = fsFor(spark, dir)
     val p = new org.apache.hadoop.fs.Path(base, LayoutSidecar)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    // the ranged route is an OPTIMIZATION: an unreadable/corrupt sidecar
+    // (checksum failure, truncated write) falls back to per-column
+    // pruning rather than failing the read
     val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => return None }
     def str(k: String) =
       ("\"" + k + "\"\\s*:\\s*\"([^\"]+)\"").r.findFirstMatchIn(txt).map(_.group(1))
     def num(k: String) =

@@ -84,6 +84,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(gc == bcExpected, "CMS counter tables differ")
   }
 
+  test("streaming bottom-k quantile state converges to the batch sketch per window") {
+    import graft.operators.Sketches
+    val stream = EventStream.readEvents(spark, streamDir)
+    // Complete mode: bottom-k EVICTS rows as smaller hashes arrive, so
+    // Update-mode refinements cannot be collapsed by max -- the memory
+    // sink's Complete snapshot IS the final state
+    val got = EventStream.runToCompletion(
+      Sketches.streamingQuantileState(stream, col("value"), col("event_id"),
+        watermark = "400 days", k = 64),
+      "t_sqs", mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = Sketches.quantileSketch(
+      Tables.events(spark, sf).withColumn("window_start", date_trunc("hour", col("ts"))),
+      col("value"), col("event_id"), Seq("window_start"), k = 64)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[Long]("h"), r.getAs[Double]("v"))
+    val g = got.select("window_start", "h", "v").collect().map(key).toSet
+    val b = batch.select("window_start", "h", "v").collect().map(key).toSet
+    assert(g == b, s"quantile states differ: extra=${g.diff(b).take(3)} missing=${b.diff(g).take(3)}")
+    assert(g.nonEmpty)
+  }
+
   test("stateful latestPerUser matches the batch max_by merge (J7)") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(

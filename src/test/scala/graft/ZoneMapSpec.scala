@@ -122,6 +122,18 @@ class ZoneMapSpec extends AnyFunSuite {
     val empty = ZoneMap.prunedReadBox(spark, dir, idxKey,
       Seq[(String, Any, Any)](("cx", 100L, 90L), ("cy", 0L, 64L)))
     assert(empty.count() == 0 && empty.columns.contains("v"))
+    // a corrupt sidecar silently falls back (the route is best-effort):
+    // (a) unparseable content written through the FS, (b) a checksum
+    // mismatch from a raw overwrite behind the Hadoop local FS's back
+    ZoneMap.writeHilbertLayout(spark, dir, ZoneMap.HilbertCellLayout("x", "y", "z", 0)
+      .copy(key = "{not json"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ZoneMap.LayoutSidecar),
+      "{not json at all".getBytes("UTF-8"))
+    assert(ZoneMap.readHilbertLayout(spark, dir).isEmpty)
+    assert(ZoneMap.prunedReadBox(spark, dir, idxAll, preds)
+      .select("v").collect().map(_.getLong(0)).toSet == expect)
+    // restore for any later assertions
+    ZoneMap.writeHilbertLayout(spark, dir, lay.get)
     // non-integral bounds fall back to per-column pruning (needs stats)
     val viaFallback = ZoneMap.prunedReadBox(spark, dir, idxAll,
       Seq[(String, Any, Any)](("cx", 8.0, 24.0), ("cy", 16.0, 40.0)))
