@@ -76,6 +76,51 @@ class BpeSpec extends AnyFunSuite {
     assert(run(Seq("a"), "a", "a") == Seq("a"))
   }
 
+  test("property: applyMerge fold == the parity-of-run rule (the bpe2 oracle's rewrite)") {
+    import graft.operators.BpeTrain
+    // reference implementation of the oracle's parity rule, 0-based
+    def parityApply(st: Seq[String], a: String, b: String): Seq[String] = {
+      val n = st.length
+      val m = (0 until n - 1).map(i => st(i) == a && st(i + 1) == b)
+      val sel = (0 until n - 1).map { i =>
+        // run of consecutive matches ending at i has odd length?
+        m(i) && {
+          var j = i
+          while (j > 0 && m(j - 1)) j -= 1
+          (i - j) % 2 == 0
+        }
+      }
+      (0 until n).flatMap { i =>
+        if (i < n - 1 && sel(i)) Seq(st(i) + st(i + 1))
+        else if (i > 0 && sel(i - 1)) Nil
+        else Seq(st(i))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val syms = Seq("a", "b", "c", "ab", "aa")
+    val cases = Seq.fill(300) {
+      val st = Seq.fill(1 + rnd.nextInt(10))(syms(rnd.nextInt(syms.length)))
+      val a = syms(rnd.nextInt(syms.length))
+      val b = syms(rnd.nextInt(syms.length))
+      (st, a, b)
+    }
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case ((st, a, b), i) => (i, st, a, b) }
+      .toDF("i", "state", "a", "b")
+    // group cases by (a, b) so each literal pair compiles one fold
+    cases.map { case (_, a, b) => (a, b) }.distinct.foreach { case (a, b) =>
+      val got = df.filter(col("a") === a && col("b") === b)
+        .select(col("i"), BpeTrain.applyMerge(col("state"), a, b).as("out"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+      cases.zipWithIndex.foreach { case ((st, ca, cb), i) =>
+        if (ca == a && cb == b) {
+          val want = parityApply(st, a, b)
+          assert(got(i) == want, s"case $i: fold=${got(i)} parity=$want st=$st merge=($a,$b)")
+        }
+      }
+    }
+  }
+
   test("trainMerges: learned table well-formed; bpe1's tokenizer reproduces the loop segmentation") {
     import graft.operators.BpeTrain
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

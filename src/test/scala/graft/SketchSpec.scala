@@ -337,6 +337,25 @@ class SketchSpec extends AnyFunSuite {
     assert(recapped == whole, "merge law violated")
   }
 
+  test("BottomKAgg: capacity boundary, eviction, and split-invariant merge") {
+    val agg = new operators.Sketches.BottomKAgg(4)
+    val items = Seq((9L, 9.0), (3L, 3.0), (7L, 7.0), (1L, 1.0), (5L, 5.0), (2L, 2.0))
+    val full = items.foldLeft(agg.zero)(agg.reduce)
+    assert(full == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (5L, 5.0)),
+      s"bottom-4 wrong: $full")
+    // merge law over EVERY 2-way split of the items
+    (0 to items.length).foreach { cut =>
+      val (l, r) = items.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == full, s"split at $cut broke the merge law: $merged")
+    }
+    // below capacity: lossless
+    val few = items.take(3).foldLeft(agg.zero)(agg.reduce)
+    assert(few.map(_._1) == Seq(3L, 7L, 9L))
+    intercept[IllegalArgumentException](new operators.Sketches.BottomKAgg(1))
+  }
+
   test("quantileSketch/Estimate fail-close on bad parameters; NULL values excluded") {
     import spark.implicits._
     val df = Seq((Option(1.0), 1L), (None, 2L)).toDF("v", "id")
