@@ -6249,7 +6249,8 @@ object SparkEntry {
     val merged = sk(li.filter(col("l_orderkey") % 2 === 0))
       .unionAll(sk(li.filter(col("l_orderkey") % 2 =!= 0)))
       .withColumn("__g", lit(1))
-    graft.plans.TopK.perKey(merged, Seq(col("__g")), Seq(col("h").asc), 256)
+    graft.plans.TopK.perKey(merged, Seq(col("__g")),
+        Seq(col("h").asc, col("v").asc), 256)
       .select("h", "v")
       .orderBy("h")
   }
@@ -6283,7 +6284,7 @@ object SparkEntry {
       Seq("l_returnflag"), k = 256)
     graft.plans.TopK.perKey(
         perFlag.select(lit(1).as("__g"), col("h"), col("v")),
-        Seq(col("__g")), Seq(col("h").asc), 256)
+        Seq(col("__g")), Seq(col("h").asc, col("v").asc), 256)
       .select("h", "v")
       .orderBy("h")
   }

@@ -60,7 +60,17 @@ object BpeTrain {
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (!exhausted && learned.size < k) {
+      // the census must skip fully-merged (single-symbol) words: Spark's
+      // 2-arg sequence() steps BACKWARD when start > stop, so
+      // sequence(1, 0) = [1, 0] and a size-1 state would emit junk
+      // (sym, NULL)/(NULL, sym) pairs weighted by the word's count —
+      // NULL sorts first in the argmax tiebreak, so once any frequent
+      // word collapses to one symbol the junk pair would win every
+      // remaining round while applyMerge no-ops (the DuckDB oracle's
+      // half-open range(1, length) never emits them, so this filter is
+      // also what keeps bpe2's replay exact on such corpora)
       val best = seg
+        .filter(size(col("state")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(state) - 1), " +
             "i -> struct(state[i - 1] AS l, state[i] AS r))")).as("p"))

@@ -437,15 +437,20 @@ object Sketches {
       else
         df.filter(value.isNotNull)
           .select(groupCols.map(col) ++ Seq(h.as("h"), value.as("v")): _*)
-    val top = graft.plans.TopK.perKey(base, gcols.map(col), Seq(col("h").asc), k)
+    val top = graft.plans.TopK.perKey(base, gcols.map(col),
+      Seq(col("h").asc, col("v").asc), k)
     if (groupCols.isEmpty) top.drop("__g") else top
   }
 
   /** Quantile estimates from a [[quantileSketch]] state, per group: the
     * sample's type-1 quantile — the value at rank max(1, ⌈q·m⌉) of the m
-    * kept rows ordered by (v, h). The window runs over the BOUNDED state
-    * (≤ k rows per group), never the corpus; ⌈q·m⌉ is one exact
-    * double-multiply + ceil, so estimates hash-gate cross-engine.
+    * kept rows ordered by (v, h). NO window: the state is BOUNDED (≤ k
+    * rows per group), so one `sort_array(collect_list(...))` aggregation
+    * ranks it — a lit-partitioned window here would be folded to a
+    * single-partition WindowExec by Spark's EliminateWindowPartitions,
+    * tripping the engine's own no-global-window doctrine even though the
+    * input is k rows. ⌈q·m⌉ is one exact double-multiply + ceil, so
+    * estimates hash-gate cross-engine.
     * Output: group columns + `q` + `est` + `m` (sample size).
     */
   def quantileEstimate(
@@ -454,19 +459,23 @@ object Sketches {
       groupCols: Seq[String] = Nil): DataFrame = {
     require(qs.nonEmpty, "need at least one quantile")
     qs.foreach(q => require(q > 0 && q <= 1, s"quantile must be in (0,1], got $q"))
-    import org.apache.spark.sql.expressions.Window
     val gcols = if (groupCols.isEmpty) Seq("__g") else groupCols
     val st = if (groupCols.isEmpty) state.withColumn("__g", lit(1)) else state
-    val w = Window.partitionBy(gcols.map(col): _*)
-    val ranked = st
-      .withColumn("__rn", row_number().over(w.orderBy(col("v").asc, col("h").asc)))
-      .withColumn("m", count(lit(1)).over(w))
-    val est = ranked
-      .select(gcols.map(col) ++ Seq(col("__rn"), col("m"), col("v"),
+    // struct field order (v, h) = the rank order; sort_array is the
+    // lexicographic struct sort, so element_at(s, ⌈q·m⌉).v IS the
+    // type-1 sample quantile
+    val agg = st
+      .groupBy(gcols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("v"), col("h")))).as("__s"))
+    val est = agg
+      .select(gcols.map(col) ++ Seq(col("__s"),
         explode(array(qs.map(lit): _*)).as("q")): _*)
-      .filter(col("__rn") ===
-        greatest(lit(1L), ceil(col("q") * col("m").cast("double"))))
-      .select(gcols.map(col) ++ Seq(col("q"), col("v").as("est"), col("m")): _*)
+      .withColumn("m", size(col("__s")).cast("long"))
+      .select(gcols.map(col) ++ Seq(col("q"),
+        element_at(col("__s"),
+          greatest(lit(1L), ceil(col("q") * col("m").cast("double")))
+            .cast("int")).getField("v").as("est"),
+        col("m")): _*)
     if (groupCols.isEmpty) est.drop("__g") else est
   }
 
@@ -479,18 +488,27 @@ object Sketches {
     * ascending by hash and capped at k: O(k) per row — right for
     * per-window streaming state (bounded rows per trigger); corpus-scale
     * batch builds should use [[quantileSketch]]'s TopK pair instead.
+    *
+    * The order is TOTAL on (h, v) — hash first, value as tiebreak —
+    * in reduce, merge, and eviction alike (and [[quantileSketch]]'s
+    * TopK pair orders the same way): with a hash-only order, a 60-bit
+    * collision straddling the k boundary would keep whichever row
+    * arrived first, making the state depend on partitioning and
+    * breaking the exact merge law exactly where it matters (birthday
+    * collisions in 2^60 are realistic at billions of rows).
     */
   class BottomKAgg(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         (Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
     require(k >= 2, s"k must be >= 2, got $k")
+    private val ord = Ordering.Tuple2[Long, Double]
     override def zero: Seq[(Long, Double)] = Nil
     override def reduce(b: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-      if (b.length < k) (b :+ x).sortBy(_._1)
-      else if (x._1 < b.last._1) (b.init :+ x).sortBy(_._1)
+      if (b.length < k) (b :+ x).sorted(ord)
+      else if (ord.lt(x, b.last)) (b.init :+ x).sorted(ord)
       else b
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
-      (a ++ b).sortBy(_._1).take(k)
+      (a ++ b).sorted(ord).take(k)
     override def finish(b: Seq[(Long, Double)]): Seq[(Long, Double)] = b
     override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
@@ -505,6 +523,14 @@ object Sketches {
     * batch [[quantileSketch]] of that window's events — EventStreamSpec
     * gates it — so live window states feed [[quantileEstimate]] and the
     * qs4 rollup tree directly.
+    *
+    * CONSUME IN COMPLETE OUTPUT MODE (unlike the streamingCountMin /
+    * streamingHllRegisters siblings): bottom-k state EVICTS rows, so
+    * Update-mode emissions are NOT max-collapsible — collapsing them
+    * with the family's runToCompletion(finalKeys) contract would keep
+    * stale evicted rows in the final table. Complete mode's sink holds
+    * the exact current snapshot per window, which is the state the
+    * batch-equality law is stated over.
     * Output: `window_start`, `h`, `v`.
     */
   def streamingQuantileState(events: DataFrame, value: Column, idCol: Column,
@@ -559,13 +585,19 @@ object Sketches {
       else df.select(groupCols.map(col) :+ h.as("__h"): _*)
     val top = graft.plans.TopK.perKey(
       base.distinct(), gcols.map(col), Seq(col("__h").asc), k)
-    val est = top
-      .groupBy(gcols.map(col): _*)
-      .agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_hash"))
-      .withColumn("est_distinct",
-        when(col("n_min") < k, col("n_min").cast("double"))
-          .otherwise(round(
-            lit((k - 1).toDouble * math.pow(2.0, 60)) / col("kth_hash").cast("double"), 6)))
-    if (groupCols.isEmpty) est.drop("__g") else est
+    // with no groups the final fold is a SCALAR agg (keys=[]), not a
+    // groupBy on the constant __g — the plan stays statically provable
+    // as ≤1 row, which is what lets QueryAuditSpec's row-bound check
+    // adjudicate broadcasts of this frame without an allowlist entry
+    val folded =
+      if (groupCols.isEmpty)
+        top.agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_hash"))
+      else
+        top.groupBy(gcols.map(col): _*)
+          .agg(count(lit(1)).as("n_min"), max(col("__h")).as("kth_hash"))
+    folded.withColumn("est_distinct",
+      when(col("n_min") < k, col("n_min").cast("double"))
+        .otherwise(round(
+          lit((k - 1).toDouble * math.pow(2.0, 60)) / col("kth_hash").cast("double"), 6)))
   }
 }

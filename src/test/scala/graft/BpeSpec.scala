@@ -151,6 +151,19 @@ class BpeSpec extends AnyFunSuite {
       s"encoder/loop divergence on ${mismatches.length} words, e.g. ${mismatches.take(3).map(_.getString(0)).mkString(",")}")
   }
 
+  test("trainMerges: a fully-merged dominant word never poisons later rounds") {
+    // the r14 ADVICE repro: once 'ab' collapses to one symbol, Spark's
+    // 2-arg sequence(1, size-1) = sequence(1, 0) would step BACKWARD and
+    // emit (sym, NULL)/(NULL, sym) junk pairs weighted 50 — NULL sorts
+    // first in the argmax tiebreak, so without the size>=2 census guard
+    // the loop would learn (null, ab) forever while applyMerge no-ops.
+    import graft.operators.BpeTrain
+    val docs = (Seq.fill(50)("ab") ++ Seq.fill(3)("cd")).toDF("text")
+    val merges = BpeTrain.trainMerges(docs, col("text"), 3)
+    assert(merges == Seq(("a", "b", 50L), ("c", "d", 3L)),
+      s"expected clean exhaustion after 2 merges, got $merges")
+  }
+
   test("countText sums word encodes; empty words and extra spaces contribute nothing") {
     val text = "  the when   hello  "
     val exp = Seq("the", "when", "hello")

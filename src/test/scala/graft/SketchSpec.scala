@@ -332,7 +332,8 @@ class SketchSpec extends AnyFunSuite {
     val merged = operators.Sketches.quantileSketch(a, col("v"), col("id"), Nil, k = 128)
       .unionAll(operators.Sketches.quantileSketch(b, col("v"), col("id"), Nil, k = 128))
       .withColumn("__g", org.apache.spark.sql.functions.lit(1))
-    val recapped = graft.plans.TopK.perKey(merged, Seq(col("__g")), Seq(col("h").asc), 128)
+    val recapped = graft.plans.TopK.perKey(merged, Seq(col("__g")),
+        Seq(col("h").asc, col("v").asc), 128)
       .select("h", "v").collect().map(key).toSet
     assert(recapped == whole, "merge law violated")
   }
@@ -354,6 +355,27 @@ class SketchSpec extends AnyFunSuite {
     val few = items.take(3).foldLeft(agg.zero)(agg.reduce)
     assert(few.map(_._1) == Seq(3L, 7L, 9L))
     intercept[IllegalArgumentException](new operators.Sketches.BottomKAgg(1))
+  }
+
+  test("BottomKAgg: hash collision straddling the k boundary is arrival-order invariant") {
+    // the r14 ADVICE finding: a hash-only order made the kept row under a
+    // boundary collision depend on split/arrival order. The (h, v) total
+    // order must keep the SAME row — (5, 1.0), not (5, 9.0) — for every
+    // permutation and every 2-way split.
+    val agg = new operators.Sketches.BottomKAgg(2)
+    val items = Seq((1L, 1.0), (5L, 9.0), (5L, 1.0), (7L, 7.0))
+    val expected = Seq((1L, 1.0), (5L, 1.0))
+    items.permutations.foreach { perm =>
+      val direct = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(direct == expected, s"order ${perm.mkString(",")} gave $direct")
+      (0 to perm.length).foreach { cut =>
+        val (l, r) = perm.splitAt(cut)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        assert(merged == expected,
+          s"order ${perm.mkString(",")} split $cut gave $merged")
+      }
+    }
   }
 
   test("quantileSketch/Estimate fail-close on bad parameters; NULL values excluded") {
