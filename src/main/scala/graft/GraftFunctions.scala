@@ -167,6 +167,22 @@ object GraftFunctions {
           "area, both sides concave-with-holes (ring 0 positive, holes subtract)",
         classOf[graft.functions.ClipAreaGeneralRingsExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipAreaGeneralRingsExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_area_multipolygon"),
+      info("st_clip_area_multipolygon",
+        "st_clip_area_multipolygon(rings, clip_rings) - EXACT polygon-intersect-" +
+          "MULTIPOLYGON area (flat clip ring list; rings wound like ring 0 are " +
+          "member outers, opposite-wound rings holes; valid-multipolygon " +
+          "disjoint-members contract)",
+        classOf[graft.functions.ClipAreaMultiPolygonExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaMultiPolygonExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_is_simple_ring"),
+      info("st_is_simple_ring",
+        "st_is_simple_ring(ring) - true iff the closed ring is SIMPLE (no " +
+          "self-crossing, no touch, no spike, no repeated vertex) - the " +
+          "checkable form of the clip kernels' simple-ring caller contract; " +
+          "O(n^2) segment-pair scan, unclosed/short rings are false",
+        classOf[graft.functions.RingIsSimpleExpr]),
+      (exprs: Seq[Expression]) => graft.functions.RingIsSimpleExpr(exprs(0))),
     composedIntLast("graft_hilbert",
       "graft_hilbert(x, y, bits) - Hilbert curve distance of BIGINT cell (x, y) " +
         "on the 2^bits x 2^bits grid (bits a literal in [1,31]); the " +

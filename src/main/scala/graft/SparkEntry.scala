@@ -989,6 +989,47 @@ object SparkEntry {
       .orderBy("pk")
   }
 
+  /** G24 — RING-VALIDITY CENSUS (the r14 verdict's checkable-contract
+    * mandate): every clip/refine kernel declares "SIMPLE ring is caller
+    * contract"; [[graft.functions.RingIsSimpleExpr]] makes the contract
+    * enforceable by classifying geometry scan-side, so a 100 TB ingest
+    * of third-party parcels turns invalid rings into COUNTABLE REJECTS
+    * (the media-census doctrine applied to vectors). Fixture: five
+    * parameterized ring families per customer — bowtie (self-crossing,
+    * the classic invalid quad), the concave j23 dart (valid), a
+    * collinear spike double-back (invalid), a convex diamond (valid),
+    * and a figure-eight pinch (repeated vertex, invalid) — censused by
+    * class × verdict. The predicate's verdict is CLASS-CONSTANT across
+    * every (cx, cy, r) parameterization, which is exactly what the
+    * oracle replays; one wrong verdict anywhere splits a census row and
+    * breaks the hash.
+    */
+  private def g24(s: SparkSession, d: String) = {
+    val c = col("c_custkey")
+    val cls = (c % 5).cast("int")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val bowtie = array(pt(cx - r, cy - r), pt(cx + r, cy + r),
+      pt(cx + r, cy - r), pt(cx - r, cy + r), pt(cx - r, cy - r))
+    val dart = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx + r, cy - r), pt(cx, cy + r))
+    val spike = array(pt(cx - r, cy), pt(cx + r, cy), pt(cx, cy),
+      pt(cx, cy + r), pt(cx - r, cy))
+    val diamond = array(pt(cx, cy - r), pt(cx + r, cy),
+      pt(cx, cy + r), pt(cx - r, cy), pt(cx, cy - r))
+    val pinch = array(pt(cx, cy), pt(cx - r, cy - r), pt(cx + r, cy - r),
+      pt(cx, cy), pt(cx + r, cy + r), pt(cx - r, cy + r), pt(cx, cy))
+    val ring = when(cls === 0, bowtie).when(cls === 1, dart)
+      .when(cls === 2, spike).when(cls === 3, diamond).otherwise(pinch)
+    Tables.customer(s, d)
+      .select(cls.as("cls"),
+        graft.functions.GeomValidity.ringIsSimpleCol(ring).as("is_simple"))
+      .groupBy("cls", "is_simple").agg(count(lit(1)).as("n"))
+      .orderBy("cls", "is_simple")
+  }
+
   /** J4B — model-BATCH dispatch at its design shape (r12 verdict stretch
     * 9; pixel_classifier_stream.py:90-96's memory-bounded loop): 18
     * frozen single-tree rules tables — more than the reference's batch
@@ -1228,6 +1269,55 @@ object SparkEntry {
     operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
       .withColumn("inter_area",
         graft.functions.ClipExprs.clipAreaPolygonCol(col("_ra"), col("_rc")))
+      .filter(col("inter_area") > 0.0)
+      .select("s_suppkey", "c_custkey", "inter_area")
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** J26 — polygon × MULTIPOLYGON-window intersection AREAS (the
+    * archipelago clip the single-outer j25 kernel rejects): the same
+    * supplier arrows against the customer dart PRE-SPLIT into its two
+    * ear triangles as separate CCW members — member 1 the left ear
+    * (tip, bl, notch), member 2 the right ear (tip, notch, br) carrying
+    * the CW hole triangle — via
+    * [[graft.functions.ClipExprs.clipAreaMultiPolygonCol]], which
+    * splits members by ring orientation and left-folds
+    * Σ outers − Σ holes. Each member triangle is exactly the ear the
+    * general kernel cuts from the whole dart and the fold order matches
+    * j25's ((A₁+A₂)−A₃), so the values are BITWISE j25's
+    * (ClipAreaSpec gates that identity) and the oracle is j25's replay
+    * verbatim — same arithmetic, reached through the MULTIPOLYGON front
+    * door.
+    */
+  private def j26(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    // the dart's two CCW ears as standalone members (the kernel's own
+    // deterministic decomposition of the j23/j25 dart)
+    val earLeft = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx, cy + r))
+    val earRight = array(pt(cx, cy + r), pt(cx, cy - lit(0.5) * r),
+      pt(cx + r, cy - r), pt(cx, cy + r))
+    // CW triangular hole inside the right member (as in j25)
+    val hole = array(
+      pt(cx + lit(0.25) * r, cy - lit(0.25) * r),
+      pt(cx + lit(0.375) * r, cy - lit(0.125) * r),
+      pt(cx + lit(0.5) * r, cy - lit(0.25) * r),
+      pt(cx + lit(0.25) * r, cy - lit(0.25) * r))
+    val b = Tables.customer(s, d)
+      .select(c, array(earLeft, earRight, hole).as("_rc"),
+        SpatialOps.bbox(cx - r, cy - r, cx + r, cy + r).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .withColumn("inter_area",
+        graft.functions.ClipExprs.clipAreaMultiPolygonCol(col("_ra"), col("_rc")))
       .filter(col("inter_area") > 0.0)
       .select("s_suppkey", "c_custkey", "inter_area")
       .orderBy("s_suppkey", "c_custkey")
@@ -6599,6 +6689,7 @@ object SparkEntry {
     "j22_clip_pair" -> (j22 _),
     "j23_clip_concave" -> (j23 _),
     "j25_clip_polygon" -> (j25 _),
+    "j26_clip_multipolygon" -> (j26 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -6607,6 +6698,7 @@ object SparkEntry {
     "gh4_geohash_cover" -> (gh4 _),
     "traj1_user_paths" -> (traj1 _),
     "g23_ellipsoidal_measures" -> (g23 _),
+    "g24_ring_validity" -> (g24 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -7193,6 +7285,12 @@ object SparkEntry {
     "j23_clip_concave" -> sqlClipConcave,
     // j25: j23's replay + the CW hole triangle subtracted -- sqlClipPolygon.
     "j25_clip_polygon" -> sqlClipPolygon,
+    // j26: the MULTIPOLYGON front door over the dart pre-split into its
+    // two ear members -- each member triangle IS the ear the general
+    // kernel cuts and the fold order matches j25's ((A1+A2)-A3), so the
+    // replay is sqlClipPolygon VERBATIM (ClipAreaSpec gates the bitwise
+    // identity engine-side).
+    "j26_clip_multipolygon" -> sqlClipPolygon,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2
@@ -7408,6 +7506,16 @@ object SparkEntry {
          |    + 2 * ${6378137.0 * (1 - EllE2)} / (w2 * sqrt(w2)) * (f2 - f1)
          |  ) AS BIGINT) AS perim_fp
          |FROM m ORDER BY pk""".stripMargin,
+    // g24: the ring-validity census — the predicate's verdict is
+    // CLASS-CONSTANT over the parameterized fixture (bowtie/spike/pinch
+    // invalid, dart/diamond valid for every cx,cy,r), so the oracle
+    // replays the class table; a single misfired verdict splits a
+    // census row and breaks the hash.
+    "g24_ring_validity" ->
+      """SELECT CAST(c_custkey % 5 AS INT) AS cls,
+        |  (c_custkey % 5 = 1 OR c_custkey % 5 = 3) AS is_simple,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY cls, is_simple""".stripMargin,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

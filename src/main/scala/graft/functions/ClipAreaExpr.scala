@@ -140,7 +140,9 @@ case class ClipAreaPolyExpr(left: Expression, right: Expression)
   * tractable triangle-by-triangle. Fail-closed on unclosed, zero-area,
   * or ear-less (degenerate) clip rings; the ring must be SIMPLE
   * (non-self-intersecting) by caller contract — the same contract every
-  * WKT POLYGON carries.
+  * WKT POLYGON carries, CHECKABLE scan-side via [[RingIsSimpleExpr]]
+  * (`st_is_simple_ring`), so untrusted geometry becomes countable
+  * rejects before it reaches this kernel.
   */
 case class ClipAreaGeneralExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -224,6 +226,54 @@ case class ClipAreaGeneralRingsExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Subject polygon (rings) ∩ a MULTIPOLYGON clip window — the
+  * archipelago case [[ClipAreaGeneralRingsExpr]] rejects (its ring-0 −
+  * Σholes combination assumes ONE outer). The clip is the flat st_rings
+  * list of a valid MULTIPOLYGON: members split by RING ORIENTATION —
+  * every ring wound like ring 0 is an outer boundary, every
+  * opposite-wound ring a hole (the shapefile/OGC winding convention) —
+  * and area(S ∩ MP) = Σ area(S ∩ outerᵢ) − Σ area(S ∩ holeⱼ), each term
+  * the ear-clipping general kernel, accumulated in ring emission order
+  * (the order the oracle replays). Exact for VALID multipolygons
+  * (member interiors disjoint, holes inside their member — overlapping
+  * members double-count by construction and are the caller's contract
+  * to reject, checkable per ring via st_is_simple_ring); fail-closed on
+  * zero-area, unclosed, or degenerate rings.
+  */
+case class ClipAreaMultiPolygonExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_multipolygon needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
+    else if (!ringsTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_area_multipolygon needs array<array<struct<x,y>>> clip rings, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, clip: Any): Any =
+    ClipExprs.clipAreaMultiPoly(
+      rings.asInstanceOf[ArrayData], clip.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipAreaMultiPoly($r, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** Column entry: rings in the st_rings layout, env in the bbox-struct
@@ -249,6 +299,52 @@ object ClipExprs {
   def clipAreaPolygonCol(rings: Column, clipRings: Column): Column =
     GraftBridge.column(ClipAreaGeneralRingsExpr(
       GraftBridge.expression(rings), GraftBridge.expression(clipRings)))
+
+  /** Column entry: subject rings ∩ a MULTIPOLYGON clip window (flat
+    * st_rings layout; members split by ring orientation vs ring 0). */
+  def clipAreaMultiPolygonCol(rings: Column, clipRings: Column): Column =
+    GraftBridge.column(ClipAreaMultiPolygonExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(clipRings)))
+
+  /** [[ClipAreaMultiPolygonExpr]]'s kernel: rings wound like ring 0 are
+    * outers (+), opposite-wound rings holes (−), each term
+    * [[clipAreaGeneral]], left-folded in ring emission order.
+    */
+  def clipAreaMultiPoly(rings: ArrayData, clip: ArrayData): Double = {
+    val nc = clip.numElements()
+    if (nc < 1)
+      throw new IllegalArgumentException("multipolygon clip needs >= 1 ring")
+    var w0 = 0.0
+    var total = 0.0
+    var i = 0
+    while (i < nc) {
+      if (clip.isNullAt(i))
+        throw new IllegalArgumentException(s"null clip ring at index $i")
+      val r = clip.getArray(i)
+      val n = r.numElements()
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        if (r.isNullAt(j))
+          throw new IllegalArgumentException(s"null point at clip ring $i index $j")
+        val p = r.getStruct(j, 2)
+        if (p.isNullAt(0) || p.isNullAt(1))
+          throw new IllegalArgumentException(s"null coordinate at clip ring $i index $j")
+        xs(j) = p.getDouble(0)
+        ys(j) = p.getDouble(1)
+        j += 1
+      }
+      val w = cross(xs, ys)
+      if (w == 0.0)
+        throw new IllegalArgumentException(s"clip ring $i has zero area")
+      if (i == 0) w0 = w
+      val a = clipAreaGeneral(rings, r)
+      total = if ((w > 0.0) == (w0 > 0.0)) total + a else total - a
+      i += 1
+    }
+    total
+  }
 
   /** [[ClipAreaGeneralRingsExpr]]'s kernel: ring 0 positive, every
     * further ring (a hole) subtracted, each through [[clipAreaGeneral]]

@@ -278,6 +278,72 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(e.getMessage.contains(">= 1 ring"))
   }
 
+  test("multipolygon clip: archipelago members sum; orientation splits outers from holes") {
+    def multiOf(wkt: String, clipRings: org.apache.spark.sql.Column): Double =
+      Seq(wkt).toDF("g")
+        .select(ClipExprs.clipAreaMultiPolygonCol(
+          SpatialOps.wktRings(col("g")), clipRings).as("a"))
+        .head().getDouble(0)
+    def rings(w: String) = SpatialOps.wktRings(lit(w))
+    val bigRect = "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"
+    // two disjoint unit squares: union of member areas
+    val two = concat(rings("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      rings("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"))
+    assert(multiOf(bigRect, two) == 2.0)
+    // member with a CW hole + a second disjoint member: (16-4)+4
+    val holed = concat(
+      rings("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))"),
+      rings("POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"))
+    assert(multiOf(bigRect, holed) == 16.0)
+    // a single outer+holes clip through the multipolygon form is BITWISE
+    // the general-rings form (same terms, same fold)
+    val dartHole = "POLYGON ((5 7, 3 3, 5 4, 7 3, 5 7), " +
+      "(5.5 4.5, 5.75 4.75, 6 4.5, 5.5 4.5))"
+    val viaRings = Seq(arrowHole).toDF("g")
+      .select(ClipExprs.clipAreaPolygonCol(
+        SpatialOps.wktRings(col("g")), rings(dartHole)).as("a"))
+      .head().getDouble(0)
+    assert(multiOf(arrowHole, rings(dartHole)) == viaRings,
+      "outer+holes through the multi door must be bitwise the rings kernel")
+    // THE J26 IDENTITY: the dart pre-split into its two ear members
+    // (+ the hole on the right member) is BITWISE the whole-dart
+    // clip-with-holes — each member triangle IS the ear the general
+    // kernel cuts, and the multi fold ((A1+A2)-A3) matches
+    // clipAreaGeneralMulti's (earSum)-A3
+    val split = concat(
+      rings("POLYGON ((5 7, 3 3, 5 4, 5 7))"),
+      rings("POLYGON ((5 7, 5 4, 7 3, 5 7))"),
+      rings("POLYGON ((5.5 4.5, 5.75 4.75, 6 4.5, 5.5 4.5))"))
+    assert(multiOf(arrowHole, split) == viaRings,
+      "ear-split members must be bitwise the whole-dart kernel")
+    // fail-closed: a zero-area clip ring
+    val e = intercept[Exception](
+      multiOf(bigRect, concat(rings("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+        array(array(struct(lit(0.0).as("x"), lit(0.0).as("y")),
+          struct(lit(1.0).as("x"), lit(0.0).as("y")),
+          struct(lit(0.0).as("x"), lit(0.0).as("y")))))))
+    assert(e.getMessage.contains("zero area"))
+    // fail-closed: empty clip
+    val e2 = intercept[Exception](multiOf(bigRect,
+      array().cast("array<array<struct<x:double,y:double>>>")))
+    assert(e2.getMessage.contains(">= 1 ring"))
+  }
+
+  test("SQL surface: st_clip_area_multipolygon matches the Column form") {
+    GraftFunctions.register(spark)
+    val dartHole = "POLYGON ((5 7, 3 3, 5 4, 7 3, 5 7), " +
+      "(5.5 4.5, 5.75 4.75, 6 4.5, 5.5 4.5))"
+    Seq((arrowHole, dartHole)).toDF("g", "c").createOrReplaceTempView("clipmulti")
+    val viaSql = spark.sql(
+      "SELECT st_clip_area_multipolygon(st_rings(g), st_rings(c)) AS a FROM clipmulti")
+      .head().getDouble(0)
+    val viaCol = Seq((arrowHole, dartHole)).toDF("g", "c")
+      .select(ClipExprs.clipAreaMultiPolygonCol(
+        SpatialOps.wktRings(col("g")), SpatialOps.wktRings(col("c"))).as("a"))
+      .head().getDouble(0)
+    assert(viaSql == viaCol)
+  }
+
   test("SQL surface: st_clip_area_poly/general/polygon match the Column forms") {
     GraftFunctions.register(spark)
     Seq((arrowHole, dartWkt(5, 5, 2))).toDF("g", "c").createOrReplaceTempView("clipgen")
