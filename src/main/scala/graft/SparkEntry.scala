@@ -6254,6 +6254,74 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** cov2/zs3's shared fixture: three stepped w×h rectangles per
+    * customer, overlapping pairwise AND triple-overlapping (the depth-3
+    * case where pairwise-only inclusion–exclusion is WRONG) — integer
+    * coordinates, so every slab product and every I–E term is exact in
+    * doubles and the union areas hash-gate. */
+  private def covRects(s: SparkSession, d: String) = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("g"),
+      explode(array(lit(0), lit(1), lit(2))).as("m"))
+    val x0 = ((col("g") % 30) * 2 + col("m") * 2).cast("double")
+    val y0 = ((col("g") % 20) * 2 + col("m")).cast("double")
+    val w = (col("g") % 3 + 4).cast("double")
+    val h = (col("g") % 2 + 3).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    base.select(col("g"), array(array(pt(x0, y0), pt(x0 + w, y0),
+      pt(x0 + w, y0 + h), pt(x0, y0 + h), pt(x0, y0))).as("rings"))
+  }
+
+  /** cov2 — COVERAGE (union) AREA per group (the r14 verdict's top
+    * missing measure: overlapping zones double-count in zs2-style
+    * rollups; the dissolve fixes it): the exact y-slab scanline union
+    * over each customer's three overlapping rectangles, beside the
+    * polygon count and the raw area sum (union < sum quantifies the
+    * overlap). The oracle computes the union INDEPENDENTLY — full
+    * 7-term inclusion–exclusion over the three boxes — so a hash match
+    * is two different exact algorithms agreeing, not a replay.
+    */
+  private def cov2(s: SparkSession, d: String) =
+    operators.CoverageArea.unionArea(covRects(s, d), "rings", Seq("g"))
+      .orderBy("g")
+
+  /** zs3 — coverage area through the CELL-DECOMPOSED scale path (the
+    * 100 TB shape: polygons explode to envelope-touched grid cells,
+    * per-cell unions of CLIPPED slivers sum per group — per-cell work
+    * bounded by local density, never corpus size). Must equal cov2's
+    * direct union exactly (the clip walls are event-aligned), so it
+    * shares the independent inclusion–exclusion oracle.
+    */
+  private def zs3(s: SparkSession, d: String) =
+    operators.CoverageArea.unionAreaByCell(covRects(s, d), "rings", Seq("g"),
+        cellSize = 16.0)
+      .orderBy("g")
+
+  /** cov2/zs3's shared oracle: full inclusion–exclusion over the three
+    * stepped boxes — an INDEPENDENT exact union algorithm (min/max
+    * interval arithmetic, 7 signed terms), not a scanline replay. */
+  private def sqlUnionAreaIE: String =
+    """WITH t AS (SELECT c_custkey AS g,
+      |  CAST((c_custkey % 30) * 2 AS DOUBLE) AS bx, CAST((c_custkey % 20) * 2 AS DOUBLE) AS by,
+      |  CAST(c_custkey % 3 + 4 AS DOUBLE) AS w, CAST(c_custkey % 2 + 3 AS DOUBLE) AS h
+      |  FROM customer),
+      |r AS (SELECT g, w, h,
+      |  bx AS x00, by AS y00, bx + w AS x01, by + h AS y01,
+      |  bx + 2 AS x10, by + 1 AS y10, bx + 2 + w AS x11, by + 1 + h AS y11,
+      |  bx + 4 AS x20, by + 2 AS y20, bx + 4 + w AS x21, by + 2 + h AS y21 FROM t),
+      |i AS (SELECT g, w * h AS a,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x11) - greatest(x00, x10)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y11) - greatest(y00, y10)) AS ab,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x21) - greatest(x00, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y21) - greatest(y00, y20)) AS ac,
+      |  greatest(CAST(0 AS DOUBLE), least(x11, x21) - greatest(x10, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y11, y21) - greatest(y10, y20)) AS bc,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x11, x21) - greatest(x00, x10, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y11, y21) - greatest(y00, y10, y20)) AS abc
+      |  FROM r)
+      |SELECT g, CAST(3 AS BIGINT) AS n_polys, 3 * a AS sum_area,
+      |  3 * a - ab - ac - bc + abc AS union_area
+      |FROM i ORDER BY g""".stripMargin
+
   /** norm1 — unicode normalization as a curation key: NFC + accent fold
     * (NFD → drop marks → NFC) through the codegen expression, then the
     * engines' shared lower/whitespace-collapse/trim, fingerprinted. The
@@ -6901,6 +6969,8 @@ object SparkEntry {
     "cms1_countmin_freq" -> (cms1 _),
     "cms2_heavy_hitters" -> (cms2 _),
     "cov1_interval_coverage" -> (cov1 _),
+    "cov2_union_area" -> (cov2 _),
+    "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
     "hll2_hll_merge" -> (hll2 _),
@@ -11137,6 +11207,13 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(me - ms) AS BIGINT) AS covered, count(*) AS n_islands,
         |  CAST(sum(n) AS BIGINT) AS n_intervals
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // cov2/zs3: the union area recomputed by an INDEPENDENT exact
+    // algorithm — full 7-term inclusion-exclusion over the three boxes
+    // (the engine runs the y-slab scanline; both are integer-exact on
+    // the fixture, so the hash gates algorithm agreement, not a replay).
+    // zs3's cell-decomposed sum must equal the same value exactly.
+    "cov2_union_area" -> sqlUnionAreaIE,
+    "zs3_coverage_cells" -> sqlUnionAreaIE,
     // norm1: DuckDB's OWN nfc_normalize/strip_accents against the
     // engine's Normalizer kernel — independent implementations of the
     // same Unicode standard must agree.

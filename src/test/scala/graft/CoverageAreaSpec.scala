@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.CoverageArea
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CoverageAreaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+    Array((Array(x0, x1, x1, x0, x0), Array(y0, y0, y1, y1, y0)))
+
+  /** Full inclusion–exclusion over axis-aligned rects — the independent
+    * reference (2^n terms, exact on integer coordinates). */
+  private def ieUnion(rects: Seq[(Double, Double, Double, Double)]): Double = {
+    val n = rects.length
+    var total = 0.0
+    for (mask <- 1 until (1 << n)) {
+      val sel = (0 until n).filter(i => (mask & (1 << i)) != 0)
+      val x0 = sel.map(i => rects(i)._1).max
+      val y0 = sel.map(i => rects(i)._2).max
+      val x1 = sel.map(i => rects(i)._3).min
+      val y1 = sel.map(i => rects(i)._4).min
+      val a = math.max(0.0, x1 - x0) * math.max(0.0, y1 - y0)
+      total += (if (sel.length % 2 == 1) a else -a)
+    }
+    total
+  }
+
+  test("kernel: disjoint sum, identical collapse, nested outer, empty") {
+    val r1 = rect(0, 0, 4, 3)
+    val r2 = rect(10, 10, 12, 12)
+    assert(CoverageArea.unionAreaOf(Seq(r1, r2), None) == 16.0)
+    assert(CoverageArea.unionAreaOf(Seq(r1, r1, r1), None) == 12.0)
+    assert(CoverageArea.unionAreaOf(Seq(r1, rect(1, 1, 2, 2)), None) == 12.0)
+    assert(CoverageArea.unionAreaOf(Nil, None) == 0.0)
+  }
+
+  test("kernel: triple overlap where pairwise-only I-E would be wrong") {
+    // three stepped 5x4 rects with a nonempty triple overlap
+    val rs = Seq((0.0, 0.0, 5.0, 4.0), (2.0, 1.0, 7.0, 5.0), (4.0, 2.0, 9.0, 6.0))
+    val got = CoverageArea.unionAreaOf(rs.map(r => rect(r._1, r._2, r._3, r._4)), None)
+    assert(got == ieUnion(rs), s"got $got want ${ieUnion(rs)}")
+    // pairwise-only I-E undercounts by the triple area — prove the
+    // fixture actually exercises depth 3
+    val pairwiseOnly = 20.0 * 3 - (9.0 + 2.0 + 9.0)
+    assert(got != pairwiseOnly)
+  }
+
+  test("kernel: polygon with hole unions even-odd; overlap covering a hole fills it") {
+    // 6x6 square with a 2x2 hole = 32; a 4x4 square covering the hole
+    // brings the union to the full 36 + the 4x4's own spill
+    val holed = Array(
+      (Array(0.0, 6, 6, 0, 0), Array(0.0, 0, 6, 6, 0)),
+      (Array(2.0, 2, 4, 4, 2), Array(2.0, 4, 4, 2, 2))) // CW hole
+    assert(CoverageArea.unionAreaOf(Seq(holed), None) == 32.0)
+    val cover = rect(1, 1, 5, 5)
+    assert(CoverageArea.unionAreaOf(Seq(holed, cover), None) == 36.0)
+  }
+
+  test("kernel: slanted polygons (triangles/darts) against the shoelace closed form") {
+    val tri = Array((Array(0.0, 8, 0, 0), Array(0.0, 0, 8, 0))) // area 32
+    assert(CoverageArea.unionAreaOf(Seq(tri), None) == 32.0)
+    // two copies shifted so they overlap on a parallelogram: union =
+    // 2*32 - overlap; overlap computed by the clip kernel as reference
+    val tri2 = Array((Array(2.0, 10, 2, 2), Array(0.0, 0, 8, 0)))
+    val got = CoverageArea.unionAreaOf(Seq(tri, tri2), None)
+    // overlap of the two right triangles: triangle (2,0)-(8,0)-(2,6), area 18
+    assert(math.abs(got - (32.0 + 32.0 - 18.0)) < 1e-12, s"got $got")
+  }
+
+  test("property: union of random integer rects equals full inclusion-exclusion") {
+    val rnd = new scala.util.Random(42)
+    (1 to 60).foreach { trial =>
+      val n = 2 + rnd.nextInt(4) // up to 5 rects: 31 I-E terms
+      val rs = (1 to n).map { _ =>
+        val x0 = rnd.nextInt(20).toDouble
+        val y0 = rnd.nextInt(20).toDouble
+        (x0, y0, x0 + 1 + rnd.nextInt(10), y0 + 1 + rnd.nextInt(10))
+      }
+      val got = CoverageArea.unionAreaOf(rs.map(r => rect(r._1, r._2, r._3, r._4)), None)
+      val want = ieUnion(rs)
+      assert(got == want, s"trial $trial: got $got want $want for $rs")
+    }
+  }
+
+  test("cell decomposition: clipped per-cell unions sum to the direct union") {
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { trial =>
+      val rs = (1 to 4).map { _ =>
+        val x0 = rnd.nextInt(20).toDouble
+        val y0 = rnd.nextInt(20).toDouble
+        (x0, y0, x0 + 1 + rnd.nextInt(12), y0 + 1 + rnd.nextInt(12))
+      }
+      val polys = rs.map(r => rect(r._1, r._2, r._3, r._4))
+      val direct = CoverageArea.unionAreaOf(polys, None)
+      val cs = 8.0
+      var cellSum = 0.0
+      for (cx <- -1 to 4; cy <- -1 to 4)
+        cellSum += CoverageArea.unionAreaOf(polys,
+          Some((cx * cs, cy * cs, (cx + 1) * cs, (cy + 1) * cs)))
+      assert(cellSum == direct, s"trial $trial: cells $cellSum direct $direct")
+    }
+    // slanted geometry across cell walls: x-wall crossing events keep
+    // the midpoint rule exact (within float round-off of the crossings)
+    val tri = Array((Array(1.0, 15, 1, 1), Array(1.0, 3, 13, 1)))
+    val direct = CoverageArea.unionAreaOf(Seq(tri), None)
+    var cellSum = 0.0
+    for (cx <- 0 to 2; cy <- 0 to 2)
+      cellSum += CoverageArea.unionAreaOf(Seq(tri),
+        Some((cx * 8.0, cy * 8.0, (cx + 1) * 8.0, (cy + 1) * 8.0)))
+    assert(math.abs(cellSum - direct) < 1e-9, s"cells $cellSum direct $direct")
+  }
+
+  test("operator: unionArea and unionAreaByCell agree with the kernel over groups") {
+    val rows = for {
+      g <- 0 until 6
+      m <- 0 until 3
+    } yield (g.toLong, m)
+    val df = rows.toDF("g", "m")
+      .withColumn("x0", (col("g") % 5) * 2 + col("m") * 2)
+      .withColumn("y0", (col("g") % 3) * 2 + col("m"))
+      .withColumn("rings", array(array(
+        struct(col("x0").cast("double").as("x"), col("y0").cast("double").as("y")),
+        struct((col("x0") + 5).cast("double").as("x"), col("y0").cast("double").as("y")),
+        struct((col("x0") + 5).cast("double").as("x"), (col("y0") + 4).cast("double").as("y")),
+        struct(col("x0").cast("double").as("x"), (col("y0") + 4).cast("double").as("y")),
+        struct(col("x0").cast("double").as("x"), col("y0").cast("double").as("y")))))
+      .select("g", "rings")
+    val direct = CoverageArea.unionArea(df, "rings", Seq("g"))
+      .orderBy("g").collect()
+    val cells = CoverageArea.unionAreaByCell(df, "rings", Seq("g"), cellSize = 8.0)
+      .orderBy("g").collect()
+    assert(direct.length == 6 && cells.length == 6)
+    direct.zip(cells).foreach { case (d, c) =>
+      assert(d.getLong(1) == 3 && c.getLong(1) == 3)
+      assert(d.getDouble(2) == 60.0 && c.getDouble(2) == 60.0) // 3 x (5*4)
+      assert(d.getDouble(3) == c.getDouble(3), s"group ${d.getLong(0)}")
+      // reference: the stepped-rect I-E per group
+      val g = d.getLong(0)
+      val rs = (0 until 3).map { m =>
+        val x0 = (g % 5) * 2.0 + m * 2; val y0 = (g % 3) * 2.0 + m
+        (x0, y0, x0 + 5, y0 + 4)
+      }
+      assert(d.getDouble(3) == ieUnion(rs), s"group $g")
+    }
+  }
+}
