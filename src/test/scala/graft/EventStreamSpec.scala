@@ -105,6 +105,32 @@ class EventStreamSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
+  test("streaming quantile estimates end-to-end: live window states feed quantileEstimate") {
+    // the composition the state law promises (r14 stretch, wired r15):
+    // estimates computed FROM the streaming snapshot equal the batch
+    // quantileSketch -> quantileEstimate chain on the same windows, so a
+    // live dashboard reads real quantiles mid-stream
+    import graft.operators.Sketches
+    val stream = EventStream.readEvents(spark, streamDir)
+    val snapshot = EventStream.runToCompletion(
+      Sketches.streamingQuantileState(stream, col("value"), col("event_id"),
+        watermark = "400 days", k = 64),
+      "t_sqe", mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+    val live = Sketches.quantileEstimate(snapshot, Seq(0.5, 0.9), Seq("window_start"))
+    val batch = Sketches.quantileEstimate(
+      Sketches.quantileSketch(
+        Tables.events(spark, sf).withColumn("window_start", date_trunc("hour", col("ts"))),
+        col("value"), col("event_id"), Seq("window_start"), k = 64),
+      Seq(0.5, 0.9), Seq("window_start"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("window_start"), r.getAs[Double]("q"),
+        r.getAs[Double]("est"), r.getAs[Long]("m"))
+    val l = live.collect().map(key).toSet
+    val b2 = batch.collect().map(key).toSet
+    assert(l == b2, s"estimates differ: extra=${l.diff(b2).take(3)} missing=${b2.diff(l).take(3)}")
+    assert(l.nonEmpty)
+  }
+
   test("stateful latestPerUser matches the batch max_by merge (J7)") {
     val stream = EventStream.readEvents(spark, streamDir)
     val got = EventStream.runToCompletion(
