@@ -6296,6 +6296,72 @@ object SparkEntry {
         cellSize = 16.0)
       .orderBy("g")
 
+  /** cov3 — coverage area over CONCAVE geometry (what cov2's convex
+    * rectangles never exercise: a scanline row holding MULTIPLE
+    * intervals from ONE polygon): a rectilinear U-shape (outer box minus
+    * a top notch — above the notch floor every scanline crosses it
+    * FOUR times, two disjoint prong intervals) unioned with a
+    * g-parameterized rectangle spanning the notch and both prongs. The
+    * oracle decomposes the U into its three disjoint rectangles (base +
+    * two prongs) and runs full 15-term inclusion–exclusion over the
+    * four boxes — again an independent exact algorithm; all-integer, so
+    * the hash gates the concave scanline against it bitwise.
+    */
+  private def cov3(s: SparkSession, d: String) = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("g"),
+      explode(array(lit(0), lit(1))).as("m"))
+    val dx = (col("g") % 16).cast("double")
+    val dy = (col("g") % 12).cast("double")
+    val rw = (col("g") % 3 + 3).cast("double")
+    val rh = (col("g") % 2 + 2).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    // U: [0,6]x[0,4] minus the notch [2,4]x[2,4], anchored at (dx,dy)
+    val uRing = array(
+      pt(dx, dy), pt(dx + 6, dy), pt(dx + 6, dy + 4), pt(dx + 4, dy + 4),
+      pt(dx + 4, dy + 2), pt(dx + 2, dy + 2), pt(dx + 2, dy + 4),
+      pt(dx, dy + 4), pt(dx, dy))
+    val rRing = array(
+      pt(dx + 1, dy + 1), pt(dx + 1 + rw, dy + 1),
+      pt(dx + 1 + rw, dy + 1 + rh), pt(dx + 1, dy + 1 + rh),
+      pt(dx + 1, dy + 1))
+    val polys = base.select(col("g"),
+      array(when(col("m") === 0, uRing).otherwise(rRing)).as("rings"))
+    operators.CoverageArea.unionArea(polys, "rings", Seq("g")).orderBy("g")
+  }
+
+  /** cov3's oracle: the U decomposed into base + two prongs (disjoint
+    * rectangles), full 15-term inclusion–exclusion over those plus the
+    * overlap rectangle — generated per subset with min/max interval
+    * arithmetic. */
+  private def sqlUnionAreaMixed: String = {
+    val rects = Seq(
+      ("dx", "dy", "dx + 6", "dy + 2"),          // U base
+      ("dx", "dy + 2", "dx + 2", "dy + 4"),      // U left prong
+      ("dx + 4", "dy + 2", "dx + 6", "dy + 4"),  // U right prong
+      ("dx + 1", "dy + 1", "dx + 1 + rw", "dy + 1 + rh")) // overlap rect
+    def bound(f: Int => String, agg: String, sel: Seq[Int]) =
+      if (sel.length == 1) f(sel.head)
+      else sel.map(f).mkString(s"$agg(", ", ", ")")
+    val terms = (1 until 16).map { mask =>
+      val sel = (0 until 4).filter(i => (mask & (1 << i)) != 0)
+      val x0 = bound(i => rects(i)._1, "greatest", sel)
+      val y0 = bound(i => rects(i)._2, "greatest", sel)
+      val x1 = bound(i => rects(i)._3, "least", sel)
+      val y1 = bound(i => rects(i)._4, "least", sel)
+      val area = s"greatest(CAST(0 AS DOUBLE), ($x1) - ($x0)) * " +
+        s"greatest(CAST(0 AS DOUBLE), ($y1) - ($y0))"
+      val sign = if (sel.length % 2 == 1) "+" else "-"
+      s"$sign ($area)"
+    }
+    s"""WITH t AS (SELECT c_custkey AS g,
+       |  CAST(c_custkey % 16 AS DOUBLE) AS dx, CAST(c_custkey % 12 AS DOUBLE) AS dy,
+       |  CAST(c_custkey % 3 + 3 AS DOUBLE) AS rw, CAST(c_custkey % 2 + 2 AS DOUBLE) AS rh
+       |  FROM customer)
+       |SELECT g, CAST(2 AS BIGINT) AS n_polys, 20 + rw * rh AS sum_area,
+       |  ${terms.mkString("\n    ")} AS union_area
+       |FROM t ORDER BY g""".stripMargin
+  }
+
   /** cov2/zs3's shared oracle: full inclusion–exclusion over the three
     * stepped boxes — an INDEPENDENT exact union algorithm (min/max
     * interval arithmetic, 7 signed terms), not a scanline replay. */
@@ -6970,6 +7036,7 @@ object SparkEntry {
     "cms2_heavy_hitters" -> (cms2 _),
     "cov1_interval_coverage" -> (cov1 _),
     "cov2_union_area" -> (cov2 _),
+    "cov3_union_concave" -> (cov3 _),
     "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
@@ -11214,6 +11281,9 @@ object SparkEntry {
     // zs3's cell-decomposed sum must equal the same value exactly.
     "cov2_union_area" -> sqlUnionAreaIE,
     "zs3_coverage_cells" -> sqlUnionAreaIE,
+    // cov3: concave scanline (multi-interval rows) vs the U decomposed
+    // into disjoint rects + 15-term I-E -- independent exact algorithms.
+    "cov3_union_concave" -> sqlUnionAreaMixed,
     // norm1: DuckDB's OWN nfc_normalize/strip_accents against the
     // engine's Normalizer kernel — independent implementations of the
     // same Unicode standard must agree.
