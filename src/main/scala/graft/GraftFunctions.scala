@@ -183,6 +183,14 @@ object GraftFunctions {
           "O(n^2) segment-pair scan, unclosed/short rings are false",
         classOf[graft.functions.RingIsSimpleExpr]),
       (exprs: Seq[Expression]) => graft.functions.RingIsSimpleExpr(exprs(0))),
+    (FunctionIdentifier("st_is_valid_polygon"),
+      info("st_is_valid_polygon",
+        "st_is_valid_polygon(rings) - true iff the polygon is valid: every " +
+          "ring simple, holes wound opposite the outer, no cross-ring edge " +
+          "crossing/overlap (point-touches allowed), every hole inside the " +
+          "outer, holes not nested; interior-connectivity NOT checked",
+        classOf[graft.functions.PolygonIsValidExpr]),
+      (exprs: Seq[Expression]) => graft.functions.PolygonIsValidExpr(exprs(0))),
     composedIntLast("graft_hilbert",
       "graft_hilbert(x, y, bits) - Hilbert curve distance of BIGINT cell (x, y) " +
         "on the 2^bits x 2^bits grid (bits a literal in [1,31]); the " +

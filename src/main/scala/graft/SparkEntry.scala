@@ -1030,6 +1030,50 @@ object SparkEntry {
       .orderBy("cls", "is_simple")
   }
 
+  /** G25 — POLYGON-validity census (the g24 predicate one level up —
+    * the whole-geometry ingest gate): outer + holes judged as a unit by
+    * [[graft.functions.PolygonIsValidExpr]] (all rings simple, holes
+    * opposite-wound, no cross-ring edge crossing/overlap, holes
+    * contained, holes not nested). Six parameterized families with
+    * CLASS-CONSTANT verdicts: proper hole (valid), boundary-straddling
+    * hole, escaped hole, overlapping holes, bowtie outer, two disjoint
+    * holes (valid).
+    */
+  private def g25(s: SparkSession, d: String) = {
+    val c = col("c_custkey")
+    val cls = (c % 6).cast("int")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val outer = array(pt(cx - r, cy - r), pt(cx + r, cy - r),
+      pt(cx + r, cy + r), pt(cx - r, cy + r), pt(cx - r, cy - r))
+    val bowtie = array(pt(cx - r, cy - r), pt(cx + r, cy + r),
+      pt(cx + r, cy - r), pt(cx - r, cy + r), pt(cx - r, cy - r))
+    // CW rectangle hole
+    def hole(x0: Column, y0: Column, x1: Column, y1: Column) =
+      array(pt(x0, y0), pt(x0, y1), pt(x1, y1), pt(x1, y0), pt(x0, y0))
+    val q = lit(0.25) * r
+    val rings = when(cls === 0,
+        array(outer, hole(cx - q * 2, cy - q * 2, cx, cy)))
+      .when(cls === 1,
+        array(outer, hole(cx, cy - q, cx + q * 8, cy + q)))
+      .when(cls === 2,
+        array(outer, hole(cx + q * 8, cy, cx + q * 12, cy + q * 2)))
+      .when(cls === 3,
+        array(outer, hole(cx - q * 2, cy - q * 2, cx + q, cy + q),
+          hole(cx - q, cy - q, cx + q * 2, cy + q * 2)))
+      .when(cls === 4, array(bowtie))
+      .otherwise(
+        array(outer, hole(cx - q * 3, cy - q, cx - q, cy + q),
+          hole(cx + q, cy - q, cx + q * 3, cy + q)))
+    Tables.customer(s, d)
+      .select(cls.as("cls"),
+        graft.functions.GeomValidity.polygonIsValidCol(rings).as("is_valid"))
+      .groupBy("cls", "is_valid").agg(count(lit(1)).as("n"))
+      .orderBy("cls", "is_valid")
+  }
+
   /** J4B — model-BATCH dispatch at its design shape (r12 verdict stretch
     * 9; pixel_classifier_stream.py:90-96's memory-bounded loop): 18
     * frozen single-tree rules tables — more than the reference's batch
@@ -6833,6 +6877,7 @@ object SparkEntry {
     "traj1_user_paths" -> (traj1 _),
     "g23_ellipsoidal_measures" -> (g23 _),
     "g24_ring_validity" -> (g24 _),
+    "g25_polygon_validity" -> (g25 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -7653,6 +7698,14 @@ object SparkEntry {
         |  (c_custkey % 5 = 1 OR c_custkey % 5 = 3) AS is_simple,
         |  count(*) AS n
         |FROM customer GROUP BY 1, 2 ORDER BY cls, is_simple""".stripMargin,
+    // g25: polygon-level validity census -- class-constant verdicts
+    // (proper hole and two-disjoint-holes valid; straddling/escaped/
+    // overlapping holes and the bowtie outer invalid).
+    "g25_polygon_validity" ->
+      """SELECT CAST(c_custkey % 6 AS INT) AS cls,
+        |  (c_custkey % 6 = 0 OR c_custkey % 6 = 5) AS is_valid,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2 ORDER BY cls, is_valid""".stripMargin,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

@@ -57,6 +57,37 @@ case class RingIsSimpleExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ST_IsValid for a whole polygon (outer + holes in the st_rings
+  * layout) — see [[GeomValidity.polygonIsValid]] for the exact clause
+  * list and the documented interior-connectivity trade.
+  */
+case class PolygonIsValidExpr(child: Expression) extends UnaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"st_is_valid_polygon needs array<array<struct<x:double,y:double>>> rings, got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(rings: Any): Any =
+    GeomValidity.polygonIsValid(rings.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.functions.GeomValidity.polygonIsValid($r)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GeomValidity {
 
   /** Column entry: true iff the closed ring is simple (see
@@ -64,8 +95,14 @@ object GeomValidity {
   def ringIsSimpleCol(ring: Column): Column =
     GraftBridge.column(RingIsSimpleExpr(GraftBridge.expression(ring)))
 
-  /** Static kernel (also the codegen target). */
-  def ringIsSimple(ring: ArrayData): Boolean = {
+  /** Column entry: true iff the whole polygon (outer + holes) is valid
+    * (see [[polygonIsValid]]). */
+  def polygonIsValidCol(rings: Column): Column =
+    GraftBridge.column(PolygonIsValidExpr(GraftBridge.expression(rings)))
+
+  /** Extract one ring's coordinates, throwing on structural nulls (the
+    * GeomPredExprs doctrine). */
+  private[functions] def extractRing(ring: ArrayData): (Array[Double], Array[Double]) = {
     val m = ring.numElements()
     val xs = new Array[Double](m)
     val ys = new Array[Double](m)
@@ -80,12 +117,24 @@ object GeomValidity {
       ys(i) = p.getDouble(1)
       i += 1
     }
+    (xs, ys)
+  }
+
+  /** Static kernel (also the codegen target). */
+  def ringIsSimple(ring: ArrayData): Boolean = {
+    val (xs, ys) = extractRing(ring)
+    ringIsSimpleArr(xs, ys)
+  }
+
+  /** The simplicity verdict over extracted coordinates. */
+  private[functions] def ringIsSimpleArr(xs: Array[Double], ys: Array[Double]): Boolean = {
+    val m = xs.length
     // structural verdicts (countable rejects, not exceptions)
     if (m < 4) return false
     if (xs(0) != xs(m - 1) || ys(0) != ys(m - 1)) return false
     val ne = m - 1 // edge count over the closed list
     // zero-length edges
-    i = 0
+    var i = 0
     while (i < ne) {
       if (xs(i) == xs(i + 1) && ys(i) == ys(i + 1)) return false
       i += 1
@@ -126,6 +175,155 @@ object GeomValidity {
       i += 1
     }
     true
+  }
+
+  /** POLYGON-level validity (the [[ringIsSimple]] story one level up —
+    * the whole-geometry ingest gate): ring 0 the outer, rings 1.. holes;
+    * valid iff every ring is SIMPLE, every hole winds OPPOSITE the outer
+    * (the engine's storage convention — [[SpatialOps.ringsArea]] and the
+    * clip kernels subtract holes by signed cross), no two rings' edges
+    * properly cross or overlap collinearly (point-touches allowed, the
+    * OGC rule), every hole vertex lies inside-or-on the outer ring with
+    * at least one STRICTLY inside (all-on-boundary degenerates fail
+    * closed), and no hole vertex lies strictly inside another hole
+    * (nesting). NOT checked: the OGC interior-connectivity condition
+    * (a chain of point-touching holes splitting the interior) — the one
+    * validity clause that needs a topology sweep; documented trade.
+    */
+  def polygonIsValid(rings: ArrayData): Boolean = {
+    val nr = rings.numElements()
+    if (nr < 1) return false
+    val xs = new Array[Array[Double]](nr)
+    val ys = new Array[Array[Double]](nr)
+    var i = 0
+    while (i < nr) {
+      if (rings.isNullAt(i))
+        throw new IllegalArgumentException(s"null ring at index $i (malformed WKT?)")
+      val (rx, ry) = extractRing(rings.getArray(i))
+      xs(i) = rx; ys(i) = ry
+      i += 1
+    }
+    i = 0
+    while (i < nr) {
+      if (!ringIsSimpleArr(xs(i), ys(i))) return false
+      i += 1
+    }
+    val w0 = shoelace(xs(0), ys(0))
+    i = 1
+    while (i < nr) {
+      if ((shoelace(xs(i), ys(i)) > 0.0) == (w0 > 0.0)) return false
+      i += 1
+    }
+    // cross-ring edge discipline: no proper crossing, no collinear
+    // overlap of positive length (point-touches pass)
+    var a = 0
+    while (a < nr) {
+      var b = a + 1
+      while (b < nr) {
+        if (ringsEdgesConflict(xs(a), ys(a), xs(b), ys(b))) return false
+        b += 1
+      }
+      a += 1
+    }
+    // hole containment census (EVERY vertex inside-or-on the outer, one
+    // strictly inside) and hole-vs-hole non-nesting
+    i = 1
+    while (i < nr) {
+      var strictlyIn = false
+      var v = 0
+      while (v < xs(i).length - 1) {
+        val px = xs(i)(v); val py = ys(i)(v)
+        if (!pointOnRing(xs(0), ys(0), px, py)) {
+          if (!pointInRing(xs(0), ys(0), px, py)) return false
+          strictlyIn = true
+        }
+        v += 1
+      }
+      if (!strictlyIn) return false
+      var j = 1
+      while (j < nr) {
+        if (j != i) {
+          v = 0
+          while (v < xs(i).length - 1) {
+            val px = xs(i)(v); val py = ys(i)(v)
+            if (!pointOnRing(xs(j), ys(j), px, py) &&
+                pointInRing(xs(j), ys(j), px, py)) return false
+            v += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  private def shoelace(xs: Array[Double], ys: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < xs.length - 1) {
+      acc += xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** True iff any edge of ring A properly crosses or collinearly
+    * overlaps (positive length) any edge of ring B. */
+  private def ringsEdgesConflict(ax: Array[Double], ay: Array[Double],
+      bx: Array[Double], by: Array[Double]): Boolean = {
+    var i = 0
+    while (i < ax.length - 1) {
+      var j = 0
+      while (j < bx.length - 1) {
+        val d1 = orient(ax(i), ay(i), ax(i + 1), ay(i + 1), bx(j), by(j))
+        val d2 = orient(ax(i), ay(i), ax(i + 1), ay(i + 1), bx(j + 1), by(j + 1))
+        val d3 = orient(bx(j), by(j), bx(j + 1), by(j + 1), ax(i), ay(i))
+        val d4 = orient(bx(j), by(j), bx(j + 1), by(j + 1), ax(i + 1), ay(i + 1))
+        if (((d1 > 0.0 && d2 < 0.0) || (d1 < 0.0 && d2 > 0.0)) &&
+            ((d3 > 0.0 && d4 < 0.0) || (d3 < 0.0 && d4 > 0.0))) return true
+        if (d1 == 0.0 && d2 == 0.0 && d3 == 0.0 && d4 == 0.0) {
+          // collinear: positive-length 1-D overlap on the dominant axis
+          val horiz = math.abs(ax(i + 1) - ax(i)) >= math.abs(ay(i + 1) - ay(i))
+          val (a1, a2, b1, b2) =
+            if (horiz) (ax(i), ax(i + 1), bx(j), bx(j + 1))
+            else (ay(i), ay(i + 1), by(j), by(j + 1))
+          val lo = math.max(math.min(a1, a2), math.min(b1, b2))
+          val hi = math.min(math.max(a1, a2), math.max(b1, b2))
+          if (hi > lo) return true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Point exactly on any segment of the ring. */
+  private def pointOnRing(xs: Array[Double], ys: Array[Double],
+      px: Double, py: Double): Boolean = {
+    var i = 0
+    while (i < xs.length - 1) {
+      if (orient(xs(i), ys(i), xs(i + 1), ys(i + 1), px, py) == 0.0 &&
+          onSeg(xs(i), ys(i), xs(i + 1), ys(i + 1), px, py)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Strict rightward-ray crossing parity (caller excludes on-boundary
+    * points first). */
+  private def pointInRing(xs: Array[Double], ys: Array[Double],
+      px: Double, py: Double): Boolean = {
+    var in = false
+    var i = 0
+    while (i < xs.length - 1) {
+      if ((ys(i) > py) != (ys(i + 1) > py) &&
+          px < xs(i) + (py - ys(i)) * (xs(i + 1) - xs(i)) / (ys(i + 1) - ys(i)))
+        in = !in
+      i += 1
+    }
+    in
   }
 
   private def orient(px: Double, py: Double, qx: Double, qy: Double,

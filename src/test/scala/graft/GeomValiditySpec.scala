@@ -69,6 +69,39 @@ class GeomValiditySpec extends AnyFunSuite {
     assert(e.getMessage.contains("null coordinate"))
   }
 
+  private def validOf(wkt: String): Boolean =
+    Seq(wkt).toDF("g")
+      .select(GeomValidity.polygonIsValidCol(SpatialOps.wktRings(col("g"))).as("s"))
+      .head().getBoolean(0)
+
+  test("polygon validity: proper holes valid; winding, containment, nesting, overlap enforced") {
+    // WKT holes below are CW (opposite the CCW outer) unless stated
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))"))
+    // two disjoint holes
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(1 1, 1 3, 3 3, 3 1, 1 1), (5 5, 5 7, 7 7, 7 5, 5 5))"))
+    // hole wound LIKE the outer (storage-convention violation)
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"))
+    // hole straddling the outer boundary
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (6 3, 6 5, 10 5, 10 3, 6 3))"))
+    // hole entirely outside
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (10 1, 10 3, 12 3, 12 1, 10 1))"))
+    // overlapping holes
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(1 1, 1 4, 4 4, 4 1, 1 1), (3 3, 3 6, 6 6, 6 3, 3 3))"))
+    // nested holes (no edge crossing)
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(1 1, 1 6, 6 6, 6 1, 1 1), (2 2, 2 3, 3 3, 3 2, 2 2))"))
+    // bowtie outer
+    assert(!validOf("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))"))
+    // hole TOUCHING the outer at one point is legal (the OGC rule)
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (0 4, 2 6, 2 2, 0 4))"))
+    // hole sharing a SEGMENT with the outer is not
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (0 2, 0 6, 2 6, 2 2, 0 2))"))
+    // all hole vertices ON the outer boundary: fail closed
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (0 0, 0 8, 8 8, 8 0, 0 0))"))
+  }
+
   test("SQL surface matches the Column form; predicate gates the clip contract") {
     GraftFunctions.register(spark)
     Seq(("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", false),
