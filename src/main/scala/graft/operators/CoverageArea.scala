@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * Stage-2 output drifts exactly this way) stop double-counting. The
   * 2-D sibling of [[TimeSeries.intervalCoverage]]'s 1-D sweep.
   *
-  * Algorithm (exact, deterministic): the y-slab scanline. Events are
+  * Algorithm (exact, deterministic): the y-slab scanline — the classic
+  * sweep-line area-of-union family (Bentley 1977's segment-tree sweep
+  * is the O(n log n) sibling; this kernel trades it for EVENT-COMPLETE
+  * slabs, which keeps every intermediate a closed-form function of the
+  * inputs and the result independently checkable). Events are
   * every vertex y, every PAIRWISE proper edge-crossing y (across all
   * polygons of the group), and — when clipping to a cell — the cell's
   * y-bounds and every edge's crossing with the cell's x-walls. Between

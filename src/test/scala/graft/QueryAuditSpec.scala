@@ -106,6 +106,55 @@ class QueryAuditSpec extends AnyFunSuite {
     "e16b_semdedup_sqrtn", "knn1_label_transfer",
     "tfidf1_top_terms", "pipe1_curation")
 
+  /** The allowlist's index-metadata subgroup: their broadcast sides are
+    * centroid/codebook/seed/probe frames whose real shapes (judge-read
+    * from the plans) are either aggregates, caps, or SELECTIVE source
+    * scans with a pushed predicate (km1's `vec_id < 4` seed centroids,
+    * knn1's `vec_id % 10 = 0` probe subset). Selectivity is a data
+    * property no static check can bound, so the machine gate here is
+    * the tripwire that survives honestly: a BARE scan — no aggregate,
+    * no cap, no filter at all — broadcast under one of these names is
+    * always a bug (someone broadcast the whole corpus). */
+  private val metadataBounded = Set(
+    "e3c_ivf_pruned", "e3e_ivfpq", "km1_lloyd_round",
+    "e16_semantic_dedup", "e16b_semdedup_sqrtn", "knn1_label_transfer")
+
+  private def buildSideDisciplined(p: SparkPlan): Boolean = {
+    val bounded = collectAll(p) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
+      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
+      case t if t.nodeName.contains("TopKPerKey") => t
+    }.nonEmpty
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.dataFilters.nonEmpty
+      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => false
+    }
+    val filtered = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty
+    scans.isEmpty || bounded || filtered || scans.forall(identity)
+  }
+
+  test("allowlisted index-metadata queries never broadcast a bare unfiltered scan") {
+    val offenders = metadataBounded.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val bad = collectAll(plan) { case b: BroadcastNestedLoopJoinExec => b }
+        .filterNot { b =>
+          val build = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+          buildSideDisciplined(build)
+        }
+      if (bad.nonEmpty) Some(s"$name (${bad.size} bare-scan broadcast)") else None
+    }
+    assert(offenders.isEmpty,
+      s"allowlisted NLJ broadcasting a bare unfiltered scan in: ${offenders.mkString(", ")}")
+  }
+
   test("no query plans a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
