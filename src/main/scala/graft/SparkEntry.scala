@@ -1030,6 +1030,47 @@ object SparkEntry {
       .orderBy("cls", "is_simple")
   }
 
+  /** G26 — GUARDED MEASURE (the enforcement flow the validity
+    * predicates exist for, as one query): the g24 ring families pass
+    * through `st_is_simple_ring` scan-side; VALID rings contribute
+    * their shoelace area (fixed-point floor(area·2²⁰) — integer sums,
+    * order-proof), invalid rings become counted rejects — wrong areas
+    * never enter the measure. The oracle replays the class verdicts AND
+    * the valid shapes' closed-form areas (dart 1.5r², diamond 2r² —
+    * exact dyadic chains, so the engine's shoelace equals them
+    * bitwise).
+    */
+  private def g26(s: SparkSession, d: String) = {
+    val c = col("c_custkey")
+    val cls = (c % 5).cast("int")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val bowtie = array(pt(cx - r, cy - r), pt(cx + r, cy + r),
+      pt(cx + r, cy - r), pt(cx - r, cy + r), pt(cx - r, cy - r))
+    val dart = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx + r, cy - r), pt(cx, cy + r))
+    val spike = array(pt(cx - r, cy), pt(cx + r, cy), pt(cx, cy),
+      pt(cx, cy + r), pt(cx - r, cy))
+    val diamond = array(pt(cx, cy - r), pt(cx + r, cy),
+      pt(cx, cy + r), pt(cx - r, cy), pt(cx, cy - r))
+    val pinch = array(pt(cx, cy), pt(cx - r, cy - r), pt(cx + r, cy - r),
+      pt(cx, cy), pt(cx + r, cy + r), pt(cx - r, cy + r), pt(cx, cy))
+    val ring = when(cls === 0, bowtie).when(cls === 1, dart)
+      .when(cls === 2, spike).when(cls === 3, diamond).otherwise(pinch)
+    val ok = graft.functions.GeomValidity.ringIsSimpleCol(ring)
+    Tables.customer(s, d)
+      .select(cls.as("cls"), ok.as("__ok"),
+        when(ok, floor(graft.functions.SpatialOps.ringsArea(array(ring))
+          * lit(1048576L)).cast("long")).otherwise(lit(0L)).as("__a"))
+      .groupBy("cls")
+      .agg(sum(when(col("__ok"), 1).otherwise(0)).cast("long").as("n_valid"),
+        sum(when(col("__ok"), 0).otherwise(1)).cast("long").as("n_rejects"),
+        sum(col("__a")).as("area_fp"))
+      .orderBy("cls")
+  }
+
   /** G25 — POLYGON-validity census (the g24 predicate one level up —
     * the whole-geometry ingest gate): outer + holes judged as a unit by
     * [[graft.functions.PolygonIsValidExpr]] (all rings simple, holes
@@ -6878,6 +6919,7 @@ object SparkEntry {
     "g23_ellipsoidal_measures" -> (g23 _),
     "g24_ring_validity" -> (g24 _),
     "g25_polygon_validity" -> (g25 _),
+    "g26_guarded_measure" -> (g26 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -7706,6 +7748,18 @@ object SparkEntry {
         |  (c_custkey % 6 = 0 OR c_custkey % 6 = 5) AS is_valid,
         |  count(*) AS n
         |FROM customer GROUP BY 1, 2 ORDER BY cls, is_valid""".stripMargin,
+    // g26: the enforcement flow -- valid rings' closed-form areas
+    // (dart 1.5r^2, diamond 2r^2, exact dyadic so the engine's shoelace
+    // matches bitwise), invalid rings counted; fixed-point integer sums.
+    "g26_guarded_measure" ->
+      """SELECT CAST(c_custkey % 5 AS INT) AS cls,
+        |  CAST(sum(CASE WHEN c_custkey % 5 IN (1, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN c_custkey % 5 IN (1, 3) THEN 0 ELSE 1 END) AS BIGINT) AS n_rejects,
+        |  CAST(sum(CASE WHEN c_custkey % 5 = 1 THEN CAST(floor(1.5 * r * r * 1048576) AS BIGINT)
+        |           WHEN c_custkey % 5 = 3 THEN CAST(floor(2 * r * r * 1048576) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS area_fp
+        |FROM (SELECT c_custkey, 1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer)
+        |GROUP BY 1 ORDER BY cls""".stripMargin,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

@@ -42,11 +42,26 @@ object CoverageArea {
   /** Per-group union area, directly: group cols + `n_polys` +
     * `sum_area` (Σ individual shoelace areas — union < sum measures the
     * overlap) + `union_area`. Rings in the st_rings layout.
+    *
+    * `maxEdgesPerGroup` is the no-silent-caps guard: the kernel's
+    * pairwise event scan is O(E²) per group, so a group whose edge
+    * count exceeds the cap FAILS LOUDLY (with the cell path named in
+    * the error) instead of quietly burning a task for hours — the
+    * direct form is for groups a caller KNOWS are small.
     */
-  def unionArea(df: DataFrame, ringsCol: String, groupCols: Seq[String]): DataFrame = {
+  def unionArea(df: DataFrame, ringsCol: String, groupCols: Seq[String],
+      maxEdgesPerGroup: Int = 20000): DataFrame = {
     require(groupCols.nonEmpty, "unionArea needs at least one group column")
-    val u = udf((xs: Seq[Seq[Seq[Double]]], ys: Seq[Seq[Seq[Double]]]) =>
-      unionAreaOf(toPolys(xs, ys), None))
+    require(maxEdgesPerGroup > 0, s"maxEdgesPerGroup must be positive, got $maxEdgesPerGroup")
+    val u = udf((xs: Seq[Seq[Seq[Double]]], ys: Seq[Seq[Seq[Double]]]) => {
+      val edges = xs.iterator.flatMap(_.iterator.map(r => math.max(r.length - 1, 0))).sum
+      if (edges > maxEdgesPerGroup)
+        throw new IllegalArgumentException(
+          s"unionArea group holds $edges edges > cap $maxEdgesPerGroup: the direct " +
+            "per-group kernel is O(edges^2) — use unionAreaByCell (bounded by local " +
+            "density) or raise maxEdgesPerGroup knowingly")
+      unionAreaOf(toPolys(xs, ys), None)
+    })
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_polys"),
         sum(graft.functions.SpatialOps.ringsArea(col(ringsCol))).as("sum_area"),
@@ -66,9 +81,11 @@ object CoverageArea {
       df: DataFrame,
       ringsCol: String,
       groupCols: Seq[String],
-      cellSize: Double): DataFrame = {
+      cellSize: Double,
+      maxEdgesPerCell: Int = 20000): DataFrame = {
     require(groupCols.nonEmpty, "unionAreaByCell needs at least one group column")
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    require(maxEdgesPerCell > 0, s"maxEdgesPerCell must be positive, got $maxEdgesPerCell")
     val env = graft.functions.SpatialOps.ringsEnvelope(col(ringsCol))
     val withCells = df
       .withColumn("__env", env)
@@ -79,10 +96,17 @@ object CoverageArea {
         floor(col("__env.ymin") / cellSize).cast("long"),
         floor(col("__env.ymax") / cellSize).cast("long"))))
     val u = udf((xs: Seq[Seq[Seq[Double]]], ys: Seq[Seq[Seq[Double]]],
-        cx: Long, cy: Long) =>
+        cx: Long, cy: Long) => {
+      val edges = xs.iterator.flatMap(_.iterator.map(r => math.max(r.length - 1, 0))).sum
+      if (edges > maxEdgesPerCell)
+        throw new IllegalArgumentException(
+          s"unionAreaByCell cell ($cx,$cy) holds $edges edges > cap $maxEdgesPerCell: " +
+            "local density exceeds the per-cell kernel budget — shrink cellSize or " +
+            "raise maxEdgesPerCell knowingly")
       unionAreaOf(toPolys(xs, ys),
         Some((cx * cellSize, cy * cellSize,
-          (cx + 1) * cellSize, (cy + 1) * cellSize))))
+          (cx + 1) * cellSize, (cy + 1) * cellSize)))
+    })
     val perCell = withCells
       .groupBy((groupCols ++ Seq("__cx", "__cy")).map(col): _*)
       .agg(u(collect_list(ringXs(col(ringsCol))), collect_list(ringYs(col(ringsCol))),

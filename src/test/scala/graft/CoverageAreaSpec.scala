@@ -113,6 +113,26 @@ class CoverageAreaSpec extends AnyFunSuite {
     assert(math.abs(cellSum - direct) < 1e-9, s"cells $cellSum direct $direct")
   }
 
+  test("edge-count guards fail loudly and name the escape hatch") {
+    val df = Seq((1L, 0)).toDF("g", "m")
+      .withColumn("rings", array(array(
+        struct(lit(0.0).as("x"), lit(0.0).as("y")),
+        struct(lit(5.0).as("x"), lit(0.0).as("y")),
+        struct(lit(5.0).as("x"), lit(4.0).as("y")),
+        struct(lit(0.0).as("x"), lit(4.0).as("y")),
+        struct(lit(0.0).as("x"), lit(0.0).as("y")))))
+      .select("g", "rings")
+    val e = intercept[Exception](
+      CoverageArea.unionArea(df, "rings", Seq("g"), maxEdgesPerGroup = 3).collect())
+    assert(e.getMessage.contains("unionAreaByCell"), s"got: ${e.getMessage}")
+    val e2 = intercept[Exception](
+      CoverageArea.unionAreaByCell(df, "rings", Seq("g"), cellSize = 8.0,
+        maxEdgesPerCell = 3).collect())
+    assert(e2.getMessage.contains("cellSize"), s"got: ${e2.getMessage}")
+    intercept[IllegalArgumentException](
+      CoverageArea.unionArea(df, "rings", Seq("g"), maxEdgesPerGroup = 0))
+  }
+
   test("operator: unionArea and unionAreaByCell agree with the kernel over groups") {
     val rows = for {
       g <- 0 until 6
