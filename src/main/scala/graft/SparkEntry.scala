@@ -6519,8 +6519,8 @@ object SparkEntry {
     */
   private def cms3(s: SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
-    val est = operators.Sketches.countMinJoinSize(
-      li, col("l_partkey"), li, col("l_partkey"), depth = 4, width = 512)
+    val est = operators.Sketches.countMinSelfJoinSize(
+      li, col("l_partkey"), depth = 4, width = 512)
     val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("__c"))
       .agg(sum(col("__c") * col("__c")).as("exact_f2"))
     est.crossJoin(exact)

@@ -283,6 +283,21 @@ object Sketches {
       .agg(coalesce(min(col("__ip")), lit(0L)).as("est"))
   }
 
+  /** [[countMinJoinSize]] with A = B — the F2 second moment Σ_k c_k²
+    * from ONE sketch build: the general form scans and shuffles the
+    * SAME input twice to construct two identical tables and full-outer
+    * them; the self inner product is just Σ cnt² per sketch row, min
+    * over rows — identical output by construction (every cell matches
+    * itself; the zero-fill cases cannot arise), half the sketch cost.
+    */
+  def countMinSelfJoinSize(
+      df: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 512): DataFrame =
+    countMin(df, key, depth, width)
+      .groupBy("row")
+      .agg(sum(col("cnt") * col("cnt")).as("__ip"))
+      .agg(coalesce(min(col("__ip")), lit(0L)).as("est"))
+
   /** HYPERLOGLOG register table (Flajolet et al. 2007), md5-derived and
     * therefore deterministic across engines (the kmv1 doctrine — Spark's
     * own approx_count_distinct uses engine-private xxhash state, which

@@ -179,6 +179,19 @@ class SketchSpec extends AnyFunSuite {
     assert(!estEmpty.isNullAt(0) && estEmpty.getLong(0) == 0L)
   }
 
+  test("countMinSelfJoinSize equals the general form with A = B, at half the sketch cost") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => (i * 37) % 500).toDF("k")
+    val self = operators.Sketches.countMinSelfJoinSize(df, col("k"), depth = 4, width = 64)
+      .head().getLong(0)
+    val general = operators.Sketches.countMinJoinSize(
+      df, col("k"), df, col("k"), depth = 4, width = 64).head().getLong(0)
+    assert(self == general, s"self=$self general=$general")
+    // empty input degenerate: 0, not NULL
+    val empty = Seq.empty[Int].toDF("k")
+    assert(operators.Sketches.countMinSelfJoinSize(empty, col("k")).head().getLong(0) == 0L)
+  }
+
   test("countMin fail-closes on bad parameters") {
     import spark.implicits._
     val df = Seq("a").toDF("k")
