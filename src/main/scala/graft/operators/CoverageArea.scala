@@ -82,16 +82,38 @@ object CoverageArea {
       ringsCol: String,
       groupCols: Seq[String],
       cellSize: Double,
-      maxEdgesPerCell: Int = 20000): DataFrame = {
+      maxEdgesPerCell: Int = 20000,
+      /** Fail-loud fan-out budget (the same no-silent-caps doctrine as
+        * the edge budgets): one polygon whose envelope spans more than
+        * this many cells — a bad cellSize or an outlier geometry —
+        * errors with the knob named instead of silently exploding to
+        * millions of rows. */
+      maxCellsPerPolygon: Long = 4096L): DataFrame = {
     require(groupCols.nonEmpty, "unionAreaByCell needs at least one group column")
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     require(maxEdgesPerCell > 0, s"maxEdgesPerCell must be positive, got $maxEdgesPerCell")
+    require(maxCellsPerPolygon > 0, s"maxCellsPerPolygon must be positive, got $maxCellsPerPolygon")
     val env = graft.functions.SpatialOps.ringsEnvelope(col(ringsCol))
+    val nCells =
+      (floor(col("__env.xmax") / cellSize).cast("long") -
+        floor(col("__env.xmin") / cellSize).cast("long") + lit(1L)) *
+      (floor(col("__env.ymax") / cellSize).cast("long") -
+        floor(col("__env.ymin") / cellSize).cast("long") + lit(1L))
+    // the guard lives INSIDE the exploded expression — a standalone
+    // guard column would be pruned by Catalyst (and its raise_error
+    // with it). A NULL count (empty rings -> null envelope) skips the
+    // `when` branch: the explode drops the row and the left join below
+    // restores the group at union_area 0.
     val withCells = df
       .withColumn("__env", env)
-      .withColumn("__cx", explode(sequence(
-        floor(col("__env.xmin") / cellSize).cast("long"),
-        floor(col("__env.xmax") / cellSize).cast("long"))))
+      .withColumn("__cx", explode(
+        when(nCells > maxCellsPerPolygon, raise_error(concat(
+          lit("unionAreaByCell polygon envelope spans "), nCells.cast("string"),
+          lit(s" cells > cap $maxCellsPerPolygon (cellSize $cellSize): grow cellSize " +
+            "or raise maxCellsPerPolygon knowingly"))))
+        .otherwise(sequence(
+          floor(col("__env.xmin") / cellSize).cast("long"),
+          floor(col("__env.xmax") / cellSize).cast("long")))))
       .withColumn("__cy", explode(sequence(
         floor(col("__env.ymin") / cellSize).cast("long"),
         floor(col("__env.ymax") / cellSize).cast("long"))))
@@ -117,9 +139,13 @@ object CoverageArea {
     val base = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_polys"),
         sum(graft.functions.SpatialOps.ringsArea(col(ringsCol))).as("sum_area"))
-    base.join(unions, groupCols)
+    // LEFT join from base: a group whose rows all have empty rings (null
+    // envelope -> the explode drops every row) must still come back with
+    // union_area 0, matching unionArea's degenerate-case answer
+    base.join(unions, groupCols, "left")
       .select((groupCols.map(col) ++
-        Seq(col("n_polys"), col("sum_area"), col("union_area"))): _*)
+        Seq(col("n_polys"), col("sum_area"),
+          coalesce(col("union_area"), lit(0.0)).as("union_area"))): _*)
   }
 
   // ---- kernel ----

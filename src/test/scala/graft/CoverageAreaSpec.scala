@@ -133,6 +133,32 @@ class CoverageAreaSpec extends AnyFunSuite {
       CoverageArea.unionArea(df, "rings", Seq("g"), maxEdgesPerGroup = 0))
   }
 
+  test("cell fan-out budget fails loudly; degenerate all-empty group returns 0 on both paths") {
+    val df = Seq((1L, 0)).toDF("g", "m")
+      .withColumn("rings", array(array(
+        struct(lit(0.0).as("x"), lit(0.0).as("y")),
+        struct(lit(100.0).as("x"), lit(0.0).as("y")),
+        struct(lit(100.0).as("x"), lit(80.0).as("y")),
+        struct(lit(0.0).as("x"), lit(80.0).as("y")),
+        struct(lit(0.0).as("x"), lit(0.0).as("y")))))
+      .select("g", "rings")
+    // envelope spans 101x81 = 8181 unit cells > the 100 cap -> loud, knob named
+    val e = intercept[Exception](
+      CoverageArea.unionAreaByCell(df, "rings", Seq("g"), cellSize = 1.0,
+        maxCellsPerPolygon = 100L).collect())
+    assert(e.getMessage.contains("maxCellsPerPolygon"), s"got: ${e.getMessage}")
+    // a group whose rows all carry EMPTY ring lists must come back with
+    // union_area 0 from BOTH paths (ADVICE r15: the inner join dropped it)
+    val deg = Seq((7L, 0)).toDF("g", "m")
+      .withColumn("rings",
+        filter(array(array(struct(lit(0.0).as("x"), lit(0.0).as("y")))), _ => lit(false)))
+      .select("g", "rings")
+    val d = CoverageArea.unionArea(deg, "rings", Seq("g")).collect()
+    val c = CoverageArea.unionAreaByCell(deg, "rings", Seq("g"), cellSize = 8.0).collect()
+    assert(d.length == 1 && d(0).getDouble(3) == 0.0)
+    assert(c.length == 1 && c(0).getDouble(3) == 0.0, "cell path must keep the degenerate group")
+  }
+
   test("operator: unionArea and unionAreaByCell agree with the kernel over groups") {
     val rows = for {
       g <- 0 until 6

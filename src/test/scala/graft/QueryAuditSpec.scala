@@ -57,7 +57,10 @@ class QueryAuditSpec extends AnyFunSuite {
     case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
     case _: org.apache.spark.sql.execution.CollectLimitExec => true
     case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-    case _: org.apache.spark.sql.execution.LocalLimitExec => true
+    // LocalLimitExec is NOT a constant bound: it caps rows PER PARTITION,
+    // so LocalLimit(k) over an N-partition scan is k*N rows — scaling
+    // with input partitioning. Only a GlobalLimitExec ancestor (matched
+    // above before this subtree is reached) proves a constant (ADVICE r15).
     case _: org.apache.spark.sql.execution.GenerateExec => false
     case _: org.apache.spark.sql.execution.ExpandExec => false
     // literal-sized leaves: a range/local relation whose row count is a
@@ -119,23 +122,25 @@ class QueryAuditSpec extends AnyFunSuite {
     "e3c_ivf_pruned", "e3e_ivfpq", "km1_lloyd_round",
     "e16_semantic_dedup", "e16b_semdedup_sqrtn", "knn1_label_transfer")
 
-  private def buildSideDisciplined(p: SparkPlan): Boolean = {
-    val bounded = collectAll(p) {
-      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
-      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
-      case l: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => l
-      case l: org.apache.spark.sql.execution.GlobalLimitExec => l
-      case t if t.nodeName.contains("TopKPerKey") => t
-    }.nonEmpty
-    val scans = collectAll(p) {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.dataFilters.nonEmpty
-      case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => false
-    }
-    val filtered = collectAll(p) {
-      case f: org.apache.spark.sql.execution.FilterExec => f
-    }.nonEmpty
-    scans.isEmpty || bounded || filtered || scans.forall(identity)
+  /** PATH-wise discipline (ADVICE r15: the old form passed when ANY
+    * filter/aggregate existed ANYWHERE in the build side, so a
+    * whole-corpus broadcast joined to an incidentally-filtered frame
+    * slipped the tripwire): every scan must have an aggregate / cap /
+    * TopK / Filter on ITS OWN path to the broadcast root — a bounding
+    * or filtering node blesses exactly the subtree below it. */
+  private def buildSideDisciplined(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => buildSideDisciplined(a.initialPlan)
+    case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+    case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+    case _: org.apache.spark.sql.execution.aggregate.SortAggregateExec => true
+    case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: org.apache.spark.sql.execution.FilterExec => true
+    case t if t.nodeName.contains("TopKPerKey") => true
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => s.dataFilters.nonEmpty
+    case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => false
+    case leaf if leaf.children.isEmpty => true // literal/range leaves: no corpus behind them
+    case other => other.children.forall(buildSideDisciplined)
   }
 
   test("allowlisted index-metadata queries never broadcast a bare unfiltered scan") {
