@@ -175,6 +175,26 @@ object GraftFunctions {
           "disjoint-members contract)",
         classOf[graft.functions.ClipAreaMultiPolygonExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipAreaMultiPolygonExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_box_geom"),
+      info("st_clip_box_geom",
+        "st_clip_box_geom(rings, box) - the CLIPPED RINGS of polygon-intersect-box " +
+          "(same Sutherland-Hodgman passes as st_clip_area, vertex lists returned: " +
+          "one entry per input ring, empty when clipped away; area-faithful, not " +
+          "minimal on concave subjects)",
+        classOf[graft.functions.ClipRingsBoxExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipRingsBoxExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_poly_geom"),
+      info("st_clip_poly_geom",
+        "st_clip_poly_geom(rings, clip_ring) - the CLIPPED RINGS of polygon-" +
+          "intersect-CONVEX-window (st_clip_area_poly's passes, vertex lists " +
+          "returned; fail-closed on concave windows)",
+        classOf[graft.functions.ClipRingsConvexExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipRingsConvexExpr(exprs(0), exprs(1))),
+    composed("st_rings_wkt",
+      "st_rings_wkt(rings) - parsed rings back to a WKT POLYGON string (the " +
+        "st_rings inverse; empty rings skipped, all-empty renders POLYGON EMPTY) " +
+        "- bridges computed geometry to the WKT sinks", 1)(
+      cs => graft.functions.SpatialOps.ringsToWkt(cs(0))),
     (FunctionIdentifier("st_is_simple_ring"),
       info("st_is_simple_ring",
         "st_is_simple_ring(ring) - true iff the closed ring is SIMPLE (no " +

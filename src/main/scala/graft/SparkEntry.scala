@@ -1408,6 +1408,69 @@ object SparkEntry {
       .orderBy("s_suppkey", "c_custkey")
   }
 
+  /** J27 — GEOMETRY-EMITTING clip (the r15 verdict's top gap: the
+    * engine could MEASURE every overlay but never CONSTRUCT one): the
+    * j21 polygon×cell pairs with the clipped polygon's RINGS emitted by
+    * [[graft.functions.ClipExprs.clipRingsBoxCol]] (the identical S-H
+    * passes, vertex lists returned instead of folded), exploded to one
+    * row per vertex — the raw IEEE coordinates hash-gate directly
+    * because the oracle replays every pass and unnests the SAME final
+    * lists (the j21 discipline, one step further: the first oracled
+    * emitted GEOMETRY). Pairs survive on a nonempty vertex list (the
+    * emission-side analog of j21's clip_area > 0 — degenerate
+    * zero-area slivers are geometry here, not measure). The WKT bridge
+    * and GeoParquet round trip (clipped rings → st_rings_wkt → sink →
+    * re-ingest → areas ≡ st_clip_area bitwise) are gated in
+    * ClipAreaSpec/GeoSinkSpec.
+    */
+  private def j27(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_r")))
+    val cells = s.range(156).select(
+        col("id").as("cell_id"),
+        ((col("id") % 13) * 8).cast("double").as("gx"),
+        ((col("id") / 13).cast("long") * 8).cast("double").as("gy"))
+      .withColumn("cenv", SpatialOps.bbox(col("gx"), col("gy"),
+        col("gx") + lit(8.0), col("gy") + lit(8.0)))
+    operators.SpatialJoin.bboxJoin(polys, cells, "env", "cenv", cellSize = 8.0)
+      .withColumn("clipped",
+        graft.functions.ClipExprs.clipRingsBoxCol(col("_r"), col("cenv")))
+      .select(col("s_suppkey"), col("cell_id"),
+        posexplode(col("clipped")).as(Seq("ring_i", "ring")))
+      .filter(size(col("ring")) > 0)
+      .select(col("s_suppkey"), col("cell_id"), col("ring_i"),
+        posexplode(col("ring")).as(Seq("pt_i", "pt")))
+      .select(col("s_suppkey"), col("cell_id"), col("ring_i"), col("pt_i"),
+        col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("s_suppkey", "cell_id", "ring_i", "pt_i")
+  }
+
+  /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
+    * lists unnested to vertex rows instead of folded to areas: ring 0
+    * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
+    * 0-based positions when nonempty — exactly the engine's
+    * posexplode-over-emitted-rings rule.
+    */
+  private def sqlClipGeom: String = {
+    // the j21 replay verbatim up to the final level
+    val zonal = sqlClipZonal
+    val upToFinal = zonal.substring(0, zonal.indexOf("SELECT s_suppkey, cell_id, clip_area"))
+    def vtx(ring: String, ri: Int): String =
+      s"""SELECT s_suppkey, cell_id, CAST($ri AS INT) AS ring_i,
+         |  unnest(list_transform(range(1, length($ring) + 1), i ->
+         |    struct_pack(pt_i := CAST(i - 1 AS INT), x := $ring[i].x, y := $ring[i].y))) AS v
+         |FROM c4 WHERE length($ring) > 0""".stripMargin
+    upToFinal +
+      s"""SELECT s_suppkey, cell_id, ring_i, v.pt_i AS pt_i, v.x AS x, v.y AS y
+         |FROM (${vtx("o4", 0)}
+         |UNION ALL
+         |${vtx("h4", 1)})
+         |ORDER BY s_suppkey, cell_id, ring_i, pt_i""".stripMargin
+  }
+
   /** j25's oracle — j23's replay plus the hole triangle (CW: inside
     * tests flip to ≤ 0), its area subtracted last. */
   private def sqlClipPolygon: String = {
@@ -6909,6 +6972,7 @@ object SparkEntry {
     "j23_clip_concave" -> (j23 _),
     "j25_clip_polygon" -> (j25 _),
     "j26_clip_multipolygon" -> (j26 _),
+    "j27_clip_geometry" -> (j27 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -7515,6 +7579,9 @@ object SparkEntry {
     // replay is sqlClipPolygon VERBATIM (ClipAreaSpec gates the bitwise
     // identity engine-side).
     "j26_clip_multipolygon" -> sqlClipPolygon,
+    // j27: the same replay EMITTING the final clipped vertex lists as
+    // rows — the first oracled computed GEOMETRY (raw IEEE coordinates).
+    "j27_clip_geometry" -> sqlClipGeom,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

@@ -89,6 +89,28 @@ object SpatialOps {
       regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)),
       r => ringPts(r))
 
+  /** The INVERSE of [[wktRings]] — parsed rings back to a WKT POLYGON
+    * string, so computed geometry (the clip_*_geom emissions, traced
+    * segment boundaries) can be WRITTEN through the WKT sinks
+    * (GeoParquet/GPKG/shapefile). Coordinates render via Spark's
+    * double→string cast (Java shortest-round-trip), so
+    * `wktRings(ringsToWkt(r)) == r` BITWISE — the round trip loses
+    * nothing. Empty rings are skipped (a clip that removed a hole);
+    * all-empty input renders the OGC `POLYGON EMPTY`.
+    */
+  def ringsToWkt(rings: Column): Column = {
+    val nonEmpty = filter(rings, r => size(r) > 0)
+    when(size(nonEmpty) === 0, lit("POLYGON EMPTY")).otherwise(
+      concat(lit("POLYGON ("),
+        array_join(transform(nonEmpty, r =>
+          concat(lit("("),
+            array_join(transform(r, p =>
+              concat(p.getField("x").cast("string"), lit(" "),
+                p.getField("y").cast("string"))), ", "),
+            lit(")"))), ", "),
+        lit(")")))
+  }
+
   /** Σ (x_i·y_{i+1} − x_{i+1}·y_i) over a closed ring = 2·signed area. */
   private def ringCross(pts: Column): Column =
     when(size(pts) < 2, lit(0.0)).otherwise(

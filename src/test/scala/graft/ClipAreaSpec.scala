@@ -413,4 +413,151 @@ class ClipAreaSpec extends AnyFunSuite {
         |FROM clipspec""".stripMargin).head().getDouble(0)
     assert(viaSql == 3.0)
   }
+
+  // ---- geometry emission (r16: clip_*_geom + the WKT/GeoParquet bridge) ----
+
+  /** The area kernels' exact fold over emitted rings: acc += (x_i·y_{i+1}
+    * − x_{i+1}·y_i) per ring, rings summed in order, abs/2 — the
+    * bitwise reference (SpatialOps.ringsArea groups its Column fold as
+    * ((acc + p) − q), a different rounding sequence: ulp-close, not
+    * bitwise). */
+  private def kernelAreaOf(rings: scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]): Double = {
+    var total = 0.0
+    rings.foreach { pts =>
+      var acc = 0.0
+      var i = 0
+      while (i < pts.length - 1) {
+        acc += pts(i).getDouble(0) * pts(i + 1).getDouble(1) -
+          pts(i + 1).getDouble(0) * pts(i).getDouble(1)
+        i += 1
+      }
+      total += acc
+    }
+    math.abs(total) / 2.0
+  }
+
+  test("geometry emission: area(emitted rings) is BITWISE the area kernels' (box + convex)") {
+    // boxes sweeping the arrow-with-hole domain: full/partial/hole-straddling/
+    // corner-touch/disjoint all occur across the sweep
+    for (i <- -1 to 6; j <- -1 to 7) {
+      val (x0, y0, x1, y1) = (i - 0.5, j - 0.75, i + 2.25, j + 1.5)
+      val row = Seq(arrowHole).toDF("g")
+        .select(
+          ClipExprs.clipArea(SpatialOps.wktRings(col("g")),
+            SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))).as("a"),
+          ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+            SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))).as("emitted"))
+        .head()
+      val emitted = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      assert(row.getDouble(0) == kernelAreaOf(emitted),
+        s"box ($x0,$y0,$x1,$y1): area ${row.getDouble(0)} vs emitted ${kernelAreaOf(emitted)}")
+      // and the Column-algebra ringsArea stays within an ulp (different
+      // fold grouping, same operands)
+      val colArea = Seq(arrowHole).toDF("g")
+        .select(SpatialOps.ringsArea(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+          SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))))).head().getDouble(0)
+      assert(math.abs(colArea - row.getDouble(0)) <= 2 * math.ulp(math.max(1.0, colArea)))
+    }
+    for (i <- 0 to 6; j <- 0 to 7) {
+      val d = diamondWkt(i.toDouble, j.toDouble, 2.0)
+      val row = Seq((arrowHole, d)).toDF("g", "c")
+        .select(
+          ClipExprs.clipAreaPoly(SpatialOps.wktRings(col("g")),
+            element_at(SpatialOps.wktRings(col("c")), 1)).as("a"),
+          ClipExprs.clipRingsConvexCol(SpatialOps.wktRings(col("g")),
+            element_at(SpatialOps.wktRings(col("c")), 1)).as("emitted"))
+        .head()
+      val emitted = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      assert(row.getDouble(0) == kernelAreaOf(emitted),
+        s"diamond ($i,$j): area ${row.getDouble(0)} vs emitted ${kernelAreaOf(emitted)}")
+    }
+  }
+
+  test("geometry emission: WKT round trip is bitwise (empty rings skipped)") {
+    // the hole is clipped AWAY by this box -> an empty entry the WKT skips
+    val df = Seq(arrowHole).toDF("g")
+      .select(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(2.5), lit(2.5), lit(7.0), lit(6.0))).as("clipped"))
+      .withColumn("wkt", SpatialOps.ringsToWkt(col("clipped")))
+    val bad = df.filter(
+      filter(col("clipped"), r => size(r) > 0) =!= SpatialOps.wktRings(col("wkt"))).count()
+    assert(bad == 0, "wktRings(ringsToWkt(emitted)) must equal the emitted nonempty rings bitwise")
+    // all-empty -> POLYGON EMPTY
+    val empty = Seq(arrowHole).toDF("g")
+      .select(SpatialOps.ringsToWkt(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(50.0), lit(50.0), lit(60.0), lit(60.0)))).as("w"))
+      .head().getString(0)
+    assert(empty == "POLYGON EMPTY")
+    // a box keeping the hole: both rings survive, round trip still bitwise
+    val df2 = Seq(arrowHole).toDF("g")
+      .select(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(0.5), lit(0.5), lit(5.0), lit(5.0))).as("clipped"))
+      .withColumn("wkt", SpatialOps.ringsToWkt(col("clipped")))
+    assert(df2.filter(size(element_at(col("clipped"), 2)) > 0).count() == 1,
+      "fixture must keep the hole for this to test multi-ring WKT")
+    val bad2 = df2.filter(
+      filter(col("clipped"), r => size(r) > 0) =!= SpatialOps.wktRings(col("wkt"))).count()
+    assert(bad2 == 0)
+  }
+
+  test("geometry emission: GeoParquet round trip re-ingests areas bitwise") {
+    // clip a small store of translated arrows to one window, WRITE the
+    // clipped geometry as GeoParquet, re-ingest, and require the
+    // re-ingested areas to equal st_clip_area on the ORIGINALS bitwise —
+    // the r15 verdict's "first user who clips to an AOI and wants to
+    // WRITE the clipped store" flow, end to end
+    val dir = java.nio.file.Files.createTempDirectory("clipgeo").toString + "/store"
+    def arrowAt(dx: Int, dy: Int) =
+      s"POLYGON (($dx $dy, ${dx + 6} $dy, ${dx + 6} ${dy + 8}, ${dx + 3} ${dy + 4}, " +
+        s"$dx ${dy + 8}, $dx $dy), (${dx + 1} ${dy + 1}, ${dx + 1} ${dy + 2}, " +
+        s"${dx + 2} ${dy + 2}, ${dx + 2} ${dy + 1}, ${dx + 1} ${dy + 1}))"
+    val src = (0 until 12).map(k => (k.toLong, arrowAt(k % 5, k % 4))).toDF("fid", "g")
+    val clipped = src
+      .withColumn("clipped", ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(1.5), lit(1.0), lit(7.25), lit(6.5))))
+      .withColumn("geom", SpatialOps.ringsToWkt(col("clipped")))
+      .filter(col("geom") =!= "POLYGON EMPTY")
+    operators.GeoParquet.writeGeoParquet(clipped.select("fid", "geom"), dir, geomCol = "geom")
+    val back = operators.GeoParquet.readGeoParquet(spark, dir)
+      .select(col("fid"), SpatialOps.ringsArea(SpatialOps.wktRings(col("geom"))).as("a_back"))
+    val orig = src.select(col("fid"),
+      ClipExprs.clipArea(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(1.5), lit(1.0), lit(7.25), lit(6.5))).as("a_orig"))
+    val joined = back.join(orig, "fid")
+    assert(joined.count() == 12, "every clipped feature must survive the round trip")
+    assert(joined.filter(col("a_back") =!= col("a_orig")).count() == 0,
+      "re-ingested clipped areas must equal st_clip_area on the originals bitwise")
+  }
+
+  test("geometry emission fail-closed: inverted box, concave clip ring") {
+    val e1 = intercept[Exception](Seq(arrowHole).toDF("g")
+      .select(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(5.0), lit(0.0), lit(1.0), lit(4.0)))).collect())
+    assert(e1.getMessage.contains("inverted") || e1.getCause != null)
+    val dart = "POLYGON ((3 5, 1 1, 3 2, 5 1, 3 5))"
+    val e2 = intercept[Exception](Seq((arrowHole, dart)).toDF("g", "c")
+      .select(ClipExprs.clipRingsConvexCol(SpatialOps.wktRings(col("g")),
+        element_at(SpatialOps.wktRings(col("c")), 1))).collect())
+    assert(e2.getMessage.contains("convex") || e2.getCause != null)
+  }
+
+  test("SQL surface: st_clip_box_geom / st_clip_poly_geom / st_rings_wkt match the Column forms") {
+    GraftFunctions.register(spark)
+    Seq(arrowHole).toDF("g").createOrReplaceTempView("clipgeospec")
+    val viaSql = spark.sql(
+      """SELECT st_rings_wkt(st_clip_box_geom(st_rings(g), named_struct(
+        |  'xmin', CAST(0.5 AS DOUBLE), 'ymin', CAST(0.5 AS DOUBLE),
+        |  'xmax', CAST(5.0 AS DOUBLE), 'ymax', CAST(5.0 AS DOUBLE)))) AS w,
+        |  st_rings_wkt(st_clip_poly_geom(st_rings(g),
+        |    st_rings('POLYGON ((3 1, 5 3, 3 5, 1 3, 3 1))')[0])) AS w2
+        |FROM clipgeospec""".stripMargin).head()
+    val diamond = "POLYGON ((3 1, 5 3, 3 5, 1 3, 3 1))"
+    val viaCol = Seq((arrowHole, diamond)).toDF("g", "c").select(
+      SpatialOps.ringsToWkt(ClipExprs.clipRingsBoxCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(0.5), lit(0.5), lit(5.0), lit(5.0)))).as("w"),
+      SpatialOps.ringsToWkt(ClipExprs.clipRingsConvexCol(SpatialOps.wktRings(col("g")),
+        element_at(SpatialOps.wktRings(col("c")), 1))).as("w2")).head()
+    assert(viaSql.getString(0) == viaCol.getString(0))
+    assert(viaSql.getString(1) == viaCol.getString(1))
+  }
 }
