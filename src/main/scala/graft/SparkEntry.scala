@@ -6444,6 +6444,52 @@ object SparkEntry {
         cellSize = 16.0)
       .orderBy("g")
 
+  /** cov4 — DISSOLVE EMITTING GEOMETRY (the r15 verdict's second gap,
+    * the construct side of cov2's measure): each customer's three
+    * overlapping stepped rectangles dissolve to the union's actual
+    * RINGS via [[operators.CoverageArea.unionGeometry]] (exact
+    * rectilinear tracer: irregular-grid coverage + region-left boundary
+    * walk — every emitted coordinate an input coordinate verbatim),
+    * exploded to one row per vertex. The staircase union's boundary is
+    * CLOSED-FORM in (bx, by, w, h) — always the same 12 corners for
+    * this family (w ≥ 4 > dx, h ≥ 3 > dy keeps every step
+    * nondegenerate) — so the oracle hard-codes the vertex list
+    * symbolically (the j23 hard-coded-ears discipline): a hash match is
+    * the tracer agreeing with the shape's geometry derived BY HAND, not
+    * a replay. CoverageAreaSpec gates shoelace(emitted) ≡ the scanline
+    * union and the WKT bridge.
+    */
+  private def cov4(s: SparkSession, d: String) =
+    operators.CoverageArea.unionGeometry(covRects(s, d), "rings", Seq("g"))
+      .select(col("g"), posexplode(col("rings")).as(Seq("ring_i", "ring")))
+      .select(col("g"), col("ring_i"), posexplode(col("ring")).as(Seq("pt_i", "pt")))
+      .select(col("g"), col("ring_i"), col("pt_i"),
+        col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("g", "ring_i", "pt_i")
+
+  /** cov4's oracle — the staircase union's 12 corners derived by hand
+    * (member i at (bx+2i, by+i), size w×h, every step proper), emitted
+    * closed in the tracer's canonical order (lexicographic-min start,
+    * CCW). All coordinates integer-valued doubles — exact in both
+    * engines under any grouping. */
+  private def sqlUnionGeom: String = {
+    val corners = Seq(
+      ("bx", "by"), ("bx + w", "by"), ("bx + w", "by + 1"), ("bx + w + 2", "by + 1"),
+      ("bx + w + 2", "by + 2"), ("bx + w + 4", "by + 2"), ("bx + w + 4", "by + h + 2"),
+      ("bx + 4", "by + h + 2"), ("bx + 4", "by + h + 1"), ("bx + 2", "by + h + 1"),
+      ("bx + 2", "by + h"), ("bx", "by + h"), ("bx", "by"))
+    val structs = corners.zipWithIndex.map { case ((x, y), i) =>
+      s"struct_pack(pt_i := CAST($i AS INT), x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH t AS (SELECT c_custkey AS g,
+       |  CAST((c_custkey % 30) * 2 AS DOUBLE) AS bx, CAST((c_custkey % 20) * 2 AS DOUBLE) AS by,
+       |  CAST(c_custkey % 3 + 4 AS DOUBLE) AS w, CAST(c_custkey % 2 + 3 AS DOUBLE) AS h
+       |  FROM customer)
+       |SELECT g, CAST(0 AS INT) AS ring_i, v.pt_i AS pt_i, v.x AS x, v.y AS y
+       |FROM (SELECT g, unnest($structs) AS v FROM t)
+       |ORDER BY g, ring_i, pt_i""".stripMargin
+  }
+
   /** cov3 — coverage area over CONCAVE geometry (what cov2's convex
     * rectangles never exercise: a scanline row holding MULTIPLE
     * intervals from ONE polygon): a rectilinear U-shape (outer box minus
@@ -7188,6 +7234,7 @@ object SparkEntry {
     "cov1_interval_coverage" -> (cov1 _),
     "cov2_union_area" -> (cov2 _),
     "cov3_union_concave" -> (cov3 _),
+    "cov4_union_geometry" -> (cov4 _),
     "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
@@ -11455,6 +11502,10 @@ object SparkEntry {
     // zs3's cell-decomposed sum must equal the same value exactly.
     "cov2_union_area" -> sqlUnionAreaIE,
     "zs3_coverage_cells" -> sqlUnionAreaIE,
+    // cov4: the dissolved union's RINGS vs the staircase boundary derived
+    // by hand (12 closed-form corners) — tracer vs hand geometry, not a
+    // replay.
+    "cov4_union_geometry" -> sqlUnionGeom,
     // cov3: concave scanline (multi-interval rows) vs the U decomposed
     // into disjoint rects + 15-term I-E -- independent exact algorithms.
     "cov3_union_concave" -> sqlUnionAreaMixed,

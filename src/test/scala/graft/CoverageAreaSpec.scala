@@ -159,6 +159,104 @@ class CoverageAreaSpec extends AnyFunSuite {
     assert(c.length == 1 && c(0).getDouble(3) == 0.0, "cell path must keep the degenerate group")
   }
 
+  // ---- geometry-emitting dissolve (r16) ----
+
+  /** Shoelace over emitted rings, signed sum (CCW outers +, CW holes −). */
+  private def shoelace(rings: Array[(Array[Double], Array[Double])]): Double =
+    rings.map { case (xs, ys) =>
+      (0 until xs.length - 1).map(i => xs(i) * ys(i + 1) - xs(i + 1) * ys(i)).sum
+    }.sum / 2.0
+
+  test("unionRingsOf: overlapping staircase dissolves to the closed-form 12-corner ring") {
+    val polys = Seq(rect(0, 0, 5, 4), rect(2, 1, 7, 5), rect(4, 2, 9, 6))
+    val rings = CoverageArea.unionRingsOf(polys)
+    assert(rings.length == 1)
+    val (xs, ys) = rings(0)
+    val expect = Seq((0.0, 0.0), (5.0, 0.0), (5.0, 1.0), (7.0, 1.0), (7.0, 2.0), (9.0, 2.0),
+      (9.0, 6.0), (4.0, 6.0), (4.0, 5.0), (2.0, 5.0), (2.0, 4.0), (0.0, 4.0), (0.0, 0.0))
+    assert(xs.zip(ys).toSeq == expect, s"got ${xs.zip(ys).toSeq}")
+    assert(shoelace(rings) == CoverageArea.unionAreaOf(polys, None))
+  }
+
+  test("unionRingsOf: disconnected union emits two CCW outers; frame emits a CW hole") {
+    val two = CoverageArea.unionRingsOf(Seq(rect(0, 0, 2, 2), rect(5, 5, 7, 7)))
+    assert(two.length == 2)
+    assert(two.forall { case (xs, ys) =>
+      (0 until xs.length - 1).map(i => xs(i) * ys(i + 1) - xs(i + 1) * ys(i)).sum > 0 })
+    assert(shoelace(two) == 8.0)
+    // a frame: four overlapping strips around an empty 2x2 middle
+    val frame = Seq(rect(0, 0, 6, 1), rect(0, 5, 6, 6), rect(0, 0, 1, 6), rect(5, 0, 6, 6))
+    // inner hole is [1,5]x[1,5] minus... strips: bottom y<=1, top y>=5, left x<=1, right x>=5
+    // -> hole (1,1)-(5,5), outer (0,0)-(6,6)
+    val fr = CoverageArea.unionRingsOf(frame)
+    assert(fr.length == 2)
+    val signs = fr.map { case (xs, ys) =>
+      (0 until xs.length - 1).map(i => xs(i) * ys(i + 1) - xs(i + 1) * ys(i)).sum }
+    assert(signs(0) > 0 && signs(1) < 0, s"outer-then-hole expected, got $signs")
+    assert(shoelace(fr) == 36.0 - 16.0)
+    assert(shoelace(fr) == CoverageArea.unionAreaOf(frame, None))
+  }
+
+  test("unionRingsOf: checkerboard pinch traces two simple touching rings; nested/duplicate collapse") {
+    val pinch = Seq(rect(0, 0, 1, 1), rect(1, 1, 2, 2))
+    val pr = CoverageArea.unionRingsOf(pinch)
+    assert(pr.length == 2, "diagonal cells must come back as two simple rings")
+    pr.foreach { case (xs, ys) =>
+      val opens = xs.zip(ys).dropRight(1)
+      assert(opens.distinct.length == opens.length, "ring must be simple (no repeated vertex)")
+    }
+    assert(shoelace(pr) == 2.0)
+    // identical copies and a nested rect collapse to the one outer
+    val nested = CoverageArea.unionRingsOf(Seq(rect(0, 0, 4, 4), rect(1, 1, 2, 2), rect(0, 0, 4, 4)))
+    assert(nested.length == 1 && shoelace(nested) == 16.0)
+  }
+
+  test("unionRingsOf: a polygon WITH a hole unions even-odd; slants and blowups fail loudly") {
+    // rect with a hole (even-odd: outer + opposite-wound inner ring),
+    // partially covered by a second rect plugging half the hole
+    val holed = Array(
+      (Array(0.0, 6.0, 6.0, 0.0, 0.0), Array(0.0, 0.0, 6.0, 6.0, 0.0)),
+      (Array(2.0, 2.0, 4.0, 4.0, 2.0), Array(2.0, 4.0, 4.0, 2.0, 2.0)))
+    val plug = rect(2, 2, 3, 4)
+    val ur = CoverageArea.unionRingsOf(Seq(holed, plug))
+    // remaining hole: (3,2)-(4,4)
+    assert(shoelace(ur) == 36.0 - 4.0 + 2.0)
+    assert(shoelace(ur) == CoverageArea.unionAreaOf(Seq(holed, plug), None))
+    val e = intercept[IllegalArgumentException](CoverageArea.unionRingsOf(
+      Seq(Array((Array(0.0, 4.0, 0.0, 0.0), Array(0.0, 0.0, 3.0, 0.0))))))
+    assert(e.getMessage.contains("RECTILINEAR"))
+    val e2 = intercept[IllegalArgumentException](
+      CoverageArea.unionRingsOf(Seq(rect(0, 0, 10, 10), rect(1, 1, 2, 2)), maxCells = 3))
+    assert(e2.getMessage.contains("maxCells"))
+  }
+
+  test("operator: unionGeometry emits rings whose shoelace equals unionArea; WKT bridges") {
+    val rows = for (g <- 0 until 4; m <- 0 until 3) yield (g.toLong, m)
+    val df = rows.toDF("g", "m")
+      .withColumn("x0", (col("g") % 5) * 2 + col("m") * 2)
+      .withColumn("y0", (col("g") % 3) * 2 + col("m"))
+      .withColumn("rings", array(array(
+        struct(col("x0").cast("double").as("x"), col("y0").cast("double").as("y")),
+        struct((col("x0") + 5).cast("double").as("x"), col("y0").cast("double").as("y")),
+        struct((col("x0") + 5).cast("double").as("x"), (col("y0") + 4).cast("double").as("y")),
+        struct(col("x0").cast("double").as("x"), (col("y0") + 4).cast("double").as("y")),
+        struct(col("x0").cast("double").as("x"), col("y0").cast("double").as("y")))))
+      .select("g", "rings")
+    val geo = CoverageArea.unionGeometry(df, "rings", Seq("g")).orderBy("g")
+    val area = CoverageArea.unionArea(df, "rings", Seq("g")).orderBy("g")
+    val j = geo.select(col("g"), col("union_area"))
+      .join(area.select(col("g"), col("union_area").as("scanline")), "g")
+    assert(j.count() == 4)
+    assert(j.filter(col("union_area") =!= col("scanline")).count() == 0,
+      "shoelace over emitted rings must equal the scanline union exactly on integer coords")
+    // the emitted geometry survives the WKT bridge with its area intact
+    val viaWkt = geo.select(col("g"),
+      graft.functions.SpatialOps.ringsArea(graft.functions.SpatialOps.wktRings(
+        graft.functions.SpatialOps.ringsToWkt(col("rings")))).as("a2"),
+      col("union_area"))
+    assert(viaWkt.filter(col("a2") =!= col("union_area")).count() == 0)
+  }
+
   test("operator: unionArea and unionAreaByCell agree with the kernel over groups") {
     val rows = for {
       g <- 0 until 6
