@@ -208,7 +208,8 @@ object GraftFunctions {
         "st_is_valid_polygon(rings) - true iff the polygon is valid: every " +
           "ring simple, holes wound opposite the outer, no cross-ring edge " +
           "crossing/overlap (point-touches allowed), every hole inside the " +
-          "outer, holes not nested; interior-connectivity NOT checked",
+          "outer, holes not nested, and the interior CONNECTED (no touch " +
+          "chain closing a loop through distinct points)",
         classOf[graft.functions.PolygonIsValidExpr]),
       (exprs: Seq[Expression]) => graft.functions.PolygonIsValidExpr(exprs(0))),
     composedIntLast("graft_hilbert",

@@ -1075,14 +1075,19 @@ object SparkEntry {
     * the whole-geometry ingest gate): outer + holes judged as a unit by
     * [[graft.functions.PolygonIsValidExpr]] (all rings simple, holes
     * opposite-wound, no cross-ring edge crossing/overlap, holes
-    * contained, holes not nested). Six parameterized families with
-    * CLASS-CONSTANT verdicts: proper hole (valid), boundary-straddling
-    * hole, escaped hole, overlapping holes, bowtie outer, two disjoint
-    * holes (valid).
+    * contained, holes not nested, interior connected). Eight
+    * parameterized families with CLASS-CONSTANT verdicts: proper hole
+    * (valid), boundary-straddling hole, escaped hole, overlapping
+    * holes, bowtie outer, two disjoint holes (valid), and — the r16
+    * interior-connectivity pair — a two-hole chain wall-to-wall through
+    * the center (each touch individually legal, the CHAIN splits the
+    * interior top/bottom: invalid) vs a single tangent hole touching
+    * one wall at one point (valid — the OGC rule the chain class
+    * proves we don't over-reject).
     */
   private def g25(s: SparkSession, d: String) = {
     val c = col("c_custkey")
-    val cls = (c % 6).cast("int")
+    val cls = (c % 8).cast("int")
     val cx = (c % 88).cast("double") + lit(2.0)
     val cy = (c % 78).cast("double") + lit(2.0)
     val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
@@ -1105,9 +1110,22 @@ object SparkEntry {
         array(outer, hole(cx - q * 2, cy - q * 2, cx + q, cy + q),
           hole(cx - q, cy - q, cx + q * 2, cy + q * 2)))
       .when(cls === 4, array(bowtie))
-      .otherwise(
+      .when(cls === 5,
         array(outer, hole(cx - q * 3, cy - q, cx - q, cy + q),
           hole(cx + q, cy - q, cx + q * 3, cy + q)))
+      .when(cls === 6, {
+        // CW diamond holes chaining left wall -> center -> right wall:
+        // every touch is a legal point-touch, the chain disconnects
+        val dA = array(pt(cx - r, cy), pt(cx - q * 2, cy + q), pt(cx, cy),
+          pt(cx - q * 2, cy - q), pt(cx - r, cy))
+        val dB = array(pt(cx, cy), pt(cx + q * 2, cy + q), pt(cx + r, cy),
+          pt(cx + q * 2, cy - q), pt(cx, cy))
+        array(outer, dA, dB)
+      })
+      .otherwise(
+        // single tangent CW diamond hole touching the bottom wall once
+        array(outer, array(pt(cx, cy - r), pt(cx - q, cy - q * 3), pt(cx, cy - q * 2),
+          pt(cx + q, cy - q * 3), pt(cx, cy - r))))
     Tables.customer(s, d)
       .select(cls.as("cls"),
         graft.functions.GeomValidity.polygonIsValidCol(rings).as("is_valid"))
@@ -7858,8 +7876,8 @@ object SparkEntry {
     // (proper hole and two-disjoint-holes valid; straddling/escaped/
     // overlapping holes and the bowtie outer invalid).
     "g25_polygon_validity" ->
-      """SELECT CAST(c_custkey % 6 AS INT) AS cls,
-        |  (c_custkey % 6 = 0 OR c_custkey % 6 = 5) AS is_valid,
+      """SELECT CAST(c_custkey % 8 AS INT) AS cls,
+        |  (c_custkey % 8 = 0 OR c_custkey % 8 = 5 OR c_custkey % 8 = 7) AS is_valid,
         |  count(*) AS n
         |FROM customer GROUP BY 1, 2 ORDER BY cls, is_valid""".stripMargin,
     // g26: the enforcement flow -- valid rings' closed-form areas

@@ -186,9 +186,23 @@ object GeomValidity {
     * OGC rule), every hole vertex lies inside-or-on the outer ring with
     * at least one STRICTLY inside (all-on-boundary degenerates fail
     * closed), and no hole vertex lies strictly inside another hole
-    * (nesting). NOT checked: the OGC interior-connectivity condition
-    * (a chain of point-touching holes splitting the interior) — the one
-    * validity clause that needs a topology sweep; documented trade.
+    * (nesting), and — the last OGC axiom, closed in r16 — the INTERIOR
+    * IS CONNECTED: point-touches are individually legal, but a chain of
+    * touches that closes a loop through two or more DISTINCT touch
+    * points (hole touching the outer twice; holes chaining wall to
+    * wall; two holes touching each other at two points) walls off part
+    * of the interior. The test is the classic touch-graph acyclicity
+    * condition on the BIPARTITE graph of rings and touch points: since
+    * proper crossings and collinear overlaps are already rejected,
+    * every inter-ring contact happens AT a vertex of at least one ring,
+    * so touch points are exactly the vertices lying on another ring;
+    * each (ring, point) incidence is a graph edge, and a union-find
+    * cycle = a closed curve alternating along ring boundaries through
+    * distinct touch points, which separates the plane (Jordan) and
+    * pinches the interior. Three rings meeting at ONE shared point form
+    * a star (no cycle) and stay valid — the interior connects around
+    * them, which is why the graph must be bipartite on points rather
+    * than rings-only.
     */
   def polygonIsValid(rings: ArrayData): Boolean = {
     val nr = rings.numElements()
@@ -254,6 +268,61 @@ object GeomValidity {
         j += 1
       }
       i += 1
+    }
+    interiorConnected(xs, ys)
+  }
+
+  /** The interior-connectivity clause (see [[polygonIsValid]]): touch
+    * points = vertices of any ring lying on a DIFFERENT ring; the
+    * bipartite ring/point incidence graph must be acyclic. */
+  private def interiorConnected(xs: Array[Array[Double]], ys: Array[Array[Double]]): Boolean = {
+    val nr = xs.length
+    if (nr < 2) return true
+    // candidate touch points (dedup by exact coordinates — touches are
+    // vertex-exact because crossings/overlaps are already rejected)
+    val pts = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+    var a = 0
+    while (a < nr) {
+      var b = 0
+      while (b < nr) {
+        if (b != a) {
+          var v = 0
+          while (v < xs(a).length - 1) {
+            if (pointOnRing(xs(b), ys(b), xs(a)(v), ys(a)(v)))
+              pts += ((xs(a)(v), ys(a)(v)))
+            v += 1
+          }
+        }
+        b += 1
+      }
+      a += 1
+    }
+    if (pts.isEmpty) return true
+    val ptArr = pts.toArray
+    // union-find over nr ring nodes + point nodes; an incidence closing
+    // a cycle = a pinching touch loop
+    val parent = Array.tabulate(nr + ptArr.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var pi = 0
+    while (pi < ptArr.length) {
+      val (px, py) = ptArr(pi)
+      var r = 0
+      while (r < nr) {
+        if (pointOnRing(xs(r), ys(r), px, py)) {
+          val fr = find(r)
+          val fp = find(nr + pi)
+          if (fr == fp) return false
+          parent(fr) = fp
+        }
+        r += 1
+      }
+      pi += 1
     }
     true
   }

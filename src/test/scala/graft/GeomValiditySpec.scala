@@ -102,6 +102,34 @@ class GeomValiditySpec extends AnyFunSuite {
     assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (0 0, 0 8, 8 8, 8 0, 0 0))"))
   }
 
+  test("interior connectivity: touch chains that close a loop disconnect; stars do not") {
+    // ONE hole touching the outer at TWO distinct points splits the
+    // interior (left lobe / right lobe): invalid
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (4 0, 2 4, 4 8, 6 4, 4 0))"))
+    // two holes chaining wall -> center -> wall: each touch individually
+    // legal, the chain walls off top from bottom: invalid
+    assert(!validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(0 4, 2 5, 4 4, 2 3, 0 4), (4 4, 6 5, 8 4, 6 3, 4 4))"))
+    // two holes touching EACH OTHER at two distinct points pinch off the
+    // lens between them (hB's top path sags strictly below hA's lower
+    // boundary except at the shared endpoints): invalid
+    assert(!validOf("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), " +
+      "(2 5, 4 7, 6 5, 4 4, 2 5), (2 5, 4 3, 6 5, 4 1, 2 5))"))
+    // THREE rings sharing ONE point (two holes tangent to the wall at
+    // the same point) form a star, the interior connects around it:
+    // valid — the reason the graph is bipartite on points, not
+    // rings-only (rings-only would call this a cycle and over-reject)
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(0 4, 2 6, 2 5, 0 4), (0 4, 2 3, 2 2, 0 4))"))
+    // a hole touching the outer once AND another interior hole once
+    // (an open chain, no loop): valid
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(0 4, 2 5, 2 3, 0 4), (2 4, 4 5, 4 3, 2 4))"))
+    // two interior holes meeting only at one interior point: valid
+    assert(validOf("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), " +
+      "(4 4, 2 3, 2 5, 4 4), (4 4, 6 5, 6 3, 4 4))"))
+  }
+
   test("SQL surface matches the Column form; predicate gates the clip contract") {
     GraftFunctions.register(spark)
     Seq(("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))", false),
