@@ -2667,6 +2667,68 @@ object SparkEntry {
       .orderBy("cell")
   }
 
+  /** KM2 — the multi-round Lloyd TRAINING loop (km1's one exact round
+    * iterated — the r15 verdict's clustering end-to-end): three rounds
+    * of [[Similarity.trainKMeans]] from the km1 seed (vec_id < 4),
+    * final assignment censused exactly like km1. Each round's ≤k-row
+    * centroid table is collected and re-seeded as a local relation
+    * (flat lineage, broadcast side statically row-bounded — the plan
+    * audit proves this one with NO allowlist entry, unlike km1's
+    * filtered-scan seed), and the values re-seed VERBATIM, so the
+    * 3-round trajectory is bitwise the chained-lloydRound form
+    * (SimilaritySpec gates it) and the oracle unrolls all three rounds
+    * as MATERIALIZED CTE levels — the bpe2 training-replay discipline
+    * on k-means.
+    */
+  private def km2(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val init = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val (cent, _) = Similarity.trainKMeans(emb, init, maxRounds = 3)
+    Similarity.assignCells(emb, cent)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(cent.select(col("cell"),
+        floor(element_at(col("centroid"), 1) * lit(1048576L)).cast("long").as("c1_fp"),
+        floor(element_at(col("centroid"), 2) * lit(1048576L)).cast("long").as("c2_fp")),
+        Seq("cell"))
+      .orderBy("cell")
+  }
+
+  /** km2's oracle — the km1 replay unrolled three rounds: per round an
+    * assignment level (argmin with the total tie-break), a fixed-point
+    * dims level, and a centroid level, every CTE MATERIALIZED (the j21
+    * inlining lesson); the census reads the final assignment and cent3.
+    */
+  private def sqlTrainKMeans: String = {
+    def assign(name: String, seed: String, keepCv: Boolean): String =
+      s"""$name AS MATERIALIZED (SELECT vec_id${if (keepCv) ", cv" else ""}, cell FROM (
+         |  SELECT c.vec_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN $seed k) WHERE rk = 1)""".stripMargin
+    def round(k: Int): Seq[String] = Seq(
+      s"""d$k AS MATERIALIZED (SELECT cell, i,
+         |    sum(CAST(floor(CAST(cv[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a${k - 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  GROUP BY cell, i)""".stripMargin,
+      s"""cent$k AS MATERIALIZED (SELECT cell,
+         |    list(CAST(s AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY i) AS kv
+         |  FROM d$k GROUP BY cell)""".stripMargin,
+      assign(s"a$k", s"cent$k", keepCv = k < 3))
+    val ctes = Seq(
+      "init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 4)",
+      "corp AS (SELECT vec_id, embedding AS cv FROM embeddings)",
+      assign("a0", "init", keepCv = true)) ++
+      (1 to 3).flatMap(round)
+    ctes.mkString("WITH ", ",\n", "\n") +
+      s"""SELECT a3.cell, count(*) AS n_members,
+         |  CAST(floor(k.kv[1] * 1048576) AS BIGINT) AS c1_fp,
+         |  CAST(floor(k.kv[2] * 1048576) AS BIGINT) AS c2_fp
+         |FROM a3 JOIN cent3 k ON k.cell = a3.cell
+         |GROUP BY a3.cell, k.kv[1], k.kv[2] ORDER BY a3.cell""".stripMargin
+  }
+
   private def e8(s: SparkSession, d: String) =
     Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), threshold = 0.35, bits = 0)
       .withColumn("cos", round(col("cos"), 6))
@@ -7025,6 +7087,7 @@ object SparkEntry {
     "e3d_pq_adc" -> (e3d _),
     "e3e_ivfpq" -> (e3e _),
     "km1_lloyd_round" -> (km1 _),
+    "km2_kmeans_train" -> (km2 _),
     "j13_bbox_skew" -> (j13 _),
     "j16_point_in_polygon" -> (j16 _),
     "j17_refine_join" -> (j17 _),
@@ -7988,6 +8051,10 @@ object SparkEntry {
          |    len(xa.sh) AS la, len(xb.sh) AS lb
          |  FROM pairs JOIN ss xa ON pairs.a = xa.doc_id JOIN ss xb ON pairs.b = xb.doc_id) t
          |WHERE inter > 0 ORDER BY a, b""".stripMargin,
+    // km2: the training loop — km1's round unrolled three deep, every
+    // level MATERIALIZED; the engine's collect-and-reseed is verbatim,
+    // so the unroll replays the identical trajectory.
+    "km2_kmeans_train" -> sqlTrainKMeans,
     // km1: the exact Lloyd round — argmin assignment, per-dim fixed-point
     // sums, the same ((s/2^20)/n) mean chain, argmin again.
     "km1_lloyd_round" ->

