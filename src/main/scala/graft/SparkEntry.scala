@@ -2287,6 +2287,46 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** TT1 — SNAPSHOT / TIME-TRAVEL READS over the marker-protected store
+    * (the r15 verdict's stretch 9): stage the documents store, run up1's
+    * correction upsert with `retain = true` (archiving the pre-upsert
+    * snapshot as generation 1), then read all three views — the PINNED
+    * generation via [[operators.Maintenance.readAsOf]] (must be the
+    * untouched original corpus), the LIVE store (the post-upsert merge),
+    * and the [[operators.Maintenance.changesSince]] CDC between them —
+    * as one census. The oracle computes every view FROM SCRATCH (the
+    * original table verbatim; the up1 merge; the closed-form diff:
+    * every 17th doc an update, five appended ids inserts), so a hash
+    * match proves the archived generation is bit-untouched by the swap
+    * and the CDC machinery composes with it exactly.
+    */
+  private def tt1(s: SparkSession, dd: String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt1").toString + "/docs"
+    val docs = Tables.documents(s, dd).select("doc_id", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(dir)
+    val pinned = Maintenance.currentGeneration(s, dir) // = 1
+    val corrections = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .withColumn("source", lit("corrected"))
+    val additions = docs.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        lit("appended").as("source"), col("n_chars"))
+    Maintenance.upsertByKeys(s, dir, corrections.unionByName(additions),
+      Seq("doc_id"), retain = true)
+    def census(df: DataFrame, tag: String) = df
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .select(lit(tag).as("snapshot"), col("source"), col("n"), col("sum_chars"))
+    census(Maintenance.readAsOf(s, dir, pinned), "asof")
+      .unionByName(census(s.read.parquet(dir), "live"))
+      .unionByName(
+        Maintenance.changesSince(s, dir, pinned, Seq("doc_id"), Seq("source", "n_chars"))
+          .groupBy("change")
+          .agg(count(lit(1)).as("n"), sum(col("new_n_chars")).cast("long").as("sum_chars"))
+          .select(lit("diff").as("snapshot"), col("change").as("source"),
+            col("n"), col("sum_chars")))
+      .orderBy("snapshot", "source")
+  }
+
   /** q13-shaped customer order-count distribution: the left-join-count
     * histogram (zero-order customers included) — the classic planner
     * shape for outer-join + double aggregation.
@@ -7265,6 +7305,7 @@ object SparkEntry {
     "st5_replay_dedup" -> (st5 _),
     "d1_delete_by_keys" -> (d1 _),
     "up1_upsert_by_keys" -> (up1 _),
+    "tt1_read_as_of" -> (tt1 _),
     "pipe3_mix_construction" -> (pipe3 _),
     "q13_cust_dist" -> (q13 _),
     "q16_supplier_cnt" -> (q16 _),
@@ -11094,6 +11135,34 @@ object SparkEntry {
          |FROM packed GROUP BY source ORDER BY source""".stripMargin,
     // up1: the merge computed from scratch — replace keyed rows, append
     // the novel ones; the store rewrite must match exactly.
+    // tt1: the pinned generation census is the ORIGINAL table verbatim
+    // (proving the archive is untouched by the swap), the live census is
+    // up1's from-scratch merge, and the CDC census is closed-form
+    // (every 17th doc an update, the five appended ids inserts).
+    "tt1_read_as_of" ->
+      """WITH merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'corrected' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'appended' AS source, n_chars FROM (
+        |    SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 5)),
+        |census AS (
+        |  SELECT 'asof' AS snapshot, source, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY source
+        |  UNION ALL
+        |  SELECT 'live', source, count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM merged GROUP BY source
+        |  UNION ALL
+        |  SELECT 'diff', 'update', count(*), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT 'diff', 'insert', count(*), CAST(sum(n_chars) AS BIGINT) FROM (
+        |    SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 5))
+        |SELECT snapshot, source, n, sum_chars FROM census
+        |ORDER BY snapshot, source""".stripMargin,
     "up1_upsert_by_keys" ->
       """WITH store AS (
         |  SELECT doc_id,

@@ -34,7 +34,8 @@ object Maintenance {
   def compact(
       spark: SparkSession,
       path: String,
-      targetFileBytes: Long = 128L << 20): (Int, Int) = {
+      targetFileBytes: Long = 128L << 20,
+      retain: Boolean = false): (Int, Int) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(p)
@@ -53,7 +54,7 @@ object Maintenance {
     val next = new Path(path + ".next")
     spark.read.parquet(path).repartition(n)
       .write.mode("overwrite").parquet(next.toString)
-    checkedSwap(fs, p, next)
+    checkedSwap(fs, p, next, retain)
     val after = fs.listStatus(p).count { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
@@ -65,9 +66,18 @@ object Maintenance {
     * written before the first rename and removed after success, so a
     * crash between the renames is detectable and recovery scriptable. A
     * crash at any step leaves a complete copy on disk.
+    *
+    * With `retain = true` the pre-swap copy is ARCHIVED as
+    * `<path>.g<NNNNNN>` (the next generation number) instead of deleted —
+    * the snapshot/time-travel ledger [[readAsOf]] reads. The archive
+    * rename happens AFTER the live swap completes, so a crash in the
+    * window can lose the would-be archive (recoverSwap's cleanup deletes
+    * a stranded `.old`) but never the live store — history is
+    * best-effort under crashes, the live data never at risk.
     */
   private def checkedSwap(
-      fs: org.apache.hadoop.fs.FileSystem, p: Path, next: Path): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, next: Path,
+      retain: Boolean = false): Unit = {
     val old = new Path(p.toString + ".old")
     if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed run
     val marker = new Path(p.toString + ".compacting")
@@ -75,9 +85,76 @@ object Maintenance {
     try out.write(old.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(p, old), s"rename $p -> $old failed")
     require(fs.rename(next, p), s"rename $next -> $p failed; data is at $old")
-    fs.delete(old, true)
+    if (retain) {
+      val gen = archivedGenerations(fs, p).lastOption.getOrElse(0) + 1
+      val arch = new Path(f"${p.toString}.g$gen%06d")
+      require(fs.rename(old, arch), s"archive rename $old -> $arch failed")
+    } else fs.delete(old, true)
     fs.delete(marker, false)
   }
+
+  /** Archived generation numbers of a store (ascending) — directories
+    * named `<path>.g<NNNNNN>` beside the live path. */
+  private def archivedGenerations(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Int] = {
+    val prefix = p.getName + ".g"
+    val parent = p.getParent
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    fs.listStatus(parent).iterator
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit)
+        && n.length > prefix.length)
+      .map(n => n.drop(prefix.length).toInt)
+      .toSeq.sorted
+  }
+
+  /** The store's generation ledger: archived snapshot numbers (ascending).
+    * The LIVE store is generation `max(archived) + 1` (1 for a store that
+    * has never swapped with retention). */
+  def generations(spark: SparkSession, path: String): Seq[Int] = {
+    val p = new Path(path)
+    archivedGenerations(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The live store's generation number (see [[generations]]). */
+  def currentGeneration(spark: SparkSession, path: String): Int =
+    generations(spark, path).lastOption.getOrElse(0) + 1
+
+  /** SNAPSHOT / TIME-TRAVEL READ (the r15 verdict's stretch 9): the store
+    * as of `generation` — an archived pre-swap snapshot for g ≤ the last
+    * archive, the live store for g = current. Training runs pin a corpus
+    * version by recording `currentGeneration` at launch and reading
+    * `readAsOf(path, pinned)` thereafter: retained swaps (compact /
+    * deleteByKeys / upsertByKeys with `retain = true`) never disturb an
+    * archived generation. Fails loudly on a generation that never existed
+    * or was never retained.
+    */
+  def readAsOf(spark: SparkSession, path: String, generation: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived = archivedGenerations(fs, p)
+    val live = archived.lastOption.getOrElse(0) + 1
+    if (generation == live) spark.read.parquet(path)
+    else if (archived.contains(generation))
+      spark.read.parquet(f"$path.g$generation%06d")
+    else throw new IllegalArgumentException(
+      s"generation $generation of $path does not exist (archived: " +
+        s"${archived.mkString(",")}; live: $live) — was the swap run with retain = true?")
+  }
+
+  /** CDC between a pinned generation and the live store: [[snapshotDiff]]
+    * of `readAsOf(generation)` against the current data — "what changed
+    * since the training run pinned its corpus". */
+  def changesSince(
+      spark: SparkSession,
+      path: String,
+      generation: Int,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    snapshotDiff(readAsOf(spark, path, generation), spark.read.parquet(path),
+      keyCols, compareCols)
 
   /** Scripted recovery from a crashed swap (compact / deleteByKeys /
     * upsertByKeys all share the marker protocol). States:
@@ -145,7 +222,8 @@ object Maintenance {
       path: String,
       tombstones: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String],
-      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+      targetFileBytes: Long = 128L << 20,
+      retain: Boolean = false): (Long, Long) = {
     require(keyCols.nonEmpty, "deleteByKeys needs at least one key column")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -173,7 +251,7 @@ object Maintenance {
       val n = math.max(1, math.ceil(keepBytes.toDouble / targetFileBytes).toInt)
       val next = new Path(path + ".next")
       kept.repartition(n).write.mode("overwrite").parquet(next.toString)
-      checkedSwap(fs, p, next)
+      checkedSwap(fs, p, next, retain)
       (before, after)
     } finally keys.unpersist()
   }
@@ -196,7 +274,8 @@ object Maintenance {
       path: String,
       updates: org.apache.spark.sql.DataFrame,
       keyCols: Seq[String],
-      targetFileBytes: Long = 128L << 20): (Long, Long, Long) = {
+      targetFileBytes: Long = 128L << 20,
+      retain: Boolean = false): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     require(keyCols.nonEmpty, "upsertByKeys needs at least one key column")
     // pin ONE evaluation of `updates`: it feeds the dup-key check, the
@@ -206,7 +285,7 @@ object Maintenance {
     val up = updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nUpdates = up.count()
     try {
-      upsertPinned(spark, path, up, nUpdates, keyCols, targetFileBytes)
+      upsertPinned(spark, path, up, nUpdates, keyCols, targetFileBytes, retain)
     } finally up.unpersist()
   }
 
@@ -216,7 +295,8 @@ object Maintenance {
       updates: org.apache.spark.sql.DataFrame,
       nUpdates: Long,
       keyCols: Seq[String],
-      targetFileBytes: Long): (Long, Long, Long) = {
+      targetFileBytes: Long,
+      retain: Boolean): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val dupKeys = updates.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
@@ -252,7 +332,7 @@ object Maintenance {
     val n = math.max(1, math.ceil(growBytes.toDouble / targetFileBytes).toInt)
     val next = new Path(path + ".next")
     merged.repartition(n).write.mode("overwrite").parquet(next.toString)
-    checkedSwap(fs, p, next)
+    checkedSwap(fs, p, next, retain)
     (before, after, replaced)
   }
 

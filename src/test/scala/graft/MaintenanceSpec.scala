@@ -192,4 +192,50 @@ class MaintenanceSpec extends AnyFunSuite {
       r.getDecimal(2).doubleValue, r.getDouble(3), r.getDouble(4))).toSeq
     assert(a == b, s"full=$a merged=$b")
   }
+
+  test("generational retention: archives pin snapshots, readAsOf/changesSince replay them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tt").toString + "/t"
+    val v1 = (1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+    v1.write.parquet(dir)
+    assert(Maintenance.generations(spark, dir).isEmpty)
+    assert(Maintenance.currentGeneration(spark, dir) == 1)
+    // swap 1 (retained): delete ids % 10 == 0 -> archive g1 = v1
+    Maintenance.deleteByKeys(spark, dir, Seq(10L, 20L, 30L).toDF("id"), Seq("id"),
+      retain = true)
+    assert(Maintenance.generations(spark, dir) == Seq(1))
+    assert(Maintenance.currentGeneration(spark, dir) == 2)
+    // swap 2 (retained): upsert a correction -> archive g2 = post-delete
+    Maintenance.upsertByKeys(spark, dir,
+      Seq((1L, 999L), (200L, 2000L)).toDF("id", "v"), Seq("id"), retain = true)
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2))
+    assert(Maintenance.currentGeneration(spark, dir) == 3)
+    // g1 is the untouched original
+    val g1 = Maintenance.readAsOf(spark, dir, 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g1 == (1L to 100L).map(i => (i, i * 10)))
+    // g2 is the post-delete store
+    val g2 = Maintenance.readAsOf(spark, dir, 2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g2 == (1L to 100L).filterNot(Seq(10L, 20L, 30L).contains).map(i => (i, i * 10)))
+    // the live generation reads the live path
+    val g3 = Maintenance.readAsOf(spark, dir, 3).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(g3.contains((1L, 999L)) && g3.contains((200L, 2000L)))
+    // CDC vs the pinned original: 3 deletes, 1 update, 1 insert
+    val diff = Maintenance.changesSince(spark, dir, 1, Seq("id"), Seq("v"))
+      .groupBy("change").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(diff == Map("delete" -> 3L, "update" -> 1L, "insert" -> 1L), s"got $diff")
+    // a never-retained generation fails loudly
+    val e = intercept[IllegalArgumentException](Maintenance.readAsOf(spark, dir, 9))
+    assert(e.getMessage.contains("retain"))
+    // default swaps still retain nothing (no archive creep)
+    Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2))
+    // and a retained compact archives the pre-compact copy as g3
+    Maintenance.compact(spark, dir, targetFileBytes = 1L << 30, retain = true)
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2, 3))
+    assert(Maintenance.readAsOf(spark, dir, 3).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == g3)
+  }
 }
