@@ -6610,6 +6610,83 @@ object SparkEntry {
        |ORDER BY g, ring_i, pt_i""".stripMargin
   }
 
+  /** cov5 — GEODESIC coverage area (the r15 verdict's stretch 10: cov2's
+    * scanline is planar; lon/lat stores need the union measured on the
+    * ellipsoid): the covRects staircase rebuilt in degree space
+    * (lon/lat-aligned rectangles near 30°N), dissolved by the exact
+    * rectilinear tracer ([[operators.CoverageArea.unionGeometry]] —
+    * every emitted coordinate an input coordinate verbatim, so the
+    * union ring is parallel/meridian-bounded), then measured by the
+    * TRUE-WGS84 zone integral
+    * ([[graft.functions.SpatialOps.ringsAreaEllipsoidal]]) — EXACT on
+    * exactly this edge family (g23's closed form). The oracle replays
+    * the trapezoidal edge sum over the staircase's 12 closed-form
+    * corners (vertical edges contribute exactly +0.0 — Δλ = λ·K − λ·K —
+    * so the six horizontal terms in traversal order are the whole fold
+    * bitwise); fixed-point floor(area/16) with the g23 drift-vs-margin
+    * adjudication (cross-engine sin/ln drift ~1e-13·value,
+    * margin-scanned).
+    */
+  private def cov5(s: SparkSession, d: String) = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("g"),
+      explode(array(lit(0), lit(1), lit(2))).as("m"))
+    val x0 = lit(-96.0) + (col("g") % 30).cast("double") * lit(0.02) +
+      col("m").cast("double") * lit(0.002)
+    val y0 = lit(30.0) + (col("g") % 20).cast("double") * lit(0.02) +
+      col("m").cast("double") * lit(0.001)
+    val w = (col("g") % 3 + 4).cast("double") * lit(0.001)
+    val h = (col("g") % 2 + 3).cast("double") * lit(0.001)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val polys = base.select(col("g"), array(array(pt(x0, y0), pt(x0 + w, y0),
+      pt(x0 + w, y0 + h), pt(x0, y0 + h), pt(x0, y0))).as("rings"))
+    operators.CoverageArea.unionGeometry(polys, "rings", Seq("g"))
+      .select(col("g"), col("n_polys"),
+        floor(graft.functions.SpatialOps.ringsAreaEllipsoidal(col("rings")) / lit(16.0))
+          .cast("long").as("area_fp"))
+      .orderBy("g")
+  }
+
+  /** cov5's oracle — the staircase union's 12 corners (cov4's hand
+    * derivation, degree space) pushed through the engine's trapezoidal
+    * zone sum: per horizontal edge (λ2·K − λ1·K)·(F(φ·K) + F(φ·K)) in
+    * traversal order (vertical edges are exactly +0.0 and drop from the
+    * fold bitwise), abs·b²/4, floor(/16). Constants interpolated from
+    * the SAME Scala values the Column algebra bakes in.
+    */
+  private def sqlUnionAreaGeodesic: String = {
+    // member coordinate chains exactly as the Column algebra groups them
+    def mx(m: Int) = s"(bx + $m.0 * 0.002)"
+    def my(m: Int) = s"(by + $m.0 * 0.001)"
+    // the 12 corners' horizontal edges in the tracer's traversal order:
+    // (x, y) pairs from the cov4 staircase, degree space
+    val edges = Seq(
+      (mx(0), s"(${mx(0)} + w)", my(0)),              // A bottom: x0 -> x0+w at A.y0
+      (s"(${mx(0)} + w)", s"(${mx(1)} + w)", my(1)),  // B bottom step at B.y0
+      (s"(${mx(1)} + w)", s"(${mx(2)} + w)", my(2)),  // C bottom step at C.y0
+      (s"(${mx(2)} + w)", mx(2), s"(${my(2)} + h)"),  // C top: back at C.y1
+      (mx(2), mx(1), s"(${my(1)} + h)"),              // B top step at B.y1
+      (mx(1), mx(0), s"(${my(0)} + h)"))              // A top step at A.y0+h
+    val K = graft.functions.SpatialOps.Deg2Rad
+    val E2 = graft.functions.SpatialOps.Wgs84E2
+    val E = graft.functions.SpatialOps.Wgs84E
+    val B2q = graft.functions.SpatialOps.Wgs84B2 / 4.0
+    def zf(phiDeg: String) =
+      s"(sin($phiDeg * $K) / (1 - $E2 * sin($phiDeg * $K) * sin($phiDeg * $K)) + " +
+        s"ln((1 + $E * sin($phiDeg * $K)) / (1 - $E * sin($phiDeg * $K))) / ${2 * E})"
+    val terms = edges.map { case (l1, l2, phi) =>
+      s"(($l2 * $K - $l1 * $K) * (${zf(phi)} + ${zf(phi)}))"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT c_custkey AS g,
+       |  -96.0 + CAST(c_custkey % 30 AS DOUBLE) * 0.02 AS bx,
+       |  30.0 + CAST(c_custkey % 20 AS DOUBLE) * 0.02 AS by,
+       |  CAST(c_custkey % 3 + 4 AS DOUBLE) * 0.001 AS w,
+       |  CAST(c_custkey % 2 + 3 AS DOUBLE) * 0.001 AS h
+       |  FROM customer)
+       |SELECT g, CAST(3 AS BIGINT) AS n_polys,
+       |  CAST(floor(abs($terms) * $B2q / 16.0) AS BIGINT) AS area_fp
+       |FROM t ORDER BY g""".stripMargin
+  }
+
   /** cov3 — coverage area over CONCAVE geometry (what cov2's convex
     * rectangles never exercise: a scanline row holding MULTIPLE
     * intervals from ONE polygon): a rectilinear U-shape (outer box minus
@@ -7357,6 +7434,7 @@ object SparkEntry {
     "cov2_union_area" -> (cov2 _),
     "cov3_union_concave" -> (cov3 _),
     "cov4_union_geometry" -> (cov4 _),
+    "cov5_union_geodesic" -> (cov5 _),
     "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
@@ -11660,6 +11738,10 @@ object SparkEntry {
     // by hand (12 closed-form corners) — tracer vs hand geometry, not a
     // replay.
     "cov4_union_geometry" -> sqlUnionGeom,
+    // cov5: the dissolved staircase measured on the TRUE ellipsoid —
+    // the oracle replays the zone-integral edge sum over the hand-derived
+    // corners (g23's drift-vs-margin adjudication).
+    "cov5_union_geodesic" -> sqlUnionAreaGeodesic,
     // cov3: concave scanline (multi-interval rows) vs the U decomposed
     // into disjoint rects + 15-term I-E -- independent exact algorithms.
     "cov3_union_concave" -> sqlUnionAreaMixed,
