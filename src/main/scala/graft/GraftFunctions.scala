@@ -195,6 +195,14 @@ object GraftFunctions {
         "st_rings inverse; empty rings skipped, all-empty renders POLYGON EMPTY) " +
         "- bridges computed geometry to the WKT sinks", 1)(
       cs => graft.functions.SpatialOps.ringsToWkt(cs(0))),
+    (FunctionIdentifier("st_simplify_ring"),
+      info("st_simplify_ring",
+        "st_simplify_ring(ring, eps) - Douglas-Peucker vertex thinning of one " +
+          "closed ring to within eps (deterministic: first-max split, exact " +
+          "squared point-to-line deviation, strict > eps^2); degenerate outputs " +
+          "return as-is - validate with st_is_simple_ring",
+        classOf[graft.functions.SimplifyRingExpr]),
+      (exprs: Seq[Expression]) => graft.functions.SimplifyRingExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_is_simple_ring"),
       info("st_is_simple_ring",
         "st_is_simple_ring(ring) - true iff the closed ring is SIMPLE (no " +

@@ -1133,6 +1133,36 @@ object SparkEntry {
       .orderBy("cls", "is_valid")
   }
 
+  /** G27 — SIMPLIFICATION census (Douglas–Peucker, the vertex-thinning
+    * constructor next to the r16 clip emitters): a parameterized square
+    * ring carrying one bottom-edge bump per customer — sub-tolerance
+    * (0.25, dropped) on even classes, super-tolerance (3.0, kept) on
+    * odd — through [[graft.functions.SimplifyExprs.simplifyRingCol]] at
+    * eps = 1. The DP recursion on this fixture is hand-traceable
+    * (top-level closed-ring span → farthest corner → the bump judged
+    * against the bottom edge, deviation exactly b), so the oracle
+    * states the kept-vertex count AND the simplified ring's exact
+    * dyadic area per class — one wrong split anywhere splits a census
+    * row.
+    */
+  private def g27(s: SparkSession, d: String) = {
+    val c = col("c_custkey")
+    val cls = (c % 2).cast("int")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val b = when(cls === 0, lit(0.25)).otherwise(lit(3.0))
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val ring = array(pt(cx, cy), pt(cx + 4, cy + b), pt(cx + 8, cy),
+      pt(cx + 8, cy + 8), pt(cx, cy + 8), pt(cx, cy))
+    val simp = graft.functions.SimplifyExprs.simplifyRingCol(ring, lit(1.0))
+    Tables.customer(s, d)
+      .select(cls.as("cls"), size(simp).as("n_out"),
+        floor(graft.functions.SpatialOps.ringsArea(array(simp)) * lit(1048576L))
+          .cast("long").as("area_fp"))
+      .groupBy("cls", "n_out", "area_fp").agg(count(lit(1)).as("n"))
+      .orderBy("cls", "n_out", "area_fp")
+  }
+
   /** J4B — model-BATCH dispatch at its design shape (r12 verdict stretch
     * 9; pixel_classifier_stream.py:90-96's memory-bounded loop): 18
     * frozen single-tree rules tables — more than the reference's batch
@@ -7228,6 +7258,7 @@ object SparkEntry {
     "g24_ring_validity" -> (g24 _),
     "g25_polygon_validity" -> (g25 _),
     "g26_guarded_measure" -> (g26 _),
+    "g27_simplify_census" -> (g27 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8074,6 +8105,15 @@ object SparkEntry {
         |           ELSE 0 END) AS BIGINT) AS area_fp
         |FROM (SELECT c_custkey, 1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer)
         |GROUP BY 1 ORDER BY cls""".stripMargin,
+    // g27: the DP simplification census — the recursion hand-traced per
+    // class (sub-tolerance bump dropped -> the 64-area square, 5 closed
+    // points; super-tolerance bump kept -> the 52-area pentagon, 6).
+    "g27_simplify_census" ->
+      """SELECT CAST(c_custkey % 2 AS INT) AS cls,
+        |  CAST(CASE WHEN c_custkey % 2 = 0 THEN 5 ELSE 6 END AS INT) AS n_out,
+        |  CAST(CASE WHEN c_custkey % 2 = 0 THEN 64 * 1048576 ELSE 52 * 1048576 END AS BIGINT) AS area_fp,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY cls, n_out, area_fp""".stripMargin,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic
