@@ -195,6 +195,13 @@ object GraftFunctions {
         "st_rings inverse; empty rings skipped, all-empty renders POLYGON EMPTY) " +
         "- bridges computed geometry to the WKT sinks", 1)(
       cs => graft.functions.SpatialOps.ringsToWkt(cs(0))),
+    (FunctionIdentifier("st_buffer_convex"),
+      info("st_buffer_convex",
+        "st_buffer_convex(ring, d) - miter-offset a STRICTLY convex closed ring " +
+          "outward by d (exact line-intersection joins; fail-closed on reflex or " +
+          "collinear turns - simplify first); d=0 is the identity",
+        classOf[graft.functions.BufferConvexExpr]),
+      (exprs: Seq[Expression]) => graft.functions.BufferConvexExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_simplify_ring"),
       info("st_simplify_ring",
         "st_simplify_ring(ring, eps) - Douglas-Peucker vertex thinning of one " +

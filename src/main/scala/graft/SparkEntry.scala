@@ -1163,6 +1163,71 @@ object SparkEntry {
       .orderBy("cls", "n_out", "area_fp")
   }
 
+  /** G28 — CONVEX miter BUFFER (the outward-growth constructor, the
+    * r15 verdict's other named gap beside simplify): the j22 customer
+    * diamonds buffered by a parameterized distance through
+    * [[graft.functions.BufferExprs.bufferConvexCol]], vertices exploded
+    * to rows — the oracle replays the whole chain (edge vectors, IEEE
+    * sqrt lengths, unit outward normals, offset anchors, the
+    * t = ((p2−p1)×e2)/(e1×e2) line intersection) operation for
+    * operation, so the buffered coordinates hash-gate as raw doubles
+    * (sqrt and ÷ correctly rounded in both engines — the km1 sqlL2
+    * precedent).
+    */
+  private def g28(s: SparkSession, d: String) = {
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    val dd = lit(0.25) + (c % 4).cast("double") * lit(0.125)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val diamond = array(pt(cx, cy - r), pt(cx + r, cy), pt(cx, cy + r),
+      pt(cx - r, cy), pt(cx, cy - r))
+    val buf = graft.functions.BufferExprs.bufferConvexCol(diamond, dd)
+    Tables.customer(s, d)
+      .select(c.as("c_custkey"), posexplode(buf).as(Seq("pt_i", "pt")))
+      .select(col("c_custkey"), col("pt_i"), col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("c_custkey", "pt_i")
+  }
+
+  /** g28's oracle — the miter chain replayed symbolically per diamond
+    * vertex (CCW, so the engine's s = 1 factor is the bitwise identity
+    * and drops from the spelling). */
+  private def sqlBufferConvex: String = {
+    val vx = Seq("cx", "(cx + r)", "cx", "(cx - r)")
+    val vy = Seq("(cy - r)", "cy", "(cy + r)", "cy")
+    def vertex(i: Int): (String, String) = {
+      val p = (i + 3) % 4; val nx = (i + 1) % 4
+      val e1x = s"(${vx(i)} - ${vx(p)})"; val e1y = s"(${vy(i)} - ${vy(p)})"
+      val e2x = s"(${vx(nx)} - ${vx(i)})"; val e2y = s"(${vy(nx)} - ${vy(i)})"
+      val l1 = s"sqrt($e1x * $e1x + $e1y * $e1y)"
+      val l2 = s"sqrt($e2x * $e2x + $e2y * $e2y)"
+      val n1x = s"($e1y / $l1)"; val n1y = s"((-$e1x) / $l1)"
+      val n2x = s"($e2y / $l2)"; val n2y = s"((-$e2x) / $l2)"
+      val p1x = s"(${vx(p)} + d * $n1x)"; val p1y = s"(${vy(p)} + d * $n1y)"
+      val p2x = s"(${vx(i)} + d * $n2x)"; val p2y = s"(${vy(i)} + d * $n2y)"
+      val denom = s"($e1x * $e2y - $e1y * $e2x)"
+      val t = s"((($p2x - $p1x) * $e2y - ($p2y - $p1y) * $e2x) / $denom)"
+      (s"($p1x + $t * $e1x)", s"($p1y + $t * $e1y)")
+    }
+    val structs = (0 until 4).map { i =>
+      val (x, y) = vertex(i)
+      s"struct_pack(pt_i := CAST($i AS INT), x := $x, y := $y)"
+    } :+ {
+      val (x, y) = vertex(0)
+      s"struct_pack(pt_i := CAST(4 AS INT), x := $x, y := $y)"
+    }
+    s"""WITH t AS (SELECT c_custkey,
+       |  CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+       |  CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+       |  1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r,
+       |  0.25 + CAST(c_custkey % 4 AS DOUBLE) * 0.125 AS d
+       |  FROM customer)
+       |SELECT c_custkey, v.pt_i AS pt_i, v.x AS x, v.y AS y
+       |FROM (SELECT c_custkey, unnest([${structs.mkString(",\n  ")}]) AS v FROM t)
+       |ORDER BY c_custkey, pt_i""".stripMargin
+  }
+
   /** J4B — model-BATCH dispatch at its design shape (r12 verdict stretch
     * 9; pixel_classifier_stream.py:90-96's memory-bounded loop): 18
     * frozen single-tree rules tables — more than the reference's batch
@@ -7259,6 +7324,7 @@ object SparkEntry {
     "g25_polygon_validity" -> (g25 _),
     "g26_guarded_measure" -> (g26 _),
     "g27_simplify_census" -> (g27 _),
+    "g28_buffer_convex" -> (g28 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8114,6 +8180,9 @@ object SparkEntry {
         |  CAST(CASE WHEN c_custkey % 2 = 0 THEN 64 * 1048576 ELSE 52 * 1048576 END AS BIGINT) AS area_fp,
         |  count(*) AS n
         |FROM customer GROUP BY 1, 2, 3 ORDER BY cls, n_out, area_fp""".stripMargin,
+    // g28: the miter-buffer chain replayed symbolically — raw-double
+    // vertex parity through IEEE sqrt/divide (the km1 sqlL2 precedent).
+    "g28_buffer_convex" -> sqlBufferConvex,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic
