@@ -6782,6 +6782,61 @@ object SparkEntry {
        |FROM t ORDER BY g""".stripMargin
   }
 
+  /** cov6 — TILED dissolve (the per-cell geometry-emitting scale path,
+    * [[operators.CoverageArea.unionGeometryByCell]]): the covRects
+    * groups dissolved per 16-unit cell — members clip to cell boxes
+    * through the r16 S-H emitter, each cell traces its own union rings
+    * — then rolled back up per group: the per-cell shoelace areas must
+    * sum to the global union EXACTLY (walls event-aligned, clipped
+    * coordinates exact integers), and the cell count must equal the
+    * envelope-touched tiling. The oracle computes BOTH independently —
+    * the union by full inclusion–exclusion (cov2's oracle), the cell
+    * census by regenerating the three member envelopes' cell rectangles
+    * from scratch.
+    */
+  private def cov6(s: SparkSession, d: String) =
+    operators.CoverageArea.unionGeometryByCell(covRects(s, d), "rings", Seq("g"),
+        cellSize = 16.0)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cell_area")).as("union_area"))
+      .orderBy("g")
+
+  /** cov6's oracle — the I–E union area beside a from-scratch cell
+    * census (distinct cells over the three members' envelope tilings). */
+  private def sqlUnionGeomCells: String =
+    """WITH t AS (SELECT c_custkey AS g,
+      |  CAST((c_custkey % 30) * 2 AS DOUBLE) AS bx, CAST((c_custkey % 20) * 2 AS DOUBLE) AS by,
+      |  CAST(c_custkey % 3 + 4 AS DOUBLE) AS w, CAST(c_custkey % 2 + 3 AS DOUBLE) AS h
+      |  FROM customer),
+      |members AS (SELECT g, bx + 2 * m AS x0, by + m AS y0,
+      |    bx + 2 * m + w AS x1, by + m + h AS y1
+      |  FROM t, (SELECT unnest([0.0, 1.0, 2.0]) AS m)),
+      |cellsx AS (SELECT g, y0, y1,
+      |  unnest(generate_series(CAST(floor(x0 / 16.0) AS BIGINT), CAST(floor(x1 / 16.0) AS BIGINT))) AS cx
+      |  FROM members),
+      |cells AS (SELECT DISTINCT g, cx, cy FROM (
+      |  SELECT g, cx,
+      |    unnest(generate_series(CAST(floor(y0 / 16.0) AS BIGINT), CAST(floor(y1 / 16.0) AS BIGINT))) AS cy
+      |  FROM cellsx)),
+      |nc AS (SELECT g, count(*) AS n_cells FROM cells GROUP BY g),
+      |r AS (SELECT g,
+      |  bx AS x00, by AS y00, bx + w AS x01, by + h AS y01,
+      |  bx + 2 AS x10, by + 1 AS y10, bx + 2 + w AS x11, by + 1 + h AS y11,
+      |  bx + 4 AS x20, by + 2 AS y20, bx + 4 + w AS x21, by + 2 + h AS y21, w, h FROM t),
+      |i AS (SELECT g, w * h AS a,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x11) - greatest(x00, x10)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y11) - greatest(y00, y10)) AS ab,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x21) - greatest(x00, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y21) - greatest(y00, y20)) AS ac,
+      |  greatest(CAST(0 AS DOUBLE), least(x11, x21) - greatest(x10, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y11, y21) - greatest(y10, y20)) AS bc,
+      |  greatest(CAST(0 AS DOUBLE), least(x01, x11, x21) - greatest(x00, x10, x20)) *
+      |    greatest(CAST(0 AS DOUBLE), least(y01, y11, y21) - greatest(y00, y10, y20)) AS abc
+      |  FROM r)
+      |SELECT i.g AS g, nc.n_cells AS n_cells,
+      |  3 * a - ab - ac - bc + abc AS union_area
+      |FROM i JOIN nc ON nc.g = i.g ORDER BY g""".stripMargin
+
   /** cov3 — coverage area over CONCAVE geometry (what cov2's convex
     * rectangles never exercise: a scanline row holding MULTIPLE
     * intervals from ONE polygon): a rectilinear U-shape (outer box minus
@@ -7532,6 +7587,7 @@ object SparkEntry {
     "cov3_union_concave" -> (cov3 _),
     "cov4_union_geometry" -> (cov4 _),
     "cov5_union_geodesic" -> (cov5 _),
+    "cov6_tiled_dissolve" -> (cov6 _),
     "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
@@ -11851,6 +11907,9 @@ object SparkEntry {
     // the oracle replays the zone-integral edge sum over the hand-derived
     // corners (g23's drift-vs-margin adjudication).
     "cov5_union_geodesic" -> sqlUnionAreaGeodesic,
+    // cov6: per-cell dissolved areas must SUM to the independent I-E
+    // union; the cell census regenerated from the member envelopes.
+    "cov6_tiled_dissolve" -> sqlUnionGeomCells,
     // cov3: concave scanline (multi-interval rows) vs the U decomposed
     // into disjoint rects + 15-term I-E -- independent exact algorithms.
     "cov3_union_concave" -> sqlUnionAreaMixed,

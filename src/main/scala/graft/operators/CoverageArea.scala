@@ -208,6 +208,84 @@ object CoverageArea {
         Seq(col("n_polys"), col("union_area"), col("rings"))): _*)
   }
 
+  /** TILED dissolve — [[unionGeometry]]'s 100 TB shape (the same cell
+    * decomposition as [[unionAreaByCell]], emitting GEOMETRY per cell):
+    * polygons replicate to the cells their envelopes touch, each
+    * replica's rings CLIP to the cell box through the r16 geometry-
+    * emitting kernel ([[graft.functions.ClipExprs.clipRingsBoxCol]] —
+    * S-H on rectilinear input emits rectilinear output with every
+    * coordinate an input coordinate or an exact wall crossing), and
+    * each (group, cell) traces its own union rings independently —
+    * bounded by local density, never corpus size. The per-cell pieces
+    * are exactly the tiled store layout the reference's Stage-2 writes;
+    * per-cell shoelace areas sum to the global union EXACTLY (walls are
+    * event-aligned; cov6 hash-gates the sum against the independent
+    * inclusion–exclusion oracle).
+    *
+    * Output: groupCols + `cell_x`/`cell_y` + `rings` (the cell's union
+    * geometry, st_rings layout) + `cell_area` (signed shoelace). Cells
+    * whose clipped members all degenerate to zero area emit empty rings
+    * and area 0.
+    */
+  def unionGeometryByCell(
+      df: DataFrame,
+      ringsCol: String,
+      groupCols: Seq[String],
+      cellSize: Double,
+      maxEdgesPerCell: Int = 20000,
+      maxCellsPerPolygon: Long = 4096L,
+      maxCellsPerTrace: Long = 1000000L): DataFrame = {
+    require(groupCols.nonEmpty, "unionGeometryByCell needs at least one group column")
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val env = graft.functions.SpatialOps.ringsEnvelope(col(ringsCol))
+    val nCells =
+      (floor(col("__env.xmax") / cellSize).cast("long") -
+        floor(col("__env.xmin") / cellSize).cast("long") + lit(1L)) *
+      (floor(col("__env.ymax") / cellSize).cast("long") -
+        floor(col("__env.ymin") / cellSize).cast("long") + lit(1L))
+    val cellBox = graft.functions.SpatialOps.bbox(
+      col("__cx").cast("double") * cellSize, col("__cy").cast("double") * cellSize,
+      (col("__cx") + 1).cast("double") * cellSize, (col("__cy") + 1).cast("double") * cellSize)
+    val withCells = df
+      .withColumn("__env", env)
+      .withColumn("__cx", explode(
+        when(nCells > maxCellsPerPolygon, raise_error(concat(
+          lit("unionGeometryByCell polygon envelope spans "), nCells.cast("string"),
+          lit(s" cells > cap $maxCellsPerPolygon (cellSize $cellSize): grow cellSize " +
+            "or raise maxCellsPerPolygon knowingly"))))
+        .otherwise(sequence(
+          floor(col("__env.xmin") / cellSize).cast("long"),
+          floor(col("__env.xmax") / cellSize).cast("long")))))
+      .withColumn("__cy", explode(sequence(
+        floor(col("__env.ymin") / cellSize).cast("long"),
+        floor(col("__env.ymax") / cellSize).cast("long"))))
+      .withColumn("__clipped",
+        graft.functions.ClipExprs.clipRingsBoxCol(col(ringsCol), cellBox))
+    val u = udf((xs: Seq[Seq[Seq[Double]]], ys: Seq[Seq[Seq[Double]]],
+        cx: Long, cy: Long) => {
+      val edges = xs.iterator.flatMap(_.iterator.map(r => math.max(r.length - 1, 0))).sum
+      if (edges > maxEdgesPerCell)
+        throw new IllegalArgumentException(
+          s"unionGeometryByCell cell ($cx,$cy) holds $edges edges > cap $maxEdgesPerCell: " +
+            "shrink cellSize or raise maxEdgesPerCell knowingly")
+      val rings = unionRingsOf(toPolys(xs, ys), maxCellsPerTrace)
+      (rings.map(_._1.toSeq).toSeq, rings.map(_._2.toSeq).toSeq)
+    })
+    val perCell = withCells
+      .groupBy((groupCols ++ Seq("__cx", "__cy")).map(col): _*)
+      .agg(u(collect_list(ringXs(col("__clipped"))), collect_list(ringYs(col("__clipped"))),
+        first(col("__cx")), first(col("__cy"))).as("__u"))
+    val rings = transform(col("__u._1"), (rx, i) =>
+      zip_with(rx, element_at(col("__u._2"), i + lit(1)),
+        (x, y) => struct(x.as("x"), y.as("y"))))
+    perCell
+      .withColumn("rings", rings)
+      .withColumn("cell_area", graft.functions.SpatialOps.ringsCross(col("rings")) / 2)
+      .select((groupCols.map(col) ++ Seq(
+        col("__cx").as("cell_x"), col("__cy").as("cell_y"),
+        col("rings"), col("cell_area"))): _*)
+  }
+
   // ---- kernel ----
 
   /** Struct rings → parallel coordinate arrays (Spark 4's UDF encoder

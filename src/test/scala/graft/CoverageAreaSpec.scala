@@ -257,6 +257,30 @@ class CoverageAreaSpec extends AnyFunSuite {
     assert(viaWkt.filter(col("a2") =!= col("union_area")).count() == 0)
   }
 
+  test("operator: unionGeometryByCell pieces sum to the direct union; straddlers split cleanly") {
+    // one group straddling a cell wall at x = 8 (cellSize 8): two rects
+    // overlapping across the wall
+    val df = Seq((1L, 0), (1L, 1)).toDF("g", "m")
+      .withColumn("x0", col("m") * 5)         // rects [0,7]x[0,4] and [5,12]x[0,4]
+      .withColumn("rings", array(array(
+        struct(col("x0").cast("double").as("x"), lit(0.0).as("y")),
+        struct((col("x0") + 7).cast("double").as("x"), lit(0.0).as("y")),
+        struct((col("x0") + 7).cast("double").as("x"), lit(4.0).as("y")),
+        struct(col("x0").cast("double").as("x"), lit(4.0).as("y")),
+        struct(col("x0").cast("double").as("x"), lit(0.0).as("y")))))
+      .select("g", "rings")
+    val cells = CoverageArea.unionGeometryByCell(df, "rings", Seq("g"), cellSize = 8.0)
+      .orderBy("cell_x", "cell_y").collect()
+    assert(cells.length == 2, s"union [0,12]x[0,4] must split into two 8-cells, got ${cells.length}")
+    assert(cells.map(_.getDouble(4)).sum == 48.0) // 12 x 4
+    // the direct union agrees
+    val direct = CoverageArea.unionArea(df, "rings", Seq("g")).collect()
+    assert(direct(0).getDouble(3) == 48.0)
+    // each cell's geometry is a clean rectangle clipped at the wall x=8
+    val areas = cells.map(r => (r.getLong(1), r.getDouble(4))).toMap
+    assert(areas == Map(0L -> 32.0, 1L -> 16.0), s"got $areas")
+  }
+
   test("operator: unionArea and unionAreaByCell agree with the kernel over groups") {
     val rows = for {
       g <- 0 until 6
