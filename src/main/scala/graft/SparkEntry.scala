@@ -2829,39 +2829,94 @@ object SparkEntry {
       .orderBy("cell")
   }
 
-  /** km2's oracle — the km1 replay unrolled three rounds: per round an
-    * assignment level (argmin with the total tie-break), a fixed-point
-    * dims level, and a centroid level, every CTE MATERIALIZED (the j21
-    * inlining lesson); the census reads the final assignment and cent3.
-    */
-  private def sqlTrainKMeans: String = {
+  /** Shared Lloyd-unroll CTE generator: `kinit` from `seedWhere`,
+    * `kcorp`, assignment `ka0`, then per round a fixed-point dims level
+    * `kd$k` and centroid level `kcent$k` (every CTE MATERIALIZED — the
+    * j21 inlining lesson), with assignments `ka$k` emitted for rounds
+    * that feed a next round (plus the final one when `finalAssign`).
+    * Consumers: km2's census (finalAssign) and e3f's trained-quantizer
+    * IVF (kcent$rounds only). */
+  private def sqlLloydCtes(seedWhere: String, rounds: Int, finalAssign: Boolean): Seq[String] = {
     def assign(name: String, seed: String, keepCv: Boolean): String =
       s"""$name AS MATERIALIZED (SELECT vec_id${if (keepCv) ", cv" else ""}, cell FROM (
          |  SELECT c.vec_id, c.cv, k.cell,
          |    row_number() OVER (PARTITION BY c.vec_id
          |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
-         |  FROM corp c CROSS JOIN $seed k) WHERE rk = 1)""".stripMargin
+         |  FROM kcorp c CROSS JOIN $seed k) WHERE rk = 1)""".stripMargin
     def round(k: Int): Seq[String] = Seq(
-      s"""d$k AS MATERIALIZED (SELECT cell, i,
+      s"""kd$k AS MATERIALIZED (SELECT cell, i,
          |    sum(CAST(floor(CAST(cv[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
          |    count(*) AS n
-         |  FROM a${k - 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  FROM ka${k - 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
          |  GROUP BY cell, i)""".stripMargin,
-      s"""cent$k AS MATERIALIZED (SELECT cell,
+      s"""kcent$k AS MATERIALIZED (SELECT cell,
          |    list(CAST(s AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY i) AS kv
-         |  FROM d$k GROUP BY cell)""".stripMargin,
-      assign(s"a$k", s"cent$k", keepCv = k < 3))
-    val ctes = Seq(
-      "init AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 4)",
-      "corp AS (SELECT vec_id, embedding AS cv FROM embeddings)",
-      assign("a0", "init", keepCv = true)) ++
-      (1 to 3).flatMap(round)
-    ctes.mkString("WITH ", ",\n", "\n") +
-      s"""SELECT a3.cell, count(*) AS n_members,
+         |  FROM kd$k GROUP BY cell)""".stripMargin) ++
+      (if (k < rounds || finalAssign)
+        Seq(assign(s"ka$k", s"kcent$k", keepCv = k < rounds))
+      else Seq.empty)
+    Seq(
+      s"kinit AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE $seedWhere)",
+      "kcorp AS (SELECT vec_id, embedding AS cv FROM embeddings)",
+      assign("ka0", "kinit", keepCv = true)) ++
+      (1 to rounds).flatMap(round)
+  }
+
+  /** km2's oracle — the km1 replay unrolled three rounds: per round an
+    * assignment level (argmin with the total tie-break), a fixed-point
+    * dims level, and a centroid level; the census reads the final
+    * assignment and kcent3.
+    */
+  private def sqlTrainKMeans: String =
+    sqlLloydCtes("vec_id < 4", rounds = 3, finalAssign = true)
+      .mkString("WITH ", ",\n", "\n") +
+      s"""SELECT ka3.cell, count(*) AS n_members,
          |  CAST(floor(k.kv[1] * 1048576) AS BIGINT) AS c1_fp,
          |  CAST(floor(k.kv[2] * 1048576) AS BIGINT) AS c2_fp
-         |FROM a3 JOIN cent3 k ON k.cell = a3.cell
-         |GROUP BY a3.cell, k.kv[1], k.kv[2] ORDER BY a3.cell""".stripMargin
+         |FROM ka3 JOIN kcent3 k ON k.cell = ka3.cell
+         |GROUP BY ka3.cell, k.kv[1], k.kv[2] ORDER BY ka3.cell""".stripMargin
+
+  /** e3f's oracle — the 2-round Lloyd unroll feeding e3c's IVF chain
+    * verbatim (assignment, probes, cosine scoring, top-k), with
+    * `kcent2` where e3c reads its caller-provided centroid table. */
+  private def sqlIvfTrained: String =
+    (sqlLloydCtes("vec_id < 8", rounds = 2, finalAssign = false) ++ Seq(
+      s"""casg AS (SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM kcorp c CROSS JOIN kcent2 k) WHERE rk = 1)""".stripMargin,
+      "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10)",
+      s"""probes AS (SELECT query_id, qv, cell FROM (
+         |  SELECT q.query_id, q.qv, k.cell,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlL2("q.qv", "k.kv")} ASC, k.cell ASC) AS prank
+         |  FROM q CROSS JOIN kcent2 k) WHERE prank <= 3)""".stripMargin,
+      s"""scored AS (SELECT p.query_id, c.neighbor_id,
+         |  ${sqlDot("p.qv", "c.cv")} / (sqrt(${sqlDot("p.qv", "p.qv")}) * sqrt(${sqlDot("c.cv", "c.cv")})) AS raw
+         |  FROM probes p JOIN casg c ON p.cell = c.cell AND p.query_id <> c.neighbor_id)""".stripMargin))
+      .mkString("WITH ", ",\n", "\n") +
+      """SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** E3F — the clustering story END-TO-END (the r15 verdict's km2 ask,
+    * one step further than documentation): IVF search whose quantizer
+    * is the engine's OWN [[Similarity.trainKMeans]] output (2 rounds
+    * from the 8-seed) rather than caller-provided centroids — train
+    * here, quantize there, every step engine-deterministic. The oracle
+    * unrolls the training trajectory and feeds it into e3c's IVF chain
+    * verbatim.
+    */
+  private def e3f(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val seed = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val (cent, _) = Similarity.trainKMeans(emb, seed, maxRounds = 2)
+    Similarity.ivfTopKWithCentroids(
+        emb.filter(col("vec_id") < 10), emb, cent, k = 5, nProbe = 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("query_id", "rank")
   }
 
   private def e8(s: SparkSession, d: String) =
@@ -7351,6 +7406,7 @@ object SparkEntry {
     "e3_cosine_topk" -> (e3 _),
     "e3b_ivf_topk" -> (e3b _),
     "e3c_ivf_pruned" -> (e3c _),
+    "e3f_ivf_trained" -> (e3f _),
     "e3d_pq_adc" -> (e3d _),
     "e3e_ivfpq" -> (e3e _),
     "km1_lloyd_round" -> (km1 _),
@@ -8396,6 +8452,9 @@ object SparkEntry {
     // e3c: replay the full pruned-IVF pipeline — nearest-centroid corpus
     // assignment (argmin L2, tie to lower cell), query probe routing
     // (3 nearest cells), cell-restricted cosine scoring, top-5 rank.
+    // e3f: the trained-quantizer IVF — the 2-round Lloyd unroll feeding
+    // e3c's probe/score chain (train here, quantize there, one oracle).
+    "e3f_ivf_trained" -> sqlIvfTrained,
     "e3c_ivf_pruned" ->
       s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS kv FROM embeddings WHERE vec_id < 8),
          |corp AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
