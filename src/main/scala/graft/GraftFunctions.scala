@@ -190,6 +190,26 @@ object GraftFunctions {
           "returned; fail-closed on concave windows)",
         classOf[graft.functions.ClipRingsConvexExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipRingsConvexExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_rings_wkt_auto"),
+      info("st_rings_wkt_auto",
+        "st_rings_wkt_auto(rings) - parsed rings to WKT with the geometry type " +
+          "decided by winding: dominant-wound rings are outers, opposite-wound " +
+          "rings holes assigned to their containing outer; POLYGON for one outer, " +
+          "MULTIPOLYGON for several (the dissolve writer), POLYGON EMPTY for none",
+        classOf[graft.functions.RingsToWktAutoExpr]),
+      (exprs: Seq[Expression]) => graft.functions.RingsToWktAutoExpr(exprs(0))),
+    composed("st_clip_box_wkt",
+      "st_clip_box_wkt(wkt, box) - clip a WKT polygon to a bbox struct and " +
+        "re-emit WKT (parse -> st_clip_box_geom -> st_rings_wkt)", 2)(
+      cs => graft.functions.SpatialOps.wktClipToBox(cs(0), cs(1))),
+    composed("st_simplify_wkt",
+      "st_simplify_wkt(wkt, eps) - Douglas-Peucker every ring of a WKT polygon " +
+        "and re-emit WKT", 2)(
+      cs => graft.functions.SpatialOps.wktSimplify(cs(0), cs(1))),
+    composed("st_buffer_convex_wkt",
+      "st_buffer_convex_wkt(wkt, d) - miter-buffer a convex single-ring WKT " +
+        "polygon outward by d and re-emit WKT", 2)(
+      cs => graft.functions.SpatialOps.wktBufferConvex(cs(0), cs(1))),
     composed("st_rings_wkt",
       "st_rings_wkt(rings) - parsed rings back to a WKT POLYGON string (the " +
         "st_rings inverse; empty rings skipped, all-empty renders POLYGON EMPTY) " +

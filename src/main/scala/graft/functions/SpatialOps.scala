@@ -111,6 +111,22 @@ object SpatialOps {
         lit(")")))
   }
 
+  // ---- WKT-level geometry constructors (r16): parse → construct → emit
+  // in one Column composition, so a WKT store round-trips through the
+  // clip/simplify/buffer kernels without the caller staging rings.
+
+  /** WKT polygon clipped to a box, back as WKT (empty → POLYGON EMPTY). */
+  def wktClipToBox(wkt: Column, box: Column): Column =
+    ringsToWkt(ClipExprs.clipRingsBoxCol(wktRings(wkt), box))
+
+  /** WKT polygon with every ring Douglas–Peucker-simplified to eps. */
+  def wktSimplify(wkt: Column, eps: Column): Column =
+    ringsToWkt(transform(wktRings(wkt), r => SimplifyExprs.simplifyRingCol(r, eps)))
+
+  /** WKT convex polygon (single ring) miter-buffered outward by d. */
+  def wktBufferConvex(wkt: Column, d: Column): Column =
+    ringsToWkt(array(BufferExprs.bufferConvexCol(element_at(wktRings(wkt), 1), d)))
+
   /** Σ (x_i·y_{i+1} − x_{i+1}·y_i) over a closed ring = 2·signed area. */
   private def ringCross(pts: Column): Column =
     when(size(pts) < 2, lit(0.0)).otherwise(

@@ -228,8 +228,44 @@ object GeoPackage {
       case 3 =>
         val nRings = rd32().toInt
         s"POLYGON ${(0 until nRings).map(_ => ring()).mkString("(", ", ", ")")}"
+      case 6 =>
+        // MultiPolygon: each member is a COMPLETE nested WKB polygon
+        // (its own byte-order byte + type 3), per the WKB spec
+        val nPolys = rd32().toInt
+        val members = (0 until nPolys).map { _ =>
+          val sub = wkbToWkt(b, off)
+          require(sub.startsWith("POLYGON "), s"MULTIPOLYGON member is not a polygon: $sub")
+          off += wkbLength(b, off)
+          sub.stripPrefix("POLYGON ")
+        }
+        s"MULTIPOLYGON ${members.mkString("(", ", ", ")")}"
       case other => throw new IllegalArgumentException(s"WKB type $other unsupported")
     }
+  }
+
+  /** Byte length of one WKB geometry at `off` (needed to advance past
+    * nested MultiPolygon members, which carry their own headers). */
+  private def wkbLength(b: Array[Byte], off0: Int): Int = {
+    var off = off0
+    val le = b(off) == 1; off += 1
+    def rd32(): Long = {
+      val v = if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      else u32(b, off)
+      off += 4; v
+    }
+    rd32() match {
+      case 1 => off += 16
+      case 2 => val n = rd32().toInt; off += 16 * n
+      case 3 =>
+        val nRings = rd32().toInt
+        for (_ <- 0 until nRings) { val n = rd32().toInt; off += 16 * n }
+      case 6 =>
+        val nPolys = rd32().toInt
+        for (_ <- 0 until nPolys) off += wkbLength(b, off)
+      case other => throw new IllegalArgumentException(s"WKB type $other unsupported")
+    }
+    off - off0
   }
 
   /** GPKG geometry blob: 'GP' magic, version, flags (bit 0 header byte
@@ -459,6 +495,23 @@ object GeoPackage {
           b.putInt(r.length)
           r.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
         }
+        b.array()
+      case "MULTIPOLYGON" =>
+        // split "((...)), ((...))" into member polygon groups at depth 1,
+        // encode each as a complete nested WKB polygon (WKB spec)
+        val inner = body.trim.stripPrefix("(").stripSuffix(")")
+        val members = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; val cur = new StringBuilder
+        inner.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'; if (depth == 0) { members += cur.toString; cur.clear() }
+          case c if depth > 0 => cur += c
+          case _ => // separators between member groups
+        }
+        require(members.nonEmpty, s"empty MULTIPOLYGON body: $wkt")
+        val parts = members.toSeq.map { m => wktToWkb(s"POLYGON $m") }
+        val b = buf(1 + 4 + 4 + parts.map(_.length).sum).putInt(6).putInt(parts.length)
+        parts.foreach(b.put)
         b.array()
       case other => throw new IllegalArgumentException(s"WKT type $other unsupported")
     }

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{RingsWkt, SpatialOps}
+import graft.operators.CoverageArea
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class WktEmitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ringsOf(polys: Seq[(Double, Double, Double, Double)]) = {
+    val rows = polys.zipWithIndex.map { case ((x0, y0, x1, y1), i) => (i, x0, y0, x1, y1) }
+    rows.toDF("i", "x0", "y0", "x1", "y1")
+      .withColumn("rings", array(array(
+        struct(col("x0").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y1").as("y")),
+        struct(col("x0").as("x"), col("y1").as("y")),
+        struct(col("x0").as("x"), col("y0").as("y")))))
+      .withColumn("g", lit(1L)).select("g", "rings")
+  }
+
+  test("auto emitter: disconnected dissolve -> MULTIPOLYGON, frame -> POLYGON with hole") {
+    val two = CoverageArea.unionGeometry(
+      ringsOf(Seq((0, 0, 2, 2), (5, 5, 7, 7))), "rings", Seq("g"))
+    val wkt2 = two.select(RingsWkt.ringsToWktAuto(col("rings"))).head().getString(0)
+    assert(wkt2.startsWith("MULTIPOLYGON ("), wkt2)
+    // re-parsed area survives (wktRings flattens the member grouping,
+    // exactly right for measures)
+    val back = two.select(SpatialOps.ringsArea(SpatialOps.wktRings(
+      RingsWkt.ringsToWktAuto(col("rings")))).as("a"), col("union_area")).head()
+    assert(back.getDouble(0) == back.getDouble(1))
+    val frame = CoverageArea.unionGeometry(
+      ringsOf(Seq((0, 0, 6, 1), (0, 5, 6, 6), (0, 0, 1, 6), (5, 0, 6, 6))), "rings", Seq("g"))
+    val wktF = frame.select(RingsWkt.ringsToWktAuto(col("rings"))).head().getString(0)
+    assert(wktF.startsWith("POLYGON (("), wktF)
+    assert(wktF.count(_ == '(') == 3, s"one outer + one hole expected: $wktF")
+    val backF = frame.select(SpatialOps.ringsArea(SpatialOps.wktRings(
+      RingsWkt.ringsToWktAuto(col("rings")))).as("a"), col("union_area")).head()
+    assert(backF.getDouble(0) == backF.getDouble(1))
+  }
+
+  test("auto emitter: hole nesting picks the containing outer; orphan hole fails loudly") {
+    // two separate outers, one hole inside the SECOND: the hole must
+    // nest under its container in the MULTIPOLYGON spelling
+    def pt(x: Double, y: Double) = struct(lit(x).as("x"), lit(y).as("y"))
+    def ringCcw(x0: Double, y0: Double, x1: Double, y1: Double) =
+      array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+    def ringCw(x0: Double, y0: Double, x1: Double, y1: Double) =
+      array(pt(x0, y0), pt(x0, y1), pt(x1, y1), pt(x1, y0), pt(x0, y0))
+    val wkt = Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(array(
+      ringCcw(0, 0, 2, 2), ringCcw(10, 10, 20, 20), ringCw(12, 12, 14, 14))))
+      .head().getString(0)
+    assert(wkt == "MULTIPOLYGON (((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0)), " +
+      "((10.0 10.0, 20.0 10.0, 20.0 20.0, 10.0 20.0, 10.0 10.0), " +
+      "(12.0 12.0, 12.0 14.0, 14.0 14.0, 14.0 12.0, 12.0 12.0)))", wkt)
+    // orphan hole (inside no outer) must fail, not silently re-parent
+    val e = intercept[Exception](Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(array(
+      ringCcw(0, 0, 2, 2), ringCw(5, 5, 6, 6)))).collect())
+    assert(e.getMessage.contains("no outer ring") || e.getMessage.contains("malformed"))
+    // all-empty -> POLYGON EMPTY
+    val empty = Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(
+      filter(array(ringCcw(0, 0, 1, 1)), _ => lit(false)))).head().getString(0)
+    assert(empty == "POLYGON EMPTY")
+  }
+
+  test("WKT front doors: clip/simplify/buffer round-trip as WKT; SQL surface") {
+    GraftFunctions.register(spark)
+    val arrow = "POLYGON ((0 0, 6 0, 6 8, 3 4, 0 8, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"
+    val r = Seq(arrow).toDF("g").select(
+      SpatialOps.wktArea(SpatialOps.wktClipToBox(col("g"),
+        SpatialOps.bbox(lit(0.5), lit(0.5), lit(5.0), lit(5.0)))).as("clip_a"),
+      graft.functions.ClipExprs.clipArea(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(0.5), lit(0.5), lit(5.0), lit(5.0))).as("want_a"),
+      SpatialOps.wktSimplify(lit("POLYGON ((0 0, 4 0.25, 8 0, 8 8, 0 8, 0 0))"),
+        lit(1.0)).as("simp"),
+      SpatialOps.wktBufferConvex(lit("POLYGON ((2 3, 6 3, 6 7, 2 7, 2 3))"),
+        lit(1.5)).as("buf")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 2 * math.ulp(r.getDouble(1)))
+    assert(r.getString(2) == "POLYGON ((0.0 0.0, 8.0 0.0, 8.0 8.0, 0.0 8.0, 0.0 0.0))")
+    assert(r.getString(3) == "POLYGON ((0.5 1.5, 7.5 1.5, 7.5 8.5, 0.5 8.5, 0.5 1.5))")
+    val viaSql = spark.sql(
+      """SELECT st_simplify_wkt('POLYGON ((0 0, 4 0.25, 8 0, 8 8, 0 8, 0 0))', CAST(1.0 AS DOUBLE)),
+        |  st_buffer_convex_wkt('POLYGON ((2 3, 6 3, 6 7, 2 7, 2 3))', CAST(1.5 AS DOUBLE)),
+        |  st_rings_wkt_auto(st_rings('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))""".stripMargin)
+      .head()
+    assert(viaSql.getString(0) == r.getString(2))
+    assert(viaSql.getString(1) == r.getString(3))
+    assert(viaSql.getString(2).startsWith("POLYGON (("))
+  }
+
+  test("GeoParquet writes a MULTIPOLYGON dissolve and re-ingests its area bitwise") {
+    val dir = java.nio.file.Files.createTempDirectory("wktemit").toString + "/store"
+    val dissolved = CoverageArea.unionGeometry(
+      ringsOf(Seq((0, 0, 2, 2), (5, 5, 7, 7), (1, 1, 3, 2))), "rings", Seq("g"))
+      .select(col("g").as("fid").cast("long").as("fid"),
+        RingsWkt.ringsToWktAuto(col("rings")).as("geom"), col("union_area"))
+    graft.operators.GeoParquet.writeGeoParquet(dissolved.select("fid", "geom"), dir)
+    val back = graft.operators.GeoParquet.readGeoParquet(spark, dir)
+      .select(col("fid"), SpatialOps.wktArea(col("geom")).as("a"))
+      .join(dissolved.select(col("fid"), col("union_area")), "fid").head()
+    assert(back.getDouble(1) == back.getDouble(2),
+      "re-ingested MULTIPOLYGON area must equal the dissolve's union area")
+  }
+}
