@@ -6892,6 +6892,35 @@ object SparkEntry {
       |  3 * a - ab - ac - bc + abc AS union_area
       |FROM i JOIN nc ON nc.g = i.g ORDER BY g""".stripMargin
 
+  /** cov7 — the dissolve WRITE path as one oracled chain: two DISJOINT
+    * rectangles per customer dissolve to TWO outer rings, emit through
+    * [[graft.functions.RingsWkt.ringsToWktAuto]] as a MULTIPOLYGON
+    * string, re-parse with `st_rings`, and measure — the area must be
+    * the exact two-rect sum and the WKT must spell MULTIPOLYGON (the
+    * geometry-type census). Closes the loop the r15 verdict opened:
+    * dissolve → write → re-ingest, every leg oracled.
+    */
+  private def cov7(s: SparkSession, d: String) = {
+    val base = Tables.customer(s, d).select(col("c_custkey").as("g"),
+      explode(array(lit(0), lit(1))).as("m"))
+    val x0 = ((col("g") % 30) * 2 + col("m") * 100).cast("double")
+    val y0 = ((col("g") % 20) * 2).cast("double")
+    val w = (col("g") % 3 + 4).cast("double")
+    val h = (col("g") % 2 + 3).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val polys = base.select(col("g"), array(array(pt(x0, y0), pt(x0 + w, y0),
+      pt(x0 + w, y0 + h), pt(x0, y0 + h), pt(x0, y0))).as("rings"))
+    val wkt = graft.functions.RingsWkt.ringsToWktAuto(col("rings"))
+    operators.CoverageArea.unionGeometry(polys, "rings", Seq("g"))
+      .select(col("g"),
+        substring(wkt, 1, 13).as("wkt_kind"),
+        graft.functions.SpatialOps.wktArea(wkt).as("area_back"),
+        col("union_area"))
+      .filter(col("area_back") === col("union_area"))
+      .select(col("g"), col("wkt_kind"), col("area_back").as("union_area"))
+      .orderBy("g")
+  }
+
   /** cov3 — coverage area over CONCAVE geometry (what cov2's convex
     * rectangles never exercise: a scanline row holding MULTIPLE
     * intervals from ONE polygon): a rectilinear U-shape (outer box minus
@@ -7644,6 +7673,7 @@ object SparkEntry {
     "cov4_union_geometry" -> (cov4 _),
     "cov5_union_geodesic" -> (cov5 _),
     "cov6_tiled_dissolve" -> (cov6 _),
+    "cov7_dissolve_wkt" -> (cov7 _),
     "zs3_coverage_cells" -> (zs3 _),
     "norm1_unicode_norm" -> (norm1 _),
     "hll1_hll_distinct" -> (hll1 _),
@@ -11969,6 +11999,14 @@ object SparkEntry {
     // cov6: per-cell dissolved areas must SUM to the independent I-E
     // union; the cell census regenerated from the member envelopes.
     "cov6_tiled_dissolve" -> sqlUnionGeomCells,
+    // cov7: dissolve -> MULTIPOLYGON WKT -> re-parse -> measure; the
+    // area is the exact two-rect sum, the kind census is closed form.
+    // The filter(area_back == union_area) makes any re-parse drift a
+    // MISSING ROW, not a tolerance.
+    "cov7_dissolve_wkt" ->
+      """SELECT c_custkey AS g, 'MULTIPOLYGON ' AS wkt_kind,
+        |  2 * CAST(c_custkey % 3 + 4 AS DOUBLE) * CAST(c_custkey % 2 + 3 AS DOUBLE) AS union_area
+        |FROM customer ORDER BY g""".stripMargin,
     // cov3: concave scanline (multi-interval rows) vs the U decomposed
     // into disjoint rects + 15-term I-E -- independent exact algorithms.
     "cov3_union_concave" -> sqlUnionAreaMixed,
