@@ -278,30 +278,37 @@ object GeomValidity {
   private def interiorConnected(xs: Array[Array[Double]], ys: Array[Array[Double]]): Boolean = {
     val nr = xs.length
     if (nr < 2) return true
-    // candidate touch points (dedup by exact coordinates — touches are
-    // vertex-exact because crossings/overlaps are already rejected)
-    val pts = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+    // ONE pass collects touch points AND their ring incidences (dedup
+    // by exact coordinates — touches are vertex-exact because crossings
+    // and overlaps are already rejected): vertex v of ring a on ring b
+    // makes (a, P) and (b, P) incidences; a vertex of a third ring at
+    // the same P merges into the same point node
+    val ptIdx = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+    val incid = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)] // (ring, point)
     var a = 0
     while (a < nr) {
-      var b = 0
-      while (b < nr) {
-        if (b != a) {
-          var v = 0
-          while (v < xs(a).length - 1) {
-            if (pointOnRing(xs(b), ys(b), xs(a)(v), ys(a)(v)))
-              pts += ((xs(a)(v), ys(a)(v)))
-            v += 1
+      var v = 0
+      while (v < xs(a).length - 1) {
+        val px = xs(a)(v); val py = ys(a)(v)
+        var b = 0
+        var touched = false
+        while (b < nr) {
+          if (b != a && pointOnRing(xs(b), ys(b), px, py)) {
+            val pi = ptIdx.getOrElseUpdate((px, py), ptIdx.size)
+            incid += ((b, pi))
+            touched = true
           }
+          b += 1
         }
-        b += 1
+        if (touched) incid += ((a, ptIdx((px, py))))
+        v += 1
       }
       a += 1
     }
-    if (pts.isEmpty) return true
-    val ptArr = pts.toArray
+    if (ptIdx.isEmpty) return true
     // union-find over nr ring nodes + point nodes; an incidence closing
     // a cycle = a pinching touch loop
-    val parent = Array.tabulate(nr + ptArr.length)(identity)
+    val parent = Array.tabulate(nr + ptIdx.size)(identity)
     def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
@@ -309,20 +316,13 @@ object GeomValidity {
       while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    var pi = 0
-    while (pi < ptArr.length) {
-      val (px, py) = ptArr(pi)
-      var r = 0
-      while (r < nr) {
-        if (pointOnRing(xs(r), ys(r), px, py)) {
-          val fr = find(r)
-          val fp = find(nr + pi)
-          if (fr == fp) return false
-          parent(fr) = fp
-        }
-        r += 1
-      }
-      pi += 1
+    val it = incid.iterator
+    while (it.hasNext) {
+      val (ring, pi) = it.next()
+      val fr = find(ring)
+      val fp = find(nr + pi)
+      if (fr == fp) return false
+      parent(fr) = fp
     }
     true
   }

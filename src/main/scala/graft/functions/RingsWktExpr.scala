@@ -88,7 +88,6 @@ object RingsWkt {
       }
       i += 1
     }
-    if (xs.isEmpty) return "POLYGON EMPTY"
     def signed(k: Int): Double = {
       val rx = xs(k); val ry = ys(k)
       var acc = 0.0
@@ -102,13 +101,16 @@ object RingsWkt {
     val signs = xs.indices.map(signed)
     val total = signs.sum
     // dominant orientation = outer winding (holes subtract, so the net
-    // signed area carries the outers' sign); an all-degenerate set
-    // (total 0) treats ring 0's sign as dominant, zero-sign rings as outers
+    // signed area carries the outers' sign); zero-signed-area rings
+    // (degenerate clip slivers — the S-H emitter documents them) carry
+    // no region and are DROPPED, never emitted as spurious members
     val outerPositive = if (total != 0.0) total > 0.0
-      else if (signs.head != 0.0) signs.head > 0.0 else true
-    val isOuter = signs.map(s => s == 0.0 || (s > 0.0) == outerPositive)
-    val outers = xs.indices.filter(isOuter)
-    val holes = xs.indices.filterNot(isOuter)
+      else signs.find(_ != 0.0).forall(_ > 0.0)
+    val live = xs.indices.filter(k => signs(k) != 0.0)
+    if (live.isEmpty) return "POLYGON EMPTY"
+    val isOuter = xs.indices.map(k => (signs(k) > 0.0) == outerPositive)
+    val outers = live.filter(isOuter)
+    val holes = live.filterNot(isOuter)
     if (outers.isEmpty)
       throw new IllegalArgumentException(
         "no outer ring under the dominant winding — malformed ring set")
@@ -124,11 +126,16 @@ object RingsWkt {
       }
       in
     }
+    // a hole belongs to the SMALLEST containing outer — the innermost
+    // container, so an island-in-a-lake's pond nests under the island,
+    // not the enclosing landmass (first-match picked the outermost)
     val assigned = scala.collection.mutable.Map.empty[Int, List[Int]]
     holes.foreach { h =>
-      val owner = outers.find(o => inRing(o, xs(h)(0), ys(h)(0))).getOrElse(
+      val containers = outers.filter(o => inRing(o, xs(h)(0), ys(h)(0)))
+      if (containers.isEmpty)
         throw new IllegalArgumentException(
-          s"hole ring $h lies in no outer ring — malformed ring set"))
+          s"hole ring $h lies in no outer ring — malformed ring set")
+      val owner = containers.minBy(o => (math.abs(signs(o)), o))
       assigned(owner) = assigned.getOrElse(owner, Nil) :+ h
     }
     def ringStr(k: Int): String = {

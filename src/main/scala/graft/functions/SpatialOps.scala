@@ -123,9 +123,18 @@ object SpatialOps {
   def wktSimplify(wkt: Column, eps: Column): Column =
     ringsToWkt(transform(wktRings(wkt), r => SimplifyExprs.simplifyRingCol(r, eps)))
 
-  /** WKT convex polygon (single ring) miter-buffered outward by d. */
-  def wktBufferConvex(wkt: Column, d: Column): Column =
-    ringsToWkt(array(BufferExprs.bufferConvexCol(element_at(wktRings(wkt), 1), d)))
+  /** WKT convex polygon (single ring) miter-buffered outward by d.
+    * Multi-ring input (holes, MULTIPOLYGON members) fails LOUDLY — a
+    * silent first-ring buffer would discard geometry (r16 review). */
+  def wktBufferConvex(wkt: Column, d: Column): Column = {
+    val rings = wktRings(wkt)
+    val ring = when(size(rings) === 1, element_at(rings, 1))
+      .otherwise(raise_error(concat(
+        lit("st_buffer_convex_wkt needs a single-ring polygon, got "),
+        size(rings).cast("string"),
+        lit(" rings — buffer rings individually via st_buffer_convex"))))
+    ringsToWkt(array(BufferExprs.bufferConvexCol(ring, d)))
+  }
 
   /** Σ (x_i·y_{i+1} − x_{i+1}·y_i) over a closed ring = 2·signed area. */
   private def ringCross(pts: Column): Column =

@@ -278,12 +278,23 @@ object CoverageArea {
     val rings = transform(col("__u._1"), (rx, i) =>
       zip_with(rx, element_at(col("__u._2"), i + lit(1)),
         (x, y) => struct(x.as("x"), y.as("y"))))
-    perCell
+    val cells = perCell
       .withColumn("rings", rings)
       .withColumn("cell_area", graft.functions.SpatialOps.ringsCross(col("rings")) / 2)
       .select((groupCols.map(col) ++ Seq(
         col("__cx").as("cell_x"), col("__cy").as("cell_y"),
         col("rings"), col("cell_area"))): _*)
+    // a group whose rows all carry empty ring lists (null envelope ->
+    // the explode drops every row) must still come back — one NULL-cell
+    // row with empty geometry and area 0, matching unionAreaByCell's
+    // degenerate-group contract (r16 review: the two paths disagreed)
+    val base = df.select(groupCols.map(col): _*).distinct()
+    base.join(cells, groupCols, "left")
+      .select((groupCols.map(col) ++ Seq(
+        col("cell_x"), col("cell_y"),
+        coalesce(col("rings"),
+          array().cast(graft.functions.ClipExprs.ringsType)).as("rings"),
+        coalesce(col("cell_area"), lit(0.0)).as("cell_area"))): _*)
   }
 
   // ---- kernel ----

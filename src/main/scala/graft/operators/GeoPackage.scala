@@ -199,7 +199,13 @@ object GeoPackage {
 
   // ---- GPKG geometry blob (GP header + WKB) → WKT ----
 
-  private[graft] def wkbToWkt(b: Array[Byte], off0: Int): String = {
+  private[graft] def wkbToWkt(b: Array[Byte], off0: Int): String =
+    wkbParse(b, off0)._1
+
+  /** Cursor parser: one walk yields both the WKT text and the byte
+    * count consumed (nested MultiPolygon members advance the parent
+    * cursor with no second parse). */
+  private def wkbParse(b: Array[Byte], off0: Int): (String, Int) = {
     var off = off0
     val le = b(off) == 1; off += 1
     def rd32(): Long = {
@@ -222,7 +228,7 @@ object GeoPackage {
       val n = rd32().toInt
       (0 until n).map(_ => pt()).mkString("(", ", ", ")")
     }
-    rd32() match {
+    val wkt = rd32() match {
       case 1 => s"POINT (${pt()})"
       case 2 => s"LINESTRING ${ring()}"
       case 3 =>
@@ -233,39 +239,15 @@ object GeoPackage {
         // (its own byte-order byte + type 3), per the WKB spec
         val nPolys = rd32().toInt
         val members = (0 until nPolys).map { _ =>
-          val sub = wkbToWkt(b, off)
+          val (sub, consumed) = wkbParse(b, off)
           require(sub.startsWith("POLYGON "), s"MULTIPOLYGON member is not a polygon: $sub")
-          off += wkbLength(b, off)
+          off += consumed
           sub.stripPrefix("POLYGON ")
         }
         s"MULTIPOLYGON ${members.mkString("(", ", ", ")")}"
       case other => throw new IllegalArgumentException(s"WKB type $other unsupported")
     }
-  }
-
-  /** Byte length of one WKB geometry at `off` (needed to advance past
-    * nested MultiPolygon members, which carry their own headers). */
-  private def wkbLength(b: Array[Byte], off0: Int): Int = {
-    var off = off0
-    val le = b(off) == 1; off += 1
-    def rd32(): Long = {
-      val v = if (le) (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-      else u32(b, off)
-      off += 4; v
-    }
-    rd32() match {
-      case 1 => off += 16
-      case 2 => val n = rd32().toInt; off += 16 * n
-      case 3 =>
-        val nRings = rd32().toInt
-        for (_ <- 0 until nRings) { val n = rd32().toInt; off += 16 * n }
-      case 6 =>
-        val nPolys = rd32().toInt
-        for (_ <- 0 until nPolys) off += wkbLength(b, off)
-      case other => throw new IllegalArgumentException(s"WKB type $other unsupported")
-    }
-    off - off0
+    (wkt, off - off0)
   }
 
   /** GPKG geometry blob: 'GP' magic, version, flags (bit 0 header byte

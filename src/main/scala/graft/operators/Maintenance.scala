@@ -83,14 +83,42 @@ object Maintenance {
     val marker = new Path(p.toString + ".compacting")
     val out = fs.create(marker, true)
     try out.write(old.toString.getBytes("UTF-8")) finally out.close()
+    val preGen = liveGeneration(fs, p)
     require(fs.rename(p, old), s"rename $p -> $old failed")
     require(fs.rename(next, p), s"rename $next -> $p failed; data is at $old")
     if (retain) {
-      val gen = archivedGenerations(fs, p).lastOption.getOrElse(0) + 1
-      val arch = new Path(f"${p.toString}.g$gen%06d")
+      val arch = new Path(f"${p.toString}.g$preGen%06d")
       require(fs.rename(old, arch), s"archive rename $old -> $arch failed")
     } else fs.delete(old, true)
+    // EVERY swap advances the generation counter — retained or not — so
+    // a pinned generation can never silently read post-swap data: after
+    // a retain=false swap the old pin is "existed but was not retained",
+    // a loud readAsOf error instead of the wrong corpus
+    writeLiveGeneration(fs, p, preGen + 1)
     fs.delete(marker, false)
+  }
+
+  /** The live store's generation: the `<path>.generation` sidecar when
+    * present, else max(archived)+1 (a store whose swaps predate the
+    * counter), else 1. */
+  private def liveGeneration(fs: org.apache.hadoop.fs.FileSystem, p: Path): Int = {
+    val sidecar = new Path(p.toString + ".generation")
+    if (fs.exists(sidecar)) {
+      val in = fs.open(sidecar)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toInt
+      } finally in.close()
+    } else archivedGenerations(fs, p).lastOption.getOrElse(0) + 1
+  }
+
+  private def writeLiveGeneration(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, gen: Int): Unit = {
+    val sidecar = new Path(p.toString + ".generation")
+    if (fs.exists(sidecar)) fs.delete(sidecar, false) // avoid .crc checksum mismatch
+    val out = fs.create(sidecar, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Archived generation numbers of a store (ascending) — directories
@@ -117,9 +145,13 @@ object Maintenance {
     archivedGenerations(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** The live store's generation number (see [[generations]]). */
-  def currentGeneration(spark: SparkSession, path: String): Int =
-    generations(spark, path).lastOption.getOrElse(0) + 1
+  /** The live store's generation number: advanced by EVERY swap
+    * (retained or not — the `<path>.generation` sidecar), so a pin taken
+    * here is either servable or a loud error, never silently stale. */
+  def currentGeneration(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    liveGeneration(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 
   /** SNAPSHOT / TIME-TRAVEL READ (the r15 verdict's stretch 9): the store
     * as of `generation` — an archived pre-swap snapshot for g ≤ the last
@@ -135,13 +167,18 @@ object Maintenance {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archived = archivedGenerations(fs, p)
-    val live = archived.lastOption.getOrElse(0) + 1
+    val live = liveGeneration(fs, p)
     if (generation == live) spark.read.parquet(path)
     else if (archived.contains(generation))
       spark.read.parquet(f"$path.g$generation%06d")
+    else if (generation > 0 && generation < live)
+      throw new IllegalArgumentException(
+        s"generation $generation of $path EXISTED but was not retained " +
+          s"(archived: ${archived.mkString(",")}; live: $live) — a swap ran " +
+          "with retain = false after the pin; re-pin or retain every swap")
     else throw new IllegalArgumentException(
       s"generation $generation of $path does not exist (archived: " +
-        s"${archived.mkString(",")}; live: $live) — was the swap run with retain = true?")
+        s"${archived.mkString(",")}; live: $live)")
   }
 
   /** CDC between a pinned generation and the live store: [[snapshotDiff]]

@@ -226,16 +226,22 @@ class MaintenanceSpec extends AnyFunSuite {
       .groupBy("change").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(diff == Map("delete" -> 3L, "update" -> 1L, "insert" -> 1L), s"got $diff")
-    // a never-retained generation fails loudly
+    // a generation that never existed fails loudly
     val e = intercept[IllegalArgumentException](Maintenance.readAsOf(spark, dir, 9))
-    assert(e.getMessage.contains("retain"))
-    // default swaps still retain nothing (no archive creep)
+    assert(e.getMessage.contains("does not exist"))
+    // a DEFAULT (retain=false) swap advances the generation WITHOUT
+    // archiving, so the previously-live pin now fails LOUDLY instead of
+    // silently serving post-swap data (the r16 review finding)
     Maintenance.compact(spark, dir, targetFileBytes = 1L << 30)
-    assert(Maintenance.generations(spark, dir) == Seq(1, 2))
-    // and a retained compact archives the pre-compact copy as g3
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2), "no archive creep")
+    assert(Maintenance.currentGeneration(spark, dir) == 4)
+    val stale = intercept[IllegalArgumentException](Maintenance.readAsOf(spark, dir, 3))
+    assert(stale.getMessage.contains("was not retained"))
+    // a retained compact archives the pre-compact copy under the live
+    // counter (gaps in the ledger are honest: gen 3 existed, unretained)
     Maintenance.compact(spark, dir, targetFileBytes = 1L << 30, retain = true)
-    assert(Maintenance.generations(spark, dir) == Seq(1, 2, 3))
-    assert(Maintenance.readAsOf(spark, dir, 3).orderBy("id").collect()
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2, 4))
+    assert(Maintenance.readAsOf(spark, dir, 4).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == g3)
   }
 }

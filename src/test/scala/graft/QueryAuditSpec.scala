@@ -139,7 +139,18 @@ class QueryAuditSpec extends AnyFunSuite {
     case t if t.nodeName.contains("TopKPerKey") => true
     case s: org.apache.spark.sql.execution.FileSourceScanExec => s.dataFilters.nonEmpty
     case _: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => false
-    case leaf if leaf.children.isEmpty => true // literal/range leaves: no corpus behind them
+    // a reused exchange stands in for its original subtree — judge THAT,
+    // not the leaf wrapper (else a whole-corpus broadcast deduplicated by
+    // ReuseExchange would slip the tripwire)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      buildSideDisciplined(r.child)
+    // literal-sized leaves are fine; any OTHER leaf (InMemoryTableScan,
+    // future sources) fails CLOSED — the same default as rowBounded
+    case r: org.apache.spark.sql.execution.RangeExec
+      if r.range.numElements <= BigInt(1024) => true
+    case l: org.apache.spark.sql.execution.LocalTableScanExec
+      if l.rows.length <= 1024 => true
+    case leaf if leaf.children.isEmpty => false
     case other => other.children.forall(buildSideDisciplined)
   }
 

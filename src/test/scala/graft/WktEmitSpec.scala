@@ -65,6 +65,52 @@ class WktEmitSpec extends AnyFunSuite {
     assert(empty == "POLYGON EMPTY")
   }
 
+  test("auto emitter: island-in-a-lake nests the pond under the ISLAND; slivers drop") {
+    def pt(x: Double, y: Double) = struct(lit(x).as("x"), lit(y).as("y"))
+    def ringCcw(x0: Double, y0: Double, x1: Double, y1: Double) =
+      array(pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0))
+    def ringCw(x0: Double, y0: Double, x1: Double, y1: Double) =
+      array(pt(x0, y0), pt(x0, y1), pt(x1, y1), pt(x1, y0), pt(x0, y0))
+    // landmass [0,20]² with lake hole [2,18]², island [5,15]² with pond
+    // hole [8,12]² — the pond's smallest container is the ISLAND, but
+    // the landmass contains it too (single-ring even-odd): first-match
+    // assignment parented it wrong (r16 review finding)
+    val wkt = Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(array(
+      ringCcw(0, 0, 20, 20), ringCw(2, 2, 18, 18),
+      ringCcw(5, 5, 15, 15), ringCw(8, 8, 12, 12)))).head().getString(0)
+    assert(wkt == "MULTIPOLYGON (((0.0 0.0, 20.0 0.0, 20.0 20.0, 0.0 20.0, 0.0 0.0), " +
+      "(2.0 2.0, 2.0 18.0, 18.0 18.0, 18.0 2.0, 2.0 2.0)), " +
+      "((5.0 5.0, 15.0 5.0, 15.0 15.0, 5.0 15.0, 5.0 5.0), " +
+      "(8.0 8.0, 8.0 12.0, 12.0 12.0, 12.0 8.0, 8.0 8.0)))", wkt)
+    // re-parsed area: 400 - 256 + 100 - 16
+    val a = Seq(wkt).toDF("g").select(SpatialOps.wktArea(col("g"))).head().getDouble(0)
+    assert(a == 400.0 - 256.0 + 100.0 - 16.0)
+    // a zero-signed-area sliver (the S-H degenerate-bridge class) is
+    // dropped, never emitted as a spurious member
+    val sliver = array(pt(30.0, 0.0), pt(34.0, 0.0), pt(30.0, 0.0))
+    val w2 = Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(array(
+      ringCcw(0, 0, 2, 2), sliver))).head().getString(0)
+    assert(w2 == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))", w2)
+    val w3 = Seq(1).toDF("i").select(RingsWkt.ringsToWktAuto(array(sliver)))
+      .head().getString(0)
+    assert(w3 == "POLYGON EMPTY")
+  }
+
+  test("buffer front door rejects multi-ring WKT loudly; tiled dissolve keeps degenerate groups") {
+    val e = intercept[Exception](Seq(
+      "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))").toDF("g")
+      .select(SpatialOps.wktBufferConvex(col("g"), lit(1.0))).collect())
+    assert(e.getMessage.contains("single-ring"), e.getMessage)
+    // a group whose rows all carry empty ring lists survives the tiled
+    // path as one null-cell row at area 0 (matching unionAreaByCell)
+    val deg = Seq((7L, 0)).toDF("g", "m")
+      .withColumn("rings",
+        filter(array(array(struct(lit(0.0).as("x"), lit(0.0).as("y")))), _ => lit(false)))
+      .select("g", "rings")
+    val rows = CoverageArea.unionGeometryByCell(deg, "rings", Seq("g"), cellSize = 8.0).collect()
+    assert(rows.length == 1 && rows(0).isNullAt(1) && rows(0).getDouble(4) == 0.0)
+  }
+
   test("WKT front doors: clip/simplify/buffer round-trip as WKT; SQL surface") {
     GraftFunctions.register(spark)
     val arrow = "POLYGON ((0 0, 6 0, 6 8, 3 4, 0 8, 0 0), (1 1, 1 2, 2 2, 2 1, 1 1))"
