@@ -2900,6 +2900,83 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** KM3 — DETERMINISTIC k-means seeding (farthest-first traversal) +
+    * one Lloyd round: the engine-owned replacement for km1's "first k
+    * ids" seed — seed 0 the minimum-id vector, each further seed the
+    * corpus argmax of min-distance-to-chosen (ties by id), then the km1
+    * round and census from those seeds. The oracle unrolls the ENTIRE
+    * selection trajectory (three argmax levels over staged least()
+    * chains — a wrong pick anywhere reseats a seed and shifts every
+    * downstream row) before replaying the round.
+    */
+  private def km3(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val seeds = Similarity.seedKMeansFarthest(emb, k = 4)
+    // one round through trainKMeans' collect-and-reseed (bitwise the
+    // lloydRound chain, spec-proven) so the final assignment broadcasts
+    // a statically row-bounded LOCAL relation — km3 needs no audit
+    // allowlist entry, unlike km1's grouped-aggregate broadcast
+    val (cent1, _) = Similarity.trainKMeans(emb, seeds.select("cell", "centroid"),
+      maxRounds = 1)
+    Similarity.assignCells(emb, cent1)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(cent1.select(col("cell"),
+        floor(element_at(col("centroid"), 1) * lit(1048576L)).cast("long").as("c1_fp"),
+        floor(element_at(col("centroid"), 2) * lit(1048576L)).cast("long").as("c2_fp")),
+        Seq("cell"))
+      .join(seeds.select("cell", "seed_id"), Seq("cell"))
+      .select("cell", "seed_id", "n_members", "c1_fp", "c2_fp")
+      .orderBy("cell")
+  }
+
+  /** km3's oracle — the farthest-first unroll (selection argmax per
+    * level, least() over the chosen set in selection order — the
+    * engine's left-assoc reduce) feeding the km1 round replay. */
+  private def sqlKmppSeeded: String = {
+    def sel(i: Int): String = {
+      val dists = (0 until i).map(j => sqlL2("c.cv", s"s$j.kv"))
+      val dmin = if (dists.length == 1) dists.head
+        else s"least(${dists.mkString(", ")})"
+      val froms = (0 until i).map(j => s"s$j").mkString(", ")
+      s"""s$i AS MATERIALIZED (SELECT vec_id, cv AS kv FROM (
+         |  SELECT c.vec_id, c.cv,
+         |    row_number() OVER (ORDER BY $dmin DESC, c.vec_id ASC) AS rk
+         |  FROM corpd c, $froms) WHERE rk = 1)""".stripMargin
+    }
+    val seedCtes = Seq(
+      "corpd AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)",
+      "s0 AS MATERIALIZED (SELECT vec_id, cv AS kv FROM corpd ORDER BY vec_id LIMIT 1)") ++
+      (1 until 4).map(sel)
+    val roundCtes = Seq(
+      "cent0 AS (" + (0 until 4).map(i =>
+        s"SELECT $i AS cell, vec_id AS seed_id, kv FROM s$i").mkString(" UNION ALL ") + ")",
+      "corp AS (SELECT vec_id, embedding AS cv FROM embeddings)",
+      s"""a0 AS MATERIALIZED (SELECT vec_id, cv, cell FROM (
+         |  SELECT c.vec_id, c.cv, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN cent0 k) WHERE rk = 1)""".stripMargin,
+      s"""dims AS MATERIALIZED (SELECT cell, i,
+         |    sum(CAST(floor(CAST(cv[i] AS DOUBLE) * 1048576.0) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) t
+         |  GROUP BY cell, i)""".stripMargin,
+      s"""cent1 AS MATERIALIZED (SELECT cell,
+         |    list(CAST(s AS DOUBLE) / 1048576.0 / CAST(n AS DOUBLE) ORDER BY i) AS kv
+         |  FROM dims GROUP BY cell)""".stripMargin,
+      s"""a1 AS (SELECT vec_id, cell FROM (
+         |  SELECT c.vec_id, k.cell,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${sqlL2("c.cv", "k.kv")} ASC, k.cell ASC) AS rk
+         |  FROM corp c CROSS JOIN cent1 k) WHERE rk = 1)""".stripMargin)
+    (seedCtes ++ roundCtes).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT a1.cell, s.seed_id, count(*) AS n_members,
+         |  CAST(floor(k.kv[1] * 1048576) AS BIGINT) AS c1_fp,
+         |  CAST(floor(k.kv[2] * 1048576) AS BIGINT) AS c2_fp
+         |FROM a1 JOIN cent1 k ON k.cell = a1.cell JOIN cent0 s ON s.cell = a1.cell
+         |GROUP BY a1.cell, s.seed_id, k.kv[1], k.kv[2] ORDER BY a1.cell""".stripMargin
+  }
+
   /** E3F — the clustering story END-TO-END (the r15 verdict's km2 ask,
     * one step further than documentation): IVF search whose quantizer
     * is the engine's OWN [[Similarity.trainKMeans]] output (2 rounds
@@ -7440,6 +7517,7 @@ object SparkEntry {
     "e3e_ivfpq" -> (e3e _),
     "km1_lloyd_round" -> (km1 _),
     "km2_kmeans_train" -> (km2 _),
+    "km3_kmpp_seeded" -> (km3 _),
     "j13_bbox_skew" -> (j13 _),
     "j16_point_in_polygon" -> (j16 _),
     "j17_refine_join" -> (j17 _),
@@ -8425,6 +8503,9 @@ object SparkEntry {
     // level MATERIALIZED; the engine's collect-and-reseed is verbatim,
     // so the unroll replays the identical trajectory.
     "km2_kmeans_train" -> sqlTrainKMeans,
+    // km3: the farthest-first seed trajectory unrolled (argmax per
+    // level), then the km1 round replay from those seeds.
+    "km3_kmpp_seeded" -> sqlKmppSeeded,
     // km1: the exact Lloyd round — argmin assignment, per-dim fixed-point
     // sums, the same ((s/2^20)/n) mean chain, argmin again.
     "km1_lloyd_round" ->

@@ -433,6 +433,45 @@ object Similarity {
     (cur.toDF("cell", "centroid"), rounds)
   }
 
+  /** DETERMINISTIC k-means seeding — farthest-first traversal (Gonzalez
+    * 1985, the deterministic counterpart of k-means++'s random D²
+    * sampling): seed 0 is the MINIMUM-id vector (a total anchor, no
+    * randomness), and each further seed is the corpus argmax of the
+    * minimum L2 distance to the chosen set, ties broken by smallest id —
+    * every selection a global sort-limit-1 (TakeOrderedAndProject, k−1
+    * corpus scans), the chosen vectors collected as k·dim metadata and
+    * re-broadcast as literals. Completes the engine-owned clustering
+    * chain: seed here → [[trainKMeans]] → [[ivfTopKWithCentroids]] /
+    * semanticDedup, every step deterministic and oracle-replayable
+    * (km3 unrolls the selection trajectory as CTE levels).
+    *
+    * Output: (cell = selection index, seed_id, centroid ARRAY<DOUBLE>).
+    */
+  def seedKMeansFarthest(
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val first = base.orderBy(col("__id").asc).limit(1).collect()(0)
+    var seeds = List((first.getLong(0), first.getSeq[Double](1)))
+    while (seeds.length < k) {
+      val dmin = seeds
+        .map(s => VectorOps.l2Distance(col("__v"), lit(s._2.toArray)))
+        .reduce(least(_, _))
+      val next = base.select(col("__id"), col("__v"), dmin.as("__d"))
+        .orderBy(col("__d").desc, col("__id").asc).limit(1).collect()(0)
+      seeds = seeds :+ ((next.getLong(0), next.getSeq[Double](1)))
+    }
+    seeds.zipWithIndex
+      .map { case ((id, v), i) => (i, id, v) }
+      .toDF("cell", "seed_id", "centroid")
+  }
+
   /** Cluster-cohesion score: each vector's cosine to its group centroid
     * (in-order fold dot product — oracle-exact given the fixed-point
     * centroid). The centroid table is tiny (one row per group) → AQE

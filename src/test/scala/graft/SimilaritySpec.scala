@@ -341,6 +341,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(q10.head._3 == math.floor(c * 1048576.0).toLong)
   }
 
+  test("seedKMeansFarthest matches a brute-force farthest-first reference") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 60).map { i =>
+      (i.toLong, Array.fill(3)((rnd.nextInt(40) * 0.25).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.seedKMeansFarthest(df, k = 5)
+      .orderBy("cell").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // reference: same traversal in plain Scala (exact doubles)
+    val vs = pts.map { case (id, v) => (id, v.map(_.toDouble)) }
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    var chosen = List(vs.minBy(_._1))
+    while (chosen.length < 5) {
+      val next = vs.maxBy { case (id, v) =>
+        (chosen.map(c => l2(v, c._2)).min, -id) // max dist, then smallest id
+      }
+      chosen = chosen :+ next
+    }
+    assert(got == chosen.map(_._1).zipWithIndex.map { case (id, i) => (i, id) },
+      s"got $got vs ${chosen.map(_._1)}")
+    // the selected seeds are pairwise distinct and include the min id
+    assert(got.map(_._2).distinct.length == 5 && got.head._2 == vs.map(_._1).min)
+  }
+
   test("trainKMeans: R rounds are BITWISE the chained lloydRound; early stop is result-transparent") {
     import graft.operators.Similarity
     // 40 vectors in two obvious blobs + two stragglers so round 1 != round 2
