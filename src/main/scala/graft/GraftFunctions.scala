@@ -190,6 +190,14 @@ object GraftFunctions {
           "returned; fail-closed on concave windows)",
         classOf[graft.functions.ClipRingsConvexExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipRingsConvexExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_clip_general_geom"),
+      info("st_clip_general_geom",
+        "st_clip_general_geom(rings, clip_ring) - the PIECEWISE tiling of " +
+          "polygon-intersect-SIMPLE-window (st_clip_area_general's ear " +
+          "decomposition, one piece per ear x subject ring, seam edges kept; " +
+          "dissolve via coverage union for one merged boundary)",
+        classOf[graft.functions.ClipRingsGeneralExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipRingsGeneralExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_rings_wkt_auto"),
       info("st_rings_wkt_auto",
         "st_rings_wkt_auto(rings) - parsed rings to WKT with the geometry type " +
@@ -198,6 +206,12 @@ object GraftFunctions {
           "MULTIPOLYGON for several (the dissolve writer), POLYGON EMPTY for none",
         classOf[graft.functions.RingsToWktAutoExpr]),
       (exprs: Seq[Expression]) => graft.functions.RingsToWktAutoExpr(exprs(0))),
+    composed("st_clip_general_wkt",
+      "st_clip_general_wkt(wkt, clip_ring) - clip a WKT polygon to one SIMPLE " +
+        "(concave allowed) window ring and re-emit WKT (parse -> " +
+        "st_clip_general_geom -> st_rings_wkt_auto; piecewise tiling, " +
+        "area-exact vs st_clip_area_general)", 2)(
+      cs => graft.functions.SpatialOps.wktClipGeneral(cs(0), cs(1))),
     composed("st_clip_box_wkt",
       "st_clip_box_wkt(wkt, box) - clip a WKT polygon to a bbox struct and " +
         "re-emit WKT (parse -> st_clip_box_geom -> st_rings_wkt)", 2)(

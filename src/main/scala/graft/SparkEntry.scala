@@ -1561,6 +1561,80 @@ object SparkEntry {
       .orderBy("s_suppkey", "cell_id", "ring_i", "pt_i")
   }
 
+  /** J28 — GEOMETRY-EMITTING general (concave-window) clip: j23's
+    * arrow × dart pairs with the ear-tiled PIECES of subject ∩ dart
+    * emitted by [[graft.functions.ClipExprs.clipRingsGeneralCol]]
+    * (clipAreaGeneral's deterministic ear decomposition, the per-ear
+    * vertex lists returned instead of folded). Piece order is ear-major,
+    * subject-ring-minor with empties kept, so piece_i names the
+    * (ear, ring) pair: 0 = earA⊗outer, 1 = earA⊗hole, 2 = earB⊗outer,
+    * 3 = earB⊗hole for the dart's proven two-ear decomposition (the
+    * j23 oracle's hash is the proof the kernel cuts exactly those
+    * ears). Pieces tile the intersection — seam edges along the ear
+    * cut are geometry here (adjacent, not dissolved; ClipAreaSpec
+    * gates the per-ear area fold ≡ clipAreaGeneral bitwise and the
+    * dissolve path for merged boundaries). Raw IEEE vertex coordinates
+    * hash-gate because the oracle replays both ears' passes and
+    * unnests the SAME final lists (the j27 discipline on the concave
+    * kernel).
+    */
+  private def j28(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val dart = array(pt(cx, cy + r), pt(cx - r, cy - r),
+      pt(cx, cy - lit(0.5) * r), pt(cx + r, cy - r), pt(cx, cy + r))
+    val b = Tables.customer(s, d)
+      .select(c, dart.as("_rc"),
+        SpatialOps.bbox(cx - r, cy - r, cx + r, cy + r).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .withColumn("pieces",
+        graft.functions.ClipExprs.clipRingsGeneralCol(col("_ra"), col("_rc")))
+      .select(col("s_suppkey"), col("c_custkey"),
+        posexplode(col("pieces")).as(Seq("piece_i", "piece")))
+      .filter(size(col("piece")) > 0)
+      .select(col("s_suppkey"), col("c_custkey"), col("piece_i"),
+        posexplode(col("piece")).as(Seq("pt_i", "pt")))
+      .select(col("s_suppkey"), col("c_custkey"), col("piece_i"), col("pt_i"),
+        col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("s_suppkey", "c_custkey", "piece_i", "pt_i")
+  }
+
+  /** j28's oracle — sqlClipConcave's two-ear replay with the FINAL
+    * closed lists unnested to vertex rows instead of folded to areas:
+    * pieces (earA⊗outer, earA⊗hole, earB⊗outer, earB⊗hole) emit their
+    * post-pass-3 vertices with 0-based positions when nonempty — the
+    * engine's posexplode-over-emitted-pieces rule on the ear-major
+    * order.
+    */
+  private def sqlClipGeneralGeom: String = {
+    val concave = sqlClipConcave
+    val upToFinal = concave.substring(0,
+      concave.indexOf("SELECT s_suppkey, c_custkey, inter_area"))
+    def vtx(piece: String, pi: Int): String =
+      s"""SELECT s_suppkey, c_custkey, CAST($pi AS INT) AS piece_i,
+         |  unnest(list_transform(range(1, length($piece) + 1), i ->
+         |    struct_pack(pt_i := CAST(i - 1 AS INT), x := $piece[i].x, y := $piece[i].y))) AS v
+         |FROM c3 WHERE length($piece) > 0""".stripMargin
+    upToFinal +
+      s"""SELECT s_suppkey, c_custkey, piece_i, v.pt_i AS pt_i, v.x AS x, v.y AS y
+         |FROM (${vtx("oa3", 0)}
+         |UNION ALL
+         |${vtx("ha3", 1)}
+         |UNION ALL
+         |${vtx("ob3", 2)}
+         |UNION ALL
+         |${vtx("hb3", 3)})
+         |ORDER BY s_suppkey, c_custkey, piece_i, pt_i""".stripMargin
+  }
+
   /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
     * lists unnested to vertex rows instead of folded to areas: ring 0
     * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
@@ -7530,6 +7604,7 @@ object SparkEntry {
     "j25_clip_polygon" -> (j25 _),
     "j26_clip_multipolygon" -> (j26 _),
     "j27_clip_geometry" -> (j27 _),
+    "j28_clip_general_geom" -> (j28 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -8146,6 +8221,9 @@ object SparkEntry {
     // j27: the same replay EMITTING the final clipped vertex lists as
     // rows — the first oracled computed GEOMETRY (raw IEEE coordinates).
     "j27_clip_geometry" -> sqlClipGeom,
+    // j28: sqlClipConcave's two-ear replay emitting the per-ear PIECES'
+    // vertex lists (the general kernel's piecewise tiling) as rows.
+    "j28_clip_general_geom" -> sqlClipGeneralGeom,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

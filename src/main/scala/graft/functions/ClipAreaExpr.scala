@@ -334,10 +334,10 @@ case class ClipRingsBoxExpr(left: Expression, right: Expression)
 
 /** GEOMETRY-EMITTING convex-window clip — [[ClipAreaPolyExpr]]'s passes
   * with the final vertex lists returned (see [[ClipRingsBoxExpr]] for
-  * the emission contract). General/ear-decomposed windows stay
-  * area-only by design: ear triangles partition the clip AREA but their
-  * per-ear clip outputs are adjacent pieces, not one ring — emitting
-  * them would need a dissolve (see CoverageArea.unionGeometry).
+  * the emission contract). General/ear-decomposed windows emit a
+  * PIECEWISE tiling instead (one piece per ear × subject ring, seam
+  * edges preserved) via [[ClipRingsGeneralExpr]] — dissolve the pieces
+  * with CoverageArea.unionGeometry* when one merged boundary is needed.
   */
 case class ClipRingsConvexExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -379,6 +379,51 @@ case class ClipRingsConvexExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** GEOMETRY-EMITTING general-window clip (r16): [[ClipAreaGeneralExpr]]'s
+  * deterministic ear decomposition with each ear's clipped vertex lists
+  * returned instead of folded — a piecewise tiling of subject ∩ clip
+  * (see [[ClipExprs.clipRingsGeneral]] for the piece contract).
+  */
+case class ClipRingsGeneralExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private def ringTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_general_geom needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
+    else if (!ringTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"clip_general_geom needs one array<struct<x,y>> SIMPLE clip ring, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ClipExprs.ringsType
+
+  override protected def nullSafeEval(rings: Any, clip: Any): Any =
+    ClipExprs.clipRingsGeneral(rings.asInstanceOf[ArrayData], clip.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, c) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipRingsGeneral($r, $c);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** The st_rings layout — also the emitted-geometry type of the
@@ -404,6 +449,12 @@ object ClipExprs {
   /** Column entry: the CLIPPED RINGS of subject ∩ one convex clip ring. */
   def clipRingsConvexCol(rings: Column, clipRing: Column): Column =
     GraftBridge.column(ClipRingsConvexExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
+
+  /** Column entry: the PIECEWISE tiling of subject ∩ one SIMPLE clip
+    * ring (concave allowed) — one piece per (ear, subject ring). */
+  def clipRingsGeneralCol(rings: Column, clipRing: Column): Column =
+    GraftBridge.column(ClipRingsGeneralExpr(
       GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
 
   /** Column entry: subject rings ∩ one convex clip ring (closed,
@@ -814,8 +865,29 @@ object ClipExprs {
       }
       math.abs(total) / 2.0
     }
-    val idx = scala.collection.mutable.ArrayBuffer.range(0, m - 1)
+    val ears = earOrder(cx, cy, sign)
     var acc = 0.0
+    var ei = 0
+    while (ei < ears.length) {
+      acc += triArea(ears(ei)._1, ears(ei)._2, ears(ei)._3)
+      ei += 1
+    }
+    acc
+  }
+
+  /** The deterministic ear-cut ORDER shared by the general area and
+    * geometry-emitting kernels (rule documented at [[clipAreaGeneral]];
+    * extracted verbatim — the cut order never depended on the area fold,
+    * so the oracled j23/j25/j26 decompositions are unchanged).
+    */
+  private def earOrder(cx: Array[Double], cy: Array[Double], sign: Double)
+      : Array[(Int, Int, Int)] = {
+    val m = cx.length
+    def sideVal(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): Double =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, m - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     while (idx.length > 3) {
       val L = idx.length
       var found = -1
@@ -849,14 +921,73 @@ object ClipExprs {
       if (found < 0)
         throw new IllegalArgumentException(
           "no ear found: clip ring is degenerate or self-intersecting")
-      val a = idx((found + L - 1) % L)
-      val b = idx(found)
-      val c = idx((found + 1) % L)
-      acc += triArea(a, b, c)
+      out += ((idx((found + L - 1) % L), idx(found), idx((found + 1) % L)))
       idx.remove(found)
     }
-    acc += triArea(idx(0), idx(1), idx(2))
-    acc
+    out += ((idx(0), idx(1), idx(2)))
+    out.toArray
+  }
+
+  /** [[ClipRingsGeneralExpr]]'s kernel: [[clipAreaGeneral]]'s ear
+    * decomposition VERBATIM (shared [[earOrder]]), each ear's three
+    * convex passes run per subject ring and the final closed lists
+    * RETURNED instead of folded. The output is a PIECEWISE TILING of
+    * subject ∩ clip: one entry per (ear, subject ring) in ear-major
+    * order, EMPTIES KEPT so position ear·nRings+ring names its pair;
+    * adjacent pieces share seam edges along ear cuts (a tiling, not a
+    * dissolved boundary — CoverageArea.unionGeometry* merges them), and
+    * folding |Σ piece crosses|/2 per ear in emission order reproduces
+    * clipAreaGeneral BITWISE (ClipAreaSpec gates it). A collinear
+    * leftover ear (zero cross) covers no area and emits empty pieces.
+    */
+  def clipRingsGeneral(rings: ArrayData, clip: ArrayData): ArrayData = {
+    val m = clip.numElements()
+    if (m < 4)
+      throw new IllegalArgumentException(
+        s"clip ring needs >= 4 points (closed), got $m")
+    val (cx, cy) = ringCoords(clip, -1)
+    if (cx(0) != cx(m - 1) || cy(0) != cy(m - 1))
+      throw new IllegalArgumentException("clip ring must be closed (first == last)")
+    val twice = cross(cx, cy)
+    if (twice == 0.0)
+      throw new IllegalArgumentException("clip ring has zero area")
+    val sign = if (twice > 0.0) 1.0 else -1.0
+    val nr = rings.numElements()
+    val subj = new Array[(Array[Double], Array[Double])](nr)
+    var ri = 0
+    while (ri < nr) {
+      if (rings.isNullAt(ri))
+        throw new IllegalArgumentException(s"null ring at index $ri (malformed WKT?)")
+      subj(ri) = ringCoords(rings.getArray(ri), ri)
+      ri += 1
+    }
+    val ears = earOrder(cx, cy, sign)
+    val out = new Array[(Array[Double], Array[Double])](ears.length * nr)
+    var ei = 0
+    while (ei < ears.length) {
+      val (a, b, c) = ears(ei)
+      val tx = Array(cx(a), cx(b), cx(c), cx(a))
+      val ty = Array(cy(a), cy(b), cy(c), cy(a))
+      val tw = cross(tx, ty)
+      var rj = 0
+      while (rj < nr) {
+        if (tw == 0.0)
+          out(ei * nr + rj) = (Array.empty[Double], Array.empty[Double])
+        else {
+          val ccwT = tw > 0.0
+          var st = subj(rj)
+          var e = 0
+          while (e < 3) {
+            st = clipPassEdge(st._1, st._2, tx(e), ty(e), tx(e + 1), ty(e + 1), ccwT)
+            e += 1
+          }
+          out(ei * nr + rj) = st
+        }
+        rj += 1
+      }
+      ei += 1
+    }
+    toRingsData(out)
   }
 
   /** One S-H pass against the half-plane left (ccw) or right (cw) of the

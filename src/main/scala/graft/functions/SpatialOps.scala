@@ -119,6 +119,14 @@ object SpatialOps {
   def wktClipToBox(wkt: Column, box: Column): Column =
     ringsToWkt(ClipExprs.clipRingsBoxCol(wktRings(wkt), box))
 
+  /** WKT polygon clipped to one SIMPLE (concave allowed) window ring,
+    * back as WKT — the piecewise tiling renders through the winding-
+    * aware auto emitter (outer pieces group, clipped holes nest inside
+    * their containing piece), so the result is a valid POLYGON /
+    * MULTIPOLYGON whose total area is exactly st_clip_area_general. */
+  def wktClipGeneral(wkt: Column, clipRing: Column): Column =
+    RingsWkt.ringsToWktAuto(ClipExprs.clipRingsGeneralCol(wktRings(wkt), clipRing))
+
   /** WKT polygon with every ring Douglas–Peucker-simplified to eps. */
   def wktSimplify(wkt: Column, eps: Column): Column =
     ringsToWkt(transform(wktRings(wkt), r => SimplifyExprs.simplifyRingCol(r, eps)))

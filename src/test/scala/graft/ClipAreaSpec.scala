@@ -560,4 +560,55 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(viaSql.getString(0) == viaCol.getString(0))
     assert(viaSql.getString(1) == viaCol.getString(1))
   }
+
+  test("general emission: per-ear area fold over emitted pieces is BITWISE clipAreaGeneral") {
+    // darts sweeping the arrow-with-hole domain — the ear-major piece
+    // order groups pieces in chunks of nRings(subject)=2; per ear the
+    // kernel folds |sum of piece crosses|/2, ears summed in cut order
+    for (i <- 0 to 6; j <- 0 to 7) {
+      val d = dartWkt(i.toDouble, j.toDouble, 2.0)
+      val row = Seq((arrowHole, d)).toDF("g", "c")
+        .select(
+          ClipExprs.clipAreaGeneralCol(SpatialOps.wktRings(col("g")),
+            element_at(SpatialOps.wktRings(col("c")), 1)).as("a"),
+          ClipExprs.clipRingsGeneralCol(SpatialOps.wktRings(col("g")),
+            element_at(SpatialOps.wktRings(col("c")), 1)).as("pieces"))
+        .head()
+      val pieces = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      assert(pieces.length % 2 == 0, "piece count must be ears x 2 subject rings")
+      val perEar = pieces.grouped(2).map(chunk => kernelAreaOf(chunk)).sum
+      assert(row.getDouble(0) == perEar,
+        s"dart ($i,$j): area ${row.getDouble(0)} vs emitted-piece fold $perEar")
+    }
+  }
+
+  test("general emission: WKT front door renders a valid tiling, fail-closed on bowties") {
+    GraftFunctions.register(spark)
+    // a dart overlapping the arrow: pieces render as POLYGON/MULTIPOLYGON
+    // via the winding-aware auto emitter; re-parsing measures the same
+    // total area the general kernel reports (Column re-fold: ulp-close)
+    val rows = Seq((arrowHole, dartWkt(3.0, 3.0, 2.0))).toDF("g", "c")
+      .select(
+        SpatialOps.wktClipGeneral(col("g"),
+          element_at(SpatialOps.wktRings(col("c")), 1)).as("w"),
+        ClipExprs.clipAreaGeneralCol(SpatialOps.wktRings(col("g")),
+          element_at(SpatialOps.wktRings(col("c")), 1)).as("a"))
+      .head()
+    val wkt = rows.getString(0)
+    assert(wkt.startsWith("POLYGON") || wkt.startsWith("MULTIPOLYGON"), wkt)
+    val reArea = Seq(wkt).toDF("w")
+      .select(SpatialOps.ringsArea(SpatialOps.wktRings(col("w")))).head().getDouble(0)
+    assert(rows.getDouble(1) > 0.0)
+    assert(math.abs(reArea - rows.getDouble(1)) <=
+      4 * math.ulp(math.max(1.0, rows.getDouble(1))),
+      s"re-parsed tiling area $reArea vs kernel ${rows.getDouble(1)}")
+    // self-intersecting clip ring: the ear scan must fail loudly
+    val e = intercept[Exception] {
+      Seq((arrowHole, "POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))")).toDF("g", "c")
+        .select(ClipExprs.clipRingsGeneralCol(SpatialOps.wktRings(col("g")),
+          element_at(SpatialOps.wktRings(col("c")), 1))).collect()
+    }
+    assert(e.getMessage.contains("no ear") || e.getMessage.contains("zero area"),
+      e.getMessage)
+  }
 }
