@@ -198,6 +198,21 @@ object GraftFunctions {
           "dissolve via coverage union for one merged boundary)",
         classOf[graft.functions.ClipRingsGeneralExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipRingsGeneralExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_difference_box_geom"),
+      info("st_difference_box_geom",
+        "st_difference_box_geom(rings, box) - the PIECEWISE tiling of " +
+          "polygon MINUS box (the box complement as four disjoint convex " +
+          "strips, each Sutherland-Hodgman clipped; one piece per strip x " +
+          "subject ring, empties kept)",
+        classOf[graft.functions.ClipRingsBoxComplementExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipRingsBoxComplementExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_difference_box_area"),
+      info("st_difference_box_area",
+        "st_difference_box_area(rings, box) - EXACT polygon-minus-box area " +
+          "(st_difference_box_geom's strips folded; equals st_area - " +
+          "st_clip_area in real arithmetic)",
+        classOf[graft.functions.ClipAreaBoxComplementExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ClipAreaBoxComplementExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_rings_wkt_auto"),
       info("st_rings_wkt_auto",
         "st_rings_wkt_auto(rings) - parsed rings to WKT with the geometry type " +
@@ -212,6 +227,12 @@ object GraftFunctions {
         "st_clip_general_geom -> st_rings_wkt_auto; piecewise tiling, " +
         "area-exact vs st_clip_area_general)", 2)(
       cs => graft.functions.SpatialOps.wktClipGeneral(cs(0), cs(1))),
+    composed("st_difference_box_wkt",
+      "st_difference_box_wkt(wkt, box) - subtract a bbox from a WKT polygon " +
+        "and re-emit WKT (parse -> st_difference_box_geom -> " +
+        "st_rings_wkt_auto; piecewise tiling, area-exact vs " +
+        "st_difference_box_area)", 2)(
+      cs => graft.functions.SpatialOps.wktDifferenceBox(cs(0), cs(1))),
     composed("st_clip_box_wkt",
       "st_clip_box_wkt(wkt, box) - clip a WKT polygon to a bbox struct and " +
         "re-emit WKT (parse -> st_clip_box_geom -> st_rings_wkt)", 2)(

@@ -1635,6 +1635,113 @@ object SparkEntry {
          |ORDER BY s_suppkey, c_custkey, piece_i, pt_i""".stripMargin
   }
 
+  /** J29 — GEOMETRY-EMITTING box DIFFERENCE (the overlay family's other
+    * half: j27 constructs subject ∩ box, this constructs subject − box):
+    * the j21/j27 polygon × cell pairs with the four-strip complement
+    * tiling emitted by
+    * [[graft.functions.ClipExprs.clipRingsBoxComplementCol]] — the box
+    * complement decomposed into four DISJOINT convex strips (left,
+    * right, bottom-middle, top-middle), each the ordinary S-H pass
+    * chain, pieces strip-major × subject-ring-minor with empties kept.
+    * Unlike j27 the emitted pieces are nonempty even when poly ∩ cell
+    * is empty, so the oracle replicates the bboxJoin PAIR SET exactly
+    * (closed envelope-overlap on the arrow's [x0,x0+w]×[y0,y0+h] vs the
+    * cell) rather than relying on a nonempty-output filter to do the
+    * joining. Raw IEEE coordinates hash-gate via the strip-pass replay.
+    */
+  private def j29(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val polys = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_r"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_r")))
+    val cells = s.range(156).select(
+        col("id").as("cell_id"),
+        ((col("id") % 13) * 8).cast("double").as("gx"),
+        ((col("id") / 13).cast("long") * 8).cast("double").as("gy"))
+      .withColumn("cenv", SpatialOps.bbox(col("gx"), col("gy"),
+        col("gx") + lit(8.0), col("gy") + lit(8.0)))
+    operators.SpatialJoin.bboxJoin(polys, cells, "env", "cenv", cellSize = 8.0)
+      .withColumn("pieces",
+        graft.functions.ClipExprs.clipRingsBoxComplementCol(col("_r"), col("cenv")))
+      .select(col("s_suppkey"), col("cell_id"),
+        posexplode(col("pieces")).as(Seq("piece_i", "piece")))
+      .filter(size(col("piece")) > 0)
+      .select(col("s_suppkey"), col("cell_id"), col("piece_i"),
+        posexplode(col("piece")).as(Seq("pt_i", "pt")))
+      .select(col("s_suppkey"), col("cell_id"), col("piece_i"), col("pt_i"),
+        col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("s_suppkey", "cell_id", "piece_i", "pt_i")
+  }
+
+  /** j29's oracle — the four strip chains replayed with sqlClipZonal's
+    * pass/close machinery (strip 0: x≤gx; strip 1: x≥gx+8; strips 2/3:
+    * both x walls then y≤gy / y≥gy+8 — the kernel's fixed order), over
+    * the EXACT bboxJoin pair set (closed envelope overlap), final lists
+    * unnested with piece_i = strip·2 + ring.
+    */
+  private def sqlBoxDiffGeom: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    def pass(in: String, onX: Boolean, bound: String, keepGE: Boolean): String = {
+      val f = if (onX) "x" else "y"
+      val cmp = if (keepGE) ">=" else "<="
+      val isect =
+        if (onX)
+          s"struct_pack(x := CAST($bound AS DOUBLE), y := $in[i].y + ((CAST($bound AS DOUBLE) - $in[i].x) / ($in[i+1].x - $in[i].x)) * ($in[i+1].y - $in[i].y))"
+        else
+          s"struct_pack(x := $in[i].x + ((CAST($bound AS DOUBLE) - $in[i].y) / ($in[i+1].y - $in[i].y)) * ($in[i+1].x - $in[i].x), y := CAST($bound AS DOUBLE))"
+      s"""flatten(list_transform(range(1, length($in)), i ->
+         |    CASE WHEN $in[i+1].$f $cmp ($bound) AND $in[i].$f $cmp ($bound) THEN [$in[i+1]]
+         |         WHEN $in[i+1].$f $cmp ($bound) THEN [$isect, $in[i+1]]
+         |         WHEN $in[i].$f $cmp ($bound) THEN [$isect]
+         |         ELSE [] END))""".stripMargin
+    }
+    def close(v: String) =
+      s"CASE WHEN length($v) = 0 THEN $v ELSE list_append($v, $v[1]) END"
+    val strips: Seq[Seq[(Boolean, String, Boolean)]] = Seq(
+      Seq((true, "gx", false)),
+      Seq((true, "gx + 8", true)),
+      Seq((true, "gx", true), (true, "gx + 8", false), (false, "gy", false)),
+      Seq((true, "gx", true), (true, "gx + 8", false), (false, "gy + 8", true)))
+    val base =
+      s"""lvl0 AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+         |  ${ptsList(rings(0))} AS o0, ${ptsList(rings(1))} AS h0
+         |FROM ($arrowSqlBase) a JOIN
+         |  (SELECT range AS cell_id, CAST((range % 13) * 8 AS DOUBLE) AS gx,
+         |     CAST((range // 13) * 8 AS DOUBLE) AS gy FROM range(156)) c
+         |  ON x0 <= gx + 8 AND gx <= x0 + w AND y0 <= gy + 8 AND gy <= y0 + h)""".stripMargin
+    val chains = strips.zipWithIndex.flatMap { case (passes, si) =>
+      passes.zipWithIndex.flatMap { case ((onX, bound, ge), k) =>
+        val src = if (k == 0) "lvl0" else s"t${si}c$k"
+        Seq(
+          s"""t${si}p${k + 1} AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+             |  ${pass(s"o$k", onX, bound, ge)} AS oraw,
+             |  ${pass(s"h$k", onX, bound, ge)} AS hraw FROM $src)""".stripMargin,
+          s"""t${si}c${k + 1} AS MATERIALIZED (SELECT s_suppkey, cell_id, gx, gy,
+             |  ${close("oraw")} AS o${k + 1}, ${close("hraw")} AS h${k + 1} FROM t${si}p${k + 1})""".stripMargin)
+      }
+    }
+    def vtx(si: Int, piece: String, pi: Int): String = {
+      val last = s"t${si}c${strips(si).length}"
+      s"""SELECT s_suppkey, cell_id, CAST($pi AS INT) AS piece_i,
+         |  unnest(list_transform(range(1, length($piece) + 1), i ->
+         |    struct_pack(pt_i := CAST(i - 1 AS INT), x := $piece[i].x, y := $piece[i].y))) AS v
+         |FROM $last WHERE length($piece) > 0""".stripMargin
+    }
+    val parts = strips.indices.flatMap { si =>
+      val n = strips(si).length
+      Seq(vtx(si, s"o$n", si * 2), vtx(si, s"h$n", si * 2 + 1))
+    }
+    (base +: chains).mkString("WITH ", ",\n", "\n") +
+      s"""SELECT s_suppkey, cell_id, piece_i, v.pt_i AS pt_i, v.x AS x, v.y AS y
+         |FROM (${parts.mkString("\nUNION ALL\n")})
+         |ORDER BY s_suppkey, cell_id, piece_i, pt_i""".stripMargin
+  }
+
   /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
     * lists unnested to vertex rows instead of folded to areas: ring 0
     * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
@@ -7605,6 +7712,7 @@ object SparkEntry {
     "j26_clip_multipolygon" -> (j26 _),
     "j27_clip_geometry" -> (j27 _),
     "j28_clip_general_geom" -> (j28 _),
+    "j29_box_difference" -> (j29 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -8224,6 +8332,9 @@ object SparkEntry {
     // j28: sqlClipConcave's two-ear replay emitting the per-ear PIECES'
     // vertex lists (the general kernel's piecewise tiling) as rows.
     "j28_clip_general_geom" -> sqlClipGeneralGeom,
+    // j29: the four complement-strip chains replayed over the exact
+    // bboxJoin pair set — polygon MINUS cell as emitted vertex rows.
+    "j29_box_difference" -> sqlBoxDiffGeom,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

@@ -424,6 +424,90 @@ case class ClipRingsGeneralExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** GEOMETRY-EMITTING box DIFFERENCE (r16): subject − box as the
+  * four-strip piecewise tiling (see [[ClipExprs.clipRingsBoxComplement]]).
+  */
+case class ClipRingsBoxComplementExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private def envTypeOk(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.length == 4 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields.map(_.name).sameElements(Array("xmin", "ymin", "xmax", "ymax"))
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"difference_box_geom needs array<array<struct<x,y>>> rings, got ${left.dataType}")
+    else if (!envTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"difference_box_geom needs a struct<xmin,ymin,xmax,ymax:double> box, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = ClipExprs.ringsType
+
+  override protected def nullSafeEval(rings: Any, env: Any): Any =
+    ClipExprs.clipRingsBoxComplement(rings.asInstanceOf[ArrayData], env.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, e) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipRingsBoxComplement($r, $e);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The box-difference MEASURE twin of [[ClipRingsBoxComplementExpr]]. */
+case class ClipAreaBoxComplementExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ringsTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private def envTypeOk(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.length == 4 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields.map(_.name).sameElements(Array("xmin", "ymin", "xmax", "ymax"))
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!ringsTypeOk(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"difference_box_area needs array<array<struct<x,y>>> rings, got ${left.dataType}")
+    else if (!envTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"difference_box_area needs a struct<xmin,ymin,xmax,ymax:double> box, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(rings: Any, env: Any): Any =
+    ClipExprs.clipAreaBoxComplement(rings.asInstanceOf[ArrayData], env.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, e) =>
+      s"${ev.value} = graft.functions.ClipExprs.clipAreaBoxComplement($r, $e);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ClipExprs {
 
   /** The st_rings layout — also the emitted-geometry type of the
@@ -456,6 +540,17 @@ object ClipExprs {
   def clipRingsGeneralCol(rings: Column, clipRing: Column): Column =
     GraftBridge.column(ClipRingsGeneralExpr(
       GraftBridge.expression(rings), GraftBridge.expression(clipRing)))
+
+  /** Column entry: the PIECEWISE tiling of subject − box — one piece
+    * per (complement strip, subject ring). */
+  def clipRingsBoxComplementCol(rings: Column, env: Column): Column =
+    GraftBridge.column(ClipRingsBoxComplementExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(env)))
+
+  /** Column entry: the subject − box difference AREA. */
+  def clipAreaBoxComplementCol(rings: Column, env: Column): Column =
+    GraftBridge.column(ClipAreaBoxComplementExpr(
+      GraftBridge.expression(rings), GraftBridge.expression(env)))
 
   /** Column entry: subject rings ∩ one convex clip ring (closed,
     * array<struct<x,y>> — e.g. `element_at(st_rings(wkt), 1)`). */
@@ -652,6 +747,102 @@ object ClipExprs {
       ri += 1
     }
     toRingsData(out)
+  }
+
+  /** The box COMPLEMENT as four convex strips with DISJOINT interiors
+    * (left of xmin; right of xmax; the bottom and top middles bounded by
+    * both x walls), each an intersection of half-planes run as the
+    * ordinary [[clipPass]] chain in this FIXED order — the oracle
+    * replays it. Together the strips tile the plane minus the box, so
+    * subject ∩ strips = subject − box exactly.
+    */
+  private def complementStrips(xmin: Double, ymin: Double, xmax: Double,
+      ymax: Double): Array[Array[(Boolean, Double, Boolean)]] = Array(
+    Array((true, xmin, false)),
+    Array((true, xmax, true)),
+    Array((true, xmin, true), (true, xmax, false), (false, ymin, false)),
+    Array((true, xmin, true), (true, xmax, false), (false, ymax, true)))
+
+  private def boxOf(env: InternalRow, what: String): (Double, Double, Double, Double) = {
+    if (env.isNullAt(0) || env.isNullAt(1) || env.isNullAt(2) || env.isNullAt(3))
+      throw new IllegalArgumentException(s"null box coordinate in $what")
+    val xmin = env.getDouble(0)
+    val ymin = env.getDouble(1)
+    val xmax = env.getDouble(2)
+    val ymax = env.getDouble(3)
+    if (!(xmin <= xmax && ymin <= ymax))
+      throw new IllegalArgumentException(
+        s"inverted clip box ($xmin,$ymin,$xmax,$ymax)")
+    (xmin, ymin, xmax, ymax)
+  }
+
+  /** [[ClipRingsBoxComplementExpr]]'s kernel: subject − box EMITTED as
+    * the per-strip clipped vertex lists — one piece per (strip, subject
+    * ring) in strip-major order, EMPTIES KEPT so position
+    * strip·nRings+ring names its pair. Strip interiors are disjoint, so
+    * the pieces tile the difference (seam edges along the strip walls —
+    * a tiling, not a dissolved boundary), and the per-strip area fold
+    * reproduces [[clipAreaBoxComplement]] BITWISE (ClipAreaSpec gates
+    * it, plus diff + clip ≡ subject area within ulps).
+    */
+  def clipRingsBoxComplement(rings: ArrayData, env: InternalRow): ArrayData = {
+    val (xmin, ymin, xmax, ymax) = boxOf(env, "difference_box_geom")
+    val strips = complementStrips(xmin, ymin, xmax, ymax)
+    val nr = rings.numElements()
+    val out = new Array[(Array[Double], Array[Double])](4 * nr)
+    var si = 0
+    while (si < 4) {
+      var ri = 0
+      while (ri < nr) {
+        if (rings.isNullAt(ri))
+          throw new IllegalArgumentException(s"null ring at index $ri (malformed WKT?)")
+        var st = ringCoords(rings.getArray(ri), ri)
+        var p = 0
+        while (p < strips(si).length) {
+          val (onX, b, ge) = strips(si)(p)
+          st = clipPass(st._1, st._2, onX, b, ge)
+          p += 1
+        }
+        out(si * nr + ri) = st
+        ri += 1
+      }
+      si += 1
+    }
+    toRingsData(out)
+  }
+
+  /** [[ClipAreaBoxComplementExpr]]'s kernel: the difference MEASURE —
+    * per strip the signed crosses of all subject rings summed then
+    * |·|/2 (the clipAreaBox fold on the strip), strips summed in the
+    * fixed order. Real-exact: strips tile the complement, so the total
+    * is area(subject) − area(subject ∩ box).
+    */
+  def clipAreaBoxComplement(rings: ArrayData, env: InternalRow): Double = {
+    val (xmin, ymin, xmax, ymax) = boxOf(env, "difference_box_area")
+    val strips = complementStrips(xmin, ymin, xmax, ymax)
+    val nr = rings.numElements()
+    var total = 0.0
+    var si = 0
+    while (si < 4) {
+      var stripCross = 0.0
+      var ri = 0
+      while (ri < nr) {
+        if (rings.isNullAt(ri))
+          throw new IllegalArgumentException(s"null ring at index $ri (malformed WKT?)")
+        var st = ringCoords(rings.getArray(ri), ri)
+        var p = 0
+        while (p < strips(si).length) {
+          val (onX, b, ge) = strips(si)(p)
+          st = clipPass(st._1, st._2, onX, b, ge)
+          p += 1
+        }
+        stripCross += cross(st._1, st._2)
+        ri += 1
+      }
+      total += math.abs(stripCross) / 2.0
+      si += 1
+    }
+    total
   }
 
   /** Static kernel (also the codegen target). Fail-closed on null

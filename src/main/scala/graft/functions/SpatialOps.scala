@@ -127,6 +127,12 @@ object SpatialOps {
   def wktClipGeneral(wkt: Column, clipRing: Column): Column =
     RingsWkt.ringsToWktAuto(ClipExprs.clipRingsGeneralCol(wktRings(wkt), clipRing))
 
+  /** WKT polygon MINUS a box, back as WKT — the four-strip tiling
+    * renders through the winding-aware auto emitter; total area is
+    * exactly st_difference_box_area. */
+  def wktDifferenceBox(wkt: Column, box: Column): Column =
+    RingsWkt.ringsToWktAuto(ClipExprs.clipRingsBoxComplementCol(wktRings(wkt), box))
+
   /** WKT polygon with every ring Douglas–Peucker-simplified to eps. */
   def wktSimplify(wkt: Column, eps: Column): Column =
     ringsToWkt(transform(wktRings(wkt), r => SimplifyExprs.simplifyRingCol(r, eps)))

@@ -611,4 +611,72 @@ class ClipAreaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no ear") || e.getMessage.contains("zero area"),
       e.getMessage)
   }
+
+  test("box difference: emitted strip fold is BITWISE the measure; diff + clip == subject") {
+    // subject area once (the kernel cross fold on the parsed rings)
+    val subjRings = Seq(arrowHole).toDF("g")
+      .select(SpatialOps.wktRings(col("g"))).head()
+      .getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    val subjArea = kernelAreaOf(subjRings)
+    for (i <- -1 to 6; j <- -1 to 7) {
+      val (x0, y0, x1, y1) = (i - 0.5, j - 0.75, i + 2.25, j + 1.5)
+      val row = Seq(arrowHole).toDF("g")
+        .select(
+          ClipExprs.clipAreaBoxComplementCol(SpatialOps.wktRings(col("g")),
+            SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))).as("d"),
+          ClipExprs.clipRingsBoxComplementCol(SpatialOps.wktRings(col("g")),
+            SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))).as("pieces"),
+          ClipExprs.clipArea(SpatialOps.wktRings(col("g")),
+            SpatialOps.bbox(lit(x0), lit(y0), lit(x1), lit(y1))).as("c"))
+        .head()
+      val pieces = row.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      assert(pieces.length == 8, "4 strips x 2 subject rings, empties kept")
+      // per-strip fold in strip order: |sum of the strip's ring crosses|/2
+      val emittedDiff = pieces.grouped(2).map(chunk => kernelAreaOf(chunk)).sum
+      assert(row.getDouble(0) == emittedDiff,
+        s"box ($x0,$y0,$x1,$y1): measure ${row.getDouble(0)} vs emitted fold $emittedDiff")
+      // the partition identity: difference + intersection == subject
+      val total = row.getDouble(0) + row.getDouble(2)
+      assert(math.abs(total - subjArea) <= 8 * math.ulp(math.max(1.0, subjArea)),
+        s"box ($x0,$y0,$x1,$y1): diff ${row.getDouble(0)} + clip ${row.getDouble(2)} != $subjArea")
+    }
+  }
+
+  test("box difference: WKT front door + SQL surface match the Column forms") {
+    GraftFunctions.register(spark)
+    Seq(arrowHole).toDF("g").createOrReplaceTempView("diffspec")
+    val viaSql = spark.sql(
+      """SELECT st_rings_wkt_auto(st_difference_box_geom(st_rings(g), named_struct(
+        |  'xmin', CAST(1.0 AS DOUBLE), 'ymin', CAST(1.0 AS DOUBLE),
+        |  'xmax', CAST(3.0 AS DOUBLE), 'ymax', CAST(3.0 AS DOUBLE)))) AS w,
+        |  st_difference_box_area(st_rings(g), named_struct(
+        |  'xmin', CAST(1.0 AS DOUBLE), 'ymin', CAST(1.0 AS DOUBLE),
+        |  'xmax', CAST(3.0 AS DOUBLE), 'ymax', CAST(3.0 AS DOUBLE))) AS a
+        |FROM diffspec""".stripMargin).head()
+    val viaCol = Seq(arrowHole).toDF("g").select(
+      SpatialOps.wktDifferenceBox(col("g"),
+        SpatialOps.bbox(lit(1.0), lit(1.0), lit(3.0), lit(3.0))).as("w"),
+      ClipExprs.clipAreaBoxComplementCol(SpatialOps.wktRings(col("g")),
+        SpatialOps.bbox(lit(1.0), lit(1.0), lit(3.0), lit(3.0))).as("a")).head()
+    assert(viaSql.getString(0) == viaCol.getString(0))
+    assert(viaSql.getDouble(1) == viaCol.getDouble(1))
+    // re-parsing the emitted WKT measures the same difference (ulp-close
+    // Column re-fold)
+    val reArea = Seq(viaCol.getString(0)).toDF("w")
+      .select(SpatialOps.ringsArea(SpatialOps.wktRings(col("w")))).head().getDouble(0)
+    assert(math.abs(reArea - viaCol.getDouble(1)) <=
+      4 * math.ulp(math.max(1.0, viaCol.getDouble(1))))
+    // box fully containing the subject -> empty difference
+    val empty = Seq(arrowHole).toDF("g")
+      .select(SpatialOps.wktDifferenceBox(col("g"),
+        SpatialOps.bbox(lit(-50.0), lit(-50.0), lit(50.0), lit(50.0)))).head().getString(0)
+    assert(empty == "POLYGON EMPTY")
+    // inverted box fail-closed
+    val e = intercept[Exception] {
+      Seq(arrowHole).toDF("g")
+        .select(ClipExprs.clipRingsBoxComplementCol(SpatialOps.wktRings(col("g")),
+          SpatialOps.bbox(lit(5.0), lit(0.0), lit(1.0), lit(4.0)))).collect()
+    }
+    assert(e.getMessage.contains("inverted clip box"), e.getMessage)
+  }
 }
