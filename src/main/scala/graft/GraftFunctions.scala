@@ -213,6 +213,13 @@ object GraftFunctions {
           "st_clip_area in real arithmetic)",
         classOf[graft.functions.ClipAreaBoxComplementExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipAreaBoxComplementExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_centroid"),
+      info("st_centroid",
+        "st_centroid(rings) - area-weighted polygon centroid as struct<x,y> " +
+          "(shoelace first moment; holes wound opposite the outer subtract; " +
+          "orientation-invariant; fail-closed on zero-signed-area polygons)",
+        classOf[graft.functions.CentroidExpr]),
+      (exprs: Seq[Expression]) => graft.functions.CentroidExpr(exprs(0))),
     (FunctionIdentifier("st_rings_wkt_auto"),
       info("st_rings_wkt_auto",
         "st_rings_wkt_auto(rings) - parsed rings to WKT with the geometry type " +

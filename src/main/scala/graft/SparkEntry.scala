@@ -1742,6 +1742,54 @@ object SparkEntry {
          |ORDER BY s_suppkey, cell_id, piece_i, pt_i""".stripMargin
   }
 
+  /** G29 — area-weighted centroid of the concave arrow-WITH-HOLE as a
+    * CODEGEN kernel measure ([[graft.functions.CentroidExprs]]): g1
+    * already oracles the Column centroid on axis-aligned rectangles
+    * with round-6; this gates RAW IEEE doubles on concave geometry
+    * where the hole's opposite winding subtracts its first moment. The
+    * kernel folds per-ring subtotals (one wᵢ = p − q term per edge,
+    * terms left-assoc, rings left-assoc) so the oracle mirrors
+    * term-for-term in DuckDB list algebra and the quotient
+    * sx/(3·a2) hashes bitwise.
+    */
+  private def g29(s: SparkSession, d: String) = {
+    import graft.functions.{CentroidExprs, SpatialOps}
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"),
+        CentroidExprs.centroidCol(SpatialOps.wktRings(col("geom"))).as("c"))
+      .select(col("s_suppkey"), col("c.x").as("cx"), col("c.y").as("cy"))
+      .orderBy("s_suppkey")
+  }
+
+  /** g29's oracle — the centroid kernel's folds in list algebra: per
+    * ring the cross terms and moment terms left-assoc summed, rings
+    * added in order, one divide at the end.
+    */
+  private def sqlCentroid: String = {
+    val rings = arrowSqlPts(withHole = true)
+    def ptsList(pts: Seq[(String, String)]): String =
+      pts.map { case (x, y) =>
+        s"struct_pack(x := CAST($x AS DOUBLE), y := CAST($y AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+    def crossOf(v: String) =
+      s"""list_reduce(list_transform(range(1, length($v)), i ->
+         |      $v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y), (a, b) -> a + b)""".stripMargin
+    def momentOf(v: String, ax: String) =
+      s"""list_reduce(list_transform(range(1, length($v)), i ->
+         |      ($v[i].$ax + $v[i+1].$ax) * ($v[i].x * $v[i+1].y - $v[i+1].x * $v[i].y)),
+         |      (a, b) -> a + b)""".stripMargin
+    s"""WITH b AS ($arrowSqlBase),
+       |pts AS MATERIALIZED (SELECT s_suppkey,
+       |  ${ptsList(rings(0))} AS o, ${ptsList(rings(1))} AS h FROM b),
+       |m AS MATERIALIZED (SELECT s_suppkey,
+       |  (${crossOf("o")}) + (${crossOf("h")}) AS a2,
+       |  (${momentOf("o", "x")}) + (${momentOf("h", "x")}) AS sx,
+       |  (${momentOf("o", "y")}) + (${momentOf("h", "y")}) AS sy FROM pts)
+       |SELECT s_suppkey, sx / (3.0 * a2) AS cx, sy / (3.0 * a2) AS cy
+       |FROM m ORDER BY s_suppkey""".stripMargin
+  }
+
   /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
     * lists unnested to vertex rows instead of folded to areas: ring 0
     * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
@@ -7726,6 +7774,7 @@ object SparkEntry {
     "g26_guarded_measure" -> (g26 _),
     "g27_simplify_census" -> (g27 _),
     "g28_buffer_convex" -> (g28 _),
+    "g29_centroid" -> (g29 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8592,6 +8641,9 @@ object SparkEntry {
     // g28: the miter-buffer chain replayed symbolically — raw-double
     // vertex parity through IEEE sqrt/divide (the km1 sqlL2 precedent).
     "g28_buffer_convex" -> sqlBufferConvex,
+    // g29: the centroid kernel's per-ring cross/moment folds replayed in
+    // list algebra (raw IEEE quotients; hole moment subtracts by winding).
+    "g29_centroid" -> sqlCentroid,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

@@ -654,4 +654,43 @@ class SpatialOpsSpec extends AnyFunSuite {
       .select(SpatialOps.wktPerimeterGeodesic($"g")).head.getDouble(0)
     assert(math.abs(viaRings - 2 * dist(3, 4, 7, 9)) < 1e-9)
   }
+
+  test("centroid kernel: closed forms, hole shift, orientation invariance, degenerate reject") {
+    import graft.functions.CentroidExprs
+    def cOf(wkt: String): (Double, Double) = {
+      val r = Seq(wkt).toDF("g")
+        .select(CentroidExprs.centroidCol(SpatialOps.wktRings($"g"))).head.getStruct(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    // rectangle: exact center
+    assert(cOf("POLYGON ((2 3, 6 3, 6 5, 2 5, 2 3))") == ((4.0, 4.0)))
+    // right triangle (0,0)-(3,0)-(0,3): centroid (1,1) exactly
+    assert(cOf("POLYGON ((0 0, 3 0, 0 3, 0 0))") == ((1.0, 1.0)))
+    // square with an off-center hole: centroid = (A1·c1 − A2·c2)/(A1−A2)
+    // square [0,4]^2 (A 16, c (2,2)); hole [2.5,3.5]^2 (A 1, c (3,3))
+    // → ((16·2 − 1·3)/15, same y) = (29/15, 29/15)
+    val (hx, hy) = cOf(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (2.5 2.5, 2.5 3.5, 3.5 3.5, 3.5 2.5, 2.5 2.5))")
+    assert(math.abs(hx - 29.0 / 15.0) < 1e-12 && math.abs(hy - 29.0 / 15.0) < 1e-12)
+    // globally reversed polygon: numerator and denominator both negate →
+    // BITWISE the same quotient
+    val fwd = cOf("POLYGON ((1 1, 5 2, 4 6, 0 5, 1 1))")
+    val rev = cOf("POLYGON ((1 1, 0 5, 4 6, 5 2, 1 1))")
+    assert(fwd == rev)
+    // the Column ringsCentroid (different fold grouping) is ulp-close
+    val both = Seq("POLYGON ((1 1, 5 2, 4 6, 0 5, 1 1))").toDF("g")
+      .select(CentroidExprs.centroidCol(SpatialOps.wktRings($"g")).as("k"),
+        SpatialOps.ringsCentroid(SpatialOps.wktRings($"g")).as("c")).head
+    val (kx, cx2) = (both.getStruct(0).getDouble(0), both.getStruct(1).getDouble(0))
+    assert(math.abs(kx - cx2) <= 2 * math.ulp(math.max(1.0, math.abs(kx))))
+    // zero-signed-area → loud reject
+    val e = intercept[Exception](cOf("POLYGON ((0 0, 2 0, 4 0, 0 0))"))
+    assert(e.getMessage.contains("no centroid"), e.getMessage)
+    // SQL surface
+    GraftFunctions.register(spark)
+    Seq("POLYGON ((2 3, 6 3, 6 5, 2 5, 2 3))").toDF("g").createOrReplaceTempView("censpec")
+    val viaSql = spark.sql(
+      "SELECT st_centroid(st_rings(g)) AS c FROM censpec").head.getStruct(0)
+    assert((viaSql.getDouble(0), viaSql.getDouble(1)) == ((4.0, 4.0)))
+  }
 }
