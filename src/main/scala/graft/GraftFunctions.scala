@@ -234,6 +234,12 @@ object GraftFunctions {
         "st_clip_general_geom -> st_rings_wkt_auto; piecewise tiling, " +
         "area-exact vs st_clip_area_general)", 2)(
       cs => graft.functions.SpatialOps.wktClipGeneral(cs(0), cs(1))),
+    composed("st_clip_path_box",
+      "st_clip_path_box(points, box) - parametric clip of an OPEN path " +
+        "(LINESTRING vertex list, one st_rings entry) to a bbox struct: " +
+        "array<struct<seg_i,ax,ay,bx,by>> of kept sub-segments in input " +
+        "order (zero-length boundary touches kept)", 2)(
+      cs => graft.functions.SpatialOps.clipSegmentsBox(cs(0), cs(1))),
     composed("st_difference_box_wkt",
       "st_difference_box_wkt(wkt, box) - subtract a bbox from a WKT polygon " +
         "and re-emit WKT (parse -> st_difference_box_geom -> " +

@@ -1790,6 +1790,84 @@ object SparkEntry {
        |FROM m ORDER BY s_suppkey""".stripMargin
   }
 
+  /** J30 — LINESTRING (open path) clip: a 4-point zigzag trajectory per
+    * supplier clipped to its row's box via
+    * [[graft.functions.SpatialOps.clipSegmentsBox]] (the Liang–Barsky
+    * parametric slab test as pure Column algebra — the path family's
+    * counterpart of the polygon clips), kept sub-segments emitted with
+    * their raw IEEE endpoints and lengths. The fixture varies slope,
+    * inside/outside, and the d=0 vertical case by key mods; the oracle
+    * replays each segment's t₀/t₁ CASE chain symbolically (the
+    * j16/j19 discipline — greatest/least select one bit-identical
+    * operand, divisions replayed with identical operand order).
+    */
+  private def j30(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val k = col("s_suppkey")
+    val x0 = (k % 90).cast("double")
+    val y0 = (k % 80).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val path = array(
+      pt(x0, y0),
+      pt(x0 + lit(3.0), y0 + (k % 5).cast("double") + lit(1.0)),
+      pt(x0 + lit(3.0) + (k % 4).cast("double"), y0 - (k % 7).cast("double") + lit(3.0)),
+      pt(x0 + lit(9.0), y0 + lit(2.0)))
+    val box = SpatialOps.bbox(x0 + lit(2.0), y0 - lit(1.0), x0 + lit(7.0), y0 + lit(4.0))
+    Tables.supplier(s, d).select(k, path.as("_p"), box.as("_b"))
+      .select(k, explode(SpatialOps.clipSegmentsBox(col("_p"), col("_b"))).as("seg"))
+      .select(k, col("seg.seg_i").as("seg_i"),
+        col("seg.ax").as("ax"), col("seg.ay").as("ay"),
+        col("seg.bx").as("bx"), col("seg.by").as("by"))
+      .withColumn("seg_len", sqrt((col("bx") - col("ax")) * (col("bx") - col("ax"))
+        + (col("by") - col("ay")) * (col("by") - col("ay"))))
+      .orderBy("s_suppkey", "seg_i")
+  }
+
+  /** j30's oracle — one CTE per segment computing the t₀/t₁ chains
+    * (GREATEST/LEAST over the sign-of-direction CASEs, the engine's
+    * fixed argument order), clipped endpoints projected, seg_len from
+    * the PROJECTED columns (exactly the engine's staged withColumn).
+    */
+  private def sqlClipPath: String = {
+    val pts: Seq[(String, String)] = Seq(
+      ("x0", "y0"),
+      ("x0 + 3", "y0 + m5 + 1"),
+      ("x0 + 3 + m4", "y0 - m7 + 3"),
+      ("x0 + 9", "y0 + 2"))
+    val (lox, hix, loy, hiy) = ("x0 + 2", "x0 + 7", "y0 - 1", "y0 + 4")
+    def t0Of(dd: String, c: String, lo: String, hi: String): String =
+      s"""CASE WHEN ($dd) > 0 THEN (($lo) - ($c)) / ($dd)
+         |     WHEN ($dd) < 0 THEN (($hi) - ($c)) / ($dd)
+         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
+         |               THEN CAST(0 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END END""".stripMargin
+    def t1Of(dd: String, c: String, lo: String, hi: String): String =
+      s"""CASE WHEN ($dd) > 0 THEN (($hi) - ($c)) / ($dd)
+         |     WHEN ($dd) < 0 THEN (($lo) - ($c)) / ($dd)
+         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
+         |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END END""".stripMargin
+    val segCtes = (0 until 3).map { i =>
+      val (px, py) = pts(i)
+      val (qx, qy) = pts(i + 1)
+      val dx = s"(($qx) - ($px))"
+      val dy = s"(($qy) - ($py))"
+      val t0 = s"GREATEST(CAST(0 AS DOUBLE), ${t0Of(dx, px, lox, hix)}, ${t0Of(dy, py, loy, hiy)})"
+      val t1 = s"LEAST(CAST(1 AS DOUBLE), ${t1Of(dx, px, lox, hix)}, ${t1Of(dy, py, loy, hiy)})"
+      s"""s$i AS MATERIALIZED (SELECT s_suppkey, CAST($i AS INT) AS seg_i,
+         |  ($px) + t0 * $dx AS ax, ($py) + t0 * $dy AS ay,
+         |  ($px) + t1 * $dx AS bx, ($py) + t1 * $dy AS by
+         |FROM (SELECT *, $t0 AS t0, $t1 AS t1 FROM b) WHERE t0 <= t1)""".stripMargin
+    }
+    s"""WITH b AS (SELECT s_suppkey,
+       |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
+       |  CAST(s_suppkey % 5 AS DOUBLE) AS m5, CAST(s_suppkey % 4 AS DOUBLE) AS m4,
+       |  CAST(s_suppkey % 7 AS DOUBLE) AS m7 FROM supplier),
+       |${segCtes.mkString(",\n")}
+       |SELECT s_suppkey, seg_i, ax, ay, bx, by,
+       |  sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS seg_len
+       |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+       |ORDER BY s_suppkey, seg_i""".stripMargin
+  }
+
   /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
     * lists unnested to vertex rows instead of folded to areas: ring 0
     * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
@@ -7761,6 +7839,7 @@ object SparkEntry {
     "j27_clip_geometry" -> (j27 _),
     "j28_clip_general_geom" -> (j28 _),
     "j29_box_difference" -> (j29 _),
+    "j30_clip_path" -> (j30 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -8384,6 +8463,8 @@ object SparkEntry {
     // j29: the four complement-strip chains replayed over the exact
     // bboxJoin pair set — polygon MINUS cell as emitted vertex rows.
     "j29_box_difference" -> sqlBoxDiffGeom,
+    // j30: the parametric path clip's t0/t1 chains replayed per segment.
+    "j30_clip_path" -> sqlClipPath,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

@@ -133,6 +133,50 @@ object SpatialOps {
   def wktDifferenceBox(wkt: Column, box: Column): Column =
     RingsWkt.ringsToWktAuto(ClipExprs.clipRingsBoxComplementCol(wktRings(wkt), box))
 
+  /** Parametric (Liang–Barsky-style) clip of an OPEN path to a box —
+    * the LINESTRING counterpart of the polygon clips (r16): per input
+    * segment p→q the slab entry/exit parameters
+    * t₀ = greatest(0, tx₀, ty₀), t₁ = least(1, tx₁, ty₁) with each
+    * axis's tᵢ a sign-of-direction CASE ((lo−c)/d entering when d>0,
+    * (hi−c)/d when d<0, inside-test constants 0/1 vs reject sentinels
+    * 2/−1 when d=0); the segment survives iff t₀ ≤ t₁ and its clipped
+    * endpoints are p + tᵢ·d evaluated coordinate-wise. Returns
+    * array<struct<seg_i,ax,ay,bx,by>> of kept sub-segments in input
+    * order (zero-length boundary touches kept — they are geometry).
+    * Pure Column algebra so the oracle mirrors the identical IEEE
+    * chain; greatest/least select one bit-identical operand (the ±0
+    * ambiguity cannot leak: t·d then c + (±0) reproduce c exactly).
+    */
+  def clipSegmentsBox(pts: Column, box: Column): Column = {
+    val xmin = box.getField("xmin")
+    val ymin = box.getField("ymin")
+    val xmax = box.getField("xmax")
+    val ymax = box.getField("ymax")
+    def t0Of(d: Column, c: Column, lo: Column, hi: Column): Column =
+      when(d > 0, (lo - c) / d).when(d < 0, (hi - c) / d)
+        .otherwise(when(c >= lo && c <= hi, lit(0.0)).otherwise(lit(2.0)))
+    def t1Of(d: Column, c: Column, lo: Column, hi: Column): Column =
+      when(d > 0, (hi - c) / d).when(d < 0, (lo - c) / d)
+        .otherwise(when(c >= lo && c <= hi, lit(1.0)).otherwise(lit(-1.0)))
+    filter(
+      transform(sequence(lit(1), size(pts) - 1), i => {
+        val p = element_at(pts, i)
+        val q = element_at(pts, i + 1)
+        val px = p.getField("x")
+        val py = p.getField("y")
+        val dx = q.getField("x") - px
+        val dy = q.getField("y") - py
+        val t0 = greatest(lit(0.0), t0Of(dx, px, xmin, xmax), t0Of(dy, py, ymin, ymax))
+        val t1 = least(lit(1.0), t1Of(dx, px, xmin, xmax), t1Of(dy, py, ymin, ymax))
+        when(t0 <= t1, struct(
+          (i - 1).cast("int").as("seg_i"),
+          (px + t0 * dx).as("ax"), (py + t0 * dy).as("ay"),
+          (px + t1 * dx).as("bx"), (py + t1 * dy).as("by")))
+          .otherwise(lit(null))
+      }),
+      s => s.isNotNull)
+  }
+
   /** WKT polygon with every ring Douglas–Peucker-simplified to eps. */
   def wktSimplify(wkt: Column, eps: Column): Column =
     ringsToWkt(transform(wktRings(wkt), r => SimplifyExprs.simplifyRingCol(r, eps)))

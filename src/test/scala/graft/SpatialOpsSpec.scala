@@ -693,4 +693,78 @@ class SpatialOpsSpec extends AnyFunSuite {
       "SELECT st_centroid(st_rings(g)) AS c FROM censpec").head.getStruct(0)
     assert((viaSql.getDouble(0), viaSql.getDouble(1)) == ((4.0, 4.0)))
   }
+
+  test("clipSegmentsBox: branch coverage + independent membership-sampling check") {
+    def clipOf(path: Seq[(Double, Double)], box: (Double, Double, Double, Double))
+        : Seq[(Int, Double, Double, Double, Double)] = {
+      val pts = array(path.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+      Seq(1).toDF("one")
+        .select(SpatialOps.clipSegmentsBox(pts,
+          SpatialOps.bbox(lit(box._1), lit(box._2), lit(box._3), lit(box._4))).as("s"))
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }
+    val box = (2.0, 1.0, 7.0, 5.0)
+    // fully inside: kept verbatim (bitwise endpoints)
+    assert(clipOf(Seq((3, 2), (6, 4)), box) == Seq((0, 3.0, 2.0, 6.0, 4.0)))
+    // fully outside beyond a slab: dropped
+    assert(clipOf(Seq((0, 6), (1, 8)), box).isEmpty)
+    // crossing: exits on walls
+    assert(clipOf(Seq((0, 3), (9, 3)), box) == Seq((0, 2.0, 3.0, 7.0, 3.0)))
+    // vertical inside the x-slab: clipped by y only (d=0 inside branch)
+    assert(clipOf(Seq((4, -2), (4, 9)), box) == Seq((0, 4.0, 1.0, 4.0, 5.0)))
+    // vertical outside the x-slab: dropped (d=0 reject branch)
+    assert(clipOf(Seq((8, 0), (8, 9)), box).isEmpty)
+    // corner touch: zero-length kept (it is geometry)
+    val touch = clipOf(Seq((1, 0), (3, 2)), (3.0, 2.0, 7.0, 5.0))
+    assert(touch == Seq((0, 3.0, 2.0, 3.0, 2.0)))
+    // multi-segment: seg_i preserves input positions, dropped segments gap
+    val multi = clipOf(Seq((0, 3), (9, 3), (9, 9), (4, 3)), box)
+    assert(multi.map(_._1) == Seq(0, 2))
+    // independent check: membership sampling — a dense t-grid's in-box
+    // samples must all land inside [t0,t1] of the kept sub-segment (or
+    // none kept), and vice versa up to grid resolution
+    val rnd = new scala.util.Random(20260816)
+    for (_ <- 1 to 60) {
+      val p = (rnd.nextDouble() * 10 - 1, rnd.nextDouble() * 8 - 1)
+      val q = (rnd.nextDouble() * 10 - 1, rnd.nextDouble() * 8 - 1)
+      val kept = clipOf(Seq(p, q), box)
+      val samples = (0 to 200).map(_ / 200.0).filter { t =>
+        val x = p._1 + t * (q._1 - p._1)
+        val y = p._2 + t * (q._2 - p._2)
+        x >= box._1 && x <= box._3 && y >= box._2 && y <= box._4
+      }
+      if (kept.isEmpty) {
+        // no sub-segment: at most a grazing sample band narrower than the grid
+        assert(samples.size <= 1, s"$p -> $q: dropped but ${samples.size} in-box samples")
+      } else {
+        val (_, ax, ay, bx, by) = kept.head
+        // every in-box sample lies within the kept sub-segment's span
+        val (lx, hx) = (math.min(ax, bx) - 1e-9, math.max(ax, bx) + 1e-9)
+        val (ly, hy) = (math.min(ay, by) - 1e-9, math.max(ay, by) + 1e-9)
+        samples.foreach { t =>
+          val x = p._1 + t * (q._1 - p._1)
+          val y = p._2 + t * (q._2 - p._2)
+          assert(x >= lx && x <= hx && y >= ly && y <= hy,
+            s"$p -> $q: sample t=$t ($x,$y) outside kept [$ax,$ay]..[$bx,$by]")
+        }
+        // kept endpoints are themselves in the box (within ulps)
+        assert(ax >= box._1 - 1e-12 && ax <= box._3 + 1e-12 &&
+          ay >= box._2 - 1e-12 && ay <= box._4 + 1e-12)
+        assert(bx >= box._1 - 1e-12 && bx <= box._3 + 1e-12 &&
+          by >= box._2 - 1e-12 && by <= box._4 + 1e-12)
+      }
+    }
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT st_clip_path_box(
+        |  array(named_struct('x', CAST(0 AS DOUBLE), 'y', CAST(3 AS DOUBLE)),
+        |        named_struct('x', CAST(9 AS DOUBLE), 'y', CAST(3 AS DOUBLE))),
+        |  named_struct('xmin', CAST(2 AS DOUBLE), 'ymin', CAST(1 AS DOUBLE),
+        |               'xmax', CAST(7 AS DOUBLE), 'ymax', CAST(5 AS DOUBLE))) AS s""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3))) == Seq((0, 2.0, 7.0)))
+  }
 }
