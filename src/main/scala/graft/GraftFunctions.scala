@@ -213,6 +213,15 @@ object GraftFunctions {
           "st_clip_area in real arithmetic)",
         classOf[graft.functions.ClipAreaBoxComplementExpr]),
       (exprs: Seq[Expression]) => graft.functions.ClipAreaBoxComplementExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_convex_hull"),
+      info("st_convex_hull",
+        "st_convex_hull(points) - STRICT convex hull of an " +
+          "array<struct<x,y>> point set as a closed CCW ring starting at " +
+          "the lexicographic minimum (monotone chain; collinear boundary " +
+          "points dropped; input order irrelevant; fail-closed when all " +
+          "points are collinear)",
+        classOf[graft.functions.ConvexHullExpr]),
+      (exprs: Seq[Expression]) => graft.functions.ConvexHullExpr(exprs(0))),
     (FunctionIdentifier("st_centroid"),
       info("st_centroid",
         "st_centroid(rings) - area-weighted polygon centroid as struct<x,y> " +

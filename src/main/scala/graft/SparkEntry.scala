@@ -1868,6 +1868,83 @@ object SparkEntry {
        |ORDER BY s_suppkey, seg_i""".stripMargin
   }
 
+  /** G30 — convex hull per group: customer-derived integer lattice
+    * points grouped mod 97, hulled by
+    * [[graft.functions.ConvexHullExprs.convexHullCol]] (monotone chain,
+    * STRICT — collinear boundary points dropped), the closed CCW ring
+    * emitted vertex-by-vertex. The oracle is a genuinely INDEPENDENT
+    * algorithm: hull EDGES found by the all-points-strictly-left census
+    * (an edge survives iff every other point is strictly left of it or
+    * collinear-between — the O(n³) definition, not a chain build), the
+    * vertex set taken from edge endpoints, and the ring ORDER
+    * reconstructed from the set alone via the min→max chord
+    * classification (lower side ascending, upper side descending) —
+    * possible only because the kernel's emission order is a pure
+    * function of the hull SET. Integer-valued doubles keep every
+    * orientation test exact on both engines.
+    */
+  private def g30(s: SparkSession, d: String) = {
+    import graft.functions.ConvexHullExprs
+    val c = col("c_custkey")
+    Tables.customer(s, d).select(
+        (c % 97).cast("int").as("grp"),
+        ((c % 5) * 4).cast("double").as("x"),
+        ((c % 7) * 3).cast("double").as("y"))
+      .groupBy("grp")
+      .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
+      .select(col("grp"),
+        posexplode(ConvexHullExprs.convexHullCol(col("pts"))).as(Seq("pt_i", "pt")))
+      .select(col("grp"), col("pt_i"), col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("grp", "pt_i")
+  }
+
+  /** g30's oracle — see [[g30]]: edge census → vertex set → chord-order
+    * reconstruction. */
+  private def sqlConvexHull: String =
+    """WITH pts AS MATERIALIZED (SELECT DISTINCT CAST(c_custkey % 97 AS INT) AS grp,
+      |    CAST((c_custkey % 5) * 4 AS DOUBLE) AS x,
+      |    CAST((c_custkey % 7) * 3 AS DOUBLE) AS y FROM customer),
+      |edges AS MATERIALIZED (
+      |  SELECT a.grp, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+      |  FROM pts a JOIN pts b ON a.grp = b.grp AND (a.x <> b.x OR a.y <> b.y)
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pts q WHERE q.grp = a.grp
+      |      AND (q.x <> a.x OR q.y <> a.y) AND (q.x <> b.x OR q.y <> b.y)
+      |      AND NOT ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) > 0
+      |        OR ((b.x - a.x) * (q.y - a.y) - (b.y - a.y) * (q.x - a.x) = 0
+      |            AND q.x >= least(a.x, b.x) AND q.x <= greatest(a.x, b.x)
+      |            AND q.y >= least(a.y, b.y) AND q.y <= greatest(a.y, b.y))))),
+      |hullv AS MATERIALIZED (SELECT DISTINCT grp, x, y FROM (
+      |  SELECT grp, ax AS x, ay AS y FROM edges
+      |  UNION ALL SELECT grp, bx AS x, by AS y FROM edges)),
+      |mm AS MATERIALIZED (SELECT grp,
+      |  struct_extract(min(struct_pack(x := x, y := y)), 'x') AS mnx,
+      |  struct_extract(min(struct_pack(x := x, y := y)), 'y') AS mny,
+      |  struct_extract(max(struct_pack(x := x, y := y)), 'x') AS mxx,
+      |  struct_extract(max(struct_pack(x := x, y := y)), 'y') AS mxy
+      |  FROM hullv GROUP BY grp),
+      |cls AS MATERIALIZED (SELECT h.grp, h.x, h.y, m.mnx, m.mny, m.mxx, m.mxy,
+      |  (m.mxx - m.mnx) * (h.y - m.mny) - (m.mxy - m.mny) * (h.x - m.mnx) AS side
+      |  FROM hullv h JOIN mm m USING (grp)),
+      |cnts AS MATERIALIZED (SELECT grp,
+      |  CAST(sum(CASE WHEN side < 0 THEN 1 ELSE 0 END) AS INT) AS nl,
+      |  CAST(sum(CASE WHEN side > 0 THEN 1 ELSE 0 END) AS INT) AS nu
+      |  FROM cls GROUP BY grp)
+      |SELECT grp, pt_i, x, y FROM (
+      |  SELECT grp, CAST(0 AS INT) AS pt_i, mnx AS x, mny AS y FROM mm
+      |  UNION ALL
+      |  SELECT grp, CAST(row_number() OVER (PARTITION BY grp ORDER BY x, y) AS INT),
+      |    x, y FROM cls WHERE side < 0
+      |  UNION ALL
+      |  SELECT c.grp, c.nl + 1, m.mxx, m.mxy FROM cnts c JOIN mm m USING (grp)
+      |  UNION ALL
+      |  SELECT grp, CAST(nl + 1 + row_number()
+      |      OVER (PARTITION BY grp ORDER BY x DESC, y DESC) AS INT), x, y
+      |  FROM cls JOIN cnts USING (grp) WHERE side > 0
+      |  UNION ALL
+      |  SELECT c.grp, c.nl + c.nu + 2, m.mnx, m.mny FROM cnts c JOIN mm m USING (grp))
+      |ORDER BY grp, pt_i""".stripMargin
+
   /** j27's oracle — sqlClipZonal's pass replay with the FINAL closed
     * lists unnested to vertex rows instead of folded to areas: ring 0
     * (outer) and ring 1 (hole) emit their post-pass-4 vertices with
@@ -7854,6 +7931,7 @@ object SparkEntry {
     "g27_simplify_census" -> (g27 _),
     "g28_buffer_convex" -> (g28 _),
     "g29_centroid" -> (g29 _),
+    "g30_convex_hull" -> (g30 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8725,6 +8803,9 @@ object SparkEntry {
     // g29: the centroid kernel's per-ring cross/moment folds replayed in
     // list algebra (raw IEEE quotients; hole moment subtracts by winding).
     "g29_centroid" -> sqlCentroid,
+    // g30: INDEPENDENT hull-edge census (all-points-strictly-left O(n^3)
+    // definition) + chord-order ring reconstruction vs the monotone chain.
+    "g30_convex_hull" -> sqlConvexHull,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

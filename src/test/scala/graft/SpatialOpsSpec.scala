@@ -758,13 +758,96 @@ class SpatialOpsSpec extends AnyFunSuite {
     }
     // SQL surface
     GraftFunctions.register(spark)
-    val viaSql = spark.sql(
+    val viaSqlPath = spark.sql(
       """SELECT st_clip_path_box(
         |  array(named_struct('x', CAST(0 AS DOUBLE), 'y', CAST(3 AS DOUBLE)),
         |        named_struct('x', CAST(9 AS DOUBLE), 'y', CAST(3 AS DOUBLE))),
         |  named_struct('xmin', CAST(2 AS DOUBLE), 'ymin', CAST(1 AS DOUBLE),
         |               'xmax', CAST(7 AS DOUBLE), 'ymax', CAST(5 AS DOUBLE))) AS s""".stripMargin)
       .head.getSeq[org.apache.spark.sql.Row](0)
-    assert(viaSql.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3))) == Seq((0, 2.0, 7.0)))
+    assert(viaSqlPath.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3))) == Seq((0, 2.0, 7.0)))
+  }
+
+  test("convexHull: closed forms, strictness, order contract, randomized membership reference") {
+    import graft.functions.ConvexHullExprs
+    def hullOf(pts: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+      val arr = array(pts.map { case (x, y) =>
+        struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+      Seq(1).toDF("one").select(ConvexHullExprs.convexHullCol(arr)).head
+        .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getDouble(1)))
+    }
+    // square + interior + duplicate: the four corners, CCW from lex-min,
+    // closed
+    assert(hullOf(Seq((0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (4, 0))) ==
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)))
+    // STRICT: a collinear boundary midpoint is dropped
+    assert(hullOf(Seq((0, 0), (2, 0), (4, 0), (4, 4), (0, 4))) ==
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)))
+    // input order irrelevant (the collect_list contract)
+    assert(hullOf(Seq((4, 4), (2, 2), (0, 4), (4, 0), (0, 0))) ==
+      hullOf(Seq((0, 0), (4, 0), (4, 4), (0, 4), (2, 2))))
+    // all collinear → loud reject
+    val e = intercept[Exception](hullOf(Seq((0, 0), (1, 1), (2, 2), (3, 3))))
+    assert(e.getMessage.contains("collinear"), e.getMessage)
+    val e2 = intercept[Exception](hullOf(Seq((1, 1), (1, 1), (2, 2))))
+    assert(e2.getMessage.contains(">= 3 distinct"), e2.getMessage)
+    // randomized integer clouds vs an independent membership reference:
+    // v is a hull vertex iff v is NOT inside-or-on the hull of the others
+    // (checked against every triangle and every collinear-between segment)
+    val rnd = new scala.util.Random(20260817)
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    for (trial <- 1 to 40) {
+      val pts = Seq.fill(6 + rnd.nextInt(12))(
+        (rnd.nextInt(12).toDouble, rnd.nextInt(10).toDouble)).distinct
+      val spread = pts.map(_._1).distinct.size > 1 && pts.map(_._2).distinct.size > 1 &&
+        pts.combinations(3).exists(t => cross(t(0), t(1), t(2)) != 0.0)
+      if (pts.size >= 3 && spread) {
+        val ring = hullOf(pts)
+        assert(ring.head == ring.last, s"trial $trial: ring not closed")
+        val verts = ring.dropRight(1)
+        // CCW strict corners: every consecutive triple turns strictly left
+        val n = verts.length
+        for (i <- 0 until n) {
+          val t = cross(verts(i), verts((i + 1) % n), verts((i + 2) % n))
+          assert(t > 0, s"trial $trial: non-left turn $t at $i in $ring")
+        }
+        // starts at the lexicographic minimum
+        assert(verts.head == verts.min, s"trial $trial: start not lex-min")
+        // membership reference
+        def insideOrOn(p: (Double, Double), others: Seq[(Double, Double)]): Boolean = {
+          val tri = others.combinations(3).exists { t =>
+            val s1 = cross(t(0), t(1), p); val s2 = cross(t(1), t(2), p)
+            val s3 = cross(t(2), t(0), p)
+            val w = cross(t(0), t(1), t(2))
+            w != 0.0 && (if (w > 0) s1 >= 0 && s2 >= 0 && s3 >= 0
+                         else s1 <= 0 && s2 <= 0 && s3 <= 0)
+          }
+          val seg = others.combinations(2).exists { s =>
+            cross(s(0), s(1), p) == 0.0 &&
+              p._1 >= math.min(s(0)._1, s(1)._1) && p._1 <= math.max(s(0)._1, s(1)._1) &&
+              p._2 >= math.min(s(0)._2, s(1)._2) && p._2 <= math.max(s(0)._2, s(1)._2)
+          }
+          tri || seg
+        }
+        pts.foreach { p =>
+          val expectVertex = !insideOrOn(p, pts.filterNot(_ == p))
+          assert(verts.contains(p) == expectVertex,
+            s"trial $trial: $p vertex=${verts.contains(p)} expected=$expectVertex in $pts")
+        }
+      }
+    }
+    // SQL surface
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT st_convex_hull(array(
+        |  named_struct('x', CAST(0 AS DOUBLE), 'y', CAST(0 AS DOUBLE)),
+        |  named_struct('x', CAST(4 AS DOUBLE), 'y', CAST(0 AS DOUBLE)),
+        |  named_struct('x', CAST(4 AS DOUBLE), 'y', CAST(4 AS DOUBLE)),
+        |  named_struct('x', CAST(1 AS DOUBLE), 'y', CAST(2 AS DOUBLE)))) AS h""".stripMargin)
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    // (1,2) is left of the (0,0)->(4,4) diagonal, so it IS a hull corner
+    assert(viaSql.map(r => (r.getDouble(0), r.getDouble(1))) ==
+      Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (1.0, 2.0), (0.0, 0.0)))
   }
 }
