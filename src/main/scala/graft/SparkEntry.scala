@@ -1898,6 +1898,74 @@ object SparkEntry {
       .orderBy("grp", "pt_i")
   }
 
+  /** G31 — hull METRICS: g30's constructed hull ring fed straight into
+    * the measure kernels (the constructor-feeds-measures composition):
+    * vertex count, shoelace area, centroid, perimeter, and squared
+    * diameter per group. Exactness stratification drives the oracle:
+    * area/centroid/diameter² are INTEGER-EXACT on the lattice fixture
+    * (any faithful summation matches bitwise, so the oracle may fold
+    * over the un-ordered hull-edge census), the perimeter is a sum of
+    * irrational sqrt terms whose grouping differs between ring-order
+    * and census-order folds — rounded to 6 (the g1 convention).
+    */
+  private def g31(s: SparkSession, d: String) = {
+    import graft.functions.{CentroidExprs, ConvexHullExprs}
+    val c = col("c_custkey")
+    val ring = col("ring")
+    val perim = aggregate(sequence(lit(1), size(ring) - 1), lit(0.0), (a, i) =>
+      a + sqrt(
+        (element_at(ring, i + 1).getField("x") - element_at(ring, i).getField("x")) *
+          (element_at(ring, i + 1).getField("x") - element_at(ring, i).getField("x")) +
+          (element_at(ring, i + 1).getField("y") - element_at(ring, i).getField("y")) *
+            (element_at(ring, i + 1).getField("y") - element_at(ring, i).getField("y"))))
+    val diam2 = aggregate(ring, lit(0.0), (acc, p) =>
+      greatest(acc, aggregate(ring, lit(0.0), (a2, q) =>
+        greatest(a2,
+          (p.getField("x") - q.getField("x")) * (p.getField("x") - q.getField("x")) +
+            (p.getField("y") - q.getField("y")) * (p.getField("y") - q.getField("y"))))))
+    Tables.customer(s, d).select(
+        (c % 97).cast("int").as("grp"),
+        ((c % 5) * 4).cast("double").as("x"),
+        ((c % 7) * 3).cast("double").as("y"))
+      .groupBy("grp")
+      .agg(collect_list(struct(col("x"), col("y"))).as("pts"))
+      .withColumn("ring", ConvexHullExprs.convexHullCol(col("pts")))
+      .select(col("grp"),
+        (size(ring) - 1).cast("int").as("n_vertices"),
+        graft.functions.SpatialOps.ringsArea(array(ring)).as("hull_area"),
+        CentroidExprs.centroidCol(array(ring)).as("c"),
+        round(perim, 6).as("perimeter"),
+        diam2.as("diameter2"))
+      .select(col("grp"), col("n_vertices"), col("hull_area"),
+        col("c.x").as("cx"), col("c.y").as("cy"), col("perimeter"), col("diameter2"))
+      .orderBy("grp")
+  }
+
+  /** g31's oracle — metrics from the EDGE CENSUS alone (no ring order):
+    * area = ½|Σ_edges cross|, centroid = Σ(a+b)·w / 3Σw (integer-exact
+    * sums → identical quotients), diameter² = max pairwise over the
+    * vertex set, perimeter = Σ edge lengths rounded 6.
+    */
+  private def sqlHullMetrics: String = {
+    val census = sqlConvexHull
+    val upToHull = census.substring(0, census.indexOf("mm AS MATERIALIZED"))
+    upToHull +
+      """em AS MATERIALIZED (SELECT grp,
+        |  sum(ax * by - bx * ay) AS a2,
+        |  sum((ax + bx) * (ax * by - bx * ay)) AS sx,
+        |  sum((ay + by) * (ax * by - bx * ay)) AS sy,
+        |  round(sum(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))), 6) AS perimeter,
+        |  CAST(count(*) AS INT) AS n_vertices
+        |  FROM edges GROUP BY grp),
+        |dm AS MATERIALIZED (SELECT a.grp,
+        |  max((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS diameter2
+        |  FROM hullv a JOIN hullv b ON a.grp = b.grp GROUP BY a.grp)
+        |SELECT e.grp, e.n_vertices, abs(e.a2) / 2 AS hull_area,
+        |  e.sx / (3.0 * e.a2) AS cx, e.sy / (3.0 * e.a2) AS cy,
+        |  e.perimeter, d.diameter2
+        |FROM em e JOIN dm d ON e.grp = d.grp ORDER BY e.grp""".stripMargin
+  }
+
   /** g30's oracle — see [[g30]]: edge census → vertex set → chord-order
     * reconstruction. */
   private def sqlConvexHull: String =
@@ -7932,6 +8000,7 @@ object SparkEntry {
     "g28_buffer_convex" -> (g28 _),
     "g29_centroid" -> (g29 _),
     "g30_convex_hull" -> (g30 _),
+    "g31_hull_metrics" -> (g31 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8806,6 +8875,9 @@ object SparkEntry {
     // g30: INDEPENDENT hull-edge census (all-points-strictly-left O(n^3)
     // definition) + chord-order ring reconstruction vs the monotone chain.
     "g30_convex_hull" -> sqlConvexHull,
+    // g31: hull metrics from the census alone — integer-exact area/
+    // centroid/diameter^2 need no ring order; perimeter round-6 (g1 rule).
+    "g31_hull_metrics" -> sqlHullMetrics,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

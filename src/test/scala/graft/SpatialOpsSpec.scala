@@ -850,4 +850,27 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(viaSql.map(r => (r.getDouble(0), r.getDouble(1))) ==
       Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (1.0, 2.0), (0.0, 0.0)))
   }
+
+  test("hull metrics composition: constructed ring feeds the measure kernels exactly") {
+    import graft.functions.{CentroidExprs, ConvexHullExprs}
+    // square cloud with interior noise: hull = the 4x4 square
+    val pts = Seq((0, 0), (4, 0), (4, 4), (0, 4), (1, 1), (2, 3), (3, 2))
+    val arr = array(pts.map { case (x, y) =>
+      struct(lit(x.toDouble).as("x"), lit(y.toDouble).as("y")) }: _*)
+    val row = Seq(1).toDF("one")
+      .withColumn("ring", ConvexHullExprs.convexHullCol(arr))
+      .select(
+        SpatialOps.ringsArea(array(col("ring"))).as("a"),
+        CentroidExprs.centroidCol(array(col("ring"))).as("c"),
+        aggregate(sequence(lit(1), size(col("ring")) - 1), lit(0.0), (acc, i) =>
+          acc + sqrt(
+            (element_at(col("ring"), i + 1).getField("x") - element_at(col("ring"), i).getField("x")) *
+              (element_at(col("ring"), i + 1).getField("x") - element_at(col("ring"), i).getField("x")) +
+              (element_at(col("ring"), i + 1).getField("y") - element_at(col("ring"), i).getField("y")) *
+                (element_at(col("ring"), i + 1).getField("y") - element_at(col("ring"), i).getField("y")))).as("p"))
+      .head()
+    assert(row.getDouble(0) == 16.0)
+    assert((row.getStruct(1).getDouble(0), row.getStruct(1).getDouble(1)) == ((2.0, 2.0)))
+    assert(row.getDouble(2) == 16.0)
+  }
 }
