@@ -1869,7 +1869,7 @@ object SparkEntry {
   }
 
   /** G30 — convex hull per group: customer-derived integer lattice
-    * points grouped mod 97, hulled by
+    * points grouped mod 23, hulled by
     * [[graft.functions.ConvexHullExprs.convexHullCol]] (monotone chain,
     * STRICT — collinear boundary points dropped), the closed CCW ring
     * emitted vertex-by-vertex. The oracle is a genuinely INDEPENDENT
@@ -1887,7 +1887,7 @@ object SparkEntry {
     import graft.functions.ConvexHullExprs
     val c = col("c_custkey")
     Tables.customer(s, d).select(
-        (c % 97).cast("int").as("grp"),
+        (c % 23).cast("int").as("grp"),
         ((c % 5) * 4).cast("double").as("x"),
         ((c % 7) * 3).cast("double").as("y"))
       .groupBy("grp")
@@ -1924,7 +1924,7 @@ object SparkEntry {
           (p.getField("x") - q.getField("x")) * (p.getField("x") - q.getField("x")) +
             (p.getField("y") - q.getField("y")) * (p.getField("y") - q.getField("y"))))))
     Tables.customer(s, d).select(
-        (c % 97).cast("int").as("grp"),
+        (c % 23).cast("int").as("grp"),
         ((c % 5) * 4).cast("double").as("x"),
         ((c % 7) * 3).cast("double").as("y"))
       .groupBy("grp")
@@ -1966,10 +1966,93 @@ object SparkEntry {
         |FROM em e JOIN dm d ON e.grp = d.grp ORDER BY e.grp""".stripMargin
   }
 
+  /** MIX2 — temperature-scaled source mixing with EXACT largest-remainder
+    * quotas (the data-mixing step of a training pipeline: upweight small
+    * sources with τ = 0.5, then allocate an integer budget B = 300
+    * deterministically): per-lang weights wᵢ = √nᵢ, pᵢ = wᵢ/Σw with the
+    * total folded left-assoc over the LANG-SORTED array (one scalar agg
+    * carries the whole per-lang table — the qs1 sort_array shape, NO
+    * global window), base = ⌊B·pᵢ⌋, the deficit topped up by remainder
+    * rank (rem DESC, lang ASC — ranked via a sorted (−rem, lang) array,
+    * window-free), and each lang's quota filled by the md5-BOTTOM of its
+    * documents (the samp1 determinism idiom — stable under reruns and
+    * appends). Output per lang: count, quota, selected count, and the
+    * selection boundary key (proving the pick is exactly the bottom-k).
+    * 100 TB shape: one groupBy + one scalar agg on the #langs-bounded
+    * frame + one per-lang window over the corpus scan.
+    */
+  private def mix2(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val B = 300
+    val packed = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .agg(sort_array(collect_list(struct(col("lang"), col("n_docs")))).as("arr"))
+    val w = transform(col("arr"), e => sqrt(e.getField("n_docs").cast("double")))
+    val staged = packed
+      .select(col("arr"), w.as("w"))
+      .select(col("arr"), col("w"),
+        aggregate(col("w"), lit(0.0), (a, x) => a + x).as("total"))
+      .select(transform(col("arr"), (e, i) => {
+        val scaled = lit(B.toDouble) * (element_at(col("w"), i + 1) / col("total"))
+        struct(e.getField("lang").as("lang"),
+          e.getField("n_docs").as("n_docs"),
+          floor(scaled).cast("long").as("base"),
+          (scaled - floor(scaled)).as("rem"))
+      }).as("q"))
+      .select(col("q"),
+        (lit(B.toLong) - aggregate(col("q"), lit(0L), (a, e) => a + e.getField("base"))).as("deficit"),
+        sort_array(transform(col("q"), e =>
+          struct((-e.getField("rem")).as("nr"), e.getField("lang").as("lang")))).as("ranked"))
+    val quotas = staged
+      .select(col("deficit"), col("ranked"), explode(col("q")).as("e"))
+      .select(col("e.lang").as("lang"), col("e.n_docs").as("n_docs"),
+        (col("e.base") + when(
+          array_position(transform(col("ranked"), _.getField("lang")), col("e.lang"))
+            <= col("deficit"), lit(1L)).otherwise(lit(0L))).as("quota"))
+    val wl = Window.partitionBy(col("lang"))
+      .orderBy(col("key"), col("doc_id"))
+    val sel = docs.select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("key"))
+      .withColumn("rn", row_number().over(wl))
+      .join(quotas, Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("sel_docs"), max(col("key")).as("last_key"))
+    quotas.join(sel, Seq("lang"))
+      .select("lang", "n_docs", "quota", "sel_docs", "last_key")
+      .orderBy("lang")
+  }
+
+  /** mix2's oracle — the identical weight/quota arithmetic (ordered
+    * list_reduce total, floor/remainder, rank by (rem DESC, lang)) and
+    * the md5-bottom selection replayed relationally.
+    */
+  private def sqlMixQuota: String =
+    """WITH counts AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+      |    (a, b) -> a + b) AS total FROM counts),
+      |q AS (SELECT lang, n_docs,
+      |    CAST(floor(CAST(300 AS DOUBLE) * (sqrt(CAST(n_docs AS DOUBLE)) / total)) AS BIGINT) AS base,
+      |    CAST(300 AS DOUBLE) * (sqrt(CAST(n_docs AS DOUBLE)) / total)
+      |      - floor(CAST(300 AS DOUBLE) * (sqrt(CAST(n_docs AS DOUBLE)) / total)) AS rem
+      |  FROM counts, tot),
+      |r AS (SELECT lang, n_docs, base, rem,
+      |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q),
+      |dcnt AS (SELECT 300 - sum(base) AS deficit FROM r),
+      |quota AS (SELECT lang, n_docs,
+      |    base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota FROM r, dcnt),
+      |sel AS (SELECT d.lang, md5(CAST(d.doc_id AS VARCHAR)) AS key,
+      |    row_number() OVER (PARTITION BY d.lang
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |  FROM documents d),
+      |agg AS (SELECT s.lang, CAST(count(*) AS BIGINT) AS sel_docs, max(s.key) AS last_key
+      |  FROM sel s JOIN quota t ON s.lang = t.lang AND s.rn <= t.quota GROUP BY s.lang)
+      |SELECT t.lang, t.n_docs, CAST(t.quota AS BIGINT) AS quota, a.sel_docs, a.last_key
+      |FROM quota t JOIN agg a ON t.lang = a.lang ORDER BY t.lang""".stripMargin
+
   /** g30's oracle — see [[g30]]: edge census → vertex set → chord-order
     * reconstruction. */
   private def sqlConvexHull: String =
-    """WITH pts AS MATERIALIZED (SELECT DISTINCT CAST(c_custkey % 97 AS INT) AS grp,
+    """WITH pts AS MATERIALIZED (SELECT DISTINCT CAST(c_custkey % 23 AS INT) AS grp,
       |    CAST((c_custkey % 5) * 4 AS DOUBLE) AS x,
       |    CAST((c_custkey % 7) * 3 AS DOUBLE) AS y FROM customer),
       |edges AS MATERIALIZED (
@@ -8008,6 +8091,7 @@ object SparkEntry {
     "e16_semantic_dedup" -> (e16 _),
     "e16b_semdedup_sqrtn" -> (e16b _),
     "dsir1_importance_resample" -> (dsir1 _),
+    "mix2_temperature_quota" -> (mix2 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
@@ -9240,6 +9324,8 @@ object SparkEntry {
     // smoothed log-ratio fixed points (exact totals from the same
     // frequency table), integer weight sums, the md5 Gumbel key, and the
     // identical top-25 (key DESC, id ASC).
+    "mix2_temperature_quota" -> sqlMixQuota,
+    // mix2 above: quota arithmetic + md5-bottom selection replay.
     "dsir1_importance_resample" ->
       s"""WITH td AS (SELECT doc_id, tgt, term, count(*) AS c FROM (
          |    SELECT doc_id, lang = 'en' AS tgt,

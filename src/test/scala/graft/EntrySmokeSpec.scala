@@ -82,4 +82,20 @@ class EntrySmokeSpec extends AnyFunSuite {
       assert(df.count() >= 0)
     }
   }
+
+  test("mix2 invariants: largest-remainder quotas sum to the budget; selection clamps to group size") {
+    val rows = SparkEntry.queries("mix2_temperature_quota")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // quotas partition the budget EXACTLY (the largest-remainder law)
+    assert(rows.map(_.getAs[Long]("quota")).sum == 300L)
+    rows.foreach { r =>
+      val (n, quota, sel) = (r.getAs[Long]("n_docs"), r.getAs[Long]("quota"),
+        r.getAs[Long]("sel_docs"))
+      // selection = md5-bottom min(quota, n): at sf0.001 the budget
+      // exceeds the corpus so every group clamps to its full size
+      assert(sel == math.min(quota, n), s"$r")
+      // temperature 0.5 upweights small sources: no group starves
+      assert(quota >= 1, s"$r")
+    }
+  }
 }
