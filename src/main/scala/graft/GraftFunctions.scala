@@ -222,6 +222,14 @@ object GraftFunctions {
           "points are collinear)",
         classOf[graft.functions.ConvexHullExpr]),
       (exprs: Seq[Expression]) => graft.functions.ConvexHullExpr(exprs(0))),
+    (FunctionIdentifier("st_min_bbox_area"),
+      info("st_min_bbox_area",
+        "st_min_bbox_area(ring) - minimum-area bounding rectangle area of a " +
+          "closed CONVEX ring (edge-flush rotating-calipers theorem; one " +
+          "rational per edge, min value taken; hull non-convex inputs first " +
+          "with st_convex_hull)",
+        classOf[graft.functions.MbrAreaExpr]),
+      (exprs: Seq[Expression]) => graft.functions.MbrAreaExpr(exprs(0))),
     (FunctionIdentifier("st_centroid"),
       info("st_centroid",
         "st_centroid(rings) - area-weighted polygon centroid as struct<x,y> " +

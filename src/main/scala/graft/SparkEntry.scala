@@ -1966,6 +1966,55 @@ object SparkEntry {
         |FROM em e JOIN dm d ON e.grp = d.grp ORDER BY e.grp""".stripMargin
   }
 
+  /** G32 — minimum bounding rectangle area per group (rotating calipers
+    * via the edge-flush theorem on g30's hull): mbr ≤ axis-aligned bbox,
+    * with the tightness ratio emitted. Every projection span is an
+    * exact integer product on the lattice fixture, so the per-edge
+    * rational and the min VALUE replay bitwise with no fold-order
+    * coupling — the oracle computes the same rectangle areas
+    * relationally over the independent edge census.
+    */
+  private def g32(s: SparkSession, d: String) = {
+    import graft.functions.ConvexHullExprs
+    val c = col("c_custkey")
+    Tables.customer(s, d).select(
+        (c % 23).cast("int").as("grp"),
+        ((c % 5) * 4).cast("double").as("x"),
+        ((c % 7) * 3).cast("double").as("y"))
+      .groupBy("grp")
+      .agg(collect_list(struct(col("x"), col("y"))).as("pts"),
+        max(col("x")).as("mxx"), min(col("x")).as("mnx"),
+        max(col("y")).as("mxy"), min(col("y")).as("mny"))
+      .withColumn("ring", ConvexHullExprs.convexHullCol(col("pts")))
+      .select(col("grp"),
+        ConvexHullExprs.mbrAreaCol(col("ring")).as("mbr_area"),
+        ((col("mxx") - col("mnx")) * (col("mxy") - col("mny"))).as("bbox_area"))
+      .withColumn("tightness", col("mbr_area") / col("bbox_area"))
+      .orderBy("grp")
+  }
+
+  /** g32's oracle — per-edge projection spans over the census, the same
+    * rational per edge, min value per group. */
+  private def sqlMinBbox: String = {
+    val census = sqlConvexHull
+    val upToHull = census.substring(0, census.indexOf("mm AS MATERIALIZED"))
+    upToHull +
+      """em AS MATERIALIZED (SELECT e.grp, e.ax, e.ay, e.bx, e.by,
+        |  min((v.x - e.ax) * (e.bx - e.ax) + (v.y - e.ay) * (e.by - e.ay)) AS mind,
+        |  max((v.x - e.ax) * (e.bx - e.ax) + (v.y - e.ay) * (e.by - e.ay)) AS maxd,
+        |  min((e.bx - e.ax) * (v.y - e.ay) - (e.by - e.ay) * (v.x - e.ax)) AS minc,
+        |  max((e.bx - e.ax) * (v.y - e.ay) - (e.by - e.ay) * (v.x - e.ax)) AS maxc
+        |  FROM edges e JOIN hullv v ON e.grp = v.grp
+        |  GROUP BY e.grp, e.ax, e.ay, e.bx, e.by),
+        |mbr AS MATERIALIZED (SELECT grp, min(((maxd - mind) * (maxc - minc)) /
+        |  ((bx - ax) * (bx - ax) + (by - ay) * (by - ay))) AS mbr_area
+        |  FROM em GROUP BY grp),
+        |bb AS MATERIALIZED (SELECT grp,
+        |  (max(x) - min(x)) * (max(y) - min(y)) AS bbox_area FROM pts GROUP BY grp)
+        |SELECT m.grp, m.mbr_area, b.bbox_area, m.mbr_area / b.bbox_area AS tightness
+        |FROM mbr m JOIN bb b ON m.grp = b.grp ORDER BY m.grp""".stripMargin
+  }
+
   /** MIX2 — temperature-scaled source mixing with EXACT largest-remainder
     * quotas (the data-mixing step of a training pipeline: upweight small
     * sources with τ = 0.5, then allocate an integer budget B = 300
@@ -8084,6 +8133,7 @@ object SparkEntry {
     "g29_centroid" -> (g29 _),
     "g30_convex_hull" -> (g30 _),
     "g31_hull_metrics" -> (g31 _),
+    "g32_min_bbox" -> (g32 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -8962,6 +9012,9 @@ object SparkEntry {
     // g31: hull metrics from the census alone — integer-exact area/
     // centroid/diameter^2 need no ring order; perimeter round-6 (g1 rule).
     "g31_hull_metrics" -> sqlHullMetrics,
+    // g32: rotating-calipers MBR — per-edge rationals over the census,
+    // min value (integer-exact spans, no fold-order coupling).
+    "g32_min_bbox" -> sqlMinBbox,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic

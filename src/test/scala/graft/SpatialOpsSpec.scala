@@ -873,4 +873,40 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert((row.getStruct(1).getDouble(0), row.getStruct(1).getDouble(1)) == ((2.0, 2.0)))
     assert(row.getDouble(2) == 16.0)
   }
+
+  test("mbrArea: rotated square halves its bbox; axis-aligned equals it; fail-closed") {
+    import graft.functions.ConvexHullExprs
+    def ringOf(pts: Seq[(Double, Double)]) = array((pts :+ pts.head).map { case (x, y) =>
+      struct(lit(x).as("x"), lit(y).as("y")) }: _*)
+    def mbrOf(pts: Seq[(Double, Double)]): Double =
+      Seq(1).toDF("one").select(ConvexHullExprs.mbrAreaCol(ringOf(pts))).head.getDouble(0)
+    // 45-degree square: bbox 16, mbr flush with an edge = 8
+    assert(mbrOf(Seq((0, 2), (2, 0), (4, 2), (2, 4))) == 8.0)
+    // axis-aligned rectangle: mbr == bbox == 8
+    assert(mbrOf(Seq((0, 0), (4, 0), (4, 2), (0, 2))) == 8.0)
+    // triangle (0,0)(4,0)(0,3): min rect is edge-flush; candidates are
+    // 12 (both legs) and (Δdot·Δcross)/25 = (25·12)/25 = 12 on the
+    // hypotenuse — all 12
+    assert(mbrOf(Seq((0, 0), (4, 0), (0, 3))) == 12.0)
+    // open ring rejects
+    val e = intercept[Exception] {
+      Seq(1).toDF("one").select(ConvexHullExprs.mbrAreaCol(array(
+        struct(lit(0.0).as("x"), lit(0.0).as("y")),
+        struct(lit(4.0).as("x"), lit(0.0).as("y")),
+        struct(lit(4.0).as("x"), lit(2.0).as("y")),
+        struct(lit(0.0).as("x"), lit(2.0).as("y"))))).collect()
+    }
+    assert(e.getMessage.contains("closed"), e.getMessage)
+    // SQL surface + hull composition
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      """SELECT st_min_bbox_area(st_convex_hull(array(
+        |  named_struct('x', CAST(0 AS DOUBLE), 'y', CAST(2 AS DOUBLE)),
+        |  named_struct('x', CAST(2 AS DOUBLE), 'y', CAST(0 AS DOUBLE)),
+        |  named_struct('x', CAST(4 AS DOUBLE), 'y', CAST(2 AS DOUBLE)),
+        |  named_struct('x', CAST(2 AS DOUBLE), 'y', CAST(4 AS DOUBLE)),
+        |  named_struct('x', CAST(2 AS DOUBLE), 'y', CAST(2 AS DOUBLE))))) AS a""".stripMargin)
+      .head.getDouble(0)
+    assert(viaSql == 8.0)
+  }
 }
