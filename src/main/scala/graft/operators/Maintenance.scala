@@ -181,6 +181,27 @@ object Maintenance {
         s"${archived.mkString(",")}; live: $live)")
   }
 
+  /** Retention over the snapshot archive: delete every archived
+    * generation except the newest `keepLast`, returning the deleted
+    * generation numbers (ascending). The live store and its generation
+    * counter are untouched, so a pin to a vacuumed generation keeps the
+    * fail-loud contract — [[readAsOf]] reports "EXISTED but was not
+    * retained" instead of silently reading newer data. Idempotent: a
+    * second vacuum with the same budget deletes nothing.
+    */
+  def vacuumGenerations(spark: SparkSession, path: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archived = archivedGenerations(fs, p)
+    val doomed = archived.dropRight(keepLast)
+    doomed.foreach { g =>
+      val arch = new Path(f"${p.toString}.g$g%06d")
+      require(fs.delete(arch, true), s"vacuum delete of $arch failed")
+    }
+    doomed
+  }
+
   /** CDC between a pinned generation and the live store: [[snapshotDiff]]
     * of `readAsOf(generation)` against the current data — "what changed
     * since the training run pinned its corpus". */

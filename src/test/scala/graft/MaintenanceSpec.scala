@@ -244,4 +244,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintenance.readAsOf(spark, dir, 4).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == g3)
   }
+
+  test("vacuumGenerations: retention keeps the newest archives, vacuumed pins fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
+    (1L to 50L).map(i => (i, i)).toDF("id", "v").write.parquet(dir)
+    // three retained swaps -> archive ledger (1, 2, 3)
+    for (k <- Seq(1L, 2L, 3L))
+      Maintenance.deleteByKeys(spark, dir, Seq(k).toDF("id"), Seq("id"), retain = true)
+    assert(Maintenance.generations(spark, dir) == Seq(1, 2, 3))
+    val g3Before = Maintenance.readAsOf(spark, dir, 3).orderBy("id").collect().toSeq
+    // keep the newest 1: generations 1 and 2 deleted, in order
+    assert(Maintenance.vacuumGenerations(spark, dir, keepLast = 1) == Seq(1, 2))
+    assert(Maintenance.generations(spark, dir) == Seq(3))
+    // the survivor still reads byte-identically; the live store untouched
+    assert(Maintenance.readAsOf(spark, dir, 3).orderBy("id").collect().toSeq == g3Before)
+    assert(Maintenance.currentGeneration(spark, dir) == 4)
+    assert(spark.read.parquet(dir).count() == 47)
+    // a vacuumed pin fails with the retention error, not wrong data
+    val gone = intercept[IllegalArgumentException](Maintenance.readAsOf(spark, dir, 2))
+    assert(gone.getMessage.contains("was not retained"), gone.getMessage)
+    // idempotent; keepLast = 0 empties the ledger; bad budget rejects
+    assert(Maintenance.vacuumGenerations(spark, dir, keepLast = 1).isEmpty)
+    assert(Maintenance.vacuumGenerations(spark, dir, keepLast = 0) == Seq(3))
+    assert(Maintenance.generations(spark, dir).isEmpty)
+    val bad = intercept[IllegalArgumentException](
+      Maintenance.vacuumGenerations(spark, dir, keepLast = -1))
+    assert(bad.getMessage.contains("keepLast"))
+  }
 }
