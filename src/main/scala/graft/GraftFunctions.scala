@@ -222,6 +222,14 @@ object GraftFunctions {
           "points are collinear)",
         classOf[graft.functions.ConvexHullExpr]),
       (exprs: Seq[Expression]) => graft.functions.ConvexHullExpr(exprs(0))),
+    (FunctionIdentifier("st_hausdorff_boundary_sq"),
+      info("st_hausdorff_boundary_sq",
+        "st_hausdorff_boundary_sq(rings_a, rings_b) - symmetric vertex " +
+          "Hausdorff distance^2 between two polygon BOUNDARIES (max over " +
+          "each side's vertices of the clamped-segment boundary distance^2 " +
+          "to the other - the standard discrete form)",
+        classOf[graft.functions.HausdorffBoundarySqExpr]),
+      (exprs: Seq[Expression]) => graft.functions.HausdorffBoundarySqExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_min_bbox_area"),
       info("st_min_bbox_area",
         "st_min_bbox_area(ring) - minimum-area bounding rectangle area of a " +

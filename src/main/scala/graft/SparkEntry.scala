@@ -1966,6 +1966,158 @@ object SparkEntry {
         |FROM em e JOIN dm d ON e.grp = d.grp ORDER BY e.grp""".stripMargin
   }
 
+  /** J31 — length-weighted ZONAL stats for paths (the linestring analog
+    * of zs1/zs2: "how much trajectory crosses each tile"): the j30
+    * zigzag paths bbox-joined to the j27 grid cells, each pair's
+    * sub-segments from [[graft.functions.SpatialOps.clipSegmentsBox]],
+    * rolled up per cell as a segment count and a FIXED-POINT length sum
+    * (⌊len·2²⁰⌋ per row — the zs2 idiom, but with NO boundary risk at
+    * all: the per-row doubles are bitwise-replayed, so both engines
+    * floor identical values, and the integer sum is order-free).
+    */
+  private def j31(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val k = col("s_suppkey")
+    val x0 = (k % 90).cast("double")
+    val y0 = (k % 80).cast("double")
+    val m5 = (k % 5).cast("double")
+    val m4 = (k % 4).cast("double")
+    val m7 = (k % 7).cast("double")
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val paths = Tables.supplier(s, d).select(k,
+        array(pt(x0, y0), pt(x0 + lit(3.0), y0 + m5 + lit(1.0)),
+          pt(x0 + lit(3.0) + m4, y0 - m7 + lit(3.0)),
+          pt(x0 + lit(9.0), y0 + lit(2.0))).as("_p"))
+      .withColumn("env", SpatialOps.bbox(
+        x0, y0 + least(lit(0.0), lit(3.0) - m7),
+        x0 + lit(9.0), y0 + greatest(m5 + lit(1.0), lit(3.0) - m7, lit(2.0))))
+    val cells = s.range(156).select(
+        col("id").as("cell_id"),
+        ((col("id") % 13) * 8).cast("double").as("gx"),
+        ((col("id") / 13).cast("long") * 8).cast("double").as("gy"))
+      .withColumn("cenv", SpatialOps.bbox(col("gx"), col("gy"),
+        col("gx") + lit(8.0), col("gy") + lit(8.0)))
+    operators.SpatialJoin.bboxJoin(paths, cells, "env", "cenv", cellSize = 8.0)
+      .select(col("cell_id"),
+        explode(SpatialOps.clipSegmentsBox(col("_p"), col("cenv"))).as("seg"))
+      .select(col("cell_id"), sqrt(
+        (col("seg.bx") - col("seg.ax")) * (col("seg.bx") - col("seg.ax")) +
+          (col("seg.by") - col("seg.ay")) * (col("seg.by") - col("seg.ay"))).as("len"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(floor(col("len") * lit(1048576.0)).cast("long")).as("len_fp"))
+      .orderBy("cell_id")
+  }
+
+  /** j31's oracle — the j30 t-chain replay against each cell's walls
+    * over the exact bboxJoin pair set, per-row fixed-point floors,
+    * integer rollup per cell.
+    */
+  private def sqlPathZonal: String = {
+    val pts: Seq[(String, String)] = Seq(
+      ("x0", "y0"),
+      ("x0 + 3", "y0 + m5 + 1"),
+      ("x0 + 3 + m4", "y0 - m7 + 3"),
+      ("x0 + 9", "y0 + 2"))
+    val (lox, hix, loy, hiy) = ("gx", "gx + 8", "gy", "gy + 8")
+    def t0Of(dd: String, c: String, lo: String, hi: String): String =
+      s"""CASE WHEN ($dd) > 0 THEN (($lo) - ($c)) / ($dd)
+         |     WHEN ($dd) < 0 THEN (($hi) - ($c)) / ($dd)
+         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
+         |               THEN CAST(0 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END END""".stripMargin
+    def t1Of(dd: String, c: String, lo: String, hi: String): String =
+      s"""CASE WHEN ($dd) > 0 THEN (($hi) - ($c)) / ($dd)
+         |     WHEN ($dd) < 0 THEN (($lo) - ($c)) / ($dd)
+         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
+         |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END END""".stripMargin
+    val segCtes = (0 until 3).map { i =>
+      val (px, py) = pts(i)
+      val (qx, qy) = pts(i + 1)
+      val dx = s"(($qx) - ($px))"
+      val dy = s"(($qy) - ($py))"
+      val t0 = s"GREATEST(CAST(0 AS DOUBLE), ${t0Of(dx, px, lox, hix)}, ${t0Of(dy, py, loy, hiy)})"
+      val t1 = s"LEAST(CAST(1 AS DOUBLE), ${t1Of(dx, px, lox, hix)}, ${t1Of(dy, py, loy, hiy)})"
+      s"""s$i AS MATERIALIZED (SELECT cell_id,
+         |  ($px) + t0 * $dx AS ax, ($py) + t0 * $dy AS ay,
+         |  ($px) + t1 * $dx AS bx, ($py) + t1 * $dy AS by
+         |FROM (SELECT *, $t0 AS t0, $t1 AS t1 FROM b) WHERE t0 <= t1)""".stripMargin
+    }
+    s"""WITH sup AS (SELECT s_suppkey,
+       |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
+       |  CAST(s_suppkey % 5 AS DOUBLE) AS m5, CAST(s_suppkey % 4 AS DOUBLE) AS m4,
+       |  CAST(s_suppkey % 7 AS DOUBLE) AS m7 FROM supplier),
+       |b AS MATERIALIZED (SELECT * FROM sup JOIN
+       |  (SELECT range AS cell_id, CAST((range % 13) * 8 AS DOUBLE) AS gx,
+       |     CAST((range // 13) * 8 AS DOUBLE) AS gy FROM range(156)) c
+       |  ON x0 <= gx + 8 AND gx <= x0 + 9
+       |  AND y0 + LEAST(CAST(0 AS DOUBLE), 3 - m7) <= gy + 8
+       |  AND gy <= y0 + GREATEST(m5 + 1, 3 - m7, CAST(2 AS DOUBLE))),
+       |${segCtes.mkString(",\n")}
+       |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |  CAST(sum(CAST(floor(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+       |    * 1048576.0) AS BIGINT)) AS BIGINT) AS len_fp
+       |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+       |GROUP BY cell_id ORDER BY cell_id""".stripMargin
+  }
+
+  /** J32 — boundary Hausdorff join (shape-similarity measure between
+    * polygon pairs — "how far apart are these boundaries at worst"):
+    * the j18 arrow × diamond bbox candidates scored by
+    * [[graft.functions.GeomPredExprs.hausdorffBoundarySq]] — ONE static
+    * codegen call per candidate (the j20 cost class; the interpreted
+    * HOF spelling would re-walk ~17 vertices × ~16 segments per
+    * candidate through nested lambdas). Value-max over bitwise-replayed
+    * per-vertex boundary minima, so the raw distance² hashes: the
+    * oracle spells GREATEST over every vertex's LEAST-over-segments
+    * term (sqlBoundaryDistSq, the j19/j20 discipline).
+    */
+  private def j32(s: SparkSession, d: String) = {
+    import graft.functions.SpatialOps
+    val a = Tables.supplier(s, d)
+      .select(col("s_suppkey"), arrowWkt(col("s_suppkey"), withHole = true).as("geom"))
+      .select(col("s_suppkey"), SpatialOps.wktRings(col("geom")).as("_ra"))
+      .withColumn("env", SpatialOps.ringsEnvelope(col("_ra")))
+    val c = col("c_custkey")
+    val cx = (c % 88).cast("double") + lit(2.0)
+    val cy = (c % 78).cast("double") + lit(2.0)
+    val r = lit(1.0) + (c % 3).cast("double") * lit(0.5)
+    def pt(x: Column, y: Column) = struct(x.as("x"), y.as("y"))
+    val diamond = array(array(pt(cx, cy - r), pt(cx + r, cy), pt(cx, cy + r),
+      pt(cx - r, cy), pt(cx, cy - r)))
+    val b = Tables.customer(s, d)
+      .select(c, diamond.as("_rb"),
+        SpatialOps.bbox(cx - r, cy - r, cx + r, cy + r).as("env_r"))
+    operators.SpatialJoin.bboxJoin(a, b, "env", "env_r", cellSize = 8.0)
+      .select(col("s_suppkey"), col("c_custkey"),
+        graft.functions.GeomPredExprs.hausdorffBoundarySqCol(
+          col("_ra"), col("_rb")).as("hausdorff2"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
+
+  /** j32's oracle — GREATEST over all 17+5 vertex terms, each a
+    * LEAST-over-segments clamped projection (both directions), on the
+    * envelope-overlap pair set. */
+  private def sqlHausdorff: String = {
+    val arrowRings = arrowSqlPts(withHole = true)
+    val arrowVerts = arrowRings.flatten
+    val arrowSegs = arrowRings.flatMap(sqlRingSegs)
+    val diamondVerts = diamondSqlPts
+    val diamondSegs = sqlRingSegs(diamondSqlPts)
+    val terms =
+      arrowVerts.map { case (vx, vy) => sqlBoundaryDistSq(diamondSegs, s"($vx)", s"($vy)") } ++
+        diamondVerts.map { case (vx, vy) => sqlBoundaryDistSq(arrowSegs, s"($vx)", s"($vy)") }
+    s"""WITH pairs AS (SELECT s_suppkey, c_custkey, x0, y0, w, h, cx, cy, r
+       |FROM ($arrowSqlBase) a JOIN
+       |  (SELECT c_custkey,
+       |     CAST(c_custkey % 88 AS DOUBLE) + 2.0 AS cx,
+       |     CAST(c_custkey % 78 AS DOUBLE) + 2.0 AS cy,
+       |     1.0 + CAST(c_custkey % 3 AS DOUBLE) * 0.5 AS r FROM customer) b
+       |  ON x0 <= cx + r AND cx - r <= x0 + w AND y0 <= cy + r AND cy - r <= y0 + h)
+       |SELECT s_suppkey, c_custkey,
+       |  GREATEST(${terms.mkString(",\n    ")}) AS hausdorff2
+       |FROM pairs ORDER BY s_suppkey, c_custkey""".stripMargin
+  }
+
   /** G32 — minimum bounding rectangle area per group (rotating calipers
     * via the edge-flush theorem on g30's hull): mbr ≤ axis-aligned bbox,
     * with the tightness ratio emitted. Every projection span is an
@@ -8117,6 +8269,8 @@ object SparkEntry {
     "j28_clip_general_geom" -> (j28 _),
     "j29_box_difference" -> (j29 _),
     "j30_clip_path" -> (j30 _),
+    "j31_path_zonal" -> (j31 _),
+    "j32_hausdorff" -> (j32 _),
     "j20_nearest_join" -> (j20 _),
     "j24_knn_join" -> (j24 _),
     "gh1_geohash_bucket" -> (gh1 _),
@@ -8746,6 +8900,12 @@ object SparkEntry {
     "j29_box_difference" -> sqlBoxDiffGeom,
     // j30: the parametric path clip's t0/t1 chains replayed per segment.
     "j30_clip_path" -> sqlClipPath,
+    // j31: the same chains against each cell's walls over the exact
+    // bboxJoin pair set; per-row fixed-point floors, integer rollup.
+    "j31_path_zonal" -> sqlPathZonal,
+    // j32: GREATEST over per-vertex LEAST-over-segments terms, both
+    // directions — the raw boundary Hausdorff distance^2 per pair.
+    "j32_hausdorff" -> sqlHausdorff,
     // j20: the unfiltered theta join computing the identical region
     // distance, ranked by row_number(ORDER BY d2, key) — the min-struct
     // aggregation must pick the same (d2, key) pair, and the raw d2

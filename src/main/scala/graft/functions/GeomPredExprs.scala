@@ -210,6 +210,39 @@ object GeomPredExprs {
   def withinDist(rings: ArrayData, x: Double, y: Double, dist: Double): Boolean =
     containsPoint(rings, x, y) || boundaryDistSq(rings, x, y) <= dist * dist
 
+  /** Symmetric BOUNDARY Hausdorff distance² between two polygons (r16):
+    * max over A's vertices of [[boundaryDistSq]] to B, and vice versa,
+    * the larger taken — the polyline-Hausdorff on vertex samples, which
+    * for polygon boundaries is EXACT in the A→B direction whenever the
+    * farthest boundary point is a vertex (always true when B is convex
+    * relative to A's edges; documented as the vertex-Hausdorff measure,
+    * the standard discrete form). Value-max over bitwise-replayed
+    * per-vertex minima — no fold-order coupling, so the oracle spells
+    * GREATEST over LEAST terms. Closing vertices repeat and cannot move
+    * the max.
+    */
+  def hausdorffBoundarySq(a: ArrayData, b: ArrayData): Double = {
+    var best = 0.0
+    var dir = 0
+    while (dir < 2) {
+      val (src, dst) = if (dir == 0) (a, b) else (b, a)
+      var ri = 0
+      while (ri < src.numElements()) {
+        val pts = ring(src, ri)
+        var i = 0
+        while (i < pts.numElements()) {
+          val p = pt(pts, i)
+          val d = boundaryDistSq(dst, p.getDouble(0), p.getDouble(1))
+          if (d > best) best = d
+          i += 1
+        }
+        ri += 1
+      }
+      dir += 1
+    }
+    best
+  }
+
   /** ringsRegionDistSq: 0 inside the region, else boundary distance². */
   def regionDistSq(rings: ArrayData, x: Double, y: Double): Double =
     if (containsPoint(rings, x, y)) 0.0 else boundaryDistSq(rings, x, y)
@@ -234,6 +267,11 @@ object GeomPredExprs {
   def regionDistSqCol(rings: Column, x: Column, y: Column): Column =
     GraftBridge.column(RegionDistSqExpr(GraftBridge.expression(rings),
       GraftBridge.expression(x), GraftBridge.expression(y)))
+
+  /** Column builder: symmetric boundary Hausdorff distance², codegen form. */
+  def hausdorffBoundarySqCol(a: Column, b: Column): Column =
+    GraftBridge.column(HausdorffBoundarySqExpr(GraftBridge.expression(a),
+      GraftBridge.expression(b)))
 
   private[functions] def checkRings(t: DataType, what: String): TypeCheckResult =
     if (ringsTypeOk(t)) TypeCheckResult.TypeCheckSuccess
@@ -330,6 +368,31 @@ case class WithinDistExpr(first: Expression, second: Expression,
 }
 
 /** Codegen polygon-overlap over two parsed ring lists (see [[GeomPredExprs]]). */
+/** Codegen symmetric boundary Hausdorff distance² (see
+  * [[GeomPredExprs.hausdorffBoundarySq]]). */
+case class HausdorffBoundarySqExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = GeomPredExprs.checkRings(left.dataType, "st_hausdorff_boundary_sq")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else GeomPredExprs.checkRings(right.dataType, "st_hausdorff_boundary_sq")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GeomPredExprs.hausdorffBoundarySq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GeomPredExprs.hausdorffBoundarySq($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class RingsIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -269,4 +269,35 @@ class SpatialJoinSpec extends AnyFunSuite {
     val cartesian = plan.collect { case c: CartesianProductExec => c }
     assert(cartesian.isEmpty, "binned bbox join must not plan a cartesian product")
   }
+
+  test("hausdorffBoundarySq: closed forms — nested, identical, disjoint, symmetry") {
+    import graft.functions.{GeomPredExprs, SpatialOps}
+    import org.apache.spark.sql.functions.{col, element_at, lit}
+    def hOf(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(GeomPredExprs.hausdorffBoundarySqCol(
+          SpatialOps.wktRings(col("a")), SpatialOps.wktRings(col("b"))))
+        .head.getDouble(0)
+    val outer = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val inner = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    // nested squares: outer corner (0,0) -> inner corner (1,1) is the
+    // worst pair: d^2 = 2 (inner->outer worst is only 1)
+    assert(hOf(outer, inner) == 2.0)
+    // symmetry and identity
+    assert(hOf(inner, outer) == 2.0)
+    assert(hOf(outer, outer) == 0.0)
+    // disjoint unit squares 10 apart: worst vertex pair (0,0)..(11,1)
+    // against nearest boundary: far corners project to the near corner
+    val far = "POLYGON ((10 0, 11 0, 11 1, 10 1, 10 0))"
+    val unit = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    // (0,y) verts are 10 away in x from x=10 wall: worst d^2 = 100
+    assert(hOf(unit, far) == 100.0)
+    // a polygon-with-hole measures to ALL rings: the hole ring coincides
+    // with `inner` (its vertices contribute 0) but the OUTER corners
+    // still sit sqrt(2) from the inner square — boundary Hausdorff 2
+    val holed = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 1 3, 3 3, 3 1, 1 1))"
+    assert(hOf(holed, inner) == 2.0)
+    // and against ITSELF the hole ring is part of the boundary: 0
+    assert(hOf(holed, holed) == 0.0)
+  }
 }
