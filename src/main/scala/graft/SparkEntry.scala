@@ -3713,6 +3713,47 @@ object SparkEntry {
          |GROUP BY a1.cell, s.seed_id, k.kv[1], k.kv[2] ORDER BY a1.cell""".stripMargin
   }
 
+  /** HN1 — HARD-NEGATIVE MINING (the contrastive-training consumer of
+    * the ANN stack): per probe vector the most-similar different-label
+    * corpus vector beside the most-similar same-label one and the
+    * margin, searched through e3f's trained-IVF probe shape (engine-
+    * trained centroids, broadcast argmin assignment, per-query probe
+    * pruning) — what a production embedding-training pipeline runs to
+    * build triplets. The oracle reuses sqlIvfTrained's scored CTE chain
+    * and splits the argmax by label class.
+    */
+  private def hn1(s: SparkSession, d: String) = {
+    val emb = Tables.embeddings(s, d)
+    val seed = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val (cent, _) = Similarity.trainKMeans(emb, seed, maxRounds = 2)
+    Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 10), emb, cent, nProbe = 3)
+      .orderBy("query_id")
+  }
+
+  /** hn1's oracle — sqlIvfTrained's Lloyd-unroll + probe + scoring chain
+    * verbatim up to `scored`, then the per-(query, label-class) argmax
+    * and the neg×pos pivot. */
+  private def sqlHardNegatives: String = {
+    val ivf = sqlIvfTrained
+    val upToFinal = ivf.substring(0, ivf.indexOf("SELECT query_id, neighbor_id, round(raw, 6)"))
+    upToFinal.stripLineEnd + ",\n" +
+      """lab AS (SELECT vec_id, label FROM embeddings),
+        |sl AS MATERIALIZED (SELECT s.query_id, s.neighbor_id, s.raw,
+        |  (ln.label <> lq.label) AS isneg
+        |  FROM scored s JOIN lab lq ON lq.vec_id = s.query_id
+        |    JOIN lab ln ON ln.vec_id = s.neighbor_id),
+        |best AS MATERIALIZED (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id, isneg
+        |    ORDER BY raw DESC, neighbor_id) AS rn FROM sl) WHERE rn = 1)
+        |SELECT n.query_id, n.neighbor_id AS hard_neg_id, round(n.raw, 6) AS neg_score,
+        |  p.neighbor_id AS pos_id, round(p.raw, 6) AS pos_score,
+        |  round(p.raw - n.raw, 6) AS margin
+        |FROM best n JOIN best p ON n.query_id = p.query_id AND n.isneg AND NOT p.isneg
+        |ORDER BY n.query_id""".stripMargin
+  }
+
   /** E3F — the clustering story END-TO-END (the r15 verdict's km2 ask,
     * one step further than documentation): IVF search whose quantizer
     * is the engine's OWN [[Similarity.trainKMeans]] output (2 rounds
@@ -8296,6 +8337,7 @@ object SparkEntry {
     "e16b_semdedup_sqrtn" -> (e16b _),
     "dsir1_importance_resample" -> (dsir1 _),
     "mix2_temperature_quota" -> (mix2 _),
+    "hn1_hard_negatives" -> (hn1 _),
     "e9_rolling_fingerprint" -> (e9 _),
     "e4_text_stats" -> (e4 _),
     "e5_langid" -> (e5 _),
@@ -9539,6 +9581,9 @@ object SparkEntry {
     // identical top-25 (key DESC, id ASC).
     "mix2_temperature_quota" -> sqlMixQuota,
     // mix2 above: quota arithmetic + md5-bottom selection replay.
+    // hn1: the trained-IVF scored chain split by label class — argmax
+    // per (query, class), neg × pos pivot, margins.
+    "hn1_hard_negatives" -> sqlHardNegatives,
     "dsir1_importance_resample" ->
       s"""WITH td AS (SELECT doc_id, tgt, term, count(*) AS c FROM (
          |    SELECT doc_id, lang = 'en' AS tgt,

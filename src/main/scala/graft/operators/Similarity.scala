@@ -227,6 +227,50 @@ object Similarity {
     scoreAndRank(indexed, probesOf(queries, centroidDf, nProbe, idCol, vecCol), k)
   }
 
+  /** Hard-negative mining for contrastive training (r16): per probe
+    * vector, the most-similar corpus vector with a DIFFERENT label (the
+    * hard negative) beside the most-similar SAME-label vector (the
+    * positive), both searched through the IVF probe shape
+    * (bring-your-own centroids — the e3c/e3f contract), with the margin
+    * pos − neg. One corpus scan + the broadcast centroid argmin + a
+    * per-query window — the ANN scale path, not the all-pairs scorer.
+    * Queries lacking a candidate of either class inside their probed
+    * cells DROP (inner join) — widen nProbe to recover them; rows whose
+    * label is NULL join neither class (three-valued logic, documented).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroidDf: DataFrame,
+      nProbe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val indexed = assignToCentroids(corpus, centroidDf, idCol, vecCol)
+    val probes = probesOf(queries, centroidDf, nProbe, idCol, vecCol)
+    val labels = corpus.select(col(idCol), col(labelCol))
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
+      .join(labels.select(col(idCol).as("query_id"), col(labelCol).as("__ql")),
+        Seq("query_id"))
+      .join(labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
+        Seq("neighbor_id"))
+      .withColumn("__neg", col("__nl") =!= col("__ql"))
+    val w = Window.partitionBy(col("query_id"), col("__neg"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    val best = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val neg = best.filter(col("__neg"))
+      .select(col("query_id"), col("neighbor_id").as("hard_neg_id"), col("score").as("__ns"))
+    val pos = best.filter(!col("__neg"))
+      .select(col("query_id"), col("neighbor_id").as("pos_id"), col("score").as("__ps"))
+    neg.join(pos, Seq("query_id"))
+      .select(col("query_id"), col("hard_neg_id"), round(col("__ns"), 6).as("neg_score"),
+        col("pos_id"), round(col("__ps"), 6).as("pos_score"),
+        round(col("__ps") - col("__ns"), 6).as("margin"))
+  }
+
   /** Persist an IVF index: the cell-assigned corpus as parquet
     * PARTITIONED BY cell plus a centroid sidecar. Build once, query many
     * times — the write repartitions by cell so each cell is one compact

@@ -396,4 +396,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(key(fixedAgain) == key(trained20),
       "the converged table must be a fixed point of one more Lloyd round")
   }
+
+  test("hardNegatives: full probe == brute-force per-class argmax; labels honored; margin exact") {
+    val rnd = new scala.util.Random(29)
+    val data = (0 until 60).map { i =>
+      val center = Array.fill(3)(0.0f); center(i % 3) = 10.0f
+      (i.toLong, center.map(v => v + rnd.nextFloat() * 0.3f), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val centroids = data.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("centroid"))
+    val queries = data.filter(col("vec_id").isin(5L, 7L, 11L))
+    val got = Similarity.hardNegatives(queries, data, centroids, nProbe = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    // brute-force reference: per query, argmax cosine among different /
+    // same labels (score desc, id asc)
+    val rows = data.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    for (q <- Seq(5L, 7L, 11L)) {
+      val (_, qv, ql) = rows.find(_._1 == q).get
+      def argmax(pred: Int => Boolean): Long =
+        rows.filter(r => r._1 != q && pred(r._3))
+          .map(r => (r._1, cos(qv, r._2)))
+          .minBy { case (id, s) => (-s, id) }._1
+      val (negId, negS, posId, posS, margin) = got(q)
+      assert(negId == argmax(_ != ql), s"query $q hard negative")
+      assert(posId == argmax(_ == ql), s"query $q positive")
+      // labels honored by construction of the reference; margin consistent
+      assert(math.abs((posS - negS) - margin) <= 2e-6, s"query $q margin")
+      assert(rows.find(_._1 == negId).get._3 != ql)
+      assert(rows.find(_._1 == posId).get._3 == ql)
+    }
+  }
 }
