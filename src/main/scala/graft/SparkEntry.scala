@@ -1823,18 +1823,22 @@ object SparkEntry {
       .orderBy("s_suppkey", "seg_i")
   }
 
-  /** j30's oracle — one CTE per segment computing the t₀/t₁ chains
-    * (GREATEST/LEAST over the sign-of-direction CASEs, the engine's
-    * fixed argument order), clipped endpoints projected, seg_len from
-    * the PROJECTED columns (exactly the engine's staged withColumn).
+  /** The j30/j31 zigzag's symbolic points over base columns x0,y0,m5,m4,m7. */
+  private val zigzagSqlPts: Seq[(String, String)] = Seq(
+    ("x0", "y0"),
+    ("x0 + 3", "y0 + m5 + 1"),
+    ("x0 + 3 + m4", "y0 - m7 + 3"),
+    ("x0 + 9", "y0 + 2"))
+
+  /** Shared Liang–Barsky t-chain CTE generator (j30/j31 — ONE spelling
+    * of clipSegmentsBox's CASE chains, r16b review): per segment a
+    * MATERIALIZED CTE `s$i` over base CTE `b`, clipping against the
+    * given slab bounds, projecting `keyCols(i)` plus the clipped
+    * endpoints.
     */
-  private def sqlClipPath: String = {
-    val pts: Seq[(String, String)] = Seq(
-      ("x0", "y0"),
-      ("x0 + 3", "y0 + m5 + 1"),
-      ("x0 + 3 + m4", "y0 - m7 + 3"),
-      ("x0 + 9", "y0 + 2"))
-    val (lox, hix, loy, hiy) = ("x0 + 2", "x0 + 7", "y0 - 1", "y0 + 4")
+  private def sqlSegClipCtes(pts: Seq[(String, String)],
+      lox: String, hix: String, loy: String, hiy: String,
+      keyCols: Int => String): Seq[String] = {
     def t0Of(dd: String, c: String, lo: String, hi: String): String =
       s"""CASE WHEN ($dd) > 0 THEN (($lo) - ($c)) / ($dd)
          |     WHEN ($dd) < 0 THEN (($hi) - ($c)) / ($dd)
@@ -1845,18 +1849,29 @@ object SparkEntry {
          |     WHEN ($dd) < 0 THEN (($lo) - ($c)) / ($dd)
          |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
          |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END END""".stripMargin
-    val segCtes = (0 until 3).map { i =>
+    (0 until pts.length - 1).map { i =>
       val (px, py) = pts(i)
       val (qx, qy) = pts(i + 1)
       val dx = s"(($qx) - ($px))"
       val dy = s"(($qy) - ($py))"
       val t0 = s"GREATEST(CAST(0 AS DOUBLE), ${t0Of(dx, px, lox, hix)}, ${t0Of(dy, py, loy, hiy)})"
       val t1 = s"LEAST(CAST(1 AS DOUBLE), ${t1Of(dx, px, lox, hix)}, ${t1Of(dy, py, loy, hiy)})"
-      s"""s$i AS MATERIALIZED (SELECT s_suppkey, CAST($i AS INT) AS seg_i,
+      s"""s$i AS MATERIALIZED (SELECT ${keyCols(i)},
          |  ($px) + t0 * $dx AS ax, ($py) + t0 * $dy AS ay,
          |  ($px) + t1 * $dx AS bx, ($py) + t1 * $dy AS by
          |FROM (SELECT *, $t0 AS t0, $t1 AS t1 FROM b) WHERE t0 <= t1)""".stripMargin
     }
+  }
+
+  /** j30's oracle — one CTE per segment computing the t₀/t₁ chains
+    * (GREATEST/LEAST over the sign-of-direction CASEs, the engine's
+    * fixed argument order), clipped endpoints projected, seg_len from
+    * the PROJECTED columns (exactly the engine's staged withColumn).
+    */
+  private def sqlClipPath: String = {
+    val segCtes = sqlSegClipCtes(zigzagSqlPts,
+      "x0 + 2", "x0 + 7", "y0 - 1", "y0 + 4",
+      i => s"s_suppkey, CAST($i AS INT) AS seg_i")
     s"""WITH b AS (SELECT s_suppkey,
        |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
        |  CAST(s_suppkey % 5 AS DOUBLE) AS m5, CAST(s_suppkey % 4 AS DOUBLE) AS m4,
@@ -1904,20 +1919,24 @@ object SparkEntry {
     * diameter per group. Exactness stratification drives the oracle:
     * area/centroid/diameter² are INTEGER-EXACT on the lattice fixture
     * (any faithful summation matches bitwise, so the oracle may fold
-    * over the un-ordered hull-edge census), the perimeter is a sum of
-    * irrational sqrt terms whose grouping differs between ring-order
-    * and census-order folds — rounded to 6 (the g1 convention).
+    * over the un-ordered hull-edge census); the perimeter's sqrt terms
+    * are irrational, so it ships FIXED-POINT per edge (⌊len·2²⁰⌋ — each
+    * edge length is bitwise-replayed, floors are identical, and the
+    * integer sum is order-free; a round-6 over differently-ordered
+    * float sums would be the repo's one boundary-flaky gate — r16b
+    * review finding).
     */
   private def g31(s: SparkSession, d: String) = {
     import graft.functions.{CentroidExprs, ConvexHullExprs}
     val c = col("c_custkey")
     val ring = col("ring")
-    val perim = aggregate(sequence(lit(1), size(ring) - 1), lit(0.0), (a, i) =>
-      a + sqrt(
+    val perimFp = aggregate(sequence(lit(1), size(ring) - 1), lit(0L), (a, i) =>
+      a + floor(sqrt(
         (element_at(ring, i + 1).getField("x") - element_at(ring, i).getField("x")) *
           (element_at(ring, i + 1).getField("x") - element_at(ring, i).getField("x")) +
           (element_at(ring, i + 1).getField("y") - element_at(ring, i).getField("y")) *
-            (element_at(ring, i + 1).getField("y") - element_at(ring, i).getField("y"))))
+            (element_at(ring, i + 1).getField("y") - element_at(ring, i).getField("y")))
+        * lit(1048576.0)).cast("long"))
     val diam2 = aggregate(ring, lit(0.0), (acc, p) =>
       greatest(acc, aggregate(ring, lit(0.0), (a2, q) =>
         greatest(a2,
@@ -1934,17 +1953,17 @@ object SparkEntry {
         (size(ring) - 1).cast("int").as("n_vertices"),
         graft.functions.SpatialOps.ringsArea(array(ring)).as("hull_area"),
         CentroidExprs.centroidCol(array(ring)).as("c"),
-        round(perim, 6).as("perimeter"),
+        perimFp.as("perim_fp"),
         diam2.as("diameter2"))
       .select(col("grp"), col("n_vertices"), col("hull_area"),
-        col("c.x").as("cx"), col("c.y").as("cy"), col("perimeter"), col("diameter2"))
+        col("c.x").as("cx"), col("c.y").as("cy"), col("perim_fp"), col("diameter2"))
       .orderBy("grp")
   }
 
   /** g31's oracle — metrics from the EDGE CENSUS alone (no ring order):
     * area = ½|Σ_edges cross|, centroid = Σ(a+b)·w / 3Σw (integer-exact
     * sums → identical quotients), diameter² = max pairwise over the
-    * vertex set, perimeter = Σ edge lengths rounded 6.
+    * vertex set, perimeter = Σ⌊edge·2²⁰⌋ integer fixed-point.
     */
   private def sqlHullMetrics: String = {
     val census = sqlConvexHull
@@ -1954,7 +1973,8 @@ object SparkEntry {
         |  sum(ax * by - bx * ay) AS a2,
         |  sum((ax + bx) * (ax * by - bx * ay)) AS sx,
         |  sum((ay + by) * (ax * by - bx * ay)) AS sy,
-        |  round(sum(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))), 6) AS perimeter,
+        |  CAST(sum(CAST(floor(sqrt((bx - ax) * (bx - ax) + (by - ay) * (by - ay))
+        |    * 1048576.0) AS BIGINT)) AS BIGINT) AS perim_fp,
         |  CAST(count(*) AS INT) AS n_vertices
         |  FROM edges GROUP BY grp),
         |dm AS MATERIALIZED (SELECT a.grp,
@@ -1962,7 +1982,7 @@ object SparkEntry {
         |  FROM hullv a JOIN hullv b ON a.grp = b.grp GROUP BY a.grp)
         |SELECT e.grp, e.n_vertices, abs(e.a2) / 2 AS hull_area,
         |  e.sx / (3.0 * e.a2) AS cx, e.sy / (3.0 * e.a2) AS cy,
-        |  e.perimeter, d.diameter2
+        |  e.perim_fp, d.diameter2
         |FROM em e JOIN dm d ON e.grp = d.grp ORDER BY e.grp""".stripMargin
   }
 
@@ -2014,34 +2034,8 @@ object SparkEntry {
     * integer rollup per cell.
     */
   private def sqlPathZonal: String = {
-    val pts: Seq[(String, String)] = Seq(
-      ("x0", "y0"),
-      ("x0 + 3", "y0 + m5 + 1"),
-      ("x0 + 3 + m4", "y0 - m7 + 3"),
-      ("x0 + 9", "y0 + 2"))
-    val (lox, hix, loy, hiy) = ("gx", "gx + 8", "gy", "gy + 8")
-    def t0Of(dd: String, c: String, lo: String, hi: String): String =
-      s"""CASE WHEN ($dd) > 0 THEN (($lo) - ($c)) / ($dd)
-         |     WHEN ($dd) < 0 THEN (($hi) - ($c)) / ($dd)
-         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
-         |               THEN CAST(0 AS DOUBLE) ELSE CAST(2 AS DOUBLE) END END""".stripMargin
-    def t1Of(dd: String, c: String, lo: String, hi: String): String =
-      s"""CASE WHEN ($dd) > 0 THEN (($hi) - ($c)) / ($dd)
-         |     WHEN ($dd) < 0 THEN (($lo) - ($c)) / ($dd)
-         |     ELSE CASE WHEN ($c) >= ($lo) AND ($c) <= ($hi)
-         |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END END""".stripMargin
-    val segCtes = (0 until 3).map { i =>
-      val (px, py) = pts(i)
-      val (qx, qy) = pts(i + 1)
-      val dx = s"(($qx) - ($px))"
-      val dy = s"(($qy) - ($py))"
-      val t0 = s"GREATEST(CAST(0 AS DOUBLE), ${t0Of(dx, px, lox, hix)}, ${t0Of(dy, py, loy, hiy)})"
-      val t1 = s"LEAST(CAST(1 AS DOUBLE), ${t1Of(dx, px, lox, hix)}, ${t1Of(dy, py, loy, hiy)})"
-      s"""s$i AS MATERIALIZED (SELECT cell_id,
-         |  ($px) + t0 * $dx AS ax, ($py) + t0 * $dy AS ay,
-         |  ($px) + t1 * $dx AS bx, ($py) + t1 * $dy AS by
-         |FROM (SELECT *, $t0 AS t0, $t1 AS t1 FROM b) WHERE t0 <= t1)""".stripMargin
-    }
+    val segCtes = sqlSegClipCtes(zigzagSqlPts,
+      "gx", "gx + 8", "gy", "gy + 8", _ => "cell_id")
     s"""WITH sup AS (SELECT s_suppkey,
        |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
        |  CAST(s_suppkey % 5 AS DOUBLE) AS m5, CAST(s_suppkey % 4 AS DOUBLE) AS m4,

@@ -387,25 +387,11 @@ case class ClipRingsConvexExpr(left: Expression, right: Expression)
 case class ClipRingsGeneralExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def ringsTypeOk(t: DataType): Boolean = t match {
-    case ArrayType(ArrayType(s: StructType, _), _) =>
-      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields(0).name == "x" && s.fields(1).name == "y"
-    case _ => false
-  }
-
-  private def ringTypeOk(t: DataType): Boolean = t match {
-    case ArrayType(s: StructType, _) =>
-      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields(0).name == "x" && s.fields(1).name == "y"
-    case _ => false
-  }
-
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!ringsTypeOk(left.dataType))
+    if (!ClipExprs.ringsTypeOkShared(left.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"clip_general_geom needs array<array<struct<x,y>>> subject rings, got ${left.dataType}")
-    else if (!ringTypeOk(right.dataType))
+    else if (!ClipExprs.ringTypeOkShared(right.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"clip_general_geom needs one array<struct<x,y>> SIMPLE clip ring, got ${right.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -430,25 +416,11 @@ case class ClipRingsGeneralExpr(left: Expression, right: Expression)
 case class ClipRingsBoxComplementExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def ringsTypeOk(t: DataType): Boolean = t match {
-    case ArrayType(ArrayType(s: StructType, _), _) =>
-      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields(0).name == "x" && s.fields(1).name == "y"
-    case _ => false
-  }
-
-  private def envTypeOk(t: DataType): Boolean = t match {
-    case s: StructType =>
-      s.length == 4 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields.map(_.name).sameElements(Array("xmin", "ymin", "xmax", "ymax"))
-    case _ => false
-  }
-
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!ringsTypeOk(left.dataType))
+    if (!ClipExprs.ringsTypeOkShared(left.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"difference_box_geom needs array<array<struct<x,y>>> rings, got ${left.dataType}")
-    else if (!envTypeOk(right.dataType))
+    else if (!ClipExprs.envTypeOkShared(right.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"difference_box_geom needs a struct<xmin,ymin,xmax,ymax:double> box, got ${right.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -471,25 +443,11 @@ case class ClipRingsBoxComplementExpr(left: Expression, right: Expression)
 case class ClipAreaBoxComplementExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def ringsTypeOk(t: DataType): Boolean = t match {
-    case ArrayType(ArrayType(s: StructType, _), _) =>
-      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields(0).name == "x" && s.fields(1).name == "y"
-    case _ => false
-  }
-
-  private def envTypeOk(t: DataType): Boolean = t match {
-    case s: StructType =>
-      s.length == 4 && s.fields.forall(_.dataType == DoubleType) &&
-        s.fields.map(_.name).sameElements(Array("xmin", "ymin", "xmax", "ymax"))
-    case _ => false
-  }
-
   override def checkInputDataTypes(): TypeCheckResult =
-    if (!ringsTypeOk(left.dataType))
+    if (!ClipExprs.ringsTypeOkShared(left.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"difference_box_area needs array<array<struct<x,y>>> rings, got ${left.dataType}")
-    else if (!envTypeOk(right.dataType))
+    else if (!ClipExprs.envTypeOkShared(right.dataType))
       TypeCheckResult.TypeCheckFailure(
         s"difference_box_area needs a struct<xmin,ymin,xmax,ymax:double> box, got ${right.dataType}")
     else TypeCheckResult.TypeCheckSuccess
@@ -509,6 +467,29 @@ case class ClipAreaBoxComplementExpr(left: Expression, right: Expression)
 }
 
 object ClipExprs {
+
+  // shared structural checkers for the r16 expressions (the pre-r16
+  // classes keep their local copies untouched — identical logic)
+  private[functions] def ringsTypeOkShared(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(s: StructType, _), _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private[functions] def ringTypeOkShared(t: DataType): Boolean = t match {
+    case ArrayType(s: StructType, _) =>
+      s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields(0).name == "x" && s.fields(1).name == "y"
+    case _ => false
+  }
+
+  private[functions] def envTypeOkShared(t: DataType): Boolean = t match {
+    case s: StructType =>
+      s.length == 4 && s.fields.forall(_.dataType == DoubleType) &&
+        s.fields.map(_.name).sameElements(Array("xmin", "ymin", "xmax", "ymax"))
+    case _ => false
+  }
 
   /** The st_rings layout — also the emitted-geometry type of the
     * clip_*_geom forms. */

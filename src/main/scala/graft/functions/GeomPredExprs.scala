@@ -367,7 +367,6 @@ case class WithinDistExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
-/** Codegen polygon-overlap over two parsed ring lists (see [[GeomPredExprs]]). */
 /** Codegen symmetric boundary Hausdorff distance² (see
   * [[GeomPredExprs.hausdorffBoundarySq]]). */
 case class HausdorffBoundarySqExpr(left: Expression, right: Expression)
@@ -393,6 +392,7 @@ case class HausdorffBoundarySqExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen polygon-overlap over two parsed ring lists (see [[GeomPredExprs]]). */
 case class RingsIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -158,8 +158,13 @@ object SpatialOps {
     def t1Of(d: Column, c: Column, lo: Column, hi: Column): Column =
       when(d > 0, (hi - c) / d).when(d < 0, (lo - c) / d)
         .otherwise(when(c >= lo && c <= hi, lit(1.0)).otherwise(lit(-1.0)))
+    // a path with < 2 points has no segments — guard BEFORE sequence():
+    // sequence(1, 0) auto-steps DOWNWARD ([1, 0]) and would read invalid
+    // indices (r16b review)
+    val segIdx = when(size(pts) >= 2, sequence(lit(1), size(pts) - 1))
+      .otherwise(array().cast("array<int>"))
     filter(
-      transform(sequence(lit(1), size(pts) - 1), i => {
+      transform(segIdx, i => {
         val p = element_at(pts, i)
         val q = element_at(pts, i + 1)
         val px = p.getField("x")

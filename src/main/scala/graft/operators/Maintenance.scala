@@ -193,6 +193,13 @@ object Maintenance {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // PIN the live counter before deleting: a pre-counter store (no
+    // .generation sidecar) derives its generation as max(archived)+1,
+    // which vacuuming would silently REWIND — reusing generation
+    // numbers on the next retained swap and breaking old pins (r16b
+    // review). Persisting the current value first makes the counter
+    // monotone regardless of archive deletions.
+    if (fs.exists(p)) writeLiveGeneration(fs, p, liveGeneration(fs, p))
     val archived = archivedGenerations(fs, p)
     val doomed = archived.dropRight(keepLast)
     doomed.foreach { g =>

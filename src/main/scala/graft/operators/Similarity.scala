@@ -237,6 +237,10 @@ object Similarity {
     * Queries lacking a candidate of either class inside their probed
     * cells DROP (inner join) — widen nProbe to recover them; rows whose
     * label is NULL join neither class (three-valued logic, documented).
+    * Query labels come from the QUERIES frame itself (new probe vectors
+    * carry their own labels — the natural contrastive-training shape;
+    * a corpus-only lookup would silently drop ids absent from the
+    * corpus — r16b review).
     */
   def hardNegatives(
       queries: DataFrame,
@@ -248,14 +252,13 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     val indexed = assignToCentroids(corpus, centroidDf, idCol, vecCol)
     val probes = probesOf(queries, centroidDf, nProbe, idCol, vecCol)
-    val labels = corpus.select(col(idCol), col(labelCol))
     val scored = indexed
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", CosineSimExpr.cosineSim(col("q_emb"), col("c_emb")))
-      .join(labels.select(col(idCol).as("query_id"), col(labelCol).as("__ql")),
+      .join(queries.select(col(idCol).as("query_id"), col(labelCol).as("__ql")),
         Seq("query_id"))
-      .join(labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl")),
         Seq("neighbor_id"))
       .withColumn("__neg", col("__nl") =!= col("__ql"))
     val w = Window.partitionBy(col("query_id"), col("__neg"))

@@ -271,4 +271,28 @@ class MaintenanceSpec extends AnyFunSuite {
       Maintenance.vacuumGenerations(spark, dir, keepLast = -1))
     assert(bad.getMessage.contains("keepLast"))
   }
+
+  test("vacuumGenerations pins the counter on pre-sidecar stores (no generation reuse)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac2").toString + "/t"
+    (1L to 20L).map(i => (i, i)).toDF("id", "v").write.parquet(dir)
+    for (k <- Seq(1L, 2L))
+      Maintenance.deleteByKeys(spark, dir, Seq(k).toDF("id"), Seq("id"), retain = true)
+    assert(Maintenance.currentGeneration(spark, dir) == 3)
+    // simulate a pre-counter store: drop the sidecar — liveGeneration now
+    // derives max(archived)+1 = 3 from the ledger alone
+    val p = new org.apache.hadoop.fs.Path(dir + ".generation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".generation.crc"), false)
+    assert(Maintenance.currentGeneration(spark, dir) == 3)
+    // vacuuming everything must NOT rewind the derived counter (r16b
+    // review: a rewound counter re-archives under a used number)
+    assert(Maintenance.vacuumGenerations(spark, dir, keepLast = 0) == Seq(1, 2))
+    assert(Maintenance.currentGeneration(spark, dir) == 3,
+      "vacuum must pin the live generation before deleting the ledger")
+    // and the next retained swap archives under 3, not 1
+    Maintenance.deleteByKeys(spark, dir, Seq(3L).toDF("id"), Seq("id"), retain = true)
+    assert(Maintenance.generations(spark, dir) == Seq(3))
+    assert(Maintenance.currentGeneration(spark, dir) == 4)
+  }
 }

@@ -719,6 +719,9 @@ class SpatialOpsSpec extends AnyFunSuite {
     // corner touch: zero-length kept (it is geometry)
     val touch = clipOf(Seq((1, 0), (3, 2)), (3.0, 2.0, 7.0, 5.0))
     assert(touch == Seq((0, 3.0, 2.0, 3.0, 2.0)))
+    // a segmentless path (one point) is empty, not an error (the
+    // sequence(1,0) descending trap — r16b review)
+    assert(clipOf(Seq((3, 2)), box).isEmpty)
     // multi-segment: seg_i preserves input positions, dropped segments gap
     val multi = clipOf(Seq((0, 3), (9, 3), (9, 9), (4, 3)), box)
     assert(multi.map(_._1) == Seq(0, 2))
