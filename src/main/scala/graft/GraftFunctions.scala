@@ -295,6 +295,13 @@ object GraftFunctions {
           "collinear turns - simplify first); d=0 is the identity",
         classOf[graft.functions.BufferConvexExpr]),
       (exprs: Seq[Expression]) => graft.functions.BufferConvexExpr(exprs(0), exprs(1))),
+    (FunctionIdentifier("st_simplify_path"),
+      info("st_simplify_path",
+        "st_simplify_path(points, eps) - Douglas-Peucker thinning of an OPEN " +
+          "polyline (the st_simplify_ring kernel: endpoints always kept, no " +
+          "closure assumed - trajectory/GPS-trace simplification)",
+        classOf[graft.functions.SimplifyRingExpr]),
+      (exprs: Seq[Expression]) => graft.functions.SimplifyRingExpr(exprs(0), exprs(1))),
     (FunctionIdentifier("st_simplify_ring"),
       info("st_simplify_ring",
         "st_simplify_ring(ring, eps) - Douglas-Peucker vertex thinning of one " +

@@ -2112,6 +2112,68 @@ object SparkEntry {
        |FROM pairs ORDER BY s_suppkey, c_custkey""".stripMargin
   }
 
+  /** G33 — OPEN-PATH Douglas–Peucker (trajectory simplification): the
+    * g27 ring kernel applied to open polylines — [[graft.functions
+    * .SimplifyExprs.simplifyRing]] never assumed closure (endpoints
+    * always kept, point-to-LINE deviation), so GPS-trace thinning rides
+    * the same oracled kernel. Four hand-traced classes at eps = 1
+    * (translation-exact: all coordinates integer-valued doubles, so
+    * deviations are identical for every row of a class): collinear →
+    * endpoints only; one spike → spike + its chord-split survivor;
+    * amplitude-1 zigzag → dropped ENTIRELY (deviation² == eps²
+    * exactly — the strict-> contract as a driver-gated boundary case);
+    * amplitude-2 zigzag → all kept.
+    */
+  private def g33(s: SparkSession, d: String) = {
+    import graft.functions.SimplifyExprs
+    val k = col("s_suppkey")
+    val x0 = (k % 90).cast("double")
+    val y0 = (k % 80).cast("double")
+    val cls = (k % 4).cast("int")
+    def pt(dx: Column, dy: Column) = struct((x0 + dx).as("x"), (y0 + dy).as("y"))
+    val y1 = when(cls === 1, lit(3.0)).when(cls === 2, lit(1.0))
+      .when(cls === 3, lit(2.0)).otherwise(lit(0.0))
+    val y2 = when(cls === 2, lit(-1.0)).when(cls === 3, lit(-2.0)).otherwise(lit(0.0))
+    val y3 = when(cls === 2, lit(1.0)).when(cls === 3, lit(2.0)).otherwise(lit(0.0))
+    val y4 = when(cls === 2, lit(-1.0)).when(cls === 3, lit(-2.0)).otherwise(lit(0.0))
+    val path = array(pt(lit(0.0), lit(0.0)), pt(lit(2.0), y1), pt(lit(4.0), y2),
+      pt(lit(6.0), y3), pt(lit(8.0), y4), pt(lit(10.0), lit(0.0)))
+    Tables.supplier(s, d).select(k, cls.as("cls"), path.as("_p"))
+      .select(k, col("cls"),
+        posexplode(SimplifyExprs.simplifyRingCol(col("_p"), lit(1.0))).as(Seq("pt_i", "pt")))
+      .select(k, col("cls"), col("pt_i"), col("pt.x").as("x"), col("pt.y").as("y"))
+      .orderBy("s_suppkey", "pt_i")
+  }
+
+  /** g33's oracle — the four classes' kept offset lists derived BY HAND
+    * from the first-strict-max recursion (class 1's chord-split
+    * deviations 324/73 and the class-2 boundary 100/100 == eps²
+    * worked in the scaladoc), emitted per supplier at its (x0, y0)
+    * translation.
+    */
+  private def sqlSimplifyPath: String = {
+    def kept(cls: Int): Seq[(Int, Int)] = cls match {
+      case 0 => Seq((0, 0), (10, 0))
+      case 1 => Seq((0, 0), (2, 3), (4, 0), (10, 0))
+      case 2 => Seq((0, 0), (10, 0))
+      case _ => Seq((0, 0), (2, 2), (4, -2), (6, 2), (8, -2), (10, 0))
+    }
+    def listOf(cls: Int): String =
+      kept(cls).zipWithIndex.map { case ((dx, dy), i) =>
+        s"struct_pack(pt_i := CAST($i AS INT), x := x0 + $dx, y := y0 + ($dy))"
+      }.mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT s_suppkey,
+       |  CAST(s_suppkey % 90 AS DOUBLE) AS x0, CAST(s_suppkey % 80 AS DOUBLE) AS y0,
+       |  CAST(s_suppkey % 4 AS INT) AS cls FROM supplier)
+       |SELECT s_suppkey, cls, v.pt_i AS pt_i, v.x AS x, v.y AS y FROM (
+       |  SELECT s_suppkey, cls, unnest(CASE cls
+       |    WHEN 0 THEN ${listOf(0)}
+       |    WHEN 1 THEN ${listOf(1)}
+       |    WHEN 2 THEN ${listOf(2)}
+       |    ELSE ${listOf(3)} END) AS v FROM b)
+       |ORDER BY s_suppkey, pt_i""".stripMargin
+  }
+
   /** G32 — minimum bounding rectangle area per group (rotating calipers
     * via the edge-flush theorem on g30's hull): mbr ≤ axis-aligned bbox,
     * with the tightness ratio emitted. Every projection span is an
@@ -8323,6 +8385,7 @@ object SparkEntry {
     "g30_convex_hull" -> (g30 _),
     "g31_hull_metrics" -> (g31 _),
     "g32_min_bbox" -> (g32 _),
+    "g33_simplify_path" -> (g33 _),
     "j4b_batched_dispatch" -> (j4b _),
     "knn1_label_transfer" -> (knn1 _),
     "e8_embedding_neardup" -> (e8 _),
@@ -9211,6 +9274,8 @@ object SparkEntry {
     // g32: rotating-calipers MBR — per-edge rationals over the census,
     // min value (integer-exact spans, no fold-order coupling).
     "g32_min_bbox" -> sqlMinBbox,
+    // g33: hand-traced DP classes on open paths (translation-exact).
+    "g33_simplify_path" -> sqlSimplifyPath,
     // j4b: every leaf decision regenerated closed-form — the batched
     // dispatch must be invisible (each row scored by exactly its key's
     // model; single-tree vote p1·2 > 2^40 is exactly p1 > 0.5 on dyadic
