@@ -529,6 +529,21 @@ object SpatialOps {
     * (authalic-sphere radius, identical op order), exposed for point
     * pairs: trajectory steps, displacement, nearest-station queries.
     */
+  /** The haversine distance as a plain Scala function — the typed-state
+    * (streaming) twin of [[pointDistGeodesic]]: identical operation
+    * order onto the same JVM Math primitives, so the two forms are
+    * BITWISE equal (SpatialOpsSpec gates it) and a streaming fold's
+    * running total can match a batch Column plan exactly. */
+  def pointDistGeodesicScala(lon1: Double, lat1: Double,
+      lon2: Double, lat2: Double): Double = {
+    val phi1 = lat1 * Deg2Rad
+    val phi2 = lat2 * Deg2Rad
+    val sdp = math.sin((phi2 - phi1) / 2.0)
+    val sdl = math.sin((lon2 * Deg2Rad - lon1 * Deg2Rad) / 2.0)
+    (2.0 * Wgs84AuthalicRadius) *
+      math.asin(math.sqrt(sdp * sdp + math.cos(phi1) * math.cos(phi2) * sdl * sdl))
+  }
+
   def pointDistGeodesic(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
     val phi1 = lat1 * lit(Deg2Rad)
     val phi2 = lat2 * lit(Deg2Rad)

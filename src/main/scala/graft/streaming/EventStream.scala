@@ -11,6 +11,9 @@ import org.apache.spark.sql.types._
   */
 private[streaming] case class OpenSession(startUs: Long, endUs: Long, n: Long)
 
+private[streaming] case class PathPoint(lastUs: Long, lastEvent: Long,
+  lastLon: Double, lastLat: Double, n: Long, fp: Long)
+
 /** Structured Streaming surface (SURVEY.md §1.3, §7 step 9).
   *
   * The reference's streaming character is its bounded-buffer incremental
@@ -190,6 +193,74 @@ object EventStream {
             closed.result().iterator
           }
       }
+  }
+
+  case class PathTotal(user_id: Long, n_points: Long, path_fp: Long)
+
+  /** Streaming per-user traveled distance — the traj1 measure LIVE
+    * (fleet dashboards, trajectory-length quotas): typed state is the
+    * last point plus the running fixed-point total (⌊step·2¹⁰⌋ per hop,
+    * traj1's idiom), each batch sorts its own rows by (ts, event_id)
+    * before folding (the sessionize disorder contract), and a row at or
+    * behind the state's last point is DROPPED as cross-batch-late —
+    * time-ordered sources (time-partitioned file drops, Kafka per-key
+    * order) lose nothing, and the spec gates streaming ≡ the batch
+    * window plan EXACTLY on such a source. Geodesic steps go through
+    * [[graft.functions.SpatialOps.pointDistGeodesicScala]], the bitwise
+    * twin of the Column form, so the integer totals match the batch
+    * plan's. Update-mode emissions are monotone (n and fp only grow) —
+    * runToCompletion's max-struct collapse applies.
+    */
+  def pathDistanceStream(events: DataFrame,
+      watermark: String = "2 hours"): Dataset[PathTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = col("event_id")
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"), col("event_id"),
+        ((ev * 37 % 3000).cast("double") / lit(100.0) - lit(15.0)).as("lon"),
+        ((ev * 53 % 2000).cast("double") / lit(100.0) + lit(40.0)).as("lat"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Double, Double)],
+         state: GroupState[PathPoint]) =>
+          val sorted = rows.toArray.sortBy(r => (r._3, r._4))
+          var st = state.getOption.orNull
+          for (r <- sorted) {
+            val (_, _, us, eid, lon, lat) = r
+            st = st match {
+              case null => PathPoint(us, eid, lon, lat, 1L, 0L)
+              case s if us > s.lastUs || (us == s.lastUs && eid > s.lastEvent) =>
+                val step = graft.functions.SpatialOps
+                  .pointDistGeodesicScala(s.lastLon, s.lastLat, lon, lat) * 1024.0
+                PathPoint(us, eid, lon, lat, s.n + 1, s.fp + math.floor(step).toLong)
+              case s => s // at-or-behind the cursor: cross-batch late, dropped
+            }
+          }
+          state.update(st)
+          PathTotal(userId, st.n, st.fp)
+      }
+  }
+
+  /** The batch twin of [[pathDistanceStream]] — the traj1 derivation as
+    * one per-user window plan (lag + fixed-point step sum). */
+  def pathDistanceBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = col("event_id")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        ((ev * 37 % 3000).cast("double") / lit(100.0) - lit(15.0)).as("lon"),
+        ((ev * 53 % 2000).cast("double") / lit(100.0) + lit(40.0)).as("lat"))
+      .withColumn("plon", lag("lon", 1).over(w))
+      .withColumn("plat", lag("lat", 1).over(w))
+      .withColumn("step_fp", when(col("plon").isNull, lit(0L)).otherwise(
+        floor(graft.functions.SpatialOps.pointDistGeodesic(
+          col("plon"), col("plat"), col("lon"), col("lat")) * lit(1024.0)).cast("long")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_points"), sum(col("step_fp")).as("path_fp"))
   }
 
   /** Streaming exact dedup: drop repeat `keyCols` arrivals whose event

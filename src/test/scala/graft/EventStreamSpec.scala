@@ -401,4 +401,45 @@ class EventStreamSpec extends AnyFunSuite {
     val events = Tables.events(spark, sf).count()
     assert(n == events * 12)
   }
+
+  test("streaming path distance == the batch window plan on a time-ordered source") {
+    import org.apache.spark.sql.expressions.Window
+    // the geodesic scala port is BITWISE the Column form (the premise of
+    // the integer-total equality below)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val (a, b, c, d) = (rnd.nextDouble() * 30 - 15, rnd.nextDouble() * 20 + 40,
+        rnd.nextDouble() * 30 - 15, rnd.nextDouble() * 20 + 40)
+      val viaCol = Seq((a, b, c, d)).toDF("a", "b", "c", "d")
+        .select(graft.functions.SpatialOps.pointDistGeodesic($"a", $"b", $"c", $"d"))
+        .head.getDouble(0)
+      val viaScala = graft.functions.SpatialOps.pointDistGeodesicScala(a, b, c, d)
+      assert(java.lang.Double.doubleToLongBits(viaCol) ==
+        java.lang.Double.doubleToLongBits(viaScala), s"($a,$b,$c,$d)")
+    }
+    // a TIME-ordered multi-batch source: three sequential appends of
+    // ascending (ts, event_id) slices (distinct mtimes → ordered
+    // micro-batches under maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_path").toString
+    val base = Tables.events(spark, sf)
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val ranked = base.withColumn("__rn", row_number().over(w)).cache()
+    val n = ranked.count()
+    for (slice <- 0 until 3) {
+      ranked.filter(col("__rn") > slice * n / 3 && col("__rn") <= (slice + 1) * n / 3)
+        .drop("__rn")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // FileStreamSource orders batches by mtime
+    }
+    val got = EventStream.runToCompletion(
+      EventStream.pathDistanceStream(
+        EventStream.readEvents(spark, dir), watermark = "400 days").toDF(),
+      "t_pathdist", finalKeys = Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = EventStream.pathDistanceBatch(base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want,
+      s"streaming totals must equal the batch plan exactly (got ${got.size}/${want.size} users)")
+    ranked.unpersist()
+  }
 }
