@@ -7960,6 +7960,69 @@ object SparkEntry {
     sk.crossJoin(exact)
   }
 
+  /** KMV4 — JACCARD SIMILARITY from theta sketches (the similarity-join
+    * planning estimate: |A∩B|/|A∪B| without touching either set): kmv2's
+    * intersect and union estimators composed into the quotient, beside
+    * the EXACT Jaccard — both quotients of already-hash-gated values, so
+    * the estimate itself hash-gates (the kmv1 doctrine; round-6 of a
+    * quotient of identical operands).
+    */
+  private def kmv4(s: SparkSession, d: String) = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val sk = operators.Sketches.kmvSetSketch(a, col("o_custkey"), b, col("o_custkey"), k = 64)
+    val exact = a.distinct().intersect(b.distinct())
+      .agg(count(lit(1)).as("exact_intersect"))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
+    sk.crossJoin(exact)
+      .select(
+        round(col("est_intersect") / col("est_union"), 6).as("jaccard_est"),
+        round(col("exact_intersect").cast("double")
+          / col("exact_union").cast("double"), 6).as("jaccard_exact"),
+        col("exact_intersect"), col("exact_union"))
+  }
+
+  /** RR1 — RETRIEVAL EVALUATION metrics (the eval family the registry
+    * lacked: every training pipeline scores its retriever): a
+    * deterministic tf ranker (rank by tf(t1) DESC, doc_id ASC) judged
+    * against a binary relevance rule (doc contains t2) over five probe
+    * query pairs — per query the reciprocal rank of the first relevant
+    * hit in the top 5 (FIXED-POINT ⌊2²⁰/rank⌋ — identical doubles both
+    * engines, the j31 no-boundary-risk shape), precision@5 hits, and
+    * the total relevant count. All integers and exact rationals; log-
+    * free by design (NDCG's log2 gains are not cross-engine replayable —
+    * reciprocal-rank metrics are).
+    */
+  private def rr1(s: SparkSession, d: String) = {
+    val docs = Tables.documents(s, d)
+    val probes = Seq((1, "join", "hash"), (2, "scan", "filter"), (3, "row", "batch"),
+      (4, "merge", "column"), (5, "order", "small"))
+    import s.implicits._
+    val pdf = probes.toDF("qid", "t1", "t2")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+    val tf = toks.crossJoin(broadcast(pdf))
+      .select(col("qid"), col("doc_id"),
+        size(filter(col("__t"), x => x === col("t1"))).as("tf1"),
+        size(filter(col("__t"), x => x === col("t2"))).as("tf2"))
+    val w = Window.partitionBy("qid").orderBy(col("tf1").desc, col("doc_id").asc)
+    val top5 = tf.filter(col("tf1") > 0)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val firstRel = top5.filter(col("tf2") > 0)
+      .groupBy("qid").agg(min(col("rank")).as("frank"))
+    val nRel = tf.filter(col("tf2") > 0).groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    top5.groupBy("qid")
+      .agg(sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("p5_hits"))
+      .join(firstRel, Seq("qid"), "left")
+      .join(nRel, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(floor(lit(1048576.0) / col("frank").cast("double")).cast("long"),
+          lit(0L)).as("rr_fp"),
+        col("p5_hits"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+      .orderBy("qid")
+  }
+
   /** cms3 — JOIN-SIZE estimation from sketches (the optimizer-
     * cardinality use of count-min): the self-join size of lineitem on
     * l_partkey — the F2 second moment Σ_k c_k² — estimated as the
@@ -8609,6 +8672,8 @@ object SparkEntry {
     "kmv3_set_difference" -> (kmv3 _),
     "cms3_join_size" -> (cms3 _),
     "kmv2_set_sketch" -> (kmv2 _),
+    "kmv4_jaccard" -> (kmv4 _),
+    "rr1_retrieval_eval" -> (rr1 _),
     "bpe1_bpe_tokens" -> (bpe1 _),
     "bpe2_bpe_train" -> (bpe2 _),
     "cdc1_snapshot_diff" -> (cdc1 _),
@@ -13032,6 +13097,62 @@ object SparkEntry {
          |      / CAST(kthu AS DOUBLE), 6) END AS est_union,
          |  exact_intersect
          |FROM cm, th, su, x""".stripMargin,
+    // kmv4: kmv2's intersect/union estimators composed into the Jaccard
+    // quotient, beside the exact one — quotients of hash-gated values.
+    "kmv4_jaccard" ->
+      s"""WITH ha AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1996)),
+         |hb AS (SELECT DISTINCT ${sqlHexVal("m", 15)} AS h FROM (
+         |  SELECT md5(CAST(o_custkey AS VARCHAR)) AS m FROM orders WHERE year(o_orderdate) = 1997)),
+         |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= 64),
+         |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= 64),
+         |sa AS (SELECT count(*) AS na, max(h) AS kha FROM ka),
+         |sb AS (SELECT count(*) AS nb, max(h) AS khb FROM kb),
+         |th AS (SELECT least(CASE WHEN na < 64 THEN 1152921504606846976 ELSE kha END,
+         |                    CASE WHEN nb < 64 THEN 1152921504606846976 ELSE khb END) AS theta FROM sa, sb),
+         |cm AS (SELECT count(*) AS n_common FROM ka JOIN kb USING (h), th WHERE h < theta),
+         |ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+         |  (SELECT h FROM ka UNION SELECT h FROM kb)) WHERE rn <= 64),
+         |su AS (SELECT count(*) AS nu, max(h) AS kthu FROM ku),
+         |est AS (SELECT
+         |  round(CAST(n_common AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |    / CAST(theta AS DOUBLE), 6) AS est_intersect,
+         |  CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+         |    ELSE round(CAST(63.0 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+         |      / CAST(kthu AS DOUBLE), 6) END AS est_union
+         |  FROM cm, th, su),
+         |x AS (SELECT count(*) AS exact_intersect FROM (
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         |  INTERSECT
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)),
+         |x2 AS (SELECT count(*) AS exact_union FROM (
+         |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) IN (1996, 1997)))
+         |SELECT round(est_intersect / est_union, 6) AS jaccard_est,
+         |  round(CAST(exact_intersect AS DOUBLE) / CAST(exact_union AS DOUBLE), 6) AS jaccard_exact,
+         |  exact_intersect, exact_union
+         |FROM est, x, x2""".stripMargin,
+    // rr1: the tf ranker + binary relevance replayed relationally; the
+    // reciprocal rank fixed-point floors identical doubles.
+    "rr1_retrieval_eval" ->
+      """WITH probes(qid, t1, t2) AS (VALUES
+        |  (1,'join','hash'),(2,'scan','filter'),(3,'row','batch'),
+        |  (4,'merge','column'),(5,'order','small')),
+        |tf AS MATERIALIZED (SELECT p.qid, d.doc_id,
+        |  length(list_filter(string_split(d.text, ' '), x -> x = p.t1)) AS tf1,
+        |  length(list_filter(string_split(d.text, ' '), x -> x = p.t2)) AS tf2
+        |  FROM documents d CROSS JOIN probes p WHERE d.text IS NOT NULL),
+        |top5 AS MATERIALIZED (SELECT * FROM (
+        |  SELECT qid, doc_id, tf2,
+        |    row_number() OVER (PARTITION BY qid ORDER BY tf1 DESC, doc_id) AS rank
+        |  FROM tf WHERE tf1 > 0) WHERE rank <= 5),
+        |fr AS (SELECT qid, min(rank) AS frank FROM top5 WHERE tf2 > 0 GROUP BY qid),
+        |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM tf WHERE tf2 > 0 GROUP BY qid),
+        |p5 AS (SELECT qid, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS p5_hits
+        |  FROM top5 GROUP BY qid)
+        |SELECT p5.qid,
+        |  coalesce(CAST(floor(1048576.0 / CAST(fr.frank AS DOUBLE)) AS BIGINT), 0) AS rr_fp,
+        |  p5.p5_hits, coalesce(nr.n_rel, 0) AS n_rel
+        |FROM p5 LEFT JOIN fr USING (qid) LEFT JOIN nr USING (qid) ORDER BY p5.qid""".stripMargin,
     // cms3: the sketch self-inner-product and the exact F2 moment both
     // replayed — integer-only, so the estimate itself is hash-gated.
     "cms3_join_size" ->
