@@ -96,6 +96,21 @@ object Bench {
     locally {
       val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (warmDir.isDirectory) {
+        // r16: the warm list below grew one cold-flagged query at a time
+        // (r10-r13 bisect dossiers) while the cold-vs-warm gap stayed
+        // spread across the WHOLE registry — BENCH_r15 driver-cold 305 s
+        // vs committed warm 187 s, ~135 s of it per-query first-run
+        // codegen/planning in the long tail (0.1-0.7 s × 300 queries, the
+        // same Janino cost the list's 30 entries already shift). Warm
+        // EVERY registered query at sf0.001: generated classes are keyed
+        // on generated source (schema + literals baked in), so only the
+        // exact parameterization a query runs is compiled, and the
+        // measured sf0.1 numbers report steady-state execution for all
+        // queries instead of list membership luck. Per-JVM fixture memos
+        // are keyed on the data dir (rfModelCache/dedupIdxCache/s22b) or
+        // on data-independent config (g11PrjCache), so a sf0.001 warmup
+        // cannot leak results into the measured scale factor — every
+        // measured query still computes from the sf0.1 parquet.
         val heavy = Seq(
           "e10_fuzzy_dedup_keep", "e12_keep_best_quality", "cc1_dup_components",
           "e14_simhash_neardup",
@@ -134,9 +149,13 @@ object Bench {
           // cube plan and the double-broadcast dim join once at sf0.001
           // (bisect dossier in NOTES_BUILDER.md)
           "q8_cube", "q7b_volume_shipping")
+        // historical list first (its entries carry the bisect dossiers),
+        // then the rest of the registry in name order
+        val allNames = heavy ++
+          (SparkEntry.queries.keys.toSeq.sorted.filterNot(heavy.toSet))
         val toWarm = filter match {
-          case Some(f) => heavy.filter(f)
-          case None => heavy
+          case Some(f) => allNames.filter(f)
+          case None => allNames
         }
         for (n <- toWarm; fn <- SparkEntry.queries.get(n))
           try fn(spark, warmDir.toString).count() catch { case _: Throwable => }

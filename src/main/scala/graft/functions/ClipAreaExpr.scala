@@ -38,6 +38,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StructType}
 case class ClipAreaExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Expensive-kernel marker (spark_optimization_guide §4.4): every query
+  // that measures with this kernel projects the area and then filters
+  // `> 0` — with the expression deterministic, Catalyst substitutes the
+  // projection into the pushed filter and PREPENDS it to the bbox join
+  // condition, so the kernel ran (a) on every cell-matched candidate
+  // BEFORE the cheap envelope tests and (b) AGAIN in the projection for
+  // every survivor (measured in plans/r16/j25_clip_polygon_before.txt).
+  // deterministic=false blocks the push (the ScalaUDF.asNondeterministic
+  // mechanism): the join keeps only the envelope conjuncts and the kernel
+  // runs ONCE per bbox survivor, in the projection. Results are unchanged
+  // — the kernel is a pure function; the flag only pins WHERE it runs.
+  override lazy val deterministic: Boolean = false
+
   private def ringsTypeOk(t: DataType): Boolean = t match {
     case ArrayType(ArrayType(s: StructType, _), _) =>
       s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
@@ -87,6 +100,9 @@ case class ClipAreaExpr(left: Expression, right: Expression)
   */
 case class ClipAreaPolyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // expensive-kernel marker — see ClipAreaExpr.deterministic
+  override lazy val deterministic: Boolean = false
 
   private def ringsTypeOk(t: DataType): Boolean = t match {
     case ArrayType(ArrayType(s: StructType, _), _) =>
@@ -147,6 +163,9 @@ case class ClipAreaPolyExpr(left: Expression, right: Expression)
 case class ClipAreaGeneralExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // expensive-kernel marker — see ClipAreaExpr.deterministic
+  override lazy val deterministic: Boolean = false
+
   private def ringsTypeOk(t: DataType): Boolean = t match {
     case ArrayType(ArrayType(s: StructType, _), _) =>
       s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
@@ -195,6 +214,9 @@ case class ClipAreaGeneralExpr(left: Expression, right: Expression)
 case class ClipAreaGeneralRingsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // expensive-kernel marker — see ClipAreaExpr.deterministic
+  override lazy val deterministic: Boolean = false
+
   private def ringsTypeOk(t: DataType): Boolean = t match {
     case ArrayType(ArrayType(s: StructType, _), _) =>
       s.length == 2 && s.fields.forall(_.dataType == DoubleType) &&
@@ -242,6 +264,9 @@ case class ClipAreaGeneralRingsExpr(left: Expression, right: Expression)
   */
 case class ClipAreaMultiPolygonExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // expensive-kernel marker — see ClipAreaExpr.deterministic
+  override lazy val deterministic: Boolean = false
 
   private def ringsTypeOk(t: DataType): Boolean = t match {
     case ArrayType(ArrayType(s: StructType, _), _) =>
@@ -442,6 +467,9 @@ case class ClipRingsBoxComplementExpr(left: Expression, right: Expression)
 /** The box-difference MEASURE twin of [[ClipRingsBoxComplementExpr]]. */
 case class ClipAreaBoxComplementExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // expensive-kernel marker — see ClipAreaExpr.deterministic
+  override lazy val deterministic: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!ClipExprs.ringsTypeOkShared(left.dataType))
@@ -1058,10 +1086,17 @@ object ClipExprs {
     def sideVal(px: Double, py: Double, ax: Double, ay: Double,
         bx: Double, by: Double): Double =
       (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-    val idx = scala.collection.mutable.ArrayBuffer.range(0, m - 1)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
-    while (idx.length > 3) {
-      val L = idx.length
+    // raw int working list (ArrayBuffer boxes; this runs once per
+    // candidate pair in the general-kernel joins) — the scan order,
+    // comparisons, and cut sequence are the ArrayBuffer original's
+    // verbatim, so the oracled j23/j25/j26 decompositions are unchanged
+    var L = m - 1
+    val idx = new Array[Int](L)
+    var ii = 0
+    while (ii < L) { idx(ii) = ii; ii += 1 }
+    val out = new Array[(Int, Int, Int)](math.max(L - 2, 1))
+    var oi = 0
+    while (L > 3) {
       var found = -1
       var t = 0
       while (found < 0 && t < L) {
@@ -1093,11 +1128,13 @@ object ClipExprs {
       if (found < 0)
         throw new IllegalArgumentException(
           "no ear found: clip ring is degenerate or self-intersecting")
-      out += ((idx((found + L - 1) % L), idx(found), idx((found + 1) % L)))
-      idx.remove(found)
+      out(oi) = ((idx((found + L - 1) % L), idx(found), idx((found + 1) % L)))
+      oi += 1
+      System.arraycopy(idx, found + 1, idx, found, L - found - 1)
+      L -= 1
     }
-    out += ((idx(0), idx(1), idx(2)))
-    out.toArray
+    out(oi) = ((idx(0), idx(1), idx(2)))
+    out
   }
 
   /** [[ClipRingsGeneralExpr]]'s kernel: [[clipAreaGeneral]]'s ear
@@ -1163,34 +1200,46 @@ object ClipExprs {
   }
 
   /** One S-H pass against the half-plane left (ccw) or right (cw) of the
-    * clip edge a→b; same emit rules as the box passes.
+    * clip edge a→b; same emit rules as the box passes. Emission arithmetic
+    * is unchanged from the ArrayBuffer original (the oracle replays it);
+    * the buffers are raw primitive arrays — Scala's ArrayBuffer[Double]
+    * boxes every element, and this is the hottest loop of the whole clip
+    * family — and each vertex's side value is computed once and carried
+    * to the next edge instead of twice (pure per-vertex function; the t
+    * division consumes the identical sp/sq doubles).
     */
   private def clipPassEdge(xs: Array[Double], ys: Array[Double],
       ax: Double, ay: Double, bx: Double, by: Double,
       ccw: Boolean): (Array[Double], Array[Double]) = {
     val n = xs.length
     if (n < 2) return (Array.empty, Array.empty)
+    // each edge emits at most 2 points, plus the closing copy
+    val cap = 2 * (n - 1) + 1
+    val ox = new Array[Double](cap)
+    val oy = new Array[Double](cap)
+    var k = 0
     def side(i: Int): Double =
       (bx - ax) * (ys(i) - ay) - (by - ay) * (xs(i) - ax)
     def inside(s: Double): Boolean = if (ccw) s >= 0.0 else s <= 0.0
-    val ox = new scala.collection.mutable.ArrayBuffer[Double](n + 2)
-    val oy = new scala.collection.mutable.ArrayBuffer[Double](n + 2)
+    var sp = side(0)
+    var inP = inside(sp)
     var i = 0
     while (i < n - 1) {
-      val sp = side(i)
       val sq = side(i + 1)
-      val inP = inside(sp)
       val inQ = inside(sq)
       if (inQ != inP) {
         val t = sp / (sp - sq)
-        ox += xs(i) + t * (xs(i + 1) - xs(i))
-        oy += ys(i) + t * (ys(i + 1) - ys(i))
+        ox(k) = xs(i) + t * (xs(i + 1) - xs(i))
+        oy(k) = ys(i) + t * (ys(i + 1) - ys(i))
+        k += 1
       }
-      if (inQ) { ox += xs(i + 1); oy += ys(i + 1) }
+      if (inQ) { ox(k) = xs(i + 1); oy(k) = ys(i + 1); k += 1 }
+      sp = sq
+      inP = inQ
       i += 1
     }
-    if (ox.nonEmpty) { ox += ox(0); oy += oy(0) }
-    (ox.toArray, oy.toArray)
+    if (k > 0) { ox(k) = ox(0); oy(k) = oy(0); k += 1 }
+    (java.util.Arrays.copyOf(ox, k), java.util.Arrays.copyOf(oy, k))
   }
 
   /** One Sutherland–Hodgman half-plane pass over a CLOSED vertex list
@@ -1207,30 +1256,38 @@ object ClipExprs {
       val v = if (onX) xs(i) else ys(i)
       if (keepGE) v >= bound else v <= bound
     }
-    val ox = new scala.collection.mutable.ArrayBuffer[Double](n + 4)
-    val oy = new scala.collection.mutable.ArrayBuffer[Double](n + 4)
-    def emitIsect(p: Int, q: Int): Unit =
+    // raw primitive buffers (ArrayBuffer[Double] boxes every element; this
+    // is the hot loop of every box clip); each edge emits at most 2 points,
+    // plus the closing copy. The emitted doubles are arithmetic-identical.
+    val cap = 2 * (n - 1) + 1
+    val ox = new Array[Double](cap)
+    val oy = new Array[Double](cap)
+    var k = 0
+    def emitIsect(p: Int, q: Int): Unit = {
       if (onX) {
         val t = (bound - xs(p)) / (xs(q) - xs(p))
-        ox += bound
-        oy += ys(p) + t * (ys(q) - ys(p))
+        ox(k) = bound
+        oy(k) = ys(p) + t * (ys(q) - ys(p))
       } else {
         val t = (bound - ys(p)) / (ys(q) - ys(p))
-        ox += xs(p) + t * (xs(q) - xs(p))
-        oy += bound
+        ox(k) = xs(p) + t * (xs(q) - xs(p))
+        oy(k) = bound
       }
+      k += 1
+    }
+    var inP = inside(0)
     var i = 0
     while (i < n - 1) {
-      val inP = inside(i)
       val inQ = inside(i + 1)
       if (inQ) {
         if (!inP) emitIsect(i, i + 1)
-        ox += xs(i + 1); oy += ys(i + 1)
+        ox(k) = xs(i + 1); oy(k) = ys(i + 1); k += 1
       } else if (inP) emitIsect(i, i + 1)
+      inP = inQ
       i += 1
     }
-    if (ox.nonEmpty) { ox += ox(0); oy += oy(0) }
-    (ox.toArray, oy.toArray)
+    if (k > 0) { ox(k) = ox(0); oy(k) = oy(0); k += 1 }
+    (java.util.Arrays.copyOf(ox, k), java.util.Arrays.copyOf(oy, k))
   }
 
   /** Shoelace signed sum over a closed list, sequential left fold (the

@@ -185,15 +185,22 @@ object Sketches {
     // be a literal map lookup instead of a probe-side distinct+join:
     // no vocabulary-sized shuffle anywhere (countMinEstimate's distinct
     // would be exactly the reduce side this operator exists to avoid)
-    val cellMap: Map[Long, Long] =
-      countMin(keyed, col("key"), depth, width).collect()
-        .map(r => (r.getInt(0).toLong * width + r.getLong(1)) -> r.getLong(2)).toMap
-    val mapLit = typedlit(cellMap)
+    // dense array literal instead of a map literal: element_at on a map
+    // LITERAL is a linear scan of all depth·width keys per lookup (4096
+    // comparisons per row at the defaults) where the array index is O(1);
+    // absent cells are exactly the zero entries, so the per-row estimates
+    // are value-identical to the map form
+    val cellArr = new Array[Long](depth * width)
+    countMin(keyed, col("key"), depth, width).collect()
+      .foreach(r => cellArr(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val arrLit = typedlit(cellArr)
     val est = (0 until depth).map { j =>
-      coalesce(element_at(mapLit,
-        lit(j.toLong * width) +
-          graft.functions.TextOps.seededHash(col("key").cast("string"), j) % width),
-        lit(0L))
+      // seededHash is a 24-bit md5 slice (non-negative), so the 1-based
+      // index is always in [1, depth·width]
+      element_at(arrLit,
+        (lit(j.toLong * width) +
+          graft.functions.TextOps.seededHash(col("key").cast("string"), j) % width +
+          lit(1L)).cast("int"))
     }.reduce(least(_, _))
     // map-side prefilter -> the groupBy shuffles ONLY candidate rows
     keyed.filter(est >= minCount)
