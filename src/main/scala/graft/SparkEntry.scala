@@ -8119,10 +8119,16 @@ object SparkEntry {
     */
   private def cms4(s: SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
-    def sk(part: DataFrame) =
-      operators.Sketches.countMin(part, col("l_partkey"), depth = 4, width = 512)
-    sk(li.filter(col("l_orderkey") % 2 === 0))
-      .unionAll(sk(li.filter(col("l_orderkey") % 2 =!= 0)))
+    // r16 (guide §2.4: remove shuffles/passes outright): both half-
+    // sketches from ONE lineitem scan, grouped by the half key, instead
+    // of two full filter+explode+aggregate passes — each group's counter
+    // table is value-identical to countMin over that half alone (counts
+    // partition by the half key), and the merge (sum per cell across the
+    // two counter tables) is unchanged, so the merge law is still the
+    // thing computed. Plan: 2 scans + 3 exchanges -> 1 scan + 2 exchanges.
+    operators.Sketches.countMin(
+        li.withColumn("__half", col("l_orderkey") % 2 === 0),
+        col("l_partkey"), depth = 4, width = 512, groupCols = Seq("__half"))
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
       .orderBy("row", "bucket")
@@ -8162,10 +8168,14 @@ object SparkEntry {
     */
   private def hll2(s: SparkSession, d: String) = {
     val li = Tables.lineitem(s, d)
-    def regsOf(part: DataFrame) =
-      operators.Sketches.hllRegisters(part, col("l_partkey"), Nil, p = 8)
-    val merged = regsOf(li.filter(col("l_orderkey") % 2 === 0))
-      .unionAll(regsOf(li.filter(col("l_orderkey") % 2 =!= 0)))
+    // r16 (guide §2.4): both halves' register tables from ONE scan via
+    // hllRegisters' own groupCols (per-group MAX partitions by the half
+    // key, so each group's rows are value-identical to hllRegisters over
+    // that half alone); the register-wise MAX merge — the law under test
+    // — is unchanged. 2 scans + 2 exchanges -> 1 scan + 1 exchange.
+    val merged = operators.Sketches.hllRegisters(
+        li.withColumn("__half", col("l_orderkey") % 2 === 0),
+        col("l_partkey"), Seq("__half"), p = 8)
       .groupBy("register").agg(max(col("max_rho")).as("max_rho"))
     operators.Sketches.hllEstimate(merged, Nil, p = 8)
       .select("n_zero", "raw_sum", "est_raw")

@@ -312,6 +312,12 @@ case class PointInRingsExpr(first: Expression, second: Expression, third: Expres
 case class RegionDistSqExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
+  // expensive-kernel marker — see ClipAreaExpr.deterministic (j20/j24
+  // project d2 then filter on the radius; deterministic, the pushed
+  // filter re-ran the clamped-segment-projection scan per candidate in
+  // the join condition AND per survivor in the projection)
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val r = GeomPredExprs.checkRings(first.dataType, "st_region_dist_sq")
     if (r != TypeCheckResult.TypeCheckSuccess) r

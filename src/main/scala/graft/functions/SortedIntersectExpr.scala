@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Expensive-kernel marker (guide §4.4, the ClipAreaExpr.deterministic
+  // mechanism): every verify caller projects the count and then filters
+  // (`inter > 0`, jaccard/containment thresholds) — deterministic, the
+  // pushed filter lands the merge walk in the candidate JOIN CONDITION
+  // and the projection re-runs it per survivor (2-4 evaluations per
+  // candidate pair). Pure function; the flag only pins one evaluation
+  // in the projection. Callers must keep it in Project/Filter shapes.
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>

@@ -684,14 +684,17 @@ object Similarity {
       .groupBy("term")
       .agg(sort_array(collect_list(struct(col(idCol).as("d"), col("__w").as("w"),
         col("__nsq").as("nsq")))).as("__lst"))
-    val pairs = postings.select(explode(flatten(
-      transform(col("__lst"), (x, i) => transform(
-        slice(col("__lst"), i + 2, size(col("__lst"))),
-        y => struct(x.getField("d").as("a"), y.getField("d").as("b"),
-          (x.getField("w") * y.getField("w")).as("p"),
-          x.getField("nsq").as("na"), y.getField("nsq").as("nb")))))).as("pr"))
-      .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.p").as("__p"),
-        col("pr.na").as("__na"), col("pr.nb").as("__nb"))
+    // r16: pair enumeration as one codegen kernel
+    // ([[graft.functions.OrderedPairsExpr]]) instead of the interpreted
+    // flatten(transform(…, transform(slice(…)))) HOF tree — same pair
+    // multiset and order (l = the sort_array-earlier posting, r = later),
+    // same l.w*r.w multiply, so the grouped sums are bit-identical;
+    // measured +1.8 s of this query's 2.9 s warm was the HOF enumeration
+    val pairs = postings.select(explode(
+        graft.functions.OrderedPairsExpr.orderedPairs(col("__lst"))).as("pr"))
+      .select(col("pr.l.d").as("a"), col("pr.r.d").as("b"),
+        (col("pr.l.w") * col("pr.r.w")).as("__p"),
+        col("pr.l.nsq").as("__na"), col("pr.r.nsq").as("__nb"))
     pairs
       .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"),

@@ -100,11 +100,17 @@ object Sketches {
     }
   }
 
-  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512): DataFrame = {
+  def countMin(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val cells = cmsCells(key, depth, width)
+    // groupCols (r16): per-group sketches from ONE scan — a split corpus
+    // (daily shards, the cms4 halves) no longer needs one full pass per
+    // member; each group's (row, bucket, cnt) table is value-identical to
+    // countMin over that group's rows alone (counts partition by group)
     df.filter(key.isNotNull)
-      .select(explode(array(cells: _*)).as("rb"))
-      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .select(groupCols.map(col) :+ explode(array(cells: _*)).as("rb"): _*)
+      .groupBy(groupCols.map(col) :+ col("rb.row").as("row") :+
+        col("rb.bucket").as("bucket"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

@@ -17,6 +17,38 @@ class SimilaritySpec extends AnyFunSuite {
     (4L, Array(0.7f, 0.7f, 0.0f))
   ).toDF("vec_id", "embedding")
 
+  test("OrderedPairsExpr emits exactly the HOF flatten(transform(slice)) pairs (tfidf2 kernel)") {
+    // the posting-list shape sparseTfidfPairs feeds it: sorted structs
+    val lst = Seq(
+      (1L, Seq((1L, 10L, "7"), (2L, 20L, "8"), (3L, 30L, "9"), (4L, 40L, "10"))),
+      (2L, Seq((5L, 50L, "11"))),
+      (3L, Seq.empty[(Long, Long, String)])
+    ).toDF("term", "raw")
+      .select(col("term"), expr(
+        "transform(raw, x -> named_struct('d', x._1, 'w', x._2, 'nsq', CAST(x._3 AS DECIMAL(38,0))))"
+      ).as("__lst"))
+    val viaExpr = lst.select(col("term"), explode(
+        graft.functions.OrderedPairsExpr.orderedPairs(col("__lst"))).as("pr"))
+      .select(col("term"), col("pr.l.d").as("a"), col("pr.r.d").as("b"),
+        (col("pr.l.w") * col("pr.r.w")).as("p"), col("pr.l.nsq").as("na"), col("pr.r.nsq").as("nb"))
+    val viaHof = lst.select(col("term"), explode(flatten(
+        transform(col("__lst"), (x, i) => transform(
+          slice(col("__lst"), i + 2, size(col("__lst"))),
+          y => struct(x.getField("d").as("a"), y.getField("d").as("b"),
+            (x.getField("w") * y.getField("w")).as("p"),
+            x.getField("nsq").as("na"), y.getField("nsq").as("nb")))))).as("pr"))
+      .select(col("term"), col("pr.a").as("a"), col("pr.b").as("b"), col("pr.p").as("p"),
+        col("pr.na").as("na"), col("pr.nb").as("nb"))
+    val e = viaExpr.collect().map(_.toString).toSeq.sorted
+    val h = viaHof.collect().map(_.toString).toSeq.sorted
+    assert(e == h)
+    assert(e.size == 6) // 4 choose 2; the 1- and 0-element lists emit none
+    // emission ORDER is the flatten order too (not just the multiset)
+    assert(viaExpr.filter(col("term") === 1).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
+
   test("cosine matches hand-computed values (E2 kernel)") {
     val out = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id"), col("b.vec_id"),
