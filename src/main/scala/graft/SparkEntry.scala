@@ -7950,13 +7950,33 @@ object SparkEntry {
     * end; the oracle replays sketches, θ, the common count, and both
     * estimates (one divide each, the kmv1 arithmetic shape).
     */
+  /** One-scan (1996, 1997) customer year-membership table shared by the
+    * kmv set-operation queries (kmv2/kmv3/kmv4 — r17, guide §2.4): one
+    * orders scan + one groupBy(custkey) with per-year max-flags replaces
+    * the 4-6 separate filter→distinct passes those queries composed.
+    * Every consumer (each sketch side, every exact set-op count) derives
+    * from THIS aggregate, and identical aggregate subtrees share one
+    * scan + shuffle via ReusedExchange. Values are unchanged by
+    * construction: `__a = 1` iff the customer has a 1996 order — exactly
+    * membership in the old `filter(year=1996).select(custkey).distinct()`
+    * side — so the sketches see the same distinct key sets and the exact
+    * counts are the same integers (union by inclusion-exclusion).
+    */
+  private def kmvYearFlags(o: org.apache.spark.sql.DataFrame) = {
+    val y = year(col("o_orderdate"))
+    o.filter(y === 1996 || y === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(y === 1996, 1).otherwise(0)).as("__a"),
+        max(when(y === 1997, 1).otherwise(0)).as("__b"))
+  }
+
   private def kmv2(s: SparkSession, d: String) = {
-    val o = Tables.orders(s, d)
-    val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
-    val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val flags = kmvYearFlags(Tables.orders(s, d))
+    val a = flags.filter(col("__a") === 1).select(col("o_custkey"))
+    val b = flags.filter(col("__b") === 1).select(col("o_custkey"))
     val sk = operators.Sketches.kmvSetSketch(a, col("o_custkey"), b, col("o_custkey"), k = 64)
-    val exact = a.distinct().intersect(b.distinct())
-      .agg(count(lit(1)).as("exact_intersect"))
+    val exact = flags.agg(
+      count(when(col("__a") === 1 && col("__b") === 1, 1)).as("exact_intersect"))
     sk.crossJoin(exact)
   }
 
@@ -7968,13 +7988,17 @@ object SparkEntry {
     * quotient of identical operands).
     */
   private def kmv4(s: SparkSession, d: String) = {
-    val o = Tables.orders(s, d)
-    val a = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
-    val b = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey"))
+    val flags = kmvYearFlags(Tables.orders(s, d))
+    val a = flags.filter(col("__a") === 1).select(col("o_custkey"))
+    val b = flags.filter(col("__b") === 1).select(col("o_custkey"))
     val sk = operators.Sketches.kmvSetSketch(a, col("o_custkey"), b, col("o_custkey"), k = 64)
-    val exact = a.distinct().intersect(b.distinct())
-      .agg(count(lit(1)).as("exact_intersect"))
-      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("exact_union")))
+    val inter = count(when(col("__a") === 1 && col("__b") === 1, 1))
+    // |A∪B| = |A| + |B| − |A∩B| — exact integers, same value as the old
+    // fourth union-distinct pass
+    val exact = flags.agg(
+      inter.as("exact_intersect"),
+      (count(when(col("__a") === 1, 1)) + count(when(col("__b") === 1, 1))
+        - inter).as("exact_union"))
     sk.crossJoin(exact)
       .select(
         round(col("est_intersect") / col("est_union"), 6).as("jaccard_est"),
@@ -8126,8 +8150,15 @@ object SparkEntry {
     // partition by the half key), and the merge (sum per cell across the
     // two counter tables) is unchanged, so the merge law is still the
     // thing computed. Plan: 2 scans + 3 exchanges -> 1 scan + 2 exchanges.
+    // r17: project to the two used columns and `spread` the scan — the
+    // 2.4M seededHash calls are the query's real cost, and a single-file
+    // input scans as ONE task (the r16 one-scan form halved the local
+    // parallelism the two-scan form accidentally had); spread is
+    // metadata-gated, so a many-file 100 TB input passes through with no
+    // extra shuffle, and counts are partitioning-independent.
     operators.Sketches.countMin(
-        li.withColumn("__half", col("l_orderkey") % 2 === 0),
+        operators.Partitioning.spread(li.select(col("l_orderkey"), col("l_partkey")))
+          .withColumn("__half", col("l_orderkey") % 2 === 0),
         col("l_partkey"), depth = 4, width = 512, groupCols = Seq("__half"))
       .groupBy("row", "bucket")
       .agg(sum(col("cnt")).as("cnt"))
@@ -8142,16 +8173,15 @@ object SparkEntry {
     * estimate hash-gates too.
     */
   private def kmv3(s: SparkSession, d: String) = {
-    val o = Tables.orders(s, d)
-    val a = o.filter(year(col("o_orderdate")) === 1996)
-    val b = o.filter(year(col("o_orderdate")) === 1997)
+    val flags = kmvYearFlags(Tables.orders(s, d))
+    val a = flags.filter(col("__a") === 1).select(col("o_custkey"))
+    val b = flags.filter(col("__b") === 1).select(col("o_custkey"))
     val estA = operators.Sketches.kmvDistinct(a, col("o_custkey"), Nil, k = 64)
       .select(col("est_distinct").as("est_a"))
     val setOps = operators.Sketches.kmvSetSketch(
       a, col("o_custkey"), b, col("o_custkey"), k = 64)
-    val exact = a.select(col("o_custkey")).distinct()
-      .join(b.select(col("o_custkey")).distinct(), Seq("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("exact_diff"))
+    val exact = flags.agg(
+      count(when(col("__a") === 1 && col("__b") === 0, 1)).as("exact_diff"))
     setOps.crossJoin(broadcast(estA)).crossJoin(broadcast(exact))
       .select(col("est_a"), col("est_intersect"),
         round(col("est_a") - col("est_intersect"), 6).as("est_diff"),

@@ -56,7 +56,19 @@ object BpeTrain {
       .select(explode(split(textCol, " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("n"))
+    // r17: checkpoint the state table BEFORE the loop and after every
+    // merge. Without it, round k's census re-executes the whole lineage —
+    // corpus scan + word census + k−1 nested interpreted HOF folds — so
+    // the loop cost K corpus scans and O(K²) fold work (plus a K-deep
+    // plan re-analyzed per round). The state is the DISTINCT-word table
+    // (vocabulary-sized, executor-resident at any corpus scale), so each
+    // checkpoint is a tiny materialization, the corpus is scanned ONCE,
+    // and each round evaluates exactly ONE fold. localCheckpoint is
+    // semantically transparent (BpeSpec + the bpe2 oracle gate both
+    // cover it); the argmax total order makes the learned table
+    // partitioning-independent anyway.
     var seg = words.select(col("w"), col("n"), split(col("w"), "").as("state"))
+      .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var exhausted = false
     while (!exhausted && learned.size < k) {
@@ -87,14 +99,9 @@ object BpeTrain {
         val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         learned += ((l, r, cnt))
         seg = seg.withColumn("state", applyMerge(col("state"), l, r))
-        // each round nests another HOF fold, and every round's pair
-        // census re-evaluates the whole chain — O(K²) fold work and a
-        // K-deep plan. Flatten the lineage every 8 merges: the state
-        // table is vocabulary-sized (executor-resident at any corpus
-        // scale), and localCheckpoint is semantically transparent, so
-        // results are unchanged (bpe2's K=8 never triggers it; BpeSpec
-        // covers the triggered path)
-        if (learned.size % 8 == 0 && learned.size < k)
+        // flatten the lineage every round (skip the last — nothing reads
+        // it): one fold evaluated per round instead of a growing chain
+        if (learned.size < k)
           seg = seg.localCheckpoint()
       }
     }

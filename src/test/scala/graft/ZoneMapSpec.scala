@@ -140,6 +140,48 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(viaFallback.select("v").collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("footer-stats build equals the scan build on mixed fixtures") {
+    // long / int / date / timestamp come from footers; string + double are
+    // deliberate fallback columns (truncation / NaN-skipping hazards); one
+    // file's `nv` column is all-NULL (NULL bounds on both paths)
+    val dir = java.nio.file.Files.createTempDirectory("zm_foot").toString
+    val rows = (1 to 300).map { i =>
+      (i.toLong, i * 7 % 31,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1996, 1, 1).plusDays(i)),
+        java.sql.Timestamp.valueOf(s"1996-0${i % 9 + 1}-0${i % 27 % 28 / 4 + 1} 00:00:0${i % 10}"),
+        java.time.LocalDateTime.of(1996, i % 12 + 1, i % 28 + 1, i % 24, 0),
+        s"tag$i", i * 0.5,
+        if (i <= 150) java.lang.Long.valueOf(i.toLong) else null.asInstanceOf[java.lang.Long])
+    }.toDF("k", "i", "dt", "ts", "tsn", "s", "dbl", "nv")
+    rows.filter(col("k") <= 150).repartitionByRange(3, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    // a second write appends a file whose nv is entirely NULL
+    rows.filter(col("k") > 150).coalesce(1).write.mode("append").parquet(dir)
+    val cols = Seq("k", "i", "dt", "ts", "tsn", "s", "dbl", "nv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    val viaFooter = canon(ZoneMap.build(spark, dir, cols))
+    val viaScan = canon(ZoneMap.buildByScan(spark.read.parquet(dir), cols))
+    assert(viaFooter == viaScan)
+    assert(viaFooter.size == 4)
+    // INT96 timestamps carry no stats: the ts column must take the scan
+    // fallback and still agree
+    val dir96 = java.nio.file.Files.createTempDirectory("zm_foot96").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      rows.repartitionByRange(2, col("k")).write.mode("overwrite").parquet(dir96)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    assert(canon(ZoneMap.build(spark, dir96, Seq("ts", "k"))) ==
+      canon(ZoneMap.buildByScan(spark.read.parquet(dir96), Seq("ts", "k"))))
+    // partition columns live in directory names, not footers — fallback
+    val pdir = java.nio.file.Files.createTempDirectory("zm_footp").toString
+    rows.filter(col("k") <= 150).coalesce(1).write.parquet(pdir + "/a=1")
+    rows.filter(col("k") > 150).coalesce(1).write.parquet(pdir + "/a=2")
+    assert(canon(ZoneMap.build(spark, pdir, Seq("k", "a"))) ==
+      canon(ZoneMap.buildByScan(spark.read.parquet(pdir), Seq("k", "a"))))
+  }
+
   test("all-NULL files are skipped for range predicates (NULL never matches)") {
     val dir = java.nio.file.Files.createTempDirectory("zm_null").toString
     val some = Seq((1L, java.lang.Long.valueOf(5L)), (2L, java.lang.Long.valueOf(9L)))
