@@ -166,6 +166,53 @@ object Bench {
         spark.sqlContext.clearCache()
       }
     }
+    // r17 (measurement hygiene, VERDICT r16 item 6 — disclosed in
+    // OPTIMIZATION_r17.md): the sf0.001 warmup compiles the generated
+    // classes but leaves the C2 JIT ramp — the md5/shingle/token loops
+    // only get hot at real data volume, so the slow-tail queries' FIRST
+    // sf0.1 runs measured 1.5-6x their steady state even fully
+    // code-warmed (cap1 6.06 s driver-cold vs 0.95 s steady; e7/hist2/
+    // fz2 similar). One pass at sf0.01 for the measured slow-tail list
+    // (BENCH_r16's slowest-60) tiers the ramp OUTSIDE the timed loop.
+    // Same leak rules as the sf0.001 warmup: per-JVM fixture memos are
+    // keyed on the data dir, so nothing computed here can serve a
+    // measured sf0.1 query; the guard skips the pass when the measured
+    // SF IS sf0.01 (never warm at the measured scale).
+    locally {
+      val rampDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      val measured = new java.io.File(sfDir)
+      if (rampDir.isDirectory &&
+          rampDir.getCanonicalPath != measured.getCanonicalPath) {
+        val ramp = Seq(
+          "b1_bucketed_join", "bm25_1_ranked_retrieval", "bpe2_bpe_train",
+          "cap1_source_cap", "cc2_components_distributed", "cms2_heavy_hitters",
+          "cms4_cms_merge", "dsir1_importance_resample", "e12_keep_best_quality",
+          "e13_bloom_decontaminate", "e14_simhash_neardup", "e16b_semdedup_sqrtn",
+          "e2b_lsh_pairs", "e3b_ivf_topk", "e3f_ivf_trained", "e7_jaccard_verify",
+          "e8b_embedding_banded", "fz2_segment_match", "g10_albers_reproject",
+          "g11_wkt_reproject", "g13_vector_reproject", "g13b_multipoint_reproject",
+          "g14_epsg_reproject", "g4_regrid_cubic", "g5_reproject",
+          "g6_utm_reproject", "g7_webmercator_reproject", "g9_datum_shift",
+          "gh1_geohash_bucket", "gh3_proximity_join", "gh4_geohash_cover",
+          "hist2_price_deciles", "hn1_hard_negatives", "j22_clip_pair",
+          "j28_clip_general_geom", "km2_kmeans_train", "kmv1_distinct_sketch",
+          "kmv3_set_difference", "kmv4_jaccard", "lm2_bigram_logprob",
+          "m1_rf_classify", "pipe2_curation_v2", "pipe3_mix_construction",
+          "pmi1_collocations", "pr1_dup_pagerank", "q10_returned_rev",
+          "q21_last_shipper", "qs3_grouped_quantiles", "qs4_quantile_rollup",
+          "s20_geotiff_sink", "s22_geoparquet_roundtrip", "s5_partitioned_sink",
+          "tfidf1_top_terms", "tfidf2_pair_similarity", "tri1_dup_triangles",
+          "zm1_zonemap_skip", "zo1_zorder_skip", "zo2_hilbert_skip",
+          "zo3_hilbert_ranges", "zo4_hilbert_frontdoor")
+        val toRamp = filter match {
+          case Some(f) => ramp.filter(f)
+          case None => ramp
+        }
+        for (n <- toRamp; fn <- SparkEntry.queries.get(n))
+          try fn(spark, rampDir.toString).count() catch { case _: Throwable => }
+        spark.sqlContext.clearCache()
+      }
+    }
     val selected = filter match {
       case Some(f) => SparkEntry.queries.filter { case (k, _) => f(k) }
       case None => SparkEntry.queries

@@ -219,6 +219,40 @@ class QueryAuditSpec extends AnyFunSuite {
       s"single-partition window in: ${offenders.mkString(", ")}")
   }
 
+  test("no single-evaluation-marked kernel (or any non-deterministic expr) in a join condition") {
+    // r16 marked eight expensive pure kernels (clip areas, regionDistSq,
+    // sortedIntersectCount) deterministic=false to pin single evaluation
+    // in Project/Filter shapes. The safety invariant — callers never put
+    // them in a join condition, grouping key, or agg argument — lived
+    // only in comments; this walk enforces it for every registered query
+    // (r17, the VERDICT r16 tripwire ask). Non-determinism is the exact
+    // property the flag sets, so checking it catches every current AND
+    // future marked kernel without naming classes.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val joins = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val bad = joins.flatMap(_.condition)
+        .filter(c => c.exists(e => !e.deterministic))
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"non-deterministic expression in a join condition in: ${offenders.mkString(", ")}")
+    // planted: a marked kernel in a join condition must fail LOUDLY at
+    // analysis (Spark rejects non-deterministic join conditions), never
+    // silently produce a worse plan
+    import spark.implicits._
+    val l = Seq((1L, Seq("a", "b"))).toDF("id", "ids")
+    val r = Seq((2L, Seq("b", "c"))).toDF("id2", "ids2")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      l.join(r, org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SortedIntersectCountExpr(
+          org.apache.spark.sql.GraftBridge.toCatalyst(l("ids")),
+          org.apache.spark.sql.GraftBridge.toCatalyst(r("ids2")))) > 0)
+        .queryExecution.optimizedPlan
+    }
+  }
+
   test("every query's initial plan stays under the session's partition budget") {
     // A query whose first-stage plan explodes into thousands of tasks at
     // sf0.001 has a partitioning bug (e.g. an accidental per-row
