@@ -71,7 +71,13 @@ object SpatialOps {
   // math is Column HOFs over the parsed coordinate arrays — no geometry
   // library, distributes like any projection.
 
-  private def ringPts(r: Column): Column =
+  private def ringPts(r: Column): Column = WktParse.ptsCol(r)
+
+  /** Pre-r17 chain spelling of [[ringPts]] — WktEmitSpec's parse
+    * equivalence reference only (regex + interpreted HOF lambdas per
+    * vertex; [[WktParse]] is the single-pass twin).
+    */
+  private[graft] def ringPtsChain(r: Column): Column =
     transform(filter(split(r, ","), s => trim(s) =!= ""), p => struct(
       element_at(split(trim(p), " +"), 1).cast("double").as("x"),
       element_at(split(trim(p), " +"), 2).cast("double").as("y")))
@@ -84,10 +90,15 @@ object SpatialOps {
     * for every measure here: areas are signed per ring (holes are CW and
     * subtract), perimeter/moments/counts are plain sums over rings.
     */
-  def wktRings(wkt: Column): Column =
+  def wktRings(wkt: Column): Column = WktParse.ringsCol(wkt)
+
+  /** Pre-r17 chain spelling of [[wktRings]] — WktEmitSpec's parse
+    * equivalence reference only.
+    */
+  private[graft] def wktRingsChain(wkt: Column): Column =
     transform(
       regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)),
-      r => ringPts(r))
+      r => ringPtsChain(r))
 
   /** The INVERSE of [[wktRings]] — parsed rings back to a WKT POLYGON
     * string, so computed geometry (the clip_*_geom emissions, traced
@@ -98,7 +109,15 @@ object SpatialOps {
     * nothing. Empty rings are skipped (a clip that removed a hole);
     * all-empty input renders the OGC `POLYGON EMPTY`.
     */
-  def ringsToWkt(rings: Column): Column = {
+  def ringsToWkt(rings: Column): Column = WktEmit.polygon(rings)
+
+  /** The pre-r17 Column-chain spelling of [[ringsToWkt]], kept ONLY as
+    * the equivalence reference for WktEmitSpec's kernel ≡ chain gate —
+    * the `transform` HOF lambdas here are interpreted per vertex with a
+    * UTF8String allocation per concat node (guide §4), which is what
+    * the kernel removes.
+    */
+  private[graft] def ringsToWktChain(rings: Column): Column = {
     val nonEmpty = filter(rings, r => size(r) > 0)
     when(size(nonEmpty) === 0, lit("POLYGON EMPTY")).otherwise(
       concat(lit("POLYGON ("),
@@ -698,7 +717,12 @@ object SpatialOps {
     * vector readers/writers use), so parse ∘ emit is the identity on the
     * engine's own WKT.
     */
-  private def ringsToWktBody(rings: Column): Column =
+  private def ringsToWktBody(rings: Column): Column = WktEmit.body(rings)
+
+  /** Pre-r17 chain spelling of [[ringsToWktBody]] — WktEmitSpec's
+    * equivalence reference only (see [[ringsToWktChain]]).
+    */
+  private[graft] def ringsToWktBodyChain(rings: Column): Column =
     concat_ws(", ", transform(rings, r => concat(lit("("),
       concat_ws(", ", transform(r, p => concat(
         p.getField("x").cast("string"), lit(" "), p.getField("y").cast("string")))),
@@ -709,6 +733,43 @@ object SpatialOps {
       val (x, y) = t(p.getField("x"), p.getField("y"))
       struct(x.as("x"), y.as("y"))
     })
+
+  /** [[mapPts]]'s TmParams image when `t` is a forward transverse
+    * Mercator: the general [[graft.operators.Regrid.TmParams]] algebra
+    * reproduces [[graft.operators.Regrid.UtmFromGeographic]] bit-for-bit
+    * on the UTM parameterization (RegridSpec proves it; lat0 = 0 makes
+    * the extra `- M(φ0)` term an exact `- 0.0` no-op, and BOTH spellings
+    * add the false northing, so every double is shared).
+    */
+  private def tmParamsOf(t: graft.operators.Regrid.Transform2D)
+      : Option[graft.operators.Regrid.TmParams] = {
+    import graft.operators.Regrid._
+    t match {
+      case TransverseMercatorFromGeographic(p) => Some(p)
+      case UtmFromGeographic(zone, southern) => Some(TmParams(
+        Utm.centralMeridianDeg(zone),
+        falseNorthing = if (southern) Utm.FalseNorthing else 0.0))
+      case _ => None
+    }
+  }
+
+  /** Ring-set transform: the codegen [[TmForward]] kernel when the
+    * transform is a forward TM/UTM (the reproject queries' case — the
+    * HOF spelling ran the whole Snyder series INTERPRETED per vertex,
+    * guide §4), the generic per-point Column algebra otherwise.
+    */
+  private def mapRingsCol(rings: Column,
+      t: graft.operators.Regrid.Transform2D): Column = tmParamsOf(t) match {
+    case Some(p) => TmForward.col(rings, p)
+    case None => transform(rings, r => mapPts(r, t))
+  }
+
+  /** Flat-point-array transform — kernel via a single-ring wrap. */
+  private def mapPtsCol(pts: Column,
+      t: graft.operators.Regrid.Transform2D): Column = tmParamsOf(t) match {
+    case Some(p) => element_at(TmForward.col(array(pts), p), 1)
+    case None => mapPts(pts, t)
+  }
 
   /** Reproject a WKT geometry's coordinates through a
     * [[graft.operators.Regrid.Transform2D]] — what `ogr2ogr -t_srs` does
@@ -747,7 +808,7 @@ object SpatialOps {
         lit("reprojectWkt: EMPTY geometry '"), wkt,
         lit("' unsupported (no coordinates to reproject)"))))
       .when(typ === "POINT", {
-        val p = element_at(mapPts(flat, t), 1)
+        val p = element_at(mapPtsCol(flat, t), 1)
         concat(lit("POINT ("), p.getField("x").cast("string"), lit(" "),
           p.getField("y").cast("string"), lit(")"))
       })
@@ -756,25 +817,22 @@ object SpatialOps {
         // accepted spellings, then re-emit each point parenthesized
         val pts = ringPts(regexp_replace(
           regexp_replace(wkt, "^[A-Za-z ]*\\(", ""), "[()]", ""))
-        concat(lit("MULTIPOINT ("),
-          concat_ws(", ", transform(mapPts(pts, t), p => concat(lit("("),
-            p.getField("x").cast("string"), lit(" "),
-            p.getField("y").cast("string"), lit(")")))),
+        concat(lit("MULTIPOINT ("), WktEmit.mpoints(mapPtsCol(pts, t)),
           lit(")"))
       })
       .when(typ === "LINESTRING",
-        concat(lit("LINESTRING "), ringsToWktBody(array(mapPts(flat, t)))))
+        concat(lit("LINESTRING "), ringsToWktBody(array(mapPtsCol(flat, t)))))
       .when(typ === "POLYGON",
         concat(lit("POLYGON ("),
-          ringsToWktBody(transform(wktRings(wkt), r => mapPts(r, t))), lit(")")))
+          ringsToWktBody(mapRingsCol(wktRings(wkt), t)), lit(")")))
       .when(typ === "MULTILINESTRING", // same flat-group body shape as POLYGON
         concat(lit("MULTILINESTRING ("),
-          ringsToWktBody(transform(wktRings(wkt), r => mapPts(r, t))), lit(")")))
+          ringsToWktBody(mapRingsCol(wktRings(wkt), t)), lit(")")))
       .when(typ === "MULTIPOLYGON",
         concat(lit("MULTIPOLYGON ("),
           concat_ws(", ", transform(mpFrags, f =>
             concat(lit("("),
-              ringsToWktBody(transform(fragRings(f), r => mapPts(r, t))),
+              ringsToWktBody(mapRingsCol(fragRings(f), t)),
               lit(")")))),
           lit(")")))
       .otherwise(raise_error(concat(

@@ -136,6 +136,126 @@ class WktEmitSpec extends AnyFunSuite {
     assert(viaSql.getString(2).startsWith("POLYGON (("))
   }
 
+  // ---- r17 single-pass emit kernels ≡ the pre-r17 Column chains ----
+  // (guide §4: the chains ran `transform` HOF lambdas interpreted per
+  // vertex; the kernels must reproduce every BYTE, including the
+  // null-skipping of concat_ws/array_join and the "()" null-ring render)
+
+  /** A gnarly emit domain: parsed g13-style quads with long-mantissa
+    * doubles, plus a null ring, an empty ring, a null-x point, a null
+    * point element, and negative/exponent-notation coordinates.
+    */
+  private def emitDomain = {
+    val quads = spark.range(500).toDF("pk").select(col("pk"),
+      (lit(-96.0) + (col("pk") % 50).cast("double") * lit(0.01)).as("x0"),
+      (lit(30.0) + (col("pk") % 40).cast("double") * lit(0.01)).as("y0"))
+      .withColumn("x1", col("x0") + lit(0.013))
+      .withColumn("y1", col("y0") + lit(1.0e-7))
+    def p(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      struct(x.as("x"), y.as("y"))
+    val ring = array(p(col("x0"), col("y0")), p(col("x1"), col("y0")),
+      p(col("x1"), col("y1")), p(col("x0"), col("y1")), p(col("x0"), col("y0")))
+    val nullRing = lit(null).cast("array<struct<x:double,y:double>>")
+    val emptyRing = filter(ring, _ => lit(false))
+    val nullX = array(p(lit(null).cast("double"), col("y0")), p(col("x1"), col("y1")))
+    val nullPt = transform(ring, pt =>
+      when(pt.getField("x") > lit(-90.0), pt)) // some elements -> null
+    quads.withColumn("rings", array(ring, nullRing, emptyRing, nullX, nullPt,
+      array(p(-col("x0") * lit(1.0e9), col("y0") / lit(3.0)))))
+  }
+
+  test("r17 emit kernels reproduce the Column chains byte-for-byte") {
+    val df = emitDomain.select(
+      SpatialOps.ringsToWkt(col("rings")).as("poly_k"),
+      SpatialOps.ringsToWktChain(col("rings")).as("poly_c"),
+      graft.functions.WktEmit.body(col("rings")).as("body_k"),
+      SpatialOps.ringsToWktBodyChain(col("rings")).as("body_c"),
+      // getItem, not element_at: ElementAt-over-CreateArray trips a stock
+      // Spark codegen fallback (undeclared isNull var) that would bury the
+      // kernel's own codegen in noise — unrelated to what's gated here
+      graft.functions.WktEmit.mpoints(col("rings").getItem(0)).as("mp_k"),
+      concat_ws(", ", transform(col("rings").getItem(0), pt => concat(lit("("),
+        pt.getField("x").cast("string"), lit(" "),
+        pt.getField("y").cast("string"), lit(")")))).as("mp_c"))
+    assert(df.filter(not(col("poly_k") <=> col("poly_c"))).count() == 0)
+    assert(df.filter(not(col("body_k") <=> col("body_c"))).count() == 0)
+    assert(df.filter(not(col("mp_k") <=> col("mp_c"))).count() == 0)
+    // the null-ring/empty-ring "()" render and null-point skip really hit
+    val one = df.head()
+    assert(one.getString(2).contains(", (), (), ("), one.getString(2))
+    // all-empty/null rings -> POLYGON EMPTY through the kernel too
+    val empty = emitDomain.select(SpatialOps.ringsToWkt(
+      slice(col("rings"), 2, 2)).as("w")).head().getString(0)
+    assert(empty == "POLYGON EMPTY")
+    // NULL input column: polygon propagates NULL, body/mpoints give ""
+    val nulls = spark.range(1).select(
+      SpatialOps.ringsToWkt(lit(null).cast(
+        "array<array<struct<x:double,y:double>>>")).as("p"),
+      graft.functions.WktEmit.body(lit(null).cast(
+        "array<array<struct<x:double,y:double>>>")).as("b"),
+      graft.functions.WktEmit.mpoints(lit(null).cast(
+        "array<struct<x:double,y:double>>")).as("m")).head()
+    assert(nulls.isNullAt(0) && nulls.getString(1) == "" && nulls.getString(2) == "")
+  }
+
+  test("r17 parse kernel ≡ the regex+HOF chain on a fuzz domain (incl. malformed)") {
+    // well-formed engine WKT (long-mantissa doubles) + every malformed
+    // class the chain's operators have defined behavior for: empty and
+    // nested groups, tab/multi-space runs, missing/extra tokens, Java
+    // special literals, hex floats, trailing d/f, empty segments, no
+    // parens at all, EMPTY spellings, unicode
+    val wkts = Seq(
+      "POLYGON ((-95.98 30.11, -95.967 30.11, -95.967 30.1100001, -95.98 30.11))",
+      "MULTIPOLYGON (((0.1 0.2, 3.4E-5 4e9)), ((5 6, 7 8), (9 10, 11 12)))",
+      "LINESTRING (210590.34672052012 3322575.9044110756, 1.0E-322 -0.0)",
+      "POINT (1.5 2.5)", "MULTIPOINT ((1 2), (3 4))", "MULTIPOINT (1 2, 3 4)",
+      "()", "(())", "(a(1 2)b)", "((1 2, 3 4))", "POLYGON EMPTY", "no parens",
+      "(\t1.5\t2.5)", "(1.5   2.5,   ,  3 4 5 , 6)", "( , ,1 2, )",
+      "(inf -inf, Infinity -Infinity, NaN nan, +inf -INF)",
+      "(1e99 -1.2E-3, 5d 5f, 0x1.8p1 2, ++1 2, . ., 1. .5)",
+      "(1)", "(1 )", "( 1 2 )", "(1,2)", "(1 2", "1 2)", "))((", "((",
+      "(é 1, 2 3)", "(𝟙 2, 3 4)", "", "   ")
+    val df = wkts.toDF("w").union(Seq.fill(1)(null.asInstanceOf[String]).toDF("w"))
+      .select(col("w"),
+        SpatialOps.wktRings(col("w")).as("rings_k"),
+        SpatialOps.wktRingsChain(col("w")).as("rings_c"),
+        SpatialOps.ringPtsChain(col("w")).as("pts_c"),
+        graft.functions.WktParse.ptsCol(col("w")).as("pts_k"))
+    val bad = df.filter(not(col("rings_k") <=> col("rings_c")) ||
+      not(col("pts_k") <=> col("pts_c"))).select("w").collect()
+    assert(bad.isEmpty, bad.map(_.getString(0)).mkString(" | "))
+    // and the parse really yields data on the well-formed rows
+    assert(df.filter(size(flatten(col("rings_k"))) > 0).count() >= 8)
+  }
+
+  test("r17 TM forward kernel ≡ the HOF Column algebra, bitwise, all TM dispatches") {
+    import graft.operators.Regrid._
+    val rings = emitDomain.select(col("pk"), col("rings"))
+    def hof(t: Transform2D) = transform(col("rings"), r => transform(r, pt => {
+      val (x, y) = t(pt.getField("x"), pt.getField("y"))
+      struct(x.as("x"), y.as("y"))
+    }))
+    // the three dispatches reprojectWkt kernelizes: UTM north (g13/g13b),
+    // UTM south, and the general TmParams (nonzero lat0, GRS80)
+    val cases = Seq[(Transform2D, graft.operators.Regrid.TmParams)](
+      (UtmFromGeographic(15), TmParams(-93.0)),
+      (UtmFromGeographic(15, southern = true),
+        TmParams(-93.0, falseNorthing = 1.0e7)),
+      (TransverseMercatorFromGeographic(TmParams(-93.0, lat0Deg = 30.0,
+        k0 = 0.99987, falseEasting = 304800.0, falseNorthing = 1.0e5,
+        a = 6378137.0, e2 = 0.0066943800229034)),
+        TmParams(-93.0, lat0Deg = 30.0, k0 = 0.99987, falseEasting = 304800.0,
+          falseNorthing = 1.0e5, a = 6378137.0, e2 = 0.0066943800229034)))
+    for ((t, p) <- cases) {
+      // compare via the emitted WKT body so double FORMATTING is gated too
+      val d = rings.select(
+        graft.functions.WktEmit.body(
+          graft.functions.TmForward.col(col("rings"), p)).as("k"),
+        SpatialOps.ringsToWktBodyChain(hof(t)).as("c"))
+      assert(d.filter(not(col("k") <=> col("c"))).count() == 0, s"$t")
+    }
+  }
+
   test("GeoParquet writes a MULTIPOLYGON dissolve and re-ingests its area bitwise") {
     val dir = java.nio.file.Files.createTempDirectory("wktemit").toString + "/store"
     val dissolved = CoverageArea.unionGeometry(
